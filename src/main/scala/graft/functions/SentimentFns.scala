@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic lexicon-based 3-class sentiment scorer.
+  *
+  * Capability parity with the reference's FinBERT stage (reference:
+  * airflow/dags/Batch_layer/batchPipeline.py:142-147,
+  * Speed_layer/twitterConsumerStream.py:61-66): per-document
+  * (positive, negative, neutral) scores in [0,1] summing to 1. No
+  * transformer model is available offline, so the default scorer is a
+  * Loughran–McDonald-style word-list count with Laplace smoothing:
+  *
+  *   pos = (|pos hits| + 1) / (|tokens| + 3)
+  *   neg = (|neg hits| + 1) / (|tokens| + 3)
+  *   neu = (|tokens| - |pos| - |neg| + 1) / (|tokens| + 3)
+  *
+  * Integer counts + one double division => bit-identical across engines,
+  * which keeps the DuckDB oracle exact. Pure column expressions — fully
+  * codegen'd, no UDF.
+  */
+object SentimentFns {
+
+  /** Financial-positive markers (Loughran–McDonald flavor, trimmed). */
+  val DefaultPositive: Seq[String] = Seq(
+    "fast", "big", "spark", "vector", "gain", "growth", "profit", "beat",
+    "strong", "up", "surge", "rally", "record", "win")
+
+  /** Financial-negative markers. */
+  val DefaultNegative: Seq[String] = Seq(
+    "slow", "small", "dup", "scan", "loss", "drop", "miss", "weak",
+    "down", "fall", "risk", "fraud", "decline", "crash")
+
+  /** (pos, neg, neu) scores as a 3-field struct column. */
+  def sentiment(text: Column,
+                positive: Seq[String] = DefaultPositive,
+                negative: Seq[String] = DefaultNegative): Column = {
+    val toks = TextFns.tokens(text)
+    val n = size(toks).cast("double")
+    val pc = size(filter(toks, t => t.isInCollection(positive))).cast("double")
+    val nc = size(filter(toks, t => t.isInCollection(negative))).cast("double")
+    val denom = n + lit(3.0)
+    struct(
+      ((pc + lit(1.0)) / denom).as("pos"),
+      ((nc + lit(1.0)) / denom).as("neg"),
+      ((n - pc - nc + lit(1.0)) / denom).as("neu"))
+  }
+}

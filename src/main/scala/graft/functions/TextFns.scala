@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-cleaning and text-analysis column functions.
+  *
+  * Clean-text semantics follow the reference's CleanNews transformer
+  * (reference: airflow/dags/Batch_layer/batchPipeline.py:41-52): null if
+  * len&lt;10, strip emoji, remove URLs/@mentions, drop '$'/'#', '_' -&gt; ' ',
+  * trim. Re-expressed as native Catalyst expressions — no UDF, so the whole
+  * chain stays inside whole-stage codegen and never blocks pushdown.
+  */
+object TextFns {
+
+  /** URLs and @-prefixed handles: same regex family as the reference's
+    * re.sub(r"(?:\@|http?\://|https?\://|www)\S+", "").
+    */
+  private val UrlOrMention = "(?:@|http://|https://|www)\\S+"
+  private val Handle = "@[A-Za-z0-9]+"
+
+  /** Common emoji / pictograph blocks (the reference strips emoji
+    * codepoints one-by-one in Python; a character class does it in one
+    * codegen'd regexp_replace).
+    */
+  private val Emoji =
+    "[\\x{1F000}-\\x{1FAFF}\\x{2190}-\\x{21FF}\\x{2600}-\\x{27BF}\\x{FE00}-\\x{FE0F}\\x{2B00}-\\x{2BFF}]"
+
+  /** Reference-fidelity clean: null when the raw text is shorter than 10
+    * chars (dropped downstream by na.drop, mirroring dropna()).
+    */
+  def cleanText(c: Column): Column = {
+    val stripped =
+      regexp_replace(
+        regexp_replace(regexp_replace(c, Emoji, ""), UrlOrMention, ""),
+        Handle, "")
+    // '$' and '#' deleted, '_' becomes space (translate: chars beyond the
+    // replacement string's length are removed).
+    val cleaned = trim(translate(stripped, "_$#", " "))
+    when(c.isNull || length(c) < 10, lit(null).cast("string")).otherwise(cleaned)
+  }
+
+  /** Whitespace tokenization of lowercased text, empty tokens dropped. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => length(t) > lit(0))
+
+  /** Whitespace token count (as long, to match BIGINT oracles). */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** BPE-ish subword count: matches of letter-runs / digit-runs / single
+    * punctuation — a cheap deterministic proxy for a real tokenizer's
+    * token count.
+    */
+  def subwordCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Word n-grams (shingles) over the whitespace tokens: an array of
+    * space-joined n-token windows. Used by n-gram Jaccard dedup and
+    * MinHash.
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Canonical-form fingerprint: md5 over lowercased,
+    * whitespace-collapsed, trimmed text. Two docs with the same
+    * fingerprint are exact near-duplicates modulo spacing/case.
+    */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), "\\s+", " ")).cast("binary"))
+
+  /** Default per-language marker-word lists for the n-gram/stopword
+    * language-ID heuristic.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Count of tokens that appear in `words`. */
+  def markerHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast("long")
+
+  /** Heuristic language ID: the language whose marker words hit most
+    * tokens; "und" (undetermined) when nothing hits. Ties broken by
+    * language code order for determinism.
+    */
+  def langId(c: Column, markers: Map[String, Seq[String]] = LangMarkers): Column = {
+    val toks = tokens(c)
+    // struct sort: (-hits, lang) ascending => most hits first, code-order ties
+    val scored = array(markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct((-markerHits(toks, words)).as("neg"), lit(lang).as("lang"))
+    }: _*)
+    val best = array_min(scored)
+    when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, the greatest right `rightTime`
+  * value at-or-before the left row's `leftTime`, per join key.
+  *
+  * Scale-first formulation: union both sides, one hash shuffle on the key,
+  * then a partition-local ordered window with `last(_, ignoreNulls)`. No
+  * range cross-product, no per-row probe, no broadcast of the right side —
+  * at 100 TB this is a single exchange + sort, and AQE handles skewed keys.
+  * (The reference has no as-of join; this is a north-star extension for
+  * time-series feature joins — SURVEY.md §2.5/§7.6.)
+  */
+object AsOfJoin {
+
+  /** @param rightValue column of `right` to carry; the matched value lands
+    *                   in `outCol` (null when no right row precedes).
+    *                   Right-side ties on time resolve to the max value,
+    *                   matching `SELECT max(v) ... WHERE rt <= lt`.
+    */
+  def lookupLast(left: DataFrame, right: DataFrame, key: String,
+                 leftTime: String, rightTime: String, rightValue: String,
+                 outCol: String): DataFrame = {
+    val lcols = left.columns.toSeq
+    val rvType = right.schema(rightValue).dataType
+    val l = left.select(
+      col(key).as("_k"), col(leftTime).as("_t"), lit(1).as("_side"),
+      struct(lcols.map(col): _*).as("_lrow"),
+      lit(null).cast(rvType).as("_rv"))
+    val lrowType = l.schema("_lrow").dataType
+    val r = right.select(
+      col(key).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
+      lit(null).cast(lrowType).as("_lrow"),
+      col(rightValue).as("_rv"))
+    // right rows (side 0) sort before left rows at equal time => inclusive
+    // (<=) semantics; _rv in the ordering makes equal-time right rows
+    // deterministic (last = max).
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t"), col("_side"), col("_rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn(outCol, last(col("_rv"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(lcols.map(c => col("_lrow").getField(c).as(c)) :+ col(outCol): _*)
+  }
+}

@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{EwAverage, NumFns}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core: the reference's scan/project/filter/join/agg surface
+  * (SURVEY.md §2.1-2.7) re-expressed over the driver testdata, each with a
+  * DuckDB oracle. All computed columns are aliased identically in Spark and
+  * SQL; doubles that aggregate across rows are rounded in both engines.
+  */
+object CoreQueries {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1/A2: keyed hash aggregate (reference batchPipeline.py:87-91 —
+    // daily count + means). Partial+final HashAggregate around one
+    // shuffle on the group keys.
+    "q01_agg_daily" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("ship_date"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"),
+          NumFns.stableRound(avg(col("l_extendedprice")), 4).as("avg_price"))
+    }),
+
+    // J1: daily equi-join of two aggregated series (reference
+    // batchPipeline.py:163 — stock × daily news features). Both sides
+    // pre-aggregate (map-side partial agg) before the join; AQE
+    // broadcasts the smaller side.
+    "q02_join_daily" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n_orders"),
+          NumFns.stableRound(sum(col("o_totalprice")), 2).as("total_price"))
+      val li = t(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(sum(col("l_quantity")).as("ship_qty"))
+      ord.join(li, Seq("d"), "inner")
+    }),
+
+    // F1/F2/P4/P5: filter + projection + computed/literal columns
+    // (reference batchPipeline.py:164-167). Predicate and projection
+    // push to the parquet scan.
+    "q03_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") =!= "R" && col("l_shipdate").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
+          lit(1).as("flag"))
+    }),
+
+    // P1/P2/P3: JSON value parsing with explicit schema (reference
+    // yfConsumer.py:47 from_json + select("data.*")).
+    "q04_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("data", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .select(col("event_id"), col("data.k").as("k"))
+    }),
+
+    // P7: nested array<struct<metadata map>> extraction (reference
+    // batchPipeline.py:80-82 — map_values(class[0].metadata)[i]). The
+    // annotation struct is built in-flight, then extracted positionally,
+    // exactly like the spark-nlp envelope.
+    "q05_nested_extract" -> ((s, dir) => {
+      val sent = graft.functions.SentimentFns.sentiment(col("text"))
+      t(s, dir, "documents")
+        .withColumn("class", array(struct(
+          lit("category").as("annotatorType"),
+          map(lit("positive"), sent.getField("pos"),
+              lit("negative"), sent.getField("neg"),
+              lit("neutral"), sent.getField("neu")).as("metadata"))))
+        .select(col("doc_id"),
+          element_at(map_values(col("class")(0)("metadata")), 1).as("pos"),
+          element_at(map_values(col("class")(0)("metadata")), 2).as("neg"),
+          element_at(map_values(col("class")(0)("metadata")), 3).as("neu"))
+    }),
+
+    // §7.6: lag features per key — the window surface the reference
+    // lacks but forecasting needs.
+    "q06_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+    }),
+
+    // §7.6: ranking window + top-n per key.
+    "q07_topn_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          row_number().over(w).cast("long").as("rnk"))
+        .where(col("rnk") <= 3)
+    }),
+
+    // T4 upgrade: event-time tumbling window aggregation (the reference
+    // keys on calendar-day strings; this is the real window(ts) form).
+    "q08_tumbling_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          NumFns.stableRound(sum(col("value")), 4).as("sum_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // A3: the speed layer's order-dependent running average
+    // x' = (x+v)/2 (reference twitterConsumerStream.py:94-107, executed
+    // as an ES painless script; here a native ordered array fold).
+    "q09_ew_average" -> ((s, dir) => {
+      val arr = sort_array(collect_list(struct(col("event_id"), col("value"))))
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          EwAverage.ewFold(transform(arr, _.getField("value"))).as("ew_avg"))
+    }),
+
+    // §7.6 as-of join: per error event, the latest purchase at-or-before
+    // it by the same user. Union + keyed window — one shuffle, no range
+    // explosion (see AsOfJoin).
+    "q10_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      AsOfJoin.lookupLast(errors, purchases, "user_id", "ts", "p_ts", "p_ts",
+          "last_purchase_ts")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("last_purchase_ts").cast("timestamp_ntz").as("last_purchase_ts"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg_daily" ->
+      s"""SELECT CAST(l_shipdate AS DATE) AS ship_date, l_returnflag,
+         COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty,
+         ${SqlFragments.r15("AVG(l_extendedprice)", 4)} AS avg_price
+         FROM lineitem GROUP BY 1, 2""",
+    "q02_join_daily" ->
+      s"""WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders,
+                    ${SqlFragments.r15("SUM(o_totalprice)", 2)} AS total_price
+                    FROM orders GROUP BY 1),
+              l AS (SELECT CAST(l_shipdate AS DATE) AS d,
+                    SUM(l_quantity) AS ship_qty
+                    FROM lineitem GROUP BY 1)
+         SELECT o.d AS d, o.n_orders, o.total_price, l.ship_qty
+         FROM o JOIN l ON o.d = l.d""",
+    "q03_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1.0 - l_discount) AS net_price, 1 AS flag
+         FROM lineitem WHERE l_returnflag <> 'R' AND l_shipdate IS NOT NULL""",
+    "q04_json_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS k
+         FROM events""",
+    "q05_nested_extract" -> SqlFragments.sentimentSql("pos", "neg", "neu"),
+    "q06_window_lag" ->
+      """SELECT event_id, user_id, value,
+         LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+         value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+         FROM events""",
+    "q07_topn_per_key" ->
+      """SELECT * FROM (
+           SELECT event_id, user_id, value,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+           FROM events) WHERE rnk <= 3""",
+    "q08_tumbling_window" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+         COUNT(*) AS n, ${SqlFragments.r15("SUM(value)", 4)} AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q09_ew_average" ->
+      """SELECT user_id, COUNT(*) AS n,
+         list_reduce(list(value ORDER BY event_id), (x, y) -> (x + y) / 2.0) AS ew_avg
+         FROM events GROUP BY user_id""",
+    "q10_asof_join" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+         (SELECT max(CAST(p.ts AS TIMESTAMP)) FROM events p
+          WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+            AND CAST(p.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)) AS last_purchase_ts
+         FROM events e WHERE e.event_type = 'error'"""
+  )
+}

@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.functions.{SentimentFns, TextFns}
+
+/** Shared DuckDB SQL fragments kept in lockstep with the Scala column
+  * functions they mirror (TextFns / SentimentFns). Any change to the Scala
+  * side must change these, or the oracle diverges.
+  */
+object SqlFragments {
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB mirror of NumFns.stableRound: 15-significant-digit print +
+    * decimal parse (HALF_UP). Use for order-dependent aggregate doubles.
+    */
+  def r15(expr: String, scale: Int): String =
+    s"CAST(CAST(printf('%.15g', $expr) AS DECIMAL(38,$scale)) AS DOUBLE)"
+
+  /** DuckDB cosine mirroring VectorFns.cosine op-for-op (same fold order,
+    * same double ops => bit-identical): dot / sqrt(norm2a * norm2b).
+    * Operands must be DOUBLE[] expressions.
+    */
+  def cosineExpr(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, len($x) + 1), i -> $x[i] * $y[i]), (u, v) -> u + v)"
+    s"(${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)}))"
+  }
+
+  /** toks CTE body: whitespace tokens of lowercased text, empties dropped
+    * — mirrors TextFns.tokens.
+    */
+  val toksExpr: String =
+    """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> length(x) > 0)"""
+
+  /** Per-doc sentiment SQL over `documents` mirroring
+    * SentimentFns.sentiment with the default lexicons, columns
+    * (doc_id, posCol, negCol, neuCol). Raw doubles: the arithmetic is
+    * integer-derived and identical in both engines, so values are
+    * bit-equal without rounding.
+    */
+  def sentimentSql(posCol: String, negCol: String, neuCol: String): String = {
+    val pos = sqlList(SentimentFns.DefaultPositive)
+    val neg = sqlList(SentimentFns.DefaultNegative)
+    s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+        c AS (SELECT doc_id,
+              CAST(len(toks) AS DOUBLE) AS n,
+              CAST(len(list_filter(toks, x -> list_contains($pos, x))) AS DOUBLE) AS pc,
+              CAST(len(list_filter(toks, x -> list_contains($neg, x))) AS DOUBLE) AS nc
+              FROM t)
+        SELECT doc_id,
+          (pc + 1.0) / (n + 3.0) AS $posCol,
+          (nc + 1.0) / (n + 3.0) AS $negCol,
+          (n - pc - nc + 1.0) / (n + 3.0) AS $neuCol
+        FROM c"""
+  }
+
+  /** Clean-text SQL mirroring TextFns.cleanText minus the emoji class
+    * (the corpus is ASCII; the emoji regexp is a no-op on it).
+    */
+  val cleanExpr: String =
+    """TRIM(REPLACE(REPLACE(REPLACE(
+         REGEXP_REPLACE(REGEXP_REPLACE(text, '(?:@|http://|https://|www)\S+', '', 'g'),
+                        '@[A-Za-z0-9]+', '', 'g'),
+         '$', ''), '#', ''), '_', ' '))"""
+
+  /** Marker-hit count mirroring TextFns.markerHits. */
+  def markerHitsExpr(words: Seq[String]): String =
+    s"len(list_filter(toks, x -> list_contains(${sqlList(words)}, x)))"
+
+  def langMarkers: Map[String, Seq[String]] = TextFns.LangMarkers
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{NumFns, SentimentFns, TextFns}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline surface: the reference's clean/score/aggregate stages
+  * (SURVEY.md §2.8) plus the training-data text-analysis operators
+  * (language ID, quality scoring, token counting, fingerprinting). All
+  * native column expressions — fully codegen'd, no UDFs.
+  */
+object TextQueries {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // U1: CleanNews as native expressions (reference
+    // batchPipeline.py:41-52) + F1 dropna (len<10 => null => dropped).
+    "q11_clean_text" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.cleanText(col("text")).as("clean"))
+        .na.drop(Seq("clean"))
+    }),
+
+    // U5: per-document 3-class sentiment (FinBERT capability slot,
+    // reference batchPipeline.py:142-147) via the deterministic lexicon
+    // scorer.
+    "q12_sentiment" -> ((s, dir) => {
+      val sent = SentimentFns.sentiment(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          sent.getField("pos").as("pos"),
+          sent.getField("neg").as("neg"),
+          sent.getField("neu").as("neu"))
+    }),
+
+    // U2+A1: clean -> score -> keyed aggregate, the batch pipeline's
+    // AggNews stage (reference batchPipeline.py:69-94) keyed on source.
+    "q13_sentiment_agg" -> ((s, dir) => {
+      val sent = SentimentFns.sentiment(col("text"))
+      t(s, dir, "documents")
+        .select(col("source"), TextFns.tokenCount(col("text")).as("n_toks"),
+          sent.getField("pos").as("p"), sent.getField("neg").as("ng"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_toks"),
+          NumFns.stableRound(avg(col("p")), 6).as("avg_pos"),
+          NumFns.stableRound(avg(col("ng")), 6).as("avg_neg"))
+    }),
+
+    // Token counting: whitespace tokens + BPE-ish subword estimate.
+    "q14_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_toks"),
+          TextFns.subwordCount(col("text")).as("n_subwords"),
+          length(col("text")).cast("long").as("n_chars_obs"))
+    }),
+
+    // Language ID heuristic: marker-word hits per language, argmax.
+    "q15_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.langId(col("text")).as("lang_pred"),
+          TextFns.markerHits(TextFns.tokens(col("text")),
+            TextFns.LangMarkers("en")).as("en_hits"))
+    }),
+
+    // Quality scoring: token count, distinct ratio, stopword ratio, and
+    // a boolean keep/drop verdict — the standard pretraining-corpus
+    // filter shape.
+    "q16_quality_score" -> ((s, dir) => {
+      val toks = TextFns.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(toks).cast("long").as("n_toks"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio"),
+          (TextFns.markerHits(toks, TextFns.LangMarkers("en")).cast("double") / size(toks))
+            .as("stop_ratio"))
+        .withColumn("is_quality", col("n_toks") >= 20 && col("uniq_ratio") >= lit(0.15))
+    }),
+
+    // Document fingerprint: md5 over case/whitespace-normalized text.
+    "q17_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+    }),
+
+    // Exact dedup: hash-groupBy on the raw text digest; keeps min id per
+    // group (one shuffle on the digest — the 100 TB-safe exact-dup plan).
+    "q18_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+    }),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata;
+    // deterministic byte-level feature extraction (real decode is a
+    // pluggable stub — see graft.operators.Multimodal).
+    "q19_multimodal_bytes" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("meta", struct(col("lang"), col("n_chars")))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("byte_len"),
+          hex(substring(col("payload"), 1, 8)).as("header_hex"),
+          sha2(col("payload"), 256).as("sha"),
+          col("meta.lang").as("lang"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q11_clean_text" ->
+      s"""SELECT doc_id, ${SqlFragments.cleanExpr} AS clean
+          FROM documents WHERE text IS NOT NULL AND LENGTH(text) >= 10""",
+    "q12_sentiment" -> SqlFragments.sentimentSql("pos", "neg", "neu"),
+    "q13_sentiment_agg" -> {
+      val pos = SentimentFns.DefaultPositive.map(w => s"'$w'").mkString("[", ", ", "]")
+      val neg = SentimentFns.DefaultNegative.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT source, ${SqlFragments.toksExpr} AS toks FROM documents),
+          c AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_toks,
+                CAST(len(toks) AS DOUBLE) AS n,
+                CAST(len(list_filter(toks, x -> list_contains($pos, x))) AS DOUBLE) AS pc,
+                CAST(len(list_filter(toks, x -> list_contains($neg, x))) AS DOUBLE) AS nc
+                FROM t)
+          SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+            ${SqlFragments.r15("AVG((pc + 1.0) / (n + 3.0))", 6)} AS avg_pos,
+            ${SqlFragments.r15("AVG((nc + 1.0) / (n + 3.0))", 6)} AS avg_neg
+          FROM c GROUP BY source"""
+    },
+    "q14_token_stats" ->
+      s"""SELECT doc_id, len(${SqlFragments.toksExpr}) AS n_toks,
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+          LENGTH(text) AS n_chars_obs
+          FROM documents""",
+    "q15_lang_id" -> {
+      val m = SqlFragments.langMarkers
+      val codes = m.keys.toSeq.sorted
+      val hits = codes.map(c => s"${SqlFragments.markerHitsExpr(m(c))} AS hits_$c").mkString(", ")
+      val best = codes.map(c => s"WHEN hits_$c = m THEN '$c'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks FROM documents),
+          h AS (SELECT doc_id, $hits FROM t),
+          g AS (SELECT *, ${codes.map(c => s"hits_$c").mkString("GREATEST(", ", ", ")")} AS m FROM h)
+          SELECT doc_id,
+            CASE WHEN m = 0 THEN 'und' $best END AS lang_pred,
+            CAST(hits_en AS BIGINT) AS en_hits
+          FROM g"""
+    },
+    "q16_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks FROM documents)
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+            CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+            CAST(${SqlFragments.markerHitsExpr(TextFns.LangMarkers("en"))} AS DOUBLE) / len(toks) AS stop_ratio,
+            (len(toks) >= 20 AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.15) AS is_quality
+          FROM t""",
+    "q17_fingerprint" ->
+      """SELECT doc_id, md5(TRIM(REGEXP_REPLACE(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents""",
+    "q18_dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+         FROM documents GROUP BY 1""",
+    "q19_multimodal_bytes" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         hex(encode(substring(text, 1, 8))) AS header_hex,
+         sha256(text) AS sha, lang
+         FROM documents"""
+  )
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.functions.EwAverage
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** The speed layer: both ingest streams parse JSON values and merge into
+  * one per-day row keyed by Date (reference: Speed_layer/
+  * yfConsumerStream.py + twitterConsumerStream.py upserting disjoint
+  * field sets of the same ES doc via painless scripts). Here the merge is
+  * internalized as Spark state (SURVEY §2.9 T7): the streams normalize to
+  * SpeedDelta and fold in flatMapGroupsWithState, so checkpoint recovery
+  * replays into the same state instead of re-hitting a store.
+  *
+  * State is one SpeedRow per calendar day — O(active days) keys, bounded;
+  * at scale the state store shards by the Date key across executors
+  * (RocksDB provider for large key counts).
+  */
+object SpeedLayer {
+
+  /** stock_schema (reference yfConsumerStream.py:36-44): all strings on
+    * the wire, "Adj Close" with the embedded space.
+    */
+  val stockSchema: StructType = StructType(Seq(
+    StructField("Date", StringType), StructField("Open", StringType),
+    StructField("High", StringType), StructField("Low", StringType),
+    StructField("Close", StringType), StructField("Adj Close", StringType),
+    StructField("Volume", StringType)))
+
+  /** tweet_schema (reference twitterConsumerStream.py:43-46). */
+  val newsSchema: StructType = StructType(Seq(
+    StructField("Date", StringType), StructField("Text", StringType)))
+
+  /** P1-P3: cast Kafka-like binary/string value, parse JSON with explicit
+    * schema, expand the struct. PERMISSIVE: malformed JSON -> null struct
+    * -> dropped (reference from_json semantics, SURVEY §1.3).
+    */
+  def parseStock(values: DataFrame): DataFrame =
+    values.selectExpr("CAST(value AS STRING) AS value")
+      .select(from_json(col("value"), stockSchema).as("data"))
+      .select(col("data.*"))
+      .na.drop(Seq("Date"))
+
+  def parseNews(values: DataFrame): DataFrame =
+    values.selectExpr("CAST(value AS STRING) AS value")
+      .select(from_json(col("value"), newsSchema).as("data"))
+      .select(col("data.*"))
+      .na.drop(Seq("Date", "Text"))
+
+  /** Normalize a parsed stock stream to SpeedDelta. */
+  def stockDeltas(parsed: DataFrame)(implicit spark: SparkSession): Dataset[SpeedDelta] = {
+    import spark.implicits._
+    parsed.select(col("Date"), col("Open"), col("High"), col("Low"),
+        col("Close"), col("`Adj Close`").as("AdjClose"), col("Volume"))
+      .as[(String, Option[String], Option[String], Option[String], Option[String], Option[String], Option[String])]
+      .map { case (d, o, h, l, c, a, v) =>
+        def num(s: Option[String]) = s.flatMap(x => scala.util.Try(x.toDouble).toOption)
+        SpeedDelta(d, 0L, Some(Tick(d, num(o), num(h), num(l), num(c), num(a), num(v))), None)
+      }
+  }
+
+  /** Normalize a parsed+scored news stream to SpeedDelta. `seq` preserves
+    * arrival order for the order-dependent EW fold.
+    */
+  def newsDeltas(scored: DataFrame)(implicit spark: SparkSession): Dataset[SpeedDelta] = {
+    import spark.implicits._
+    scored.select(col("Date"), col("seq"), col("Positive"), col("Negative"), col("Neutre"))
+      .as[(String, Long, Double, Double, Double)]
+      .map { case (d, seq, p, n, u) => SpeedDelta(d, seq, None, Some(SentimentScore(p, n, u))) }
+  }
+
+  /** The J2/A3 keyed merge: OHLCV fields last-write-wins, sentiment
+    * fields fold x' = (x+v)/2 in seq order, Nbr_article increments —
+    * exactly the reference's two painless scripts
+    * (yfConsumerStream.py:57-67, twitterConsumerStream.py:94-107), but as
+    * Spark state. Emits the updated row per key per micro-batch.
+    */
+  def mergeDeltas(deltas: Dataset[SpeedDelta]): Dataset[SpeedRow] = {
+    import deltas.sparkSession.implicits._
+    deltas.groupByKey(_.date)
+      .flatMapGroupsWithState[SpeedRow, SpeedRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (date: String, rows: Iterator[SpeedDelta], state: GroupState[SpeedRow]) =>
+          var cur = state.getOption.getOrElse(
+            SpeedRow(date, None, None, None, None, None, 0L, None, None, None))
+          rows.toSeq.sortBy(_.seq).foreach { d =>
+            d.tick.foreach { t =>
+              cur = cur.copy(
+                open = t.open.orElse(cur.open), high = t.high.orElse(cur.high),
+                low = t.low.orElse(cur.low), close = t.close.orElse(cur.close),
+                volume = t.volume.orElse(cur.volume))
+            }
+            d.sentiment.foreach { sc =>
+              cur = cur.copy(
+                nbrArticle = cur.nbrArticle + 1,
+                positive = Some(EwAverage.step(cur.positive, sc.pos)),
+                negative = Some(EwAverage.step(cur.negative, sc.neg)),
+                neutral = Some(EwAverage.step(cur.neutral, sc.neu)))
+            }
+          }
+          state.update(cur)
+          Iterator.single(cur)
+      }
+  }
+}
