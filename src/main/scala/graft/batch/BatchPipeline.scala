@@ -22,13 +22,9 @@ object BatchPipeline {
       .na.drop(Seq("Date", "Text"))
 
   /** U3-U6 sentiment stage (batchPipeline.py:134-160): per-doc pos/neg/neu. */
-  def scoreNews(cleaned: DataFrame): DataFrame = {
-    val s = SentimentFns.sentiment(col("Text"))
-    cleaned.withColumn("Positive", s.getField("pos"))
-      .withColumn("Negative", s.getField("neg"))
-      .withColumn("Neutre", s.getField("neu"))
+  def scoreNews(cleaned: DataFrame): DataFrame =
+    SentimentFns.withSentiment(cleaned, "Text", "Positive", "Negative", "Neutre")
       .withColumn("Nbr_article", lit(1))
-  }
 
   /** U2/A1 AggNews (batchPipeline.py:69-94): daily count + mean scores.
     * One hash shuffle on Date; partial aggregation runs map-side.

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic lexicon-based 3-class sentiment scorer.
@@ -31,6 +31,27 @@ object SentimentFns {
   val DefaultNegative: Seq[String] = Seq(
     "slow", "small", "dup", "scan", "loss", "drop", "miss", "weak",
     "down", "fall", "risk", "fraud", "decline", "crash")
+
+  /** Staged per-row scorer: adds (posCol, negCol, neuCol) to `df`,
+    * tokenizing once via intermediate columns (the struct form below
+    * inlines the tokenization into each consumer expression). Identical
+    * arithmetic to `sentiment` — oracle-compatible.
+    */
+  def withSentiment(df: DataFrame, textCol: String,
+                    posCol: String = "pos", negCol: String = "neg", neuCol: String = "neu",
+                    positive: Seq[String] = DefaultPositive,
+                    negative: Seq[String] = DefaultNegative): DataFrame =
+    df.withColumn("_sent_toks", TextFns.tokens(col(textCol)))
+      .withColumn("_sent_n", size(col("_sent_toks")).cast("double"))
+      .withColumn("_sent_pc",
+        size(filter(col("_sent_toks"), t => t.isInCollection(positive))).cast("double"))
+      .withColumn("_sent_nc",
+        size(filter(col("_sent_toks"), t => t.isInCollection(negative))).cast("double"))
+      .withColumn(posCol, (col("_sent_pc") + lit(1.0)) / (col("_sent_n") + lit(3.0)))
+      .withColumn(negCol, (col("_sent_nc") + lit(1.0)) / (col("_sent_n") + lit(3.0)))
+      .withColumn(neuCol,
+        (col("_sent_n") - col("_sent_pc") - col("_sent_nc") + lit(1.0)) / (col("_sent_n") + lit(3.0)))
+      .drop("_sent_toks", "_sent_n", "_sent_pc", "_sent_nc")
 
   /** (pos, neg, neu) scores as a 3-field struct column. */
   def sentiment(text: Column,

@@ -54,16 +54,21 @@ object TextFns {
   def subwordCount(c: Column): Column =
     regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
 
-  /** Word n-grams (shingles) over the whitespace tokens: an array of
-    * space-joined n-token windows. Used by n-gram Jaccard dedup and
-    * MinHash.
+  /** Word n-grams (shingles) from an ALREADY-MATERIALIZED token array
+    * column. Pass a staged column (withColumn), not an inline tokens()
+    * expression: an inlined expression is substituted into the
+    * per-position lambda and re-tokenizes the document once per shingle
+    * position.
     */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+
+  /** One-column shingle form for small/test inputs; for hot paths stage
+    * the tokens and use shinglesFromTokens (see its scaladoc).
+    */
+  def wordShingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
 
   /** Canonical-form fingerprint: md5 over lowercased,
     * whitespace-collapsed, trimmed text. Two docs with the same
@@ -90,8 +95,13 @@ object TextFns {
     * tokens; "und" (undetermined) when nothing hits. Ties broken by
     * language code order for determinism.
     */
-  def langId(c: Column, markers: Map[String, Seq[String]] = LangMarkers): Column = {
-    val toks = tokens(c)
+  def langId(c: Column, markers: Map[String, Seq[String]] = LangMarkers): Column =
+    langIdFromTokens(tokens(c), markers)
+
+  /** langId over a staged token-array column (evaluates the tokenization
+    * once instead of once per language).
+    */
+  def langIdFromTokens(toks: Column, markers: Map[String, Seq[String]] = LangMarkers): Column = {
     // struct sort: (-hits, lang) ascending => most hits first, code-order ties
     val scored = array(markers.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct((-markerHits(toks, words)).as("neg"), lit(lang).as("lang"))

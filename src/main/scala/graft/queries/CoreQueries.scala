@@ -68,13 +68,13 @@ object CoreQueries {
     // annotation struct is built in-flight, then extracted positionally,
     // exactly like the spark-nlp envelope.
     "q05_nested_extract" -> ((s, dir) => {
-      val sent = graft.functions.SentimentFns.sentiment(col("text"))
-      t(s, dir, "documents")
+      graft.functions.SentimentFns.withSentiment(
+          t(s, dir, "documents"), "text", "_p", "_n", "_u")
         .withColumn("class", array(struct(
           lit("category").as("annotatorType"),
-          map(lit("positive"), sent.getField("pos"),
-              lit("negative"), sent.getField("neg"),
-              lit("neutral"), sent.getField("neu")).as("metadata"))))
+          map(lit("positive"), col("_p"),
+              lit("negative"), col("_n"),
+              lit("neutral"), col("_u")).as("metadata"))))
         .select(col("doc_id"),
           element_at(map_values(col("class")(0)("metadata")), 1).as("pos"),
           element_at(map_values(col("class")(0)("metadata")), 2).as("neg"),

@@ -27,21 +27,16 @@ object TextQueries {
     // reference batchPipeline.py:142-147) via the deterministic lexicon
     // scorer.
     "q12_sentiment" -> ((s, dir) => {
-      val sent = SentimentFns.sentiment(col("text"))
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          sent.getField("pos").as("pos"),
-          sent.getField("neg").as("neg"),
-          sent.getField("neu").as("neu"))
+      SentimentFns.withSentiment(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("pos"), col("neg"), col("neu"))
     }),
 
     // U2+A1: clean -> score -> keyed aggregate, the batch pipeline's
     // AggNews stage (reference batchPipeline.py:69-94) keyed on source.
     "q13_sentiment_agg" -> ((s, dir) => {
-      val sent = SentimentFns.sentiment(col("text"))
-      t(s, dir, "documents")
+      SentimentFns.withSentiment(t(s, dir, "documents"), "text", "p", "ng", "nu")
         .select(col("source"), TextFns.tokenCount(col("text")).as("n_toks"),
-          sent.getField("pos").as("p"), sent.getField("neg").as("ng"))
+          col("p"), col("ng"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_toks"),
           NumFns.stableRound(avg(col("p")), 6).as("avg_pos"),
@@ -59,17 +54,18 @@ object TextQueries {
     // Language ID heuristic: marker-word hits per language, argmax.
     "q15_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), TextFns.langId(col("text")).as("lang_pred"),
-          TextFns.markerHits(TextFns.tokens(col("text")),
-            TextFns.LangMarkers("en")).as("en_hits"))
+        .withColumn("_toks", TextFns.tokens(col("text")))
+        .select(col("doc_id"), TextFns.langIdFromTokens(col("_toks")).as("lang_pred"),
+          TextFns.markerHits(col("_toks"), TextFns.LangMarkers("en")).as("en_hits"))
     }),
 
     // Quality scoring: token count, distinct ratio, stopword ratio, and
     // a boolean keep/drop verdict — the standard pretraining-corpus
     // filter shape.
     "q16_quality_score" -> ((s, dir) => {
-      val toks = TextFns.tokens(col("text"))
+      val toks = col("_toks")
       t(s, dir, "documents")
+        .withColumn("_toks", TextFns.tokens(col("text")))
         .select(col("doc_id"), size(toks).cast("long").as("n_toks"),
           (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio"),
           (TextFns.markerHits(toks, TextFns.LangMarkers("en")).cast("double") / size(toks))
