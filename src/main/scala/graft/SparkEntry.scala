@@ -21,12 +21,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ §7.6). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++ ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++
-      PipelineQueries.oracle
+      PipelineQueries.oracle ++ ExtendedQueries.oracle
 }

@@ -25,7 +25,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     c.join(broadcast(q), col("qid") =!= col("nid"))
-      .withColumn("sim", VectorFns.cosine(col("qvec"), col("nvec")))
+      .withColumn("sim", graft.expressions.CosineSim(col("qvec"), col("nvec")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("sim"), col("rnk"))
@@ -59,7 +59,7 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     c.join(broadcast(q), Seq("bucket"))
       .where(col("qid") =!= col("nid"))
-      .withColumn("sim", VectorFns.cosine(col("qvec"), col("nvec")))
+      .withColumn("sim", graft.expressions.CosineSim(col("qvec"), col("nvec")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("sim"), col("rnk"))

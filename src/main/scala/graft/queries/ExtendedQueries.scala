@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.NumFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Surface beyond the reference (SURVEY §2.7 notes the reference has no
+  * windows/sorts/set-ops at all): distinct, set operations, semi/anti
+  * joins, statistical aggregates, session windows — the operators a user
+  * of a general engine expects, each oracle-backed.
+  */
+object ExtendedQueries {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // DISTINCT (dedup on full projection — one shuffle).
+    "q27_distinct" -> ((s, dir) => {
+      t(s, dir, "events").select(col("user_id"), col("event_type")).distinct()
+    }),
+
+    // INTERSECT / EXCEPT / UNION composition over keyed subsets.
+    "q28_set_ops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purch = ev.where(col("event_type") === "purchase").select(col("user_id")).distinct()
+      val errs = ev.where(col("event_type") === "error").select(col("user_id")).distinct()
+      purch.intersect(errs).withColumn("op", lit("both"))
+        .unionByName(purch.except(errs).withColumn("op", lit("purchase_only")))
+        .unionByName(errs.except(purch).withColumn("op", lit("error_only")))
+    }),
+
+    // LEFT SEMI / LEFT ANTI (EXISTS / NOT EXISTS).
+    "q29_semi_anti" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ords = t(s, dir, "orders")
+      val has = cust.join(ords, cust("c_custkey") === ords("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("status"))
+      val none = cust.join(ords, cust("c_custkey") === ords("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("status"))
+      has.unionByName(none)
+    }),
+
+    // Statistical aggregates: exact distinct count, sample stddev,
+    // exact interpolated median.
+    "q30_stats_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          NumFns.stableRound(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          expr("percentile(l_quantity, 0.5)").as("med_qty"))
+    }),
+
+    // Session windows (gap-based), the streaming session operator run in
+    // batch mode: one shuffle on (user, session).
+    "q31_sessionize" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          NumFns.stableRound(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("session_start"),
+          col("n_events"), col("sum_value"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q27_distinct" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q28_set_ops" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+              e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+         SELECT user_id, 'both' AS op FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+         UNION ALL
+         SELECT user_id, 'purchase_only' AS op FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
+         UNION ALL
+         SELECT user_id, 'error_only' AS op FROM (SELECT user_id FROM e EXCEPT SELECT user_id FROM p)""",
+    "q29_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS status FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         UNION ALL
+         SELECT c_custkey, 'no_orders' AS status FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q30_stats_agg" ->
+      s"""SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+          ${SqlFragments.r15("stddev_samp(l_extendedprice)", 4)} AS sd_price,
+          quantile_cont(l_quantity, 0.5) AS med_qty
+          FROM lineitem GROUP BY l_returnflag""",
+    "q31_sessionize" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+          m AS (SELECT user_id, ts, value,
+                CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 1 HOUR
+                     THEN 1 ELSE 0 END AS brk
+                FROM e),
+          s AS (SELECT user_id, ts, value,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m)
+          SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+            ${SqlFragments.r15("SUM(value)", 4)} AS sum_value
+          FROM s GROUP BY user_id, sid"""
+  )
+}
