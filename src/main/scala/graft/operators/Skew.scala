@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for hot keys (the 100 TB design rule:
+  * a handful of dominant keys must not serialize a stage). AQE's skew
+  * join handles sort-merge cases at runtime; these explicit forms cover
+  * aggregations and broadcast-averse joins where AQE can't help.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: count per (key, salt) partial, then
+    * merge partials per key. Turns one hot key into `salts` parallel
+    * partials. Works for any algebraic aggregate expressed as
+    * (partial, merge) column pairs — here sum/count, the common case.
+    */
+  def saltedSumCount(df: DataFrame, keyCol: String, valCol: String,
+                     salts: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(sum(col(valCol)).as("_psum"), count(lit(1)).as("_pcnt"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_psum")).as("sum"), sum(col("_pcnt")).as("cnt"))
+
+  /** Salted broadcast-side-replicated join for a skewed fact side
+    * against a small-but-not-tiny dim that can't broadcast: replicate
+    * each dim row `salts` times, salt the fact rows, join on
+    * (key, salt). Spreads each hot key over `salts` reducers.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 salts: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val replicatedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
+  }
+}

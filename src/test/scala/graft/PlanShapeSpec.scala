@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.WholeStageCodegenExec
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions: the scale properties the engine is designed
+  * around must be visible in the physical plan, not assumed — filter
+  * pushdown to parquet, column pruning, broadcast of small join sides,
+  * whole-stage codegen on hot paths.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and projection push to the parquet scan") {
+    val df = Tables.load(spark, sf(), "lineitem")
+      .where(col("l_returnflag") === "R" && col("l_quantity") > 10)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), IsNotNull(l_quantity)"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("GreaterThan(l_quantity"), p)
+    // column pruning: only the needed columns in ReadSchema
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double"), p)
+    assert(!p.contains("l_extendedprice"), "scan reads pruned column: " + p)
+  }
+
+  test("daily join broadcasts the aggregated (small) side") {
+    val df = SparkEntry.queries("q02_join_daily")(spark, sf())
+    df.collect() // let AQE finalize
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("batch pipeline join is an explicit broadcast") {
+    import spark.implicits._
+    val news = Seq(("2026-01-01", "a sufficiently long text about gains")).toDF("Date", "Text")
+    val stock = Seq(("2026-01-01", 1.0, 1.0, 1.0, 1.0, 1.0))
+      .toDF("Date", "Open", "High", "Low", "Close", "Volume")
+    val out = graft.batch.BatchPipeline.run(news, stock, "2026-02-01")
+    assert(plan(out).contains("BroadcastHashJoin"), plan(out))
+  }
+
+  private def hasCodegen(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.executedPlan.collect { case w: WholeStageCodegenExec => w }.nonEmpty
+
+  test("text operators stay inside whole-stage codegen (no UDF barriers)") {
+    val df = SparkEntry.queries("q11_clean_text")(spark, sf())
+    assert(hasCodegen(df), plan(df))
+    val p = plan(df)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("native CosineSim participates in codegen") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val df = emb.select(graft.expressions.CosineSim(col("embedding"), col("embedding")).as("s"))
+    assert(hasCodegen(df), plan(df))
+  }
+}
