@@ -40,6 +40,28 @@ object TextFns {
     when(c.isNull || length(c) < 10, lit(null).cast("string")).otherwise(cleaned)
   }
 
+  /** Fidelity UDF variant of cleanText, mirroring the reference's Python
+    * cleaning_news imperatively (SURVEY §2.10). Tests pin it equal to the
+    * native expression; production uses the expression (a UDF is a
+    * codegen barrier and hides the logic from Catalyst).
+    */
+  val cleanTextUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null || s.length < 10) null
+      else {
+        val noEmoji = s.codePoints().toArray.filterNot { cp =>
+          (cp >= 0x1F000 && cp <= 0x1FAFF) || (cp >= 0x2190 && cp <= 0x21FF) ||
+          (cp >= 0x2600 && cp <= 0x27BF) || (cp >= 0xFE00 && cp <= 0xFE0F) ||
+          (cp >= 0x2B00 && cp <= 0x2BFF)
+        }
+        var t = new String(noEmoji, 0, noEmoji.length)
+        t = t.replaceAll("(?:@|http://|https://|www)\\S+", "")
+        t = t.replaceAll("@[A-Za-z0-9]+", "")
+        t = t.replace("$", "").replace("#", "").replace("_", " ")
+        t.trim
+      }
+    }
+
   /** Whitespace tokenization of lowercased text, empty tokens dropped. */
   def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => length(t) > lit(0))

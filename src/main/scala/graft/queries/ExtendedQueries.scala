@@ -61,6 +61,23 @@ object ExtendedQueries {
         .select(col("user_id"),
           col("session_window.start").cast("timestamp_ntz").as("session_start"),
           col("n_events"), col("sum_value"))
+    }),
+
+    // TF-IDF top-3 terms per doc: explode (the generator op) -> two
+    // hash aggregates -> broadcast N -> ranked window.
+    "q32_tfidf" -> ((s, dir) => {
+      graft.operators.TfIdf.topK(t(s, dir, "documents"), "doc_id", "text", 3)
+        .select(col("doc_id"), col("token"), col("tf"),
+          NumFns.stableRound(col("tfidf"), 6).as("tfidf"), col("rnk"))
+    }),
+
+    // Multimodal feature extraction through the partition-iterator path
+    // (mapPartitions batch shape; stub decoder) — rows-only, not SQL.
+    "q33_multimodal_features" -> ((s, dir) => {
+      graft.operators.Multimodal.extractFeatures(
+          graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .select(col("media_id"), col("byte_len"), col("mime"),
+          round(element_at(col("feature"), 4), 6).as("alpha_frac"))
     })
   )
 
@@ -98,6 +115,20 @@ object ExtendedQueries {
                 FROM m)
           SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
             ${SqlFragments.r15("SUM(value)", 4)} AS sum_value
-          FROM s GROUP BY user_id, sid"""
+          FROM s GROUP BY user_id, sid""",
+    "q32_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${SqlFragments.toksExpr}) AS token FROM documents),
+          tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+          dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT COUNT(*) AS n FROM documents),
+          sc AS (SELECT doc_id, token, tf,
+                 CAST(tf AS DOUBLE) * (ln((n.n + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+                 FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+          r AS (SELECT doc_id, token, tf, tfidf,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+                FROM sc)
+          SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+            ${SqlFragments.r15("tfidf", 6)} AS tfidf, CAST(rnk AS BIGINT) AS rnk
+          FROM r WHERE rnk <= 3"""
   )
 }

@@ -40,6 +40,14 @@ object Ingest {
       }
       .start()
 
+  /** K5: console debug sink (reference nytConsumer.py:64-69 — append
+    * mode, periodic trigger).
+    */
+  def startConsoleDebug(parsed: DataFrame,
+                        trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    parsed.writeStream.format("console").outputMode("append")
+      .trigger(trigger).start()
+
   /** The speed-layer writer: stateful-merged SpeedRows -> keyed merge
     * into speed_view (replaces the two ES upsert scripts, K2).
     */
