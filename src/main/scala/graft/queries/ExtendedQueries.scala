@@ -78,6 +78,34 @@ object ExtendedQueries {
           graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))
         .select(col("media_id"), col("byte_len"), col("mime"),
           round(element_at(col("feature"), 4), 6).as("alpha_frac"))
+    }),
+
+    // Full near-dedup pipeline: LSH candidates -> exact verify ->
+    // min-id survivors (rows-only: candidates come from xxhash64).
+    "q34_near_dedup" -> ((s, dir) => {
+      graft.operators.Dedup.nearDedup(t(s, dir, "documents"), "doc_id", "text",
+          estThreshold = 0.3, jaccardThreshold = 0.4)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
+    // Corpus curation pipeline: clean gate -> quality filter -> language
+    // ID -> exact dedup (keep min id) -> fingerprint of the kept docs.
+    // The composed training-data shape, fully oracle-backed.
+    "q35_corpus_pipeline" -> ((s, dir) => {
+      import graft.functions.TextFns
+      val docs = t(s, dir, "documents")
+        .withColumn("clean", TextFns.cleanText(col("text")))
+        .na.drop(Seq("clean"))
+        .withColumn("_toks", TextFns.tokens(col("clean")))
+        .withColumn("n_toks", size(col("_toks")).cast("long"))
+        .withColumn("uniq_ratio",
+          size(array_distinct(col("_toks"))).cast("double") / size(col("_toks")))
+        .where(col("n_toks") >= 20 && col("uniq_ratio") >= 0.15)
+        .withColumn("lang_pred", TextFns.langIdFromTokens(col("_toks")))
+        .withColumn("fp", TextFns.fingerprint(col("clean")))
+      val keep = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      docs.join(keep, Seq("fp", "doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang_pred"), col("n_toks"), col("fp"))
     })
   )
 
@@ -129,6 +157,37 @@ object ExtendedQueries {
                 FROM sc)
           SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
             ${SqlFragments.r15("tfidf", 6)} AS tfidf, CAST(rnk AS BIGINT) AS rnk
-          FROM r WHERE rnk <= 3"""
+          FROM r WHERE rnk <= 3""",
+    "q35_corpus_pipeline" -> {
+      val m = SqlFragments.langMarkers
+      val codes = m.keys.toSeq.sorted
+      val hits = codes.map(c => s"${SqlFragments.markerHitsExpr(m(c))} AS hits_$c").mkString(", ")
+      val best = codes.map(c => s"WHEN hits_$c = mx THEN '$c'").mkString(" ")
+      s"""WITH cleaned AS (
+            SELECT doc_id, ${SqlFragments.cleanExpr} AS clean FROM documents
+            WHERE text IS NOT NULL AND LENGTH(text) >= 10),
+          toksd AS (
+            SELECT doc_id, clean,
+              list_filter(regexp_split_to_array(lower(clean), '\\s+'), x -> length(x) > 0) AS toks
+            FROM cleaned),
+          q AS (
+            SELECT doc_id, clean, toks, len(toks) AS n_toks,
+              CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
+            FROM toksd
+            WHERE len(toks) >= 20
+              AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.15),
+          l AS (
+            SELECT doc_id, clean, n_toks, $hits FROM q),
+          g AS (
+            SELECT *, ${codes.map(c => s"hits_$c").mkString("GREATEST(", ", ", ")")} AS mx FROM l),
+          langed AS (
+            SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+              CASE WHEN mx = 0 THEN 'und' $best END AS lang_pred,
+              md5(TRIM(REGEXP_REPLACE(lower(clean), '\\s+', ' ', 'g'))) AS fp
+            FROM g),
+          keep AS (SELECT fp, MIN(doc_id) AS doc_id FROM langed GROUP BY fp)
+          SELECT langed.doc_id, lang_pred, n_toks, langed.fp
+          FROM langed JOIN keep ON langed.fp = keep.fp AND langed.doc_id = keep.doc_id"""
+    }
   )
 }
