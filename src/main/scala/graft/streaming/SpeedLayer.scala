@@ -50,6 +50,25 @@ object SpeedLayer {
       .select(col("data.*"))
       .na.drop(Seq("Date", "Text"))
 
+  /** news_schema for the article stream (reference nytConsumer.py:36-40:
+    * Id, Date, lowercase-t text).
+    */
+  val articleSchema: StructType = StructType(Seq(
+    StructField("Id", StringType), StructField("Date", StringType),
+    StructField("text", StringType)))
+
+  /** F4: article stream parse + dedup by Id. On a stream,
+    * dropDuplicates keeps per-key state; the watermark bounds it (ids
+    * older than the horizon are forgotten) — the engine-side version of
+    * the producer's last-id dedup (nytProducer.py:47-49).
+    */
+  def parseArticles(values: DataFrame): DataFrame =
+    values.selectExpr("CAST(value AS STRING) AS value")
+      .select(from_json(col("value"), articleSchema).as("data"))
+      .select(col("data.*"))
+      .na.drop(Seq("Id"))
+      .dropDuplicates("Id")
+
   /** Normalize a parsed stock stream to SpeedDelta. */
   def stockDeltas(parsed: DataFrame)(implicit spark: SparkSession): Dataset[SpeedDelta] = {
     import spark.implicits._
