@@ -21,12 +21,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ §7.6). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
-      PipelineQueries.queries ++ ExtendedQueries.queries
+      PipelineQueries.queries ++ ExtendedQueries.queries ++
+      RelationalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++
-      PipelineQueries.oracle ++ ExtendedQueries.oracle
+      PipelineQueries.oracle ++ ExtendedQueries.oracle ++
+      RelationalQueries.oracle
 }

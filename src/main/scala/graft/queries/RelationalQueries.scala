@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.NumFns
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** General relational/SQL surface: global sort + top-k, grouping sets,
+  * pivot, scalar string/date functions, approximate sketches, and the
+  * ANN scale path — rounding out what a user of a general engine runs
+  * daily.
+  */
+object RelationalQueries {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Global sort + limit => TakeOrderedAndProject (no full sort at scale).
+    "q36_top_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // ROLLUP grouping sets (subtotals + grand total).
+    "q37_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          NumFns.stableRound(sum(col("l_extendedprice")), 2).as("total"))
+    }),
+
+    // PIVOT: event_type domain to columns, one aggregate per cell.
+    "q38_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "purchase", "error", "signup", "view"))
+        .agg(NumFns.stableRound(sum(col("value")), 4))
+    }),
+
+    // Scalar string functions: case, substring, concat, LIKE, position.
+    "q39_string_fns" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+          col("p_name").like("%green%").as("is_green"),
+          instr(col("p_type"), "BRASS").cast("long").as("brass_pos"),
+          length(col("p_name")).cast("long").as("name_len"))
+    }),
+
+    // Date parts on the order dates.
+    "q40_date_fns" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso"))
+    }),
+
+    // Approximate sketches: HLL distinct + quantile sketch (rows-only:
+    // sketch internals are engine-specific by nature).
+    "q41_approx_sketches" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          round(element_at(percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(1000)), 1), 2).as("p50"),
+          round(element_at(percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(1000)), 2), 2).as("p95"))
+    }),
+
+    // ANN scale path: LSH-bucketed top-k (rows-only: buckets come from
+    // xxhash64-derived hyperplanes).
+    "q42_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshBucketTopK(emb.where(col("vec_id") < 20), emb, k = 5, nBits = 4)
+        .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rnk"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q36_top_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q37_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          ${SqlFragments.r15("SUM(l_extendedprice)", 2)} AS total
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q38_pivot" -> {
+      def cell(v: String) =
+        s"""${SqlFragments.r15(s"SUM(CASE WHEN event_type = '$v' THEN value END)", 4)} AS "$v""""
+      s"""SELECT user_id, ${Seq("click", "purchase", "error", "signup", "view").map(cell).mkString(", ")}
+          FROM events GROUP BY user_id"""
+    },
+    "q39_string_fns" ->
+      """SELECT p_partkey, UPPER(p_brand) AS brand_u,
+         substring(p_type, 1, 5) AS type5,
+         concat_ws('|', p_brand, p_type) AS joined,
+         p_name LIKE '%green%' AS is_green,
+         CAST(CASE WHEN position('BRASS' IN p_type) IS NULL THEN 0
+              ELSE position('BRASS' IN p_type) END AS BIGINT) AS brass_pos,
+         LENGTH(p_name) AS name_len
+         FROM part""",
+    "q40_date_fns" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS BIGINT) AS y,
+         CAST(month(o_orderdate) AS BIGINT) AS m,
+         CAST(day(o_orderdate) AS BIGINT) AS d,
+         CAST(quarter(o_orderdate) AS BIGINT) AS q,
+         strftime(o_orderdate, '%Y-%m-%d') AS iso
+         FROM orders"""
+  )
+}
