@@ -75,6 +75,21 @@ object RelationalQueries {
             array(lit(0.5), lit(0.95)), lit(1000)), 2), 2).as("p95"))
     }),
 
+    // Binned range join: purchases within the 2h window before each
+    // error event, counted per event — equi-join on (key, time bin), no
+    // range-theta NLJ.
+    "q43_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      graft.operators.RangeJoin.countInWindow(
+          errors.withColumnRenamed("user_id", "u"), purchases.withColumnRenamed("p_user", "u"),
+          "u", "ts", "p_ts", windowUs = 2L * 3600 * 1000000, outCol = "n_recent")
+        .select(col("event_id"), col("u").as("user_id"), col("n_recent"))
+    }),
+
     // ANN scale path: LSH-bucketed top-k (rows-only: buckets come from
     // xxhash64-derived hyperplanes).
     "q42_ann_lsh" -> ((s, dir) => {
@@ -114,6 +129,13 @@ object RelationalQueries {
          CAST(day(o_orderdate) AS BIGINT) AS d,
          CAST(quarter(o_orderdate) AS BIGINT) AS q,
          strftime(o_orderdate, '%Y-%m-%d') AS iso
-         FROM orders"""
+         FROM orders""",
+    "q43_range_join" ->
+      """SELECT e.event_id, e.user_id,
+         (SELECT COUNT(*) FROM events p
+          WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+            AND CAST(p.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP) - INTERVAL 2 HOUR
+            AND CAST(p.ts AS TIMESTAMP) < CAST(e.ts AS TIMESTAMP)) AS n_recent
+         FROM events e WHERE e.event_type = 'error'"""
   )
 }
