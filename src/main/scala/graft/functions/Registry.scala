@@ -1,0 +1,31 @@
+package graft.functions
+
+import graft.expressions.CosineSim
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** SQL registration: exposes the engine's functions to `spark.sql(...)`
+  * so the surface is usable from pure SQL, not only the Scala API. Each
+  * registration binds the SAME native column expressions the Scala API
+  * uses (via the Column<->Expression bridge) — no UDF wrappers, so SQL
+  * callers get identical semantics and codegen.
+  */
+object Registry {
+
+  private def wrap1(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : Seq[Expression] => Expression =
+    exprs => ColumnBridge.expressionEager(f(ColumnBridge.column(exprs.head)))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("clean_text", wrap1(TextFns.cleanText), "built-in")
+    reg.createOrReplaceTempFunction("doc_fingerprint", wrap1(TextFns.fingerprint), "built-in")
+    reg.createOrReplaceTempFunction("lang_id", wrap1(TextFns.langId(_)), "built-in")
+    reg.createOrReplaceTempFunction("token_count", wrap1(TextFns.tokenCount), "built-in")
+    reg.createOrReplaceTempFunction("sentiment_scores",
+      wrap1(SentimentFns.sentiment(_)), "built-in")
+  }
+}

@@ -32,6 +32,16 @@ object ServingJob {
     forecaster.predictNext(y, exog)
   }
 
+  /** Reference-fidelity serving row (prediction.py:76): the predicted
+    * close OVERWRITES the observed close in today's speed row — the
+    * served document deliberately shows the forecast, not the
+    * observation. (Also of note for fidelity: the reference loads the
+    * batch history at prediction.py:51-60 but never passes it to the
+    * model; only today's exogenous row is used.)
+    */
+  def serveWithPredictedClose(speedToday: DataFrame, pred: Double): DataFrame =
+    speedToday.withColumn("Close", lit(pred))
+
   /** Full serving step as a one-row DataFrame (Date, Close_pred) — the
     * reference writes the predicted Close over the observed one
     * (prediction.py:76).

@@ -97,31 +97,44 @@ object SpeedLayer {
     * (yfConsumerStream.py:57-67, twitterConsumerStream.py:94-107), but as
     * Spark state. Emits the updated row per key per micro-batch.
     */
-  def mergeDeltas(deltas: Dataset[SpeedDelta]): Dataset[SpeedRow] = {
+  def mergeDeltas(deltas: Dataset[SpeedDelta],
+                  retention: Option[java.time.Duration] = None): Dataset[SpeedRow] = {
     import deltas.sparkSession.implicits._
+    val timeoutConf =
+      if (retention.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     deltas.groupByKey(_.date)
       .flatMapGroupsWithState[SpeedRow, SpeedRow](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (date: String, rows: Iterator[SpeedDelta], state: GroupState[SpeedRow]) =>
-          var cur = state.getOption.getOrElse(
-            SpeedRow(date, None, None, None, None, None, 0L, None, None, None))
-          rows.toSeq.sortBy(_.seq).foreach { d =>
-            d.tick.foreach { t =>
-              cur = cur.copy(
-                open = t.open.orElse(cur.open), high = t.high.orElse(cur.high),
-                low = t.low.orElse(cur.low), close = t.close.orElse(cur.close),
-                volume = t.volume.orElse(cur.volume))
+          // bounded state (SURVEY T5): day keys whose retention elapsed
+          // without new arrivals are evicted — state stays O(active days),
+          // not O(all days ever seen)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption.getOrElse(
+              SpeedRow(date, None, None, None, None, None, 0L, None, None, None))
+            rows.toSeq.sortBy(_.seq).foreach { d =>
+              d.tick.foreach { t =>
+                cur = cur.copy(
+                  open = t.open.orElse(cur.open), high = t.high.orElse(cur.high),
+                  low = t.low.orElse(cur.low), close = t.close.orElse(cur.close),
+                  volume = t.volume.orElse(cur.volume))
+              }
+              d.sentiment.foreach { sc =>
+                cur = cur.copy(
+                  nbrArticle = cur.nbrArticle + 1,
+                  positive = Some(EwAverage.step(cur.positive, sc.pos)),
+                  negative = Some(EwAverage.step(cur.negative, sc.neg)),
+                  neutral = Some(EwAverage.step(cur.neutral, sc.neu)))
+              }
             }
-            d.sentiment.foreach { sc =>
-              cur = cur.copy(
-                nbrArticle = cur.nbrArticle + 1,
-                positive = Some(EwAverage.step(cur.positive, sc.pos)),
-                negative = Some(EwAverage.step(cur.negative, sc.neg)),
-                neutral = Some(EwAverage.step(cur.neutral, sc.neu)))
-            }
+            state.update(cur)
+            retention.foreach(r => state.setTimeoutDuration(r.toMillis))
+            Iterator.single(cur)
           }
-          state.update(cur)
-          Iterator.single(cur)
       }
   }
 }

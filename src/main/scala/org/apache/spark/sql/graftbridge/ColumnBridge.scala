@@ -13,4 +13,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager conversion: `expression` wraps the column's node lazily
+    * (ColumnNodeExpression), which stays VOID-typed through analysis
+    * rules that need a dataType (e.g. struct-field extraction on a SQL
+    * function's result). This converts the node to a concrete Catalyst
+    * expression tree immediately.
+    */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

@@ -1,0 +1,43 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The SQL surface: registered functions usable from spark.sql with
+  * semantics identical to the Scala column API.
+  */
+class RegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions equal the column API") {
+    Registry.register(spark)
+    graft.Tables.load(spark, sf(), "documents").limit(50)
+      .createOrReplaceTempView("docs_reg_t")
+
+    val viaSql = spark.sql(
+      """SELECT doc_id, c, fp, l, n, s.pos AS p FROM (
+           SELECT doc_id, clean_text(text) AS c, doc_fingerprint(text) AS fp,
+           lang_id(text) AS l, token_count(text) AS n,
+           sentiment_scores(text) AS s
+           FROM docs_reg_t)""")
+    val viaApi = graft.Tables.load(spark, sf(), "documents").limit(50)
+      .select(col("doc_id"), TextFns.cleanText(col("text")).as("c"),
+        TextFns.fingerprint(col("text")).as("fp"),
+        TextFns.langId(col("text")).as("l"),
+        TextFns.tokenCount(col("text")).as("n"),
+        SentimentFns.sentiment(col("text")).getField("pos").as("p"))
+    assert(viaSql.exceptAll(viaApi).count() == 0)
+    assert(viaApi.exceptAll(viaSql).count() == 0)
+  }
+
+  test("cosine_sim works in SQL over embeddings") {
+    Registry.register(spark)
+    graft.Tables.load(spark, sf(), "embeddings").limit(20)
+      .createOrReplaceTempView("emb_reg_t")
+    val self = spark.sql(
+      """SELECT cosine_sim(CAST(embedding AS ARRAY<DOUBLE>),
+                           CAST(embedding AS ARRAY<DOUBLE>)) AS s
+         FROM emb_reg_t""").as[Double].collect()
+    assert(self.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+}
