@@ -53,6 +53,39 @@ object SentimentFns {
         (col("_sent_n") - col("_sent_pc") - col("_sent_nc") + lit(1.0)) / (col("_sent_n") + lit(3.0)))
       .drop("_sent_toks", "_sent_n", "_sent_pc", "_sent_nc")
 
+  /** Lexicon-join scorer: the scale path for lexicons too large to inline
+    * as IN-lists (SURVEY §4's "dictionary join" note). Tokens explode and
+    * join a broadcast lexicon table (word, polarity), counts re-aggregate
+    * per doc. Same smoothing arithmetic as `sentiment`/`withSentiment` —
+    * results are identical for the same lexicon.
+    *
+    * @param lexicon (word, polarity) rows with polarity in {"pos","neg"}
+    * @param idCol   unique row id to re-join counts on
+    */
+  def withSentimentLexiconJoin(df: DataFrame, idCol: String, textCol: String,
+                               lexicon: DataFrame,
+                               posCol: String = "pos", negCol: String = "neg",
+                               neuCol: String = "neu"): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val toks = df.select(col(idCol).as("_sid"),
+        explode(TextFns.tokens(col(textCol))).as("word"))
+    val counts = toks
+      .join(broadcast(lexicon), Seq("word"), "left")
+      .groupBy(col("_sid"))
+      .agg(count(lit(1)).cast("double").as("_n"),
+        count(when(col("polarity") === "pos", 1)).cast("double").as("_pc"),
+        count(when(col("polarity") === "neg", 1)).cast("double").as("_nc"))
+    df.join(counts, df(idCol) === counts("_sid"), "left")
+      .withColumn("_n", coalesce(col("_n"), lit(0.0)))
+      .withColumn("_pc", coalesce(col("_pc"), lit(0.0)))
+      .withColumn("_nc", coalesce(col("_nc"), lit(0.0)))
+      .withColumn(posCol, (col("_pc") + lit(1.0)) / (col("_n") + lit(3.0)))
+      .withColumn(negCol, (col("_nc") + lit(1.0)) / (col("_n") + lit(3.0)))
+      .withColumn(neuCol,
+        (col("_n") - col("_pc") - col("_nc") + lit(1.0)) / (col("_n") + lit(3.0)))
+      .drop("_sid", "_n", "_pc", "_nc")
+  }
+
   /** (pos, neg, neu) scores as a 3-field struct column. */
   def sentiment(text: Column,
                 positive: Seq[String] = DefaultPositive,
