@@ -90,6 +90,30 @@ object RelationalQueries {
         .select(col("event_id"), col("u").as("user_id"), col("n_recent"))
     }),
 
+    // LEFT OUTER join with null-fill: per-customer order stats
+    // including order-less customers.
+    "q44_outer_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ords = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          NumFns.stableRound(sum(col("o_totalprice")), 2).as("spent"))
+      cust.join(ords, cust("c_custkey") === ords("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("spent"), lit(0.0)).as("spent"))
+    }),
+
+    // Cumulative window aggregation per key (running total).
+    "q45_running_sum" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          NumFns.stableRound(sum(col("value")).over(w), 4).as("running_total"))
+    }),
+
     // ANN scale path: LSH-bucketed top-k (rows-only: buckets come from
     // xxhash64-derived hyperplanes).
     "q42_ann_lsh" -> ((s, dir) => {
@@ -136,6 +160,17 @@ object RelationalQueries {
           WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
             AND CAST(p.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP) - INTERVAL 2 HOUR
             AND CAST(p.ts AS TIMESTAMP) < CAST(e.ts AS TIMESTAMP)) AS n_recent
-         FROM events e WHERE e.event_type = 'error'"""
+         FROM events e WHERE e.event_type = 'error'""",
+    "q44_outer_join" ->
+      s"""WITH o AS (SELECT o_custkey, COUNT(*) AS n_orders,
+                    ${SqlFragments.r15("SUM(o_totalprice)", 2)} AS spent
+                    FROM orders GROUP BY o_custkey)
+          SELECT c_custkey, c_mktsegment,
+            COALESCE(n_orders, 0) AS n_orders, COALESCE(spent, 0.0) AS spent
+          FROM customer LEFT JOIN o ON c_custkey = o_custkey""",
+    "q45_running_sum" ->
+      s"""SELECT event_id, user_id, value,
+         ${SqlFragments.r15("SUM(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 4)} AS running_total
+         FROM events"""
   )
 }
