@@ -34,6 +34,15 @@ class EwAverageSpec extends SparkSpec {
     assert(stepped.contains(reference(vs)))
   }
 
+  test("typed Aggregator (UDAF form) equals the fold, order restored from seq") {
+    val data = Seq((3L, 30.0), (1L, 10.0), (2L, 20.0), (4L, 2.0)) // shuffled arrival
+    val ds = spark.createDataset(data)
+    val got = ds.groupByKey(_ => 1)
+      .agg(new EwAverage.EwAgg().toColumn)
+      .collect().head._2
+    assert(got == reference(Seq(10.0, 20.0, 30.0, 2.0))) // seq order, not arrival
+  }
+
   test("property: bounded by min/max for nonneg inputs") {
     val prop = Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0.0, 1000.0))) { vs =>
       val ew = reference(vs)
