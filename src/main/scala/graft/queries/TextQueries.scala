@@ -99,6 +99,28 @@ object TextQueries {
           hex(substring(col("payload"), 1, 8)).as("header_hex"),
           sha2(col("payload"), 256).as("sha"),
           col("meta.lang").as("lang"))
+    }),
+
+    // Stopword removal: filter tokens against the marker list, rebuild
+    // the text — the standard preprocessing transform.
+    "q46_stopword_removal" -> ((s, dir) => {
+      val stop = TextFns.LangMarkers("en")
+      t(s, dir, "documents")
+        .withColumn("_toks", TextFns.tokens(col("text")))
+        .select(col("doc_id"),
+          concat_ws(" ", filter(col("_toks"), x => !x.isInCollection(stop))).as("no_stop"),
+          size(filter(col("_toks"), x => x.isInCollection(stop))).cast("long").as("removed"))
+    }),
+
+    // Corpus-wide n-gram frequency profile: top-20 bigrams (explode ->
+    // hash aggregate -> ordered limit; deterministic tie-break).
+    "q47_ngram_freq" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("_toks", TextFns.tokens(col("text")))
+        .select(explode(TextFns.shinglesFromTokens(col("_toks"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
     })
   )
 
@@ -156,6 +178,17 @@ object TextQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          hex(encode(substring(text, 1, 8))) AS header_hex,
          sha256(text) AS sha, lang
-         FROM documents"""
+         FROM documents""",
+    "q46_stopword_removal" ->
+      s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks FROM documents)
+          SELECT doc_id,
+            array_to_string(list_filter(toks, x -> NOT list_contains(['the', 'a', 'of', 'and', 'is', 'to', 'in'], x)), ' ') AS no_stop,
+            len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'and', 'is', 'to', 'in'], x))) AS removed
+          FROM t""",
+    "q47_ngram_freq" ->
+      s"""WITH t AS (SELECT ${SqlFragments.toksExpr} AS toks FROM documents),
+          b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t)
+          SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+          ORDER BY n DESC, bigram LIMIT 20"""
   )
 }
