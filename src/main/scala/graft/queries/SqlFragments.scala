@@ -8,7 +8,8 @@ import graft.functions.{SentimentFns, TextFns}
   */
 object SqlFragments {
 
-  private def sqlList(words: Seq[String]): String =
+  /** DuckDB list literal from a word list. */
+  def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** DuckDB mirror of NumFns.stableRound: 15-significant-digit print +
@@ -63,6 +64,13 @@ object SqlFragments {
          REGEXP_REPLACE(REGEXP_REPLACE(text, '(?:@|http://|https://|www)\S+', '', 'g'),
                         '@[A-Za-z0-9]+', '', 'g'),
          '$', ''), '#', ''), '_', ' '))"""
+
+  /** Word-bigram shingles from a token-list expression — mirrors
+    * TextFns.shinglesFromTokens(_, 2). Shared by every oracle that
+    * shingles (q22, q47, ...), so shingle-semantics changes happen once.
+    */
+  def bigramsExpr(toksSql: String): String =
+    s"list_transform(range(1, len($toksSql)), i -> $toksSql[i] || ' ' || $toksSql[i + 1])"
 
   /** Marker-hit count mirroring TextFns.markerHits. */
   def markerHitsExpr(words: Seq[String]): String =

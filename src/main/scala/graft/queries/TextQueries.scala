@@ -106,6 +106,7 @@ object TextQueries {
     "q46_stopword_removal" -> ((s, dir) => {
       val stop = TextFns.LangMarkers("en")
       t(s, dir, "documents")
+        .where(col("text").isNotNull) // null text: Spark "" / -1 vs SQL NULL
         .withColumn("_toks", TextFns.tokens(col("text")))
         .select(col("doc_id"),
           concat_ws(" ", filter(col("_toks"), x => !x.isInCollection(stop))).as("no_stop"),
@@ -179,15 +180,18 @@ object TextQueries {
          hex(encode(substring(text, 1, 8))) AS header_hex,
          sha256(text) AS sha, lang
          FROM documents""",
-    "q46_stopword_removal" ->
-      s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks FROM documents)
+    "q46_stopword_removal" -> {
+      val stop = SqlFragments.sqlList(TextFns.LangMarkers("en"))
+      s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks FROM documents
+                     WHERE text IS NOT NULL)
           SELECT doc_id,
-            array_to_string(list_filter(toks, x -> NOT list_contains(['the', 'a', 'of', 'and', 'is', 'to', 'in'], x)), ' ') AS no_stop,
-            len(list_filter(toks, x -> list_contains(['the', 'a', 'of', 'and', 'is', 'to', 'in'], x))) AS removed
-          FROM t""",
+            array_to_string(list_filter(toks, x -> NOT list_contains($stop, x)), ' ') AS no_stop,
+            len(list_filter(toks, x -> list_contains($stop, x))) AS removed
+          FROM t"""
+    },
     "q47_ngram_freq" ->
       s"""WITH t AS (SELECT ${SqlFragments.toksExpr} AS toks FROM documents),
-          b AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t)
+          b AS (SELECT unnest(${SqlFragments.bigramsExpr("toks")}) AS bigram FROM t)
           SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
           ORDER BY n DESC, bigram LIMIT 20"""
   )

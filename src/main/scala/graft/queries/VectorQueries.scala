@@ -80,9 +80,7 @@ object VectorQueries {
          SELECT label, a_id, b_id, sim, rnk FROM r WHERE rnk <= 3""",
     "q22_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars,
-                     list_distinct(list_transform(
-                       range(1, len(${SqlFragments.toksExpr})),
-                       i -> ${SqlFragments.toksExpr}[i] || ' ' || ${SqlFragments.toksExpr}[i + 1])) AS sh
+                     list_distinct(${SqlFragments.bigramsExpr(SqlFragments.toksExpr)}) AS sh
                      FROM documents)
           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
