@@ -31,6 +31,43 @@ object Similarity {
       .select(col("qid"), col("nid"), col("sim"), col("rnk"))
   }
 
+  /** IVF-style ANN: corpus vectors are assigned to the nearest of
+    * `nCells` coarse centroids (deterministic seeds: the first nCells
+    * corpus vectors — no RNG, reproducible); each query probes its
+    * `nProbe` nearest cells and scores only those cells' members. The
+    * inverted-file shape: at scale the cells are the partition key, the
+    * probe prunes (nCells - nProbe)/nCells of the corpus from every
+    * query, and only centroids (tiny) broadcast.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell"), col(vecCol).as("cvec")))
+    def assign(df: DataFrame, id: String, vec: String, keep: Int) = {
+      val w = Window.partitionBy(id).orderBy(col("_cd").desc, col("cell"))
+      df.crossJoin(cents)
+        .withColumn("_cd", CosineSimCol(col(vec), col("cvec")))
+        .withColumn("_cr", row_number().over(w))
+        .where(col("_cr") <= keep)
+        .drop("cvec", "_cd", "_cr")
+    }
+    val corpusCells = assign(
+      corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid", "nvec", 1)
+    val queryCells = assign(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")), "qid", "qvec", nProbe)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    corpusCells.join(queryCells, Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("sim", CosineSimCol(col("qvec"), col("nvec")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rnk"))
+  }
+
+  private def CosineSimCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.expressions.CosineSim(a, b)
+
   /** LSH-bucketed ANN: random-hyperplane signatures (sign of dot with
     * `nBits` deterministic pseudo-random planes) bucket the corpus; only
     * same-bucket pairs are scored. Trades recall for a shuffle-free

@@ -114,6 +114,15 @@ object RelationalQueries {
           NumFns.stableRound(sum(col("value")).over(w), 4).as("running_total"))
     }),
 
+    // IVF ANN: deterministic coarse centroids, 3-of-8 cell probe
+    // (rows-only: recall path, not exact).
+    "q48_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.where(col("vec_id") >= 100 && col("vec_id") < 120), emb,
+          k = 5, nCells = 8, nProbe = 3)
+        .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rnk"))
+    }),
+
     // ANN scale path: LSH-bucketed top-k (rows-only: buckets come from
     // xxhash64-derived hyperplanes).
     "q42_ann_lsh" -> ((s, dir) => {
