@@ -45,6 +45,39 @@ class SpeedLayerSpec extends SparkSpec {
     assert(d11.close.contains(99.0) && d11.nbrArticle == 0L && d11.positive.isEmpty)
   }
 
+  test("full speed topology: raw JSON -> parse -> score on stream -> merge") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    // reference §3.2: sentiment scoring runs ON the stream, per document
+    // seq orders the EW fold; with Kafka it is the record offset — for
+    // this fixture it derives from the payload (streaming forbids
+    // monotonically_increasing_id)
+    val scored = graft.functions.SentimentFns
+      .withSentiment(SpeedLayer.parseNews(mem.toDF()), "Text", "Positive", "Negative", "Neutre")
+      .withColumn("seq", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("Text")).cast("long"))
+    val q = SpeedLayer.mergeDeltas(SpeedLayer.newsDeltas(scored)).toDF()
+      .writeStream.format("memory").queryName("speed_full_t")
+      .outputMode("append").start()
+
+    mem.addData(
+      """{"Date":"2026-08-10","Text":"stocks rally strong gain big growth today"}""",
+      """{"Date":"2026-08-10","Text":"heavy loss and risk of decline ahead now"}""",
+      "garbage")
+    q.processAllAvailable()
+    q.stop()
+
+    val row = spark.table("speed_full_t")
+      .where(org.apache.spark.sql.functions.col("date") === "2026-08-10")
+      .collect().last
+    assert(row.getAs[Long]("nbrArticle") == 2L) // garbage dropped by parse
+    // doc1: 7 toks, pos hits {rally,strong,gain,big,growth}=5 -> (5+1)/10
+    // doc2: 8 toks, pos hits 0 -> 1/11; EW = ((6/10) + (1/11))/2
+    val expected = (6.0 / 10.0 + 1.0 / 11.0) / 2.0
+    assert(math.abs(row.getAs[Double]("positive") - expected) < 1e-12)
+  }
+
   test("streaming merge: state persists across micro-batches (late merge)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SpeedDelta]
