@@ -114,6 +114,22 @@ object RelationalQueries {
           NumFns.stableRound(sum(col("value")).over(w), 4).as("running_total"))
     }),
 
+    // Bivariate statistics: Pearson correlation + sample covariance.
+    "q49_corr" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(NumFns.stableRound(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          NumFns.stableRound(covar_samp(col("l_discount"), col("l_tax")), 6).as("disc_tax_cov"))
+    }),
+
+    // Histogram bucketing: width_bucket counts over the value domain.
+    "q50_histogram" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(width_bucket(col("value"), lit(0.0), lit(200.0), lit(10)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          NumFns.stableRound(avg(col("value")), 4).as("avg_v"))
+    }),
+
     // IVF ANN: deterministic coarse centroids, 3-of-8 cell probe
     // (rows-only: recall path, not exact).
     "q48_ann_ivf" -> ((s, dir) => {
@@ -163,6 +179,19 @@ object RelationalQueries {
          CAST(quarter(o_orderdate) AS BIGINT) AS q,
          strftime(o_orderdate, '%Y-%m-%d') AS iso
          FROM orders""",
+    "q49_corr" ->
+      s"""SELECT l_returnflag,
+          ${SqlFragments.r15("corr(l_quantity, l_extendedprice)", 6)} AS qty_price_corr,
+          ${SqlFragments.r15("covar_samp(l_discount, l_tax)", 6)} AS disc_tax_cov
+          FROM lineitem GROUP BY l_returnflag""",
+    "q50_histogram" ->
+      // DuckDB 1.0 has no width_bucket; the arithmetic equivalent for
+      // bounds [0, 200) with 10 buckets (0 below-range, 11 above)
+      s"""SELECT CASE WHEN value < 0.0 THEN 0
+                      WHEN value >= 200.0 THEN 11
+                      ELSE CAST(FLOOR(value / 20.0) AS BIGINT) + 1 END AS bucket,
+          COUNT(*) AS n, ${SqlFragments.r15("AVG(value)", 4)} AS avg_v
+          FROM events GROUP BY 1""",
     "q43_range_join" ->
       """SELECT e.event_id, e.user_id,
          (SELECT COUNT(*) FROM events p
