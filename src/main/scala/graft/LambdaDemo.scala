@@ -27,8 +27,11 @@ object LambdaDemo {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // ---- fixture streams (producer stand-ins, FIXTURES.md shapes)
-    val in = Files.createDirectories(java.nio.file.Paths.get(s"$root/in")).toString
+    // ---- fixture streams (producer stand-ins, FIXTURES.md shapes);
+    // one directory per topic: a file source reads every file in its
+    // dir, so mixing topics would cross-contaminate the parsers
+    val inTicks = Files.createDirectories(java.nio.file.Paths.get(s"$root/in_ticks")).toString
+    val inNews = Files.createDirectories(java.nio.file.Paths.get(s"$root/in_news")).toString
     val days = (1 to 12).map(i => f"2026-07-$i%02d")
     val ticks = days.zipWithIndex.map { case (d, i) =>
       val c = 100.0 + 3 * i
@@ -38,17 +41,16 @@ object LambdaDemo {
       Seq(s"""{"Date":"$d","Text":"stocks rally strong gain and growth on day $i http://x.co/$i"}""",
         s"""{"Date":"$d","Text":"some risk of loss and decline remains #caution day $i"}""")
     }
-    Files.write(java.nio.file.Paths.get(s"$in/ticks.txt"),
+    Files.write(java.nio.file.Paths.get(s"$inTicks/ticks.txt"),
       String.join("\n", ticks: _*).getBytes)
-    Files.write(java.nio.file.Paths.get(s"$in/news.txt"),
+    Files.write(java.nio.file.Paths.get(s"$inNews/news.txt"),
       String.join("\n", news: _*).getBytes)
 
     val store = new ViewStore(spark, s"$root/views")
 
     // ---- ingest layer (K1): streams -> masters
-    val src = new FileStreamSource(in)
-    val parsedStock = SpeedLayer.parseStock(src.load(spark))
-    val parsedNews = SpeedLayer.parseNews(src.load(spark))
+    val parsedStock = SpeedLayer.parseStock(new FileStreamSource(inTicks).load(spark))
+    val parsedNews = SpeedLayer.parseNews(new FileStreamSource(inNews).load(spark))
     val q1 = Ingest.startMasterAppend(parsedStock, store, "stock_master", "Date",
       s"$root/cp_stock", keyed = true, trigger = Trigger.AvailableNow())
     val q2 = Ingest.startMasterAppend(parsedNews, store, "news_master", "Date",

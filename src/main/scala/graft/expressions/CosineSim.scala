@@ -24,6 +24,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  override def nullable: Boolean = true
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
@@ -40,7 +42,10 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // length mismatch -> null, matching the composed zip_with form
+    // (which null-pads the shorter side and nulls the sum)
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -61,14 +66,18 @@ case class CosineSim(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0, $na = 0.0, $nb = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $x = $a.getDouble($i);
-          double $y = $b.getDouble($i);
-          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $dot = 0.0, $na = 0.0, $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $x = $a.getDouble($i);
+            double $y = $b.getDouble($i);
+            $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+          }
+          ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
         }
-        ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
       """
     })
 

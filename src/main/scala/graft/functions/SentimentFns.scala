@@ -69,12 +69,18 @@ object SentimentFns {
     import org.apache.spark.sql.functions.broadcast
     val toks = df.select(col(idCol).as("_sid"),
         explode(TextFns.tokens(col(textCol))).as("word"))
+    // token count BEFORE the lexicon join: a word listed under multiple
+    // polarities fans the join out and would inflate _n; hits join a
+    // (word, polarity)-deduped lexicon so each polarity counts once per
+    // occurrence (matching the inline scorer's independent IN-lists)
+    val nPerDoc = toks.groupBy(col("_sid"))
+      .agg(count(lit(1)).cast("double").as("_n"))
     val counts = toks
-      .join(broadcast(lexicon), Seq("word"), "left")
+      .join(broadcast(lexicon.dropDuplicates("word", "polarity")), Seq("word"), "left")
       .groupBy(col("_sid"))
-      .agg(count(lit(1)).cast("double").as("_n"),
-        count(when(col("polarity") === "pos", 1)).cast("double").as("_pc"),
+      .agg(count(when(col("polarity") === "pos", 1)).cast("double").as("_pc"),
         count(when(col("polarity") === "neg", 1)).cast("double").as("_nc"))
+      .join(nPerDoc, Seq("_sid"))
     df.join(counts, df(idCol) === counts("_sid"), "left")
       .withColumn("_n", coalesce(col("_n"), lit(0.0)))
       .withColumn("_pc", coalesce(col("_pc"), lit(0.0)))

@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
 object TextFns {
 
   /** URLs and @-prefixed handles: same regex family as the reference's
-    * re.sub(r"(?:\@|http?\://|https?\://|www)\S+", "").
+    * re.sub(r"(?:\@|http?\://|https?\://|www)\S+", ""). The second
+    * Handle pass is provably redundant (the first consumes every
+    * '@'+non-space run) but is retained because the reference applies
+    * both substitutions — fidelity over minimality; keep all three
+    * mirrors (cleanText, cleanTextUdf, SqlFragments.cleanExpr) in sync.
     */
   private val UrlOrMention = "(?:@|http://|https://|www)\\S+"
   private val Handle = "@[A-Za-z0-9]+"

@@ -38,7 +38,7 @@ case class DailyFeatures(
 case class SpeedRow(
     date: String,
     open: Option[Double], high: Option[Double], low: Option[Double],
-    close: Option[Double], volume: Option[Double],
+    close: Option[Double], adjClose: Option[Double], volume: Option[Double],
     nbrArticle: Long,
     positive: Option[Double], negative: Option[Double], neutral: Option[Double])
 

@@ -21,6 +21,8 @@ object RangeJoin {
                     leftTime: String, rightTime: String,
                     windowUs: Long, outCol: String): DataFrame = {
     val l = left
+      .withColumn("_lrid", monotonically_increasing_id()) // preserves
+      // duplicate left rows through the regrouping below
       .withColumn("_lus", unix_micros(col(leftTime)))
       .withColumn("_bin", floor(col("_lus") / windowUs))
     val r = right
@@ -32,7 +34,7 @@ object RangeJoin {
         l(key) === r("_rkey") && l("_bin") === r("_bin") &&
           col("_rus") >= col("_lus") - windowUs && col("_rus") < col("_lus"),
         "left")
-      .groupBy(left.columns.map(l(_)): _*)
+      .groupBy((col("_lrid") +: left.columns.map(l(_))): _*)
       .agg(count(col("_rus")).as(outCol))
     matched.select(left.columns.map(col) :+ col(outCol): _*)
   }

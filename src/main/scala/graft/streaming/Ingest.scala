@@ -20,17 +20,26 @@ object Ingest {
     */
   def startMasterAppend(parsed: DataFrame, store: ViewStore, view: String,
                         keyCol: String, checkpoint: String, keyed: Boolean,
-                        trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+                        trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+                        orderCol: Option[String] = None): StreamingQuery =
     parsed.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (keyed) {
-          // one row per key per micro-batch: last wins inside the batch,
-          // then partition-replace => replays converge (T6)
+          // one row per key per micro-batch, then partition-replace =>
+          // replays converge (T6). With an orderCol (e.g. the Kafka
+          // offset) the max-ordered row wins deterministically; without
+          // one, the winner within a batch is arbitrary (groupBy order
+          // after the shuffle is not arrival order).
+          val payload = struct(batch.columns.filter(_ != keyCol).map(col): _*)
+          val picked = orderCol match {
+            case Some(oc) => max_by(payload, col(oc))
+            case None => last(payload)
+          }
           val latest = batch.groupBy(col(keyCol))
-            .agg(last(struct(batch.columns.filter(_ != keyCol).map(col): _*), ignoreNulls = true).as("_s"))
+            .agg(picked.as("_s"))
             .select(col(keyCol) +: batch.columns.filter(_ != keyCol)
               .map(c => col("_s").getField(c).as(c)): _*)
           store.merge(view, latest, keyCol)

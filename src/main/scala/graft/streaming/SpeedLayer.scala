@@ -57,10 +57,11 @@ object SpeedLayer {
     StructField("Id", StringType), StructField("Date", StringType),
     StructField("text", StringType)))
 
-  /** F4: article stream parse + dedup by Id. On a stream,
-    * dropDuplicates keeps per-key state; the watermark bounds it (ids
-    * older than the horizon are forgotten) — the engine-side version of
-    * the producer's last-id dedup (nytProducer.py:47-49).
+  /** F4: article stream parse + dedup by Id — the engine-side version
+    * of the producer's last-id dedup (nytProducer.py:47-49). NOTE: plain
+    * dropDuplicates on a stream keeps per-Id state FOREVER (no watermark
+    * can bound a non-event-time key); fine for bounded replays/tests,
+    * use parseArticlesBounded for long-running ingest.
     */
   def parseArticles(values: DataFrame): DataFrame =
     values.selectExpr("CAST(value AS STRING) AS value")
@@ -68,6 +69,21 @@ object SpeedLayer {
       .select(col("data.*"))
       .na.drop(Seq("Id"))
       .dropDuplicates("Id")
+
+  /** Bounded-state variant: event time derived from Date, state evicted
+    * past the watermark via dropDuplicatesWithinWatermark — duplicates
+    * separated by more than the delay can re-emit, the standard
+    * state-size/exactness trade at scale.
+    */
+  def parseArticlesBounded(values: DataFrame, delay: String = "7 days"): DataFrame =
+    values.selectExpr("CAST(value AS STRING) AS value")
+      .select(from_json(col("value"), articleSchema).as("data"))
+      .select(col("data.*"))
+      .na.drop(Seq("Id"))
+      .withColumn("_evt", to_timestamp(col("Date")))
+      .withWatermark("_evt", delay)
+      .dropDuplicatesWithinWatermark("Id")
+      .drop("_evt")
 
   /** Normalize a parsed stock stream to SpeedDelta. */
   def stockDeltas(parsed: DataFrame)(implicit spark: SparkSession): Dataset[SpeedDelta] = {
@@ -115,12 +131,13 @@ object SpeedLayer {
             Iterator.empty
           } else {
             var cur = state.getOption.getOrElse(
-              SpeedRow(date, None, None, None, None, None, 0L, None, None, None))
+              SpeedRow(date, None, None, None, None, None, None, 0L, None, None, None))
             rows.toSeq.sortBy(_.seq).foreach { d =>
               d.tick.foreach { t =>
                 cur = cur.copy(
                   open = t.open.orElse(cur.open), high = t.high.orElse(cur.high),
                   low = t.low.orElse(cur.low), close = t.close.orElse(cur.close),
+                  adjClose = t.adjClose.orElse(cur.adjClose),
                   volume = t.volume.orElse(cur.volume))
               }
               d.sentiment.foreach { sc =>

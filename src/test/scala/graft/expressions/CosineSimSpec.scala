@@ -20,6 +20,13 @@ class CosineSimSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("length mismatch yields null, matching the composed zip_with form") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+    val out = df.select(CosineSim(col("a"), col("b")).as("native"),
+      VectorFns.cosine(col("a"), col("b")).as("composed")).collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+
   test("handles orthogonal and identical vectors") {
     val df = Seq(
       (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
