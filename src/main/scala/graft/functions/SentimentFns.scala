@@ -81,14 +81,20 @@ object SentimentFns {
       .agg(count(when(col("polarity") === "pos", 1)).cast("double").as("_pc"),
         count(when(col("polarity") === "neg", 1)).cast("double").as("_nc"))
       .join(nPerDoc, Seq("_sid"))
+    // coalesce-to-0 covers rows whose text produced no tokens (empty
+    // string => scores 1/3 like the inline scorer), but must NOT fire for
+    // null text: the inline scorer propagates null there, so the score
+    // columns are gated on text IS NOT NULL to keep the two scorers
+    // identical row-for-row.
+    def score(c: Column) = when(col(textCol).isNull, lit(null).cast("double")).otherwise(c)
     df.join(counts, df(idCol) === counts("_sid"), "left")
       .withColumn("_n", coalesce(col("_n"), lit(0.0)))
       .withColumn("_pc", coalesce(col("_pc"), lit(0.0)))
       .withColumn("_nc", coalesce(col("_nc"), lit(0.0)))
-      .withColumn(posCol, (col("_pc") + lit(1.0)) / (col("_n") + lit(3.0)))
-      .withColumn(negCol, (col("_nc") + lit(1.0)) / (col("_n") + lit(3.0)))
+      .withColumn(posCol, score((col("_pc") + lit(1.0)) / (col("_n") + lit(3.0))))
+      .withColumn(negCol, score((col("_nc") + lit(1.0)) / (col("_n") + lit(3.0))))
       .withColumn(neuCol,
-        (col("_n") - col("_pc") - col("_nc") + lit(1.0)) / (col("_n") + lit(3.0)))
+        score((col("_n") - col("_pc") - col("_nc") + lit(1.0)) / (col("_n") + lit(3.0))))
       .drop("_sid", "_n", "_pc", "_nc")
   }
 

@@ -133,6 +133,12 @@ object TextFns {
       struct((-markerHits(toks, words)).as("neg"), lit(lang).as("lang"))
     }: _*)
     val best = array_min(scored)
-    when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
+    // null token array (null text) => null, not an arbitrary language: the
+    // per-language hit counts are all null, every struct ties, and
+    // array_min would pick the lexicographically-first code (oracles
+    // return NULL for null text).
+    when(toks.isNull, lit(null).cast("string"))
+      .when(best.getField("neg") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
   }
 }

@@ -26,6 +26,23 @@ class LexiconJoinSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("null and empty text: join scorer matches inline (null / smoothed 1-3rds)") {
+    val docs = Seq((1L, null: String), (2L, ""), (3L, "gain"))
+      .toDF("doc_id", "text")
+    val lexicon = Seq(("gain", "pos"), ("loss", "neg")).toDF("word", "polarity")
+    val viaJoin = SentimentFns.withSentimentLexiconJoin(docs, "doc_id", "text", lexicon)
+      .select(col("doc_id"), col("pos"), col("neg"), col("neu"))
+    val viaInline = SentimentFns.withSentiment(docs, "text")
+      .select(col("doc_id"), col("pos"), col("neg"), col("neu"))
+    val j = viaJoin.orderBy("doc_id").collect()
+    val i = viaInline.orderBy("doc_id").collect()
+    assert(j.toSeq == i.toSeq)
+    // null text propagates null scores (not smoothed 1/3s)
+    assert(j(0).isNullAt(1) && j(0).isNullAt(2) && j(0).isNullAt(3))
+    // empty text = zero tokens => smoothed (0+1)/(0+3)
+    assert(j(1).getDouble(1) == 1.0 / 3.0)
+  }
+
   test("duplicate-token docs count every occurrence (bag semantics)") {
     val docs = Seq((1L, "gain gain gain loss x")).toDF("doc_id", "text")
     val lexicon = Seq(("gain", "pos"), ("loss", "neg")).toDF("word", "polarity")

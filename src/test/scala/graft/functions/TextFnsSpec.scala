@@ -57,4 +57,11 @@ class TextFnsSpec extends SparkSpec {
       .toDF("t").select(TextFns.langId(col("t"))).as[String].collect()
     assert(out(0) == "en" && out(1) == "und")
   }
+
+  test("langId on null text is null, not an arbitrary language") {
+    val out = Seq[Option[String]](None, Some("the cat is here"))
+      .toDF("t").select(TextFns.langId(col("t")).as("l"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(out == Seq(None, Some("en")))
+  }
 }
