@@ -1,19 +1,31 @@
 package graft.operators
 
-import graft.functions.VectorFns
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import graft.functions.{Scored, TopKBySim, VectorFns}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate/exact nearest-neighbor search over an `array<float>`
   * embedding column (north-star extension — SURVEY.md §7.6).
   *
   * Scale shape: the query set is broadcast (small side), the corpus
-  * streams through a broadcast-nested-loop with a codegen'd cosine — at
-  * 100 TB the corpus never shuffles; the per-query top-k reduces
-  * map-side via the rank window over (query partition).
+  * streams through a broadcast join with a codegen'd cosine — at 100 TB
+  * the corpus never shuffles for scoring; the per-query top-k reduces
+  * map-side through a k-bounded Aggregator (ObjectHashAggregate partial
+  * merge), so only k rows per partition per query reach the exchange.
   */
 object Similarity {
+
+  /** (qid, nid, sim) -> per-query top-k (qid, nid, sim, rnk), ranked by
+    * (sim desc, nid asc). Map-side bounded: see TopKBySim.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKBySim(k))
+    scored.groupBy(col("qid"))
+      .agg(topk(col("sim"), col("nid")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), col("s.nid").as("nid"), col("s.sim").as("sim"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
 
   /** Exact brute-force top-k by cosine. `queries` must be small enough to
     * broadcast (it is hinted); ties broken by neighbor id.
@@ -23,50 +35,54 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    c.join(broadcast(q), col("qid") =!= col("nid"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
       .withColumn("sim", graft.expressions.CosineSim(col("qvec"), col("nvec")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("nid"), col("sim"), col("rnk"))
+      .select(col("qid"), col("nid"), col("sim"))
+    topKPerQuery(scored, k)
   }
 
   /** IVF-style ANN: corpus vectors are assigned to the nearest of
     * `nCells` coarse centroids (deterministic seeds: the first nCells
-    * corpus vectors — no RNG, reproducible); each query probes its
-    * `nProbe` nearest cells and scores only those cells' members. The
-    * inverted-file shape: at scale the cells are the partition key, the
-    * probe prunes (nCells - nProbe)/nCells of the corpus from every
-    * query, and only centroids (tiny) broadcast.
+    * corpus vectors by id — no RNG, reproducible); each query probes its
+    * `nProbe` nearest cells and scores only those cells' members.
+    *
+    * The centroid table is O(nCells · dim) by construction, so it is
+    * collected once and inlined as constant array literals: corpus→cell
+    * assignment becomes a pure per-row argmin projection — zero shuffle,
+    * zero join — instead of a crossJoin + rank window (which would
+    * shuffle corpus × nCells rows just to compute an argmin). The probe
+    * side joins the tiny exploded (query, cell) set by broadcast, and
+    * the inverted-file pruning drops (nCells - nProbe)/nCells of the
+    * corpus from every query before scoring.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cell"), col(vecCol).as("cvec")))
-    def assign(df: DataFrame, id: String, vec: String, keep: Int) = {
-      val w = Window.partitionBy(id).orderBy(col("_cd").desc, col("cell"))
-      df.crossJoin(cents)
-        .withColumn("_cd", CosineSimCol(col(vec), col("cvec")))
-        .withColumn("_cr", row_number().over(w))
-        .where(col("_cr") <= keep)
-        .drop("cvec", "_cd", "_cr")
-    }
-    val corpusCells = assign(
-      corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid", "nvec", 1)
-    val queryCells = assign(
-      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")), "qid", "qvec", nProbe)
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    corpusCells.join(queryCells, Seq("cell"))
+    val cents: Array[(Long, Seq[Float])] =
+      corpus.orderBy(col(idCol)).limit(nCells)
+        .select(col(idCol).cast("long"), col(vecCol))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // per-row (neg-sim, cell) structs, ascending sort => best cell first;
+    // ties break on the smaller cell id (same order the rank window used)
+    def cellsByAffinity(vec: Column): Column =
+      array_sort(array(cents.map { case (cid, v) =>
+        struct((-graft.expressions.CosineSim(vec, typedlit(v))).as("neg"),
+          lit(cid).as("cell"))
+      }: _*))
+    val corpusCells = corpus
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .withColumn("cell", element_at(cellsByAffinity(col("nvec")), 1).getField("cell"))
+    val queryCells = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("cell", explode(transform(
+        slice(cellsByAffinity(col("qvec")), 1, nProbe), s => s.getField("cell"))))
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .where(col("qid") =!= col("nid"))
-      .withColumn("sim", CosineSimCol(col("qvec"), col("nvec")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("nid"), col("sim"), col("rnk"))
+      .withColumn("sim", graft.expressions.CosineSim(col("qvec"), col("nvec")))
+      .select(col("qid"), col("nid"), col("sim"))
+    topKPerQuery(scored, k)
   }
-
-  private def CosineSimCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    graft.expressions.CosineSim(a, b)
 
   /** LSH-bucketed ANN: random-hyperplane signatures (sign of dot with
     * `nBits` deterministic pseudo-random planes) bucket the corpus; only
@@ -93,12 +109,10 @@ object Similarity {
       .withColumn("bucket", sig("qvec"))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .withColumn("bucket", sig("nvec"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    c.join(broadcast(q), Seq("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("qid") =!= col("nid"))
       .withColumn("sim", graft.expressions.CosineSim(col("qvec"), col("nvec")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("nid"), col("sim"), col("rnk"))
+      .select(col("qid"), col("nid"), col("sim"))
+    topKPerQuery(scored, k)
   }
 }

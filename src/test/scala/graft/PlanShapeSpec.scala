@@ -57,4 +57,29 @@ class PlanShapeSpec extends SparkSpec {
     val df = emb.select(graft.expressions.CosineSim(col("embedding"), col("embedding")).as("s"))
     assert(hasCodegen(df), plan(df))
   }
+
+  test("brute-force top-k is a bounded aggregate, not a rank window") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val df = graft.operators.Similarity.bruteForceTopK(
+      emb.where(col("vec_id") < 5), emb, 3)
+    val p = plan(df)
+    // window functions have no partial aggregation; the bounded top-k
+    // Aggregator must appear as an ObjectHashAggregate instead
+    assert(!p.contains("Window "), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("IVF corpus-to-cell assignment is a pure projection: one shuffle total, no window") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val df = graft.operators.Similarity.ivfTopK(
+      emb.where(col("vec_id") < 5), emb, 3, nCells = 4, nProbe = 2)
+    val p = plan(df)
+    assert(!p.contains("Window "), p)
+    // the only exchange is the final top-k partial-merge on qid; cell
+    // assignment itself is argmin over inlined centroid literals and the
+    // probe join broadcasts the tiny (query, cell) side
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"$shuffles shuffles in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
