@@ -87,19 +87,23 @@ object Similarity {
   /** LSH-bucketed ANN: random-hyperplane signatures (sign of dot with
     * `nBits` deterministic pseudo-random planes) bucket the corpus; only
     * same-bucket pairs are scored. Trades recall for a shuffle-free
-    * probe at scale. Planes are derived from a seeded hash of
-    * (bit, dim) — no RNG state, reproducible anywhere.
+    * probe at scale. Plane component (b, i) is a centered LCG value
+    * ((1103515245·(97b + i) + 12345) mod 4001) − 2000: plain integer
+    * arithmetic with no RNG state and no engine-specific hash, so the
+    * whole signature is reproducible anywhere — including the SQL
+    * oracle mirror (SqlFragments.lshBucketExpr), which replays the
+    * identical fold bit-for-bit.
     */
   def lshBucketTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                     nBits: Int = 12, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     def sig(vec: String) = {
       val bits = (0 until nBits).map { b =>
-        // plane(b)[i] = centered hash of (b, i): deterministic pseudo-random
         val proj = aggregate(
           zip_with(VectorFns.toDoubleArr(col(vec)),
             sequence(lit(0), size(col(vec)) - 1),
-            (x, i) => x * (pmod(xxhash64(lit(b) * lit(1000003) + i), lit(1000L)).cast("double") - lit(499.5))),
+            (x, i) => x * (pmod(lit(1103515245L) * (lit(97L * b) + i) + lit(12345L), lit(4001L))
+              .cast("double") - lit(2000.0))),
           lit(0.0), (s, v) => s + v)
         when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
       }

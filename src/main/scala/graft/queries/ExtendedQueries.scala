@@ -72,16 +72,22 @@ object ExtendedQueries {
     }),
 
     // Multimodal feature extraction through the partition-iterator path
-    // (mapPartitions batch shape; stub decoder) — rows-only, not SQL.
+    // (mapPartitions batch shape). The stub decoder's byte-histogram is
+    // deterministic byte arithmetic, so the oracle replays it in SQL
+    // and the whole mapPartitions path is value-verified.
     "q33_multimodal_features" -> ((s, dir) => {
       graft.operators.Multimodal.extractFeatures(
           graft.operators.Multimodal.mediaFromDocuments(t(s, dir, "documents")))
         .select(col("media_id"), col("byte_len"), col("mime"),
-          round(element_at(col("feature"), 4), 6).as("alpha_frac"))
+          element_at(col("feature"), 4).as("alpha_frac"))
     }),
 
     // Full near-dedup pipeline: LSH candidates -> exact verify ->
-    // min-id survivors (rows-only: candidates come from xxhash64).
+    // min-id survivors. Oracle: the all-pairs exact-verify truth —
+    // the pipeline's survivors must equal the min-id survivors of
+    // every pair above the verify threshold (LSH candidate recall is
+    // complete at that similarity; q23 pins the same property at the
+    // pair level).
     "q34_near_dedup" -> ((s, dir) => {
       graft.operators.Dedup.nearDedup(t(s, dir, "documents"), "doc_id", "text",
           estThreshold = 0.3, jaccardThreshold = 0.4)
@@ -144,6 +150,22 @@ object ExtendedQueries {
           SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
             ${SqlFragments.r15("SUM(value)", 4)} AS sum_value
           FROM s GROUP BY user_id, sid""",
+    "q33_multimodal_features" ->
+      // mirrors Multimodal.decodeStub over utf-8 payload bytes: the
+      // corpus is ASCII, so codepoints == bytes and length == octet
+      // count; bin 3 of the 8-bin (byte >> 5) histogram = codes 96-127
+      """SELECT doc_id AS media_id,
+         CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS byte_len,
+         'text/plain' AS mime,
+         CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(range(1, length(text) + 1),
+                     i -> (unicode(substring(text, i, 1)) // 32) = 3)) AS DOUBLE)
+                   / length(text) END AS alpha_frac
+         FROM documents""",
+    "q34_near_dedup" ->
+      s"""${SqlFragments.shinglePairsCte(0.4)}
+          SELECT doc_id, lang, n_chars FROM documents
+          WHERE doc_id NOT IN (SELECT DISTINCT b_id FROM verified)""",
     "q32_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, unnest(${SqlFragments.toksExpr}) AS token FROM documents),
           tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),

@@ -63,16 +63,36 @@ object RelationalQueries {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso"))
     }),
 
-    // Approximate sketches: HLL distinct + quantile sketch (rows-only:
-    // sketch internals are engine-specific by nature).
+    // Approximate sketches: HLL distinct + quantile sketch. Sketch
+    // internals are engine-specific, so the oracle pins them through
+    // exact error bounds computed in the same query: the HLL estimate
+    // within 3x its 5% rsd of the exact distinct count, and the exact
+    // rank of each approx-quantile VALUE within +/-0.01 of its target
+    // rank (10x the accuracy=1000 sketch's guarantee). The rank pass is
+    // partial-agg friendly (no exact percentile buffering — q30 covers
+    // that trade).
     "q41_approx_sketches" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          round(element_at(percentile_approx(col("l_extendedprice"),
-            array(lit(0.5), lit(0.95)), lit(1000)), 1), 2).as("p50"),
-          round(element_at(percentile_approx(col("l_extendedprice"),
-            array(lit(0.5), lit(0.95)), lit(1000)), 2), 2).as("p95"))
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_orderkey"),
+        col("l_extendedprice"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"),
+          approx_count_distinct(col("l_orderkey")).as("_hll"),
+          element_at(percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(1000)), 1).as("_p50"),
+          element_at(percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(1000)), 2).as("_p95"))
+        .persist()
+      val ranks = li.select(col("l_returnflag").as("_rf"), col("l_extendedprice"))
+        .join(broadcast(approx.select(col("l_returnflag").as("_rf"), col("_p50"), col("_p95"))),
+          Seq("_rf"))
+        .groupBy(col("_rf"))
+        .agg(avg((col("l_extendedprice") <= col("_p50")).cast("double")).as("_r50"),
+          avg((col("l_extendedprice") <= col("_p95")).cast("double")).as("_r95"))
+      approx.join(ranks, col("l_returnflag") === col("_rf"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("_hll") - col("n_exact")) <= col("n_exact") * 0.15).as("hll_ok"),
+          (abs(col("_r50") - 0.5) <= 0.01).as("p50_ok"),
+          (abs(col("_r95") - 0.95) <= 0.01).as("p95_ok"))
     }),
 
     // Binned range join: purchases within the 2h window before each
@@ -130,21 +150,24 @@ object RelationalQueries {
           NumFns.stableRound(avg(col("value")), 4).as("avg_v"))
     }),
 
-    // IVF ANN: deterministic coarse centroids, 3-of-8 cell probe
-    // (rows-only: recall path, not exact).
+    // IVF ANN: deterministic coarse centroids, 3-of-8 cell probe. The
+    // whole inverted-file pipeline is plain cosine arithmetic, so the
+    // oracle replays it end-to-end (assignment argmin, probe set,
+    // per-cell scoring, top-k) and the result is hash-exact.
     "q48_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb.where(col("vec_id") >= 100 && col("vec_id") < 120), emb,
           k = 5, nCells = 8, nProbe = 3)
-        .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rnk"))
+        .select(col("qid"), col("nid"), col("sim"), col("rnk"))
     }),
 
-    // ANN scale path: LSH-bucketed top-k (rows-only: buckets come from
-    // xxhash64-derived hyperplanes).
+    // ANN scale path: LSH-bucketed top-k. Hyperplanes are integer-LCG
+    // derived (no engine hash), so the oracle replays signature,
+    // bucketing, and ranking bit-for-bit.
     "q42_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshBucketTopK(emb.where(col("vec_id") < 20), emb, k = 5, nBits = 4)
-        .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rnk"))
+        .select(col("qid"), col("nid"), col("sim"), col("rnk"))
     })
   )
 
@@ -179,6 +202,40 @@ object RelationalQueries {
          CAST(quarter(o_orderdate) AS BIGINT) AS q,
          strftime(o_orderdate, '%Y-%m-%d') AS iso
          FROM orders""",
+    "q41_approx_sketches" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact,
+         TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
+         FROM lineitem GROUP BY l_returnflag""",
+    "q42_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              b AS (SELECT vec_id, v, ${SqlFragments.lshBucketExpr("v", 4)} AS bucket FROM e),
+              q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 20),
+              p AS (SELECT q.qid, c.vec_id AS nid,
+                    ${SqlFragments.cosineExpr("q.qv", "c.v")} AS sim
+                    FROM b c JOIN q USING (bucket) WHERE c.vec_id <> q.qid),
+              r AS (SELECT qid, nid, sim,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+                    FROM p)
+          SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 5""",
+    "q48_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              cents AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+              aff AS (SELECT e.vec_id, e.v, cents.cell,
+                      ${SqlFragments.cosineExpr("e.v", "cents.cv")} AS cs
+                      FROM e CROSS JOIN cents),
+              ranked AS (SELECT vec_id, v, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+                         FROM aff),
+              corpus AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
+              probes AS (SELECT vec_id AS qid, v AS qv, cell FROM ranked
+                         WHERE rn <= 3 AND vec_id >= 100 AND vec_id < 120),
+              p AS (SELECT probes.qid, corpus.vec_id AS nid,
+                    ${SqlFragments.cosineExpr("probes.qv", "corpus.v")} AS sim
+                    FROM corpus JOIN probes USING (cell) WHERE corpus.vec_id <> probes.qid),
+              r AS (SELECT qid, nid, sim,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+                    FROM p)
+          SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 5""",
     "q49_corr" ->
       s"""SELECT l_returnflag,
           ${SqlFragments.r15("corr(l_quantity, l_extendedprice)", 6)} AS qty_price_corr,

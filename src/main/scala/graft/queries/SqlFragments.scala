@@ -77,4 +77,42 @@ object SqlFragments {
     s"len(list_filter(toks, x -> list_contains(${sqlList(words)}, x)))"
 
   def langMarkers: Map[String, Seq[String]] = TextFns.LangMarkers
+
+  /** DuckDB mirror of Similarity.lshBucketTopK's hyperplane signature:
+    * bit b set iff sum_i vec[i] * plane(b, i) >= 0 with plane(b, i) =
+    * ((1103515245 * (97b + i) + 12345) mod 4001) - 2000 — plain integer
+    * arithmetic replayed with the identical left-to-right fold, so the
+    * bucket ids are bit-equal across engines. `vecSql` must be a
+    * DOUBLE[] expression.
+    */
+  def lshBucketExpr(vecSql: String, nBits: Int): String = {
+    def proj(b: Int) =
+      s"list_reduce(list_transform(range(1, len($vecSql) + 1), " +
+        s"i -> $vecSql[i] * (CAST((1103515245 * (${97 * b} + (i - 1)) + 12345) % 4001 AS DOUBLE) - 2000.0)), " +
+        "(u, v) -> u + v)"
+    (0 until nBits).map(b => s"(CASE WHEN ${proj(b)} >= 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+  }
+
+  /** All-pairs exact near-dup verify over `documents` as a WITH prefix:
+    * distinct-token and bigram-shingle sets per doc, every (a < b) pair,
+    * `verified` = pairs with shingle Jaccard >= threshold. Mirrors
+    * Dedup.lshVerifiedPairs' verify arithmetic exactly (int set sizes,
+    * one double division). Quadratic by construction — an ORACLE device
+    * for small sf, standing in for the LSH candidate stage, which this
+    * checks for completeness above the threshold.
+    */
+  def shinglePairsCte(threshold: Double): String =
+    s"""WITH tk AS (SELECT doc_id,
+          list_distinct($toksExpr) AS tk,
+          list_distinct(${bigramsExpr(toksExpr)}) AS sh
+          FROM documents WHERE text IS NOT NULL),
+        pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard,
+          CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.tk, b.tk))) AS token_jaccard
+          FROM tk a JOIN tk b
+          ON a.doc_id < b.doc_id AND len(list_concat(a.sh, b.sh)) > 0),
+        verified AS (SELECT * FROM pairs WHERE jaccard >= $threshold)"""
 }

@@ -7,9 +7,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity-search and dedup surface over `embeddings`/`documents`
-  * (north-star operators — SURVEY.md §7.6). Hash-based signatures
-  * (MinHash/SimHash) have no SQL-portable oracle and get rows-only
-  * checks; everything else is oracle-backed.
+  * (north-star operators — SURVEY.md §7.6). Everything is oracle-backed:
+  * hash-signature operators (MinHash/SimHash), whose raw signatures are
+  * not SQL-portable, are pinned through exact properties the oracle can
+  * compute — candidate completeness vs the all-pairs truth, estimator
+  * error bounds, and the near-dup Hamming bound.
   */
 object VectorQueries {
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
@@ -41,19 +43,32 @@ object VectorQueries {
         .select(col("a_id"), col("b_id"), col("jaccard"))
     }),
 
-    // MinHash+LSH candidate generation + signature-estimate (rows-only:
-    // xxhash64 signatures aren't SQL-portable).
+    // MinHash+LSH candidates -> exact-verify, oracle-pinned against the
+    // all-pairs truth: every pair above the verify threshold must be
+    // produced by the banded candidate stage (completeness of LSH at
+    // high similarity), with the exact shingle Jaccard value, and the
+    // signature estimate must sit within +/-0.2 of the true
+    // distinct-token Jaccard (32-hash estimator bound).
     "q23_minhash_lsh" -> ((s, dir) => {
-      Dedup.minHashLsh(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("a_id"), col("b_id"), round(col("jaccard_est"), 6).as("jaccard_est"))
-        .orderBy(col("jaccard_est").desc, col("a_id"), col("b_id"))
-        .limit(100)
+      Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+          estThreshold = 0.3, jaccardThreshold = 0.4)
+        .select(col("a_id"), col("b_id"), col("jaccard"),
+          (abs(col("jaccard_est") - col("token_jaccard")) <= 0.2).as("est_ok"))
     }),
 
-    // SimHash 64-bit signatures (rows-only).
+    // SimHash 64-bit signatures, oracle-pinned through the Hamming
+    // property: true near-duplicate pairs (exact shingle Jaccard >= 0.4,
+    // from the LSH+verify stage whose completeness q23 establishes) must
+    // have signature Hamming distance <= 16 of 64 bits.
     "q24_simhash" -> ((s, dir) => {
-      Dedup.simHash(t(s, dir, "documents"), "text")
-        .select(col("doc_id"), col("simhash"))
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.simHash(docs, "text").select(col("doc_id"), col("simhash"))
+      Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+          estThreshold = 0.3, jaccardThreshold = 0.4)
+        .join(sigs.select(col("doc_id").as("a_id"), col("simhash").as("_sa")), Seq("a_id"))
+        .join(sigs.select(col("doc_id").as("b_id"), col("simhash").as("_sb")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (bit_count(col("_sa").bitwiseXOR(col("_sb"))) <= 16).as("ham_ok"))
     })
   )
 
@@ -86,6 +101,12 @@ object VectorQueries {
             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                   len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
           FROM d a JOIN d b
-            ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id"""
+            ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id""",
+    "q23_minhash_lsh" ->
+      s"""${SqlFragments.shinglePairsCte(0.4)}
+          SELECT a_id, b_id, jaccard, TRUE AS est_ok FROM verified""",
+    "q24_simhash" ->
+      s"""${SqlFragments.shinglePairsCte(0.4)}
+          SELECT a_id, b_id, TRUE AS ham_ok FROM verified"""
   )
 }
