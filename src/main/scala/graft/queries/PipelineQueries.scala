@@ -52,19 +52,36 @@ object PipelineQueries {
 
     // §3.3 serving forecast: ARX(2) one-step-ahead on the daily order
     // totals with exogenous order counts. Driver-side on O(days) rows by
-    // design; rows-only check (no SQL oracle for the solver).
+    // design. Oracle: the DuckDB mirror rebuilds the identical
+    // stable-rounded series, forms the same ridge normal equations, and
+    // solves them by Cramer's rule (generated cofactor SQL). The series
+    // is fed in units of 1e6 so the 4x4 system is well-conditioned:
+    // Gaussian elimination (engine) and Cramer (oracle) then agree to
+    // ~1e-12 relative, far inside the 4-decimal stable round.
     "q26_forecast" -> ((s, dir) => {
       val daily = t(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("d"))
-        .agg(sum(col("o_totalprice")).as("total"),
+        .agg((NumFns.stableRound(sum(col("o_totalprice")), 2) / lit(1e6)).as("total_m"),
           count(lit(1)).cast("double").as("n_orders"))
         .where(col("d").between("1995-01-01", "1995-12-31"))
         .withColumn("d", date_format(col("d"), "yyyy-MM-dd"))
-      ServingJob.run(s, daily, "d", "total", Seq("n_orders"),
+      ServingJob.run(s, daily, "d", "total_m", Seq("n_orders"),
           horizonDate = "1996-01-01", new ArxForecaster(p = 2))
-        .select(col("d"), round(col("total_pred"), 4).as("total_pred"))
+        .select(col("d"),
+          NumFns.stableRound(col("total_m_pred") * lit(1e6), 4).as("total_pred"))
     })
   )
+
+  /** Laplace-expansion determinant SQL for a small matrix of SQL
+    * expressions — emits the cofactor sum for Cramer's-rule oracles.
+    */
+  private def detSql(m: Vector[Vector[String]]): String =
+    if (m.length == 1) m(0)(0)
+    else (0 until m.length).map { j =>
+      val minor = m.tail.map(row => row.zipWithIndex.collect { case (e, c) if c != j => e })
+      val sign = if (j % 2 == 0) "+" else "-"
+      s"$sign ${m(0)(j)} * (${detSql(minor)})"
+    }.mkString(" ")
 
   val oracle: Map[String, String] = Map(
     "q25_batch_pipeline" -> {
@@ -104,6 +121,43 @@ object PipelineQueries {
                  ${SqlFragments.r15("p", 6)} AS Positive, ${SqlFragments.r15("ng", 6)} AS Negative, ${SqlFragments.r15("nu", 6)} AS Neutre
           FROM stock JOIN agg ON stock.ds = agg.d
           WHERE agg.d <> '1997-01-30'"""
+    },
+    "q26_forecast" -> {
+      // ArxForecaster(p=2) + 1 exog mirror: features per training row t
+      // are [1, y(t-1), y(t-2), x(t)] (ArxForecaster.predictNext), the
+      // 4x4 ridge normal equations use ridge 1e-6 on the diagonal, and
+      // the forecast row is [1, y(n-1), y(n-2), x(n-1)].
+      val dim = 4
+      val A = Vector.tabulate(dim, dim)((i, j) => s"g$i$j")
+      val detA = detSql(A)
+      val betas = (0 until dim).map { i =>
+        val ai = Vector.tabulate(dim, dim)((r, c) => if (c == i) s"b$r" else s"g$r$c")
+        s"((${detSql(ai)}) / ($detA)) AS beta$i"
+      }.mkString(", ")
+      val gSums = (for (i <- 0 until dim; j <- 0 until dim) yield {
+        val ridge = if (i == j) " + 0.000001" else ""
+        s"SUM(f$i * f$j)$ridge AS g$i$j"
+      }).mkString(", ")
+      val bSums = (0 until dim).map(i => s"SUM(f$i * yt) AS b$i").mkString(", ")
+      s"""WITH daily AS (
+            SELECT o_orderdate AS d,
+                   ${SqlFragments.r15("SUM(o_totalprice)", 2)} / 1000000.0 AS y,
+                   CAST(COUNT(*) AS DOUBLE) AS x
+            FROM orders
+            WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+            GROUP BY o_orderdate),
+          s AS (SELECT y, x, ROW_NUMBER() OVER (ORDER BY d) AS t FROM daily),
+          feat AS (SELECT c.y AS yt, 1.0 AS f0, b.y AS f1, a.y AS f2, c.x AS f3
+                   FROM s c JOIN s b ON b.t = c.t - 1 JOIN s a ON a.t = c.t - 2),
+          g AS (SELECT $gSums, $bSums FROM feat),
+          beta AS (SELECT $betas FROM g),
+          xn AS (SELECT 1.0 AS x0,
+                   (SELECT y FROM s WHERE t = (SELECT MAX(t) FROM s)) AS x1,
+                   (SELECT y FROM s WHERE t = (SELECT MAX(t) FROM s) - 1) AS x2,
+                   (SELECT x FROM s WHERE t = (SELECT MAX(t) FROM s)) AS x3)
+          SELECT '1996-01-01' AS d,
+            ${SqlFragments.r15("(beta0 * x0 + beta1 * x1 + beta2 * x2 + beta3 * x3) * 1000000.0", 4)} AS total_pred
+          FROM beta, xn"""
     }
   )
 }
