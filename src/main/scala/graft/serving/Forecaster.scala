@@ -17,43 +17,11 @@ trait Forecaster {
   def predictNext(y: Array[Double], exog: Array[Array[Double]]): Double
 }
 
-/** Linear AR(p) + exogenous regression, ridge-regularized, fit by
-  * Gaussian elimination on the normal equations. Deterministic.
-  */
-class ArxForecaster(p: Int = 2, ridge: Double = 1e-6) extends Forecaster {
-
-  override def predictNext(y: Array[Double], exog: Array[Array[Double]]): Double = {
-    val n = y.length
-    require(n > p, s"need more than $p observations, got $n")
-    val nExog = if (exog.nonEmpty) exog(0).length else 0
-    val dim = 1 + p + nExog // intercept + lags + exog
-    // rows t = p .. n-1: predict y(t) from [1, y(t-1..t-p), exog(t)]
-    val rows = (p until n).map { t =>
-      val x = new Array[Double](dim)
-      x(0) = 1.0
-      for (j <- 1 to p) x(j) = y(t - j)
-      for (j <- 0 until nExog) x(1 + p + j) = exog(t)(j)
-      (x, y(t))
-    }
-    val xtx = Array.fill(dim, dim)(0.0)
-    val xty = new Array[Double](dim)
-    for ((x, yt) <- rows; i <- 0 until dim) {
-      xty(i) += x(i) * yt
-      for (j <- 0 until dim) xtx(i)(j) += x(i) * x(j)
-    }
-    for (i <- 0 until dim) xtx(i)(i) += ridge
-    val beta = solve(xtx, xty)
-    // feature row for t = n
-    val xNext = new Array[Double](dim)
-    xNext(0) = 1.0
-    for (j <- 1 to p) xNext(j) = y(n - j)
-    for (j <- 0 until nExog)
-      xNext(1 + p + j) = if (exog.length > n - 1) exog(n - 1)(j) else exog.last(j)
-    (0 until dim).map(i => beta(i) * xNext(i)).sum
-  }
+/** Shared deterministic linear-algebra kernel for the forecasters. */
+private[serving] object LinAlg {
 
   /** In-place Gaussian elimination with partial pivoting. */
-  private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+  def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
     val n = b.length
     val m = a.map(_.clone())
     val v = b.clone()
@@ -79,5 +47,93 @@ class ArxForecaster(p: Int = 2, ridge: Double = 1e-6) extends Forecaster {
       x(r) = s / m(r)(r)
     }
     x
+  }
+
+  /** Ridge-regularized least squares over (feature row, target) pairs. */
+  def ridgeFit(rows: Seq[(Array[Double], Double)], dim: Int, ridge: Double): Array[Double] = {
+    val xtx = Array.fill(dim, dim)(0.0)
+    val xty = new Array[Double](dim)
+    for ((x, yt) <- rows; i <- 0 until dim) {
+      xty(i) += x(i) * yt
+      for (j <- 0 until dim) xtx(i)(j) += x(i) * x(j)
+    }
+    for (i <- 0 until dim) xtx(i)(i) += ridge
+    solve(xtx, xty)
+  }
+}
+
+/** Linear AR(p) + exogenous regression, ridge-regularized, fit by
+  * Gaussian elimination on the normal equations. Deterministic.
+  */
+class ArxForecaster(p: Int = 2, ridge: Double = 1e-6) extends Forecaster {
+
+  override def predictNext(y: Array[Double], exog: Array[Array[Double]]): Double = {
+    val n = y.length
+    require(n > p, s"need more than $p observations, got $n")
+    val nExog = if (exog.nonEmpty) exog(0).length else 0
+    val dim = 1 + p + nExog // intercept + lags + exog
+    // rows t = p .. n-1: predict y(t) from [1, y(t-1..t-p), exog(t)]
+    val rows = (p until n).map { t =>
+      val x = new Array[Double](dim)
+      x(0) = 1.0
+      for (j <- 1 to p) x(j) = y(t - j)
+      for (j <- 0 until nExog) x(1 + p + j) = exog(t)(j)
+      (x, y(t))
+    }
+    val beta = LinAlg.ridgeFit(rows, dim, ridge)
+    // feature row for t = n
+    val xNext = new Array[Double](dim)
+    xNext(0) = 1.0
+    for (j <- 1 to p) xNext(j) = y(n - j)
+    for (j <- 0 until nExog)
+      xNext(1 + p + j) = if (exog.length > n - 1) exog(n - 1)(j) else exog.last(j)
+    (0 until dim).map(i => beta(i) * xNext(i)).sum
+  }
+}
+
+/** SARIMAX-shaped forecaster (reference: airflow/dags/Serving_layer/
+  * prediction.py:64-73, a pmdarima SARIMAX): `d`-order differencing,
+  * non-seasonal AR lags `p`, seasonal AR lags at multiples of the
+  * season length `s` up to order `bigP`, plus exogenous regressors —
+  * fit as one ridge-regularized linear model on the differenced series
+  * and integrated back for the one-step forecast. No MA terms (they
+  * need iterative likelihood fitting; the AR+seasonal+differencing
+  * backbone covers the reference's (p,d,q)(P,D,Q,s) mean structure
+  * deterministically — SURVEY §2.8 documents the trade).
+  */
+class SarimaxLiteForecaster(p: Int = 2, d: Int = 0, bigP: Int = 0, s: Int = 7,
+                            ridge: Double = 1e-6) extends Forecaster {
+  require(d >= 0 && p >= 0 && bigP >= 0 && (bigP == 0 || s >= 1),
+    "invalid SARIMAX orders")
+
+  override def predictNext(y: Array[Double], exog: Array[Array[Double]]): Double = {
+    // d-order differencing: levels(k) = k-th difference of y
+    val levels = Iterator.iterate(y)(prev => prev.indices.tail.map(i => prev(i) - prev(i - 1)).toArray)
+      .take(d + 1).toArray
+    val z = levels(d)
+    val maxLag = math.max(p, bigP * s)
+    val n = z.length
+    require(n > maxLag, s"need more than ${maxLag + d} observations, got ${y.length}")
+    val nExog = if (exog.nonEmpty) exog(0).length else 0
+    val dim = 1 + p + bigP + nExog
+    // z index i corresponds to original time i + d (exog is aligned to y)
+    val rows = (maxLag until n).map { t =>
+      val x = new Array[Double](dim)
+      x(0) = 1.0
+      for (j <- 1 to p) x(j) = z(t - j)
+      for (j <- 1 to bigP) x(p + j) = z(t - j * s)
+      for (j <- 0 until nExog) x(1 + p + bigP + j) = exog(t + d)(j)
+      (x, z(t))
+    }
+    val beta = LinAlg.ridgeFit(rows, dim, ridge)
+    val xNext = new Array[Double](dim)
+    xNext(0) = 1.0
+    for (j <- 1 to p) xNext(j) = z(n - j)
+    for (j <- 1 to bigP) xNext(p + j) = z(n - j * s)
+    for (j <- 0 until nExog) xNext(1 + p + bigP + j) = exog.last(j)
+    val zNext = (0 until dim).map(i => beta(i) * xNext(i)).sum
+    // integrate the differencing back: y_next = zNext + sum of the last
+    // value at each lower difference level
+    (d - 1 to 0 by -1).foldLeft(zNext)((acc, k) => acc + levels(k).last)
   }
 }

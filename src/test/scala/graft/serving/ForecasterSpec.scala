@@ -32,4 +32,44 @@ class ForecasterSpec extends AnyFunSuite {
       new ArxForecaster(p = 3).predictNext(Array(1.0, 2.0, 3.0), Array.empty)
     }
   }
+
+  test("SarimaxLite(p, d=0, P=0) coincides with ArxForecaster(p)") {
+    val y = (0 until 40).map(i => math.sin(i * 0.7) * 5 + i * 0.3 + 20).toArray
+    val x = (0 until 40).map(i => Array((i * 13 % 7).toDouble)).toArray
+    val a = new ArxForecaster(p = 3).predictNext(y, x)
+    val b = new SarimaxLiteForecaster(p = 3, d = 0, bigP = 0).predictNext(y, x)
+    assert(a == b)
+  }
+
+  test("differencing recovers a quadratic trend that plain AR misses") {
+    val y = (1 to 60).map(i => 0.5 * i * i).toArray
+    val truth = 0.5 * 61 * 61
+    val pred = new SarimaxLiteForecaster(p = 1, d = 2).predictNext(y, Array.empty)
+    assert(math.abs(pred - truth) < 1e-4, s"pred=$pred truth=$truth")
+  }
+
+  test("seasonal lags converge on a trend + weekly-pattern series") {
+    // y(t) = 0.5t + pattern[t mod 7]: first difference is exactly
+    // periodic with period 7, so d=1 + one seasonal AR lag at s=7
+    // nails the one-step forecast
+    val pattern = Array(4.0, -2.0, 7.0, 1.0, -5.0, 3.0, 0.0)
+    val n = 70
+    val y = (0 until n).map(t => 0.5 * t + pattern(t % 7)).toArray
+    val truth = 0.5 * n + pattern(n % 7)
+    val pred = new SarimaxLiteForecaster(p = 1, d = 1, bigP = 1, s = 7).predictNext(y, Array.empty)
+    assert(math.abs(pred - truth) < 0.15, s"pred=$pred truth=$truth")
+    // plain ARX(1) on the same series is far off the seasonal step
+    val arx = new ArxForecaster(p = 1).predictNext(y, Array.empty)
+    assert(math.abs(arx - truth) > math.abs(pred - truth))
+  }
+
+  test("seasonal forecaster uses exogenous signal on the differenced scale") {
+    // z(t) = first difference = 2 * x(t); exog carries the full signal
+    val x = (0 until 50).map(i => (i * 29 % 13).toDouble).toArray
+    val y = x.scanLeft(100.0)((acc, v) => acc + 2.0 * v).drop(1).toArray
+    val exog = x.map(Array(_))
+    val pred = new SarimaxLiteForecaster(p = 1, d = 1, ridge = 1e-9).predictNext(y, exog)
+    // next diff ~ 2 * last x -> y_next ~ y_last + 2 * x_last
+    assert(math.abs(pred - (y.last + 2.0 * x.last)) < 0.5, s"pred=$pred")
+  }
 }
