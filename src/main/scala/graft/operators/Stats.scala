@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed statistical operators whose built-in counterparts buffer
+  * whole groups in a single task.
+  */
+object Stats {
+
+  /** Exact interpolated median per key (same semantics as
+    * `percentile(v, 0.5)`), in a partial-agg-friendly two-pass shape:
+    *
+    *   1. hash-aggregate (key, value) occurrence counts — map-side
+    *      combined, so the shuffle carries distinct values, not rows;
+    *   2. running-offset window over the (key-partitioned, value-sorted)
+    *      count rows picks the one or two straddling values and
+    *      interpolates.
+    *
+    * Built-in `percentile()` materializes every value of a group inside
+    * one aggregation buffer — a per-task memory bomb when keys are few
+    * and groups are huge (the q30 shape at 100 TB). Here no task ever
+    * holds more than its partition's share of DISTINCT (key, value)
+    * pairs; for continuous data that is still the row count in the
+    * worst case, but spread across the cluster by (key, value) hash
+    * rather than concentrated per key.
+    */
+  def exactMedian(df: DataFrame, keyCol: String, valCol: String,
+                  outCol: String = "median"): DataFrame = {
+    val counts = df.where(col(valCol).isNotNull)
+      .groupBy(col(keyCol), col(valCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val run = Window.partitionBy(keyCol).orderBy("_v")
+    val whole = Window.partitionBy(keyCol)
+    val cum = counts
+      .withColumn("_hi", sum("_c").over(run))        // ranks covered: [_lo, _hi)
+      .withColumn("_lo", col("_hi") - col("_c"))
+      .withColumn("_n", sum("_c").over(whole))
+    // interpolated median at 0-based position (n-1)/2, exactly the
+    // built-in percentile's rule: vlow + frac * (vhigh - vlow)
+    val pos = (col("_n") - 1) / 2.0
+    val lowIdx = floor(pos)
+    val highIdx = ceil(pos)
+    cum
+      .where((col("_lo") <= lowIdx && lowIdx < col("_hi")) ||
+        (col("_lo") <= highIdx && highIdx < col("_hi")))
+      .groupBy(col(keyCol), col("_n"))
+      .agg(
+        min(when(col("_lo") <= lowIdx && lowIdx < col("_hi"), col("_v"))).as("_vlow"),
+        min(when(col("_lo") <= highIdx && highIdx < col("_hi"), col("_v"))).as("_vhigh"))
+      .select(col(keyCol),
+        (col("_vlow") + (pos - floor(pos)) * (col("_vhigh") - col("_vlow"))).as(outCol))
+  }
+}

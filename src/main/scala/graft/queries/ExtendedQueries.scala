@@ -42,13 +42,29 @@ object ExtendedQueries {
     }),
 
     // Statistical aggregates: exact distinct count, sample stddev,
-    // exact interpolated median.
+    // exact interpolated median. SCALE STANCE: built-in percentile()
+    // buffers every value of a group in one aggregation task — with 3
+    // keys that is a per-task memory bomb at 100 TB. This query keeps
+    // the built-in deliberately (it is the compact single-agg form and
+    // the oracle target at test sf); for huge low-cardinality groups use
+    // Stats.exactMedian (q51) — the partial-agg two-pass exact form —
+    // or the q41 sketch path when approximation is acceptable.
     "q30_stats_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_orderkey")).as("n_orders"),
           NumFns.stableRound(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
           expr("percentile(l_quantity, 0.5)").as("med_qty"))
+    }),
+
+    // Exact median without group buffering: two-pass count/offset form
+    // (Stats.exactMedian) — the scale path for exact quantiles on
+    // low-cardinality keys.
+    "q51_exact_median" -> ((s, dir) => {
+      graft.operators.Stats.exactMedian(
+          t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+        .select(col("l_returnflag"),
+          NumFns.stableRound(col("median"), 4).as("med_price"))
     }),
 
     // Session windows (gap-based), the streaming session operator run in
@@ -136,6 +152,10 @@ object ExtendedQueries {
       s"""SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
           ${SqlFragments.r15("stddev_samp(l_extendedprice)", 4)} AS sd_price,
           quantile_cont(l_quantity, 0.5) AS med_qty
+          FROM lineitem GROUP BY l_returnflag""",
+    "q51_exact_median" ->
+      s"""SELECT l_returnflag,
+          ${SqlFragments.r15("quantile_cont(l_extendedprice, 0.5)", 4)} AS med_price
           FROM lineitem GROUP BY l_returnflag""",
     "q31_sessionize" ->
       s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

@@ -30,10 +30,15 @@ class FileStreamSource(path: String) extends StreamSource {
   * here and exercised only where the jar exists.
   */
 class KafkaStreamSource(bootstrap: String, topic: String) extends StreamSource {
+
+  /** The reader options, exposed for tests: the reference's consumer
+    * config (one subscribed topic, loss-tolerant) verbatim.
+    */
+  def options: Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "failOnDataLoss" -> "false")
+
   override def load(spark: SparkSession): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("failOnDataLoss", "false")
-      .load()
+    spark.readStream.format("kafka").options(options).load()
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Stats.exactMedian must reproduce the built-in exact interpolated
+  * percentile(0.5) — same values, different (partial-agg-friendly)
+  * plan.
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches built-in percentile(0.5) on real groups") {
+    val li = graft.Tables.load(spark, sf(), "lineitem")
+    val builtin = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val twoPass = Stats.exactMedian(li, "l_returnflag", "l_extendedprice")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(builtin.keySet == twoPass.keySet)
+    for ((k, v) <- builtin)
+      assert(math.abs(twoPass(k) - v) <= math.abs(v) * 1e-12, s"$k: ${twoPass(k)} vs $v")
+  }
+
+  test("odd / even group sizes and duplicated values interpolate correctly") {
+    val df = Seq(
+      ("odd", 3.0), ("odd", 1.0), ("odd", 2.0),
+      ("even", 1.0), ("even", 2.0), ("even", 3.0), ("even", 10.0),
+      ("dups", 5.0), ("dups", 5.0), ("dups", 5.0), ("dups", 7.0)
+    ).toDF("k", "v")
+    val m = Stats.exactMedian(df, "k", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("odd") == 2.0)
+    assert(m("even") == 2.5)   // (2+3)/2
+    assert(m("dups") == 5.0)   // straddling ranks both inside the dup run
+  }
+
+  test("null values are ignored like the built-in") {
+    val df = Seq(("k", Some(1.0)), ("k", None), ("k", Some(3.0)))
+      .toDF("k", "v")
+    val m = Stats.exactMedian(df, "k", "v").collect().head.getDouble(1)
+    assert(m == 2.0)
+  }
+}
