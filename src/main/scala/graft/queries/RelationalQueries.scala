@@ -150,6 +150,58 @@ object RelationalQueries {
           NumFns.stableRound(avg(col("value")), 4).as("avg_v"))
     }),
 
+    // CUBE grouping sets: all four (flag, status) subtotal combinations.
+    "q52_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          NumFns.stableRound(sum(col("l_quantity")), 2).as("qty"))
+    }),
+
+    // UNPIVOT (wide -> long): three measure columns melt into
+    // (metric, val) rows — the Dataset.unpivot generator.
+    "q53_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "val")
+    }),
+
+    // Date-spine gap fill + last-observation-carried-forward: the
+    // time-series resample shape. The spine and the LOCF window are
+    // O(days) — a single-partition window over the calendar is fine by
+    // construction (document: partition by series key when filling many
+    // series).
+    "q54_gap_fill" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .where(col("o_totalprice") > 400000 &&
+          to_date(col("o_orderdate")).between("1995-01-01", "1995-03-31"))
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(max(col("o_totalprice")).as("v"))
+      val spine = s.range(90)
+        .select(date_add(lit("1995-01-01").cast("date"), col("id").cast("int")).as("d"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("d")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      spine.join(daily, Seq("d"), "left")
+        .select(col("d").cast("string").as("d"), col("v"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+    }),
+
+    // Rank-family windows: percent_rank / cume_dist / ntile quartiles
+    // (deterministic total order via the orderkey tiebreak).
+    "q55_rank_family" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
     // IVF ANN: deterministic coarse centroids, 3-of-8 cell probe. The
     // whole inverted-file pipeline is plain cosine arithmetic, so the
     // oracle replays it end-to-end (assignment argmin, probe set,
@@ -202,6 +254,38 @@ object RelationalQueries {
          CAST(quarter(o_orderdate) AS BIGINT) AS q,
          strftime(o_orderdate, '%Y-%m-%d') AS iso
          FROM orders""",
+    "q52_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          ${SqlFragments.r15("SUM(l_quantity)", 2)} AS qty
+          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q53_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric, l_extendedprice AS val
+         FROM lineitem WHERE l_orderkey < 2000
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+         FROM lineitem WHERE l_orderkey < 2000
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+         FROM lineitem WHERE l_orderkey < 2000""",
+    "q54_gap_fill" ->
+      """WITH spine AS (SELECT CAST(d AS DATE) AS d
+                        FROM generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY) t(d)),
+              daily AS (SELECT o_orderdate AS d, MAX(o_totalprice) AS v
+                        FROM orders
+                        WHERE o_totalprice > 400000
+                          AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+                        GROUP BY 1)
+         SELECT strftime(spine.d, '%Y-%m-%d') AS d, v,
+           last_value(v IGNORE NULLS) OVER
+             (ORDER BY spine.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+         FROM spine LEFT JOIN daily ON spine.d = daily.d""",
+    "q55_rank_family" ->
+      """SELECT o_orderkey, o_orderpriority,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""",
     "q41_approx_sketches" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact,
          TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok
