@@ -74,14 +74,20 @@ object RelationalQueries {
     "q41_approx_sketches" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_orderkey"),
         col("l_extendedprice"))
-      val approx = li.groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_orderkey")).as("n_exact"),
-          approx_count_distinct(col("l_orderkey")).as("_hll"),
-          element_at(percentile_approx(col("l_extendedprice"),
-            array(lit(0.5), lit(0.95)), lit(1000)), 1).as("_p50"),
-          element_at(percentile_approx(col("l_extendedprice"),
-            array(lit(0.5), lit(0.95)), lit(1000)), 2).as("_p95"))
-        .persist()
+      // sketches and the exact distinct count are SEPARATE aggregations:
+      // countDistinct in the same agg would Expand the input and build
+      // one sketch buffer per (flag, orderkey) distinct key instead of
+      // per flag — measured 10x slower. One quantile sketch serves both
+      // probes (element_at after the agg).
+      val sketches = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("_hll"),
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(1000)).as("_pq"))
+        .select(col("l_returnflag"), col("_hll"),
+          element_at(col("_pq"), 1).as("_p50"), element_at(col("_pq"), 2).as("_p95"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      val approx = sketches.join(exact, Seq("l_returnflag")).persist()
       val ranks = li.select(col("l_returnflag").as("_rf"), col("l_extendedprice"))
         .join(broadcast(approx.select(col("l_returnflag").as("_rf"), col("_p50"), col("_p95"))),
           Seq("_rf"))

@@ -104,14 +104,11 @@ object SqlFragments {
     */
   def shinglePairsCte(threshold: Double): String =
     s"""WITH tk AS (SELECT doc_id,
-          list_distinct($toksExpr) AS tk,
           list_distinct(${bigramsExpr(toksExpr)}) AS sh
           FROM documents WHERE text IS NOT NULL),
         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-            len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard,
-          CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
-            len(list_distinct(list_concat(a.tk, b.tk))) AS token_jaccard
+            len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
           FROM tk a JOIN tk b
           ON a.doc_id < b.doc_id AND len(list_concat(a.sh, b.sh)) > 0),
         verified AS (SELECT * FROM pairs WHERE jaccard >= $threshold)"""

@@ -47,13 +47,13 @@ object VectorQueries {
     // all-pairs truth: every pair above the verify threshold must be
     // produced by the banded candidate stage (completeness of LSH at
     // high similarity), with the exact shingle Jaccard value, and the
-    // signature estimate must sit within +/-0.2 of the true
-    // distinct-token Jaccard (32-hash estimator bound).
+    // signature estimate must sit within +/-0.2 of the true shingle
+    // Jaccard (32-hash estimator bound).
     "q23_minhash_lsh" -> ((s, dir) => {
       Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
           estThreshold = 0.3, jaccardThreshold = 0.4)
         .select(col("a_id"), col("b_id"), col("jaccard"),
-          (abs(col("jaccard_est") - col("token_jaccard")) <= 0.2).as("est_ok"))
+          (abs(col("jaccard_est") - col("jaccard")) <= 0.2).as("est_ok"))
     }),
 
     // SimHash 64-bit signatures, oracle-pinned through the Hamming
