@@ -27,5 +27,11 @@ object Registry {
     reg.createOrReplaceTempFunction("token_count", wrap1(TextFns.tokenCount), "built-in")
     reg.createOrReplaceTempFunction("sentiment_scores",
       wrap1(SentimentFns.sentiment(_)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => graft.expressions.SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sigs",
+      // numHashes must be a literal int: SQL form minhash_sigs(hashes, 32)
+      exprs => graft.expressions.MinHashSigs(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
   }
 }

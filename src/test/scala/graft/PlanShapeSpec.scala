@@ -82,4 +82,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles <= 1, s"$shuffles shuffles in:\n$p")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("near-dedup never goes cartesian (candidates are key-joined)") {
+    val df = SparkEntry.queries("q34_near_dedup")(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("two-pass exact median has no group-buffering percentile aggregate") {
+    val df = SparkEntry.queries("q51_exact_median")(spark, sf())
+    val p = plan(df)
+    assert(!p.toLowerCase.contains("percentile"), p)
+  }
 }

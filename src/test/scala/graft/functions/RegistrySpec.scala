@@ -30,6 +30,26 @@ class RegistrySpec extends SparkSpec {
     assert(viaApi.exceptAll(viaSql).count() == 0)
   }
 
+  test("signature expressions work in SQL and equal the operator path") {
+    Registry.register(spark)
+    graft.Tables.load(spark, sf(), "documents").limit(50)
+      .createOrReplaceTempView("docs_sig_t")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+           simhash64(transform(array_distinct(filter(split(lower(text), '\\s+'),
+             t -> length(t) > 0)), t -> xxhash64(t))) AS sh,
+           minhash_sigs(transform(array_distinct(filter(split(lower(text), '\\s+'),
+             t -> length(t) > 0)), t -> pmod(xxhash64(t), 1000000007L)), 32) AS sig
+         FROM docs_sig_t""")
+    val viaApi = graft.operators.Dedup.minHashSignatures(
+        graft.operators.Dedup.simHash(
+          graft.Tables.load(spark, sf(), "documents").limit(50), "text"),
+        "text", 32)
+      .select(col("doc_id"), col("simhash").as("sh"), col("sig"))
+    assert(viaSql.exceptAll(viaApi).count() == 0)
+    assert(viaApi.exceptAll(viaSql).count() == 0)
+  }
+
   test("cosine_sim works in SQL over embeddings") {
     Registry.register(spark)
     graft.Tables.load(spark, sf(), "embeddings").limit(20)
