@@ -156,6 +156,38 @@ object RelationalQueries {
           NumFns.stableRound(avg(col("value")), 4).as("avg_v"))
     }),
 
+    // Skew-salted join, oracle-pinned equal to the PLAIN join: salting
+    // must be invisible in the result — the (key, salt) equi-join with a
+    // salts-replicated dim spreads each hot key over `salts` reducers
+    // without changing a single output row.
+    "q56_salted_join" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+      val dim = t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(fact, dim, "okey", salts = 16)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          NumFns.stableRound(sum(col("l_extendedprice")), 2).as("total"))
+    }),
+
+    // Stratified sampling (per-key Bernoulli fractions): the corpus
+    // downsampling shape. Sampling is seeded RNG — not SQL-replayable —
+    // so the oracle pins the exact per-stratum rate bound: at ~20%
+    // fractions the realized rate must sit within 2% absolute (7+
+    // standard deviations) of the target.
+    "q57_stratified_sample" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"))
+      val fractions = Map("A" -> 0.2, "N" -> 0.1, "R" -> 0.3)
+      val sampled = li.stat.sampleBy("l_returnflag", fractions, seed = 42L)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("_k"))
+      val totals = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("_n"))
+      val target = s.createDataFrame(fractions.toSeq).toDF("l_returnflag", "_f")
+      sampled.join(totals, Seq("l_returnflag")).join(broadcast(target), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          (abs(col("_k").cast("double") / col("_n") - col("_f")) <= 0.02).as("rate_ok"))
+    }),
+
     // CUBE grouping sets: all four (flag, status) subtotal combinations.
     "q52_cube" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -260,6 +292,14 @@ object RelationalQueries {
          CAST(quarter(o_orderdate) AS BIGINT) AS q,
          strftime(o_orderdate, '%Y-%m-%d') AS iso
          FROM orders""",
+    "q56_salted_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+          ${SqlFragments.r15("SUM(l_extendedprice)", 2)} AS total
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderpriority""",
+    "q57_stratified_sample" ->
+      """SELECT l_returnflag, TRUE AS rate_ok
+         FROM (SELECT DISTINCT l_returnflag FROM lineitem)""",
     "q52_cube" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
           ${SqlFragments.r15("SUM(l_quantity)", 2)} AS qty
