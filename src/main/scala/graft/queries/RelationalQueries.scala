@@ -130,6 +130,16 @@ object RelationalQueries {
           coalesce(col("spent"), lit(0.0)).as("spent"))
     }),
 
+    // Bounded rolling-frame window: 7-row moving average per key (the
+    // time-series smoothing shape; frame-bounded, not unbounded).
+    "q59_moving_avg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id").rowsBetween(-6, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          NumFns.stableRound(avg(col("value")).over(w), 6).as("mov_avg"))
+    }),
+
     // Cumulative window aggregation per key (running total).
     "q45_running_sum" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -393,6 +403,10 @@ object RelationalQueries {
           SELECT c_custkey, c_mktsegment,
             COALESCE(n_orders, 0) AS n_orders, COALESCE(spent, 0.0) AS spent
           FROM customer LEFT JOIN o ON c_custkey = o_custkey""",
+    "q59_moving_avg" ->
+      s"""SELECT event_id, user_id,
+         ${SqlFragments.r15("AVG(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)", 6)} AS mov_avg
+         FROM events""",
     "q45_running_sum" ->
       s"""SELECT event_id, user_id, value,
          ${SqlFragments.r15("SUM(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 4)} AS running_total

@@ -113,6 +113,27 @@ object TextQueries {
           size(filter(col("_toks"), x => x.isInCollection(stop))).cast("long").as("removed"))
     }),
 
+    // Corpus unigram language-model scoring: train token frequencies
+    // over the corpus (hash aggregate), then score each document's mean
+    // log-probability under that model — the LM-based quality-filter
+    // shape (a cheap stand-in for perplexity filtering). Two hash
+    // aggregates + a broadcast total; the frequency join is a plain
+    // equi-join on the token.
+    "q58_unigram_logprob" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .withColumn("_toks", TextFns.tokens(col("text")))
+        .select(col("doc_id"), explode(col("_toks")).as("w"))
+      val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      val total = freq.agg(sum(col("wc")).as("tc"))
+      toks.join(freq, Seq("w"))
+        .crossJoin(broadcast(total))
+        .withColumn("_lp", log(col("wc").cast("double") / col("tc")))
+        .groupBy(col("doc_id"))
+        .agg(NumFns.stableRound(avg(col("_lp")), 6).as("avg_logprob"),
+          count(lit(1)).as("n_toks"))
+    }),
+
     // Corpus-wide n-gram frequency profile: top-20 bigrams (explode ->
     // hash aggregate -> ordered limit; deterministic tie-break).
     "q47_ngram_freq" -> ((s, dir) => {
@@ -189,6 +210,16 @@ object TextQueries {
             len(list_filter(toks, x -> list_contains($stop, x))) AS removed
           FROM t"""
     },
+    "q58_unigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${SqlFragments.toksExpr}) AS w
+                        FROM documents WHERE text IS NOT NULL),
+              freq AS (SELECT w, COUNT(*) AS wc FROM toks GROUP BY w),
+              total AS (SELECT CAST(SUM(wc) AS BIGINT) AS tc FROM freq),
+              sc AS (SELECT doc_id, ln(CAST(wc AS DOUBLE) / tc) AS lp
+                     FROM toks JOIN freq USING (w) CROSS JOIN total)
+          SELECT doc_id, ${SqlFragments.r15("AVG(lp)", 6)} AS avg_logprob,
+            COUNT(*) AS n_toks
+          FROM sc GROUP BY doc_id""",
     "q47_ngram_freq" ->
       s"""WITH t AS (SELECT ${SqlFragments.toksExpr} AS toks FROM documents),
           b AS (SELECT unnest(${SqlFragments.bigramsExpr("toks")}) AS bigram FROM t)
