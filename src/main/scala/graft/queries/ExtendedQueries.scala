@@ -125,9 +125,16 @@ object ExtendedQueries {
         .where(col("n_toks") >= 20 && col("uniq_ratio") >= 0.15)
         .withColumn("lang_pred", TextFns.langIdFromTokens(col("_toks")))
         .withColumn("fp", TextFns.fingerprint(col("clean")))
-      val keep = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      docs.join(keep, Seq("fp", "doc_id"), "left_semi")
-        .select(col("doc_id"), col("lang_pred"), col("n_toks"), col("fp"))
+      // min-id-per-fingerprint via a window over the ALREADY-COMPUTED
+      // narrow projection: the semi-join form recomputed the whole
+      // clean/tokenize/langid pipeline on the aggregate side (self-join
+      // lineage duplication); this runs the text work once and shuffles
+      // only (doc_id, lang_pred, n_toks, fp)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      docs.select(col("doc_id"), col("lang_pred"), col("n_toks"), col("fp"))
+        .withColumn("_min_id", min(col("doc_id")).over(w))
+        .where(col("doc_id") === col("_min_id"))
+        .drop("_min_id")
     })
   )
 
