@@ -57,12 +57,16 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents: Array[(Long, Seq[Float])] =
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              centroids: Option[Array[(Long, Seq[Double])]] = None): DataFrame = {
+    // coarse centroids: caller-provided (e.g. KMeans.fit for real
+    // partition quality) or the deterministic default — the first
+    // nCells corpus vectors by id
+    val cents: Array[(Long, Seq[Double])] = centroids.getOrElse(
       corpus.orderBy(col(idCol)).limit(nCells)
         .select(col(idCol).cast("long"), col(vecCol))
         .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))))
     // per-row (neg-sim, cell) structs, ascending sort => best cell first;
     // ties break on the smaller cell id (same order the rank window used)
     def cellsByAffinity(vec: Column): Column =
