@@ -126,7 +126,11 @@ object TextQueries {
         .select(col("doc_id"), explode(col("_toks")).as("w"))
       val freq = toks.groupBy(col("w")).agg(count(lit(1)).as("wc"))
       val total = freq.agg(sum(col("wc")).as("tc"))
-      toks.join(freq, Seq("w"))
+      // the vocabulary is orders of magnitude smaller than the token
+      // stream: broadcast it so the per-token frequency lookup is
+      // map-side (no shuffle of the exploded tokens); at truly huge
+      // vocabularies drop the hint and let the shuffle join happen
+      toks.join(broadcast(freq), Seq("w"))
         .crossJoin(broadcast(total))
         .withColumn("_lp", log(col("wc").cast("double") / col("tc")))
         .groupBy(col("doc_id"))
