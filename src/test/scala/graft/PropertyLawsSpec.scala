@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.{Scored, TopKBySim}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based laws for the hand-written kernels, checked against
+  * straightforward reference implementations on randomized inputs
+  * (fixed scalacheck seed policy: default RNG, 200 cases each — pure
+  * JVM evaluation, no Spark jobs).
+  */
+class PropertyLawsSpec extends AnyFunSuite {
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private val scoredGen: Gen[List[Scored]] = for {
+    n <- Gen.choose(0, 60)
+    sims <- Gen.listOfN(n, Gen.choose(-4, 4).map(_ / 4.0)) // few distinct values => many ties
+    nids <- Gen.pick(n, 0L until 1000L)
+  } yield sims.zip(nids).map { case (s, id) => Scored(s, id) }
+
+  private def refTopK(xs: List[Scored], k: Int): List[Scored] =
+    xs.sortBy(s => (-s.sim, s.nid)).take(k)
+
+  test("TopKBySim equals sort-take-k for any input") {
+    check("topk", Prop.forAll(scoredGen, Gen.choose(1, 8)) { (xs, k) =>
+      val agg = new TopKBySim(k)
+      val got = xs.foldLeft(agg.zero)(agg.reduce)
+      got == refTopK(xs, k)
+    })
+  }
+
+  test("TopKBySim merge is split-point invariant") {
+    check("topk-merge", Prop.forAll(scoredGen, Gen.choose(1, 6), Gen.choose(0, 60)) {
+      (xs, k, cut0) =>
+        val agg = new TopKBySim(k)
+        val cut = math.min(cut0, xs.length)
+        val (a, b) = xs.splitAt(cut)
+        val merged = agg.merge(
+          a.foldLeft(agg.zero)(agg.reduce),
+          b.foldLeft(agg.zero)(agg.reduce))
+        merged == refTopK(xs, k)
+    })
+  }
+
+  private val hashesGen: Gen[List[Long]] =
+    Gen.listOf(Gen.choose(0L, 1000000006L))
+
+  test("MinHashSigs equals the per-permutation min reference") {
+    val P = 1000000007L
+    check("minhash", Prop.forAll(hashesGen) { hs =>
+      val expr = graft.expressions.MinHashSigs(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), 32)
+      val out = expr.nullSafeEval(new GenericArrayData(hs.toArray))
+      if (hs.isEmpty) out == null
+      else {
+        val got = out.asInstanceOf[GenericArrayData].toLongArray().toList
+        val ref = (0 until 32).map { i =>
+          val a = 2L * i + 1
+          val b = (0x9E3779B9L * (i + 1)) % P
+          hs.map(h => (a * h + b) % P).min
+        }.toList
+        got == ref
+      }
+    })
+  }
+
+  test("SimHash64 equals the bit-majority reference") {
+    check("simhash", Prop.forAll(Gen.listOf(Gen.long)) { hs =>
+      val expr = graft.expressions.SimHash64(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L))
+      val got = expr.nullSafeEval(new GenericArrayData(hs.toArray)).asInstanceOf[Long]
+      val ref = (0 until 64).map { i =>
+        val cnt = hs.map(h => (((h >>> i) & 1L).toInt << 1) - 1).sum
+        if (cnt > 0) 1L << i else 0L
+      }.foldLeft(0L)(_ | _)
+      got == ref
+    })
+  }
+}
