@@ -130,28 +130,81 @@ object SpeedLayer {
             state.remove()
             Iterator.empty
           } else {
-            var cur = state.getOption.getOrElse(
-              SpeedRow(date, None, None, None, None, None, None, 0L, None, None, None))
-            rows.toSeq.sortBy(_.seq).foreach { d =>
-              d.tick.foreach { t =>
-                cur = cur.copy(
-                  open = t.open.orElse(cur.open), high = t.high.orElse(cur.high),
-                  low = t.low.orElse(cur.low), close = t.close.orElse(cur.close),
-                  adjClose = t.adjClose.orElse(cur.adjClose),
-                  volume = t.volume.orElse(cur.volume))
-              }
-              d.sentiment.foreach { sc =>
-                cur = cur.copy(
-                  nbrArticle = cur.nbrArticle + 1,
-                  positive = Some(EwAverage.step(cur.positive, sc.pos)),
-                  negative = Some(EwAverage.step(cur.negative, sc.neg)),
-                  neutral = Some(EwAverage.step(cur.neutral, sc.neu)))
-              }
-            }
+            val cur = foldInto(
+              state.getOption.getOrElse(emptyRow(date)), rows)
             state.update(cur)
             retention.foreach(r => state.setTimeoutDuration(r.toMillis))
             Iterator.single(cur)
           }
       }
+  }
+
+  private[streaming] def emptyRow(date: String): SpeedRow =
+    SpeedRow(date, None, None, None, None, None, None, 0L, None, None, None)
+
+  /** The merge fold shared by both state APIs: OHLCV last-write-wins,
+    * sentiment EW (x+v)/2 in seq order, Nbr_article increments.
+    */
+  private[streaming] def foldInto(start: SpeedRow,
+                                  rows: Iterator[SpeedDelta]): SpeedRow = {
+    var cur = start
+    rows.toSeq.sortBy(_.seq).foreach { d =>
+      d.tick.foreach { t =>
+        cur = cur.copy(
+          open = t.open.orElse(cur.open), high = t.high.orElse(cur.high),
+          low = t.low.orElse(cur.low), close = t.close.orElse(cur.close),
+          adjClose = t.adjClose.orElse(cur.adjClose),
+          volume = t.volume.orElse(cur.volume))
+      }
+      d.sentiment.foreach { sc =>
+        cur = cur.copy(
+          nbrArticle = cur.nbrArticle + 1,
+          positive = Some(EwAverage.step(cur.positive, sc.pos)),
+          negative = Some(EwAverage.step(cur.negative, sc.neg)),
+          neutral = Some(EwAverage.step(cur.neutral, sc.neu)))
+      }
+    }
+    cur
+  }
+
+  /** The same keyed merge on Spark 4's arbitrary-state API
+    * (`transformWithState` + `StatefulProcessor`): typed ValueState per
+    * day with native state TTL replacing the timeout bookkeeping.
+    * Requires the RocksDB state store provider when run as a stream —
+    * the provider the O(active days)-keys state shape wants at scale
+    * anyway.
+    */
+  def mergeDeltasTws(deltas: Dataset[SpeedDelta],
+                     retention: Option[java.time.Duration] = None): Dataset[SpeedRow] = {
+    import deltas.sparkSession.implicits._
+    deltas.groupByKey(_.date)
+      .transformWithState(new MergeDeltaProcessor(retention),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+  }
+}
+
+/** StatefulProcessor form of the SpeedLayer merge (T7 on the modern
+  * API): one `ValueState[SpeedRow]` per day key, TTL-evicted.
+  */
+class MergeDeltaProcessor(retention: Option[java.time.Duration])
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, SpeedDelta, SpeedRow] {
+
+  @transient private var row: org.apache.spark.sql.streaming.ValueState[SpeedRow] = _
+
+  override def init(outputMode: OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    val ttl = retention.map(org.apache.spark.sql.streaming.TTLConfig.apply)
+      .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE)
+    row = getHandle.getValueState[SpeedRow]("row",
+      org.apache.spark.sql.Encoders.product[SpeedRow], ttl)
+  }
+
+  override def handleInputRows(date: String, rows: Iterator[SpeedDelta],
+                               timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[SpeedRow] = {
+    val start = if (row.exists()) row.get() else SpeedLayer.emptyRow(date)
+    val cur = SpeedLayer.foldInto(start, rows)
+    row.update(cur)
+    Iterator.single(cur)
   }
 }

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.model._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The transformWithState merge must produce the same per-day rows as
+  * the flatMapGroupsWithState merge — two state APIs, one fold.
+  * RocksDB state store provider (required by transformWithState) gets
+  * its own session.
+  */
+class TransformWithStateSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tick(d: String, close: Double) =
+    SpeedDelta(d, 0L, Some(Tick(d, None, None, None, Some(close), None, None)), None)
+  private def sent(d: String, seq: Long, p: Double) =
+    SpeedDelta(d, seq, None, Some(SentimentScore(p, 0.1, 0.2)))
+
+  test("transformWithState merge equals the flatMapGroupsWithState merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val deltas = Seq(
+      tick("2026-08-10", 101.0),
+      sent("2026-08-10", 1, 0.9), sent("2026-08-10", 2, 0.5), sent("2026-08-10", 3, 0.7),
+      tick("2026-08-11", 99.0), sent("2026-08-11", 1, 0.4))
+
+    val mem = MemoryStream[SpeedDelta]
+    val ckpt = java.nio.file.Files.createTempDirectory("tws").toString
+    val q = SpeedLayer.mergeDeltasTws(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("tws_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    mem.addData(deltas.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(deltas.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // last emitted row per day == the batch fold over everything
+    val tws = spark.table("tws_out").as[SpeedRow].collect()
+      .zipWithIndex.groupBy(_._1.date)
+      .map { case (d, rs) => d -> rs.maxBy(_._2)._1 }
+    val ref = SpeedLayer.mergeDeltas(deltas.toDS()).collect()
+      .map(r => r.date -> r).toMap
+    assert(tws.keySet == ref.keySet)
+    for ((d, r) <- ref) assert(tws(d) == r, s"day $d: ${tws(d)} vs $r")
+  }
+}
