@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketed co-located join: two tables bucketed on the join key must
+  * join with ZERO exchanges — the write-time shuffle is the only one
+  * that ever happens. Own session: needs a scratch warehouse dir and
+  * AQE off so the physical plan is inspectable deterministically.
+  */
+class BucketingSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh_").toString)
+    .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("equi-join of co-bucketed tables plans no exchange") {
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ords = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    BucketedStore.write(li, "b_lineitem", "l_orderkey", buckets = 4)
+    BucketedStore.write(ords, "b_orders", "l_orderkey", buckets = 4)
+
+    val joined = BucketedStore.read(spark, "b_lineitem")
+      .join(BucketedStore.read(spark, "b_orders"), Seq("l_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+
+    // and the answer matches the unbucketed join
+    val expected = li.join(ords, Seq("l_orderkey")).count()
+    assert(joined.count() == expected)
+  }
+
+  test("aggregation on the bucket key also skips the exchange") {
+    val agg = BucketedStore.read(spark, "b_lineitem")
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
