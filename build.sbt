@@ -32,3 +32,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// managed-table warehouse for bucketing tests (static conf — must be
+// set before the shared test SparkContext starts)
+Test / javaOptions += "-Dspark.sql.warehouse.dir=/tmp/graft_test_warehouse"

@@ -11,16 +11,24 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BucketingSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft_wh_").toString)
-    .config("spark.sql.adaptive.enabled", "false")
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // ISOLATED child session: getOrCreate() would return the JVM-shared
+  // default session and leak these conf mutations into every other
+  // suite (disabling broadcast joins globally). newSession() shares the
+  // context but owns its SQLConf. The warehouse dir is a static conf
+  // set for the whole test JVM in build.sbt.
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+      .newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
 
   test("equi-join of co-bucketed tables plans no exchange") {
     val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")

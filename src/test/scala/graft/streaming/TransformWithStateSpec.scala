@@ -12,14 +12,21 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class TransformWithStateSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.streaming.stateStore.providerClass",
+  // isolated child session (see BucketingSpec): the RocksDB provider
+  // conf must not leak into the other streaming suites' sessions
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+      .newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s
+  }
 
   private def tick(d: String, close: Double) =
     SpeedDelta(d, 0L, Some(Tick(d, None, None, None, Some(close), None, None)), None)
