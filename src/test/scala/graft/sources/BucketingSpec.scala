@@ -30,16 +30,23 @@ class BucketingSpec extends AnyFunSuite {
     s
   }
 
+  // unique names per run: the warehouse DIRECTORY outlives the forked
+  // test JVM while the in-memory catalog does not, so a fixed name hits
+  // LOCATION_ALREADY_EXISTS on the next run
+  private val run = java.lang.Long.toHexString(System.nanoTime())
+  private val liTable = s"b_lineitem_$run"
+  private val ordTable = s"b_orders_$run"
+
   test("equi-join of co-bucketed tables plans no exchange") {
     val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
       .select(col("l_orderkey"), col("l_quantity"))
     val ords = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
       .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
-    BucketedStore.write(li, "b_lineitem", "l_orderkey", buckets = 4)
-    BucketedStore.write(ords, "b_orders", "l_orderkey", buckets = 4)
+    BucketedStore.write(li, liTable, "l_orderkey", buckets = 4)
+    BucketedStore.write(ords, ordTable, "l_orderkey", buckets = 4)
 
-    val joined = BucketedStore.read(spark, "b_lineitem")
-      .join(BucketedStore.read(spark, "b_orders"), Seq("l_orderkey"))
+    val joined = BucketedStore.read(spark, liTable)
+      .join(BucketedStore.read(spark, ordTable), Seq("l_orderkey"))
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
@@ -50,7 +57,7 @@ class BucketingSpec extends AnyFunSuite {
   }
 
   test("aggregation on the bucket key also skips the exchange") {
-    val agg = BucketedStore.read(spark, "b_lineitem")
+    val agg = BucketedStore.read(spark, liTable)
       .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
     val plan = agg.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
