@@ -28,6 +28,7 @@ object KMeans {
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+    require(cents.nonEmpty, "k-means needs a non-empty input")
     var it = 0
     while (it < iterations) {
       // per-row argmin over inlined centroid literals (ties -> lower cell)

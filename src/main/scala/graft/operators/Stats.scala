@@ -25,6 +25,11 @@ object Stats {
     * pairs; for continuous data that is still the row count in the
     * worst case, but spread across the cluster by (key, value) hash
     * rather than concentrated per key.
+    *
+    * Difference from the built-in: a key whose values are ALL null is
+    * absent from the output (the built-in emits a null median for it) —
+    * null values carry no rank information, so the group has no median
+    * to compute.
     */
   def exactMedian(df: DataFrame, keyCol: String, valCol: String,
                   outCol: String = "median"): DataFrame = {

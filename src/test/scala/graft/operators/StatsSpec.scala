@@ -41,4 +41,10 @@ class StatsSpec extends SparkSpec {
     val m = Stats.exactMedian(df, "k", "v").collect().head.getDouble(1)
     assert(m == 2.0)
   }
+
+  test("all-null group is absent (documented difference from the built-in)") {
+    val df = Seq(("a", Some(1.0)), ("b", None), ("b", None)).toDF("k", "v")
+    val keys = Stats.exactMedian(df, "k", "v").collect().map(_.getString(0)).toSet
+    assert(keys == Set("a"))
+  }
 }
