@@ -83,6 +83,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("rank-limit queries get the built-in WindowGroupLimit pushdown") {
+    // Custom-operator ladder stance (SURVEY §7.3): no custom
+    // Rule[LogicalPlan]/SparkPlan for window top-k because Catalyst's
+    // InferWindowGroupLimit already bounds rank-filter windows map-side
+    // (Partial below the exchange + Final above) — pinned here so the
+    // decision stays verified. TopKBySim exists for the ANN paths where
+    // an aggregate (one merged row per query) beats emitting ranked
+    // rows through two sorted passes.
+    val df = SparkEntry.queries("q07_topn_per_key")(spark, sf())
+    assert(plan(df).contains("WindowGroupLimit"), plan(df))
+  }
+
   test("near-dedup never goes cartesian (candidates are key-joined)") {
     val df = SparkEntry.queries("q34_near_dedup")(spark, sf())
     val p = plan(df)
