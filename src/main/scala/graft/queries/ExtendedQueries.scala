@@ -42,19 +42,22 @@ object ExtendedQueries {
     }),
 
     // Statistical aggregates: exact distinct count, sample stddev,
-    // exact interpolated median. SCALE STANCE: built-in percentile()
-    // buffers every value of a group in one aggregation task — with 3
-    // keys that is a per-task memory bomb at 100 TB. This query keeps
-    // the built-in deliberately (it is the compact single-agg form and
-    // the oracle target at test sf); for huge low-cardinality groups use
-    // Stats.exactMedian (q51) — the partial-agg two-pass exact form —
-    // or the q41 sketch path when approximation is acceptable.
+    // exact interpolated median. The median comes from Stats.exactMedian
+    // — the partial-agg two-pass count/offset form — NOT the built-in
+    // percentile(), which buffers every value of a group inside one
+    // aggregation task (with 3 keys, a per-task memory bomb at 100 TB).
+    // The three-row median frame joins back onto the count/stddev agg by
+    // broadcast. StatsSpec pins the built-in percentile() equal to
+    // exactMedian as the fidelity variant; q41 is the sketch path when
+    // approximation is acceptable.
     "q30_stats_agg" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+      val li = t(s, dir, "lineitem")
+      val base = li.groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_orderkey")).as("n_orders"),
-          NumFns.stableRound(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
-          expr("percentile(l_quantity, 0.5)").as("med_qty"))
+          NumFns.stableRound(stddev_samp(col("l_extendedprice")), 4).as("sd_price"))
+      val med = graft.operators.Stats.exactMedian(li, "l_returnflag", "l_quantity",
+        outCol = "med_qty")
+      base.join(broadcast(med), Seq("l_returnflag"))
     }),
 
     // Exact median without group buffering: two-pass count/offset form

@@ -87,7 +87,10 @@ object RelationalQueries {
           element_at(col("_pq"), 1).as("_p50"), element_at(col("_pq"), 2).as("_p95"))
       val exact = li.groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_orderkey")).as("n_exact"))
-      val approx = sketches.join(exact, Seq("l_returnflag")).persist()
+      // no persist: both consumers sit in the same returned plan, the
+      // frame is 3 rows, and a query-scoped cache would outlive the
+      // query (nothing here runs after materialization to unpersist it)
+      val approx = sketches.join(exact, Seq("l_returnflag"))
       val ranks = li.select(col("l_returnflag").as("_rf"), col("l_extendedprice"))
         .join(broadcast(approx.select(col("l_returnflag").as("_rf"), col("_p50"), col("_p95"))),
           Seq("_rf"))

@@ -49,6 +49,17 @@ object VectorQueries {
     // high similarity), with the exact shingle Jaccard value, and the
     // signature estimate must sit within +/-0.2 of the true shingle
     // Jaccard (32-hash estimator bound).
+    //
+    // DATA CONTRACT (q23/q24/q34 oracles): the all-pairs-equality form
+    // is only deterministic because the testdata's shingle-Jaccard
+    // distribution is bimodal — planted near-dups sit well above ~0.7
+    // and everything else below ~0.2, so both the 8-band/4-row LSH
+    // recall curve (P[candidate] ≈ 1-(1-J^4)^8, ~19% at J=0.4 but
+    // >99.9% at J=0.7) and the ±0.2 estimator bound vs the 0.3 est
+    // filter have no mass in their uncertain region. Regenerated data
+    // with mid-similarity pairs (0.3 < J < 0.7) would need the oracle
+    // to assert expected recall instead of exact pair-set equality —
+    // that would be a test-harness change, not an engine bug.
     "q23_minhash_lsh" -> ((s, dir) => {
       Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
           estThreshold = 0.3, jaccardThreshold = 0.4)
@@ -63,10 +74,23 @@ object VectorQueries {
     "q24_simhash" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sigs = Dedup.simHash(docs, "text").select(col("doc_id"), col("simhash"))
-      Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+      // One signature join, not two: joining the a-side and b-side
+      // separately executes the full simHash corpus pass once per join
+      // (Spark has no common-subplan reuse across different join keys),
+      // which was the whole 2x bench cost of this query. Instead melt
+      // each verified pair into one row per member, pick up the
+      // signature in a single join, and regroup on the pair key — the
+      // corpus is tokenized and signed exactly once.
+      val pairs = Dedup.lshVerifiedPairs(docs, "doc_id", "text",
           estThreshold = 0.3, jaccardThreshold = 0.4)
-        .join(sigs.select(col("doc_id").as("a_id"), col("simhash").as("_sa")), Seq("a_id"))
-        .join(sigs.select(col("doc_id").as("b_id"), col("simhash").as("_sb")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"))
+      pairs
+        .select(col("a_id"), col("b_id"),
+          explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+        .join(sigs, Seq("doc_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(max(when(col("doc_id") === col("a_id"), col("simhash"))).as("_sa"),
+          max(when(col("doc_id") === col("b_id"), col("simhash"))).as("_sb"))
         .select(col("a_id"), col("b_id"),
           (bit_count(col("_sa").bitwiseXOR(col("_sb"))) <= 16).as("ham_ok"))
     })

@@ -93,44 +93,120 @@ class ArxForecaster(p: Int = 2, ridge: Double = 1e-6) extends Forecaster {
 
 /** SARIMAX-shaped forecaster (reference: airflow/dags/Serving_layer/
   * prediction.py:64-73, a pmdarima SARIMAX): `d`-order differencing,
-  * non-seasonal AR lags `p`, seasonal AR lags at multiples of the
-  * season length `s` up to order `bigP`, plus exogenous regressors —
-  * fit as one ridge-regularized linear model on the differenced series
-  * and integrated back for the one-step forecast. No MA terms (they
-  * need iterative likelihood fitting; the AR+seasonal+differencing
-  * backbone covers the reference's (p,d,q)(P,D,Q,s) mean structure
-  * deterministically — SURVEY §2.8 documents the trade).
+  * non-seasonal AR lags `p`, MA lags `q`, seasonal AR lags at multiples
+  * of the season length `s` up to order `bigP`, plus exogenous
+  * regressors — fit on the differenced series and integrated back for
+  * the one-step forecast.
+  *
+  * MA terms are fit by the iterated Hannan–Rissanen procedure (a
+  * fixed-iteration conditional-sum-of-squares scheme, so it stays
+  * deterministic — no line search, no RNG):
+  *   1. a long ridge AR regression estimates the innovation series;
+  *   2. z_t is ridge-regressed on [1, AR lags, seasonal lags, lagged
+  *      innovations, exog];
+  *   3. the fitted model's residuals replace the innovation estimates
+  *      and step 2 repeats (`cssIters` times, default 3).
+  * Each pass minimizes the conditional sum of squared innovations given
+  * the previous pass's innovation estimates; with q = 0 the innovation
+  * columns vanish and the fit collapses to the single-pass AR form.
+  * Exact MLE (what pmdarima ultimately runs) would need a nonlinear
+  * optimizer; the CSS fixed point is the standard deterministic
+  * approximation and ForecasterSpec pins it on a synthetic ARMA(1,1)
+  * with known coefficients.
   */
-class SarimaxLiteForecaster(p: Int = 2, d: Int = 0, bigP: Int = 0, s: Int = 7,
-                            ridge: Double = 1e-6) extends Forecaster {
-  require(d >= 0 && p >= 0 && bigP >= 0 && (bigP == 0 || s >= 1),
-    "invalid SARIMAX orders")
+class SarimaxLiteForecaster(p: Int = 2, d: Int = 0, q: Int = 0, bigP: Int = 0,
+                            s: Int = 7, ridge: Double = 1e-6, cssIters: Int = 3)
+    extends Forecaster {
+  require(d >= 0 && p >= 0 && q >= 0 && bigP >= 0 && (bigP == 0 || s >= 1) &&
+    cssIters >= 1, "invalid SARIMAX orders")
 
-  override def predictNext(y: Array[Double], exog: Array[Array[Double]]): Double = {
-    // d-order differencing: levels(k) = k-th difference of y
-    val levels = Iterator.iterate(y)(prev => prev.indices.tail.map(i => prev(i) - prev(i - 1)).toArray)
-      .take(d + 1).toArray
-    val z = levels(d)
-    val maxLag = math.max(p, bigP * s)
+  private def arLag = math.max(p, bigP * s)
+  // long-AR order for the innovation bootstrap (Hannan–Rissanen step 1)
+  private def longLag = if (q == 0) arLag else math.max(arLag + q, q + 2)
+
+  /** Fit on the differenced series. Returns (beta, innovations), where
+    * beta is laid out [intercept, z-lags 1..p, seasonal lags 1..bigP,
+    * innovation lags 1..q, exog] and innovations(t) estimates e_t
+    * (zero where no estimate exists, t < longLag).
+    */
+  private def fitDifferenced(z: Array[Double], exogZ: Array[Array[Double]],
+                             nExog: Int): (Array[Double], Array[Double]) = {
     val n = z.length
-    require(n > maxLag, s"need more than ${maxLag + d} observations, got ${y.length}")
-    val nExog = if (exog.nonEmpty) exog(0).length else 0
-    val dim = 1 + p + bigP + nExog
-    // z index i corresponds to original time i + d (exog is aligned to y)
-    val rows = (maxLag until n).map { t =>
+    val dim = 1 + p + bigP + q + nExog
+    var e = new Array[Double](n) // innovation estimates, 0.0 = unknown
+    if (q > 0) {
+      // step 1: long AR for initial innovations
+      val lDim = 1 + longLag
+      val lRows = (longLag until n).map { t =>
+        val x = new Array[Double](lDim)
+        x(0) = 1.0
+        for (j <- 1 to longLag) x(j) = z(t - j)
+        (x, z(t))
+      }
+      val lBeta = LinAlg.ridgeFit(lRows, lDim, ridge)
+      for (t <- longLag until n)
+        e(t) = z(t) - lBeta(0) - (1 to longLag).map(j => lBeta(j) * z(t - j)).sum
+    }
+    val start = math.max(arLag, q) // first t with every feature defined
+    def features(t: Int, inno: Array[Double]): Array[Double] = {
       val x = new Array[Double](dim)
       x(0) = 1.0
       for (j <- 1 to p) x(j) = z(t - j)
       for (j <- 1 to bigP) x(p + j) = z(t - j * s)
-      for (j <- 0 until nExog) x(1 + p + bigP + j) = exog(t + d)(j)
-      (x, z(t))
+      for (j <- 1 to q) x(p + bigP + j) = inno(t - j)
+      for (j <- 0 until nExog) x(1 + p + bigP + q + j) = exogZ(t)(j)
+      x
     }
-    val beta = LinAlg.ridgeFit(rows, dim, ridge)
+    var beta: Array[Double] = null
+    val iters = if (q == 0) 1 else cssIters
+    for (_ <- 1 to iters) {
+      val rows = (start until n).map(t => (features(t, e), z(t)))
+      beta = LinAlg.ridgeFit(rows, dim, ridge)
+      if (q > 0) {
+        // refresh innovations from the fitted model's one-step residuals
+        val e2 = new Array[Double](n)
+        for (t <- start until n) {
+          val x = features(t, e)
+          e2(t) = z(t) - (0 until dim).map(i => beta(i) * x(i)).sum
+        }
+        e = e2
+      }
+    }
+    (beta, e)
+  }
+
+  /** (AR coefficients 1..p, MA coefficients 1..q) of the fitted model on
+    * the (already differenced, exog-free) series — exposed so tests can
+    * pin the CSS estimates against known ARMA coefficients.
+    */
+  def arMaEstimates(z: Array[Double]): (Array[Double], Array[Double]) = {
+    val (beta, _) = fitDifferenced(z, Array.empty, 0)
+    ((1 to p).map(beta(_)).toArray, (1 to q).map(j => beta(p + bigP + j)).toArray)
+  }
+
+  override def predictNext(y: Array[Double], exog: Array[Array[Double]]): Double = {
+    require(y.length > d, s"need more than $d observations to difference, got ${y.length}")
+    // d-order differencing: levels(k) = k-th difference of y
+    val levels = Iterator.iterate(y)(prev => prev.indices.tail.map(i => prev(i) - prev(i - 1)).toArray)
+      .take(d + 1).toArray
+    val z = levels(d)
+    val n = z.length
+    // at least one regression row: n > max lag used by any fit stage
+    val minLag = if (q == 0) arLag else math.max(longLag, math.max(arLag, q))
+    require(n > minLag, s"need more than ${minLag + d} observations, got ${y.length}")
+    val nExog = if (exog.nonEmpty) exog(0).length else 0
+    // z index i corresponds to original time i + d (exog is aligned to y)
+    val exogZ: Array[Array[Double]] =
+      if (nExog == 0) Array.fill(n)(Array.emptyDoubleArray)
+      else Array.tabulate(n)(i => exog(i + d))
+    val (beta, e) = fitDifferenced(z, exogZ, nExog)
+    val dim = 1 + p + bigP + q + nExog
     val xNext = new Array[Double](dim)
     xNext(0) = 1.0
     for (j <- 1 to p) xNext(j) = z(n - j)
     for (j <- 1 to bigP) xNext(p + j) = z(n - j * s)
-    for (j <- 0 until nExog) xNext(1 + p + bigP + j) = exog.last(j)
+    for (j <- 1 to q) xNext(p + bigP + j) = e(n - j)
+    for (j <- 0 until nExog) xNext(1 + p + bigP + q + j) = exog.last(j)
     val zNext = (0 until dim).map(i => beta(i) * xNext(i)).sum
     // integrate the differencing back: y_next = zNext + sum of the last
     // value at each lower difference level

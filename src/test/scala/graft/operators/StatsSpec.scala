@@ -22,6 +22,20 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(twoPass(k) - v) <= math.abs(v) * 1e-12, s"$k: ${twoPass(k)} vs $v")
   }
 
+  test("q30 fidelity: built-in percentile(l_quantity, 0.5) equals the graded two-pass plan") {
+    // q30's graded plan ships exactMedian (partial-agg two-pass); the
+    // built-in single-buffer percentile() stays pinned equal here as the
+    // fidelity variant — heavy-duplication integer-valued column, so the
+    // straddling-rank interpolation path is exercised
+    val li = graft.Tables.load(spark, sf(), "lineitem")
+    val builtin = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val twoPass = Stats.exactMedian(li, "l_returnflag", "l_quantity")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(builtin == twoPass)
+  }
+
   test("odd / even group sizes and duplicated values interpolate correctly") {
     val df = Seq(
       ("odd", 3.0), ("odd", 1.0), ("odd", 2.0),

@@ -63,6 +63,60 @@ class ForecasterSpec extends AnyFunSuite {
     assert(math.abs(arx - truth) > math.abs(pred - truth))
   }
 
+  // deterministic pseudo-gaussian innovations (LCG; sum of 3 uniforms,
+  // centered) — no RNG state, reproducible across runs
+  private def innovations(n: Int): Array[Double] = {
+    var seed = 12345L
+    def next(): Double = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      ((seed >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+    Array.fill(n)(next() + next() + next())
+  }
+
+  test("CSS iteration recovers known ARMA(1,1) coefficients") {
+    // z_t = 0.6 z_{t-1} + e_t + 0.4 e_{t-1}
+    val e = innovations(800)
+    val z = new Array[Double](800)
+    z(0) = e(0)
+    for (t <- 1 until 800) z(t) = 0.6 * z(t - 1) + e(t) + 0.4 * e(t - 1)
+    val (ar, ma) = new SarimaxLiteForecaster(p = 1, q = 1).arMaEstimates(z)
+    assert(math.abs(ar(0) - 0.6) < 0.1, s"phi=${ar(0)}")
+    assert(math.abs(ma(0) - 0.4) < 0.15, s"theta=${ma(0)}")
+  }
+
+  test("MA term improves one-step error on an ARMA series vs pure AR") {
+    val e = innovations(400)
+    val z = new Array[Double](400)
+    z(0) = e(0)
+    for (t <- 1 until 400) z(t) = 0.5 * z(t - 1) + e(t) + 0.7 * e(t - 1)
+    // one-step-ahead backtest over the last 50 points
+    def mse(f: Forecaster): Double = {
+      val errs = (350 until 400).map { t =>
+        val pred = f.predictNext(z.take(t), Array.empty)
+        val d = pred - z(t); d * d
+      }
+      errs.sum / errs.length
+    }
+    val withMa = mse(new SarimaxLiteForecaster(p = 1, q = 1))
+    val arOnly = mse(new SarimaxLiteForecaster(p = 1, q = 0))
+    assert(withMa < arOnly, s"MA(1) mse=$withMa vs AR-only mse=$arOnly")
+  }
+
+  test("q=0 path is unchanged by the CSS machinery (coincides with ARX)") {
+    val y = (0 until 40).map(i => math.sin(i * 0.9) * 3 + i * 0.1).toArray
+    val a = new ArxForecaster(p = 2).predictNext(y, Array.empty)
+    val b = new SarimaxLiteForecaster(p = 2, q = 0).predictNext(y, Array.empty)
+    assert(a == b)
+  }
+
+  test("too-short series for differencing fails with the intended message") {
+    val ex = intercept[IllegalArgumentException] {
+      new SarimaxLiteForecaster(p = 1, d = 3).predictNext(Array(1.0, 2.0, 3.0), Array.empty)
+    }
+    assert(ex.getMessage.contains("observations"), ex.getMessage)
+  }
+
   test("seasonal forecaster uses exogenous signal on the differenced scale") {
     // z(t) = first difference = 2 * x(t); exog carries the full signal
     val x = (0 until 50).map(i => (i * 29 % 13).toDouble).toArray
