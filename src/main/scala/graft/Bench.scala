@@ -6,11 +6,19 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, forcing full materialization through the noop
   * sink (count() alone would let Catalyst prune computed columns), and
   * prints one JSON line for the driver.
+  *
+  * Each query is timed over `SPARK_GRAFT_BENCH_RUNS` (default 3) warm
+  * rounds — the rounds iterate the whole query list round-robin, so one
+  * query's GC debris lands on every query equally rather than on its
+  * own later runs. The headline per-query number (and the total) is the
+  * MEDIAN across rounds; `queries_stats` carries median/stdev/raw runs
+  * so a plan regression is separable from run-to-run noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,33 +28,60 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+
     // Warm each query's codegen/classloading at the smallest sf so the
-    // timed run measures steady-state execution, not compiler work.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    // timed rounds measure steady-state execution, not compiler work.
+    names.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // runs(name) = wall-clock seconds per round; -1.0 marks a failure
+    val runs = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to nRuns; (name, fn) <- names) {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      val sec =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+          -1.0
         }
-      // failed queries report a -1 sentinel (not their partial wall time)
-      // so a regression to a hard failure is machine-visible in the JSON,
-      // never a normal-looking fast timing
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      runs(name) = runs(name) :+ sec
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+
+    def median(v: Seq[Double]): Double = {
+      val s = v.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    def stdev(v: Seq[Double]): Double = {
+      val m = v.sum / v.length
+      math.sqrt(v.map(x => (x - m) * (x - m)).sum / v.length)
+    }
+
+    val results = names.map { case (name, _) =>
+      val rs = runs(name)
+      val ok = !rs.contains(-1.0)
+      // any failed round reports the -1 sentinel (never a normal-looking
+      // fast timing) so a regression to a hard failure is machine-visible
+      val med = if (ok) median(rs) else -1.0
+      val sd = if (ok) stdev(rs) else -1.0
+      (name, med, sd, rs, ok)
+    }
+    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val stats = results.map { case (k, med, sd, rs, _) =>
+      val raw = rs.map(r => f"$r%.3f").mkString("[", ",", "]")
+      "\"" + k + "\":" + f"""{"median":$med%.3f,"stdev":$sd%.3f,"runs":$raw}"""
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, med, _, _, true) => med }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_stats":$stats,"n_runs":$nRuns,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

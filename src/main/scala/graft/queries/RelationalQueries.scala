@@ -271,6 +271,36 @@ object RelationalQueries {
       val emb = t(s, dir, "embeddings")
       Similarity.lshBucketTopK(emb.where(col("vec_id") < 20), emb, k = 5, nBits = 4)
         .select(col("qid"), col("nid"), col("sim"), col("rnk"))
+    }),
+
+    // Bucketed co-located layout, graded end-to-end: both sides are
+    // written ONCE as co-bucketed sorted tables (the write-time shuffle
+    // is the only shuffle that ever happens for this key), then the join
+    // AND the aggregation on the bucket key run with zero exchange — the
+    // 100 TB answer to "this fact table joins on the same key in every
+    // query". The merge hint pins the sort-merge path so the co-location
+    // is actually exercised (a broadcast of the dim side would ignore
+    // the layout); grouping by (c_custkey, c_mktsegment) still needs no
+    // shuffle because hash(c_custkey) already clusters any key set that
+    // contains it. PlanShapeSpec asserts the executed plan of THIS
+    // graded query contains no Exchange node of any kind. Table names
+    // are run-unique: the warehouse directory outlives the JVM's
+    // in-memory catalog, so a fixed name would collide on the next run.
+    "q60_bucketed_join" -> ((s, dir) => {
+      val run = java.lang.Long.toHexString(System.nanoTime())
+      val custT = s"q60_cust_$run"
+      val ordT = s"q60_ord_$run"
+      graft.sources.BucketedStore.write(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        custT, "c_custkey", buckets = 8)
+      graft.sources.BucketedStore.write(
+        t(s, dir, "orders").select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
+        ordT, "c_custkey", buckets = 8)
+      graft.sources.BucketedStore.read(s, custT).hint("merge")
+        .join(graft.sources.BucketedStore.read(s, ordT), Seq("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          NumFns.stableRound(sum(col("o_totalprice")), 2).as("spent"))
     })
   )
 
@@ -413,6 +443,11 @@ object RelationalQueries {
     "q45_running_sum" ->
       s"""SELECT event_id, user_id, value,
          ${SqlFragments.r15("SUM(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 4)} AS running_total
-         FROM events"""
+         FROM events""",
+    "q60_bucketed_join" ->
+      s"""SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders,
+          ${SqlFragments.r15("SUM(o_totalprice)", 2)} AS spent
+          FROM customer JOIN orders ON o_custkey = c_custkey
+          GROUP BY c_custkey, c_mktsegment"""
   )
 }

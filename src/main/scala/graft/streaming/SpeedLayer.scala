@@ -121,23 +121,28 @@ object SpeedLayer {
       else GroupStateTimeout.NoTimeout
     deltas.groupByKey(_.date)
       .flatMapGroupsWithState[SpeedRow, SpeedRow](
-        OutputMode.Append, timeoutConf) {
-        (date: String, rows: Iterator[SpeedDelta], state: GroupState[SpeedRow]) =>
-          // bounded state (SURVEY T5): day keys whose retention elapsed
-          // without new arrivals are evicted — state stays O(active days),
-          // not O(all days ever seen)
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            val cur = foldInto(
-              state.getOption.getOrElse(emptyRow(date)), rows)
-            state.update(cur)
-            retention.foreach(r => state.setTimeoutDuration(r.toMillis))
-            Iterator.single(cur)
-          }
-      }
+        OutputMode.Append, timeoutConf)(mergeHandler(retention))
   }
+
+  /** The per-key merge handler, named so the eviction branch is unit-
+    * testable with `TestGroupState` (StateCapacitySpec): bounded state
+    * (SURVEY T5) — day keys whose retention elapsed without new arrivals
+    * are evicted, so state stays O(active days), not O(all days ever
+    * seen).
+    */
+  private[streaming] def mergeHandler(retention: Option[java.time.Duration])(
+      date: String, rows: Iterator[SpeedDelta],
+      state: GroupState[SpeedRow]): Iterator[SpeedRow] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val cur = foldInto(
+        state.getOption.getOrElse(emptyRow(date)), rows)
+      state.update(cur)
+      retention.foreach(r => state.setTimeoutDuration(r.toMillis))
+      Iterator.single(cur)
+    }
 
   private[streaming] def emptyRow(date: String): SpeedRow =
     SpeedRow(date, None, None, None, None, None, None, 0L, None, None, None)
@@ -177,9 +182,13 @@ object SpeedLayer {
   def mergeDeltasTws(deltas: Dataset[SpeedDelta],
                      retention: Option[java.time.Duration] = None): Dataset[SpeedRow] = {
     import deltas.sparkSession.implicits._
+    // state TTL is clocked by processing time, so a retention requires
+    // TimeMode.ProcessingTime (TTLConfig under TimeMode.None throws)
+    val timeMode =
+      if (retention.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
     deltas.groupByKey(_.date)
-      .transformWithState(new MergeDeltaProcessor(retention),
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+      .transformWithState(new MergeDeltaProcessor(retention), timeMode, OutputMode.Append)
   }
 }
 

@@ -107,4 +107,26 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(df)
     assert(!p.toLowerCase.contains("percentile"), p)
   }
+
+  test("graded q30 plan carries no percentile buffer either") {
+    val df = SparkEntry.queries("q30_stats_agg")(spark, sf())
+    val p = plan(df)
+    assert(!p.toLowerCase.contains("percentile"), p)
+  }
+
+  test("graded bucketed join (q60) joins and aggregates with zero Exchange") {
+    // the write-time bucket shuffle is the only shuffle this key ever
+    // pays; join + groupBy on the bucket key reuse the layout directly
+    val df = SparkEntry.queries("q60_bucketed_join")(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("graded q09 runs through the bounded typed aggregator, not collect_list") {
+    val df = SparkEntry.queries("q09_ew_average")(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("collect_list"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
 }
