@@ -5,17 +5,24 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native cosine similarity over two `array<double>` columns.
+/** Native cosine similarity over two `array<float>` / `array<double>`
+  * columns (each side independently).
   *
   * The composed form (zip_with + three aggregate folds — VectorFns.cosine)
   * materializes an intermediate product array and walks both inputs four
   * times; this expression is one fused loop with three scalar
-  * accumulators, generated into whole-stage codegen. Accumulation order
-  * matches the fold (index order, dot/na/nb summed independently), so
-  * results are bit-identical to the composed form and to the DuckDB
-  * oracle mirror (SqlFragments.cosineExpr).
+  * accumulators, generated into whole-stage codegen. Float inputs are
+  * widened per element INSIDE the loop — (double)f is exact, so results
+  * are bit-identical to the old transform(cast)-upstream form and to the
+  * DuckDB oracle mirror (SqlFragments.cosineExpr), but no cast ever
+  * materializes a converted copy of the array. That matters in join
+  * shapes like brute-force ANN, where the expression runs once per
+  * (query × corpus) PAIR: a per-pair transform allocated two fresh
+  * arrays per similarity; the fused read allocates nothing.
+  * Accumulation order matches the fold (index order, dot/na/nb summed
+  * independently).
   *
   * This is the (b) tier of the custom-operator ladder: a Catalyst
   * Expression with doGenCode, not a UDF — no serialization boundary, no
@@ -29,15 +36,21 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case _ =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"cosine_sim requires array<double> inputs, got ${left.dataType} / ${right.dataType}")
-    }
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
   }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -46,10 +59,12 @@ case class CosineSim(left: Expression, right: Expression)
     // (which null-pads the shorter side and nulls the sum)
     if (a.numElements() != b.numElements()) return null
     val n = a.numElements()
+    val af = isFloat(left); val bf = isFloat(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getDouble(i); val y = b.getDouble(i)
+      val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bf) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -65,6 +80,8 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      def get(arr: String, e: Expression): String =
+        if (isFloat(e)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
         if ($a.numElements() != $b.numElements()) {
           ${ev.isNull} = true;
@@ -72,8 +89,8 @@ case class CosineSim(left: Expression, right: Expression)
           int $n = $a.numElements();
           double $dot = 0.0, $na = 0.0, $nb = 0.0;
           for (int $i = 0; $i < $n; $i++) {
-            double $x = $a.getDouble($i);
-            double $y = $b.getDouble($i);
+            double $x = ${get(a, left)};
+            double $y = ${get(b, right)};
             $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
           }
           ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
@@ -86,11 +103,10 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
-  /** Column wrapper; casts float arrays to double element-wise upstream. */
-  def apply(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.functions.transform
-    def dbl(c: Column) = transform(c, _.cast("double"))
+  /** Column wrapper — float arrays are consumed natively (no upstream
+    * element-wise cast/copy; the expression widens inside its loop).
+    */
+  def apply(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(
-      ColumnBridge.expression(dbl(a)), ColumnBridge.expression(dbl(b))))
-  }
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -34,14 +34,17 @@ object Registry {
       // Checked eagerly — a column reference here would otherwise surface
       // as an opaque NPE from eval at bind time.
       exprs => {
-        if (exprs.length != 2 || !exprs(1).foldable)
-          throw new org.apache.spark.sql.AnalysisException(
-            "minhash_sigs requires (hashes array, literal int numHashes); " +
-              "the second argument must be foldable",
+        def bad(why: String) =
+          new org.apache.spark.sql.AnalysisException(
+            s"minhash_sigs requires (hashes array, literal int numHashes): $why",
             None, None, None, None, Map.empty,
             Array.empty[org.apache.spark.QueryContext])
-        graft.expressions.MinHashSigs(exprs(0),
-          exprs(1).eval(null).asInstanceOf[Number].intValue())
+        if (exprs.length != 2 || !exprs(1).foldable)
+          throw bad("the second argument must be a foldable literal")
+        exprs(1).eval(null) match {
+          case n: Number => graft.expressions.MinHashSigs(exprs(0), n.intValue())
+          case other => throw bad(s"got ${if (other == null) "NULL" else other}")
+        }
       }, "built-in")
   }
 }

@@ -29,7 +29,7 @@ class PropertyLawsSpec extends AnyFunSuite {
   test("TopKBySim equals sort-take-k for any input") {
     check("topk", Prop.forAll(scoredGen, Gen.choose(1, 8)) { (xs, k) =>
       val agg = new TopKBySim(k)
-      val got = xs.foldLeft(agg.zero)(agg.reduce)
+      val got = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
       got == refTopK(xs, k)
     })
   }
@@ -40,9 +40,9 @@ class PropertyLawsSpec extends AnyFunSuite {
         val agg = new TopKBySim(k)
         val cut = math.min(cut0, xs.length)
         val (a, b) = xs.splitAt(cut)
-        val merged = agg.merge(
+        val merged = agg.finish(agg.merge(
           a.foldLeft(agg.zero)(agg.reduce),
-          b.foldLeft(agg.zero)(agg.reduce))
+          b.foldLeft(agg.zero)(agg.reduce)))
         merged == refTopK(xs, k)
     })
   }
