@@ -16,12 +16,19 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** (qid, nid, sim) -> per-query top-k (qid, nid, sim, rnk), ranked by
-    * (sim desc, nid asc). Map-side bounded: see TopKBySim.
+    * (sim desc, nid asc). Map-side bounded via the native
+    * `TopKSimAgg` TypedImperativeAggregate (zero per-row allocation; the
+    * `TopKBySim` udaf form stays as the pinned-equal reference —
+    * TopKAggSpec).
     */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val topk = udaf(new TopKBySim(k))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val topk = ColumnBridge.column(
+      graft.expressions.TopKSimAgg(
+        ColumnBridge.expressionEager(col("sim")),
+        ColumnBridge.expressionEager(col("nid")), k).toAggregateExpression())
     scored.groupBy(col("qid"))
-      .agg(topk(col("sim"), col("nid")).as("top"))
+      .agg(topk.as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("qid"), col("s.nid").as("nid"), col("s.sim").as("sim"),
         (col("pos") + 1).cast("long").as("rnk"))

@@ -47,6 +47,27 @@ class PropertyLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("TopKBuf (native aggregate buffer) equals sort-take-k under any split + serde") {
+    check("topkbuf", Prop.forAll(scoredGen, Gen.choose(1, 8), Gen.choose(0, 60)) {
+      (xs, k, cut0) =>
+        val agg = graft.expressions.TopKSimAgg(
+          org.apache.spark.sql.catalyst.expressions.Literal(0.0),
+          org.apache.spark.sql.catalyst.expressions.Literal(0L), k)
+        val cut = math.min(cut0, xs.length)
+        val (l, r) = xs.splitAt(cut)
+        def fill(part: List[Scored]) = {
+          val b = agg.createAggregationBuffer()
+          part.foreach(s => b.insert(s.sim, s.nid))
+          b
+        }
+        // round-trip one side through serialize/deserialize (the shuffle
+        // boundary), then merge — must still equal sort-take-k
+        val merged = agg.merge(fill(l), agg.deserialize(agg.serialize(fill(r))))
+        val got = (0 until merged.n).map(i => Scored(merged.sims(i), merged.nids(i))).toList
+        got == refTopK(xs, k)
+    })
+  }
+
   private val hashesGen: Gen[List[Long]] =
     Gen.listOf(Gen.choose(0L, 1000000006L))
 

@@ -54,6 +54,24 @@ class TopKAggSpec extends SparkSpec {
     assert(got(1L) == 2L)
   }
 
+  test("native TopKSimAgg equals the udaf form and the window (incl. NaN rows)") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    for (kk <- Seq(1, 2, 3, 10)) {
+      val topk = ColumnBridge.column(graft.expressions.TopKSimAgg(
+        ColumnBridge.expressionEager(col("sim")),
+        ColumnBridge.expressionEager(col("nid")), kk).toAggregateExpression())
+      val native = scored.groupBy($"qid").agg(topk.as("top"))
+        .select($"qid", posexplode($"top").as(Seq("pos", "s")))
+        .select($"qid", $"s.nid".as("nid"), ($"pos" + 1).cast("long").as("rnk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val viaUdaf = aggTopK(kk).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      val viaWindow = windowTopK(kk).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(native == viaUdaf && native == viaWindow, s"k=$kk: $native")
+    }
+  }
+
   test("merge of partial buffers equals single-pass reduce") {
     // NaN != NaN under ==, so compare via raw bits
     def bits(s: Seq[Scored]) =
