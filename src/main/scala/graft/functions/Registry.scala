@@ -29,6 +29,23 @@ object Registry {
       wrap1(SentimentFns.sentiment(_)), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => graft.expressions.SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("topk_by_sim",
+      // bounded top-k aggregate: topk_by_sim(sim, nid, k) with literal k
+      exprs => {
+        def bad(why: String) =
+          new org.apache.spark.sql.AnalysisException(
+            s"topk_by_sim requires (sim double, nid bigint, literal int k): $why",
+            None, None, None, None, Map.empty,
+            Array.empty[org.apache.spark.QueryContext])
+        if (exprs.length != 3 || !exprs(2).foldable)
+          throw bad("k must be a foldable literal")
+        exprs(2).eval(null) match {
+          case n: Number =>
+            graft.expressions.TopKSimAgg(exprs(0), exprs(1), n.intValue())
+              .toAggregateExpression()
+          case other => throw bad(s"got ${if (other == null) "NULL" else other}")
+        }
+      }, "built-in")
     reg.createOrReplaceTempFunction("minhash_sigs",
       // numHashes must be a literal int: SQL form minhash_sigs(hashes, 32).
       // Checked eagerly — a column reference here would otherwise surface

@@ -50,6 +50,34 @@ class RegistrySpec extends SparkSpec {
     assert(viaApi.exceptAll(viaSql).count() == 0)
   }
 
+  test("topk_by_sim aggregate works in SQL and matches the rank window") {
+    Registry.register(spark)
+    graft.Tables.load(spark, sf(), "embeddings").limit(40)
+      .createOrReplaceTempView("emb_topk_t")
+    val viaSql = spark.sql(
+      """SELECT p.qid, s.nid FROM (
+           SELECT q.vec_id AS qid,
+                  topk_by_sim(cosine_sim(q.embedding, c.embedding), c.vec_id, 4) AS topk
+           FROM emb_topk_t q JOIN emb_topk_t c
+             ON q.vec_id < 3 AND c.vec_id <> q.vec_id
+           GROUP BY q.vec_id) p
+         LATERAL VIEW inline(p.topk) s AS sim, nid""")
+      .as[(Long, Long)].collect().toSet
+    val emb = graft.Tables.load(spark, sf(), "embeddings").limit(40)
+    val viaApi = graft.operators.Similarity
+      .bruteForceTopK(emb.where(col("vec_id") < 3), emb, 4)
+      .select(col("qid"), col("nid")).as[(Long, Long)].collect().toSet
+    assert(viaSql == viaApi, s"$viaSql vs $viaApi")
+  }
+
+  test("topk_by_sim rejects a non-literal k with a clear error") {
+    Registry.register(spark)
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT topk_by_sim(1.0d, 1L, id) FROM range(3) GROUP BY id")
+    }
+    assert(ex.getMessage.contains("topk_by_sim requires"), ex.getMessage)
+  }
+
   test("cosine_sim works in SQL over embeddings") {
     Registry.register(spark)
     graft.Tables.load(spark, sf(), "embeddings").limit(20)
