@@ -37,11 +37,16 @@ object Stats {
       .groupBy(col(keyCol), col(valCol).as("_v"))
       .agg(count(lit(1)).as("_c"))
     val run = Window.partitionBy(keyCol).orderBy("_v")
-    val whole = Window.partitionBy(keyCol)
+    // per-key totals as an aggregate + broadcast join, NOT a
+    // whole-partition window: an unordered window frame buffers every
+    // partition row for a second full pass just to attach one number
+    // per key; this agg partial-combines map-side to |keys| rows and
+    // AQE reuses the counts exchange for both branches
+    val totals = counts.groupBy(col(keyCol)).agg(sum("_c").as("_n"))
     val cum = counts
       .withColumn("_hi", sum("_c").over(run))        // ranks covered: [_lo, _hi)
       .withColumn("_lo", col("_hi") - col("_c"))
-      .withColumn("_n", sum("_c").over(whole))
+      .join(broadcast(totals), Seq(keyCol))
     // interpolated median at 0-based position (n-1)/2, exactly the
     // built-in percentile's rule: vlow + frac * (vhigh - vlow)
     val pos = (col("_n") - 1) / 2.0
