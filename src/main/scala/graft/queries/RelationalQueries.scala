@@ -290,12 +290,17 @@ object RelationalQueries {
       val run = java.lang.Long.toHexString(System.nanoTime())
       val custT = s"q60_cust_$run"
       val ordT = s"q60_ord_$run"
+      // external-path tables: the layout lands under an explicit scratch
+      // location, not cwd-relative spark.sql.warehouse.dir, so the query
+      // behaves identically no matter where the host process runs
       graft.sources.BucketedStore.write(
         t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
-        custT, "c_custkey", buckets = 8)
+        custT, "c_custkey", buckets = 8,
+        path = Some(s"/tmp/graft_bucketed/$custT"))
       graft.sources.BucketedStore.write(
         t(s, dir, "orders").select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
-        ordT, "c_custkey", buckets = 8)
+        ordT, "c_custkey", buckets = 8,
+        path = Some(s"/tmp/graft_bucketed/$ordT"))
       graft.sources.BucketedStore.read(s, custT).hint("merge")
         .join(graft.sources.BucketedStore.read(s, ordT), Seq("c_custkey"))
         .groupBy(col("c_custkey"), col("c_mktsegment"))

@@ -11,17 +11,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object BucketedStore {
 
-  /** Write `df` as a bucketed (and optionally sorted) managed table.
-    * Bucket count is a layout decision: at scale, size buckets so one
-    * bucket of the biggest table fits an executor core's working set.
+  /** Write `df` as a bucketed (and optionally sorted) table. With
+    * `path` set the table is EXTERNAL (data at the explicit location,
+    * independent of spark.sql.warehouse.dir / process cwd); otherwise
+    * managed under the warehouse dir. Bucket count is a layout
+    * decision: at scale, size buckets so one bucket of the biggest
+    * table fits an executor core's working set.
     */
   def write(df: DataFrame, table: String, bucketCol: String, buckets: Int,
-            sorted: Boolean = true): Unit = {
+            sorted: Boolean = true, path: Option[String] = None): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
-    (if (sorted) w.sortBy(bucketCol) else w)
-      .format("parquet") // managed: lives under spark.sql.warehouse.dir
-      .saveAsTable(table)
+    val ws = if (sorted) w.sortBy(bucketCol) else w
+    path.foreach(p => ws.option("path", p))
+    ws.format("parquet").saveAsTable(table)
   }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
