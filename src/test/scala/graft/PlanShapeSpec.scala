@@ -123,6 +123,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q24 runs the LSH candidate stage and the simhash corpus pass exactly once") {
+    // the pair melt + single signature join keeps both expensive corpus
+    // passes single-instanced in the plan — the old two-key sig joins
+    // duplicated the simhash subplan (no common-subplan reuse across
+    // different join keys)
+    val df = SparkEntry.queries("q24_simhash")(spark, sf())
+    val p = plan(df)
+    assert("minhash_sigs".r.findAllIn(p).size == 1, p)
+    assert("simhash64".r.findAllIn(p).size == 1, p)
+  }
+
   test("graded q09 runs through the bounded typed aggregator, not collect_list") {
     val df = SparkEntry.queries("q09_ew_average")(spark, sf())
     val p = plan(df)
