@@ -29,6 +29,8 @@ object Registry {
       wrap1(SentimentFns.sentiment(_)), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => graft.expressions.SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("cms_estimate",
+      exprs => graft.expressions.CmsEstimate(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("topk_by_sim",
       // bounded top-k aggregate: topk_by_sim(sim, nid, k) with literal k
       exprs => {
