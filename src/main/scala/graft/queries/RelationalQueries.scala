@@ -273,6 +273,28 @@ object RelationalQueries {
         .select(col("qid"), col("nid"), col("sim"), col("rnk"))
     }),
 
+    // Bloom-pruned semi-join: the selective dim side's key set becomes
+    // one merged bloom filter (O(numBits), built by a partial-combined
+    // aggregate and materialized the same way the built-in runtime
+    // filter does: to the driver, then applied as a literal predicate);
+    // the fact side is pruned BEFORE the join shuffle. Bloom filters
+    // have no false negatives, so the final exact join result is
+    // hash-identical to the unpruned semi-join — which is exactly what
+    // the oracle asserts (the q56 stance: the optimization must be
+    // invisible in the result). BloomPruneSpec pins the pruning
+    // effectiveness itself (false-positive survivors stay rare).
+    "q62_bloom_semi_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+      val hot = t(s, dir, "orders").where(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.BloomPrune.semiPrune(li, hot, "l_orderkey", "o_orderkey",
+          expectedItems = 100000L, numBits = 1L << 20)
+        .join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          NumFns.stableRound(sum(col("l_extendedprice")), 2).as("revenue"))
+    }),
+
     // Count-min sketch heavy-hitter probing: one mergeable sketch per
     // group (the built-in count_min_sketch aggregate — at scale a
     // partial-combined O(eps^-1 · ln δ^-1) buffer per group, never the
@@ -486,6 +508,13 @@ object RelationalQueries {
       """SELECT l_returnflag, l_orderkey, COUNT(*) AS n_exact,
          TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
          FROM lineitem WHERE l_orderkey <= 64
-         GROUP BY l_returnflag, l_orderkey"""
+         GROUP BY l_returnflag, l_orderkey""",
+    "q62_bloom_semi_join" ->
+      s"""SELECT l_orderkey, COUNT(*) AS n_lines,
+          ${SqlFragments.r15("SUM(l_extendedprice)", 2)} AS revenue
+          FROM lineitem
+          WHERE EXISTS (SELECT 1 FROM orders
+                        WHERE o_orderkey = l_orderkey AND o_totalprice > 450000)
+          GROUP BY l_orderkey"""
   )
 }
