@@ -81,7 +81,18 @@ object Bench {
     val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, med, _, _, true) => med }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_stats":$stats,"n_runs":$nRuns,"failed":$failed,"sf":"$sfDir"}""")
+    // The driver captures a bounded tail of stdout, so the single stdout
+    // line must stay COMPACT (a round-3 regression: inlining the
+    // per-query stats grew the line past the capture window and its head
+    // — the "{"metric":...' prefix — was truncated, breaking the parse).
+    // The full median/stdev/runs detail goes to a file + stderr instead.
+    val statsJson =
+      f"""{"metric":"queries_stats","n_runs":$nRuns,"sf":"$sfDir","queries_stats":$stats}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_stats.json"), statsJson)
+    catch { case e: Throwable => System.err.println(s"[bench] stats write failed: $e") }
+    System.err.println(statsJson)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"n_runs":$nRuns,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,13 +39,13 @@ case class CmsEstimate(left: Expression, right: Expression)
 
   override def nullSafeEval(sk: Any, item: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
-    // identity first (broadcast-reused buffers), content equality as the
-    // fallback (unsafe-row extraction copies) — both beat re-parsing
-    if (lastSketch == null ||
-        ((lastBytes ne bytes) && !java.util.Arrays.equals(lastBytes, bytes)))
+    // content equality only — an identity short-circuit would silently
+    // serve a stale sketch if a reader ever reused and mutated a buffer
+    // in place; the cache key is a private copy for the same reason
+    if (lastSketch == null || !java.util.Arrays.equals(lastBytes, bytes))
       try {
         lastSketch = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-        lastBytes = bytes
+        lastBytes = bytes.clone()
       } catch {
         case e: java.io.IOException =>
           throw new IllegalArgumentException("cms_estimate: not a count_min_sketch binary", e)

@@ -147,7 +147,14 @@ class SarimaxLiteForecaster(p: Int = 2, d: Int = 0, q: Int = 0, bigP: Int = 0,
       for (t <- longLag until n)
         e(t) = z(t) - lBeta(0) - (1 to longLag).map(j => lBeta(j) * z(t - j)).sum
     }
-    val start = math.max(arLag, q) // first t with every feature defined
+    // first regression row: standard HR starts step-2/3 rows where
+    // step-1 innovation ESTIMATES exist (t >= longLag), not merely where
+    // the lag indices are in range — rows in [max(arLag,q), longLag)
+    // would feed 0.0 placeholder innovations into the fit and bias the
+    // MA coefficients. Lagged innovations before longLag (the first q
+    // rows' features) stay 0.0 — the standard CSS zero-initial-
+    // innovations convention, refreshed after the first pass.
+    val start = if (q == 0) arLag else math.max(arLag, longLag)
     def features(t: Int, inno: Array[Double]): Array[Double] = {
       val x = new Array[Double](dim)
       x(0) = 1.0
