@@ -95,35 +95,38 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** LSH-bucketed ANN: random-hyperplane signatures (sign of dot with
-    * `nBits` deterministic pseudo-random planes) bucket the corpus; only
-    * same-bucket pairs are scored. Trades recall for a shuffle-free
-    * probe at scale. Plane component (b, i) is a centered LCG value
-    * ((1103515245·(97b + i) + 12345) mod 4001) − 2000: plain integer
-    * arithmetic with no RNG state and no engine-specific hash, so the
-    * whole signature is reproducible anywhere — including the SQL
-    * oracle mirror (SqlFragments.lshBucketExpr), which replays the
-    * identical fold bit-for-bit.
+  /** The hyperplane-LSH bucket signature as a Column: bit b of the
+    * result is the sign of the projection of `vec` onto plane b, plane
+    * component (b, i) = ((1103515245·(97b + i) + 12345) mod 4001) − 2000
+    * — plain integer arithmetic, no RNG state, no engine hash, so the
+    * signature replays bit-for-bit anywhere (the SQL oracle mirror is
+    * SqlFragments.lshBucketExpr). Shared by the ANN probe
+    * (lshBucketTopK) and the label-free embedding near-dup
+    * (Dedup.embeddingNearDupLsh).
+    */
+  def lshSignature(vec: Column, nBits: Int): Column =
+    (0 until nBits).map { b =>
+      val proj = aggregate(
+        zip_with(VectorFns.toDoubleArr(vec),
+          sequence(lit(0), size(vec) - 1),
+          (x, i) => x * (pmod(lit(1103515245L) * (lit(97L * b) + i) + lit(12345L), lit(4001L))
+            .cast("double") - lit(2000.0))),
+        lit(0.0), (s, v) => s + v)
+      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: hyperplane signatures (lshSignature) bucket the
+    * corpus; only same-bucket pairs are scored. Trades recall for a
+    * shuffle-free probe at scale: queries are broadcast, so the corpus
+    * side never shuffles.
     */
   def lshBucketTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                     nBits: Int = 12, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
-    def sig(vec: String) = {
-      val bits = (0 until nBits).map { b =>
-        val proj = aggregate(
-          zip_with(VectorFns.toDoubleArr(col(vec)),
-            sequence(lit(0), size(col(vec)) - 1),
-            (x, i) => x * (pmod(lit(1103515245L) * (lit(97L * b) + i) + lit(12345L), lit(4001L))
-              .cast("double") - lit(2000.0))),
-          lit(0.0), (s, v) => s + v)
-        when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _)
-    }
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-      .withColumn("bucket", sig("qvec"))
+      .withColumn("bucket", lshSignature(col("qvec"), nBits))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
-      .withColumn("bucket", sig("nvec"))
+      .withColumn("bucket", lshSignature(col("nvec"), nBits))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("qid") =!= col("nid"))
       .withColumn("sim", graft.expressions.CosineSim(col("qvec"), col("nvec")))

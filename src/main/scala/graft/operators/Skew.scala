@@ -5,8 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities for hot keys (the 100 TB design rule:
   * a handful of dominant keys must not serialize a stage). AQE's skew
-  * join handles sort-merge cases at runtime; these explicit forms cover
-  * aggregations and broadcast-averse joins where AQE can't help.
+  * join handles sort-merge cases at runtime — PlanShapeSpec ("AQE
+  * splits a skewed sort-merge join") pins `OptimizeSkewedJoin`
+  * splitting a synthetic hot key, so for a plain shuffled equi-join
+  * prefer AQE over manual salting. These explicit forms cover what AQE
+  * can't re-plan: skewed AGGREGATIONS (`saltedSumCount` — skew-join
+  * splitting doesn't apply to a hash aggregate's partitioning) and
+  * joins whose partitioning must stay deterministic across stages
+  * (bucketed/co-partitioned layouts, where a runtime split would break
+  * the co-location the layout exists to provide).
   */
 object Skew {
 

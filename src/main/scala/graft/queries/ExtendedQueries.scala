@@ -101,6 +101,22 @@ object ExtendedQueries {
           element_at(col("feature"), 4).as("alpha_frac"))
     }),
 
+    // Real image decode through the multimodal seam: deterministic
+    // binary P6 PPM payloads (LCG pixel plane — regenerable without
+    // binary parsing) rendered per document, then ACTUALLY parsed by
+    // Multimodal.decodePpm (header ints + raw RGB plane) inside the
+    // partition-iterator batch path. The oracle regenerates every pixel
+    // arithmetically and must agree with the decoder on dimensions and
+    // per-channel means — so the graded check verifies decoded FIELD
+    // VALUES, not just byte statistics (q33 covers the histogram form).
+    "q65_ppm_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, graft.operators.Multimodal.syntheticPpm(id)))
+        .toDF("media_id", "payload")
+      graft.operators.Multimodal.ppmFeatures(media)
+    }),
+
     // Full near-dedup pipeline: LSH candidates -> exact verify ->
     // min-id survivors. Oracle: the all-pairs exact-verify truth —
     // the pipeline's survivors must equal the min-id survivors of
@@ -192,6 +208,22 @@ object ExtendedQueries {
                      i -> (unicode(substring(text, i, 1)) // 32) = 3)) AS DOUBLE)
                    / length(text) END AS alpha_frac
          FROM documents""",
+    "q65_ppm_decode" ->
+      // regenerate the 8x6 P6 pixel plane (byte i of media id =
+      // (1103515245*(id+i)+12345) mod 256) and fold the same per-channel
+      // means the decoder computes; integer sums are exact in double and
+      // the single division is identical IEEE in both engines -> raw
+      """WITH px AS (
+           SELECT doc_id, (1103515245 * (doc_id + i) + 12345) % 256 AS b, i % 3 AS ch
+           FROM documents, generate_series(0, 143) t(i))
+         SELECT doc_id AS media_id,
+           CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+           CAST(48 AS BIGINT) AS n_px,
+           CAST(SUM(b) FILTER (WHERE ch = 0) AS DOUBLE) / 48.0 AS mean_r,
+           CAST(SUM(b) FILTER (WHERE ch = 1) AS DOUBLE) / 48.0 AS mean_g,
+           CAST(SUM(b) FILTER (WHERE ch = 2) AS DOUBLE) / 48.0 AS mean_b
+         FROM px GROUP BY doc_id""",
+
     "q34_near_dedup" ->
       s"""${SqlFragments.shinglePairsCte(0.4)}
           SELECT doc_id, lang, n_chars FROM documents

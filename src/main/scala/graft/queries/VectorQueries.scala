@@ -35,6 +35,19 @@ object VectorQueries {
         .where(col("rnk") <= 3)
     }),
 
+    // Label-free embedding near-dup: hyperplane-LSH buckets -> in-bucket
+    // pair expansion -> exact cosine verify. No label/block column — the
+    // candidate key is the integer-LCG signature itself, so the oracle
+    // replays the ENTIRE pipeline (signature, bucket grouping, pair set,
+    // cosine, threshold) bit-for-bit. The corpus is signed exactly once
+    // (one groupBy, pairs expanded inside the bucket row) and buckets
+    // are cardinality-capped — the scale shape q21's label blocking
+    // lacks.
+    "q64_embedding_lsh_dedup" -> ((s, dir) => {
+      Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nBits = 4, simThreshold = 0.35, maxBucket = 1024)
+    }),
+
     // Blocked n-gram Jaccard similarity (exact-verify stage of near-dup
     // dedup; blocking keys stand in for LSH candidates).
     "q22_ngram_jaccard" -> ((s, dir) => {
@@ -117,6 +130,17 @@ object VectorQueries {
                     CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY sim DESC, a_id, b_id) AS BIGINT) AS rnk
                     FROM p)
          SELECT label, a_id, b_id, sim, rnk FROM r WHERE rnk <= 3""",
+    "q64_embedding_lsh_dedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              b AS (SELECT vec_id, v, ${SqlFragments.lshBucketExpr("v", 4)} AS bucket FROM e),
+              g AS (SELECT bucket FROM b GROUP BY bucket
+                    HAVING COUNT(*) BETWEEN 2 AND 1024),
+              p AS (SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+                    ${SqlFragments.cosineExpr("a.v", "c.v")} AS sim
+                    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+                    JOIN g ON g.bucket = a.bucket)
+          SELECT a_id, b_id, sim FROM p WHERE sim >= 0.35""",
+
     "q22_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars,
                      list_distinct(${SqlFragments.bigramsExpr(SqlFragments.toksExpr)}) AS sh

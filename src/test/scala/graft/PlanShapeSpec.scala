@@ -134,6 +134,45 @@ class PlanShapeSpec extends SparkSpec {
     assert("simhash64".r.findAllIn(p).size == 1, p)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (OptimizeSkewedJoin)") {
+    // Documents WHEN manual salting is needed (Skew.saltedJoin scaladoc
+    // cross-reference): for a plain shuffled equi-join, AQE already
+    // detects the hot key's oversized shuffle partition at runtime and
+    // splits it (SortMergeJoin(skew=true)) — no salting required. The
+    // manual forms remain for what AQE can't re-plan: skewed
+    // AGGREGATIONS (saltedSumCount) and joins whose partitioning must
+    // stay stable (bucketed layouts, co-partitioned stages).
+    import spark.implicits._
+    val keys = Seq("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one hot key (~150k rows) against a uniform tail — the hot key's
+      // shuffle partition dwarfs the median and crosses the threshold
+      val fact = spark.range(0, 200000)
+        .select(when(col("id") < 150000, lit(0L)).otherwise(pmod(col("id"), lit(97L)) + 1).as("k"),
+          col("id").as("v"))
+      val dim = spark.range(0, 98).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = fact.join(dim, Seq("k"))
+      assert(joined.count() == 200000L)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"no skew split in:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("graded q09 runs through the bounded typed aggregator, not collect_list") {
     val df = SparkEntry.queries("q09_ew_average")(spark, sf())
     val p = plan(df)

@@ -45,6 +45,52 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
   }
 
+  test("embedding LSH near-dup: identical vectors pair at sim 1.0; bucket-capped; pinned to all-pairs truth") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(1.0f, 0.0f, 0.5f, 0.2f)),      // exact dup of 1
+      (3L, Array(0.9f, 0.1f, 0.5f, 0.2f)),      // near dup of 1
+      (4L, Array(-1.0f, 0.3f, -0.8f, 0.1f)),    // far from everything
+      (5L, Array(0.0f, 1.0f, -0.2f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupLsh(vecs, "vec_id", "embedding",
+        nBits = 2, simThreshold = 0.9)
+      .select("a_id", "b_id", "sim").as[(Long, Long, Double)].collect()
+    val dup = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(dup.isDefined && dup.get._3 == 1.0)
+    // every emitted pair really clears the threshold, and every
+    // SAME-BUCKET all-pairs-truth pair above it is emitted (candidate
+    // completeness within buckets — what LSH guarantees)
+    assert(pairs.forall(_._3 >= 0.9))
+    val sig = Similarity.lshSignature(col("embedding"), 2)
+    val bySig = vecs.withColumn("b", sig).select("vec_id", "b")
+      .as[(Long, Long)].collect().toMap
+    val vmap = vecs.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (d, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((d, na, nb), (x, y)) => (d + x * y, na + x * x, nb + y * y)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val truth = (for {
+      a <- vmap.keys; b <- vmap.keys
+      if a < b && bySig(a) == bySig(b) && cos(vmap(a), vmap(b)) >= 0.9
+    } yield (a, b)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == truth)
+    // cap: buckets above maxBucket emit NO pairs (skew guard), smaller
+    // buckets still emit all theirs
+    val cap = 3
+    val sizes = bySig.values.groupBy(identity).view.mapValues(_.size).toMap
+    val cappedTruth = (for {
+      a <- vmap.keys; b <- vmap.keys
+      if a < b && bySig(a) == bySig(b) && sizes(bySig(a)) <= cap
+    } yield (a, b)).toSet
+    val capped = Dedup.embeddingNearDupLsh(vecs, "vec_id", "embedding",
+        nBits = 2, simThreshold = -1.0, maxBucket = cap)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(capped == cappedTruth)
+  }
+
   test("ngram jaccard: dup pair scores 1.0 within block") {
     val blocked = docs.withColumn("blk", lit(1))
     val pairs = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", Seq("blk"))

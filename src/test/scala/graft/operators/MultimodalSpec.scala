@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The real-decoder half of the multimodal seam (the histogram/stub half
+  * is covered in SimilaritySpec's extractFeatures case): P6 parse
+  * round-trip, header tolerance, malformed-payload rejection, and the
+  * partition-iterator frame path.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodePpm round-trips syntheticPpm: dimensions and channel means") {
+    val payload = Multimodal.syntheticPpm(7L, w = 8, h = 6)
+    val Some((w, h, mr, mg, mb)) = Multimodal.decodePpm(payload)
+    assert(w == 8 && h == 6)
+    // recompute the means straight from the generator formula
+    val bytes = (0 until 8 * 6 * 3).map(i => ((1103515245L * (7L + i) + 12345L) % 256L).toDouble)
+    def mean(ch: Int) = bytes.zipWithIndex.collect { case (b, i) if i % 3 == ch => b }.sum / 48.0
+    assert(mr == mean(0) && mg == mean(1) && mb == mean(2))
+  }
+
+  test("decodePpm tolerates comments and extra whitespace in the header") {
+    val pixels = Multimodal.syntheticPpm(1L, 2, 2).takeRight(12)
+    val loose = ("P6\n# a comment line\n 2\t2 # trailing\n255\n").getBytes("US-ASCII") ++ pixels
+    val strict = Multimodal.decodePpm(Multimodal.syntheticPpm(1L, 2, 2))
+    assert(Multimodal.decodePpm(loose) == strict)
+  }
+
+  test("decodePpm returns None for malformed payloads, never throws") {
+    val good = Multimodal.syntheticPpm(3L, 4, 4)
+    assert(Multimodal.decodePpm(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodePpm("P5\n4 4\n255\n".getBytes("US-ASCII")).isEmpty) // wrong magic
+    assert(Multimodal.decodePpm(good.dropRight(1)).isEmpty) // truncated plane
+    assert(Multimodal.decodePpm("P6\n4 4\n65535\n".getBytes("US-ASCII") ++
+      new Array[Byte](4 * 4 * 6)).isEmpty) // 2-byte samples unsupported
+    assert(Multimodal.decodePpm("P6\n0 4\n255\n".getBytes("US-ASCII")).isEmpty) // zero dim
+  }
+
+  test("ppmFeatures drops undecodable rows and keeps decoded fields") {
+    val media = Seq(
+      (1L, Multimodal.syntheticPpm(1L)),
+      (2L, "not an image".getBytes("US-ASCII")),
+      (3L, Multimodal.syntheticPpm(3L))
+    ).toDF("media_id", "payload")
+    val out = Multimodal.ppmFeatures(media).collect()
+    assert(out.map(_.getAs[Long]("media_id")).sorted.toSeq == Seq(1L, 3L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("width") == 8L && r.getAs[Long]("height") == 6L &&
+        r.getAs[Long]("n_px") == 48L)
+      Seq("mean_r", "mean_g", "mean_b").foreach { c =>
+        val m = r.getAs[Double](c)
+        assert(m >= 0.0 && m <= 255.0)
+      }
+    }
+  }
+}
