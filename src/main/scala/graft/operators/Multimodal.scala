@@ -127,8 +127,13 @@ object Multimodal {
     for {
       w <- readInt(); h <- readInt(); maxval <- readInt()
       if w > 0 && h > 0 && maxval == 255 // 8-bit only (maxval>255 = 2-byte samples)
+      // plane size in Long: a malformed header like "50000 50000" would
+      // overflow Int (w*h*3 < 0), slip past a length guard, and yield
+      // garbage features instead of None
+      need = w.toLong * h * 3
+      if need <= Int.MaxValue
       if pos < payload.length && Character.isWhitespace(payload(pos) & 0xFF)
-      if { pos += 1; payload.length - pos >= w * h * 3 } // single ws, full plane
+      if { pos += 1; (payload.length - pos).toLong >= need } // single ws, full plane
     } yield {
       val sums = new Array[Long](3)
       var i = 0

@@ -362,11 +362,16 @@ object RelationalQueries {
       if (!s.catalog.tableExists(custT) || !s.catalog.tableExists(ordT)) {
         // one-time hygiene: clear scratch dirs left by PRIOR processes
         // (round-3-era nanotime-named leftovers included) — never a dir
-        // this JVM wrote, whose catalog entry may still be live
+        // this JVM wrote (catalog entry may still be live), never this
+        // run's key, and never anything recent: a concurrent harness
+        // JVM (bench + correctness in parallel, or another sfDir) may
+        // still be reading its own layout, so only dirs untouched for
+        // an hour are considered stale
         val scratch = new java.io.File("/tmp/graft_bucketed")
+        val staleBefore = System.currentTimeMillis() - 60L * 60 * 1000
         Option(scratch.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.startsWith("q60_") && !q60Tables.contains(f.getName) &&
-            !f.getName.endsWith(key))
+            !f.getName.endsWith(key) && f.lastModified() < staleBefore)
           .foreach(deleteRecursively)
         q60Tables.add(custT)
         q60Tables.add(ordT)

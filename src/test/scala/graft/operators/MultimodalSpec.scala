@@ -35,6 +35,11 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePpm("P6\n4 4\n65535\n".getBytes("US-ASCII") ++
       new Array[Byte](4 * 4 * 6)).isEmpty) // 2-byte samples unsupported
     assert(Multimodal.decodePpm("P6\n0 4\n255\n".getBytes("US-ASCII")).isEmpty) // zero dim
+    // plane size w*h*3 overflows Int to a negative number: the length
+    // guard must not pass and hand back zeroed "features" for a body
+    // that obviously isn't there
+    assert(Multimodal.decodePpm("P6\n50000 50000\n255\n".getBytes("US-ASCII") ++
+      new Array[Byte](64)).isEmpty)
   }
 
   test("ppmFeatures drops undecodable rows and keeps decoded fields") {
