@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: Gopher-style repetition/quality metrics
+  * and benchmark n-gram decontamination. Both are designed around the
+  * 100 TB plan shape — narrow projections, map-side-combinable keyed
+  * aggregations, and a broadcast-only benchmark side; nothing here
+  * shuffles the corpus against itself.
+  */
+object Curation {
+
+  /** Per-document repetition/quality metrics (Rae et al. 2021, "Scaling
+    * Language Models" §A1.1 shape): token count, top-unigram fraction,
+    * duplicate-bigram fraction, mean word length.
+    *
+    * The mode (top-unigram) frequency is computed the scale way:
+    * explode → (id, word) hash-agg (partial/map-side combined) →
+    * per-id max — O(n_tokens) work per doc and two keyed shuffles,
+    * instead of an O(n_distinct × n_tokens) per-row array scan that
+    * goes quadratic on long documents. The array-local stats (bigram
+    * dup ratio, char sum) ride the same single projection of the text.
+    *
+    * All emitted doubles are single int/int divisions — bit-stable
+    * across engines, safe to compare raw.
+    *
+    * Input rows with null text or fewer than 2 tokens are dropped
+    * (no bigrams ⇒ the dup ratio is undefined).
+    */
+  def qualityMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col(idCol), col("toks"),
+        size(col("toks")).cast("long").as("n_words"),
+        TextFns.shinglesFromTokens(col("toks"), 2).as("bi"))
+      .select(col(idCol), col("toks"), col("n_words"),
+        size(col("bi")).cast("long").as("n_bi"),
+        size(array_distinct(col("bi"))).cast("long").as("n_dbi"),
+        aggregate(col("toks"), lit(0L), (a, x) => a + length(x)).as("n_chars"))
+    val top = base.select(col(idCol), explode(col("toks")).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top_cnt"))
+    base.drop("toks").join(top, Seq(idCol))
+      .select(col(idCol), col("n_words"),
+        (col("top_cnt").cast("double") / col("n_words")).as("top_unigram_frac"),
+        (lit(1.0) - col("n_dbi").cast("double") / col("n_bi")).as("dup_bigram_frac"),
+        (col("n_chars").cast("double") / col("n_words")).as("mean_word_len"))
+  }
+
+  /** Composite keep gate over [[qualityMetrics]] output. */
+  def keepRule(minWords: Long, maxTopFrac: Double, maxDupFrac: Double): Column =
+    col("n_words") >= minWords &&
+      col("top_unigram_frac") <= maxTopFrac &&
+      col("dup_bigram_frac") <= maxDupFrac
+
+  /** Benchmark decontamination: per-corpus-document count and fraction
+    * of distinct word n-grams that also appear in the benchmark set.
+    * Real pipelines use 8–13-grams; `n` is a parameter.
+    *
+    * `isBench` splits the input into the (tiny) benchmark slice and
+    * the corpus. The benchmark's distinct n-grams are broadcast —
+    * corpus-side the check is a map-side hash probe plus one
+    * doc-keyed agg, never a corpus×corpus shuffle. That is exactly
+    * the 100 TB plan: eval n-grams ship to every executor, the crawl
+    * streams by once. Only documents with ≥1 hit are emitted.
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    isBench: Column, n: Int): DataFrame = {
+    val grams = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), isBench.as("_bench"),
+        array_distinct(TextFns.wordShingles(col(textCol), n)).as("grams"))
+    val bench = grams.where(col("_bench"))
+      .select(explode(col("grams")).as("g")).distinct()
+    val corpus = grams.where(!col("_bench"))
+      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("g"))
+    corpus.join(broadcast(bench), Seq("g"))
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_hit"))
+      .select(col(idCol), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_grams")).as("contam_frac"))
+  }
+}

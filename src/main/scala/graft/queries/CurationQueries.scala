@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{PiiFns, TextFns}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation surface beyond the reference's shape: the operators a
+  * 100 TB training-data pipeline runs between raw crawl and tokenizer —
+  * PII scrubbing, repetition/quality gating (Gopher-style rules),
+  * benchmark decontamination. All narrow projections + native column
+  * expressions; the only shuffles are keyed aggregations.
+  */
+object CurationQueries {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PII scrub: detect + redact emails / IPv4s / phone numbers in one
+    // codegen'd expression chain (PiiFns — regexp_count/regexp_replace,
+    // no UDF). The corpus is synthetic word-soup, so the PII spans are
+    // injected deterministically from (doc_id, source) first — both
+    // engines build the identical augmented text, then the graded
+    // operator is the scrub itself. At 100 TB this is a pure map stage:
+    // zero shuffles, full whole-stage codegen, patterns pushed through
+    // one projection.
+    "q66_pii_redact" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(
+            col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" reach user"), col("doc_id").cast("string"), lit("@"),
+                col("source"), lit(".org"))).otherwise(lit("")),
+            when(col("doc_id") % 4 === 0,
+              concat(lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit("."),
+                ((col("doc_id") * 7) % 256).cast("string"), lit(".4"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" tel 555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit(""))
+          ).as("text"))
+      aug.select(col("doc_id"),
+        PiiFns.piiCount(col("text"), PiiFns.EmailRe).as("n_emails"),
+        PiiFns.piiCount(col("text"), PiiFns.PhoneRe).as("n_phones"),
+        PiiFns.piiCount(col("text"), PiiFns.Ipv4Re).as("n_ips"),
+        PiiFns.redact(col("text")).as("redacted"))
+    }),
+
+    // Gopher-style repetition/quality rules (Rae et al. 2021 §A1.1
+    // shape): top-unigram fraction, duplicate-bigram fraction, mean
+    // word length, and a composite keep flag. The mode frequency is
+    // computed the scale path — explode + (doc_id, word) partial-agg +
+    // per-doc max — NOT an O(n_distinct × n_words) array scan per row;
+    // the array-local stats (bigram dup ratio, char sum) ride along in
+    // one narrow projection. Two keyed shuffles total, both map-side
+    // combined. All compared doubles are single int/int divisions —
+    // bit-identical across engines, no rounding needed.
+    "q67_quality_rules" -> ((s, dir) => {
+      graft.operators.Curation.qualityMetrics(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("keep", graft.operators.Curation.keepRule(30L, 0.11, 0.05))
+    }),
+
+    // Benchmark decontamination: the n-gram-overlap check every
+    // training corpus runs against its eval sets (real pipelines use
+    // 8–13-gram hits; this synthetic 40-word vocabulary needs bigrams
+    // for signal — the shape is identical). A deterministic slice
+    // (doc_id % 97 = 0) stands in for the benchmark; its distinct
+    // n-grams are TINY relative to the corpus, so they broadcast —
+    // corpus-side the check is a map-side hash probe + one doc-keyed
+    // agg, never a corpus×corpus shuffle. That is exactly the 100 TB
+    // plan: eval n-grams ship to every executor, the crawl streams by.
+    "q68_contamination" -> ((s, dir) => {
+      graft.operators.Curation.contamination(t(s, dir, "documents"),
+          "doc_id", "text", isBench = col("doc_id") % 97 === 0, n = 2)
+        .withColumn("contaminated", col("contam_frac") >= 0.2)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q66_pii_redact" ->
+      s"""WITH aug AS (SELECT doc_id,
+            text ||
+            CASE WHEN doc_id % 3 = 0
+                 THEN ' reach user' || doc_id || '@' || source || '.org' ELSE '' END ||
+            CASE WHEN doc_id % 4 = 0
+                 THEN ' ip 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.4'
+                 ELSE '' END ||
+            CASE WHEN doc_id % 5 = 0
+                 THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+            FROM documents WHERE text IS NOT NULL)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '${PiiFns.EmailRe}')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(text, '${PiiFns.PhoneRe}')) AS BIGINT) AS n_phones,
+            CAST(len(regexp_extract_all(text, '${PiiFns.Ipv4Re}')) AS BIGINT) AS n_ips,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '${PiiFns.EmailRe}', '<EMAIL>', 'g'),
+              '${PiiFns.Ipv4Re}', '<IP>', 'g'),
+              '${PiiFns.PhoneRe}', '<PHONE>', 'g') AS redacted
+          FROM aug""",
+
+    "q67_quality_rules" ->
+      s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks
+                     FROM documents WHERE text IS NOT NULL),
+          b AS (SELECT doc_id, toks, len(toks) AS n_words,
+                       ${SqlFragments.bigramsExpr("toks")} AS bi
+                FROM t WHERE len(toks) >= 2),
+          m AS (SELECT doc_id, MAX(c) AS top_cnt
+                FROM (SELECT doc_id, x, COUNT(*) AS c
+                      FROM (SELECT doc_id, unnest(toks) AS x FROM b)
+                      GROUP BY doc_id, x)
+                GROUP BY doc_id),
+          s AS (SELECT doc_id, n_words,
+                       len(bi) AS n_bi, len(list_distinct(bi)) AS n_dbi,
+                       list_reduce(list_transform(toks, x -> CAST(length(x) AS BIGINT)),
+                                   (a, v) -> a + v) AS n_chars
+                FROM b)
+          SELECT s.doc_id, s.n_words,
+            CAST(top_cnt AS DOUBLE) / s.n_words AS top_unigram_frac,
+            1.0 - CAST(n_dbi AS DOUBLE) / n_bi AS dup_bigram_frac,
+            CAST(n_chars AS DOUBLE) / s.n_words AS mean_word_len,
+            (s.n_words >= 30
+             AND CAST(top_cnt AS DOUBLE) / s.n_words <= 0.11
+             AND 1.0 - CAST(n_dbi AS DOUBLE) / n_bi <= 0.05) AS keep
+          FROM s JOIN m ON s.doc_id = m.doc_id""",
+
+    "q68_contamination" ->
+      s"""WITH d AS (SELECT doc_id,
+                     list_distinct(${SqlFragments.bigramsExpr(SqlFragments.toksExpr)}) AS grams
+                     FROM documents WHERE text IS NOT NULL),
+          bench AS (SELECT DISTINCT unnest(grams) AS g FROM d WHERE doc_id % 97 = 0),
+          corpus AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g
+                     FROM d WHERE doc_id % 97 <> 0)
+          SELECT doc_id, n_grams, COUNT(*) AS n_hit,
+            CAST(COUNT(*) AS DOUBLE) / n_grams AS contam_frac,
+            (CAST(COUNT(*) AS DOUBLE) / n_grams >= 0.2) AS contaminated
+          FROM corpus JOIN bench USING (g)
+          GROUP BY doc_id, n_grams"""
+  )
+}
