@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mixture resampling for training-data assembly: rebalance a corpus
+  * across a grouping key (language, source domain, quality bucket) by
+  * temperature-scaling the group proportions — the standard multilingual
+  * / multi-domain mixing step (e.g. the T5/mC4 alpha-sampling shape).
+  *
+  * Each group k with count n_k gets a replication rate
+  * `rate_k = (n_max / n_k)^(1 - tau)`: tau = 1 keeps the natural
+  * distribution (rate 1 everywhere), tau = 0 fully flattens it (every
+  * group replicated up to the largest), tau in between up-samples the
+  * tail sublinearly. Rates are >= 1 by construction — rebalancing is
+  * done by replication against the LARGEST group, never by discarding
+  * data (epochs-over-rare-languages, not subsampling-the-head).
+  *
+  * Per-row copies = floor(rate) + Bernoulli(rate - floor(rate)), with
+  * the Bernoulli decided by a 31-bit LCG over the row id — fully
+  * deterministic, replayable in plain SQL by any engine (the q69
+  * oracle replays it bit-for-bit), and stable under re-partitioning
+  * (no RNG seeded by partition index).
+  *
+  * Scale shape: one tiny groupBy(key) agg (O(groups) rows), a scalar
+  * max, a broadcast join of the rates back onto the corpus, and a
+  * per-row `explode(sequence(...))` — the corpus itself is never
+  * shuffled.
+  */
+object Mixer {
+
+  /** 31-bit LCG fraction in [0, 1) from a row-id column — glibc
+    * constants, plain BIGINT arithmetic (exact in any engine).
+    */
+  def lcgFrac(id: Column): Column =
+    ((id * 1103515245L + 12345L) % 2147483648L).cast("double") / 2147483648.0
+
+  /** Resample `df` by temperature over `keyCol`, replicating each row
+    * `copies` times; emits the input columns plus `copy_id` (1-based).
+    *
+    * tau = 0.5 is computed via `sqrt` rather than `pow`: IEEE-754
+    * requires sqrt to be correctly rounded (bit-identical everywhere)
+    * but makes no such promise for pow — and the oracle compares
+    * copies counts derived from the rate's exact bits.
+    */
+  def temperatureResample(df: DataFrame, keyCol: String, idCol: String,
+                          tau: Double): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+    val nmax = counts.agg(max(col("_n")).as("_nmax"))
+    val ratio = col("_nmax").cast("double") / col("_n")
+    val rate = (if (tau == 0.5) sqrt(ratio) else pow(ratio, 1.0 - tau)).as("_rate")
+    val rates = counts.crossJoin(broadcast(nmax)).select(col(keyCol), rate)
+    df.join(broadcast(rates), Seq(keyCol))
+      .withColumn("_copies",
+        floor(col("_rate")).cast("long") +
+          when(lcgFrac(col(idCol)) < col("_rate") - floor(col("_rate")), 1L).otherwise(0L))
+      .withColumn("copy_id", explode(sequence(lit(1L), col("_copies"))))
+      .drop("_rate", "_copies")
+  }
+}

@@ -73,6 +73,19 @@ object CurationQueries {
       graft.operators.Curation.contamination(t(s, dir, "documents"),
           "doc_id", "text", isBench = col("doc_id") % 97 === 0, n = 2)
         .withColumn("contaminated", col("contam_frac") >= 0.2)
+    }),
+
+    // Temperature-scaled language rebalancing (tau = 0.5): rare
+    // languages get sqrt(n_max/n_k) epochs via deterministic
+    // LCG-Bernoulli replication — the multilingual mixing step of a
+    // training-data pipeline. O(langs) agg + broadcast rates + per-row
+    // explode; the corpus is never shuffled. The oracle replays the
+    // LCG and the sqrt bit-for-bit (IEEE sqrt is correctly rounded).
+    "q69_temperature_mix" -> ((s, dir) => {
+      graft.operators.Mixer.temperatureResample(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          keyCol = "lang", idCol = "doc_id", tau = 0.5)
+        .select(col("doc_id"), col("lang"), col("copy_id"))
     })
   )
 
@@ -136,6 +149,19 @@ object CurationQueries {
             CAST(COUNT(*) AS DOUBLE) / n_grams AS contam_frac,
             (CAST(COUNT(*) AS DOUBLE) / n_grams >= 0.2) AS contaminated
           FROM corpus JOIN bench USING (g)
-          GROUP BY doc_id, n_grams"""
+          GROUP BY doc_id, n_grams""",
+
+    "q69_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+          mx AS (SELECT MAX(n) AS nmax FROM c),
+          r AS (SELECT lang, sqrt(CAST(nmax AS DOUBLE) / n) AS rate FROM c, mx),
+          d AS (SELECT doc_id, d0.lang, rate,
+                  CAST(floor(rate) AS BIGINT) +
+                  CASE WHEN CAST((doc_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+                            / 2147483648.0 < rate - floor(rate)
+                       THEN 1 ELSE 0 END AS copies
+                FROM documents d0 JOIN r USING (lang))
+          SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy_id
+          FROM d"""
   )
 }

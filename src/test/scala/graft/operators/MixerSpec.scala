@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MixerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDf(counts: Map[String, Int]) =
+    counts.toSeq.sorted.flatMap { case (k, n) => (0 until n).map(i => (s"$k$i".hashCode.toLong.abs, k)) }
+      .zipWithIndex.map { case ((_, k), i) => (i.toLong, k) }
+      .toDF("id", "key")
+
+  test("tau=1 keeps the natural distribution: exactly one copy per row") {
+    val df = mkDf(Map("a" -> 50, "b" -> 10))
+    val out = Mixer.temperatureResample(df, "key", "id", tau = 1.0)
+    assert(out.count() == 60)
+    assert(out.groupBy("copy_id").count().collect().map(r => r.getLong(0)).toSet == Set(1L))
+  }
+
+  test("tau=0 fully flattens: every group replicated to ~n_max in expectation") {
+    val df = mkDf(Map("a" -> 200, "b" -> 50))
+    val out = Mixer.temperatureResample(df, "key", "id", tau = 0.0)
+    val byKey = out.groupBy("key").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey("a") == 200)
+    // rate_b = 4.0 exactly -> deterministically 4 copies each
+    assert(byKey("b") == 200)
+  }
+
+  test("tau=0.5 up-samples the tail sublinearly and deterministically") {
+    val df = mkDf(Map("a" -> 100, "b" -> 25))
+    val out1 = Mixer.temperatureResample(df, "key", "id", tau = 0.5)
+    val out2 = Mixer.temperatureResample(df.repartition(7), "key", "id", tau = 0.5)
+    // rate_b = sqrt(4) = 2 exactly; rate_a = 1
+    val byKey = out1.groupBy("key").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey("a") == 100 && byKey("b") == 50)
+    // partitioning-invariant: LCG keys off the id, not the partition
+    assert(out1.orderBy("id", "copy_id").collect().toSeq ==
+      out2.orderBy("id", "copy_id").collect().toSeq)
+  }
+
+  test("fractional rates replicate within 3 sigma of the expectation") {
+    val df = mkDf(Map("a" -> 400, "b" -> 200)) // rate_b = sqrt(2) ~ 1.414
+    val out = Mixer.temperatureResample(df, "key", "id", tau = 0.5)
+    val nB = out.where($"key" === "b").count()
+    val exp = 200 * math.sqrt(2.0)
+    val sigma = math.sqrt(200 * 0.414 * 0.586)
+    assert(math.abs(nB - exp) <= 3 * sigma, s"nB=$nB exp=$exp")
+  }
+
+  test("rates join broadcasts; the corpus is never shuffled") {
+    val df = mkDf(Map("a" -> 100, "b" -> 30))
+    val out = Mixer.temperatureResample(df, "key", "id", tau = 0.5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+}
