@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the cluster
+  * step that completes near-dedup: LSH+verify emits duplicate PAIRS,
+  * but keep/drop decisions need duplicate CLUSTERS (a survivor per
+  * component, not per pair — pairwise min-id dropping over-drops on
+  * chains a–b, b–c).
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Labels start as node ids; each round every node takes the min of
+  * its own label and its neighbors' labels (one edge-keyed join), then
+  * short-circuits through its label's label (one node-keyed self-join
+  * — the union-find path-halving step). The jump makes label distance
+  * collapse geometrically, so convergence is O(log diameter) rounds
+  * even on pathological chains, and each round is two keyed shuffles
+  * over the EDGE/NODE sets — the corpus itself is never reshuffled.
+  * At the fixpoint every node's label is the min id of its component.
+  * (The same round shape underlies large-star/small-star — Kiveris et
+  * al., "Connected Components in MapReduce and Beyond".)
+  *
+  * Each round's labels are `localCheckpoint`ed: lineage would otherwise
+  * grow by two joins per round (re-execution and planning both go
+  * quadratic), and checkpoint blocks are freed by the ContextCleaner
+  * once unreferenced — nothing persists for the session (a leaked
+  * session-lifetime persist taxes every later query).
+  */
+object Components {
+
+  /** Connected components of the undirected graph given by
+    * (srcCol, dstCol) id pairs. Returns one row per distinct node:
+    * (id, comp) with comp = min node id of its component.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
+      .distinct()
+      .localCheckpoint() // computed once, probed every round
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels, sym("v") === labels("id"))
+        .groupBy(sym("u").as("id")).agg(min(col("comp")).as("_nbr"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("_nbr"), col("comp"))).as("comp"))
+      // pointer jump: comp := min(comp, label(comp)) — path-halving
+      val jump = stepped.select(col("id").as("_jid"), col("comp").as("_jcomp"))
+      val next = stepped.join(jump, stepped("comp") === jump("_jid"), "left")
+        .select(stepped("id"),
+          least(stepped("comp"), coalesce(jump("_jcomp"), stepped("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("id"), col("comp").as("_old")), Seq("id"))
+        .where(col("comp") < col("_old")).count() == 0
+      labels = next
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIter rounds " +
+      "(pathological chain graph — raise maxIter or use large-star/small-star)")
+    labels
+  }
+
+  /** Cluster summary over [[connectedComponents]]: one row per
+    * component with its representative (min id) and size.
+    */
+  def clusters(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    connectedComponents(edges, srcCol, dstCol)
+      .groupBy(col("comp").as("rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+}

@@ -86,6 +86,22 @@ object CurationQueries {
           t(s, dir, "documents").select(col("doc_id"), col("lang")),
           keyCol = "lang", idCol = "doc_id", tau = 0.5)
         .select(col("doc_id"), col("lang"), col("copy_id"))
+    }),
+
+    // Duplicate-cluster resolution: LSH+verify pairs (q23's machinery
+    // and thresholds, whose completeness q23 pins against all-pairs) →
+    // connected components → one representative per cluster. The
+    // pairwise stage alone cannot drive keep/drop on chains a–b, b–c;
+    // components can. Min-label propagation over the EDGE set only —
+    // O(diameter) keyed shuffles, corpus never reshuffled. Oracle:
+    // DuckDB recursive-CTE transitive closure over the identical
+    // verified pair set.
+    "q70_dup_clusters" -> ((s, dir) => {
+      val pairs = graft.operators.Dedup.lshVerifiedPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          estThreshold = 0.3, jaccardThreshold = 0.4)
+        .select(col("a_id"), col("b_id"))
+      graft.operators.Components.clusters(pairs, "a_id", "b_id")
     })
   )
 
@@ -162,6 +178,19 @@ object CurationQueries {
                        THEN 1 ELSE 0 END AS copies
                 FROM documents d0 JOIN r USING (lang))
           SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy_id
-          FROM d"""
+          FROM d""",
+
+    // WITH RECURSIVE prefixes the shared shingle-pair CTE chain; the
+    // closure walks the symmetric verified-pair edges, then each node's
+    // component label is the min reachable id (LEAST with itself).
+    "q70_dup_clusters" -> (
+      SqlFragments.shinglePairsCte(0.4).replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, e AS (SELECT a_id AS u, b_id AS v FROM verified
+                 UNION SELECT b_id, a_id FROM verified),
+          reach AS (SELECT u, v FROM e
+                    UNION
+                    SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+          comp AS (SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u)
+          SELECT comp AS rep, COUNT(*) AS cluster_size FROM comp GROUP BY comp""")
   )
 }

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("labels every node with its component's min id") {
+    // two components: chain {1-2-3-4} and triangle {10,11,12}
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("a", "b")
+    val got = Components.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("clusters summarizes representative and size per component") {
+    val edges = Seq((5L, 6L), (8L, 7L), (7L, 9L)).toDF("a", "b")
+    val got = Components.clusters(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 2L, 7L -> 3L))
+  }
+
+  test("converges on a long chain within the round budget") {
+    // path 0-1-2-...-30: worst-case diameter for min propagation
+    val edges = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Components.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(got.length == 31 && got.forall(_._2 == 0L))
+  }
+
+  test("duplicate and reversed edges do not change the result") {
+    val e1 = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val e2 = Seq((2L, 1L), (1L, 2L), (3L, 2L), (2L, 3L)).toDF("a", "b")
+    assert(Components.connectedComponents(e1, "a", "b").as[(Long, Long)].collect().sorted
+      .sameElements(Components.connectedComponents(e2, "a", "b").as[(Long, Long)].collect().sorted))
+  }
+}
