@@ -94,6 +94,37 @@ object PipelineQueries {
           col("positive"), col("negative"), col("neutral"))
     }),
 
+    // T-row extension: stream-stream event-time INTERVAL join, executed
+    // as a real streaming query — file source (the events parquet,
+    // glob-pathed: FileStreamSource wants a directory or glob, and the
+    // glob's non-wildcard prefix becomes the base path), watermarks on
+    // both sides, key-equality + time-range predicate (what bounds the
+    // join state at scale), Trigger.AvailableNow to completion. The
+    // attribution shape: purchase within 24 h after a view by the same
+    // user. gap is compared in exact integer microseconds (floor-of-
+    // difference vs difference-of-floors diverges in seconds).
+    "q71_stream_interval_join" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType)))
+      val raw = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val views = raw.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts").as("view_ts"))
+      val buys = raw.where(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id").as("b_user"),
+          col("ts").as("buy_ts"))
+      graft.streaming.StreamJoin.runAvailableNow(s,
+          graft.streaming.StreamJoin.intervalJoin(views, buys,
+            "v_user", "b_user", "view_ts", "buy_ts",
+            upper = "24 hours", watermark = "1 hour"))
+        .select(col("view_id"), col("buy_id"), col("v_user").as("user_id"),
+          (unix_micros(col("buy_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+    }),
+
     // §3.3 serving forecast: ARX(2) one-step-ahead on the daily order
     // totals with exogenous order counts. Driver-side on O(days) rows by
     // design. Oracle: the DuckDB mirror rebuilds the identical
@@ -190,6 +221,15 @@ object PipelineQueries {
            volume, COALESCE(nbr_article, 0) AS nbr_article,
            positive, negative, neutral
          FROM ta FULL JOIN sa ON ta.d = sa.d""",
+
+    "q71_stream_interval_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS buy_id, v.user_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS gap_us
+         FROM events v JOIN events p
+           ON v.user_id = p.user_id
+          AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+          AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 24 HOUR
+         WHERE v.event_type = 'view' AND p.event_type = 'purchase'""",
 
     "q26_forecast" -> {
       // ArxForecaster(p=2) + 1 exog mirror: features per training row t
