@@ -69,17 +69,24 @@ object Curation {
     */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
                     isBench: Column, n: Int): DataFrame = {
+    // `_toks` is staged as its own projection BELOW the explode: if the
+    // tokenize lambda chain collapses into the Generate's generator
+    // expression, it is re-evaluated per OUTPUT row — measured 19x
+    // slower at sf0.1 (13.4 s vs 0.7 s for the corpus explode). The
+    // shingle transform over the staged array is safe inside explode.
     val grams = docs.where(col(textCol).isNotNull)
+      .withColumn("_toks", TextFns.tokens(col(textCol)))
       .select(col(idCol), isBench.as("_bench"),
-        array_distinct(TextFns.wordShingles(col(textCol), n)).as("grams"))
-    val bench = grams.where(col("_bench"))
-      .select(explode(col("grams")).as("g")).distinct()
-    val corpus = grams.where(!col("_bench"))
-      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"),
-        explode(col("grams")).as("g"))
-    corpus.join(broadcast(bench), Seq("g"))
-      .groupBy(col(idCol), col("n_grams"))
-      .agg(count(lit(1)).as("n_hit"))
+        explode(array_distinct(TextFns.shinglesFromTokens(col("_toks"), n))).as("g"))
+    val bench = grams.where(col("_bench")).select(col("g")).distinct()
+    // left join against the broadcast bench grams, then one doc-keyed
+    // agg computes total and hit counts together (no second pass for
+    // the per-doc gram count)
+    grams.where(!col("_bench"))
+      .join(broadcast(bench.withColumn("_hit", lit(1))), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_hit"))
+      .where(col("n_hit") >= 1)
       .select(col(idCol), col("n_grams"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_grams")).as("contam_frac"))
   }

@@ -120,7 +120,8 @@ object PipelineQueries {
       graft.streaming.StreamJoin.runAvailableNow(s,
           graft.streaming.StreamJoin.intervalJoin(views, buys,
             "v_user", "b_user", "view_ts", "buy_ts",
-            upper = "24 hours", watermark = "1 hour"))
+            upper = "24 hours", watermark = "1 hour"),
+          statePartitions = Some(8))
         .select(col("view_id"), col("buy_id"), col("v_user").as("user_id"),
           (unix_micros(col("buy_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
     }),

@@ -43,12 +43,28 @@ object StreamJoin {
     * production sink — at scale the same streaming frame goes to
     * `Ingest.startMasterAppend` (checkpointed parquet/ViewStore
     * append) and this helper is only the test/verify surface.
+    *
+    * @param statePartitions number of shuffle (= state store)
+    *   partitions for THIS streaming query; the session conf is
+    *   restored after. A stateful query pays a fixed per-partition
+    *   per-batch state-commit cost, so the partition count should be
+    *   sized to the state volume, not inherited from the batch-side
+    *   default — 32 idle state stores measured 2.3x slower than 8 on a
+    *   100k-event join. (A streaming query's state partitioning is
+    *   fixed at its first checkpoint for life, so this is a real
+    *   deployment decision, not a test knob.)
     */
-  def runAvailableNow(spark: SparkSession, df: DataFrame): DataFrame = {
+  def runAvailableNow(spark: SparkSession, df: DataFrame,
+                      statePartitions: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_run_${runSeq.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally if (q.isActive) q.stop()
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    statePartitions.foreach(p => spark.conf.set(key, p.toString))
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally spark.conf.set(key, saved)
     spark.table(name)
   }
 }
