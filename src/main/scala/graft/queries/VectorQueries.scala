@@ -106,7 +106,17 @@ object VectorQueries {
           max(when(col("doc_id") === col("b_id"), col("simhash"))).as("_sb"))
         .select(col("a_id"), col("b_id"),
           (bit_count(col("_sa").bitwiseXOR(col("_sb"))) <= 16).as("ham_ok"))
-    })
+    }),
+
+    // SQ8 scalar quantization: per-dim (min,max) codebook -> byte codes
+    // + max reconstruction error — the 4x compression step a 100 TB
+    // vector corpus pays before hitting disk. Codebook agg is O(dims)
+    // output; encode is one shuffle-free codegen'd projection. The
+    // oracle recomputes the codebook from raw data — Spark's agg and
+    // DuckDB's must agree bit-for-bit for the codes to hash-match.
+    "q72_scalar_quantize" -> ((s, dir) =>
+      graft.operators.Quantize.scalarQuantize(
+        t(s, dir, "embeddings"), "vec_id", "embedding"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -140,6 +150,25 @@ object VectorQueries {
                     FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
                     JOIN g ON g.bucket = a.bucket)
           SELECT a_id, b_id, sim FROM p WHERE sim >= 0.35""",
+
+    "q72_scalar_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          d AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx
+                FROM (SELECT unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i FROM e)
+                GROUP BY i),
+          b AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM d),
+          q AS (SELECT vec_id, v, mns, mxs,
+                  list_transform(range(1, len(v) + 1), i ->
+                    CASE WHEN mxs[i] = mns[i] THEN 0
+                         ELSE CAST(floor((v[i] - mns[i]) / (mxs[i] - mns[i]) * 255.0 + 0.5) AS INT)
+                    END) AS codes
+                FROM e, b)
+          SELECT vec_id, codes,
+            list_reduce(
+              list_transform(range(1, len(v) + 1), i ->
+                abs(v[i] - (mns[i] + CAST(codes[i] AS DOUBLE) / 255.0 * (mxs[i] - mns[i])))),
+              (a, b) -> greatest(a, b)) AS max_err
+          FROM q""",
 
     "q22_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars,
