@@ -46,10 +46,16 @@ object Mixer {
   def temperatureResample(df: DataFrame, keyCol: String, idCol: String,
                           tau: Double): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
-    val nmax = counts.agg(max(col("_n")).as("_nmax"))
-    val ratio = col("_nmax").cast("double") / col("_n")
+    // n_max via a whole-partition window over the O(groups) agg output:
+    // an agg-of-agg via self-reference would execute `counts` (and its
+    // corpus scan) twice — Spark has no common-subplan reuse across
+    // separate join inputs
+    val W = org.apache.spark.sql.expressions.Window
+    val nmaxWin = W.partitionBy()
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val ratio = max(col("_n")).over(nmaxWin).cast("double") / col("_n")
     val rate = (if (tau == 0.5) sqrt(ratio) else pow(ratio, 1.0 - tau)).as("_rate")
-    val rates = counts.crossJoin(broadcast(nmax)).select(col(keyCol), rate)
+    val rates = counts.select(col(keyCol), rate)
     df.join(broadcast(rates), Seq(keyCol))
       .withColumn("_copies",
         floor(col("_rate")).cast("long") +

@@ -165,7 +165,9 @@ class PlanShapeSpec extends SparkSpec {
           col("id").as("v"))
       val dim = spark.range(0, 98).select(col("id").as("k"), (col("id") * 2).as("w"))
       val joined = fact.join(dim, Seq("k"))
-      assert(joined.count() == 200000L)
+      // execute THIS query execution: .count() would plan and run a
+      // different (aggregated) one, leaving joined's plan un-finalized
+      assert(joined.collect().length == 200000)
       val p = joined.queryExecution.executedPlan.toString
       assert(p.contains("skew=true"), s"no skew split in:\n$p")
     } finally saved.foreach { case (k, v) =>
@@ -178,5 +180,48 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(df)
     assert(!p.contains("collect_list"), p)
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("PII scrub (q66) is a shuffle-free codegen'd map stage") {
+    val df = SparkEntry.queries("q66_pii_redact")(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+    assert(hasCodegen(df), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
+  test("temperature mix (q69) broadcasts rates; the corpus side never shuffles") {
+    val df = SparkEntry.queries("q69_temperature_mix")(spark, sf())
+    df.collect() // let AQE finalize
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    // corpus-side segment of the printed tree: from the explode down to
+    // the doc_id scan (the streamed join side prints before the
+    // broadcast side) — must contain no shuffle of any kind
+    val lines = p.linesIterator.toVector
+    val from = lines.indexWhere(_.contains("Generate explode"))
+    val to = lines.indexWhere(l => l.contains("FileScan parquet") && l.contains("doc_id"), from)
+    assert(from >= 0 && to > from, p)
+    val segment = lines.slice(from, to + 1)
+    assert(!segment.exists(_.contains("Exchange")),
+      s"corpus side shuffles:\n${segment.mkString("\n")}")
+  }
+
+  test("SQ8 encode (q72) never shuffles the corpus projection") {
+    val df = SparkEntry.queries("q72_scalar_quantize")(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+    assert(hasCodegen(df), p)
+  }
+
+  test("contamination (q68) stages tokens below the Generate (no per-output-row re-eval)") {
+    val df = SparkEntry.queries("q68_contamination")(spark, sf())
+    val p = plan(df)
+    // the Generate's generator must consume a staged array attribute,
+    // not the inlined tokenize chain over `text` — the collapsed form
+    // re-evaluates the lambda per output row (measured 19x at sf0.1)
+    val gen = p.linesIterator.filter(_.contains("Generate explode")).toSeq
+    assert(gen.nonEmpty, p)
+    assert(!gen.exists(_.contains("split(lower")), s"tokenize inlined into Generate:\n$gen")
   }
 }
