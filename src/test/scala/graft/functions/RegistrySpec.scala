@@ -15,17 +15,19 @@ class RegistrySpec extends SparkSpec {
       .createOrReplaceTempView("docs_reg_t")
 
     val viaSql = spark.sql(
-      """SELECT doc_id, c, fp, l, n, s.pos AS p FROM (
+      """SELECT doc_id, c, fp, l, n, s.pos AS p, r FROM (
            SELECT doc_id, clean_text(text) AS c, doc_fingerprint(text) AS fp,
            lang_id(text) AS l, token_count(text) AS n,
-           sentiment_scores(text) AS s
+           sentiment_scores(text) AS s,
+           pii_redact(text || ' a@b.io') AS r
            FROM docs_reg_t)""")
     val viaApi = graft.Tables.load(spark, sf(), "documents").limit(50)
       .select(col("doc_id"), TextFns.cleanText(col("text")).as("c"),
         TextFns.fingerprint(col("text")).as("fp"),
         TextFns.langId(col("text")).as("l"),
         TextFns.tokenCount(col("text")).as("n"),
-        SentimentFns.sentiment(col("text")).getField("pos").as("p"))
+        SentimentFns.sentiment(col("text")).getField("pos").as("p"),
+        PiiFns.redact(concat(col("text"), lit(" a@b.io"))).as("r"))
     assert(viaSql.exceptAll(viaApi).count() == 0)
     assert(viaApi.exceptAll(viaSql).count() == 0)
   }
