@@ -126,6 +126,30 @@ object PipelineQueries {
           (unix_micros(col("buy_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
     }),
 
+    // F4 graded under the oracle: streaming dedup-by-id (the reference
+    // drops re-delivered articles by id; Kafka gives at-least-once, so
+    // the dedup stage is what makes the pipeline effectively-once).
+    // Two file-source reads of the same events parquet union'd = every
+    // event delivered twice; dropDuplicatesWithinWatermark(event_id)
+    // collapses them with state bounded by the watermark (the unbounded
+    // dropDuplicates would hold every id forever — at 100 TB the
+    // watermark bound IS the operator). Oracle: the events table
+    // itself, since ids are unique at the source.
+    "q74_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType)))
+      def read() = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val doubled = read().union(read()).withWatermark("ts", "1 hour")
+      graft.streaming.StreamJoin.runAvailableNow(s,
+          doubled.dropDuplicatesWithinWatermark("event_id"),
+          statePartitions = Some(8))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+
     // §3.3 serving forecast: ARX(2) one-step-ahead on the daily order
     // totals with exogenous order counts. Driver-side on O(days) rows by
     // design. Oracle: the DuckDB mirror rebuilds the identical
@@ -231,6 +255,9 @@ object PipelineQueries {
           AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
           AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 24 HOUR
          WHERE v.event_type = 'view' AND p.event_type = 'purchase'""",
+
+    "q74_stream_dedup" ->
+      """SELECT event_id, user_id, event_type FROM events""",
 
     "q26_forecast" -> {
       // ArxForecaster(p=2) + 1 exog mirror: features per training row t
