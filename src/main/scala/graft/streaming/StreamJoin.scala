@@ -65,6 +65,12 @@ object StreamJoin {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       try q.awaitTermination() finally if (q.isActive) q.stop()
     } finally spark.conf.set(key, saved)
-    spark.table(name)
+    // resolve the result, then unregister the sink table: repeated runs
+    // (bench passes) would otherwise pile every run's full result up in
+    // the driver's catalog for the session — the returned frame keeps
+    // its resolved plan and stays readable after the drop
+    val out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    out
   }
 }
