@@ -35,6 +35,21 @@ object Mixer {
   def lcgFrac(id: Column): Column =
     ((id * 1103515245L + 12345L) % 2147483648L).cast("double") / 2147483648.0
 
+  /** Exactly-k-per-group deterministic sample: rank rows inside each
+    * group by the LCG hash of their id (a uniform deterministic
+    * shuffle) and keep the first k. Unlike Bernoulli sampling
+    * (`sampleBy`, [[temperatureResample]]'s fractional part) the output
+    * size is exact — the shape eval-set construction and per-domain
+    * caps need. One keyed shuffle; the rank is a per-group window with
+    * the WindowGroupLimit pushdown, so no group ever buffers more than
+    * k rows per partition.
+    */
+  def exactKPerGroup(df: DataFrame, keyCol: String, idCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(lcgFrac(col(idCol)), col(idCol))
+    df.withColumn("_rk", row_number().over(w)).where(col("_rk") <= k).drop("_rk")
+  }
+
   /** Resample `df` by temperature over `keyCol`, replicating each row
     * `copies` times; emits the input columns plus `copy_id` (1-based).
     *

@@ -132,6 +132,17 @@ object CurationQueries {
           sum(length(col("text"))).as("total_chars"),
           min(col("text")).as("min_text"),
           max(col("doc_id")).as("max_id"))
+    }),
+
+    // Exactly-k-per-language sample: deterministic LCG rank inside each
+    // group, first 20 kept — exact output size per stratum (what eval
+    // sets and per-domain caps need; Bernoulli rates only hit the size
+    // in expectation). The oracle replays the identical LCG rank.
+    "q75_exact_k_sample" -> ((s, dir) => {
+      graft.operators.Mixer.exactKPerGroup(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          keyCol = "lang", idCol = "doc_id", k = 20)
+        .select(col("doc_id"), col("lang"))
     })
   )
 
@@ -228,6 +239,14 @@ object CurationQueries {
            CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
            MIN(text) AS min_text,
            MAX(doc_id) AS max_id
-         FROM documents GROUP BY lang"""
+         FROM documents GROUP BY lang""",
+
+    "q75_exact_k_sample" ->
+      """WITH r AS (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY CAST((doc_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+                        / 2147483648.0, doc_id) AS rk
+           FROM documents)
+         SELECT doc_id, lang FROM r WHERE rk <= 20"""
   )
 }

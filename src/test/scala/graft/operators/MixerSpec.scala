@@ -48,6 +48,23 @@ class MixerSpec extends SparkSpec {
     assert(math.abs(nB - exp) <= 3 * sigma, s"nB=$nB exp=$exp")
   }
 
+  test("exactKPerGroup returns exactly k rows per group, deterministically") {
+    val df = mkDf(Map("a" -> 50, "b" -> 30, "c" -> 5))
+    val out1 = Mixer.exactKPerGroup(df, "key", "id", k = 10)
+    val byKey = out1.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey == Map("a" -> 10, "b" -> 10, "c" -> 5)) // undersized group kept whole
+    val out2 = Mixer.exactKPerGroup(df.repartition(5), "key", "id", k = 10)
+    assert(out1.orderBy("id").collect().toSeq == out2.orderBy("id").collect().toSeq)
+  }
+
+  test("exactKPerGroup plans through WindowGroupLimit (no full-group sort buffering)") {
+    val df = mkDf(Map("a" -> 200, "b" -> 100))
+    val out = Mixer.exactKPerGroup(df, "key", "id", k = 5)
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      out.queryExecution.executedPlan.toString)
+  }
+
   test("rates join broadcasts; the corpus is never shuffled") {
     val df = mkDf(Map("a" -> 100, "b" -> 30))
     val out = Mixer.temperatureResample(df, "key", "id", tau = 0.5)
