@@ -49,18 +49,17 @@ object Components {
       val nbrMin = sym.join(labels, sym("v") === labels("id"))
         .groupBy(sym("u").as("id")).agg(min(col("comp")).as("_nbr"))
       val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("_old"),
           least(col("comp"), coalesce(col("_nbr"), col("comp"))).as("comp"))
       // pointer jump: comp := min(comp, label(comp)) — path-halving
       val jump = stepped.select(col("id").as("_jid"), col("comp").as("_jcomp"))
       val next = stepped.join(jump, stepped("comp") === jump("_jid"), "left")
-        .select(stepped("id"),
+        .select(stepped("id"), col("_old"),
           least(stepped("comp"), coalesce(jump("_jcomp"), stepped("comp"))).as("comp"))
         .localCheckpoint()
-      converged = next
-        .join(labels.select(col("id"), col("comp").as("_old")), Seq("id"))
-        .where(col("comp") < col("_old")).count() == 0
-      labels = next
+      // convergence read off the carried pre-round label — no extra join
+      converged = next.where(col("comp") < col("_old")).count() == 0
+      labels = next.drop("_old")
       iter += 1
     }
     require(converged, s"label propagation did not converge in $maxIter rounds " +
