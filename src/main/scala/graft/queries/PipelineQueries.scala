@@ -150,6 +150,35 @@ object PipelineQueries {
         .select(col("event_id"), col("user_id"), col("event_type"))
     }),
 
+    // T4 graded under the oracle: event-time tumbling-window aggregate
+    // as a REAL streaming query in APPEND mode — the mode where the
+    // watermark is not a tuning knob but the correctness contract:
+    // only windows whose end the final watermark passed may emit.
+    // Trigger.AvailableNow processes all data, then runs the extra
+    // no-data batch the advanced watermark triggers, so the emitted
+    // set is exactly {windows with end <= max(ts) - delay}. The oracle
+    // recomputes that cutoff in SQL — the hash match grades Spark's
+    // append-emission semantics, not just the sums. (Event-time stats
+    // track milliseconds; the cutoff here sits ~57 min from a window
+    // edge, so sub-second truncation cannot flip a window.)
+    "q76_stream_windowed_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      val raw = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = raw.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("_sv"))
+      graft.streaming.StreamJoin.runAvailableNow(s,
+          agg.select(unix_micros(col("window.start")).as("w_start_us"),
+            col("event_type"), col("n"),
+            NumFns.stableRound(col("_sv"), 4).as("sum_value")),
+          statePartitions = Some(8))
+    }),
+
     // §3.3 serving forecast: ARX(2) one-step-ahead on the daily order
     // totals with exogenous order counts. Driver-side on O(days) rows by
     // design. Oracle: the DuckDB mirror rebuilds the identical
@@ -258,6 +287,16 @@ object PipelineQueries {
 
     "q74_stream_dedup" ->
       """SELECT event_id, user_id, event_type FROM events""",
+
+    "q76_stream_windowed_agg" ->
+      s"""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+                     FROM events),
+          mx AS (SELECT MAX(us) AS mus FROM e)
+          SELECT us - (us % 21600000000) AS w_start_us, event_type,
+            COUNT(*) AS n, ${SqlFragments.r15("SUM(value)", 4)} AS sum_value
+          FROM e, mx
+          GROUP BY us - (us % 21600000000), event_type, mus
+          HAVING (us - (us % 21600000000)) + 21600000000 <= mus - 3600000000""",
 
     "q26_forecast" -> {
       // ArxForecaster(p=2) + 1 exog mirror: features per training row t
