@@ -179,6 +179,32 @@ object PipelineQueries {
           statePartitions = Some(8))
     }),
 
+    // Streaming SESSION windows in append mode (the data-dependent
+    // window kind: windows merge as events arrive, close only when the
+    // watermark passes last-event + gap). Same emission contract as
+    // q76 but the cutoff is per-session — the oracle re-derives each
+    // session's end (MAX(ts) + gap) from the lag/cumsum sessionization
+    // and applies the final-watermark cutoff. Grades the streaming
+    // session-state machinery q31 only grades in batch.
+    "q77_stream_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = StructType(Seq(
+        StructField("ts", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType)))
+      val raw = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = raw.withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          NumFns.stableRound(sum(col("value")), 4).as("sum_value"))
+      graft.streaming.StreamJoin.runAvailableNow(s,
+          agg.select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            col("n_events"), col("sum_value")),
+          statePartitions = Some(8))
+    }),
+
     // §3.3 serving forecast: ARX(2) one-step-ahead on the daily order
     // totals with exogenous order counts. Driver-side on O(days) rows by
     // design. Oracle: the DuckDB mirror rebuilds the identical
@@ -297,6 +323,23 @@ object PipelineQueries {
           FROM e, mx
           GROUP BY us - (us % 21600000000), event_type, mus
           HAVING (us - (us % 21600000000)) + 21600000000 <= mus - 3600000000""",
+
+    "q77_stream_sessions" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+          m AS (SELECT user_id, ts, value,
+                CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 2 HOUR
+                     THEN 1 ELSE 0 END AS brk
+                FROM e),
+          s AS (SELECT user_id, ts, value,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m),
+          mx AS (SELECT MAX(ts) AS mt FROM e)
+          SELECT user_id, epoch_us(MIN(ts)) AS start_us, COUNT(*) AS n_events,
+            ${SqlFragments.r15("SUM(value)", 4)} AS sum_value
+          FROM s, mx
+          GROUP BY user_id, sid, mt
+          HAVING MAX(ts) + INTERVAL 2 HOUR <= mt - INTERVAL 1 HOUR""",
 
     "q26_forecast" -> {
       // ArxForecaster(p=2) + 1 exog mirror: features per training row t
