@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{PiiFns, TextFns}
+import graft.functions.{NumFns, PiiFns, TextFns}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -134,6 +134,40 @@ object CurationQueries {
           max(col("doc_id")).as("max_id"))
     }),
 
+    // One-pass column profiling of orders — the data-quality gate shape
+    // (single global agg row melted to long form; exact distincts keep
+    // the oracle hashable, approx_count_distinct is the 100 TB swap,
+    // see Profile scaladoc). sum/date columns profiled count-only.
+    "q78_profile" -> ((s, dir) => {
+      graft.operators.Profile.profile(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority")))
+    }),
+
+    // K2 upsert graded end-to-end through parquet: overwrite a January
+    // view, then MERGE an overlapping mid-Jan..Feb batch (doubled
+    // prices) — dynamic partition overwrite replaces exactly the
+    // touched day-partitions and leaves the rest. The read-back agg
+    // hash-matches an oracle that splices the two batches by date: the
+    // graded proof that the speed layer's idempotent keyed sink (T6)
+    // leaves precisely the partitions it should. Scratch view rebuilt
+    // from overwrite each run -> reruns converge (idempotence).
+    "q79_viewstore_merge" -> ((s, dir) => {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val store = new graft.sources.ViewStore(s, s"/tmp/graft_viewstore_$key")
+      val o = t(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          col("o_orderkey"), col("o_totalprice").as("p"))
+      store.overwrite("q79", o.where(col("d").between("1995-01-01", "1995-01-31")), "d")
+      store.merge("q79",
+        o.where(col("d").between("1995-01-15", "1995-02-05"))
+          .withColumn("p", col("p") * 2), "d")
+      store.read("q79")
+        .groupBy(col("d").cast("string").as("d"))
+        .agg(count(lit(1)).as("n"), NumFns.stableRound(sum(col("p")), 2).as("total"))
+    }),
+
     // Exactly-k-per-language sample: deterministic LCG rank inside each
     // group, first 20 kept — exact output size per stratum (what eval
     // sets and per-domain caps need; Bernoulli rates only hit the size
@@ -240,6 +274,37 @@ object CurationQueries {
            MIN(text) AS min_text,
            MAX(doc_id) AS max_id
          FROM documents GROUP BY lang""",
+
+    "q78_profile" ->
+      """SELECT 'o_orderkey' AS col_name, COUNT(o_orderkey) AS n,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           MIN(CAST(o_orderkey AS DOUBLE)) AS min_num, MAX(CAST(o_orderkey AS DOUBLE)) AS max_num
+         FROM orders
+         UNION ALL
+         SELECT 'o_custkey', COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           MIN(CAST(o_custkey AS DOUBLE)), MAX(CAST(o_custkey AS DOUBLE))
+         FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           MIN(o_totalprice), MAX(o_totalprice)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           NULL, NULL
+         FROM orders""",
+
+    "q79_viewstore_merge" ->
+      s"""WITH o AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, o_totalprice AS p
+                     FROM orders),
+          b1 AS (SELECT d, p FROM o WHERE d BETWEEN '1995-01-01' AND '1995-01-31'),
+          b2 AS (SELECT d, p * 2 AS p FROM o WHERE d BETWEEN '1995-01-15' AND '1995-02-05'),
+          v AS (SELECT * FROM b1 WHERE d < '1995-01-15' UNION ALL SELECT * FROM b2)
+          SELECT d, COUNT(*) AS n, ${SqlFragments.r15("SUM(p)", 2)} AS total
+          FROM v GROUP BY d""",
 
     "q75_exact_k_sample" ->
       """WITH r AS (SELECT doc_id, lang,
