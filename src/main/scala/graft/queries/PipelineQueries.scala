@@ -205,6 +205,39 @@ object PipelineQueries {
           statePartitions = Some(8))
     }),
 
+    // CHAINED stateful streaming operators in one query (Spark 4's
+    // multiple-stateful-operator support): stream-stream interval join
+    // feeding an event-time windowed aggregate. The join shifts the
+    // downstream watermark by its interval upper bound — view-side
+    // rows can keep matching until the buy watermark passes
+    // view_ts + 24 h, so the agg's emission cutoff is
+    // window_end <= min(max view_ts, max buy_ts) - delay - 24 h,
+    // which the oracle recomputes (the hash match pins the watermark
+    // PROPAGATION rule through the join, not just the counts;
+    // empirically confirmed at sf0.01: 115 of 119 batch windows emit).
+    "q80_stream_join_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType)))
+      def read() = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val views = read().where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      val buys = read().where(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("ts").as("buy_ts"))
+      val joined = graft.streaming.StreamJoin.intervalJoin(views, buys,
+        "v_user", "b_user", "view_ts", "buy_ts",
+        upper = "24 hours", watermark = "1 hour")
+      val agg = joined.groupBy(window(col("view_ts"), "6 hours"))
+        .agg(count(lit(1)).as("n_attributed"))
+      graft.streaming.StreamJoin.runAvailableNow(s,
+          agg.select(unix_micros(col("window.start")).as("w_start_us"),
+            col("n_attributed")),
+          statePartitions = Some(8))
+    }),
+
     // §3.3 serving forecast: ARX(2) one-step-ahead on the daily order
     // totals with exogenous order counts. Driver-side on O(days) rows by
     // design. Oracle: the DuckDB mirror rebuilds the identical
@@ -323,6 +356,21 @@ object PipelineQueries {
           FROM e, mx
           GROUP BY us - (us % 21600000000), event_type, mus
           HAVING (us - (us % 21600000000)) + 21600000000 <= mus - 3600000000""",
+
+    "q80_stream_join_agg" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+          v AS (SELECT user_id, t AS vt FROM e WHERE event_type = 'view'),
+          b AS (SELECT user_id, t AS bt FROM e WHERE event_type = 'purchase'),
+          j AS (SELECT epoch_us(vt) AS vus
+                FROM v JOIN b ON v.user_id = b.user_id
+                 AND bt >= vt AND bt <= vt + INTERVAL 24 HOUR),
+          wm AS (SELECT LEAST((SELECT MAX(epoch_us(vt)) FROM v),
+                              (SELECT MAX(epoch_us(bt)) FROM b))
+                   - 3600000000 - 86400000000 AS cutoff)
+          SELECT vus - (vus % 21600000000) AS w_start_us, COUNT(*) AS n_attributed
+          FROM j, wm
+          GROUP BY vus - (vus % 21600000000), cutoff
+          HAVING (vus - (vus % 21600000000)) + 21600000000 <= cutoff""",
 
     "q77_stream_sessions" ->
       s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
