@@ -238,6 +238,49 @@ object PipelineQueries {
           statePartitions = Some(8))
     }),
 
+    // T2's sibling graded: UPDATE-mode streaming aggregation. Unlike
+    // append (q76), update mode emits each key's latest value per
+    // micro-batch without waiting for the watermark — the mode the
+    // reference's speed view actually needs (upsert-by-key every
+    // batch). One source file = one batch, so the emitted set is each
+    // key's final aggregate, which the oracle computes as the plain
+    // batch GROUP BY — no cutoff, the semantic difference from q76.
+    "q81_stream_update_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = StructType(Seq(
+        StructField("ts", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val raw = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = raw.withWatermark("ts", "1 hour")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          NumFns.stableRound(sum(col("value")), 4).as("sum_value"))
+      graft.streaming.StreamJoin.runAvailableNow(s, agg,
+        statePartitions = Some(8), mode = "update")
+    }),
+
+    // Stream-STATIC join: the enrichment shape — a live stream joined
+    // to a slowly-changing dimension that is just a batch table. No
+    // state, no watermark: the static side broadcasts and every
+    // micro-batch probes it map-side, which is why this join class is
+    // free at scale (the dim re-reads per batch; pin it with a
+    // broadcast hint). Users map onto the customer dim by key range.
+    "q82_stream_static_join" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType)))
+      val raw = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = raw.join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
+      graft.streaming.StreamJoin.runAvailableNow(s, joined)
+    }),
+
     // §3.3 serving forecast: ARX(2) one-step-ahead on the daily order
     // totals with exogenous order counts. Driver-side on O(days) rows by
     // design. Oracle: the DuckDB mirror rebuilds the identical
@@ -356,6 +399,15 @@ object PipelineQueries {
           FROM e, mx
           GROUP BY us - (us % 21600000000), event_type, mus
           HAVING (us - (us % 21600000000)) + 21600000000 <= mus - 3600000000""",
+
+    "q81_stream_update_agg" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+          ${SqlFragments.r15("SUM(value)", 4)} AS sum_value
+          FROM events GROUP BY event_type""",
+
+    "q82_stream_static_join" ->
+      """SELECT event_id, user_id, c_mktsegment, value
+         FROM events JOIN customer ON user_id = c_custkey""",
 
     "q80_stream_join_agg" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),

@@ -55,14 +55,15 @@ object StreamJoin {
     *   deployment decision, not a test knob.)
     */
   def runAvailableNow(spark: SparkSession, df: DataFrame,
-                      statePartitions: Option[Int] = None): DataFrame = {
+                      statePartitions: Option[Int] = None,
+                      mode: String = "append"): DataFrame = {
     val name = s"graft_stream_run_${runSeq.incrementAndGet()}"
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(key)
     statePartitions.foreach(p => spark.conf.set(key, p.toString))
     try {
       val q = df.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       try q.awaitTermination() finally if (q.isActive) q.stop()
     } finally spark.conf.set(key, saved)
     // resolve the result, then unregister the sink table: repeated runs
