@@ -114,9 +114,11 @@ object CurationQueries {
     // The oracle aggregates the original parquet: matching hashes prove
     // the round-trip dropped nothing (nulls, ordering, string content).
     "q73_jsonl_roundtrip" -> ((s, dir) => {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val path = s"/tmp/graft_jsonl/docs_$key"
+      // process-scoped scratch: a shared content-keyed path races when
+      // bench + correctness JVMs run concurrently (one overwrites what
+      // the other is reading); within THIS process it is still
+      // write-once, so bench medians measure the read path
+      val path = graft.sources.Scratch.processScoped("q73_jsonl", dir) + "/docs"
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         t(s, dir, "documents").write.mode("overwrite").json(path)
       }
@@ -153,9 +155,8 @@ object CurationQueries {
     // leaves precisely the partitions it should. Scratch view rebuilt
     // from overwrite each run -> reruns converge (idempotence).
     "q79_viewstore_merge" -> ((s, dir) => {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val store = new graft.sources.ViewStore(s, s"/tmp/graft_viewstore_$key")
+      val store = new graft.sources.ViewStore(s,
+        graft.sources.Scratch.processScoped("q79_view", dir))
       val o = t(s, dir, "orders")
         .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
           col("o_orderkey"), col("o_totalprice").as("p"))

@@ -292,9 +292,10 @@ object PipelineQueries {
     "q83_stream_ingest_sink" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val root = s"/tmp/graft_ingest_$key"
+      // process-scoped: two JVMs sharing one streaming checkpoint would
+      // contend on the offset log; within this process the persistent
+      // checkpoint still demonstrates replay-convergence across runs
+      val root = graft.sources.Scratch.processScoped("q83_ingest", dir)
       val store = new graft.sources.ViewStore(s, root)
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
