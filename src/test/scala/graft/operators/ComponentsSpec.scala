@@ -30,6 +30,27 @@ class ComponentsSpec extends SparkSpec {
     assert(got.length == 31 && got.forall(_._2 == 0L))
   }
 
+  test("matches a reference union-find on seeded random graphs") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val nNodes = 40 + trial * 30
+      val nEdges = 25 + trial * 40
+      val edges = Seq.fill(nEdges) {
+        (rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong)
+      }.filter { case (a, b) => a != b }
+      // reference: path-compressed union-find, then min id per root
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val minOfRoot = nodes.groupBy(n => find(n.toInt)).map { case (r, ns) => r -> ns.min }
+      val want = nodes.map(n => n -> minOfRoot(find(n.toInt))).toMap
+      val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("duplicate and reversed edges do not change the result") {
     val e1 = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     val e2 = Seq((2L, 1L), (1L, 2L), (3L, 2L), (2L, 3L)).toDF("a", "b")
