@@ -79,11 +79,16 @@ object Curation {
     */
   def contamination(docs: DataFrame, idCol: String, textCol: String,
                     isBench: Column, n: Int): DataFrame = {
-    // `_toks` is staged as its own projection BELOW the explode: if the
-    // tokenize lambda chain collapses into the Generate's generator
-    // expression, it is re-evaluated per OUTPUT row — measured 19x
-    // slower at sf0.1 (13.4 s vs 0.7 s for the corpus explode). The
-    // shingle transform over the staged array is safe inside explode.
+    // `_toks` is staged as its own projection BELOW the explode.
+    // Mechanism (measured 19x at sf0.1, 13.4 s vs 0.7 s): higher-order
+    // functions (transform/filter) are CodegenFallback — always
+    // interpreted — and when the generator input is an inline
+    // expression, InferFiltersFromGenerate clones the WHOLE chain into
+    // inferred isnotnull/size filters, which pushdown clones again
+    // into the scan's data filters: the interpreted lambda chain runs
+    // ~6x per input row (rule exclusion alone: 16 s -> 4.8 s; staging:
+    // 0.7 s — one interpreted evaluation per row, and the inferred
+    // filters reference the cheap staged attribute instead).
     val grams = docs.where(col(textCol).isNotNull)
       .withColumn("_toks", TextFns.tokens(col(textCol)))
       .select(col(idCol), isBench.as("_bench"),

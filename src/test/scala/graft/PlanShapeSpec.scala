@@ -218,8 +218,10 @@ class PlanShapeSpec extends SparkSpec {
     val df = SparkEntry.queries("q68_contamination")(spark, sf())
     val p = plan(df)
     // the Generate's generator must consume a staged array attribute,
-    // not the inlined tokenize chain over `text` — the collapsed form
-    // re-evaluates the lambda per output row (measured 19x at sf0.1)
+    // not the inlined tokenize chain over `text` — with the chain
+    // inline, InferFiltersFromGenerate clones the (CodegenFallback,
+    // interpreted) lambda chain into inferred + pushed-down filters,
+    // multiplying its per-row cost ~6x (measured 19x total at sf0.1)
     val gen = p.linesIterator.filter(_.contains("Generate explode")).toSeq
     assert(gen.nonEmpty, p)
     assert(!gen.exists(_.contains("split(lower")), s"tokenize inlined into Generate:\n$gen")
