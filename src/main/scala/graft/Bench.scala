@@ -27,6 +27,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tuning.install(spark)
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
 

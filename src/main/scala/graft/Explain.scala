@@ -17,6 +17,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    Tuning.install(spark)
     names.foreach { name =>
       println(s"========== $name ==========")
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -25,6 +25,7 @@ object LambdaDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    Tuning.install(spark)
     import spark.implicits._
 
     // ---- fixture streams (producer stand-ins, FIXTURES.md shapes);

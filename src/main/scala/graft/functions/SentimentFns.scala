@@ -67,8 +67,10 @@ object SentimentFns {
                                posCol: String = "pos", negCol: String = "neg",
                                neuCol: String = "neu"): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val toks = df.select(col(idCol).as("_sid"),
-        explode(TextFns.tokens(col(textCol))).as("word"))
+    // tokens staged below the explode (interpreted-HOF clone trap —
+    // see graft.Tuning)
+    val toks = df.withColumn("_stoks", TextFns.tokens(col(textCol)))
+      .select(col(idCol).as("_sid"), explode(col("_stoks")).as("word"))
     // token count BEFORE the lexicon join: a word listed under multiple
     // polarities fans the join out and would inflate _n; hits join a
     // (word, polarity)-deduped lexicon so each polarity counts once per

@@ -5,12 +5,16 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session: one per suite (lazy), UTC, small shuffle width. */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    Tuning.install(s)
+    s
+  }
 
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
 }
