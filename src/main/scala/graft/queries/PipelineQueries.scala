@@ -313,6 +313,40 @@ object PipelineQueries {
           col("event_type"), col("value"))
     }),
 
+    // Stream-stream LEFT OUTER interval join — the subtle half of the
+    // streaming join matrix: matched rows emit immediately (the q71
+    // inner part), but a null-padded row for an unmatched view may
+    // only emit once the watermark proves no purchase can still
+    // arrive, i.e. on state eviction. The oracle replays that rule —
+    // unmatched rows appear iff view_ts < min(max view_ts, max buy_ts)
+    // − delay − upper — so the hash match pins outer-join emission
+    // semantics (1232 of 1295 batch-unmatched rows emit at sf0.01, the
+    // tail is withheld as not-yet-provably-unmatched).
+    "q84_stream_outer_join" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType)))
+      def read() = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val views = read().where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts").as("view_ts"))
+      val buys = read().where(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id").as("b_user"),
+          col("ts").as("buy_ts"))
+      val joined = views.withWatermark("view_ts", "1 hour")
+        .join(buys.withWatermark("buy_ts", "1 hour"),
+          expr("v_user = b_user AND buy_ts >= view_ts AND " +
+            "buy_ts <= view_ts + INTERVAL 24 hours"),
+          "left_outer")
+      graft.streaming.StreamJoin.runAvailableNow(s,
+          joined.select(col("view_id"), col("buy_id"),
+            unix_micros(col("view_ts")).as("view_us")),
+          statePartitions = Some(8))
+    }),
+
     // §3.3 serving forecast: ARX(2) one-step-ahead on the daily order
     // totals with exogenous order counts. Driver-side on O(days) rows by
     // design. Oracle: the DuckDB mirror rebuilds the identical
@@ -446,6 +480,22 @@ object PipelineQueries {
     "q82_stream_static_join" ->
       """SELECT event_id, user_id, c_mktsegment, value
          FROM events JOIN customer ON user_id = c_custkey""",
+
+    "q84_stream_outer_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS t
+                    FROM events),
+          v AS (SELECT event_id AS view_id, user_id, t AS vt FROM e
+                WHERE event_type = 'view'),
+          b AS (SELECT event_id AS buy_id, user_id, t AS bt FROM e
+                WHERE event_type = 'purchase'),
+          wm AS (SELECT LEAST((SELECT MAX(epoch_us(vt)) FROM v),
+                              (SELECT MAX(epoch_us(bt)) FROM b))
+                   - 3600000000 - 86400000000 AS cutoff)
+          SELECT view_id, buy_id, epoch_us(vt) AS view_us
+          FROM v LEFT JOIN b
+            ON v.user_id = b.user_id AND bt >= vt AND bt <= vt + INTERVAL 24 HOUR,
+            wm
+          WHERE buy_id IS NOT NULL OR epoch_us(vt) < cutoff""",
 
     "q80_stream_join_agg" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
