@@ -13,6 +13,40 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Deterministic SpeedDelta frame from `events` (tick deltas from one
+    * event_type, scored-news deltas from another, seq = event_id fixing
+    * the fold order) — shared input of the two graded merge paths
+    * (q63 fMGWS, q85 transformWithState).
+    */
+  private def speedDeltaFrame(s: SparkSession, dir: String) = {
+    import s.implicits._
+    import graft.model.{SentimentScore, SpeedDelta, Tick}
+    val ev = t(s, dir, "events")
+      .select(to_date(col("ts")).cast("string").as("d"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[(String, Long, String, Double)]
+    val ticks = ev.filter(_._3 == "purchase").map { case (d, seq, _, v) =>
+      SpeedDelta(d, seq, Some(Tick(d,
+        open = Some(v + 1.0), high = Some(v + 2.0), low = Some(v - 1.0),
+        close = Some(v),
+        adjClose = if (v >= 100.0) Some(v) else None,
+        volume = if (v >= 50.0) Some(v * 10.0) else None)), None)
+    }
+    val sents = ev.filter(_._3 == "click").map { case (d, seq, _, v) =>
+      SpeedDelta(d, seq, None, Some(SentimentScore(
+        pos = v / 200.0, neg = (200.0 - v) / 200.0,
+        neu = math.abs(100.0 - v) / 100.0)))
+    }
+    ticks.union(sents)
+  }
+
+  private def speedRowsOut(rows: org.apache.spark.sql.Dataset[graft.model.SpeedRow]) =
+    rows.toDF()
+      .select(col("date"), col("open"), col("high"), col("low"), col("close"),
+        col("adjClose").as("adj_close"), col("volume"),
+        col("nbrArticle").as("nbr_article"),
+        col("positive"), col("negative"), col("neutral"))
+
   /** documents -> (Date, Text) news master: deterministic synthetic dates
     * keyed off doc_id (30-day cycle).
     */
@@ -67,32 +101,16 @@ object PipelineQueries {
     // EW fold as list_reduce(list(..ORDER BY seq)), and Nbr_article as
     // the sentiment count — raw doubles (per-row arithmetic + the same
     // (x+v)/2 chain, identical IEEE ops in both engines).
-    "q63_speed_merge" -> ((s, dir) => {
-      import s.implicits._
-      import graft.model.{SentimentScore, SpeedDelta, Tick}
-      val ev = t(s, dir, "events")
-        .select(to_date(col("ts")).cast("string").as("d"),
-          col("event_id"), col("event_type"), col("value"))
-        .as[(String, Long, String, Double)]
-      val ticks = ev.filter(_._3 == "purchase").map { case (d, seq, _, v) =>
-        SpeedDelta(d, seq, Some(Tick(d,
-          open = Some(v + 1.0), high = Some(v + 2.0), low = Some(v - 1.0),
-          close = Some(v),
-          adjClose = if (v >= 100.0) Some(v) else None,
-          volume = if (v >= 50.0) Some(v * 10.0) else None)), None)
-      }
-      val sents = ev.filter(_._3 == "click").map { case (d, seq, _, v) =>
-        SpeedDelta(d, seq, None, Some(SentimentScore(
-          pos = v / 200.0, neg = (200.0 - v) / 200.0,
-          neu = math.abs(100.0 - v) / 100.0)))
-      }
-      graft.streaming.SpeedLayer.mergeDeltas(ticks.union(sents))
-        .toDF()
-        .select(col("date"), col("open"), col("high"), col("low"), col("close"),
-          col("adjClose").as("adj_close"), col("volume"),
-          col("nbrArticle").as("nbr_article"),
-          col("positive"), col("negative"), col("neutral"))
-    }),
+    "q63_speed_merge" -> ((s, dir) =>
+      speedRowsOut(graft.streaming.SpeedLayer.mergeDeltas(speedDeltaFrame(s, dir)))),
+
+    // The SAME merge through the modern transformWithState /
+    // StatefulProcessor API (T7's second implementation, previously
+    // only spec-pinned equal to the fMGWS path) — now hashed by the
+    // oracle itself: both state APIs must replay the reference's two
+    // upsert scripts identically.
+    "q85_speed_merge_tws" -> ((s, dir) =>
+      speedRowsOut(graft.streaming.SpeedLayer.mergeDeltasTws(speedDeltaFrame(s, dir)))),
 
     // T-row extension: stream-stream event-time INTERVAL join, executed
     // as a real streaming query — file source (the events parquet,
@@ -380,6 +398,32 @@ object PipelineQueries {
       s"$sign ${m(0)(j)} * (${detSql(minor)})"
     }.mkString(" ")
 
+  /** Shared oracle of the two graded merge paths (q63 fMGWS, q85 TWS). */
+  private val SpeedMergeSql: String =
+    """WITH ev AS (
+           SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS d,
+                  event_id AS seq, event_type, value
+           FROM events),
+         ta AS (
+           SELECT d,
+             last(value + 1.0 ORDER BY seq) AS open,
+             last(value + 2.0 ORDER BY seq) AS high,
+             last(value - 1.0 ORDER BY seq) AS low,
+             last(value ORDER BY seq) AS close,
+             last(value ORDER BY seq) FILTER (WHERE value >= 100.0) AS adj_close,
+             last(value * 10.0 ORDER BY seq) FILTER (WHERE value >= 50.0) AS volume
+           FROM ev WHERE event_type = 'purchase' GROUP BY d),
+         sa AS (
+           SELECT d, COUNT(*) AS nbr_article,
+             list_reduce(list(value / 200.0 ORDER BY seq), (x, y) -> (x + y) / 2.0) AS positive,
+             list_reduce(list((200.0 - value) / 200.0 ORDER BY seq), (x, y) -> (x + y) / 2.0) AS negative,
+             list_reduce(list(abs(100.0 - value) / 100.0 ORDER BY seq), (x, y) -> (x + y) / 2.0) AS neutral
+           FROM ev WHERE event_type = 'click' GROUP BY d)
+         SELECT COALESCE(ta.d, sa.d) AS date, open, high, low, close, adj_close,
+           volume, COALESCE(nbr_article, 0) AS nbr_article,
+           positive, negative, neutral
+         FROM ta FULL JOIN sa ON ta.d = sa.d"""
+
   val oracle: Map[String, String] = Map(
     "q25_batch_pipeline" -> {
       val pos = graft.functions.SentimentFns.DefaultPositive.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -419,30 +463,9 @@ object PipelineQueries {
           FROM stock JOIN agg ON stock.ds = agg.d
           WHERE agg.d <> '1997-01-30'"""
     },
-    "q63_speed_merge" ->
-      """WITH ev AS (
-           SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS d,
-                  event_id AS seq, event_type, value
-           FROM events),
-         ta AS (
-           SELECT d,
-             last(value + 1.0 ORDER BY seq) AS open,
-             last(value + 2.0 ORDER BY seq) AS high,
-             last(value - 1.0 ORDER BY seq) AS low,
-             last(value ORDER BY seq) AS close,
-             last(value ORDER BY seq) FILTER (WHERE value >= 100.0) AS adj_close,
-             last(value * 10.0 ORDER BY seq) FILTER (WHERE value >= 50.0) AS volume
-           FROM ev WHERE event_type = 'purchase' GROUP BY d),
-         sa AS (
-           SELECT d, COUNT(*) AS nbr_article,
-             list_reduce(list(value / 200.0 ORDER BY seq), (x, y) -> (x + y) / 2.0) AS positive,
-             list_reduce(list((200.0 - value) / 200.0 ORDER BY seq), (x, y) -> (x + y) / 2.0) AS negative,
-             list_reduce(list(abs(100.0 - value) / 100.0 ORDER BY seq), (x, y) -> (x + y) / 2.0) AS neutral
-           FROM ev WHERE event_type = 'click' GROUP BY d)
-         SELECT COALESCE(ta.d, sa.d) AS date, open, high, low, close, adj_close,
-           volume, COALESCE(nbr_article, 0) AS nbr_article,
-           positive, negative, neutral
-         FROM ta FULL JOIN sa ON ta.d = sa.d""",
+    "q63_speed_merge" -> SpeedMergeSql,
+
+    "q85_speed_merge_tws" -> SpeedMergeSql,
 
     "q71_stream_interval_join" ->
       """SELECT v.event_id AS view_id, p.event_id AS buy_id, v.user_id,
