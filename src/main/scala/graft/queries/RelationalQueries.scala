@@ -392,6 +392,19 @@ object RelationalQueries {
         .groupBy(col("c_custkey"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
           NumFns.stableRound(sum(col("o_totalprice")), 2).as("spent"))
+    }),
+
+    // Z-order (Morton) clustering key: the multi-dimensional layout
+    // primitive — interleave two keys' bits so range-writing on the
+    // code gives every file a tight min/max envelope on BOTH
+    // dimensions (LayoutSpec measures the file-skipping win; this
+    // grades the code arithmetic itself — a pure shift/and/or fold the
+    // oracle replays bit-for-bit from generated integer SQL).
+    "q86_zorder_code" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"),
+          graft.operators.Layout.mortonCode(
+            col("o_custkey") % 1024, col("o_orderkey") % 1024, bits = 10).as("z"))
+        .orderBy(col("z"), col("o_orderkey")).limit(500)
     })
   )
 
@@ -540,6 +553,14 @@ object RelationalQueries {
           ${SqlFragments.r15("SUM(o_totalprice)", 2)} AS spent
           FROM customer JOIN orders ON o_custkey = c_custkey
           GROUP BY c_custkey, c_mktsegment""",
+    "q86_zorder_code" -> {
+      // generated bit-interleave: a (custkey) even positions, b odd
+      val terms = (0 until 10).flatMap(i => Seq(
+        s"((((o_custkey % 1024) >> $i) & 1) << ${2 * i})",
+        s"((((o_orderkey % 1024) >> $i) & 1) << ${2 * i + 1})"))
+      s"""SELECT o_orderkey, CAST(${terms.mkString(" | ")} AS BIGINT) AS z
+          FROM orders ORDER BY z, o_orderkey LIMIT 500"""
+    },
     "q61_cms_heavy_hitters" ->
       """SELECT l_returnflag, l_orderkey, COUNT(*) AS n_exact,
          TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
