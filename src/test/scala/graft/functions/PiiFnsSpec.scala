@@ -37,6 +37,26 @@ class PiiFnsSpec extends SparkSpec {
     assert(got(5L) == "nothing to scrub here 1234-56 not-a-phone 1.2.3 not-an-ip")
   }
 
+  test("redaction is complete: no pattern matches any scrubbed text (seeded random corpus)") {
+    // pure-JVM property over randomized text with injected PII — the
+    // same java.util.regex semantics Spark's codegen'd regexp_replace
+    // compiles, so completeness here is completeness in the engine
+    val rng = new scala.util.Random(11)
+    val words = Seq("alpha", "b2", "x-y", "3.4", "a@", ".com", "555-", "1234", "z")
+    def randText(): String = Seq.fill(rng.nextInt(12) + 1)(words(rng.nextInt(words.size)))
+      .mkString(" ")
+    val pii = Seq("u.1@ex-1.org", "10.0.255.3", "555-0100", "a+b_c%d@e.f.gh")
+    val res = (0 until 300).map { _ =>
+      val base = randText()
+      val withPii = if (rng.nextBoolean()) s"$base ${pii(rng.nextInt(pii.size))} $base" else base
+      withPii
+    }.toDF("text").select(PiiFns.redact($"text").as("r")).as[String].collect()
+    val patterns = Seq(PiiFns.EmailRe, PiiFns.Ipv4Re, PiiFns.PhoneRe).map(_.r)
+    res.foreach { r =>
+      patterns.foreach(p => assert(p.findFirstIn(r).isEmpty, s"unredacted PII in: $r"))
+    }
+  }
+
   test("redaction is idempotent: a scrubbed corpus re-scrubs to itself") {
     val once = rows.select(PiiFns.redact($"text").as("text"))
     val twice = once.select(PiiFns.redact($"text").as("text"))
