@@ -46,4 +46,39 @@ object AsOfJoin {
       .where(col("_side") === 1)
       .select(lcols.map(c => col("_lrow").getField(c).as(c)) :+ col(outCol): _*)
   }
+
+  /** Forward as-of join: for each left row, the right value at the
+    * SMALLEST `rightTime` at-or-after the left row's `leftTime`, per
+    * key (null when none follows). Same single-shuffle union+window
+    * shape as [[lookupLast]], mirrored: the window looks forward and
+    * `first(_, ignoreNulls)` picks the earliest following right row
+    * (ties on time resolve to the min value — `min(v) WHERE rt =
+    * min(rt >= lt)`).
+    */
+  def lookupNext(left: DataFrame, right: DataFrame, key: String,
+                 leftTime: String, rightTime: String, rightValue: String,
+                 outCol: String): DataFrame = {
+    val lcols = left.columns.toSeq
+    val rvType = right.schema(rightValue).dataType
+    val l = left.select(
+      col(key).as("_k"), col(leftTime).as("_t"), lit(1).as("_side"),
+      struct(lcols.map(col): _*).as("_lrow"),
+      lit(null).cast(rvType).as("_rv"))
+    val lrowType = l.schema("_lrow").dataType
+    val r = right.select(
+      col(key).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
+      lit(null).cast(lrowType).as("_lrow"),
+      col(rightValue).as("_rv"))
+    // left rows (side 1) sort BEFORE right rows at equal time under
+    // _side descending => inclusive (>=) semantics looking forward;
+    // _rv ascending makes equal-time right rows deterministic
+    // (first = min)
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t"), col("_side").desc, col("_rv"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn(outCol, first(col("_rv"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(lcols.map(c => col("_lrow").getField(c).as(c)) :+ col(outCol): _*)
+  }
 }

@@ -143,6 +143,23 @@ object CoreQueries {
         .select(col("event_id"), col("user_id"),
           col("ts").cast("timestamp_ntz").as("ts"),
           col("last_purchase_ts").cast("timestamp_ntz").as("last_purchase_ts"))
+    }),
+
+    // Forward as-of (merge_asof direction='forward'): for every view,
+    // the value of the EARLIEST purchase at-or-after it per user —
+    // same single-shuffle union+window shape as q10's backward form,
+    // mirrored. Ties at the earliest time resolve to the min value,
+    // which the oracle replays set-based (min rt, then min value at
+    // that rt).
+    "q87_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+      AsOfJoin.lookupNext(views, purchases, "user_id", "ts", "p_ts", "value",
+          "next_buy")
+        .select(col("event_id"), col("user_id"), col("next_buy"))
     })
   )
 
@@ -192,6 +209,20 @@ object CoreQueries {
          (SELECT max(CAST(p.ts AS TIMESTAMP)) FROM events p
           WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
             AND CAST(p.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)) AS last_purchase_ts
-         FROM events e WHERE e.event_type = 'error'"""
+         FROM events e WHERE e.event_type = 'error'""",
+
+    "q87_asof_forward" ->
+      """WITH v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
+                    FROM events WHERE event_type = 'view'),
+          p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS rt, value
+                FROM events WHERE event_type = 'purchase'),
+          j AS (SELECT v.event_id, p.rt, p.value
+                FROM v JOIN p ON v.user_id = p.user_id AND p.rt >= v.t),
+          m AS (SELECT event_id, MIN(rt) AS mrt FROM j GROUP BY event_id),
+          x AS (SELECT j.event_id, MIN(value) AS next_buy
+                FROM j JOIN m ON j.event_id = m.event_id AND j.rt = m.mrt
+                GROUP BY j.event_id)
+          SELECT v.event_id, v.user_id, x.next_buy
+          FROM v LEFT JOIN x USING (event_id)"""
   )
 }

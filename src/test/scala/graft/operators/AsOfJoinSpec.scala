@@ -24,6 +24,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(4L).contains(500.0))
   }
 
+  test("lookupNext matches naive min-at-or-after semantics") {
+    val left = Seq((1L, "k1", 10L), (2L, "k1", 25L), (3L, "k2", 5L), (4L, "k3", 50L))
+      .toDF("id", "k", "t")
+    val right = Seq(("k1", 8L, 100.0), ("k1", 10L, 200.0), ("k1", 20L, 300.0),
+        ("k2", 6L, 400.0), ("k3", 50L, 500.0))
+      .toDF("k", "rt", "rv")
+    val got = AsOfJoin.lookupNext(left, right, "k", "t", "rt", "rv", "next")
+      .select("id", "next").as[(Long, Option[Double])].collect().toMap
+    // id1: rt>=10 earliest = 10 (inclusive) -> 200; id2: none after 25? 20<25 -> null
+    // id3: rt>=5 earliest = 6 -> 400;       id4: equal time inclusive -> 500
+    assert(got(1L).contains(200.0))
+    assert(got(2L).isEmpty)
+    assert(got(3L).contains(400.0))
+    assert(got(4L).contains(500.0))
+  }
+
+  test("lookupNext ties at equal earliest time resolve to min value") {
+    val left = Seq((1L, "k", 10L)).toDF("id", "k", "t")
+    val right = Seq(("k", 10L, 5.0), ("k", 10L, 9.0), ("k", 12L, 1.0)).toDF("k", "rt", "rv")
+    val got = AsOfJoin.lookupNext(left, right, "k", "t", "rt", "rv", "next")
+      .select("next").as[Double].head()
+    assert(got == 5.0)
+  }
+
   test("right-side ties at equal time resolve to max value") {
     val left = Seq((1L, "k", 10L)).toDF("id", "k", "t")
     val right = Seq(("k", 10L, 5.0), ("k", 10L, 9.0), ("k", 10L, 1.0)).toDF("k", "rt", "rv")
