@@ -405,6 +405,27 @@ object RelationalQueries {
           graft.operators.Layout.mortonCode(
             col("o_custkey") % 1024, col("o_orderkey") % 1024, bits = 10).as("z"))
         .orderBy(col("z"), col("o_orderkey")).limit(500)
+    }),
+
+    // Two-level HLL sketch ROLLUP (Datasketches): per-(flag,status)
+    // segment sketches — what a 100 TB pre-aggregation layer stores —
+    // merged up to per-flag estimates WITHOUT touching raw data again.
+    // This is the mergeability contract that makes sketches useful at
+    // scale (q41 only graded the one-shot estimate); the oracle pins
+    // the rolled-up estimate within 5% of exact (default lgK=12 gives
+    // ~1.6% relative error, so the bound is ~3 sigma slack).
+    "q88_hll_rollup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"))
+      val segs = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+      val rolled = segs.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("_est"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      rolled.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("_est") - col("n_exact")) <= col("n_exact") * 0.05).as("est_ok"))
     })
   )
 
@@ -561,6 +582,9 @@ object RelationalQueries {
       s"""SELECT o_orderkey, CAST(${terms.mkString(" | ")} AS BIGINT) AS z
           FROM orders ORDER BY z, o_orderkey LIMIT 500"""
     },
+    "q88_hll_rollup" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact, TRUE AS est_ok
+         FROM lineitem GROUP BY l_returnflag""",
     "q61_cms_heavy_hitters" ->
       """SELECT l_returnflag, l_orderkey, COUNT(*) AS n_exact,
          TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
