@@ -66,6 +66,32 @@ object Curation {
       col("top_unigram_frac") <= maxTopFrac &&
       col("dup_bigram_frac") <= maxDupFrac
 
+  /** Sequence packing (overflow-bin policy): assign documents, in a
+    * deterministic order within each shard, to consecutive bins of
+    * ~`capacity` tokens — the batch-assembly step that turns a corpus
+    * into training sequences. A document is never split; it belongs to
+    * the bin where its shard's running token count started, so bins
+    * may overflow by at most one document (the standard simple packing
+    * policy; first-fit-decreasing trades determinism for tighter bins).
+    *
+    * Scale shape: packing is sequential BY DESIGN, so it runs per
+    * shard — one window partitioned by `shardCol` ordered by `idCol`,
+    * a single keyed shuffle, each shard streaming independently.
+    * Output: one row per document with its (shard, bin) assignment and
+    * token count; bin ids are per-shard.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, capacity: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Long.MinValue, -1)
+    docs.where(col(textCol).isNotNull)
+      .withColumn("_n_tok", TextFns.tokenCount(col(textCol)))
+      .withColumn("bin",
+        floor(coalesce(sum(col("_n_tok")).over(w), lit(0L)) / capacity).cast("long"))
+      .select(col(idCol), col(shardCol), col("_n_tok").as("n_tokens"), col("bin"))
+  }
+
   /** Benchmark decontamination: per-corpus-document count and fraction
     * of distinct word n-grams that also appear in the benchmark set.
     * Real pipelines use 8–13-grams; `n` is a parameter.

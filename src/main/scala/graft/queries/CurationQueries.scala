@@ -169,6 +169,16 @@ object CurationQueries {
         .agg(count(lit(1)).as("n"), NumFns.stableRound(sum(col("p")), 2).as("total"))
     }),
 
+    // Sequence packing: documents assigned to ~500-token training bins
+    // per language shard (overflow-bin policy, never splitting a doc).
+    // Packing is inherently sequential, so it runs per shard — one
+    // keyed window, every shard streaming independently; the oracle
+    // replays the identical running sum.
+    "q89_sequence_packing" -> ((s, dir) => {
+      graft.operators.Curation.packSequences(
+        t(s, dir, "documents"), "doc_id", "text", "lang", capacity = 500L)
+    }),
+
     // Exactly-k-per-language sample: deterministic LCG rank inside each
     // group, first 20 kept — exact output size per stratum (what eval
     // sets and per-domain caps need; Bernoulli rates only hit the size
@@ -306,6 +316,16 @@ object CurationQueries {
           v AS (SELECT * FROM b1 WHERE d < '1995-01-15' UNION ALL SELECT * FROM b2)
           SELECT d, COUNT(*) AS n, ${SqlFragments.r15("SUM(p)", 2)} AS total
           FROM v GROUP BY d""",
+
+    "q89_sequence_packing" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+              CAST(len(${SqlFragments.toksExpr}) AS BIGINT) AS n_tokens
+            FROM documents WHERE text IS NOT NULL)
+          SELECT doc_id, lang, n_tokens,
+            CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500.0)
+                 AS BIGINT) AS bin
+          FROM t""",
 
     "q75_exact_k_sample" ->
       """WITH r AS (SELECT doc_id, lang,

@@ -50,6 +50,23 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == ((3L, 2L, 2.0 / 3.0)))
   }
 
+  test("packSequences assigns overflow bins per shard without splitting docs") {
+    val docs = Seq(
+      (1L, "a", "w w w w"),        // 4 tokens, prev 0  -> bin 0
+      (2L, "a", "w w w w"),        // prev 4            -> bin 0
+      (3L, "a", "w w w w"),        // prev 8 (overflow) -> bin 0
+      (4L, "a", "w w w w"),        // prev 12           -> bin 1
+      (5L, "b", "w w"),            // other shard restarts at 0
+      (6L, "b", null.asInstanceOf[String])
+    ).toDF("doc_id", "lang", "text")
+    val got = Curation.packSequences(docs, "doc_id", "text", "lang", capacity = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      1L -> (("a", 4L, 0L)), 2L -> (("a", 4L, 0L)),
+      3L -> (("a", 4L, 0L)), 4L -> (("a", 4L, 1L)),
+      5L -> (("b", 2L, 0L))))
+  }
+
   test("contamination broadcasts the bench side (no corpus-corpus shuffle join)") {
     val docs = (0L to 200L).map(i => (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7}"))
       .toDF("doc_id", "text")
