@@ -114,9 +114,16 @@ object VectorQueries {
     // output; encode is one shuffle-free codegen'd projection. The
     // oracle recomputes the codebook from raw data — Spark's agg and
     // DuckDB's must agree bit-for-bit for the codes to hash-match.
+    // GRADING SHAPE: the library API returns `codes: array<int>`, but
+    // the driver's pandas canonicalization cannot hash an array column
+    // (r5's one red row), so the graded frame flattens codes to a CSV
+    // string — same information, scalar columns only.
     "q72_scalar_quantize" -> ((s, dir) =>
       graft.operators.Quantize.scalarQuantize(
-        t(s, dir, "embeddings"), "vec_id", "embedding"))
+          t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"),
+          array_join(col("codes").cast("array<string>"), ",").as("codes_csv"),
+          col("max_err")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -163,7 +170,8 @@ object VectorQueries {
                          ELSE CAST(floor((v[i] - mns[i]) / (mxs[i] - mns[i]) * 255.0 + 0.5) AS INT)
                     END) AS codes
                 FROM e, b)
-          SELECT vec_id, codes,
+          SELECT vec_id,
+            array_to_string(codes, ',') AS codes_csv,
             list_reduce(
               list_transform(range(1, len(v) + 1), i ->
                 abs(v[i] - (mns[i] + CAST(codes[i] AS DOUBLE) / 255.0 * (mxs[i] - mns[i])))),
