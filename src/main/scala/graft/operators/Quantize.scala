@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.VectorFns
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -57,5 +58,67 @@ object Quantize {
           transform(col("_v"), (x, i) => abs(x - reconOf(element_at(col("codes"), i + 1), i))),
           lit(0.0), (a, b) => greatest(a, b)))
       .select(col(idCol), col("codes"), col("max_err"))
+  }
+
+  /** Product-quantization codebooks: the vector space is split into `m`
+    * contiguous sub-spaces of dim/m dimensions, and each sub-space gets
+    * its own k-cell Lloyd codebook (KMeans.fit, squared-L2 metric,
+    * deterministic first-k-by-id seeds). A vector then compresses to m
+    * small integers — dim×4 bytes -> m bytes at k<=256, the compression
+    * family (SQ -> PQ) a 100 TB vector corpus actually uses.
+    *
+    * Scale shape: each sub-space fit is the KMeans shape — per-row
+    * argmin projection (zero shuffle) + one k×(dim/m) hash aggregate per
+    * iteration; only the m·k·(dim/m) = k·dim codebook doubles ever reach
+    * the driver (a model parameter, like the SQ8 codebook above).
+    *
+    * `stableScale` (default 9) routes every centroid mean through
+    * NumFns.stableRound inside the agg, making the whole Lloyd
+    * trajectory — and therefore the codes — bit-replayable by the SQL
+    * oracle (r15 of SUM/COUNT per dimension).
+    *
+    * @return one (cell id, centroid) codebook per sub-space, j = 0..m-1.
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                  m: Int, k: Int, iterations: Int = 1,
+                  stableScale: Option[Int] = Some(9)): Array[Array[(Long, Seq[Double])]] = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
+    val sub = dim / m
+    (0 until m).toArray.map { j =>
+      val sdf = df.select(col(idCol).as("_id"),
+        slice(VectorFns.toDoubleArr(col(vecCol)), j * sub + 1, sub).as("_sv"))
+      KMeans.fit(sdf, "_id", "_sv", k, iterations, distance = "l2",
+        stableScale = stableScale)
+    }
+  }
+
+  /** Encode vectors against PQ codebooks: per sub-space argmin over the
+    * inlined centroid literals — one narrow shuffle-free projection, the
+    * same zero-join shape as ivfTopK's cell assignment. Emits
+    * `codes: array<int>` (cell per sub-space, in sub-space order) and
+    * `sq_err: double` — the total squared reconstruction error
+    * (sum of the chosen per-sub-space squared distances, accumulated in
+    * sub-space order so the oracle's fold matches bit-for-bit).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               books: Array[Array[(Long, Seq[Double])]]): DataFrame = {
+    require(books.nonEmpty && books.head.nonEmpty, "empty codebooks")
+    val sub = books.head.head._2.length
+    val staged = df.withColumn("_v", VectorFns.toDoubleArr(col(vecCol)))
+    val best = books.zipWithIndex.map { case (book, j) =>
+      val sv = slice(col("_v"), j * sub + 1, sub)
+      val scored = array_sort(array(book.map { case (cid, cv) =>
+        struct(
+          aggregate(zip_with(sv, typedlit(cv), (x, c) => (x - c) * (x - c)),
+            lit(0.0), (s, d) => s + d).as("d"),
+          lit(cid).as("cell"))
+      }: _*))
+      (element_at(scored, 1).getField("cell").cast("int"),
+        element_at(scored, 1).getField("d"))
+    }
+    staged.select(col(idCol),
+      array(best.map(_._1): _*).as("codes"),
+      best.map(_._2).reduce(_ + _).as("sq_err"))
   }
 }

@@ -28,6 +28,16 @@ object SqlFragments {
     s"(${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)}))"
   }
 
+  /** DuckDB squared-L2 distance mirroring KMeans.distTo("l2") op-for-op
+    * (same left-to-right fold of (x-c)^2, starting from the first
+    * element — 0.0 + d == d for the non-negative squares, so the fold
+    * matches Spark's 0.0-seeded `aggregate` bit-for-bit). Operands must
+    * be DOUBLE[] expressions.
+    */
+  def l2sqExpr(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (u, v) -> u + v)"
+
   /** toks CTE body: whitespace tokens of lowercased text, empties dropped
     * — mirrors TextFns.tokens.
     */

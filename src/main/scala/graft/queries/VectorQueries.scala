@@ -123,7 +123,25 @@ object VectorQueries {
           t(s, dir, "embeddings"), "vec_id", "embedding")
         .select(col("vec_id"),
           array_join(col("codes").cast("array<string>"), ",").as("codes_csv"),
-          col("max_err")))
+          col("max_err"))),
+
+    // Product quantization: 64 dims -> 4 sub-spaces x 16 dims, one
+    // 8-cell Lloyd codebook per sub-space (1 iteration, squared-L2,
+    // first-8-by-id seeds), vectors encoded to 4 small codes — the
+    // PQ member of the compression family (16x vs float32 here).
+    // stableScale=9 pushes every centroid mean through stableRound
+    // inside the agg, so the oracle replays the ENTIRE trajectory:
+    // seed assignment argmin, r15(sum/count) means, empty-cell seed
+    // fallback, final argmin, and the j-ordered error fold — hash-exact.
+    "q90_product_quantize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = graft.operators.Quantize.pqCodebooks(
+        emb, "vec_id", "embedding", m = 4, k = 8, iterations = 1)
+      graft.operators.Quantize.pqEncode(emb, "vec_id", "embedding", books)
+        .select(col("vec_id"),
+          array_join(col("codes").cast("array<string>"), ",").as("codes_csv"),
+          col("sq_err"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -177,6 +195,44 @@ object VectorQueries {
                 abs(v[i] - (mns[i] + CAST(codes[i] AS DOUBLE) / 255.0 * (mxs[i] - mns[i])))),
               (a, b) -> greatest(a, b)) AS max_err
           FROM q""",
+
+    // Full SQL replay of the 1-iteration PQ trajectory. Sub-vectors are
+    // list slices; seeds are the first 8 vec_ids (cell = id rank);
+    // iteration-1 means are r15(SUM/COUNT) per (sub-space, cell, dim) —
+    // the same stableRound the Spark agg applies — and empty cells fall
+    // back to their seed. Distances are the shared l2sqExpr fold.
+    "q90_product_quantize" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          sv AS (SELECT vec_id, j, list_slice(v, j * 16 + 1, (j + 1) * 16) AS sv
+                 FROM e, range(0, 4) t(j)),
+          sk AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+                 FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+          seeds AS (SELECT s.j, k.cell, s.sv FROM sv s JOIN sk k USING (vec_id)),
+          aff0 AS (SELECT s.vec_id, s.j, c.cell,
+                   ${SqlFragments.l2sqExpr("s.sv", "c.sv")} AS d
+                   FROM sv s JOIN seeds c ON s.j = c.j),
+          a1 AS (SELECT vec_id, j, cell FROM
+                 (SELECT vec_id, j, cell,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cell) AS rn
+                  FROM aff0) WHERE rn = 1),
+          mx AS (SELECT a.j, a.cell, t.i,
+                 ${SqlFragments.r15("SUM(s.sv[t.i]) / COUNT(*)", 9)} AS c
+                 FROM a1 a JOIN sv s USING (vec_id, j), range(1, 17) t(i)
+                 GROUP BY a.j, a.cell, t.i),
+          cb AS (SELECT j, cell, list(c ORDER BY i) AS cv FROM mx GROUP BY j, cell),
+          cents AS (SELECT s.j, s.cell, COALESCE(cb.cv, s.sv) AS cv
+                    FROM seeds s LEFT JOIN cb ON s.j = cb.j AND s.cell = cb.cell),
+          aff1 AS (SELECT s.vec_id, s.j, c.cell,
+                   ${SqlFragments.l2sqExpr("s.sv", "c.cv")} AS d
+                   FROM sv s JOIN cents c ON s.j = c.j),
+          a2 AS (SELECT vec_id, j, cell, d FROM
+                 (SELECT vec_id, j, cell, d,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cell) AS rn
+                  FROM aff1) WHERE rn = 1)
+          SELECT vec_id,
+            string_agg(CAST(cell AS VARCHAR), ',' ORDER BY j) AS codes_csv,
+            list_reduce(list(d ORDER BY j), (u, v) -> u + v) AS sq_err
+          FROM a2 GROUP BY vec_id""",
 
     "q22_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars,
