@@ -104,6 +104,18 @@ object CurationQueries {
       graft.operators.Components.clusters(pairs, "a_id", "b_id")
     }),
 
+    // Cross-document repeated-span dedup (the Lee-et-al. substring
+    // shape): 5-gram anchors bucketed by gram (singletons and >64-occ
+    // stop-grams dropped), cross-doc occurrence pairs expanded inside
+    // the bucket row, equal-offset runs merged to maximal spans of
+    // >= 8 tokens via gaps-and-islands. Everything is exact string +
+    // integer arithmetic, so the oracle replays the full pipeline —
+    // anchor set, cap, pair set, run grouping — and the spans are
+    // hash-identical.
+    "q91_repeated_spans" -> ((s, dir) =>
+      graft.operators.Dedup.repeatedSpans(t(s, dir, "documents"),
+        "doc_id", "text", k = 5, minSpanTokens = 8, maxBucket = 64)),
+
     // JSONL round-trip: every public training corpus ships as JSONL
     // shards, so the engine must WRITE and READ the format losslessly.
     // The corpus is exported once per (JVM, source dir) to a
@@ -252,6 +264,33 @@ object CurationQueries {
             (CAST(COUNT(*) AS DOUBLE) / n_grams >= 0.2) AS contaminated
           FROM corpus JOIN bench USING (g)
           GROUP BY doc_id, n_grams""",
+
+    // Full replay of the repeated-span pipeline: anchor k-grams by
+    // position (1-based i -> 0-based pos), global 2..64 occurrence cap,
+    // cross-doc pairs, equal-offset gaps-and-islands runs, span length
+    // = run + k - 1.
+    "q91_repeated_spans" ->
+      s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks
+                     FROM documents WHERE text IS NOT NULL),
+          anch AS (SELECT doc_id, i - 1 AS pos,
+                   array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+                   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 5 + 2)) AS i
+                         FROM t)),
+          keep AS (SELECT gram FROM anch GROUP BY gram
+                   HAVING COUNT(*) BETWEEN 2 AND 64),
+          a2 AS (SELECT anch.* FROM anch JOIN keep USING (gram)),
+          p AS (SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+                a.pos - b.pos AS diff, a.pos AS a_pos
+                FROM a2 a JOIN a2 b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+          r AS (SELECT a_doc, b_doc, diff, a_pos,
+                a_pos - ROW_NUMBER() OVER (PARTITION BY a_doc, b_doc, diff
+                                           ORDER BY a_pos) AS grp FROM p),
+          s AS (SELECT a_doc, b_doc, CAST(MIN(a_pos) AS BIGINT) AS a_start,
+                CAST(MIN(a_pos) - diff AS BIGINT) AS b_start,
+                CAST(COUNT(*) + 4 AS BIGINT) AS span_toks
+                FROM r GROUP BY a_doc, b_doc, diff, grp)
+          SELECT a_doc, b_doc, a_start, b_start, span_toks
+          FROM s WHERE span_toks >= 8""",
 
     "q69_temperature_mix" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),

@@ -100,4 +100,39 @@ class DedupSpec extends SparkSpec {
     val far = pairs.find(p => p._1 == 1L && p._2 == 4L).get._3
     assert(near > far)
   }
+
+  test("repeated spans: shared passage found maximally at its positions") {
+    // a 10-token passage planted at position 3 of doc 1 and position 0 of
+    // doc 2; surrounding text unique per doc
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    val spans = Seq(
+      (1L, s"u1a u1b u1c $passage u1d u1e u1f"),
+      (2L, s"$passage u2a u2b u2c u2d"),
+      (3L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(spans, "doc_id", "text",
+        k = 3, minSpanTokens = 5, maxBucket = 16)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // exactly one maximal span: docs (1,2), 10 tokens, at (3, 0)
+    assert(got == Set((1L, 2L, 3L, 0L, 10L)), got.toString)
+  }
+
+  test("repeated spans: sub-minimum overlaps and stop-gram buckets drop out") {
+    val spans = Seq(
+      (1L, "a b c d x1 x2 x3"),   // 4-token overlap with doc 2 < min 5
+      (2L, "a b c d y1 y2 y3"),
+      (3L, "s s s s s s s s s s"), // degenerate stop-gram doc
+      (4L, "s s s s s s s s s s")
+    ).toDF("doc_id", "text")
+    // "s s s" occurs 8x/doc = 16 > maxBucket 8 -> bucket dropped, no span
+    val got = Dedup.repeatedSpans(spans, "doc_id", "text",
+        k = 3, minSpanTokens = 5, maxBucket = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.isEmpty, got.mkString(","))
+    // raising the cap surfaces the degenerate pair's maximal span
+    val capped = Dedup.repeatedSpans(spans, "doc_id", "text",
+        k = 3, minSpanTokens = 5, maxBucket = 64)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(capped.nonEmpty && capped.forall(r => r._1 == 3L && r._2 == 4L))
+  }
 }
