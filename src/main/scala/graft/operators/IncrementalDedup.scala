@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.functions.TextFns
+import graft.sources.ViewStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental dedup against a persisted corpus snapshot — the
+  * production shape of dedup at 100 TB: the historical corpus is never
+  * re-fingerprinted per crawl; its digests + MinHash signatures live in
+  * a keyed fingerprint store (ViewStore parquet here; the same contract
+  * as a warehouse table), and each NEW batch dedups against the store,
+  * then merges its survivors back.
+  *
+  * Pipeline per batch:
+  *  1. exact: left-anti join of batch digests against stored digests
+  *     (one shuffle on digest).
+  *  2. near-dup: batch signatures LSH-banded against STORED signatures —
+  *     the stored side groups once per (band, bucket) with the
+  *     minHashLsh cap (skew guard), the batch side joins bucket-to-
+  *     bucket; candidate pairs are estimate-filtered then verified with
+  *     exact shingle Jaccard against the master corpus text.
+  *  3. survivors (plus their fingerprints) append to the store — the
+  *     next batch sees them as history.
+  *
+  * The batch side is typically tiny relative to the store, so the only
+  * store-sized work is one digest anti-join and one banding pass over
+  * the signature table — no historical text is ever re-tokenized except
+  * for the verified candidates' partners.
+  */
+object IncrementalDedup {
+
+  /** Fingerprint frame of a corpus: (id, digest, sig, shard). `shard`
+    * (a digest-hash byte) is the store's partition key — it spreads
+    * writes evenly and keeps any single partition file bounded.
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 32, shingleN: Int = 2): DataFrame =
+    Dedup.minHashSignatures(df.where(col(textCol).isNotNull), textCol,
+        numHashes, shingleN)
+      .select(col(idCol).as("id"),
+        md5(col(textCol).cast("binary")).as("digest"),
+        col("sig"))
+      .withColumn("shard", pmod(xxhash64(col("digest")), lit(8)).cast("int"))
+
+  /** Write the historical corpus' fingerprint snapshot (full rewrite). */
+  def snapshot(store: ViewStore, view: String, hist: DataFrame,
+               idCol: String, textCol: String,
+               numHashes: Int = 32, shingleN: Int = 2): Unit =
+    store.overwrite(view, fingerprints(hist, idCol, textCol, numHashes, shingleN),
+      "shard")
+
+  /** Append the surviving batch rows' fingerprints to the snapshot. */
+  def absorb(store: ViewStore, view: String, survivors: DataFrame,
+             idCol: String, textCol: String,
+             numHashes: Int = 32, shingleN: Int = 2): Unit =
+    store.append(view, fingerprints(survivors, idCol, textCol, numHashes, shingleN),
+      "shard")
+
+  /** (id, sig) -> one row per (band, bucket) membership. */
+  private def banded(fps: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    fps.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+              .as("bucket")))).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Dedup `batch` against the stored snapshot: drop exact digest
+    * matches, then LSH + exact-shingle-Jaccard near-dups vs the stored
+    * signatures (verify partners' text read from `histText`, the master
+    * corpus). Returns the surviving batch rows (original columns).
+    */
+  def dedupAgainst(store: ViewStore, view: String, batch: DataFrame,
+                   histText: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 32, bands: Int = 8,
+                   estThreshold: Double = 0.3, jaccardThreshold: Double = 0.4,
+                   shingleN: Int = 2, maxBucket: Int = 256): DataFrame = {
+    val stored = store.read(view)
+    val bfp = fingerprints(batch, idCol, textCol, numHashes, shingleN)
+    // 1. exact: batch fingerprints whose digest is unseen
+    val exactSurv = bfp.join(stored.select(col("digest")).distinct(),
+      Seq("digest"), "left_anti")
+    // 2. near-dup candidates: stored side grouped once per (band,
+    // bucket) with the cap, batch side banded and joined bucket-to-
+    // bucket, pairs expanded from the bucket row
+    val oldBuckets = banded(stored, numHashes, bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("sig"))).as("ms"))
+      .where(size(col("ms")) <= maxBucket)
+    val cand = banded(exactSurv, numHashes, bands)
+      .join(oldBuckets, Seq("band", "bucket"))
+      .select(col("id").as("new_id"), col("sig").as("new_sig"),
+        explode(col("ms")).as("m"))
+      .select(col("new_id"), col("m.id").as("old_id"),
+        (size(filter(zip_with(col("new_sig"), col("m.sig"), (p, q) => p === q),
+          x => x)).cast("double") / numHashes).as("jaccard_est"))
+      .where(col("jaccard_est") >= estThreshold)
+      .dropDuplicates("new_id", "old_id")
+    // 3. verify candidates with exact shingle Jaccard (batch + partner
+    // text only — the store-sized corpus is never re-tokenized)
+    def shingleSets(df: DataFrame, as: String) = df
+      .where(col(textCol).isNotNull)
+      .withColumn("_toks", TextFns.tokens(col(textCol)))
+      .select(col(idCol).as(as),
+        array_distinct(TextFns.shinglesFromTokens(col("_toks"), shingleN)).as(s"_sh_$as"))
+    val drops = cand
+      .join(shingleSets(batch, "new_id"), Seq("new_id"))
+      .join(shingleSets(histText, "old_id"), Seq("old_id"))
+      .withColumn("_u", size(array_union(col("_sh_new_id"), col("_sh_old_id"))))
+      .where(col("_u") > 0 &&
+        size(array_intersect(col("_sh_new_id"), col("_sh_old_id"))).cast("double") /
+          col("_u") >= jaccardThreshold)
+      .select(col("new_id").as(idCol)).distinct()
+    batch
+      .join(exactSurv.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+      .join(drops, Seq(idCol), "left_anti")
+  }
+}

@@ -116,6 +116,35 @@ object CurationQueries {
       graft.operators.Dedup.repeatedSpans(t(s, dir, "documents"),
         "doc_id", "text", k = 5, minSpanTokens = 8, maxBucket = 64)),
 
+    // Incremental dedup vs a stored snapshot — the production shape:
+    // historical fingerprints (digest + MinHash sig) persist in a
+    // ViewStore; the new batch (the %5==0 slice plus injected exact
+    // copies of historical docs, so the digest path has work at every
+    // sf) dedups against the STORE, and survivors merge back. Graded
+    // output = the final store state. Oracle data contract: with the
+    // corpus' bimodal similarity (q23's contract), LSH candidates are
+    // complete above the verify threshold, so the oracle can use the
+    // exact-Jaccard truth (drop iff digest match or exists hist doc
+    // with shingle J >= 0.4) instead of replaying signatures.
+    "q92_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val hist = docs.where(col("doc_id") % 5 =!= 0)
+      val batch = docs.where(col("doc_id") % 5 === 0)
+        .unionByName(hist.where(col("doc_id") % 97 === 3)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val store = new graft.sources.ViewStore(s,
+        graft.sources.Scratch.processScoped("q92_fps", dir))
+      graft.operators.IncrementalDedup.snapshot(store, "fps", hist, "doc_id", "text")
+      val surv = graft.operators.IncrementalDedup.dedupAgainst(
+        store, "fps", batch, hist, "doc_id", "text",
+        estThreshold = 0.3, jaccardThreshold = 0.4)
+      graft.operators.IncrementalDedup.absorb(store, "fps", surv, "doc_id", "text")
+      store.read("fps")
+        .select(col("id").as("doc_id"), col("digest"),
+          (col("id") % 5 === 0).as("is_new"))
+    }),
+
     // JSONL round-trip: every public training corpus ships as JSONL
     // shards, so the engine must WRITE and READ the format losslessly.
     // The corpus is exported once per (JVM, source dir) to a
@@ -291,6 +320,29 @@ object CurationQueries {
                 FROM r GROUP BY a_doc, b_doc, diff, grp)
           SELECT a_doc, b_doc, a_start, b_start, span_toks
           FROM s WHERE span_toks >= 8""",
+
+    // Exact-Jaccard truth replay of the incremental dedup decision
+    // (valid under q23's bimodal data contract — see the query comment):
+    // final store = hist + batch survivors, where a batch doc drops iff
+    // its digest exists in hist or some hist doc has shingle J >= 0.4.
+    "q92_incremental_dedup" ->
+      s"""WITH d AS (SELECT doc_id, text, md5(text) AS digest,
+                     list_distinct(${SqlFragments.bigramsExpr(SqlFragments.toksExpr)}) AS sh
+                     FROM documents WHERE text IS NOT NULL),
+          hist AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+          newb AS (SELECT doc_id, digest, sh FROM d WHERE doc_id % 5 = 0
+                   UNION ALL
+                   SELECT doc_id + 100000, digest, sh FROM hist WHERE doc_id % 97 = 3),
+          exs AS (SELECT n.* FROM newb n
+                  WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.digest = n.digest)),
+          drops AS (SELECT DISTINCT n.doc_id FROM exs n JOIN hist h
+                    ON len(list_concat(n.sh, h.sh)) > 0
+                    AND CAST(len(list_intersect(n.sh, h.sh)) AS DOUBLE) /
+                        len(list_distinct(list_concat(n.sh, h.sh))) >= 0.4)
+          SELECT doc_id, digest, FALSE AS is_new FROM hist
+          UNION ALL
+          SELECT doc_id, digest, TRUE AS is_new FROM exs
+          WHERE doc_id NOT IN (SELECT doc_id FROM drops)""",
 
     "q69_temperature_mix" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
