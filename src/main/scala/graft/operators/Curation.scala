@@ -131,4 +131,26 @@ object Curation {
       .select(col(idCol), col("n_grams"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_grams")).as("contam_frac"))
   }
+
+  /** URL/domain curation — the usual FIRST filter of a web-corpus
+    * pipeline, before any content-based step touches the text:
+    *  1. host extraction from the URL (native `parse_url`, codegen'd);
+    *  2. blocklist removal: a broadcast LEFT ANTI join against the host
+    *     blocklist (production blocklists run to millions of hosts —
+    *     a join against a real table, never an `isin` literal; the
+    *     corpus side does not shuffle);
+    *  3. per-domain document cap: deterministic exact-k via
+    *     [[Mixer.exactKPerGroup]] (LCG rank window, WindowGroupLimit
+    *     pushdown) — one keyed shuffle on host, the step that stops a
+    *     single crawled domain from dominating the mixture.
+    *
+    * Emits the surviving rows plus `host`. The only corpus shuffle is
+    * the cap's window; at 100 TB both filters are map-side.
+    */
+  def domainCurate(df: DataFrame, urlCol: String, idCol: String,
+                   blockHosts: DataFrame, maxPerDomain: Int): DataFrame = {
+    val hosted = df.withColumn("host", parse_url(col(urlCol), lit("HOST")))
+    val kept = hosted.join(broadcast(blockHosts), Seq("host"), "left_anti")
+    Mixer.exactKPerGroup(kept, "host", idCol, maxPerDomain)
+  }
 }

@@ -145,6 +145,25 @@ object CurationQueries {
           (col("id") % 5 === 0).as("is_new"))
     }),
 
+    // URL/domain curation: deterministic URLs synthesized from
+    // (source, doc_id) — both engines build the identical strings, the
+    // graded operator is host extraction + broadcast blocklist anti-join
+    // + exact-5-per-domain cap (LCG rank). 60 hosts at sf0.01, 3 of
+    // them blocklisted.
+    "q93_domain_curation" -> ((s, dir) => {
+      import s.implicits._
+      val withUrl = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit("-"),
+            (col("doc_id") % 3).cast("string"), lit(".example.org/doc/"),
+            col("doc_id").cast("string")).as("url"))
+      val block = Seq("src3-0.example.org", "src7-1.example.org",
+        "src13-2.example.org").toDF("host")
+      graft.operators.Curation.domainCurate(withUrl, "url", "doc_id",
+          block, maxPerDomain = 5)
+        .select(col("doc_id"), col("host"))
+    }),
+
     // JSONL round-trip: every public training corpus ships as JSONL
     // shards, so the engine must WRITE and READ the format losslessly.
     // The corpus is exported once per (JVM, source dir) to a
@@ -417,6 +436,22 @@ object CurationQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500.0)
                  AS BIGINT) AS bin
           FROM t""",
+
+    "q93_domain_curation" ->
+      """WITH u AS (SELECT doc_id,
+             'https://' || source || '-' || (doc_id % 3) ||
+             '.example.org/doc/' || doc_id AS url
+           FROM documents),
+         h AS (SELECT doc_id, regexp_extract(url, '^https?://([^/]+)', 1) AS host
+               FROM u),
+         f AS (SELECT * FROM h WHERE host NOT IN
+               ('src3-0.example.org', 'src7-1.example.org', 'src13-2.example.org')),
+         r AS (SELECT doc_id, host,
+               ROW_NUMBER() OVER (PARTITION BY host
+                 ORDER BY CAST((doc_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+                          / 2147483648.0, doc_id) AS rk
+               FROM f)
+         SELECT doc_id, host FROM r WHERE rk <= 5""",
 
     "q75_exact_k_sample" ->
       """WITH r AS (SELECT doc_id, lang,

@@ -67,6 +67,30 @@ class CurationSpec extends SparkSpec {
       5L -> (("b", 2L, 0L))))
   }
 
+  test("domainCurate: blocklisted hosts drop, caps are exact, joins broadcast") {
+    val docs = (0L until 40L).map { i =>
+      (i, s"https://d${i % 4}.example.org/p/$i")
+    }.toDF("doc_id", "url")
+    val block = Seq("d1.example.org").toDF("host")
+    val out = Curation.domainCurate(docs, "url", "doc_id", block, maxPerDomain = 3)
+    val rows = out.select("host", "doc_id").as[(String, Long)].collect()
+    val byHost = rows.groupBy(_._1)
+    // d1 gone; survivors capped at exactly 3 of their 10 members
+    assert(!byHost.contains("d1.example.org"))
+    assert(byHost.keySet == Set("d0.example.org", "d2.example.org", "d3.example.org"))
+    assert(byHost.values.forall(_.length == 3), byHost.view.mapValues(_.length).toMap.toString)
+    // host extraction really is the URL authority
+    assert(rows.forall { case (h, id) => h == s"d${id % 4}.example.org" })
+    // blocklist applied via broadcast anti-join, not a literal filter
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti join in:\n$plan")
+    // determinism: same cap -> same sample
+    val again = Curation.domainCurate(docs, "url", "doc_id", block, maxPerDomain = 3)
+      .select("host", "doc_id").as[(String, Long)].collect()
+    assert(again.sorted.sameElements(rows.sorted))
+  }
+
   test("contamination broadcasts the bench side (no corpus-corpus shuffle join)") {
     val docs = (0L to 200L).map(i => (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7}"))
       .toDF("doc_id", "text")
