@@ -95,6 +95,49 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** ANN over PQ-compressed vectors with asymmetric distance (ADC):
+    * the corpus exists only as m-byte PQ codes ([[Quantize.pqEncode]]),
+    * queries stay full-precision. Each query precomputes an m × cells
+    * lookup table of squared distances from its sub-vectors to every
+    * codebook centroid — ONE O(dim · cells) evaluation per query row —
+    * and each (query, code) pair then costs just m table lookups + adds
+    * (accumulated in sub-space order, so the oracle's j-ordered fold
+    * matches bit-for-bit).
+    *
+    * Scale shape: queries (with their LUTs) broadcast; the coded corpus
+    * — 16-64x smaller than the raw floats, the reason PQ exists —
+    * streams through the broadcast join without shuffling, and the
+    * per-query top-k reduces map-side through the bounded TopKSimAgg.
+    * Recall vs exact search is pinned in SimilaritySpec.
+    */
+  def pqAdcTopK(queries: DataFrame, corpusCodes: DataFrame, k: Int,
+                books: Array[Array[(Long, Seq[Double])]],
+                qidCol: String = "vec_id", vecCol: String = "embedding",
+                nidCol: String = "vec_id", codesCol: String = "codes"): DataFrame = {
+    val m = books.length
+    val sub = books.head.head._2.length
+    val lutExpr = array(books.zipWithIndex.map { case (book, j) =>
+      val sv = slice(col("qvec"), j * sub + 1, sub)
+      array(book.sortBy(_._1).map { case (_, cv) =>
+        aggregate(zip_with(sv, typedlit(cv), (x, c) => (x - c) * (x - c)),
+          lit(0.0), (s, d) => s + d)
+      }: _*)
+    }: _*)
+    val q = queries
+      .select(col(qidCol).as("qid"), VectorFns.toDoubleArr(col(vecCol)).as("qvec"))
+      .withColumn("lut", lutExpr)
+      .select(col("qid"), col("lut"))
+    val c = corpusCodes.select(col(nidCol).as("nid"), col(codesCol).as("ncodes"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("dist", (0 until m).map(j =>
+          element_at(element_at(col("lut"), j + 1),
+            element_at(col("ncodes"), j + 1) + 1))
+        .reduce(_ + _))
+      .select(col("qid"), col("nid"), (-col("dist")).as("sim"))
+    topKPerQuery(scored, k)
+      .select(col("qid"), col("nid"), (-col("sim")).as("dist"), col("rnk"))
+  }
+
   /** The hyperplane-LSH bucket signature as a Column: bit b of the
     * result is the sign of the projection of `vec` onto plane b, plane
     * component (b, i) = ((1103515245·(97b + i) + 12345) mod 4001) − 2000

@@ -38,6 +38,43 @@ object SqlFragments {
     s"list_reduce(list_transform(range(1, len($a) + 1), " +
       s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (u, v) -> u + v)"
 
+  /** Shared WITH prefix replaying Quantize.pqCodebooks' 1-iteration
+    * Lloyd trajectory over `embeddings` plus the final PQ assignment:
+    * `m` sub-spaces of `sub` dims, `cells` seeds (first ids), seed
+    * argmin, r15(SUM/COUNT) means (the stableRound mirror), empty-cell
+    * seed fallback, and the final per-(vec, sub-space) assignment `a2`
+    * (vec_id, j, cell, d). Used by the q90 (codes) and q94 (ADC search)
+    * oracles.
+    */
+  def pqLloydCte(m: Int, sub: Int, cells: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sv AS (SELECT vec_id, j, list_slice(v, j * $sub + 1, (j + 1) * $sub) AS sv
+               FROM e, range(0, $m) t(j)),
+        sk AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
+               FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $cells)),
+        seeds AS (SELECT s.j, k.cell, s.sv FROM sv s JOIN sk k USING (vec_id)),
+        aff0 AS (SELECT s.vec_id, s.j, c.cell,
+                 ${l2sqExpr("s.sv", "c.sv")} AS d
+                 FROM sv s JOIN seeds c ON s.j = c.j),
+        a1 AS (SELECT vec_id, j, cell FROM
+               (SELECT vec_id, j, cell,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cell) AS rn
+                FROM aff0) WHERE rn = 1),
+        mx AS (SELECT a.j, a.cell, t.i,
+               ${r15(s"SUM(s.sv[t.i]) / COUNT(*)", 9)} AS c
+               FROM a1 a JOIN sv s USING (vec_id, j), range(1, ${sub + 1}) t(i)
+               GROUP BY a.j, a.cell, t.i),
+        cb AS (SELECT j, cell, list(c ORDER BY i) AS cv FROM mx GROUP BY j, cell),
+        cents AS (SELECT s.j, s.cell, COALESCE(cb.cv, s.sv) AS cv
+                  FROM seeds s LEFT JOIN cb ON s.j = cb.j AND s.cell = cb.cell),
+        aff1 AS (SELECT s.vec_id, s.j, c.cell,
+                 ${l2sqExpr("s.sv", "c.cv")} AS d
+                 FROM sv s JOIN cents c ON s.j = c.j),
+        a2 AS (SELECT vec_id, j, cell, d FROM
+               (SELECT vec_id, j, cell, d,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cell) AS rn
+                FROM aff1) WHERE rn = 1)"""
+
   /** toks CTE body: whitespace tokens of lowercased text, empties dropped
     * — mirrors TextFns.tokens.
     */

@@ -141,6 +141,22 @@ object VectorQueries {
         .select(col("vec_id"),
           array_join(col("codes").cast("array<string>"), ",").as("codes_csv"),
           col("sq_err"))
+    }),
+
+    // Quantized ANN end-to-end: the corpus is PQ-compressed (q90's
+    // codebooks + codes), search runs over the CODES with asymmetric
+    // distance — per-query LUT broadcast, m lookups + adds per pair,
+    // bounded top-k. The stable Lloyd trajectory makes even this
+    // fully hash-exact: the oracle rebuilds codebooks, codes, ADC
+    // distances and ranks from the raw table.
+    "q94_ann_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = graft.operators.Quantize.pqCodebooks(
+        emb, "vec_id", "embedding", m = 4, k = 8, iterations = 1)
+      val codes = graft.operators.Quantize.pqEncode(emb, "vec_id", "embedding", books)
+        .select(col("vec_id"), col("codes"))
+      graft.operators.Similarity.pqAdcTopK(
+        emb.where(col("vec_id") < 10), codes, k = 5, books)
     })
   )
 
@@ -202,37 +218,33 @@ object VectorQueries {
     // the same stableRound the Spark agg applies — and empty cells fall
     // back to their seed. Distances are the shared l2sqExpr fold.
     "q90_product_quantize" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          sv AS (SELECT vec_id, j, list_slice(v, j * 16 + 1, (j + 1) * 16) AS sv
-                 FROM e, range(0, 4) t(j)),
-          sk AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
-                 FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
-          seeds AS (SELECT s.j, k.cell, s.sv FROM sv s JOIN sk k USING (vec_id)),
-          aff0 AS (SELECT s.vec_id, s.j, c.cell,
-                   ${SqlFragments.l2sqExpr("s.sv", "c.sv")} AS d
-                   FROM sv s JOIN seeds c ON s.j = c.j),
-          a1 AS (SELECT vec_id, j, cell FROM
-                 (SELECT vec_id, j, cell,
-                  ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cell) AS rn
-                  FROM aff0) WHERE rn = 1),
-          mx AS (SELECT a.j, a.cell, t.i,
-                 ${SqlFragments.r15("SUM(s.sv[t.i]) / COUNT(*)", 9)} AS c
-                 FROM a1 a JOIN sv s USING (vec_id, j), range(1, 17) t(i)
-                 GROUP BY a.j, a.cell, t.i),
-          cb AS (SELECT j, cell, list(c ORDER BY i) AS cv FROM mx GROUP BY j, cell),
-          cents AS (SELECT s.j, s.cell, COALESCE(cb.cv, s.sv) AS cv
-                    FROM seeds s LEFT JOIN cb ON s.j = cb.j AND s.cell = cb.cell),
-          aff1 AS (SELECT s.vec_id, s.j, c.cell,
-                   ${SqlFragments.l2sqExpr("s.sv", "c.cv")} AS d
-                   FROM sv s JOIN cents c ON s.j = c.j),
-          a2 AS (SELECT vec_id, j, cell, d FROM
-                 (SELECT vec_id, j, cell, d,
-                  ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cell) AS rn
-                  FROM aff1) WHERE rn = 1)
+      s"""${SqlFragments.pqLloydCte(m = 4, sub = 16, cells = 8)}
           SELECT vec_id,
             string_agg(CAST(cell AS VARCHAR), ',' ORDER BY j) AS codes_csv,
             list_reduce(list(d ORDER BY j), (u, v) -> u + v) AS sq_err
           FROM a2 GROUP BY vec_id""",
+
+    // ADC replay: rebuild the PQ trajectory (shared CTE), gather codes,
+    // then for each (query < 10, corpus vector) pair sum the
+    // per-sub-space squared distances query-slice -> coded centroid in
+    // j order, and rank ascending (ties by nid).
+    "q94_ann_pq_adc" ->
+      s"""${SqlFragments.pqLloydCte(m = 4, sub = 16, cells = 8)},
+          codes AS (SELECT vec_id, list(cell ORDER BY j) AS codes
+                    FROM a2 GROUP BY vec_id),
+          q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+          pd AS (SELECT q.qid, c.vec_id AS nid, ct.j,
+                 ${SqlFragments.l2sqExpr(
+                   "list_slice(q.qv, ct.j * 16 + 1, (ct.j + 1) * 16)", "ct.cv")} AS d
+                 FROM q JOIN codes c ON c.vec_id <> q.qid
+                 JOIN cents ct ON c.codes[ct.j + 1] = ct.cell),
+          agg AS (SELECT qid, nid,
+                  list_reduce(list(d ORDER BY j), (u, v) -> u + v) AS dist
+                  FROM pd GROUP BY qid, nid),
+          r AS (SELECT qid, nid, dist,
+                CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rnk
+                FROM agg)
+          SELECT qid, nid, dist, rnk FROM r WHERE rnk <= 5""",
 
     "q22_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars,
