@@ -104,6 +104,41 @@ object PipelineQueries {
     "q63_speed_merge" -> ((s, dir) =>
       speedRowsOut(graft.streaming.SpeedLayer.mergeDeltas(speedDeltaFrame(s, dir)))),
 
+    // T5 GRADED: late/out-of-order delivery of the SAME deltas through
+    // a REAL two-micro-batch streaming run (MemoryStream + fMGWS state
+    // across batches). The stream splits on a seq boundary so every day
+    // straddling it arrives "late" in batch 2 and must fold onto
+    // batch-1 state; WITHIN each batch delivery order is LCG-scrambled
+    // and the handler's seq sort restores it. The last emission per day
+    // (max batchId, collected O(days) via foreachBatch — the K6 bound)
+    // must therefore hash-match the identical in-order oracle q63 uses:
+    // out-of-order + late delivery is invisible in the result.
+    "q95_speed_merge_late" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val all = speedDeltaFrame(s, dir).collect().sortBy(_.seq)
+      val (b1, b2) = all.splitAt(all.length / 2)
+      def scramble(a: Array[graft.model.SpeedDelta]) =
+        a.sortBy(d => ((d.seq * 1103515245L + 12345L) % 2147483648L, d.seq)).toSeq
+      val mem = MemoryStream[graft.model.SpeedDelta]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, graft.model.SpeedRow)]
+      val q = graft.streaming.SpeedLayer.mergeDeltas(mem.toDS())
+        .writeStream.outputMode("append")
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.model.SpeedRow], bid: Long) =>
+          buf.synchronized { buf ++= ds.collect().map((bid, _)) }; ()
+        }
+        .start()
+      try {
+        mem.addData(scramble(b1)); q.processAllAvailable()
+        mem.addData(scramble(b2)); q.processAllAvailable()
+      } finally q.stop()
+      val finalRows = buf.synchronized {
+        buf.groupBy(_._2.date).values.map(_.maxBy(_._1)._2).toSeq
+      }
+      speedRowsOut(s.createDataset(finalRows))
+    }),
+
     // The SAME merge through the modern transformWithState /
     // StatefulProcessor API (T7's second implementation, previously
     // only spec-pinned equal to the fMGWS path) — now hashed by the
@@ -466,6 +501,8 @@ object PipelineQueries {
     "q63_speed_merge" -> SpeedMergeSql,
 
     "q85_speed_merge_tws" -> SpeedMergeSql,
+    // T5: shuffled two-batch delivery converges to the in-order result
+    "q95_speed_merge_late" -> SpeedMergeSql,
 
     "q71_stream_interval_join" ->
       """SELECT v.event_id AS view_id, p.event_id AS buy_id, v.user_id,
