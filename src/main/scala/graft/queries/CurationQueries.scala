@@ -229,6 +229,37 @@ object CurationQueries {
         .agg(count(lit(1)).as("n"), NumFns.stableRound(sum(col("p")), 2).as("total"))
     }),
 
+    // Snapshot-isolated table format (the ACID gap ViewStore leaves):
+    // three commits — overwrite Jan, append doubled Feb, overwrite Mar —
+    // then TIME TRAVEL reads of v1/v2/v3 aggregated under a version
+    // column. The oracle splices the same three snapshots from the raw
+    // table; the hash match proves commits are whole (no torn reads),
+    // append chains to its predecessor's manifest, overwrite starts a
+    // fresh one, and history stays readable. Conflict/isolation/vacuum
+    // semantics are spec-pinned (SnapshotStoreSpec). The view dir is
+    // rebuilt from scratch each run -> reruns converge.
+    "q96_snapshot_store" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q96_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val store = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          col("o_totalprice").as("p"))
+      store.commit("t", o.where(col("d").between("1995-01-01", "1995-01-31")),
+        overwrite = true)
+      store.commit("t", o.where(col("d").between("1995-02-01", "1995-02-28"))
+        .withColumn("p", col("p") * 2), overwrite = false)
+      store.commit("t", o.where(col("d").between("1995-03-01", "1995-03-31")),
+        overwrite = true)
+      (1L to 3L).map { v =>
+        store.read("t", asOf = Some(v))
+          .groupBy(col("d"))
+          .agg(count(lit(1)).as("n"), NumFns.stableRound(sum(col("p")), 2).as("total"))
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+        .select(col("version"), col("d"), col("n"), col("total"))
+    }),
+
     // Sequence packing: documents assigned to ~500-token training bins
     // per language shard (overflow-bin policy, never splitting a doc).
     // Packing is inherently sequential, so it runs per shard — one
@@ -426,6 +457,24 @@ object CurationQueries {
           v AS (SELECT * FROM b1 WHERE d < '1995-01-15' UNION ALL SELECT * FROM b2)
           SELECT d, COUNT(*) AS n, ${SqlFragments.r15("SUM(p)", 2)} AS total
           FROM v GROUP BY d""",
+
+    // Time-travel splice: v1 = Jan, v2 = v1 + doubled Feb, v3 = Mar only
+    "q96_snapshot_store" ->
+      s"""WITH o AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, o_totalprice AS p
+                     FROM orders),
+          v1 AS (SELECT d, p FROM o WHERE d BETWEEN '1995-01-01' AND '1995-01-31'),
+          v2 AS (SELECT * FROM v1
+                 UNION ALL
+                 SELECT d, p * 2 AS p FROM o WHERE d BETWEEN '1995-02-01' AND '1995-02-28'),
+          v3 AS (SELECT d, p FROM o WHERE d BETWEEN '1995-03-01' AND '1995-03-31')
+          SELECT CAST(1 AS BIGINT) AS version, d, COUNT(*) AS n,
+                 ${SqlFragments.r15("SUM(p)", 2)} AS total FROM v1 GROUP BY d
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), d, COUNT(*), ${SqlFragments.r15("SUM(p)", 2)}
+          FROM v2 GROUP BY d
+          UNION ALL
+          SELECT CAST(3 AS BIGINT), d, COUNT(*), ${SqlFragments.r15("SUM(p)", 2)}
+          FROM v3 GROUP BY d""",
 
     "q89_sequence_packing" ->
       s"""WITH t AS (SELECT doc_id, lang,

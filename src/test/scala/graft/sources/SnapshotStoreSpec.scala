@@ -1,0 +1,71 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshStore(): (SnapshotStore, String) = {
+    n += 1
+    val root = Scratch.processScoped("snapstore_spec", "spec") + s"/case$n"
+    (new SnapshotStore(spark, root), root)
+  }
+
+  test("overwrite replaces, append chains, time travel reads history") {
+    val (st, _) = freshStore()
+    assert(st.versions("t").isEmpty)
+    assert(st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true) == 1L)
+    assert(st.commit("t", Seq((2, "b")).toDF("k", "v"), overwrite = false) == 2L)
+    assert(st.commit("t", Seq((9, "z")).toDF("k", "v"), overwrite = true) == 3L)
+    assert(st.versions("t") == Seq(1L, 2L, 3L))
+    def ks(v: Long) = st.read("t", Some(v)).select("k").as[Int].collect().toSet
+    assert(ks(1L) == Set(1))
+    assert(ks(2L) == Set(1, 2))
+    assert(ks(3L) == Set(9))
+    // latest = v3
+    assert(st.read("t").select("k").as[Int].collect().toSet == Set(9))
+  }
+
+  test("a resolved reader is isolated from later commits") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
+    val reader = st.read("t") // resolves the v1 manifest now
+    st.commit("t", Seq((2, "b")).toDF("k", "v"), overwrite = true) // v2 replaces
+    // the pre-commit reader still sees the v1 snapshot, torn by nothing
+    assert(reader.select("k").as[Int].collect().toSet == Set(1))
+    assert(st.read("t").select("k").as[Int].collect().toSet == Set(2))
+  }
+
+  test("two writers from the same base: one wins, one gets a conflict") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
+    // writers A and B both observed base v1; A lands v2, B must conflict
+    // instead of silently clobbering or double-appending
+    st.commit("t", Seq((2, "b")).toDF("k", "v"),
+      overwrite = false, expectedBase = Some(1L))
+    val ex = intercept[RuntimeException] {
+      st.commit("t", Seq((3, "c")).toDF("k", "v"),
+        overwrite = false, expectedBase = Some(1L))
+    }
+    assert(ex.getMessage.contains("expected base"), ex.getMessage)
+    // the loser retries from the fresh base and succeeds
+    assert(st.commit("t", Seq((3, "c")).toDF("k", "v"),
+      overwrite = false, expectedBase = Some(2L)) == 3L)
+    assert(st.read("t").select("k").as[Int].collect().toSet == Set(1, 2, 3))
+  }
+
+  test("vacuum drops unreferenced data dirs but keeps retained snapshots readable") {
+    val (st, root) = freshStore()
+    st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
+    st.commit("t", Seq((2, "b")).toDF("k", "v"), overwrite = false)
+    st.commit("t", Seq((9, "z")).toDF("k", "v"), overwrite = true)
+    st.vacuum("t", retainVersions = 1)
+    assert(st.versions("t") == Seq(3L))
+    assert(st.read("t").select("k").as[Int].collect().toSet == Set(9))
+    // b1/b2 data dirs are gone (v3 references only b3)
+    val dataRoot = new java.io.File(root, "t/data")
+    assert(dataRoot.listFiles().map(_.getName).toSet == Set("b3"))
+  }
+}
