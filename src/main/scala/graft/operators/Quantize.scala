@@ -60,6 +60,27 @@ object Quantize {
       .select(col(idCol), col("codes"), col("max_err"))
   }
 
+  /** The SQ8 codebook collected as (mn, mx) per dimension — the same
+    * O(dims) model-parameter collect [[scalarQuantize]] performs
+    * internally, exposed for search over stored codes ([[Similarity.sq8AdcTopK]]).
+    */
+  def sq8Params(df: DataFrame, vecCol: String): Array[(Double, Double)] =
+    codebook(df, vecCol).orderBy(col("i")).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+
+  /** Dequantize an SQ8 `codes` column back to doubles:
+    * recon_i = mn_i + code_i / 255 · (mx_i − mn_i) — the exact mirror of
+    * [[scalarQuantize]]'s reconstruction arithmetic (same ops the q72
+    * oracle replays), as one codegen'd per-row transform.
+    */
+  def sq8Reconstruct(codes: Column, book: Array[(Double, Double)]): Column = {
+    val mnLit = array(book.map(b => lit(b._1)): _*)
+    val mxLit = array(book.map(b => lit(b._2)): _*)
+    transform(codes, (c, i) =>
+      element_at(mnLit, i + 1) +
+        c.cast("double") / 255.0 * (element_at(mxLit, i + 1) - element_at(mnLit, i + 1)))
+  }
+
   /** Product-quantization codebooks: the vector space is split into `m`
     * contiguous sub-spaces of dim/m dimensions, and each sub-space gets
     * its own k-cell Lloyd codebook (KMeans.fit, squared-L2 metric,

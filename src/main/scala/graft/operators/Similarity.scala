@@ -138,6 +138,27 @@ object Similarity {
       .select(col("qid"), col("nid"), (-col("sim")).as("dist"), col("rnk"))
   }
 
+  /** ANN over SQ8-compressed vectors, asymmetric: the corpus exists only
+    * as byte codes ([[Quantize.scalarQuantize]]), queries stay
+    * full-precision; each pair dequantizes the codes on the fly
+    * ([[Quantize.sq8Reconstruct]], codegen'd) and scores codegen'd
+    * cosine — the 4x-smaller scan FAISS-style SQ8 search pays O(dim)
+    * per pair for. Same broadcast/bounded-top-k shape as [[pqAdcTopK]].
+    */
+  def sq8AdcTopK(queries: DataFrame, corpusCodes: DataFrame, k: Int,
+                 book: Array[(Double, Double)],
+                 qidCol: String = "vec_id", vecCol: String = "embedding",
+                 nidCol: String = "vec_id", codesCol: String = "codes"): DataFrame = {
+    val q = queries.select(col(qidCol).as("qid"),
+      VectorFns.toDoubleArr(col(vecCol)).as("qvec"))
+    val c = corpusCodes.select(col(nidCol).as("nid"),
+      Quantize.sq8Reconstruct(col(codesCol), book).as("rvec"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("sim", graft.expressions.CosineSim(col("qvec"), col("rvec")))
+      .select(col("qid"), col("nid"), col("sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** The hyperplane-LSH bucket signature as a Column: bit b of the
     * result is the sign of the projection of `vec` onto plane b, plane
     * component (b, i) = ((1103515245·(97b + i) + 12345) mod 4001) − 2000

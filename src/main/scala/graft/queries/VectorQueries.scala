@@ -157,6 +157,20 @@ object VectorQueries {
         .select(col("vec_id"), col("codes"))
       graft.operators.Similarity.pqAdcTopK(
         emb.where(col("vec_id") < 10), codes, k = 5, books)
+    }),
+
+    // The SQ8 side of quantized search: corpus stored as byte codes,
+    // dequantized per pair (codegen'd), cosine vs full-precision
+    // queries. min/max codebooks are order-independent aggregates and
+    // the reconstruction arithmetic is per-row, so the whole search is
+    // hash-exact against the oracle replay.
+    "q97_ann_sq8_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val book = graft.operators.Quantize.sq8Params(emb, "embedding")
+      val codes = graft.operators.Quantize.scalarQuantize(emb, "vec_id", "embedding")
+        .select(col("vec_id"), col("codes"))
+      graft.operators.Similarity.sq8AdcTopK(
+        emb.where(col("vec_id") < 10), codes, k = 5, book)
     })
   )
 
@@ -245,6 +259,33 @@ object VectorQueries {
                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rnk
                 FROM agg)
           SELECT qid, nid, dist, rnk FROM r WHERE rnk <= 5""",
+
+    // SQ8 codebook + codes (q72's CTEs), per-pair dequantize, cosine
+    // vs the raw query vector, rank desc.
+    "q97_ann_sq8_adc" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          d AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx
+                FROM (SELECT unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i FROM e)
+                GROUP BY i),
+          b AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM d),
+          c AS (SELECT vec_id, mns, mxs,
+                  list_transform(range(1, len(v) + 1), i ->
+                    CASE WHEN mxs[i] = mns[i] THEN 0
+                         ELSE CAST(floor((v[i] - mns[i]) / (mxs[i] - mns[i]) * 255.0 + 0.5) AS INT)
+                    END) AS codes
+                FROM e, b),
+          rec AS (SELECT vec_id AS nid,
+                  list_transform(range(1, len(codes) + 1), i ->
+                    mns[i] + CAST(codes[i] AS DOUBLE) / 255.0 * (mxs[i] - mns[i])) AS rv
+                  FROM c),
+          q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+          p AS (SELECT q.qid, rec.nid,
+                ${SqlFragments.cosineExpr("q.qv", "rec.rv")} AS sim
+                FROM q JOIN rec ON rec.nid <> q.qid),
+          r AS (SELECT qid, nid, sim,
+                CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+                FROM p)
+          SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 5""",
 
     "q22_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, lang, n_chars,

@@ -226,4 +226,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(gen.nonEmpty, p)
     assert(!gen.exists(_.contains("split(lower")), s"tokenize inlined into Generate:\n$gen")
   }
+
+  test("repeated spans (q91) stages grams below its Generates; exactly 2 corpus shuffles + window") {
+    val df = SparkEntry.queries("q91_repeated_spans")(spark, sf())
+    val p = plan(df)
+    // same trap as q68: the per-position k-gram transform must be a
+    // staged attribute, not re-derived from `text` inside the generator
+    val gen = p.linesIterator.filter(_.contains("Generate")).toSeq
+    assert(gen.nonEmpty, p)
+    assert(!gen.exists(_.contains("split(lower")), s"tokenize inlined into Generate:\n$gen")
+    // anchor-bucket shuffle + islands-window shuffle, nothing else
+    assert(p.split("Exchange").length - 1 == 2, p)
+  }
+
+  test("PQ encode (q90) is one shuffle-free projection over the scan") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val books = graft.operators.Quantize.pqCodebooks(
+      emb, "vec_id", "embedding", m = 4, k = 4, iterations = 1)
+    val df = graft.operators.Quantize.pqEncode(emb, "vec_id", "embedding", books)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("ADC search (q94) broadcasts queries; coded corpus never shuffles before top-k") {
+    val df = SparkEntry.queries("q94_ann_pq_adc")(spark, sf())
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the only Exchange allowed is the O(k)-rows-per-query top-k agg,
+    // which sits ABOVE the join in the printed tree; nothing at or
+    // below the join (the corpus side) may shuffle
+    val lines = p.linesIterator.toSeq
+    val joinLine = lines.indexWhere(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("BroadcastHashJoin"))
+    // BroadcastExchange below the join IS the query broadcast — only a
+    // shuffle (hash/range partitioning) exchange would be a defect
+    assert(!lines.drop(joinLine).exists(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange")),
+      s"corpus shuffled below the broadcast join:\n$p")
+  }
 }

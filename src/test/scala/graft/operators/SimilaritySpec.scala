@@ -54,6 +54,34 @@ class SimilaritySpec extends SparkSpec {
       s"expected broadcast query side:\n$plan")
   }
 
+  test("sq8AdcTopK: byte-code search stays in-cluster, recall vs exact cosine") {
+    val protos = Seq(
+      Array(10.0, 0.0, 0.0, 0.0, 0.0, 10.0, 0.0, 0.0),
+      Array(0.0, 10.0, 0.0, 0.0, 10.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 10.0, 5.0, 0.0, 0.0, 0.0, 10.0))
+    val corpus = (0 until 60).map { i =>
+      val p = protos(i % 3)
+      (i.toLong, p.map(c => (c + 0.03 * ((i * 13 + 7) % 5 - 2)).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val book = Quantize.sq8Params(corpus, "embedding")
+    val codes = Quantize.scalarQuantize(corpus, "vec_id", "embedding")
+      .select(col("vec_id"), col("codes"))
+    val queries = corpus.where(col("vec_id") < 3)
+    val adc = Similarity.sq8AdcTopK(queries, codes, k = 5, book)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    adc.foreach { case (qid, nids) =>
+      // in-cluster always; >= 3/5 overlap with exact cosine (SQ8's
+      // per-dim error ~range/255 can swap the within-cluster tail)
+      assert(nids.forall(n => n % 3 == qid % 3), s"q$qid -> $nids")
+      assert((nids & exact(qid)).size >= 3,
+        s"q$qid adc $nids vs exact ${exact(qid)}")
+    }
+  }
+
   test("multimodal plumbing: batched extraction with stub decoder") {
     val docs = graft.Tables.load(spark, sf(), "documents").limit(10)
     val media = Multimodal.mediaFromDocuments(docs)
