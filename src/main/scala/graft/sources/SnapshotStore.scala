@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 /** Snapshot-isolated parquet tables — the missing ACID half of
@@ -13,19 +13,19 @@ import scala.jdk.CollectionConverters._
   *
   *  - data files are IMMUTABLE: each commit writes a fresh
   *    `data/b<version>/` parquet directory and never touches prior ones;
-  *  - a commit is ONE atomic filesystem rename of a manifest file
-  *    `_manifests/v<version>.json` listing exactly the data dirs that
-  *    make up the snapshot (overwrite ⇒ just the new dir, append ⇒
+  *  - a commit is ONE atomic exclusive hard-link publish of a manifest
+  *    file `_manifests/v<version>.json` listing exactly the data dirs
+  *    that make up the snapshot (overwrite ⇒ just the new dir, append ⇒
   *    predecessor's list + the new dir);
   *  - readers resolve the latest manifest ONCE and read only the dirs it
   *    names — a concurrent commit cannot tear the read (its files are
   *    invisible until its manifest lands, and old files are never
   *    deleted by commits);
-  *  - writers are optimistic: the rename target embeds the expected next
-  *    version, so two writers racing from the same base version produce
-  *    one winner and one [[SnapshotConflict]] (rename does not
-  *    overwrite) — retry-able, exactly the OCC contract table formats
-  *    give;
+  *  - writers are optimistic: the publish target embeds the expected
+  *    next version, so two writers racing from the same base version
+  *    produce one winner and one [[SnapshotConflict]] (link(2) fails on
+  *    an existing target — rename would silently replace it) —
+  *    retry-able, exactly the OCC contract table formats give;
   *  - [[vacuum]] deletes only data dirs no retained manifest references.
   *
   * At 100 TB the manifest lists file paths, not row data — commits and
@@ -77,7 +77,12 @@ class SnapshotStore(spark: SparkSession, root: String) {
       throw new SnapshotConflict(s"$view: expected base v$e but table is at v$base")
     }
     val next = base + 1
-    val dataDir = s"b$next"
+    // data dir is unique PER ATTEMPT, not per version: two writers
+    // racing to the same next version must never address the same dir
+    // (the loser's write would clobber files the winner's manifest just
+    // committed). A losing attempt leaves an orphan dir no manifest
+    // references — exactly what vacuum() collects.
+    val dataDir = s"b$next-" + java.util.UUID.randomUUID().toString.take(8)
     df.write.mode("overwrite")
       .parquet(viewRoot(view).resolve("data").resolve(dataDir).toString)
     val dirs =
@@ -87,14 +92,17 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val tmp = Files.createTempFile(manifestDir(view), s".v$next", ".tmp")
     Files.writeString(tmp, dirs.map(d => "\"" + d + "\"").mkString("[", ",", "]"))
     try
-      // ATOMIC_MOVE without REPLACE_EXISTING: first committer wins, the
-      // loser's rename throws — the whole concurrency story is this one
-      // filesystem primitive
-      Files.move(tmp, manifestPath(view, next), StandardCopyOption.ATOMIC_MOVE)
+      // hard-link creation is the exclusive-publish primitive: link(2)
+      // fails with EEXIST if the target exists — unlike rename(2)
+      // (ATOMIC_MOVE), which on POSIX silently REPLACES the target and
+      // would let a racing commit overwrite the winner's manifest (found
+      // by the hammered-appends spec). The manifest appears atomically
+      // with its full content; first committer wins, the loser throws.
+      Files.createLink(manifestPath(view, next), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
-      Files.deleteIfExists(tmp)
       throw new SnapshotConflict(s"$view: version $next already committed")
     }
+    finally Files.deleteIfExists(tmp)
     next
   }
 
