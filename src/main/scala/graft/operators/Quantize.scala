@@ -106,12 +106,52 @@ object Quantize {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
     val sub = dim / m
-    (0 until m).toArray.map { j =>
-      val sdf = df.select(col(idCol).as("_id"),
-        slice(VectorFns.toDoubleArr(col(vecCol)), j * sub + 1, sub).as("_sv"))
-      KMeans.fit(sdf, "_id", "_sv", k, iterations, distance = "l2",
-        stableScale = stableScale)
+    // FUSED across sub-spaces: the naive form (one KMeans.fit per
+    // sub-space) scans the corpus m times per iteration — at 100 TB
+    // that multiplies the dominant cost m-fold. Instead every iteration
+    // runs ONE pass: per row, argmin every sub-space, explode the m
+    // (j, cell, sub-vector) assignments (corpus bytes stay constant —
+    // each exploded row carries only its slice), and ONE (j, cell)
+    // hash aggregate computes all m·k·sub means. Arithmetic is
+    // bit-identical to the per-sub-space fits (same seeds, same argmin,
+    // same stableRound(sum/count)), so the q90/q94 oracles are
+    // unaffected.
+    val data = df.select(col(idCol).as("_id"), VectorFns.toDoubleArr(col(vecCol)).as("_v"))
+    val seeds = data.orderBy(col("_id")).limit(k).collect()
+      .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+    require(seeds.nonEmpty, "PQ needs a non-empty input")
+    var cents: Array[Array[(Long, Seq[Double])]] = (0 until m).toArray.map { j =>
+      seeds.map { case (cid, v) => (cid, v.slice(j * sub, (j + 1) * sub)) }
     }
+    var it = 0
+    while (it < iterations) {
+      val perJ = array((0 until m).map { j =>
+        val sv = slice(col("_v"), j * sub + 1, sub)
+        val scored = array_sort(array(cents(j).map { case (cid, cv) =>
+          struct(aggregate(zip_with(sv, typedlit(cv), (x, c) => (x - c) * (x - c)),
+            lit(0.0), (s, d) => s + d).as("d"), lit(cid).as("cell"))
+        }: _*))
+        struct(lit(j).as("j"),
+          element_at(scored, 1).getField("cell").as("cell"), sv.as("sv"))
+      }: _*)
+      val meanCols = (0 until sub).map { i =>
+        val mc = sum(element_at(col("sv"), i + 1)) / count(lit(1))
+        stableScale.fold(mc)(sc => graft.functions.NumFns.stableRound(mc, sc)).as(s"_m$i")
+      }
+      val means = data.withColumn("_pj", perJ)
+        .select(explode(col("_pj")).as("e"))
+        .select(col("e.j").as("j"), col("e.cell").as("cell"), col("e.sv").as("sv"))
+        .groupBy(col("j"), col("cell"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), (2 until 2 + sub).map(r.getDouble).toSeq))
+        .toMap
+      cents = cents.zipWithIndex.map { case (book, j) =>
+        book.map { case (cid, prev) => (cid, means.getOrElse((j, cid), prev)) }
+      }
+      it += 1
+    }
+    cents
   }
 
   /** Encode vectors against PQ codebooks: per sub-space argmin over the
