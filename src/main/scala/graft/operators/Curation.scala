@@ -132,6 +132,81 @@ object Curation {
         (col("n_hit").cast("double") / col("n_grams")).as("contam_frac"))
   }
 
+  /** Chunk documents into overlapping ~`chunkTokens`-token windows with
+    * `stride` — the splitter every pretraining/RAG pipeline runs before
+    * tokenization. Chunk starts are 0, stride, 2·stride, …; the last
+    * chunk may be short; a doc shorter than one chunk yields exactly
+    * one. Pure per-row projection + one bounded explode (chunks per doc
+    * = O(len/stride)) — zero shuffles, the corpus streams by once.
+    * Emits (idCol, chunk_id, chunk_text, n_tokens).
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride, "need 0 < stride <= chunkTokens")
+    val staged = docs.where(col(textCol).isNotNull)
+      .withColumn("_toks", TextFns.tokens(col(textCol)))
+      .where(size(col("_toks")) > 0)
+    // nChunks = 1 + ceil((n - chunk) / stride) for n > chunk, else 1;
+    // double division + floor is exact for any realistic doc length
+    val n = size(col("_toks"))
+    val nChunks = (lit(1) + greatest(lit(0),
+      floor((n - chunkTokens + stride - 1).cast("double") / stride))).cast("int")
+    staged
+      .withColumn("_starts", transform(sequence(lit(0), nChunks - 1), c => c * stride))
+      .select(col(idCol), posexplode(col("_starts")).as(Seq("chunk_id", "_start")),
+        col("_toks"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("_toks"), col("_start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens), size(col("_toks")) - col("_start")).cast("long")
+          .as("n_tokens"))
+  }
+
+  /** Merge overlapping/adjacent [start, end) intervals per key — the
+    * island step of span removal, but a first-class relational op in
+    * its own right (calendar/occupancy merging). One keyed window pass:
+    * an interval starts a new island iff its start exceeds the running
+    * max end of everything before it.
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String,
+                     startCol: String, endCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byStart = W.partitionBy(keyCol).orderBy(col(startCol), col(endCol))
+    val runMax = max(col(endCol)).over(byStart.rowsBetween(W.unboundedPreceding, -1))
+    val flagged = df
+      .withColumn("_new", when(runMax.isNull || col(startCol) > runMax, 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_new")).over(byStart))
+    flagged.groupBy(col(keyCol), col("_island"))
+      .agg(min(col(startCol)).as(startCol), max(col(endCol)).as(endCol))
+      .drop("_island")
+  }
+
+  /** Remove repeated spans from the LOWER-priority side of each
+    * [[Dedup.repeatedSpans]] pair (b_doc; the min-id doc stays intact —
+    * the same survivor policy as near-dedup): spans per doc merge via
+    * [[mergeIntervals]], then one projection drops the covered token
+    * positions. Docs without spans pass through untouched. Emits
+    * (idCol, clean_text, n_removed).
+    */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          spans: DataFrame): DataFrame = {
+    val merged = mergeIntervals(
+      spans.select(col("b_doc").as("_rid"), col("b_start").as("s"),
+        (col("b_start") + col("span_toks")).as("e")),
+      "_rid", "s", "e")
+    val perDoc = merged.groupBy(col("_rid"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("_ivs"))
+    docs.where(col(textCol).isNotNull)
+      .withColumn("_toks", TextFns.tokens(col(textCol)))
+      .join(perDoc, col(idCol) === col("_rid"), "left")
+      .withColumn("_keep", when(col("_ivs").isNull, col("_toks"))
+        .otherwise(filter(col("_toks"), (_, i) =>
+          !exists(col("_ivs"), iv => i >= iv.getField("s") && i < iv.getField("e")))))
+      .select(col(idCol),
+        array_join(col("_keep"), " ").as("clean_text"),
+        (size(col("_toks")) - size(col("_keep"))).cast("long").as("n_removed"))
+  }
+
   /** URL/domain curation — the usual FIRST filter of a web-corpus
     * pipeline, before any content-based step touches the text:
     *  1. host extraction from the URL (native `parse_url`, codegen'd);

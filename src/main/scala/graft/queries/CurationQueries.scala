@@ -164,6 +164,25 @@ object CurationQueries {
         .select(col("doc_id"), col("host"))
     }),
 
+    // Overlapping-window chunking (50-token chunks, stride 40): the
+    // splitter between curation and tokenization. Zero shuffles; the
+    // oracle replays starts, slices and tail lengths exactly.
+    "q98_chunking" -> ((s, dir) =>
+      graft.operators.Curation.chunk(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 50, stride = 40)),
+
+    // Repeated-span REMOVAL — the curation action on q91's detections:
+    // spans merge per victim doc (interval-merge islands), covered token
+    // positions drop from the lower-priority (b) side only, min-id docs
+    // stay intact. Exact string+integer arithmetic end-to-end, so the
+    // oracle replays detection, merging and removal verbatim.
+    "q99_span_removal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val spans = graft.operators.Dedup.repeatedSpans(docs, "doc_id", "text",
+        k = 5, minSpanTokens = 8, maxBucket = 64)
+      graft.operators.Curation.removeRepeatedSpans(docs, "doc_id", "text", spans)
+    }),
+
     // JSONL round-trip: every public training corpus ships as JSONL
     // shards, so the engine must WRITE and READ the format losslessly.
     // The corpus is exported once per (JVM, source dir) to a
@@ -344,32 +363,44 @@ object CurationQueries {
           FROM corpus JOIN bench USING (g)
           GROUP BY doc_id, n_grams""",
 
-    // Full replay of the repeated-span pipeline: anchor k-grams by
-    // position (1-based i -> 0-based pos), global 2..64 occurrence cap,
-    // cross-doc pairs, equal-offset gaps-and-islands runs, span length
-    // = run + k - 1.
+    // Full replay of the repeated-span pipeline (shared CTE with q99).
     "q91_repeated_spans" ->
-      s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks
-                     FROM documents WHERE text IS NOT NULL),
-          anch AS (SELECT doc_id, i - 1 AS pos,
-                   array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
-                   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 5 + 2)) AS i
-                         FROM t)),
-          keep AS (SELECT gram FROM anch GROUP BY gram
-                   HAVING COUNT(*) BETWEEN 2 AND 64),
-          a2 AS (SELECT anch.* FROM anch JOIN keep USING (gram)),
-          p AS (SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
-                a.pos - b.pos AS diff, a.pos AS a_pos
-                FROM a2 a JOIN a2 b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-          r AS (SELECT a_doc, b_doc, diff, a_pos,
-                a_pos - ROW_NUMBER() OVER (PARTITION BY a_doc, b_doc, diff
-                                           ORDER BY a_pos) AS grp FROM p),
-          s AS (SELECT a_doc, b_doc, CAST(MIN(a_pos) AS BIGINT) AS a_start,
-                CAST(MIN(a_pos) - diff AS BIGINT) AS b_start,
-                CAST(COUNT(*) + 4 AS BIGINT) AS span_toks
-                FROM r GROUP BY a_doc, b_doc, diff, grp)
-          SELECT a_doc, b_doc, a_start, b_start, span_toks
-          FROM s WHERE span_toks >= 8""",
+      s"""${SqlFragments.repeatedSpansCte(k = 5, minSpan = 8, maxBucket = 64)}
+          SELECT a_doc, b_doc, a_start, b_start, span_toks FROM spans""",
+
+    // Span-removal replay: b-side intervals merge per doc (running-max
+    // islands), then covered 0-based token positions drop.
+    "q99_span_removal" ->
+      s"""${SqlFragments.repeatedSpansCte(k = 5, minSpan = 8, maxBucket = 64)},
+          iv0 AS (SELECT b_doc AS rid, b_start AS s, b_start + span_toks AS e
+                  FROM spans),
+          r2 AS (SELECT rid, s, e,
+                 MAX(e) OVER (PARTITION BY rid ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                 FROM iv0),
+          r3 AS (SELECT rid, s, e,
+                 SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY rid ORDER BY s, e) AS island
+                 FROM r2),
+          mg AS (SELECT rid, MIN(s) AS s, MAX(e) AS e FROM r3 GROUP BY rid, island),
+          ivs AS (SELECT rid, list(struct_pack(s := s, e := e)) AS ivs
+                  FROM mg GROUP BY rid),
+          o AS (SELECT t.doc_id,
+                CASE WHEN v.rid IS NULL THEN t.toks
+                     ELSE list_filter(
+                       list_transform(range(1, len(t.toks) + 1), i ->
+                         CASE WHEN len(list_filter(v.ivs,
+                                iv -> (i - 1) >= iv.s AND (i - 1) < iv.e)) = 0
+                              THEN t.toks[i] ELSE NULL END),
+                       x -> x IS NOT NULL)
+                END AS kept,
+                len(t.toks) AS n FROM t LEFT JOIN ivs v ON t.doc_id = v.rid)
+          SELECT doc_id,
+                 -- DuckDB array_to_string([]) is NULL; Spark array_join
+                 -- of an empty array is '' (a fully-covered doc)
+                 COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+                 CAST(n - len(kept) AS BIGINT) AS n_removed
+          FROM o""",
 
     // Exact-Jaccard truth replay of the incremental dedup decision
     // (valid under q23's bimodal data contract — see the query comment):
@@ -485,6 +516,22 @@ object CurationQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500.0)
                  AS BIGINT) AS bin
           FROM t""",
+
+    // Chunk replay: identical start arithmetic, slices and tail lengths.
+    "q98_chunking" ->
+      s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks
+                     FROM documents WHERE text IS NOT NULL),
+          nz AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+                 FROM t WHERE len(toks) > 0),
+          st AS (SELECT doc_id, toks, n,
+                 unnest(range(0, CAST(1 + greatest(0,
+                   floor((n - 50 + 40 - 1) / CAST(40 AS DOUBLE))) AS BIGINT))) AS cid
+                 FROM nz)
+          SELECT doc_id, cid AS chunk_id,
+            array_to_string(list_slice(toks, cid * 40 + 1, cid * 40 + 50), ' ')
+              AS chunk_text,
+            least(CAST(50 AS BIGINT), n - cid * 40) AS n_tokens
+          FROM st""",
 
     "q93_domain_curation" ->
       """WITH u AS (SELECT doc_id,

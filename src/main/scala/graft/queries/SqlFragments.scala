@@ -75,6 +75,36 @@ object SqlFragments {
                 ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cell) AS rn
                 FROM aff1) WHERE rn = 1)"""
 
+  /** Shared WITH prefix replaying Dedup.repeatedSpans over `documents`:
+    * k-gram anchors by position (1-based i -> 0-based pos), global
+    * 2..maxBucket occurrence cap, cross-doc pairs, equal-offset
+    * gaps-and-islands runs. Ends with `spans` (a_doc, b_doc, a_start,
+    * b_start, span_toks >= minSpan) and keeps `t` (doc_id, toks) in
+    * scope. Used by the q91 (detection) and q99 (removal) oracles.
+    */
+  def repeatedSpansCte(k: Int, minSpan: Int, maxBucket: Int): String =
+    s"""WITH t AS (SELECT doc_id, $toksExpr AS toks
+                   FROM documents WHERE text IS NOT NULL),
+        anch AS (SELECT doc_id, i - 1 AS pos,
+                 array_to_string(list_slice(toks, i, i + ${k - 1}), ' ') AS gram
+                 FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - $k + 2)) AS i
+                       FROM t)),
+        keep AS (SELECT gram FROM anch GROUP BY gram
+                 HAVING COUNT(*) BETWEEN 2 AND $maxBucket),
+        a2 AS (SELECT anch.* FROM anch JOIN keep USING (gram)),
+        p AS (SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+              a.pos - b.pos AS diff, a.pos AS a_pos
+              FROM a2 a JOIN a2 b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        r AS (SELECT a_doc, b_doc, diff, a_pos,
+              a_pos - ROW_NUMBER() OVER (PARTITION BY a_doc, b_doc, diff
+                                         ORDER BY a_pos) AS grp FROM p),
+        spans AS (SELECT a_doc, b_doc, a_start, b_start, span_toks FROM
+              (SELECT a_doc, b_doc, CAST(MIN(a_pos) AS BIGINT) AS a_start,
+               CAST(MIN(a_pos) - diff AS BIGINT) AS b_start,
+               CAST(COUNT(*) + $k - 1 AS BIGINT) AS span_toks
+               FROM r GROUP BY a_doc, b_doc, diff, grp)
+              WHERE span_toks >= $minSpan)"""
+
   /** toks CTE body: whitespace tokens of lowercased text, empties dropped
     * — mirrors TextFns.tokens.
     */

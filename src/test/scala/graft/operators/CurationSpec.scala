@@ -91,6 +91,53 @@ class CurationSpec extends SparkSpec {
     assert(again.sorted.sameElements(rows.sorted))
   }
 
+  test("chunk: stride windows cover every token; short docs yield one chunk") {
+    val docs = Seq(
+      (1L, (1 to 25).map(i => s"t$i").mkString(" ")), // 25 toks: chunks at 0, 10 (short tail at 20)
+      (2L, "a b c"),                                  // shorter than one chunk
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Curation.chunk(docs, "doc_id", "text", chunkTokens = 10, stride = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(d1.map(_._4).toSeq == Seq(10L, 10L, 5L))
+    assert(d1.head._3.startsWith("t1 ") && d1.last._3 == "t21 t22 t23 t24 t25")
+    // every token appears exactly once at stride == chunkTokens
+    assert(d1.flatMap(_._3.split(" ")).length == 25)
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b c", 3L)))
+    assert(!got.exists(_._1 == 3L))
+    // overlap: stride < chunk duplicates the boundary tokens
+    val ov = Curation.chunk(docs.where(col("doc_id") === 1L), "doc_id", "text",
+      chunkTokens = 10, stride = 5)
+    assert(ov.count() == 4) // starts 0, 5, 10, 15 -> 1 + ceil(15/5) = 4
+  }
+
+  test("mergeIntervals: overlapping and adjacent-overlap runs collapse per key") {
+    val ivs = Seq(
+      ("a", 0L, 5L), ("a", 3L, 8L), ("a", 8L, 9L),  // 8 touches [3,8) end: separate island ([s,e) half-open, s > pmax fails -> merged)
+      ("a", 20L, 25L),
+      ("b", 0L, 2L), ("b", 0L, 2L)                   // exact duplicates
+    ).toDF("k", "s", "e")
+    val got = Curation.mergeIntervals(ivs, "k", "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 0L, 9L), ("a", 20L, 25L), ("b", 0L, 2L)), got.toString)
+  }
+
+  test("removeRepeatedSpans drops only covered positions of the b side") {
+    val docs = Seq(
+      (1L, "keep1 keep2 dup1 dup2 dup3 keep3"),
+      (2L, "dup1 dup2 dup3 mine1 mine2")
+    ).toDF("doc_id", "text")
+    val spans = Seq((1L, 2L, 2L, 0L, 3L))
+      .toDF("a_doc", "b_doc", "a_start", "b_start", "span_toks")
+    val got = Curation.removeRepeatedSpans(docs, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // a side intact, b side loses tokens [0, 3)
+    assert(got(1L) == (("keep1 keep2 dup1 dup2 dup3 keep3", 0L)))
+    assert(got(2L) == (("mine1 mine2", 3L)))
+  }
+
   test("contamination broadcasts the bench side (no corpus-corpus shuffle join)") {
     val docs = (0L to 200L).map(i => (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7}"))
       .toDF("doc_id", "text")
