@@ -50,6 +50,29 @@ object Mixer {
     df.withColumn("_rk", row_number().over(w)).where(col("_rk") <= k).drop("_rk")
   }
 
+  /** Deterministic global shuffle into training shards — the last step
+    * before a corpus ships to a trainer: every row gets a pseudo-random
+    * shard (uniform over `nShards`) and a pseudo-random position within
+    * its shard, both pure LCG functions of the row id. No RNG state, no
+    * partition-index dependence: any engine, any partitioning, any rerun
+    * produces the identical layout (and the oracle replays it row for
+    * row). One keyed shuffle on shard; the rank window is per-shard.
+    *
+    * Shard and position use DIFFERENT LCG streams (the position stream
+    * re-hashes the shard stream's output) so co-sharded rows don't sort
+    * by id order.
+    */
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val h1 = (col(idCol) * 1103515245L + 12345L) % 2147483648L
+    val h2 = (h1 * 1103515245L + 12345L) % 2147483648L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_h2"), col(idCol))
+    df.withColumn("shard", pmod(h1, lit(nShards.toLong)))
+      .withColumn("_h2", h2)
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .drop("_h2")
+  }
+
   /** Resample `df` by temperature over `keyCol`, replicating each row
     * `copies` times; emits the input columns plus `copy_id` (1-based).
     *

@@ -183,6 +183,13 @@ object CurationQueries {
       graft.operators.Curation.removeRepeatedSpans(docs, "doc_id", "text", spans)
     }),
 
+    // Deterministic corpus shuffle into 8 training shards: LCG shard +
+    // in-shard position, partitioning-invariant and fully replayable.
+    "q100_shard_shuffle" -> ((s, dir) =>
+      graft.operators.Mixer.shardShuffle(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("shard_pos"))),
+
     // JSONL round-trip: every public training corpus ships as JSONL
     // shards, so the engine must WRITE and READ the format losslessly.
     // The corpus is exported once per (JVM, source dir) to a
@@ -516,6 +523,18 @@ object CurationQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500.0)
                  AS BIGINT) AS bin
           FROM t""",
+
+    "q100_shard_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+             (doc_id * 1103515245 + 12345) % 2147483648 AS h1
+           FROM documents),
+         h2 AS (SELECT doc_id, h1 % 8 AS shard,
+                (h1 * 1103515245 + 12345) % 2147483648 AS hh
+                FROM h)
+         SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT)
+             AS shard_pos
+         FROM h2""",
 
     // Chunk replay: identical start arithmetic, slices and tail lengths.
     "q98_chunking" ->

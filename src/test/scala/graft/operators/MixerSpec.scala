@@ -71,4 +71,27 @@ class MixerSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
+
+  test("shardShuffle: uniform-ish shards, contiguous positions, partitioning-invariant") {
+    val ids = (0L until 1000L).toDF("id")
+    val got = Mixer.shardShuffle(ids, "id", nShards = 8)
+      .select("id", "shard", "shard_pos")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 1000)
+    val byShard = got.groupBy(_._2)
+    assert(byShard.keySet == (0L until 8L).toSet)
+    // roughly uniform (LCG over consecutive ids): no shard degenerate
+    assert(byShard.values.forall(s => s.length > 60 && s.length < 190),
+      byShard.view.mapValues(_.length).toMap.toString)
+    // positions are exactly 1..n within each shard
+    byShard.values.foreach { s =>
+      assert(s.map(_._3).sorted.toSeq == (1L to s.length).toSeq)
+    }
+    // in-shard order is NOT id order (the whole point of the shuffle)
+    assert(byShard.values.exists(s => s.sortBy(_._3).map(_._1).toSeq != s.map(_._1).sorted.toSeq))
+    // repartitioning the input changes nothing
+    val again = Mixer.shardShuffle(ids.repartition(13), "id", nShards = 8)
+      .select("id", "shard", "shard_pos").as[(Long, Long, Long)].collect()
+    assert(again.sorted.toSeq == got.sorted.toSeq)
+  }
 }
