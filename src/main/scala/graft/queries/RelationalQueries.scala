@@ -26,6 +26,41 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // CDC apply: a changelog with upserts AND deletes (tombstones) folds
+    // onto a base snapshot — last change per key wins, 'D' removes the
+    // key, untouched base keys pass through. The delete half is what
+    // ViewStore.merge (q79's dynamic partition overwrite) cannot
+    // express. Changes derive from lineitem (linenumber = change seq,
+    // every 5th a delete) so the oracle replays rank, tombstone and
+    // passthrough exactly.
+    "q101_cdc_apply" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .where(date_format(col("o_orderdate"), "yyyy-MM-dd")
+          .between("1995-01-01", "1995-01-31"))
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      val changes = t(s, dir, "lineitem")
+        .where(to_date(col("l_shipdate")).between("1995-01-01", "1995-03-31"))
+        .select(col("l_orderkey").as("k"), col("l_extendedprice").as("p"),
+          when(col("l_linenumber") % 5 === 0, "D").otherwise("U").as("op"),
+          col("l_linenumber").cast("long").as("seq"))
+      graft.operators.Changelog.applyChangelog(base, changes, "k", "seq", "op",
+        tieBreak = Seq("p"))
+    }),
+
+    // SCD2 history: each change becomes a validity interval
+    // [valid_from, valid_to) per key via one LEAD window; the open
+    // interval is the current row — the standard dimension-history
+    // build, replayed by the oracle verbatim.
+    "q102_scd2" -> ((s, dir) => {
+      val changes = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 13 === 0)
+        .select(col("l_orderkey").as("k"), col("l_extendedprice").as("p"),
+          col("l_linenumber").cast("long").as("seq"))
+      graft.operators.Changelog.scd2(changes, "k", "seq", tieBreak = Seq("p"))
+        .select(col("k"), col("p"), col("valid_from"), col("valid_to"),
+          col("is_current"))
+    }),
+
     // Global sort + limit => TakeOrderedAndProject (no full sort at scale).
     "q36_top_orders" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -430,6 +465,32 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q101_cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+                       WHERE strftime(o_orderdate, '%Y-%m-%d')
+                             BETWEEN '1995-01-01' AND '1995-01-31'),
+          ch AS (SELECT l_orderkey AS k, l_extendedprice AS p,
+                 CASE WHEN l_linenumber % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+                 CAST(l_linenumber AS BIGINT) AS seq
+                 FROM lineitem
+                 WHERE CAST(l_shipdate AS DATE)
+                       BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'),
+          latest AS (SELECT k, p, op FROM
+                     (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC, p DESC) AS rn
+                      FROM ch) WHERE rn = 1)
+          SELECT k, p FROM base WHERE k NOT IN (SELECT k FROM latest)
+          UNION ALL
+          SELECT k, p FROM latest WHERE op = 'U'""",
+
+    "q102_scd2" ->
+      """WITH ch AS (SELECT l_orderkey AS k, l_extendedprice AS p,
+                     CAST(l_linenumber AS BIGINT) AS seq
+                     FROM lineitem WHERE l_orderkey % 13 = 0)
+         SELECT k, p, seq AS valid_from,
+           LEAD(seq, 1) OVER (PARTITION BY k ORDER BY seq, p) AS valid_to,
+           LEAD(seq, 1) OVER (PARTITION BY k ORDER BY seq, p) IS NULL AS is_current
+         FROM ch""",
     "q36_top_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
