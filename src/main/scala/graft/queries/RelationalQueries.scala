@@ -61,6 +61,28 @@ object RelationalQueries {
           col("is_current"))
     }),
 
+    // Ordered funnel (view -> click -> purchase, strictly increasing
+    // timestamps) over a sparse event sample so stages actually drop
+    // off. One user-keyed shuffle; stage windows and the per-user
+    // reduction reuse its partitioning.
+    "q103_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.funnel(
+        t(s, dir, "events").where(col("event_id") % 11 === 0),
+        "user_id", "event_type", "ts",
+        stages = Seq("view", "click", "purchase"))),
+
+    // PageRank, 3 iterations — the iterative-shuffle workload class.
+    // Deterministic synthetic edge set from events (user -> floor(value)
+    // mod 500); every iteration's ranks pass through stableRound, so
+    // the oracle replays the unrolled trajectory hash-exactly (the
+    // KMeans stableScale device applied to graph state).
+    "q104_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "events")
+        .select(pmod(col("user_id"), lit(500)).as("src"),
+          pmod(floor(col("value")), lit(500)).as("dst"))
+      graft.operators.PageRank.run(edges, "src", "dst", iterations = 3)
+    }),
+
     // Global sort + limit => TakeOrderedAndProject (no full sort at scale).
     "q36_top_orders" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -465,6 +487,61 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q103_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                     FROM events WHERE event_id % 11 = 0),
+         s1 AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+                FROM ev GROUP BY user_id),
+         s2 AS (SELECT ev.user_id, MIN(ts) AS t2 FROM ev JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND ts > t1 GROUP BY ev.user_id),
+         s3 AS (SELECT ev.user_id, MIN(ts) AS t3 FROM ev JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND ts > t2 GROUP BY ev.user_id)
+         SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+                CAST(COUNT(t1) AS BIGINT) AS n_users FROM s1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(t2) AS BIGINT) FROM s2
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(t3) AS BIGINT) FROM s3""",
+
+    // Unrolled 3-iteration PageRank replay. Every numeric literal is
+    // CAST to DOUBLE: DuckDB parses bare 0.85 as DECIMAL, whose exact
+    // 0.15 differs from the engine's IEEE (1 - 0.85) by one ulp.
+    "q104_pagerank" ->
+      """WITH e AS (SELECT DISTINCT user_id % 500 AS src,
+                    CAST(floor("value") AS BIGINT) % 500 AS dst FROM events),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         n AS (SELECT COUNT(*) AS cnt FROM nodes),
+         deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         r0 AS (SELECT node, CAST(1 AS DOUBLE) / cnt AS rank FROM nodes, n),
+         c1 AS (SELECT e.dst AS node, SUM(r0.rank / deg.deg) AS m
+                FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+         r1 AS (SELECT nd.node,
+                CAST(CAST(printf('%.15g',
+                  (1 - CAST(0.85 AS DOUBLE)) / n.cnt +
+                  CAST(0.85 AS DOUBLE) * COALESCE(c1.m, CAST(0 AS DOUBLE)))
+                  AS DECIMAL(38,9)) AS DOUBLE) AS rank
+                FROM nodes nd CROSS JOIN n LEFT JOIN c1 ON nd.node = c1.node),
+         c2 AS (SELECT e.dst AS node, SUM(r1.rank / deg.deg) AS m
+                FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+         r2 AS (SELECT nd.node,
+                CAST(CAST(printf('%.15g',
+                  (1 - CAST(0.85 AS DOUBLE)) / n.cnt +
+                  CAST(0.85 AS DOUBLE) * COALESCE(c2.m, CAST(0 AS DOUBLE)))
+                  AS DECIMAL(38,9)) AS DOUBLE) AS rank
+                FROM nodes nd CROSS JOIN n LEFT JOIN c2 ON nd.node = c2.node),
+         c3 AS (SELECT e.dst AS node, SUM(r2.rank / deg.deg) AS m
+                FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+         r3 AS (SELECT nd.node,
+                CAST(CAST(printf('%.15g',
+                  (1 - CAST(0.85 AS DOUBLE)) / n.cnt +
+                  CAST(0.85 AS DOUBLE) * COALESCE(c3.m, CAST(0 AS DOUBLE)))
+                  AS DECIMAL(38,9)) AS DOUBLE) AS rank
+                FROM nodes nd CROSS JOIN n LEFT JOIN c3 ON nd.node = c3.node)
+         SELECT node, rank FROM r3""",
 
     "q101_cdc_apply" ->
       """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
