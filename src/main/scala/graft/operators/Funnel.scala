@@ -42,4 +42,25 @@ object Funnel {
       .groupBy(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"))
       .agg(sum(when(col("s.reached"), 1L).otherwise(0L)).as("n_users"))
   }
+
+  /** Cohort retention matrix: users grouped by first-activity period
+    * (floor(ts / periodSec), epoch-based), counted as retained in each
+    * later period they act in. Two passes over the SAME user-keyed
+    * partitioning (first-seen window, then the distinct periods), one
+    * tiny (cohort, offset) aggregate. Emits (cohort_period,
+    * period_offset, n_users) — the standard retention triangle.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+                      periodSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+    df.select(col(userCol),
+        floor(unix_timestamp(col(tsCol)).cast("double") / periodSec)
+          .cast("long").as("_p"))
+      .withColumn("cohort_period", min(col("_p")).over(w))
+      .select(col(userCol), col("cohort_period"),
+        (col("_p") - col("cohort_period")).as("period_offset"))
+      .distinct()
+      .groupBy(col("cohort_period"), col("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -83,6 +83,13 @@ object RelationalQueries {
       graft.operators.PageRank.run(edges, "src", "dst", iterations = 3)
     }),
 
+    // Cohort retention triangle: users bucketed by first-active day,
+    // counted in each later day they act — two window passes over one
+    // user-keyed shuffle, then an O(days^2) aggregate.
+    "q105_cohort_retention" -> ((s, dir) =>
+      graft.operators.Funnel.cohortRetention(
+        t(s, dir, "events"), "user_id", "ts", periodSec = 86400L)),
+
     // Global sort + limit => TakeOrderedAndProject (no full sort at scale).
     "q36_top_orders" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -487,6 +494,20 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // Spark unix_timestamp truncates to whole seconds; DuckDB epoch()
+    // is fractional DOUBLE -> floor before the period division.
+    "q105_cohort_retention" ->
+      """WITH p AS (SELECT user_id,
+             CAST(floor(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS DOUBLE) / 86400)
+                  AS BIGINT) AS per
+           FROM events),
+         c AS (SELECT user_id, per, MIN(per) OVER (PARTITION BY user_id) AS cohort_period
+               FROM p),
+         d AS (SELECT DISTINCT user_id, cohort_period, per - cohort_period AS period_offset
+               FROM c)
+         SELECT cohort_period, period_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM d GROUP BY cohort_period, period_offset""",
 
     "q103_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts

@@ -27,6 +27,22 @@ class FunnelPageRankSpec extends SparkSpec {
     assert(got == Map("view" -> 4L, "click" -> 1L, "purchase" -> 1L), got.toString)
   }
 
+  test("cohortRetention: users bucket by first period, distinct later activity counts") {
+    val ev = Seq(
+      // u1 first in period 0, active again periods 1 and 2 (twice: distinct)
+      (1L, ts(10)), (1L, ts(100 + 10)), (1L, ts(200 + 10)), (1L, ts(200 + 50)),
+      // u2 first in period 0 only
+      (2L, ts(20)),
+      // u3 first in period 2, active period 3
+      (3L, ts(200 + 5)), (3L, ts(300 + 5))
+    ).toDF("user_id", "ts")
+    val got = Funnel.cohortRetention(ev, "user_id", "ts", periodSec = 100L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (2L, 0L, 1L), (2L, 1L, 1L)), got.toString)
+  }
+
   test("pagerank: hub of a star dominates; cycle is uniform; deterministic") {
     // star: 1..4 -> 0, plus 0 -> 1 so the hub isn't dangling
     val star = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L)).toDF("s", "d")
