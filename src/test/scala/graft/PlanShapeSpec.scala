@@ -239,6 +239,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.split("Exchange").length - 1 == 2, p)
   }
 
+  test("funnel (q103): all stage windows share ONE user shuffle + one melt agg exchange") {
+    val df = SparkEntry.queries("q103_funnel")(spark, sf())
+    val p = plan(df)
+    // 3 Window ops, but exactly 2 Exchanges total: the user-keyed
+    // shuffle every stage window (and the per-user agg) reuses, plus
+    // the tiny stage-keyed melt aggregate
+    assert(p.split("\\bWindow\\b").length - 1 >= 3, p)
+    assert(p.split("Exchange").length - 1 == 2, p)
+  }
+
+  test("CDC apply (q101): latest-change rank runs through WindowGroupLimit") {
+    val df = SparkEntry.queries("q101_cdc_apply")(spark, sf())
+    val p = plan(df)
+    // rn=1 filter must push the group limit below the shuffle — no key
+    // ever buffers more than one row per partition
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("PQ encode (q90) is one shuffle-free projection over the scan") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val books = graft.operators.Quantize.pqCodebooks(
