@@ -171,6 +171,18 @@ object VectorQueries {
         .select(col("vec_id"), col("codes"))
       graft.operators.Similarity.sq8AdcTopK(
         emb.where(col("vec_id") < 10), codes, k = 5, book)
+    }),
+
+    // Semantic dedup (SemDeDup): Lloyd cells (the stable q90 trajectory
+    // with m=1 — whole vectors) turn all-pairs cosine into k independent
+    // in-cell prunes; a member is dropped iff any lower-id cell-mate is
+    // within the cosine threshold. Survivors graded; the oracle replays
+    // centroids, assignment, in-cell sims and the survivor rule from the
+    // raw table. k scales with corpus size at 100 TB (k ≈ N/100) so the
+    // per-cell quadratic stays constant.
+    "q106_semantic_dedup" -> ((s, dir) => {
+      graft.operators.SemDedup.dedup(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 16, simThreshold = 0.35)
     })
   )
 
@@ -301,6 +313,21 @@ object VectorQueries {
           SELECT a_id, b_id, jaccard, TRUE AS est_ok FROM verified""",
     "q24_simhash" ->
       s"""${SqlFragments.shinglePairsCte(0.4)}
-          SELECT a_id, b_id, TRUE AS ham_ok FROM verified"""
+          SELECT a_id, b_id, TRUE AS ham_ok FROM verified""",
+
+    // Lloyd replay with m = 1 (whole vectors; a2 = final assignment),
+    // then the in-cell pair join and the ∃-any-lower-id survivor rule.
+    "q106_semantic_dedup" ->
+      s"""${SqlFragments.pqLloydCte(m = 1, sub = 64, cells = 16)},
+          asg AS (SELECT a2.vec_id, a2.cell, e.v
+                  FROM a2 JOIN e ON e.vec_id = a2.vec_id),
+          dup AS (SELECT DISTINCT b.vec_id
+                  FROM asg a JOIN asg b
+                    ON a.cell = b.cell AND a.vec_id < b.vec_id
+                  WHERE ${SqlFragments.cosineExpr("a.v", "b.v")} >= 0.35),
+          n AS (SELECT cell, COUNT(*) AS n_cell FROM asg GROUP BY cell)
+          SELECT a.vec_id, a.cell, n.n_cell
+          FROM asg a JOIN n USING (cell)
+          WHERE a.vec_id NOT IN (SELECT vec_id FROM dup)"""
   )
 }
