@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ TextQueries.queries ++ VectorQueries.queries ++
       PipelineQueries.queries ++ ExtendedQueries.queries ++
-      RelationalQueries.queries ++ CurationQueries.queries
+      RelationalQueries.queries ++ CurationQueries.queries ++
+      TimeSeriesQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ TextQueries.oracle ++ VectorQueries.oracle ++
       PipelineQueries.oracle ++ ExtendedQueries.oracle ++
-      RelationalQueries.oracle ++ CurationQueries.oracle
+      RelationalQueries.oracle ++ CurationQueries.oracle ++
+      TimeSeriesQueries.oracle
 }

@@ -18,5 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object NumFns {
   def stableRound(c: Column, scale: Int): Column =
-    format_string("%.15g", c).cast(s"decimal(38,$scale)").cast("double")
+    // null-preserving: format_string prints a NULL argument as the
+    // string "null" (which then fails the decimal cast), while DuckDB's
+    // printf propagates NULL — so r15(NULL) is NULL and this must be too
+    // (window frames over leading-NULL gains hit this, q107)
+    when(c.isNull, lit(null).cast("double"))
+      .otherwise(format_string("%.15g", c).cast(s"decimal(38,$scale)").cast("double"))
 }

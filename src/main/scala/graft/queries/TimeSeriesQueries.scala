@@ -1,0 +1,215 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.NumFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series analytics over the daily price-like series — the
+  * quant surface the reference's forecasting pipeline feeds (SURVEY.md
+  * §7.6 extensions): technical indicators, anomaly flags, walk-forward
+  * backtest evaluation, drawdown/VWAP. The reference stops at a SARIMAX
+  * fit (`Serving_layer/app.py`); real users of a stock-forecasting
+  * engine compute exactly these features next.
+  *
+  * Scale shape shared by the family: the raw corpus is first reduced by
+  * a keyed daily aggregate (map-side combinable, one shuffle); every
+  * window function then runs over the O(days) aggregated series — tiny
+  * by construction — so the unpartitioned windows here are NOT the
+  * whole-corpus single-partition trap (with per-ticker data the same
+  * windows partition by ticker and parallelize).
+  *
+  * Cross-engine float policy: window-frame aggregates (AVG/STDDEV over
+  * sliding frames) are order-dependent → stableRound/r15; everything
+  * derived from the stabilized columns is pure per-row IEEE arithmetic
+  * both engines replay bit-for-bit.
+  */
+object TimeSeriesQueries {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** Daily "close" series from orders: r15'd avg price per order date.
+    * One map-side-combinable shuffle; O(days) output.
+    */
+  private def dailyClose(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(NumFns.stableRound(avg(col("o_totalprice")), 4).as("close"))
+
+  private val dailyCloseSql: String =
+    s"""SELECT CAST(o_orderdate AS DATE) AS d,
+        ${SqlFragments.r15("AVG(o_totalprice)", 4)} AS close
+        FROM orders GROUP BY 1"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Technical indicators over the daily close: 20-day SMA + Bollinger
+    // bands (±2σ), Cutler's RSI-14 (SMA gains/losses — the windowed
+    // form; Wilder's EWMA variant is the EwAverage shape), and 20-day
+    // volatility of simple returns. Gains/losses/returns are per-row
+    // arithmetic over the stabilized close; each frame aggregate is
+    // r15'd before any derived arithmetic, so bands and RSI are pure
+    // functions of identical doubles on both engines.
+    "q107_tech_indicators" -> ((s, dir) => {
+      val w1 = Window.orderBy("d")
+      val w14 = Window.orderBy("d").rowsBetween(-13, 0)
+      val w20 = Window.orderBy("d").rowsBetween(-19, 0)
+      val staged = dailyClose(s, dir)
+        .withColumn("prev", lag(col("close"), 1).over(w1))
+        .withColumn("gain",
+          when(col("prev").isNull, lit(null))
+            .otherwise(greatest(col("close") - col("prev"), lit(0.0))))
+        .withColumn("loss",
+          when(col("prev").isNull, lit(null))
+            .otherwise(greatest(col("prev") - col("close"), lit(0.0))))
+        .withColumn("ret",
+          when(col("prev").isNull, lit(null))
+            .otherwise(col("close") / col("prev") - 1.0))
+        .withColumn("sma20", NumFns.stableRound(avg(col("close")).over(w20), 2))
+        .withColumn("sd20", NumFns.stableRound(stddev_samp(col("close")).over(w20), 2))
+        .withColumn("avg_gain", NumFns.stableRound(avg(col("gain")).over(w14), 2))
+        .withColumn("avg_loss", NumFns.stableRound(avg(col("loss")).over(w14), 2))
+      staged.select(col("d"), col("close"), col("sma20"),
+        (col("sma20") + lit(2.0) * col("sd20")).as("boll_up"),
+        (col("sma20") - lit(2.0) * col("sd20")).as("boll_dn"),
+        when(col("avg_loss") === 0.0, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("avg_gain") / col("avg_loss")))
+          .as("rsi14"),
+        NumFns.stableRound(stddev_samp(col("ret")).over(w20), 8).as("vol20"))
+    }),
+
+    // Rolling z-score anomaly detection per user stream: mean/stddev of
+    // the 30 PRECEDING values (current row excluded — the score must
+    // not see itself), z = (value − μ)/σ from the stabilized moments,
+    // flag |z| > 3. Partitioned by the high-cardinality user key, so
+    // the windows parallelize across executors at scale.
+    "q109_anomaly_zscore" -> ((s, dir) => {
+      val w30 = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(-30, -1)
+      t(s, dir, "events")
+        .withColumn("mu", NumFns.stableRound(avg(col("value")).over(w30), 6))
+        .withColumn("sd", NumFns.stableRound(stddev_samp(col("value")).over(w30), 6))
+        .select(col("event_id"), col("user_id"), col("value"), col("mu"), col("sd"),
+          when(col("sd").isNull || col("sd") === 0.0, lit(null))
+            .otherwise((col("value") - col("mu")) / col("sd")).as("z"))
+        .withColumn("is_anom", abs(col("z")) > 3.0)
+    }),
+
+    // Walk-forward backtest evaluation: dates split into 5 contiguous
+    // folds (ntile over the day spine — expanding-window CV's test
+    // periods), per-fold MAE/RMSE of the naive lag-1 forecast. The
+    // error terms are exact per-row doubles; only the per-fold averages
+    // are order-dependent (r15'd, then sqrt — IEEE-exact both engines).
+    "q113_walk_forward" -> ((s, dir) => {
+      val w1 = Window.orderBy("d")
+      val staged = dailyClose(s, dir)
+        .withColumn("prev", lag(col("close"), 1).over(w1))
+        .withColumn("fold", ntile(5).over(w1))
+        .where(col("prev").isNotNull)
+        .withColumn("err", col("close") - col("prev"))
+      staged.groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_days"),
+          min(col("d")).as("from_d"), max(col("d")).as("to_d"),
+          NumFns.stableRound(avg(abs(col("err"))), 4).as("mae"),
+          sqrt(NumFns.stableRound(avg(col("err") * col("err")), 4)).as("rmse"))
+    }),
+
+    // Max drawdown + VWAP: per-day volume-weighted average price from
+    // lineitem (two r15'd sums, exact divide), running peak (MAX over
+    // an unbounded frame — order-independent, no stabilization needed),
+    // and the per-day drawdown off the peak as exact arithmetic.
+    "q114_drawdown_vwap" -> ((s, dir) => {
+      val wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(
+          NumFns.stableRound(sum(col("l_extendedprice") * col("l_quantity")), 2).as("pv"),
+          NumFns.stableRound(sum(col("l_quantity")), 2).as("vol"))
+        .withColumn("vwap", col("pv") / col("vol"))
+        .withColumn("peak", max(col("vwap")).over(wcum))
+        .select(col("d"), col("vwap"), col("vol"), col("peak"),
+          (col("vwap") / col("peak") - 1.0).as("drawdown"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q107_tech_indicators" ->
+      s"""WITH daily AS ($dailyCloseSql),
+          staged AS (
+            SELECT d, close,
+              LAG(close, 1) OVER (ORDER BY d) AS prev
+            FROM daily),
+          feat AS (
+            SELECT d, close,
+              CASE WHEN prev IS NULL THEN NULL
+                   ELSE GREATEST(close - prev, 0.0) END AS gain,
+              CASE WHEN prev IS NULL THEN NULL
+                   ELSE GREATEST(prev - close, 0.0) END AS loss,
+              CASE WHEN prev IS NULL THEN NULL
+                   ELSE close / prev - 1.0 END AS ret
+            FROM staged),
+          agg AS (
+            SELECT d, close,
+              ${SqlFragments.r15("AVG(close) OVER w20", 2)} AS sma20,
+              ${SqlFragments.r15("STDDEV_SAMP(close) OVER w20", 2)} AS sd20,
+              ${SqlFragments.r15("AVG(gain) OVER w14", 2)} AS avg_gain,
+              ${SqlFragments.r15("AVG(loss) OVER w14", 2)} AS avg_loss,
+              ${SqlFragments.r15("STDDEV_SAMP(ret) OVER w20", 8)} AS vol20
+            FROM feat
+            WINDOW
+              w14 AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+              w20 AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+          SELECT d, close, sma20,
+            sma20 + 2.0 * sd20 AS boll_up,
+            sma20 - 2.0 * sd20 AS boll_dn,
+            CASE WHEN avg_loss = 0.0 THEN 100.0
+                 ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END AS rsi14,
+            vol20
+          FROM agg""",
+
+    "q109_anomaly_zscore" ->
+      s"""WITH staged AS (
+            SELECT event_id, user_id, value,
+              ${SqlFragments.r15("AVG(value) OVER w30", 6)} AS mu,
+              ${SqlFragments.r15("STDDEV_SAMP(value) OVER w30", 6)} AS sd
+            FROM events
+            WINDOW w30 AS (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
+          SELECT event_id, user_id, value, mu, sd,
+            CASE WHEN sd IS NULL OR sd = 0.0 THEN NULL
+                 ELSE (value - mu) / sd END AS z,
+            ABS(CASE WHEN sd IS NULL OR sd = 0.0 THEN NULL
+                     ELSE (value - mu) / sd END) > 3.0 AS is_anom
+          FROM staged""",
+
+    "q113_walk_forward" ->
+      s"""WITH daily AS ($dailyCloseSql),
+          staged AS (
+            SELECT d, close,
+              LAG(close, 1) OVER (ORDER BY d) AS prev,
+              NTILE(5) OVER (ORDER BY d) AS fold
+            FROM daily),
+          err AS (SELECT fold, d, close - prev AS err
+                  FROM staged WHERE prev IS NOT NULL)
+          SELECT CAST(fold AS INT) AS fold, COUNT(*) AS n_days,
+            MIN(d) AS from_d, MAX(d) AS to_d,
+            ${SqlFragments.r15("AVG(ABS(err))", 4)} AS mae,
+            SQRT(${SqlFragments.r15("AVG(err * err)", 4)}) AS rmse
+          FROM err GROUP BY fold""",
+
+    "q114_drawdown_vwap" ->
+      s"""WITH daily AS (
+            SELECT CAST(l_shipdate AS DATE) AS d,
+              ${SqlFragments.r15("SUM(l_extendedprice * l_quantity)", 2)} AS pv,
+              ${SqlFragments.r15("SUM(l_quantity)", 2)} AS vol
+            FROM lineitem GROUP BY 1),
+          v AS (SELECT d, vol, pv / vol AS vwap FROM daily)
+          SELECT d, vwap, vol,
+            MAX(vwap) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak,
+            vwap / MAX(vwap) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1.0 AS drawdown
+          FROM v"""
+  )
+}
