@@ -39,4 +39,58 @@ object TfIdf {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
   }
+
+  /** BM25 ranked retrieval for a small literal term set (the classic
+    * lexical-search scorer; Robertson/Sparck-Jones idf with +1
+    * smoothing inside the log so idf stays positive).
+    *
+    * Scale shape: per-(doc, term) term frequency is computed INSIDE the
+    * row (explode the ≤|terms| literals against the staged token array
+    * — no corpus shuffle at all); document frequency is an O(|terms|)
+    * aggregate broadcast back; N/avgdl a 1-row broadcast. avgdl is
+    * exact-long SUM / COUNT (order-independent), every score is pure
+    * per-row IEEE arithmetic, and only the ≤|terms|-wide per-doc score
+    * sum needs stabilization. The final top-k is a
+    * TakeOrderedAndProject on the deterministic (score desc, doc_id)
+    * order — never a global sort.
+    *
+    * At 100 TB with a large query workload: stage the tokenized
+    * (doc_id, dl, term, tf) table once (ViewStore) instead of the three
+    * scans this one-shot form pays, and search per-query over it.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    val d = docs
+      .where(col(textCol).isNotNull) // null text is unsearchable, not dl=0
+      .withColumn("_toks", TextFns.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"), col("_toks"),
+        size(col("_toks")).cast("long").as("dl"))
+    // exact: SUM(long)/COUNT — no double accumulation to stabilize
+    val stats = d.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).cast("double").as("n"))
+    val tf = d
+      .select(col("doc_id"), col("dl"), col("_toks"),
+        explode(typedlit(terms)).as("token"))
+      .withColumn("tf", size(filter(col("_toks"), x => x === col("token"))).cast("long"))
+      .where(col("tf") > 0)
+      .drop("_toks")
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("score_t",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.NumFns.stableRound(sum(col("score_t")), 8).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

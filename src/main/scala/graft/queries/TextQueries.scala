@@ -147,6 +147,14 @@ object TextQueries {
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
+    }),
+
+    // BM25 ranked retrieval: lexical top-20 for a 4-term query over the
+    // corpus — in-row term frequencies (zero corpus shuffle), broadcast
+    // df/N/avgdl, TakeOrderedAndProject for the cut.
+    "q108_bm25" -> ((s, dir) => {
+      graft.operators.TfIdf.bm25(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "join", "stream", "vector"), topK = 20)
     })
   )
 
@@ -228,6 +236,33 @@ object TextQueries {
       s"""WITH t AS (SELECT ${SqlFragments.toksExpr} AS toks FROM documents),
           b AS (SELECT unnest(${SqlFragments.bigramsExpr("toks")}) AS bigram FROM t)
           SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
-          ORDER BY n DESC, bigram LIMIT 20"""
+          ORDER BY n DESC, bigram LIMIT 20""",
+
+    // BM25 replay: same literal constants (2.2 = k1+1, 0.25 = 1-b) in
+    // the same textual operation order — every score is bit-equal; only
+    // the per-doc sum over matched terms is r15'd. LIMIT boundary is
+    // deterministic: ORDER BY (score, doc_id) is a total order.
+    "q108_bm25" ->
+      s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks
+                     FROM documents WHERE text IS NOT NULL),
+          d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+          s AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                       CAST(COUNT(*) AS DOUBLE) AS n FROM d),
+          q AS (SELECT unnest(['spark', 'join', 'stream', 'vector']) AS token),
+          tf AS (SELECT doc_id, dl, token,
+                 CAST(len(list_filter(toks, x -> x = token)) AS BIGINT) AS tf
+                 FROM d, q),
+          m AS (SELECT * FROM tf WHERE tf > 0),
+          df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM m GROUP BY token),
+          sc AS (SELECT m.doc_id,
+                 ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+                   (CAST(m.tf AS DOUBLE) * 2.2) /
+                   (CAST(m.tf AS DOUBLE) +
+                    1.2 * (0.25 + 0.75 * CAST(m.dl AS DOUBLE) / s.avgdl)) AS score_t
+                 FROM m JOIN df USING (token), s)
+          SELECT doc_id, ${SqlFragments.r15("SUM(score_t)", 8)} AS score,
+            COUNT(*) AS n_terms
+          FROM sc GROUP BY doc_id
+          ORDER BY score DESC, doc_id LIMIT 20"""
   )
 }
