@@ -50,6 +50,45 @@ object Mixer {
     df.withColumn("_rk", row_number().over(w)).where(col("_rk") <= k).drop("_rk")
   }
 
+  /** Stratified proportional sample with an EXACT total budget:
+    * allocate `budget` across the strata by largest-remainder
+    * apportionment (Hamilton's method — floor of the proportional
+    * quota, then the leftover seats to the largest integer remainders,
+    * ties by key), and draw exactly that many rows per stratum by the
+    * deterministic LCG order. Output size == min(budget, |df|) exactly —
+    * what Bernoulli `sampleBy` fractions only hit in expectation.
+    *
+    * All apportionment arithmetic is integer (budget·n_k DIV/MOD total)
+    * so any engine replays it exactly; the allocation table is
+    * O(strata) rows (windows over the agg output, then broadcast back).
+    * Per-corpus cost: one tiny agg + one keyed shuffle for the
+    * per-stratum rank — same shape as [[exactKPerGroup]], with the cap
+    * joined in instead of constant.
+    *
+    * Emits the stratum key, row id, `pick_rank` (1-based LCG rank inside
+    * the stratum) and `alloc` (the stratum's quota).
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, idCol: String,
+                       budget: Long): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val allWin = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val alloc = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_tot", sum(col("_n")).over(allWin))
+      .withColumn("_base", expr(s"(${budget}L * _n) DIV _tot"))
+      .withColumn("_rem", expr(s"(${budget}L * _n) % _tot"))
+      .withColumn("_sumbase", sum(col("_base")).over(allWin))
+      .withColumn("_rrk",
+        row_number().over(W.orderBy(col("_rem").desc, col(keyCol))).cast("long"))
+      .select(col(keyCol),
+        (col("_base") + when(col("_rrk") <= lit(budget) - col("_sumbase"), 1L)
+          .otherwise(0L)).as("alloc"))
+    val w = W.partitionBy(col(keyCol)).orderBy(lcgFrac(col(idCol)), col(idCol))
+    df.select(col(keyCol), col(idCol))
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .join(broadcast(alloc), Seq(keyCol))
+      .where(col("pick_rank") <= col("alloc"))
+  }
+
   /** Deterministic global shuffle into training shards — the last step
     * before a corpus ships to a trainer: every row gets a pseudo-random
     * shard (uniform over `nShards`) and a pseudo-random position within

@@ -305,6 +305,16 @@ object CurationQueries {
           t(s, dir, "documents").select(col("doc_id"), col("lang")),
           keyCol = "lang", idCol = "doc_id", k = 20)
         .select(col("doc_id"), col("lang"))
+    }),
+
+    // Stratified sample with an exact total budget: largest-remainder
+    // apportionment over event_type strata (pure integer arithmetic),
+    // then exactly alloc_k rows per stratum in LCG order. Output is
+    // exactly 1000 rows — eval-set construction, not Bernoulli rates.
+    "q110_stratified_sample" -> ((s, dir) => {
+      graft.operators.Mixer.stratifiedSample(
+        t(s, dir, "events").select(col("event_type"), col("event_id")),
+        keyCol = "event_type", idCol = "event_id", budget = 1000L)
     })
   )
 
@@ -574,6 +584,31 @@ object CurationQueries {
                ORDER BY CAST((doc_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
                         / 2147483648.0, doc_id) AS rk
            FROM documents)
-         SELECT doc_id, lang FROM r WHERE rk <= 20"""
+         SELECT doc_id, lang FROM r WHERE rk <= 20""",
+
+    // Largest-remainder apportionment in integer arithmetic, then the
+    // identical LCG rank per stratum. alloc sums to exactly 1000.
+    "q110_stratified_sample" ->
+      """WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+         t AS (SELECT SUM(n) AS tot FROM c),
+         a0 AS (SELECT event_type, n,
+                (1000 * n) // tot AS base, (1000 * n) % tot AS rem
+                FROM c, t),
+         a1 AS (SELECT event_type, base, rem,
+                SUM(base) OVER () AS sumbase,
+                ROW_NUMBER() OVER (ORDER BY rem DESC, event_type) AS rrk
+                FROM a0),
+         alloc AS (SELECT event_type,
+                   CAST(base + CASE WHEN rrk <= 1000 - sumbase THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc
+                   FROM a1),
+         r AS (SELECT event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY CAST((event_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+                          / 2147483648.0, event_id) AS pick_rank
+               FROM events)
+         SELECT r.event_type, r.event_id, r.pick_rank, alloc.alloc
+         FROM r JOIN alloc USING (event_type)
+         WHERE r.pick_rank <= alloc.alloc"""
   )
 }

@@ -94,4 +94,32 @@ class MixerSpec extends SparkSpec {
       .select("id", "shard", "shard_pos").as[(Long, Long, Long)].collect()
     assert(again.sorted.toSeq == got.sorted.toSeq)
   }
+
+  test("stratifiedSample: exact budget, Hamilton allocation within 1 of quota") {
+    val df = mkDf(Map("a" -> 300, "b" -> 150, "c" -> 50, "d" -> 7))
+    val got = Mixer.stratifiedSample(df, "key", "id", budget = 100L)
+      .select("key", "id").as[(String, Long)].collect()
+    assert(got.length == 100)
+    val byKey = got.groupBy(_._1).view.mapValues(_.length).toMap
+    val total = 507.0
+    Map("a" -> 300, "b" -> 150, "c" -> 50, "d" -> 7).foreach { case (k, n) =>
+      val quota = 100.0 * n / total
+      val a = byKey.getOrElse(k, 0)
+      assert(a >= math.floor(quota) && a <= math.ceil(quota),
+        s"$k alloc $a outside [floor,ceil] of quota $quota")
+    }
+  }
+
+  test("stratifiedSample: caps at the stratum size and stays deterministic") {
+    // budget larger than one stratum's population: alloc > n would be
+    // unsatisfiable; Hamilton gives the small stratum its full quota
+    val df = mkDf(Map("big" -> 400, "tiny" -> 3))
+    val got = Mixer.stratifiedSample(df, "key", "id", budget = 200L)
+      .select("key", "id").as[(String, Long)].collect()
+    val byKey = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byKey("tiny") <= 3)
+    val again = Mixer.stratifiedSample(df.repartition(9), "key", "id", budget = 200L)
+      .select("key", "id").as[(String, Long)].collect()
+    assert(again.sorted.toSeq == got.sorted.toSeq)
+  }
 }
