@@ -83,6 +83,16 @@ object RelationalQueries {
       graft.operators.PageRank.run(edges, "src", "dst", iterations = 3)
     }),
 
+    // Label propagation communities on the same derived graph as q104:
+    // 3 synchronous rounds, most-frequent-neighbor label with min-label
+    // ties — all-integer state, exact unrolled-CTE replay.
+    "q111_label_prop" -> ((s, dir) => {
+      val edges = t(s, dir, "events")
+        .select(pmod(col("user_id"), lit(500)).as("src"),
+          pmod(floor(col("value")), lit(500)).as("dst"))
+      graft.operators.LabelProp.run(edges, "src", "dst", iterations = 3)
+    }),
+
     // Cohort retention triangle: users bucketed by first-active day,
     // counted in each later day they act — two window passes over one
     // user-keyed shuffle, then an O(days^2) aggregate.
@@ -563,6 +573,35 @@ object RelationalQueries {
                   AS DECIMAL(38,9)) AS DOUBLE) AS rank
                 FROM nodes nd CROSS JOIN n LEFT JOIN c3 ON nd.node = c3.node)
          SELECT node, rank FROM r3""",
+
+    // 3 unrolled LPA rounds, all-integer — no stabilization anywhere.
+    "q111_label_prop" ->
+      """WITH e0 AS (SELECT DISTINCT user_id % 500 AS a,
+                     CAST(floor("value") AS BIGINT) % 500 AS b FROM events),
+         ed AS (SELECT a, b FROM e0 WHERE a <> b),
+         e AS (SELECT DISTINCT a, b FROM
+               (SELECT a, b FROM ed UNION ALL SELECT b AS a, a AS b FROM ed)),
+         lab0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+         f1 AS (SELECT e.a, l.label, COUNT(*) AS cnt
+                FROM e JOIN lab0 l ON e.b = l.node GROUP BY e.a, l.label),
+         lab1 AS (SELECT a AS node, label FROM
+                  (SELECT a, label,
+                   ROW_NUMBER() OVER (PARTITION BY a ORDER BY cnt DESC, label) AS r
+                   FROM f1) WHERE r = 1),
+         f2 AS (SELECT e.a, l.label, COUNT(*) AS cnt
+                FROM e JOIN lab1 l ON e.b = l.node GROUP BY e.a, l.label),
+         lab2 AS (SELECT a AS node, label FROM
+                  (SELECT a, label,
+                   ROW_NUMBER() OVER (PARTITION BY a ORDER BY cnt DESC, label) AS r
+                   FROM f2) WHERE r = 1),
+         f3 AS (SELECT e.a, l.label, COUNT(*) AS cnt
+                FROM e JOIN lab2 l ON e.b = l.node GROUP BY e.a, l.label),
+         lab3 AS (SELECT a AS node, label FROM
+                  (SELECT a, label,
+                   ROW_NUMBER() OVER (PARTITION BY a ORDER BY cnt DESC, label) AS r
+                   FROM f3) WHERE r = 1)
+         SELECT node, label, COUNT(*) OVER (PARTITION BY label) AS n_comm
+         FROM lab3""",
 
     "q101_cdc_apply" ->
       """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
