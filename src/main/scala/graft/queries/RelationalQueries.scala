@@ -93,6 +93,28 @@ object RelationalQueries {
       graft.operators.LabelProp.run(edges, "src", "dst", iterations = 3)
     }),
 
+    // Fuzzy entity resolution: a deterministic "dirty registry" (three
+    // typo classes by key mod — the q66 perturbation device) resolved
+    // back against customers. Blocked on the preserved nation key,
+    // Levenshtein-scored, per-record argmin. `hit` marks links that
+    // recovered the true source record.
+    "q112_entity_resolution" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val dirty = cust.where(col("c_custkey") < 1000)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, replace(col("c_name"), lit("0"), lit("O")))
+            .when(col("c_custkey") % 3 === 1, substring(col("c_name"), 2, 1000000))
+            .otherwise(concat(col("c_name"), lit(" inc"))).as("dirty_name"),
+          col("c_nationkey"))
+      graft.operators.EntityResolution.resolve(
+          dirty, "c_custkey", "dirty_name",
+          cust, "c_custkey", "c_name",
+          blockCol = "c_nationkey", maxDist = 8)
+        .select(col("d_id"), col("d_name"), col("c_id"),
+          col("c_name_").as("match_name"), col("dist").cast("long").as("dist"),
+          (col("d_id") === col("c_id")).as("hit"))
+    }),
+
     // Cohort retention triangle: users bucketed by first-active day,
     // counted in each later day they act — two window passes over one
     // user-keyed shuffle, then an O(days^2) aggregate.
@@ -573,6 +595,27 @@ object RelationalQueries {
                   AS DECIMAL(38,9)) AS DOUBLE) AS rank
                 FROM nodes nd CROSS JOIN n LEFT JOIN c3 ON nd.node = c3.node)
          SELECT node, rank FROM r3""",
+
+    // Same perturbation, block, DP distance, and argmin — all integer
+    // and string ops, exact in both engines.
+    "q112_entity_resolution" ->
+      """WITH dirty AS (
+           SELECT c_custkey AS d_id,
+             CASE WHEN c_custkey % 3 = 0 THEN replace(c_name, '0', 'O')
+                  WHEN c_custkey % 3 = 1 THEN substr(c_name, 2)
+                  ELSE c_name || ' inc' END AS d_name,
+             c_nationkey
+           FROM customer WHERE c_custkey < 1000),
+         cand AS (
+           SELECT d.d_id, d.d_name, c.c_custkey AS c_id, c.c_name AS match_name,
+             CAST(levenshtein(d.d_name, c.c_name) AS BIGINT) AS dist
+           FROM dirty d JOIN customer c ON d.c_nationkey = c.c_nationkey
+           WHERE levenshtein(d.d_name, c.c_name) <= 8),
+         best AS (SELECT d_id, d_name, c_id, match_name, dist,
+                  ROW_NUMBER() OVER (PARTITION BY d_id ORDER BY dist, c_id) AS r
+                  FROM cand)
+         SELECT d_id, d_name, c_id, match_name, dist, d_id = c_id AS hit
+         FROM best WHERE r = 1""",
 
     // 3 unrolled LPA rounds, all-integer — no stabilization anywhere.
     "q111_label_prop" ->
