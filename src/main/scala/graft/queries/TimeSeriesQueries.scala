@@ -114,6 +114,85 @@ object TimeSeriesQueries {
           sqrt(NumFns.stableRound(avg(col("err") * col("err")), 4)).as("rmse"))
     }),
 
+    // 30-day rolling correlation between two daily series (orders
+    // revenue vs lineitem volume) — the pairs-trading / lead-lag
+    // signal. Two map-side-combined daily aggs, one equi-join on the
+    // O(days) spine, CORR over the sliding frame (r15'd — the two
+    // engines' moment formulations differ in low bits).
+    "q115_rolling_corr" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(NumFns.stableRound(sum(col("o_totalprice")), 2).as("rev"))
+      val vol = t(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(NumFns.stableRound(sum(col("l_quantity")), 2).as("vol"))
+      val w30 = Window.orderBy("d").rowsBetween(-29, 0)
+      rev.join(vol, Seq("d"))
+        .select(col("d"), col("rev"), col("vol"),
+          NumFns.stableRound(corr(col("rev"), col("vol")).over(w30), 6).as("corr30"))
+    }),
+
+    // Classical additive seasonal decomposition: centered 7-day MA
+    // trend (null until the window is full — no half-window bias),
+    // day-of-week seasonal means of the detrended series (epoch-day
+    // mod 7 as the portable season index), residual = close − trend −
+    // seasonal. The O(7) seasonal table broadcasts back.
+    "q116_seasonal_decomp" -> ((s, dir) => {
+      val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+      val staged = dailyClose(s, dir)
+        .withColumn("dow", pmod(datediff(col("d"), lit("1970-01-01")), lit(7)))
+        .withColumn("trend",
+          when(count(col("close")).over(w7) === 7,
+            NumFns.stableRound(avg(col("close")).over(w7), 4)))
+        .withColumn("detr", col("close") - col("trend"))
+      val seasonal = staged.where(col("detr").isNotNull)
+        .groupBy(col("dow"))
+        .agg(NumFns.stableRound(avg(col("detr")), 4).as("seasonal"))
+      staged.join(broadcast(seasonal), Seq("dow"), "left")
+        .select(col("d"), col("close"), col("trend"), col("dow").cast("long").as("dow"),
+          col("seasonal"),
+          (col("close") - col("trend") - col("seasonal")).as("resid"))
+    }),
+
+    // ACF at lags 1..7 of daily returns + the cumulative Ljung-Box Q —
+    // the SARIMAX order-selection diagnostics the reference's serving
+    // layer would run before fitting. One pass builds returns and
+    // deviations, ONE aggregate row computes the denominator and all 7
+    // lag numerators (no per-lag scans), then the 7-row result explodes
+    // out of it. Every sum is r15'd; r_k and Q_k are pure arithmetic on
+    // the stabilized values.
+    "q117_acf_ljung_box" -> ((s, dir) => {
+      val w1 = Window.orderBy("d")
+      val lags = 1 to 7
+      val rets = dailyClose(s, dir)
+        .withColumn("prev", lag(col("close"), 1).over(w1))
+        .where(col("prev").isNotNull)
+        .withColumn("ret", col("close") / col("prev") - 1.0)
+      val stats = rets.agg(
+        count(lit(1)).cast("double").as("n"),
+        NumFns.stableRound(avg(col("ret")), 12).as("mu"))
+      val dev = rets.crossJoin(broadcast(stats))
+        .withColumn("dev", col("ret") - col("mu"))
+      val devLagged = lags.foldLeft(dev) { (df, k) =>
+        df.withColumn(s"_l$k", lag(col("dev"), k).over(w1))
+      }
+      val aggCols =
+        NumFns.stableRound(sum(col("dev") * col("dev")), 12).as("denom") +:
+          lags.map(k =>
+            NumFns.stableRound(sum(col("dev") * col(s"_l$k")), 12).as(s"_num$k"))
+      val one = devLagged.groupBy(col("n")).agg(aggCols.head, aggCols.tail: _*)
+      val wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+      one.select(col("n"), col("denom"),
+          posexplode(array(lags.map(k => col(s"_num$k")): _*)).as(Seq("k0", "num")))
+        .select((col("k0") + 1).cast("long").as("k"), col("n"),
+          (col("num") / col("denom")).as("acf"))
+        .withColumn("lb_q",
+          col("n") * (col("n") + 2.0) *
+            NumFns.stableRound(
+              sum(col("acf") * col("acf") / (col("n") - col("k"))).over(wk), 14))
+        .select(col("k"), col("acf"), col("lb_q"))
+    }),
+
     // Max drawdown + VWAP: per-day volume-weighted average price from
     // lineitem (two r15'd sums, exact divide), running peak (MAX over
     // an unbounded frame — order-independent, no stabilization needed),
@@ -197,6 +276,61 @@ object TimeSeriesQueries {
             ${SqlFragments.r15("AVG(ABS(err))", 4)} AS mae,
             SQRT(${SqlFragments.r15("AVG(err * err)", 4)}) AS rmse
           FROM err GROUP BY fold""",
+
+    "q115_rolling_corr" ->
+      s"""WITH rev AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                       ${SqlFragments.r15("SUM(o_totalprice)", 2)} AS rev
+                       FROM orders GROUP BY 1),
+          vol AS (SELECT CAST(l_shipdate AS DATE) AS d,
+                  ${SqlFragments.r15("SUM(l_quantity)", 2)} AS vol
+                  FROM lineitem GROUP BY 1)
+          SELECT d, rev, vol,
+            ${SqlFragments.r15(
+              "CORR(rev, vol) OVER (ORDER BY d ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)",
+              6)} AS corr30
+          FROM rev JOIN vol USING (d)""",
+
+    "q116_seasonal_decomp" ->
+      s"""WITH daily AS ($dailyCloseSql),
+          st AS (SELECT d, close,
+                 (d - DATE '1970-01-01') % 7 AS dow,
+                 CASE WHEN COUNT(close) OVER w7 = 7
+                      THEN ${SqlFragments.r15("AVG(close) OVER w7", 4)} END AS trend
+                 FROM daily
+                 WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          st2 AS (SELECT d, close, dow, trend, close - trend AS detr FROM st),
+          seas AS (SELECT dow, ${SqlFragments.r15("AVG(detr)", 4)} AS seasonal
+                   FROM st2 WHERE detr IS NOT NULL GROUP BY dow)
+          SELECT d, close, trend, CAST(st2.dow AS BIGINT) AS dow, seasonal,
+            close - trend - seasonal AS resid
+          FROM st2 LEFT JOIN seas USING (dow)""",
+
+    "q117_acf_ljung_box" -> {
+      val numsSql = (1 to 7).map(k =>
+        s"${SqlFragments.r15(s"SUM(dev * l$k)", 12)} AS n$k").mkString(", ")
+      val lagsSql = (1 to 7).map(k =>
+        s"LAG(dev, $k) OVER (ORDER BY d) AS l$k").mkString(", ")
+      val caseSql = (1 to 7).map(k => s"WHEN $k THEN n$k").mkString(" ")
+      s"""WITH daily AS ($dailyCloseSql),
+          rets AS (SELECT d, close / prev - 1.0 AS ret FROM
+                   (SELECT d, close, LAG(close, 1) OVER (ORDER BY d) AS prev
+                    FROM daily) WHERE prev IS NOT NULL),
+          stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                    ${SqlFragments.r15("AVG(ret)", 12)} AS mu FROM rets),
+          dev AS (SELECT d, n, ret - mu AS dev FROM rets, stats),
+          lagd AS (SELECT d, n, dev, $lagsSql FROM dev),
+          one AS (SELECT n, ${SqlFragments.r15("SUM(dev * dev)", 12)} AS denom,
+                  $numsSql FROM lagd GROUP BY n),
+          ks AS (SELECT n, denom, t.k, CASE t.k $caseSql END AS num
+                 FROM one, (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k) t),
+          acf AS (SELECT CAST(k AS BIGINT) AS k, n, num / denom AS acf FROM ks)
+          SELECT k, acf,
+            n * (n + 2.0) *
+              ${SqlFragments.r15(
+                "SUM(acf * acf / (n - k)) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+                14)} AS lb_q
+          FROM acf"""
+    },
 
     "q114_drawdown_vwap" ->
       s"""WITH daily AS (

@@ -68,6 +68,37 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("q115: rolling correlation stays in [-1,1] after warmup") {
+    val vals = run("q115_rolling_corr").select(col("corr30"))
+      .collect().flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+    assert(vals.nonEmpty && vals.forall(v => v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9))
+  }
+
+  test("q116: trend is null exactly at the 3-row series edges; identity holds") {
+    val rows = run("q116_seasonal_decomp").orderBy(col("d")).collect()
+    val n = rows.length
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val edge = i < 3 || i >= n - 3
+      assert(r.isNullAt(2) == edge, s"row $i trend-null=${r.isNullAt(2)}")
+      if (!r.isNullAt(2) && !r.isNullAt(4)) {
+        val (close, trend, seasonal, resid) =
+          (r.getDouble(1), r.getDouble(2), r.getDouble(4), r.getDouble(5))
+        assert(math.abs(close - trend - seasonal - resid) < 1e-9)
+      }
+    }
+  }
+
+  test("q117: ACF bounded, Ljung-Box Q positive and non-decreasing in k") {
+    val rows = run("q117_acf_ljung_box").orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (1L to 7L))
+    rows.foreach { case (_, acf, q) =>
+      assert(acf >= -1.0 && acf <= 1.0)
+      assert(q >= 0.0)
+    }
+    rows.sliding(2).foreach { case Array(a, b) => assert(b._3 >= a._3) }
+  }
+
   test("daily aggregate partial-combines before the exchange (scale shape)") {
     val plan = run("q107_tech_indicators").queryExecution.executedPlan.toString
     // partial agg -> shuffle -> final agg: the map-side combine that
