@@ -62,4 +62,51 @@ object Stats {
       .select(col(keyCol),
         (col("_vlow") + (pos - floor(pos)) * (col("_vhigh") - col("_vlow"))).as(outCol))
   }
+
+  /** Exact interpolated percentiles per key, several at once — the same
+    * two-pass count/offset shape as [[exactMedian]] (one hash-agg of
+    * distinct (key, value) counts, one running-offset window), with ALL
+    * requested quantiles picked out of the single pass: the per-p
+    * straddle rows are selected by one OR-filter and reduced by per-p
+    * conditional mins, so asking for 5 percentiles costs the same two
+    * shuffles as asking for one.
+    *
+    * @return (keyCol, p, outCol) rows, one per requested percentile per
+    *         key; same interpolation rule as the built-in
+    *         `percentile(v, p)` (vlow + frac·(vhigh − vlow) at 0-based
+    *         position (n−1)·p).
+    */
+  def exactPercentiles(df: DataFrame, keyCol: String, valCol: String,
+                       ps: Seq[Double], outCol: String = "pct"): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0), s"bad ps: $ps")
+    val counts = df.where(col(valCol).isNotNull)
+      .groupBy(col(keyCol), col(valCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val run = Window.partitionBy(keyCol).orderBy("_v")
+    val totals = counts.groupBy(col(keyCol)).agg(sum("_c").as("_n"))
+    val cum = counts
+      .withColumn("_hi", sum("_c").over(run))
+      .withColumn("_lo", col("_hi") - col("_c"))
+      .join(broadcast(totals), Seq(keyCol))
+    def pos(p: Double) = (col("_n") - 1) * p
+    def straddles(idx: org.apache.spark.sql.Column) =
+      col("_lo") <= idx && idx < col("_hi")
+    val anyStraddle = ps.map { p =>
+      straddles(floor(pos(p))) || straddles(ceil(pos(p)))
+    }.reduce(_ || _)
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) => Seq(
+      min(when(straddles(floor(pos(p))), col("_v"))).as(s"_vl$i"),
+      min(when(straddles(ceil(pos(p))), col("_v"))).as(s"_vh$i"))
+    }
+    val picked = cum.where(anyStraddle)
+      .groupBy(col(keyCol), col("_n"))
+      .agg(aggs.head, aggs.tail: _*)
+    val results = array(ps.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).as("p"),
+        (col(s"_vl$i") + (pos(p) - floor(pos(p))) * (col(s"_vh$i") - col(s"_vl$i")))
+          .as("pct"))
+    }: _*)
+    picked.select(col(keyCol), explode(results).as("_r"))
+      .select(col(keyCol), col("_r.p").as("p"), col("_r.pct").as(outCol))
+  }
 }

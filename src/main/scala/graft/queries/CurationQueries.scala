@@ -307,6 +307,33 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Percentile-gated quality filter: keep documents whose uniqueness
+    // score sits inside the exact [P05, P95] band. The thresholds come
+    // from Stats.exactPercentiles — the two-pass count/offset shape, no
+    // group buffering, both quantiles from ONE pass — broadcast back as
+    // a 1-row join. r15 on the thresholds makes the band edges
+    // bit-identical across engines (the q51 device), so the boundary
+    // rows filter identically.
+    "q120_percentile_gate" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .withColumn("_toks", graft.functions.TextFns.tokens(col("text")))
+        .where(size(col("_toks")) > 0)
+        .select(col("doc_id"), size(col("_toks")).cast("long").as("n_toks"),
+          (size(array_distinct(col("_toks"))).cast("double") / size(col("_toks")))
+            .as("score"))
+      val thr = graft.operators.Stats.exactPercentiles(
+          scored.select(lit(1).as("_k"), col("score")), "_k", "score",
+          ps = Seq(0.05, 0.95))
+        .groupBy(col("_k"))
+        .agg(NumFns.stableRound(min(when(col("p") === 0.05, col("pct"))), 6).as("lo"),
+          NumFns.stableRound(max(when(col("p") === 0.95, col("pct"))), 6).as("hi"))
+        .drop("_k")
+      scored.crossJoin(broadcast(thr))
+        .where(col("score").between(col("lo"), col("hi")))
+        .select(col("doc_id"), col("n_toks"), col("score"), col("lo"), col("hi"))
+    }),
+
     // Stratified sample with an exact total budget: largest-remainder
     // apportionment over event_type strata (pure integer arithmetic),
     // then exactly alloc_k rows per stratum in LCG order. Output is
@@ -585,6 +612,21 @@ object CurationQueries {
                         / 2147483648.0, doc_id) AS rk
            FROM documents)
          SELECT doc_id, lang FROM r WHERE rk <= 20""",
+
+    // quantile_cont matches exactPercentiles' interpolation rule; r15
+    // on the band edges (the q51 device) pins the boundary rows.
+    "q120_percentile_gate" ->
+      s"""WITH scored AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+              CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS score
+            FROM (SELECT doc_id, ${SqlFragments.toksExpr} AS toks
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE len(toks) > 0),
+          thr AS (SELECT ${SqlFragments.r15("quantile_cont(score, 0.05)", 6)} AS lo,
+                  ${SqlFragments.r15("quantile_cont(score, 0.95)", 6)} AS hi
+                  FROM scored)
+          SELECT doc_id, n_toks, score, lo, hi
+          FROM scored, thr WHERE score BETWEEN lo AND hi""",
 
     // Largest-remainder apportionment in integer arithmetic, then the
     // identical LCG rank per stratum. alloc sums to exactly 1000.

@@ -115,6 +115,37 @@ object RelationalQueries {
           (col("d_id") === col("c_id")).as("hit"))
     }),
 
+    // k-anonymity generalization ladder: quasi-identifier (segment,
+    // nation) groups below k get their MEMBER ROWS re-aggregated one
+    // rung up the hierarchy (nation -> region, the tiny broadcast dim)
+    // — distinct-sensitive counts can't be merged from the level-0
+    // aggregates, so the recompute-from-rows shape is the correct one.
+    // Output: surviving QI groups per generalization level with size,
+    // sensitive-value diversity, and the k verdict. All integer.
+    "q119_k_anonymity" -> ((s, dir) => {
+      val k = 10
+      val cust = t(s, dir, "customer").select(
+        col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("long").as("nat"),
+        floor(col("c_acctbal") / 100).cast("long").as("sens"))
+      val g0 = cust.groupBy(col("seg"), col("nat"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("sens")).as("n_sens"))
+      val ok = g0.where(col("n") >= k)
+        .select(col("seg"), col("nat").as("qi"), lit(0).as("gen_level"),
+          col("n"), col("n_sens"), lit(true).as("k_ok"))
+      val badKeys = g0.where(col("n") < k).select(col("seg"), col("nat"))
+      val regions = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("nat"),
+        col("n_regionkey").cast("long").as("reg"))
+      val g1 = cust.join(broadcast(badKeys), Seq("seg", "nat"), "left_semi")
+        .join(broadcast(regions), Seq("nat"))
+        .groupBy(col("seg"), col("reg"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("sens")).as("n_sens"))
+        .select(col("seg"), col("reg").as("qi"), lit(1).as("gen_level"),
+          col("n"), col("n_sens"), (col("n") >= k).as("k_ok"))
+      ok.unionByName(g1)
+    }),
+
     // Cohort retention triangle: users bucketed by first-active day,
     // counted in each later day they act — two window passes over one
     // user-keyed shuffle, then an O(days^2) aggregate.
@@ -595,6 +626,25 @@ object RelationalQueries {
                   AS DECIMAL(38,9)) AS DOUBLE) AS rank
                 FROM nodes nd CROSS JOIN n LEFT JOIN c3 ON nd.node = c3.node)
          SELECT node, rank FROM r3""",
+
+    "q119_k_anonymity" ->
+      """WITH cust AS (SELECT c_mktsegment AS seg,
+                       CAST(c_nationkey AS BIGINT) AS nat,
+                       CAST(floor(c_acctbal / 100) AS BIGINT) AS sens
+                       FROM customer),
+         g0 AS (SELECT seg, nat, COUNT(*) AS n, COUNT(DISTINCT sens) AS n_sens
+                FROM cust GROUP BY 1, 2),
+         ok AS (SELECT seg, nat AS qi, CAST(0 AS INT) AS gen_level,
+                n, n_sens, TRUE AS k_ok FROM g0 WHERE n >= 10),
+         bad AS (SELECT seg, nat FROM g0 WHERE n < 10),
+         reg AS (SELECT CAST(n_nationkey AS BIGINT) AS nat,
+                 CAST(n_regionkey AS BIGINT) AS reg FROM nation),
+         g1 AS (SELECT c.seg, r.reg AS qi, CAST(1 AS INT) AS gen_level,
+                COUNT(*) AS n, COUNT(DISTINCT c.sens) AS n_sens,
+                COUNT(*) >= 10 AS k_ok
+                FROM cust c JOIN bad USING (seg, nat) JOIN reg r ON r.nat = c.nat
+                GROUP BY c.seg, r.reg)
+         SELECT * FROM ok UNION ALL SELECT * FROM g1""",
 
     // Same perturbation, block, DP distance, and argmin — all integer
     // and string ops, exact in both engines.

@@ -155,6 +155,26 @@ object TextQueries {
     "q108_bm25" -> ((s, dir) => {
       graft.operators.TfIdf.bm25(t(s, dir, "documents"), "doc_id", "text",
         terms = Seq("spark", "join", "stream", "vector"), topK = 20)
+    }),
+
+    // Inverted index build: positional posting lists per (token, doc) —
+    // the artifact a lexical search engine persists. One posexplode +
+    // (token, doc) hash agg (map-side combined) builds the postings;
+    // document frequency rides a window over the already-token-keyed
+    // rows (no second corpus pass). Positions flatten to CSV (the
+    // driver's canonicalizer hashes scalar columns only).
+    "q118_inverted_index" -> ((s, dir) => {
+      val postings = t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .withColumn("_toks", TextFns.tokens(col("text")))
+        .select(col("doc_id"), posexplode(col("_toks")).as(Seq("pos", "token")))
+        .groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"),
+          array_join(sort_array(collect_list(col("pos"))).cast("array<string>"), ",")
+            .as("pos_csv"))
+      postings.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("token"))))
     })
   )
 
@@ -263,6 +283,19 @@ object TextQueries {
           SELECT doc_id, ${SqlFragments.r15("SUM(score_t)", 8)} AS score,
             COUNT(*) AS n_terms
           FROM sc GROUP BY doc_id
-          ORDER BY score DESC, doc_id LIMIT 20"""
+          ORDER BY score DESC, doc_id LIMIT 20""",
+
+    "q118_inverted_index" ->
+      s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks
+                     FROM documents WHERE text IS NOT NULL),
+          occ AS (SELECT doc_id, toks[i] AS token, i - 1 AS pos
+                  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+                        FROM t)),
+          postings AS (SELECT token, doc_id, COUNT(*) AS tf,
+                       string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS pos_csv
+                       FROM occ GROUP BY token, doc_id)
+          SELECT token, doc_id, tf, pos_csv,
+            COUNT(*) OVER (PARTITION BY token) AS df
+          FROM postings"""
   )
 }

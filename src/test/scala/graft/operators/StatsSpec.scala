@@ -61,4 +61,28 @@ class StatsSpec extends SparkSpec {
     val keys = Stats.exactMedian(df, "k", "v").collect().map(_.getString(0)).toSet
     assert(keys == Set("a"))
   }
+
+  test("exactPercentiles matches the built-in percentile for several p at once") {
+    val vals = Seq(4.0, 1.0, 7.0, 3.0, 9.0, 2.0, 8.0, 5.0, 6.0, 10.0)
+    val df = vals.map(("k", _)).toDF("k", "v")
+    val ps = Seq(0.0, 0.05, 0.25, 0.5, 0.9, 1.0)
+    val got = Stats.exactPercentiles(df, "k", "v", ps)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val exp = df.selectExpr(
+        ps.map(p => s"percentile(v, $p) as `p$p`"): _*)
+      .collect().head
+    ps.zipWithIndex.foreach { case (p, i) =>
+      assert(math.abs(got(p) - exp.getDouble(i)) < 1e-12, s"p=$p")
+    }
+  }
+
+  test("exactPercentiles: median agrees with exactMedian across keys") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0), ("b", 20.0), ("b", 21.0)).toDF("k", "v")
+    val viaP = Stats.exactPercentiles(df, "k", "v", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val viaM = Stats.exactMedian(df, "k", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaP == viaM)
+  }
 }
