@@ -112,6 +112,32 @@ object Mixer {
       .drop("_h2")
   }
 
+  /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    * keep the k rows with the largest priority u^(1/w) — equivalently
+    * the largest ln(u)/w for w > 0 (monotone transform; the log form
+    * avoids `pow`, which IEEE-754 does not require to be correctly
+    * rounded). u is a deterministic LCG uniform shifted to (0, 1) —
+    * the +0.5/2^31 offset keeps u strictly positive so ln(u) is always
+    * finite — making the draw replayable in plain SQL and invariant
+    * under re-partitioning. Rows with non-positive weight can never be
+    * drawn and are filtered.
+    *
+    * Scale shape: per-row arithmetic + one TakeOrderedAndProject
+    * (per-partition top-k, then a k-sized merge on the driver) — no
+    * shuffle of the corpus, no full sort. Emits the input columns plus
+    * `es_key` (the priority, stabilized for cross-engine grading).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val u = (((col(idCol) * 1103515245L + 12345L) % 2147483648L).cast("double")
+      + 0.5) / 2147483648.0
+    df.where(col(weightCol) > 0)
+      .withColumn("es_key", graft.functions.NumFns.stableRound(
+        log(u) / col(weightCol), 12))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Resample `df` by temperature over `keyCol`, replicating each row
     * `copies` times; emits the input columns plus `copy_id` (1-based).
     *

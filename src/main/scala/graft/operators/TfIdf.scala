@@ -93,4 +93,43 @@ object TfIdf {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** PMI term co-occurrence: for the top-`vocabSize` corpus terms (by
+    * document frequency, ties by token), every within-document pair
+    * seen in >= `minPairCount` docs, scored
+    * pmi = ln(c_ab * N / (c_a * c_b)) — the collocation / topic-pair
+    * signal of corpus analysis.
+    *
+    * Scale shape: presence (distinct terms per doc) is one (doc, token)
+    * hash agg; the vocabulary cut is an O(vocab) TakeOrderedAndProject
+    * broadcast back, so the pair self-join on doc_id is bounded by
+    * vocabSize per document (never the raw doc length); pair counts are
+    * one more hash agg. N and the per-term counts ride broadcasts. The
+    * ln argument is an exact small-integer ratio, so scores are
+    * bit-equal cross-engine before the r15 belt.
+    */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+               vocabSize: Int, minPairCount: Long): DataFrame = {
+    val pres = docs
+      .where(col(textCol).isNotNull)
+      .withColumn("_toks", TextFns.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"), explode(array_distinct(col("_toks"))).as("token"))
+    val dfreq = pres.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val vocab = dfreq.orderBy(col("c").desc, col("token")).limit(vocabSize)
+    val ft = pres.join(broadcast(vocab), Seq("token"))
+    val n = ft.agg(countDistinct(col("doc_id")).as("n"))
+    val pairs = ft.select(col("doc_id"), col("token").as("t1"), col("c").as("c1"))
+      .join(ft.select(col("doc_id"), col("token").as("t2"), col("c").as("c2")),
+        Seq("doc_id"))
+      .where(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("c_ab"), first(col("c1")).as("c_a"),
+        first(col("c2")).as("c_b"))
+      .where(col("c_ab") >= minPairCount)
+    pairs.crossJoin(broadcast(n))
+      .select(col("t1"), col("t2"), col("c_ab"), col("c_a"), col("c_b"),
+        graft.functions.NumFns.stableRound(
+          log(col("c_ab").cast("double") * col("n") /
+            (col("c_a").cast("double") * col("c_b"))), 6).as("pmi"))
+  }
 }

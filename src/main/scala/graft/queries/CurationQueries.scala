@@ -342,6 +342,16 @@ object CurationQueries {
       graft.operators.Mixer.stratifiedSample(
         t(s, dir, "events").select(col("event_type"), col("event_id")),
         keyCol = "event_type", idCol = "event_id", budget = 1000L)
+    }),
+
+    // Weighted sample without replacement (Efraimidis–Spirakis): 200
+    // orders drawn proportional-to-price, priority ln(u)/w with a
+    // deterministic LCG uniform — corpus-shuffle-free top-k, the
+    // importance-sampling shape for training-mix construction.
+    "q123_weighted_sample" -> ((s, dir) => {
+      graft.operators.Mixer.weightedSample(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        idCol = "o_orderkey", weightCol = "o_totalprice", k = 200)
     })
   )
 
@@ -651,6 +661,17 @@ object CurationQueries {
                FROM events)
          SELECT r.event_type, r.event_id, r.pick_rank, alloc.alloc
          FROM r JOIN alloc USING (event_type)
-         WHERE r.pick_rank <= alloc.alloc"""
+         WHERE r.pick_rank <= alloc.alloc""",
+
+    // Identical LCG uniform, identical ln — both engines' ln agree
+    // bit-for-bit (the q58/q108 device), and the key is r15'd anyway.
+    "q123_weighted_sample" ->
+      s"""WITH w AS (SELECT o_orderkey, o_totalprice,
+            ${SqlFragments.r15(
+              "ln((CAST((o_orderkey * 1103515245 + 12345) % 2147483648 AS DOUBLE)" +
+                " + 0.5) / 2147483648.0) / o_totalprice", 12)} AS es_key
+            FROM orders WHERE o_totalprice > 0)
+          SELECT o_orderkey, o_totalprice, es_key FROM w
+          ORDER BY es_key DESC, o_orderkey LIMIT 200"""
   )
 }

@@ -83,6 +83,66 @@ object RelationalQueries {
       graft.operators.PageRank.run(edges, "src", "dst", iterations = 3)
     }),
 
+    // Interval-interval overlap join, binned — no theta-join NLJ. Supply
+    // windows (14-day order intervals vs 7-day ship intervals, keyed by
+    // a 50-way hash) meet on (key, bin) equi-joins; the oracle is the
+    // direct inequality join.
+    "q124_interval_overlap" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .where(col("o_orderkey") % 47 === 0)
+        .select(pmod(col("o_custkey"), lit(50)).as("ak"),
+          col("o_orderkey").as("a_id"),
+          datediff(to_date(col("o_orderdate")), lit("1990-01-01")).as("as0"))
+        .withColumn("ae", col("as0") + 14)
+      val b = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 61 === 0)
+        .select(pmod(col("l_suppkey").cast("long"), lit(50)).as("bk"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("b_id"),
+          datediff(to_date(col("l_shipdate")), lit("1990-01-01")).as("bs0"))
+        .withColumn("be", col("bs0") + 7)
+      graft.operators.RangeJoin.overlapJoin(a, b,
+        "ak", "a_id", "as0", "ae", "bk", "b_id", "bs0", "be", binWidth = 14L)
+    }),
+
+    // NOT IN with a nullable subquery column — the null-aware anti join
+    // (a plain left_anti is WRONG here if the subquery can yield NULL).
+    // The nullif-style guard can't be optimizer-proven non-null, so the
+    // plan must keep the null-aware branch; PlanShapeSpec pins it.
+    "q126_null_aware_anti" -> ((s, dir) => {
+      t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .createOrReplaceTempView("q126_cust")
+      t(s, dir, "orders")
+        .where(col("o_totalprice") > 400000) // "has no large order"
+        .select(when(col("o_custkey") === -1, lit(null))
+          .otherwise(col("o_custkey")).as("k"))
+        .createOrReplaceTempView("q126_ord")
+      s.sql("""SELECT c_custkey, c_name, c_acctbal FROM q126_cust
+               WHERE c_custkey NOT IN (SELECT k FROM q126_ord)""")
+    }),
+
+    // Per-node triangle counts on a sparsified derived graph: canonical
+    // a<b<c enumeration — two edge-keyed joins, all-integer, exactly
+    // one tuple per triangle — so the oracle replays the same joins.
+    "q121_triangles" -> ((s, dir) => {
+      val edges = t(s, dir, "events")
+        .where(pmod(col("event_id"), lit(11)) === 0)
+        .select(pmod(col("user_id"), lit(300)).as("src"),
+          pmod(col("event_id") * 7, lit(300)).as("dst"))
+      graft.operators.Triangles.perNode(edges, "src", "dst")
+    }),
+
+    // Hierarchy flattening (the WITH RECURSIVE shape): parent-pointer
+    // tree over customer keys (parent = k/10), flattened to
+    // root/depth/path by depth-bounded iterative hops. The oracle IS a
+    // recursive CTE — the capability gap this operator closes.
+    "q122_hierarchy" -> ((s, dir) => {
+      val edges = t(s, dir, "customer")
+        .where(col("c_custkey") >= 10)
+        .select(col("c_custkey").as("child"),
+          floor(col("c_custkey") / 10).as("parent"))
+      graft.operators.Hierarchy.flatten(edges, "child", "parent", maxDepth = 10)
+    }),
+
     // Label propagation communities on the same derived graph as q104:
     // 3 synchronous rounds, most-frequent-neighbor label with min-label
     // ties — all-integer state, exact unrolled-CTE replay.
@@ -666,6 +726,67 @@ object RelationalQueries {
                   FROM cand)
          SELECT d_id, d_name, c_id, match_name, dist, d_id = c_id AS hit
          FROM best WHERE r = 1""",
+
+    // Direct inequality join — the semantics the binned plan must match.
+    "q124_interval_overlap" ->
+      """WITH a AS (SELECT o_custkey % 50 AS key, o_orderkey AS a_id,
+                    datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS a_s
+                    FROM orders WHERE o_orderkey % 47 = 0),
+         b AS (SELECT l_suppkey % 50 AS bkey,
+               l_orderkey * 10 + l_linenumber AS b_id,
+               datediff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS b_s
+               FROM lineitem WHERE l_orderkey % 61 = 0)
+         SELECT CAST(a.key AS BIGINT) AS key, a_id, b_id,
+           CAST(GREATEST(a_s, b_s) AS BIGINT) AS ov_start,
+           CAST(LEAST(a_s + 14, b_s + 7) AS BIGINT) AS ov_end,
+           CAST(LEAST(a_s + 14, b_s + 7) - GREATEST(a_s, b_s) AS BIGINT) AS ov_len
+         FROM a JOIN b ON a.key = b.bkey
+           AND GREATEST(a_s, b_s) < LEAST(a_s + 14, b_s + 7)""",
+
+    // NOT IN has identical three-valued-logic semantics in DuckDB.
+    "q126_null_aware_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_mktsegment = 'BUILDING'
+           AND c_custkey NOT IN
+               (SELECT CASE WHEN o_custkey = -1 THEN NULL ELSE o_custkey END
+                FROM orders WHERE o_totalprice > 400000)""",
+
+    // Same canonical a<b<c triangle enumeration, all-integer.
+    "q121_triangles" ->
+      """WITH raw AS (SELECT user_id % 300 AS src, (event_id * 7) % 300 AS dst
+                      FROM events WHERE event_id % 11 = 0),
+         e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+               FROM raw WHERE src <> dst),
+         tri AS (SELECT e1.a, e1.b, e2.b AS c
+                 FROM e e1 JOIN e e2 ON e2.a = e1.b
+                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+         cnt AS (SELECT node, COUNT(*) AS n_tri FROM
+                 (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node)
+         SELECT n.node, COALESCE(c.n_tri, 0) AS n_tri
+         FROM nodes n LEFT JOIN cnt c USING (node)""",
+
+    // The genuine recursive CTE the Spark operator re-expresses.
+    "q122_hierarchy" ->
+      """WITH RECURSIVE
+         e AS (SELECT c_custkey AS child, c_custkey // 10 AS parent
+               FROM customer WHERE c_custkey >= 10),
+         -- explicit DISTINCT: inside WITH RECURSIVE DuckDB gives the
+         -- "A UNION B" CTE shape recursive-union semantics (no dedup)
+         nodes AS (SELECT DISTINCT node FROM
+                   (SELECT child AS node FROM e UNION ALL SELECT parent FROM e)),
+         walk AS (
+           SELECT node, node AS anc, 0 AS depth,
+                  CAST(node AS VARCHAR) AS path_csv FROM nodes
+           UNION ALL
+           SELECT w.node, e.parent, w.depth + 1,
+                  w.path_csv || ',' || CAST(e.parent AS VARCHAR)
+           FROM walk w JOIN e ON e.child = w.anc
+         )
+         SELECT w.node, w.anc AS root, CAST(w.depth AS BIGINT) AS depth,
+                w.path_csv
+         FROM walk w
+         WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.child = w.anc)""",
 
     // 3 unrolled LPA rounds, all-integer — no stabilization anywhere.
     "q111_label_prop" ->

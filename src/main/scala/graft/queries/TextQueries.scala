@@ -175,7 +175,15 @@ object TextQueries {
       postings.withColumn("df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("token"))))
-    })
+    }),
+
+    // PMI collocations over the top-100 vocabulary: within-doc pairs in
+    // >= 5 docs, pmi = ln(c_ab·N / (c_a·c_b)). The vocabulary cut
+    // bounds the per-doc pair join; integer ratio into ln keeps scores
+    // bit-equal cross-engine.
+    "q125_pmi_pairs" -> ((s, dir) =>
+      graft.operators.TfIdf.pmiPairs(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 100, minPairCount = 5L))
   )
 
   val oracle: Map[String, String] = Map(
@@ -296,6 +304,25 @@ object TextQueries {
                        FROM occ GROUP BY token, doc_id)
           SELECT token, doc_id, tf, pos_csv,
             COUNT(*) OVER (PARTITION BY token) AS df
-          FROM postings"""
+          FROM postings""",
+
+    "q125_pmi_pairs" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct(${SqlFragments.toksExpr}) AS toks
+                     FROM documents WHERE text IS NOT NULL),
+          pres AS (SELECT doc_id, unnest(toks) AS token FROM t),
+          dfq AS (SELECT token, COUNT(*) AS c FROM pres GROUP BY token),
+          vocab AS (SELECT token, c FROM dfq ORDER BY c DESC, token LIMIT 100),
+          ft AS (SELECT p.doc_id, p.token, v.c
+                 FROM pres p JOIN vocab v USING (token)),
+          n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM ft),
+          pr AS (SELECT a.token AS t1, b.token AS t2, COUNT(*) AS c_ab,
+                 a.c AS c_a, b.c AS c_b
+                 FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+                 GROUP BY a.token, b.token, a.c, b.c
+                 HAVING COUNT(*) >= 5)
+          SELECT t1, t2, c_ab, c_a, c_b,
+            ${SqlFragments.r15(
+              "ln(CAST(c_ab AS DOUBLE) * n / (CAST(c_a AS DOUBLE) * c_b))", 6)} AS pmi
+          FROM pr, n"""
   )
 }

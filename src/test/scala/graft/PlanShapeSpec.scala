@@ -257,6 +257,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("NOT IN (q126) plans as a null-aware anti join, not a cartesian filter") {
+    val df = SparkEntry.queries("q126_null_aware_anti")(spark, sf())
+    val p = plan(df)
+    // Spark's single-column null-aware anti: BroadcastHashJoin LeftAnti
+    // whose trailing boolean is isNullAwareAntiJoin=true; a plain
+    // LeftAnti (flag false) would be wrong semantics, a
+    // BroadcastNestedLoopJoin the quadratic fallback
+    assert(p.contains("LeftAnti, BuildRight, true"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("interval overlap (q124) joins on (key, bin) equi-keys — no NLJ anywhere") {
+    val df = SparkEntry.queries("q124_interval_overlap")(spark, sf())
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("PQ encode (q90) is one shuffle-free projection over the scan") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val books = graft.operators.Quantize.pqCodebooks(

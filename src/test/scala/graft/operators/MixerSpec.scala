@@ -122,4 +122,26 @@ class MixerSpec extends SparkSpec {
       .select("key", "id").as[(String, Long)].collect()
     assert(again.sorted.toSeq == got.sorted.toSeq)
   }
+
+  test("weightedSample: exact k, non-positive weights never drawn, repartition-stable") {
+    val df = (1L to 500L).map(i => (i, if (i % 50 == 0) 0.0 else i.toDouble))
+      .toDF("id", "w")
+    val got = Mixer.weightedSample(df, "id", "w", k = 40)
+      .select("id").as[Long].collect()
+    assert(got.length == 40 && got.distinct.length == 40)
+    assert(got.forall(_ % 50 != 0), "zero-weight rows were drawn")
+    val again = Mixer.weightedSample(df.repartition(11), "id", "w", k = 40)
+      .select("id").as[Long].collect()
+    assert(again.sorted.toSeq == got.sorted.toSeq)
+  }
+
+  test("weightedSample: heavy weights dominate the draw (ES distribution sanity)") {
+    // 10 rows at weight 1000 vs 490 at weight 1: the heavy rows should
+    // essentially always all be in a 40-row sample
+    val df = (1L to 500L).map(i => (i, if (i <= 10) 1000.0 else 1.0)).toDF("id", "w")
+    val got = Mixer.weightedSample(df, "id", "w", k = 40)
+      .select("id").as[Long].collect()
+    assert((1L to 10L).count(got.contains) >= 9,
+      s"heavy rows missing from ${got.sorted.take(20).mkString(",")}")
+  }
 }

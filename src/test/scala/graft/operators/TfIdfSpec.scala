@@ -45,4 +45,33 @@ class TfIdfSpec extends SparkSpec {
     // TakeOrdered — never a corpus-wide join shuffle
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("pmiPairs: presence (not tf) counts, hand-checked pmi, min-count cut") {
+    val corpus = Seq(
+      (1L, "a a b"), // repeated token counts once (presence)
+      (2L, "a b"), (3L, "a b"), (4L, "a c"), (5L, "b c"),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TfIdf.pmiPairs(corpus, "doc_id", "text",
+        vocabSize = 10, minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // only (a,b) co-occurs >= 2 times: docs 1,2,3; df a=4, b=4, N=5
+    assert(out.keySet == Set(("a", "b")), out.toString)
+    val (cab, ca, cb, pmi) = out(("a", "b"))
+    assert((cab, ca, cb) == ((3L, 4L, 4L)))
+    // scores are stableRound'ed at scale 6 — compare at that precision
+    assert(math.abs(pmi - math.log(3.0 * 5 / (4.0 * 4))) < 1e-6)
+  }
+
+  test("pmiPairs: vocabulary cut excludes rare terms from pairing") {
+    val corpus = Seq(
+      (1L, "x y rare1"), (2L, "x y rare2"), (3L, "x y"), (4L, "x y")
+    ).toDF("doc_id", "text")
+    // vocabSize=2 keeps x,y only; rare terms can never form pairs
+    val out = TfIdf.pmiPairs(corpus, "doc_id", "text",
+        vocabSize = 2, minPairCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSet == Set(("x", "y")))
+  }
 }
