@@ -83,6 +83,36 @@ object RelationalQueries {
       graft.operators.PageRank.run(edges, "src", "dst", iterations = 3)
     }),
 
+    // Per-group winsorized statistics: exact [P05, P95] thresholds per
+    // return flag (the q51/q120 two-pass count-offset shape — both
+    // quantiles in ONE pass, no group buffering), clamp, and compare
+    // raw vs winsorized means. The robust-mean / outlier-trim step of
+    // any metrics pipeline.
+    "q127_winsorize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("k"), col("l_extendedprice").as("v"))
+      val thr = graft.operators.Stats.exactPercentiles(li, "k", "v",
+          ps = Seq(0.05, 0.95))
+        .groupBy(col("k"))
+        .agg(NumFns.stableRound(min(when(col("p") === 0.05, col("pct"))), 6).as("lo"),
+          NumFns.stableRound(max(when(col("p") === 0.95, col("pct"))), 6).as("hi"))
+      li.join(broadcast(thr), Seq("k"))
+        .withColumn("w", least(greatest(col("v"), col("lo")), col("hi")))
+        .groupBy(col("k"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"),
+          NumFns.stableRound(avg(col("v")), 4).as("mean_raw"),
+          NumFns.stableRound(avg(col("w")), 4).as("mean_winsor"))
+    }),
+
+    // 2-D skyline / Pareto frontier (maximize price and size): the
+    // quadratic NOT-EXISTS dominance check collapsed to per-x maxima +
+    // one running-max sweep; the oracle IS the NOT-EXISTS definition,
+    // so the sweep is proven equivalent on real data.
+    "q129_skyline" -> ((s, dir) =>
+      graft.operators.Skyline.frontier2D(
+        t(s, dir, "part"), "p_retailprice", "p_size")
+        .select(col("x"), col("y").cast("long").as("y"), col("n_pts"))),
+
     // Interval-interval overlap join, binned — no theta-join NLJ. Supply
     // windows (14-day order intervals vs 7-day ship intervals, keyed by
     // a 50-way hash) meet on (key, bin) equi-joins; the oracle is the
@@ -726,6 +756,30 @@ object RelationalQueries {
                   FROM cand)
          SELECT d_id, d_name, c_id, match_name, dist, d_id = c_id AS hit
          FROM best WHERE r = 1""",
+
+    // quantile_cont is the same type-7 interpolation as exactPercentiles.
+    "q127_winsorize" ->
+      s"""WITH li AS (SELECT l_returnflag AS k, l_extendedprice AS v FROM lineitem),
+          thr AS (SELECT k,
+                  ${SqlFragments.r15("quantile_cont(v, 0.05)", 6)} AS lo,
+                  ${SqlFragments.r15("quantile_cont(v, 0.95)", 6)} AS hi
+                  FROM li GROUP BY k)
+          SELECT k, lo, hi, COUNT(*) AS n,
+            ${SqlFragments.r15("AVG(v)", 4)} AS mean_raw,
+            ${SqlFragments.r15("AVG(LEAST(GREATEST(v, lo), hi))", 4)} AS mean_winsor
+          FROM li JOIN thr USING (k) GROUP BY k, lo, hi""",
+
+    // The definitional quadratic dominance check — independent of the
+    // sweep formulation under test.
+    "q129_skyline" ->
+      """WITH pts AS (SELECT p_retailprice AS x, CAST(p_size AS BIGINT) AS y,
+                      COUNT(*) AS n_pts
+                      FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+                      GROUP BY 1, 2)
+         SELECT x, y, n_pts FROM pts a
+         WHERE NOT EXISTS (SELECT 1 FROM pts b
+                           WHERE b.x >= a.x AND b.y >= a.y
+                             AND (b.x > a.x OR b.y > a.y))""",
 
     // Direct inequality join — the semantics the binned plan must match.
     "q124_interval_overlap" ->

@@ -183,7 +183,35 @@ object TextQueries {
     // bit-equal cross-engine.
     "q125_pmi_pairs" -> ((s, dir) =>
       graft.operators.TfIdf.pmiPairs(t(s, dir, "documents"), "doc_id", "text",
-        vocabSize = 100, minPairCount = 5L))
+        vocabSize = 100, minPairCount = 5L)),
+
+    // Bigram LM document scoring, add-one smoothing: the natural
+    // upgrade of q58's unigram perplexity filter. P(w2|w1) =
+    // (c(w1,w2)+1)/(c(w1)+V); per-doc mean log-prob. Two corpus hash
+    // aggs (bigram + unigram counts), V a 1-row broadcast; the bigram
+    // probability join is a plain equi-join on (w1,w2) — at huge
+    // vocabularies exactly the shuffle-join shape you want (the count
+    // tables are corpus-sized, never driver-sized).
+    "q128_bigram_lm" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").where(col("text").isNotNull)
+        .withColumn("_toks", TextFns.tokens(col("text")))
+      val uni = toks.select(explode(col("_toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+      val bi = toks.where(size(col("_toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(_toks)-2)," +
+            " i -> struct(_toks[i] AS w1, _toks[i+1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      bi.join(bc, Seq("w1", "w2"))
+        .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("_lp", log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          NumFns.stableRound(avg(col("_lp")), 6).as("avg_lp"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -323,6 +351,23 @@ object TextQueries {
           SELECT t1, t2, c_ab, c_a, c_b,
             ${SqlFragments.r15(
               "ln(CAST(c_ab AS DOUBLE) * n / (CAST(c_a AS DOUBLE) * c_b))", 6)} AS pmi
-          FROM pr, n"""
+          FROM pr, n""",
+
+    "q128_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks
+                     FROM documents WHERE text IS NOT NULL),
+          uni AS (SELECT unnest(toks) AS w FROM t),
+          c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY w),
+          v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM c1),
+          bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                 FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                       FROM t WHERE len(toks) >= 2)),
+          c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+          sc AS (SELECT doc_id, ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS lp
+                 FROM bi JOIN c2 USING (w1, w2)
+                 JOIN c1 ON c1.w = bi.w1 CROSS JOIN v)
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+            ${SqlFragments.r15("AVG(lp)", 6)} AS avg_lp
+          FROM sc GROUP BY doc_id"""
   )
 }
