@@ -47,6 +47,47 @@ object AsOfJoin {
       .select(lcols.map(c => col("_lrow").getField(c).as(c)) :+ col(outCol): _*)
   }
 
+  /** Backward as-of join with a match tolerance (pandas
+    * `merge_asof(tolerance=...)`): like [[lookupLast]], but a match
+    * older than `tolerance` is discarded — a quote from last month is
+    * not a usable "latest quote". `tolerance` is a Column so it works
+    * for any time type: an interval literal for timestamps
+    * (`expr("INTERVAL 1 HOUR")`), a plain number for numeric times.
+    * Inclusive: `rightTime >= leftTime - tolerance`.
+    *
+    * Same one-shuffle union+window shape; the window carries the
+    * matched (time, value) pair as a struct so the age check is a
+    * per-row projection afterwards — no second join, no extra
+    * exchange.
+    */
+  def lookupLastWithin(left: DataFrame, right: DataFrame, key: String,
+                       leftTime: String, rightTime: String, rightValue: String,
+                       outCol: String,
+                       tolerance: org.apache.spark.sql.Column): DataFrame = {
+    val lcols = left.columns.toSeq
+    val rvType = right.schema(rightValue).dataType
+    val l = left.select(
+      col(key).as("_k"), col(leftTime).as("_t"), lit(1).as("_side"),
+      struct(lcols.map(col): _*).as("_lrow"),
+      lit(null).cast(rvType).as("_rv"))
+    val lrowType = l.schema("_lrow").dataType
+    val r = right.select(
+      col(key).as("_k"), col(rightTime).as("_t"), lit(0).as("_side"),
+      lit(null).cast(lrowType).as("_lrow"),
+      col(rightValue).as("_rv"))
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t"), col("_side"), col("_rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_m", last(
+        when(col("_side") === 0, struct(col("_t").as("t"), col("_rv").as("v"))),
+        ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .withColumn(outCol,
+        when(col("_m.t") >= col("_t") - tolerance, col("_m.v")))
+      .select(lcols.map(c => col("_lrow").getField(c).as(c)) :+ col(outCol): _*)
+  }
+
   /** Forward as-of join: for each left row, the right value at the
     * SMALLEST `rightTime` at-or-after the left row's `leftTime`, per
     * key (null when none follows). Same single-shuffle union+window

@@ -145,6 +145,24 @@ object CoreQueries {
           col("last_purchase_ts").cast("timestamp_ntz").as("last_purchase_ts"))
     }),
 
+    // Tolerance-bounded backward as-of (merge_asof tolerance=1h): the
+    // latest purchase before each error counts only if it is at most
+    // an hour old — same one-shuffle union+window as q10, with the
+    // matched (time, value) pair carried as a struct so staleness is a
+    // per-row projection.
+    "q131_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      AsOfJoin.lookupLastWithin(errors, purchases, "user_id", "ts", "p_ts",
+          "p_ts", "recent_purchase_ts", tolerance = expr("INTERVAL 1 HOUR"))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("recent_purchase_ts").cast("timestamp_ntz").as("recent_purchase_ts"))
+    }),
+
     // Forward as-of (merge_asof direction='forward'): for every view,
     // the value of the EARLIEST purchase at-or-after it per user —
     // same single-shuffle union+window shape as q10's backward form,
@@ -209,6 +227,15 @@ object CoreQueries {
          (SELECT max(CAST(p.ts AS TIMESTAMP)) FROM events p
           WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
             AND CAST(p.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)) AS last_purchase_ts
+         FROM events e WHERE e.event_type = 'error'""",
+
+    "q131_asof_tolerance" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+         (SELECT max(CAST(p.ts AS TIMESTAMP)) FROM events p
+          WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+            AND CAST(p.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
+            AND CAST(p.ts AS TIMESTAMP) >=
+                CAST(e.ts AS TIMESTAMP) - INTERVAL 1 HOUR) AS recent_purchase_ts
          FROM events e WHERE e.event_type = 'error'""",
 
     "q87_asof_forward" ->

@@ -286,6 +286,33 @@ object CurationQueries {
         .select(col("version"), col("d"), col("n"), col("total"))
     }),
 
+    // Small-file compaction (OPTIMIZE): three fragmented append commits
+    // (each fanned into 16 files), then SnapshotStore.compact rewrites
+    // the table as a new version. The graded read proves losslessness
+    // (content == the three slices, hash-exact); the file-count
+    // collapse, OCC base pinning and time travel to the pre-compact
+    // version are spec-pinned (SnapshotStoreSpec).
+    "q130_compaction" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q130_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val store = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders")
+        .where(date_format(col("o_orderdate"), "yyyy-MM-dd")
+          .between("1995-01-01", "1995-06-30"))
+        .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      store.commit("t", o.where(col("k") % 3 === 0).repartition(16),
+        overwrite = true)
+      store.commit("t", o.where(col("k") % 3 === 1).repartition(16),
+        overwrite = false)
+      store.commit("t", o.where(col("k") % 3 === 2).repartition(16),
+        overwrite = false)
+      val v = store.compact("t")
+      store.read("t", asOf = Some(v))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n"), NumFns.stableRound(sum(col("p")), 2).as("total"))
+    }),
+
     // Sequence packing: documents assigned to ~500-token training bins
     // per language shard (overflow-bin policy, never splitting a doc).
     // Packing is inherently sequential, so it runs per shard — one
@@ -560,6 +587,16 @@ object CurationQueries {
           UNION ALL
           SELECT CAST(3 AS BIGINT), d, COUNT(*), ${SqlFragments.r15("SUM(p)", 2)}
           FROM v3 GROUP BY d""",
+
+    // Compaction is lossless: the compacted snapshot == the union of
+    // the three committed slices == the filtered base table.
+    "q130_compaction" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, COUNT(*) AS n,
+            ${SqlFragments.r15("SUM(o_totalprice)", 2)} AS total
+          FROM orders
+          WHERE strftime(o_orderdate, '%Y-%m-%d')
+                BETWEEN '1995-01-01' AND '1995-06-30'
+          GROUP BY d""",
 
     "q89_sequence_packing" ->
       s"""WITH t AS (SELECT doc_id, lang,

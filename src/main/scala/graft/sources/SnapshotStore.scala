@@ -120,6 +120,40 @@ class SnapshotStore(spark: SparkSession, root: String) {
     spark.read.parquet(dirs: _*)
   }
 
+  /** OPTIMIZE: rewrite the current snapshot into ~`targetFileBytes`
+    * files and commit the result as a new version — the small-file
+    * compaction every log-structured table needs once append commits
+    * accumulate (each append = at least one new file; a thousand
+    * micro-batch appends = a thousand tiny files and a planner that
+    * spends longer listing than reading).
+    *
+    * The rewrite plans `ceil(current bytes / targetFileBytes)` output
+    * files via `coalesce` (partition merge — no shuffle; compaction is
+    * IO-bound, re-hashing rows would double the cost). It commits with
+    * `expectedBase` pinned, so a concurrent writer landing mid-compact
+    * surfaces as a [[SnapshotConflict]] instead of silently dropping
+    * that writer's rows — rewriting data another commit superseded is
+    * exactly the lost-update race OCC exists to catch. Readers are
+    * never torn: old versions stay readable (time travel), and
+    * [[vacuum]] collects the superseded small files later.
+    *
+    * @return the new compacted version
+    */
+  def compact(view: String, targetFileBytes: Long = 128L << 20): Long = {
+    val vs = versions(view)
+    require(vs.nonEmpty, s"$view: nothing to compact")
+    val base = vs.max
+    val dataRoot = viewRoot(view).resolve("data")
+    val bytes = readManifest(view, base)
+      .map(dataRoot.resolve)
+      .flatMap(d => Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")))
+      .map(Files.size).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    commit(view, read(view, Some(base)).coalesce(nFiles),
+      overwrite = true, expectedBase = Some(base))
+  }
+
   /** Delete data dirs referenced by NO manifest among the newest
     * `retainVersions` (and drop the older manifests): the GC that makes
     * immutable-file commits sustainable. Never touches a dir a retained

@@ -24,6 +24,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(4L).contains(500.0))
   }
 
+  test("lookupLastWithin: stale matches null out, inclusive at the bound") {
+    val left = Seq((1L, "k1", 10L), (2L, "k1", 25L), (3L, "k1", 30L))
+      .toDF("id", "k", "t")
+    val right = Seq(("k1", 8L, 100.0), ("k1", 20L, 300.0)).toDF("k", "rt", "rv")
+    val got = AsOfJoin.lookupLastWithin(left, right, "k", "t", "rt", "rv",
+        "asof", tolerance = lit(5L))
+      .select("id", "asof").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).contains(100.0)) // age 2 <= 5
+    assert(got(2L).contains(300.0)) // age exactly 5: inclusive
+    assert(got(3L).isEmpty)         // age 10: stale, nulled
+  }
+
+  test("lookupLastWithin with infinite tolerance equals lookupLast") {
+    val left = Seq((1L, "k1", 10L), (2L, "k1", 25L), (3L, "k2", 5L), (4L, "k3", 50L))
+      .toDF("id", "k", "t")
+    val right = Seq(("k1", 8L, 100.0), ("k1", 10L, 200.0), ("k1", 20L, 300.0),
+        ("k2", 6L, 400.0), ("k3", 50L, 500.0))
+      .toDF("k", "rt", "rv")
+    val a = AsOfJoin.lookupLastWithin(left, right, "k", "t", "rt", "rv",
+        "asof", tolerance = lit(Long.MaxValue / 2))
+      .select("id", "asof").as[(Long, Option[Double])].collect().toMap
+    val b = AsOfJoin.lookupLast(left, right, "k", "t", "rt", "rv", "asof")
+      .select("id", "asof").as[(Long, Option[Double])].collect().toMap
+    assert(a == b)
+  }
+
   test("lookupNext matches naive min-at-or-after semantics") {
     val left = Seq((1L, "k1", 10L), (2L, "k1", 25L), (3L, "k2", 5L), (4L, "k3", 50L))
       .toDF("id", "k", "t")

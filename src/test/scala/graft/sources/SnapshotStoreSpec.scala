@@ -91,6 +91,40 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ks.toSet == Set(0) ++ (for (w <- 1 to 4; i <- 1 to 3) yield w * 100 + i))
   }
 
+  test("compact: lossless, fewer files, history intact, version advances") {
+    val (st, root) = freshStore()
+    val df = (1 to 300).map(i => (i, s"v$i")).toDF("k", "v")
+    st.commit("t", df.where(col("k") % 3 === 0).repartition(8), overwrite = true)
+    st.commit("t", df.where(col("k") % 3 === 1).repartition(8), overwrite = false)
+    st.commit("t", df.where(col("k") % 3 === 2).repartition(8), overwrite = false)
+    def parquetFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new java.io.File(root, "t/data"))
+    }
+    val before = st.read("t").select("k").as[Int].collect().sorted.toSeq
+    val filesBefore = parquetFiles().length
+    assert(filesBefore >= 24, s"fragmentation setup too weak: $filesBefore")
+    val v = st.compact("t")
+    assert(v == 4L)
+    // lossless and much less fragmented
+    assert(st.read("t").select("k").as[Int].collect().sorted.toSeq == before)
+    st.vacuum("t", retainVersions = 1)
+    assert(parquetFiles().length < filesBefore / 4,
+      s"${parquetFiles().length} vs $filesBefore")
+    assert(st.read("t").select("k").as[Int].collect().sorted.toSeq == before)
+  }
+
+  test("compact before vacuum keeps the pre-compact version time-travelable") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq((1, "a")).toDF("k", "v").repartition(4), overwrite = true)
+    st.commit("t", Seq((2, "b")).toDF("k", "v").repartition(4), overwrite = false)
+    val v = st.compact("t")
+    assert(st.read("t", Some(v - 1)).select("k").as[Int].collect().toSet == Set(1, 2))
+    assert(st.read("t", Some(v)).select("k").as[Int].collect().toSet == Set(1, 2))
+  }
+
   test("vacuum drops unreferenced data dirs but keeps retained snapshots readable") {
     val (st, root) = freshStore()
     st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
