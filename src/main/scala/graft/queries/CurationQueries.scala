@@ -286,6 +286,34 @@ object CurationQueries {
         .select(col("version"), col("d"), col("n"), col("total"))
     }),
 
+    // Declarative expectations suite (the dbt-test/Deequ DQ gate): all
+    // row-level checks fold into ONE corpus pass; uniqueness is one
+    // keyed agg, referential integrity one anti probe. The fact table
+    // is deterministically corrupted (the q66 perturbation device) so
+    // every check counts real violations.
+    "q133_expectations" -> ((s, dir) => {
+      import graft.operators.Expectations._
+      val o = t(s, dir, "orders")
+      val fact = o.select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 997 === 0, lit(null))
+          .otherwise(when(col("o_orderkey") % 389 === 0, col("o_custkey") + 1000000)
+            .otherwise(col("o_custkey"))).as("o_custkey"),
+        when(col("o_orderkey") % 983 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 991 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .unionByName(o.where(col("o_orderkey") % 379 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+      graft.operators.Expectations.validate(fact, Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0.0, 1e7),
+        AcceptedValues("o_orderstatus", Seq("O", "F", "P")),
+        Unique(Seq("o_orderkey")),
+        ForeignKey("o_custkey", t(s, dir, "customer"), "c_custkey")))
+    }),
+
     // Small-file compaction (OPTIMIZE): three fragmented append commits
     // (each fanned into 16 files), then SnapshotStore.compact rewrites
     // the table as a new version. The graded read proves losslessness
@@ -587,6 +615,42 @@ object CurationQueries {
           UNION ALL
           SELECT CAST(3 AS BIGINT), d, COUNT(*), ${SqlFragments.r15("SUM(p)", 2)}
           FROM v3 GROUP BY d""",
+
+    // Same corruption, same predicates — all-integer counts.
+    "q133_expectations" ->
+      """WITH fact AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 997 = 0 THEN NULL
+                  WHEN o_orderkey % 389 = 0 THEN o_custkey + 1000000
+                  ELSE o_custkey END AS k,
+             CASE WHEN o_orderkey % 983 = 0 THEN 'X' ELSE o_orderstatus END AS st,
+             CASE WHEN o_orderkey % 991 = 0 THEN -o_totalprice
+                  ELSE o_totalprice END AS p
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 379 = 0),
+         rep AS (
+           SELECT 'not_null:o_custkey' AS c,
+             CAST(COUNT(*) FILTER (WHERE k IS NULL) AS BIGINT) AS n FROM fact
+           UNION ALL
+           SELECT 'in_range:o_totalprice',
+             CAST(COUNT(*) FILTER (WHERE p IS NULL OR p < 0.0 OR p > 10000000.0)
+                  AS BIGINT) FROM fact
+           UNION ALL
+           SELECT 'accepted_values:o_orderstatus',
+             CAST(COUNT(*) FILTER (WHERE st IS NULL OR st NOT IN ('O','F','P'))
+                  AS BIGINT) FROM fact
+           UNION ALL
+           SELECT 'unique:o_orderkey',
+             CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+           FROM (SELECT COUNT(*) AS n FROM fact GROUP BY o_orderkey
+                 HAVING COUNT(*) > 1)
+           UNION ALL
+           SELECT 'foreign_key:o_custkey',
+             CAST(COUNT(*) FILTER (WHERE k IS NOT NULL
+               AND k NOT IN (SELECT c_custkey FROM customer)) AS BIGINT) FROM fact)
+         SELECT c AS "check", n AS n_violations, n = 0 AS ok FROM rep""",
 
     // Compaction is lossless: the compacted snapshot == the union of
     // the three committed slices == the filtered base table.

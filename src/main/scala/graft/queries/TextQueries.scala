@@ -185,6 +185,14 @@ object TextQueries {
       graft.operators.TfIdf.pmiPairs(t(s, dir, "documents"), "doc_id", "text",
         vocabSize = 100, minPairCount = 5L)),
 
+    // EXACT set-similarity self-join via prefix filtering (PPJoin):
+    // complete at Jaccard >= 0.95 — no LSH false negatives — with
+    // candidates bounded by rarity-ordered prefixes. The oracle is the
+    // definitional all-pairs Jaccard, so completeness itself is graded.
+    "q132_jaccard_prefix_join" -> ((s, dir) =>
+      graft.operators.Dedup.jaccardPrefixJoin(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.95)),
+
     // Bigram LM document scoring, add-one smoothing: the natural
     // upgrade of q58's unigram perplexity filter. P(w2|w1) =
     // (c(w1,w2)+1)/(c(w1)+V); per-doc mean log-prob. Two corpus hash
@@ -352,6 +360,23 @@ object TextQueries {
             ${SqlFragments.r15(
               "ln(CAST(c_ab AS DOUBLE) * n / (CAST(c_a AS DOUBLE) * c_b))", 6)} AS pmi
           FROM pr, n""",
+
+    // Definitional all-pairs Jaccard — independent of the prefix-filter
+    // candidate generation under test (raw-double threshold compare on
+    // both sides, r15 only on the emitted score).
+    "q132_jaccard_prefix_join" ->
+      s"""WITH s AS (SELECT doc_id, list_distinct(${SqlFragments.toksExpr}) AS st
+                     FROM documents WHERE text IS NOT NULL),
+          s2 AS (SELECT doc_id, st, CAST(len(st) AS BIGINT) AS sz
+                 FROM s WHERE len(st) > 0),
+          p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(len(list_intersect(a.st, b.st)) AS BIGINT) AS inter,
+                a.sz AS asz, b.sz AS bsz
+                FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id)
+          SELECT a_id, b_id, inter,
+            ${SqlFragments.r15("CAST(inter AS DOUBLE) / (asz + bsz - inter)", 6)} AS jac
+          FROM p
+          WHERE CAST(inter AS DOUBLE) / (asz + bsz - inter) >= 0.95""",
 
     "q128_bigram_lm" ->
       s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks

@@ -135,4 +135,32 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect()
     assert(capped.nonEmpty && capped.forall(r => r._1 == 3L && r._2 == 4L))
   }
+
+  test("jaccardPrefixJoin is COMPLETE: equals brute-force all-pairs at the threshold") {
+    // pseudo-random token sets over a small vocab so many pairs land on
+    // both sides of the threshold
+    val docs = (1L to 60L).map { i =>
+      val toks = (0 until 12).map(j => s"w${(i * 31 + j * 17) % 40}").distinct
+      (i, toks.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.jaccardPrefixJoin(df, "doc_id", "text", threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val sets = docs.map { case (i, t) => i -> t.split(" ").toSet }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      jac = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if jac >= 0.5
+    } yield (a, b)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("jaccardPrefixJoin: exact duplicates score 1.0; disjoint sets never pair") {
+    val df = Seq((1L, "p q r s"), (2L, "p q r s"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardPrefixJoin(df, "doc_id", "text", threshold = 0.9)
+      .select("a_id", "b_id", "jac").as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
 }
