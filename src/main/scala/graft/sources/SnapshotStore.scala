@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
@@ -28,6 +30,32 @@ import scala.jdk.CollectionConverters._
   *    retry-able, exactly the OCC contract table formats give;
   *  - [[vacuum]] deletes only data dirs no retained manifest references.
   *
+  * On top of the commit log this adds the three capabilities that make
+  * the format usable as a lakehouse table at 100 TB:
+  *
+  *  - '''data skipping''': a commit can record per-dir min/max stats for
+  *    declared columns (`_stats.tsv` inside the immutable data dir — the
+  *    dir is attempt-unique, so the sidecar is race-free); [[readPruned]]
+  *    plans a range read from the manifest + stats WITHOUT touching
+  *    non-overlapping dirs. At scale the same stats come per-file from
+  *    parquet writer task metrics; dir granularity here keeps the
+  *    manifest O(commits) and demonstrates the plan-time skip.
+  *  - '''MERGE INTO''' ([[mergeInto]]): copy-on-write at dir granularity —
+  *    only dirs whose key-range stats overlap the source's keys are
+  *    rewritten; untouched dirs are carried into the new manifest by
+  *    NAME, never re-read and never re-written. That is the exact shape
+  *    Delta's file-pruned merge has, and the reason a 1 GB upsert into a
+  *    100 TB table does not cost 100 TB of IO.
+  *  - '''change data feed''' ([[diff]]): insert/update/delete rows between
+  *    any two retained versions, computed as one full-outer join of the
+  *    two snapshots on the key (each side is manifest-resolved, so the
+  *    diff is consistent even under concurrent commits).
+  *
+  * Reads merge schemas across data dirs (`mergeSchema`), so an append
+  * that adds a column is readable immediately — old rows surface NULL
+  * for the new column (schema evolution). At 100 TB the merged schema
+  * would ride in the manifest instead of being re-derived from footers.
+  *
   * At 100 TB the manifest lists file paths, not row data — commits and
   * time travel stay O(files), and reads plan partition pruning from the
   * manifest's dir list exactly like any multi-dir parquet scan.
@@ -38,6 +66,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
 
   private def viewRoot(view: String) = Paths.get(root, view)
   private def manifestDir(view: String) = viewRoot(view).resolve("_manifests")
+  private def dataRoot(view: String) = viewRoot(view).resolve("data")
 
   private def manifestPath(view: String, v: Long): Path =
     manifestDir(view).resolve(f"v$v%06d.json")
@@ -61,64 +90,307 @@ class SnapshotStore(spark: SparkSession, root: String) {
       .filter(_.nonEmpty).toSeq
   }
 
+  /** The data-dir names snapshot `v` (default: latest) is made of —
+    * public so tests can pin copy-on-write behavior (which dirs a merge
+    * carried forward untouched).
+    */
+  def manifestDirs(view: String, asOf: Option[Long] = None): Seq[String] = {
+    val vs = versions(view)
+    require(vs.nonEmpty, s"$view: no committed snapshot")
+    readManifest(view, asOf.getOrElse(vs.max))
+  }
+
+  // ---------------------------------------------------------------- stats
+
+  /** Per-dir column bounds sidecar: one `name \t kind \t min \t max` line
+    * per stats column (kind `n` = compare as double, `s` = compare
+    * lexically — dates/strings). Values contain no tabs/newlines by
+    * construction (numbers and ISO dates). Missing file or missing
+    * column ⇒ the dir is not prunable and is always read.
+    */
+  private val StatsFile = "_stats.tsv"
+
+  private def writeStats(view: String, dirName: String, df: DataFrame,
+                         statsCols: Seq[String]): Unit = {
+    if (statsCols.isEmpty) return
+    val path = dataRoot(view).resolve(dirName)
+    val written = spark.read.parquet(path.toString)
+    val kinds = statsCols.map { c =>
+      c -> written.schema(c).dataType.isInstanceOf[NumericType]
+    }
+    val aggs = kinds.flatMap { case (c, numeric) =>
+      val cc = if (numeric) col(c).cast("double") else col(c).cast("string")
+      Seq(min(cc), max(cc))
+    }
+    val r = written.agg(aggs.head, aggs.tail: _*).head()
+    val lines = kinds.zipWithIndex.collect {
+      case ((c, numeric), i) if !r.isNullAt(2 * i) =>
+        val kind = if (numeric) "n" else "s"
+        s"$c\t$kind\t${r.get(2 * i)}\t${r.get(2 * i + 1)}"
+    }
+    Files.writeString(path.resolve(StatsFile), lines.mkString("\n"))
+  }
+
+  private def dirStats(view: String, dirName: String): Map[String, (Boolean, String, String)] = {
+    val p = dataRoot(view).resolve(dirName).resolve(StatsFile)
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).split("\n").filter(_.nonEmpty).map { line =>
+      val Array(c, kind, lo, hi) = line.split("\t", 4)
+      c -> (kind == "n", lo, hi)
+    }.toMap
+  }
+
+  private def overlaps(numeric: Boolean, aLo: String, aHi: String,
+                       bLo: String, bHi: String): Boolean =
+    if (numeric) !(aHi.toDouble < bLo.toDouble || aLo.toDouble > bHi.toDouble)
+    else !(aHi < bLo || aLo > bHi)
+
+  // ------------------------------------------------------------- commits
+
+  /** Unique-per-ATTEMPT data dir name: two writers racing to the same
+    * next version must never address the same dir (the loser's write
+    * would clobber files the winner's manifest just committed). A losing
+    * attempt leaves an orphan dir no manifest references — exactly what
+    * vacuum() collects. A `txn` tag embeds an idempotence marker
+    * [[appendOnce]] can later recognize.
+    */
+  private def newDirName(next: Long, txn: Option[Long]): String = {
+    val tag = txn.map(t => s"tx$t-").getOrElse("")
+    s"b$next-$tag" + java.util.UUID.randomUUID().toString.take(8)
+  }
+
+  private def writeData(view: String, df: DataFrame, dirName: String,
+                        statsCols: Seq[String]): Unit = {
+    df.write.mode("overwrite")
+      .parquet(dataRoot(view).resolve(dirName).toString)
+    writeStats(view, dirName, df, statsCols)
+  }
+
+  /** Atomic exclusive publish of manifest v`next` listing `dirs`.
+    * hard-link creation is the exclusive-publish primitive: link(2)
+    * fails with EEXIST if the target exists — unlike rename(2)
+    * (ATOMIC_MOVE), which on POSIX silently REPLACES the target and
+    * would let a racing commit overwrite the winner's manifest (found
+    * by the hammered-appends spec). The manifest appears atomically
+    * with its full content; first committer wins, the loser throws.
+    */
+  private def publish(view: String, next: Long, dirs: Seq[String]): Unit = {
+    Files.createDirectories(manifestDir(view))
+    val tmp = Files.createTempFile(manifestDir(view), s".v$next", ".tmp")
+    Files.writeString(tmp, dirs.map(d => "\"" + d + "\"").mkString("[", ",", "]"))
+    try
+      Files.createLink(manifestPath(view, next), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new SnapshotConflict(s"$view: version $next already committed")
+    }
+    finally Files.deleteIfExists(tmp)
+  }
+
   /** Commit `df` as the next version. `overwrite = true` replaces the
     * table contents; `false` appends to the predecessor snapshot.
-    * Returns the committed version. Throws [[SnapshotConflict]] if
-    * `expectedBase` is stale (another writer advanced the table since
-    * this writer read it) or if the manifest rename loses the race for
-    * the same next version — either way the caller re-reads and
-    * retries, the standard optimistic-concurrency contract.
+    * `statsCols` records per-dir min/max for [[readPruned]] /
+    * [[mergeInto]] data skipping. Returns the committed version. Throws
+    * [[SnapshotConflict]] if `expectedBase` is stale (another writer
+    * advanced the table since this writer read it) or if the manifest
+    * publish loses the race for the same next version — either way the
+    * caller re-reads and retries, the standard optimistic-concurrency
+    * contract.
     */
   def commit(view: String, df: DataFrame, overwrite: Boolean,
-             expectedBase: Option[Long] = None): Long = {
+             expectedBase: Option[Long] = None,
+             statsCols: Seq[String] = Nil,
+             txn: Option[Long] = None): Long = {
     val vs = versions(view)
     val base = if (vs.isEmpty) 0L else vs.max
     expectedBase.filter(_ != base).foreach { e =>
       throw new SnapshotConflict(s"$view: expected base v$e but table is at v$base")
     }
     val next = base + 1
-    // data dir is unique PER ATTEMPT, not per version: two writers
-    // racing to the same next version must never address the same dir
-    // (the loser's write would clobber files the winner's manifest just
-    // committed). A losing attempt leaves an orphan dir no manifest
-    // references — exactly what vacuum() collects.
-    val dataDir = s"b$next-" + java.util.UUID.randomUUID().toString.take(8)
-    df.write.mode("overwrite")
-      .parquet(viewRoot(view).resolve("data").resolve(dataDir).toString)
+    val dataDir = newDirName(next, txn)
+    writeData(view, df, dataDir, statsCols)
     val dirs =
       if (overwrite || vs.isEmpty) Seq(dataDir)
       else readManifest(view, base) :+ dataDir
-    Files.createDirectories(manifestDir(view))
-    val tmp = Files.createTempFile(manifestDir(view), s".v$next", ".tmp")
-    Files.writeString(tmp, dirs.map(d => "\"" + d + "\"").mkString("[", ",", "]"))
-    try
-      // hard-link creation is the exclusive-publish primitive: link(2)
-      // fails with EEXIST if the target exists — unlike rename(2)
-      // (ATOMIC_MOVE), which on POSIX silently REPLACES the target and
-      // would let a racing commit overwrite the winner's manifest (found
-      // by the hammered-appends spec). The manifest appears atomically
-      // with its full content; first committer wins, the loser throws.
-      Files.createLink(manifestPath(view, next), tmp)
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
-      throw new SnapshotConflict(s"$view: version $next already committed")
-    }
-    finally Files.deleteIfExists(tmp)
+    publish(view, next, dirs)
     next
   }
+
+  /** Txn ids already folded into the CURRENT snapshot (parsed from the
+    * dir-name tags [[appendOnce]] writes). Overwrite/compact commits
+    * restart the visible tag history — acceptable for the foreachBatch
+    * retry window this guards (a retry lands within the live manifest
+    * chain; replays older than the table's full rewrite are fenced by
+    * the streaming checkpoint itself).
+    */
+  def appliedTxns(view: String): Set[Long] = {
+    val vs = versions(view)
+    if (vs.isEmpty) Set.empty
+    else readManifest(view, vs.max).flatMap { d =>
+      d.split("-").collectFirst {
+        case s if s.startsWith("tx") && s.drop(2).forall(_.isDigit) && s.length > 2 =>
+          s.drop(2).toLong
+      }
+    }.toSet
+  }
+
+  /** Idempotent append keyed by `txnId` — the exactly-once sink primitive
+    * for `foreachBatch(batchDf, batchId)`: a redelivered batch id is
+    * recognized in the current manifest and skipped, so sink retries
+    * converge instead of double-appending. Returns the committed version,
+    * or None when the txn had already landed.
+    */
+  def appendOnce(view: String, df: DataFrame, txnId: Long,
+                 statsCols: Seq[String] = Nil): Option[Long] =
+    if (appliedTxns(view).contains(txnId)) None
+    else Some(commit(view, df, overwrite = false, statsCols = statsCols,
+      txn = Some(txnId)))
+
+  // --------------------------------------------------------------- reads
+
+  private def readDirs(dirs: Seq[String], view: String): DataFrame =
+    spark.read
+      // schema evolution: an appended dir may carry added columns; old
+      // rows read NULL for them. At 100 TB the union schema lives in the
+      // manifest — here the footers are few enough to merge at plan time.
+      .option("mergeSchema", "true")
+      .parquet(dirs.map(d => dataRoot(view).resolve(d).toString): _*)
 
   /** Read a snapshot: the latest by default, or AS OF `asOf`. The
     * manifest is resolved once here — commits that land afterwards
     * cannot change what this DataFrame reads.
     */
-  def read(view: String, asOf: Option[Long] = None): DataFrame = {
-    val vs = versions(view)
-    require(vs.nonEmpty, s"$view: no committed snapshot")
-    val v = asOf.getOrElse(vs.max)
-    require(vs.contains(v), s"$view: no snapshot v$v (have $vs)")
-    val dirs = readManifest(view, v)
-      .map(d => viewRoot(view).resolve("data").resolve(d).toString)
-    spark.read.parquet(dirs: _*)
+  def read(view: String, asOf: Option[Long] = None): DataFrame =
+    readDirs(manifestDirs(view, asOf), view)
+
+  /** The manifest dirs of snapshot `asOf` split into (kept, skipped) for
+    * the range predicate `lo <= c <= hi` — a dir is skipped only when its
+    * recorded [min,max] for `c` provably misses the range (NULL rows
+    * never satisfy a range predicate, so dirs are skippable even when
+    * they hold NULLs). Dirs without stats for `c` are always kept.
+    */
+  def pruneDirs(view: String, c: String, lo: String, hi: String,
+                asOf: Option[Long] = None): (Seq[String], Seq[String]) =
+    manifestDirs(view, asOf).partition { d =>
+      dirStats(view, d).get(c) match {
+        case Some((numeric, mn, mx)) => overlaps(numeric, mn, mx, lo, hi)
+        case None => true
+      }
+    }
+
+  /** Data-skipping range read: plans only the dirs whose stats overlap
+    * [lo, hi] and applies the exact predicate on top (stats are dir-
+    * granular, surviving dirs can still hold out-of-range rows). `lo`/
+    * `hi` are parsed per the recorded stat kind — numbers for numeric
+    * columns, lexical for strings/dates.
+    */
+  def readPruned(view: String, c: String, lo: String, hi: String,
+                 asOf: Option[Long] = None): DataFrame = {
+    val (keep, _) = pruneDirs(view, c, lo, hi, asOf)
+    // all dirs pruned -> provably-empty result; lit(false) collapses the
+    // scan to an empty LocalRelation with the right schema
+    if (keep.isEmpty) return read(view, asOf).where(lit(false))
+    val df = readDirs(keep, view)
+    val dt = df.schema(c).dataType
+    df.where(col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt))
   }
+
+  // ---------------------------------------------------------- merge / diff
+
+  /** MERGE INTO `view` USING `source` ON `keyCol`: matched target rows
+    * are replaced by the source row (or deleted when `deleteCol` marks
+    * the source row a tombstone); unmatched source rows are inserted.
+    * Keys must be unique per side (the upsert contract).
+    *
+    * Copy-on-write with data skipping: only dirs whose recorded key
+    * range actually CONTAINS a source key are read and rewritten —
+    * every other dir is carried into the new manifest BY NAME, costing
+    * zero IO. The rewrite is one left-anti join (drop shadowed/deleted
+    * targets) + union of the upserts, written as a single new dir with
+    * fresh stats; the commit pins `expectedBase`, so a concurrent writer
+    * surfaces as [[SnapshotConflict]] instead of a lost update.
+    *
+    * @return the committed version
+    */
+  def mergeInto(view: String, source: DataFrame, keyCol: String,
+                deleteCol: Option[String] = None,
+                statsCols: Seq[String] = Nil): Long = {
+    val isDelete: Column =
+      deleteCol.map(c => coalesce(col(c).cast("boolean"), lit(false)))
+        .getOrElse(lit(false))
+    val vs = versions(view)
+    if (vs.isEmpty)
+      return commit(view, source.where(!isDelete).drop(deleteCol.toSeq: _*),
+        overwrite = true, statsCols = statsCols)
+    val base = vs.max
+    val dirs = readManifest(view, base)
+    val targetCols = read(view, Some(base)).columns.toSeq
+    val upserts = source.where(!isDelete).select(targetCols.map(col): _*)
+    // A dir must be rewritten iff SOME source key falls inside its
+    // recorded [min,max] — tested per dir in ONE aggregate pass over the
+    // source (a bounds-vs-bounds overlap would be far coarser: a single
+    // out-of-range insert key stretches the source's range across every
+    // dir). O(dirs) boolean agg columns; at 100 TB the same test is an
+    // interval join against the file-stats table instead.
+    val statsByDir = dirs.map(d => d -> dirStats(view, d).get(keyCol))
+    val statless = statsByDir.collect { case (d, None) => d }
+    val ranged = statsByDir.collect { case (d, Some(s)) => (d, s) }
+    val hit: Set[String] =
+      if (ranged.isEmpty) Set.empty
+      else {
+        val aggs = ranged.map { case (_, (numeric, lo, hi)) =>
+          val kc = if (numeric) col(keyCol).cast("double") else col(keyCol).cast("string")
+          val (l, h) = if (numeric) (lit(lo.toDouble), lit(hi.toDouble)) else (lit(lo), lit(hi))
+          max(kc.between(l, h))
+        }
+        val r = source.agg(aggs.head, aggs.tail: _*).head()
+        ranged.zipWithIndex.collect {
+          case ((d, _), i) if !r.isNullAt(i) && r.getBoolean(i) => d
+        }.toSet
+      }
+    val (touched, untouched) =
+      dirs.partition(d => hit.contains(d) || statless.contains(d))
+    val rewritten =
+      if (touched.isEmpty) upserts
+      else readDirs(touched, view).select(targetCols.map(col): _*)
+        .join(source.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        .unionByName(upserts)
+    val next = base + 1
+    val dataDir = newDirName(next, None)
+    writeData(view, rewritten, dataDir, statsCols)
+    // re-check the base AFTER the (slow) data write, right before the
+    // atomic publish — the publish itself still decides the race
+    if (versions(view).max != base)
+      throw new SnapshotConflict(s"$view: base v$base superseded during merge")
+    publish(view, next, untouched :+ dataDir)
+    next
+  }
+
+  /** Change data feed between two retained versions: one row per key
+    * whose payload changed, with `change_type` ∈ insert/update/delete
+    * and the full pre/post payload (`<col>_pre` NULL for inserts,
+    * `<col>_post` NULL for deletes). Computed as ONE full-outer join of
+    * the two manifest-resolved snapshots on the key — no per-version
+    * log replay, and consistent under concurrent commits. Keys must be
+    * unique per snapshot (the same contract [[mergeInto]] maintains).
+    */
+  def diff(view: String, fromV: Long, toV: Long, keyCols: Seq[String]): DataFrame = {
+    val pre = read(view, Some(fromV))
+    val payload = pre.columns.filterNot(keyCols.contains).toSeq
+    def pack(df: DataFrame, as: String) =
+      df.select(keyCols.map(col) :+ struct(payload.map(col): _*).as(as): _*)
+    pack(pre, "_pre")
+      .join(pack(read(view, Some(toV)), "_post"), keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("_pre").isNull, lit("insert"))
+          .when(col("_post").isNull, lit("delete"))
+          .when(!(col("_pre") <=> col("_post")), lit("update")))
+      .where(col("change_type").isNotNull)
+      .select(keyCols.map(col) ++ Seq(col("change_type")) ++
+        payload.map(c => col("_pre").getField(c).as(s"${c}_pre")) ++
+        payload.map(c => col("_post").getField(c).as(s"${c}_post")): _*)
+  }
+
+  // ------------------------------------------------------- maintenance
 
   /** OPTIMIZE: rewrite the current snapshot into ~`targetFileBytes`
     * files and commit the result as a new version — the small-file
@@ -139,19 +411,19 @@ class SnapshotStore(spark: SparkSession, root: String) {
     *
     * @return the new compacted version
     */
-  def compact(view: String, targetFileBytes: Long = 128L << 20): Long = {
+  def compact(view: String, targetFileBytes: Long = 128L << 20,
+              statsCols: Seq[String] = Nil): Long = {
     val vs = versions(view)
     require(vs.nonEmpty, s"$view: nothing to compact")
     val base = vs.max
-    val dataRoot = viewRoot(view).resolve("data")
     val bytes = readManifest(view, base)
-      .map(dataRoot.resolve)
+      .map(dataRoot(view).resolve)
       .flatMap(d => Files.list(d).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")))
       .map(Files.size).sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     commit(view, read(view, Some(base)).coalesce(nFiles),
-      overwrite = true, expectedBase = Some(base))
+      overwrite = true, expectedBase = Some(base), statsCols = statsCols)
   }
 
   /** Delete data dirs referenced by NO manifest among the newest
@@ -163,9 +435,8 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val vs = versions(view)
     val keep = vs.takeRight(retainVersions)
     val live = keep.flatMap(readManifest(view, _)).toSet
-    val dataRoot = viewRoot(view).resolve("data")
-    if (Files.isDirectory(dataRoot))
-      Files.list(dataRoot).iterator().asScala.toSeq
+    if (Files.isDirectory(dataRoot(view)))
+      Files.list(dataRoot(view)).iterator().asScala.toSeq
         .filterNot(p => live.contains(p.getFileName.toString))
         .foreach(p => Scratch.deleteRecursively(p.toFile))
     vs.dropRight(retainVersions).foreach(v => Files.deleteIfExists(manifestPath(view, v)))

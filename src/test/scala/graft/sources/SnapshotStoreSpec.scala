@@ -138,4 +138,103 @@ class SnapshotStoreSpec extends SparkSpec {
     val left = dataRoot.listFiles().map(_.getName)
     assert(left.length == 1 && left.head.startsWith("b3-"), left.mkString(","))
   }
+
+  test("stats + readPruned: non-overlapping dirs are skipped at plan time") {
+    val (st, _) = freshStore()
+    // three appends with disjoint numeric key ranges + string date ranges
+    for (shard <- 0 to 2)
+      st.commit("t",
+        (shard * 100 until shard * 100 + 100)
+          .map(k => (k, f"1995-0${shard + 1}%d-${k % 28 + 1}%02d"))
+          .toDF("k", "d"),
+        overwrite = shard == 0, statsCols = Seq("k", "d"))
+    // numeric pruning: [120, 180] hits only shard-1's dir
+    val (keepN, skipN) = st.pruneDirs("t", "k", "120", "180")
+    assert(keepN.length == 1 && skipN.length == 2, s"$keepN / $skipN")
+    assert(st.readPruned("t", "k", "120", "180").select("k").as[Int]
+      .collect().sorted.toSeq == (120 to 180))
+    // lexical (date-string) pruning: February only
+    val (keepS, skipS) = st.pruneDirs("t", "d", "1995-02-01", "1995-02-28")
+    assert(keepS.length == 1 && skipS.length == 2, s"$keepS / $skipS")
+    // exact predicate still applies within the surviving dir
+    assert(st.readPruned("t", "d", "1995-02-10", "1995-02-12")
+      .select("d").as[String].collect().forall(d => d >= "1995-02-10" && d <= "1995-02-12"))
+    // fully-pruned range -> empty frame with the right schema, no error
+    val none = st.readPruned("t", "k", "5000", "6000")
+    assert(none.columns.toSeq == Seq("k", "d") && none.count() == 0)
+    // a dir without stats is never skipped: append one stats-less dir
+    st.commit("t", Seq((999, "1999-01-01")).toDF("k", "d"), overwrite = false)
+    val (keep2, _) = st.pruneDirs("t", "k", "120", "180")
+    assert(keep2.length == 2) // shard-1 + the stats-less dir
+  }
+
+  test("mergeInto: copy-on-write rewrites only key-overlapping dirs") {
+    val (st, _) = freshStore()
+    for (shard <- 0 to 3)
+      st.commit("t",
+        (shard * 100 until shard * 100 + 100).map(k => (k, k.toLong)).toDF("k", "p"),
+        overwrite = shard == 0, statsCols = Seq("k"))
+    val before = st.manifestDirs("t")
+    assert(before.length == 4)
+    // source touches only shard 1 [100,200) + inserts beyond every range
+    val src = Seq((150, -1L, false), (160, -2L, false), (170, 0L, true), (1000, 42L, false))
+      .toDF("k", "p", "del")
+    val v = st.mergeInto("t", src, "k", deleteCol = Some("del"), statsCols = Seq("k"))
+    val after = st.manifestDirs("t", Some(v))
+    // shards 0/2/3 carried forward BY NAME; shard 1 replaced by one new dir
+    assert(after.toSet.intersect(before.toSet) ==
+      before.toSet - before(1), s"$before -> $after")
+    assert(after.length == 4)
+    val rows = st.read("t").as[(Int, Long)].collect().toMap
+    assert(rows(150) == -1L && rows(160) == -2L) // updates
+    assert(!rows.contains(170))                  // delete
+    assert(rows(1000) == 42L)                    // insert
+    assert(rows(50) == 50L && rows(250) == 250L && rows(399) == 399L) // untouched
+    assert(rows.size == 400 - 1 + 1)
+    // time travel: the pre-merge snapshot still reads the old values
+    assert(st.read("t", Some(v - 1)).as[(Int, Long)].collect().toMap.apply(150) == 150L)
+  }
+
+  test("mergeInto on an empty table inserts everything (minus tombstones)") {
+    val (st, _) = freshStore()
+    val src = Seq((1, 10L, false), (2, 20L, true)).toDF("k", "p", "del")
+    st.mergeInto("t", src, "k", deleteCol = Some("del"))
+    assert(st.read("t").columns.toSeq == Seq("k", "p"))
+    assert(st.read("t").as[(Int, Long)].collect().toSeq == Seq((1, 10L)))
+  }
+
+  test("diff emits insert/update/delete with pre/post payloads") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq((1, "a", 10L), (2, "b", 20L), (3, "c", 30L)).toDF("k", "v", "p"),
+      overwrite = true)
+    st.commit("t", Seq((2, "b", 21L), (3, "c", 30L), (4, "d", 40L)).toDF("k", "v", "p"),
+      overwrite = true)
+    val d = st.diff("t", 1L, 2L, Seq("k"))
+      .select("k", "change_type", "p_pre", "p_post")
+      .as[(Int, String, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+    assert(d == Seq(
+      (1, "delete", Some(10L), None),
+      (2, "update", Some(20L), Some(21L)),
+      (4, "insert", None, Some(40L))))
+  }
+
+  test("appendOnce: a redelivered txn id is skipped, retries converge") {
+    val (st, _) = freshStore()
+    assert(st.appendOnce("t", Seq((1, "a")).toDF("k", "v"), txnId = 0L) == Some(1L))
+    assert(st.appendOnce("t", Seq((2, "b")).toDF("k", "v"), txnId = 1L) == Some(2L))
+    // the retry delivers DIFFERENT data under the same txn id — exactly
+    // what a failed-after-commit foreachBatch replay looks like
+    assert(st.appendOnce("t", Seq((99, "dup")).toDF("k", "v"), txnId = 1L).isEmpty)
+    assert(st.appliedTxns("t") == Set(0L, 1L))
+    assert(st.read("t").select("k").as[Int].collect().toSet == Set(1, 2))
+  }
+
+  test("schema evolution: appended column reads NULL for pre-existing rows") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
+    st.commit("t", Seq((2, "b", 7L)).toDF("k", "v", "extra"), overwrite = false)
+    val rows = st.read("t").select("k", "extra")
+      .as[(Int, Option[Long])].collect().toMap
+    assert(rows == Map(1 -> None, 2 -> Some(7L)))
+  }
 }
