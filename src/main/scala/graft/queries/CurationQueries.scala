@@ -341,6 +341,141 @@ object CurationQueries {
         .agg(count(lit(1)).as("n"), NumFns.stableRound(sum(col("p")), 2).as("total"))
     }),
 
+    // Data-skipping range read over the snapshot manifest's per-dir
+    // min/max stats: six monthly commits each record [min,max] of d;
+    // the Feb..Mar read plans ONLY the two overlapping dirs
+    // (pruneDirs — spec-pinned) and applies the exact predicate on
+    // top. The 100 TB contract: a month-range query over a year-long
+    // table reads a month, not a year — and the skip is decided from
+    // the manifest stats BEFORE any parquet footer is opened.
+    "q134_skipping_read" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q134_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val store = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          col("o_totalprice").as("p"))
+      for (m <- 1 to 6) {
+        val mm = f"$m%02d"
+        store.commit("t", o.where(col("d").between(s"1995-$mm-01", s"1995-$mm-31")),
+          overwrite = m == 1, statsCols = Seq("d"))
+      }
+      store.readPruned("t", "d", "1995-02-01", "1995-03-31")
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n"), NumFns.stableRound(sum(col("p")), 2).as("total"))
+    }),
+
+    // Change data feed: two overwrite snapshots of a rolling window
+    // (Jan..Mar then Feb..Apr with every 5th key repriced), diffed as
+    // ONE manifest-resolved full-outer join — inserts (Apr), deletes
+    // (Jan), updates (repriced Feb..Mar) with full pre/post payloads.
+    // No log replay, no per-version scan chain; the p*2 update is an
+    // exact FP op so both engines compare payloads bit-identically.
+    "q135_snapshot_diff" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q135_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val store = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          col("o_totalprice").as("p"))
+      store.commit("t", o.where(col("d").between("1995-01-01", "1995-03-31")),
+        overwrite = true)
+      store.commit("t",
+        o.where(col("d").between("1995-02-01", "1995-04-30"))
+          .withColumn("p", when(col("k") % 5 === 0, col("p") * 2).otherwise(col("p"))),
+        overwrite = true)
+      store.diff("t", 1L, 2L, Seq("k"))
+    }),
+
+    // MERGE INTO with copy-on-write file skipping: the table is six
+    // contiguous key-range shards (per-dir [min,max] key stats); the
+    // source reprices/deletes keys confined to shard 2 and inserts
+    // brand-new keys beyond every range. Only shard 2's dir is read
+    // and rewritten — the other five ride into the new manifest by
+    // name (spec-pinned) — which is why a 1 GB upsert into a 100 TB
+    // table costs ~1 shard of IO, not a table rewrite. The graded
+    // read proves the merge semantics (update/delete/insert) exactly.
+    "q136_merge_into" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q136_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val store = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          col("o_totalprice").as("p"))
+      val maxK = o.agg(max(col("k"))).head().getLong(0)
+      val b = maxK / 6 + 1
+      for (i <- 0 until 6)
+        store.commit("t", o.where(col("k") >= i * b && col("k") < (i + 1) * b),
+          overwrite = i == 0, statsCols = Seq("k"))
+      val src = o.where(col("k").between(2 * b + 10, 2 * b + 500))
+        .select(col("k"), col("d"), (col("p") * 2).as("p"),
+          (col("k") % 7 === 0).as("del"))
+        .unionByName(o.where(col("k").between(1, 200))
+          .select((col("k") + maxK + 1).as("k"), col("d"), col("p"),
+            lit(false).as("del")))
+      store.mergeInto("t", src, "k", deleteCol = Some("del"), statsCols = Seq("k"))
+      store.read("t")
+        .groupBy(expr(s"k div $b").as("bucket"))
+        .agg(count(lit(1)).as("n"), NumFns.stableRound(sum(col("p")), 2).as("total"))
+    }),
+
+    // Schema evolution: an append commit carries a column the base
+    // snapshot lacks; the read merges schemas and old rows surface
+    // NULL — no table rewrite, no migration job. The grouped read
+    // proves both the NULL backfill and that the new column's values
+    // survive intact.
+    "q137_schema_evolution" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q137_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val store = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          col("o_totalprice").as("p"), col("o_orderpriority").as("prio"))
+      store.commit("t", o.where(col("d").between("1995-01-01", "1995-01-31"))
+        .drop("prio"), overwrite = true)
+      store.commit("t", o.where(col("d").between("1995-02-01", "1995-02-28")),
+        overwrite = false)
+      store.read("t")
+        .groupBy(coalesce(col("prio"), lit("<none>")).as("prio"))
+        .agg(count(lit(1)).as("n"), NumFns.stableRound(sum(col("p")), 2).as("total"))
+    }),
+
+    // Exactly-once streaming sink into the ACID table: foreachBatch →
+    // SnapshotStore.appendOnce(batchId) — each micro-batch commits
+    // atomically, and a redelivered batch id (the failure-retry every
+    // foreachBatch sink must survive) is recognized in the live
+    // manifest and SKIPPED, so replays converge instead of
+    // double-appending. The retry is simulated explicitly each run
+    // with different rows under txn 0; the graded read hash-matching
+    // the source proves single delivery end-to-end.
+    "q138_stream_snapshot_sink" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val root = graft.sources.Scratch.processScoped("q138_sink", dir)
+      val store = new graft.sources.SnapshotStore(s, root)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      val parsed = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+        .select(col("event_id"),
+          to_date(timestamp_micros(expr("ts div 1000"))).cast("string").as("d"),
+          col("event_type"), col("value"))
+      val q = parsed.writeStream
+        .option("checkpointLocation", s"$root/_cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          store.appendOnce("ev", batch, id): Unit
+        }
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      store.appendOnce("ev", store.read("ev").limit(1), 0L): Unit
+      store.read("ev").select(col("event_id"), col("d").cast("string").as("d"),
+        col("event_type"), col("value"))
+    }),
+
     // Sequence packing: documents assigned to ~500-token training bins
     // per language shard (overflow-bin policy, never splitting a doc).
     // Packing is inherently sequential, so it runs per shard — one
@@ -651,6 +786,69 @@ object CurationQueries {
              CAST(COUNT(*) FILTER (WHERE k IS NOT NULL
                AND k NOT IN (SELECT c_custkey FROM customer)) AS BIGINT) FROM fact)
          SELECT c AS "check", n AS n_violations, n = 0 AS ok FROM rep""",
+
+    // Pruned dirs or not, the surviving read == the plain range scan.
+    "q134_skipping_read" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, COUNT(*) AS n,
+            ${SqlFragments.r15("SUM(o_totalprice)", 2)} AS total
+          FROM orders
+          WHERE strftime(o_orderdate, '%Y-%m-%d')
+                BETWEEN '1995-02-01' AND '1995-03-31'
+          GROUP BY d""",
+
+    // The CDF replay: full-outer join of the two window snapshots on k.
+    "q135_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m-%d') AS d,
+                    o_totalprice AS p FROM orders),
+          v1 AS (SELECT * FROM o WHERE d BETWEEN '1995-01-01' AND '1995-03-31'),
+          v2 AS (SELECT k, d, CASE WHEN k % 5 = 0 THEN p * 2 ELSE p END AS p
+                 FROM o WHERE d BETWEEN '1995-02-01' AND '1995-04-30')
+          SELECT COALESCE(v1.k, v2.k) AS k,
+            CASE WHEN v1.k IS NULL THEN 'insert'
+                 WHEN v2.k IS NULL THEN 'delete'
+                 ELSE 'update' END AS change_type,
+            v1.d AS d_pre, v1.p AS p_pre, v2.d AS d_post, v2.p AS p_post
+          FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+          WHERE v1.k IS NULL OR v2.k IS NULL
+             OR v1.d IS DISTINCT FROM v2.d OR v1.p IS DISTINCT FROM v2.p""",
+
+    // Merge semantics replay: matched keys drop out of the base, the
+    // non-tombstone source rows come back in, inserts land beyond mx.
+    "q136_merge_into" ->
+      s"""WITH o AS (SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m-%d') AS d,
+                     o_totalprice AS p FROM orders),
+          prm AS (SELECT MAX(k) // 6 + 1 AS b, MAX(k) AS mx FROM o),
+          srckeys AS (SELECT k FROM o, prm WHERE k BETWEEN 2*b+10 AND 2*b+500),
+          upd AS (SELECT k, d, p * 2 AS p FROM o, prm
+                  WHERE k BETWEEN 2*b+10 AND 2*b+500 AND k % 7 <> 0),
+          ins AS (SELECT k + mx + 1 AS k, d, p FROM o, prm WHERE k BETWEEN 1 AND 200),
+          merged AS (
+            SELECT k, d, p FROM o WHERE k NOT IN (SELECT k FROM srckeys)
+            UNION ALL SELECT * FROM upd
+            UNION ALL SELECT * FROM ins)
+          SELECT k // b AS bucket, COUNT(*) AS n,
+            ${SqlFragments.r15("SUM(p)", 2)} AS total
+          FROM merged, prm GROUP BY 1""",
+
+    // Old rows surface NULL for the appended column.
+    "q137_schema_evolution" ->
+      s"""WITH o AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, o_totalprice AS p,
+                     o_orderpriority AS prio FROM orders),
+          v AS (SELECT d, p, NULL AS prio FROM o
+                WHERE d BETWEEN '1995-01-01' AND '1995-01-31'
+                UNION ALL
+                SELECT d, p, prio FROM o
+                WHERE d BETWEEN '1995-02-01' AND '1995-02-28')
+          SELECT COALESCE(prio, '<none>') AS prio, COUNT(*) AS n,
+            ${SqlFragments.r15("SUM(p)", 2)} AS total
+          FROM v GROUP BY 1""",
+
+    // Single delivery end-to-end: table == source despite the txn-0 retry.
+    "q138_stream_snapshot_sink" ->
+      """SELECT event_id,
+           strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS d,
+           event_type, value
+         FROM events""",
 
     // Compaction is lossless: the compacted snapshot == the union of
     // the three committed slices == the filtered base table.
