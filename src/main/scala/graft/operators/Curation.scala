@@ -228,4 +228,55 @@ object Curation {
     val kept = hosted.join(broadcast(blockHosts), Seq("host"), "left_anti")
     Mixer.exactKPerGroup(kept, "host", idCol, maxPerDomain)
   }
+
+  /** Blocklisted-term gate (the C4 "badwords" filter): per-document
+    * blocked-token count WITH multiplicity, blocked fraction, and the
+    * keep verdict. The term list rides as a literal array —
+    * O(|terms|) per token inside whole-stage codegen, ZERO shuffles;
+    * the right shape while the list fits a literal (hundreds of
+    * terms). For dictionary-sized lists use [[blocklistFilterJoin]].
+    * Docs with null text or zero tokens are unscoreable and dropped.
+    * `blocked_frac` is one long/long IEEE division — bit-stable
+    * cross-engine.
+    */
+  def blocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String], maxFrac: Double): DataFrame = {
+    val lowered = terms.map(_.toLowerCase)
+    docs.where(col(textCol).isNotNull)
+      .withColumn("_toks", TextFns.tokens(col(textCol)))
+      .where(size(col("_toks")) > 0)
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        size(filter(col("_toks"), t => array_contains(typedlit(lowered), t)))
+          .cast("long").as("n_blocked"))
+      .withColumn("blocked_frac",
+        col("n_blocked").cast("double") / col("n_tokens"))
+      .withColumn("keep", col("blocked_frac") <= lit(maxFrac))
+  }
+
+  /** Join form of [[blocklistFilter]] for blocklists too large to
+    * inline as a literal: explode tokens once, broadcast-hash-probe the
+    * term table, one doc-keyed re-agg, left join back (no hits ⇒ 0).
+    * Same output contract — pinned equal to the literal form in
+    * CurationSpec. The corpus never shuffles against itself; the
+    * blocklist ships to executors exactly once.
+    */
+  def blocklistFilterJoin(docs: DataFrame, idCol: String, textCol: String,
+                          terms: DataFrame, termCol: String,
+                          maxFrac: Double): DataFrame = {
+    val d = docs.where(col(textCol).isNotNull)
+      .withColumn("_toks", TextFns.tokens(col(textCol)))
+      .where(size(col("_toks")) > 0)
+      .select(col(idCol), size(col("_toks")).cast("long").as("n_tokens"),
+        col("_toks"))
+    val hits = d.select(col(idCol), explode(col("_toks")).as("_tok"))
+      .join(broadcast(terms.select(lower(col(termCol)).as("_tok")).distinct()),
+        Seq("_tok"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_blocked"))
+    d.drop("_toks").join(hits, Seq(idCol), "left")
+      .withColumn("n_blocked", coalesce(col("n_blocked"), lit(0L)))
+      .withColumn("blocked_frac",
+        col("n_blocked").cast("double") / col("n_tokens"))
+      .withColumn("keep", col("blocked_frac") <= lit(maxFrac))
+  }
 }

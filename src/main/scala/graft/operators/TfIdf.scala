@@ -132,4 +132,103 @@ object TfIdf {
           log(col("c_ab").cast("double") * col("n") /
             (col("c_a").cast("double") * col("c_b"))), 6).as("pmi"))
   }
+
+  /** One BPE-training iteration's pair statistics: corpus-wide counts
+    * of adjacent character-pair symbols, weighted by word frequency —
+    * the distributed heavy step of byte-pair-encoding tokenizer
+    * training. The merge loop itself is O(vocab) driver work applied
+    * to THIS table's argmax each round; counting is the job that has
+    * to scale.
+    *
+    * Scale shape: the corpus collapses to the distinct-word frequency
+    * table first (one (word) hash agg, map-side combined — Zipf makes
+    * |vocab| tiny vs corpus tokens), so the pair explode runs over
+    * |vocab| rows, never the raw corpus. The top-k cut is a
+    * TakeOrderedAndProject on (n desc, pair) — deterministic, never a
+    * global sort. Single-char words carry no pairs and are dropped
+    * before the explode (also keeps `sequence(1, length-1)` away from
+    * its descending-default trap at length 1).
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String, topK: Int): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(explode(TextFns.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .where(length(col("w")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai/Lafferty) —
+    * the probabilistic-LM counterpart of [[bm25]], and the second
+    * ranker a hybrid-retrieval stack fuses with it:
+    * score(d) = Σ_t ln((tf_td + μ·cf_t/|C|) / (dl_d + μ)), over docs
+    * matching ≥1 term (absent terms still contribute the background
+    * probability; terms absent from the whole corpus would score -inf
+    * — callers pass corpus terms, as with bm25).
+    *
+    * Scale shape mirrors bm25: tf is computed inside the row against
+    * the staged token array (explode of ≤|terms| literals — no corpus
+    * shuffle); collection stats (cf_t, |C|) are exact-long O(|terms|)
+    * broadcasts; only the ≤|terms|-wide per-doc sum needs r15
+    * stabilization; the cut is a TakeOrderedAndProject on
+    * (score desc, doc_id).
+    */
+  def queryLikelihood(docs: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String], mu: Double = 300.0,
+                      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "queryLikelihood needs at least one term")
+    val d = docs.where(col(textCol).isNotNull)
+      .withColumn("_toks", TextFns.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"), col("_toks"),
+        size(col("_toks")).cast("long").as("dl"))
+    val perTerm = d
+      .select(col("doc_id"), col("dl"), explode(typedlit(terms)).as("token"),
+        col("_toks"))
+      .withColumn("tf",
+        size(filter(col("_toks"), x => x === col("token"))).cast("long"))
+      .drop("_toks")
+    val coll = perTerm.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
+    val totals = d.agg(sum(col("dl")).as("clen"))
+    perTerm.join(broadcast(coll), Seq("token"))
+      .crossJoin(broadcast(totals))
+      .withColumn("score_t", log(
+        (col("tf").cast("double") +
+          lit(mu) * col("cf").cast("double") / col("clen").cast("double")) /
+          (col("dl").cast("double") + lit(mu))))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.NumFns.stableRound(sum(col("score_t")), 8).as("score"),
+        max(col("tf")).as("_mx"))
+      .where(col("_mx") > 0)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of retriever
+    * rankings: fused(d) = Σ_lists 1/(k + rank_d), summed over the
+    * lists that retrieved d. The standard way to combine lexical and
+    * semantic retrieval without score calibration.
+    *
+    * Each input is a (doc_id, score) frame ALREADY cut to its own
+    * bounded top-k — so the rank window (a single-partition sort, fine
+    * on ≤topK rows, never corpus-scale) and the fusion agg touch only
+    * the lists' union. That is the 100 TB contract: retrievers prune,
+    * fusion is O(Σ list sizes). Ranks are deterministic
+    * (score desc, doc_id); the fused sum is r15-stabilized.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    rankings.map(_.select(col("doc_id"), col("score"))
+        .withColumn("rank", row_number().over(w).cast("long")))
+      .reduce(_ unionByName _)
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.NumFns.stableRound(
+          sum(lit(1.0) / (lit(k.toDouble) + col("rank"))), 12).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

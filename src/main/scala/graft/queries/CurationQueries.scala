@@ -88,6 +88,49 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"), col("copy_id"))
     }),
 
+    // Blocklisted-term gate (C4's badwords filter shape): per-doc
+    // blocked-token count with multiplicity, fraction, keep verdict.
+    // Literal-array probe inside codegen — zero shuffles; the
+    // broadcast-join form for dictionary-sized lists is pinned equal
+    // in CurationSpec. The synthetic corpus's "negative" lexicon
+    // stands in for the badwords list.
+    "q139_blocklist_filter" -> ((s, dir) =>
+      graft.operators.Curation.blocklistFilter(t(s, dir, "documents"),
+        "doc_id", "text", graft.functions.SentimentFns.DefaultNegative,
+        maxFrac = 0.05)),
+
+    // Dedup canonicalization — the final step of the near-dup
+    // pipeline: LSH-verified pairs (q23/q70's machinery) → connected
+    // components → ONE canonical doc per cluster chosen by quality
+    // (distinct-token ratio, exact int/int division; ties → min id).
+    // Every clustered doc maps to its keeper — the rewrite table a
+    // curation pass applies. Oracle replays the exact-Jaccard truth
+    // (complete above the verify threshold per q23's data contract)
+    // through a recursive-CTE closure + the same argmax.
+    "q142_dedup_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val pairs = graft.operators.Dedup.lshVerifiedPairs(
+          docs, "doc_id", "text", estThreshold = 0.3, jaccardThreshold = 0.4)
+        .select(col("a_id"), col("b_id"))
+      val comp = graft.operators.Components.connectedComponents(pairs, "a_id", "b_id")
+      val quality = docs
+        .withColumn("_toks", TextFns.tokens(col("text")))
+        .where(size(col("_toks")) > 0)
+        .select(col("doc_id"),
+          (size(array_distinct(col("_toks"))).cast("double") / size(col("_toks")))
+            .as("q"))
+      val member = comp.join(quality, comp("id") === quality("doc_id"))
+        .select(col("id"), col("comp"), col("q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("comp")).orderBy(col("q").desc, col("id"))
+      val canon = member.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("comp"), col("id").as("canonical_id"))
+      member.join(canon, Seq("comp"))
+        .select(col("id").as("doc_id"), col("comp").as("cluster"),
+          col("canonical_id"), (col("id") === col("canonical_id")).as("is_canonical"))
+    }),
+
     // Duplicate-cluster resolution: LSH+verify pairs (q23's machinery
     // and thresholds, whose completeness q23 pins against all-pairs) →
     // connected components → one representative per cluster. The
@@ -786,6 +829,45 @@ object CurationQueries {
              CAST(COUNT(*) FILTER (WHERE k IS NOT NULL
                AND k NOT IN (SELECT c_custkey FROM customer)) AS BIGINT) FROM fact)
          SELECT c AS "check", n AS n_violations, n = 0 AS ok FROM rep""",
+
+    // Same tokenizer, same list, same long/long division.
+    "q139_blocklist_filter" ->
+      s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks
+                     FROM documents WHERE text IS NOT NULL),
+          c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(toks, x -> list_contains(
+                  ${SqlFragments.sqlList(graft.functions.SentimentFns.DefaultNegative)},
+                  x))) AS BIGINT) AS n_blocked
+                FROM t WHERE len(toks) > 0)
+          SELECT doc_id, n_tokens, n_blocked,
+            CAST(n_blocked AS DOUBLE) / n_tokens AS blocked_frac,
+            CAST(n_blocked AS DOUBLE) / n_tokens <= 0.05 AS keep
+          FROM c""",
+
+    // Exact-Jaccard closure (complete above the verify threshold per
+    // q23's contract) + the identical quality argmax.
+    "q142_dedup_canonical" -> (
+      SqlFragments.shinglePairsCte(0.4).replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", e AS (SELECT a_id AS u, b_id AS v FROM verified
+                  UNION SELECT b_id, a_id FROM verified),
+          reach AS (SELECT u, v FROM e
+                    UNION
+                    SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+          comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u),
+          qual AS (SELECT doc_id,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS q
+                   FROM (SELECT doc_id, ${SqlFragments.toksExpr} AS toks
+                         FROM documents WHERE text IS NOT NULL)
+                   WHERE len(toks) > 0),
+          m AS (SELECT c.id, c.comp, qual.q FROM comp c
+                JOIN qual ON c.id = qual.doc_id),
+          canon AS (SELECT comp, id AS canonical_id FROM
+                    (SELECT comp, id,
+                     ROW_NUMBER() OVER (PARTITION BY comp ORDER BY q DESC, id) AS rn
+                     FROM m) WHERE rn = 1)
+          SELECT m.id AS doc_id, m.comp AS cluster, canon.canonical_id,
+            m.id = canon.canonical_id AS is_canonical
+          FROM m JOIN canon USING (comp)"""),
 
     // Pruned dirs or not, the surviving read == the plain range scan.
     "q134_skipping_read" ->

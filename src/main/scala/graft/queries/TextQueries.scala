@@ -157,6 +157,30 @@ object TextQueries {
         terms = Seq("spark", "join", "stream", "vector"), topK = 20)
     }),
 
+    // One BPE-training iteration's pair counts: adjacent char-pair
+    // symbols weighted by word frequency, top-20 merges. The corpus
+    // collapses to the distinct-word table before the pair explode —
+    // |vocab| rows do the expensive work, never raw corpus tokens.
+    "q140_bpe_pairs" -> ((s, dir) =>
+      graft.operators.TfIdf.bpePairCounts(t(s, dir, "documents"), "text",
+        topK = 20)),
+
+    // Hybrid-retrieval fusion: BM25 (q108's ranker) + Dirichlet query
+    // likelihood fused by reciprocal rank, top-10. Each retriever cuts
+    // to its own bounded top-50 first; fusion touches only the lists'
+    // union — the calibration-free way two retrieval models combine,
+    // and the 100 TB shape (retrievers prune, fusion is O(list sizes)).
+    "q141_rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = Seq("spark", "join", "stream", "vector")
+      val bm = graft.operators.TfIdf.bm25(docs, "doc_id", "text", terms, topK = 50)
+      val ql = graft.operators.TfIdf.queryLikelihood(docs, "doc_id", "text",
+        terms, mu = 300.0, topK = 50)
+      graft.operators.TfIdf.rrfFuse(
+        Seq(bm.select("doc_id", "score"), ql.select("doc_id", "score")),
+        k = 60, topK = 10)
+    }),
+
     // Inverted index build: positional posting lists per (token, doc) —
     // the artifact a lexical search engine persists. One posexplode +
     // (token, doc) hash agg (map-side combined) builds the postings;
@@ -328,6 +352,65 @@ object TextQueries {
             COUNT(*) AS n_terms
           FROM sc GROUP BY doc_id
           ORDER BY score DESC, doc_id LIMIT 20""",
+
+    // Pair counts replay over the same distinct-word frequency table;
+    // range(1, len) is 1..len-1 = Spark's sequence(1, length-1).
+    "q140_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest(${SqlFragments.toksExpr}) AS w
+                     FROM documents WHERE text IS NOT NULL),
+          f AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM w GROUP BY w),
+          f2 AS (SELECT * FROM f WHERE length(w) >= 2),
+          p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, freq
+                FROM (SELECT w, freq, unnest(range(1, length(w))) AS i FROM f2))
+          SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p
+          GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+
+    // Full two-ranker replay: q108's BM25 CTE + Dirichlet QL (mu=300,
+    // absent-from-doc terms contribute the background probability,
+    // docs with no query term drop), both rank-cut at 50 on the
+    // r15'd (score desc, doc_id) total order, fused 1/(60+rank).
+    "q141_rrf_fusion" ->
+      s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks
+                     FROM documents WHERE text IS NOT NULL),
+          d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+          s AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                       CAST(COUNT(*) AS DOUBLE) AS n FROM d),
+          q AS (SELECT unnest(['spark', 'join', 'stream', 'vector']) AS token),
+          tfall AS (SELECT doc_id, dl, token,
+                    CAST(len(list_filter(toks, x -> x = token)) AS BIGINT) AS tf
+                    FROM d, q),
+          m AS (SELECT * FROM tfall WHERE tf > 0),
+          df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM m GROUP BY token),
+          bmsc AS (SELECT m.doc_id,
+                   ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+                     (CAST(m.tf AS DOUBLE) * 2.2) /
+                     (CAST(m.tf AS DOUBLE) +
+                      1.2 * (0.25 + 0.75 * CAST(m.dl AS DOUBLE) / s.avgdl)) AS score_t
+                   FROM m JOIN df USING (token), s),
+          bm AS (SELECT doc_id, ${SqlFragments.r15("SUM(score_t)", 8)} AS score
+                 FROM bmsc GROUP BY doc_id),
+          bmr AS (SELECT doc_id, rank FROM
+                  (SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm)
+                  WHERE rank <= 50),
+          cf AS (SELECT token, SUM(tf) AS cf FROM tfall GROUP BY token),
+          cl AS (SELECT SUM(dl) AS clen FROM d),
+          qlsc AS (SELECT f.doc_id, f.tf,
+                   ln((CAST(f.tf AS DOUBLE) +
+                       300.0 * CAST(cf.cf AS DOUBLE) / CAST(cl.clen AS DOUBLE)) /
+                      (CAST(f.dl AS DOUBLE) + 300.0)) AS score_t
+                   FROM tfall f JOIN cf USING (token), cl),
+          ql AS (SELECT doc_id, ${SqlFragments.r15("SUM(score_t)", 8)} AS score,
+                 MAX(tf) AS mx FROM qlsc GROUP BY doc_id),
+          qlr AS (SELECT doc_id, rank FROM
+                  (SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+                   FROM ql WHERE mx > 0)
+                  WHERE rank <= 50),
+          u AS (SELECT * FROM bmr UNION ALL SELECT * FROM qlr)
+          SELECT doc_id, ${SqlFragments.r15("SUM(1.0 / (60.0 + rank))", 12)} AS rrf,
+            COUNT(*) AS n_lists
+          FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10""",
 
     "q118_inverted_index" ->
       s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks

@@ -138,6 +138,38 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == (("mine1 mine2", 3L)))
   }
 
+  test("blocklistFilter: multiplicity counts, fraction gate, zero-token drop") {
+    val docs = Seq(
+      (1L, "bad bad good"),     // 2/3 blocked -> dropped at 0.5
+      (2L, "good fine bad ok"), // 1/4 -> kept at 0.5
+      (3L, "clean words only"), // 0 blocked
+      (4L, ""),                 // zero tokens -> unscoreable, dropped
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Curation.blocklistFilter(docs, "doc_id", "text",
+        Seq("bad", "BAD"), maxFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4))))
+      .toMap
+    assert(got == Map(
+      1L -> ((3L, 2L, false)),
+      2L -> ((4L, 1L, true)),
+      3L -> ((3L, 0L, true))))
+  }
+
+  test("blocklistFilterJoin == blocklistFilter, and the term side broadcasts") {
+    val docs = (0L to 100L)
+      .map(i => (i, s"tok${i % 11} bad${i % 3} tok${(i * 7) % 11}"))
+      .toDF("doc_id", "text")
+    val terms = Seq("bad0", "bad1").toDF("term")
+    val lit = Curation.blocklistFilter(docs, "doc_id", "text",
+      Seq("bad0", "bad1"), maxFrac = 0.4)
+    val join = Curation.blocklistFilterJoin(docs, "doc_id", "text",
+      terms, "term", maxFrac = 0.4)
+    assert(lit.collect().map(_.toSeq).toSet == join.collect().map(_.toSeq).toSet)
+    val plan = join.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe in:\n$plan")
+  }
+
   test("contamination broadcasts the bench side (no corpus-corpus shuffle join)") {
     val docs = (0L to 200L).map(i => (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7}"))
       .toDF("doc_id", "text")

@@ -74,4 +74,47 @@ class TfIdfSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(out.toSet == Set(("x", "y")))
   }
+
+  test("bpePairCounts: frequency-weighted adjacent pairs, hand-checked") {
+    val corpus = Seq(
+      (1L, "abc ab"), (2L, "abc x")  // freq: abc=2, ab=1, x=1 (dropped: len<2)
+    ).toDF("doc_id", "text")
+    val out = TfIdf.bpePairCounts(corpus, "text", topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "abc"×2 -> ab,bc each +2; "ab"×1 -> ab +1; "x" has no pairs
+    assert(out == Map("ab" -> 3L, "bc" -> 2L))
+  }
+
+  test("bpePairCounts: top-k cut is deterministic on (n desc, pair)") {
+    val corpus = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text")
+    val out = TfIdf.bpePairCounts(corpus, "text", topK = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("aa", "bb")) // all n=1, lexical tie-break
+  }
+
+  test("queryLikelihood: only candidate docs score; more matches rank higher") {
+    val got = TfIdf.queryLikelihood(docs, "doc_id", "text",
+        Seq("spark", "join"), mu = 10.0, topK = 10)
+      .collect().map(_.getLong(0)).toSeq
+    // doc 4 (no query term) and doc 5 (null) are absent
+    assert(!got.contains(4L) && got.length == 3)
+    // doc 1 has both terms with high tf on a short doc -> top
+    assert(got.head == 1L)
+  }
+
+  test("rrfFuse: hand-checked reciprocal-rank sum across two lists") {
+    val l1 = Seq((10L, 5.0), (20L, 4.0), (30L, 3.0)).toDF("doc_id", "score")
+    val l2 = Seq((20L, 9.0), (40L, 8.0)).toDF("doc_id", "score")
+    val got = TfIdf.rrfFuse(Seq(l1, l2), k = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // 20 is rank 2 in l1 and rank 1 in l2 -> 1/62 + 1/61, two lists
+    val exp20 = 1.0 / 62 + 1.0 / 61
+    assert(got.head._1 == 20L && got.head._3 == 2L)
+    assert(math.abs(got.head._2 - exp20) < 1e-12)
+    // singles: 10 -> 1/61, 30 -> 1/63, 40 -> 1/62
+    val m = got.map(t => t._1 -> t._2).toMap
+    assert(math.abs(m(10L) - 1.0 / 61) < 1e-12)
+    assert(math.abs(m(40L) - 1.0 / 62) < 1e-12)
+    assert(math.abs(m(30L) - 1.0 / 63) < 1e-12)
+  }
 }
