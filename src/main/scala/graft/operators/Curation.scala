@@ -229,6 +229,38 @@ object Curation {
     Mixer.exactKPerGroup(kept, "host", idCol, maxPerDomain)
   }
 
+  /** URL canonicalization — the normalization that makes URL-level
+    * dedup work (the same page arrives as `HTTPS://WWW.x.ORG:443/a/?b=2&
+    * utm_source=feed#top` and `https://x.org/a?b=2`): lowercase scheme
+    * and host, strip a leading `www.`, strip default ports (:80/:443),
+    * strip trailing path slashes and the fragment, drop tracking
+    * parameters (utm_ prefix, fbclid, gclid) and SORT the surviving query
+    * params. All regexp/array native expressions in one projection —
+    * zero shuffles, fully codegen'd; patterns stay in the RE2∩Java
+    * subset (the PiiFns rule) so the oracle replays them verbatim.
+    * Emits `canon_url` plus `n_same` (dup-group size over the canonical
+    * key — one keyed window, the payoff measurement).
+    */
+  def canonicalizeUrls(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+        "^www\\.", ""),
+      ":(443|80)$", "")
+    val path = regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val parts = filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      p => p =!= lit("") && !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid)="))
+    val q = array_join(array_sort(parts), "&")
+    df.withColumn("canon_url", concat(scheme, lit("://"), host, path,
+        when(length(q) > 0, concat(lit("?"), q)).otherwise(lit(""))))
+      .withColumn("n_same", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("canon_url"))))
+  }
+
   /** Blocklisted-term gate (the C4 "badwords" filter): per-document
     * blocked-token count WITH multiplicity, blocked fraction, and the
     * keep verdict. The term list rides as a literal array —

@@ -166,4 +166,31 @@ object Mixer {
       .withColumn("copy_id", explode(sequence(lit(1L), col("_copies"))))
       .drop("_rate", "_copies")
   }
+
+  /** Training-mixture epoch plan: per source, how many epochs (repeats,
+    * fractional) fill its share of a token budget — the planning table
+    * a data-mixing run is driven by (weights from scaling-law tuning,
+    * budget from the training plan). epochs above `maxEpochs` clamp and
+    * flag the source as over-asked (the repeated-data rule: past ~4
+    * epochs more repeats stop buying loss) — the shortfall is left to
+    * the caller's renormalization, not silently shifted.
+    *
+    * One O(sources) keyed agg over the corpus; the weight table is a
+    * broadcast. Pure per-row IEEE arithmetic after the exact-long
+    * token sums — cross-engine stable raw.
+    */
+  def epochPlan(docs: DataFrame, keyCol: String, tokensCol: Column,
+                weights: DataFrame, weightKeyCol: String, weightCol: String,
+                budget: Long, maxEpochs: Double = 4.0): DataFrame =
+    docs.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol).as("n_tokens"))
+      .join(broadcast(weights.select(col(weightKeyCol).as(keyCol),
+        col(weightCol).as("weight"))), Seq(keyCol))
+      .withColumn("planned_tokens", lit(budget.toDouble) * col("weight"))
+      .withColumn("epochs_raw",
+        col("planned_tokens") / col("n_tokens").cast("double"))
+      .withColumn("epochs", least(col("epochs_raw"), lit(maxEpochs)))
+      .withColumn("clamped", col("epochs_raw") > lit(maxEpochs))
+      .withColumn("effective_tokens",
+        col("epochs") * col("n_tokens").cast("double"))
 }

@@ -48,6 +48,31 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar corpus vectors with a DIFFERENT
+    * label — the negatives that actually teach an embedding model its
+    * margin (uniformly random negatives are trivially distant at
+    * scale, so their gradient vanishes). Same broadcast-queries ×
+    * corpus scan + bounded top-k aggregate as [[bruteForceTopK]]; the
+    * label inequality rides the join condition, so same-class pairs
+    * never reach the scorer. At 100 TB the corpus side swaps for the
+    * IVF/LSH-pruned candidate stream ([[ivfTopK]], [[lshBucketTopK]])
+    * with the same label filter.
+    */
+  def hardNegativeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      col(labelCol).as("qlab"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      col(labelCol).as("nlab"))
+    val scored = c.join(broadcast(q),
+        col("qid") =!= col("nid") && col("qlab") =!= col("nlab"))
+      .withColumn("sim", graft.expressions.CosineSim(col("qvec"), col("nvec")))
+      .select(col("qid"), col("nid"), col("sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** IVF-style ANN: corpus vectors are assigned to the nearest of
     * `nCells` coarse centroids (deterministic seeds: the first nCells
     * corpus vectors by id — no RNG, reproducible); each query probes its

@@ -109,4 +109,37 @@ object Stats {
     picked.select(col(keyCol), explode(results).as("_r"))
       .select(col(keyCol), col("_r.p").as("p"), col("_r.pct").as(outCol))
   }
+
+  /** Robust per-group outlier gate (Iglewicz–Hoaglin modified z-score):
+    * med = exact P50, mad = exact P50 of |x − med|, outlier iff
+    * |0.6745·(x − med)/mad| > cut. The robust alternative to the
+    * mean/stddev z-score a heavy-tailed quality distribution breaks
+    * (one spam cluster drags the mean; it barely moves the median).
+    *
+    * Both medians come from [[exactPercentiles]] — the two-pass
+    * count/offset shape, never a per-group sort buffer — and are
+    * r15-rounded BEFORE the z so both engines gate on bit-identical
+    * thresholds; the z itself is then pure per-row IEEE arithmetic.
+    * Groups are assumed continuous-valued (mad > 0); a mad of 0 makes
+    * the score undefined, as in any MAD formulation.
+    * Output: one row per group — n, n_outliers, med, mad.
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valCol: String,
+                  cut: Double = 3.5): DataFrame = {
+    val med = exactPercentiles(df, keyCol, valCol, Seq(0.5))
+      .groupBy(col(keyCol))
+      .agg(graft.functions.NumFns.stableRound(min(col("pct")), 6).as("med"))
+    val dev = df.join(broadcast(med), Seq(keyCol))
+      .withColumn("_dev", abs(col(valCol) - col("med")))
+    val mad = exactPercentiles(dev, keyCol, "_dev", Seq(0.5))
+      .groupBy(col(keyCol))
+      .agg(graft.functions.NumFns.stableRound(min(col("pct")), 6).as("mad"))
+    dev.join(broadcast(mad), Seq(keyCol))
+      .withColumn("_z",
+        lit(0.6745) * (col(valCol) - col("med")) / col("mad"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("_z")) > lit(cut), 1L).otherwise(0L)).as("n_outliers"),
+        min(col("med")).as("med"), min(col("mad")).as("mad"))
+  }
 }

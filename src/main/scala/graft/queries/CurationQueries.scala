@@ -88,6 +88,44 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"), col("copy_id"))
     }),
 
+    // Training-mixture epoch plan: per-language token counts vs target
+    // weights and a 40k-token budget — fractional epochs per source,
+    // clamped + flagged at the repeated-data cap (4 epochs). One
+    // O(langs) keyed agg; the weights are a broadcast literal table.
+    "q145_epoch_plan" -> ((s, dir) => {
+      import s.implicits._
+      val w = Seq(("en", 0.3), ("zh", 0.15), ("es", 0.15), ("de", 0.1),
+        ("fr", 0.3)).toDF("lang", "w")
+      graft.operators.Mixer.epochPlan(
+        t(s, dir, "documents").where(col("text").isNotNull),
+        "lang", TextFns.tokenCount(col("text")), w, "lang", "w",
+        budget = 40000L, maxEpochs = 4.0)
+    }),
+
+    // URL canonicalization: scheme/host case, www., default ports,
+    // trailing slash, fragment, tracking params (utm_*/fbclid/gclid),
+    // query-param ORDER — all collapsed so URL-level dedup can work.
+    // Inputs are deterministically messy (6 independent perturbation
+    // axes from doc_id); n_same measures the dup groups the
+    // normalization recovers. Zero shuffles except the count window.
+    "q146_url_canonical" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+          lit("://"),
+          when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+          lit("Src"), (col("doc_id") % 7).cast("string"), lit(".Example.org"),
+          when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+          lit("/doc/"), (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0, lit("?b=2&utm_source=feed&a=1"))
+            .otherwise(lit("?a=1&b=2")),
+          when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit(""))
+        ).as("url"))
+      graft.operators.Curation.canonicalizeUrls(urls, "url")
+        .select(col("doc_id"), col("url"), col("canon_url"), col("n_same"))
+    }),
+
     // Blocklisted-term gate (C4's badwords filter shape): per-doc
     // blocked-token count with multiplicity, fraction, keep verdict.
     // Literal-array probe inside codegen — zero shuffles; the
@@ -829,6 +867,60 @@ object CurationQueries {
              CAST(COUNT(*) FILTER (WHERE k IS NOT NULL
                AND k NOT IN (SELECT c_custkey FROM customer)) AS BIGINT) FROM fact)
          SELECT c AS "check", n AS n_violations, n = 0 AS ok FROM rep""",
+
+    // Same exact-long token sums, same double arithmetic chain.
+    "q145_epoch_plan" ->
+      s"""WITH d AS (SELECT lang, CAST(len(${SqlFragments.toksExpr}) AS BIGINT) AS nt
+                     FROM documents WHERE text IS NOT NULL),
+          a AS (SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(nt) AS BIGINT) AS n_tokens
+                FROM d GROUP BY lang),
+          w AS (SELECT lang, CAST(weight AS DOUBLE) AS weight
+                FROM (VALUES ('en', 0.3), ('zh', 0.15), ('es', 0.15),
+                ('de', 0.1), ('fr', 0.3)) AS t(lang, weight))
+          SELECT a.lang, a.n_docs, a.n_tokens, w.weight,
+            40000.0 * w.weight AS planned_tokens,
+            40000.0 * w.weight / a.n_tokens AS epochs_raw,
+            LEAST(40000.0 * w.weight / a.n_tokens, 4.0) AS epochs,
+            (40000.0 * w.weight / a.n_tokens) > 4.0 AS clamped,
+            LEAST(40000.0 * w.weight / a.n_tokens, 4.0) * a.n_tokens
+              AS effective_tokens
+          FROM a JOIN w USING (lang)""",
+
+    // Identical regexes (RE2∩Java subset), identical sort + rejoin.
+    "q146_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+            (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+            'Src' || (doc_id % 7) || '.Example.org' ||
+            (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+            '/doc/' || (doc_id % 50) ||
+            (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+            (CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=feed&a=1'
+                  ELSE '?a=1&b=2' END) ||
+            (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+            FROM documents),
+          c AS (SELECT doc_id, url,
+            list_sort(list_filter(
+              string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+              p -> p <> '' AND NOT regexp_matches(p,
+                '^(utm_[A-Za-z0-9_]*|fbclid|gclid)='))) AS prt
+            FROM u),
+          k AS (SELECT doc_id, url,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) ||
+            '://' ||
+            regexp_replace(regexp_replace(
+              lower(regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+              '^www\.', ''), ':(443|80)$', '') ||
+            regexp_replace(regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') ||
+            (CASE WHEN len(prt) > 0 THEN '?' || array_to_string(prt, '&')
+                  ELSE '' END) AS canon_url
+            FROM c)
+          SELECT doc_id, url, canon_url,
+            COUNT(*) OVER (PARTITION BY canon_url) AS n_same
+          FROM k""",
 
     // Same tokenizer, same list, same long/long division.
     "q139_blocklist_filter" ->

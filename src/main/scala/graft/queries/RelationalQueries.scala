@@ -26,6 +26,46 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Point-in-time (as-of) dimension join — feature-store correctness
+    // for training data: each fact row joins the dimension version
+    // valid AT ITS OWN event time (joining today's feature values onto
+    // 1996 facts is label leakage). The versioned dimension is a
+    // 3-version changelog (customer features stepped at 1995/1997/
+    // 1999); the lookup is AsOfJoin's ONE-shuffle union+window — never
+    // a per-fact correlated probe (the oracle replays with one, the
+    // engine must not).
+    "q143_point_in_time" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey").as("k"),
+        to_date(col("o_orderdate")).as("d"), col("o_totalprice").as("p"))
+      val cust = t(s, dir, "customer")
+      val ch = (0 to 2).map { v =>
+        cust.select(col("c_custkey").as("k"),
+          to_date(lit(s"${1995 + 2 * v}-01-01")).as("vf"),
+          (col("c_acctbal") + lit(100.0 * v)).as("f"))
+      }.reduce(_ unionByName _)
+      graft.operators.AsOfJoin.lookupLast(o, ch, key = "k",
+          leftTime = "d", rightTime = "vf", rightValue = "f", outCol = "f")
+        .groupBy(year(col("d")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n"),
+          NumFns.stableRound(sum(col("p")), 2).as("total_p"),
+          NumFns.stableRound(sum(col("f")), 2).as("total_f"))
+    }),
+
+    // Robust per-group outlier gate: MAD-based modified z-score
+    // (Iglewicz–Hoaglin) over account balances with injected
+    // 50× corruption — the heavy-tail-safe version of q109's
+    // mean/stddev z (one spam cluster drags a mean; it barely moves a
+    // median). Both medians are the two-pass exact percentile, r15'd
+    // before the gate so the boundary is bit-identical cross-engine.
+    "q147_mad_outliers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_nationkey"),
+        when(col("c_custkey") % 97 === 0, col("c_acctbal") * 50)
+          .otherwise(col("c_acctbal")).as("bal"))
+      graft.operators.Stats.madOutliers(cust, "c_nationkey", "bal", cut = 3.5)
+        .select(col("c_nationkey").cast("long").as("nation"), col("n"),
+          col("n_outliers"), col("med"), col("mad"))
+    }),
+
     // CDC apply: a changelog with upserts AND deletes (tombstones) folds
     // onto a base snapshot — last change per key wins, 'D' removes the
     // key, untouched base keys pass through. The delete half is what
@@ -647,6 +687,46 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // The per-fact correlated probe the ENGINE must never run — here it
+    // is the definitional truth the one-shuffle as-of must match.
+    "q143_point_in_time" ->
+      s"""WITH ch AS (
+            SELECT c_custkey AS k, DATE '1995-01-01' AS vf,
+                   c_acctbal + 0.0 AS f FROM customer
+            UNION ALL SELECT c_custkey, DATE '1997-01-01', c_acctbal + 100.0
+            FROM customer
+            UNION ALL SELECT c_custkey, DATE '1999-01-01', c_acctbal + 200.0
+            FROM customer),
+          o AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+                o_totalprice AS p FROM orders),
+          j AS (SELECT o.d, o.p,
+                (SELECT f FROM ch WHERE ch.k = o.k AND ch.vf <= o.d
+                 ORDER BY vf DESC LIMIT 1) AS f
+                FROM o)
+          SELECT CAST(year(d) AS BIGINT) AS yr, COUNT(*) AS n,
+            ${SqlFragments.r15("SUM(p)", 2)} AS total_p,
+            ${SqlFragments.r15("SUM(f)", 2)} AS total_f
+          FROM j GROUP BY yr""",
+
+    // quantile_cont == the engine's exact interpolated percentile (the
+    // q51 device); both engines gate on the r15'd med/mad.
+    "q147_mad_outliers" ->
+      s"""WITH cust AS (SELECT c_nationkey AS k,
+            CASE WHEN c_custkey % 97 = 0 THEN c_acctbal * 50
+                 ELSE c_acctbal END AS v
+            FROM customer),
+          med AS (SELECT k, ${SqlFragments.r15("quantile_cont(v, 0.5)", 6)} AS med
+                  FROM cust GROUP BY k),
+          d AS (SELECT cust.k, v, med FROM cust JOIN med USING (k)),
+          mad AS (SELECT k,
+                  ${SqlFragments.r15("quantile_cont(abs(v - med), 0.5)", 6)} AS mad
+                  FROM d GROUP BY k)
+          SELECT CAST(d.k AS BIGINT) AS nation, COUNT(*) AS n,
+            CAST(SUM(CASE WHEN abs(0.6745 * (v - med) / mad) > 3.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+            MIN(med) AS med, MIN(mad.mad) AS mad
+          FROM d JOIN mad USING (k) GROUP BY d.k""",
 
     // Spark unix_timestamp truncates to whole seconds; DuckDB epoch()
     // is fractional DOUBLE -> floor before the period division.

@@ -25,6 +25,16 @@ object VectorQueries {
       Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, 5)
     }),
 
+    // Hard-negative mining for contrastive training: per query vector,
+    // the top-5 most-similar vectors with a DIFFERENT label — the
+    // negatives that carry gradient (random negatives are trivially
+    // far). q20's broadcast × corpus scan + bounded top-k, with the
+    // label inequality riding the join condition.
+    "q144_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegativeTopK(emb.where(col("vec_id") < 10), emb, 5)
+    }),
+
     // Embedding near-dup: top same-label pair similarity, blocked by label
     // (bounded to vec_id < 500 so the pair count is scale-invariant).
     "q21_embedding_pairs" -> ((s, dir) => {
@@ -187,6 +197,19 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q144_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, label AS qlab,
+                    CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id < 10),
+              p AS (SELECT q.qid, e.vec_id AS nid,
+                    ${SqlFragments.cosineExpr("q.qe", "CAST(e.embedding AS DOUBLE[])")} AS sim
+                    FROM q, embeddings e
+                    WHERE e.vec_id <> q.qid AND e.label <> q.qlab),
+              r AS (SELECT qid, nid, sim,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+                    FROM p)
+         SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 5""",
+
     "q20_knn_cosine" ->
       s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
                     FROM embeddings WHERE vec_id < 10),

@@ -138,6 +138,30 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == (("mine1 mine2", 3L)))
   }
 
+  test("canonicalizeUrls collapses every perturbation axis to one key") {
+    val variants = Seq(
+      (1L, "HTTPS://WWW.X.Example.org:443/a/b/?b=2&utm_source=f&a=1#top"),
+      (2L, "https://x.example.org/a/b?a=1&b=2"),
+      (3L, "https://X.example.ORG:443/a/b/?utm_campaign=z&b=2&gclid=g&a=1"),
+      (4L, "http://other.org/a")  // different scheme+host stays distinct
+    ).toDF("doc_id", "url")
+    val got = Curation.canonicalizeUrls(variants, "url")
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(got(1L)._1 == "https://x.example.org/a/b?a=1&b=2")
+    assert(got(1L)._1 == got(2L)._1 && got(2L)._1 == got(3L)._1)
+    assert(got(1L)._2 == 3L && got(4L)._2 == 1L)
+    assert(got(4L)._1 == "http://other.org/a")
+  }
+
+  test("canonicalizeUrls keeps non-tracking params and drops empty query") {
+    val got = Curation.canonicalizeUrls(Seq(
+        (1L, "https://h.org/p?utm_source=x"),
+        (2L, "https://h.org/p?z=9&y=8")).toDF("doc_id", "url"), "url")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "https://h.org/p")      // all params were tracking
+    assert(got(2L) == "https://h.org/p?y=8&z=9") // sorted survivors
+  }
+
   test("blocklistFilter: multiplicity counts, fraction gate, zero-token drop") {
     val docs = Seq(
       (1L, "bad bad good"),     // 2/3 blocked -> dropped at 0.5

@@ -144,4 +144,20 @@ class MixerSpec extends SparkSpec {
     assert((1L to 10L).count(got.contains) >= 9,
       s"heavy rows missing from ${got.sorted.take(20).mkString(",")}")
   }
+
+  test("epochPlan: shares, fractional epochs, and the repeat cap") {
+    val docs = (Seq.fill(10)(("big", 100L)) ++ Seq.fill(2)(("small", 10L)))
+      .toDF("src", "nt")
+    val w = Seq(("big", 0.5), ("small", 0.5)).toDF("src", "w")
+    val got = Mixer.epochPlan(docs, "src", col("nt"), w, "src", "w",
+        budget = 1000L, maxEpochs = 4.0)
+      .collect().map(r => r.getAs[String]("src") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("epochs"),
+          r.getAs[Boolean]("clamped"), r.getAs[Double]("effective_tokens"))))
+      .toMap
+    // big: 500 planned over 1000 avail -> 0.5 epochs, no clamp
+    assert(got("big") == ((1000L, 0.5, false, 500.0)))
+    // small: 500 planned over 20 avail -> raw 25 epochs, clamped to 4
+    assert(got("small") == ((20L, 4.0, true, 80.0)))
+  }
 }

@@ -94,4 +94,19 @@ class SimilaritySpec extends SparkSpec {
       assert(hist.length == 8 && math.abs(hist.sum - 1.0) < 1e-9)
     }
   }
+
+  test("hardNegativeTopK excludes same-label vectors, else matches brute force") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), "a"),
+      (1L, Array(0.99f, 0.14f), "a"), // nearest overall but same label
+      (2L, Array(0.9f, 0.43f), "b"),
+      (3L, Array(0.0f, 1.0f), "b"),
+      (4L, Array(-1.0f, 0.0f), "c")
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegativeTopK(
+        vecs.where(col("vec_id") === 0), vecs, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    // same-label vec 1 is skipped; order: 2 (closest), 3, 4
+    assert(got.toSeq == Seq((2L, 1L), (3L, 2L), (4L, 3L)))
+  }
 }

@@ -85,4 +85,25 @@ class StatsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(viaP == viaM)
   }
+
+  test("madOutliers: injected spikes flag, clean uniform data does not") {
+    // group a: tight cluster + two wild spikes; group b: clean ramp
+    val rows = (1 to 20).map(i => ("a", 100.0 + i)) ++
+      Seq(("a", 5000.0), ("a", -4000.0)) ++
+      (1 to 20).map(i => ("b", 10.0 * i))
+    val got = Stats.madOutliers(rows.toDF("k", "v"), "k", "v", cut = 3.5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("a") == ((22L, 2L)), got.toString)
+    assert(got("b") == ((20L, 0L)), got.toString)
+  }
+
+  test("madOutliers: med/mad match the hand-computed robust stats") {
+    // odd n: med = middle, mad = median absolute deviation
+    val df = Seq(("k", 1.0), ("k", 2.0), ("k", 3.0), ("k", 4.0), ("k", 100.0))
+      .toDF("k", "v")
+    val r = Stats.madOutliers(df, "k", "v").collect().head
+    assert(r.getDouble(3) == 3.0) // median
+    assert(r.getDouble(4) == 1.0) // |1-3|,|2-3|,|3-3|,|4-3|,|97| -> med = 1
+    assert(r.getLong(2) == 1L)    // only 100 is an outlier
+  }
 }
