@@ -38,31 +38,74 @@ object SqlFragments {
     s"list_reduce(list_transform(range(1, len($a) + 1), " +
       s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (u, v) -> u + v)"
 
+  /** Unrolled DuckDB replay of [[graft.operators.Bpe.trainMerges]]:
+    * `rounds` BPE merge rounds over the distinct-word table of
+    * `documents`. Each round: adjacent-pair counts weighted by word
+    * frequency, top-1 by (n desc, p1, p2), then the left-to-right
+    * non-overlapping merge — as a string fold with a chr(31) symbol
+    * separator (ends_with over the separator-prefixed accumulator
+    * makes the last-symbol test unambiguous, and a just-merged
+    * element `p1||p2` can never re-match `p1`, mirroring the Spark
+    * fold exactly). Ends with tp1..tpN (round winners) in scope.
+    */
+  def bpeTrainCte(rounds: Int): String = {
+    val base =
+      s"""WITH t0 AS (SELECT unnest($toksExpr) AS w
+                      FROM documents WHERE text IS NOT NULL),
+          w0 AS (SELECT w AS word, COUNT(*) AS freq,
+                 list_transform(range(1, length(w) + 1), i -> substring(w, i, 1)) AS s
+                 FROM t0 GROUP BY w)"""
+    val perRound = (1 to rounds).map { r =>
+      s""",
+          pc$r AS (SELECT s[i] AS p1, s[i + 1] AS p2, CAST(SUM(freq) AS BIGINT) AS n
+                   FROM (SELECT freq, s, unnest(range(1, len(s))) AS i
+                         FROM w${r - 1} WHERE len(s) >= 2)
+                   GROUP BY 1, 2),
+          tp$r AS (SELECT p1, p2, n FROM pc$r ORDER BY n DESC, p1, p2 LIMIT 1),
+          w$r AS (SELECT word, freq,
+                  list_filter(string_split(
+                    list_reduce(list_prepend('', s), (acc, x) ->
+                      CASE WHEN x = t.p2 AND ends_with(acc, chr(31) || t.p1)
+                           THEN left(acc, length(acc) - length(t.p1) - 1)
+                                || chr(31) || t.p1 || t.p2
+                           ELSE acc || chr(31) || x END),
+                    chr(31)), y -> y <> '') AS s
+                  FROM w${r - 1}, tp$r t)"""
+    }.mkString
+    base + perRound
+  }
+
   /** Shared WITH prefix replaying Quantize.pqCodebooks' 1-iteration
     * Lloyd trajectory over `embeddings` plus the final PQ assignment:
     * `m` sub-spaces of `sub` dims, `cells` seeds (first ids), seed
     * argmin, r15(SUM/COUNT) means (the stableRound mirror), empty-cell
     * seed fallback, and the final per-(vec, sub-space) assignment `a2`
-    * (vec_id, j, cell, d). Used by the q90 (codes) and q94 (ADC search)
+    * (vec_id, j, cell, d). `fitWhere` restricts the FIT set (seeds +
+    * mean aggregation) while `a2` still assigns EVERY vector against
+    * the fitted centroids — the frozen-codebook encode of the q148
+    * index lifecycle. Used by the q90 (codes) and q94 (ADC search)
     * oracles.
     */
-  def pqLloydCte(m: Int, sub: Int, cells: Int): String =
+  def pqLloydCte(m: Int, sub: Int, cells: Int,
+                 fitWhere: String = "TRUE"): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         sv AS (SELECT vec_id, j, list_slice(v, j * $sub + 1, (j + 1) * $sub) AS sv
                FROM e, range(0, $m) t(j)),
+        svf AS (SELECT * FROM sv WHERE $fitWhere),
         sk AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell
-               FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $cells)),
+               FROM (SELECT vec_id FROM e WHERE $fitWhere
+                     ORDER BY vec_id LIMIT $cells)),
         seeds AS (SELECT s.j, k.cell, s.sv FROM sv s JOIN sk k USING (vec_id)),
         aff0 AS (SELECT s.vec_id, s.j, c.cell,
                  ${l2sqExpr("s.sv", "c.sv")} AS d
-                 FROM sv s JOIN seeds c ON s.j = c.j),
+                 FROM svf s JOIN seeds c ON s.j = c.j),
         a1 AS (SELECT vec_id, j, cell FROM
                (SELECT vec_id, j, cell,
                 ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cell) AS rn
                 FROM aff0) WHERE rn = 1),
         mx AS (SELECT a.j, a.cell, t.i,
                ${r15(s"SUM(s.sv[t.i]) / COUNT(*)", 9)} AS c
-               FROM a1 a JOIN sv s USING (vec_id, j), range(1, ${sub + 1}) t(i)
+               FROM a1 a JOIN svf s USING (vec_id, j), range(1, ${sub + 1}) t(i)
                GROUP BY a.j, a.cell, t.i),
         cb AS (SELECT j, cell, list(c ORDER BY i) AS cv FROM mx GROUP BY j, cell),
         cents AS (SELECT s.j, s.cell, COALESCE(cb.cv, s.sv) AS cv

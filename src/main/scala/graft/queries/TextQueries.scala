@@ -209,6 +209,16 @@ object TextQueries {
       graft.operators.TfIdf.pmiPairs(t(s, dir, "documents"), "doc_id", "text",
         vocabSize = 100, minPairCount = 5L)),
 
+    // BPE tokenizer TRAINING — the full count → merge → re-segment
+    // loop (q140 is one count round): 8 merges learned over the
+    // distinct-word table, each round one vocab-sized hash agg + a
+    // deterministic top-1 + a codegen'd fold applying the merge.
+    // Graded output = the learned merge table, the artifact a
+    // tokenizer trainer ships; the oracle replays all 8 rounds
+    // (including the left-to-right non-overlap scan) exactly.
+    "q149_bpe_train" -> ((s, dir) =>
+      graft.operators.Bpe.trainMerges(t(s, dir, "documents"), "text", rounds = 8)),
+
     // EXACT set-similarity self-join via prefix filtering (PPJoin):
     // complete at Jaccard >= 0.95 — no LSH false negatives — with
     // candidates bounded by rarity-ordered prefixes. The oracle is the
@@ -443,6 +453,14 @@ object TextQueries {
             ${SqlFragments.r15(
               "ln(CAST(c_ab AS DOUBLE) * n / (CAST(c_a AS DOUBLE) * c_b))", 6)} AS pmi
           FROM pr, n""",
+
+    "q149_bpe_train" -> {
+      val rounds = 8
+      s"""${SqlFragments.bpeTrainCte(rounds)}
+          ${(1 to rounds).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS round, p1, p2, n FROM tp$r")
+            .mkString("\n          UNION ALL\n          ")}"""
+    },
 
     // Definitional all-pairs Jaccard — independent of the prefix-filter
     // candidate generation under test (raw-double threshold compare on

@@ -183,6 +183,39 @@ object VectorQueries {
         emb.where(col("vec_id") < 10), codes, k = 5, book)
     }),
 
+    // Persisted ANN index LIFECYCLE — build once, search, append with
+    // FROZEN codebooks, search again: codebooks + codes live in a
+    // SnapshotStore (q92's fingerprint-snapshot shape applied to PQ),
+    // the v1 search is served from the pinned v1 manifest (isolated
+    // from the append), the delta batch is encoded with the STORED
+    // books (never re-fit) and lands via appendOnce — the redelivered
+    // second append is a proven no-op. Output = both searches tagged
+    // by phase; the oracle replays the fit-on-base / encode-everything
+    // split from the raw table.
+    "q148_pq_index_lifecycle" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb.where(col("vec_id") % 5 =!= 0)
+      val delta = emb.where(col("vec_id") % 5 === 0)
+      val root = graft.sources.Scratch.processScoped("q148_idx", dir)
+      // a lifecycle run starts from an empty store (bench re-invokes
+      // the query: stale manifests+txns from the previous run must not
+      // leak into this one)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      val store = new graft.sources.SnapshotStore(s, root)
+      val v1 = graft.operators.VectorIndex.buildPq(store, "ann",
+        base, base, "vec_id", "embedding", m = 4, k = 8)
+      val queries = emb.where(col("vec_id") < 5)
+      val r1 = graft.operators.VectorIndex.searchPq(store, "ann", queries,
+        k = 5, asOf = Some(v1))
+      assert(graft.operators.VectorIndex.appendPq(store, "ann", delta,
+        "vec_id", "embedding", txnId = 1L).nonEmpty, "first append must land")
+      assert(graft.operators.VectorIndex.appendPq(store, "ann", delta,
+        "vec_id", "embedding", txnId = 1L).isEmpty, "redelivered append must no-op")
+      val r2 = graft.operators.VectorIndex.searchPq(store, "ann", queries, k = 5)
+      r1.withColumn("phase", lit("v1"))
+        .unionByName(r2.withColumn("phase", lit("v2")))
+    }),
+
     // Semantic dedup (SemDeDup): Lloyd cells (the stable q90 trajectory
     // with m=1 — whole vectors) turn all-pairs cosine into k independent
     // in-cell prunes; a member is dropped iff any lower-id cell-mate is
@@ -294,6 +327,35 @@ object VectorQueries {
                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rnk
                 FROM agg)
           SELECT qid, nid, dist, rnk FROM r WHERE rnk <= 5""",
+
+    // Index-lifecycle replay: codebooks fit on the base slice only
+    // (fitWhere), EVERY vector coded against those frozen centroids
+    // (a2 spans the full table — the oracle-side mirror of "append
+    // encodes with stored books"), v1 search restricted to base-coded
+    // vectors, v2 over all.
+    "q148_pq_index_lifecycle" ->
+      s"""${SqlFragments.pqLloydCte(m = 4, sub = 16, cells = 8,
+            fitWhere = "vec_id % 5 <> 0")},
+          codes AS (SELECT vec_id, list(cell ORDER BY j) AS codes
+                    FROM a2 GROUP BY vec_id),
+          q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+          pd AS (SELECT q.qid, c.vec_id AS nid, ct.j,
+                 ${SqlFragments.l2sqExpr(
+                   "list_slice(q.qv, ct.j * 16 + 1, (ct.j + 1) * 16)", "ct.cv")} AS d
+                 FROM q JOIN codes c ON c.vec_id <> q.qid
+                 JOIN cents ct ON c.codes[ct.j + 1] = ct.cell),
+          agg AS (SELECT qid, nid,
+                  list_reduce(list(d ORDER BY j), (u, v) -> u + v) AS dist
+                  FROM pd GROUP BY qid, nid),
+          r1 AS (SELECT 'v1' AS phase, qid, nid, dist,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rnk
+                 FROM agg WHERE nid % 5 <> 0),
+          r2 AS (SELECT 'v2' AS phase, qid, nid, dist,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rnk
+                 FROM agg)
+          SELECT phase, qid, nid, dist, rnk FROM r1 WHERE rnk <= 5
+          UNION ALL
+          SELECT phase, qid, nid, dist, rnk FROM r2 WHERE rnk <= 5""",
 
     // SQ8 codebook + codes (q72's CTEs), per-pair dequantize, cosine
     // vs the raw query vector, rank desc.

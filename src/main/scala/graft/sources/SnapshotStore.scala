@@ -82,13 +82,26 @@ class SnapshotStore(spark: SparkSession, root: String) {
       .toSeq.sorted
   }
 
-  private def readManifest(view: String, v: Long): Seq[String] = {
-    val txt = Files.readString(manifestPath(view, v))
-    // manifest = one data-dir name per line inside a JSON array of
-    // strings (names contain no quotes/escapes by construction)
-    txt.split("[\\[\\],]").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+  // manifest = {"dirs":[...],"txns":[...]} — dirs are the snapshot's
+  // data directories; txns the applied-transaction ids carried forward
+  // across EVERY commit (append, overwrite, merge, compact), so the
+  // exactly-once guarantee of [[appendOnce]] survives a table rewrite
+  // (deriving txns from live dir names would erase them on OPTIMIZE —
+  // Delta persists setTransaction state in the snapshot for the same
+  // reason). Names/ids contain no quotes/escapes by construction.
+  private def manifestField(txt: String, field: String): Seq[String] = {
+    val m = ("\"" + field + "\"\\s*:\\s*\\[([^\\]]*)\\]").r
+    m.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
   }
+
+  private def readManifest(view: String, v: Long): Seq[String] =
+    manifestField(Files.readString(manifestPath(view, v)), "dirs")
+
+  private def manifestTxns(view: String, v: Long): Set[Long] =
+    manifestField(Files.readString(manifestPath(view, v)), "txns")
+      .map(_.toLong).toSet
 
   /** The data-dir names snapshot `v` (default: latest) is made of —
     * public so tests can pin copy-on-write behavior (which dirs a merge
@@ -119,7 +132,12 @@ class SnapshotStore(spark: SparkSession, root: String) {
       c -> written.schema(c).dataType.isInstanceOf[NumericType]
     }
     val aggs = kinds.flatMap { case (c, numeric) =>
-      val cc = if (numeric) col(c).cast("double") else col(c).cast("string")
+      // numeric bounds are recorded in the column's OWN representation
+      // (no double round-trip: a 64-bit key beyond 2^53 would lose
+      // precision and let mergeInto misclassify a dir as untouched —
+      // a silently skipped update); comparisons parse them as exact
+      // BigDecimal
+      val cc = if (numeric) col(c) else col(c).cast("string")
       Seq(min(cc), max(cc))
     }
     val r = written.agg(aggs.head, aggs.tail: _*).head()
@@ -142,7 +160,9 @@ class SnapshotStore(spark: SparkSession, root: String) {
 
   private def overlaps(numeric: Boolean, aLo: String, aHi: String,
                        bLo: String, bHi: String): Boolean =
-    if (numeric) !(aHi.toDouble < bLo.toDouble || aLo.toDouble > bHi.toDouble)
+    if (numeric)
+      // exact decimal compare — doubles would truncate 64-bit keys
+      !(BigDecimal(aHi) < BigDecimal(bLo) || BigDecimal(aLo) > BigDecimal(bHi))
     else !(aHi < bLo || aLo > bHi)
 
   // ------------------------------------------------------------- commits
@@ -174,10 +194,13 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * by the hammered-appends spec). The manifest appears atomically
     * with its full content; first committer wins, the loser throws.
     */
-  private def publish(view: String, next: Long, dirs: Seq[String]): Unit = {
+  private def publish(view: String, next: Long, dirs: Seq[String],
+                      txns: Set[Long]): Unit = {
     Files.createDirectories(manifestDir(view))
     val tmp = Files.createTempFile(manifestDir(view), s".v$next", ".tmp")
-    Files.writeString(tmp, dirs.map(d => "\"" + d + "\"").mkString("[", ",", "]"))
+    Files.writeString(tmp,
+      dirs.map(d => "\"" + d + "\"").mkString("{\"dirs\":[", ",", "],") +
+        txns.toSeq.sorted.mkString("\"txns\":[", ",", "]}"))
     try
       Files.createLink(manifestPath(view, next), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -211,26 +234,24 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val dirs =
       if (overwrite || vs.isEmpty) Seq(dataDir)
       else readManifest(view, base) :+ dataDir
-    publish(view, next, dirs)
+    // txn history is carried across ALL commit kinds — including
+    // overwrite — so an appendOnce retry racing a compaction/rewrite
+    // still recognizes its txn instead of double-appending
+    val prevTxns = if (vs.isEmpty) Set.empty[Long] else manifestTxns(view, base)
+    publish(view, next, dirs, prevTxns ++ txn)
     next
   }
 
-  /** Txn ids already folded into the CURRENT snapshot (parsed from the
-    * dir-name tags [[appendOnce]] writes). Overwrite/compact commits
-    * restart the visible tag history — acceptable for the foreachBatch
-    * retry window this guards (a retry lands within the live manifest
-    * chain; replays older than the table's full rewrite are fenced by
-    * the streaming checkpoint itself).
+  /** Txn ids already folded into the CURRENT snapshot. Read from the
+    * manifest's persisted `txns` list — NOT derived from live dir names,
+    * which a compact()/overwrite commit replaces (that derivation was
+    * the round-6 hole: an OPTIMIZE landing between a batch commit and
+    * its foreachBatch retry erased the tag and the retry double-
+    * appended).
     */
   def appliedTxns(view: String): Set[Long] = {
     val vs = versions(view)
-    if (vs.isEmpty) Set.empty
-    else readManifest(view, vs.max).flatMap { d =>
-      d.split("-").collectFirst {
-        case s if s.startsWith("tx") && s.drop(2).forall(_.isDigit) && s.length > 2 =>
-          s.drop(2).toLong
-      }
-    }.toSet
+    if (vs.isEmpty) Set.empty else manifestTxns(view, vs.max)
   }
 
   /** Idempotent append keyed by `txnId` — the exactly-once sink primitive
@@ -319,12 +340,24 @@ class SnapshotStore(spark: SparkSession, root: String) {
         .getOrElse(lit(false))
     val vs = versions(view)
     if (vs.isEmpty)
+      // expectedBase pins the empty-table path too: a racing first
+      // commit landing between versions() and publish surfaces as a
+      // SnapshotConflict instead of being silently overwritten
       return commit(view, source.where(!isDelete).drop(deleteCol.toSeq: _*),
-        overwrite = true, statsCols = statsCols)
+        overwrite = true, expectedBase = Some(0L), statsCols = statsCols)
     val base = vs.max
     val dirs = readManifest(view, base)
-    val targetCols = read(view, Some(base)).columns.toSeq
+    val targetSchema = read(view, Some(base)).schema
+    val targetCols = targetSchema.map(_.name)
     val upserts = source.where(!isDelete).select(targetCols.map(col): _*)
+    // Schema evolution alignment: a touched dir may predate a column
+    // that exists only in other dirs; project such columns as typed
+    // NULLs (what the whole-table mergeSchema read would yield) before
+    // the anti-join/union instead of failing the select.
+    def aligned(df: DataFrame): DataFrame =
+      df.select(targetCols.map(c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(targetSchema(c).dataType).as(c)): _*)
     // A dir must be rewritten iff SOME source key falls inside its
     // recorded [min,max] — tested per dir in ONE aggregate pass over the
     // source (a bounds-vs-bounds overlap would be far coarser: a single
@@ -338,8 +371,14 @@ class SnapshotStore(spark: SparkSession, root: String) {
       if (ranged.isEmpty) Set.empty
       else {
         val aggs = ranged.map { case (_, (numeric, lo, hi)) =>
-          val kc = if (numeric) col(keyCol).cast("double") else col(keyCol).cast("string")
-          val (l, h) = if (numeric) (lit(lo.toDouble), lit(hi.toDouble)) else (lit(lo), lit(hi))
+          // numeric bounds as exact decimal literals against the key in
+          // its own type (a double round-trip misclassifies dirs for
+          // keys beyond 2^53 — a lost update, not just an over-read)
+          val kc = if (numeric) col(keyCol) else col(keyCol).cast("string")
+          val (l, h) =
+            if (numeric) (lit(new java.math.BigDecimal(lo)),
+              lit(new java.math.BigDecimal(hi)))
+            else (lit(lo), lit(hi))
           max(kc.between(l, h))
         }
         val r = source.agg(aggs.head, aggs.tail: _*).head()
@@ -351,7 +390,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
       dirs.partition(d => hit.contains(d) || statless.contains(d))
     val rewritten =
       if (touched.isEmpty) upserts
-      else readDirs(touched, view).select(targetCols.map(col): _*)
+      else aligned(readDirs(touched, view))
         .join(source.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         .unionByName(upserts)
     val next = base + 1
@@ -361,7 +400,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
     // atomic publish — the publish itself still decides the race
     if (versions(view).max != base)
       throw new SnapshotConflict(s"$view: base v$base superseded during merge")
-    publish(view, next, untouched :+ dataDir)
+    publish(view, next, untouched :+ dataDir, manifestTxns(view, base))
     next
   }
 
@@ -375,11 +414,22 @@ class SnapshotStore(spark: SparkSession, root: String) {
     */
   def diff(view: String, fromV: Long, toV: Long, keyCols: Seq[String]): DataFrame = {
     val pre = read(view, Some(fromV))
-    val payload = pre.columns.filterNot(keyCols.contains).toSeq
+    val post = read(view, Some(toV))
+    // payload = UNION of both snapshots' columns: a column added (or
+    // dropped by an overwrite) between the versions is NULL-padded on
+    // the side that lacks it — matching mergeSchema read semantics —
+    // so a row whose only change is in a new column still surfaces as
+    // an update, and pack() never throws on a missing field.
+    val payload = (pre.columns ++ post.columns).distinct
+      .filterNot(keyCols.contains).toSeq
+    def dtypeOf(c: String) =
+      pre.schema.find(_.name == c).getOrElse(post.schema(c)).dataType
     def pack(df: DataFrame, as: String) =
-      df.select(keyCols.map(col) :+ struct(payload.map(col): _*).as(as): _*)
+      df.select(keyCols.map(col) :+ struct(payload.map(c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(dtypeOf(c)).as(c)): _*).as(as): _*)
     pack(pre, "_pre")
-      .join(pack(read(view, Some(toV)), "_post"), keyCols, "full_outer")
+      .join(pack(post, "_post"), keyCols, "full_outer")
       .withColumn("change_type",
         when(col("_pre").isNull, lit("insert"))
           .when(col("_post").isNull, lit("delete"))

@@ -102,6 +102,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q132 prefix join: PPJoin length+positional filters in the candidate join; no single-partition exchange") {
+    val df = SparkEntry.queries("q132_jaccard_prefix_join")(spark, sf())
+    val p = plan(df)
+    // the r6 scale-killer: global row_number() ranked the vocabulary
+    // through one partition — now sort+zipWithIndex, so no plan node
+    // may collapse to a single partition
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate join must carry the length filter (t*max<=min, the
+    // 0.95 factors) and the positional filter (least(remaining
+    // suffix)) INSIDE its predicate — not as a post-join filter
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("0.95")).toSeq
+    assert(joinLines.exists(l => l.contains("least(")),
+      "candidate join lacks length/positional filters:\n" + p)
+  }
+
   test("two-pass exact median has no group-buffering percentile aggregate") {
     val df = SparkEntry.queries("q51_exact_median")(spark, sf())
     val p = plan(df)

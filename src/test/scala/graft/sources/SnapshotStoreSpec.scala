@@ -237,4 +237,65 @@ class SnapshotStoreSpec extends SparkSpec {
       .as[(Int, Option[Long])].collect().toMap
     assert(rows == Map(1 -> None, 2 -> Some(7L)))
   }
+
+  test("appendOnce txn ids survive compaction (no double-append after OPTIMIZE)") {
+    val (st, _) = freshStore()
+    st.appendOnce("t", Seq((1, "a")).toDF("k", "v"), txnId = 7L)
+    st.appendOnce("t", Seq((2, "b")).toDF("k", "v"), txnId = 8L)
+    // an OPTIMIZE lands between the commit and its foreachBatch retry:
+    // the rewrite replaces every data dir, so txn ids derived from dir
+    // names would vanish — they must come from the persisted manifest
+    st.compact("t")
+    assert(st.appliedTxns("t") == Set(7L, 8L))
+    assert(st.appendOnce("t", Seq((99, "dup")).toDF("k", "v"), txnId = 8L).isEmpty)
+    assert(st.read("t").select("k").as[Int].collect().toSet == Set(1, 2))
+  }
+
+  test("mergeInto on a schema-evolved table rewrites old-schema dirs as typed NULLs") {
+    val (st, _) = freshStore()
+    // dir 1 predates column `extra`; dir 2 carries it
+    st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
+    st.commit("t", Seq((5, "e", 7L)).toDF("k", "v", "extra"), overwrite = false)
+    // source keys overlap the OLD dir (k=1), forcing its rewrite under
+    // the merged 3-column schema — r6 threw AnalysisException here
+    val src = Seq((1, "a2", 11L), (9, "i", 99L)).toDF("k", "v", "extra")
+    st.mergeInto("t", src, "k")
+    val rows = st.read("t").select("k", "v", "extra")
+      .as[(Int, String, Option[Long])].collect().toSet
+    assert(rows == Set((1, "a2", Some(11L)), (5, "e", Some(7L)), (9, "i", Some(99L))))
+  }
+
+  test("merge key skipping is exact for 64-bit keys beyond double precision") {
+    val (st, _) = freshStore()
+    // 2^53 and neighbors collapse to the same double; exact stats must
+    // still classify the dirs correctly
+    val base = 1L << 53
+    st.commit("t", Seq((base, "lo")).toDF("k", "v"), overwrite = true,
+      statsCols = Seq("k"))
+    st.commit("t", Seq((base + 1L, "hi")).toDF("k", "v"), overwrite = false,
+      statsCols = Seq("k"))
+    val v = st.mergeInto("t", Seq((base + 1L, "HI")).toDF("k", "v"), "k",
+      statsCols = Seq("k"))
+    // only the dir containing base+1 is rewritten; dir 1 carried by name
+    val dirs = st.manifestDirs("t", Some(v))
+    assert(dirs.exists(_.startsWith("b1-")), dirs.mkString(","))
+    val rows = st.read("t").as[(Long, String)].collect().toSet
+    assert(rows == Set((base, "lo"), (base + 1L, "HI")))
+  }
+
+  test("diff sees changes in a column added between the two versions") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq((1, "a"), (2, "b")).toDF("k", "v"), overwrite = true)
+    st.commit("t", Seq((1, "a", 10L), (2, "b", 20L)).toDF("k", "v", "extra"),
+      overwrite = true)
+    // rows changed ONLY in the new column must surface as updates with
+    // a NULL _pre for that column (r6 dropped them: payload came from
+    // the fromV schema alone)
+    val d = st.diff("t", 1L, 2L, Seq("k"))
+      .select("k", "change_type", "extra_pre", "extra_post")
+      .as[(Int, String, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+    assert(d == Seq(
+      (1, "update", None, Some(10L)),
+      (2, "update", None, Some(20L))))
+  }
 }
