@@ -84,6 +84,71 @@ object PipelineQueries {
           NumFns.stableRound(col("Neutre"), 6).as("Neutre"))
     }),
 
+    // The WHOLE lambda architecture on the ACID layer, graded as one
+    // day-cycle (reference batchPipeline.py:169-180 + twitterConsumer
+    // Stream.py:110-127 + prediction.py:82-93, upgraded from ViewStore
+    // to SnapshotStore): masters land as snapshot commits (ingest),
+    // the batch recompute reads THE STORE and commits batch_view as a
+    // new version, today's deltas run the real fMGWS speed merge and
+    // land exactly-once (appendOnce; the redelivered batch is a proven
+    // no-op), and serving splices a skipping-read of the PINNED batch
+    // version with the speed row — the day-boundary handoff the lambda
+    // architecture exists for, every layer behind a manifest.
+    "q150_lambda_snapshot" -> ((s, dir) => {
+      import s.implicits._
+      val today = "1997-01-30"
+      val root = graft.sources.Scratch.processScoped("q150_lambda", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      val st = new graft.sources.SnapshotStore(s, root)
+      // ingest: masters -> snapshot commits
+      st.commit("news_master", newsMaster(s, dir), overwrite = true,
+        statsCols = Seq("Date"))
+      st.commit("stock_master", stockMaster(s, dir), overwrite = true,
+        statsCols = Seq("Date"))
+      // batch: recompute FROM the store, commit the view
+      val bvV = st.commit("batch_view",
+        graft.batch.BatchPipeline.run(
+          st.read("news_master"), st.read("stock_master"), today),
+        overwrite = true, statsCols = Seq("Date"))
+      // speed: today's per-article scores + today's tick through the
+      // real keyed streaming merge, appended exactly once
+      val newsWithId = t(s, dir, "documents").select(
+        date_format(date_add(lit("1997-01-01").cast("date"),
+          (col("doc_id") % 30).cast("int")), "yyyy-MM-dd").as("Date"),
+        col("text").as("Text"), col("doc_id"))
+      val sentDeltas = graft.batch.BatchPipeline.scoreNews(
+          graft.batch.BatchPipeline.cleanNews(
+            newsWithId.where(col("Date") === today)))
+        .select(col("Date"), col("doc_id"),
+          col("Positive"), col("Negative"), col("Neutre"))
+        .as[(String, Long, Double, Double, Double)]
+        .map { case (d, id, p, n, u) => graft.model.SpeedDelta(d, id, None,
+          Some(graft.model.SentimentScore(p, n, u))) }
+      val tickDeltas = stockMaster(s, dir).where(col("Date") === today)
+        .select(col("Date"), col("Open"), col("High"), col("Low"),
+          col("Close"), col("Volume"))
+        .as[(String, Double, Double, Double, Double, Double)]
+        .map { case (d, o, h, l, c, v) => graft.model.SpeedDelta(d, 0L,
+          Some(graft.model.Tick(d, Some(o), Some(h), Some(l), Some(c),
+            Some(c), Some(v))), None) }
+      val speedRows = speedRowsOut(
+        graft.streaming.SpeedLayer.mergeDeltas(sentDeltas.union(tickDeltas)))
+      st.appendOnce("speed_view", speedRows, txnId = 1L, statsCols = Seq("date"))
+      require(st.appendOnce("speed_view", speedRows, txnId = 1L).isEmpty,
+        "redelivered speed batch must no-op")
+      // serving: pinned-version skipping read of history + today's row
+      val hist = st.readPruned("batch_view", "Date", "1997-01-01", "1997-01-29",
+          asOf = Some(bvV))
+        .select(col("Date").as("date"), col("Close").as("close"),
+          col("Nbr_article").cast("long").as("nbr_article"),
+          NumFns.stableRound(col("Positive"), 6).as("positive"),
+          lit("batch").as("source"))
+      val todayRow = st.read("speed_view")
+        .select(col("date"), col("close"), col("nbr_article"),
+          col("positive"), lit("speed").as("source"))
+      hist.unionByName(todayRow)
+    }),
+
     // §3.2 speed-layer keyed merge (J2/A3/T7), graded under the oracle:
     // the engine's fold-in-state centerpiece (SpeedLayer.mergeDeltas —
     // reference twitterConsumerStream.py:94-107 upserting sentiment via
@@ -459,45 +524,78 @@ object PipelineQueries {
            positive, negative, neutral
          FROM ta FULL JOIN sa ON ta.d = sa.d"""
 
+  /** Shared WITH prefix replaying the batch recompute (date cycle, clean
+    * gate len>=10, per-article sentiment with doc_id carried for
+    * seq-ordered speed folds, daily agg, OHLCV stock agg). Ends with
+    * `scored`, `agg`, `stock` in scope — used by the q25 (batch_view)
+    * and q150 (lambda day-cycle splice) oracles.
+    */
+  private val LambdaBatchCte: String = {
+    val pos = graft.functions.SentimentFns.DefaultPositive.map(w => s"'$w'").mkString("[", ", ", "]")
+    val neg = graft.functions.SentimentFns.DefaultNegative.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH news AS (
+          SELECT doc_id,
+                 strftime(DATE '1997-01-01' + INTERVAL (doc_id % 30) DAY, '%Y-%m-%d') AS d,
+                 ${SqlFragments.cleanExpr} AS clean
+          FROM documents WHERE text IS NOT NULL AND LENGTH(text) >= 10),
+        toks AS (
+          SELECT doc_id, d, list_filter(regexp_split_to_array(lower(clean), '\\s+'), x -> length(x) > 0) AS tk
+          FROM news WHERE clean IS NOT NULL),
+        scored AS (
+          SELECT doc_id, d, CAST(len(tk) AS DOUBLE) AS n,
+                 CAST(len(list_filter(tk, x -> list_contains($pos, x))) AS DOUBLE) AS pc,
+                 CAST(len(list_filter(tk, x -> list_contains($neg, x))) AS DOUBLE) AS nc
+          FROM toks),
+        agg AS (
+          SELECT d, COUNT(*) AS nbr,
+                 AVG((pc + 1.0) / (n + 3.0)) AS p,
+                 AVG((nc + 1.0) / (n + 3.0)) AS ng,
+                 AVG((n - pc - nc + 1.0) / (n + 3.0)) AS nu
+          FROM scored GROUP BY d),
+        stock AS (
+          SELECT strftime(l_shipdate, '%Y-%m-%d') AS ds,
+                 MIN(l_extendedprice) AS Low,
+                 MAX(l_extendedprice) AS High,
+                 ${SqlFragments.r15("SUM(l_extendedprice)", 4)} AS Open,
+                 ${SqlFragments.r15("AVG(l_extendedprice)", 4)} AS Close,
+                 SUM(l_quantity) AS Volume
+          FROM lineitem
+          WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-01-30'
+          GROUP BY 1)"""
+  }
+
   val oracle: Map[String, String] = Map(
-    "q25_batch_pipeline" -> {
-      val pos = graft.functions.SentimentFns.DefaultPositive.map(w => s"'$w'").mkString("[", ", ", "]")
-      val neg = graft.functions.SentimentFns.DefaultNegative.map(w => s"'$w'").mkString("[", ", ", "]")
-      // date cycle, clean gate (len>=10), sentiment, daily agg, stock join
-      s"""WITH news AS (
-            SELECT strftime(DATE '1997-01-01' + INTERVAL (doc_id % 30) DAY, '%Y-%m-%d') AS d,
-                   ${SqlFragments.cleanExpr} AS clean
-            FROM documents WHERE text IS NOT NULL AND LENGTH(text) >= 10),
-          toks AS (
-            SELECT d, list_filter(regexp_split_to_array(lower(clean), '\\s+'), x -> length(x) > 0) AS tk
-            FROM news WHERE clean IS NOT NULL),
-          scored AS (
-            SELECT d, CAST(len(tk) AS DOUBLE) AS n,
-                   CAST(len(list_filter(tk, x -> list_contains($pos, x))) AS DOUBLE) AS pc,
-                   CAST(len(list_filter(tk, x -> list_contains($neg, x))) AS DOUBLE) AS nc
-            FROM toks),
-          agg AS (
-            SELECT d, COUNT(*) AS nbr,
-                   AVG((pc + 1.0) / (n + 3.0)) AS p,
-                   AVG((nc + 1.0) / (n + 3.0)) AS ng,
-                   AVG((n - pc - nc + 1.0) / (n + 3.0)) AS nu
-            FROM scored GROUP BY d),
-          stock AS (
-            SELECT strftime(l_shipdate, '%Y-%m-%d') AS ds,
-                   MIN(l_extendedprice) AS Low,
-                   MAX(l_extendedprice) AS High,
-                   ${SqlFragments.r15("SUM(l_extendedprice)", 4)} AS Open,
-                   ${SqlFragments.r15("AVG(l_extendedprice)", 4)} AS Close,
-                   SUM(l_quantity) AS Volume
-            FROM lineitem
-            WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-01-30'
-            GROUP BY 1)
+    "q25_batch_pipeline" ->
+      s"""$LambdaBatchCte
           SELECT agg.d AS "Date", Open, High, Low, Close, Volume,
                  CAST(nbr AS BIGINT) AS Nbr_article,
                  ${SqlFragments.r15("p", 6)} AS Positive, ${SqlFragments.r15("ng", 6)} AS Negative, ${SqlFragments.r15("nu", 6)} AS Neutre
           FROM stock JOIN agg ON stock.ds = agg.d
-          WHERE agg.d <> '1997-01-30'"""
-    },
+          WHERE agg.d <> '1997-01-30'""",
+
+    // Day-cycle splice on the ACID layer: batch_view rows (the q25
+    // recompute) tagged 'batch' for the closed days, plus today's
+    // speed row — per-article scores folded EW in doc_id (= seq)
+    // order, today's OHLCV close last-write-wins — tagged 'speed'.
+    "q150_lambda_snapshot" ->
+      s"""$LambdaBatchCte,
+          bv AS (SELECT agg.d AS date, Close AS close,
+                 CAST(nbr AS BIGINT) AS nbr_article,
+                 ${SqlFragments.r15("p", 6)} AS positive, 'batch' AS source
+                 FROM stock JOIN agg ON stock.ds = agg.d
+                 WHERE agg.d <> '1997-01-30'),
+          spn AS (SELECT COUNT(*) AS nbr,
+                  list_reduce(list((pc + 1.0) / (n + 3.0) ORDER BY doc_id),
+                    (x, y) -> (x + y) / 2.0) AS pos
+                  FROM scored WHERE d = '1997-01-30'),
+          spt AS (SELECT Close FROM stock WHERE ds = '1997-01-30'),
+          sp AS (SELECT '1997-01-30' AS date, spt.Close AS close,
+                 CAST(spn.nbr AS BIGINT) AS nbr_article, spn.pos AS positive,
+                 'speed' AS source
+                 FROM spn LEFT JOIN spt ON TRUE)
+          SELECT date, close, nbr_article, positive, source FROM bv
+          UNION ALL
+          SELECT date, close, nbr_article, positive, source FROM sp""",
     "q63_speed_merge" -> SpeedMergeSql,
 
     "q85_speed_merge_tws" -> SpeedMergeSql,
