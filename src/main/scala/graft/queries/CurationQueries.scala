@@ -446,6 +446,31 @@ object CurationQueries {
         .agg(count(lit(1)).as("n"), NumFns.stableRound(sum(col("p")), 2).as("total"))
     }),
 
+    // Bloom-sidecar point lookup — the skipping read min/max stats
+    // CANNOT serve: four append commits hold INTERLEAVED keys
+    // (k % 4 == i), so every dir's [min,max] spans the whole key
+    // domain and range pruning keeps all four; the per-dir bloom
+    // sidecars (written at commit, probed on the driver before any
+    // footer opens) rule out the non-matching dirs, and the exact
+    // predicate handles the 1% fpp. The MERGE-key/digest-probe access
+    // path at 100 TB: O(dirs) sidecar probes, data IO only where the
+    // key can live.
+    "q151_bloom_point_lookup" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q151_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val store = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      for (i <- 0 to 3)
+        store.commit("t", o.where(col("k") % 4 === i), overwrite = i == 0,
+          statsCols = Seq("k"), bloomCols = Seq("k"))
+      val probe = o.agg(max(col("k"))).head().getLong(0)
+      val (kept, skipped) = store.pruneDirsEq("t", "k", probe)
+      require(skipped.nonEmpty,
+        s"bloom pruning skipped nothing (kept ${kept.size} dirs)")
+      store.readPrunedEq("t", "k", probe)
+    }),
+
     // Change data feed: two overwrite snapshots of a rolling window
     // (Jan..Mar then Feb..Apr with every 5th key repriced), diffed as
     // ONE manifest-resolved full-outer join — inserts (Apr), deletes
@@ -969,6 +994,13 @@ object CurationQueries {
           WHERE strftime(o_orderdate, '%Y-%m-%d')
                 BETWEEN '1995-02-01' AND '1995-03-31'
           GROUP BY d""",
+
+    // Bloom pruning is invisible to results: the lookup == the plain
+    // point query (the bloom only decides which dirs get opened).
+    "q151_bloom_point_lookup" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
+         FROM orders
+         WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM orders)""",
 
     // The CDF replay: full-outer join of the two window snapshots on k.
     "q135_snapshot_diff" ->

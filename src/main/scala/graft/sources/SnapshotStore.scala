@@ -37,9 +37,13 @@ import scala.jdk.CollectionConverters._
   *    declared columns (`_stats.tsv` inside the immutable data dir — the
   *    dir is attempt-unique, so the sidecar is race-free); [[readPruned]]
   *    plans a range read from the manifest + stats WITHOUT touching
-  *    non-overlapping dirs. At scale the same stats come per-file from
-  *    parquet writer task metrics; dir granularity here keeps the
-  *    manifest O(commits) and demonstrates the plan-time skip.
+  *    non-overlapping dirs. For point lookups over INTERLEAVED keys
+  *    (where every dir's range overlaps every probe) a commit can also
+  *    record per-dir bloom sidecars (`_bloom_<col>.bin`, 1% fpp);
+  *    [[readPrunedEq]] probes them driver-side before any footer opens.
+  *    At scale the same stats come per-file from parquet writer task
+  *    metrics; dir granularity here keeps the manifest O(commits) and
+  *    demonstrates the plan-time skip.
   *  - '''MERGE INTO''' ([[mergeInto]]): copy-on-write at dir granularity —
   *    only dirs whose key-range stats overlap the source's keys are
   *    rewritten; untouched dirs are carried into the new manifest by
@@ -124,29 +128,60 @@ class SnapshotStore(spark: SparkSession, root: String) {
   private val StatsFile = "_stats.tsv"
 
   private def writeStats(view: String, dirName: String, df: DataFrame,
-                         statsCols: Seq[String]): Unit = {
-    if (statsCols.isEmpty) return
+                         statsCols: Seq[String],
+                         bloomCols: Seq[String] = Nil): Unit = {
+    if (statsCols.isEmpty && bloomCols.isEmpty) return
     val path = dataRoot(view).resolve(dirName)
     val written = spark.read.parquet(path.toString)
-    val kinds = statsCols.map { c =>
-      c -> written.schema(c).dataType.isInstanceOf[NumericType]
+    if (statsCols.nonEmpty) {
+      val kinds = statsCols.map { c =>
+        c -> written.schema(c).dataType.isInstanceOf[NumericType]
+      }
+      val aggs = kinds.flatMap { case (c, numeric) =>
+        // numeric bounds are recorded in the column's OWN representation
+        // (no double round-trip: a 64-bit key beyond 2^53 would lose
+        // precision and let mergeInto misclassify a dir as untouched —
+        // a silently skipped update); comparisons parse them as exact
+        // BigDecimal
+        val cc = if (numeric) col(c) else col(c).cast("string")
+        Seq(min(cc), max(cc))
+      }
+      val r = written.agg(aggs.head, aggs.tail: _*).head()
+      val lines = kinds.zipWithIndex.collect {
+        case ((c, numeric), i) if !r.isNullAt(2 * i) =>
+          val kind = if (numeric) "n" else "s"
+          s"$c\t$kind\t${r.get(2 * i)}\t${r.get(2 * i + 1)}"
+      }
+      Files.writeString(path.resolve(StatsFile), lines.mkString("\n"))
     }
-    val aggs = kinds.flatMap { case (c, numeric) =>
-      // numeric bounds are recorded in the column's OWN representation
-      // (no double round-trip: a 64-bit key beyond 2^53 would lose
-      // precision and let mergeInto misclassify a dir as untouched —
-      // a silently skipped update); comparisons parse them as exact
-      // BigDecimal
-      val cc = if (numeric) col(c) else col(c).cast("string")
-      Seq(min(cc), max(cc))
+    // Bloom sidecars: point-lookup skipping for columns whose values
+    // interleave across commits (min/max ranges all overlap, so range
+    // stats prune nothing — digest/key probes are exactly this shape).
+    // One membership sketch per (dir, col), sized to the dir's rows at
+    // 1% fpp; the probe costs zero data IO for a skipped dir.
+    bloomCols.foreach { c =>
+      import org.apache.spark.sql.types._
+      written.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => ()
+        case dt => throw new IllegalArgumentException(
+          s"bloom stats need an integral or string column; $c is $dt")
+      }
+      val n = math.max(written.count(), 1L)
+      val bf = written.stat.bloomFilter(c, n, 0.01)
+      val out = Files.newOutputStream(path.resolve(s"_bloom_$c.bin"))
+      try bf.writeTo(out) finally out.close()
     }
-    val r = written.agg(aggs.head, aggs.tail: _*).head()
-    val lines = kinds.zipWithIndex.collect {
-      case ((c, numeric), i) if !r.isNullAt(2 * i) =>
-        val kind = if (numeric) "n" else "s"
-        s"$c\t$kind\t${r.get(2 * i)}\t${r.get(2 * i + 1)}"
+  }
+
+  private def dirBloom(view: String, dirName: String,
+                       c: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = dataRoot(view).resolve(dirName).resolve(s"_bloom_$c.bin")
+    if (!Files.exists(p)) None
+    else {
+      val in = Files.newInputStream(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
     }
-    Files.writeString(path.resolve(StatsFile), lines.mkString("\n"))
   }
 
   private def dirStats(view: String, dirName: String): Map[String, (Boolean, String, String)] = {
@@ -180,10 +215,11 @@ class SnapshotStore(spark: SparkSession, root: String) {
   }
 
   private def writeData(view: String, df: DataFrame, dirName: String,
-                        statsCols: Seq[String]): Unit = {
+                        statsCols: Seq[String],
+                        bloomCols: Seq[String] = Nil): Unit = {
     df.write.mode("overwrite")
       .parquet(dataRoot(view).resolve(dirName).toString)
-    writeStats(view, dirName, df, statsCols)
+    writeStats(view, dirName, df, statsCols, bloomCols)
   }
 
   /** Atomic exclusive publish of manifest v`next` listing `dirs`.
@@ -222,7 +258,8 @@ class SnapshotStore(spark: SparkSession, root: String) {
   def commit(view: String, df: DataFrame, overwrite: Boolean,
              expectedBase: Option[Long] = None,
              statsCols: Seq[String] = Nil,
-             txn: Option[Long] = None): Long = {
+             txn: Option[Long] = None,
+             bloomCols: Seq[String] = Nil): Long = {
     val vs = versions(view)
     val base = if (vs.isEmpty) 0L else vs.max
     expectedBase.filter(_ != base).foreach { e =>
@@ -230,7 +267,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
     }
     val next = base + 1
     val dataDir = newDirName(next, txn)
-    writeData(view, df, dataDir, statsCols)
+    writeData(view, df, dataDir, statsCols, bloomCols)
     val dirs =
       if (overwrite || vs.isEmpty) Seq(dataDir)
       else readManifest(view, base) :+ dataDir
@@ -261,10 +298,11 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * or None when the txn had already landed.
     */
   def appendOnce(view: String, df: DataFrame, txnId: Long,
-                 statsCols: Seq[String] = Nil): Option[Long] =
+                 statsCols: Seq[String] = Nil,
+                 bloomCols: Seq[String] = Nil): Option[Long] =
     if (appliedTxns(view).contains(txnId)) None
     else Some(commit(view, df, overwrite = false, statsCols = statsCols,
-      txn = Some(txnId)))
+      txn = Some(txnId), bloomCols = bloomCols))
 
   // --------------------------------------------------------------- reads
 
@@ -313,6 +351,44 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val df = readDirs(keep, view)
     val dt = df.schema(c).dataType
     df.where(col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt))
+  }
+
+  /** The manifest dirs of snapshot `asOf` split into (kept, skipped) for
+    * the point predicate `c = value`: a dir is skipped when its bloom
+    * sidecar proves the value absent, or (no bloom) when its [min,max]
+    * provably misses it. Dirs with neither sidecar are always kept.
+    * The bloom test runs on the driver against the O(dirs) sidecars —
+    * a skipped dir costs zero data IO.
+    */
+  def pruneDirsEq(view: String, c: String, value: Any,
+                  asOf: Option[Long] = None): (Seq[String], Seq[String]) =
+    manifestDirs(view, asOf).partition { d =>
+      val bloomSaysMaybe = dirBloom(view, d, c).forall { bf =>
+        value match {
+          case s: String => bf.mightContainString(s)
+          case n: Number => bf.mightContainLong(n.longValue())
+          case other => bf.mightContain(other)
+        }
+      }
+      val statsSayMaybe = dirStats(view, d).get(c).forall {
+        case (numeric, mn, mx) =>
+          val v = value.toString
+          overlaps(numeric, mn, mx, v, v)
+      }
+      bloomSaysMaybe && statsSayMaybe
+    }
+
+  /** Point-lookup read: `c = value` planned over only the dirs whose
+    * bloom/minmax sidecars cannot rule the value out — the MERGE-key /
+    * digest-probe access path range stats cannot serve (interleaved
+    * keys overlap every range). The exact predicate still applies on
+    * top (1% bloom fpp ⇒ rare extra dir reads, never wrong rows).
+    */
+  def readPrunedEq(view: String, c: String, value: Any,
+                   asOf: Option[Long] = None): DataFrame = {
+    val (keep, _) = pruneDirsEq(view, c, value, asOf)
+    if (keep.isEmpty) return read(view, asOf).where(lit(false))
+    readDirs(keep, view).where(col(c) === lit(value))
   }
 
   // ---------------------------------------------------------- merge / diff

@@ -301,9 +301,7 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
-  test("ADC search (q94) broadcasts queries; coded corpus never shuffles before top-k") {
-    val df = SparkEntry.queries("q94_ann_pq_adc")(spark, sf())
-    val p = plan(df)
+  private def assertBroadcastAdcShape(p: String): Unit = {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     // the only Exchange allowed is the O(k)-rows-per-query top-k agg,
     // which sits ABOVE the join in the printed tree; nothing at or
@@ -316,5 +314,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!lines.drop(joinLine).exists(l =>
         l.contains("Exchange") && !l.contains("BroadcastExchange")),
       s"corpus shuffled below the broadcast join:\n$p")
+  }
+
+  test("ADC search (q94) broadcasts queries; coded corpus never shuffles before top-k") {
+    assertBroadcastAdcShape(plan(SparkEntry.queries("q94_ann_pq_adc")(spark, sf())))
+  }
+
+  test("stored-index ADC search (q148) keeps the broadcast shape: the persisted codes scan never shuffles") {
+    val root = graft.sources.Scratch.processScoped("planshape_q148", sf())
+    graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+    val store = new graft.sources.SnapshotStore(spark, root)
+    val emb = Tables.load(spark, sf(), "embeddings")
+    graft.operators.VectorIndex.buildPq(store, "ann", emb, emb,
+      "vec_id", "embedding", m = 4, k = 4)
+    val df = graft.operators.VectorIndex.searchPq(store, "ann",
+      emb.where(col("vec_id") < 3), k = 5)
+    assertBroadcastAdcShape(plan(df))
   }
 }

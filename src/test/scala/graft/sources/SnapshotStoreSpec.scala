@@ -283,6 +283,40 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows == Set((base, "lo"), (base + 1L, "HI")))
   }
 
+  test("bloom sidecars prune interleaved dirs that min/max stats cannot") {
+    val (st, _) = freshStore()
+    // both dirs span [1, 6] — range stats keep both for any probe in
+    // range; only the bloom can tell them apart
+    st.commit("t", Seq((1L, "a"), (3L, "c"), (5L, "e")).toDF("k", "v"),
+      overwrite = true, statsCols = Seq("k"), bloomCols = Seq("k"))
+    st.commit("t", Seq((2L, "b"), (4L, "d"), (6L, "f")).toDF("k", "v"),
+      overwrite = false, statsCols = Seq("k"), bloomCols = Seq("k"))
+    val (kept4, skipped4) = st.pruneDirsEq("t", "k", 4L)
+    assert(kept4.size == 1 && skipped4.size == 1, s"$kept4 / $skipped4")
+    assert(kept4.head.startsWith("b2-"), kept4.mkString(","))
+    assert(st.readPrunedEq("t", "k", 4L).select("v").as[String].collect().toSeq
+      == Seq("d"))
+    // out-of-range probe: min/max alone rules every dir out
+    assert(st.pruneDirsEq("t", "k", 99L)._1.isEmpty)
+    assert(st.readPrunedEq("t", "k", 99L).count() == 0)
+    // in-range but absent: blooms may rarely false-positive a dir, but
+    // the exact predicate keeps the result right regardless
+    assert(st.readPrunedEq("t", "k", 6L).select("v").as[String].collect().toSeq
+      == Seq("f"))
+  }
+
+  test("bloom point lookup works on string keys") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq(("alpha", 1), ("gamma", 3)).toDF("name", "x"),
+      overwrite = true, bloomCols = Seq("name"))
+    st.commit("t", Seq(("beta", 2), ("delta", 4)).toDF("name", "x"),
+      overwrite = false, bloomCols = Seq("name"))
+    val (kept, _) = st.pruneDirsEq("t", "name", "beta")
+    assert(kept.size == 1 && kept.head.startsWith("b2-"), kept.mkString(","))
+    assert(st.readPrunedEq("t", "name", "beta").select("x").as[Int].collect().toSeq
+      == Seq(2))
+  }
+
   test("diff sees changes in a column added between the two versions") {
     val (st, _) = freshStore()
     st.commit("t", Seq((1, "a"), (2, "b")).toDF("k", "v"), overwrite = true)
