@@ -471,6 +471,48 @@ object CurationQueries {
       store.readPrunedEq("t", "k", probe)
     }),
 
+    // Z-ORDER layout driving 2-D data skipping — q86 computes Morton
+    // codes, this CONNECTS them to the scan path: orders are committed
+    // as 8 equal-z-width dirs (each dir = a compact z-range, so its
+    // [min,max] envelope is tight on BOTH custkey and orderkey), and a
+    // 2-D box query prunes dirs whose envelope misses EITHER dimension
+    // (pruneDirsBox, require-pinned to skip some). A linear layout
+    // prunes only its sort key; the z-layout is why 2-d selective
+    // queries at 100 TB read a handful of files. Box bounds derive
+    // from min/max by exact integer arithmetic both engines replay.
+    "q153_zorder_skipping" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q153_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_custkey").as("cust"),
+        col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      val zed = o.withColumn("z",
+        graft.operators.Layout.mortonCode(col("cust"), col("k"), bits = 25))
+      val zr = zed.agg(min(col("z")), max(col("z"))).head()
+      val (zmin, zmax) = (zr.getLong(0), zr.getLong(1))
+      val withB = zed.withColumn("b",
+        ((col("z") - lit(zmin)) * 8 / lit(zmax - zmin + 1)).cast("int"))
+      val present = withB.select(col("b")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      present.foreach { i =>
+        st.commit("t", withB.where(col("b") === i).drop("b", "z"),
+          overwrite = false, statsCols = Seq("cust", "k"))
+      }
+      val br = o.agg(min(col("cust")), max(col("cust")),
+        min(col("k")), max(col("k"))).head()
+      val (cmin, cmax, kmin, kmax) =
+        (br.getLong(0), br.getLong(1), br.getLong(2), br.getLong(3))
+      val preds = Seq(
+        ("cust", (cmin + (cmax - cmin) / 4).toString,
+          (cmin + (cmax - cmin) * 2 / 5).toString),
+        ("k", (kmin + (kmax - kmin) / 4).toString,
+          (kmin + (kmax - kmin) * 2 / 5).toString))
+      val (kept, skipped) = st.pruneDirsBox("t", preds)
+      require(skipped.nonEmpty,
+        s"z-layout box prune skipped nothing (kept ${kept.size} dirs)")
+      st.readPrunedBox("t", preds)
+    }),
+
     // Change data feed: two overwrite snapshots of a rolling window
     // (Jan..Mar then Feb..Apr with every 5th key repriced), diffed as
     // ONE manifest-resolved full-outer join — inserts (Apr), deletes
@@ -1001,6 +1043,21 @@ object CurationQueries {
       """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
          FROM orders
          WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM orders)""",
+
+    // Layout-invisible semantics: the box read == the plain 2-D range
+    // query with the same integer-derived bounds.
+    "q153_zorder_skipping" ->
+      """WITH b AS (SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+                    MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax
+                    FROM orders),
+          r AS (SELECT cmin + (cmax - cmin) // 4 AS clo,
+                cmin + (cmax - cmin) * 2 // 5 AS chi,
+                kmin + (kmax - kmin) // 4 AS klo,
+                kmin + (kmax - kmin) * 2 // 5 AS khi FROM b)
+          SELECT o_custkey AS cust, o_orderkey AS k, o_totalprice AS p
+          FROM orders, r
+          WHERE o_custkey BETWEEN clo AND chi
+            AND o_orderkey BETWEEN klo AND khi""",
 
     // The CDF replay: full-outer join of the two window snapshots on k.
     "q135_snapshot_diff" ->

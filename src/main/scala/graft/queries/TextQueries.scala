@@ -219,6 +219,22 @@ object TextQueries {
     "q149_bpe_train" -> ((s, dir) =>
       graft.operators.Bpe.trainMerges(t(s, dir, "documents"), "text", rounds = 8)),
 
+    // BPE INFERENCE — the other half of q149: the trained merge table
+    // (collected O(rounds), a model parameter) re-segments the
+    // distinct-word table in round order, and the final subword
+    // vocabulary is counted corpus-wide. What a tokenizer-apply job
+    // does at 100 TB: merges broadcast as literals, the corpus pays
+    // one distinct-word collapse + `rounds` codegen'd folds, then one
+    // hash agg.
+    "q152_bpe_vocab" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.trainMerges(docs, "text", rounds = 8)
+        .orderBy("round").as[(Long, String, String, Long)].collect()
+        .map { case (_, p1, p2, _) => (p1, p2) }.toSeq
+      graft.operators.Bpe.symbolVocab(docs, "text", merges)
+    }),
+
     // EXACT set-similarity self-join via prefix filtering (PPJoin):
     // complete at Jaccard >= 0.95 — no LSH false negatives — with
     // candidates bounded by rarity-ordered prefixes. The oracle is the
@@ -461,6 +477,14 @@ object TextQueries {
             s"SELECT CAST($r AS BIGINT) AS round, p1, p2, n FROM tp$r")
             .mkString("\n          UNION ALL\n          ")}"""
     },
+
+    // The final segmented table w8 IS the inference result; count its
+    // symbols corpus-wide (weighted by word frequency).
+    "q152_bpe_vocab" ->
+      s"""${SqlFragments.bpeTrainCte(8)}
+          SELECT symbol, CAST(SUM(freq) AS BIGINT) AS n
+          FROM (SELECT freq, unnest(s) AS symbol FROM w8)
+          GROUP BY symbol""",
 
     // Definitional all-pairs Jaccard — independent of the prefix-filter
     // candidate generation under test (raw-double threshold compare on

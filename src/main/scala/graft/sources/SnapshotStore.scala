@@ -353,6 +353,37 @@ class SnapshotStore(spark: SparkSession, root: String) {
     df.where(col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt))
   }
 
+  /** Multi-column box prune: dirs kept only when EVERY predicate's
+    * recorded [min,max] overlaps its range — the read shape a z-ordered
+    * layout earns (each dir's envelope is tight on ALL interleaved
+    * dimensions, so a 2-D box query opens the few dirs its corner
+    * touches instead of every dir that matches one dimension).
+    */
+  def pruneDirsBox(view: String, preds: Seq[(String, String, String)],
+                   asOf: Option[Long] = None): (Seq[String], Seq[String]) =
+    manifestDirs(view, asOf).partition { d =>
+      val stats = dirStats(view, d)
+      preds.forall { case (c, lo, hi) =>
+        stats.get(c) match {
+          case Some((numeric, mn, mx)) => overlaps(numeric, mn, mx, lo, hi)
+          case None => true
+        }
+      }
+    }
+
+  /** Box read over [[pruneDirsBox]]'s surviving dirs, with every exact
+    * range predicate applied on top.
+    */
+  def readPrunedBox(view: String, preds: Seq[(String, String, String)],
+                    asOf: Option[Long] = None): DataFrame = {
+    val (keep, _) = pruneDirsBox(view, preds, asOf)
+    if (keep.isEmpty) return read(view, asOf).where(lit(false))
+    preds.foldLeft(readDirs(keep, view)) { case (df, (c, lo, hi)) =>
+      val dt = df.schema(c).dataType
+      df.where(col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt))
+    }
+  }
+
   /** The manifest dirs of snapshot `asOf` split into (kept, skipped) for
     * the point predicate `c = value`: a dir is skipped when its bloom
     * sidecar proves the value absent, or (no bloom) when its [min,max]

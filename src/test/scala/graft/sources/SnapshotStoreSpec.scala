@@ -317,6 +317,35 @@ class SnapshotStoreSpec extends SparkSpec {
       == Seq(2))
   }
 
+  test("z-ordered dirs box-prune on BOTH dims; a linear layout prunes only its sort key") {
+    val (st, _) = freshStore()
+    // 16x16 grid of (x, y) points
+    val grid = spark.range(256)
+      .select((col("id") % 16).as("x"), expr("id div 16").as("y"))
+    val zed = grid.withColumn("z",
+      graft.operators.Layout.mortonCode(col("x"), col("y"), bits = 4))
+    // z-layout: 4 equal-z-width dirs (each a compact quadrant-ish tile)
+    for (i <- 0 to 3)
+      st.commit("zt", zed.where(expr("z div 64") === i).drop("z"),
+        overwrite = false, statsCols = Seq("x", "y"))
+    // linear layout: 4 dirs split by x only — every dir spans all of y
+    for (i <- 0 to 3)
+      st.commit("lin", grid.where(expr("x div 4") === i),
+        overwrite = false, statsCols = Seq("x", "y"))
+    val box = Seq(("x", "2", "5"), ("y", "2", "5"))
+    val (zKeep, zSkip) = st.pruneDirsBox("zt", box)
+    val (lKeep, _) = st.pruneDirsBox("lin", box)
+    // the z-layout skips dirs a y-only-blind linear layout cannot:
+    // the box touches 1 z-tile (the low quadrant) but 2 x-stripes
+    assert(zKeep.size == 1 && zSkip.size == 3, s"z kept $zKeep")
+    assert(lKeep.size == 2, s"linear kept $lKeep")
+    // and the read is layout-invisible
+    val got = st.readPrunedBox("zt", box).as[(Long, Long)].collect().toSet
+    val want = grid.where(col("x").between(2, 5) && col("y").between(2, 5))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("diff sees changes in a column added between the two versions") {
     val (st, _) = freshStore()
     st.commit("t", Seq((1, "a"), (2, "b")).toDF("k", "v"), overwrite = true)
