@@ -513,6 +513,32 @@ object CurationQueries {
       st.readPrunedBox("t", preds)
     }),
 
+    // Incremental materialized-view maintenance: the daily aggregate
+    // MV refreshes from the DELTA batch only (per-key partials + adds
+    // onto existing rows via the file-pruned MERGE), never re-reading
+    // the fact table. The delta mixes a new month with late-arriving
+    // rows for already-aggregated days, so both the insert path and
+    // the add-onto-existing path are exercised; measures are exact
+    // integer cents (floor(p*100)), so the two-level sum is
+    // bit-identical to the oracle's one-shot recompute.
+    "q154_incremental_mv" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q154_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "mv"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val facts = t(s, dir, "orders")
+        .withColumn("d", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .where(col("d").between("1995-01-01", "1995-06-30"))
+        .select(col("d"), col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).as("cents"))
+      val initial = facts.where(col("d") <= "1995-05-31" && col("k") % 7 =!= 0)
+      val late = facts.where(col("d") <= "1995-05-31" && col("k") % 7 === 0)
+      val june = facts.where(col("d") >= "1995-06-01")
+      graft.operators.IncrementalAgg.refresh(st, "mv", initial, "d", Seq("cents"))
+      graft.operators.IncrementalAgg.refresh(st, "mv",
+        june.unionByName(late), "d", Seq("cents"))
+      st.read("mv").select(col("d"), col("n"), col("sum_cents"))
+    }),
+
     // Change data feed: two overwrite snapshots of a rolling window
     // (Jan..Mar then Feb..Apr with every 5th key repriced), diffed as
     // ONE manifest-resolved full-outer join — inserts (Apr), deletes
@@ -1058,6 +1084,17 @@ object CurationQueries {
           FROM orders, r
           WHERE o_custkey BETWEEN clo AND chi
             AND o_orderkey BETWEEN klo AND khi""",
+
+    // Maintenance-invisible semantics: the incrementally-refreshed MV
+    // == the one-shot recompute over all facts.
+    "q154_incremental_mv" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+            COUNT(*) AS n,
+            CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM orders
+         WHERE strftime(o_orderdate, '%Y-%m-%d')
+               BETWEEN '1995-01-01' AND '1995-06-30'
+         GROUP BY d""",
 
     // The CDF replay: full-outer join of the two window snapshots on k.
     "q135_snapshot_diff" ->
