@@ -68,17 +68,29 @@ object IncrementalDedup {
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
   }
 
-  /** Dedup `batch` against the stored snapshot: drop exact digest
-    * matches, then LSH + exact-shingle-Jaccard near-dups vs the stored
-    * signatures (verify partners' text read from `histText`, the master
-    * corpus). Returns the surviving batch rows (original columns).
+  /** Dedup `batch` against the stored snapshot ([[ViewStore]] form —
+    * see [[dedupAgainstStored]] for the core and the [[SnapshotStore]]
+    * exactly-once lifecycle below for the streaming form).
     */
   def dedupAgainst(store: ViewStore, view: String, batch: DataFrame,
                    histText: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 32, bands: Int = 8,
                    estThreshold: Double = 0.3, jaccardThreshold: Double = 0.4,
-                   shingleN: Int = 2, maxBucket: Int = 256): DataFrame = {
-    val stored = store.read(view)
+                   shingleN: Int = 2, maxBucket: Int = 256): DataFrame =
+    dedupAgainstStored(store.read(view), batch, histText, idCol, textCol,
+      numHashes, bands, estThreshold, jaccardThreshold, shingleN, maxBucket)
+
+  /** Dedup `batch` against an already-resolved fingerprint frame: drop
+    * exact digest matches, then LSH + exact-shingle-Jaccard near-dups
+    * vs the stored signatures (verify partners' text read from
+    * `histText`, the master corpus). Returns the surviving batch rows
+    * (original columns).
+    */
+  def dedupAgainstStored(stored: DataFrame, batch: DataFrame,
+                         histText: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int = 32, bands: Int = 8,
+                         estThreshold: Double = 0.3, jaccardThreshold: Double = 0.4,
+                         shingleN: Int = 2, maxBucket: Int = 256): DataFrame = {
     val bfp = fingerprints(batch, idCol, textCol, numHashes, shingleN)
     // 1. exact: batch fingerprints whose digest is unseen
     val exactSurv = bfp.join(stored.select(col("digest")).distinct(),
@@ -118,4 +130,41 @@ object IncrementalDedup {
       .join(exactSurv.select(col("id").as(idCol)), Seq(idCol), "left_semi")
       .join(drops, Seq(idCol), "left_anti")
   }
+
+  // ----------------------- exactly-once streaming lifecycle (ACID form)
+
+  /** The historical fingerprint snapshot as a [[graft.sources.SnapshotStore]]
+    * commit — the streaming-ingest variant of [[snapshot]]: later
+    * micro-batches absorb exactly once and readers are never torn.
+    */
+  def snapshotAcid(store: graft.sources.SnapshotStore, view: String,
+                   hist: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 32, shingleN: Int = 2): Long =
+    store.commit(view, fingerprints(hist, idCol, textCol, numHashes, shingleN),
+      overwrite = true)
+
+  /** Dedup a micro-batch against the ACID fingerprint store (manifest-
+    * resolved read — concurrent absorbs cannot tear the decision).
+    */
+  def dedupAgainstAcid(store: graft.sources.SnapshotStore, view: String,
+                       batch: DataFrame, histText: DataFrame,
+                       idCol: String, textCol: String,
+                       numHashes: Int = 32, bands: Int = 8,
+                       estThreshold: Double = 0.3, jaccardThreshold: Double = 0.4,
+                       shingleN: Int = 2, maxBucket: Int = 256): DataFrame =
+    dedupAgainstStored(store.read(view), batch, histText, idCol, textCol,
+      numHashes, bands, estThreshold, jaccardThreshold, shingleN, maxBucket)
+
+  /** Absorb a micro-batch's survivors EXACTLY ONCE, keyed by the
+    * foreachBatch batch id: a redelivered batch is recognized in the
+    * manifest's txn history (which survives compaction) and skipped,
+    * so sink retries converge — the dedup store never double-counts a
+    * document even under at-least-once delivery.
+    */
+  def absorbOnce(store: graft.sources.SnapshotStore, view: String,
+                 survivors: DataFrame, idCol: String, textCol: String,
+                 txnId: Long, numHashes: Int = 32,
+                 shingleN: Int = 2): Option[Long] =
+    store.appendOnce(view,
+      fingerprints(survivors, idCol, textCol, numHashes, shingleN), txnId)
 }

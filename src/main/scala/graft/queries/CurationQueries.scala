@@ -226,6 +226,47 @@ object CurationQueries {
           (col("id") % 5 === 0).as("is_new"))
     }),
 
+    // STREAMING incremental dedup with exactly-once absorption — q92's
+    // production shape upgraded to the micro-batch lifecycle: two
+    // sequential batches dedup against the ACID fingerprint store,
+    // each batch's survivors absorb via appendOnce (the redelivered
+    // call is a proven no-op), and batch 2's decisions see batch 1's
+    // SURVIVORS as history (cross-batch dedup: injected copies of
+    // batch-1 docs must drop). Same exact-Jaccard oracle contract as
+    // q92 (bimodal similarity), chained across the two store states.
+    "q155_stream_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val hist = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+      val b1 = docs.where(col("doc_id") % 5 === 0)
+        .unionByName(hist.where(col("doc_id") % 97 === 3)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val b2 = docs.where(col("doc_id") % 5 === 1)
+        .unionByName(docs.where(col("doc_id") % 5 === 0 && col("doc_id") % 89 === 7)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      val master = hist.unionByName(b1).unionByName(b2)
+      val root = graft.sources.Scratch.processScoped("q155_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      val st = new graft.sources.SnapshotStore(s, root)
+      graft.operators.IncrementalDedup.snapshotAcid(st, "fps", hist,
+        "doc_id", "text")
+      Seq(b1 -> 1L, b2 -> 2L).foreach { case (batch, txn) =>
+        val surv = graft.operators.IncrementalDedup.dedupAgainstAcid(
+          st, "fps", batch, master, "doc_id", "text",
+          estThreshold = 0.3, jaccardThreshold = 0.4)
+        graft.operators.IncrementalDedup.absorbOnce(st, "fps", surv,
+          "doc_id", "text", txnId = txn)
+        require(graft.operators.IncrementalDedup.absorbOnce(st, "fps", surv,
+          "doc_id", "text", txnId = txn).isEmpty,
+          "redelivered micro-batch must no-op")
+      }
+      st.read("fps").select(col("id").as("doc_id"), col("digest"),
+        when(col("id") >= 200000 ||
+            (col("id") < 100000 && col("id") % 5 === 1), 2L)
+          .when(col("id") >= 100000 || col("id") % 5 === 0, 1L)
+          .otherwise(0L).as("batch"))
+    }),
+
     // URL/domain curation: deterministic URLs synthesized from
     // (source, doc_id) — both engines build the identical strings, the
     // graded operator is host extraction + broadcast blocklist anti-join
@@ -842,6 +883,42 @@ object CurationQueries {
           UNION ALL
           SELECT doc_id, digest, TRUE AS is_new FROM exs
           WHERE doc_id NOT IN (SELECT doc_id FROM drops)""",
+
+    // Two chained store states: batch 1 decides vs hist, batch 2 vs
+    // hist + batch-1 survivors (the exact-Jaccard truth under the
+    // bimodal contract, as in q92).
+    "q155_stream_incremental_dedup" ->
+      s"""WITH d AS (SELECT doc_id, text, md5(text) AS digest,
+                     list_distinct(${SqlFragments.bigramsExpr(SqlFragments.toksExpr)}) AS sh
+                     FROM documents WHERE text IS NOT NULL),
+          hist AS (SELECT * FROM d WHERE doc_id % 5 NOT IN (0, 1)),
+          b1 AS (SELECT doc_id, digest, sh FROM d WHERE doc_id % 5 = 0
+                 UNION ALL
+                 SELECT doc_id + 100000, digest, sh FROM hist WHERE doc_id % 97 = 3),
+          ex1 AS (SELECT n.* FROM b1 n
+                  WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.digest = n.digest)),
+          dr1 AS (SELECT DISTINCT n.doc_id FROM ex1 n JOIN hist h
+                  ON len(list_concat(n.sh, h.sh)) > 0
+                  AND CAST(len(list_intersect(n.sh, h.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(n.sh, h.sh))) >= 0.4),
+          s1 AS (SELECT * FROM ex1 WHERE doc_id NOT IN (SELECT doc_id FROM dr1)),
+          st1 AS (SELECT digest, sh FROM hist UNION ALL SELECT digest, sh FROM s1),
+          b2 AS (SELECT doc_id, digest, sh FROM d WHERE doc_id % 5 = 1
+                 UNION ALL
+                 SELECT doc_id + 200000, digest, sh FROM d
+                 WHERE doc_id % 5 = 0 AND doc_id % 89 = 7),
+          ex2 AS (SELECT n.* FROM b2 n
+                  WHERE NOT EXISTS (SELECT 1 FROM st1 h WHERE h.digest = n.digest)),
+          dr2 AS (SELECT DISTINCT n.doc_id FROM ex2 n JOIN st1 h
+                  ON len(list_concat(n.sh, h.sh)) > 0
+                  AND CAST(len(list_intersect(n.sh, h.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(n.sh, h.sh))) >= 0.4),
+          s2 AS (SELECT * FROM ex2 WHERE doc_id NOT IN (SELECT doc_id FROM dr2))
+          SELECT doc_id, digest, CAST(0 AS BIGINT) AS batch FROM hist
+          UNION ALL
+          SELECT doc_id, digest, CAST(1 AS BIGINT) AS batch FROM s1
+          UNION ALL
+          SELECT doc_id, digest, CAST(2 AS BIGINT) AS batch FROM s2""",
 
     "q69_temperature_mix" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
