@@ -583,6 +583,22 @@ class SnapshotStore(spark: SparkSession, root: String) {
       overwrite = true, expectedBase = Some(base), statsCols = statsCols)
   }
 
+  /** RESTORE: re-publish the dir list of version `v` as a NEW version —
+    * rollback as a forward commit, zero data IO (the restored dirs are
+    * immutable and still on disk; only a manifest is written). History
+    * is preserved: the bad versions stay time-travelable until vacuum,
+    * and the txn history carries forward so exactly-once sinks stay
+    * fenced across the rollback.
+    */
+  def restore(view: String, v: Long): Long = {
+    val vs = versions(view)
+    require(vs.contains(v), s"$view: version $v not retained")
+    val base = vs.max
+    val next = base + 1
+    publish(view, next, readManifest(view, v), manifestTxns(view, base))
+    next
+  }
+
   /** Delete data dirs referenced by NO manifest among the newest
     * `retainVersions` (and drop the older manifests): the GC that makes
     * immutable-file commits sustainable. Never touches a dir a retained

@@ -346,6 +346,21 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("restore rolls back as a forward commit: zero data IO, history intact, txns fenced") {
+    val (st, _) = freshStore()
+    st.appendOnce("t", Seq((1, "a")).toDF("k", "v"), txnId = 5L)
+    st.commit("t", Seq((9, "bad")).toDF("k", "v"), overwrite = true)
+    val v3 = st.restore("t", 1L)
+    assert(v3 == 3L)
+    assert(st.read("t").select("k").as[Int].collect().toSet == Set(1))
+    // the bad version stays time-travelable; the restored manifest
+    // reuses v1's dirs byte-for-byte
+    assert(st.read("t", Some(2L)).select("k").as[Int].collect().toSet == Set(9))
+    assert(st.manifestDirs("t", Some(3L)) == st.manifestDirs("t", Some(1L)))
+    // txn history survives the rollback: the sink retry still fences
+    assert(st.appendOnce("t", Seq((99, "dup")).toDF("k", "v"), txnId = 5L).isEmpty)
+  }
+
   test("diff sees changes in a column added between the two versions") {
     val (st, _) = freshStore()
     st.commit("t", Seq((1, "a"), (2, "b")).toDF("k", "v"), overwrite = true)
