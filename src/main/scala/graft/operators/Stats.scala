@@ -124,6 +124,48 @@ object Stats {
     * the score undefined, as in any MAD formulation.
     * Output: one row per group — n, n_outliers, med, mad.
     */
+  /** Population-stability-index drift between a BASE and a CURRENT
+    * sample of one numeric column — the standard production monitor
+    * for "did this feature's distribution move" (model inputs between
+    * retrains, a table between snapshot versions). Bin edges are
+    * `bins` equal widths over the BASE min/max (fixed reference frame:
+    * current-only outliers clamp into the edge bins, which is what
+    * makes edge-bin contributions spike on range drift); both samples
+    * are Laplace-smoothed ((n+1)/(N+bins)) so empty bins never divide
+    * by zero; contrib_i = (p_i − q_i)·ln(p_i/q_i), PSI = Σ contrib.
+    *
+    * Scale shape: one O(1) min/max agg on base, one binned hash agg
+    * per side (map-side combined, `bins` output rows), a spine join on
+    * the O(bins) frame. Nothing corpus-sized ever sorts or shuffles
+    * beyond the two bin aggs. Output: one row per bin — bin, n_base,
+    * n_cur, contrib (r15-stabilized; PSI is their sum).
+    */
+  def psiDrift(base: DataFrame, cur: DataFrame, valCol: String,
+               bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    val spark = base.sparkSession
+    val r = base.agg(min(col(valCol)).cast("double"),
+      max(col(valCol)).cast("double")).head()
+    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    val width = (mx - mn) / bins
+    def binned(df: DataFrame, as: String) = df
+      .select((if (width == 0.0) lit(0L) else
+        least(greatest(floor((col(valCol).cast("double") - mn) / width),
+          lit(0L)), lit(bins - 1L))).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(as))
+    val nb = base.count()
+    val nc = cur.count()
+    spark.range(bins).select(col("id").as("bin"))
+      .join(binned(base, "n_base"), Seq("bin"), "left")
+      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+      .withColumn("_p", (col("n_base") + 1).cast("double") / lit(nb + bins).cast("double"))
+      .withColumn("_q", (col("n_cur") + 1).cast("double") / lit(nc + bins).cast("double"))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        graft.functions.NumFns.stableRound(
+          (col("_p") - col("_q")) * log(col("_p") / col("_q")), 8).as("contrib"))
+  }
+
   def madOutliers(df: DataFrame, keyCol: String, valCol: String,
                   cut: Double = 3.5): DataFrame = {
     val med = exactPercentiles(df, keyCol, valCol, Seq(0.5))

@@ -160,6 +160,35 @@ object TfIdf {
       .orderBy(col("n").desc, col("pair"))
       .limit(topK)
 
+  /** Skip-gram training-pair generation (word2vec-style): for every
+    * token, one (center, context) pair per neighbor within ±`window`
+    * positions, counted corpus-wide and cut at `minCount` — the
+    * embedding-training co-occurrence feed (and the raw input PMI
+    * weighting refines). Pairs are DIRECTED ((a,b) and (b,a) count
+    * separately, as in word2vec's corpus scan).
+    *
+    * Scale shape: pairs expand INSIDE the row (≤ 2·window per token —
+    * a flat transform, no join), then one (center, context) hash agg,
+    * map-side combined. Nothing corpus-sized shuffles twice.
+    */
+  def skipGramPairs(docs: DataFrame, textCol: String, window: Int = 2,
+                    minCount: Long = 5L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    docs.where(col(textCol).isNotNull)
+      .select(TextFns.tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(_toks, (c, i) ->
+           transform(
+             filter(sequence(greatest(0, i - $window),
+                             least(size(_toks) - 1, i + $window)),
+                    j -> j != i),
+             j -> struct(c AS center, _toks[j] AS context))))""")).as("p"))
+      .select(col("p.center"), col("p.context"))
+      .groupBy(col("center"), col("context")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
+
   /** Dirichlet-smoothed query-likelihood retrieval (Zhai/Lafferty) —
     * the probabilistic-LM counterpart of [[bm25]], and the second
     * ranker a hybrid-retrieval stack fuses with it:

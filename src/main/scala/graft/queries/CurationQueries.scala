@@ -603,6 +603,31 @@ object CurationQueries {
       store.diff("t", 1L, 2L, Seq("k"))
     }),
 
+    // Distribution-drift monitor between two TABLE VERSIONS: the CDF
+    // setup (q135's rolling-window snapshots with every 5th key
+    // repriced) feeds Stats.psiDrift — per-bin population-stability
+    // contributions of the price column, base-version bin edges,
+    // Laplace smoothing. The production "did retraining inputs move"
+    // check, run against time travel instead of ad-hoc exports: both
+    // sides are manifest-resolved reads of the SAME table.
+    "q156_snapshot_drift_psi" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q156_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val store = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          col("o_totalprice").as("p"))
+      store.commit("t", o.where(col("d").between("1995-01-01", "1995-03-31")),
+        overwrite = true)
+      store.commit("t",
+        o.where(col("d").between("1995-02-01", "1995-04-30"))
+          .withColumn("p", when(col("k") % 5 === 0, col("p") * 2).otherwise(col("p"))),
+        overwrite = true)
+      graft.operators.Stats.psiDrift(
+        store.read("t", Some(1L)), store.read("t", Some(2L)), "p", bins = 10)
+    }),
+
     // MERGE INTO with copy-on-write file skipping: the table is six
     // contiguous key-range shards (per-dir [min,max] key stats); the
     // source reprices/deletes keys confined to shard 2 and inserts
@@ -1188,6 +1213,35 @@ object CurationQueries {
           FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
           WHERE v1.k IS NULL OR v2.k IS NULL
              OR v1.d IS DISTINCT FROM v2.d OR v1.p IS DISTINCT FROM v2.p""",
+
+    // PSI replay: same two window snapshots, base-frame equal-width
+    // bins, Laplace-smoothed proportions, (p-q)ln(p/q) per bin.
+    "q156_snapshot_drift_psi" ->
+      s"""WITH o AS (SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m-%d') AS d,
+                     o_totalprice AS p FROM orders),
+          v1 AS (SELECT * FROM o WHERE d BETWEEN '1995-01-01' AND '1995-03-31'),
+          v2 AS (SELECT k, d, CASE WHEN k % 5 = 0 THEN p * 2 ELSE p END AS p
+                 FROM o WHERE d BETWEEN '1995-02-01' AND '1995-04-30'),
+          prm AS (SELECT CAST(MIN(p) AS DOUBLE) AS mn,
+                  (CAST(MAX(p) AS DOUBLE) - CAST(MIN(p) AS DOUBLE)) / 10 AS w
+                  FROM v1),
+          n1 AS (SELECT COUNT(*) AS n FROM v1),
+          n2 AS (SELECT COUNT(*) AS n FROM v2),
+          b1 AS (SELECT CAST(LEAST(GREATEST(floor((p - mn) / w), 0), 9) AS BIGINT) AS bin,
+                 COUNT(*) AS n FROM v1, prm GROUP BY 1),
+          b2 AS (SELECT CAST(LEAST(GREATEST(floor((p - mn) / w), 0), 9) AS BIGINT) AS bin,
+                 COUNT(*) AS n FROM v2, prm GROUP BY 1),
+          spine AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bin),
+          j AS (SELECT s.bin, COALESCE(b1.n, 0) AS n_base, COALESCE(b2.n, 0) AS n_cur
+                FROM spine s LEFT JOIN b1 USING (bin) LEFT JOIN b2 USING (bin)),
+          c AS (SELECT bin, n_base, n_cur,
+                CAST(n_base + 1 AS DOUBLE) / (n1.n + 10) AS pp,
+                CAST(n_cur + 1 AS DOUBLE) / (n2.n + 10) AS qq
+                FROM j, n1, n2)
+          SELECT bin, CAST(n_base AS BIGINT) AS n_base,
+            CAST(n_cur AS BIGINT) AS n_cur,
+            ${SqlFragments.r15("(pp - qq) * ln(pp / qq)", 8)} AS contrib
+          FROM c""",
 
     // Merge semantics replay: matched keys drop out of the base, the
     // non-tombstone source rows come back in, inserts land beyond mx.

@@ -235,6 +235,14 @@ object TextQueries {
       graft.operators.Bpe.symbolVocab(docs, "text", merges)
     }),
 
+    // Skip-gram (center, context) pair counts, ±2 window, min count 5:
+    // the word2vec co-occurrence feed. Pairs expand inside the row (no
+    // join), one hash agg; the oracle derives the same pairs from a
+    // position self-join.
+    "q157_skipgram_pairs" -> ((s, dir) =>
+      graft.operators.TfIdf.skipGramPairs(t(s, dir, "documents"), "text",
+        window = 2, minCount = 5L)),
+
     // EXACT set-similarity self-join via prefix filtering (PPJoin):
     // complete at Jaccard >= 0.95 — no LSH false negatives — with
     // candidates bounded by rarity-ordered prefixes. The oracle is the
@@ -477,6 +485,19 @@ object TextQueries {
             s"SELECT CAST($r AS BIGINT) AS round, p1, p2, n FROM tp$r")
             .mkString("\n          UNION ALL\n          ")}"""
     },
+
+    // Same pair set via a doc-local position self-join.
+    "q157_skipgram_pairs" ->
+      s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks
+                     FROM documents WHERE text IS NOT NULL),
+          tok AS (SELECT doc_id, i, toks[i] AS w
+                  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+                        FROM t WHERE len(toks) >= 2))
+          SELECT a.w AS center, b.w AS context, COUNT(*) AS n
+          FROM tok a JOIN tok b
+            ON a.doc_id = b.doc_id AND a.i <> b.i AND abs(a.i - b.i) <= 2
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 5""",
 
     // The final segmented table w8 IS the inference result; count its
     // symbols corpus-wide (weighted by word frequency).

@@ -106,4 +106,20 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(4) == 1.0) // |1-3|,|2-3|,|3-3|,|4-3|,|97| -> med = 1
     assert(r.getLong(2) == 1L)    // only 100 is an outlier
   }
+
+  test("psiDrift: identical samples give ~0, a shifted sample spikes the edge bins") {
+    import spark.implicits._
+    val base = (1 to 100).map(i => i.toDouble).toDF("v")
+    val same = Stats.psiDrift(base, base, "v", bins = 10).collect()
+    assert(same.length == 10)
+    assert(same.map(_.getDouble(3)).map(math.abs).sum < 1e-12)
+    // current shifted way past base max: everything clamps into bin 9
+    val shifted = (1 to 100).map(i => i + 1000.0).toDF("v")
+    val drift = Stats.psiDrift(base, shifted, "v", bins = 10).collect()
+    val byBin = drift.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byBin(9L) == 100L, byBin.toString) // all current mass in the top bin
+    assert(drift.map(_.getDouble(3)).sum > 1.0) // PSI >> 0.25 = major drift
+    // counts survive: bins partition both samples
+    assert(drift.map(_.getLong(1)).sum == 100L)
+  }
 }

@@ -117,4 +117,19 @@ class TfIdfSpec extends SparkSpec {
     assert(math.abs(m(40L) - 1.0 / 62) < 1e-12)
     assert(math.abs(m(30L) - 1.0 / 63) < 1e-12)
   }
+
+  test("skipGramPairs: directed ±window pairs, edge tokens clipped, minCount gates") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val got = TfIdf.skipGramPairs(docs, "text", window = 2, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // a sees b,c; b sees a,c,d; c sees a,b,d; d sees b,c — all count 1
+    val expected = Seq("a" -> "b", "a" -> "c", "b" -> "a", "b" -> "c",
+      "b" -> "d", "c" -> "a", "c" -> "b", "c" -> "d", "d" -> "b", "d" -> "c")
+    assert(got == expected.map(_ -> 1L).toMap)
+    // directed counting: "x y x" gives (x,y) twice but (y,x) twice too
+    val rep = TfIdf.skipGramPairs(Seq((1L, "x y x")).toDF("doc_id", "text"),
+        "text", window = 1, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rep == Map(("x", "y") -> 2L, ("y", "x") -> 2L))
+  }
 }
