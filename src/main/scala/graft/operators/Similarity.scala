@@ -94,25 +94,59 @@ object Similarity {
     // coarse centroids: caller-provided (e.g. KMeans.fit for real
     // partition quality) or the deterministic default — the first
     // nCells corpus vectors by id
-    val cents: Array[(Long, Seq[Double])] = centroids.getOrElse(
-      corpus.orderBy(col(idCol)).limit(nCells)
-        .select(col(idCol).cast("long"), col(vecCol))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))))
-    // per-row (neg-sim, cell) structs, ascending sort => best cell first;
-    // ties break on the smaller cell id (same order the rank window used)
-    def cellsByAffinity(vec: Column): Column =
-      array_sort(array(cents.map { case (cid, v) =>
-        struct((-graft.expressions.CosineSim(vec, typedlit(v))).as("neg"),
-          lit(cid).as("cell"))
-      }: _*))
-    val corpusCells = corpus
-      .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
-      .withColumn("cell", element_at(cellsByAffinity(col("nvec")), 1).getField("cell"))
+    val cents: Array[(Long, Seq[Double])] =
+      centroids.getOrElse(ivfSeedCentroids(corpus, idCol, vecCol, nCells))
+    ivfTopKAssigned(queries, ivfAssign(corpus, idCol, vecCol, cents),
+      k, cents, nProbe, idCol, vecCol)
+  }
+
+  /** The deterministic coarse-centroid default: the first `nCells`
+    * corpus vectors by id, collected (O(nCells·dim) — a model
+    * parameter, like the PQ codebooks).
+    */
+  def ivfSeedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                       nCells: Int): Array[(Long, Seq[Double])] =
+    corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).cast("long"),
+        graft.functions.VectorFns.toDoubleArr(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  /** Per-row (neg-sim, cell) structs, ascending sort => best cell
+    * first; ties break on the smaller cell id (same order a rank
+    * window would use).
+    */
+  private def cellsByAffinity(vec: Column,
+                              cents: Array[(Long, Seq[Double])]): Column =
+    array_sort(array(cents.map { case (cid, v) =>
+      struct((-graft.expressions.CosineSim(vec, typedlit(v))).as("neg"),
+        lit(cid).as("cell"))
+    }: _*))
+
+  /** Assign vectors to their nearest centroid: one shuffle-free argmin
+    * projection. Output: (nid, nvec, cell) — the inverted-file table a
+    * persisted IVF index stores ([[VectorIndex.buildIvf]]).
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                cents: Array[(Long, Seq[Double])]): DataFrame =
+    df.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .withColumn("cell",
+        element_at(cellsByAffinity(col("nvec"), cents), 1).getField("cell"))
+
+  /** IVF search over an ALREADY-ASSIGNED inverted-file table (freshly
+    * assigned by [[ivfTopK]] or read back from a persisted index):
+    * queries probe their nProbe nearest cells, the corpus side joins by
+    * broadcast on the cell key and only probed cells' members score.
+    */
+  def ivfTopKAssigned(queries: DataFrame, corpusCells: DataFrame, k: Int,
+                      cents: Array[(Long, Seq[Double])], nProbe: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
     val queryCells = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
       .withColumn("cell", explode(transform(
-        slice(cellsByAffinity(col("qvec")), 1, nProbe), s => s.getField("cell"))))
+        slice(cellsByAffinity(col("qvec"), cents), 1, nProbe),
+        s => s.getField("cell"))))
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .where(col("qid") =!= col("nid"))
       .withColumn("sim", graft.expressions.CosineSim(col("qvec"), col("nvec")))

@@ -96,4 +96,49 @@ object VectorIndex {
                qidCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Similarity.pqAdcTopK(queries, store.read(codesView(prefix), asOf), k,
       loadPqBooks(store, prefix), qidCol, vecCol)
+
+  // ------------------------------------------------- IVF index lifecycle
+
+  private def centsView(prefix: String) = s"${prefix}_cents"
+  private def cellsView(prefix: String) = s"${prefix}_cells"
+
+  /** Fit IVF coarse centroids on `fitSet` (the deterministic first-
+    * nCells seeds of [[Similarity.ivfSeedCentroids]]), assign `corpus`
+    * to cells, and commit both: `<prefix>_cents` (cell, centroid) and
+    * `<prefix>_cells` (nid, nvec, cell) — the persisted inverted file.
+    * Returns the committed cells version.
+    */
+  def buildIvf(store: SnapshotStore, prefix: String,
+               fitSet: DataFrame, corpus: DataFrame,
+               idCol: String, vecCol: String, nCells: Int): Long = {
+    val cents = Similarity.ivfSeedCentroids(fitSet, idCol, vecCol, nCells)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    store.commit(centsView(prefix), cents.toSeq.toDF("cell", "centroid"),
+      overwrite = true)
+    store.commit(cellsView(prefix),
+      Similarity.ivfAssign(corpus, idCol, vecCol, cents), overwrite = true)
+  }
+
+  /** The frozen coarse centroids read back — O(nCells·dim). */
+  def loadIvfCents(store: SnapshotStore, prefix: String): Array[(Long, Seq[Double])] =
+    store.read(centsView(prefix)).orderBy(col("cell")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+  /** Assign `newVecs` to the FROZEN stored centroids and append the
+    * inverted-file rows exactly once under `txnId` — cells never move
+    * after build, so the index stays consistent across appends.
+    */
+  def appendIvf(store: SnapshotStore, prefix: String, newVecs: DataFrame,
+                idCol: String, vecCol: String, txnId: Long): Option[Long] =
+    store.appendOnce(cellsView(prefix),
+      Similarity.ivfAssign(newVecs, idCol, vecCol, loadIvfCents(store, prefix)),
+      txnId)
+
+  /** IVF probe search served from the STORED inverted file at `asOf`. */
+  def searchIvf(store: SnapshotStore, prefix: String, queries: DataFrame,
+                k: Int, nProbe: Int, asOf: Option[Long] = None,
+                qidCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.ivfTopKAssigned(queries, store.read(cellsView(prefix), asOf),
+      k, loadIvfCents(store, prefix), nProbe, qidCol, vecCol)
 }

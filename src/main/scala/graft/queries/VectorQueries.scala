@@ -224,6 +224,41 @@ object VectorQueries {
         .unionByName(r2.withColumn("phase", lit("v2")))
     }),
 
+    // IVF index lifecycle — the q148 split applied to the inverted
+    // file: coarse centroids fit on the base slice and FROZEN into the
+    // store, the base corpus assigned and committed as the persisted
+    // inverted file, the delta assigned against the stored centroids
+    // and appended exactly-once, searches served from pinned versions.
+    // Cells never move after build, so v1/v2 results differ only by
+    // the appended members.
+    "q158_ivf_index_lifecycle" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb.where(col("vec_id") % 5 =!= 0)
+      val delta = emb.where(col("vec_id") % 5 === 0)
+      val root = graft.sources.Scratch.processScoped("q158_idx", dir)
+      val store = new graft.sources.SnapshotStore(s, root)
+      val ready =
+        try store.versions("ivf_cells") == Seq(1L, 2L) &&
+          store.appliedTxns("ivf_cells") == Set(1L)
+        catch { case _: Exception => false }
+      if (!ready) {
+        graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+        assert(graft.operators.VectorIndex.buildIvf(store, "ivf", base, base,
+          "vec_id", "embedding", nCells = 8) == 1L)
+        assert(graft.operators.VectorIndex.appendIvf(store, "ivf", delta,
+          "vec_id", "embedding", txnId = 1L).nonEmpty, "first append must land")
+        assert(graft.operators.VectorIndex.appendIvf(store, "ivf", delta,
+          "vec_id", "embedding", txnId = 1L).isEmpty, "redelivered append must no-op")
+      }
+      val queries = emb.where(col("vec_id") < 5)
+      val r1 = graft.operators.VectorIndex.searchIvf(store, "ivf", queries,
+        k = 5, nProbe = 3, asOf = Some(1L))
+      val r2 = graft.operators.VectorIndex.searchIvf(store, "ivf", queries,
+        k = 5, nProbe = 3)
+      r1.withColumn("phase", lit("v1"))
+        .unionByName(r2.withColumn("phase", lit("v2")))
+    }),
+
     // Semantic dedup (SemDeDup): Lloyd cells (the stable q90 trajectory
     // with m=1 — whole vectors) turn all-pairs cosine into k independent
     // in-cell prunes; a member is dropped iff any lower-id cell-mate is
@@ -364,6 +399,40 @@ object VectorQueries {
           SELECT phase, qid, nid, dist, rnk FROM r1 WHERE rnk <= 5
           UNION ALL
           SELECT phase, qid, nid, dist, rnk FROM r2 WHERE rnk <= 5""",
+
+    // IVF lifecycle replay: centroids = first 8 BASE vectors, every
+    // vector assigned against them (the frozen-centroid append), v1
+    // search over base members only, v2 over all.
+    "q158_ivf_index_lifecycle" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          cents AS (SELECT vec_id AS cell, v AS cv FROM e
+                    WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 8),
+          aff AS (SELECT e.vec_id, e.v, cents.cell,
+                  ${SqlFragments.cosineExpr("e.v", "cents.cv")} AS cs
+                  FROM e CROSS JOIN cents),
+          ranked AS (SELECT vec_id, v, cell,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+                     FROM aff),
+          corpus AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
+          probes AS (SELECT vec_id AS qid, v AS qv, cell FROM ranked
+                     WHERE rn <= 3 AND vec_id < 5),
+          p1 AS (SELECT probes.qid, corpus.vec_id AS nid,
+                 ${SqlFragments.cosineExpr("probes.qv", "corpus.v")} AS sim
+                 FROM corpus JOIN probes USING (cell)
+                 WHERE corpus.vec_id <> probes.qid AND corpus.vec_id % 5 <> 0),
+          r1 AS (SELECT 'v1' AS phase, qid, nid, sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+                 FROM p1),
+          p2 AS (SELECT probes.qid, corpus.vec_id AS nid,
+                 ${SqlFragments.cosineExpr("probes.qv", "corpus.v")} AS sim
+                 FROM corpus JOIN probes USING (cell)
+                 WHERE corpus.vec_id <> probes.qid),
+          r2 AS (SELECT 'v2' AS phase, qid, nid, sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+                 FROM p2)
+          SELECT phase, qid, nid, sim, rnk FROM r1 WHERE rnk <= 5
+          UNION ALL
+          SELECT phase, qid, nid, sim, rnk FROM r2 WHERE rnk <= 5""",
 
     // SQ8 codebook + codes (q72's CTEs), per-pair dequantize, cosine
     // vs the raw query vector, rank desc.

@@ -51,4 +51,34 @@ class VectorIndexSpec extends SparkSpec {
       storedDelta("vec_id") === expectDelta("vec_id") &&
         storedDelta("codes") === expectDelta("codes")).count() == delta.count())
   }
+
+  test("IVF lifecycle: frozen centroids, cells never move, appends land once") {
+    val root = Scratch.processScoped("vecidx_spec", sf()) + "/ivf"
+    Scratch.deleteRecursively(new java.io.File(root))
+    val store = new SnapshotStore(spark, root)
+    val base = emb.where(col("vec_id") % 5 =!= 0)
+    val delta = emb.where(col("vec_id") % 5 === 0)
+    val v1 = VectorIndex.buildIvf(store, "ivf", base, base,
+      "vec_id", "embedding", nCells = 4)
+    val cents = VectorIndex.loadIvfCents(store, "ivf")
+    assert(cents.length == 4)
+    // centroids come from the FIT SET only (no %5==0 ids among seeds)
+    assert(cents.forall(_._1 % 5 != 0))
+    assert(VectorIndex.appendIvf(store, "ivf", delta, "vec_id", "embedding",
+      txnId = 9L).nonEmpty)
+    assert(VectorIndex.appendIvf(store, "ivf", delta, "vec_id", "embedding",
+      txnId = 9L).isEmpty)
+    assert(store.read("ivf_cells").count() == emb.count())
+    // base members' cell assignment is identical before and after the
+    // append (frozen centroids: the index never reshuffles)
+    val before = store.read("ivf_cells", Some(v1))
+      .select(col("nid"), col("cell").as("c1"))
+    val after = store.read("ivf_cells").select(col("nid"), col("cell").as("c2"))
+    assert(before.join(after, Seq("nid"))
+      .where(col("c1") =!= col("c2")).count() == 0)
+    val q = emb.where(col("vec_id") < 3)
+    val r1 = VectorIndex.searchIvf(store, "ivf", q, k = 5, nProbe = 2, asOf = Some(v1))
+    assert(r1.where(col("nid") % 5 === 0).count() == 0)
+    assert(VectorIndex.searchIvf(store, "ivf", q, k = 5, nProbe = 2).count() == 15)
+  }
 }
