@@ -179,6 +179,28 @@ object Mixer {
     * broadcast. Pure per-row IEEE arithmetic after the exact-long
     * token sums — cross-engine stable raw.
     */
+  /** Deterministic train/val/test assignment: split by the LCG
+    * fraction of the row id against cumulative `fractions` boundaries
+    * (e.g. 0.8/0.1/0.1). Hash-based, so the assignment is
+    * partitioning-invariant, stable across reruns and appends (a doc
+    * keeps its split forever — the property that prevents
+    * train-on-test leakage when the corpus grows), and needs no
+    * shuffle at all: one codegen'd projection.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+                   names: Seq[String] = Seq("train", "val", "test"),
+                   fractions: Seq[Double] = Seq(0.8, 0.1, 0.1)): DataFrame = {
+    require(names.length == fractions.length && names.nonEmpty)
+    require(math.abs(fractions.sum - 1.0) < 1e-9, s"fractions must sum to 1")
+    val cum = fractions.scanLeft(0.0)(_ + _).tail
+    val u = lcgFrac(col(idCol))
+    val expr = names.zip(cum).init.foldRight(
+      lit(names.last): org.apache.spark.sql.Column) {
+      case ((name, hi), rest) => when(u < lit(hi), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
   def epochPlan(docs: DataFrame, keyCol: String, tokensCol: Column,
                 weights: DataFrame, weightKeyCol: String, weightCol: String,
                 budget: Long, maxEpochs: Double = 4.0): DataFrame =

@@ -603,6 +603,34 @@ object CurationQueries {
       store.diff("t", 1L, 2L, Seq("k"))
     }),
 
+    // Deterministic train/val/test split (80/10/10): LCG-hash
+    // assignment, partitioning-invariant and stable under corpus
+    // growth (a doc keeps its split forever — the anti-leakage
+    // property), zero shuffles. The oracle replays the integer LCG
+    // and the cumulative-boundary CASE exactly.
+    "q160_train_split" -> ((s, dir) =>
+      graft.operators.Mixer.assignSplits(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")),
+
+    // DESCRIBE HISTORY of a lifecycle: create, two exactly-once
+    // appends, a plain append, OPTIMIZE, RESTORE — the manifest-only
+    // audit listing (O(commits) driver work, zero data IO). Every row
+    // is determined by the commit sequence alone, so the oracle is the
+    // literal expected table.
+    "q159_table_history" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q159_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+      st.commit("t", o.where(col("k") % 4 === 0), overwrite = true)
+      st.appendOnce("t", o.where(col("k") % 4 === 1), txnId = 10L)
+      st.appendOnce("t", o.where(col("k") % 4 === 2), txnId = 11L)
+      st.commit("t", o.where(col("k") % 4 === 3), overwrite = false)
+      st.compact("t")
+      st.restore("t", 4L)
+      st.history("t")
+    }),
+
     // Distribution-drift monitor between two TABLE VERSIONS: the CDF
     // setup (q135's rolling-window snapshots with every 5th key
     // repriced) feeds Stats.psiDrift — per-bin population-stability
@@ -1213,6 +1241,28 @@ object CurationQueries {
           FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
           WHERE v1.k IS NULL OR v2.k IS NULL
              OR v1.d IS DISTINCT FROM v2.d OR v1.p IS DISTINCT FROM v2.p""",
+
+    // LCG + cumulative boundaries replayed in integer/double SQL.
+    "q160_train_split" ->
+      """SELECT doc_id, lang,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id, lang,
+               CAST((doc_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+                 / 2147483648.0 AS u
+               FROM documents)""",
+
+    // The commit sequence fully determines the listing.
+    "q159_table_history" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), FALSE),
+           (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), FALSE),
+           (CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT), FALSE),
+           (CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(2 AS BIGINT), FALSE),
+           (CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT), TRUE),
+           (CAST(6 AS BIGINT), CAST(4 AS BIGINT), CAST(2 AS BIGINT), TRUE)
+         ) t(version, n_dirs, n_txns, overwrite)""",
 
     // PSI replay: same two window snapshots, base-frame equal-width
     // bins, Laplace-smoothed proportions, (p-q)ln(p/q) per bin.

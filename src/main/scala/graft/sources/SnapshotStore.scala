@@ -583,6 +583,24 @@ class SnapshotStore(spark: SparkSession, root: String) {
       overwrite = true, expectedBase = Some(base), statsCols = statsCols)
   }
 
+  /** DESCRIBE HISTORY: one row per retained version — (version, n_dirs,
+    * n_txns, overwrite) — derived from the manifests alone (O(commits)
+    * driver work, no data IO). `overwrite` marks commits that replaced
+    * the table (dir list not a superset of the predecessor's).
+    */
+  def history(view: String): DataFrame = {
+    val rows = versions(view).map { v =>
+      val dirs = readManifest(view, v)
+      val prev = if (v == versions(view).min) Seq.empty
+        else readManifest(view, v - 1)
+      (v, dirs.size.toLong, manifestTxns(view, v).size.toLong,
+        !prev.forall(dirs.contains))
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toDF("version", "n_dirs", "n_txns", "overwrite")
+  }
+
   /** RESTORE: re-publish the dir list of version `v` as a NEW version —
     * rollback as a forward commit, zero data IO (the restored dirs are
     * immutable and still on disk; only a manifest is written). History
