@@ -160,4 +160,23 @@ class MixerSpec extends SparkSpec {
     // small: 500 planned over 20 avail -> raw 25 epochs, clamped to 4
     assert(got("small") == ((20L, 4.0, true, 80.0)))
   }
+
+  test("assignSplits: boundary math matches the LCG, assignment is append-stable") {
+    import spark.implicits._
+    val ids = (0L until 1000L).toDF("id")
+    val got = Mixer.assignSplits(ids, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def u(id: Long) = ((id * 1103515245L + 12345L) % 2147483648L).toDouble / 2147483648.0
+    got.foreach { case (id, s) =>
+      val want = if (u(id) < 0.8) "train" else if (u(id) < 0.9) "val" else "test"
+      assert(s == want, s"id $id: $s != $want (u=${u(id)})")
+    }
+    // growth stability: the same ids keep their split in a bigger frame
+    val grown = Mixer.assignSplits((0L until 2000L).toDF("id"), "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.forall { case (id, s) => grown(id) == s })
+    // rough proportions
+    val n = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 700 && n("train") < 900, n.toString)
+  }
 }

@@ -361,6 +361,17 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.appendOnce("t", Seq((99, "dup")).toDF("k", "v"), txnId = 5L).isEmpty)
   }
 
+  test("history derives dirs/txns/overwrite per version from manifests alone") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
+    st.appendOnce("t", Seq((2, "b")).toDF("k", "v"), txnId = 7L)
+    st.commit("t", Seq((9, "z")).toDF("k", "v"), overwrite = true)
+    val h = st.history("t").as[(Long, Long, Long, Boolean)].collect().toSeq
+      .sortBy(_._1)
+    assert(h == Seq((1L, 1L, 0L, false), (2L, 2L, 1L, false),
+      (3L, 1L, 1L, true)))
+  }
+
   test("diff sees changes in a column added between the two versions") {
     val (st, _) = freshStore()
     st.commit("t", Seq((1, "a"), (2, "b")).toDF("k", "v"), overwrite = true)
