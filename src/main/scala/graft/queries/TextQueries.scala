@@ -235,6 +235,25 @@ object TextQueries {
       graft.operators.Bpe.symbolVocab(docs, "text", merges)
     }),
 
+    // Distributed logistic-regression TRAINING: 3 full-batch GD steps
+    // (one corpus aggregate per step, weights O(d) on the driver and
+    // re-entering as literals — the data-parallel training shape), then
+    // corpus-wide scoring. stableRound pins each gradient sum, so the
+    // whole trajectory — and every final probability — replays
+    // bit-for-bit in the oracle (the q90 Lloyd trick applied to GD).
+    // Features: scaled length + token count; label: lang == 'en'.
+    "q161_logreg_gd" -> ((s, dir) => {
+      val feats = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          (length(col("text")).cast("double") / 1000.0).as("x1"),
+          (size(TextFns.tokens(col("text"))).cast("double") / 100.0).as("x2"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val w = graft.operators.LogReg.train(feats, Seq("x1", "x2"), "y",
+        lr = 0.5, iters = 3)
+      graft.operators.LogReg.score(feats, Seq("x1", "x2"), w)
+        .select(col("doc_id"), col("y"), col("p"), col("pred"))
+    }),
+
     // Skip-gram (center, context) pair counts, ±2 window, min count 5:
     // the word2vec co-occurrence feed. Pairs expand inside the row (no
     // join), one hash agg; the oracle derives the same pairs from a
@@ -484,6 +503,36 @@ object TextQueries {
           ${(1 to rounds).map(r =>
             s"SELECT CAST($r AS BIGINT) AS round, p1, p2, n FROM tp$r")
             .mkString("\n          UNION ALL\n          ")}"""
+    },
+
+    // Full GD-trajectory replay: per-iteration sigmoid-error sums
+    // (r15-pinned), weight updates as 1-row CTE chain, final scoring.
+    "q161_logreg_gd" -> {
+      def sig(z: String) = s"1.0 / (1.0 + exp(-($z)))"
+      def z(wT: String) = s"($wT.w0 + x1 * $wT.w1) + x2 * $wT.w2"
+      val its = (1 to 3).map { i =>
+        s""",
+          e$i AS (SELECT ${sig(z(s"w${i - 1}"))} - y AS e, x1, x2
+                  FROM feats, w${i - 1}),
+          g$i AS (SELECT ${SqlFragments.r15("SUM(e * 1.0)", 9)} AS g0,
+                  ${SqlFragments.r15("SUM(e * x1)", 9)} AS g1,
+                  ${SqlFragments.r15("SUM(e * x2)", 9)} AS g2 FROM e$i),
+          w$i AS (SELECT w0 - 0.5 * g0 / nn.n AS w0,
+                  w1 - 0.5 * g1 / nn.n AS w1,
+                  w2 - 0.5 * g2 / nn.n AS w2
+                  FROM w${i - 1}, g$i, nn)"""
+      }.mkString
+      s"""WITH feats AS (
+            SELECT doc_id,
+              CAST(LENGTH(text) AS DOUBLE) / 1000.0 AS x1,
+              CAST(len(${SqlFragments.toksExpr}) AS DOUBLE) / 100.0 AS x2,
+              CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y
+            FROM documents WHERE text IS NOT NULL),
+          nn AS (SELECT COUNT(*) AS n FROM feats),
+          w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)$its
+          SELECT doc_id, y, p, p >= 0.5 AS pred FROM (
+            SELECT doc_id, y, ${SqlFragments.r15(sig(z("w3")), 6)} AS p
+            FROM feats, w3)"""
     },
 
     // Same pair set via a doc-local position self-join.
