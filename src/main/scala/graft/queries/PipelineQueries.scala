@@ -204,6 +204,46 @@ object PipelineQueries {
       speedRowsOut(s.createDataset(finalRows))
     }),
 
+    // Streaming reservoir sampling — a bounded exact k-sample per key
+    // over an unbounded stream, run as a REAL two-micro-batch stateful
+    // query (fMGWS, O(k) state per key). Priorities are LCG hashes of
+    // the id, so the reservoir is "the k smallest priorities seen" — a
+    // set property invariant to arrival order, batch boundaries and
+    // replays, which is what lets a DuckDB oracle replay an ONLINE
+    // sampler exactly (classic Vitter reservoirs cannot be replayed
+    // cross-engine).
+    "q162_stream_reservoir" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamSampler
+      val all = t(s, dir, "events").select(col("event_type"), col("event_id"))
+        .as[(String, Long)].collect().sortBy(_._2)
+        .map { case (key, id) => StreamSampler.Item(key, id) }
+      val (b1, b2) = all.splitAt(all.length / 2)
+      val mem = MemoryStream[StreamSampler.Item]
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, StreamSampler.Sampled)]
+      val q = StreamSampler.reservoirK(mem.toDS(), k = 10)
+        .writeStream.outputMode("append")
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[StreamSampler.Sampled], bid: Long) =>
+            buf.synchronized { buf ++= ds.collect().map((bid, _)) }; ()
+        }.start()
+      try {
+        mem.addData(b1.toSeq); q.processAllAvailable()
+        mem.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val finalRows = buf.synchronized {
+        buf.groupBy(_._2.key).values.flatMap { rows =>
+          val lastBid = rows.map(_._1).max
+          rows.filter(_._1 == lastBid).map(_._2)
+        }.toSeq
+      }
+      s.createDataset(finalRows)
+        .select(col("key").as("event_type"), col("id").as("event_id"))
+    }),
+
     // The SAME merge through the modern transformWithState /
     // StatefulProcessor API (T7's second implementation, previously
     // only spec-pinned equal to the fMGWS path) — now hashed by the
@@ -597,6 +637,18 @@ object PipelineQueries {
           UNION ALL
           SELECT date, close, nbr_article, positive, source FROM sp""",
     "q63_speed_merge" -> SpeedMergeSql,
+
+    // The reservoir = the k smallest LCG priorities per key, a pure
+    // set property the online sampler converges to.
+    "q162_stream_reservoir" ->
+      """WITH p AS (SELECT event_type, event_id,
+           CAST((event_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+             / 2147483648.0 AS u
+           FROM events),
+         r AS (SELECT event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u, event_id) AS rn
+               FROM p)
+         SELECT event_type, event_id FROM r WHERE rn <= 10""",
 
     "q85_speed_merge_tws" -> SpeedMergeSql,
     // T5: shuffled two-batch delivery converges to the in-order result
