@@ -45,6 +45,15 @@ object Expectations {
     case _ => None
   }
 
+  /** The per-row violation predicate (OR of all ROW-LEVEL checks) —
+    * the routing column a quarantine sink splits on: `true` rows go to
+    * quarantine, `false` rows pass. Set-level checks (unique, FK) have
+    * no single-row meaning and are ignored here.
+    */
+  def violationGate(checks: Seq[Check]): Column =
+    checks.flatMap(rowPredicate).map(_._2)
+      .reduceOption(_ || _).getOrElse(lit(false))
+
   def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
     val spark = df.sparkSession
     val rowChecks = checks.flatMap(rowPredicate)

@@ -744,6 +744,42 @@ object CurationQueries {
         col("event_type"), col("value"))
     }),
 
+    // Streaming expectations with a QUARANTINE sink — the DLT-style
+    // contract gate as a real streaming query: each micro-batch splits
+    // on the declarative row-level violation predicate
+    // (Expectations.violationGate — range + accepted-values checks),
+    // and BOTH routes land exactly-once in their own ACID views under
+    // the same batch id. Bad rows are never dropped silently (they
+    // stay queryable for triage) and never pollute the clean table —
+    // the ingest contract a 100 TB pipeline runs at the front door.
+    "q163_stream_quarantine" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val root = graft.sources.Scratch.processScoped("q163_sink", dir)
+      val store = new graft.sources.SnapshotStore(s, root)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      val gate = graft.operators.Expectations.violationGate(Seq(
+        graft.operators.Expectations.InRange("value", 0.0, 300.0),
+        graft.operators.Expectations.AcceptedValues("event_type",
+          Seq("click", "purchase", "signup", "view"))))
+      val parsed = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val q = parsed.writeStream
+        .option("checkpointLocation", s"$root/_cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          store.appendOnce("clean", batch.where(!gate), id): Unit
+          store.appendOnce("quarantine", batch.where(gate), id): Unit
+        }
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      store.read("clean").withColumn("route", lit("clean"))
+        .unionByName(store.read("quarantine").withColumn("route", lit("quarantine")))
+    }),
+
     // Sequence packing: documents assigned to ~500-token training bins
     // per language shard (overflow-bin policy, never splitting a doc).
     // Packing is inherently sequential, so it runs per shard — one
@@ -1329,6 +1365,16 @@ object CurationQueries {
       """SELECT event_id,
            strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS d,
            event_type, value
+         FROM events""",
+
+    // The routing predicate replayed per row; sink mechanics are
+    // invisible to the final content.
+    "q163_stream_quarantine" ->
+      """SELECT event_id, event_type, value,
+           CASE WHEN value IS NULL OR value < 0.0 OR value > 300.0
+                  OR event_type IS NULL
+                  OR event_type NOT IN ('click', 'purchase', 'signup', 'view')
+                THEN 'quarantine' ELSE 'clean' END AS route
          FROM events""",
 
     // Compaction is lossless: the compacted snapshot == the union of
