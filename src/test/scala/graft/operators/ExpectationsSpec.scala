@@ -61,4 +61,20 @@ class ExpectationsSpec extends SparkSpec {
     assert(got("not_null:k") == ((0L, true)))
     assert(got("unique:k") == ((0L, true)))
   }
+
+  test("violationGate routes rows: OR of row checks, set checks ignored") {
+    val df = Seq(
+      (1L, Some(10.0), "ok"),      // clean
+      (2L, Some(500.0), "ok"),     // range violation
+      (3L, None, "ok"),            // null value -> range violation
+      (4L, Some(10.0), "bad")      // accepted-values violation
+    ).toDF("k", "v", "st")
+    val gate = Expectations.violationGate(Seq(
+      InRange("v", 0.0, 100.0), AcceptedValues("st", Seq("ok")),
+      Unique(Seq("k")) // set-level: must not affect routing
+    ))
+    val bad = df.where(gate).select("k").as[Long].collect().toSet
+    assert(bad == Set(2L, 3L, 4L))
+    assert(df.where(!gate).select("k").as[Long].collect().toSeq == Seq(1L))
+  }
 }
