@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextFns
+import graft.functions.{NumFns, TextFns}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -310,5 +310,72 @@ object Curation {
       .withColumn("blocked_frac",
         col("n_blocked").cast("double") / col("n_tokens"))
       .withColumn("keep", col("blocked_frac") <= lit(maxFrac))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" shape): score every
+    * document by how much more likely its word-bigram features are under
+    * the TARGET distribution (rows where `isTarget`) than under the raw
+    * corpus distribution —
+    *   log w(x) = Σ_features log p̂_tgt(f) − log p̂_raw(f),
+    * add-one smoothing over the raw vocabulary V on both sides, summed
+    * over feature OCCURRENCES (multiplicity matters, as in hashed-n-gram
+    * DSIR). High-weight docs are the ones to up-sample toward the target
+    * domain.
+    *
+    * Scale shape: both distributions are one map-side-combined hash agg
+    * over the exploded bigram stream; the per-feature log-ratio table is
+    * vocabulary-sized and BROADCAST, so the per-occurrence lookup is a
+    * map-side join — the corpus shuffles only on doc_id for the final
+    * sum. Per-feature log-ratios are identical arithmetic in both
+    * engines; only the per-doc sum is order-dependent, so it is
+    * stableRound'ed.
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column): DataFrame = {
+    val feats = docs.where(col(textCol).isNotNull)
+      .withColumn("_toks", TextFns.tokens(col(textCol)))
+      .select(col(idCol), isTarget.as("_tgt"),
+        explode(TextFns.shinglesFromTokens(col("_toks"), 2)).as("_f"))
+    val raw = feats.groupBy(col("_f"))
+      .agg(count(lit(1)).as("_rc"),
+        count_if(col("_tgt")).as("_tc"))
+    val totals = raw.agg(sum(col("_rc")).as("_rt"), sum(col("_tc")).as("_tt"),
+      count(lit(1)).as("_v"))
+    val ratios = raw.crossJoin(totals)
+      .select(col("_f"),
+        (log((col("_tc") + lit(1.0)) / (col("_tt") + col("_v"))) -
+          log((col("_rc") + lit(1.0)) / (col("_rt") + col("_v")))).as("_lr"))
+    feats.join(broadcast(ratios), Seq("_f"))
+      .groupBy(col(idCol))
+      .agg(NumFns.stableRound(sum(col("_lr")), 6).as("logw"),
+        count(lit(1)).as("n_feats"))
+  }
+
+  /** Per-document character-level Shannon entropy (nats) + quality gate:
+    * low-entropy text is boilerplate/repetition (the cheapest of the
+    * quality heuristics — a page of "buy buy buy…" scores ≈ 1 nat while
+    * natural prose sits near 3). One explode of the character stream,
+    * one (doc, char) hash agg (map-side combined), one doc-keyed re-agg;
+    * zero joins against the corpus. Per-class −p·ln p terms are
+    * identical arithmetic cross-engine; the per-doc sum is
+    * order-dependent and stableRound'ed.
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String,
+                  minEntropy: Double): DataFrame = {
+    val chars = docs
+      .where(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), length(col(textCol)).cast("long").as("n_chars"),
+        explode(transform(sequence(lit(1), length(col(textCol))),
+          i => col(textCol).substr(i, lit(1)))).as("_ch"))
+    chars
+      .groupBy(col(idCol), col("n_chars"), col("_ch"))
+      .agg(count(lit(1)).as("_c"))
+      .select(col(idCol), col("n_chars"),
+        (-(col("_c").cast("double") / col("n_chars")) *
+          log(col("_c").cast("double") / col("n_chars"))).as("_t"))
+      .groupBy(col(idCol), col("n_chars"))
+      .agg(NumFns.stableRound(sum(col("_t")), 6).as("entropy"))
+      .withColumn("keep", col("entropy") >= lit(minEntropy))
   }
 }

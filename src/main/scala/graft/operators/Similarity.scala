@@ -73,6 +73,27 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** ANN quality evaluation: per-query recall@k of an approximate
+    * result set against the exact truth — the eval loop every
+    * production vector pipeline runs before trading recall for speed
+    * (rule of thumb: tune nProbe/nBits until recall@k plateaus, then
+    * ship). Generic over any two (qid, nid) result sets, so the same
+    * harness grades IVF, LSH, PQ-ADC, or a re-ranked hybrid. One
+    * equi-join on (qid, nid) + a query-keyed count; queries missing
+    * entirely from `approx` surface as recall 0, not as dropped rows.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"bad k $k")
+    val hits = approx.select(col("qid"), col("nid"))
+      .join(exact.select(col("qid"), col("nid")), Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      // int/int division — bit-stable raw
+      .withColumn("recall", col("n_hits").cast("double") / k)
+  }
+
   /** IVF-style ANN: corpus vectors are assigned to the nearest of
     * `nCells` coarse centroids (deterministic seeds: the first nCells
     * corpus vectors by id — no RNG, reproducible); each query probes its

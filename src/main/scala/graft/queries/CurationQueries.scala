@@ -16,6 +16,25 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // DSIR-style importance weights toward the EN slice (Xie et al.
+    // 2023): per-doc Σ over bigram occurrences of
+    // log p̂_tgt − log p̂_raw, add-one smoothed over the raw vocabulary.
+    // Both distributions are single hash aggs; the vocabulary-sized
+    // log-ratio table broadcasts, so scoring is a map-side join + one
+    // doc-keyed sum. The oracle replays the same smoothing arithmetic;
+    // only the order-dependent per-doc sum is r15'd.
+    "q164_dsir_weights" -> ((s, dir) =>
+      graft.operators.Curation.importanceWeights(
+        t(s, dir, "documents"), "doc_id", "text", col("lang") === "en")),
+
+    // Character-entropy quality gate: Shannon entropy (nats) of each
+    // document's character distribution, keep >= 2.82 (the corpus Q1 —
+    // boilerplate/repetition scores low). Pure explode + two keyed hash
+    // aggs, zero corpus joins.
+    "q166_char_entropy" -> ((s, dir) =>
+      graft.operators.Curation.charEntropy(
+        t(s, dir, "documents"), "doc_id", "text", minEntropy = 2.82)),
+
     // PII scrub: detect + redact emails / IPv4s / phone numbers in one
     // codegen'd expression chain (PiiFns — regexp_count/regexp_replace,
     // no UDF). The corpus is synthetic word-soup, so the PII spans are
@@ -850,6 +869,46 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // Same add-one-smoothed log-ratio per feature (bit-equal arithmetic
+    // order), r15 on the order-dependent per-doc sum only.
+    "q164_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${SqlFragments.toksExpr} AS toks
+                     FROM documents WHERE text IS NOT NULL),
+          f AS (SELECT doc_id, lang,
+                  unnest(${SqlFragments.bigramsExpr("toks")}) AS b FROM t),
+          raw AS (SELECT b, COUNT(*) AS rc,
+                    COUNT(*) FILTER (WHERE lang = 'en') AS tc
+                  FROM f GROUP BY b),
+          tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS rt,
+                    CAST(SUM(tc) AS BIGINT) AS tt,
+                    CAST(COUNT(*) AS BIGINT) AS v FROM raw),
+          lr AS (SELECT b, ln((tc + 1.0) / (tt + v)) - ln((rc + 1.0) / (rt + v)) AS lr
+                 FROM raw CROSS JOIN tot),
+          sc AS (SELECT doc_id, lr FROM f JOIN lr USING (b))
+          SELECT doc_id, ${SqlFragments.r15("SUM(lr)", 6)} AS logw,
+            COUNT(*) AS n_feats
+          FROM sc GROUP BY doc_id""",
+
+    // Same −p·ln p terms (bit-equal), r15 on the per-doc sum; keep
+    // compares the ROUNDED entropy, mirroring the Spark gate.
+    "q166_char_entropy" ->
+      s"""WITH d AS (SELECT doc_id, text,
+                  CAST(length(text) AS BIGINT) AS n_chars
+                FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+          ch AS (SELECT doc_id, n_chars,
+                  unnest(list_transform(range(1, length(text) + 1),
+                    i -> substring(text, i, 1))) AS c FROM d),
+          cnt AS (SELECT doc_id, n_chars, c, COUNT(*) AS k
+                  FROM ch GROUP BY 1, 2, 3),
+          term AS (SELECT doc_id, n_chars,
+                  -(CAST(k AS DOUBLE) / n_chars)
+                    * ln(CAST(k AS DOUBLE) / n_chars) AS t
+                  FROM cnt),
+          e AS (SELECT doc_id, n_chars,
+                  ${SqlFragments.r15("SUM(t)", 6)} AS entropy
+                FROM term GROUP BY doc_id, n_chars)
+          SELECT doc_id, n_chars, entropy, entropy >= 2.82 AS keep FROM e""",
 
     "q66_pii_redact" ->
       s"""WITH aug AS (SELECT doc_id,

@@ -270,6 +270,16 @@ object TextQueries {
       graft.operators.Dedup.jaccardPrefixJoin(
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.95)),
 
+    // Directed set-CONTAINMENT self-join (asymmetric prefix filter over
+    // bigram-shingle sets): every ordered (a, b) with |A∩B|/|A| >= 0.8 —
+    // the "excerpt subsumed by a larger page" duplication Jaccard
+    // misses. The oracle is the definitional all-ordered-pairs
+    // containment, so candidate completeness (size + positional filters
+    // ride inside the join) is itself graded.
+    "q165_containment_join" -> ((s, dir) =>
+      graft.operators.Dedup.containmentJoin(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.8)),
+
     // Bigram LM document scoring, add-one smoothing: the natural
     // upgrade of q58's unigram perplexity filter. P(w2|w1) =
     // (c(w1,w2)+1)/(c(w1)+V); per-doc mean log-prob. Two corpus hash
@@ -572,6 +582,24 @@ object TextQueries {
             ${SqlFragments.r15("CAST(inter AS DOUBLE) / (asz + bsz - inter)", 6)} AS jac
           FROM p
           WHERE CAST(inter AS DOUBLE) / (asz + bsz - inter) >= 0.95""",
+
+    // Definitional all-ordered-pairs containment over bigram-shingle
+    // sets — independent of the prefix-filter candidate generation
+    // under test. cont is a single int/int division, bit-stable raw.
+    "q165_containment_join" ->
+      s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks
+                     FROM documents WHERE text IS NOT NULL),
+          s AS (SELECT doc_id,
+                  list_distinct(${SqlFragments.bigramsExpr("toks")}) AS sh
+                FROM t),
+          s2 AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS sz
+                 FROM s WHERE len(sh) > 0),
+          p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                a.sz AS asz
+                FROM s2 a JOIN s2 b ON a.doc_id <> b.doc_id)
+          SELECT a_id, b_id, inter, CAST(inter AS DOUBLE) / asz AS cont
+          FROM p WHERE CAST(inter AS DOUBLE) / asz >= 0.8""",
 
     "q128_bigram_lm" ->
       s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks

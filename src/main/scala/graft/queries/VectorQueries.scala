@@ -25,6 +25,19 @@ object VectorQueries {
       Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, 5)
     }),
 
+    // ANN quality eval: recall@10 of the IVF index (8 cells, 2 probes —
+    // deliberately under-probed so the recall is informative, not 1.0)
+    // against the exact brute-force truth, per query. Both result sets
+    // are deterministic, so the oracle replays the whole eval: IVF
+    // pipeline, exact pipeline, hit join, recall division.
+    "q167_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") >= 100 && col("vec_id") < 120)
+      Similarity.recallAtK(
+        Similarity.ivfTopK(qs, emb, k = 10, nCells = 8, nProbe = 2),
+        Similarity.bruteForceTopK(qs, emb, k = 10), k = 10)
+    }),
+
     // Hard-negative mining for contrastive training: per query vector,
     // the top-5 most-similar vectors with a DIFFERENT label — the
     // negatives that carry gradient (random negatives are trivially
@@ -296,6 +309,42 @@ object VectorQueries {
                     CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
                     FROM p)
          SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 5""",
+    // Full eval replay: IVF (rn<=2 probes) and exact top-10 pipelines,
+    // hit join on (qid, nid), recall as an int/int division (raw).
+    "q167_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              cents AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+              aff AS (SELECT e.vec_id, e.v, cents.cell,
+                      ${SqlFragments.cosineExpr("e.v", "cents.cv")} AS cs
+                      FROM e CROSS JOIN cents),
+              ranked AS (SELECT vec_id, v, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) AS rn
+                         FROM aff),
+              corpus AS (SELECT vec_id, v, cell FROM ranked WHERE rn = 1),
+              probes AS (SELECT vec_id AS qid, v AS qv, cell FROM ranked
+                         WHERE rn <= 2 AND vec_id >= 100 AND vec_id < 120),
+              ap AS (SELECT probes.qid, corpus.vec_id AS nid,
+                    ${SqlFragments.cosineExpr("probes.qv", "corpus.v")} AS sim
+                    FROM corpus JOIN probes USING (cell) WHERE corpus.vec_id <> probes.qid),
+              a10 AS (SELECT qid, nid FROM
+                      (SELECT qid, nid,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+                       FROM ap) WHERE rnk <= 10),
+              q AS (SELECT vec_id AS qid, v AS qv FROM e
+                    WHERE vec_id >= 100 AND vec_id < 120),
+              ex AS (SELECT q.qid, c.vec_id AS nid,
+                    ${SqlFragments.cosineExpr("q.qv", "c.v")} AS sim
+                    FROM e c CROSS JOIN q WHERE c.vec_id <> q.qid),
+              e10 AS (SELECT qid, nid FROM
+                      (SELECT qid, nid,
+                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+                       FROM ex) WHERE rnk <= 10),
+              h AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+                    FROM a10 JOIN e10 USING (qid, nid) GROUP BY qid)
+          SELECT qid, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+            CAST(COALESCE(n_hits, 0) AS DOUBLE) / 10 AS recall
+          FROM (SELECT DISTINCT qid FROM e10) LEFT JOIN h USING (qid)""",
+
     "q21_embedding_pairs" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings WHERE vec_id < 500),

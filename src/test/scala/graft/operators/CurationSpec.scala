@@ -202,4 +202,34 @@ class CurationSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
+
+  test("importance weights: target-domain features score high, weight is label-free") {
+    val docs = Seq(
+      (1L, "stock market rally", "en"),
+      (2L, "stock market crash", "en"),
+      (3L, "der markt ist gut", "de"),
+      (4L, "stock market rally", "de") // target features, off-target label
+    ).toDF("doc_id", "text", "lang")
+    val w = Curation.importanceWeights(docs, "doc_id", "text",
+      col("lang") === "en").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logw")).toMap
+    assert(w(1L) > 0 && w(3L) < 0, s"expected en>0>de, got $w")
+    // the weight depends only on the doc's features, not its own label
+    assert(w(4L) == w(1L))
+    // ratio table is vocabulary-sized and must broadcast
+    val plan = Curation.importanceWeights(docs, "doc_id", "text",
+      col("lang") === "en").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast ratios in:\n$plan")
+  }
+
+  test("char entropy: uniform = ln(k), single-class = 0, gate splits on threshold") {
+    val docs = Seq((1L, "abcd"), (2L, "aaaaaaaa"), (3L, "abababab"))
+      .toDF("doc_id", "text")
+    val e = Curation.charEntropy(docs, "doc_id", "text", minEntropy = 1.0)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("entropy"), r.getAs[Boolean]("keep")))).toMap
+    assert(math.abs(e(1L)._1 - math.log(4.0)) < 1e-6 && e(1L)._2)
+    assert(e(2L)._1 == 0.0 && !e(2L)._2)
+    assert(math.abs(e(3L)._1 - math.log(2.0)) < 1e-6 && !e(3L)._2)
+  }
 }

@@ -163,4 +163,54 @@ class DedupSpec extends SparkSpec {
       .select("a_id", "b_id", "jac").as[(Long, Long, Double)].collect()
     assert(got.toSeq == Seq((1L, 2L, 1.0)))
   }
+
+  test("containmentJoin is COMPLETE and directed: equals all-ordered-pairs truth") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val cdocs = Seq(
+      (1L, base),                                       // the excerpt
+      (2L, base + " iota kappa lambda mu nu xi"),       // superset page
+      (3L, base),                                       // exact dup of 1
+      (4L, "one two three four five six seven eight"),  // unrelated
+      (5L, "pre " + base + " post")                     // superset, both ends
+    ).toDF("doc_id", "text")
+    def bigrams(s: String) =
+      s.split("\\s+").toSeq.sliding(2).map(_.mkString(" ")).toSet
+    val sets = Seq(1L -> base, 2L -> (base + " iota kappa lambda mu nu xi"),
+      3L -> base, 4L -> "one two three four five six seven eight",
+      5L -> ("pre " + base + " post")).map { case (i, t) => i -> bigrams(t) }.toMap
+    val t = 0.8
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      inter = (sets(a) & sets(b)).size
+      if inter.toDouble / sets(a).size >= t
+    } yield (a, b, inter.toLong, inter.toDouble / sets(a).size)).toSet
+    val got = Dedup.containmentJoin(cdocs, "doc_id", "text", t)
+      .select("a_id", "b_id", "inter", "cont")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // direction matters: the excerpt is contained in the superset page,
+    // never the reverse
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._4 == 1.0))
+    assert(!got.exists(p => p._1 == 2L && p._2 == 1L))
+  }
+
+  test("containmentJoin on pseudo-random sets equals brute force (mixed sizes)") {
+    val docs = (1L to 50L).map { i =>
+      val n = 6 + (i % 9).toInt
+      val toks = (0 until n).map(j => s"w${(i * 13 + j * 7) % 23}")
+      (i, toks.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    def bigrams(s: String) =
+      s.split("\\s+").toSeq.sliding(2).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (i, t) => i -> bigrams(t) }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      inter = (sets(a) & sets(b)).size
+      if inter.toDouble / sets(a).size >= 0.6
+    } yield (a, b)).toSet
+    val got = Dedup.containmentJoin(df, "doc_id", "text", threshold = 0.6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
 }

@@ -109,4 +109,17 @@ class SimilaritySpec extends SparkSpec {
     // same-label vec 1 is skipped; order: 2 (closest), 3, 4
     assert(got.toSeq == Seq((2L, 1L), (3L, 2L), (4L, 3L)))
   }
+
+  test("recallAtK: full overlap = 1.0, partial counted, missing query = 0.0") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L), (3L, 31L))
+      .toDF("qid", "nid")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L))
+      .toDF("qid", "nid") // q3 absent entirely
+    val got = Similarity.recallAtK(approx, exact, k = 2)
+      .collect().map(r => r.getAs[Long]("qid") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Double]("recall")))).toMap
+    assert(got(1L) == ((2L, 1.0)))
+    assert(got(2L) == ((1L, 0.5)))
+    assert(got(3L) == ((0L, 0.0)))
+  }
 }
