@@ -378,4 +378,45 @@ object Curation {
       .agg(NumFns.stableRound(sum(col("_t")), 6).as("entropy"))
       .withColumn("keep", col("entropy") >= lit(minEntropy))
   }
+
+  /** C4-style cross-document line dedup (Raffel et al. 2020: any line
+    * occurring in `maxDocs`-or-more documents corpus-wide is removed
+    * from every document, and the survivors are reassembled in order).
+    * The synthetic corpus has no newlines, so a "line" here is a
+    * deterministic `segLen`-token segment; the mechanism — split,
+    * count corpus-wide, drop frequent units, reassemble — is identical
+    * to splitting on '\n'.
+    *
+    * Scale shape: one explode to (doc, pos, segment) rows; one
+    * segment-keyed hash agg (map-side combined) filtered DOWN TO THE
+    * FREQUENT TAIL before anything joins — boilerplate repeats by
+    * definition, so the frequent-segment table is a tiny fraction of
+    * the distinct-segment count and AQE broadcasts the membership
+    * probe; the long unique tail never leaves the aggregation.
+    * Reassembly is one doc-keyed agg collecting the kept (pos, seg)
+    * structs and sorting them in-row — per-document cost, never a
+    * global sort. Output: (id, n_segs, n_removed, clean_text).
+    */
+  def crossDocLineDedup(docs: DataFrame, idCol: String, textCol: String,
+                        segLen: Int, maxDocs: Int): DataFrame = {
+    require(segLen > 0 && maxDocs >= 2, s"bad segLen=$segLen maxDocs=$maxDocs")
+    val segs = docs.where(col(textCol).isNotNull)
+      .withColumn("_toks", TextFns.tokens(col(textCol)))
+      .where(size(col("_toks")) > 0)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(_toks) / $segLen.0) as int) - 1)," +
+          s" i -> array_join(slice(_toks, i * $segLen + 1, $segLen), ' '))")))
+      .toDF(idCol, "pos", "seg")
+    val frequent = segs.groupBy(col("seg"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .where(col("_nd") >= maxDocs)
+      .select(col("seg"), lit(true).as("_drop"))
+    segs.join(frequent, Seq("seg"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("_drop"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+          when(col("_drop").isNull, struct(col("pos"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"))
+  }
 }

@@ -215,4 +215,57 @@ object Mixer {
       .withColumn("clamped", col("epochs_raw") > lit(maxEpochs))
       .withColumn("effective_tokens",
         col("epochs") * col("n_tokens").cast("double"))
+
+  /** Per-domain document cap (the crawl-curation rule that stops one
+    * giant domain from dominating the corpus): every row gets its
+    * deterministic LCG `pick_rank` within its key and a `kept` flag
+    * (rank <= cap). The full audit frame is emitted — kept AND
+    * rejected — so downstream can both filter and report per-domain
+    * rejection counts from one pass.
+    *
+    * One keyed shuffle for the per-key rank window. Emitting all rows
+    * means no WindowGroupLimit pushdown applies (it can't — every row
+    * is output); a caller that only needs the survivors should filter
+    * on `kept` INSIDE the same job, which Spark pushes into the window
+    * via the group-limit rule, as [[exactKPerGroup]] does.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"bad cap=$cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(lcgFrac(col(idCol)), col(idCol))
+    df.withColumn("pick_rank", row_number().over(w).cast("long"))
+      .withColumn("kept", col("pick_rank") <= cap)
+  }
+
+  /** Length-bucketed batch assembly with padding accounting: group
+    * rows into `bucketWidth`-wide length buckets, order each bucket by
+    * the deterministic LCG stream, cut consecutive runs of `batchSize`
+    * rows into batches, and report each batch's padded cost — a batch
+    * pads every sequence to its max length, so
+    * `padding_frac = 1 − Σlen / (max_len · n)`. This is the standard
+    * trainer-side bucketing that turns a skewed length distribution
+    * into near-rectangular batches (vs. random batching whose padding
+    * waste tracks the global length variance).
+    *
+    * One keyed shuffle (the per-bucket rank window), one (bucket,
+    * batch) hash agg. The emitted frame is O(batches), not O(rows);
+    * `padding_frac` is a single int-derived division — bit-stable
+    * cross-engine without rounding.
+    */
+  def lengthBucketedBatches(df: DataFrame, idCol: String, lenCol: String,
+                            bucketWidth: Long, batchSize: Int): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(lcgFrac(col(idCol)), col(idCol))
+    df.withColumn("bucket", expr(s"`$lenCol` DIV $bucketWidth"))
+      .withColumn("_rk", row_number().over(w).cast("long"))
+      .withColumn("batch", expr(s"(_rk - 1) DIV $batchSize"))
+      .groupBy(col("bucket"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col(lenCol)).as("seq_len"),
+        sum(col(lenCol)).as("sum_tokens"))
+      .withColumn("padding_frac",
+        lit(1.0) - col("sum_tokens").cast("double") /
+          (col("seq_len") * col("n_docs")).cast("double"))
+  }
 }

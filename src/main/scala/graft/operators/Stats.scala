@@ -184,4 +184,31 @@ object Stats {
         sum(when(abs(col("_z")) > lit(cut), 1L).otherwise(0L)).as("n_outliers"),
         min(col("med")).as("med"), min(col("mad")).as("mad"))
   }
+
+  /** Equal-frequency (quantile) binning per key — the feature
+    * discretization step (decile features, calibration buckets): the
+    * k−1 interior cutpoints come from ONE [[exactPercentiles]] pass
+    * (r15-rounded so both engines compare against bit-identical
+    * edges), collect into an O(k) array per key, broadcast back, and
+    * every row's bin is the count of cutpoints strictly below its
+    * value — a searchsorted over a tiny in-row array, zero extra
+    * shuffles beyond the percentile pass. Heavily tied distributions
+    * can merge adjacent bins (duplicate cutpoints), the standard
+    * equal-frequency degeneracy; the assignment stays deterministic.
+    * Returns the input plus `bin` (0-based).
+    */
+  def equalFreqBins(df: DataFrame, keyCol: String, valCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 2, s"bad k=$k")
+    val cuts = exactPercentiles(df, keyCol, valCol,
+        (1 until k).map(_.toDouble / k), "cut")
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(
+        graft.functions.NumFns.stableRound(col("cut"), 6))).as("_cuts"))
+    df.where(col(valCol).isNotNull)
+      .join(broadcast(cuts), Seq(keyCol))
+      .withColumn("bin", aggregate(col("_cuts"), lit(0L),
+        (acc, c) => acc + when(col(valCol) > c, 1L).otherwise(0L)))
+      .drop("_cuts")
+  }
 }

@@ -260,4 +260,35 @@ object TfIdf {
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Vocabulary pruning + per-document OOV rate: the vocabulary is the
+    * top `vocabSize` tokens by corpus frequency (ties by token — fully
+    * deterministic), and every document reports how much of it falls
+    * outside that vocabulary — the coverage check run before freezing
+    * a tokenizer.
+    *
+    * Scale shape: one (token) hash agg for counts; the top-K selection
+    * is a global sort LIMIT, which Spark executes as
+    * TakeOrderedAndProject — per-partition top-K then a K-sized driver
+    * merge, never a full sort (the scalable alternative to ranking the
+    * vocabulary through a single-partition window). The K-row vocab
+    * broadcasts; scoring is one map-side membership probe + one
+    * doc-keyed agg. `oov_rate` is a single long/long division —
+    * bit-stable cross-engine.
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize > 0)
+    val tok = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(true).as("_in"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_toks").cast("double"))
+  }
 }

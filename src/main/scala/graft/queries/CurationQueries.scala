@@ -35,6 +35,83 @@ object CurationQueries {
       graft.operators.Curation.charEntropy(
         t(s, dir, "documents"), "doc_id", "text", minEntropy = 2.82)),
 
+    // C4-style cross-document line dedup: deterministic 10-token
+    // segments occurring in >= 3 distinct documents (the planted
+    // duplicate clusters; 15 such segments at sf0.01) are removed
+    // everywhere and the survivors reassembled in order. The frequent
+    // table is agg-filtered BEFORE the membership join (broadcast-sized
+    // by construction); reassembly sorts per-doc in-row. clean_text
+    // equality pins exact order preservation.
+    "q168_line_dedup" -> ((s, dir) =>
+      graft.operators.Curation.crossDocLineDedup(
+        t(s, dir, "documents"), "doc_id", "text", segLen = 10, maxDocs = 3)),
+
+    // Per-domain document cap: deterministic LCG rank within source,
+    // keep <= 15 of each domain's 25 docs — the crawl rule that stops
+    // one giant domain from dominating. Full audit frame (kept AND
+    // rejected rows) so rejection reporting rides the same pass.
+    "q169_domain_cap" -> ((s, dir) =>
+      graft.operators.Mixer.capPerKey(
+        t(s, dir, "documents").select(col("source"), col("doc_id")),
+        keyCol = "source", idCol = "doc_id", cap = 15)),
+
+    // Equal-frequency quartile binning of lineitem quantity per return
+    // flag: cutpoints from ONE exactPercentiles pass (r15'd — the q51
+    // boundary device), bin = in-row searchsorted over the broadcast
+    // O(k) cut array. Integral quantities make the interpolated cuts
+    // dyadic-exact; the graded frame is the per-bin profile, which
+    // pins both the assignment rule and the equal-frequency property.
+    "q170_equalfreq_bins" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("double").as("qty"))
+      graft.operators.Stats.equalFreqBins(li, "flag", "qty", k = 4)
+        .groupBy(col("flag"), col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("qty")).as("lo"),
+          max(col("qty")).as("hi"))
+    }),
+
+    // Length-bucketed batch assembly: 16-token-wide buckets, LCG order
+    // inside each, batches of 8, per-batch padded cost (pad-to-max).
+    // O(batches) output; padding_frac is int-derived division —
+    // bit-stable raw.
+    "q173_length_batches" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.TextFns.tokenCount(col("text")).as("n_tok"))
+      graft.operators.Mixer.lengthBucketedBatches(docs, "doc_id", "n_tok",
+        bucketWidth = 16L, batchSize = 8)
+    }),
+
+    // VACUUM: three commits -> OPTIMIZE -> vacuum(retain 1) GCs the
+    // three pre-compact dirs and their manifests; the graded read
+    // proves the retained snapshot is fully intact post-GC, and the
+    // constant columns pin the deterministic post-vacuum layout
+    // (1 live dir, 1 retained version). Physical dir deletion and
+    // time-travel loss are spec-pinned (SnapshotStoreSpec).
+    "q174_vacuum" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q174_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val store = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders")
+        .where(date_format(col("o_orderdate"), "yyyy-MM-dd")
+          .between("1995-01-01", "1995-06-30"))
+        .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      store.commit("t", o.where(col("k") % 3 === 0), overwrite = true)
+      store.commit("t", o.where(col("k") % 3 === 1), overwrite = false)
+      store.commit("t", o.where(col("k") % 3 === 2), overwrite = false)
+      store.compact("t")
+      store.vacuum("t", retainVersions = 1)
+      val nDirs = store.manifestDirs("t").size.toLong
+      val nVers = store.versions("t").size.toLong
+      store.read("t")
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n"),
+          NumFns.stableRound(sum(col("p")), 2).as("total"))
+        .withColumn("n_live_dirs", lit(nDirs))
+        .withColumn("n_versions", lit(nVers))
+    }),
+
     // PII scrub: detect + redact emails / IPv4s / phone numbers in one
     // codegen'd expression chain (PiiFns — regexp_count/regexp_replace,
     // no UDF). The corpus is synthetic word-soup, so the PII spans are
@@ -889,6 +966,89 @@ object CurationQueries {
           SELECT doc_id, ${SqlFragments.r15("SUM(lr)", 6)} AS logw,
             COUNT(*) AS n_feats
           FROM sc GROUP BY doc_id""",
+
+    // Same segmentation arithmetic (ceil(n/10) slices), same >= 3
+    // distinct-doc rule, same in-order reassembly; list() FILTER can
+    // yield NULL for an all-dropped doc, coalesced to the empty list
+    // to match Spark's empty collect_list.
+    "q168_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks
+                     FROM documents WHERE text IS NOT NULL),
+          nz AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+                 FROM t WHERE len(toks) > 0),
+          sg AS (SELECT doc_id, i AS pos,
+                   array_to_string(toks[CAST(i * 10 + 1 AS BIGINT):
+                                        CAST(i * 10 + 10 AS BIGINT)], ' ') AS seg
+                 FROM nz, unnest(range(0, CAST(ceil(n / 10.0) AS BIGINT))) AS u(i)),
+          freq AS (SELECT seg FROM sg GROUP BY seg
+                   HAVING COUNT(DISTINCT doc_id) >= 3),
+          fl AS (SELECT s.doc_id, s.pos, s.seg, f.seg IS NOT NULL AS dropped
+                 FROM sg s LEFT JOIN freq f USING (seg))
+          SELECT doc_id, COUNT(*) AS n_segs,
+            CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+            array_to_string(list_transform(list_sort(COALESCE(
+              list({'pos': pos, 'seg': seg}) FILTER (WHERE NOT dropped),
+              CAST([] AS STRUCT(pos BIGINT, seg VARCHAR)[]))),
+              x -> x.seg), ' ') AS clean_text
+          FROM fl GROUP BY doc_id""",
+
+    // Identical LCG rank per domain (the q110 device), cap as a flag.
+    "q169_domain_cap" ->
+      """WITH r AS (SELECT source, doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY CAST((doc_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+                      / 2147483648.0, doc_id) AS BIGINT) AS pick_rank
+           FROM documents)
+         SELECT source, doc_id, pick_rank, pick_rank <= 15 AS kept FROM r""",
+
+    // quantile_cont matches exactPercentiles' interpolation (the q120
+    // device); identical searchsorted rule on the r15'd cutpoints.
+    "q170_equalfreq_bins" ->
+      s"""WITH v AS (SELECT l_returnflag AS flag,
+                  CAST(l_quantity AS DOUBLE) AS qty FROM lineitem),
+          c AS (SELECT flag,
+                  ${SqlFragments.r15("quantile_cont(qty, 0.25)", 6)} AS c1,
+                  ${SqlFragments.r15("quantile_cont(qty, 0.50)", 6)} AS c2,
+                  ${SqlFragments.r15("quantile_cont(qty, 0.75)", 6)} AS c3
+                FROM v GROUP BY flag),
+          b AS (SELECT flag, qty,
+                  CAST(CASE WHEN qty > c1 THEN 1 ELSE 0 END
+                     + CASE WHEN qty > c2 THEN 1 ELSE 0 END
+                     + CASE WHEN qty > c3 THEN 1 ELSE 0 END AS BIGINT) AS bin
+                FROM v JOIN c USING (flag))
+          SELECT flag, bin, COUNT(*) AS n, MIN(qty) AS lo, MAX(qty) AS hi
+          FROM b GROUP BY flag, bin""",
+
+    // Same bucket arithmetic (integer DIV), same LCG order, same
+    // padded-cost divisions.
+    "q173_length_batches" ->
+      s"""WITH d AS (SELECT doc_id,
+                  CAST(len(${SqlFragments.toksExpr}) AS BIGINT) AS n_tok
+                FROM documents WHERE text IS NOT NULL),
+          r AS (SELECT doc_id, n_tok, n_tok // 16 AS bucket,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY n_tok // 16
+                    ORDER BY CAST((doc_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+                             / 2147483648.0, doc_id) AS BIGINT) AS rk
+                FROM d),
+          g AS (SELECT bucket, (rk - 1) // 8 AS batch, COUNT(*) AS n_docs,
+                  MAX(n_tok) AS seq_len, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+                FROM r GROUP BY bucket, batch)
+          SELECT bucket, batch, n_docs, seq_len, sum_tokens,
+            1.0 - CAST(sum_tokens AS DOUBLE)
+                  / CAST(seq_len * n_docs AS DOUBLE) AS padding_frac
+          FROM g""",
+
+    // Vacuum is content-preserving for the retained snapshot: the read
+    // equals the filtered base table; the deterministic post-GC layout
+    // is one compacted dir, one retained version.
+    "q174_vacuum" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, COUNT(*) AS n,
+            ${SqlFragments.r15("SUM(o_totalprice)", 2)} AS total,
+            CAST(1 AS BIGINT) AS n_live_dirs, CAST(1 AS BIGINT) AS n_versions
+          FROM orders
+          WHERE strftime(o_orderdate, '%Y-%m-%d')
+                BETWEEN '1995-01-01' AND '1995-06-30'
+          GROUP BY d""",
 
     // Same −p·ln p terms (bit-equal), r15 on the per-doc sum; keep
     // compares the ROUNDED entropy, mirroring the Spark gate.

@@ -306,7 +306,55 @@ object TextQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           NumFns.stableRound(avg(col("_lp")), 6).as("avg_lp"))
-    })
+    }),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): q128's
+    // bigram-LM doc score, then PER-LANGUAGE tertile cutpoints (one
+    // exactPercentiles pass, r15'd — the q120 boundary device) split
+    // each language into head (most fluent / highest avg log-prob),
+    // middle, tail. The cut table is O(langs) and broadcasts; bucket
+    // assignment is map-side.
+    "q172_ppl_buckets" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").where(col("text").isNotNull)
+        .withColumn("_toks", TextFns.tokens(col("text")))
+      val uni = toks.select(explode(col("_toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+      val bi = toks.where(size(col("_toks")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(0, size(_toks)-2)," +
+            " i -> struct(_toks[i] AS w1, _toks[i+1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("lang"),
+          col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val scored = bi.join(bc, Seq("w1", "w2"))
+        .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("_lp", log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(NumFns.stableRound(avg(col("_lp")), 6).as("avg_lp"))
+      val cuts = graft.operators.Stats.exactPercentiles(
+          scored, "lang", "avg_lp", Seq(1.0 / 3, 2.0 / 3), "cut")
+        .groupBy(col("lang"))
+        .agg(NumFns.stableRound(
+            min(when(col("p") === 1.0 / 3, col("cut"))), 6).as("c1"),
+          NumFns.stableRound(
+            max(when(col("p") === 2.0 / 3, col("cut"))), 6).as("c2"))
+      scored.join(broadcast(cuts), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("avg_lp"),
+          when(col("avg_lp") >= col("c2"), "head")
+            .when(col("avg_lp") >= col("c1"), "middle")
+            .otherwise("tail").as("bucket"))
+    }),
+
+    // Vocabulary pruning + OOV coverage: top-20 corpus tokens by
+    // (count desc, token) — TakeOrderedAndProject, never a
+    // single-partition rank window — then each document's
+    // out-of-vocabulary token rate. The synthetic 31-word vocabulary
+    // leaves 11 pruned words, so rates are non-trivial.
+    "q175_oov_rate" -> ((s, dir) =>
+      graft.operators.TfIdf.oovRate(
+        t(s, dir, "documents"), "doc_id", "text", vocabSize = 20))
   )
 
   val oracle: Map[String, String] = Map(
@@ -616,6 +664,49 @@ object TextQueries {
                  JOIN c1 ON c1.w = bi.w1 CROSS JOIN v)
           SELECT doc_id, COUNT(*) AS n_bigrams,
             ${SqlFragments.r15("AVG(lp)", 6)} AS avg_lp
-          FROM sc GROUP BY doc_id"""
+          FROM sc GROUP BY doc_id""",
+
+    // q128's LM replay + per-lang quantile_cont tertiles (the q120
+    // device), identical r15'd cuts and >= comparisons.
+    "q172_ppl_buckets" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${SqlFragments.toksExpr} AS toks
+                     FROM documents WHERE text IS NOT NULL),
+          uni AS (SELECT unnest(toks) AS w FROM t),
+          c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY w),
+          v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM c1),
+          bi AS (SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+                 FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
+                       FROM t WHERE len(toks) >= 2)),
+          c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+          sc AS (SELECT doc_id, lang, ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS lp
+                 FROM bi JOIN c2 USING (w1, w2)
+                 JOIN c1 ON c1.w = bi.w1 CROSS JOIN v),
+          d AS (SELECT doc_id, lang, ${SqlFragments.r15("AVG(lp)", 6)} AS avg_lp
+                FROM sc GROUP BY doc_id, lang),
+          cut AS (SELECT lang,
+                  ${SqlFragments.r15("quantile_cont(avg_lp, 1.0/3)", 6)} AS c1,
+                  ${SqlFragments.r15("quantile_cont(avg_lp, 2.0/3)", 6)} AS c2
+                  FROM d GROUP BY lang)
+          SELECT doc_id, d.lang, avg_lp,
+            CASE WHEN avg_lp >= c2 THEN 'head'
+                 WHEN avg_lp >= c1 THEN 'middle'
+                 ELSE 'tail' END AS bucket
+          FROM d JOIN cut ON d.lang = cut.lang""",
+
+    // Identical (count desc, token) tie rule for the top-20 vocab;
+    // identical long/long rate division.
+    "q175_oov_rate" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${SqlFragments.toksExpr}) AS w
+                       FROM documents WHERE text IS NOT NULL),
+          vv AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+                                ORDER BY c DESC, w LIMIT 20)),
+          f AS (SELECT t.doc_id, vv.w IS NOT NULL AS inv
+                FROM tok t LEFT JOIN vv ON t.w = vv.w),
+          g AS (SELECT doc_id, COUNT(*) AS n_toks,
+                  CAST(SUM(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+                FROM f GROUP BY doc_id)
+          SELECT doc_id, n_toks, n_oov,
+            CAST(n_oov AS DOUBLE) / CAST(n_toks AS DOUBLE) AS oov_rate
+          FROM g"""
   )
 }

@@ -96,6 +96,28 @@ object VectorQueries {
     // with mid-similarity pairs (0.3 < J < 0.7) would need the oracle
     // to assert expected recall instead of exact pair-set equality —
     // that would be a test-harness change, not an engine bug.
+    // Dedup-eval harness: precision/recall/F1 of a cheap candidate
+    // generator (exact token-SET equality — the 31-word synthetic
+    // vocabulary makes many unrelated docs share their distinct-token
+    // set, so precision is genuinely < 1) against the exact
+    // shingle-Jaccard >= 0.5 truth (deterministic pair set under the
+    // q23 bimodal data contract). One pair-keyed full-outer join, one
+    // global agg row; metric doubles are int-derived divisions.
+    "q171_dedup_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sets = docs.where(col("text").isNotNull)
+        .withColumn("_toks", graft.functions.TextFns.tokens(col("text")))
+        .where(size(col("_toks")) > 0)
+        .select(col("doc_id"),
+          array_join(array_sort(array_distinct(col("_toks"))), " ").as("_set"))
+      val pred = sets.as("a").join(sets.as("b"),
+          col("a._set") === col("b._set") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      val truth = Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+        estThreshold = 0.3, jaccardThreshold = 0.5)
+      Dedup.pairEval(pred, truth)
+    }),
+
     "q23_minhash_lsh" -> ((s, dir) => {
       Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
           estThreshold = 0.3, jaccardThreshold = 0.4)
@@ -522,6 +544,33 @@ object VectorQueries {
     "q23_minhash_lsh" ->
       s"""${SqlFragments.shinglePairsCte(0.4)}
           SELECT a_id, b_id, jaccard, TRUE AS est_ok FROM verified""",
+
+    // Truth replayed as the all-pairs shingle-Jaccard >= 0.5 set (the
+    // q23 device); pred as all-pairs token-set equality; identical
+    // metric arithmetic (same division and F1 association order).
+    "q171_dedup_eval" ->
+      s"""${SqlFragments.shinglePairsCte(0.5)},
+          st AS (SELECT doc_id,
+                   array_to_string(list_sort(list_distinct(
+                     ${SqlFragments.toksExpr})), ' ') AS s
+                 FROM documents
+                 WHERE text IS NOT NULL AND len(${SqlFragments.toksExpr}) > 0),
+          pred AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                   FROM st a JOIN st b ON a.s = b.s AND a.doc_id < b.doc_id),
+          c AS (SELECT
+                  (SELECT COUNT(*) FROM pred) AS n_pred,
+                  (SELECT COUNT(*) FROM verified) AS n_truth,
+                  (SELECT COUNT(*) FROM pred JOIN verified USING (a_id, b_id))
+                    AS n_tp),
+          m AS (SELECT CAST(n_pred AS BIGINT) AS n_pred,
+                  CAST(n_truth AS BIGINT) AS n_truth,
+                  CAST(n_tp AS BIGINT) AS n_tp,
+                  CAST(n_tp AS DOUBLE) / CAST(n_pred AS DOUBLE) AS "precision",
+                  CAST(n_tp AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+                FROM c)
+          SELECT n_pred, n_truth, n_tp, "precision", recall,
+            2.0 * "precision" * recall / ("precision" + recall) AS f1
+          FROM m""",
     "q24_simhash" ->
       s"""${SqlFragments.shinglePairsCte(0.4)}
           SELECT a_id, b_id, TRUE AS ham_ok FROM verified""",

@@ -232,4 +232,33 @@ class CurationSpec extends SparkSpec {
     assert(e(2L)._1 == 0.0 && !e(2L)._2)
     assert(math.abs(e(3L)._1 - math.log(2.0)) < 1e-6 && !e(3L)._2)
   }
+
+  test("crossDocLineDedup: frequent segments removed, order preserved") {
+    // segLen=2 segments; "x y" appears in docs 1,2,3 (>= 3) -> dropped;
+    // "a b" appears in docs 1,2 only -> kept.
+    val docs = Seq(
+      (1L, "x y a b p q"),
+      (2L, "m n x y a b"),
+      (3L, "x y r s"),
+      (4L, "t u v")).toDF("doc_id", "text")
+    val out = Curation.crossDocLineDedup(docs, "doc_id", "text",
+        segLen = 2, maxDocs = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((3L, 1L, "a b p q")))
+    assert(out(2L) == ((3L, 1L, "m n a b")))
+    assert(out(3L) == ((2L, 1L, "r s")))
+    assert(out(4L) == ((2L, 0L, "t u v"))) // odd tail segment "v" kept
+  }
+
+  test("crossDocLineDedup: all-dropped doc reassembles to empty text") {
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = Curation.crossDocLineDedup(docs, "doc_id", "text",
+        segLen = 2, maxDocs = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("clean_text")).toMap
+    assert(out == Map(1L -> "", 2L -> "", 3L -> ""))
+  }
 }

@@ -213,4 +213,28 @@ class DedupSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
+
+  test("pairEval: canonicalization, duplicates collapsed, exact metrics") {
+    import spark.implicits._
+    // pred has a reversed duplicate of (1,2) and one false positive
+    val pred = Seq((1L, 2L), (2L, 1L), (3L, 4L), (5L, 6L)).toDF("a_id", "b_id")
+    val truth = Seq((1L, 2L), (3L, 4L), (7L, 8L)).toDF("a_id", "b_id")
+    val m = Dedup.pairEval(pred, truth).collect().head
+    assert(m.getAs[Long]("n_pred") == 3L)
+    assert(m.getAs[Long]("n_truth") == 3L)
+    assert(m.getAs[Long]("n_tp") == 2L)
+    assert(m.getAs[Double]("precision") == 2.0 / 3.0)
+    assert(m.getAs[Double]("recall") == 2.0 / 3.0)
+    assert(math.abs(m.getAs[Double]("f1") - 2.0 / 3.0) < 1e-15)
+  }
+
+  test("pairEval: empty prediction side yields null precision, zero tp") {
+    import spark.implicits._
+    val pred = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val truth = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val m = Dedup.pairEval(pred, truth).collect().head
+    assert(m.getAs[Long]("n_pred") == 0L && m.getAs[Long]("n_tp") == 0L)
+    assert(m.isNullAt(m.fieldIndex("precision")))
+    assert(m.getAs[Double]("recall") == 0.0)
+  }
 }

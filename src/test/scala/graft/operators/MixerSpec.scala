@@ -179,4 +179,42 @@ class MixerSpec extends SparkSpec {
     val n = got.values.groupBy(identity).view.mapValues(_.size).toMap
     assert(n("train") > 700 && n("train") < 900, n.toString)
   }
+
+  test("capPerKey: audit frame, exact cap, partitioning-invariant ranks") {
+    import spark.implicits._
+    val df = (0L until 40L).map(i => (i, s"d${i % 2}")).toDF("id", "key")
+    val out = Mixer.capPerKey(df, "key", "id", cap = 5)
+    assert(out.count() == 40) // every row emitted, kept and rejected
+    val kept = out.where(col("kept")).groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("d0" -> 5L, "d1" -> 5L))
+    // ranks are a permutation of 1..n per key and match the LCG order
+    val ranks = out.where(col("key") === "d0").collect()
+      .map(r => r.getAs[Long]("pick_rank")).sorted
+    assert(ranks.toSeq == (1L to 20L))
+    val again = Mixer.capPerKey(df.repartition(7), "key", "id", cap = 5)
+    assert(out.orderBy("key", "id").collect().toSeq ==
+      again.orderBy("key", "id").collect().toSeq)
+  }
+
+  test("lengthBucketedBatches: bucket/batch arithmetic and padded cost") {
+    import spark.implicits._
+    // 20 rows of length 10 (bucket 0) and 3 rows of length 35 (bucket 2)
+    val df = ((0L until 20L).map(i => (i, 10L)) ++
+      Seq((100L, 35L), (101L, 33L), (102L, 37L))).toDF("id", "len")
+    val out = Mixer.lengthBucketedBatches(df, "id", "len",
+      bucketWidth = 16L, batchSize = 8)
+    val rows = out.collect().map(r => (r.getAs[Long]("bucket"),
+      r.getAs[Long]("batch")) -> ((r.getAs[Long]("n_docs"),
+      r.getAs[Long]("seq_len"), r.getAs[Double]("padding_frac")))).toMap
+    // bucket 0: 20 docs -> batches of 8, 8, 4; all len 10 => zero padding
+    assert(rows((0L, 0L)) == ((8L, 10L, 0.0)))
+    assert(rows((0L, 1L)) == ((8L, 10L, 0.0)))
+    assert(rows((0L, 2L)) == ((4L, 10L, 0.0)))
+    // bucket 2: one batch of 3, padded to max 37
+    val (n, sl, pf) = rows((2L, 0L))
+    assert(n == 3L && sl == 37L)
+    assert(math.abs(pf - (1.0 - 105.0 / 111.0)) < 1e-15)
+    assert(rows.size == 4)
+  }
 }

@@ -122,4 +122,29 @@ class StatsSpec extends SparkSpec {
     // counts survive: bins partition both samples
     assert(drift.map(_.getLong(1)).sum == 100L)
   }
+
+  test("equalFreqBins: quartiles of 1..100 split 25/25/25/25") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("k", i.toDouble)).toDF("key", "v")
+    val out = Stats.equalFreqBins(df, "key", "v", k = 4)
+    val byBin = out.groupBy("bin").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBin == Map(0L -> 25L, 1L -> 25L, 2L -> 25L, 3L -> 25L), byBin.toString)
+    // boundary rule: a value equal to a cutpoint stays in the lower bin
+    val cut1 = 25.75 // percentile(1..100, 0.25)
+    val bins = out.collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    assert(bins(25.0) == 0L && bins(26.0) == 1L)
+    assert(bins(50.0) == 1L && bins(51.0) == 2L, s"cut1=$cut1 ${bins(50.0)}")
+  }
+
+  test("equalFreqBins: heavy ties merge bins deterministically") {
+    import spark.implicits._
+    // 90% of mass at one value: all three cuts coincide there
+    val df = ((1 to 90).map(_ => ("k", 5.0)) ++
+      (1 to 10).map(i => ("k", 100.0 + i))).toDF("key", "v")
+    val out = Stats.equalFreqBins(df, "key", "v", k = 4).collect()
+      .map(r => r.getDouble(1) -> r.getLong(2))
+    assert(out.filter(_._1 == 5.0).forall(_._2 == 0L))   // ties: lowest bin
+    assert(out.filter(_._1 > 100.0).forall(_._2 == 3L))  // above all 3 cuts
+  }
 }

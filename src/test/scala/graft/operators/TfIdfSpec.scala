@@ -132,4 +132,25 @@ class TfIdfSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(rep == Map(("x", "y") -> 2L, ("y", "x") -> 2L))
   }
+
+  test("oovRate: top-K vocab by (count desc, token), exact per-doc rates") {
+    import spark.implicits._
+    // counts: a=4, b=3, c=2, d=1 -> vocab(2) = {a, b}
+    val docs = Seq((1L, "a a b c"), (2L, "a a b b c d")).toDF("doc_id", "text")
+    val out = TfIdf.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_rate")))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25)))
+    assert(out(2L) == ((6L, 2L, 2.0 / 6.0)))
+  }
+
+  test("oovRate: count ties at the vocab boundary break by token order") {
+    import spark.implicits._
+    // b and c both have count 2; vocab(2) = {a, b} (b < c)
+    val docs = Seq((1L, "a a a b b c c")).toDF("doc_id", "text")
+    val out = TfIdf.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .collect().head
+    assert(out.getAs[Long]("n_oov") == 2L) // the two c's
+  }
 }
