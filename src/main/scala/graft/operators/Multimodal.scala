@@ -172,4 +172,121 @@ object Multimodal {
       struct(lit("text/plain").as("mime"),
         col("n_chars").cast("int").as("width"),
         lit(1).as("height")).as("meta"))
+
+  /** Perturbed synthetic P6: [[syntheticPpm]] of `baseId` with ONE
+    * plane byte overridden as a function of `id` — a corpus of image
+    * groups that are perceptual near-duplicates (same base plane, tiny
+    * per-copy edit) without being byte-identical. The near-dup-media
+    * test fixture; every byte is regenerable arithmetically.
+    */
+  def syntheticPpmVariant(id: Long, baseId: Long, w: Int = 8, h: Int = 6): Array[Byte] = {
+    val out = syntheticPpm(baseId, w, h)
+    val plane = w * h * 3
+    val header = out.length - plane
+    out(header + (id % plane).toInt) = ((id * 7) % 256L).toByte
+    out
+  }
+
+  /** Average-hash (aHash) perceptual image signature over the decoded
+    * P6 plane: per-pixel gray = r+g+b (the monotone-equivalent of the
+    * mean — no division), bit_i = [gray_i · n_px > Σgray] (exact
+    * integer compare, no float mean), packed little-endian into a
+    * long. w·h must be <= 64. Runs inside the same partition-iterator
+    * decode seam as [[ppmFeatures]]; malformed payloads are dropped.
+    * Output: (media_id, phash, n_px).
+    */
+  def aHashes(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("phash", LongType),
+      StructField("n_px", LongType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          decodePpmGray(payload).map { grays =>
+            val n = grays.length
+            var total = 0L
+            var i = 0
+            while (i < n) { total += grays(i); i += 1 }
+            var hash = 0L
+            i = 0
+            while (i < n) {
+              if (grays(i).toLong * n > total) hash |= (1L << i)
+              i += 1
+            }
+            Row(id, hash, n.toLong)
+          }
+        }
+      }(encoder)
+  }
+
+  /** Per-pixel gray plane (r+g+b) of a P6 payload, None if malformed
+    * or larger than 64 pixels (aHash packs into one long).
+    */
+  private[operators] def decodePpmGray(payload: Array[Byte]): Option[Array[Int]] = {
+    // validate via decodePpm, then locate the plane with the same walk
+    // (three header ints + one whitespace byte) — robust to comments
+    // and to trailing bytes after the plane
+    decodePpm(payload).flatMap { case (w, h, _, _, _) =>
+      if (w * h > 64) None
+      else {
+        var pos = 2
+        var ints = 0
+        while (ints < 3) {
+          while (Character.isWhitespace(payload(pos) & 0xFF) ||
+            (payload(pos) & 0xFF) == '#') {
+            if ((payload(pos) & 0xFF) == '#')
+              while (payload(pos) != '\n') pos += 1
+            else pos += 1
+          }
+          while (pos < payload.length && (payload(pos) & 0xFF).toChar.isDigit) pos += 1
+          ints += 1
+        }
+        pos += 1 // the single whitespace after maxval
+        val n = w * h
+        val grays = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          grays(i) = (payload(pos + 3 * i) & 0xFF) +
+            (payload(pos + 3 * i + 1) & 0xFF) +
+            (payload(pos + 3 * i + 2) & 0xFF)
+          i += 1
+        }
+        Some(grays)
+      }
+    }
+  }
+
+  /** Near-duplicate media pairs by banded aHash: split each signature
+    * into `bands` contiguous bit ranges, equi-join on (band, bits),
+    * verify candidates at Hamming distance <= `maxHam`. Completeness
+    * is the pigeonhole, not a probabilistic LSH bound: any pair within
+    * `maxHam < bands` bit flips shares at least one intact band, so
+    * the candidate stage misses nothing it claims to find — and it is
+    * an equi-join on band bits, never an all-pairs scan. `bitsTotal`
+    * is the signature width (n_px of the fixture's 8x6 planes = 48).
+    */
+  def perceptualNearDupPairs(hashes: DataFrame, bitsTotal: Int = 48,
+                             bands: Int = 4, maxHam: Int = 3): DataFrame = {
+    require(bands > maxHam, s"pigeonhole needs bands > maxHam")
+    require(bitsTotal % bands == 0)
+    val bw = bitsTotal / bands
+    val mask = (1L << bw) - 1L
+    val banded = hashes.select(col("media_id"), col("phash"),
+      explode(expr(
+        s"transform(sequence(0, ${bands - 1})," +
+          s" b -> struct(b AS band, shiftright(phash, b * $bw) & $mask AS bits))"))
+        .as("bb"))
+      .select(col("media_id"), col("phash"), col("bb.band"), col("bb.bits"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("ham"))
+      .distinct()
+      .where(col("ham") <= maxHam)
+  }
 }

@@ -82,6 +82,56 @@ object CurationQueries {
         bucketWidth = 16L, batchSize = 8)
     }),
 
+    // Zero-copy shallow clone: t gets three bi-monthly commits; tc is
+    // cloned AT v2 (Jan-Apr) — an O(files) manifest publish, no data
+    // IO — then appends July independently. The graded frame reads
+    // BOTH tables: the clone must see exactly (v2 + its own append)
+    // through the cross-view relative refs, and the source must be
+    // untouched by the clone's append. Clone isolation (vacuum safety,
+    // localization by compact) is spec-pinned.
+    "q177_shallow_clone" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q177_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "tc"))
+      val store = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          col("o_totalprice").as("p"))
+      def slice(lo: String, hi: String) = o.where(col("d").between(lo, hi))
+      store.commit("t", slice("1995-01-01", "1995-02-28"), overwrite = true)
+      store.commit("t", slice("1995-03-01", "1995-04-30"), overwrite = false)
+      store.commit("t", slice("1995-05-01", "1995-06-30"), overwrite = false)
+      store.cloneView("t", "tc", asOf = Some(2L))
+      store.commit("tc", slice("1995-07-01", "1995-07-31"), overwrite = false)
+      def agg(view: String, side: String) = store.read(view)
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n"),
+          NumFns.stableRound(sum(col("p")), 2).as("total"))
+        .withColumn("side", lit(side))
+      agg("tc", "clone").unionByName(agg("t", "src"))
+    }),
+
+    // Out-of-fold target encoding: l_returnflag x 5 LCG folds of
+    // lineitem, target = quantity (integral — sums stay exact through
+    // the windows), smoothing m = 10 toward the global mean — the
+    // leakage-free categorical encoder. One (category, fold) hash agg;
+    // everything after is windows over the 15-row cell frame.
+    "q178_target_encoding" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("cat"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("rid"),
+          col("l_quantity").cast("long").as("y"))
+      graft.operators.Features.oofTargetEncoding(li, "cat", "rid", "y",
+        k = 5, m = 10.0)
+    }),
+
+    // Hashing-trick vectorizer: polynomial char hash -> 64 slots with
+    // ±1 sign, per-doc sparse vector as (doc, slot, signed sum). Zero
+    // joins, zero fitted state — the featurizer that needs no vocab.
+    "q179_feature_hash" -> ((s, dir) =>
+      graft.operators.Features.featureHash(
+        t(s, dir, "documents"), "doc_id", "text", numFeatures = 64)),
+
     // VACUUM: three commits -> OPTIMIZE -> vacuum(retain 1) GCs the
     // three pre-compact dirs and their manifests; the graded read
     // proves the retained snapshot is fully intact post-GC, and the
@@ -1037,6 +1087,61 @@ object CurationQueries {
             1.0 - CAST(sum_tokens AS DOUBLE)
                   / CAST(seq_len * n_docs AS DOUBLE) AS padding_frac
           FROM g""",
+
+    // Clone = source v2 content plus the clone's own July append;
+    // source = all three of its commits, unchanged by the clone.
+    "q177_shallow_clone" ->
+      s"""WITH o AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+                  o_totalprice AS p FROM orders),
+          cl AS (SELECT d, COUNT(*) AS n,
+                  ${SqlFragments.r15("SUM(p)", 2)} AS total, 'clone' AS side
+                 FROM o WHERE d BETWEEN '1995-01-01' AND '1995-04-30'
+                    OR d BETWEEN '1995-07-01' AND '1995-07-31'
+                 GROUP BY d),
+          sr AS (SELECT d, COUNT(*) AS n,
+                  ${SqlFragments.r15("SUM(p)", 2)} AS total, 'src' AS side
+                 FROM o WHERE d BETWEEN '1995-01-01' AND '1995-06-30'
+                 GROUP BY d)
+          SELECT * FROM cl UNION ALL SELECT * FROM sr""",
+
+    // Identical LCG fold, identical exact decimal sums, identical
+    // smoothing arithmetic; r15 on the final encoding only.
+    "q178_target_encoding" ->
+      s"""WITH r AS (SELECT l_returnflag AS cat,
+                  ((l_orderkey * 8 + l_linenumber) * 1103515245 + 12345)
+                    % 2147483648 % 5 AS fold,
+                  CAST(l_quantity AS BIGINT) AS y
+                FROM lineitem),
+          cell AS (SELECT cat, fold, COUNT(*) AS n_in, SUM(y) AS s_in
+                   FROM r GROUP BY cat, fold),
+          w AS (SELECT cat, fold, n_in, s_in,
+                  SUM(s_in) OVER (PARTITION BY cat) AS s_cat,
+                  SUM(n_in) OVER (PARTITION BY cat) AS n_cat,
+                  CAST(SUM(s_in) OVER () AS DOUBLE)
+                    / CAST(SUM(n_in) OVER () AS DOUBLE) AS mu
+                FROM cell)
+          SELECT cat, CAST(fold AS BIGINT) AS fold, n_in,
+            CAST(n_cat - n_in AS BIGINT) AS n_out,
+            ${SqlFragments.r15(
+              "(CAST(s_cat - s_in AS DOUBLE) + 10.0 * mu)" +
+                " / (CAST(n_cat - n_in AS DOUBLE) + 10.0)", 6)} AS oof_mean
+          FROM w""",
+
+    // Identical polynomial char hash (exact BIGINT arithmetic), slot
+    // and sign derivation, and signed-count agg.
+    "q179_feature_hash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${SqlFragments.toksExpr}) AS w
+                       FROM documents WHERE text IS NOT NULL),
+          h AS (SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(w) + 1),
+                      i -> CAST(unicode(substring(w, i, 1)) AS BIGINT))),
+                    (acc, c) -> (acc * 31 + c) % 2147483648) AS hh
+                FROM tok)
+          SELECT doc_id, hh % 64 AS slot,
+            CAST(SUM(1 - 2 * ((hh // 64) % 2)) AS BIGINT) AS value,
+            COUNT(*) AS n_terms
+          FROM h GROUP BY doc_id, hh % 64""",
 
     // Vacuum is content-preserving for the retained snapshot: the read
     // equals the filtered base table; the deterministic post-GC layout

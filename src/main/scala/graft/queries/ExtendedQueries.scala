@@ -117,6 +117,85 @@ object ExtendedQueries {
       graft.operators.Multimodal.ppmFeatures(media)
     }),
 
+    // Image near-dup by banded perceptual hash: 50 base images, each
+    // with ~10 one-byte-edited copies (real P6 payloads, REAL binary
+    // decode in the partition-iterator seam), aHash = [gray·n > Σgray]
+    // bits, 4×12-bit bands -> equi-join candidates -> Hamming <= 3
+    // verify. Completeness is the pigeonhole (<= 3 flips can't break
+    // all 4 bands), not a probabilistic bound — the oracle replays
+    // every pixel arithmetically and checks the SAME band-share ∧
+    // Hamming predicate over all pairs.
+    "q176_image_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, graft.operators.Multimodal.syntheticPpmVariant(id, id % 50)))
+        .toDF("media_id", "payload")
+      val hashes = graft.operators.Multimodal.aHashes(media)
+      graft.operators.Multimodal.perceptualNearDupPairs(hashes)
+        .select(col("a_id"), col("b_id"), col("ham").cast("long").as("ham"))
+    }),
+
+    // Audio frame features over REAL RIFF/WAV binary: 500 PCM16 mono
+    // fixtures (every 4th 16-sample frame near-silent by construction),
+    // decoded by the chunk-walking parser in the partition-iterator
+    // seam, then exact per-frame energy / zero-crossings / peak and the
+    // silence gate. The oracle regenerates every sample arithmetically
+    // and replays the identical integer feature math.
+    "q180_audio_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, graft.operators.Media.syntheticWav(id)))
+        .toDF("media_id", "payload")
+      graft.operators.Media.wavFrameFeatures(media)
+        .withColumn("is_active", col("is_active").cast("long"))
+    }),
+
+    // Silence trim: the active-span reduction over the frame features —
+    // first/last active frame and total active energy per clip, the
+    // leading/trailing-silence cut a speech pipeline applies before
+    // training. One map-side-combined groupBy over the frame rows.
+    "q181_audio_trim" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, graft.operators.Media.syntheticWav(id)))
+        .toDF("media_id", "payload")
+      graft.operators.Media.activeSpans(
+        graft.operators.Media.wavFrameFeatures(media))
+    }),
+
+    // Video frame-sample + shot detection: 100 containers x 16 frames
+    // (scenes change every 4 frames), REAL binary container walk
+    // emitting every 2nd frame only, per-frame perceptual hash, then a
+    // lag-window keyframe flag (hash moved > 2 bits vs previous sampled
+    // frame). No self-join, no all-frames materialization — the shape a
+    // video curation pipeline needs at scale. Oracle replays every
+    // pixel, hash bit, and the lag compare.
+    "q182_video_keyframes" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id")).where(col("doc_id") < 100).as[Long]
+        .map(id => (id, graft.operators.Media.syntheticVideo(id)))
+        .toDF("media_id", "payload")
+      val frames = graft.operators.Media.videoFrames(media, stride = 2)
+      graft.operators.Media.keyframes(frames)
+        .withColumn("is_key", col("is_key").cast("long"))
+    }),
+
+    // Nearest-neighbor resize as a REAL P6-to-P6 transform (the resized
+    // payload is itself a valid image that flows back through every PPM
+    // operator), graded through the downstream feature decode: resize
+    // 8x6 -> 4x3, then dimensions + per-channel means of the SAMPLED
+    // pixels. Oracle replays the source-pixel arithmetic at the strided
+    // coordinates.
+    "q183_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, graft.operators.Multimodal.syntheticPpm(id)))
+        .toDF("media_id", "payload")
+      graft.operators.Multimodal.ppmFeatures(
+        graft.operators.Media.resizePpm(media, factor = 2))
+    }),
+
     // Full near-dedup pipeline: LSH candidates -> exact verify ->
     // min-id survivors. Oracle: the all-pairs exact-verify truth —
     // the pipeline's survivors must equal the min-id survivors of
@@ -228,6 +307,107 @@ object ExtendedQueries {
       s"""${SqlFragments.shinglePairsCte(0.4)}
           SELECT doc_id, lang, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT DISTINCT b_id FROM verified)""",
+
+    // Every pixel of every perturbed plane regenerated arithmetically
+    // (the q65 device + the one-byte edit), the same integer-compare
+    // aHash bits, then ALL pairs at Hamming <= 3 — equal to the banded
+    // candidate join's verified output by the pigeonhole (<= 3 flips
+    // cannot break all 4 bands, so no true pair is ever missed).
+    "q176_image_phash_dedup" ->
+      """WITH px AS (
+           SELECT doc_id, i,
+             CASE WHEN i = doc_id % 144 THEN (doc_id * 7) % 256
+                  ELSE (1103515245 * ((doc_id % 50) + i) + 12345) % 256
+             END AS b
+           FROM documents, generate_series(0, 143) t(i)),
+         g AS (SELECT doc_id, i // 3 AS p, CAST(SUM(b) AS BIGINT) AS gray
+               FROM px GROUP BY doc_id, i // 3),
+         tot AS (SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS total
+                 FROM g GROUP BY doc_id),
+         h AS (SELECT g.doc_id,
+                 CAST(SUM(CASE WHEN gray * 48 > total THEN
+                   (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS phash
+               FROM g JOIN tot ON g.doc_id = tot.doc_id
+               GROUP BY g.doc_id)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS ham
+         FROM h a JOIN h b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.phash, b.phash)) <= 3""",
+    // Every PCM sample regenerated from the LCG (quiet frames use the
+    // % 64 range), then the identical integer energy/zcr/peak/gate math.
+    "q180_audio_frames" ->
+      """WITH s AS (SELECT doc_id AS media_id, i,
+             (1103515245 * (doc_id * 1000 + i) + 12345) % 2147483648 AS lcg
+           FROM documents, generate_series(0, 127) t(i)),
+         v AS (SELECT media_id, i, i // 16 AS f,
+             CASE WHEN (i // 16) % 4 = 0 THEN lcg % 64 - 32
+                  ELSE lcg % 65536 - 32768 END AS smp FROM s),
+         z AS (SELECT media_id, f, i, smp,
+             LAG(smp) OVER (PARTITION BY media_id, f ORDER BY i) AS prev FROM v)
+         SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(SUM(ABS(smp)) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN smp * prev < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+           CAST(MAX(ABS(smp)) AS BIGINT) AS peak,
+           CAST(CASE WHEN SUM(ABS(smp)) > 1024 THEN 1 ELSE 0 END AS BIGINT) AS is_active
+         FROM z GROUP BY media_id, f""",
+
+    // The span reduction over the same replayed frame energies.
+    "q181_audio_trim" ->
+      """WITH s AS (SELECT doc_id AS media_id, i,
+             (1103515245 * (doc_id * 1000 + i) + 12345) % 2147483648 AS lcg
+           FROM documents, generate_series(0, 127) t(i)),
+         v AS (SELECT media_id, i // 16 AS f,
+             CASE WHEN (i // 16) % 4 = 0 THEN lcg % 64 - 32
+                  ELSE lcg % 65536 - 32768 END AS smp FROM s),
+         e AS (SELECT media_id, f, SUM(ABS(smp)) AS energy
+               FROM v GROUP BY media_id, f)
+         SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(MIN(CASE WHEN energy > 1024 THEN f END) AS BIGINT) AS active_start,
+           CAST(MAX(CASE WHEN energy > 1024 THEN f END) AS BIGINT) AS active_end,
+           CAST(SUM(CASE WHEN energy > 1024 THEN energy ELSE 0 END) AS BIGINT)
+             AS active_energy
+         FROM e GROUP BY media_id""",
+
+    // Pixels of every SAMPLED frame (scene base plane + the one-byte
+    // per-frame edit), aHash bits, then the lag-window keyframe flag.
+    "q182_video_keyframes" ->
+      """WITH fr AS (SELECT doc_id AS vid, f
+            FROM documents, generate_series(0, 14, 2) t(f) WHERE doc_id < 100),
+         px AS (SELECT vid, f, j,
+            CASE WHEN j = (vid * 1000 + f) % 144 THEN ((vid * 1000 + f) * 7) % 256
+                 ELSE (1103515245 * (vid * 64 + f // 4 + j) + 12345) % 256
+            END AS b
+            FROM fr, generate_series(0, 143) u(j)),
+         g AS (SELECT vid, f, j // 3 AS p, CAST(SUM(b) AS BIGINT) AS gray
+               FROM px GROUP BY vid, f, j // 3),
+         tot AS (SELECT vid, f, SUM(gray) AS total FROM g GROUP BY vid, f),
+         h AS (SELECT g.vid, g.f,
+                 CAST(SUM(CASE WHEN gray * 48 > total THEN
+                   (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS phash
+               FROM g JOIN tot ON g.vid = tot.vid AND g.f = tot.f
+               GROUP BY g.vid, g.f),
+         k AS (SELECT vid, f, phash,
+                 LAG(phash) OVER (PARTITION BY vid ORDER BY f) AS prev FROM h)
+         SELECT vid AS media_id, CAST(f AS BIGINT) AS frame_idx, phash,
+           CAST(CASE WHEN prev IS NULL OR bit_count(xor(phash, prev)) > 2
+                THEN 1 ELSE 0 END AS BIGINT) AS is_key
+         FROM k""",
+
+    // Source pixels at the strided coordinates; integer sums / 12.0 are
+    // exact in both engines, so the means compare raw.
+    "q183_image_resize" ->
+      """WITH px AS (SELECT doc_id, c,
+             CAST((1103515245 * (doc_id + 3 * ((2 * y) * 8 + 2 * x) + c)
+               + 12345) % 256 AS DOUBLE) AS v
+           FROM documents, generate_series(0, 2) tc(c),
+             generate_series(0, 2) ty(y), generate_series(0, 3) tx(x))
+         SELECT doc_id AS media_id, CAST(4 AS BIGINT) AS width,
+           CAST(3 AS BIGINT) AS height, CAST(12 AS BIGINT) AS n_px,
+           SUM(CASE WHEN c = 0 THEN v ELSE 0 END) / 12.0 AS mean_r,
+           SUM(CASE WHEN c = 1 THEN v ELSE 0 END) / 12.0 AS mean_g,
+           SUM(CASE WHEN c = 2 THEN v ELSE 0 END) / 12.0 AS mean_b
+         FROM px GROUP BY doc_id""",
+
     "q32_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, unnest(${SqlFragments.toksExpr}) AS token FROM documents),
           tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),

@@ -72,6 +72,15 @@ class SnapshotStore(spark: SparkSession, root: String) {
   private def manifestDir(view: String) = viewRoot(view).resolve("_manifests")
   private def dataRoot(view: String) = viewRoot(view).resolve("data")
 
+  /** NIO path of a manifest dir entry. Foreign refs (shallow clones)
+    * traverse `..` through a data root that may not exist on disk —
+    * lexical normalization keeps the kernel path walk off the missing
+    * intermediate (Hadoop paths normalize the same way, so Spark reads
+    * already behave like this).
+    */
+  private def dirPath(view: String, dirName: String): Path =
+    dataRoot(view).resolve(dirName).normalize()
+
   private def manifestPath(view: String, v: Long): Path =
     manifestDir(view).resolve(f"v$v%06d.json")
 
@@ -175,7 +184,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
 
   private def dirBloom(view: String, dirName: String,
                        c: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
-    val p = dataRoot(view).resolve(dirName).resolve(s"_bloom_$c.bin")
+    val p = dirPath(view, dirName).resolve(s"_bloom_$c.bin")
     if (!Files.exists(p)) None
     else {
       val in = Files.newInputStream(p)
@@ -185,7 +194,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
   }
 
   private def dirStats(view: String, dirName: String): Map[String, (Boolean, String, String)] = {
-    val p = dataRoot(view).resolve(dirName).resolve(StatsFile)
+    val p = dirPath(view, dirName).resolve(StatsFile)
     if (!Files.exists(p)) Map.empty
     else Files.readString(p).split("\n").filter(_.nonEmpty).map { line =>
       val Array(c, kind, lo, hi) = line.split("\t", 4)
@@ -574,7 +583,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
     require(vs.nonEmpty, s"$view: nothing to compact")
     val base = vs.max
     val bytes = readManifest(view, base)
-      .map(dataRoot(view).resolve)
+      .map(dirPath(view, _))
       .flatMap(d => Files.list(d).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")))
       .map(Files.size).sum
@@ -615,6 +624,35 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val next = base + 1
     publish(view, next, readManifest(view, v), manifestTxns(view, base))
     next
+  }
+
+  /** Zero-copy SHALLOW CLONE (Delta CLONE semantics): publish `dst`'s
+    * v1 manifest referencing `src`'s data dirs by RELATIVE path — no
+    * data is read, copied, or rewritten, so cloning a 100 TB table is
+    * an O(files) metadata operation. The clone then evolves
+    * independently: its appends/merges land in its OWN data root
+    * (copy-on-write localizes touched dirs), and `compact` localizes
+    * it fully. Per-dir stats/bloom sidecars resolve through the same
+    * relative refs, so data skipping works unchanged on the clone.
+    *
+    * Caveats mirrored from Delta: streaming txn ids are NOT carried
+    * (the clone is a new table — the source's appendOnce fences must
+    * not swallow the clone's own first batches), and a vacuum of the
+    * SOURCE does not know about clones — localize (compact) a clone
+    * before GC'ing a source it still references. The clone's own
+    * vacuum only ever deletes children of its own data root, so it can
+    * never take source data with it.
+    */
+  def cloneView(src: String, dst: String, asOf: Option[Long] = None): Long = {
+    require(versions(dst).isEmpty, s"$dst: clone target must be empty")
+    val rel = manifestDirs(src, asOf).map { d =>
+      // foreign refs (clone of a clone) are root-of-view-relative
+      // already and stay valid verbatim; the source's own dirs
+      // re-point into its data root
+      if (d.contains("/")) d else s"../../$src/data/$d"
+    }
+    publish(dst, 1L, rel, Set.empty)
+    1L
   }
 
   /** Delete data dirs referenced by NO manifest among the newest

@@ -59,4 +59,36 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("aHash bits replay the integer gray-vs-mean compare; bad payloads drop") {
+    val media = Seq(
+      (1L, Multimodal.syntheticPpm(1L)),
+      (2L, "junk".getBytes("US-ASCII"))).toDF("media_id", "payload")
+    val out = Multimodal.aHashes(media).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("n_px") == 48L)
+    // reference hash computed independently from the LCG bytes
+    val grays = (0 until 48).map { p =>
+      (0 until 3).map(c => ((1103515245L * (1L + 3 * p + c) + 12345L) % 256L).toInt).sum
+    }
+    val total = grays.map(_.toLong).sum
+    val want = grays.zipWithIndex.collect {
+      case (g, i) if g.toLong * 48 > total => 1L << i
+    }.sum
+    assert(out.head.getAs[Long]("phash") == want)
+  }
+
+  test("perceptualNearDupPairs equals brute-force Hamming <= 3 (pigeonhole)") {
+    val media = (0L until 60L).map(id =>
+      (id, Multimodal.syntheticPpmVariant(id, id % 6))).toDF("media_id", "payload")
+    val hashes = Multimodal.aHashes(media)
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      if java.lang.Long.bitCount(hs(a) ^ hs(b)) <= 3
+    } yield (a, b)).toSet
+    assert(want.nonEmpty) // fixture sanity: the groups do produce pairs
+    val got = Multimodal.perceptualNearDupPairs(hashes)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
 }

@@ -387,4 +387,57 @@ class SnapshotStoreSpec extends SparkSpec {
       (1, "update", None, Some(10L)),
       (2, "update", None, Some(20L))))
   }
+
+  test("shallow clone: zero-copy read at asOf, then independent evolution") {
+    val (st, root) = freshStore()
+    st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
+    st.commit("t", Seq((2, "b")).toDF("k", "v"), overwrite = false)
+    st.commit("t", Seq((3, "c")).toDF("k", "v"), overwrite = false)
+    assert(st.cloneView("t", "tc", asOf = Some(2L)) == 1L)
+    // zero copy: the clone's own data root does not exist yet
+    assert(!new java.io.File(root, "tc/data").exists())
+    assert(st.read("tc").select("k").as[Int].collect().toSet == Set(1, 2))
+    // clone append lands locally and never shows in the source
+    st.commit("tc", Seq((7, "x")).toDF("k", "v"), overwrite = false)
+    assert(st.read("tc").select("k").as[Int].collect().toSet == Set(1, 2, 7))
+    assert(st.read("t").select("k").as[Int].collect().toSet == Set(1, 2, 3))
+    // source append after the clone never shows in the clone
+    st.commit("t", Seq((4, "d")).toDF("k", "v"), overwrite = false)
+    assert(st.read("tc").select("k").as[Int].collect().toSet == Set(1, 2, 7))
+    // clone of a clone resolves the already-foreign refs verbatim
+    st.cloneView("tc", "tcc")
+    assert(st.read("tcc").select("k").as[Int].collect().toSet == Set(1, 2, 7))
+  }
+
+  test("shallow clone: clone vacuum never deletes source data; compact localizes") {
+    val (st, root) = freshStore()
+    st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
+    st.commit("t", Seq((2, "b")).toDF("k", "v"), overwrite = false)
+    st.cloneView("t", "tc")
+    st.commit("tc", Seq((7, "x")).toDF("k", "v"), overwrite = false)
+    st.compact("tc") // localize: rewrite into tc's own data root
+    st.vacuum("tc", retainVersions = 1)
+    // source dirs intact and readable after the clone's GC
+    assert(new java.io.File(root, "t/data").listFiles().length == 2)
+    assert(st.read("t").select("k").as[Int].collect().toSet == Set(1, 2))
+    // localized clone survives a source vacuum that drops old versions
+    st.commit("t", Seq((9, "z")).toDF("k", "v"), overwrite = true)
+    st.vacuum("t", retainVersions = 1)
+    assert(st.read("tc").select("k").as[Int].collect().toSet == Set(1, 2, 7))
+  }
+
+  test("shallow clone: target must be empty; stats-based skipping rides the refs") {
+    val (st, _) = freshStore()
+    st.commit("t", (1 to 50).map(i => (i, i)).toDF("k", "v"),
+      overwrite = true, statsCols = Seq("k"))
+    st.commit("t", (51 to 100).map(i => (i, i)).toDF("k", "v"),
+      overwrite = false, statsCols = Seq("k"))
+    st.cloneView("t", "tc")
+    intercept[IllegalArgumentException](st.cloneView("t", "tc"))
+    // the clone prunes on the SOURCE dirs' stats sidecars through the refs
+    val (kept, skipped) = st.pruneDirs("tc", "k", "10", "20")
+    assert(kept.length == 1 && skipped.length == 1, s"$kept / $skipped")
+    assert(st.readPruned("tc", "k", "10", "20")
+      .select("k").as[Int].collect().sorted.toSeq == (10 to 20))
+  }
 }
