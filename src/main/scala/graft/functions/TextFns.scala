@@ -80,19 +80,26 @@ object TextFns {
   def subwordCount(c: Column): Column =
     regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
 
-  /** Word n-grams (shingles) from an ALREADY-MATERIALIZED token array
-    * column. Pass a staged column (withColumn), not an inline tokens()
-    * expression: an inlined expression is substituted into the
-    * per-position lambda and re-tokenizes the document once per shingle
-    * position.
+  /** Word n-grams (shingles) from a token array column. Safe to call
+    * with an inline `tokens()` expression — the argument is evaluated
+    * once per row (see the binding note below), so callers need no
+    * staging tricks.
     */
   def shinglesFromTokens(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    // Bind the argument to a lambda variable via a one-element transform:
+    // a subexpression referenced inside a higher-order-function lambda is
+    // re-evaluated on EVERY lambda call, and CollapseProject folds staged
+    // columns back inline — an inline tokens() argument re-tokenized the
+    // document once per shingle position (O(tokens²) per doc). The bound
+    // variable evaluates the argument exactly once per row regardless of
+    // what the optimizer inlines.
+    flatten(transform(array(toks), t =>
+      when(size(t) < n, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(1), size(t) - lit(n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n)))))))
 
-  /** One-column shingle form for small/test inputs; for hot paths stage
-    * the tokens and use shinglesFromTokens (see its scaladoc).
+  /** One-column shingle form; hot-path safe (the tokenizer is bound
+    * once per row, not once per shingle position).
     */
   def wordShingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
 

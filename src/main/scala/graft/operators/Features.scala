@@ -74,9 +74,10 @@ object Features {
     val tok = docs.where(col(textCol).isNotNull)
       .select(col(idCol),
         explode(graft.functions.TextFns.tokens(col(textCol))).as("w"))
+      // split("") walks the token once; positional substr would re-scan
+      // the UTF-8 bytes per character (see Curation.charEntropy)
       .withColumn("_h", aggregate(
-        transform(sequence(lit(1), length(col("w"))),
-          i => ascii(col("w").substr(i, lit(1)))),
+        transform(split(col("w"), ""), ch => ascii(ch)),
         lit(0L), (acc, c) => (acc * 31L + c) % 2147483648L))
     tok
       .withColumn("slot", pmod(col("_h"), lit(numFeatures.toLong)))

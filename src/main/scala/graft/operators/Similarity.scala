@@ -59,6 +59,39 @@ object Similarity {
     * IVF/LSH-pruned candidate stream ([[ivfTopK]], [[lshBucketTopK]])
     * with the same label filter.
     */
+  /** Late-interaction retrieval (the ColBERT MaxSim scorer, Khattab &
+    * Zaharia 2020): query and corpus documents are BAGS of token
+    * vectors; score(q, d) = Σ_{qt∈q} max_{dt∈d} cosine(qt, dt). Unlike
+    * single-vector retrieval (bruteForceTopK), a query token matches
+    * its best-aligned document token independently — the scoring that
+    * rewards partial/term-level matches a pooled embedding averages
+    * away.
+    *
+    * Scale shape: the query token table broadcasts (queries are few);
+    * ONE pass over the corpus token table scores every (qtok, dtok)
+    * pair with the codegen'd cosine, then two hash aggs — max per
+    * (query, doc, qtok), sum per (query, doc) — both map-side
+    * combined. No corpus self-join, no per-doc collect. The final
+    * per-query top-k is the bounded TopKSimAgg. Scores are
+    * stableRound'ed (the Σ over query tokens is accumulation-order-
+    * dependent; each cosine itself is a fixed-order fold, bit-identical
+    * cross-engine).
+    */
+  def maxSimTopK(queryTok: DataFrame, corpusTok: DataFrame, k: Int,
+                 docCol: String = "doc", tokCol: String = "tok",
+                 vecCol: String = "embedding"): DataFrame = {
+    val q = queryTok.select(col(docCol).as("qid"), col(vecCol).as("qvec"),
+      col(tokCol).as("_qt"))
+    val c = corpusTok.select(col(docCol).as("nid"), col(vecCol).as("nvec"))
+    val best = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("s", graft.expressions.CosineSim(col("qvec"), col("nvec")))
+      .groupBy(col("qid"), col("nid"), col("_qt"))
+      .agg(max(col("s")).as("best"))
+    val scored = best.groupBy(col("qid"), col("nid"))
+      .agg(graft.functions.NumFns.stableRound(sum(col("best")), 6).as("sim"))
+    topKPerQuery(scored, k)
+  }
+
   def hardNegativeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        labelCol: String = "label"): DataFrame = {

@@ -30,6 +30,37 @@ object VectorQueries {
     // against the exact brute-force truth, per query. Both result sets
     // are deterministic, so the oracle replays the whole eval: IVF
     // pipeline, exact pipeline, hit join, recall division.
+    // Late-interaction (ColBERT MaxSim) retrieval: vec_id groups of 8
+    // are token bags per document; 3 query docs broadcast, one corpus
+    // pass scores every (qtok, dtok) cosine, max per query token, sum
+    // per doc, bounded top-5. The oracle replays the identical fold-
+    // order cosine, MAX, r15'd token sum, and (score desc, nid) rank.
+    "q184_maxsim_retrieval" -> ((s, dir) => {
+      val tok = t(s, dir, "embeddings")
+        .select(expr("CAST(vec_id DIV 8 AS BIGINT)").as("doc"),
+          col("vec_id").as("tok"), col("embedding"))
+      graft.operators.Similarity.maxSimTopK(
+        tok.where(col("tok") < 24), tok, k = 5)
+    }),
+
+    // MMR diversity re-rank: 3 queries, exact top-20 candidates each,
+    // then 5 greedy picks at λ=0.7 (relevance vs max-cosine redundancy
+    // with the already-picked set). The greedy is flatMapGroups over
+    // bounded per-query lists (the (d)-tier shape — inherently
+    // sequential per query); the oracle replays all 5 picks as unrolled
+    // SQL steps with identical double arithmetic and nid tie-breaks.
+    "q185_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val top = graft.operators.Similarity.bruteForceTopK(
+        emb.where(col("vec_id") < 3), emb, 20)
+      val cands = top
+        .join(emb.select(col("vec_id").as("nid"), col("embedding")), Seq("nid"))
+        .select(col("qid"), col("nid"), col("sim").as("rel"), col("embedding"))
+      graft.operators.Rerank.mmrRerank(cands, k = 5, lambda = 0.7)
+        .select(col("qid"), col("nid"), col("step"),
+          graft.functions.NumFns.stableRound(col("score"), 6).as("score"))
+    }),
+
     "q167_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val qs = emb.where(col("vec_id") >= 100 && col("vec_id") < 120)
@@ -319,6 +350,74 @@ object VectorQueries {
               r AS (SELECT qid, nid, sim,
                     CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
                     FROM p)
+         SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 5""",
+
+    // The greedy unrolled: candidate top-20 replayed as in q20, then 5
+    // pick steps — each scores remaining candidates with the SAME
+    // double expression (0.7·rel − (1.0−0.7)·max-cos-to-selected) and
+    // takes rank 1 by (score desc, nid). MAX over selected is
+    // order-independent, each cosine a fixed-order fold, so every pick
+    // is bit-identical to the Scala greedy.
+    "q185_mmr_rerank" -> {
+      val cosRN = SqlFragments.cosineExpr("r.ne", "s.ne")
+      def pick(i: Int, rem: String, scored: String) =
+        s"""s$i AS (SELECT qid, nid, ne, score FROM (
+              SELECT qid, nid, ne, score,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid)
+                  AS rn FROM $scored) WHERE rn = 1)"""
+      def rem(i: Int) =
+        s"""rem$i AS (SELECT c.* FROM c WHERE NOT EXISTS (
+              SELECT 1 FROM sel${i - 1} s
+              WHERE s.qid = c.qid AND s.nid = c.nid))"""
+      def scored(i: Int) =
+        s"""sc$i AS (SELECT r.qid, r.nid, r.ne,
+              0.7 * r.rel - (1.0 - 0.7) * MAX($cosRN) AS score
+            FROM rem$i r JOIN sel${i - 1} s ON r.qid = s.qid
+            GROUP BY r.qid, r.nid, r.rel, r.ne)"""
+      def sel(i: Int) =
+        s"""sel$i AS (SELECT qid, nid, ne FROM sel${i - 1}
+             UNION ALL SELECT qid, nid, ne FROM s$i)"""
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 3),
+          p AS (SELECT q.qid, e.vec_id AS nid,
+                  ${SqlFragments.cosineExpr("q.qe", "CAST(e.embedding AS DOUBLE[])")} AS rel,
+                  CAST(e.embedding AS DOUBLE[]) AS ne
+                FROM q, embeddings e WHERE e.vec_id <> q.qid),
+          c AS (SELECT qid, nid, rel, ne FROM (
+                  SELECT qid, nid, rel, ne,
+                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, nid)
+                      AS rnk FROM p) WHERE rnk <= 20),
+          sc1 AS (SELECT qid, nid, ne,
+                    0.7 * rel - (1.0 - 0.7) * 0.0 AS score FROM c),
+          ${pick(1, "c", "sc1")},
+          sel1 AS (SELECT qid, nid, ne FROM s1),
+          ${rem(2)}, ${scored(2)}, ${pick(2, "rem2", "sc2")}, ${sel(2)},
+          ${rem(3)}, ${scored(3)}, ${pick(3, "rem3", "sc3")}, ${sel(3)},
+          ${rem(4)}, ${scored(4)}, ${pick(4, "rem4", "sc4")}, ${sel(4)},
+          ${rem(5)}, ${scored(5)}, ${pick(5, "rem5", "sc5")}
+          SELECT qid, nid, step, ${SqlFragments.r15("score", 6)} AS score FROM (
+            SELECT qid, nid, CAST(1 AS BIGINT) AS step, score FROM s1
+            UNION ALL SELECT qid, nid, 2, score FROM s2
+            UNION ALL SELECT qid, nid, 3, score FROM s3
+            UNION ALL SELECT qid, nid, 4, score FROM s4
+            UNION ALL SELECT qid, nid, 5, score FROM s5)"""
+    },
+
+    // Token-level replay: same fold-order cosine, MAX per (query doc,
+    // corpus doc, query token), r15'd token sum, (sim desc, nid) rank.
+    "q184_maxsim_retrieval" ->
+      s"""WITH tok AS (SELECT CAST(vec_id // 8 AS BIGINT) AS doc, vec_id AS tk,
+                    CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          q AS (SELECT * FROM tok WHERE tk < 24),
+          p AS (SELECT q.doc AS qid, t.doc AS nid, q.tk,
+                  ${SqlFragments.cosineExpr("q.e", "t.e")} AS s
+                FROM q, tok t WHERE t.doc <> q.doc),
+          m AS (SELECT qid, nid, tk, MAX(s) AS best FROM p GROUP BY qid, nid, tk),
+          sc AS (SELECT qid, nid, ${SqlFragments.r15("SUM(best)", 6)} AS sim
+                 FROM m GROUP BY qid, nid),
+          r AS (SELECT qid, nid, sim,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+                   AS BIGINT) AS rnk FROM sc)
          SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 5""",
 
     "q20_knn_cosine" ->

@@ -102,12 +102,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q132 prefix join: PPJoin length+positional filters in the candidate join; no single-partition exchange") {
+  test("q132 (default, dense corpus): bitset kernel plan — broadcast verify, no single-partition exchange") {
     val df = SparkEntry.queries("q132_jaccard_prefix_join")(spark, sf())
     val p = plan(df)
     // the r6 scale-killer: global row_number() ranked the vocabulary
     // through one partition — now sort+zipWithIndex, so no plan node
     // may collapse to a single partition
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // the testdata vocabulary is tiny (31 distinct tokens), so the
+    // adaptive switch must take the dense path: AND+popcount verify
+    // over broadcast bitmaps, with NO prefix/index explode joins
+    assert(p.contains("bitset_and_count"), p)
+    assert(!p.contains("sorted_intersect_count"), p)
+  }
+
+  test("q132 sparse path (forced): PPJoin length+positional filters live in the candidate join") {
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    val df = graft.operators.Dedup.jaccardPrefixJoin(
+      docs, "doc_id", "text", 0.95, denseVocabLimit = 0)
+    val p = plan(df)
     assert(!p.contains("Exchange SinglePartition"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
@@ -118,6 +131,21 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("Join") && l.contains("0.95")).toSeq
     assert(joinLines.exists(l => l.contains("least(")),
       "candidate join lacks length/positional filters:\n" + p)
+    // verify is the zero-allocation sorted-merge kernel, not
+    // array_intersect's per-call hash set
+    assert(p.contains("sorted_intersect_count"), p)
+  }
+
+  test("set joins: dense and sparse kernels agree pair-for-pair") {
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(graft.operators.Dedup.jaccardPrefixJoin(docs, "doc_id", "text", 0.9)) ==
+      rows(graft.operators.Dedup.jaccardPrefixJoin(docs, "doc_id", "text", 0.9,
+        denseVocabLimit = 0)))
+    assert(rows(graft.operators.Dedup.containmentJoin(docs, "doc_id", "text", 0.8)) ==
+      rows(graft.operators.Dedup.containmentJoin(docs, "doc_id", "text", 0.8,
+        denseVocabLimit = 0)))
   }
 
   test("two-pass exact median has no group-buffering percentile aggregate") {

@@ -110,6 +110,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, 1L), (3L, 2L), (4L, 3L)))
   }
 
+  test("maxSimTopK: per-query-token best alignment, summed; self-doc excluded") {
+    // doc 0 = query: tokens along x and y; doc 1 matches both axes
+    // exactly; doc 2 matches only x; doc 3 is orthogonal to everything
+    val tok = Seq(
+      (0L, 0L, Array(1.0f, 0.0f, 0.0f)), (0L, 1L, Array(0.0f, 1.0f, 0.0f)),
+      (1L, 10L, Array(1.0f, 0.0f, 0.0f)), (1L, 11L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, 20L, Array(1.0f, 0.0f, 0.0f)), (2L, 21L, Array(0.0f, 0.0f, 1.0f)),
+      (3L, 30L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("doc", "tok", "embedding")
+    val got = Similarity.maxSimTopK(tok.where(col("doc") === 0), tok, k = 3)
+      .collect().map(r => (r.getLong(1), r.getAs[Double]("sim"), r.getLong(3)))
+    // doc1: 1+1 = 2; doc2: 1+0 = 1; doc3: 0+0 = 0
+    assert(got.toSeq == Seq((1L, 2.0, 1L), (2L, 1.0, 2L), (3L, 0.0, 3L)))
+  }
+
   test("recallAtK: full overlap = 1.0, partial counted, missing query = 0.0") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L), (3L, 31L))
       .toDF("qid", "nid")
