@@ -254,6 +254,31 @@ object TextQueries {
         .select(col("doc_id"), col("y"), col("p"), col("pred"))
     }),
 
+    // fastText-style hashed linear classifier — the quality/language
+    // classifier shape real corpus-filter pipelines train: hashing-trick
+    // features (8 signed slots, zero fitted vocabulary), pivoted dense,
+    // then the q161 full-batch GD loop (one agg pass per step,
+    // decimal-pinned gradients) and a scored corpus. Docs whose text
+    // yields no tokens keep all-zero features through the left join.
+    "q187_hashed_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val hashed = graft.operators.Features.featureHash(
+        docs, "doc_id", "text", numFeatures = 8)
+      val fcols = (0 until 8).map(i => s"f$i")
+      val aggs = (0 until 8).map(i =>
+        (sum(when(col("slot") === i, col("value")).otherwise(0L))
+          .cast("double") / 10.0).as(s"f$i"))
+      val pivoted = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      val feats = docs.select(col("doc_id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        .join(pivoted, Seq("doc_id"), "left")
+        .na.fill(0.0, fcols)
+      val w = graft.operators.LogReg.train(feats, fcols, "y",
+        lr = 0.5, iters = 3)
+      graft.operators.LogReg.score(feats, fcols, w)
+        .select(col("doc_id"), col("y"), col("p"), col("pred"))
+    }),
+
     // Skip-gram (center, context) pair counts, ±2 window, min count 5:
     // the word2vec co-occurrence feed. Pairs expand inside the row (no
     // join), one hash agg; the oracle derives the same pairs from a
@@ -276,6 +301,17 @@ object TextQueries {
     // misses. The oracle is the definitional all-ordered-pairs
     // containment, so candidate completeness (size + positional filters
     // ride inside the join) is itself graded.
+    // Winnowing fingerprints (MOSS): polynomial 5-gram char hashes, a
+    // 4-hash sliding window keeping the rightmost minimum, distinct
+    // (pos, hash) selections — the local fingerprinting whose guarantee
+    // is "any shared substring >= w+k-1 chars shares a fingerprint".
+    // One codegen projection per doc (char array bound once; windows
+    // never explode to rows); the oracle replays every hash and every
+    // rightmost-argmin pick.
+    "q186_winnow_fingerprints" -> ((s, dir) =>
+      graft.operators.Winnow.fingerprints(
+        t(s, dir, "documents"), "doc_id", "text", k = 5, w = 4)),
+
     "q165_containment_join" -> ((s, dir) =>
       graft.operators.Dedup.containmentJoin(
         t(s, dir, "documents"), "doc_id", "text", threshold = 0.8)),
@@ -593,6 +629,55 @@ object TextQueries {
             FROM feats, w3)"""
     },
 
+    // Hash -> signed slot sums -> /10.0 features -> the identical
+    // 3-step GD replay (q161's device) over 9 weights.
+    "q187_hashed_classifier" -> {
+      def sig(z: String) = s"1.0 / (1.0 + exp(-($z)))"
+      def z(wT: String) = (0 until 8).foldLeft(s"$wT.b") {
+        (acc, i) => s"($acc + f$i * $wT.w${i + 1})"
+      }
+      val its = (1 to 3).map { i =>
+        val gs = (s"${SqlFragments.r15("SUM(e * 1.0)", 9)} AS g0" +:
+          (0 until 8).map(j =>
+            s"${SqlFragments.r15(s"SUM(e * f$j)", 9)} AS g${j + 1}")).mkString(", ")
+        val ws = (s"w${i - 1}.b - 0.5 * g0 / nn.n AS b" +:
+          (1 to 8).map(j =>
+            s"w${i - 1}.w$j - 0.5 * g$j / nn.n AS w$j")).mkString(", ")
+        s""",
+          e$i AS (SELECT ${sig(z(s"w${i - 1}"))} - y AS e,
+                  ${(0 until 8).map(j => s"f$j").mkString(", ")}
+                  FROM feats, w${i - 1}),
+          g$i AS (SELECT $gs FROM e$i),
+          w$i AS (SELECT $ws FROM w${i - 1}, g$i, nn)"""
+      }.mkString
+      s"""WITH tokh AS (SELECT doc_id,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, length(w) + 1),
+                  i -> CAST(unicode(substring(w, i, 1)) AS BIGINT))),
+                (acc, c) -> (acc * 31 + c) % 2147483648) AS hh
+            FROM (SELECT doc_id, unnest(${SqlFragments.toksExpr}) AS w
+                  FROM documents WHERE text IS NOT NULL)),
+          hv AS (SELECT doc_id, hh % 8 AS slot,
+                   CAST(SUM(1 - 2 * ((hh // 8) % 2)) AS BIGINT) AS value
+                 FROM tokh GROUP BY doc_id, hh % 8),
+          pv AS (SELECT doc_id,
+              ${(0 until 8).map(j =>
+                s"COALESCE(SUM(CASE WHEN slot = $j THEN value END), 0) / 10.0 AS f$j")
+                .mkString(", ")}
+            FROM hv GROUP BY doc_id),
+          feats AS (SELECT d.doc_id,
+              ${(0 until 8).map(j => s"COALESCE(pv.f$j, 0.0) AS f$j").mkString(", ")},
+              CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y
+            FROM documents d LEFT JOIN pv ON d.doc_id = pv.doc_id
+            WHERE d.text IS NOT NULL),
+          nn AS (SELECT COUNT(*) AS n FROM feats),
+          w0 AS (SELECT 0.0 AS b,
+            ${(1 to 8).map(j => s"0.0 AS w$j").mkString(", ")})$its
+          SELECT doc_id, y, p, p >= 0.5 AS pred FROM (
+            SELECT doc_id, y, ${SqlFragments.r15(sig(z("w3")), 6)} AS p
+            FROM feats, w3)"""
+    },
+
     // Same pair set via a doc-local position self-join.
     "q157_skipgram_pairs" ->
       s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks
@@ -634,6 +719,30 @@ object TextQueries {
     // Definitional all-ordered-pairs containment over bigram-shingle
     // sets — independent of the prefix-filter candidate generation
     // under test. cont is a single int/int division, bit-stable raw.
+    // Same exact-integer polynomial hash per 5-gram, same window set
+    // (one degenerate window when fewer than w hashes), rightmost
+    // argmin via (h ASC, i DESC) rank, DISTINCT selections.
+    "q186_winnow_fingerprints" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+            FROM documents WHERE text IS NOT NULL AND length(text) >= 5),
+         g AS (SELECT doc_id, i,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, 5),
+                 o -> CAST(unicode(substring(text, CAST(i + o AS INT), 1)) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 2147483648) AS h
+           FROM d, generate_series(1, 10000) t(i) WHERE i <= n - 4),
+         m AS (SELECT doc_id, COUNT(*) AS nh FROM g GROUP BY doc_id),
+         wj AS (SELECT doc_id, j
+                FROM m, generate_series(1, 10000) t(j)
+                WHERE j <= greatest(nh - 3, 1)),
+         cand AS (SELECT w.doc_id, w.j, g.h, g.i,
+                    ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.j
+                      ORDER BY g.h, g.i DESC) AS rn
+                  FROM wj w JOIN g ON g.doc_id = w.doc_id
+                    AND g.i BETWEEN w.j AND w.j + 3)
+         SELECT DISTINCT doc_id, CAST(i AS BIGINT) AS pos, h AS fp
+         FROM cand WHERE rn = 1""",
+
     "q165_containment_join" ->
       s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks
                      FROM documents WHERE text IS NOT NULL),
