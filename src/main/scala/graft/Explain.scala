@@ -25,6 +25,10 @@ object Explain {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       println(f"[time] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // the post-AQE final plan — runtime ReusedExchange/skew splits
+      // only show here, not in the pre-execution formatted plan
+      if (sys.env.contains("GRAFT_EXPLAIN_FINAL"))
+        println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

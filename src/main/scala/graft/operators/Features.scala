@@ -22,11 +22,15 @@ object Features {
     *
     * Folds are a deterministic LCG over `idCol` (partitioning-
     * invariant, replayable in SQL). Scale shape: ONE (category, fold)
-    * hash agg — map-side combined, O(|C|·K) output — then windows over
-    * that tiny frame for the category totals and a 1-row global agg;
-    * the encoding table broadcasts back to the corpus as a map-side
-    * join. Output: one row per (category, fold) — n_in, n_out,
-    * oof_mean (r15-stabilized).
+    * hash agg — map-side combined, O(|C|·K) output — then a keyed
+    * window over that tiny frame for the category totals and a 1-row
+    * global aggregate broadcast-crossJoined back for the prior μ (NOT
+    * an unpartitioned window, which would be a single-partition
+    * Exchange — a one-reducer stage for a user-id-like categorical);
+    * the cell frame is cached (lazily) so both branches share one
+    * corpus scan. The encoding table broadcasts
+    * back to the corpus as a map-side join. Output: one row per
+    * (category, fold) — n_in, n_out, oof_mean (r15-stabilized).
     */
   def oofTargetEncoding(df: DataFrame, catCol: String, idCol: String,
                         targetCol: String, k: Int, m: Double): DataFrame = {
@@ -41,13 +45,18 @@ object Features {
       .groupBy(col(catCol), col("fold"))
       .agg(count(lit(1)).as("n_in"), sum(col(targetCol)).as("_s_in"))
     val catW = Window.partitionBy(col(catCol))
-    val allW = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cells
+    // cache the cell frame (lazily, O(|C|·K) rows): the totals branch
+    // and the main branch both read it — without the cache Spark
+    // re-runs the corpus agg per branch (exchange reuse does not cross
+    // the broadcast boundary, verified empirically on Spark 4.1)
+    cells.persist()
+    val totals = cells.agg(sum(col("_s_in")).as("_s_all"),
+      sum(col("n_in")).as("_n_all"))
+    cells.crossJoin(broadcast(totals))
       .withColumn("_s_cat", sum(col("_s_in")).over(catW))
       .withColumn("_n_cat", sum(col("n_in")).over(catW))
-      .withColumn("_mu", sum(col("_s_in")).over(allW).cast("double") /
-        sum(col("n_in")).over(allW).cast("double"))
+      .withColumn("_mu",
+        col("_s_all").cast("double") / col("_n_all").cast("double"))
       .withColumn("n_out", col("_n_cat") - col("n_in"))
       .withColumn("oof_mean", graft.functions.NumFns.stableRound(
         ((col("_s_cat") - col("_s_in")).cast("double") + lit(m) * col("_mu")) /

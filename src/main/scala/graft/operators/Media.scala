@@ -224,7 +224,7 @@ object Media {
   }
 
   /** Shot-boundary detection over sampled frames: per-frame perceptual
-    * hash ([[Multimodal.aHashes]] on the frame plane), then a frame is
+    * hash ([[Multimodal.aHashesKeyed]] on the frame plane), then a frame is
     * a KEYFRAME iff it is the first sampled frame or its hash is more
     * than `hamThresh` bits from the previous SAMPLED frame's. One
     * window over (media, frame order) — no self-join; at 100 TB the
@@ -232,14 +232,9 @@ object Media {
     * partitions by media_id so no global sort exists.
     */
   def keyframes(frames: DataFrame, hamThresh: Int = 2): DataFrame = {
-    // pack (media, frame) into aHashes' single id: 20 low bits of frame
-    val hashed = Multimodal.aHashes(
-        frames.select(
-          (shiftleft(col("media_id"), 20) + col("frame_idx")).as("media_id"),
-          col("payload")))
-      .select(shiftright(col("media_id"), 20).as("media_id"),
-        col("media_id").bitwiseAND(lit((1L << 20) - 1)).as("frame_idx"),
-        col("phash"))
+    val hashed = Multimodal.aHashesKeyed(
+        frames.select(col("media_id"), col("frame_idx"), col("payload")))
+      .select(col("media_id"), col("frame_idx"), col("phash"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("media_id")).orderBy(col("frame_idx"))
     hashed.withColumn("_prev", lag(col("phash"), 1).over(w))

@@ -206,22 +206,55 @@ object Multimodal {
         rows.flatMap { r =>
           val id = r.getLong(0)
           val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-          decodePpmGray(payload).map { grays =>
-            val n = grays.length
-            var total = 0L
-            var i = 0
-            while (i < n) { total += grays(i); i += 1 }
-            var hash = 0L
-            i = 0
-            while (i < n) {
-              if (grays(i).toLong * n > total) hash |= (1L << i)
-              i += 1
-            }
-            Row(id, hash, n.toLong)
-          }
+          aHashOf(payload).map { case (hash, n) => Row(id, hash, n) }
         }
       }(encoder)
   }
+
+  /** [[aHashes]] with a TWO-long row key (media_id, frame_idx) carried
+    * through the decode seam unchanged — the per-frame form
+    * [[Media.keyframes]] needs. Carrying the pair as two columns
+    * (instead of bit-packing frame_idx into media_id's low bits)
+    * keeps both id ranges unbounded: the packed form silently merged
+    * hash streams for media_id >= 2^43 or frame_idx >= 2^20.
+    * Output: (media_id, frame_idx, phash, n_px).
+    */
+  def aHashesKeyed(frames: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("phash", LongType),
+      StructField("n_px", LongType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    frames.select(col("media_id").cast("long"),
+        col("frame_idx").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val fi = r.getLong(1)
+          val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+          aHashOf(payload).map { case (hash, n) => Row(id, fi, hash, n) }
+        }
+      }(encoder)
+  }
+
+  /** The aHash kernel shared by [[aHashes]]/[[aHashesKeyed]]:
+    * (phash, n_px) of one payload, None on malformed input.
+    */
+  private def aHashOf(payload: Array[Byte]): Option[(Long, Long)] =
+    decodePpmGray(payload).map { grays =>
+      val n = grays.length
+      var total = 0L
+      var i = 0
+      while (i < n) { total += grays(i); i += 1 }
+      var hash = 0L
+      i = 0
+      while (i < n) {
+        if (grays(i).toLong * n > total) hash |= (1L << i)
+        i += 1
+      }
+      (hash, n.toLong)
+    }
 
   /** Per-pixel gray plane (r+g+b) of a P6 payload, None if malformed
     * or larger than 64 pixels (aHash packs into one long).

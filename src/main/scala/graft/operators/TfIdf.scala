@@ -267,27 +267,38 @@ object TfIdf {
     * outside that vocabulary — the coverage check run before freezing
     * a tokenizer.
     *
-    * Scale shape: one (token) hash agg for counts; the top-K selection
-    * is a global sort LIMIT, which Spark executes as
-    * TakeOrderedAndProject — per-partition top-K then a K-sized driver
-    * merge, never a full sort (the scalable alternative to ranking the
-    * vocabulary through a single-partition window). The K-row vocab
-    * broadcasts; scoring is one map-side membership probe + one
-    * doc-keyed agg. `oov_rate` is a single long/long division —
-    * bit-stable cross-engine.
+    * Scale shape: ONE corpus scan. The tokenize+explode aggregates to
+    * per-document token counts (id, w, c) and materializes ONCE
+    * (localCheckpoint — the jaccardPrefixJoin precedent); both
+    * consumers read that frame instead of re-tokenizing the corpus:
+    * the vocabulary is a (token) re-agg + global sort LIMIT, which
+    * Spark executes as TakeOrderedAndProject — per-partition top-K
+    * then a K-sized driver merge, never a full sort (the scalable
+    * alternative to ranking the vocabulary through a single-partition
+    * window) — and scoring is one map-side membership probe + one
+    * doc-keyed agg over the same frame. `oov_rate` is a single
+    * long/long division — bit-stable cross-engine.
+    *
+    * EAGER-EXECUTION CONTRACT: the checkpoint runs the full
+    * tokenize+agg at DataFrame-construction time (not at first
+    * action), and the checkpointed blocks persist for the session —
+    * callers that only want the plan shape should not call this.
     */
   def oovRate(docs: DataFrame, idCol: String, textCol: String,
               vocabSize: Int): DataFrame = {
     require(vocabSize > 0)
-    val tok = docs.where(col(textCol).isNotNull)
+    val perDoc = docs.where(col(textCol).isNotNull)
       .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("w"))
-    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("_c"))
-      .orderBy(col("_c").desc, col("w")).limit(vocabSize)
+      .groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true)
+    val vocab = perDoc.groupBy(col("w")).agg(sum(col("_c")).as("_n"))
+      .orderBy(col("_n").desc, col("w")).limit(vocabSize)
       .select(col("w"), lit(true).as("_in"))
-    tok.join(broadcast(vocab), Seq("w"), "left")
+    perDoc.join(broadcast(vocab), Seq("w"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_toks"),
-        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum(col("_c")).as("n_toks"),
+        sum(when(col("_in").isNull, col("_c")).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_toks").cast("double"))
   }

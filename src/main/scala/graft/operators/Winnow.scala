@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
   * alternative to whole-document hashing (q17) for partial-overlap /
   * plagiarism-style detection.
   *
-  * Everything is one codegen'd projection per document: the char array
-  * is bound once per row (split("")), k-gram hashes and the per-window
-  * rightmost-argmin both run inside bound-variable lambdas over that
-  * array — no explode until the final (doc, pos, hash) fingerprint
-  * rows, so the corpus never materializes a per-character row stream.
-  * The hash is the exact-integer polynomial fold (h·31 + code mod 2³¹)
-  * shared with [[Features.featureHash]], replayable by any engine.
+  * Selection runs as ONE fused per-row kernel
+  * ([[graft.expressions.WinnowFps]]): a straight-line scan computes
+  * the k-gram hashes once, then slides the rightmost-argmin window
+  * over that array, emitting only the de-duplicated (pos, hash)
+  * selections —
+  * no explode until the final (doc, pos, hash) fingerprint rows, so
+  * the corpus never materializes a per-character row stream. The hash
+  * is the exact-integer polynomial fold (h·31 + code mod 2³¹) shared
+  * with [[Features.featureHash]], replayable by any engine.
   */
 object Winnow {
 

@@ -164,6 +164,19 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("set joins: empty and all-null corpora return empty, not crash") {
+    // regression: the eager vocab probe (max over an empty grouped
+    // frame) returned NULL and .getLong threw ROW_VALUE_IS_NULL
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val nulls = Seq((1L, null: String), (2L, null: String)).toDF("doc_id", "text")
+    for (df <- Seq(empty, nulls)) {
+      assert(Dedup.jaccardPrefixJoin(df, "doc_id", "text", 0.5).count() == 0)
+      assert(Dedup.containmentJoin(df, "doc_id", "text", 0.5).count() == 0)
+      val cols = Dedup.jaccardPrefixJoin(df, "doc_id", "text", 0.5).columns.toSeq
+      assert(cols == Seq("a_id", "b_id", "inter", "jac"))
+    }
+  }
+
   test("containmentJoin is COMPLETE and directed: equals all-ordered-pairs truth") {
     val base = "alpha beta gamma delta epsilon zeta eta theta"
     val cdocs = Seq(

@@ -106,6 +106,22 @@ class MediaSpec extends SparkSpec {
     assert(out.values.exists(identity) && !out.values.forall(identity))
   }
 
+  test("keyframes: ids beyond 2^43 and frame_idx beyond 2^20 don't collide") {
+    // regression: the old packed (media_id << 20 | frame_idx) key
+    // silently merged hash streams at these ranges
+    val bigId = (1L << 50) + 7L
+    val media = Seq((bigId, Media.syntheticVideo(3L, nFrames = 4)))
+      .toDF("media_id", "payload")
+    val frames = Media.videoFrames(media, stride = 1)
+      .withColumn("frame_idx", col("frame_idx") + (1L << 21))
+    val out = Media.keyframes(frames).collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getLong(0) == bigId))
+    assert(out.map(_.getLong(1)).sorted.toSeq ==
+      (0L until 4L).map(_ + (1L << 21)).toSeq)
+    assert(out.find(_.getLong(1) == (1L << 21)).get.getAs[Boolean]("is_key"))
+  }
+
   test("ppmResize: nearest-neighbor plane, valid P6 out, guards") {
     val img = Multimodal.syntheticPpm(11L, w = 8, h = 6)
     val Some(small) = Media.ppmResize(img, 2)
