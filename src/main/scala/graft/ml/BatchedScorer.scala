@@ -1,0 +1,100 @@
+package graft.ml
+
+import graft.functions.SentimentFns
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.types.{DoubleType, StructType}
+import org.apache.spark.util.LongAccumulator
+
+/** The model-serving shape a REAL transformer sentiment stage needs
+  * (reference batchPipeline.py:142-147 runs FinBERT per row through a
+  * pandas UDF): weights load ONCE per partition (the expensive step —
+  * tokenizer + model to device), then rows score in fixed-size
+  * BATCHES (the GPU-efficiency shape), inside one `mapPartitions`
+  * pass that appends the three score columns to the incoming schema.
+  *
+  * No transformer model exists offline, so the loaded "model" is the
+  * deterministic [[LexiconModel]] stand-in — same smoothing arithmetic
+  * as [[SentimentFns.withSentiment]], so the two paths are pinned
+  * EQUAL row-for-row (StagesSpec) — but the Spark mechanics around it
+  * (schema handling, per-partition init, batch iteration, null
+  * passthrough) are exactly what a FinBERT impl drops into: replace
+  * `LexiconModel` with the real weights and nothing else changes.
+  *
+  * `initCounter` (tests) proves the amortization claim: init-count ==
+  * numPartitions, never per row or per batch.
+  */
+class BatchedSentimentTransformer(
+    override val uid: String, inputCol: String, batchSize: Int,
+    positive: Seq[String], negative: Seq[String],
+    initCounter: Option[LongAccumulator]) extends Transformer {
+
+  def this(inputCol: String = "Text", batchSize: Int = 32) =
+    this(Identifiable.randomUID("batchedSentiment"), inputCol, batchSize,
+      SentimentFns.DefaultPositive, SentimentFns.DefaultNegative, None)
+
+  def this(inputCol: String, batchSize: Int, counter: LongAccumulator) =
+    this(Identifiable.randomUID("batchedSentiment"), inputCol, batchSize,
+      SentimentFns.DefaultPositive, SentimentFns.DefaultNegative, Some(counter))
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF
+    val idx = df.schema.fieldIndex(inputCol)
+    val outSchema = transformSchema(df.schema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val (pos, neg, bs, ctr) = (positive, negative, batchSize, initCounter)
+    df.mapPartitions { rows =>
+      // ONE load per partition — the cost a per-row UDF would pay per
+      // document and a per-batch load would pay per batch
+      val model = new LexiconModel(pos, neg)
+      ctr.foreach(_.add(1L))
+      rows.grouped(bs).flatMap { batch =>
+        val scores = model.scoreBatch(
+          batch.map(r => if (r.isNullAt(idx)) null else r.getString(idx)))
+        batch.iterator.zip(scores.iterator).map { case (r, s) =>
+          Row.fromSeq(r.toSeq ++ s)
+        }
+      }
+    }(enc)
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add("Positive", DoubleType)
+      .add("Negative", DoubleType).add("Neutre", DoubleType)
+
+  override def copy(extra: ParamMap): BatchedSentimentTransformer = this
+}
+
+/** Deterministic stand-in for loaded model weights. Construction is
+  * the simulated state-load (building the lookup structures a scorer
+  * serves from); `scoreBatch` is the batched inference call. The
+  * arithmetic — whitespace tokens of the lowercased text, integer
+  * hits, (c+1)/(n+3) Laplace smoothing — replays
+  * [[SentimentFns.withSentiment]] exactly (same IEEE ops), which is
+  * what lets the spec pin batched == per-row.
+  */
+private[ml] final class LexiconModel(positive: Seq[String],
+                                     negative: Seq[String])
+    extends Serializable {
+  private val pos = positive.toSet
+  private val neg = negative.toSet
+
+  /** One score triple per input text; null text -> null scores
+    * (matching the expression path's null propagation).
+    */
+  def scoreBatch(texts: Seq[String]): Seq[Seq[Any]] = texts.map { t =>
+    if (t == null) Seq(null, null, null)
+    else {
+      val toks = t.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+      val n = toks.length.toDouble
+      val pc = toks.count(pos).toDouble
+      val nc = toks.count(neg).toDouble
+      Seq((pc + 1.0) / (n + 3.0), (nc + 1.0) / (n + 3.0),
+        (n - pc - nc + 1.0) / (n + 3.0))
+    }
+  }
+}

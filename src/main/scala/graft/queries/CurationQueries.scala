@@ -111,6 +111,54 @@ object CurationQueries {
       agg("tc", "clone").unionByName(agg("t", "src"))
     }),
 
+    // Cross-view SYNCPOINT: the lambda splice anomaly closed. The
+    // reference updates batch/speed/serving as independent writes
+    // (batchPipeline.py:169-180, twitterConsumerStream.py:110-127,
+    // prediction.py:82-93) so a mid-cycle reader can splice batch vN
+    // with speed vM; here each day-cycle publishes ONE atomic
+    // {view -> version} syncpoint. Cycle 1 lands batch(01-01..20) +
+    // speed(01-21..23) and syncs; the speed layer then runs AHEAD
+    // (appends 01-24..25 — mid-cycle, unsynced); cycle 2 absorbs
+    // through 01-23 into batch, overwrites speed to 01-24..26, syncs.
+    // The graded frame reads BOTH cycles through their syncpoints: the
+    // sp1 read must see exactly cycle 1's pair (the mid-cycle append
+    // invisible — if readSync leaked the latest speed version, 01-24/25
+    // rows would surface under cycle1 and break the hash), the latest
+    // read cycle 2's. Racing publishers and pin validation are
+    // spec-pinned (SnapshotStoreSpec).
+    "q188_sync_splice" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q188_sync", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      val store = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          col("o_totalprice").as("p"))
+      def daily(lo: String, hi: String) = o.where(col("d").between(lo, hi))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n"),
+          NumFns.stableRound(sum(col("p")), 2).as("total"))
+      val b1 = store.commit("batch_view", daily("1995-01-01", "1995-01-20"),
+        overwrite = true)
+      val s1 = store.commit("speed_view", daily("1995-01-21", "1995-01-23"),
+        overwrite = true)
+      val sp1 = store.publishSync(
+        Map("batch_view" -> b1, "speed_view" -> s1))
+      // the speed layer runs ahead of the cycle: invisible through sp1
+      store.commit("speed_view", daily("1995-01-24", "1995-01-25"),
+        overwrite = false)
+      val b2 = store.commit("batch_view", daily("1995-01-01", "1995-01-23"),
+        overwrite = true)
+      val s3 = store.commit("speed_view", daily("1995-01-24", "1995-01-26"),
+        overwrite = true)
+      store.publishSync(Map("batch_view" -> b2, "speed_view" -> s3))
+      def cycle(id: Option[Long], phase: String) =
+        store.readSync("batch_view", id).withColumn("side", lit("batch"))
+          .unionByName(
+            store.readSync("speed_view", id).withColumn("side", lit("speed")))
+          .withColumn("phase", lit(phase))
+      cycle(Some(sp1), "cycle1").unionByName(cycle(None, "cycle2"))
+    }),
+
     // Out-of-fold target encoding: l_returnflag x 5 LCG folds of
     // lineitem, target = quantity (integral — sums stay exact through
     // the windows), smoothing m = 10 toward the global mean — the
@@ -1103,6 +1151,27 @@ object CurationQueries {
                  FROM o WHERE d BETWEEN '1995-01-01' AND '1995-06-30'
                  GROUP BY d)
           SELECT * FROM cl UNION ALL SELECT * FROM sr""",
+
+    // Both cycles replay as pure date splits of the daily aggregate;
+    // the isolation property IS the hash match (a leaked mid-cycle
+    // speed version would surface 01-24/25 rows under cycle1).
+    "q188_sync_splice" ->
+      s"""WITH o AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+                  o_totalprice AS p FROM orders),
+          daily AS (SELECT d, COUNT(*) AS n,
+                  ${SqlFragments.r15("SUM(p)", 2)} AS total
+                 FROM o GROUP BY d),
+          c1 AS (SELECT d, n, total, 'batch' AS side, 'cycle1' AS phase
+                 FROM daily WHERE d BETWEEN '1995-01-01' AND '1995-01-20'
+                 UNION ALL
+                 SELECT d, n, total, 'speed', 'cycle1' FROM daily
+                 WHERE d BETWEEN '1995-01-21' AND '1995-01-23'),
+          c2 AS (SELECT d, n, total, 'batch' AS side, 'cycle2' AS phase
+                 FROM daily WHERE d BETWEEN '1995-01-01' AND '1995-01-23'
+                 UNION ALL
+                 SELECT d, n, total, 'speed', 'cycle2' FROM daily
+                 WHERE d BETWEEN '1995-01-24' AND '1995-01-26')
+          SELECT * FROM c1 UNION ALL SELECT * FROM c2""",
 
     // Identical LCG fold, identical exact decimal sums, identical
     // smoothing arithmetic; r15 on the final encoding only.

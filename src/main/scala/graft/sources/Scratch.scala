@@ -35,6 +35,27 @@ object Scratch {
     mine.getAbsolutePath
   }
 
+  /** Deletes every scratch dir owned by THIS process — the bench's
+    * between-round reset. Safe because every graded query re-creates
+    * its dir via [[processScoped]] (and resets its own subdirs) at
+    * invocation time; never touches other processes' dirs.
+    *
+    * `keepPrefixes` exempts dirs that are CONTRACT state rather than
+    * debris — the persisted ANN index lifecycles (q148/q158) are
+    * build-once-serve-many by design, and deleting them would turn
+    * every bench round into an index REBUILD instead of the serving
+    * path the steady state actually runs. Their state is bounded
+    * (versions pinned at build+append), so keeping it cannot grow
+    * across rounds.
+    */
+  def cleanProcessScoped(keepPrefixes: Seq[String] = Nil): Unit = {
+    val root = new java.io.File("/tmp/graft_scratch")
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(s"_$pid") &&
+        !keepPrefixes.exists(p => f.getName.startsWith(p + "_")))
+      .foreach(deleteRecursively)
+  }
+
   def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit

@@ -670,4 +670,94 @@ class SnapshotStore(spark: SparkSession, root: String) {
         .foreach(p => Scratch.deleteRecursively(p.toFile))
     vs.dropRight(retainVersions).foreach(v => Files.deleteIfExists(manifestPath(view, v)))
   }
+
+  // ---------------------------------------------------- cross-view sync
+
+  /** Cross-view consistency for the lambda day-cycle. The reference
+    * updates batch_view, speed_view and serving metadata as three
+    * INDEPENDENT writes (batchPipeline.py:169-180,
+    * twitterConsumerStream.py:110-127, prediction.py:82-93), so a
+    * reader arriving mid-cycle can see batch vN spliced with speed vM
+    * from a different day — the classic lambda splice anomaly.
+    *
+    * A SYNCPOINT closes it: one store-level manifest
+    * `_syncpoints/s<id>.json` recording exact {view -> version} pins,
+    * published with the SAME link(2)-exclusive discipline as view
+    * manifests — it appears atomically with its full content, and two
+    * racing cycle publishers produce one winner + one
+    * [[SnapshotConflict]]. Readers resolve ONE syncpoint and read
+    * every view AS OF its pinned version; commits landing after the
+    * syncpoint (the next cycle in progress) are invisible until the
+    * next syncpoint lands, and old syncpoints time-travel just like
+    * view versions.
+    *
+    * Retention contract: [[vacuum]] keeps the newest `retainVersions`
+    * manifests per view, so retention must cover the oldest syncpoint
+    * still in use — the exact contract table formats set between
+    * time travel and VACUUM.
+    */
+  def publishSync(pins: Map[String, Long],
+                  expectedBase: Option[Long] = None): Long = {
+    require(pins.nonEmpty, "syncpoint needs at least one view pin")
+    pins.foreach { case (view, v) =>
+      require(Files.exists(manifestPath(view, v)),
+        s"syncpoint pin $view@v$v: no such committed version")
+    }
+    val vs = syncpoints
+    val base = if (vs.isEmpty) 0L else vs.max
+    expectedBase.filter(_ != base).foreach { e =>
+      throw new SnapshotConflict(
+        s"syncpoint: expected base s$e but store is at s$base")
+    }
+    val next = base + 1
+    val dir = Paths.get(root, "_syncpoints")
+    Files.createDirectories(dir)
+    // view names contain no quotes/colons by construction (they are
+    // directory names this store created); versions are digits
+    val tmp = Files.createTempFile(dir, s".s$next", ".tmp")
+    Files.writeString(tmp,
+      pins.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + ":" + v + "\"" }
+        .mkString("{\"pins\":[", ",", "]}"))
+    try Files.createLink(syncPath(next), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new SnapshotConflict(s"syncpoint s$next already published")
+    }
+    finally Files.deleteIfExists(tmp)
+    next
+  }
+
+  private def syncPath(id: Long): Path =
+    Paths.get(root, "_syncpoints").resolve(f"s$id%06d.json")
+
+  /** Published syncpoint ids, ascending. */
+  def syncpoints: Seq[Long] = {
+    val dir = Paths.get(root, "_syncpoints")
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("s") && s.endsWith(".json") =>
+        s.stripPrefix("s").stripSuffix(".json").toLong }
+      .toSeq.sorted
+  }
+
+  /** The {view -> version} pins of syncpoint `id` (default: latest). */
+  def syncPins(id: Option[Long] = None): Map[String, Long] = {
+    val vs = syncpoints
+    require(vs.nonEmpty, "no published syncpoint")
+    val sid = id.getOrElse(vs.max)
+    manifestField(Files.readString(syncPath(sid)), "pins").map { s =>
+      val i = s.lastIndexOf(':')
+      s.substring(0, i) -> s.substring(i + 1).toLong
+    }.toMap
+  }
+
+  /** Read `view` AS OF the version a syncpoint pinned — the
+    * splice-anomaly-free read: every view read through the same
+    * syncpoint id belongs to the same published cycle.
+    */
+  def readSync(view: String, id: Option[Long] = None): DataFrame = {
+    val pins = syncPins(id)
+    require(pins.contains(view), s"syncpoint does not pin $view (has ${pins.keys})")
+    read(view, asOf = Some(pins(view)))
+  }
 }

@@ -31,6 +31,34 @@ class StagesSpec extends SparkSpec {
     viaPipeline.zip(viaFunctions).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("batched model scorer: one init per partition, scores equal the per-row path") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, sf(), "documents").limit(300)
+      .select(col("doc_id"), col("text").as("Text"))
+      .unionByName(Seq((100001L, null: String), (100002L, ""),
+        (100003L, "strong gain and weak loss")).toDF("doc_id", "Text"))
+      .repartition(5)
+    val inits = spark.sparkContext.longAccumulator("model_inits")
+    val batched = new BatchedSentimentTransformer("Text", 32, inits)
+      .transform(docs)
+    val perRow = graft.functions.SentimentFns.withSentiment(
+      docs, "Text", "Positive", "Negative", "Neutre")
+    // row-for-row equality incl. null-text propagation: batched is the
+    // SAME function, served through per-partition loaded state
+    val joined = batched.as("b").join(perRow.as("r"), Seq("doc_id"))
+    // ONE action: a second execution would re-run the mapPartitions
+    // stage and double the init count below
+    val mismatches = joined.where(
+      not(col("b.Positive") <=> col("r.Positive")) ||
+      not(col("b.Negative") <=> col("r.Negative")) ||
+      not(col("b.Neutre") <=> col("r.Neutre"))).collect()
+    assert(mismatches.isEmpty, mismatches.take(3).mkString("; "))
+    // the amortization claim: the "model" loaded once per PARTITION —
+    // not per row (303) and not per batch (ceil(rows/32) per partition)
+    assert(inits.value == docs.rdd.getNumPartitions.toLong,
+      s"${inits.value} inits for ${docs.rdd.getNumPartitions} partitions")
+  }
+
   test("UDF fidelity variant equals the native clean expression") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.load(spark, sf(), "documents").limit(200)

@@ -440,4 +440,43 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.readPruned("tc", "k", "10", "20")
       .select("k").as[Int].collect().sorted.toSeq == (10 to 20))
   }
+
+  test("syncpoint: cross-view reads pin one cycle; mid-cycle commits invisible") {
+    val (st, _) = freshStore()
+    val b1 = st.commit("batch", Seq((1, "b1")).toDF("k", "v"), overwrite = true)
+    val s1 = st.commit("speed", Seq((9, "s1")).toDF("k", "v"), overwrite = true)
+    val sp1 = st.publishSync(Map("batch" -> b1, "speed" -> s1))
+    assert(sp1 == 1L && st.syncpoints == Seq(1L))
+    // the speed layer runs ahead; batch recomputes — all unsynced
+    st.commit("speed", Seq((10, "s2")).toDF("k", "v"), overwrite = false)
+    st.commit("batch", Seq((2, "b2")).toDF("k", "v"), overwrite = true)
+    def vs(view: String, id: Option[Long]) =
+      st.readSync(view, id).select("v").as[String].collect().toSet
+    // latest syncpoint is still sp1: BOTH views read cycle-1 state even
+    // though both tables have advanced
+    assert(vs("batch", None) == Set("b1") && vs("speed", None) == Set("s1"))
+    // cycle 2 publishes; sp1 still time-travels to the old pair
+    val sp2 = st.publishSync(Map("batch" -> 2L, "speed" -> 2L))
+    assert(vs("batch", None) == Set("b2"))
+    assert(vs("speed", None) == Set("s1", "s2"))
+    assert(vs("batch", Some(sp1)) == Set("b1") && vs("speed", Some(sp1)) == Set("s1"))
+    assert(st.syncPins(Some(sp2)) == Map("batch" -> 2L, "speed" -> 2L))
+  }
+
+  test("syncpoint: racing cycle publishers produce one winner; pins validated") {
+    val (st, _) = freshStore()
+    st.commit("batch", Seq((1, "a")).toDF("k", "v"), overwrite = true)
+    // a pin must name a committed version
+    intercept[IllegalArgumentException](st.publishSync(Map("batch" -> 7L)))
+    intercept[IllegalArgumentException](st.publishSync(Map.empty))
+    st.publishSync(Map("batch" -> 1L))
+    // two publishers racing from the same observed base: the second
+    // link(2) publish for s2 must conflict, not silently replace
+    st.commit("batch", Seq((2, "b")).toDF("k", "v"), overwrite = true)
+    st.publishSync(Map("batch" -> 2L), expectedBase = Some(1L))
+    intercept[st.SnapshotConflict](
+      st.publishSync(Map("batch" -> 1L), expectedBase = Some(1L)))
+    // a reader asking for a view the syncpoint does not pin fails loudly
+    intercept[IllegalArgumentException](st.readSync("speed"))
+  }
 }
