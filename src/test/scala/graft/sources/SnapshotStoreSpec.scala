@@ -441,6 +441,46 @@ class SnapshotStoreSpec extends SparkSpec {
       .select("k").as[Int].collect().sorted.toSeq == (10 to 20))
   }
 
+  test("crashed writer leaves no trace: orphan data + tmp manifest invisible, vacuum collects") {
+    val (st, root) = freshStore()
+    st.commit("t", Seq((1, "a"), (2, "b")).toDF("k", "v"), overwrite = true)
+    // Simulate a writer that died AFTER its data write but BEFORE the
+    // link(2) publish — the only crash window commit() has (the
+    // manifest itself appears atomically or not at all). Debris left
+    // behind: a fully-written data dir no manifest references, plus the
+    // writer's half-staged .tmp manifest naming it.
+    val orphan = "b2-deadbeef"
+    Seq((99, "ghost")).toDF("k", "v").write
+      .parquet(s"$root/t/data/$orphan")
+    val mdir = java.nio.file.Paths.get(root, "t", "_manifests")
+    java.nio.file.Files.writeString(mdir.resolve(".v2crashed.tmp"),
+      s"""{"dirs":["$orphan"],"txns":[]}""")
+    // readers and the version chain are unaffected: tmp manifests are
+    // not versions, unreferenced data is not part of any snapshot
+    assert(st.versions("t") == Seq(1L))
+    assert(st.read("t").select("k").as[Int].collect().toSet == Set(1, 2))
+    // the next writer's v2 lands normally — the crashed attempt holds
+    // no lock and reserved nothing
+    st.commit("t", Seq((3, "c")).toDF("k", "v"), overwrite = false)
+    assert(st.versions("t") == Seq(1L, 2L))
+    assert(st.read("t").select("k").as[Int].collect().toSet == Set(1, 2, 3))
+    // vacuum keeps every live snapshot readable and collects the orphan
+    st.vacuum("t", retainVersions = 2)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "t", "data", orphan)))
+    assert(st.read("t", asOf = Some(1L)).count() == 2)
+    assert(st.read("t").select("k").as[Int].collect().toSet == Set(1, 2, 3))
+    // same discipline for syncpoints: a crashed publisher's tmp is not
+    // a syncpoint, and the id it aimed for stays claimable
+    st.publishSync(Map("t" -> 1L))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_syncpoints", ".s2crashed.tmp"),
+      """{"pins":["t:1"]}""")
+    assert(st.syncpoints == Seq(1L))
+    assert(st.publishSync(Map("t" -> 2L)) == 2L)
+    assert(st.syncPins(None) == Map("t" -> 2L))
+  }
+
   test("syncpoint: cross-view reads pin one cycle; mid-cycle commits invisible") {
     val (st, _) = freshStore()
     val b1 = st.commit("batch", Seq((1, "b1")).toDF("k", "v"), overwrite = true)
@@ -478,5 +518,35 @@ class SnapshotStoreSpec extends SparkSpec {
       st.publishSync(Map("batch" -> 1L), expectedBase = Some(1L)))
     // a reader asking for a view the syncpoint does not pin fails loudly
     intercept[IllegalArgumentException](st.readSync("speed"))
+  }
+
+  test("hammered syncpoint publishers: ids stay contiguous, every publish lands once") {
+    val (st, _) = freshStore()
+    val v1 = st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // 4 cycle publishers x 3 syncpoints each through the optimistic
+    // loop — same ACID claim as the hammered-appends spec, at the
+    // store level: no publish lost, none doubled, no id holes
+    val futures = (1 to 4).flatMap { w =>
+      (1 to 3).map { i =>
+        scala.concurrent.Future {
+          var done = false
+          var attempts = 0
+          while (!done && attempts < 50) {
+            attempts += 1
+            val base = st.syncpoints.lastOption.getOrElse(0L)
+            try { st.publishSync(Map("t" -> v1), expectedBase = Some(base)); done = true }
+            catch { case _: RuntimeException => () }
+          }
+          assert(done, s"publisher $w-$i starved after $attempts attempts")
+        }
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    assert(st.syncpoints == (1L to 12L), st.syncpoints.toString)
   }
 }
