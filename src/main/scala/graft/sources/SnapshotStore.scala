@@ -658,18 +658,32 @@ class SnapshotStore(spark: SparkSession, root: String) {
   /** Delete data dirs referenced by NO manifest among the newest
     * `retainVersions` (and drop the older manifests): the GC that makes
     * immutable-file commits sustainable. Never touches a dir a retained
-    * snapshot can still read.
+    * snapshot can still read — including versions older than the
+    * retention horizon that a LIVE SYNCPOINT still pins for this view:
+    * a published cycle stays readable through [[readSync]] until its
+    * syncpoint is dropped by [[expireSyncpoints]], so vacuum cannot
+    * break it (the Delta-style time-travel-vs-VACUUM contract, with
+    * pins as explicit retention roots rather than a time window).
     */
   def vacuum(view: String, retainVersions: Int = 1): Unit = {
     val vs = versions(view)
-    val keep = vs.takeRight(retainVersions)
+    val pinned = syncpoints.flatMap(s => syncPins(Some(s)).get(view)).toSet
+    val keep = (vs.takeRight(retainVersions) ++ vs.filter(pinned)).distinct
     val live = keep.flatMap(readManifest(view, _)).toSet
     if (Files.isDirectory(dataRoot(view)))
       Files.list(dataRoot(view)).iterator().asScala.toSeq
         .filterNot(p => live.contains(p.getFileName.toString))
         .foreach(p => Scratch.deleteRecursively(p.toFile))
-    vs.dropRight(retainVersions).foreach(v => Files.deleteIfExists(manifestPath(view, v)))
+    vs.dropRight(retainVersions).filterNot(pinned)
+      .foreach(v => Files.deleteIfExists(manifestPath(view, v)))
   }
+
+  /** Drop every syncpoint older than the newest `retain`, releasing the
+    * versions they pinned — the companion GC to [[vacuum]]: expire
+    * first, then vacuum reclaims what nothing pins anymore.
+    */
+  def expireSyncpoints(retain: Int = 1): Unit =
+    syncpoints.dropRight(retain).foreach(s => Files.deleteIfExists(syncPath(s)))
 
   // ---------------------------------------------------- cross-view sync
 
