@@ -65,7 +65,13 @@ class BatchedSentimentTransformer(
     schema.add("Positive", DoubleType)
       .add("Negative", DoubleType).add("Neutre", DoubleType)
 
-  override def copy(extra: ParamMap): BatchedSentimentTransformer = this
+  // Transformer.copy contract: a fresh instance (same uid, per
+  // defaultCopy semantics). The stage keeps its config in constructor
+  // args rather than Params, so there is nothing for `extra` to
+  // override — but Pipeline.fit/copy flows still get a distinct object.
+  override def copy(extra: ParamMap): BatchedSentimentTransformer =
+    new BatchedSentimentTransformer(
+      uid, inputCol, batchSize, positive, negative, initCounter)
 }
 
 /** Deterministic stand-in for loaded model weights. Construction is

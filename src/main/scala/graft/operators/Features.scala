@@ -40,16 +40,20 @@ object Features {
     // the target stays in its EXACT type (decimal/int) through every
     // sum — double sums are accumulation-order-dependent and would
     // diverge across engines; only the final ratio goes to double
+    // EAGER localCheckpoint of the cell frame (O(|C|·K) rows): the
+    // totals branch and the main branch both read it — without staging
+    // Spark re-runs the corpus agg per branch (exchange reuse does not
+    // cross the broadcast boundary, verified empirically on Spark 4.1).
+    // localCheckpoint (not persist): its blocks are reclaimed by the
+    // ContextCleaner once the frame is unreferenced, whereas a persist
+    // here leaked one cache entry per invocation for the whole session.
+    // Contract: the corpus agg executes NOW, not at first action.
     val cells = df.where(col(targetCol).isNotNull)
       .withColumn("fold", fold)
       .groupBy(col(catCol), col("fold"))
       .agg(count(lit(1)).as("n_in"), sum(col(targetCol)).as("_s_in"))
+      .localCheckpoint(true)
     val catW = Window.partitionBy(col(catCol))
-    // cache the cell frame (lazily, O(|C|·K) rows): the totals branch
-    // and the main branch both read it — without the cache Spark
-    // re-runs the corpus agg per branch (exchange reuse does not cross
-    // the broadcast boundary, verified empirically on Spark 4.1)
-    cells.persist()
     val totals = cells.agg(sum(col("_s_in")).as("_s_all"),
       sum(col("n_in")).as("_n_all"))
     cells.crossJoin(broadcast(totals))

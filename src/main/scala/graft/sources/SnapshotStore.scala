@@ -84,15 +84,25 @@ class SnapshotStore(spark: SparkSession, root: String) {
   private def manifestPath(view: String, v: Long): Path =
     manifestDir(view).resolve(f"v$v%06d.json")
 
+  /** Directory entries, eagerly drained with the stream CLOSED —
+    * `Files.list` holds a directory handle until closed, and the
+    * callers (readSync, the optimistic publish loop, vacuum) run in
+    * tight loops where leaked handles accumulate per call.
+    */
+  private def listEntries(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   /** Committed versions, ascending (empty for a new view). */
   def versions(view: String): Seq[Long] = {
     val dir = manifestDir(view)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
+    else listEntries(dir)
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq.sorted
+      .sorted
   }
 
   // manifest = {"dirs":[...],"txns":[...]} — dirs are the snapshot's
@@ -584,7 +594,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val base = vs.max
     val bytes = readManifest(view, base)
       .map(dirPath(view, _))
-      .flatMap(d => Files.list(d).iterator().asScala
+      .flatMap(d => listEntries(d)
         .filter(_.getFileName.toString.endsWith(".parquet")))
       .map(Files.size).sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
@@ -671,7 +681,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val keep = (vs.takeRight(retainVersions) ++ vs.filter(pinned)).distinct
     val live = keep.flatMap(readManifest(view, _)).toSet
     if (Files.isDirectory(dataRoot(view)))
-      Files.list(dataRoot(view)).iterator().asScala.toSeq
+      listEntries(dataRoot(view))
         .filterNot(p => live.contains(p.getFileName.toString))
         .foreach(p => Scratch.deleteRecursively(p.toFile))
     vs.dropRight(retainVersions).filterNot(pinned)
@@ -747,11 +757,11 @@ class SnapshotStore(spark: SparkSession, root: String) {
   def syncpoints: Seq[Long] = {
     val dir = Paths.get(root, "_syncpoints")
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
+    else listEntries(dir)
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("s") && s.endsWith(".json") =>
         s.stripPrefix("s").stripSuffix(".json").toLong }
-      .toSeq.sorted
+      .sorted
   }
 
   /** The {view -> version} pins of syncpoint `id` (default: latest). */
