@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -15,14 +16,54 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** events.ts has shipped in three physical types across testdata
+    * generations: parquet TIMESTAMP(NANOS) (Spark reads it as long
+    * nanos under `nanosAsLong` — truncate to micros, the same
+    * truncation DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP),
+    * plain micros TIMESTAMP_NTZ (current generation), or an
+    * already-session-TZ TIMESTAMP. Normalize ALL of them to
+    * TimestampType: the session runs in UTC, so the NTZ wall-clock
+    * reinterpretation is value-identical to the old nanos path and
+    * every downstream event-time operator keeps seeing one type.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    if (!df.columns.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+
+  /** The events file's on-disk ts type (one cheap footer read) — the
+    * streaming reader needs the PHYSICAL type in its fixed schema;
+    * guessing LongType against a micros file fails analysis, and
+    * vice versa.
+    */
+  def eventsTsType(spark: SparkSession, dir: String): DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+  }
+
+  /** Streaming scan of the events table projected to `fields`, with
+    * `ts` (when requested) normalized to TimestampType whatever the
+    * file's generation. The footer probe runs once, before the stream
+    * starts — the schema is then fixed for the query's lifetime, as
+    * Structured Streaming requires.
+    */
+  def eventsStream(spark: SparkSession, dir: String,
+                   fields: Seq[StructField]): DataFrame = {
+    val onDisk = eventsTsType(spark, dir)
+    val schema = StructType(fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = onDisk) else f))
+    normalizeTs(spark.readStream.schema(schema).parquet(s"$dir/events.parque*"))
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      // events.ts is parquet TIMESTAMP(NANOS) which the Spark reader
-      // rejects; read nanos as long and truncate to microseconds (same
-      // truncation DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
     case _ =>
       spark.read.parquet(s"$dir/$name.parquet")
   }

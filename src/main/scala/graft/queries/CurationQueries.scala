@@ -914,15 +914,12 @@ object CurationQueries {
     // the source proves single delivery end-to-end.
     "q138_stream_snapshot_sink" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val root = graft.sources.Scratch.processScoped("q138_sink", dir)
       val store = new graft.sources.SnapshotStore(s, root)
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("event_type", StringType), StructField("value", DoubleType)))
-      val parsed = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
-        .select(col("event_id"),
-          to_date(timestamp_micros(expr("ts div 1000"))).cast("string").as("d"),
+      val parsed = graft.Tables.eventsStream(s, dir, Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType)))
+        .select(col("event_id"), to_date(col("ts")).cast("string").as("d"),
           col("event_type"), col("value"))
       val q = parsed.writeStream
         .option("checkpointLocation", s"$root/_cp")

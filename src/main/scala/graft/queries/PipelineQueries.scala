@@ -263,12 +263,9 @@ object PipelineQueries {
     // difference vs difference-of-floors diverges in seconds).
     "q71_stream_interval_join" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = StructType(Seq(
+      val raw = graft.Tables.eventsStream(s, dir, Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType)))
-      val raw = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val views = raw.where(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
           col("ts").as("view_ts"))
@@ -295,12 +292,9 @@ object PipelineQueries {
     // itself, since ids are unique at the source.
     "q74_stream_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = StructType(Seq(
+      def read() = graft.Tables.eventsStream(s, dir, Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType)))
-      def read() = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val doubled = read().union(read()).withWatermark("ts", "1 hour")
       graft.streaming.StreamJoin.runAvailableNow(s,
           doubled.dropDuplicatesWithinWatermark("event_id"),
@@ -321,12 +315,9 @@ object PipelineQueries {
     // edge, so sub-second truncation cannot flip a window.)
     "q76_stream_windowed_agg" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = StructType(Seq(
+      val raw = graft.Tables.eventsStream(s, dir, Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType)))
-      val raw = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val agg = raw.withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "6 hours"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("_sv"))
@@ -346,12 +337,9 @@ object PipelineQueries {
     // session-state machinery q31 only grades in batch.
     "q77_stream_sessions" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = StructType(Seq(
+      val raw = graft.Tables.eventsStream(s, dir, Seq(
         StructField("ts", LongType), StructField("user_id", LongType),
         StructField("value", DoubleType)))
-      val raw = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val agg = raw.withWatermark("ts", "1 hour")
         .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
         .agg(count(lit(1)).as("n_events"),
@@ -375,12 +363,9 @@ object PipelineQueries {
     // empirically confirmed at sf0.01: 115 of 119 batch windows emit).
     "q80_stream_join_agg" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = StructType(Seq(
+      def read() = graft.Tables.eventsStream(s, dir, Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType)))
-      def read() = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val views = read().where(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
       val buys = read().where(col("event_type") === "purchase")
@@ -405,12 +390,9 @@ object PipelineQueries {
     // batch GROUP BY — no cutoff, the semantic difference from q76.
     "q81_stream_update_agg" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = StructType(Seq(
+      val raw = graft.Tables.eventsStream(s, dir, Seq(
         StructField("ts", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType)))
-      val raw = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val agg = raw.withWatermark("ts", "1 hour")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -455,12 +437,10 @@ object PipelineQueries {
       // checkpoint still demonstrates replay-convergence across runs
       val root = graft.sources.Scratch.processScoped("q83_ingest", dir)
       val store = new graft.sources.ViewStore(s, root)
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("event_type", StringType), StructField("value", DoubleType)))
-      val parsed = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
-        .select(col("event_id"),
-          to_date(timestamp_micros(expr("ts div 1000"))).cast("string").as("d"),
+      val parsed = graft.Tables.eventsStream(s, dir, Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType)))
+        .select(col("event_id"), to_date(col("ts")).cast("string").as("d"),
           col("event_type"), col("value"))
       val q = graft.streaming.Ingest.startMasterAppend(parsed, store, "ev_master",
         keyCol = "d", checkpoint = s"$root/_cp", keyed = false,
@@ -482,12 +462,9 @@ object PipelineQueries {
     // tail is withheld as not-yet-provably-unmatched).
     "q84_stream_outer_join" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = StructType(Seq(
+      def read() = graft.Tables.eventsStream(s, dir, Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType)))
-      def read() = s.readStream.schema(schema).parquet(s"$dir/events.parque*")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val views = read().where(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
           col("ts").as("view_ts"))

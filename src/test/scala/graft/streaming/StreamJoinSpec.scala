@@ -71,14 +71,10 @@ class StreamJoinSpec extends SparkSpec {
   }
 
   test("runAvailableNow drives a file-source interval join to completion") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
+    val raw = graft.Tables.eventsStream(spark, sf(), Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType)))
-    val raw = spark.readStream.schema(schema)
-      .parquet(s"${sf()}/events.parque*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val views = raw.where(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("view_ts"))
     val buys = raw.where(col("event_type") === "purchase")
