@@ -189,16 +189,51 @@ object Mixer {
     */
   def assignSplits(df: DataFrame, idCol: String,
                    names: Seq[String] = Seq("train", "val", "test"),
-                   fractions: Seq[Double] = Seq(0.8, 0.1, 0.1)): DataFrame = {
+                   fractions: Seq[Double] = Seq(0.8, 0.1, 0.1)): DataFrame =
+    assignSplitsBy(df, col(idCol), names, fractions)
+
+  private def assignSplitsBy(df: DataFrame, key: Column, names: Seq[String],
+                             fractions: Seq[Double]): DataFrame = {
     require(names.length == fractions.length && names.nonEmpty)
     require(math.abs(fractions.sum - 1.0) < 1e-9, s"fractions must sum to 1")
     val cum = fractions.scanLeft(0.0)(_ + _).tail
-    val u = lcgFrac(col(idCol))
+    val u = lcgFrac(key)
     val expr = names.zip(cum).init.foldRight(
       lit(names.last): org.apache.spark.sql.Column) {
       case ((name, hi), rest) => when(u < lit(hi), lit(name)).otherwise(rest)
     }
     df.withColumn("split", expr)
+  }
+
+  /** Leakage-free split assignment: near-duplicate CLUSTERS, not
+    * documents, are the randomization unit. Hashing each doc id
+    * independently ([[assignSplits]]) strands ~2·p·(1−p) of every
+    * near-dup pair across the train/held-out boundary, so the test set
+    * scores memorized near-copies of training docs. Here every doc
+    * hashes by its cluster representative — connected components over
+    * the verified near-dup pair set ([[Components]]), singletons by
+    * their own id — so a whole cluster lands in exactly one split by
+    * construction, and (like assignSplits) the assignment is stable as
+    * the corpus grows: a new member of an existing cluster inherits
+    * the cluster's split.
+    *
+    * Scale shape: the component label table is O(docs that have a
+    * near-dup) — a small fraction of the corpus — joined back once on
+    * the id key (AQE broadcasts it when small); the split itself is
+    * the same shuffle-free LCG projection as [[assignSplits]], keyed
+    * on `group_id`. Output: input columns + `group_id` + `split`.
+    */
+  def groupAwareSplits(docs: DataFrame, idCol: String,
+                       pairs: DataFrame, aCol: String, bCol: String,
+                       names: Seq[String] = Seq("train", "val", "test"),
+                       fractions: Seq[Double] = Seq(0.8, 0.1, 0.1)): DataFrame = {
+    val comp = Components.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("_cc_id"), col("comp").as("_cc_comp"))
+    val grouped = docs.join(comp, docs(idCol) === comp("_cc_id"), "left")
+      .withColumn("group_id",
+        coalesce(col("_cc_comp"), col(idCol).cast("long")))
+      .drop("_cc_id", "_cc_comp")
+    assignSplitsBy(grouped, col("group_id"), names, fractions)
   }
 
   def epochPlan(docs: DataFrame, keyCol: String, tokensCol: Column,

@@ -379,6 +379,26 @@ object CurationQueries {
       graft.operators.Components.clusters(pairs, "a_id", "b_id")
     }),
 
+    // Leakage-free train/val/test split: the randomization unit is the
+    // near-dup CLUSTER (q70's components over q23's verified pairs),
+    // not the document — a per-doc hash split (q160) sends ~2·p·(1−p)
+    // of every near-dup pair across the train/held-out boundary, and
+    // the eval then scores memorized near-copies. Every doc hashes by
+    // its cluster representative (singletons by their own id), so a
+    // cluster lands in ONE split by construction and new members of an
+    // existing cluster inherit its split on corpus growth. Oracle:
+    // recursive-CTE closure over the identical verified pair set +
+    // the same LCG split arithmetic.
+    "q189_cluster_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val pairs = graft.operators.Dedup.lshVerifiedPairs(
+          docs, "doc_id", "text", estThreshold = 0.3, jaccardThreshold = 0.4)
+        .select(col("a_id"), col("b_id"))
+      graft.operators.Mixer.groupAwareSplits(
+        docs.select(col("doc_id"), col("lang")), "doc_id",
+        pairs, "a_id", "b_id")
+    }),
+
     // Cross-document repeated-span dedup (the Lee-et-al. substring
     // shape): 5-gram anchors bucketed by gram (singletons and >64-occ
     // stop-grams dropped), cross-doc occurrence pairs expanded inside
@@ -1424,6 +1444,27 @@ object CurationQueries {
                     SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
           comp AS (SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u)
           SELECT comp AS rep, COUNT(*) AS cluster_size FROM comp GROUP BY comp"""),
+
+    // Same closure as q70, then the q160 LCG keyed on the cluster rep.
+    "q189_cluster_split" -> (
+      SqlFragments.shinglePairsCte(0.4).replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, e AS (SELECT a_id AS u, b_id AS v FROM verified
+                 UNION SELECT b_id, a_id FROM verified),
+          reach AS (SELECT u, v FROM e
+                    UNION
+                    SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+          comp AS (SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u),
+          g AS (SELECT d.doc_id, d.lang, COALESCE(c.comp, d.doc_id) AS group_id
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+                WHERE d.text IS NOT NULL)
+          SELECT doc_id, lang, group_id,
+            CASE WHEN u < 0.8 THEN 'train'
+                 WHEN u < 0.9 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (SELECT doc_id, lang, group_id,
+                CAST((group_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+                  / 2147483648.0 AS u
+                FROM g)"""),
 
     "q73_jsonl_roundtrip" ->
       """SELECT lang, COUNT(*) AS n_docs,

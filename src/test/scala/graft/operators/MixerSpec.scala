@@ -180,6 +180,34 @@ class MixerSpec extends SparkSpec {
     assert(n("train") > 700 && n("train") < 900, n.toString)
   }
 
+  test("groupAwareSplits: a cluster never straddles a split boundary") {
+    import spark.implicits._
+    val docs = (0L until 300L).toDF("doc_id")
+    // chain clusters {0,1,2}, {10,11}, plus a long chain 100..104 —
+    // min-id reps 0, 10, 100; everything else is a singleton
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L),
+      (100L, 101L), (101L, 102L), (102L, 103L), (103L, 104L))
+      .toDF("a", "b")
+    val got = Mixer.groupAwareSplits(docs, "doc_id", pairs, "a", "b").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    def u(id: Long) = ((id * 1103515245L + 12345L) % 2147483648L).toDouble / 2147483648.0
+    def splitOf(id: Long) =
+      if (u(id) < 0.8) "train" else if (u(id) < 0.9) "val" else "test"
+    // clustered docs: group = min id of the component, split follows it
+    Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L,
+      100L -> 100L, 101L -> 100L, 104L -> 100L).foreach { case (id, g) =>
+      assert(got(id) == ((g, splitOf(g))), s"doc $id")
+    }
+    // singletons group by their own id == assignSplits' assignment
+    assert(got(42L) == ((42L, splitOf(42L))))
+    // the leakage invariant itself: every cluster maps to ONE split
+    val comps = Map(0L -> Seq(0L, 1L, 2L), 10L -> Seq(10L, 11L),
+      100L -> (100L to 104L))
+    comps.foreach { case (_, members) =>
+      assert(members.map(got(_)._2).toSet.size == 1)
+    }
+  }
+
   test("capPerKey: audit frame, exact cap, partitioning-invariant ranks") {
     import spark.implicits._
     val df = (0L until 40L).map(i => (i, s"d${i % 2}")).toDF("id", "key")
