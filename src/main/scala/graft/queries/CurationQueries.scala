@@ -399,6 +399,38 @@ object CurationQueries {
         pairs, "a_id", "b_id")
     }),
 
+    // Split-leakage audit — the number q189 exists to drive to zero:
+    // over the verified near-dup pair set, how many pairs straddle a
+    // split boundary under the per-doc hash split (q160) vs the
+    // cluster-aware split (q189). One row: cross_doc_split is the
+    // leaked-pair count a naive split ships to eval (~2·p·(1−p) of
+    // pairs in expectation), cross_cluster_split is structurally 0 —
+    // both engines derive it from the same closure, so the invariant
+    // itself is what's graded. Scale shape: pair set joined twice
+    // against the O(corpus) assignment projection, then a global agg.
+    "q190_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val pairs = graft.operators.Dedup.lshVerifiedPairs(
+          docs, "doc_id", "text", estThreshold = 0.3, jaccardThreshold = 0.4)
+        .select(col("a_id"), col("b_id"))
+      val asg = graft.operators.Mixer.groupAwareSplits(
+          graft.operators.Mixer.assignSplits(
+            docs.select(col("doc_id")), "doc_id")
+            .withColumnRenamed("split", "doc_split"),
+          "doc_id", pairs, "a_id", "b_id")
+        .select(col("doc_id"), col("doc_split"), col("split").as("cl_split"))
+      pairs
+        .join(asg.select(col("doc_id").as("a_id"), col("doc_split").as("_da"),
+          col("cl_split").as("_ca")), Seq("a_id"))
+        .join(asg.select(col("doc_id").as("b_id"), col("doc_split").as("_db"),
+          col("cl_split").as("_cb")), Seq("b_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("_da") =!= col("_db"), 1L).otherwise(0L))
+            .as("cross_doc_split"),
+          sum(when(col("_ca") =!= col("_cb"), 1L).otherwise(0L))
+            .as("cross_cluster_split"))
+    }),
+
     // Cross-document repeated-span dedup (the Lee-et-al. substring
     // shape): 5-gram anchors bucketed by gram (singletons and >64-occ
     // stop-grams dropped), cross-doc occurrence pairs expanded inside
@@ -1465,6 +1497,36 @@ object CurationQueries {
                 CAST((group_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
                   / 2147483648.0 AS u
                 FROM g)"""),
+
+    // Closure + both LCG splits; the cluster column must come out 0.
+    "q190_split_leakage" -> (
+      SqlFragments.shinglePairsCte(0.4).replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, e AS (SELECT a_id AS u, b_id AS v FROM verified
+                 UNION SELECT b_id, a_id FROM verified),
+          reach AS (SELECT u, v FROM e
+                    UNION
+                    SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+          comp AS (SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u),
+          asg AS (SELECT d.doc_id,
+                    CAST((d.doc_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+                      / 2147483648.0 AS ud,
+                    CAST((COALESCE(c.comp, d.doc_id) * 1103515245 + 12345)
+                      % 2147483648 AS DOUBLE) / 2147483648.0 AS uc
+                  FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+                  WHERE d.text IS NOT NULL),
+          s AS (SELECT doc_id,
+                  CASE WHEN ud < 0.8 THEN 'train' WHEN ud < 0.9 THEN 'val'
+                       ELSE 'test' END AS ds,
+                  CASE WHEN uc < 0.8 THEN 'train' WHEN uc < 0.9 THEN 'val'
+                       ELSE 'test' END AS cs
+                FROM asg)
+          SELECT COUNT(*) AS n_pairs,
+            CAST(SUM(CASE WHEN a.ds <> b.ds THEN 1 ELSE 0 END) AS BIGINT)
+              AS cross_doc_split,
+            CAST(SUM(CASE WHEN a.cs <> b.cs THEN 1 ELSE 0 END) AS BIGINT)
+              AS cross_cluster_split
+          FROM verified v JOIN s a ON v.a_id = a.doc_id
+                          JOIN s b ON v.b_id = b.doc_id"""),
 
     "q73_jsonl_roundtrip" ->
       """SELECT lang, COUNT(*) AS n_docs,
