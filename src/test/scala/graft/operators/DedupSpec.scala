@@ -250,4 +250,21 @@ class DedupSpec extends SparkSpec {
     assert(m.isNullAt(m.fieldIndex("precision")))
     assert(m.getAs[Double]("recall") == 0.0)
   }
+
+  test("lshPlan picks the step-minimizing banding; validates the defaults") {
+    // the hard-coded minHashLsh default (32 hashes, 8 bands) is the
+    // planner's own choice at the 0.5 estimate threshold
+    assert(Dedup.lshPlan(32, 0.5) == ((8, 4)))
+    // higher threshold -> fewer bands / more rows (sharper, stricter)
+    assert(Dedup.lshPlan(32, 0.8) == ((4, 8)))
+    // lower threshold -> more bands / fewer rows (recall-preserving)
+    assert(Dedup.lshPlan(32, 0.2) == ((16, 2)))
+    assert(Dedup.lshPlan(16, 0.5) == ((4, 4)))
+    assert(Dedup.lshPlan(128, 0.7) == ((16, 8)))
+    // the winner's rule-of-thumb transition point (1/b)^(1/r) brackets
+    // the requested threshold within the divisor grid's resolution
+    val (b, r) = Dedup.lshPlan(64, 0.6)
+    val t = math.pow(1.0 / b, 1.0 / r)
+    assert(math.abs(t - 0.6) < 0.2, s"($b,$r) transition $t")
+  }
 }
