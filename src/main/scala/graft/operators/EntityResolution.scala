@@ -38,9 +38,15 @@ object EntityResolution {
       col(blockCol).as("_blk"))
     val w = Window.partitionBy(col("d_id"))
       .orderBy(col("dist"), col("c_id"))
+    // two semantics-preserving prunes around the O(len²) DP: a length
+    // gap > maxDist already implies dist > maxDist (codegen-cheap, no
+    // DP at all), and the threshold form of levenshtein banish-bands
+    // the DP to O(len·maxDist), returning -1 above the bound — hence
+    // between(0, ...), since -1 <= maxDist would pass a plain filter
     c.join(broadcast(d), Seq("_blk"))
-      .withColumn("dist", levenshtein(col("d_name"), col("c_name_")))
-      .where(col("dist") <= maxDist)
+      .where(abs(length(col("d_name")) - length(col("c_name_"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("d_name"), col("c_name_"), maxDist))
+      .where(col("dist").between(0, maxDist))
       .withColumn("_r", row_number().over(w))
       .where(col("_r") === 1)
       .select(col("d_id"), col("d_name"), col("c_id"), col("c_name_"), col("dist"))

@@ -248,6 +248,10 @@ object TextQueries {
           (length(col("text")).cast("double") / 1000.0).as("x1"),
           (size(TextFns.tokens(col("text"))).cast("double") / 100.0).as("x2"),
           when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        // EAGER stage: train makes one action per GD step plus the
+        // count and the final scoring pass — without staging, each of
+        // those re-tokenizes the corpus (5 full passes for 3 steps)
+        .localCheckpoint(true)
       val w = graft.operators.LogReg.train(feats, Seq("x1", "x2"), "y",
         lr = 0.5, iters = 3)
       graft.operators.LogReg.score(feats, Seq("x1", "x2"), w)
@@ -273,6 +277,9 @@ object TextQueries {
           when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
         .join(pivoted, Seq("doc_id"), "left")
         .na.fill(0.0, fcols)
+        // EAGER stage: the GD loop + count + scoring are 5 actions;
+        // unstaged, every one re-runs tokenize -> hash -> pivot -> join
+        .localCheckpoint(true)
       val w = graft.operators.LogReg.train(feats, fcols, "y",
         lr = 0.5, iters = 3)
       graft.operators.LogReg.score(feats, fcols, w)
