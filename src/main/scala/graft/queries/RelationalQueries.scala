@@ -451,6 +451,28 @@ object RelationalQueries {
           NumFns.stableRound(sum(col("l_extendedprice")), 2).as("total"))
     }),
 
+    // Hot-key-ONLY salted join — the 100 TB refinement of q56: full-dim
+    // replication taxes every key with salts× duplication, so only the
+    // DETECTED hot keys (>5% of the fact each; the detection agg's
+    // result is bounded by 1/minFrac) take the salted path, with just
+    // their dim rows replicated; the cold remainder joins untouched.
+    // The fact synthesizes one genuinely hot key (~30% of rows fold
+    // onto orderkey 1 — the detector must find exactly it), and the
+    // oracle is the PLAIN join over the same mapping: the two-path
+    // split must be invisible row-for-row.
+    "q191_skew_hot_join" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem")
+        .select(when(pmod(col("l_orderkey"), lit(10)) < 3, 1L)
+          .otherwise(col("l_orderkey")).as("okey"), col("l_extendedprice"))
+      val dim = t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoinHot(fact, dim, "okey",
+          minFrac = 0.05, salts = 16)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          NumFns.stableRound(sum(col("l_extendedprice")), 2).as("total"))
+    }),
+
     // Stratified sampling (per-key Bernoulli fractions): the corpus
     // downsampling shape. Sampling is seeded RNG — not SQL-replayable —
     // so the oracle pins the exact per-stratum rate bound: at ~20%
@@ -1010,6 +1032,14 @@ object RelationalQueries {
       s"""SELECT o_orderpriority, COUNT(*) AS n,
           ${SqlFragments.r15("SUM(l_extendedprice)", 2)} AS total
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderpriority""",
+    "q191_skew_hot_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+          ${SqlFragments.r15("SUM(l_extendedprice)", 2)} AS total
+          FROM (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1
+                            ELSE l_orderkey END AS okey, l_extendedprice
+                FROM lineitem) f
+          JOIN orders ON f.okey = o_orderkey
           GROUP BY o_orderpriority""",
     "q57_stratified_sample" ->
       """SELECT l_returnflag, TRUE AS rate_ok

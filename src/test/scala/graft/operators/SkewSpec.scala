@@ -29,4 +29,33 @@ class SkewSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(salted == Map("hot" -> 60.0, "cold" -> 5.0))
   }
+
+  test("hotKeys finds exactly the keys above the fraction, bounded") {
+    // key 1: 60 rows (60%), key 2: 25 rows, 15 singletons
+    val fact = ((0 until 60).map(_ => 1L) ++ (0 until 25).map(_ => 2L) ++
+      (100L until 115L)).toDF("k")
+    assert(Skew.hotKeys(fact, "k", minFrac = 0.3) == Seq(1L))
+    assert(Skew.hotKeys(fact, "k", minFrac = 0.2) == Seq(1L, 2L))
+    assert(Skew.hotKeys(fact, "k", minFrac = 0.9).isEmpty)
+  }
+
+  test("hot-key salted join equals plain join, with and without hot keys") {
+    val fact = ((0 until 50).map(i => (1L, i.toDouble)) ++
+      Seq((2L, 5.0), (3L, 7.0), (9L, 1.0))).toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "unused"))
+      .toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).groupBy("name")
+      .agg(sum("v").as("s"), count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    // hot path taken: key 1 is 50/53 of the fact
+    val hot = Skew.saltedJoinHot(fact, dim, "k", minFrac = 0.1, salts = 4)
+      .groupBy("name").agg(sum("v").as("s"), count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(hot == plain)
+    // no key clears 95%: degenerates to the plain single-path join
+    val none = Skew.saltedJoinHot(fact, dim, "k", minFrac = 0.95, salts = 4)
+      .groupBy("name").agg(sum("v").as("s"), count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(none == plain)
+  }
 }
