@@ -74,4 +74,45 @@ object Components {
     connectedComponents(edges, srcCol, dstCol)
       .groupBy(col("comp").as("rep"))
       .agg(count(lit(1)).as("cluster_size"))
+
+  /** Incremental components: fold a NEW edge batch into a stored
+    * (id, comp) labeling without re-clustering the corpus — the
+    * continuous-dedup shape, where each ingest batch brings a few
+    * edges against a billion-node stored clustering.
+    *
+    * New edges map through the stored labels (endpoints the store has
+    * never seen keep their own id); [[connectedComponents]] then runs
+    * on that LABEL graph — O(new edges + touched components) nodes,
+    * not O(corpus) — and the stored labeling remaps through the merged
+    * labels with one join. Stored labels are min-ids of their old
+    * components and the label graph takes mins of those, so the result
+    * is exactly full components over (stored edges ∪ new edges) —
+    * the spec and q192 grade that equivalence against the full
+    * closure.
+    *
+    * Returns (id, comp) covering stored nodes plus the new edges'
+    * nodes.
+    */
+  def incrementalComponents(stored: DataFrame, newEdges: DataFrame,
+                            srcCol: String, dstCol: String): DataFrame = {
+    val lab = stored.select(col("id").cast("long").as("id"),
+      col("comp").cast("long").as("comp"))
+    val e = newEdges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val mapped = e
+      .join(lab.select(col("id").as("u"), col("comp").as("_cu")), Seq("u"), "left")
+      .join(lab.select(col("id").as("v"), col("comp").as("_cv")), Seq("v"), "left")
+      .select(coalesce(col("_cu"), col("u")).as("a"),
+        coalesce(col("_cv"), col("v")).as("b"))
+    // label-graph fixpoint: old label -> merged component label
+    val merged = connectedComponents(mapped, "a", "b")
+      .select(col("id").as("_lbl"), col("comp").as("_mcomp"))
+    val newNodes = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id"))).distinct()
+      .join(lab.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("comp", col("id"))
+    lab.unionByName(newNodes)
+      .join(merged, col("comp") === col("_lbl"), "left")
+      .select(col("id"), coalesce(col("_mcomp"), col("comp")).as("comp"))
+  }
 }

@@ -399,6 +399,28 @@ object CurationQueries {
         pairs, "a_id", "b_id")
     }),
 
+    // Incremental clustering — continuous dedup's missing half: q92
+    // keeps the FINGERPRINT store incremental, this keeps the CLUSTER
+    // labeling incremental. The verified pair set splits into a
+    // "stored" batch (clustered one-shot) and a "new" batch folded in
+    // via incrementalComponents — which re-clusters only the LABEL
+    // graph (O(new edges + touched comps)), never the corpus. The
+    // oracle is the full closure over ALL pairs: the incremental path
+    // must be indistinguishable from a from-scratch re-cluster.
+    "q192_incremental_clusters" -> ((s, dir) => {
+      val pairs = graft.operators.Dedup.lshVerifiedPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          estThreshold = 0.3, jaccardThreshold = 0.4)
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint(true) // both batches derive from one LSH pass
+      val isOld = pmod(col("a_id") + col("b_id"), lit(3)) =!= 0
+      val stored = graft.operators.Components.connectedComponents(
+        pairs.where(isOld), "a_id", "b_id")
+      graft.operators.Components.incrementalComponents(
+        stored, pairs.where(!isOld), "a_id", "b_id")
+        .select(col("id").as("doc_id"), col("comp").as("cluster"))
+    }),
+
     // Split-leakage audit — the number q189 exists to drive to zero:
     // over the verified near-dup pair set, how many pairs straddle a
     // split boundary under the per-doc hash split (q160) vs the
@@ -1497,6 +1519,17 @@ object CurationQueries {
                 CAST((group_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
                   / 2147483648.0 AS u
                 FROM g)"""),
+
+    // Full one-shot closure — the incremental path must reproduce it.
+    "q192_incremental_clusters" -> (
+      SqlFragments.shinglePairsCte(0.4).replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, e AS (SELECT a_id AS u, b_id AS v FROM verified
+                 UNION SELECT b_id, a_id FROM verified),
+          reach AS (SELECT u, v FROM e
+                    UNION
+                    SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+          comp AS (SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u)
+          SELECT u AS doc_id, comp AS cluster FROM comp"""),
 
     // Closure + both LCG splits; the cluster column must come out 0.
     "q190_split_leakage" -> (

@@ -22,6 +22,32 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map(5L -> 2L, 7L -> 3L))
   }
 
+  test("incrementalComponents equals full components over the union") {
+    // stored: {1,2,3} (comp 1), {10,11} (comp 10), isolated 20
+    val batch1 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val stored = Components.connectedComponents(batch1, "a", "b")
+      .union(Seq((20L, 20L)).toDF("id", "comp"))
+    // new batch BRIDGES the two stored comps (3-10), attaches a brand-new
+    // node to a stored one (11-30), and adds an unrelated new pair (40-41)
+    val batch2 = Seq((3L, 10L), (11L, 30L), (40L, 41L)).toDF("a", "b")
+    val got = Components.incrementalComponents(stored, batch2, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      30L -> 1L, 20L -> 20L, 40L -> 40L, 41L -> 40L))
+    // equivalence with the one-shot computation over all edges
+    val full = Components.connectedComponents(batch1.union(batch2), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert((got - 20L) == full) // 20 has no edge; full never sees it
+  }
+
+  test("incrementalComponents with an empty new batch is the identity") {
+    val stored = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("id", "comp")
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = Components.incrementalComponents(stored, empty, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+  }
+
   test("converges on a long chain within the round budget") {
     // path 0-1-2-...-30: worst-case diameter for min propagation
     val edges = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
