@@ -38,15 +38,17 @@ object EntityResolution {
       col(blockCol).as("_blk"))
     val w = Window.partitionBy(col("d_id"))
       .orderBy(col("dist"), col("c_id"))
-    // two semantics-preserving prunes around the O(len²) DP: a length
-    // gap > maxDist already implies dist > maxDist (codegen-cheap, no
-    // DP at all), and the threshold form of levenshtein banish-bands
-    // the DP to O(len·maxDist), returning -1 above the bound — hence
-    // between(0, ...), since -1 <= maxDist would pass a plain filter
+    // semantics-preserving prune around the O(len²) DP: a length gap
+    // > maxDist already implies dist > maxDist, so those pairs skip
+    // the DP entirely (codegen-cheap length compare). The THRESHOLD
+    // form of levenshtein was measured SLOWER here: its band is
+    // 2·maxDist+1 wide — no smaller than these names — so it pays the
+    // banding bookkeeping without shrinking the table (5.3 s vs 3.5 s
+    // on q112 at sf0.1); band only when maxDist << typical length.
     c.join(broadcast(d), Seq("_blk"))
       .where(abs(length(col("d_name")) - length(col("c_name_"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("d_name"), col("c_name_"), maxDist))
-      .where(col("dist").between(0, maxDist))
+      .withColumn("dist", levenshtein(col("d_name"), col("c_name_")))
+      .where(col("dist") <= maxDist)
       .withColumn("_r", row_number().over(w))
       .where(col("_r") === 1)
       .select(col("d_id"), col("d_name"), col("c_id"), col("c_name_"), col("dist"))
