@@ -432,15 +432,20 @@ object CurationQueries {
     // against the O(corpus) assignment projection, then a global agg.
     "q190_split_leakage" -> ((s, dir) => {
       val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      // EAGER stage: pairs feed both the clustering and the final pair
+      // join, asg both endpoint joins — unstaged, the LSH pass and the
+      // whole assignment pipeline execute twice
       val pairs = graft.operators.Dedup.lshVerifiedPairs(
           docs, "doc_id", "text", estThreshold = 0.3, jaccardThreshold = 0.4)
         .select(col("a_id"), col("b_id"))
+        .localCheckpoint(true)
       val asg = graft.operators.Mixer.groupAwareSplits(
           graft.operators.Mixer.assignSplits(
             docs.select(col("doc_id")), "doc_id")
             .withColumnRenamed("split", "doc_split"),
           "doc_id", pairs, "a_id", "b_id")
         .select(col("doc_id"), col("doc_split"), col("split").as("cl_split"))
+        .localCheckpoint(true)
       pairs
         .join(asg.select(col("doc_id").as("a_id"), col("doc_split").as("_da"),
           col("cl_split").as("_ca")), Seq("a_id"))
