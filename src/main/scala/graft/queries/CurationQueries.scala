@@ -351,8 +351,12 @@ object CurationQueries {
         .select(col("doc_id"),
           (size(array_distinct(col("_toks"))).cast("double") / size(col("_toks")))
             .as("q"))
+      // EAGER stage: member feeds both the per-cluster argmax window
+      // and the final keeper join — unstaged, the quality branch
+      // re-tokenizes the corpus once per consumer
       val member = comp.join(quality, comp("id") === quality("doc_id"))
         .select(col("id"), col("comp"), col("q"))
+        .localCheckpoint(true)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("comp")).orderBy(col("q").desc, col("id"))
       val canon = member.withColumn("_rn", row_number().over(w))
