@@ -1028,11 +1028,15 @@ object CurationQueries {
     // the ingest contract a 100 TB pipeline runs at the front door.
     "q163_stream_quarantine" -> ((s, dir) => {
       import org.apache.spark.sql.types._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val root = graft.sources.Scratch.processScoped("q163_sink", dir)
       val store = new graft.sources.SnapshotStore(s, root)
+      // ts deliberately absent from the declared schema: the query
+      // never reads it, and declaring it with a physical type the
+      // current testdata generation doesn't match would fail analysis
+      // the moment pruning stops saving us (use Tables.eventsStream
+      // when a streaming read DOES need ts)
       val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("event_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType)))
       val gate = graft.operators.Expectations.violationGate(Seq(
         graft.operators.Expectations.InRange("value", 0.0, 300.0),
