@@ -40,6 +40,22 @@ class ComponentsSpec extends SparkSpec {
     assert((got - 20L) == full) // 20 has no edge; full never sees it
   }
 
+  test("incrementalComponents chains across batches like one-shot over the union") {
+    val batches = Seq(
+      Seq((1L, 2L), (5L, 6L)),            // {1,2} {5,6}
+      Seq((2L, 3L), (7L, 8L)),            // grow {1,2,3}, new {7,8}
+      Seq((3L, 5L), (8L, 9L), (6L, 7L)))  // merge everything into {1..9}
+      .map(_.toDF("a", "b"))
+    var labels = Components.connectedComponents(batches.head, "a", "b")
+    for (b <- batches.tail)
+      labels = Components.incrementalComponents(labels, b, "a", "b")
+    val got = labels.as[(Long, Long)].collect().toMap
+    val full = Components.connectedComponents(
+      batches.reduce(_ union _), "a", "b").as[(Long, Long)].collect().toMap
+    assert(got == full)
+    assert(got.values.toSet == Set(1L))
+  }
+
   test("incrementalComponents with an empty new batch is the identity") {
     val stored = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("id", "comp")
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
