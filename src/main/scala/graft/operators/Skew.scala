@@ -53,13 +53,13 @@ object Skew {
     * two-path join below doesn't care how the set was found, only
     * that it's small.
     */
-  def hotKeys(fact: DataFrame, key: String, minFrac: Double): Seq[Long] = {
+  def hotKeys(fact: DataFrame, key: String, minFrac: Double): Seq[Any] = {
     require(minFrac > 0.0 && minFrac <= 1.0)
     val total = fact.count()
     fact.groupBy(col(key)).agg(count(lit(1)).as("_n"))
       .where(col("_n") > lit(minFrac * total))
-      .select(col(key).cast("long"))
-      .collect().map(_.getLong(0)).toSeq.sorted
+      .select(col(key))
+      .collect().map(_.get(0)).toSeq.sortBy(String.valueOf(_))
   }
 
   /** Hot-key-only salted join: [[saltedJoin]] taxes EVERY key with a
