@@ -104,7 +104,14 @@ object Components {
       .join(lab.select(col("id").as("v"), col("comp").as("_cv")), Seq("v"), "left")
       .select(coalesce(col("_cu"), col("u")).as("a"),
         coalesce(col("_cv"), col("v")).as("b"))
-    // label-graph fixpoint: old label -> merged component label
+    // label-graph fixpoint: old label -> merged component label. The
+    // map is O(new edges' labels) by construction, so it BROADCASTS —
+    // the corpus-sized stored labeling is never shuffled for the
+    // remap. (The one remaining stored-side touch is the left_anti
+    // below, which identifies brand-new nodes; at store scale that
+    // read rides an id-bucketed layout — BucketedStore — or the
+    // ingest's own new-id set, exactly as IncrementalDedup's digest
+    // anti-join does.)
     val merged = connectedComponents(mapped, "a", "b")
       .select(col("id").as("_lbl"), col("comp").as("_mcomp"))
     val newNodes = e.select(col("u").as("id"))
@@ -112,7 +119,7 @@ object Components {
       .join(lab.select(col("id")), Seq("id"), "left_anti")
       .withColumn("comp", col("id"))
     lab.unionByName(newNodes)
-      .join(merged, col("comp") === col("_lbl"), "left")
+      .join(broadcast(merged), col("comp") === col("_lbl"), "left")
       .select(col("id"), coalesce(col("_mcomp"), col("comp")).as("comp"))
   }
 }
