@@ -117,10 +117,13 @@ object Bench {
     // quiet window the query can't reproduce, or every other run was
     // contended. Re-run until a second run lands within 1.5x of the
     // (possibly improving) min, so the reported number is evidence, not
-    // luck.
+    // luck. Consensus looks only at SUCCESSFUL runs: a -1.0 sentinel in
+    // the list would otherwise become the "min" and make the
+    // corroboration test unsatisfiable (count of runs <= -1.5 is 0
+    // forever), burning every retry with no exit.
     def consensus(rs: Seq[Double]): Int = {
-      val mn = rs.min
-      rs.count(_ <= mn * 1.5)
+      val pos = rs.filter(_ > 0)
+      if (pos.isEmpty) 0 else pos.count(_ <= pos.min * 1.5)
     }
     val needRetry = names.filter { case (name, _) =>
       val ws = runs(name).map(_._1)
@@ -131,8 +134,15 @@ object Bench {
       resetSessionState()
       for ((name, fn) <- needRetry) {
         var attempts = 0
-        while (attempts < nRetries && consensus(runs(name).map(_._1)) < 2) {
-          timeOne(name, fn); attempts += 1
+        var failed = false
+        while (!failed && attempts < nRetries &&
+               consensus(runs(name).map(_._1)) < 2) {
+          timeOne(name, fn)
+          // a transient retry failure (the query passed every regular
+          // round to get here) must not loop — and must not poison the
+          // ok verdict below, which looks at regular rounds only
+          failed = runs(name).last._1 < 0
+          attempts += 1
         }
       }
     }
@@ -149,12 +159,18 @@ object Bench {
 
     val results = names.map { case (name, _) =>
       val rs = runs(name).map(_._1)
-      val ok = !rs.contains(-1.0)
-      // any failed round reports the -1 sentinel (never a normal-looking
-      // fast timing) so a regression to a hard failure is machine-visible
-      val mn = if (ok) rs.min else -1.0
-      val med = if (ok) median(rs) else -1.0
-      val sd = if (ok) stdev(rs) else -1.0
+      // ok is decided by the REGULAR rounds alone: a query that passed
+      // every round but hit a transient failure during a consensus
+      // retry still passed. Stats then cover the successful runs
+      // (regular + retry) only.
+      val ok = !rs.take(nRuns).contains(-1.0)
+      val good = rs.filter(_ > 0)
+      // any failed regular round reports the -1 sentinel (never a
+      // normal-looking fast timing) so a regression to a hard failure
+      // is machine-visible
+      val mn = if (ok) good.min else -1.0
+      val med = if (ok) median(good) else -1.0
+      val sd = if (ok) stdev(good) else -1.0
       (name, mn, med, sd, rs, ok)
     }
     // The primary stdout line must stay COMPACT (the driver captures a

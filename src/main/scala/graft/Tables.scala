@@ -36,14 +36,31 @@ object Tables {
       case _ => df
     }
 
-  /** The events file's on-disk ts type (one cheap footer read) — the
+  /** The events table's on-disk ts type (footer reads only) — the
     * streaming reader needs the PHYSICAL type in its fixed schema;
     * guessing LongType against a micros file fails analysis, and
     * vice versa.
+    *
+    * The probe scans the SAME glob [[eventsStream]] reads (a
+    * single-file probe could pass while the glob holds files from a
+    * different generation) with `mergeSchema` on, so a directory
+    * mixing physical ts types fails HERE with a schema-merge error
+    * instead of mis-reading at stream time. The legacy nanosAsLong
+    * conf is needed only while nanos-generation files exist: it is
+    * restored when the probe finds a non-nanos generation, so the
+    * session-global flag isn't left flipped by a mere probe.
     */
   def eventsTsType(spark: SparkSession, dir: String): DataType = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val t = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/events.parque*").schema("ts").dataType
+    if (t != LongType) prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    t
   }
 
   /** Streaming scan of the events table projected to `fields`, with

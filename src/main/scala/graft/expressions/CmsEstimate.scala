@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.util.sketch.CountMinSketch
 
 /** Probe a serialized `count_min_sketch(...)` aggregate for one item's
@@ -27,11 +27,13 @@ case class CmsEstimate(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (BinaryType, LongType) =>
+      // item types mirror what CountMinSketch.add hashes: integral keys
+      // by value, strings by their UTF-8 bytes
+      case (BinaryType, LongType) | (BinaryType, StringType) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case _ =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"cms_estimate requires (binary sketch, bigint item), got ${left.dataType} / ${right.dataType}")
+          s"cms_estimate requires (binary sketch, bigint|string item), got ${left.dataType} / ${right.dataType}")
     }
 
   @transient private var lastBytes: Array[Byte] = _
@@ -50,7 +52,11 @@ case class CmsEstimate(left: Expression, right: Expression)
         case e: java.io.IOException =>
           throw new IllegalArgumentException("cms_estimate: not a count_min_sketch binary", e)
       }
-    lastSketch.estimateCount(item.asInstanceOf[Long])
+    item match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        lastSketch.estimateCount(s.toString)
+      case l => lastSketch.estimateCount(l.asInstanceOf[Long])
+    }
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

@@ -342,7 +342,9 @@ object Curation {
         count_if(col("_tgt")).as("_tc"))
     val totals = raw.agg(sum(col("_rc")).as("_rt"), sum(col("_tc")).as("_tt"),
       count(lit(1)).as("_v"))
-    val ratios = raw.crossJoin(totals)
+    // one-row totals: broadcast explicitly — plan shape must not depend
+    // on AQE noticing the side is tiny
+    val ratios = raw.crossJoin(broadcast(totals))
       .select(col("_f"),
         (log((col("_tc") + lit(1.0)) / (col("_tt") + col("_v"))) -
           log((col("_rc") + lit(1.0)) / (col("_rt") + col("_v")))).as("_lr"))

@@ -214,14 +214,18 @@ object Mixer {
     * the verified near-dup pair set ([[Components]]), singletons by
     * their own id — so a whole cluster lands in exactly one split by
     * construction, and (like assignSplits) the assignment is stable as
-    * the corpus grows: a new member of an existing cluster inherits
-    * the cluster's split. One honest caveat: if growth MERGES two
-    * existing clusters, the merged representative is the min of the
-    * two reps, so one side's docs move to the other side's split —
-    * inherent to any scheme that keeps clusters split-pure, since the
-    * merged cluster must land on a single side. Leakage-freedom is
-    * preserved throughout; only the train/test ratio drifts by the
-    * merged cluster's size.
+    * the corpus grows — PROVIDED new docs take monotonically
+    * increasing ids: the representative is the component min-id, so a
+    * newcomer whose id undercuts the current rep would re-key (and so
+    * re-split) the whole existing cluster exactly as a merge does.
+    * With monotone ids a new member of an existing cluster inherits
+    * the cluster's split. One remaining honest caveat even then: if
+    * growth MERGES two existing clusters, the merged representative is
+    * the min of the two reps, so one side's docs move to the other
+    * side's split — inherent to any scheme that keeps clusters
+    * split-pure, since the merged cluster must land on a single side.
+    * Leakage-freedom is preserved throughout; only the train/test
+    * ratio drifts by the merged cluster's size.
     *
     * Scale shape: the component label table is O(docs that have a
     * near-dup) — a small fraction of the corpus — joined back once on

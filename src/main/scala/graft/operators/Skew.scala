@@ -45,20 +45,70 @@ object Skew {
   }
 
   /** Keys holding more than `minFrac` of the fact rows — the salt
-    * candidates. One map-side-combined agg over the key column; the
-    * result is BOUNDED by construction (at most 1/minFrac keys can
-    * each exceed a minFrac share), so collecting it to the driver is
-    * O(1/minFrac), never O(distinct keys). At extreme cardinality
-    * substitute a sketch (CmsEstimate) for the exact agg — the
-    * two-path join below doesn't care how the set was found, only
-    * that it's small.
+    * candidates. ONE corpus scan: the map-side-combined per-key agg
+    * materializes once (`localCheckpoint` — O(distinct keys) rows),
+    * then the total and the threshold filter are two jobs over that
+    * small frame, not two more passes over the fact. The hot set is
+    * BOUNDED by construction (at most 1/minFrac keys can each exceed
+    * a minFrac share), so collecting it to the driver is O(1/minFrac),
+    * never O(distinct keys). When even the per-key agg OUTPUT is too
+    * large to materialize (extreme key cardinality), use
+    * [[hotKeysSketch]] — the two-path join doesn't care how the set
+    * was found, only that it's small.
     */
   def hotKeys(fact: DataFrame, key: String, minFrac: Double): Seq[Any] = {
     require(minFrac > 0.0 && minFrac <= 1.0)
-    val total = fact.count()
-    fact.groupBy(col(key)).agg(count(lit(1)).as("_n"))
-      .where(col("_n") > lit(minFrac * total))
+    val keyCounts = fact.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+      .localCheckpoint()
+    val totalRow = keyCounts.agg(sum(col("_n"))).head()
+    if (totalRow.isNullAt(0)) Seq.empty
+    else hotFromCounts(keyCounts, key, minFrac, totalRow.getLong(0))
+  }
+
+  /** [[hotKeys]] with a caller-known row total (e.g. from table stats
+    * or an earlier pass) — a genuinely single-job detection: one agg,
+    * one bounded collect.
+    */
+  def hotKeys(fact: DataFrame, key: String, minFrac: Double,
+              total: Long): Seq[Any] = {
+    require(minFrac > 0.0 && minFrac <= 1.0)
+    hotFromCounts(fact.groupBy(col(key)).agg(count(lit(1)).as("_n")),
+      key, minFrac, total)
+  }
+
+  private def hotFromCounts(keyCounts: DataFrame, key: String,
+                            minFrac: Double, total: Long): Seq[Any] =
+    keyCounts.where(col("_n") > lit(minFrac * total))
       .select(col(key))
+      .collect().map(_.get(0)).toSeq.sortBy(String.valueOf(_))
+
+  /** Sketch-path hot-key detection for EXTREME key cardinality, where
+    * exact per-key counts are themselves too large to materialize: one
+    * corpus pass folds a Misra–Gries candidate table (bounded, and a
+    * guaranteed superset of every key above `minFrac` — MG undercounts
+    * by at most n/(k+1) even across merges, and k is sized to
+    * 2/minFrac) plus a Count-Min sketch into a single
+    * [[graft.expressions.HeavyHittersAgg]] buffer; the candidates are
+    * then probed against the sketch ([[graft.expressions.CmsEstimate]])
+    * — a post-aggregation, candidate-sized projection. State is
+    * O(1/minFrac + 1/eps) per task whatever the cardinality.
+    *
+    * Guarantee: never MISSES a truly hot key (MG superset + CMS
+    * overestimates); may admit keys within `eps` of the threshold —
+    * benign for salting, where a borderline key on the salted path
+    * costs one extra dim replication.
+    */
+  def hotKeysSketch(fact: DataFrame, key: String, minFrac: Double,
+                    eps: Double = 1e-3, conf: Double = 0.99): Seq[Any] = {
+    require(minFrac > 0.0 && minFrac <= 1.0)
+    val k = math.max(1, math.ceil(2.0 / minFrac).toInt)
+    val hh = fact.agg(graft.expressions.HeavyHittersAgg(
+      col(key), k, eps, conf).as("hh"))
+    hh.select(col("hh.total").as("_t"), col("hh.cms").as("_cms"),
+        explode(col("hh.candidates")).as("_cand"))
+      .where(graft.expressions.CmsEstimate(col("_cms"), col("_cand"))
+        > col("_t") * lit(minFrac))
+      .select(col("_cand"))
       .collect().map(_.get(0)).toSeq.sortBy(String.valueOf(_))
   }
 
@@ -72,6 +122,15 @@ object Skew {
     * independently-planned joins — AQE still broadcasts the cold dim
     * side if it's small. Output rows are identical to a plain join
     * (spec-pinned, and q191 grades it against the plain-join oracle).
+    *
+    * Lineage note: the fact lineage executes three times (detection
+    * agg eagerly at call time, then the hot and cold branches each
+    * rescan). For a fact that is a plain table scan that's the right
+    * trade (scans are cheap, materialization isn't); a fact that is
+    * itself an EXPENSIVE derived frame should be
+    * `localCheckpoint`/persisted by the caller first — both so the
+    * upstream work runs once and so a nondeterministic input can't
+    * disagree between detection and join.
     */
   def saltedJoinHot(fact: DataFrame, dim: DataFrame, key: String,
                     minFrac: Double = 0.05, salts: Int = 16): DataFrame = {

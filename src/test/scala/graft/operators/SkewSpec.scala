@@ -39,6 +39,37 @@ class SkewSpec extends SparkSpec {
     assert(Skew.hotKeys(fact, "k", minFrac = 0.9).isEmpty)
   }
 
+  test("hotKeys with caller-supplied total matches the self-counting form") {
+    val fact = ((0 until 60).map(_ => 1L) ++ (0 until 25).map(_ => 2L) ++
+      (100L until 115L)).toDF("k")
+    assert(Skew.hotKeys(fact, "k", 0.2, total = 100L) == Seq(1L, 2L))
+    assert(Skew.hotKeys(fact, "k", 0.3, total = 100L) == Seq(1L))
+  }
+
+  test("sketch-path hot keys equal exact-path hot keys on the q191 synthetic") {
+    // the q191 shape: ~30% of lineitem rows fold onto orderkey 1
+    val fact = graft.Tables.load(spark, sf(), "lineitem")
+      .select(when(pmod(col("l_orderkey"), lit(10)) < 3, 1L)
+        .otherwise(col("l_orderkey")).as("okey"))
+    for (frac <- Seq(0.05, 0.2)) {
+      val exact = Skew.hotKeys(fact, "okey", frac)
+      val sketch = Skew.hotKeysSketch(fact, "okey", frac)
+      assert(sketch == exact, s"minFrac=$frac")
+    }
+    // nothing clears 90% — both paths agree on the empty set
+    assert(Skew.hotKeysSketch(fact, "okey", 0.9).isEmpty)
+  }
+
+  test("sketch-path hot keys work on string keys and across partitions") {
+    // 12 partitions force real partial-buffer merges (MG reduction +
+    // CMS mergeInPlace) on both the exchange and the serialize path
+    val rows = (0 until 3000).map(i =>
+      if (i % 3 != 2) "hot" else s"cold-${i % 211}")
+    val fact = spark.sparkContext.parallelize(rows, 12).toDF("k")
+    assert(Skew.hotKeysSketch(fact, "k", 0.4) == Seq("hot"))
+    assert(Skew.hotKeys(fact, "k", 0.4) == Seq("hot"))
+  }
+
   test("hot-key salted join equals plain join, with and without hot keys") {
     val fact = ((0 until 50).map(i => (1L, i.toDouble)) ++
       Seq((2L, 5.0), (3L, 7.0), (9L, 1.0))).toDF("k", "v")
