@@ -95,6 +95,38 @@ object Components {
     */
   def incrementalComponents(stored: DataFrame, newEdges: DataFrame,
                             srcCol: String, dstCol: String): DataFrame = {
+    val (lab, merged, newNodes) = incrementalParts(stored, newEdges, srcCol, dstCol)
+    lab.unionByName(newNodes)
+      .join(broadcast(merged), col("comp") === col("_lbl"), "left")
+      .select(col("id"), coalesce(col("_mcomp"), col("comp")).as("comp"))
+  }
+
+  /** The CHANGED/NEW slice of [[incrementalComponents]] — what a keyed
+    * upsert (SnapshotStore.mergeInto) actually needs to write: (a)
+    * stored nodes whose label remaps (their old comp was merged into a
+    * smaller label) and (b) the edge batch's brand-new nodes.
+    * Upserting this delta into the stored labeling reproduces
+    * [[incrementalComponents]]' full result at O(delta) write cost —
+    * the continuous-ingest maintenance shape, where rewriting the
+    * O(corpus) labeling per micro-batch would dwarf the batch itself.
+    * The changed-stored read is one broadcast-filtered scan (the remap
+    * set is O(new edges' labels) and broadcasts); no corpus shuffle.
+    */
+  def incrementalComponentsDelta(stored: DataFrame, newEdges: DataFrame,
+                                 srcCol: String, dstCol: String): DataFrame = {
+    val (lab, merged, newNodes) = incrementalParts(stored, newEdges, srcCol, dstCol)
+    val moves = merged.where(col("_mcomp") =!= col("_lbl"))
+    val changedStored = lab.join(broadcast(moves), col("comp") === col("_lbl"))
+      .select(col("id"), col("_mcomp").as("comp"))
+    val newRemapped = newNodes
+      .join(broadcast(merged), col("comp") === col("_lbl"), "left")
+      .select(col("id"), coalesce(col("_mcomp"), col("comp")).as("comp"))
+    changedStored.unionByName(newRemapped)
+  }
+
+  private def incrementalParts(stored: DataFrame, newEdges: DataFrame,
+                               srcCol: String, dstCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val lab = stored.select(col("id").cast("long").as("id"),
       col("comp").cast("long").as("comp"))
     val e = newEdges.select(col(srcCol).cast("long").as("u"),
@@ -107,19 +139,16 @@ object Components {
     // label-graph fixpoint: old label -> merged component label. The
     // map is O(new edges' labels) by construction, so it BROADCASTS —
     // the corpus-sized stored labeling is never shuffled for the
-    // remap. (The one remaining stored-side touch is the left_anti
-    // below, which identifies brand-new nodes; at store scale that
-    // read rides an id-bucketed layout — BucketedStore — or the
-    // ingest's own new-id set, exactly as IncrementalDedup's digest
-    // anti-join does.)
+    // remap. (The remaining stored-side touches — the brand-new-node
+    // left_anti here and the endpoint lookups above — ride an
+    // id-bucketed layout at store scale: q193 grades exactly that,
+    // with PlanShapeSpec pinning zero stored-side exchange.)
     val merged = connectedComponents(mapped, "a", "b")
       .select(col("id").as("_lbl"), col("comp").as("_mcomp"))
     val newNodes = e.select(col("u").as("id"))
       .union(e.select(col("v").as("id"))).distinct()
       .join(lab.select(col("id")), Seq("id"), "left_anti")
       .withColumn("comp", col("id"))
-    lab.unionByName(newNodes)
-      .join(broadcast(merged), col("comp") === col("_lbl"), "left")
-      .select(col("id"), coalesce(col("_mcomp"), col("comp")).as("comp"))
+    (lab, merged, newNodes)
   }
 }

@@ -131,6 +131,60 @@ object IncrementalDedup {
       .join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Verified near-dup EDGES touching a batch: batch-vs-stored AND
+    * batch-internal pairs, exact-shingle-verified — the clustering-side
+    * complement of [[dedupAgainstStored]] (which DROPS the batch's
+    * near-dups, where this one REPORTS the pair structure so a stored
+    * clustering can fold it in — [[Components.incrementalComponentsDelta]]).
+    *
+    * Candidate generation is the same store-shaped LSH banding: the
+    * stored-plus-batch signature set groups once per (band, bucket)
+    * under the `maxBucket` skew cap, and only the BATCH side probes the
+    * buckets — so every candidate has at least one batch endpoint and
+    * stored-vs-stored pairs (already folded into the stored labeling)
+    * are never re-derived. Pairs normalize to a_id < b_id; verification
+    * reads both endpoints' text from `corpusText` (the master corpus —
+    * at store scale a keyed text table), never re-tokenizing beyond the
+    * candidates.
+    */
+  def verifiedEdges(stored: DataFrame, batch: DataFrame, corpusText: DataFrame,
+                    idCol: String, textCol: String,
+                    numHashes: Int = 32, bands: Int = 8,
+                    estThreshold: Double = 0.3, jaccardThreshold: Double = 0.4,
+                    shingleN: Int = 2, maxBucket: Int = 256): DataFrame = {
+    val bfp = fingerprints(batch, idCol, textCol, numHashes, shingleN)
+    val allFps = stored.select(col("id"), col("sig"))
+      .unionByName(bfp.select(col("id"), col("sig")))
+    val buckets = banded(allFps, numHashes, bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("sig"))).as("ms"))
+      .where(size(col("ms")) <= maxBucket)
+    val cand = banded(bfp, numHashes, bands)
+      .join(buckets, Seq("band", "bucket"))
+      .select(col("id").as("new_id"), col("sig").as("new_sig"),
+        explode(col("ms")).as("m"))
+      .where(col("new_id") =!= col("m.id"))
+      .select(least(col("new_id"), col("m.id")).as("a_id"),
+        greatest(col("new_id"), col("m.id")).as("b_id"),
+        (size(filter(zip_with(col("new_sig"), col("m.sig"), (p, q) => p === q),
+          x => x)).cast("double") / numHashes).as("jaccard_est"))
+      .where(col("jaccard_est") >= estThreshold)
+      .dropDuplicates("a_id", "b_id")
+    def shingleSets(as: String) = corpusText
+      .where(col(textCol).isNotNull)
+      .withColumn("_toks", TextFns.tokens(col(textCol)))
+      .select(col(idCol).as(as),
+        array_distinct(TextFns.shinglesFromTokens(col("_toks"), shingleN)).as(s"_sh_$as"))
+    cand
+      .join(shingleSets("a_id"), Seq("a_id"))
+      .join(shingleSets("b_id"), Seq("b_id"))
+      .withColumn("_u", size(array_union(col("_sh_a_id"), col("_sh_b_id"))))
+      .where(col("_u") > 0 &&
+        size(array_intersect(col("_sh_a_id"), col("_sh_b_id"))).cast("double") /
+          col("_u") >= jaccardThreshold)
+      .select(col("a_id"), col("b_id"))
+  }
+
   // ----------------------- exactly-once streaming lifecycle (ACID form)
 
   /** The historical fingerprint snapshot as a [[graft.sources.SnapshotStore]]

@@ -425,6 +425,82 @@ object CurationQueries {
         .select(col("id").as("doc_id"), col("comp").as("cluster"))
     }),
 
+    // q192 with the stored labeling resolved from an id-BUCKETED
+    // layout — the scale contract q192's comment promises, made
+    // load-bearing: every stored-side touch inside
+    // incrementalComponents (the two endpoint label lookups, the
+    // brand-new-node anti-join, the final remap union) is an equi-join
+    // on the bucket key, so the corpus-sized labeling reads
+    // bucket-for-bucket with no shuffle exchange on the stored side
+    // (PlanShapeSpec pins that plan with broadcast disabled — at store
+    // scale nothing could broadcast). The layout is content-keyed and
+    // write-once per (JVM, sfDir), exactly q60's pattern: bench rounds
+    // 2..n measure the incremental read path, not the seed write.
+    // Same full-closure oracle as q192 — the bucketed read must be
+    // semantically invisible.
+    "q193_bucketed_incremental_clusters" -> ((s, dir) => {
+      val pairs = graft.operators.Dedup.lshVerifiedPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          estThreshold = 0.3, jaccardThreshold = 0.4)
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint(true)
+      val isOld = pmod(col("a_id") + col("b_id"), lit(3)) =!= 0
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val tbl = s"q193_lbl_$key"
+      if (!s.catalog.tableExists(tbl)) {
+        val stored = graft.operators.Components.connectedComponents(
+          pairs.where(isOld), "a_id", "b_id")
+        graft.sources.BucketedStore.write(stored, tbl, "id", buckets = 8,
+          path = Some(s"/tmp/graft_bucketed/$tbl"))
+      }
+      graft.operators.Components.incrementalComponents(
+        graft.sources.BucketedStore.read(s, tbl),
+        pairs.where(!isOld), "a_id", "b_id")
+        .select(col("id").as("doc_id"), col("comp").as("cluster"))
+    }),
+
+    // The continuous-dedup loop CLOSED end-to-end — this round's
+    // centerpiece: q192's incremental clustering composed with q155's
+    // exactly-once micro-batch lifecycle and q189's cluster-aware
+    // splits. Seed from the historical slice, then two micro-batches
+    // each: LSH-verify new edges vs the fingerprint store + in-batch →
+    // fold into the stored labeling via the O(new edges) label-graph
+    // delta (mergeIntoOnce upsert, never an O(corpus) rewrite) →
+    // reassign splits for exactly the changed/new docs — three ACID
+    // stores, every commit txn-fenced (the in-query redelivery of
+    // batch 2 must leave all three store versions untouched). Graded
+    // output = the final SPLITS store, which must be indistinguishable
+    // from a one-shot closure + cluster-keyed split over the union
+    // corpus: labels converge to global component min-ids (min-merge
+    // associativity) and every cluster merge rewrites its docs' splits
+    // in the same delta, so split == split(final comp) exactly.
+    "q194_continuous_clustering" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val hist = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+      val b1 = docs.where(col("doc_id") % 5 === 0)
+      val b2 = docs.where(col("doc_id") % 5 === 1)
+      val root = graft.sources.Scratch.processScoped("q194_cont", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      val st = new graft.sources.SnapshotStore(s, root)
+      graft.operators.ContinuousDedup.seed(st, hist, "doc_id", "text")
+      graft.operators.ContinuousDedup.processBatch(st, b1, docs,
+        "doc_id", "text", txnId = 1L)
+      graft.operators.ContinuousDedup.processBatch(st, b2, docs,
+        "doc_id", "text", txnId = 2L)
+      val views = Seq(graft.operators.ContinuousDedup.FpsView,
+        graft.operators.ContinuousDedup.LabelsView,
+        graft.operators.ContinuousDedup.SplitsView)
+      val vs = views.map(v => st.versions(v).max)
+      graft.operators.ContinuousDedup.processBatch(st, b2, docs,
+        "doc_id", "text", txnId = 2L)
+      require(views.map(v => st.versions(v).max) == vs,
+        "redelivered micro-batch must no-op across all three stores")
+      st.read(graft.operators.ContinuousDedup.SplitsView)
+        .select(col("id").as("doc_id"), col("group_id"), col("split"))
+    }),
+
     // Split-leakage audit — the number q189 exists to drive to zero:
     // over the verified near-dup pair set, how many pairs straddle a
     // split boundary under the per-doc hash split (q160) vs the
@@ -1543,6 +1619,41 @@ object CurationQueries {
                     SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
           comp AS (SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u)
           SELECT u AS doc_id, comp AS cluster FROM comp"""),
+
+    // Identical closure: the bucketed stored-side layout must be
+    // semantically invisible.
+    "q193_bucketed_incremental_clusters" -> (
+      SqlFragments.shinglePairsCte(0.4).replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, e AS (SELECT a_id AS u, b_id AS v FROM verified
+                 UNION SELECT b_id, a_id FROM verified),
+          reach AS (SELECT u, v FROM e
+                    UNION
+                    SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+          comp AS (SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u)
+          SELECT u AS doc_id, comp AS cluster FROM comp"""),
+
+    // One-shot truth for the whole loop: full closure over the union
+    // corpus, then the q189 cluster-keyed LCG split — the incremental
+    // three-store path must land on exactly this.
+    "q194_continuous_clustering" -> (
+      SqlFragments.shinglePairsCte(0.4).replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, e AS (SELECT a_id AS u, b_id AS v FROM verified
+                 UNION SELECT b_id, a_id FROM verified),
+          reach AS (SELECT u, v FROM e
+                    UNION
+                    SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+          comp AS (SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u),
+          g AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS group_id
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+                WHERE d.text IS NOT NULL)
+          SELECT doc_id, group_id,
+            CASE WHEN u < 0.8 THEN 'train'
+                 WHEN u < 0.9 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (SELECT doc_id, group_id,
+                CAST((group_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+                  / 2147483648.0 AS u
+                FROM g)"""),
 
     // Closure + both LCG splits; the cluster column must come out 0.
     "q190_split_leakage" -> (

@@ -460,7 +460,8 @@ class SnapshotStore(spark: SparkSession, root: String) {
     */
   def mergeInto(view: String, source: DataFrame, keyCol: String,
                 deleteCol: Option[String] = None,
-                statsCols: Seq[String] = Nil): Long = {
+                statsCols: Seq[String] = Nil,
+                txn: Option[Long] = None): Long = {
     val isDelete: Column =
       deleteCol.map(c => coalesce(col(c).cast("boolean"), lit(false)))
         .getOrElse(lit(false))
@@ -470,7 +471,8 @@ class SnapshotStore(spark: SparkSession, root: String) {
       // commit landing between versions() and publish surfaces as a
       // SnapshotConflict instead of being silently overwritten
       return commit(view, source.where(!isDelete).drop(deleteCol.toSeq: _*),
-        overwrite = true, expectedBase = Some(0L), statsCols = statsCols)
+        overwrite = true, expectedBase = Some(0L), statsCols = statsCols,
+        txn = txn)
     val base = vs.max
     val dirs = readManifest(view, base)
     val targetSchema = read(view, Some(base)).schema
@@ -520,15 +522,32 @@ class SnapshotStore(spark: SparkSession, root: String) {
         .join(source.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         .unionByName(upserts)
     val next = base + 1
-    val dataDir = newDirName(next, None)
+    val dataDir = newDirName(next, txn)
     writeData(view, rewritten, dataDir, statsCols)
     // re-check the base AFTER the (slow) data write, right before the
     // atomic publish — the publish itself still decides the race
     if (versions(view).max != base)
       throw new SnapshotConflict(s"$view: base v$base superseded during merge")
-    publish(view, next, untouched :+ dataDir, manifestTxns(view, base))
+    publish(view, next, untouched :+ dataDir, manifestTxns(view, base) ++ txn)
     next
   }
+
+  /** Idempotent [[mergeInto]] keyed by `txnId` — the exactly-once
+    * UPSERT primitive for foreachBatch-style maintenance of a keyed
+    * store (label tables, split assignments): a redelivered batch id is
+    * recognized in the manifest's persisted txn history (surviving
+    * compaction and later overwrites, like [[appendOnce]]'s) and
+    * skipped, so sink retries converge instead of double-merging.
+    * Returns the committed version, or None when the txn had already
+    * landed.
+    */
+  def mergeIntoOnce(view: String, source: DataFrame, keyCol: String,
+                    txnId: Long,
+                    deleteCol: Option[String] = None,
+                    statsCols: Seq[String] = Nil): Option[Long] =
+    if (appliedTxns(view).contains(txnId)) None
+    else Some(mergeInto(view, source, keyCol, deleteCol, statsCols,
+      txn = Some(txnId)))
 
   /** Change data feed between two retained versions: one row per key
     * whose payload changed, with `change_type` ∈ insert/update/delete

@@ -348,6 +348,39 @@ class PlanShapeSpec extends SparkSpec {
     assertBroadcastAdcShape(plan(SparkEntry.queries("q94_ann_pq_adc")(spark, sf())))
   }
 
+  test("q193: stored-labeling touches ride the id-bucket layout — no stored-side shuffle") {
+    // the at-scale contract of incrementalComponents' stored-side reads
+    // (endpoint label lookups, new-node anti-join, final remap): with
+    // broadcast off (a corpus-sized labeling could never broadcast) and
+    // AQE off (a deterministic tree to traverse), every join against
+    // the bucketed labeling must consume the bucket layout directly —
+    // zero ShuffleExchange anywhere above a bucketed scan. Only the
+    // tiny new-edge/label-graph side pays exchanges.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val keys = Seq("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q193_bucketed_incremental_clusters")(spark, sf())
+      val p = df.queryExecution.executedPlan
+      def bucketed(sp: org.apache.spark.sql.execution.SparkPlan) =
+        sp.collect { case s: FileSourceScanExec if s.relation.bucketSpec.nonEmpty => s }
+      val scans = bucketed(p)
+      assert(scans.nonEmpty, s"no bucketed labeling scan in:\n$p")
+      // the scan actually reads the layout as buckets (not as plain files)
+      assert(p.toString.contains("SelectedBucketsCount"), p.toString)
+      val shuffledStored = p.collect {
+        case e: ShuffleExchangeExec if bucketed(e.child).nonEmpty => e
+      }
+      assert(shuffledStored.isEmpty,
+        s"stored labeling shuffled despite bucket layout:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("stored-index ADC search (q148) keeps the broadcast shape: the persisted codes scan never shuffles") {
     val root = graft.sources.Scratch.processScoped("planshape_q148", sf())
     graft.sources.Scratch.deleteRecursively(new java.io.File(root))

@@ -40,6 +40,23 @@ class ComponentsSpec extends SparkSpec {
     assert((got - 20L) == full) // 20 has no edge; full never sees it
   }
 
+  test("incrementalComponentsDelta upserted into the store equals the full incremental result") {
+    val batch1 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val stored = Components.connectedComponents(batch1, "a", "b")
+      .union(Seq((20L, 20L)).toDF("id", "comp"))
+    val batch2 = Seq((3L, 10L), (11L, 30L), (40L, 41L)).toDF("a", "b")
+    val full = Components.incrementalComponents(stored, batch2, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val delta = Components.incrementalComponentsDelta(stored, batch2, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    // the delta is exactly the changed stored rows ({10,11} remap to 1)
+    // plus the brand-new nodes — never the untouched corpus
+    assert(delta == Map(10L -> 1L, 11L -> 1L, 30L -> 1L, 40L -> 40L, 41L -> 40L))
+    // and upserting it over the stored labeling reproduces the full result
+    val upserted = stored.as[(Long, Long)].collect().toMap ++ delta
+    assert(upserted == full)
+  }
+
   test("incrementalComponents chains across batches like one-shot over the union") {
     val batches = Seq(
       Seq((1L, 2L), (5L, 6L)),            // {1,2} {5,6}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The continuous-dedup loop's two load-bearing claims, proven on the
+  * real corpus slice:
+  *  - CONVERGENCE: any batch slicing, in any order, lands the three
+  *    stores on the one-shot truth (full clustering + cluster-keyed
+  *    splits over the union corpus).
+  *  - CRASH RECOVERY: a batch killed after ANY prefix of its three
+  *    txn-fenced commits replays to the identical final state (the
+  *    splits→labels→fps commit order is exactly what makes every
+  *    prefix recoverable — deltas recompute from inputs no committed
+  *    prefix has mutated).
+  */
+class ContinuousDedupSpec extends SparkSpec {
+
+  private def docs: DataFrame = graft.Tables.load(spark, sf(), "documents")
+    .where(col("text").isNotNull).select(col("doc_id"), col("text"))
+
+  private def freshStore(tag: String) = {
+    val root = graft.sources.Scratch.processScoped(tag, sf())
+    graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+    new graft.sources.SnapshotStore(spark, root)
+  }
+
+  private def labelsOf(st: graft.sources.SnapshotStore): Map[Long, Long] =
+    st.read(ContinuousDedup.LabelsView).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def splitsOf(st: graft.sources.SnapshotStore): Map[Long, (Long, String)] =
+    st.read(ContinuousDedup.SplitsView)
+      .select(col("id"), col("group_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+
+  private def fpsIdsOf(st: graft.sources.SnapshotStore): Set[Long] =
+    st.read(ContinuousDedup.FpsView).select(col("id")).collect()
+      .map(_.getLong(0)).toSet
+
+  // one-shot truth over the union corpus: full clustering, then the
+  // cluster-keyed split — what every incremental run must converge to
+  private lazy val truth: (Map[Long, Long], Map[Long, (Long, String)]) = {
+    val pairs = Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+      estThreshold = 0.3, jaccardThreshold = 0.4)
+    val comp = Components.connectedComponents(pairs, "a_id", "b_id")
+      .select(col("id"), col("comp").as("_cc"))
+    val labels = docs.select(col("doc_id").cast("long").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("_cc"), col("id")).as("comp"))
+    val lm = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sm = Mixer.assignSplits(
+        labels.select(col("id"), col("comp").as("group_id")), "group_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    (lm, sm)
+  }
+
+  private def runLoop(st: graft.sources.SnapshotStore,
+                      hist: DataFrame, batches: Seq[DataFrame]): Unit = {
+    ContinuousDedup.seed(st, hist, "doc_id", "text")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      ContinuousDedup.processBatch(st, b, docs, "doc_id", "text", txnId = i + 1L)
+    }
+  }
+
+  test("any batch slicing, any order, converges to the one-shot truth") {
+    // slicing A: the q194 partition
+    val stA = freshStore("cdspec_a")
+    runLoop(stA,
+      docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1),
+      Seq(docs.where(col("doc_id") % 5 === 0), docs.where(col("doc_id") % 5 === 1)))
+    assert(labelsOf(stA) == truth._1)
+    assert(splitsOf(stA) == truth._2)
+    assert(fpsIdsOf(stA) == truth._1.keySet)
+    // slicing B: different partition AND scrambled arrival order
+    // (the %3==2 slice lands before %3==1)
+    val stB = freshStore("cdspec_b")
+    runLoop(stB, docs.where(col("doc_id") % 3 === 0),
+      Seq(docs.where(col("doc_id") % 3 === 2), docs.where(col("doc_id") % 3 === 1)))
+    assert(labelsOf(stB) == truth._1)
+    assert(splitsOf(stB) == truth._2)
+  }
+
+  test("crash after any commit prefix replays to the identical final state") {
+    val hist = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+    val b1 = docs.where(col("doc_id") % 5 === 0)
+    val b2 = docs.where(col("doc_id") % 5 === 1)
+    val clean = freshStore("cdspec_clean")
+    runLoop(clean, hist, Seq(b1, b2))
+    for (stop <- 1 to 2) {
+      val st = freshStore(s"cdspec_crash$stop")
+      ContinuousDedup.seed(st, hist, "doc_id", "text")
+      ContinuousDedup.processBatch(st, b1, docs, "doc_id", "text", txnId = 1L)
+      // batch 2 dies mid-flight after `stop` commits...
+      ContinuousDedup.processBatchSteps(st, b2, docs, "doc_id", "text",
+        txnId = 2L, Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1),
+        0.3, 0.4, 32, 2, stopAfter = stop)
+      // ...and the redelivery completes exactly what's missing
+      ContinuousDedup.processBatch(st, b2, docs, "doc_id", "text", txnId = 2L)
+      assert(labelsOf(st) == labelsOf(clean), s"labels diverge at stop=$stop")
+      assert(splitsOf(st) == splitsOf(clean), s"splits diverge at stop=$stop")
+      assert(fpsIdsOf(st) == fpsIdsOf(clean), s"fps diverge at stop=$stop")
+    }
+  }
+
+  test("fully-applied redelivery is a zero-version no-op") {
+    val st = freshStore("cdspec_replay")
+    val hist = docs.where(col("doc_id") % 2 === 0)
+    val b1 = docs.where(col("doc_id") % 2 === 1)
+    runLoop(st, hist, Seq(b1))
+    val views = Seq(ContinuousDedup.FpsView, ContinuousDedup.LabelsView,
+      ContinuousDedup.SplitsView)
+    val vs = views.map(v => st.versions(v).max)
+    ContinuousDedup.processBatch(st, b1, docs, "doc_id", "text", txnId = 1L)
+    assert(views.map(v => st.versions(v).max) == vs)
+  }
+}
