@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.functions.{NumFns, TextFns}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer TRAINING — the
+  * tokenizer family BPE ([[Bpe]]) doesn't cover and the one most LLM
+  * pipelines actually ship. Deterministic hard-EM over the
+  * distinct-word table:
+  *
+  *  - SEED: all substrings up to `maxLen` chars of the distinct-word
+  *    table, weighted by word frequency (one hash agg over the
+  *    Zipf-collapsed vocab table, never the raw corpus); the top
+  *    `seedSize` by count plus every single character (coverage: any
+  *    word must remain segmentable).
+  *  - E-STEP: Viterbi-segment every distinct word under the current
+  *    piece log-probs — ONE codegen'd projection per round: the DP over
+  *    character positions is a per-row `aggregate` fold (each position
+  *    maximizes over its ≤ maxLen predecessors; ties break to the
+  *    longest piece via strict-improvement scanning), followed by a
+  *    backpointer walk, also a fold. The vocab rides along as a map
+  *    LITERAL (O(vocab) driver state — a model parameter, exactly like
+  *    [[Bpe]]'s merge pairs or KMeans centroids).
+  *  - M-STEP: piece counts from the best segmentations (one hash agg,
+  *    exact longs), pruned to the top `vocabSize` (count desc, piece) —
+  *    single characters always retained — and re-scored with add-one
+  *    smoothing: lp = r9(ln(cnt + 1) − ln(tot + |V|)). The 9-digit
+  *    stableRound is what makes the whole EM trajectory — every DP
+  *    comparison included — replay bit-for-bit in the SQL oracle: DP
+  *    path sums add identical rounded doubles in identical order in
+  *    both engines.
+  *
+  * Scale shape: every stage is a bounded hash agg or a shuffle-free
+  * projection over the distinct-word table; the only driver state is
+  * the O(vocabSize) vocab between rounds. At extreme vocab the literal
+  * map lookup (linear per probe) becomes a broadcast join against a
+  * span table — same plan shape, same semantics.
+  */
+object Unigram {
+
+  /** Distinct-word frequency table of the corpus: (word, freq). */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(explode(TextFns.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** All substrings of length <= maxLen, weighted by word freq
+    * (overlapping occurrences all count): (piece, cnt).
+    */
+  def substringCounts(words: DataFrame, maxLen: Int): DataFrame =
+    words.select(col("freq"), explode(expr(
+        s"flatten(transform(sequence(1, length(word)), i -> " +
+          s"transform(sequence(i, least(length(word), i + ${maxLen - 1})), " +
+          s"j -> substring(word, i, j - i + 1))))")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+
+  /** Seed vocabulary: top `seedSize` substrings by (cnt desc, piece)
+    * plus every single character. (piece, cnt).
+    */
+  def seedVocab(words: DataFrame, maxLen: Int, seedSize: Int): DataFrame = {
+    val subs = substringCounts(words, maxLen).localCheckpoint()
+    subs.orderBy(col("cnt").desc, col("piece")).limit(seedSize)
+      .unionByName(subs.where(length(col("piece")) === 1))
+      .dropDuplicates("piece")
+  }
+
+  /** Add-one-smoothed log-probs over a (piece, cnt) vocab:
+    * (piece, cnt, lp) with lp = r9(ln(cnt + 1) − ln(tot + |V|)).
+    * The one-row totals broadcast (explicitly — plan shape must not
+    * depend on AQE).
+    */
+  def withLogProbs(vocab: DataFrame): DataFrame = {
+    val totals = vocab.agg(sum(col("cnt")).as("_tot"),
+      count(lit(1)).as("_nv"))
+    vocab.crossJoin(broadcast(totals))
+      .select(col("piece"), col("cnt"),
+        NumFns.stableRound(
+          log(col("cnt").cast("double") + lit(1.0)) -
+            log(col("_tot").cast("double") + col("_nv").cast("double")),
+          9).as("lp"))
+  }
+
+  /** Viterbi-segment each word of `words` under the piece log-probs:
+    * adds a `pieces` array<string> column. The DP and the backpointer
+    * walk are single codegen'd folds; ties in the position argmax break
+    * to the smallest start (= longest piece), by strict-improvement
+    * scanning in ascending start order.
+    */
+  def segment(words: DataFrame, vocab: Map[String, Double],
+              maxLen: Int): DataFrame = {
+    val dpExpr =
+      s"""aggregate(sequence(1, length(word)),
+           array(named_struct('s', 0.0D, 'j', -1, 'p', '')),
+           (acc, i) -> concat(acc, array(
+             aggregate(sequence(greatest(0, i - $maxLen), i - 1),
+               named_struct('s', -1.0E18D, 'j', -1, 'p', ''),
+               (m, j) -> if(element_at(_vm, substring(word, j + 1, i - j)) is not null
+                            and acc[j].s + element_at(_vm, substring(word, j + 1, i - j)) > m.s,
+                          named_struct(
+                            's', acc[j].s + element_at(_vm, substring(word, j + 1, i - j)),
+                            'j', j,
+                            'p', substring(word, j + 1, i - j)),
+                          m)))))"""
+    val walkExpr =
+      s"""aggregate(sequence(1, length(word)),
+           named_struct('pos', length(word), 'ps', cast(array() as array<string>)),
+           (st, x) -> if(st.pos <= 0, st,
+             named_struct('pos', _dp[st.pos].j,
+                          'ps', concat(array(_dp[st.pos].p), st.ps)))).ps"""
+    words
+      .withColumn("_vm", typedLit(vocab))
+      .withColumn("_dp", expr(dpExpr))
+      .withColumn("pieces", expr(walkExpr))
+      .drop("_vm", "_dp")
+  }
+
+  /** Piece counts of the corpus under a segmentation: (piece, cnt),
+    * weighted by word frequency. Exact longs — the cross-engine-stable
+    * EM statistic.
+    */
+  def pieceCounts(segmented: DataFrame): DataFrame =
+    segmented.select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+
+  /** Train the unigram vocab: seed, then `emRounds` of Viterbi E-step +
+    * count/prune/re-score M-step. Returns the final (piece, cnt, lp)
+    * table — the tokenizer artifact.
+    */
+  def train(docs: DataFrame, textCol: String, maxLen: Int = 4,
+            seedSize: Int = 150, vocabSize: Int = 80,
+            emRounds: Int = 2): DataFrame = {
+    val words = wordTable(docs, textCol).localCheckpoint()
+    val chars = words.select(col("freq"),
+        explode(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+          .as("piece"))
+      .select(col("piece")).distinct().localCheckpoint()
+    var vocab = withLogProbs(seedVocab(words, maxLen, seedSize))
+    for (_ <- 1 to emRounds) {
+      val vm = collectVocab(vocab)
+      val counts = pieceCounts(segment(words, vm, maxLen)).localCheckpoint()
+      val kept = counts.orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
+        .unionByName(chars
+          .join(counts, Seq("piece"), "left")
+          .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt")))
+        .dropDuplicates("piece")
+      vocab = withLogProbs(kept)
+    }
+    vocab
+  }
+
+  /** Collect a (piece, _, lp) vocab frame to the driver map the
+    * segmenter folds over — O(vocabSize) rows, a model parameter.
+    */
+  def collectVocab(vocab: DataFrame): Map[String, Double] =
+    vocab.select(col("piece"), col("lp")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  /** Tokenizer APPLY: segment the corpus' distinct words with a trained
+    * vocab and count final pieces corpus-wide — (piece, n).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String,
+                  vocab: Map[String, Double], maxLen: Int = 4): DataFrame =
+    pieceCounts(segment(wordTable(docs, textCol), vocab, maxLen))
+      .select(col("piece"), col("cnt").as("n"))
+}

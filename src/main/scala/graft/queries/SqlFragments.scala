@@ -232,4 +232,102 @@ object SqlFragments {
           FROM tk a JOIN tk b
           ON a.doc_id < b.doc_id AND len(list_concat(a.sh, b.sh)) > 0),
         verified AS (SELECT * FROM pairs WHERE jaccard >= $threshold)"""
+
+  /** Unrolled DuckDB replay of [[graft.operators.Unigram.train]]: seed
+    * substring vocab, then `emRounds` of Viterbi-E / count-prune-M over
+    * the distinct-word table. The per-round Viterbi is a RECURSIVE CTE
+    * over character positions (each row carries the DP arrays; the
+    * position argmax is a struct max over (score, -start, piece) — ties
+    * on score take the smallest start = longest piece, exactly the
+    * Spark fold's strict-improvement scan), followed by a recursive
+    * backpointer walk. Log-probs are r15/9-rounded in BOTH engines
+    * before they enter the DP, so path sums add identical doubles in
+    * identical order and every argmax decision replays bit-for-bit.
+    *
+    * Leaves in scope: uw0 (word, freq), uchars, v0..v`emRounds`
+    * (piece, cnt, lp), vm0..vm`emRounds` (vocab maps), and per round r:
+    * dp`r`/bt`r`/c`r` (the round's segmentation + piece counts). Pass
+    * `applyRound = true` to add one more dp/bt/c pass (numbered
+    * emRounds+1) segmenting under the FINAL vocab — the tokenizer-apply
+    * half.
+    */
+  def unigramCte(maxLen: Int, seedSize: Int, vocabSize: Int,
+                 emRounds: Int, applyRound: Boolean = false): String = {
+    def viterbi(r: Int, vm: String): String =
+      s""",
+        dp$r AS (
+          SELECT word, 0 AS pos, CAST([0.0] AS DOUBLE[]) AS bests,
+                 CAST([-1] AS INT[]) AS bps, CAST([''] AS VARCHAR[]) AS pcs
+          FROM uw0
+          UNION ALL
+          SELECT word, pos + 1, list_append(bests, best.s),
+                 list_append(bps, CAST(-best.jneg AS INT)),
+                 list_append(pcs, best.p)
+          FROM (SELECT word, pos, bests, bps, pcs,
+                  list_aggregate(list_filter(list_transform(
+                      range(GREATEST(0, pos + 1 - $maxLen), CAST(pos + 1 AS BIGINT)),
+                      j -> struct_pack(
+                        s := bests[j + 1] +
+                             element_at(m, substring(word, CAST(j + 1 AS INT),
+                                                     CAST(pos + 1 - j AS INT)))[1],
+                        jneg := -j,
+                        p := substring(word, CAST(j + 1 AS INT),
+                                       CAST(pos + 1 - j AS INT)))),
+                    c -> c.s IS NOT NULL), 'max') AS best
+                FROM dp$r, $vm WHERE pos < length(word))),
+        bt$r AS (
+          SELECT word, length(word) AS pos, bps, pcs,
+                 CAST([] AS VARCHAR[]) AS out
+          FROM dp$r WHERE pos = length(word)
+          UNION ALL
+          SELECT word, bps[pos + 1], bps, pcs, list_prepend(pcs[pos + 1], out)
+          FROM bt$r WHERE pos > 0),
+        c$r AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+                FROM (SELECT word, unnest(out) AS piece
+                      FROM bt$r WHERE pos = 0) s
+                JOIN uw0 USING (word) GROUP BY piece)"""
+    def rescore(src: String, v: String, vm: String): String =
+      s""",
+        $v AS (SELECT piece, cnt,
+                 ${r15("ln(CAST(cnt AS DOUBLE) + 1.0) - ln(tot + nv)", 9)} AS lp
+               FROM $src, (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot,
+                                  CAST(COUNT(*) AS DOUBLE) AS nv FROM $src) t),
+        $vm AS (SELECT map(list(piece ORDER BY piece),
+                           list(lp ORDER BY piece)) AS m FROM $v)"""
+    val base =
+      s"""WITH RECURSIVE
+        uw0 AS (SELECT w AS word, COUNT(*) AS freq
+                FROM (SELECT unnest($toksExpr) AS w
+                      FROM documents WHERE text IS NOT NULL) GROUP BY w),
+        uchars AS (SELECT DISTINCT substring(word, CAST(i AS INT), 1) AS piece
+                   FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i
+                         FROM uw0)),
+        usub AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+                   SELECT freq, unnest(flatten(list_transform(
+                     range(1, length(word) + 1), i ->
+                       list_transform(range(i, LEAST(length(word), i + ${maxLen - 1}) + 1),
+                         j -> substring(word, CAST(i AS INT),
+                                        CAST(j - i + 1 AS INT)))))) AS piece
+                   FROM uw0) GROUP BY piece),
+        useed AS (SELECT DISTINCT piece, cnt FROM (
+                    SELECT * FROM
+                      (SELECT * FROM usub ORDER BY cnt DESC, piece LIMIT $seedSize)
+                    UNION ALL
+                    SELECT * FROM usub WHERE length(piece) = 1))""" +
+        rescore("useed", "v0", "vm0")
+    val rounds = (1 to emRounds).map { r =>
+      viterbi(r, s"vm${r - 1}") +
+        s""",
+        k$r AS (SELECT DISTINCT piece, cnt FROM (
+                  SELECT * FROM
+                    (SELECT * FROM c$r ORDER BY cnt DESC, piece LIMIT $vocabSize)
+                  UNION ALL
+                  SELECT ch.piece, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS cnt
+                  FROM uchars ch LEFT JOIN c$r c USING (piece)))""" +
+        rescore(s"k$r", s"v$r", s"vm$r")
+    }.mkString
+    val apply =
+      if (applyRound) viterbi(emRounds + 1, s"vm$emRounds") else ""
+    base + rounds + apply
+  }
 }

@@ -235,6 +235,32 @@ object TextQueries {
       graft.operators.Bpe.symbolVocab(docs, "text", merges)
     }),
 
+    // Unigram-LM (SentencePiece-style) tokenizer TRAINING — the
+    // tokenizer family q149's BPE doesn't cover: deterministic hard-EM
+    // over the distinct-word table. Seed = top-150 substrings (len<=4)
+    // + every char; 2 EM rounds of Viterbi-segment (per-word codegen'd
+    // DP fold, vocab as an O(|V|) literal map — model parameters like
+    // BPE's merges) then count/prune/re-score with add-one smoothing.
+    // lp's are r15/9-rounded BEFORE entering the DP, so the oracle's
+    // recursive-CTE Viterbi adds identical doubles along identical
+    // paths and the whole EM trajectory replays hash-exact.
+    "q195_unigram_train" -> ((s, dir) =>
+      graft.operators.Unigram.train(t(s, dir, "documents"), "text",
+        maxLen = 4, seedSize = 150, vocabSize = 60, emRounds = 2)),
+
+    // Tokenizer APPLY — q195's artifact segmenting the corpus: the
+    // final vocab re-segments the distinct-word table (one more
+    // Viterbi pass under the trained log-probs) and final pieces are
+    // counted corpus-wide. Exact-long counts; the 100 TB shape is one
+    // distinct-word collapse + one codegen'd DP projection + one agg.
+    "q196_unigram_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.Unigram.collectVocab(
+        graft.operators.Unigram.train(docs, "text",
+          maxLen = 4, seedSize = 150, vocabSize = 60, emRounds = 2))
+      graft.operators.Unigram.tokenCounts(docs, "text", vocab, maxLen = 4)
+    }),
+
     // Distributed logistic-regression TRAINING: 3 full-batch GD steps
     // (one corpus aggregate per step, weights O(d) on the driver and
     // re-entering as literals — the data-parallel training shape), then
@@ -605,6 +631,19 @@ object TextQueries {
             s"SELECT CAST($r AS BIGINT) AS round, p1, p2, n FROM tp$r")
             .mkString("\n          UNION ALL\n          ")}"""
     },
+
+    // Full EM-trajectory replay: recursive-CTE Viterbi per round, then
+    // the final (piece, cnt, lp) vocab.
+    "q195_unigram_train" -> (
+      SqlFragments.unigramCte(maxLen = 4, seedSize = 150, vocabSize = 60,
+        emRounds = 2) +
+      "\n          SELECT piece, cnt, lp FROM v2"),
+
+    // Same trajectory + one apply pass under the final vocab.
+    "q196_unigram_tokens" -> (
+      SqlFragments.unigramCte(maxLen = 4, seedSize = 150, vocabSize = 60,
+        emRounds = 2, applyRound = true) +
+      "\n          SELECT piece, cnt AS n FROM c3"),
 
     // Full GD-trajectory replay: per-iteration sigmoid-error sums
     // (r15-pinned), weight updates as 1-row CTE chain, final scoring.
