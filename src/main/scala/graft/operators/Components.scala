@@ -32,12 +32,50 @@ object Components {
   /** Connected components of the undirected graph given by
     * (srcCol, dstCol) id pairs. Returns one row per distinct node:
     * (id, comp) with comp = min node id of its component.
+    *
+    * Two physical paths, one contract: an edge set within `localLimit`
+    * (the common case for a verified near-dup pair graph, and ALWAYS
+    * the case for an incremental fold's label graph, which is bounded
+    * by the ingest batch) collects once and runs a path-compressed
+    * union-find on the driver — model-sized state, zero iterative
+    * distributed rounds. Anything larger falls back to the min-label
+    * propagation below, whose per-round cost is two edge/node-keyed
+    * shuffles and which never materializes the graph on one machine.
+    * The boundary costs the big path one extra pass over the edge
+    * lineage (the bounded probe) — noise next to its O(log d) rounds.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 20): DataFrame = {
-    val sym = edges
+                          maxIter: Int = 20,
+                          localLimit: Int = 100000): DataFrame = {
+    val e0 = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
+    val probe = e0.limit(localLimit + 1).collect()
+    if (probe.length <= localLimit) {
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      probe.foreach { row =>
+        val (u, v) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(u, u)
+        parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val nodes = parent.keys.toArray.sorted
+      val minOfRoot = scala.collection.mutable.HashMap[Long, Long]()
+      nodes.foreach { n => val r = find(n)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n) }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return nodes.toSeq.map(n => (n, minOfRoot(find(n)))).toDF("id", "comp")
+    }
+    val sym = e0
+      .union(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .localCheckpoint() // computed once, probed every round
     var labels = sym.select(col("u").as("id")).distinct()
@@ -113,15 +151,70 @@ object Components {
     * set is O(new edges' labels) and broadcasts); no corpus shuffle.
     */
   def incrementalComponentsDelta(stored: DataFrame, newEdges: DataFrame,
-                                 srcCol: String, dstCol: String): DataFrame = {
-    val (lab, merged, newNodes) = incrementalParts(stored, newEdges, srcCol, dstCol)
-    val moves = merged.where(col("_mcomp") =!= col("_lbl"))
-    val changedStored = lab.join(broadcast(moves), col("comp") === col("_lbl"))
-      .select(col("id"), col("_mcomp").as("comp"))
-    val newRemapped = newNodes
-      .join(broadcast(merged), col("comp") === col("_lbl"), "left")
-      .select(col("id"), coalesce(col("_mcomp"), col("comp")).as("comp"))
-    changedStored.unionByName(newRemapped)
+                                 srcCol: String, dstCol: String,
+                                 localLimit: Int = 100000): DataFrame = {
+    val e0 = newEdges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val probe = e0.limit(localLimit + 1).collect()
+    if (probe.length <= localLimit) {
+      // bounded path — the shape a per-micro-batch maintenance op
+      // actually runs: the edge batch is small BY CONSTRUCTION, so its
+      // endpoints' stored labels resolve with ONE broadcast-filtered
+      // scan, the label-graph fixpoint is a driver union-find over
+      // O(batch) pairs, and the only other stored touch is the
+      // broadcast-filtered changed-label scan. Two stored reads total,
+      // zero iterative rounds.
+      val spark = stored.sparkSession
+      import spark.implicits._
+      val endpoints = probe.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      val lab = stored.select(col("id").cast("long").as("id"),
+        col("comp").cast("long").as("comp"))
+      val lookup = lab
+        .join(broadcast(endpoints.toSeq.toDF("id")), Seq("id"), "left_semi")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      probe.foreach { row =>
+        val a = lookup.getOrElse(row.getLong(0), row.getLong(0))
+        val b = lookup.getOrElse(row.getLong(1), row.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.toSeq
+      val minOfRoot = scala.collection.mutable.HashMap[Long, Long]()
+      labels.foreach { l => val r = find(l)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, l), l) }
+      val merged = labels.map(l => l -> minOfRoot(find(l))).toMap
+      val moves = merged.filter { case (l, m) => m != l }
+      val newNodes = endpoints.filterNot(lookup.contains)
+        .map(id => (id, merged.getOrElse(id, id))).sortBy(_._1)
+      val newDf = newNodes.toSeq.toDF("id", "comp")
+      if (moves.isEmpty) newDf
+      else {
+        val changedStored = lab
+          .join(broadcast(moves.toSeq.toDF("_lbl", "_mcomp")),
+            col("comp") === col("_lbl"))
+          .select(col("id"), col("_mcomp").as("comp"))
+        changedStored.unionByName(newDf)
+      }
+    } else {
+      val (lab, merged, newNodes) = incrementalParts(stored, newEdges, srcCol, dstCol)
+      val moves = merged.where(col("_mcomp") =!= col("_lbl"))
+      val changedStored = lab.join(broadcast(moves), col("comp") === col("_lbl"))
+        .select(col("id"), col("_mcomp").as("comp"))
+      val newRemapped = newNodes
+        .join(broadcast(merged), col("comp") === col("_lbl"), "left")
+        .select(col("id"), coalesce(col("_mcomp"), col("comp")).as("comp"))
+      changedStored.unionByName(newRemapped)
+    }
   }
 
   private def incrementalParts(stored: DataFrame, newEdges: DataFrame,

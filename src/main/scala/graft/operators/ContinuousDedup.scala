@@ -118,9 +118,16 @@ object ContinuousDedup {
       .exists(v => !store.appliedTxns(v).contains(txnId))
     if (!pending) return // fully-applied redelivery: zero work, zero reads
     val docs = batch.where(col(textCol).isNotNull)
-    val edges = IncrementalDedup.verifiedEdges(store.read(FpsView), docs,
-      corpusText, idCol, textCol, numHashes, bands = 8,
-      estThreshold, jaccardThreshold, shingleN)
+    // fingerprint the batch ONCE (edges + absorb both consume it), and
+    // materialize the edge set before it fans out: the labeling delta
+    // references the edges three times (endpoint mapping, new-node
+    // anti-join, singleton exclusion) and each un-staged reference
+    // would re-run the whole LSH banding pass
+    val bfp = IncrementalDedup.fingerprints(docs, idCol, textCol,
+      numHashes, shingleN).localCheckpoint()
+    val edges = IncrementalDedup.verifiedEdgesFromFps(store.read(FpsView),
+      bfp, corpusText, idCol, textCol, numHashes, bands = 8,
+      estThreshold, jaccardThreshold, shingleN).localCheckpoint()
     val storedLabels = store.read(LabelsView)
     val edgeDelta = Components.incrementalComponentsDelta(
       storedLabels, edges, "a_id", "b_id")
@@ -139,8 +146,7 @@ object ContinuousDedup {
     if (stopAfter <= 1) return
     store.mergeIntoOnce(LabelsView, delta, "id", txnId)
     if (stopAfter <= 2) return
-    IncrementalDedup.absorbOnce(store, FpsView, docs, idCol, textCol,
-      txnId, numHashes, shingleN)
+    store.appendOnce(FpsView, bfp, txnId)
     ()
   }
 }

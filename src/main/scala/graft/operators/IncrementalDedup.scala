@@ -102,6 +102,7 @@ object IncrementalDedup {
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("id"), col("sig"))).as("ms"))
       .where(size(col("ms")) <= maxBucket)
+    // staged: cand feeds the partner-id pre-filter and the verify join
     val cand = banded(exactSurv, numHashes, bands)
       .join(oldBuckets, Seq("band", "bucket"))
       .select(col("id").as("new_id"), col("sig").as("new_sig"),
@@ -111,16 +112,22 @@ object IncrementalDedup {
           x => x)).cast("double") / numHashes).as("jaccard_est"))
       .where(col("jaccard_est") >= estThreshold)
       .dropDuplicates("new_id", "old_id")
-    // 3. verify candidates with exact shingle Jaccard (batch + partner
-    // text only — the store-sized corpus is never re-tokenized)
+      .localCheckpoint()
+    // 3. verify candidates with exact shingle Jaccard. Batch + partner
+    // text only: the candidates' bounded partner-id set broadcasts as a
+    // semi-join filter, so the store-sized master corpus is scanned but
+    // never tokenized beyond the candidates' partner rows.
     def shingleSets(df: DataFrame, as: String) = df
       .where(col(textCol).isNotNull)
       .withColumn("_toks", TextFns.tokens(col(textCol)))
       .select(col(idCol).as(as),
         array_distinct(TextFns.shinglesFromTokens(col("_toks"), shingleN)).as(s"_sh_$as"))
+    val partnerText = histText.join(
+      broadcast(cand.select(col("old_id").as(idCol)).distinct()),
+      Seq(idCol), "left_semi")
     val drops = cand
       .join(shingleSets(batch, "new_id"), Seq("new_id"))
-      .join(shingleSets(histText, "old_id"), Seq("old_id"))
+      .join(shingleSets(partnerText, "old_id"), Seq("old_id"))
       .withColumn("_u", size(array_union(col("_sh_new_id"), col("_sh_old_id"))))
       .where(col("_u") > 0 &&
         size(array_intersect(col("_sh_new_id"), col("_sh_old_id"))).cast("double") /
@@ -151,14 +158,31 @@ object IncrementalDedup {
                     idCol: String, textCol: String,
                     numHashes: Int = 32, bands: Int = 8,
                     estThreshold: Double = 0.3, jaccardThreshold: Double = 0.4,
-                    shingleN: Int = 2, maxBucket: Int = 256): DataFrame = {
-    val bfp = fingerprints(batch, idCol, textCol, numHashes, shingleN)
+                    shingleN: Int = 2, maxBucket: Int = 256): DataFrame =
+    verifiedEdgesFromFps(stored,
+      fingerprints(batch, idCol, textCol, numHashes, shingleN),
+      corpusText, idCol, textCol, numHashes, bands,
+      estThreshold, jaccardThreshold, shingleN, maxBucket)
+
+  /** [[verifiedEdges]] with the batch fingerprints precomputed — the
+    * form a pipeline that ALSO absorbs the same fingerprints should
+    * call (compute + localCheckpoint them once, feed both; the batch
+    * is fingerprinted exactly once per micro-batch).
+    */
+  def verifiedEdgesFromFps(stored: DataFrame, bfp: DataFrame,
+                           corpusText: DataFrame,
+                           idCol: String, textCol: String,
+                           numHashes: Int = 32, bands: Int = 8,
+                           estThreshold: Double = 0.3, jaccardThreshold: Double = 0.4,
+                           shingleN: Int = 2, maxBucket: Int = 256): DataFrame = {
     val allFps = stored.select(col("id"), col("sig"))
       .unionByName(bfp.select(col("id"), col("sig")))
     val buckets = banded(allFps, numHashes, bands)
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("id"), col("sig"))).as("ms"))
       .where(size(col("ms")) <= maxBucket)
+    // staged: the candidate set feeds the id pre-filter AND the verify
+    // join — un-staged, the banding pass would re-run per reference
     val cand = banded(bfp, numHashes, bands)
       .join(buckets, Seq("band", "bucket"))
       .select(col("id").as("new_id"), col("sig").as("new_sig"),
@@ -170,9 +194,17 @@ object IncrementalDedup {
           x => x)).cast("double") / numHashes).as("jaccard_est"))
       .where(col("jaccard_est") >= estThreshold)
       .dropDuplicates("a_id", "b_id")
-    def shingleSets(as: String) = corpusText
+      .localCheckpoint()
+    // verify only ever reads the CANDIDATES' text: the bounded id set
+    // broadcasts as a semi-join filter, so the corpus-sized master
+    // table is scanned but never tokenized beyond the candidate rows
+    val candIds = cand
+      .select(explode(array(col("a_id"), col("b_id"))).as(idCol)).distinct()
+    val candText = corpusText
       .where(col(textCol).isNotNull)
+      .join(broadcast(candIds), Seq(idCol), "left_semi")
       .withColumn("_toks", TextFns.tokens(col(textCol)))
+    def shingleSets(as: String) = candText
       .select(col(idCol).as(as),
         array_distinct(TextFns.shinglesFromTokens(col("_toks"), shingleN)).as(s"_sh_$as"))
     cand

@@ -501,6 +501,68 @@ object CurationQueries {
         .select(col("id").as("doc_id"), col("group_id"), col("split"))
     }),
 
+    // q194 driven by a REAL Structured Streaming query: the two
+    // micro-batches arrive as files through a readStream file source
+    // (maxFilesPerTrigger=1 → one ingest file per micro-batch,
+    // AvailableNow to completion), and foreachBatch(batchDf, batchId)
+    // runs ContinuousDedup.processBatch with the batch id as the txn —
+    // the exactly-once contract now rides the ENGINE's delivery
+    // machinery (checkpointed file-source offsets + txn-fenced store
+    // commits), not a hand-rolled loop. Restarting the stream against
+    // the same checkpoint re-delivers nothing and the store versions
+    // must not move. Batch-arrival order is pinned by file mod-times,
+    // but the final state is order-invariant either way
+    // (ContinuousDedupSpec proves scrambled arrival converges). Same
+    // one-shot closure + cluster-split oracle as q194.
+    "q197_stream_continuous_clustering" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val hist = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+      val root = graft.sources.Scratch.processScoped("q197_cont", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      // stage each micro-batch as ONE parquet file in the stream dir,
+      // mod-times 10 s apart so the file source's (modTime, path)
+      // ordering delivers b1 before b2
+      val inDir = new java.io.File(s"$root/in"); inDir.mkdirs()
+      Seq(0, 1).foreach { m =>
+        val tmp = s"$root/tmp$m"
+        docs.where(col("doc_id") % 5 === m).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(inDir, s"b$m.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + m * 10000L)
+        graft.sources.Scratch.deleteRecursively(new java.io.File(tmp))
+      }
+      val st = new graft.sources.SnapshotStore(s, s"$root/store")
+      graft.operators.ContinuousDedup.seed(st, hist, "doc_id", "text")
+      def runStream(): Unit = {
+        val stream = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$inDir")
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$root/_cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            graft.operators.ContinuousDedup.processBatch(st, batch, docs,
+              "doc_id", "text", txnId = id)
+          }
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      runStream()
+      val views = Seq(graft.operators.ContinuousDedup.FpsView,
+        graft.operators.ContinuousDedup.LabelsView,
+        graft.operators.ContinuousDedup.SplitsView)
+      val vs = views.map(v => st.versions(v).max)
+      runStream() // restart on the same checkpoint: nothing re-delivers
+      require(views.map(v => st.versions(v).max) == vs,
+        "stream restart must not move any store version")
+      st.read(graft.operators.ContinuousDedup.SplitsView)
+        .select(col("id").as("doc_id"), col("group_id"), col("split"))
+    }),
+
     // Split-leakage audit — the number q189 exists to drive to zero:
     // over the verified near-dup pair set, how many pairs straddle a
     // split boundary under the per-doc hash split (q160) vs the
@@ -1631,6 +1693,27 @@ object CurationQueries {
                     SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
           comp AS (SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u)
           SELECT u AS doc_id, comp AS cluster FROM comp"""),
+
+    // Same truth through the real stream.
+    "q197_stream_continuous_clustering" -> (
+      SqlFragments.shinglePairsCte(0.4).replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, e AS (SELECT a_id AS u, b_id AS v FROM verified
+                 UNION SELECT b_id, a_id FROM verified),
+          reach AS (SELECT u, v FROM e
+                    UNION
+                    SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+          comp AS (SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u),
+          g AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS group_id
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+                WHERE d.text IS NOT NULL)
+          SELECT doc_id, group_id,
+            CASE WHEN u < 0.8 THEN 'train'
+                 WHEN u < 0.9 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (SELECT doc_id, group_id,
+                CAST((group_id * 1103515245 + 12345) % 2147483648 AS DOUBLE)
+                  / 2147483648.0 AS u
+                FROM g)"""),
 
     // One-shot truth for the whole loop: full closure over the union
     // corpus, then the q189 cluster-keyed LCG split — the incremental

@@ -171,12 +171,15 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q24 runs the LSH candidate stage and the simhash corpus pass exactly once") {
     // the pair melt + single signature join keeps both expensive corpus
-    // passes single-instanced in the plan — the old two-key sig joins
-    // duplicated the simhash subplan (no common-subplan reuse across
-    // different join keys)
+    // passes single-instanced — the old two-key sig joins duplicated
+    // the simhash subplan (no common-subplan reuse across different
+    // join keys). The LSH candidate stage is now localCheckpoint'ed
+    // inside lshVerifiedPairs (exactly-once by materialization), so
+    // minhash_sigs appears at most once in the remaining plan: zero
+    // when the checkpoint absorbed it, never the duplicated two.
     val df = SparkEntry.queries("q24_simhash")(spark, sf())
     val p = plan(df)
-    assert("minhash_sigs".r.findAllIn(p).size == 1, p)
+    assert("minhash_sigs".r.findAllIn(p).size <= 1, p)
     assert("simhash64".r.findAllIn(p).size == 1, p)
   }
 

@@ -55,6 +55,10 @@ class ComponentsSpec extends SparkSpec {
     // and upserting it over the stored labeling reproduces the full result
     val upserted = stored.as[(Long, Long)].collect().toMap ++ delta
     assert(upserted == full)
+    // bounded-local and distributed delta paths agree
+    val deltaDist = Components.incrementalComponentsDelta(stored, batch2,
+      "a", "b", localLimit = 0).as[(Long, Long)].collect().toMap
+    assert(deltaDist == delta)
   }
 
   test("incrementalComponents chains across batches like one-shot over the union") {
@@ -81,12 +85,25 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
   }
 
-  test("converges on a long chain within the round budget") {
-    // path 0-1-2-...-30: worst-case diameter for min propagation
+  test("converges on a long chain within the round budget (distributed path forced)") {
+    // path 0-1-2-...-30: worst-case diameter for min propagation;
+    // localLimit = 0 forces the label-propagation path the driver
+    // fast path would otherwise absorb
     val edges = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Components.connectedComponents(edges, "a", "b")
+    val got = Components.connectedComponents(edges, "a", "b", localLimit = 0)
       .as[(Long, Long)].collect()
     assert(got.length == 31 && got.forall(_._2 == 0L))
+  }
+
+  test("driver and distributed paths agree on the same graphs") {
+    val rng = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    val local = Components.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val dist = Components.connectedComponents(edges, "a", "b", localLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
   }
 
   test("matches a reference union-find on seeded random graphs") {
