@@ -133,8 +133,15 @@ object Skew {
     * disagree between detection and join.
     */
   def saltedJoinHot(fact: DataFrame, dim: DataFrame, key: String,
-                    minFrac: Double = 0.05, salts: Int = 16): DataFrame = {
-    val hot = hotKeys(fact, key, minFrac)
+                    minFrac: Double = 0.05, salts: Int = 16,
+                    sketch: Boolean = false): DataFrame = {
+    // the two-path join doesn't care how the hot set was found — only
+    // that it's small: `sketch = true` swaps in the bounded-state
+    // detector for extreme key cardinality (may admit within-eps
+    // borderline keys, which merely take the salted path; the output
+    // rows are identical either way — spec-pinned)
+    val hot = if (sketch) hotKeysSketch(fact, key, minFrac)
+              else hotKeys(fact, key, minFrac)
     if (hot.isEmpty) fact.join(dim, Seq(key))
     else {
       val isHot = col(key).isin(hot: _*)

@@ -81,24 +81,22 @@ object Unigram {
           9).as("lp"))
   }
 
-  /** Viterbi-segment each word of `words` under the piece log-probs:
-    * adds a `pieces` array<string> column. The DP and the backpointer
-    * walk are single codegen'd folds; ties in the position argmax break
-    * to the smallest start (= longest piece), by strict-improvement
-    * scanning in ascending start order.
+  /** DP + backpointer-walk expressions, parameterized by the log-prob
+    * lookup fragment `lp(j, i)` for the piece word[j..i) — shared by
+    * the literal-map and span-table segmenters so their semantics
+    * cannot drift.
     */
-  def segment(words: DataFrame, vocab: Map[String, Double],
-              maxLen: Int): DataFrame = {
+  private def viterbiExprs(maxLen: Int, lp: String): (String, String) = {
     val dpExpr =
       s"""aggregate(sequence(1, length(word)),
            array(named_struct('s', 0.0D, 'j', -1, 'p', '')),
            (acc, i) -> concat(acc, array(
              aggregate(sequence(greatest(0, i - $maxLen), i - 1),
                named_struct('s', -1.0E18D, 'j', -1, 'p', ''),
-               (m, j) -> if(element_at(_vm, substring(word, j + 1, i - j)) is not null
-                            and acc[j].s + element_at(_vm, substring(word, j + 1, i - j)) > m.s,
+               (m, j) -> if(($lp) is not null
+                            and acc[j].s + ($lp) > m.s,
                           named_struct(
-                            's', acc[j].s + element_at(_vm, substring(word, j + 1, i - j)),
+                            's', acc[j].s + ($lp),
                             'j', j,
                             'p', substring(word, j + 1, i - j)),
                           m)))))"""
@@ -108,11 +106,57 @@ object Unigram {
            (st, x) -> if(st.pos <= 0, st,
              named_struct('pos', _dp[st.pos].j,
                           'ps', concat(array(_dp[st.pos].p), st.ps)))).ps"""
+    (dpExpr, walkExpr)
+  }
+
+  /** Viterbi-segment each word of `words` under the piece log-probs:
+    * adds a `pieces` array<string> column. The DP and the backpointer
+    * walk are single codegen'd folds; ties in the position argmax break
+    * to the smallest start (= longest piece), by strict-improvement
+    * scanning in ascending start order.
+    */
+  def segment(words: DataFrame, vocab: Map[String, Double],
+              maxLen: Int): DataFrame = {
+    val (dpExpr, walkExpr) =
+      viterbiExprs(maxLen, "element_at(_vm, substring(word, j + 1, i - j))")
     words
       .withColumn("_vm", typedLit(vocab))
       .withColumn("_dp", expr(dpExpr))
       .withColumn("pieces", expr(walkExpr))
       .drop("_vm", "_dp")
+  }
+
+  /** Span radix for [[segmentJoin]]'s per-word span map keys
+    * (j * radix + i): words must be shorter than this. */
+  private val SpanRadix = 1 << 20
+
+  /** [[segment]] at EXTREME vocabulary scale, where an O(|V|) literal
+    * map per task is no longer a model parameter: the vocab stays a
+    * DataFrame, candidate spans explode per word and broadcast-join
+    * the vocab (piece equi-key), and each word folds over its own
+    * per-row span→lp map. One added word-keyed aggregation versus the
+    * literal-map path; the DP and walk are the SAME shared expressions,
+    * and the spec pins the two segmenters piece-for-piece equal.
+    */
+  def segmentJoin(words: DataFrame, vocab: DataFrame,
+                  maxLen: Int): DataFrame = {
+    val spans = words.select(col("word"), explode(expr(
+        s"flatten(transform(sequence(0, length(word) - 1), j -> " +
+          s"transform(sequence(j + 1, least(length(word), j + $maxLen)), " +
+          s"i -> named_struct('j', j, 'i', i, " +
+          s"'p', substring(word, j + 1, i - j)))))")).as("sp"))
+      .select(col("word"), col("sp.j"), col("sp.i"), col("sp.p").as("piece"))
+      .join(broadcast(vocab.select(col("piece"), col("lp"))), Seq("piece"))
+      .groupBy(col("word"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("j").cast("long") * SpanRadix + col("i")).as("k"),
+        col("lp").as("v")))).as("_sm"))
+    val (dpExpr, walkExpr) =
+      viterbiExprs(maxLen, s"element_at(_sm, cast(j as bigint) * $SpanRadix + i)")
+    words.join(spans, Seq("word"), "left")
+      .withColumn("_dp", expr(dpExpr))
+      .withColumn("pieces", expr(walkExpr))
+      .drop("_sm", "_dp")
   }
 
   /** Piece counts of the corpus under a segmentation: (piece, cnt),

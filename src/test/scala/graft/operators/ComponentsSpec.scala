@@ -96,9 +96,11 @@ class ComponentsSpec extends SparkSpec {
   }
 
   test("driver and distributed paths agree on the same graphs") {
+    // self-loops deliberately kept: both paths must treat (a, a) as a
+    // plain node mention
     val rng = new scala.util.Random(7)
     val edges = Seq.fill(120)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
-      .filter { case (a, b) => a != b }.toDF("a", "b")
+      .toDF("a", "b")
     val local = Components.connectedComponents(edges, "a", "b")
       .as[(Long, Long)].collect().toMap
     val dist = Components.connectedComponents(edges, "a", "b", localLimit = 0)

@@ -88,5 +88,11 @@ class SkewSpec extends SparkSpec {
       .groupBy("name").agg(sum("v").as("s"), count(lit(1)).as("n")).collect()
       .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
     assert(none == plain)
+    // sketch-driven detection: identical output rows
+    val viaSketch = Skew.saltedJoinHot(fact, dim, "k", minFrac = 0.1,
+        salts = 4, sketch = true)
+      .groupBy("name").agg(sum("v").as("s"), count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(viaSketch == plain)
   }
 }

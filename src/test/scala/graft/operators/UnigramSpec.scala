@@ -57,6 +57,21 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("span-table segmenter equals the literal-map segmenter piece-for-piece") {
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    val words = Unigram.wordTable(docs, "text").localCheckpoint()
+    val vocabDf = Unigram.withLogProbs(Unigram.seedVocab(words, 4, 150))
+      .localCheckpoint()
+    val vm = Unigram.collectVocab(vocabDf)
+    val a = Unigram.segment(words, vm, 4)
+      .select(col("word"), col("pieces")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val b = Unigram.segmentJoin(words, vocabDf, 4)
+      .select(col("word"), col("pieces")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(a == b)
+  }
+
   test("train is deterministic, keeps every character, and respects the size cap") {
     val docs = graft.Tables.load(spark, sf(), "documents")
     val v1 = Unigram.train(docs, "text", maxLen = 4, seedSize = 120,
