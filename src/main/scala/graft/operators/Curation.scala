@@ -424,4 +424,70 @@ object Curation {
           when(col("_drop").isNull, struct(col("pos"), col("seg"))))),
           x => x.getField("seg")), " ").as("clean_text"))
   }
+
+  /** Curation drop LEDGER — the per-document provenance record a
+    * production pipeline keeps alongside the cleaned corpus: every
+    * input document, its FIRST failing gate, and (for the dedup gates)
+    * the surviving canonical it lost to. Gates run SEQUENTIALLY — each
+    * stage sees only the previous stage's survivors, so a low-quality
+    * duplicate is recorded as a quality drop (never as a dedup
+    * survivor donor) and canonical choices are always made among clean
+    * documents:
+    *
+    *  1. quality  — [[qualityMetrics]] + [[keepRule]]; degenerate docs
+    *                (null text, < 2 tokens) fail here too.
+    *  2. exact_dup — digest groups among quality passers; min-id
+    *                survives, the rest record it as their canonical.
+    *  3. near_dup — LSH+verified pairs among exact survivors,
+    *                [[Components]] clustering; the component min-id is
+    *                the canonical.
+    *
+    * Output: (id, stage ∈ quality|exact_dup|near_dup|kept,
+    * canonical_id — null unless a dedup stage dropped the row, kept).
+    * Scale shape: the quality gate's two corpus passes, one digest
+    * hash-agg, the LSH pipeline over survivors, then id-keyed joins
+    * assembling the verdicts — no new shuffle class beyond the gates
+    * themselves.
+    */
+  def curationLedger(docs: DataFrame, idCol: String, textCol: String,
+                     minWords: Long = 30L, maxTopFrac: Double = 0.11,
+                     maxDupFrac: Double = 0.05,
+                     estThreshold: Double = 0.3,
+                     jaccardThreshold: Double = 0.4): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol))
+    val qok = qualityMetrics(base, idCol, textCol)
+      .where(keepRule(minWords, maxTopFrac, maxDupFrac))
+      .select(col(idCol))
+    // staged: survivors feed the digest agg, the LSH pipeline and the
+    // final verdict joins
+    val qPass = base.join(qok, Seq(idCol), "left_semi").localCheckpoint()
+    val exactTag = qPass
+      .select(col(idCol), md5(col(textCol).cast("binary")).as("_dg"))
+      .withColumn("_exact_canon", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_dg"))))
+      .drop("_dg")
+    val survDocs = qPass.join(
+      exactTag.where(col(idCol) === col("_exact_canon")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val pairs = Dedup.lshVerifiedPairs(survDocs, idCol, textCol,
+      estThreshold, jaccardThreshold)
+    val comp = Components.connectedComponents(pairs, "a_id", "b_id")
+      .select(col("id").as(idCol), col("comp").as("_near_canon"))
+    base.select(col(idCol))
+      .join(qok.withColumn("_q", lit(true)), Seq(idCol), "left")
+      .join(exactTag, Seq(idCol), "left")
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_q").isNull, lit("quality"))
+          .when(col(idCol) =!= col("_exact_canon"), lit("exact_dup"))
+          .when(col("_near_canon").isNotNull &&
+            col(idCol) =!= col("_near_canon"), lit("near_dup"))
+          .otherwise(lit("kept")).as("stage"),
+        when(col("_q").isNull, lit(null).cast("long"))
+          .when(col(idCol) =!= col("_exact_canon"), col("_exact_canon"))
+          .when(col("_near_canon").isNotNull &&
+            col(idCol) =!= col("_near_canon"), col("_near_canon"))
+          .otherwise(lit(null).cast("long")).as("canonical_id"))
+      .withColumn("kept", col("stage") === "kept")
+  }
 }

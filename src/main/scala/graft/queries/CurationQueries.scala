@@ -600,6 +600,19 @@ object CurationQueries {
             .as("cross_cluster_split"))
     }),
 
+    // Curation drop LEDGER — the per-document provenance record a
+    // production pipeline keeps alongside the cleaned corpus: every
+    // doc's FIRST failing gate (quality → exact dedup → near-dup
+    // cluster) and the canonical it lost to, with gates running
+    // SEQUENTIALLY so canonical choices only ever come from documents
+    // every earlier gate passed. Composes q67's rules, q18's digest
+    // dedup, and q142's clustering into one graded audit frame; the
+    // oracle replays the full sequential pipeline (quality CTEs →
+    // digest min-id → closure over the SURVIVOR slice).
+    "q198_curation_ledger" -> ((s, dir) =>
+      graft.operators.Curation.curationLedger(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // Cross-document repeated-span dedup (the Lee-et-al. substring
     // shape): 5-gram anchors bucketed by gram (singletons and >64-occ
     // stop-grams dropped), cross-doc occurrence pairs expanded inside
@@ -1693,6 +1706,59 @@ object CurationQueries {
                     SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
           comp AS (SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u)
           SELECT u AS doc_id, comp AS cluster FROM comp"""),
+
+    // Sequential-gate replay: quality keep set, digest min-id among
+    // passers, verified-pair closure over the exact survivors, then
+    // the first-failing-stage case over the full documents table.
+    "q198_curation_ledger" ->
+      s"""WITH RECURSIVE
+          t AS (SELECT doc_id, text, ${SqlFragments.toksExpr} AS toks
+                FROM documents WHERE text IS NOT NULL),
+          b AS (SELECT doc_id, text, toks, len(toks) AS n_words,
+                       ${SqlFragments.bigramsExpr("toks")} AS bi
+                FROM t WHERE len(toks) >= 2),
+          m AS (SELECT doc_id, MAX(c) AS top_cnt
+                FROM (SELECT doc_id, x, COUNT(*) AS c
+                      FROM (SELECT doc_id, unnest(toks) AS x FROM b)
+                      GROUP BY doc_id, x)
+                GROUP BY doc_id),
+          q AS (SELECT b.doc_id FROM b JOIN m ON b.doc_id = m.doc_id
+                WHERE b.n_words >= 30
+                  AND CAST(m.top_cnt AS DOUBLE) / b.n_words <= 0.11
+                  AND 1.0 - CAST(len(list_distinct(b.bi)) AS DOUBLE)
+                        / len(b.bi) <= 0.05),
+          qp AS (SELECT b.doc_id, b.text FROM b JOIN q ON b.doc_id = q.doc_id),
+          et AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text))
+                        AS exact_canon
+                 FROM qp),
+          surv AS (SELECT qp.doc_id, qp.text FROM qp JOIN et
+                   ON qp.doc_id = et.doc_id AND et.doc_id = et.exact_canon),
+          ${SqlFragments.shinglePairsBody(0.4, "surv")},
+          e AS (SELECT a_id AS u, b_id AS v FROM verified
+                UNION SELECT b_id, a_id FROM verified),
+          reach AS (SELECT u, v FROM e
+                    UNION
+                    SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+          comp AS (SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u),
+          led AS (SELECT d.doc_id, q2.doc_id AS qid, et.exact_canon, c.comp
+                  FROM documents d
+                  LEFT JOIN q q2 ON d.doc_id = q2.doc_id
+                  LEFT JOIN et ON d.doc_id = et.doc_id
+                  LEFT JOIN comp c ON d.doc_id = c.u)
+          SELECT doc_id,
+            CASE WHEN qid IS NULL THEN 'quality'
+                 WHEN doc_id <> exact_canon THEN 'exact_dup'
+                 WHEN comp IS NOT NULL AND doc_id <> comp THEN 'near_dup'
+                 ELSE 'kept' END AS stage,
+            CASE WHEN qid IS NULL THEN NULL
+                 WHEN doc_id <> exact_canon THEN exact_canon
+                 WHEN comp IS NOT NULL AND doc_id <> comp THEN comp
+                 ELSE NULL END AS canonical_id,
+            (CASE WHEN qid IS NULL THEN 'quality'
+                  WHEN doc_id <> exact_canon THEN 'exact_dup'
+                  WHEN comp IS NOT NULL AND doc_id <> comp THEN 'near_dup'
+                  ELSE 'kept' END) = 'kept' AS kept
+          FROM led""",
 
     // Same truth through the real stream.
     "q197_stream_continuous_clustering" -> (

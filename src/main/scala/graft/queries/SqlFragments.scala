@@ -223,9 +223,17 @@ object SqlFragments {
     * checks for completeness above the threshold.
     */
   def shinglePairsCte(threshold: Double): String =
-    s"""WITH tk AS (SELECT doc_id,
+    "WITH " + shinglePairsBody(threshold)
+
+  /** [[shinglePairsCte]] without the WITH prefix and with a
+    * parameterized source relation — for oracles whose pair stage runs
+    * over an earlier CTE (e.g. a gate pipeline's survivors) rather
+    * than the whole documents table.
+    */
+  def shinglePairsBody(threshold: Double, src: String = "documents"): String =
+    s"""tk AS (SELECT doc_id,
           list_distinct(${bigramsExpr(toksExpr)}) AS sh
-          FROM documents WHERE text IS NOT NULL),
+          FROM $src WHERE text IS NOT NULL),
         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
             len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard

@@ -252,6 +252,30 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) == ((2L, 0L, "t u v"))) // odd tail segment "v" kept
   }
 
+  test("curationLedger: first failing gate wins, canonicals come from survivors") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),   // clean, unique -> kept
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),   // exact copy of 1 -> exact_dup
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w9"),   // near-dup of 1 -> near_dup
+      (4L, "x x x x x x x x"),            // one-word repetition -> quality
+      (5L, null.asInstanceOf[String]),    // null text -> quality
+      (6L, "p q r s t u v w")             // clean, unique -> kept
+    ).toDF("doc_id", "text")
+    val got = Curation.curationLedger(docs, "doc_id", "text",
+        minWords = 5L, maxTopFrac = 0.5, maxDupFrac = 0.6,
+        estThreshold = 0.2, jaccardThreshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getBoolean(3)))).toMap
+    assert(got(1L) == (("kept", None, true)))
+    assert(got(2L) == (("exact_dup", Some(1L), false)))
+    assert(got(3L) == (("near_dup", Some(1L), false)))
+    assert(got(4L) == (("quality", None, false)))
+    assert(got(5L) == (("quality", None, false)))
+    assert(got(6L) == (("kept", None, true)))
+  }
+
   test("crossDocLineDedup: all-dropped doc reassembles to empty text") {
     val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"))
       .toDF("doc_id", "text")
