@@ -501,6 +501,39 @@ object CurationQueries {
         .select(col("id").as("doc_id"), col("group_id"), col("split"))
     }),
 
+    // Cluster-reassignment CHANGE FEED — what downstream consumers of
+    // a continuously-maintained clustering actually subscribe to:
+    // after each micro-batch folds in, SnapshotStore.diff between the
+    // labels store's pre/post versions emits exactly the docs whose
+    // cluster was born or remapped (insert = new doc, update = an
+    // existing doc's cluster merged), the invalidation feed for any
+    // cache/index keyed on cluster. Graded against two independent
+    // closures (hist∪b1 and the full union): the CDC of the
+    // incremental store must equal the set difference of the two
+    // from-scratch labelings — one pairwise-verified pair stage reused
+    // for both (pair verification is pairwise, so the induced-subgraph
+    // edge set IS the subset corpus' pair set).
+    "q199_cluster_cdc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val hist = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+      val b1 = docs.where(col("doc_id") % 5 === 0)
+      val b2 = docs.where(col("doc_id") % 5 === 1)
+      val root = graft.sources.Scratch.processScoped("q199_cdc", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      val st = new graft.sources.SnapshotStore(s, root)
+      graft.operators.ContinuousDedup.seed(st, hist, "doc_id", "text")
+      graft.operators.ContinuousDedup.processBatch(st, b1, docs,
+        "doc_id", "text", txnId = 1L)
+      val v1 = st.versions(graft.operators.ContinuousDedup.LabelsView).max
+      graft.operators.ContinuousDedup.processBatch(st, b2, docs,
+        "doc_id", "text", txnId = 2L)
+      val v2 = st.versions(graft.operators.ContinuousDedup.LabelsView).max
+      st.diff(graft.operators.ContinuousDedup.LabelsView, v1, v2, Seq("id"))
+        .select(col("id").as("doc_id"), col("change_type"),
+          col("comp_pre"), col("comp_post"))
+    }),
+
     // q194 driven by a REAL Structured Streaming query: the two
     // micro-batches arrive as files through a readStream file source
     // (maxFilesPerTrigger=1 → one ingest file per micro-batch,
@@ -1759,6 +1792,35 @@ object CurationQueries {
                   WHEN comp IS NOT NULL AND doc_id <> comp THEN 'near_dup'
                   ELSE 'kept' END) = 'kept' AS kept
           FROM led""",
+
+    // Two from-scratch labelings (pre-b2 = edges among %5!=1 docs,
+    // post = all edges) over ONE shared verified-pair stage; the feed
+    // is their keyed difference.
+    "q199_cluster_cdc" -> (
+      SqlFragments.shinglePairsCte(0.4).replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, e2 AS (SELECT a_id AS u, b_id AS v FROM verified
+                  UNION SELECT b_id, a_id FROM verified),
+          e1 AS (SELECT u, v FROM e2 WHERE u % 5 <> 1 AND v % 5 <> 1),
+          reach1 AS (SELECT u, v FROM e1
+                     UNION
+                     SELECT r.u, e1.v FROM reach1 r JOIN e1 ON r.v = e1.u),
+          comp1 AS (SELECT u, LEAST(u, MIN(v)) AS c FROM reach1 GROUP BY u),
+          reach2 AS (SELECT u, v FROM e2
+                     UNION
+                     SELECT r.u, e2.v FROM reach2 r JOIN e2 ON r.v = e2.u),
+          comp2 AS (SELECT u, LEAST(u, MIN(v)) AS c FROM reach2 GROUP BY u),
+          l1 AS (SELECT d.doc_id, COALESCE(c1.c, d.doc_id) AS comp
+                 FROM documents d LEFT JOIN comp1 c1 ON d.doc_id = c1.u
+                 WHERE d.text IS NOT NULL AND d.doc_id % 5 <> 1),
+          l2 AS (SELECT d.doc_id, COALESCE(c2.c, d.doc_id) AS comp
+                 FROM documents d LEFT JOIN comp2 c2 ON d.doc_id = c2.u
+                 WHERE d.text IS NOT NULL)
+          SELECT l2.doc_id,
+            CASE WHEN l1.doc_id IS NULL THEN 'insert' ELSE 'update' END
+              AS change_type,
+            l1.comp AS comp_pre, l2.comp AS comp_post
+          FROM l2 LEFT JOIN l1 ON l2.doc_id = l1.doc_id
+          WHERE l1.doc_id IS NULL OR l1.comp <> l2.comp"""),
 
     // Same truth through the real stream.
     "q197_stream_continuous_clustering" -> (

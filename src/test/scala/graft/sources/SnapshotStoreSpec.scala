@@ -251,6 +251,29 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("t").select("k").as[Int].collect().toSet == Set(1, 2))
   }
 
+  test("mergeIntoOnce: redelivered txn skipped, ids survive compaction and later merges") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq((1, "a"), (2, "b")).toDF("k", "v"), overwrite = true)
+    assert(st.mergeIntoOnce("t", Seq((2, "B"), (3, "c")).toDF("k", "v"),
+      "k", txnId = 5L).nonEmpty)
+    // immediate redelivery no-ops
+    assert(st.mergeIntoOnce("t", Seq((2, "XX")).toDF("k", "v"),
+      "k", txnId = 5L).isEmpty)
+    // an OPTIMIZE between the merge and a late retry must not erase
+    // the fence (txn history rides the manifest across every commit
+    // kind, including mergeInto's own publishes)
+    st.compact("t")
+    assert(st.appliedTxns("t").contains(5L))
+    assert(st.mergeIntoOnce("t", Seq((2, "YY")).toDF("k", "v"),
+      "k", txnId = 5L).isEmpty)
+    // a different txn still merges, and carries BOTH ids forward
+    assert(st.mergeIntoOnce("t", Seq((4, "d")).toDF("k", "v"),
+      "k", txnId = 6L).nonEmpty)
+    assert(st.appliedTxns("t") == Set(5L, 6L))
+    assert(st.read("t").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "B"), (3, "c"), (4, "d")))
+  }
+
   test("mergeInto on a schema-evolved table rewrites old-schema dirs as typed NULLs") {
     val (st, _) = freshStore()
     // dir 1 predates column `extra`; dir 2 carries it
