@@ -501,6 +501,38 @@ object CurationQueries {
         .select(col("id").as("doc_id"), col("group_id"), col("split"))
     }),
 
+    // The full TRAIN-DATA-ORDER pipeline, raw corpus to shuffled
+    // shards — the capstone composition a trainer actually consumes:
+    // leakage-free cluster-aware split (q189) → train slice →
+    // temperature resampling over language (q69, tau = 0.5) →
+    // deterministic shard shuffle (q100) keyed on a (doc, copy)
+    // composite id. Every stage is pure LCG/integer arithmetic over
+    // the previous one, so the oracle replays the WHOLE chain
+    // end-to-end — closure, split case, rates, copies, shard hash,
+    // in-shard rank — and the output (the exact (doc, copy) → (shard,
+    // position) layout) is hash-graded. Scale shape: the LSH pass +
+    // closure once, then one tiny lang agg, a broadcast rates join, a
+    // per-row explode, one shard-keyed rank window — the corpus never
+    // shuffles except for the final shard clustering itself.
+    "q200_train_data_order" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val pairs = graft.operators.Dedup.lshVerifiedPairs(
+          docs, "doc_id", "text", estThreshold = 0.3, jaccardThreshold = 0.4)
+        .select(col("a_id"), col("b_id"))
+      val train = graft.operators.Mixer.groupAwareSplits(
+          docs.select(col("doc_id"), col("lang")), "doc_id",
+          pairs, "a_id", "b_id")
+        .where(col("split") === "train")
+      val mixed = graft.operators.Mixer.temperatureResample(
+        train.select(col("doc_id"), col("lang")), "lang", "doc_id", tau = 0.5)
+      // composite (doc, copy) id: copies stay far below the radix, so
+      // the LCG stream stays collision-free and SQL-replayable
+      val withUid = mixed.withColumn("uid",
+        col("doc_id") * 1024L + col("copy_id"))
+      graft.operators.Mixer.shardShuffle(withUid, "uid", nShards = 8)
+        .select(col("doc_id"), col("copy_id"), col("shard"), col("shard_pos"))
+    }),
+
     // Cluster-reassignment CHANGE FEED — what downstream consumers of
     // a continuously-maintained clustering actually subscribe to:
     // after each micro-batch folds in, SnapshotStore.diff between the
@@ -1792,6 +1824,46 @@ object CurationQueries {
                   WHEN comp IS NOT NULL AND doc_id <> comp THEN 'near_dup'
                   ELSE 'kept' END) = 'kept' AS kept
           FROM led""",
+
+    // Whole-chain replay: closure → cluster-keyed split → sqrt-rate
+    // temperature copies → composite-id shard hash + in-shard rank.
+    "q200_train_data_order" -> (
+      SqlFragments.shinglePairsCte(0.4).replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, e AS (SELECT a_id AS u, b_id AS v FROM verified
+                 UNION SELECT b_id, a_id FROM verified),
+          reach AS (SELECT u, v FROM e
+                    UNION
+                    SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+          comp AS (SELECT u, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u),
+          g AS (SELECT d.doc_id, d.lang, COALESCE(c.comp, d.doc_id) AS group_id
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+                WHERE d.text IS NOT NULL),
+          train AS (SELECT doc_id, lang FROM g
+                    WHERE CAST((group_id * 1103515245 + 12345) % 2147483648
+                               AS DOUBLE) / 2147483648.0 < 0.8),
+          cnts AS (SELECT lang, COUNT(*) AS n FROM train GROUP BY lang),
+          mx AS (SELECT MAX(n) AS nmax FROM cnts),
+          rates AS (SELECT lang, sqrt(CAST(nmax AS DOUBLE) / n) AS rate
+                    FROM cnts, mx),
+          cp AS (SELECT doc_id, t.lang, rate,
+                   CAST(floor(rate) AS BIGINT) +
+                   CASE WHEN CAST((doc_id * 1103515245 + 12345) % 2147483648
+                              AS DOUBLE) / 2147483648.0 < rate - floor(rate)
+                        THEN 1 ELSE 0 END AS copies
+                 FROM train t JOIN rates USING (lang)),
+          mixed AS (SELECT doc_id,
+                      CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy_id
+                    FROM cp),
+          u AS (SELECT doc_id, copy_id, doc_id * 1024 + copy_id AS uid
+                FROM mixed),
+          h AS (SELECT doc_id, copy_id, uid,
+                  (uid * 1103515245 + 12345) % 2147483648 AS h1 FROM u),
+          h2 AS (SELECT doc_id, copy_id, uid, h1 % 8 AS shard,
+                  (h1 * 1103515245 + 12345) % 2147483648 AS hh FROM h)
+          SELECT doc_id, copy_id, shard,
+            CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, uid)
+              AS BIGINT) AS shard_pos
+          FROM h2"""),
 
     // Two from-scratch labelings (pre-b2 = edges among %5!=1 docs,
     // post = all edges) over ONE shared verified-pair stage; the feed
