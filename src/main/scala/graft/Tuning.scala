@@ -23,6 +23,17 @@ object Tuning {
   val ExcludedRules =
     "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
 
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.optimizer.excludedRules", ExcludedRules)
+    // engine rule: one-row aggregate join sides broadcast by
+    // construction (graft.plans.BroadcastOneRowAggregates). Sessions
+    // built with spark.sql.extensions=graft.plans.GraftExtensions get
+    // it at builder time; everyone else gets it here. Double
+    // registration is harmless — the rule only fills JoinHint.NONE.
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.BroadcastOneRowAggregates))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.BroadcastOneRowAggregates
+  }
 }
