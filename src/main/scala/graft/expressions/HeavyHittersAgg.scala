@@ -29,7 +29,9 @@ import org.apache.spark.util.sketch.CountMinSketch
   */
 final class HhBuf(val k: Int, val eps: Double, val conf: Double) {
   var n: Long = 0L
-  val cms: CountMinSketch = CountMinSketch.create(eps, conf, 42)
+  // var, not val: deserialize adopts the INCOMING sketch verbatim, so
+  // a buffer round-trips whatever (eps, conf) it was built with
+  var cms: CountMinSketch = CountMinSketch.create(eps, conf, 42)
   val counters = new java.util.HashMap[Any, Long]()
 
   def add(key: Any): Unit = {
@@ -180,7 +182,7 @@ case class HeavyHittersAgg(keyExpr: Expression, k: Int,
     val cmsLen = in.readInt()
     val cmsBytes = new Array[Byte](cmsLen)
     in.readFully(cmsBytes)
-    buf.cms.mergeInPlace(CountMinSketch.readFrom(new ByteArrayInputStream(cmsBytes)))
+    buf.cms = CountMinSketch.readFrom(new ByteArrayInputStream(cmsBytes))
     val sz = in.readInt()
     var i = 0
     while (i < sz) {

@@ -90,6 +90,46 @@ class PropertyLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("HhBuf: heavy-hitter superset + CMS upper bound survive merges and serde") {
+    val hhGen = for {
+      n <- Gen.choose(0, 400)
+      // skewed stream: a few dominant keys + a tail
+      keys <- Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.choose(0L, 2L), 3 -> Gen.choose(3L, 10L),
+        2 -> Gen.choose(11L, 60L)))
+      k <- Gen.choose(2, 12)
+      cuts <- Gen.listOfN(3, Gen.choose(0, n))
+    } yield (keys, k, cuts)
+    check("hhbuf", Prop.forAll(hhGen) { case (keys, k, cuts) =>
+      val agg = graft.expressions.HeavyHittersAgg(
+        org.apache.spark.sql.catalyst.expressions.Literal(0L), k)
+      val bounds = (0 +: cuts.sorted :+ keys.length).distinct.sorted
+      val parts = bounds.zip(bounds.tail).map { case (a, b) => keys.slice(a, b) }
+      // independent partial buffers, each round-tripped through the
+      // aggregate's serde (the partial/final exchange boundary), then
+      // merged in order
+      val bufs = parts.map { p =>
+        val b = new graft.expressions.HhBuf(k, 0.01, 0.95)
+        p.foreach(b.add(_))
+        agg.deserialize(agg.serialize(b))
+      }
+      val total = bufs.head
+      bufs.tail.foreach(total.merge)
+      val trueCounts = keys.groupBy(identity).map { case (key, v) => key -> v.size.toLong }
+      val n = keys.length.toLong
+      // Misra-Gries law: any key with count > n/(k+1) must survive as
+      // a candidate, whatever the merge tree did
+      val supersetOk = trueCounts.forall { case (key, c) =>
+        c * (k + 1) <= n || total.counters.containsKey(key)
+      }
+      // CMS law: estimates never undercount
+      val cmsOk = trueCounts.forall { case (key, c) =>
+        total.cms.estimateCount(key) >= c
+      }
+      supersetOk && cmsOk && total.counters.size <= k && total.n == n
+    })
+  }
+
   test("SimHash64 equals the bit-majority reference") {
     check("simhash", Prop.forAll(Gen.listOf(Gen.long)) { hs =>
       val expr = graft.expressions.SimHash64(
