@@ -35,5 +35,10 @@ object Tuning {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.BroadcastOneRowAggregates
+    // planner strategy for the native as-of join logical node
+    if (!spark.experimental.extraStrategies
+          .contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

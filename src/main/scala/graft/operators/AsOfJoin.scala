@@ -47,6 +47,45 @@ object AsOfJoin {
       .select(lcols.map(c => col("_lrow").getField(c).as(c)) :+ col(outCol): _*)
   }
 
+  /** [[lookupLast]] through the NATIVE whole-operator path
+    * ([[graft.plans.AsOfJoinNode]] → AsOfJoinStrategy →
+    * AsOfJoinExec): a custom logical node planned as one co-partitioned
+    * streaming merge — no union row inflation, no window buffer, O(1)
+    * operator state per partition. Identical contract to lookupLast
+    * (latest right time at-or-before, equal-time ties to the max
+    * value, null when nothing precedes) — spec-pinned row-equal, and
+    * q201 grades it against q10's subquery oracle.
+    */
+  def lookupLastNative(left: DataFrame, right: DataFrame, key: String,
+                       leftTime: String, rightTime: String, rightValue: String,
+                       outCol: String): DataFrame = {
+    val lPlan = left.queryExecution.analyzed
+    val rPlanRaw = right.queryExecution.analyzed
+    // self-join hygiene: when both sides descend from the same relation
+    // they share exprIds, and the analyzer's DeduplicateRelations can't
+    // know which side OUR captured expressions meant (an ambiguous attr
+    // stays valid through the left child, so the generic remap skips
+    // it). Re-alias the right side with fresh exprIds up front — the
+    // same thing Dataset.join does for its own self-join case.
+    val rPlan =
+      if (rPlanRaw.outputSet.intersect(lPlan.outputSet).isEmpty) rPlanRaw
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rPlanRaw.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+        rPlanRaw)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val outAttr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      outCol, attr(rPlan, rightValue).dataType, nullable = true)()
+    org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinNode(lPlan, rPlan,
+        attr(lPlan, key), attr(rPlan, key),
+        attr(lPlan, leftTime), attr(rPlan, rightTime),
+        attr(rPlan, rightValue), outAttr))
+  }
+
   /** Backward as-of join with a match tolerance (pandas
     * `merge_asof(tolerance=...)`): like [[lookupLast]], but a match
     * older than `tolerance` is discarded — a quote from last month is

@@ -67,6 +67,8 @@ object BroadcastOneRowAggregates extends Rule[LogicalPlan] {
   * `builder.withExtensions(new GraftExtensions)`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BroadcastOneRowAggregates)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }

@@ -145,6 +145,24 @@ object CoreQueries {
           col("last_purchase_ts").cast("timestamp_ntz").as("last_purchase_ts"))
     }),
 
+    // q10 through the NATIVE whole-operator path: a custom LogicalPlan
+    // (AsOfJoinNode) planned by AsOfJoinStrategy into AsOfJoinExec —
+    // one co-partitioned streaming merge with O(1) state per
+    // partition, no union inflation, no window buffer. Same subquery
+    // oracle as q10: the physical path must be semantically invisible.
+    "q201_asof_native" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      AsOfJoin.lookupLastNative(errors, purchases, "user_id", "ts", "p_ts",
+          "p_ts", "last_purchase_ts")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("last_purchase_ts").cast("timestamp_ntz").as("last_purchase_ts"))
+    }),
+
     // Tolerance-bounded backward as-of (merge_asof tolerance=1h): the
     // latest purchase before each error counts only if it is at most
     // an hour old — same one-shuffle union+window as q10, with the
@@ -223,6 +241,14 @@ object CoreQueries {
          list_reduce(list(value ORDER BY event_id), (x, y) -> (x + y) / 2.0) AS ew_avg
          FROM events GROUP BY user_id""",
     "q10_asof_join" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+         (SELECT max(CAST(p.ts AS TIMESTAMP)) FROM events p
+          WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+            AND CAST(p.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)) AS last_purchase_ts
+         FROM events e WHERE e.event_type = 'error'""",
+
+    // the native operator must be indistinguishable from q10's truth
+    "q201_asof_native" ->
       """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
          (SELECT max(CAST(p.ts AS TIMESTAMP)) FROM events p
           WHERE p.user_id = e.user_id AND p.event_type = 'purchase'

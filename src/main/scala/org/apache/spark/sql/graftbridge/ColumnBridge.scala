@@ -23,3 +23,16 @@ object ColumnBridge {
   def expressionEager(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }
+
+/** DataFrame <-> LogicalPlan bridge for custom logical operators
+  * (`Dataset.ofRows` is private[sql]; a library injecting its own
+  * LogicalPlan nodes needs it — the same extension-library pattern as
+  * [[ColumnBridge]]).
+  */
+object DatasetBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

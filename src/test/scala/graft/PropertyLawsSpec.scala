@@ -104,7 +104,10 @@ class PropertyLawsSpec extends AnyFunSuite {
       val agg = graft.expressions.HeavyHittersAgg(
         org.apache.spark.sql.catalyst.expressions.Literal(0L), k)
       val bounds = (0 +: cuts.sorted :+ keys.length).distinct.sorted
-      val parts = bounds.zip(bounds.tail).map { case (a, b) => keys.slice(a, b) }
+      val parts0 = bounds.zip(bounds.tail).map { case (a, b) => keys.slice(a, b) }
+      // an empty stream with coincident cuts yields zero slices — still
+      // exercise one (empty) buffer
+      val parts = if (parts0.isEmpty) Seq(Nil) else parts0
       // independent partial buffers, each round-tripped through the
       // aggregate's serde (the partial/final exchange boundary), then
       // merged in order

@@ -1,0 +1,85 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** The native as-of join (custom LogicalPlan + Strategy + SparkPlan)
+  * against the composed union+window form: identical rows on real and
+  * adversarial data, and the physical plan the operator exists for —
+  * a single merge exec over two sorted keyed children, no window, no
+  * union.
+  */
+class AsOfJoinNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("native equals composed on the events corpus") {
+    val ev = graft.Tables.load(spark, sf(), "events")
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val composed = AsOfJoin.lookupLast(errors, purchases, "user_id",
+      "ts", "p_ts", "p_ts", "last_purchase_ts")
+    val native = AsOfJoin.lookupLastNative(errors, purchases, "user_id",
+      "ts", "p_ts", "p_ts", "last_purchase_ts")
+    assert(native.columns.toSeq == composed.columns.toSeq)
+    assert(canon(native) == canon(composed))
+  }
+
+  test("tie semantics: equal-time rights resolve to the max value, inclusive <=") {
+    val left = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c"), (3L, 1L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 10L, 100.0), (1L, 10L, 200.0), // tie at t=10: max wins
+      (1L, 4L, 50.0),
+      (2L, 7L, 7.5), (2L, 8L, 9.9),       // 8 > 7: excluded
+      (9L, 1L, 1.0)                        // unmatched key
+    ).toDF("k", "rt", "v")
+    val native = AsOfJoin.lookupLastNative(left, right, "k", "t", "rt", "v", "out")
+      .collect().map(r => (r.getLong(0), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    val composed = AsOfJoin.lookupLast(left, right, "k", "t", "rt", "v", "out")
+      .collect().map(r => (r.getLong(0), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    val expected = Set((1L, "a", Some(200.0)), (1L, "b", Some(50.0)),
+      (2L, "c", Some(7.5)), (3L, "d", None))
+    assert(native == expected)
+    assert(composed == expected)
+  }
+
+  test("many interleaved keys and repeated left times match a reference scan") {
+    val rng = new scala.util.Random(11)
+    val left = Seq.fill(400)((rng.nextInt(20).toLong, rng.nextInt(50).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      .toDF("id", "k", "t")
+    val right = Seq.fill(300)((rng.nextInt(25).toLong, rng.nextInt(50).toLong,
+      rng.nextInt(1000).toLong)).toDF("k", "rt", "v")
+    val native = AsOfJoin.lookupLastNative(left, right, "k", "t", "rt", "v", "out")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val rrows = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lrows = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    lrows.foreach { case (id, k, t) =>
+      val cands = rrows.filter(x => x._1 == k && x._2 <= t)
+      val want = if (cands.isEmpty) None
+        else Some(cands.maxBy(x => (x._2, x._3))._3)
+      assert(native(id) == want, s"id=$id k=$k t=$t")
+    }
+  }
+
+  test("physical plan: one AsOfJoinExec over sorted keyed children; no window, no union") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "rt", "v")
+    val df = AsOfJoin.lookupLastNative(left, right, "k", "t", "rt", "v", "out")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Union"), p)
+    // both children keyed + sorted by EnsureRequirements
+    assert("Sort ".r.findAllIn(p).size >= 2, p)
+  }
+}
