@@ -47,18 +47,16 @@ object AsOfJoin {
       .select(lcols.map(c => col("_lrow").getField(c).as(c)) :+ col(outCol): _*)
   }
 
-  /** [[lookupLast]] through the NATIVE whole-operator path
-    * ([[graft.plans.AsOfJoinNode]] → AsOfJoinStrategy →
-    * AsOfJoinExec): a custom logical node planned as one co-partitioned
-    * streaming merge — no union row inflation, no window buffer, O(1)
-    * operator state per partition. Identical contract to lookupLast
-    * (latest right time at-or-before, equal-time ties to the max
-    * value, null when nothing precedes) — spec-pinned row-equal, and
-    * q201 grades it against q10's subquery oracle.
+  /** Shared builder for the NATIVE whole-operator path
+    * ([[graft.plans.AsOfJoinNode]] → AsOfJoinStrategy → AsOfJoinExec):
+    * a custom logical node planned as one co-partitioned streaming
+    * merge — no union row inflation, no window buffer, O(1) operator
+    * state per partition.
     */
-  def lookupLastNative(left: DataFrame, right: DataFrame, key: String,
-                       leftTime: String, rightTime: String, rightValue: String,
-                       outCol: String): DataFrame = {
+  private def nativeJoin(left: DataFrame, right: DataFrame, key: String,
+                         leftTime: String, rightTime: String,
+                         carry: Seq[(String, String)],
+                         forward: Boolean): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     val rPlanRaw = right.queryExecution.analyzed
     // self-join hygiene: when both sides descend from the same relation
@@ -77,13 +75,54 @@ object AsOfJoin {
              n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found"))
-    val outAttr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
-      outCol, attr(rPlan, rightValue).dataType, nullable = true)()
+    val outAttrs = carry.map { case (rc, outName) =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        outName, attr(rPlan, rc).dataType, nullable = true)()
+    }
     org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(left.sparkSession,
       graft.plans.AsOfJoinNode(lPlan, rPlan,
         attr(lPlan, key), attr(rPlan, key),
         attr(lPlan, leftTime), attr(rPlan, rightTime),
-        attr(rPlan, rightValue), outAttr))
+        carry.map(c => attr(rPlan, c._1)), outAttrs, forward))
+  }
+
+  /** [[lookupLast]] through the native path. Identical contract
+    * (latest right time at-or-before, equal-time ties to the max
+    * value, null when nothing precedes) — spec-pinned row-equal, and
+    * q201 grades it against q10's subquery oracle.
+    */
+  def lookupLastNative(left: DataFrame, right: DataFrame, key: String,
+                       leftTime: String, rightTime: String, rightValue: String,
+                       outCol: String): DataFrame =
+    nativeJoin(left, right, key, leftTime, rightTime,
+      Seq(rightValue -> outCol), forward = false)
+
+  /** [[lookupNext]] through the native path: earliest right time
+    * at-or-after, equal-time ties to the MIN value (the merge head
+    * under the (time, value)-ascending sort IS that row).
+    */
+  def lookupNextNative(left: DataFrame, right: DataFrame, key: String,
+                       leftTime: String, rightTime: String, rightValue: String,
+                       outCol: String): DataFrame =
+    nativeJoin(left, right, key, leftTime, rightTime,
+      Seq(rightValue -> outCol), forward = true)
+
+  /** [[lookupLastWithin]] through the native path: the operator
+    * carries the matched (value, time) pair — value first, so the
+    * equal-time tie rule matches the composed window's `_rv` ordering
+    * — and staleness is a per-row projection afterwards, exactly the
+    * composed form's shape.
+    */
+  def lookupLastWithinNative(left: DataFrame, right: DataFrame, key: String,
+                             leftTime: String, rightTime: String,
+                             rightValue: String, outCol: String,
+                             tolerance: org.apache.spark.sql.Column): DataFrame = {
+    val mt = s"__asof_${rightTime}_matched"
+    nativeJoin(left, right, key, leftTime, rightTime,
+        Seq(rightValue -> outCol, rightTime -> mt), forward = false)
+      .withColumn(outCol,
+        when(col(mt) >= col(leftTime) - tolerance, col(outCol)))
+      .drop(mt)
   }
 
   /** Backward as-of join with a match tolerance (pandas

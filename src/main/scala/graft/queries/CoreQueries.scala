@@ -163,6 +163,36 @@ object CoreQueries {
           col("last_purchase_ts").cast("timestamp_ntz").as("last_purchase_ts"))
     }),
 
+    // q87's forward as-of through the native operator (earliest right
+    // time at-or-after, ties to the min value — the merge head under
+    // the (time, value)-ascending sort). Same oracle as q87.
+    "q202_asof_forward_native" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+      AsOfJoin.lookupNextNative(views, purchases, "user_id", "ts", "p_ts",
+          "value", "next_buy")
+        .select(col("event_id"), col("user_id"), col("next_buy"))
+    }),
+
+    // q131's tolerance-bounded backward as-of natively: the operator
+    // carries the matched (value, time) pair, staleness is a per-row
+    // projection. Same oracle as q131.
+    "q203_asof_tolerance_native" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      AsOfJoin.lookupLastWithinNative(errors, purchases, "user_id", "ts",
+          "p_ts", "p_ts", "recent_purchase_ts", tolerance = expr("INTERVAL 1 HOUR"))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("recent_purchase_ts").cast("timestamp_ntz").as("recent_purchase_ts"))
+    }),
+
     // Tolerance-bounded backward as-of (merge_asof tolerance=1h): the
     // latest purchase before each error counts only if it is at most
     // an hour old — same one-shuffle union+window as q10, with the
@@ -245,6 +275,29 @@ object CoreQueries {
          (SELECT max(CAST(p.ts AS TIMESTAMP)) FROM events p
           WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
             AND CAST(p.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)) AS last_purchase_ts
+         FROM events e WHERE e.event_type = 'error'""",
+
+    "q202_asof_forward_native" ->
+      """WITH v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
+                    FROM events WHERE event_type = 'view'),
+          p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS rt, value
+                FROM events WHERE event_type = 'purchase'),
+          j AS (SELECT v.event_id, p.rt, p.value
+                FROM v JOIN p ON v.user_id = p.user_id AND p.rt >= v.t),
+          m AS (SELECT event_id, MIN(rt) AS mrt FROM j GROUP BY event_id),
+          x AS (SELECT j.event_id, MIN(value) AS next_buy
+                FROM j JOIN m ON j.event_id = m.event_id AND j.rt = m.mrt
+                GROUP BY j.event_id)
+          SELECT v.event_id, v.user_id, x.next_buy
+          FROM v LEFT JOIN x USING (event_id)""",
+
+    "q203_asof_tolerance_native" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+         (SELECT max(CAST(p.ts AS TIMESTAMP)) FROM events p
+          WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+            AND CAST(p.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
+            AND CAST(p.ts AS TIMESTAMP) >=
+                CAST(e.ts AS TIMESTAMP) - INTERVAL 1 HOUR) AS recent_purchase_ts
          FROM events e WHERE e.event_type = 'error'""",
 
     // the native operator must be indistinguishable from q10's truth

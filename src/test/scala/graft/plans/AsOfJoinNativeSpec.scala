@@ -71,6 +71,42 @@ class AsOfJoinNativeSpec extends SparkSpec {
     }
   }
 
+  test("forward native equals composed lookupNext on the events corpus") {
+    val ev = graft.Tables.load(spark, sf(), "events")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+    val composed = AsOfJoin.lookupNext(views, purchases, "user_id",
+      "ts", "p_ts", "value", "next_buy")
+    val native = AsOfJoin.lookupNextNative(views, purchases, "user_id",
+      "ts", "p_ts", "value", "next_buy")
+    assert(canon(native) == canon(composed))
+  }
+
+  test("forward tie semantics: equal-time rights resolve to the min value, inclusive >=") {
+    val left = Seq((1L, 10L, "a"), (2L, 5L, "b")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 9.0), (1L, 10L, 3.0), (1L, 12L, 1.0),
+      (2L, 4L, 8.0)).toDF("k", "rt", "v")
+    val native = AsOfJoin.lookupNextNative(left, right, "k", "t", "rt", "v", "out")
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(native == Set(("a", Some(3.0)), ("b", None)))
+  }
+
+  test("tolerance native equals composed lookupLastWithin on the events corpus") {
+    val ev = graft.Tables.load(spark, sf(), "events")
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val composed = AsOfJoin.lookupLastWithin(errors, purchases, "user_id",
+      "ts", "p_ts", "p_ts", "recent", expr("INTERVAL 1 HOUR"))
+    val native = AsOfJoin.lookupLastWithinNative(errors, purchases, "user_id",
+      "ts", "p_ts", "p_ts", "recent", expr("INTERVAL 1 HOUR"))
+    assert(canon(native) == canon(composed))
+  }
+
   test("physical plan: one AsOfJoinExec over sorted keyed children; no window, no union") {
     val left = Seq((1L, 10L)).toDF("k", "t")
     val right = Seq((1L, 5L, 1.0)).toDF("k", "rt", "v")
