@@ -207,4 +207,32 @@ object Unigram {
                   vocab: Map[String, Double], maxLen: Int = 4): DataFrame =
     pieceCounts(segment(wordTable(docs, textCol), vocab, maxLen))
       .select(col("piece"), col("cnt").as("n"))
+
+  /** Per-group tokenizer FERTILITY — the quality metric a multilingual
+    * tokenizer is judged by (pieces per word, chars per piece; a
+    * language the vocab under-serves shows high fertility): segment
+    * the distinct-word table ONCE, then join the per-word piece count
+    * back onto the (group, word) frequency table and aggregate. The DP
+    * never runs per group — Zipf collapse first, group weighting
+    * after. Exact-long sums; the two ratios are single int-derived
+    * divisions, cross-engine stable raw.
+    */
+  def fertility(docs: DataFrame, textCol: String, groupCol: String,
+                vocab: Map[String, Double], maxLen: Int = 4): DataFrame = {
+    val byGroup = docs.where(col(textCol).isNotNull)
+      .select(col(groupCol), explode(TextFns.tokens(col(textCol))).as("word"))
+      .groupBy(col(groupCol), col("word")).agg(count(lit(1)).as("freq"))
+    val perWord = segment(
+        byGroup.select(col("word")).distinct(), vocab, maxLen)
+      .select(col("word"), size(col("pieces")).cast("long").as("_np"))
+    byGroup.join(perWord, Seq("word"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("_np")).as("n_pieces"),
+        sum(col("freq") * length(col("word"))).as("n_chars"))
+      .withColumn("pieces_per_word",
+        col("n_pieces").cast("double") / col("n_words"))
+      .withColumn("chars_per_piece",
+        col("n_chars").cast("double") / col("n_pieces"))
+  }
 }

@@ -261,6 +261,20 @@ object TextQueries {
       graft.operators.Unigram.tokenCounts(docs, "text", vocab, maxLen = 4)
     }),
 
+    // Tokenizer FERTILITY per language — the metric a multilingual
+    // tokenizer is judged by (pieces/word; a language the vocab
+    // under-serves shows high fertility). The q195 vocab segments the
+    // distinct-word table ONCE (Zipf collapse before the DP, group
+    // weighting after) and per-(lang, word) frequencies weight the
+    // aggregate. Exact-long sums; ratios are int-derived divisions.
+    "q204_tokenizer_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.Unigram.collectVocab(
+        graft.operators.Unigram.train(docs, "text",
+          maxLen = 4, seedSize = 150, vocabSize = 60, emRounds = 2))
+      graft.operators.Unigram.fertility(docs, "text", "lang", vocab, maxLen = 4)
+    }),
+
     // Distributed logistic-regression TRAINING: 3 full-batch GD steps
     // (one corpus aggregate per step, weights O(d) on the driver and
     // re-entering as literals — the data-parallel training shape), then
@@ -644,6 +658,26 @@ object TextQueries {
       SqlFragments.unigramCte(maxLen = 4, seedSize = 150, vocabSize = 60,
         emRounds = 2, applyRound = true) +
       "\n          SELECT piece, cnt AS n FROM c3"),
+
+    // Same apply pass; per-word piece counts weighted by the
+    // per-(lang, word) frequency table.
+    "q204_tokenizer_fertility" -> (
+      SqlFragments.unigramCte(maxLen = 4, seedSize = 150, vocabSize = 60,
+        emRounds = 2, applyRound = true) +
+      s""",
+          lw AS (SELECT lang, w AS word, COUNT(*) AS freq
+                 FROM (SELECT lang, unnest(${SqlFragments.toksExpr}) AS w
+                       FROM documents WHERE text IS NOT NULL)
+                 GROUP BY lang, w),
+          pw AS (SELECT word, CAST(len(out) AS BIGINT) AS np
+                 FROM bt3 WHERE pos = 0)
+          SELECT lang, CAST(SUM(freq) AS BIGINT) AS n_words,
+            CAST(SUM(freq * np) AS BIGINT) AS n_pieces,
+            CAST(SUM(freq * length(word)) AS BIGINT) AS n_chars,
+            CAST(SUM(freq * np) AS DOUBLE) / SUM(freq) AS pieces_per_word,
+            CAST(SUM(freq * length(word)) AS DOUBLE) / SUM(freq * np)
+              AS chars_per_piece
+          FROM lw JOIN pw USING (word) GROUP BY lang"""),
 
     // Full GD-trajectory replay: per-iteration sigmoid-error sums
     // (r15-pinned), weight updates as 1-row CTE chain, final scoring.
