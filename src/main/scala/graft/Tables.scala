@@ -54,13 +54,21 @@ object Tables {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
-    val t = spark.read.option("mergeSchema", "true")
-      .parquet(s"$dir/events.parque*").schema("ts").dataType
-    if (t != LongType) prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    // restore on EVERY exit that doesn't need the flag — including the
+    // mixed-generation schema-merge failure, which would otherwise
+    // leave the session-global flag flipped by a mere probe
+    val t =
+      try spark.read.option("mergeSchema", "true")
+        .parquet(s"$dir/events.parque*").schema("ts").dataType
+      catch { case e: Throwable => restore(spark, key, prev); throw e }
+    if (t != LongType) restore(spark, key, prev)
     t
+  }
+
+  private def restore(spark: SparkSession, key: String,
+                      prev: Option[String]): Unit = prev match {
+    case Some(v) => spark.conf.set(key, v)
+    case None => spark.conf.unset(key)
   }
 
   /** Streaming scan of the events table projected to `fields`, with

@@ -166,7 +166,12 @@ case class HeavyHittersAgg(keyExpr: Expression, k: Int,
     while (it.hasNext) {
       val e = it.next()
       e.getKey match {
-        case s: String => out.writeBoolean(true); out.writeUTF(s)
+        case s: String =>
+          // length-prefixed UTF-8, not writeUTF: the 2-byte writeUTF
+          // length caps keys at 64KB, and this is the arbitrary-string
+          // extreme-cardinality path
+          val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          out.writeBoolean(true); out.writeInt(bytes.length); out.write(bytes)
         case l: java.lang.Long => out.writeBoolean(false); out.writeLong(l)
       }
       out.writeLong(e.getValue)
@@ -186,7 +191,13 @@ case class HeavyHittersAgg(keyExpr: Expression, k: Int,
     val sz = in.readInt()
     var i = 0
     while (i < sz) {
-      val key: Any = if (in.readBoolean()) in.readUTF() else java.lang.Long.valueOf(in.readLong())
+      val key: Any =
+        if (in.readBoolean()) {
+          val len = in.readInt()
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        } else java.lang.Long.valueOf(in.readLong())
       buf.counters.put(key, in.readLong())
       i += 1
     }

@@ -29,9 +29,40 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Driver-side path-compressed union-find with min-id labels — the
+    * bounded-graph core shared by [[connectedComponents]]' local path
+    * and [[incrementalComponentsDelta]]'s bounded path (one
+    * implementation, so a fix to either caller cannot drift).
+    * Returns node -> min id of its component, covering every endpoint.
+    */
+  private[operators] def driverUnionFind(
+      pairs: Iterator[(Long, Long)]): scala.collection.Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val minOfRoot = scala.collection.mutable.HashMap[Long, Long]()
+    parent.keys.foreach { n => val r = find(n)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n) }
+    parent.keys.map(n => n -> minOfRoot(find(n))).toMap
+  }
+
   /** Connected components of the undirected graph given by
     * (srcCol, dstCol) id pairs. Returns one row per distinct node:
-    * (id, comp) with comp = min node id of its component.
+    * (id, comp) with comp = min node id of its component. Edges with a
+    * NULL endpoint are dropped up front (null never equi-joins, so the
+    * propagation path would leave such rows inert anyway; the explicit
+    * filter makes the driver path agree instead of coercing null to 0).
     *
     * Two physical paths, one contract: an edge set within `localLimit`
     * (the common case for a verified near-dup pair graph, and ALWAYS
@@ -49,30 +80,14 @@ object Components {
                           localLimit: Int = 100000): DataFrame = {
     val e0 = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
     val probe = e0.limit(localLimit + 1).collect()
     if (probe.length <= localLimit) {
-      val parent = scala.collection.mutable.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      probe.foreach { row =>
-        val (u, v) = (row.getLong(0), row.getLong(1))
-        parent.getOrElseUpdate(u, u)
-        parent.getOrElseUpdate(v, v)
-        val (ru, rv) = (find(u), find(v))
-        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
-      }
-      val nodes = parent.keys.toArray.sorted
-      val minOfRoot = scala.collection.mutable.HashMap[Long, Long]()
-      nodes.foreach { n => val r = find(n)
-        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n) }
+      val labels = driverUnionFind(
+        probe.iterator.map(r => (r.getLong(0), r.getLong(1))))
       val spark = edges.sparkSession
       import spark.implicits._
-      return nodes.toSeq.map(n => (n, minOfRoot(find(n)))).toDF("id", "comp")
+      return labels.toSeq.sorted.toDF("id", "comp")
     }
     val sym = e0
       .union(e0.select(col("v").as("u"), col("u").as("v")))
@@ -155,6 +170,7 @@ object Components {
                                  localLimit: Int = 100000): DataFrame = {
     val e0 = newEdges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
     val probe = e0.limit(localLimit + 1).collect()
     if (probe.length <= localLimit) {
       // bounded path — the shape a per-micro-batch maintenance op
@@ -172,27 +188,10 @@ object Components {
       val lookup = lab
         .join(broadcast(endpoints.toSeq.toDF("id")), Seq("id"), "left_semi")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val parent = scala.collection.mutable.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      probe.foreach { row =>
-        val a = lookup.getOrElse(row.getLong(0), row.getLong(0))
-        val b = lookup.getOrElse(row.getLong(1), row.getLong(1))
-        parent.getOrElseUpdate(a, a)
-        parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val labels = parent.keys.toSeq
-      val minOfRoot = scala.collection.mutable.HashMap[Long, Long]()
-      labels.foreach { l => val r = find(l)
-        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, l), l) }
-      val merged = labels.map(l => l -> minOfRoot(find(l))).toMap
+      val merged = driverUnionFind(probe.iterator.map { row =>
+        (lookup.getOrElse(row.getLong(0), row.getLong(0)),
+          lookup.getOrElse(row.getLong(1), row.getLong(1)))
+      })
       val moves = merged.filter { case (l, m) => m != l }
       val newNodes = endpoints.filterNot(lookup.contains)
         .map(id => (id, merged.getOrElse(id, id))).sortBy(_._1)

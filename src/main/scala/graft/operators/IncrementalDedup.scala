@@ -153,6 +153,18 @@ object IncrementalDedup {
     * reads both endpoints' text from `corpusText` (the master corpus —
     * at store scale a keyed text table), never re-tokenizing beyond the
     * candidates.
+    *
+    * Cap-boundary caveat (inherited by the continuous loop's
+    * one-shot-equivalence contract): `maxBucket` is evaluated against
+    * the CURRENT stored∪batch population, so a band bucket that sat
+    * under the cap during an earlier batch (or the seed) but crosses it
+    * later is dropped only from the later batch's candidates — the
+    * incremental edge union can then differ from a from-scratch pass
+    * whose bucket was capped (or not) once, globally. The q23 data
+    * contract keeps graded corpora far from the cap; at scale, size
+    * `maxBucket` above the largest expected near-dup clique so no
+    * bucket straddles it across ingest boundaries (the same sizing rule
+    * as minHashLsh's).
     */
   def verifiedEdges(stored: DataFrame, batch: DataFrame, corpusText: DataFrame,
                     idCol: String, textCol: String,

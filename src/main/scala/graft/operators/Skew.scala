@@ -58,7 +58,12 @@ object Skew {
     */
   def hotKeys(fact: DataFrame, key: String, minFrac: Double): Seq[Any] = {
     require(minFrac > 0.0 && minFrac <= 1.0)
-    val keyCounts = fact.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+    // NULL keys never equi-join, so salting them is pointless —
+    // exclude them from both the candidates and the total, which also
+    // keeps the exact and sketch paths byte-identical (the sketch
+    // aggregate skips nulls like any aggregate)
+    val keyCounts = fact.where(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("_n"))
       .localCheckpoint()
     val totalRow = keyCounts.agg(sum(col("_n"))).head()
     if (totalRow.isNullAt(0)) Seq.empty
@@ -72,7 +77,8 @@ object Skew {
   def hotKeys(fact: DataFrame, key: String, minFrac: Double,
               total: Long): Seq[Any] = {
     require(minFrac > 0.0 && minFrac <= 1.0)
-    hotFromCounts(fact.groupBy(col(key)).agg(count(lit(1)).as("_n")),
+    hotFromCounts(fact.where(col(key).isNotNull)
+        .groupBy(col(key)).agg(count(lit(1)).as("_n")),
       key, minFrac, total)
   }
 

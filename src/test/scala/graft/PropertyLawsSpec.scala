@@ -133,6 +133,18 @@ class PropertyLawsSpec extends AnyFunSuite {
     })
   }
 
+  test("HhBuf serde round-trips string keys past writeUTF's 64KB limit") {
+    val agg = graft.expressions.HeavyHittersAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(""), 4)
+    val big = "x" * 70000 // > 65535 UTF-8 bytes: would kill writeUTF
+    val b = new graft.expressions.HhBuf(4, 0.01, 0.95)
+    b.add(big); b.add(big); b.add("small")
+    val rt = agg.deserialize(agg.serialize(b))
+    assert(rt.n == 3)
+    assert(rt.counters.get(big) == 2L)
+    assert(rt.counters.get("small") == 1L)
+  }
+
   test("SimHash64 equals the bit-majority reference") {
     check("simhash", Prop.forAll(Gen.listOf(Gen.long)) { hs =>
       val expr = graft.expressions.SimHash64(

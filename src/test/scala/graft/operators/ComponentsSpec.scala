@@ -40,6 +40,18 @@ class ComponentsSpec extends SparkSpec {
     assert((got - 20L) == full) // 20 has no edge; full never sees it
   }
 
+  test("null-endpoint edges are dropped identically on both paths") {
+    val edges = Seq((Some(1L), Some(2L)), (None, Some(5L)), (Some(7L), None),
+      (Some(2L), Some(3L))).toDF("a", "b")
+    val local = Components.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val dist = Components.connectedComponents(edges, "a", "b", localLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    // nodes 5 and 7 only appear on null edges: absent entirely
+    assert(local == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(dist == local)
+  }
+
   test("incrementalComponentsDelta upserted into the store equals the full incremental result") {
     val batch1 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
     val stored = Components.connectedComponents(batch1, "a", "b")

@@ -60,6 +60,14 @@ class SkewSpec extends SparkSpec {
     assert(Skew.hotKeysSketch(fact, "okey", 0.9).isEmpty)
   }
 
+  test("null keys are excluded from detection on both paths (they never equi-join)") {
+    // nulls hold 60% of rows; key 1 holds 30% — of NON-NULL rows, 75%
+    val fact = ((0 until 60).map(_ => None: Option[Long]) ++
+      (0 until 30).map(_ => Some(1L)) ++ (100L until 110L).map(Some(_))).toDF("k")
+    assert(Skew.hotKeys(fact, "k", 0.5) == Seq(1L))
+    assert(Skew.hotKeysSketch(fact, "k", 0.5) == Seq(1L))
+  }
+
   test("sketch-path hot keys work on string keys and across partitions") {
     // 12 partitions force real partial-buffer merges (MG reduction +
     // CMS mergeInPlace) on both the exchange and the serialize path
