@@ -149,6 +149,18 @@ object VectorQueries {
       Dedup.pairEval(pred, truth)
     }),
 
+    // IDF-weighted near-dup verify — the template-heavy-corpus upgrade
+    // of q23: LSH candidates verified with exact weighted Jaccard
+    // (w = r9(ln(1 + N/df)); rare-shingle overlap outweighs
+    // boilerplate). Weight sums fold sorted struct arrays left-to-right
+    // in both engines, so the ratio ships raw. Oracle: the exact
+    // all-pairs weighted truth (candidates complete above the verify
+    // threshold per q23's bimodal contract).
+    "q205_weighted_jaccard" -> ((s, dir) =>
+      graft.operators.Dedup.weightedJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        estThreshold = 0.3, wjThreshold = 0.4)),
+
     "q23_minhash_lsh" -> ((s, dir) => {
       Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
           estThreshold = 0.3, jaccardThreshold = 0.4)
@@ -643,6 +655,34 @@ object VectorQueries {
     "q23_minhash_lsh" ->
       s"""${SqlFragments.shinglePairsCte(0.4)}
           SELECT a_id, b_id, jaccard, TRUE AS est_ok FROM verified""",
+
+    // Exact all-pairs weighted truth: df-derived r15/9 weights, sorted
+    // per-doc (sh, w) struct lists, left-to-right weight-sum folds
+    // (list_reduce's w1+w2+... equals Spark's 0.0+w1+w2+... exactly).
+    "q205_weighted_jaccard" ->
+      s"""WITH d AS (SELECT doc_id,
+                     list_distinct(${SqlFragments.bigramsExpr(SqlFragments.toksExpr)}) AS shs
+                     FROM documents WHERE text IS NOT NULL),
+          d2 AS (SELECT * FROM d WHERE len(shs) > 0),
+          nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d2),
+          wt AS (SELECT sh,
+                   ${SqlFragments.r15("ln(1.0 + nn.n / COUNT(*))", 9)} AS w
+                 FROM (SELECT doc_id, unnest(shs) AS sh FROM d2), nn
+                 GROUP BY sh, nn.n),
+          wm AS (SELECT map(list(sh ORDER BY sh), list(w ORDER BY sh)) AS m
+                 FROM wt),
+          p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  list_transform(list_sort(list_intersect(a.shs, b.shs)),
+                    s -> element_at(wm.m, s)[1]) AS wi,
+                  list_transform(list_sort(list_distinct(
+                    list_concat(a.shs, b.shs))), s -> element_at(wm.m, s)[1]) AS wu
+                FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id, wm),
+          j AS (SELECT a_id, b_id,
+                  CASE WHEN len(wi) = 0 THEN 0.0
+                       ELSE list_reduce(wi, (x, y) -> x + y) END /
+                  list_reduce(wu, (x, y) -> x + y) AS wjac
+                FROM p)
+          SELECT a_id, b_id, wjac FROM j WHERE wjac >= 0.4""",
 
     // Truth replayed as the all-pairs shingle-Jaccard >= 0.5 set (the
     // q23 device); pred as all-pairs token-set equality; identical
