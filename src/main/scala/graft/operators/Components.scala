@@ -51,10 +51,9 @@ object Components {
       val (ru, rv) = (find(u), find(v))
       if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
     }
-    val minOfRoot = scala.collection.mutable.HashMap[Long, Long]()
-    parent.keys.foreach { n => val r = find(n)
-      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n) }
-    parent.keys.map(n => n -> minOfRoot(find(n))).toMap
+    // union always attaches the larger root under the smaller, so
+    // every root IS its component's min id — find(n) is the label
+    parent.keys.map(n => n -> find(n)).toMap
   }
 
   /** Connected components of the undirected graph given by
@@ -221,8 +220,11 @@ object Components {
       : (DataFrame, DataFrame, DataFrame) = {
     val lab = stored.select(col("id").cast("long").as("id"),
       col("comp").cast("long").as("comp"))
+    // same null-endpoint contract as connectedComponents and the
+    // bounded delta path: such edges are dropped, never half-processed
     val e = newEdges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
     val mapped = e
       .join(lab.select(col("id").as("u"), col("comp").as("_cu")), Seq("u"), "left")
       .join(lab.select(col("id").as("v"), col("comp").as("_cv")), Seq("v"), "left")

@@ -70,9 +70,12 @@ object Skew {
     else hotFromCounts(keyCounts, key, minFrac, totalRow.getLong(0))
   }
 
-  /** [[hotKeys]] with a caller-known row total (e.g. from table stats
-    * or an earlier pass) — a genuinely single-job detection: one agg,
-    * one bounded collect.
+  /** [[hotKeys]] with a caller-known row total — a genuinely
+    * single-job detection: one agg, one bounded collect. `total` must
+    * be the NON-NULL-keyed row count (the universe the shares are
+    * measured against, matching the self-counting overload and the
+    * sketch path); a stats-derived all-rows total on a null-heavy fact
+    * would understate every share.
     */
   def hotKeys(fact: DataFrame, key: String, minFrac: Double,
               total: Long): Seq[Any] = {
