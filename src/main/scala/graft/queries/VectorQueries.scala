@@ -161,6 +161,18 @@ object VectorQueries {
         t(s, dir, "documents"), "doc_id", "text",
         estThreshold = 0.3, wjThreshold = 0.4)),
 
+    // q205 with candidates from the WEIGHTED sketch: shingles enter
+    // the MinHash item set round(w/w_min) times, so the candidate
+    // gate's signature similarity estimates the same quantized
+    // weighted metric the verify computes — the gate tracks the
+    // verified quantity (closing q205's documented caveat). Same
+    // all-pairs weighted oracle: both generators must land on the
+    // identical verified set.
+    "q206_weighted_lsh_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.weightedJaccardPairsSketch(
+        t(s, dir, "documents"), "doc_id", "text",
+        estThreshold = 0.3, wjThreshold = 0.4)),
+
     "q23_minhash_lsh" -> ((s, dir) => {
       Dedup.lshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
           estThreshold = 0.3, jaccardThreshold = 0.4)
@@ -349,6 +361,35 @@ object VectorQueries {
         "vec_id", "embedding", k = 16, simThreshold = 0.35)
     })
   )
+
+  /** Exact all-pairs weighted-Jaccard truth shared by q205 and q206:
+    * whichever candidate generator ran, the verified set must equal
+    * this.
+    */
+  private val weightedJaccardOracle: String =
+    s"""WITH d AS (SELECT doc_id,
+                   list_distinct(${SqlFragments.bigramsExpr(SqlFragments.toksExpr)}) AS shs
+                   FROM documents WHERE text IS NOT NULL),
+        d2 AS (SELECT * FROM d WHERE len(shs) > 0),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d2),
+        wt AS (SELECT sh,
+                 ${SqlFragments.r15("ln(1.0 + nn.n / COUNT(*))", 9)} AS w
+               FROM (SELECT doc_id, unnest(shs) AS sh FROM d2), nn
+               GROUP BY sh, nn.n),
+        wm AS (SELECT map(list(sh ORDER BY sh), list(w ORDER BY sh)) AS m
+               FROM wt),
+        p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                list_transform(list_sort(list_intersect(a.shs, b.shs)),
+                  s -> element_at(wm.m, s)[1]) AS wi,
+                list_transform(list_sort(list_distinct(
+                  list_concat(a.shs, b.shs))), s -> element_at(wm.m, s)[1]) AS wu
+              FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id, wm),
+        j AS (SELECT a_id, b_id,
+                CASE WHEN len(wi) = 0 THEN 0.0
+                     ELSE list_reduce(wi, (x, y) -> x + y) END /
+                list_reduce(wu, (x, y) -> x + y) AS wjac
+              FROM p)
+        SELECT a_id, b_id, wjac FROM j WHERE wjac >= 0.4"""
 
   val oracle: Map[String, String] = Map(
     "q144_hard_negatives" ->
@@ -659,30 +700,11 @@ object VectorQueries {
     // Exact all-pairs weighted truth: df-derived r15/9 weights, sorted
     // per-doc (sh, w) struct lists, left-to-right weight-sum folds
     // (list_reduce's w1+w2+... equals Spark's 0.0+w1+w2+... exactly).
-    "q205_weighted_jaccard" ->
-      s"""WITH d AS (SELECT doc_id,
-                     list_distinct(${SqlFragments.bigramsExpr(SqlFragments.toksExpr)}) AS shs
-                     FROM documents WHERE text IS NOT NULL),
-          d2 AS (SELECT * FROM d WHERE len(shs) > 0),
-          nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d2),
-          wt AS (SELECT sh,
-                   ${SqlFragments.r15("ln(1.0 + nn.n / COUNT(*))", 9)} AS w
-                 FROM (SELECT doc_id, unnest(shs) AS sh FROM d2), nn
-                 GROUP BY sh, nn.n),
-          wm AS (SELECT map(list(sh ORDER BY sh), list(w ORDER BY sh)) AS m
-                 FROM wt),
-          p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                  list_transform(list_sort(list_intersect(a.shs, b.shs)),
-                    s -> element_at(wm.m, s)[1]) AS wi,
-                  list_transform(list_sort(list_distinct(
-                    list_concat(a.shs, b.shs))), s -> element_at(wm.m, s)[1]) AS wu
-                FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id, wm),
-          j AS (SELECT a_id, b_id,
-                  CASE WHEN len(wi) = 0 THEN 0.0
-                       ELSE list_reduce(wi, (x, y) -> x + y) END /
-                  list_reduce(wu, (x, y) -> x + y) AS wjac
-                FROM p)
-          SELECT a_id, b_id, wjac FROM j WHERE wjac >= 0.4""",
+    "q205_weighted_jaccard" -> weightedJaccardOracle,
+
+    // Same truth — the weighted-sketch candidate generator must land
+    // on the identical verified set.
+    "q206_weighted_lsh_dedup" -> weightedJaccardOracle,
 
     // Truth replayed as the all-pairs shingle-Jaccard >= 0.5 set (the
     // q23 device); pred as all-pairs token-set equality; identical
