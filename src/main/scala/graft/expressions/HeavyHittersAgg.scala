@@ -101,8 +101,6 @@ case class HeavyHittersAgg(keyExpr: Expression, k: Int,
 
   import org.apache.spark.sql.types._
 
-  private def isString = keyExpr.dataType == StringType
-
   override def children: Seq[Expression] = Seq(keyExpr)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     keyExpr.dataType match {

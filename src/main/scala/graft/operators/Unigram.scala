@@ -100,12 +100,22 @@ object Unigram {
                             'j', j,
                             'p', substring(word, j + 1, i - j)),
                           m)))))"""
+    // a word with NO viable segmentation (a character outside the
+    // vocab — possible when a trained vocab is applied to a corpus
+    // with unseen characters) leaves the final DP cell at the
+    // -1e18/j=-1 sentinel; emit null pieces so callers can DETECT the
+    // coverage gap instead of silently counting [""] pieces. Guarding
+    // the final cell suffices: a reachable final cell's backpointer
+    // chain only visits reachable cells (its score is finite only if
+    // every predecessor on the path is).
     val walkExpr =
-      s"""aggregate(sequence(1, length(word)),
-           named_struct('pos', length(word), 'ps', cast(array() as array<string>)),
-           (st, x) -> if(st.pos <= 0, st,
-             named_struct('pos', _dp[st.pos].j,
-                          'ps', concat(array(_dp[st.pos].p), st.ps)))).ps"""
+      s"""if(length(word) > 0 and _dp[length(word)].j = -1,
+           cast(null as array<string>),
+           aggregate(sequence(1, length(word)),
+             named_struct('pos', length(word), 'ps', cast(array() as array<string>)),
+             (st, x) -> if(st.pos <= 0, st,
+               named_struct('pos', _dp[st.pos].j,
+                            'ps', concat(array(_dp[st.pos].p), st.ps)))).ps)"""
     (dpExpr, walkExpr)
   }
 

@@ -2,10 +2,9 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 
@@ -92,6 +91,21 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  /** The merge pass runs BETWEEN whole-stage-codegen'd stages (the
+    * children's exchanges + sorts fuse; a binary streaming-merge
+    * CodegenSupport would have to re-derive SortMergeJoin's buffered-
+    * side machinery for little gain — the pass is already one tight
+    * loop). What IS eliminated is every interpreted/boxed per-row
+    * operation: both sides project their (key, time) through CODEGEN'd
+    * UnsafeProjections onto one common 2-col shape, comparisons run
+    * through GENERATED unboxed orderings over that shape (nulls-first
+    * ascending = the required child sort), the matched right projects
+    * ONCE through a single merged [key, values…] projection, and the
+    * backward path's held best row reuses one UnsafeRow buffer via
+    * copyFrom (zero per-match allocation). The forward path holds no
+    * state at all — it projects the peeked head straight into the
+    * (codegen'd) output projection.
+    */
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val keyType = leftKey.dataType
@@ -102,66 +116,65 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val fwd = forward
     val (lkE, ltE) = (leftKey, leftTime)
     val (rkE, rtE, rvE) = (rightKey, rightTime, rightValues)
+    // the held/peeked right row carries [key, values…]; the output
+    // projection drops the key slot (it exists only for the stale-key
+    // check when the left side advances past the held match's key)
+    val keyAttr = AttributeReference("_asof_key", keyType)()
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
-      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
-      // nulls-first compare, matching the Ascending sorts above
-      def cmp(ord: Ordering[Any], a: Any, b: Any): Int =
-        if (a == null && b == null) 0
-        else if (a == null) -1
-        else if (b == null) 1
-        else ord.compare(a, b)
-      val lk = BindReferences.bindReference(lkE, leftOutput)
-      val lt = BindReferences.bindReference(ltE, leftOutput)
-      val rk = BindReferences.bindReference(rkE, rightOutput)
-      val rt = BindReferences.bindReference(rtE, rightOutput)
-      val rvProj = UnsafeProjection.create(rvE, rightOutput)
-      val rkProj = UnsafeProjection.create(Seq(rkE), rightOutput)
-      val outProj = UnsafeProjection.create(output, leftOutput ++ outAttrsLocal)
-      val nullRow = new GenericInternalRow(outAttrsLocal.length)
+      import org.apache.spark.sql.types.{StructField, StructType}
+      val ktShape = StructType(Seq(StructField("k", keyType), StructField("t", timeType)))
+      // generated orderings: keyOrd touches ordinal 0 only, ktOrd
+      // ordinals 0-1 — both unboxed, nulls-first ascending (null keys
+      // join null keys; null times sort first), exactly the required
+      // child orderings' semantics
+      val keyOrd = org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+        .create(StructType(ktShape.take(1)))
+      val ktOrd = org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+        .create(ktShape)
+      val lktProj = UnsafeProjection.create(Seq(lkE, ltE), leftOutput)
+      val rktProj = UnsafeProjection.create(Seq(rkE, rtE), rightOutput)
+      val rowProj = UnsafeProjection.create(rkE +: rvE, rightOutput)
+      val outProj = UnsafeProjection.create(output, leftOutput ++ (keyAttr +: outAttrsLocal))
+      val nullRow = new GenericInternalRow(1 + outAttrsLocal.length)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
-      // backward state: the current best match as copied rows (iterator
-      // rows are reused buffers) — O(1) per partition
-      var bestVal: UnsafeRow = null
-      var bestKeyRow: UnsafeRow = null
+      // backward state: the current best [key, values…] match in ONE
+      // reused buffer (iterator rows are reused, so the held match must
+      // be copied out) — O(1) per partition
+      val best = new UnsafeRow(1 + rvE.length)
+      best.pointTo(new Array[Byte](64), 64)
+      var hasBest = false
       lIter.map { lrow =>
-        val k = lk.eval(lrow)
-        val t = lt.eval(lrow)
+        val lkt = lktProj(lrow)
         val valRow: InternalRow =
           if (!fwd) {
             var scan = true
             while (scan && rBuf.hasNext) {
-              val hk = rk.eval(rBuf.head)
-              val ck = cmp(keyOrd, hk, k)
+              val rkt = rktProj(rBuf.head)
+              val ck = keyOrd.compare(rkt, lkt)
               if (ck < 0) {
                 // rights for keys the (ascending) left side has passed
                 rBuf.next()
-                bestVal = null; bestKeyRow = null
-              } else if (ck == 0 && cmp(timeOrd, rt.eval(rBuf.head), t) <= 0) {
-                val row = rBuf.next()
-                bestVal = rvProj(row).copy()
-                bestKeyRow = rkProj(row).copy()
+                hasBest = false
+              } else if (ck == 0 && ktOrd.compare(rkt, lkt) <= 0) {
+                best.copyFrom(rowProj(rBuf.next()))
+                hasBest = true
               } else scan = false
             }
-            if (bestVal != null &&
-                cmp(keyOrd, bestKeyRow.get(0, keyType), k) == 0) bestVal
-            else nullRow
+            if (hasBest && keyOrd.compare(best, lkt) == 0) best else nullRow
           } else {
             // forward: discard rights strictly before this left row
             // (they can serve no later left either — left times only
             // grow within a key), then PEEK the head without consuming
-            // (it may serve the next left row too)
+            // (it may serve the next left row too). ktOrd < 0 is
+            // exactly key < OR (key == AND time <).
             var scan = true
             while (scan && rBuf.hasNext) {
-              val hk = rk.eval(rBuf.head)
-              val ck = cmp(keyOrd, hk, k)
-              if (ck < 0 || (ck == 0 && cmp(timeOrd, rt.eval(rBuf.head), t) < 0))
-                rBuf.next()
+              if (ktOrd.compare(rktProj(rBuf.head), lkt) < 0) rBuf.next()
               else scan = false
             }
-            if (rBuf.hasNext && cmp(keyOrd, rk.eval(rBuf.head), k) == 0)
-              rvProj(rBuf.head).copy()
+            if (rBuf.hasNext && keyOrd.compare(rktProj(rBuf.head), lkt) == 0)
+              rowProj(rBuf.head)
             else nullRow
           }
         numOutputRows += 1

@@ -492,12 +492,14 @@ object CurationQueries {
       val views = Seq(graft.operators.ContinuousDedup.FpsView,
         graft.operators.ContinuousDedup.LabelsView,
         graft.operators.ContinuousDedup.SplitsView)
-      val vs = views.map(v => st.versions(v).max)
+      val vs = views.map(v => st.versions(v).max) :+ st.syncpoints.max
       graft.operators.ContinuousDedup.processBatch(st, b2, docs,
         "doc_id", "text", txnId = 2L)
-      require(views.map(v => st.versions(v).max) == vs,
-        "redelivered micro-batch must no-op across all three stores")
-      st.read(graft.operators.ContinuousDedup.SplitsView)
+      require(views.map(v => st.versions(v).max) :+ st.syncpoints.max == vs,
+        "redelivered micro-batch must no-op across all three stores + syncpoint")
+      // cycle-consistent read: resolve the batch's ONE syncpoint, not
+      // three independent "latest" manifests
+      st.readSync(graft.operators.ContinuousDedup.SplitsView)
         .select(col("id").as("doc_id"), col("group_id"), col("split"))
     }),
 
@@ -603,7 +605,11 @@ object CurationQueries {
           val part = new java.io.File(tmp).listFiles()
             .find(_.getName.endsWith(".parquet")).get
           val dst = new java.io.File(inDir, s"b$m.parquet")
-          java.nio.file.Files.move(part.toPath, dst.toPath)
+          // REPLACE_EXISTING: a prior stage that died after this move
+          // but before the _staged marker re-enters here — the retry
+          // must overwrite the leftover file, not throw
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           dst.setLastModified(1700000000000L + m * 10000L)
           graft.sources.Scratch.deleteRecursively(new java.io.File(tmp))
         }
@@ -629,11 +635,11 @@ object CurationQueries {
       val views = Seq(graft.operators.ContinuousDedup.FpsView,
         graft.operators.ContinuousDedup.LabelsView,
         graft.operators.ContinuousDedup.SplitsView)
-      val vs = views.map(v => st.versions(v).max)
+      val vs = views.map(v => st.versions(v).max) :+ st.syncpoints.max
       runStream() // restart on the same checkpoint: nothing re-delivers
-      require(views.map(v => st.versions(v).max) == vs,
-        "stream restart must not move any store version")
-      st.read(graft.operators.ContinuousDedup.SplitsView)
+      require(views.map(v => st.versions(v).max) :+ st.syncpoints.max == vs,
+        "stream restart must not move any store version or syncpoint")
+      st.readSync(graft.operators.ContinuousDedup.SplitsView)
         .select(col("id").as("doc_id"), col("group_id"), col("split"))
     }),
 

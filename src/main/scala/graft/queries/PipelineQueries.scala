@@ -136,14 +136,24 @@ object PipelineQueries {
       st.appendOnce("speed_view", speedRows, txnId = 1L, statsCols = Seq("date"))
       require(st.appendOnce("speed_view", speedRows, txnId = 1L).isEmpty,
         "redelivered speed batch must no-op")
-      // serving: pinned-version skipping read of history + today's row
+      // the day-cycle PUBLISH: one syncpoint pinning batch_view AND
+      // speed_view — the serving splice below resolves this single
+      // syncpoint, so it is day-cycle-consistent BY CONSTRUCTION (a
+      // reader can never see day N's batch view with day M's speed
+      // row, the reference's lambda splice anomaly)
+      st.publishSync(Map(
+        "batch_view" -> bvV,
+        "speed_view" -> st.versions("speed_view").max))
+      val pins = st.syncPins()
+      // serving: skipping read of history AS OF the cycle's pinned
+      // batch version + the same cycle's speed row
       val hist = st.readPruned("batch_view", "Date", "1997-01-01", "1997-01-29",
-          asOf = Some(bvV))
+          asOf = Some(pins("batch_view")))
         .select(col("Date").as("date"), col("Close").as("close"),
           col("Nbr_article").cast("long").as("nbr_article"),
           NumFns.stableRound(col("Positive"), 6).as("positive"),
           lit("batch").as("source"))
-      val todayRow = st.read("speed_view")
+      val todayRow = st.readSync("speed_view")
         .select(col("date"), col("close"), col("nbr_article"),
           col("positive"), lit("speed").as("source"))
       hist.unionByName(todayRow)

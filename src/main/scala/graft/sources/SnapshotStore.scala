@@ -295,7 +295,39 @@ class SnapshotStore(spark: SparkSession, root: String) {
     // still recognizes its txn instead of double-appending
     val prevTxns = if (vs.isEmpty) Set.empty[Long] else manifestTxns(view, base)
     publish(view, next, dirs, prevTxns ++ txn)
+    seedSchemaCache(view, dirs, df.schema,
+      prev = if (overwrite || vs.isEmpty) None else Some(readManifest(view, base)))
     next
+  }
+
+  /** Pre-populate the merged-schema cache for a JUST-committed dir list
+    * from what the commit already knows in the driver (the written df's
+    * schema, merged onto the predecessor's cached schema for appends) —
+    * the first read of the new version then plans with zero footer IO.
+    * Merge failure or a cold predecessor just skips the seed; the read
+    * path falls back to the footer merge.
+    */
+  private def seedSchemaCache(view: String, dirs: Seq[String],
+                              written: org.apache.spark.sql.types.StructType,
+                              prev: Option[Seq[String]]): Unit = {
+    val paths = dirs.map(d => dataRoot(view).resolve(d).toString)
+    prev match {
+      case None => schemaCache.update(paths, written)
+      case Some(pdirs) =>
+        val ppaths = pdirs.map(d => dataRoot(view).resolve(d).toString)
+        schemaCache.get(ppaths).foreach { ps =>
+          // name-keyed union; identical types only — any type conflict
+          // (widening) skips the seed and defers to the footer merge
+          val prevByName = ps.fields.map(f => f.name -> f).toMap
+          val conflict = written.fields.exists(f =>
+            prevByName.get(f.name).exists(_.dataType != f.dataType))
+          if (!conflict) {
+            val added = written.fields.filterNot(f => prevByName.contains(f.name))
+            schemaCache.update(paths,
+              org.apache.spark.sql.types.StructType(ps.fields ++ added))
+          }
+        }
+    }
   }
 
   /** Txn ids already folded into the CURRENT snapshot. Read from the
@@ -325,13 +357,24 @@ class SnapshotStore(spark: SparkSession, root: String) {
 
   // --------------------------------------------------------------- reads
 
-  private def readDirs(dirs: Seq[String], view: String): DataFrame =
-    spark.read
-      // schema evolution: an appended dir may carry added columns; old
-      // rows read NULL for them. At 100 TB the union schema lives in the
-      // manifest — here the footers are few enough to merge at plan time.
-      .option("mergeSchema", "true")
-      .parquet(dirs.map(d => dataRoot(view).resolve(d).toString): _*)
+  // Merged-schema cache keyed by the exact (view-qualified) dir list:
+  // data dirs are IMMUTABLE, so a dir list fully determines the merged
+  // schema — and mergeSchema inference is a distributed footer-read JOB
+  // at plan time, which a maintenance loop re-pays on every one of its
+  // ~6 store reads per micro-batch. A hit replays the cached schema and
+  // plans with zero footer IO; any new dir list (new version) misses
+  // and re-merges. Per-file column subsets still read correctly under
+  // an explicit schema (missing columns surface NULL, the same
+  // evolution contract mergeSchema provides).
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[Seq[String], org.apache.spark.sql.types.StructType]
+
+  private def readDirs(dirs: Seq[String], view: String): DataFrame = {
+    val paths = dirs.map(d => dataRoot(view).resolve(d).toString)
+    val sch = schemaCache.getOrElseUpdate(paths,
+      spark.read.option("mergeSchema", "true").parquet(paths: _*).schema)
+    spark.read.schema(sch).parquet(paths: _*)
+  }
 
   /** Read a snapshot: the latest by default, or AS OF `asOf`. The
     * manifest is resolved once here — commits that land afterwards
@@ -521,14 +564,35 @@ class SnapshotStore(spark: SparkSession, root: String) {
       else aligned(readDirs(touched, view))
         .join(source.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         .unionByName(upserts)
+    // Size the rewrite's file count from the touched dirs' bytes (the
+    // dominant term — upserts are the small side of a merge): a keyed
+    // maintenance loop otherwise fragments its store into
+    // shuffle-partition-count tiny files per commit, and every later
+    // read/commit pays the listing + footer overhead. Small touched
+    // sets coalesce to few files; a large rewrite keeps full write
+    // parallelism (ceil(bytes / 128 MB) tasks).
+    val touchedBytes = touched.map(dirPath(view, _))
+      .flatMap(d => listEntries(d)
+        .filter(_.getFileName.toString.endsWith(".parquet")))
+      .map(Files.size).sum
+    val nOut = math.max(1L, (touchedBytes + (128L << 20) - 1) / (128L << 20))
+    val sized =
+      if (touched.nonEmpty && nOut < spark.sparkContext.defaultParallelism)
+        rewritten.coalesce(nOut.toInt)
+      else rewritten
     val next = base + 1
     val dataDir = newDirName(next, txn)
-    writeData(view, rewritten, dataDir, statsCols)
+    writeData(view, sized, dataDir, statsCols)
     // re-check the base AFTER the (slow) data write, right before the
     // atomic publish — the publish itself still decides the race
     if (versions(view).max != base)
       throw new SnapshotConflict(s"$view: base v$base superseded during merge")
     publish(view, next, untouched :+ dataDir, manifestTxns(view, base) ++ txn)
+    // untouched dirs hold column subsets of targetSchema and the
+    // rewritten dir was aligned to it — the new version's merged schema
+    // IS targetSchema, known in the driver
+    schemaCache.update((untouched :+ dataDir)
+      .map(d => dataRoot(view).resolve(d).toString), targetSchema)
     next
   }
 
@@ -740,7 +804,8 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * time travel and VACUUM.
     */
   def publishSync(pins: Map[String, Long],
-                  expectedBase: Option[Long] = None): Long = {
+                  expectedBase: Option[Long] = None,
+                  txn: Option[Long] = None): Long = {
     require(pins.nonEmpty, "syncpoint needs at least one view pin")
     pins.foreach { case (view, v) =>
       require(Files.exists(manifestPath(view, v)),
@@ -755,18 +820,37 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val next = base + 1
     val dir = Paths.get(root, "_syncpoints")
     Files.createDirectories(dir)
+    // syncpoint txn history mirrors the manifest one: carried forward
+    // across every publish, so a multi-view cycle commit keyed by a
+    // foreachBatch id ([[ContinuousDedup]]) recognizes a redelivered
+    // batch at the STORE level — the single fence that makes "three
+    // view commits + one syncpoint" replay-idempotent as a unit
+    val prevTxns = if (vs.isEmpty) Set.empty[Long] else syncTxns(base)
     // view names contain no quotes/colons by construction (they are
     // directory names this store created); versions are digits
     val tmp = Files.createTempFile(dir, s".s$next", ".tmp")
     Files.writeString(tmp,
       pins.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + ":" + v + "\"" }
-        .mkString("{\"pins\":[", ",", "]}"))
+        .mkString("{\"pins\":[", ",", "],") +
+        (prevTxns ++ txn).toSeq.sorted.mkString("\"txns\":[", ",", "]}"))
     try Files.createLink(syncPath(next), tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       throw new SnapshotConflict(s"syncpoint s$next already published")
     }
     finally Files.deleteIfExists(tmp)
     next
+  }
+
+  private def syncTxns(id: Long): Set[Long] =
+    manifestField(Files.readString(syncPath(id)), "txns")
+      .map(_.toLong).toSet
+
+  /** Txn ids already folded into the CURRENT syncpoint — the
+    * store-level (multi-view) counterpart of [[appliedTxns]].
+    */
+  def appliedSyncTxns: Set[Long] = {
+    val vs = syncpoints
+    if (vs.isEmpty) Set.empty else syncTxns(vs.max)
   }
 
   private def syncPath(id: Long): Path =

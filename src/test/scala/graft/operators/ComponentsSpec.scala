@@ -147,4 +147,33 @@ class ComponentsSpec extends SparkSpec {
     assert(Components.connectedComponents(e1, "a", "b").as[(Long, Long)].collect().sorted
       .sameElements(Components.connectedComponents(e2, "a", "b").as[(Long, Long)].collect().sorted))
   }
+
+  test("REAL corpus pair graph: distributed path equals the driver path") {
+    // Every test-sf graph fits the driver union-find gate, so without
+    // this pin the distributed min-label path (the 100 TB path) would
+    // only ever run on synthetic toys. Force it UNDER the real
+    // verified near-dup pair graph and demand label-for-label equality
+    // with the driver path — the at-scale code must not rot.
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.load(spark, sf(), "documents")
+      .where(col("text").isNotNull).select(col("doc_id"), col("text"))
+    val pairs = Dedup.lshVerifiedPairs(docs, "doc_id", "text",
+        estThreshold = 0.3, jaccardThreshold = 0.4)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    assert(pairs.count() > 0, "corpus must yield verified pairs")
+    val local = Components.connectedComponents(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    val dist = Components.connectedComponents(pairs, "a_id", "b_id",
+        localLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == local)
+    // and the incremental delta's distributed branch on the same graph
+    val stored = Components.connectedComponents(
+      pairs.limit(3), "a_id", "b_id")
+    val deltaLocal = Components.incrementalComponentsDelta(stored, pairs,
+      "a_id", "b_id").as[(Long, Long)].collect().toMap
+    val deltaDist = Components.incrementalComponentsDelta(stored, pairs,
+      "a_id", "b_id", localLimit = 0).as[(Long, Long)].collect().toMap
+    assert(deltaDist == deltaLocal)
+  }
 }

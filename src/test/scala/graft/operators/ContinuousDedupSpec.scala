@@ -88,11 +88,12 @@ class ContinuousDedupSpec extends SparkSpec {
     val b2 = docs.where(col("doc_id") % 5 === 1)
     val clean = freshStore("cdspec_clean")
     runLoop(clean, hist, Seq(b1, b2))
-    for (stop <- 1 to 2) {
+    for (stop <- 1 to 3) {
       val st = freshStore(s"cdspec_crash$stop")
       ContinuousDedup.seed(st, hist, "doc_id", "text")
       ContinuousDedup.processBatch(st, b1, docs, "doc_id", "text", txnId = 1L)
-      // batch 2 dies mid-flight after `stop` commits...
+      // batch 2 dies mid-flight after `stop` commits (3 = all view
+      // commits landed but the syncpoint publish did not)...
       ContinuousDedup.processBatchSteps(st, b2, docs, "doc_id", "text",
         txnId = 2L, Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1),
         0.3, 0.4, 32, 2, stopAfter = stop)
@@ -101,7 +102,55 @@ class ContinuousDedupSpec extends SparkSpec {
       assert(labelsOf(st) == labelsOf(clean), s"labels diverge at stop=$stop")
       assert(splitsOf(st) == splitsOf(clean), s"splits diverge at stop=$stop")
       assert(fpsIdsOf(st) == fpsIdsOf(clean), s"fps diverge at stop=$stop")
+      // the replayed batch's syncpoint landed, pinning the same cycle
+      assert(st.appliedSyncTxns.contains(2L), s"syncpoint missing at stop=$stop")
+      assert(st.readSync(ContinuousDedup.LabelsView).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap == labelsOf(clean))
     }
+  }
+
+  test("cycle readers never see a torn batch (syncpoint isolation)") {
+    val hist = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+    val b1 = docs.where(col("doc_id") % 5 === 0)
+    val b2 = docs.where(col("doc_id") % 5 === 1)
+    val st = freshStore("cdspec_iso")
+    ContinuousDedup.seed(st, hist, "doc_id", "text")
+    ContinuousDedup.processBatch(st, b1, docs, "doc_id", "text", txnId = 1L)
+    val cycleLabels = labelsOf(st)
+    val cycleSplits = splitsOf(st)
+    // batch 2 crashes after the SPLITS commit only: a latest-version
+    // reader can now see split rows whose labels never landed...
+    ContinuousDedup.processBatchSteps(st, b2, docs, "doc_id", "text",
+      txnId = 2L, Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1),
+      0.3, 0.4, 32, 2, stopAfter = 1)
+    val tornSplitIds = st.read(ContinuousDedup.SplitsView)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val tornLabelIds = st.read(ContinuousDedup.LabelsView)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert((tornSplitIds -- tornLabelIds).nonEmpty,
+      "latest-version reads should exhibit the splits-ahead-of-labels tear")
+    // ...but a CYCLE reader resolving the one syncpoint still sees the
+    // pre-crash cycle, consistent across ALL THREE views
+    val syncLabels = st.readSync(ContinuousDedup.LabelsView).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val syncSplits = st.readSync(ContinuousDedup.SplitsView)
+      .select(col("id"), col("group_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val syncFpsIds = st.readSync(ContinuousDedup.FpsView)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(syncLabels == cycleLabels)
+    assert(syncSplits == cycleSplits)
+    assert(syncFpsIds == cycleLabels.keySet)
+    // split == split(comp) holds inside the syncpointed cycle
+    assert(syncSplits.keySet == syncLabels.keySet)
+    // the replay then flips cycle readers to the full batch atomically
+    ContinuousDedup.processBatch(st, b2, docs, "doc_id", "text", txnId = 2L)
+    val after = st.readSync(ContinuousDedup.SplitsView)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val afterLabels = st.readSync(ContinuousDedup.LabelsView)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(after == afterLabels, "post-replay cycle must be consistent")
+    assert((after -- tornLabelIds).nonEmpty, "batch 2 docs became visible")
   }
 
   test("fully-applied redelivery is a zero-version no-op") {
@@ -111,8 +160,8 @@ class ContinuousDedupSpec extends SparkSpec {
     runLoop(st, hist, Seq(b1))
     val views = Seq(ContinuousDedup.FpsView, ContinuousDedup.LabelsView,
       ContinuousDedup.SplitsView)
-    val vs = views.map(v => st.versions(v).max)
+    val vs = views.map(v => st.versions(v).max) :+ st.syncpoints.max
     ContinuousDedup.processBatch(st, b1, docs, "doc_id", "text", txnId = 1L)
-    assert(views.map(v => st.versions(v).max) == vs)
+    assert(views.map(v => st.versions(v).max) :+ st.syncpoints.max == vs)
   }
 }

@@ -118,4 +118,31 @@ class AsOfJoinNativeSpec extends SparkSpec {
     // both children keyed + sorted by EnsureRequirements
     assert("Sort ".r.findAllIn(p).size >= 2, p)
   }
+
+  test("whole-stage boundary: both children fuse into codegen stages") {
+    // the merge pass itself is the (intentional) codegen boundary —
+    // its interpreted work is eliminated via codegen'd projections +
+    // generated orderings — but the exchanges/sorts feeding it must
+    // stay INSIDE WholeStageCodegen spans, or the whole pipeline
+    // degrades to interpreted row processing
+    // AQE off so the executed plan is inspectable statically (with it
+    // on, the exec hides inside an AdaptiveSparkPlanExec until runtime)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val left = spark.range(100).selectExpr("id % 10 as k", "id as t")
+      val right = spark.range(50).selectExpr("id % 10 as k", "id as rt",
+        "cast(id as double) as v")
+      val df = AsOfJoin.lookupLastNative(left, right, "k", "t", "rt", "v", "out")
+      val asof = df.queryExecution.executedPlan.collect {
+        case e: graft.plans.AsOfJoinExec => e }.head
+      asof.children.foreach { child =>
+        val hasCodegen = child.collectFirst {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }
+        assert(hasCodegen.nonEmpty,
+          s"child subtree lost its WholeStageCodegen span:\n$child")
+      }
+      // and the result is still right (every left row produced once)
+      assert(df.count() == 100)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
