@@ -35,10 +35,14 @@ object Tuning {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.BroadcastOneRowAggregates
-    // planner strategy for the native as-of join logical node
+    // planner strategies for the native as-of / interval-join nodes
     if (!spark.experimental.extraStrategies
           .contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    if (!spark.experimental.extraStrategies
+          .contains(graft.plans.IntervalJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.IntervalJoinStrategy
   }
 }

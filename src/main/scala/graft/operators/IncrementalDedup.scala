@@ -92,9 +92,13 @@ object IncrementalDedup {
                          estThreshold: Double = 0.3, jaccardThreshold: Double = 0.4,
                          shingleN: Int = 2, maxBucket: Int = 256): DataFrame = {
     val bfp = fingerprints(batch, idCol, textCol, numHashes, shingleN)
-    // 1. exact: batch fingerprints whose digest is unseen
+    // 1. exact: batch fingerprints whose digest is unseen. Staged: the
+    // minhash pass over the batch feeds BOTH the candidate banding and
+    // the final survivor semi-join — un-staged each consumer re-runs
+    // the tokenize+shingle+hash chain over the batch.
     val exactSurv = bfp.join(stored.select(col("digest")).distinct(),
       Seq("digest"), "left_anti")
+      .localCheckpoint()
     // 2. near-dup candidates: stored side grouped once per (band,
     // bucket) with the cap, batch side banded and joined bucket-to-
     // bucket, pairs expanded from the bucket row

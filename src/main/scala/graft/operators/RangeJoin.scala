@@ -77,4 +77,50 @@ object RangeJoin {
         least(col("a_end"), col("b_end")).as("ov_end"))
       .withColumn("ov_len", col("ov_end") - col("ov_start"))
   }
+
+  /** [[overlapJoin]] through the NATIVE whole-operator path
+    * ([[graft.plans.IntervalJoinNode]] → IntervalJoinStrategy →
+    * IntervalJoinExec): identical contract and output columns, planned
+    * as one co-partitioned plane sweep — no 2x bin replication, no
+    * post-join DISTINCT shuffle, no bin-width parameter; operator
+    * state is the max concurrent overlap per key. Spec-pinned
+    * row-equal to the composed form; q207 grades it against q124's
+    * direct-inequality oracle.
+    */
+  def overlapJoinNative(left: DataFrame, right: DataFrame,
+                        leftKey: String, leftId: String, leftStart: String, leftEnd: String,
+                        rightKey: String, rightId: String, rightStart: String, rightEnd: String)
+      : DataFrame = {
+    def shaped(df: DataFrame, key: String, id: String, s0: String, e0: String,
+               p: String) =
+      df.select(col(key).as(s"${p}_key"), col(id).as(s"${p}_id"),
+          col(s0).cast("long").as(s"${p}_start"), col(e0).cast("long").as(s"${p}_end"))
+        .where(col(s"${p}_start") < col(s"${p}_end"))
+    val l = shaped(left, leftKey, leftId, leftStart, leftEnd, "a")
+    val r = shaped(right, rightKey, rightId, rightStart, rightEnd, "b")
+    val lPlan = l.queryExecution.analyzed
+    val rPlanRaw = r.queryExecution.analyzed
+    // self-join hygiene (same device as AsOfJoin.nativeJoin): when both
+    // sides descend from one relation they share exprIds — re-alias the
+    // right with fresh ids so our captured attrs stay unambiguous
+    val rPlan =
+      if (rPlanRaw.outputSet.intersect(lPlan.outputSet).isEmpty) rPlanRaw
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rPlanRaw.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+        rPlanRaw)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(left.sparkSession,
+        graft.plans.IntervalJoinNode(lPlan, rPlan,
+          attr(lPlan, "a_key"), attr(rPlan, "b_key"),
+          attr(lPlan, "a_start"), attr(lPlan, "a_end"),
+          attr(rPlan, "b_start"), attr(rPlan, "b_end")))
+      .select(col("a_key").as("key"), col("a_id"), col("b_id"),
+        greatest(col("a_start"), col("b_start")).as("ov_start"),
+        least(col("a_end"), col("b_end")).as("ov_end"))
+      .withColumn("ov_len", col("ov_end") - col("ov_start"))
+  }
 }

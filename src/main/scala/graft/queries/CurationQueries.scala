@@ -1062,6 +1062,45 @@ object CurationQueries {
       st.readPrunedBox("t", preds)
     }),
 
+    // q153 with the HILBERT layout key (the native codegen'd
+    // expression): same store-as-8-code-range-dirs device, same 2-D box
+    // query, same layout-invisible oracle — but the curve never takes
+    // Morton's diagonal jumps, so each dir is a connected 2-D tile and
+    // the box prune must again skip dirs (require-pinned). LayoutSpec
+    // measures Hilbert's envelopes tighter than z-order's on a grid.
+    "q209_hilbert_skipping" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q209_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_custkey").as("cust"),
+        col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      val hed = o.withColumn("h",
+        graft.operators.Layout.hilbertCode(col("cust"), col("k"), bits = 25))
+      val hr = hed.agg(min(col("h")), max(col("h"))).head()
+      val (hmin, hmax) = (hr.getLong(0), hr.getLong(1))
+      val withB = hed.withColumn("b",
+        ((col("h") - lit(hmin)) * 8 / lit(hmax - hmin + 1)).cast("int"))
+      val present = withB.select(col("b")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      present.foreach { i =>
+        st.commit("t", withB.where(col("b") === i).drop("b", "h"),
+          overwrite = false, statsCols = Seq("cust", "k"))
+      }
+      val br = o.agg(min(col("cust")), max(col("cust")),
+        min(col("k")), max(col("k"))).head()
+      val (cmin, cmax, kmin, kmax) =
+        (br.getLong(0), br.getLong(1), br.getLong(2), br.getLong(3))
+      val preds = Seq(
+        ("cust", (cmin + (cmax - cmin) / 4).toString,
+          (cmin + (cmax - cmin) * 2 / 5).toString),
+        ("k", (kmin + (kmax - kmin) / 4).toString,
+          (kmin + (kmax - kmin) * 2 / 5).toString))
+      val (kept, skipped) = st.pruneDirsBox("t", preds)
+      require(skipped.nonEmpty,
+        s"hilbert-layout box prune skipped nothing (kept ${kept.size} dirs)")
+      st.readPrunedBox("t", preds)
+    }),
+
     // Incremental materialized-view maintenance: the daily aggregate
     // MV refreshes from the DELTA batch only (per-key partials + adds
     // onto existing rows via the file-pruned MERGE), never re-reading
@@ -2187,6 +2226,21 @@ object CurationQueries {
     // Layout-invisible semantics: the box read == the plain 2-D range
     // query with the same integer-derived bounds.
     "q153_zorder_skipping" ->
+      """WITH b AS (SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+                    MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax
+                    FROM orders),
+          r AS (SELECT cmin + (cmax - cmin) // 4 AS clo,
+                cmin + (cmax - cmin) * 2 // 5 AS chi,
+                kmin + (kmax - kmin) // 4 AS klo,
+                kmin + (kmax - kmin) * 2 // 5 AS khi FROM b)
+          SELECT o_custkey AS cust, o_orderkey AS k, o_totalprice AS p
+          FROM orders, r
+          WHERE o_custkey BETWEEN clo AND chi
+            AND o_orderkey BETWEEN klo AND khi""",
+
+    // Layout-invisible semantics again — identical box oracle; the
+    // Hilbert layout must only change WHICH dirs the read skips.
+    "q209_hilbert_skipping" ->
       """WITH b AS (SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
                     MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax
                     FROM orders),

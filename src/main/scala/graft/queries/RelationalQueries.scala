@@ -174,6 +174,29 @@ object RelationalQueries {
         "ak", "a_id", "as0", "ae", "bk", "b_id", "bs0", "be", binWidth = 14L)
     }),
 
+    // q124 through the NATIVE whole-operator path: a custom LogicalPlan
+    // (IntervalJoinNode) planned by IntervalJoinStrategy into a
+    // co-partitioned plane sweep — no 2x bin replication, no post-join
+    // DISTINCT shuffle, no bin-width to tune; state per partition is
+    // the max concurrent overlap. Same direct-inequality oracle as
+    // q124: the physical path must be semantically invisible.
+    "q207_interval_native" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .where(col("o_orderkey") % 47 === 0)
+        .select(pmod(col("o_custkey"), lit(50)).as("ak"),
+          col("o_orderkey").as("a_id"),
+          datediff(to_date(col("o_orderdate")), lit("1990-01-01")).as("as0"))
+        .withColumn("ae", col("as0") + 14)
+      val b = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 61 === 0)
+        .select(pmod(col("l_suppkey").cast("long"), lit(50)).as("bk"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("b_id"),
+          datediff(to_date(col("l_shipdate")), lit("1990-01-01")).as("bs0"))
+        .withColumn("be", col("bs0") + 7)
+      graft.operators.RangeJoin.overlapJoinNative(a, b,
+        "ak", "a_id", "as0", "ae", "bk", "b_id", "bs0", "be")
+    }),
+
     // NOT IN with a nullable subquery column — the null-aware anti join
     // (a plain left_anti is WRONG here if the subquery can yield NULL).
     // The nullif-style guard can't be optimizer-proven non-null, so the
@@ -686,6 +709,18 @@ object RelationalQueries {
         .orderBy(col("z"), col("o_orderkey")).limit(500)
     }),
 
+    // Hilbert layout key — q86's alternative multi-dim clustering code,
+    // computed by the native codegen'd expression (a 10-step
+    // rotate/flip walk a Column fold can't express without exponential
+    // tree blowup). The oracle replays the identical xy2d walk as a
+    // recursive CTE — integer-exact in both engines.
+    "q208_hilbert_code" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"),
+          graft.operators.Layout.hilbertCode(
+            col("o_custkey") % 1024, col("o_orderkey") % 1024, bits = 10).as("h"))
+        .orderBy(col("h"), col("o_orderkey")).limit(500)
+    }),
+
     // Two-level HLL sketch ROLLUP (Datasketches): per-(flag,status)
     // segment sketches — what a 100 TB pre-aggregation layer stores —
     // merged up to per-flag estimates WITHOUT touching raw data again.
@@ -885,6 +920,22 @@ object RelationalQueries {
 
     // Direct inequality join — the semantics the binned plan must match.
     "q124_interval_overlap" ->
+      """WITH a AS (SELECT o_custkey % 50 AS key, o_orderkey AS a_id,
+                    datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS a_s
+                    FROM orders WHERE o_orderkey % 47 = 0),
+         b AS (SELECT l_suppkey % 50 AS bkey,
+               l_orderkey * 10 + l_linenumber AS b_id,
+               datediff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS b_s
+               FROM lineitem WHERE l_orderkey % 61 = 0)
+         SELECT CAST(a.key AS BIGINT) AS key, a_id, b_id,
+           CAST(GREATEST(a_s, b_s) AS BIGINT) AS ov_start,
+           CAST(LEAST(a_s + 14, b_s + 7) AS BIGINT) AS ov_end,
+           CAST(LEAST(a_s + 14, b_s + 7) - GREATEST(a_s, b_s) AS BIGINT) AS ov_len
+         FROM a JOIN b ON a.key = b.bkey
+           AND GREATEST(a_s, b_s) < LEAST(a_s + 14, b_s + 7)""",
+
+    // Same inequality oracle — the native sweep must be plan-invisible.
+    "q207_interval_native" ->
       """WITH a AS (SELECT o_custkey % 50 AS key, o_orderkey AS a_id,
                     datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS a_s
                     FROM orders WHERE o_orderkey % 47 = 0),
@@ -1158,6 +1209,31 @@ object RelationalQueries {
       s"""SELECT o_orderkey, CAST(${terms.mkString(" | ")} AS BIGINT) AS z
           FROM orders ORDER BY z, o_orderkey LIMIT 500"""
     },
+
+    // The exact xy2d walk (Wikipedia formulation) as a recursive CTE:
+    // 10 rotate/flip steps, s = 512 … 1, d += s²·((3·rx) XOR ry) —
+    // integer arithmetic both engines replay bit-identically.
+    "q208_hilbert_code" ->
+      """WITH RECURSIVE pts AS (
+           SELECT o_orderkey, CAST(o_custkey % 1024 AS BIGINT) AS x1,
+                  CAST(o_orderkey % 1024 AS BIGINT) AS y1 FROM orders),
+         hw(o_orderkey, x, y, s, d) AS (
+           SELECT o_orderkey, x1, y1, CAST(512 AS BIGINT), CAST(0 AS BIGINT)
+           FROM pts
+           UNION ALL
+           SELECT o_orderkey,
+             CASE WHEN (y & s) = 0 THEN
+               CASE WHEN (x & s) > 0 THEN 1023 - y ELSE y END
+             ELSE x END,
+             CASE WHEN (y & s) = 0 THEN
+               CASE WHEN (x & s) > 0 THEN 1023 - x ELSE x END
+             ELSE y END,
+             s // 2,
+             d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                             (CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END))
+           FROM hw WHERE s >= 1)
+         SELECT o_orderkey, d AS h FROM hw WHERE s = 0
+         ORDER BY h, o_orderkey LIMIT 500""",
     "q88_hll_rollup" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact, TRUE AS est_ok
          FROM lineitem GROUP BY l_returnflag""",

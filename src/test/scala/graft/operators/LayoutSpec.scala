@@ -46,4 +46,37 @@ class LayoutSpec extends SparkSpec {
     assert(linHit == 16, s"single-key sort should not prune on y (got $linHit)")
     assert(zHit * 2 < linHit, s"z-order should prune most files: z=$zHit lin=$linHit")
   }
+
+  test("hilbert files prune the same box; total envelope area beats z-order's") {
+    val n = 1 << 14
+    val grid = spark.range(n)
+      .select((col("id") % 128).as("x"), expr("id div 128").as("y"))
+    val hPath = java.nio.file.Files.createTempDirectory("hilbert").toString + "/h"
+    val zPath = java.nio.file.Files.createTempDirectory("hilbert").toString + "/z"
+    Layout.hilbertWrite(grid, "x", "y", bits = 7, files = 16, path = hPath)
+    Layout.zorderWrite(grid, "x", "y", bits = 7, files = 16, path = zPath)
+
+    def envelopes(path: String): Seq[(Long, Long, Long, Long)] =
+      new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .toSeq.map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    def hits(env: Seq[(Long, Long, Long, Long)], lo: Long, hi: Long): Int =
+      env.count { case (_, _, ylo, yhi) => ylo <= hi && yhi >= lo }
+    def area(env: Seq[(Long, Long, Long, Long)]): Long =
+      env.map { case (xlo, xhi, ylo, yhi) => (xhi - xlo + 1) * (yhi - ylo + 1) }.sum
+
+    val hEnv = envelopes(hPath)
+    val zEnv = envelopes(zPath)
+    // same skipping behaviour class as z-order on a y-box…
+    assert(hits(hEnv, 10, 20) * 2 < 16,
+      s"hilbert should prune most files on a y-box (hit ${hits(hEnv, 10, 20)})")
+    // …and strictly tighter per-file rectangles overall: the curve has
+    // no diagonal jumps, so equal-count code ranges are connected tiles
+    assert(area(hEnv) < area(zEnv),
+      s"hilbert envelopes should be tighter: h=${area(hEnv)} z=${area(zEnv)}")
+  }
 }

@@ -1,0 +1,144 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+
+/** The native interval-overlap join (custom LogicalPlan + Strategy +
+  * plane-sweep SparkPlan) against the composed binned equi-join form:
+  * identical rows on real and adversarial data, and the physical plan
+  * the operator exists for — one sweep exec over two sorted keyed
+  * children, no bin explode, no post-join distinct.
+  */
+class IntervalJoinNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def q124Inputs() = {
+    val a = graft.Tables.load(spark, sf(), "orders")
+      .where(col("o_orderkey") % 47 === 0)
+      .select(pmod(col("o_custkey"), lit(50)).as("ak"),
+        col("o_orderkey").as("a_id"),
+        datediff(to_date(col("o_orderdate")), lit("1990-01-01")).as("as0"))
+      .withColumn("ae", col("as0") + 14)
+    val b = graft.Tables.load(spark, sf(), "lineitem")
+      .where(col("l_orderkey") % 61 === 0)
+      .select(pmod(col("l_suppkey").cast("long"), lit(50)).as("bk"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("b_id"),
+        datediff(to_date(col("l_shipdate")), lit("1990-01-01")).as("bs0"))
+      .withColumn("be", col("bs0") + 7)
+    (a, b)
+  }
+
+  test("native equals composed on the q124 supply-window corpus") {
+    val (a, b) = q124Inputs()
+    val composed = RangeJoin.overlapJoin(a, b,
+      "ak", "a_id", "as0", "ae", "bk", "b_id", "bs0", "be", binWidth = 14L)
+    val native = RangeJoin.overlapJoinNative(a, b,
+      "ak", "a_id", "as0", "ae", "bk", "b_id", "bs0", "be")
+    assert(native.columns.toSeq == composed.columns.toSeq)
+    assert(canon(native) == canon(composed))
+  }
+
+  test("random interval soup matches a reference scan (dup starts, nesting, touching ends)") {
+    val rng = new scala.util.Random(7)
+    val lrows = Seq.fill(300)((rng.nextInt(8).toLong, rng.nextInt(40).toLong,
+      1L + rng.nextInt(15))).zipWithIndex
+      .map { case ((k, s, len), i) => (k, i.toLong, s, s + len) }
+    val rrows = Seq.fill(250)((rng.nextInt(10).toLong, rng.nextInt(40).toLong,
+      1L + rng.nextInt(25))).zipWithIndex
+      .map { case ((k, s, len), i) => (k, 1000L + i, s, s + len) }
+    val l = lrows.toDF("k", "id", "s", "e")
+    val r = rrows.toDF("k", "id", "s", "e")
+    val native = RangeJoin.overlapJoinNative(l, r,
+        "k", "id", "s", "e", "k", "id", "s", "e")
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toSet
+    val expected = (for {
+      (lk, lid, ls, le) <- lrows
+      (rk, rid, rs, re) <- rrows
+      if lk == rk && math.max(ls, rs) < math.min(le, re)
+    } yield (lid, rid)).toSet
+    assert(native == expected)
+  }
+
+  test("null keys/bounds and improper intervals never match") {
+    val l = Seq(
+      (Some(1L), Some(0L), Some(10L), "ok"),
+      (None, Some(0L), Some(10L), "null key"),
+      (Some(1L), None, Some(10L), "null start"),
+      (Some(1L), Some(5L), Some(5L), "empty"),
+      (Some(1L), Some(9L), Some(3L), "inverted")
+    ).toDF("k", "s", "e", "tag").withColumn("id", monotonically_increasing_id())
+    val r = Seq(
+      (Some(1L), Some(0L), Some(100L)),
+      (None, Some(0L), Some(100L)),
+      (Some(1L), None, Some(100L)),
+      (Some(1L), Some(7L), Some(2L))
+    ).toDF("k", "s", "e").withColumn("id", monotonically_increasing_id())
+    val out = RangeJoin.overlapJoinNative(l, r,
+      "k", "id", "s", "e", "k", "id", "s", "e").collect()
+    // only the fully-proper, fully-non-null pair overlaps
+    assert(out.length == 1)
+    assert(out.head.getLong(3) == 0L && out.head.getLong(4) == 10L) // ov [0,10)
+  }
+
+  test("half-open semantics: touching intervals do not overlap") {
+    val l = Seq((1L, 10L, 0L, 5L)).toDF("k", "id", "s", "e")
+    val r = Seq((1L, 20L, 5L, 9L), (1L, 21L, 4L, 5L), (1L, 22L, 4L, 6L))
+      .toDF("k", "id", "s", "e")
+    val out = RangeJoin.overlapJoinNative(l, r,
+        "k", "id", "s", "e", "k", "id", "s", "e")
+      .select(col("b_id")).as[Long].collect().toSet
+    assert(out == Set(21L, 22L)) // [5,9) touches, [4,5) and [4,6) overlap
+  }
+
+  test("long right intervals survive across many lefts; buffer prunes dead ones") {
+    // one right spanning everything + rights that die early: every left
+    // must see the spanning right, dead rights must not resurface
+    val l = (0L until 50L).map(i => (1L, i, i * 10, i * 10 + 5)).toDF("k", "id", "s", "e")
+    val r = Seq((1L, 900L, 0L, 1000L), (1L, 901L, 0L, 3L)).toDF("k", "id", "s", "e")
+    val out = RangeJoin.overlapJoinNative(l, r,
+        "k", "id", "s", "e", "k", "id", "s", "e")
+      .groupBy(col("b_id")).count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(out == Map(900L -> 50L, 901L -> 1L))
+  }
+
+  test("physical plan: one IntervalJoinExec over sorted keyed children; no explode, no distinct") {
+    val (a, b) = q124Inputs()
+    val df = RangeJoin.overlapJoinNative(a, b,
+      "ak", "a_id", "as0", "ae", "bk", "b_id", "bs0", "be")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("IntervalJoin"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.toLowerCase.contains("cartesian"), p)
+    assert("Sort ".r.findAllIn(p).size >= 2, p)
+    // the composed form's post-join dedup is structurally absent: no
+    // aggregate above the interval exec
+    val execIdx = p.indexOf("IntervalJoin")
+    assert(!p.take(execIdx).contains("HashAggregate"), p)
+  }
+
+  test("whole-stage boundary: both children fuse into codegen stages") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val l = spark.range(100).selectExpr("id % 10 as k", "id as lid",
+        "id as s", "id + 5 as e")
+      val r = spark.range(80).selectExpr("id % 10 as k", "id as rid",
+        "id as s", "id + 7 as e")
+      val df = RangeJoin.overlapJoinNative(l, r,
+        "k", "lid", "s", "e", "k", "rid", "s", "e")
+      val exec = df.queryExecution.executedPlan.collect {
+        case e: graft.plans.IntervalJoinExec => e }.head
+      exec.children.foreach { child =>
+        val hasCodegen = child.collectFirst {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }
+        assert(hasCodegen.nonEmpty,
+          s"child subtree lost its WholeStageCodegen span:\n$child")
+      }
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
