@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.NumFns
 import graft.operators.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** General relational/SQL surface: global sort + top-k, grouping sets,
@@ -195,6 +196,78 @@ object RelationalQueries {
         .withColumn("be", col("bs0") + 7)
       graft.operators.RangeJoin.overlapJoinNative(a, b,
         "ak", "a_id", "as0", "ae", "bk", "b_id", "bs0", "be")
+    }),
+
+    // SCD-2 point-in-time dimension lookup — the warehouse-classic
+    // "fact timestamp within dimension validity window" join, through
+    // the SAME native interval operator: the fact side degenerates to
+    // a point interval [t, t+1), the dimension's consecutive validity
+    // epochs come from a lead() window (half-open [vs, ve) tiles per
+    // key), and the plane sweep holds at most the handful of epochs a
+    // fact's timestamp can land in — no binning, no between-join NLJ.
+    // The oracle is the direct BETWEEN join.
+    "q210_scd2_pit_join" -> ((s, dir) => {
+      val dim = t(s, dir, "orders").where(col("o_orderkey") % 11 === 0)
+        .select(pmod(col("o_custkey"), lit(100)).as("key"),
+          datediff(to_date(col("o_orderdate")), lit("1990-01-01"))
+            .cast("long").as("vs"))
+        .distinct()
+        .withColumn("ve",
+          lead(col("vs"), 1).over(Window.partitionBy(col("key")).orderBy(col("vs"))))
+        .where(col("ve").isNotNull)
+      val facts = t(s, dir, "lineitem").where(col("l_orderkey") % 31 === 0)
+        .select(pmod(col("l_suppkey").cast("long"), lit(100)).as("fkey"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("fact_id"),
+          datediff(to_date(col("l_shipdate")), lit("1990-01-01"))
+            .cast("long").as("t"))
+        .withColumn("t1", col("t") + 1)
+      graft.operators.RangeJoin.overlapJoinNative(facts, dim,
+          "fkey", "fact_id", "t", "t1", "key", "vs", "vs", "ve")
+        .select(col("key"), col("a_id").as("fact_id"), col("b_id").as("vs"),
+          pmod(col("b_id"), lit(97)).as("rate"))
+    }),
+
+    // Multi-source BFS shortest-hop distances (frontier expansion,
+    // early-stop, O(frontier)-sized shuffles per level — see
+    // operators/Bfs.scala) over the symmetrized order↔part
+    // co-occurrence graph. The oracle replays it as a recursive CTE
+    // accumulating (node, d) pairs and taking MIN(d) — level-order
+    // first-reach on the Spark side must equal the min over all walks.
+    "q211_bfs_distances" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") % 3 === 0)
+        .select(pmod(col("l_orderkey"), lit(2000)).as("u"),
+          (pmod(col("l_partkey").cast("long"), lit(2000)) + 100000).as("v"))
+      val edges = li.unionByName(li.select(col("v").as("u"), col("u").as("v")))
+      val sources = li.select(col("u").as("node"))
+        .where(pmod(col("node"), lit(500)) === 0).distinct()
+      graft.operators.Bfs.distances(edges, "u", "v", sources, "node", maxHops = 4)
+    }),
+
+    // Fuzzy record linkage under the native Jaro-Winkler expression
+    // (q112's shape with the prefix-boosted metric record linkage
+    // actually uses — transposed/dropped characters in the dirty names
+    // score high where Levenshtein punishes them). Similarity is
+    // decimal-pinned at scale 9 BEFORE the threshold and the argmax,
+    // so DuckDB's jaro_winkler_similarity (bit-matched semantics)
+    // replays the identical selection.
+    "q212_jaro_link" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val dirty = cust.where(col("c_custkey") % 37 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0,
+            concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 1),
+              substring(col("c_name"), 10, 1), substring(col("c_name"), 12, 100000)))
+            .when(col("c_custkey") % 3 === 1,
+              concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 100000)))
+            .otherwise(concat(col("c_name"), lit(" llc"))).as("dirty_name"),
+          col("c_nationkey"))
+      graft.operators.EntityResolution.resolveJaro(
+          dirty, "c_custkey", "dirty_name",
+          cust, "c_custkey", "c_name",
+          blockCol = "c_nationkey", minSim = 0.9)
+        .select(col("d_id"), col("d_name"), col("c_id"),
+          col("c_name_").as("match_name"), col("sim"),
+          (col("d_id") === col("c_id")).as("hit"))
     }),
 
     // NOT IN with a nullable subquery column — the null-aware anti join
@@ -949,6 +1022,67 @@ object RelationalQueries {
            CAST(LEAST(a_s + 14, b_s + 7) - GREATEST(a_s, b_s) AS BIGINT) AS ov_len
          FROM a JOIN b ON a.key = b.bkey
            AND GREATEST(a_s, b_s) < LEAST(a_s + 14, b_s + 7)""",
+
+    // The physical path (native point-in-interval sweep) must be
+    // invisible against the direct BETWEEN-style join.
+    "q210_scd2_pit_join" ->
+      """WITH dim0 AS (SELECT DISTINCT o_custkey % 100 AS key,
+             datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS vs
+             FROM orders WHERE o_orderkey % 11 = 0),
+          dim AS (SELECT key, vs,
+             lead(vs) OVER (PARTITION BY key ORDER BY vs) AS ve FROM dim0),
+          f AS (SELECT l_suppkey % 100 AS fkey,
+             l_orderkey * 10 + l_linenumber AS fact_id,
+             datediff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS t
+             FROM lineitem WHERE l_orderkey % 31 = 0)
+          SELECT CAST(f.fkey AS BIGINT) AS key, fact_id,
+            CAST(dim.vs AS BIGINT) AS vs, CAST(dim.vs % 97 AS BIGINT) AS rate
+          FROM f JOIN dim ON f.fkey = dim.key
+            AND f.t >= dim.vs AND f.t < dim.ve
+          WHERE dim.ve IS NOT NULL""",
+
+    // Level-order first-reach == MIN over all bounded walks.
+    "q211_bfs_distances" ->
+      """WITH RECURSIVE e0 AS (
+           SELECT l_orderkey % 2000 AS u, l_partkey % 2000 + 100000 AS v
+           FROM lineitem WHERE l_orderkey % 3 = 0),
+         e AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+         walk(node, d) AS (
+           SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS d
+           FROM e0 WHERE u % 500 = 0
+           UNION
+           SELECT e.v, w.d + 1 FROM walk w JOIN e ON e.u = w.node
+           WHERE w.d < 4)
+         SELECT CAST(node AS BIGINT) AS node, MIN(d) AS d
+         FROM walk GROUP BY node""",
+
+    // DuckDB's jaro_winkler_similarity implements the identical classic
+    // semantics (boost 0.1, prefix cap 4, threshold 0.7 — empirically
+    // bit-matched on randomized corpora); both engines pin the score to
+    // a scale-9 decimal before the threshold and the argmax.
+    "q212_jaro_link" -> {
+      val sim = SqlFragments.r15("jaro_winkler_similarity(d_name, c_name)", 9)
+      s"""WITH dirty AS (
+            SELECT c_custkey AS d_id,
+              CASE WHEN c_custkey % 3 = 0 THEN
+                     substr(c_name, 1, 9) || substr(c_name, 11, 1) ||
+                     substr(c_name, 10, 1) || substr(c_name, 12, 100000)
+                   WHEN c_custkey % 3 = 1 THEN
+                     substr(c_name, 1, 9) || substr(c_name, 11, 100000)
+                   ELSE c_name || ' llc' END AS d_name,
+              c_nationkey
+            FROM customer WHERE c_custkey % 37 = 0),
+          cand AS (
+            SELECT d_id, d_name, c.c_custkey AS c_id, c.c_name, $sim AS sim
+            FROM dirty JOIN customer c USING (c_nationkey)),
+          best AS (
+            SELECT *, row_number() OVER (PARTITION BY d_id
+              ORDER BY sim DESC, c_id) AS rn
+            FROM cand WHERE sim >= 0.9)
+          SELECT d_id, d_name, c_id, c_name AS match_name, sim,
+            d_id = c_id AS hit
+          FROM best WHERE rn = 1"""
+    },
 
     // NOT IN has identical three-valued-logic semantics in DuckDB.
     "q126_null_aware_anti" ->

@@ -54,4 +54,61 @@ class EntityResolutionSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("argmin reduces ahead of its shuffle: rank-1 group limit below the exchange") {
+    val plan = EntityResolution.resolve(dirty, "id", "name", registry, "id", "name",
+        "blk", 4).queryExecution.executedPlan.toString
+    // WindowGroupLimit appears twice (partial below the exchange, final
+    // above); the partial one is the pre-shuffle candidate reduction
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.indexOf("WindowGroupLimit") != plan.lastIndexOf("WindowGroupLimit"),
+      s"expected partial + final group limits:\n$plan")
+  }
+
+  test("window argmin equals the min(struct) aggregate form (documented-slower twin)") {
+    import org.apache.spark.sql.functions._
+    val viaAgg = registry
+      .select(col("id").as("c_id"), col("name").as("c_name_"), col("blk"))
+      .join(dirty.select(col("id").as("d_id"), col("name").as("d_name"),
+        col("blk")), Seq("blk"))
+      .withColumn("dist", levenshtein(col("d_name"), col("c_name_")))
+      .where(col("dist") <= 4)
+      .groupBy(col("d_id"))
+      .agg(min(struct(col("dist"), col("c_id"))).as("_m"))
+      .select(col("d_id"), col("_m.c_id").as("c_id"), col("_m.dist").as("dist"))
+      .as[(Long, Long, Int)].collect().toSet
+    val viaWindow = EntityResolution.resolve(dirty, "id", "name", registry,
+        "id", "name", "blk", 4)
+      .select("d_id", "c_id", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(viaWindow == viaAgg)
+  }
+
+  test("resolveJaro links by highest prefix-boosted similarity, ties to lower id") {
+    // transposed chars: high jaro-winkler, high levenshtein — the case
+    // the metric exists for
+    val reg = Seq((1L, "martha stewart", 1L), (2L, "marhta stewart", 1L),
+      (3L, "zzzzzz", 1L)).toDF("id", "name", "blk")
+    val d = Seq((9L, "marhta stewart", 1L), (10L, "qqqq", 1L)).toDF("id", "name", "blk")
+    val got = EntityResolution.resolveJaro(d, "id", "name", reg, "id", "name",
+        "blk", minSim = 0.8)
+      .select("d_id", "c_id", "sim").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(9L)._1 == 2L && got(9L)._2 == 1.0) // exact match wins
+    assert(!got.contains(10L)) // below threshold: dropped
+  }
+
+  test("resolveJaro similarity is decimal-pinned before threshold and argmax") {
+    val reg = Seq((1L, "abcdef", 1L)).toDF("id", "name", "blk")
+    val d = Seq((9L, "abcdff", 1L)).toDF("id", "name", "blk")
+    val sim = EntityResolution.resolveJaro(d, "id", "name", reg, "id", "name",
+        "blk", minSim = 0.5)
+      .select("sim").as[Double].head()
+    // mirror stableRound in plain Scala: %.15g print + scale-9 HALF_UP
+    val raw = graft.expressions.JaroWinkler.similarity(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abcdff"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("abcdef"))
+    val want = BigDecimal(String.format("%.15g", Double.box(raw)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(sim == want)
+  }
 }
