@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -210,5 +210,111 @@ object Stats {
       .withColumn("bin", aggregate(col("_cuts"), lit(0L),
         (acc, c) => acc + when(col(valCol) > c, 1L).otherwise(0L)))
       .drop("_cuts")
+  }
+
+  /** Bounded-relative-error quantile SKETCH per key — the
+    * DDSketch/HdrHistogram bucketing family, in its integer-exact
+    * power-of-two form so a SQL oracle replays the whole sketch
+    * hash-identically (no floating-point log anywhere):
+    *
+    * positive integer values map to log2 buckets with `subBits` linear
+    * sub-buckets each — `e = len(bin(v)) - 1`,
+    * `bucket = (e-m+1)·2^m + (v >> (e-m)) - 2^m` (values below 2^m map
+    * to themselves, exactly) — pure shifts and bit-length, identical
+    * in any engine's integer SQL. The quantile estimate is the
+    * matched bucket's LOWER BOUND `(2^m + s) << (e-m)`, so
+    * `est ≤ true value < est·(1 + 2^-m)`: guaranteed relative error
+    * below 2^-subBits (0.8% at the default 7).
+    *
+    * Why this beats the exact two-pass [[exactPercentiles]] at 100 TB:
+    * the state is O(keys × 64·2^m) bucket counts — CONSTANT per key,
+    * additive, and mergeable (counts sum) — vs O(distinct values).
+    * One map-side-combined hash agg reduces the full fact table to
+    * that constant before any shuffle; the cumulative window then
+    * runs on the tiny bucket table. Mergeability is what the exact
+    * path can never give: pre-aggregated per-partition (or per-day)
+    * bucket counts roll up by addition, the [[IncrementalAgg]] MV
+    * pattern.
+    *
+    * Non-positive values are out of contract (dropped): the log-domain
+    * sketch is defined on v ≥ 1 — shift/offset first for signed data.
+    * Output: (keyCol, n, p<q> per requested quantile), quantile label
+    * p50/p99/p99_9 style.
+    */
+  def relQuantiles(df: DataFrame, keyCol: String, valCol: String,
+                   qs: Seq[Double], subBits: Int = 7): DataFrame = {
+    val counts = df.where(col(valCol).cast("long") >= 1)
+      .select(col(keyCol), relBucket(col(valCol), subBits).as("_b"))
+      .groupBy(col(keyCol), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+    relQuantilesFromCounts(counts, keyCol, "_b", "_c", qs, subBits)
+  }
+
+  /** The log2/sub-bucket index of a positive integer value — the
+    * mergeable-additive sketch state [[relQuantiles]] aggregates and
+    * [[relQuantilesFromCounts]] serves from. Exposed so bucket COUNTS
+    * can live wherever additive state lives (an [[IncrementalAgg]]
+    * materialized view, a per-shard rollup) and merge by plain
+    * addition. Caller guarantees v ≥ 1 (cast to long).
+    */
+  def relBucket(v: Column, subBits: Int): Column = {
+    require(subBits >= 1 && subBits <= 16, s"bad subBits=$subBits")
+    val m = subBits
+    val base = 1L << m
+    val vl = v.cast("long")
+    val e = (length(bin(vl)) - 1).cast("long")
+    when(vl < base, vl)
+      .otherwise((e - m + 1) * base + shiftRightCol(vl, e - m) - base)
+  }
+
+  /** Lower bound of a [[relBucket]] bucket — the quantile estimate's
+    * representative value: `est ≤ true < est·(1 + 2^-subBits)`.
+    */
+  def relRep(b: Column, subBits: Int): Column = {
+    val m = subBits
+    val base = 1L << m
+    // bucket ids are tiny (≤ (63-m+1)·2^m), so the floor division is
+    // exact through doubles; shifts ride the catalyst expressions
+    val k = (b.cast("double") / base).cast("long")
+    when(b < base, b)
+      .otherwise(shiftLeftCol(lit(base) + pmod(b, lit(base)), k - 1))
+  }
+
+  private def shiftRightCol(v: Column, shift: Column): Column =
+    graftExpr(org.apache.spark.sql.catalyst.expressions.ShiftRight(
+      bridgeE(v), bridgeE(shift.cast("int"))))
+  private def shiftLeftCol(v: Column, shift: Column): Column =
+    graftExpr(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+      bridgeE(v), bridgeE(shift.cast("int"))))
+  private def bridgeE(c: Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expressionEager(c)
+  private def graftExpr(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+
+  /** Serve quantiles from pre-aggregated [[relBucket]] counts — the
+    * read side of sketch-counts-as-MV-state: cumulative window over
+    * the (tiny) per-key bucket table, rank pick at ceil(q·n),
+    * lower-bound representative. Same output contract as
+    * [[relQuantiles]].
+    */
+  def relQuantilesFromCounts(counts: DataFrame, keyCol: String,
+                             bucketCol: String, cntCol: String,
+                             qs: Seq[Double], subBits: Int = 7): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs=$qs")
+    val c = counts.select(col(keyCol), col(bucketCol).as("_b"),
+      col(cntCol).as("_c"))
+    val totals = c.groupBy(col(keyCol)).agg(sum("_c").as("n"))
+    val cum = c
+      .withColumn("_cum",
+        sum("_c").over(Window.partitionBy(keyCol).orderBy("_b")))
+      .join(broadcast(totals), Seq(keyCol))
+      .withColumn("_rep", relRep(col("_b"), subBits))
+    def label(q: Double) = "p" + BigDecimal(q * 100).underlying
+      .stripTrailingZeros.toPlainString.replace(".", "_")
+    val picks = qs.map(q =>
+      min(when(col("_cum") >= ceil(lit(q) * col("n")), col("_rep")))
+        .as(label(q)))
+    cum.groupBy(col(keyCol))
+      .agg(max(col("n")).as("n"), picks: _*)
   }
 }

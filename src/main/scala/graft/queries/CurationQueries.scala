@@ -1127,6 +1127,80 @@ object CurationQueries {
       st.read("mv").select(col("d"), col("n"), col("sum_cents"))
     }),
 
+    // q154's NON-additive sibling: per-day COUNT(DISTINCT customer)
+    // maintained incrementally as a mergeable HLL sketch column in the
+    // MV — a distinct count can't refresh from old+delta scalars, but
+    // the sketch state can (hll_union_agg), same touched-dirs-only
+    // copy-on-write, facts read once ever. Graded with the q88 device:
+    // exact distinct from the oracle, estimate gated within 5%.
+    "q213_sketch_mv" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q213_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "mv"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val facts = t(s, dir, "orders")
+        .withColumn("d", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .where(col("d").between("1995-01-01", "1995-06-30"))
+        .select(col("d"), col("o_orderkey").as("k"), col("o_custkey").as("c"))
+      val initial = facts.where(col("d") <= "1995-05-31" && col("k") % 7 =!= 0)
+      val late = facts.where(col("d") <= "1995-05-31" && col("k") % 7 === 0)
+      val june = facts.where(col("d") >= "1995-06-01")
+      graft.operators.IncrementalAgg.refreshDistinctSketch(
+        st, "mv", initial, "d", "c")
+      graft.operators.IncrementalAgg.refreshDistinctSketch(
+        st, "mv", june.unionByName(late), "d", "c")
+      val mv = st.read("mv").select(col("d"), col("n"),
+        hll_sketch_estimate(col("sk")).as("_est"))
+      val exact = facts.groupBy(col("d"))
+        .agg(countDistinct(col("c")).as("n_exact"))
+      mv.join(exact, Seq("d"))
+        .select(col("d"), col("n"), col("n_exact"),
+          (abs(col("_est") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("est_ok"))
+    }),
+
+    // The quantile-sketch MV capstone: Stats.relBucket counts are
+    // ADDITIVE state, so per-(day, bucket) counts maintain through the
+    // same touched-dirs-only copy-on-write refresh as q154's sums, and
+    // per-day p50/p90/p99 serve from the MV alone
+    // (Stats.relQuantilesFromCounts) — facts read once ever, quantiles
+    // at any time, with the whole sketch integer-exact so the oracle
+    // replays maintenance + serve hash-identically against the raw
+    // facts (maintenance-invisible AND approximation-exact).
+    "q215_quantile_mv" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q215_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "mv"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val facts = t(s, dir, "orders")
+        .withColumn("d", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .where(col("d").between("1995-01-01", "1995-06-30"))
+        .select(col("d"), col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).as("cents"))
+        .where(col("cents") >= 1)
+      val initial = facts.where(col("d") <= "1995-05-31" && col("k") % 7 =!= 0)
+      val late = facts.where(col("d") <= "1995-05-31" && col("k") % 7 === 0)
+      val june = facts.where(col("d") >= "1995-06-01")
+      def refresh(delta: org.apache.spark.sql.DataFrame): Unit = {
+        val partial = delta
+          .withColumn("b", graft.operators.Stats.relBucket(col("cents"), 7))
+          .withColumn("kb", concat_ws("|", col("d"), col("b")))
+          .groupBy(col("kb"), col("d"), col("b"))
+          .agg(count(lit(1)).as("c"))
+        if (st.versions("mv").isEmpty)
+          st.commit("mv", partial, overwrite = true, statsCols = Seq("kb")): Unit
+        else {
+          val touched = st.read("mv")
+            .join(partial.select(col("kb")), Seq("kb"), "left_semi")
+          val upserts = touched.unionByName(partial)
+            .groupBy(col("kb"), col("d"), col("b")).agg(sum(col("c")).as("c"))
+          st.mergeInto("mv", upserts, "kb", statsCols = Seq("kb")): Unit
+        }
+      }
+      refresh(initial)
+      refresh(june.unionByName(late))
+      graft.operators.Stats.relQuantilesFromCounts(
+        st.read("mv"), "d", "b", "c", qs = Seq(0.5, 0.9, 0.99), subBits = 7)
+    }),
+
     // Change data feed: two overwrite snapshots of a rolling window
     // (Jan..Mar then Feb..Apr with every 5th key repriced), diffed as
     // ONE manifest-resolved full-outer join — inserts (Apr), deletes
@@ -2263,6 +2337,52 @@ object CurationQueries {
          WHERE strftime(o_orderdate, '%Y-%m-%d')
                BETWEEN '1995-01-01' AND '1995-06-30'
          GROUP BY d""",
+
+    // Maintenance-invisible + estimate gated: the incrementally-merged
+    // sketch MV must carry the exact row count and an estimate within
+    // 5% of the true distinct (HLL lgK=12 is exact in sparse mode at
+    // these per-day cardinalities).
+    "q213_sketch_mv" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+            COUNT(*) AS n,
+            COUNT(DISTINCT o_custkey) AS n_exact,
+            TRUE AS est_ok
+         FROM orders
+         WHERE strftime(o_orderdate, '%Y-%m-%d')
+               BETWEEN '1995-01-01' AND '1995-06-30'
+         GROUP BY d""",
+
+    // Maintenance-invisible AND approximation-exact: the incrementally
+    // maintained bucket counts must serve the IDENTICAL integer sketch
+    // walk a one-shot pass over the raw facts computes.
+    "q215_quantile_mv" ->
+      """WITH src AS (
+           SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+                  CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders
+           WHERE strftime(o_orderdate, '%Y-%m-%d')
+                 BETWEEN '1995-01-01' AND '1995-06-30'
+             AND floor(o_totalprice * 100) >= 1),
+         bb AS (
+           SELECT d, v, CAST(length(bin(v)) - 1 AS BIGINT) AS e FROM src),
+         bk AS (
+           SELECT d, CASE WHEN v < 128 THEN v
+             ELSE (e - 7 + 1) * 128 + (v >> CAST(e - 7 AS INT)) - 128 END AS b
+           FROM bb),
+         c AS (SELECT d, b, COUNT(*) AS c FROM bk GROUP BY d, b),
+         cum AS (
+           SELECT d, b, SUM(c) OVER (PARTITION BY d ORDER BY b) AS cum,
+                  SUM(c) OVER (PARTITION BY d) AS n
+           FROM c),
+         r AS (
+           SELECT d, cum, n, CASE WHEN b < 128 THEN b
+             ELSE (128 + b % 128) << CAST(b // 128 - 1 AS INT) END AS rep
+           FROM cum)
+         SELECT d, CAST(MAX(n) AS BIGINT) AS n,
+           MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN rep END) AS p50,
+           MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN rep END) AS p90,
+           MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN rep END) AS p99
+         FROM r GROUP BY d""",
 
     // The CDF replay: full-outer join of the two window snapshots on k.
     "q135_snapshot_diff" ->

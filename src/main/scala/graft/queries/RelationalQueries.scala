@@ -243,6 +243,20 @@ object RelationalQueries {
       graft.operators.Bfs.distances(edges, "u", "v", sources, "node", maxHops = 4)
     }),
 
+    // Bounded-relative-error quantile sketch (DDSketch/HdrHistogram
+    // family, integer power-of-two form — see Stats.relQuantiles):
+    // per-flag p50/p90/p99 of price cents from O(keys × buckets)
+    // mergeable state instead of O(distinct values). The whole sketch
+    // is shifts + bit-length — no floating log — so the oracle replays
+    // it HASH-EXACTLY: an approximate operator graded exactly.
+    "q214_rel_quantile_sketch" -> ((s, dir) => {
+      val src = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).as("v"))
+      graft.operators.Stats.relQuantiles(src, "l_returnflag", "v",
+        qs = Seq(0.5, 0.9, 0.99), subBits = 7)
+    }),
+
     // Fuzzy record linkage under the native Jaro-Winkler expression
     // (q112's shape with the prefix-boosted metric record linkage
     // actually uses — transposed/dropped characters in the dirty names
@@ -1055,6 +1069,36 @@ object RelationalQueries {
            WHERE w.d < 4)
          SELECT CAST(node AS BIGINT) AS node, MIN(d) AS d
          FROM walk GROUP BY node""",
+
+    // The identical integer sketch walk: len(bin(v))-1 bit-length
+    // buckets with 128 linear sub-buckets, cumulative counts, rank
+    // pick at CEIL(q·n), lower-bound representative — every step is
+    // integer/shift arithmetic both engines compute bit-identically.
+    "q214_rel_quantile_sketch" ->
+      """WITH src AS (
+           SELECT l_returnflag AS k,
+                  CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem WHERE floor(l_extendedprice * 100) >= 1),
+         bb AS (
+           SELECT k, v, CAST(length(bin(v)) - 1 AS BIGINT) AS e FROM src),
+         bk AS (
+           SELECT k, CASE WHEN v < 128 THEN v
+             ELSE (e - 7 + 1) * 128 + (v >> CAST(e - 7 AS INT)) - 128 END AS b
+           FROM bb),
+         c AS (SELECT k, b, COUNT(*) AS c FROM bk GROUP BY k, b),
+         cum AS (
+           SELECT k, b, SUM(c) OVER (PARTITION BY k ORDER BY b) AS cum,
+                  SUM(c) OVER (PARTITION BY k) AS n
+           FROM c),
+         r AS (
+           SELECT k, cum, n, CASE WHEN b < 128 THEN b
+             ELSE (128 + b % 128) << CAST(b // 128 - 1 AS INT) END AS rep
+           FROM cum)
+         SELECT k AS l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+           MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN rep END) AS p50,
+           MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN rep END) AS p90,
+           MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN rep END) AS p99
+         FROM r GROUP BY k""",
 
     // DuckDB's jaro_winkler_similarity implements the identical classic
     // semantics (boost 0.1, prefix cap 4, threshold 0.7 — empirically

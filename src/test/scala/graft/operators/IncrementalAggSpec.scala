@@ -34,4 +34,44 @@ class IncrementalAggSpec extends SparkSpec {
     val v1Dirs = st.manifestDirs("mv", Some(1L))
     assert(st.manifestDirs("mv", Some(v2)).toSet.intersect(v1Dirs.toSet) == v1Dirs.toSet)
   }
+
+  test("sketch refresh: incremental distinct estimates match exact at test cardinalities") {
+    import org.apache.spark.sql.functions._
+    val root = Scratch.processScoped("incagg_spec", sf()) + "/mv3"
+    Scratch.deleteRecursively(new java.io.File(root))
+    val st = new SnapshotStore(spark, root)
+    // overlapping members across batches: d1 sees u1..u40 then u21..u60
+    // (true distinct 60); d2 only in batch 2
+    val b1 = (1 to 40).map(i => ("d1", s"u$i")).toDF("d", "u")
+    val b2 = ((21 to 60).map(i => ("d1", s"u$i")) ++
+      (1 to 10).map(i => ("d2", s"v$i"))).toDF("d", "u")
+    IncrementalAgg.refreshDistinctSketch(st, "mv", b1, "d", "u")
+    IncrementalAgg.refreshDistinctSketch(st, "mv", b2, "d", "u")
+    val got = st.read("mv")
+      .select(col("d"), col("n"),
+        hll_sketch_estimate(col("sk")).cast("long").as("est"))
+      .as[(String, Long, Long)].collect()
+      .map { case (d, n, e) => d -> (n, e) }.toMap
+    // HLL is exact in sparse mode at these cardinalities
+    assert(got == Map("d1" -> (80L, 60L), "d2" -> (10L, 10L)))
+  }
+
+  test("sketch refresh: union state equals a one-shot sketch of all facts") {
+    import org.apache.spark.sql.functions._
+    val root = Scratch.processScoped("incagg_spec", sf()) + "/mv4"
+    Scratch.deleteRecursively(new java.io.File(root))
+    val st = new SnapshotStore(spark, root)
+    val all = (1 to 500).map(i => ("d", s"u${i % 123}")).toDF("d", "u")
+    val (b1, b2) = ((1 to 250).map(i => ("d", s"u${i % 123}")).toDF("d", "u"),
+      (251 to 500).map(i => ("d", s"u${i % 123}")).toDF("d", "u"))
+    IncrementalAgg.refreshDistinctSketch(st, "mv", b1, "d", "u")
+    IncrementalAgg.refreshDistinctSketch(st, "mv", b2, "d", "u")
+    val inc = st.read("mv")
+      .select(hll_sketch_estimate(col("sk")).cast("long")).as[Long].head()
+    val oneShot = all
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("u"))).cast("long"))
+      .as[Long].head()
+    assert(inc == oneShot)
+    assert(inc == 123L)
+  }
 }

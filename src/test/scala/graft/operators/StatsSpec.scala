@@ -147,4 +147,73 @@ class StatsSpec extends SparkSpec {
     assert(out.filter(_._1 == 5.0).forall(_._2 == 0L))   // ties: lowest bin
     assert(out.filter(_._1 > 100.0).forall(_._2 == 3L))  // above all 3 cuts
   }
+
+  test("relQuantiles: estimate is a lower bound within 2^-subBits relative error") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val vals = Seq.fill(5000)(1L + math.abs(rng.nextLong()) % 10000000L)
+    val df = vals.map(("k", _)).toDF("key", "v")
+    val got = Stats.relQuantiles(df, "key", "v", Seq(0.5, 0.9, 0.99), subBits = 7)
+      .collect().head
+    val sorted = vals.sorted
+    def exact(q: Double) = sorted((math.ceil(q * vals.size) - 1).toInt)
+    for ((q, i) <- Seq(0.5 -> 2, 0.9 -> 3, 0.99 -> 4)) {
+      val est = got.getLong(i)
+      val ex = exact(q)
+      assert(est <= ex, s"q=$q est=$est not a lower bound of $ex")
+      assert(ex < est * (1 + 1.0 / 128) + 1, s"q=$q est=$est too far below $ex")
+    }
+    assert(got.getLong(1) == vals.size)
+  }
+
+  test("relQuantiles: values below 2^subBits are returned exactly") {
+    import spark.implicits._
+    val df = (1L to 100L).map(("k", _)).toDF("key", "v")
+    val got = Stats.relQuantiles(df, "key", "v", Seq(0.5, 0.99), subBits = 7)
+      .collect().head
+    assert(got.getLong(2) == 50L)  // ceil(0.5*100)=50th value = 50
+    assert(got.getLong(3) == 99L)
+  }
+
+  test("relQuantiles: bucket state is mergeable — split halves equal the whole") {
+    import spark.implicits._
+    // additivity of the bucket counts IS the merge property; verify by
+    // the operator's own partitioning-invariance: 1 vs 8 partitions
+    val rng = new scala.util.Random(9)
+    val vals = Seq.fill(2000)(1L + math.abs(rng.nextLong()) % 999983L)
+    val one = Stats.relQuantiles(
+      vals.map(("k", _)).toDF("key", "v").repartition(1), "key", "v", Seq(0.9))
+      .collect().head.toSeq
+    val eight = Stats.relQuantiles(
+      vals.map(("k", _)).toDF("key", "v").repartition(8), "key", "v", Seq(0.9))
+      .collect().head.toSeq
+    assert(one == eight)
+  }
+
+  test("relQuantilesFromCounts: summed half-corpus counts serve the whole-corpus answer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(13)
+    val vals = Seq.fill(3000)(1L + math.abs(rng.nextLong()) % 5000000L)
+    val (h1, h2) = vals.splitAt(1500)
+    def cnts(vs: Seq[Long]) = vs.map(("k", _)).toDF("key", "v")
+      .select(col("key"), Stats.relBucket(col("v"), 7).as("b"))
+      .groupBy("key", "b").agg(count(lit(1)).as("c"))
+    val merged = cnts(h1).unionByName(cnts(h2))
+      .groupBy("key", "b").agg(sum("c").as("c"))
+    val fromMerged = Stats.relQuantilesFromCounts(
+      merged, "key", "b", "c", Seq(0.5, 0.99)).collect().head.toSeq
+    val oneShot = Stats.relQuantiles(
+      vals.map(("k", _)).toDF("key", "v"), "key", "v", Seq(0.5, 0.99))
+      .collect().head.toSeq
+    assert(fromMerged == oneShot)
+  }
+
+  test("relQuantiles: non-positive values are out of contract and dropped") {
+    import spark.implicits._
+    val df = Seq(("k", -5L), ("k", 0L), ("k", 3L), ("k", 7L)).toDF("key", "v")
+    val got = Stats.relQuantiles(df, "key", "v", Seq(1.0)).collect().head
+    assert(got.getLong(1) == 2L) // n counts only the positive rows
+    assert(got.getLong(2) == 7L)
+  }
 }
