@@ -303,11 +303,15 @@ object Stats {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs=$qs")
     val c = counts.select(col(keyCol), col(bucketCol).as("_b"),
       col(cntCol).as("_c"))
-    val totals = c.groupBy(col(keyCol)).agg(sum("_c").as("n"))
+    // per-key totals as a whole-partition window, NOT the exactMedian
+    // agg+join device: the bucket table is O(keys × 64·2^m) — tiny by
+    // construction — and the self-join form trips conflicting-reference
+    // resolution when the counts come from a just-materialized
+    // streaming memory sink (q216)
     val cum = c
       .withColumn("_cum",
         sum("_c").over(Window.partitionBy(keyCol).orderBy("_b")))
-      .join(broadcast(totals), Seq(keyCol))
+      .withColumn("n", sum("_c").over(Window.partitionBy(keyCol)))
       .withColumn("_rep", relRep(col("_b"), subBits))
     def label(q: Double) = "p" + BigDecimal(q * 100).underlying
       .stripTrailingZeros.toPlainString.replace(".", "_")

@@ -338,6 +338,33 @@ object PipelineQueries {
           statePartitions = Some(8))
     }),
 
+    // Streaming windowed QUANTILES — possible precisely because the
+    // relBucket sketch state is an additive count: the streaming
+    // engine's windowed agg maintains (window, bucket) counts under
+    // the watermark like any sum, and the quantile walk
+    // (relQuantilesFromCounts) serves from the materialized closed
+    // windows. An exact streaming percentile would need every value in
+    // state; the sketch needs O(buckets). Same append-mode emission
+    // contract and final-watermark cutoff as q76; integer-exact, so
+    // the oracle replays closed windows hash-identically.
+    "q216_stream_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val raw = graft.Tables.eventsStream(s, dir, Seq(
+        StructField("ts", LongType), StructField("value", DoubleType)))
+      val counts = raw.withWatermark("ts", "1 hour")
+        .withColumn("v", floor(col("value") * 100))
+        .where(col("v") >= 1)
+        .groupBy(window(col("ts"), "6 hours"),
+          graft.operators.Stats.relBucket(col("v"), 7).as("b"))
+        .agg(count(lit(1)).as("c"))
+      val mat = graft.streaming.StreamJoin.runAvailableNow(s,
+        counts.select(unix_micros(col("window.start")).as("w_us"),
+          col("b"), col("c")),
+        statePartitions = Some(8))
+      graft.operators.Stats.relQuantilesFromCounts(
+        mat, "w_us", "b", "c", qs = Seq(0.5, 0.9, 0.99), subBits = 7)
+    }),
+
     // Streaming SESSION windows in append mode (the data-dependent
     // window kind: windows merge as events arrive, close only when the
     // watermark passes last-event + gap). Same emission contract as
@@ -662,6 +689,39 @@ object PipelineQueries {
           FROM e, mx
           GROUP BY us - (us % 21600000000), event_type, mus
           HAVING (us - (us % 21600000000)) + 21600000000 <= mus - 3600000000""",
+
+    // Closed 6h windows only (same final-watermark cutoff as q76);
+    // the integer sketch walk replays per window.
+    "q216_stream_quantiles" ->
+      """WITH mx AS (
+           SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS mus FROM events),
+         e AS (
+           SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                  CAST(floor(value * 100) AS BIGINT) AS v
+           FROM events WHERE floor(value * 100) >= 1),
+         w AS (
+           SELECT us - (us % 21600000000) AS w_us, v FROM e, mx
+           WHERE (us - (us % 21600000000)) + 21600000000 <= mus - 3600000000),
+         bb AS (
+           SELECT w_us, v, CAST(length(bin(v)) - 1 AS BIGINT) AS e FROM w),
+         bk AS (
+           SELECT w_us, CASE WHEN v < 128 THEN v
+             ELSE (e - 7 + 1) * 128 + (v >> CAST(e - 7 AS INT)) - 128 END AS b
+           FROM bb),
+         c AS (SELECT w_us, b, COUNT(*) AS c FROM bk GROUP BY w_us, b),
+         cum AS (
+           SELECT w_us, b, SUM(c) OVER (PARTITION BY w_us ORDER BY b) AS cum,
+                  SUM(c) OVER (PARTITION BY w_us) AS n
+           FROM c),
+         r AS (
+           SELECT w_us, cum, n, CASE WHEN b < 128 THEN b
+             ELSE (128 + b % 128) << CAST(b // 128 - 1 AS INT) END AS rep
+           FROM cum)
+         SELECT w_us, CAST(MAX(n) AS BIGINT) AS n,
+           MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN rep END) AS p50,
+           MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN rep END) AS p90,
+           MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN rep END) AS p99
+         FROM r GROUP BY w_us""",
 
     "q83_stream_ingest_sink" ->
       """SELECT event_id,
