@@ -1,0 +1,156 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count ALL (including overlapping) occurrences of every pattern in a
+  * fixed dictionary, in ONE pass over the text — the Aho-Corasick
+  * automaton as a tier-(b) native expression. This is dictionary
+  * tagging / phrase-blocklist scanning: the token-equality blocklists
+  * ([[graft.operators.Curation.blocklistFilter]]) can't see multi-word
+  * phrases or intra-token substrings, and scanning per-pattern
+  * (`instr`/regex per dictionary entry) re-reads the corpus |dict|
+  * times — the exact cost AC exists to kill. One automaton walk is
+  * O(bytes + matches) regardless of dictionary size.
+  *
+  * The automaton is built ONCE per deserialized expression instance
+  * (driver builds it for interpreted eval; each executor builds it on
+  * first use from the serialized pattern list — O(total pattern bytes ×
+  * 256) table memory, the classic dense-DFA trade), then shipped into
+  * generated code as a reference object: the per-row work inside
+  * whole-stage codegen is the byte walk alone, zero allocation beyond
+  * the counts array.
+  *
+  * Matching is per-UTF-8-byte (patterns and text compared as raw
+  * bytes — for ASCII identical to per-character). Occurrences are
+  * counted at every match END position, so self-overlapping patterns
+  * count each overlap ("aa" occurs twice in "aaa") — the definitional
+  * substring-occurrence count an oracle replays with a position scan.
+  * Returns one count per pattern, in pattern order; null text ⇒ null.
+  */
+case class MultiMatchCount(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  require(patterns.nonEmpty, "patterns must be non-empty")
+  require(patterns.forall(_.nonEmpty), "empty pattern not allowed")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "multi_match_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"multi_match_count requires string, got ${child.dataType}")
+
+  @transient private lazy val ac =
+    AhoCorasick.build(patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  /** Single entry for interpreted eval AND generated code (reference
+    * object call) — builds nothing per row.
+    */
+  def countMatches(text: UTF8String): ArrayData =
+    new GenericArrayData(ac.countAll(text))
+
+  override def nullSafeEval(input: Any): Any =
+    countMatches(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mmc", this, classOf[MultiMatchCount].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.countMatches($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiMatchCount =
+    copy(child = newChild)
+}
+
+object MultiMatchCount {
+  def apply(text: Column, patterns: Seq[String]): Column =
+    ColumnBridge.column(MultiMatchCount(
+      ColumnBridge.expressionEager(text), patterns))
+}
+
+/** Dense-DFA Aho-Corasick over bytes: `next` is the goto function with
+  * fail transitions pre-resolved (O(1) per input byte, no fail-chain
+  * walking at match time), `outs` the per-state list of pattern
+  * indices ending there (fail-chain outputs merged at build time).
+  */
+final class AhoCorasick(next: Array[Array[Int]], outs: Array[Array[Int]],
+                        numPatterns: Int) extends Serializable {
+
+  def countAll(text: UTF8String): Array[Long] = {
+    val counts = new Array[Long](numPatterns)
+    val n = text.numBytes
+    var state = 0
+    var i = 0
+    while (i < n) {
+      state = next(state)(text.getByte(i) & 0xff)
+      val out = outs(state)
+      var j = 0
+      while (j < out.length) {
+        counts(out(j)) += 1
+        j += 1
+      }
+      i += 1
+    }
+    counts
+  }
+}
+
+object AhoCorasick {
+
+  def build(patterns: Seq[Array[Byte]]): AhoCorasick = {
+    val maxNodes = patterns.map(_.length).sum + 1
+    val children = Array.fill(maxNodes)(Array.fill(256)(-1))
+    val outLists = Array.fill(maxNodes)(List.empty[Int])
+    var nNodes = 1
+    // trie
+    patterns.zipWithIndex.foreach { case (p, idx) =>
+      var node = 0
+      var i = 0
+      while (i < p.length) {
+        val b = p(i) & 0xff
+        if (children(node)(b) < 0) {
+          children(node)(b) = nNodes
+          nNodes += 1
+        }
+        node = children(node)(b)
+        i += 1
+      }
+      outLists(node) = idx :: outLists(node)
+    }
+    // BFS: fail links, fail-resolved goto, merged outputs
+    val fail = new Array[Int](nNodes)
+    val next = Array.fill(nNodes)(new Array[Int](256))
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    var b = 0
+    while (b < 256) {
+      val c = children(0)(b)
+      next(0)(b) = if (c < 0) 0 else c
+      if (c >= 0) { fail(c) = 0; queue.enqueue(c) }
+      b += 1
+    }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      outLists(u) = outLists(u) ::: outLists(fail(u))
+      var b2 = 0
+      while (b2 < 256) {
+        val c = children(u)(b2)
+        if (c >= 0) {
+          fail(c) = next(fail(u))(b2)
+          next(u)(b2) = c
+          queue.enqueue(c)
+        } else {
+          next(u)(b2) = next(fail(u))(b2)
+        }
+        b2 += 1
+      }
+    }
+    new AhoCorasick(next.take(nNodes),
+      outLists.take(nNodes).map(_.toArray), patterns.length)
+  }
+}

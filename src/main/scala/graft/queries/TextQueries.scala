@@ -15,6 +15,24 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Dictionary tagging / phrase-blocklist scanning: ALL (overlapping)
+    // occurrences of every dictionary pattern counted in ONE
+    // Aho-Corasick pass per document (expressions/MultiMatchCount —
+    // O(bytes + matches) regardless of dictionary size, vs per-pattern
+    // instr/regex re-reading the corpus |dict| times). The oracle is
+    // the definitional position scan: for each (doc, pattern), count
+    // positions i with substr(text, i, len) = pattern.
+    "q217_phrase_tagging" -> ((s, dir) => {
+      val pats = Seq("the", "data", "tion", "ing", "stream")
+      t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.expressions.MultiMatchCount(lower(col("text")), pats).as("_c"))
+        .select(col("doc_id"), posexplode(col("_c")).as(Seq("_i", "cnt")))
+        .where(col("cnt") > 0)
+        .select(col("doc_id"),
+          element_at(typedlit(pats), col("_i") + 1).as("pat"), col("cnt"))
+    }),
+
     // U1: CleanNews as native expressions (reference
     // batchPipeline.py:41-52) + F1 dropna (len<10 => null => dropped).
     "q11_clean_text" -> ((s, dir) => {
@@ -441,6 +459,20 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Definitional overlapping-occurrence count: every position whose
+    // substring equals the pattern ("aa" occurs twice in "aaa" — the
+    // AC match-end semantics).
+    "q217_phrase_tagging" ->
+      """WITH pats AS (SELECT * FROM (VALUES ('the'), ('data'), ('tion'),
+                       ('ing'), ('stream')) p(pat)),
+          docs AS (SELECT doc_id, lower(text) AS t FROM documents
+                   WHERE text IS NOT NULL),
+          hits AS (SELECT doc_id, pat,
+            len(list_filter(generate_series(1, length(t) - length(pat) + 1),
+                i -> substr(t, CAST(i AS INT), length(pat)) = pat)) AS cnt
+            FROM docs, pats)
+          SELECT doc_id, pat, CAST(cnt AS BIGINT) AS cnt
+          FROM hits WHERE cnt > 0""",
     "q11_clean_text" ->
       s"""SELECT doc_id, ${SqlFragments.cleanExpr} AS clean
           FROM documents WHERE text IS NOT NULL AND LENGTH(text) >= 10""",

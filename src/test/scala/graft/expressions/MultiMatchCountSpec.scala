@@ -1,0 +1,63 @@
+package graft.expressions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aho-Corasick multi-pattern counting against a brute-force position
+  * scan, overlap semantics, prefix/suffix pattern interplay, codegen vs
+  * interpreted agreement, and the null contract.
+  */
+class MultiMatchCountSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(text: String, pats: Seq[String]): Seq[Long] =
+    pats.map(p => (0 to text.length - p.length)
+      .count(i => text.regionMatches(i, p, 0, p.length)).toLong)
+
+  private def ac(text: String, pats: Seq[String]): Seq[Long] = {
+    val e = MultiMatchCount(
+      org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(text)),
+      pats)
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().toSeq
+  }
+
+  test("overlapping occurrences count at every match end") {
+    assert(ac("aaa", Seq("aa")) == Seq(2L))
+    assert(ac("aaaa", Seq("aa", "aaa")) == Seq(3L, 2L))
+    assert(ac("abababa", Seq("aba")) == Seq(3L))
+  }
+
+  test("patterns that are prefixes/suffixes of each other all count") {
+    // "she" contains "he"; "hers" shares the trie path with "he"
+    val got = ac("ushers", Seq("he", "she", "hers", "his"))
+    assert(got == Seq(1L, 1L, 1L, 0L))
+  }
+
+  test("matches brute force on random byte soup") {
+    val rng = new scala.util.Random(17)
+    val pats = Seq("ab", "bba", "aab", "abab", "b")
+    (1 to 200).foreach { _ =>
+      val s = (0 until rng.nextInt(40)).map(_ => if (rng.nextBoolean()) 'a' else 'b').mkString
+      assert(ac(s, pats) == brute(s, pats), s"text=$s")
+    }
+  }
+
+  test("column path (codegen) agrees with interpreted eval; null in null out") {
+    val pats = Seq("the", "ing")
+    val rows = Seq(Some("the thing singing"), Some(""), None).toDF("t")
+      .select(MultiMatchCount(col("t"), pats).as("c"))
+      .collect()
+    assert(rows(0).getSeq[Long](0) == Seq(1L, 3L))
+    assert(rows(1).getSeq[Long](0) == Seq(0L, 0L))
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("one pass regardless of dictionary size: dense-DFA walk over bytes") {
+    // long dictionary, all counted in a single eval
+    val pats = (0 until 50).map(i => f"w$i%02d")
+    val text = (0 until 50).flatMap(i => Seq(f"w$i%02d", f"w$i%02d")).mkString(" ")
+    assert(ac(text, pats) == Seq.fill(50)(2L))
+  }
+}
