@@ -35,6 +35,15 @@ object Tuning {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.BroadcastOneRowAggregates
+    // restore predicate pushdown through the custom join nodes (they
+    // are barriers to Catalyst's own PushPredicateThroughJoin); the
+    // extra batch runs to fixed point, and FileSourceStrategy turns
+    // the relocated filters into scan-level PushedFilters at planning
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.PushFiltersThroughGraftJoins))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.PushFiltersThroughGraftJoins
     // planner strategies for the native as-of / interval-join nodes
     if (!spark.experimental.extraStrategies
           .contains(graft.plans.AsOfJoinStrategy))

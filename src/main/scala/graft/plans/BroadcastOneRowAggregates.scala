@@ -69,6 +69,7 @@ object BroadcastOneRowAggregates extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BroadcastOneRowAggregates)
+    e.injectOptimizerRule(_ => PushFiltersThroughGraftJoins)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => IntervalJoinStrategy)
   }

@@ -365,6 +365,37 @@ object PipelineQueries {
         mat, "w_us", "b", "c", qs = Seq(0.5, 0.9, 0.99), subBits = 7)
     }),
 
+    // Streaming per-window DISTINCT via HLL sketch state — the q213
+    // sketch-as-state pattern on the stream: hll_sketch_agg's binary
+    // buffer is mergeable aggregate state, so the windowed agg
+    // maintains it under the watermark with O(sketch) state per window
+    // where exact streaming distinct would hold every member. Closed
+    // windows join the batch-side exact count (inner join = the q76
+    // cutoff by construction); estimate gated within 5% (exact in
+    // sparse mode at these cardinalities).
+    "q218_stream_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val raw = graft.Tables.eventsStream(s, dir, Seq(
+        StructField("ts", LongType), StructField("user_id", LongType)))
+      val agg = raw.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n"), hll_sketch_agg(col("user_id")).as("sk"))
+      val mat = graft.streaming.StreamJoin.runAvailableNow(s,
+        agg.select(unix_micros(col("window.start")).as("w_us"), col("n"),
+          hll_sketch_estimate(col("sk")).as("_est")),
+        statePartitions = Some(8))
+      val exact = t(s, dir, "events")
+        .select((unix_micros(col("ts").cast("timestamp")) -
+          pmod(unix_micros(col("ts").cast("timestamp")), lit(21600000000L)))
+          .as("w_us"), col("user_id"))
+        .groupBy(col("w_us"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      mat.join(exact, Seq("w_us"))
+        .select(col("w_us"), col("n"), col("n_exact"),
+          (abs(col("_est") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("est_ok"))
+    }),
+
     // Streaming SESSION windows in append mode (the data-dependent
     // window kind: windows merge as events arrive, close only when the
     // watermark passes last-event + gap). Same emission contract as
@@ -688,6 +719,17 @@ object PipelineQueries {
             COUNT(*) AS n, ${SqlFragments.r15("SUM(value)", 4)} AS sum_value
           FROM e, mx
           GROUP BY us - (us % 21600000000), event_type, mus
+          HAVING (us - (us % 21600000000)) + 21600000000 <= mus - 3600000000""",
+
+    // Same q76 cutoff; exact distinct from the oracle, estimate gated.
+    "q218_stream_distinct" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id
+                    FROM events),
+          mx AS (SELECT MAX(us) AS mus FROM e)
+          SELECT us - (us % 21600000000) AS w_us, COUNT(*) AS n,
+            COUNT(DISTINCT user_id) AS n_exact, TRUE AS est_ok
+          FROM e, mx
+          GROUP BY us - (us % 21600000000), mus
           HAVING (us - (us % 21600000000)) + 21600000000 <= mus - 3600000000""",
 
     // Closed 6h windows only (same final-watermark cutoff as q76);
