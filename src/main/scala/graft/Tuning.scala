@@ -44,6 +44,11 @@ object Tuning {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.PushFiltersThroughGraftJoins
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.PruneColumnsThroughGraftJoins))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.PruneColumnsThroughGraftJoins
     // planner strategies for the native as-of / interval-join nodes
     if (!spark.experimental.extraStrategies
           .contains(graft.plans.AsOfJoinStrategy))

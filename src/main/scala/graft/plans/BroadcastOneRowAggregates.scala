@@ -70,6 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BroadcastOneRowAggregates)
     e.injectOptimizerRule(_ => PushFiltersThroughGraftJoins)
+    e.injectOptimizerRule(_ => PruneColumnsThroughGraftJoins)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => IntervalJoinStrategy)
   }

@@ -67,3 +67,46 @@ object PushFiltersThroughGraftJoins extends Rule[LogicalPlan] {
       }
   }
 }
+
+/** Column pruning through the custom join nodes — the other
+  * optimization a custom LogicalPlan silently blocks: Catalyst's
+  * ColumnPruning doesn't know what [[AsOfJoinNode]] needs from its
+  * children, so a narrow Project above the join still makes the (at
+  * 100 TB, wide) left side materialize every column through exchange
+  * and sort. The rule inserts a child Project keeping only the attrs
+  * the downstream Project references plus what the node itself
+  * consumes (keys, times, bounds, carried values); the node's output
+  * contracts with its left child, so the plan stays consistent and the
+  * standard pruning rules take the inserted Project the rest of the
+  * way to the scan's ReadSchema.
+  *
+  * Left side only for [[AsOfJoinNode]] (its right side already
+  * narrows to (key, time, values) expressions); both sides of
+  * [[IntervalJoinNode]] pass everything through, so both prune.
+  */
+object PruneColumnsThroughGraftJoins extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  private def prune(child: LogicalPlan, needed: AttributeSet): Option[LogicalPlan] =
+    if (child.output.forall(needed.contains)) None
+    else Some(Project(child.output.filter(needed.contains), child))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case p @ Project(_, j: AsOfJoinNode) =>
+      val needed = AttributeSet(p.references ++
+        j.leftKey.references ++ j.leftTime.references)
+      prune(j.left, needed)
+        .map(nl => p.copy(child = j.copy(left = nl))).getOrElse(p)
+    case p @ Project(_, j: IntervalJoinNode) =>
+      val neededL = AttributeSet(p.references ++ j.leftKey.references ++
+        j.leftStart.references ++ j.leftEnd.references)
+      val neededR = AttributeSet(p.references ++ j.rightKey.references ++
+        j.rightStart.references ++ j.rightEnd.references)
+      val nl = prune(j.left, neededL)
+      val nr = prune(j.right, neededR)
+      if (nl.isEmpty && nr.isEmpty) p
+      else p.copy(child = j.copy(left = nl.getOrElse(j.left),
+        right = nr.getOrElse(j.right)))
+  }
+}

@@ -70,6 +70,52 @@ class PushFiltersSpec extends SparkSpec {
     assert(rows == Set("[1,20,200,11.0]"), rows.toString)
   }
 
+  test("column pruning: a narrow select above the as-of join narrows the wide left scan") {
+    val dir = java.nio.file.Files.createTempDirectory("prunec").toString
+    // wide left: 6 columns, downstream query reads 2 (+ key/time)
+    (0L until 100L).map(i => (i % 5, i, i * 2, i * 3, i * 4, s"pad$i"))
+      .toDF("k", "t", "a", "b", "c", "pad")
+      .write.mode("overwrite").parquet(s"$dir/l")
+    (0L until 50L).map(i => (i % 5, i * 2, i.toDouble))
+      .toDF("k", "t", "px").write.mode("overwrite").parquet(s"$dir/r")
+    val l = spark.read.parquet(s"$dir/l")
+    val r = spark.read.parquet(s"$dir/r")
+    val joined = AsOfJoin.lookupLastNative(l, r, "k", "t", "t", "px", "px")
+      .select("k", "a", "px")
+    val phys = joined.queryExecution.executedPlan.toString
+    // the wide columns never leave the left scan
+    val leftScan = phys.linesIterator.find(s =>
+      s.contains("FileScan") && s.contains("/l")).get
+    assert(leftScan.contains("ReadSchema: struct<k:bigint,t:bigint,a:bigint>"),
+      s"left scan not pruned:\n$leftScan")
+    assert(joined.count() == 100)
+  }
+
+  test("column pruning: both interval-join sides narrow to referenced columns") {
+    // direct node construction with WIDE children (the library wrapper
+    // pre-narrows, so this is the path a raw plan-level user hits)
+    val wideL = (0L until 60L)
+      .map(i => (i % 4, i, i * 2, i * 2 + 9, s"x$i", i * 1.5))
+      .toDF("k", "id", "s", "e", "junk", "w")
+    val wideR = (0L until 40L)
+      .map(i => (i % 4, 100L + i, i * 3, i * 3 + 7, s"y$i", i * 2.5))
+      .toDF("k2", "id2", "s2", "e2", "junk2", "w2")
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) = p.output.find(_.name == n).get
+    val lp = wideL.queryExecution.analyzed
+    val rp = wideR.queryExecution.analyzed
+    val joined = org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark,
+        IntervalJoinNode(lp, rp, attr(lp, "k"), attr(rp, "k2"),
+          attr(lp, "s"), attr(lp, "e"), attr(rp, "s2"), attr(rp, "e2")))
+      .select("id", "id2")
+    val opt = joined.queryExecution.optimizedPlan
+    val node = opt.collectFirst { case j: IntervalJoinNode => j }.get
+    // junk/w gone from both child outputs before the exchange
+    assert(!node.left.output.map(_.name).exists(Set("junk", "w")))
+    assert(!node.right.output.map(_.name).exists(Set("junk2", "w2")))
+    assert(joined.count() > 0)
+  }
+
   test("pushed filters reach the parquet scan as PushedFilters") {
     val dir = java.nio.file.Files.createTempDirectory("pushf").toString
     lDf.write.mode("overwrite").parquet(s"$dir/l")
