@@ -259,26 +259,31 @@ object Multimodal {
   /** Per-pixel gray plane (r+g+b) of a P6 payload, None if malformed
     * or larger than 64 pixels (aHash packs into one long).
     */
-  private[operators] def decodePpmGray(payload: Array[Byte]): Option[Array[Int]] = {
-    // validate via decodePpm, then locate the plane with the same walk
-    // (three header ints + one whitespace byte) — robust to comments
-    // and to trailing bytes after the plane
-    decodePpm(payload).flatMap { case (w, h, _, _, _) =>
+  /** Validate via [[decodePpm]], then locate the pixel plane with the
+    * same walk (three header ints + one whitespace byte) — robust to
+    * comments and trailing bytes. @return (width, height, plane offset)
+    */
+  private[operators] def decodePpmPlane(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    decodePpm(payload).map { case (w, h, _, _, _) =>
+      var pos = 2
+      var ints = 0
+      while (ints < 3) {
+        while (Character.isWhitespace(payload(pos) & 0xFF) ||
+          (payload(pos) & 0xFF) == '#') {
+          if ((payload(pos) & 0xFF) == '#')
+            while (payload(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        while (pos < payload.length && (payload(pos) & 0xFF).toChar.isDigit) pos += 1
+        ints += 1
+      }
+      (w, h, pos + 1) // the single whitespace after maxval
+    }
+
+  private[operators] def decodePpmGray(payload: Array[Byte]): Option[Array[Int]] =
+    decodePpmPlane(payload).flatMap { case (w, h, pos) =>
       if (w * h > 64) None
       else {
-        var pos = 2
-        var ints = 0
-        while (ints < 3) {
-          while (Character.isWhitespace(payload(pos) & 0xFF) ||
-            (payload(pos) & 0xFF) == '#') {
-            if ((payload(pos) & 0xFF) == '#')
-              while (payload(pos) != '\n') pos += 1
-            else pos += 1
-          }
-          while (pos < payload.length && (payload(pos) & 0xFF).toChar.isDigit) pos += 1
-          ints += 1
-        }
-        pos += 1 // the single whitespace after maxval
         val n = w * h
         val grays = new Array[Int](n)
         var i = 0
@@ -291,6 +296,67 @@ object Multimodal {
         Some(grays)
       }
     }
+
+  private val ppmPatchSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("media_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("prow",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("pcol",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_px",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("mean_r",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("mean_g",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("mean_b",
+      org.apache.spark.sql.types.DoubleType)))
+
+  /** ViT-style patch extraction: split each decoded P6 plane into a
+    * grid of `pw`×`ph`-pixel patches and emit one row per patch with
+    * its grid position and per-channel means — the image→token-grid
+    * preprocessing step of a vision-model data pipeline, in the same
+    * batched partition-iterator seam as [[ppmFeatures]] (a real
+    * decoder/featurizer drops into the same shape). Images whose
+    * dimensions don't divide evenly are out of contract and skipped
+    * (resize first — [[Media.resizePpm]]); integer channel sums make
+    * the means exact IEEE divisions an oracle replays.
+    */
+  def ppmPatches(media: DataFrame, pw: Int, ph: Int): DataFrame = {
+    require(pw >= 1 && ph >= 1, s"bad patch size ${pw}x$ph")
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(ppmPatchSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          decodePpmPlane(payload).toSeq.flatMap { case (w, h, pos) =>
+            if (w % pw != 0 || h % ph != 0) Seq.empty
+            else for {
+              prow <- 0 until h / ph
+              pcol <- 0 until w / pw
+            } yield {
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = prow * ph
+              while (y < (prow + 1) * ph) {
+                var x = pcol * pw
+                while (x < (pcol + 1) * pw) {
+                  val p = pos + 3 * (y * w + x)
+                  sr += payload(p) & 0xFF
+                  sg += payload(p + 1) & 0xFF
+                  sb += payload(p + 2) & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              val n = pw * ph
+              Row(id, prow.toLong, pcol.toLong, n.toLong,
+                sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+            }
+          }
+        }
+      }(encoder)
   }
 
   /** Near-duplicate media pairs by banded aHash: split each signature

@@ -117,6 +117,21 @@ object ExtendedQueries {
       graft.operators.Multimodal.ppmFeatures(media)
     }),
 
+    // ViT-style patch extraction: each 8x6 P6 plane splits into a 2x2
+    // grid of 4x3-pixel patches, one row per patch with grid position
+    // and per-channel means — the image→token-grid preprocessing of a
+    // vision-model pipeline, REAL binary decode in the partition-
+    // iterator seam. The oracle regenerates every pixel arithmetically
+    // and re-derives the same patch assignment from (x, y) integer
+    // division.
+    "q219_image_patchify" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, graft.operators.Multimodal.syntheticPpm(id)))
+        .toDF("media_id", "payload")
+      graft.operators.Multimodal.ppmPatches(media, pw = 4, ph = 3)
+    }),
+
     // Image near-dup by banded perceptual hash: 50 base images, each
     // with ~10 one-byte-edited copies (real P6 payloads, REAL binary
     // decode in the partition-iterator seam), aHash = [gray·n > Σgray]
@@ -302,6 +317,21 @@ object ExtendedQueries {
            CAST(SUM(b) FILTER (WHERE ch = 1) AS DOUBLE) / 48.0 AS mean_g,
            CAST(SUM(b) FILTER (WHERE ch = 2) AS DOUBLE) / 48.0 AS mean_b
          FROM px GROUP BY doc_id""",
+
+    // The q65 pixel regeneration with the patch-grid assignment
+    // re-derived from (x, y) integer division; integer channel sums,
+    // one identical IEEE division.
+    "q219_image_patchify" ->
+      """WITH px AS (
+           SELECT doc_id, (1103515245 * (doc_id + i) + 12345) % 256 AS b,
+                  i % 3 AS ch, (i // 3) % 8 AS x, (i // 3) // 8 AS y
+           FROM documents, generate_series(0, 143) t(i))
+         SELECT doc_id AS media_id, CAST(y // 3 AS BIGINT) AS prow,
+           CAST(x // 4 AS BIGINT) AS pcol, CAST(12 AS BIGINT) AS n_px,
+           CAST(SUM(b) FILTER (WHERE ch = 0) AS DOUBLE) / 12.0 AS mean_r,
+           CAST(SUM(b) FILTER (WHERE ch = 1) AS DOUBLE) / 12.0 AS mean_g,
+           CAST(SUM(b) FILTER (WHERE ch = 2) AS DOUBLE) / 12.0 AS mean_b
+         FROM px GROUP BY doc_id, y // 3, x // 4""",
 
     "q34_near_dedup" ->
       s"""${SqlFragments.shinglePairsCte(0.4)}

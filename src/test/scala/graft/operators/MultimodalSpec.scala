@@ -91,4 +91,32 @@ class MultimodalSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
+
+  test("ppmPatches: patch means recompose to the whole-image means; positions cover the grid") {
+    val media = Seq((7L, Multimodal.syntheticPpm(7L))).toDF("media_id", "payload")
+    val patches = Multimodal.ppmPatches(media, pw = 4, ph = 3).collect()
+    assert(patches.length == 4) // 8x6 / 4x3 = 2x2 grid
+    assert(patches.map(r => (r.getLong(1), r.getLong(2))).toSet ==
+      Set((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)))
+    assert(patches.forall(_.getLong(3) == 12L))
+    // equal-sized patches: whole-image mean = mean of patch means
+    val whole = Multimodal.ppmFeatures(media).collect().head
+    for ((c, wi) <- Seq(4 -> 4, 5 -> 5, 6 -> 6)) {
+      val recomposed = patches.map(_.getDouble(c)).sum / 4
+      assert(math.abs(recomposed - whole.getDouble(wi)) < 1e-9)
+    }
+  }
+
+  test("ppmPatches: non-dividing dimensions and broken payloads are skipped") {
+    val media = Seq(
+      (1L, Multimodal.syntheticPpm(1L)),            // 8x6: divides by 3x2
+      (2L, Array[Byte](1, 2, 3)),                   // not a PPM
+      (3L, Multimodal.syntheticPpm(3L))).toDF("media_id", "payload")
+    val got = Multimodal.ppmPatches(media, pw = 3, ph = 2)
+    // 8 % 3 != 0: every valid image is out of contract -> empty
+    assert(got.isEmpty)
+    val ok = Multimodal.ppmPatches(media, pw = 2, ph = 2).collect()
+    assert(ok.map(_.getLong(0)).toSet == Set(1L, 3L)) // id 2 skipped
+    assert(ok.length == 2 * 12) // 4x3 grid each
+  }
 }
