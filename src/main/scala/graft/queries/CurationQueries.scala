@@ -1101,6 +1101,38 @@ object CurationQueries {
       st.readPrunedBox("t", preds)
     }),
 
+    // q209's layout as ONE store operation: commit unclustered, then
+    // SnapshotStore.optimizeClustered rewrites the snapshot into
+    // Hilbert-range dirs under a SINGLE atomic manifest version
+    // (readers see the recluster wholly or not at all; history shows
+    // one OPTIMIZE overwrite) — the lakehouse OPTIMIZE…CLUSTER BY
+    // command. Same layout-invisible box oracle; the prune must again
+    // skip dirs, require-pinned.
+    "q220_optimize_clustered" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q220_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_custkey").as("cust"),
+        col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      st.commit("t", o, overwrite = true, statsCols = Seq("cust", "k"))
+      val v = st.optimizeClustered("t", "cust", "k", bits = 25,
+        targetDirs = 8, statsCols = Seq("cust", "k"))
+      require(v == 2L, s"optimize should publish one version, got v$v")
+      val br = o.agg(min(col("cust")), max(col("cust")),
+        min(col("k")), max(col("k"))).head()
+      val (cmin, cmax, kmin, kmax) =
+        (br.getLong(0), br.getLong(1), br.getLong(2), br.getLong(3))
+      val preds = Seq(
+        ("cust", (cmin + (cmax - cmin) / 4).toString,
+          (cmin + (cmax - cmin) * 2 / 5).toString),
+        ("k", (kmin + (kmax - kmin) / 4).toString,
+          (kmin + (kmax - kmin) * 2 / 5).toString))
+      val (kept, skipped) = st.pruneDirsBox("t", preds)
+      require(skipped.nonEmpty,
+        s"optimized box prune skipped nothing (kept ${kept.size} dirs)")
+      st.readPrunedBox("t", preds)
+    }),
+
     // Incremental materialized-view maintenance: the daily aggregate
     // MV refreshes from the DELTA batch only (per-key partials + adds
     // onto existing rows via the file-pruned MERGE), never re-reading
@@ -2300,6 +2332,21 @@ object CurationQueries {
     // Layout-invisible semantics: the box read == the plain 2-D range
     // query with the same integer-derived bounds.
     "q153_zorder_skipping" ->
+      """WITH b AS (SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+                    MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax
+                    FROM orders),
+          r AS (SELECT cmin + (cmax - cmin) // 4 AS clo,
+                cmin + (cmax - cmin) * 2 // 5 AS chi,
+                kmin + (kmax - kmin) // 4 AS klo,
+                kmin + (kmax - kmin) * 2 // 5 AS khi FROM b)
+          SELECT o_custkey AS cust, o_orderkey AS k, o_totalprice AS p
+          FROM orders, r
+          WHERE o_custkey BETWEEN clo AND chi
+            AND o_orderkey BETWEEN klo AND khi""",
+
+    // Identical layout-invisible box oracle: OPTIMIZE only changes
+    // WHICH dirs the read skips, never the content.
+    "q220_optimize_clustered" ->
       """WITH b AS (SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
                     MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax
                     FROM orders),

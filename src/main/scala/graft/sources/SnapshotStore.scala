@@ -685,6 +685,63 @@ class SnapshotStore(spark: SparkSession, root: String) {
       overwrite = true, expectedBase = Some(base), statsCols = statsCols)
   }
 
+  /** OPTIMIZE … CLUSTER BY (a, b): rewrite the current snapshot into
+    * up to `targetDirs` Hilbert-code-range dirs (each a CONNECTED 2-D
+    * tile — [[graft.operators.Layout.hilbertCode]]), rows sorted by
+    * the curve within each dir, per-dir min/max stats on the cluster
+    * columns — so [[pruneDirsBox]] skips dirs for 2-D box queries the
+    * way a single-key layout never can. Unlike a caller looping
+    * per-range commits (the q209 device), ALL range dirs publish under
+    * ONE manifest version: readers see the re-clustered table
+    * atomically or not at all, and history records one OPTIMIZE.
+    * Content is unchanged (layout-invisible — same contract as
+    * [[compact]]); a concurrent writer landing first surfaces as
+    * [[SnapshotConflict]] at publish, never a lost update. Cluster
+    * keys must be non-negative and fit `bits` bits (mod/scale first).
+    *
+    * @return the new optimized version
+    */
+  def optimizeClustered(view: String, aCol: String, bCol: String,
+                        bits: Int = 25, targetDirs: Int = 8,
+                        statsCols: Seq[String] = Nil): Long = {
+    require(targetDirs >= 1, s"bad targetDirs=$targetDirs")
+    val vs = versions(view)
+    require(vs.nonEmpty, s"$view: nothing to optimize")
+    val base = vs.max
+    val cur = read(view, Some(base))
+    val coded = cur.withColumn("_h",
+      graft.operators.Layout.hilbertCode(col(aCol), col(bCol), bits))
+    val mm = coded.agg(min(col("_h")), max(col("_h"))).head()
+    if (mm.isNullAt(0)) // no codable rows: plain single-dir rewrite
+      return commit(view, cur, overwrite = true, expectedBase = Some(base),
+        statsCols = statsCols)
+    val (hmin, hmax) = (mm.getLong(0), mm.getLong(1))
+    // overflow-safe equal-width code ranges: divide, never multiply
+    val width = math.max(1L, (hmax - hmin) / targetDirs + 1)
+    val bucketed = coded
+      .withColumn("_hoff", col("_h") - hmin)
+      // integer div (not `/`, which is double and loses exactness past
+      // 2^53 at high `bits`)
+      .withColumn("_ob", least(expr(s"_hoff div ${width}L").cast("int"),
+        lit(targetDirs - 1)))
+      .drop("_hoff")
+      .localCheckpoint() // one source scan feeds every range write
+    val present = bucketed.select(col("_ob")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded: <= targetDirs
+    val next = base + 1
+    val dirNames = present.map { i =>
+      val dn = newDirName(next, None)
+      writeData(view,
+        bucketed.where(col("_ob") === i)
+          .sortWithinPartitions(col("_h")).drop("_ob", "_h"),
+        dn, statsCols)
+      dn
+    }.toSeq
+    publish(view, next, dirNames, manifestTxns(view, base))
+    seedSchemaCache(view, dirNames, cur.schema, prev = None)
+    next
+  }
+
   /** DESCRIBE HISTORY: one row per retained version — (version, n_dirs,
     * n_txns, overwrite) — derived from the manifests alone (O(commits)
     * driver work, no data IO). `overwrite` marks commits that replaced

@@ -116,6 +116,39 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("t").select("k").as[Int].collect().sorted.toSeq == before)
   }
 
+  test("optimizeClustered: lossless, one atomic version, box prune skips dirs") {
+    val (st, _) = freshStore()
+    val grid = (0 until (1 << 12)).map(i => ((i % 64).toLong, (i / 64).toLong, i))
+      .toDF("x", "y", "payload")
+    st.commit("t", grid.repartition(6), overwrite = true, statsCols = Seq("x", "y"))
+    // unclustered: random partitions => every dir straddles the box
+    val preds = Seq(("x", "10", "20"), ("y", "10", "20"))
+    val (k0, s0) = st.pruneDirsBox("t", preds)
+    assert(s0.isEmpty, s"random layout should not prune, skipped $s0")
+    val before = st.read("t").select("payload").as[Int].collect().sorted.toSeq
+    val v = st.optimizeClustered("t", "x", "y", bits = 6, targetDirs = 8,
+      statsCols = Seq("x", "y"))
+    assert(v == 2L) // ONE version for the whole recluster
+    assert(st.read("t").select("payload").as[Int].collect().sorted.toSeq == before)
+    val (k1, s1) = st.pruneDirsBox("t", preds)
+    assert(s1.nonEmpty, s"clustered layout must skip dirs (kept ${k1.size})")
+    // box read stays exact
+    val boxed = st.readPrunedBox("t", preds)
+      .where(col("x").between(10, 20) && col("y").between(10, 20))
+      .count()
+    assert(boxed == 11L * 11L)
+    // time travel to the pre-optimize layout still works
+    assert(st.read("t", Some(1L)).count() == (1 << 12))
+  }
+
+  test("optimizeClustered: empty codable set degrades to a plain rewrite") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq.empty[(Long, Long, Int)].toDF("x", "y", "payload"),
+      overwrite = true)
+    val v = st.optimizeClustered("t", "x", "y", bits = 6)
+    assert(v == 2L && st.read("t").isEmpty)
+  }
+
   test("compact before vacuum keeps the pre-compact version time-travelable") {
     val (st, _) = freshStore()
     st.commit("t", Seq((1, "a")).toDF("k", "v").repartition(4), overwrite = true)
