@@ -67,6 +67,10 @@ object Bench {
       .filter(_.nonEmpty)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // a typo'd prefix must fail loudly, not "run" 0 queries and report
+    // a 0-second total a regression gate would read as an improvement
+    require(names.nonEmpty, "bench filter matched no query " +
+      s"(SPARK_GRAFT_BENCH_ONLY=${only.map(_.mkString(",")).getOrElse("")})")
 
     // Warm each query's codegen/classloading at the smallest sf so the
     // timed rounds measure steady-state execution, not compiler work.
@@ -209,8 +213,12 @@ object Bench {
     // The full median/stdev/runs detail goes to a file + stderr instead.
     val statsJson =
       f"""{"metric":"queries_stats","n_runs":$nRuns,"sf":"$sfDir","queries_stats":$stats}"""
+    // focused (BENCH_ONLY) runs must NOT clobber the committed
+    // full-surface baseline with a subset — they write a scratch copy
+    val statsPath =
+      if (only.isEmpty) "bench_stats.json" else "bench_stats_focused.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_stats.json"), statsJson)
+      java.nio.file.Paths.get(statsPath), statsJson)
     catch { case e: Throwable => System.err.println(s"[bench] stats write failed: $e") }
     System.err.println(statsJson)
     // Both totals on the primary line: min-of-n ("value") is the

@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Exact classic semantics (empirically bit-matched against DuckDB's
   * `jaro_winkler_similarity` on randomized corpora, so an oracle can
-  * replay it): match window `max(⌈max(l1,l2)/2⌉-1, 0)`, greedy
+  * replay it): match window `max(⌊max(l1,l2)/2⌋-1, 0)`, greedy
   * left-to-right matching, transpositions = half the mismatched
   * matched-pairs; Winkler boost `j + l·0.1·(1-j)` applied only when
   * jaro > 0.7, prefix l capped at 4. Either side empty ⇒ 0.0 (DuckDB's

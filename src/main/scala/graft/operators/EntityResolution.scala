@@ -86,16 +86,21 @@ object EntityResolution {
     // pinned >= minSim — semantics-invisible, and the (expensive)
     // %.15g format+decimal-parse runs only on threshold survivors, not
     // every blocked pair.
+    // one row per d_id — [[resolve]]'s cardinality contract. d_name
+    // rides inside the argmax struct (the similarity depends on it, so
+    // duplicate ids with different names compete; best sim wins, ties
+    // by candidate id then name)
     c.join(broadcast(d), Seq("_blk"))
       .withColumn("_raw",
         graft.expressions.JaroWinkler(col("d_name"), col("c_name_")))
       .where(col("_raw") >= minSim - 1e-9)
       .withColumn("sim", graft.functions.NumFns.stableRound(col("_raw"), 9))
       .where(col("sim") >= minSim)
-      .groupBy(col("d_id"), col("d_name"))
+      .groupBy(col("d_id"))
       .agg(min(struct(negate(col("sim")), col("c_id"), col("c_name_"),
-        col("sim"))).as("_m"))
-      .select(col("d_id"), col("d_name"), col("_m.c_id").as("c_id"),
+        col("sim"), col("d_name"))).as("_m"))
+      .select(col("d_id"), col("_m.d_name").as("d_name"),
+        col("_m.c_id").as("c_id"),
         col("_m.c_name_").as("c_name_"), col("_m.sim").as("sim"))
   }
 }

@@ -256,12 +256,10 @@ object Multimodal {
       (hash, n.toLong)
     }
 
-  /** Per-pixel gray plane (r+g+b) of a P6 payload, None if malformed
-    * or larger than 64 pixels (aHash packs into one long).
-    */
   /** Validate via [[decodePpm]], then locate the pixel plane with the
     * same walk (three header ints + one whitespace byte) — robust to
-    * comments and trailing bytes. @return (width, height, plane offset)
+    * comments and trailing bytes; no size limit (callers impose their
+    * own). @return (width, height, plane offset)
     */
   private[operators] def decodePpmPlane(payload: Array[Byte]): Option[(Int, Int, Int)] =
     decodePpm(payload).map { case (w, h, _, _, _) =>
@@ -280,6 +278,9 @@ object Multimodal {
       (w, h, pos + 1) // the single whitespace after maxval
     }
 
+  /** Per-pixel gray plane (r+g+b) of a P6 payload, None if malformed
+    * or larger than 64 pixels (aHash packs into one long).
+    */
   private[operators] def decodePpmGray(payload: Array[Byte]): Option[Array[Int]] =
     decodePpmPlane(payload).flatMap { case (w, h, pos) =>
       if (w * h > 64) None

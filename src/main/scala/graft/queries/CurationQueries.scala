@@ -2331,48 +2331,13 @@ object CurationQueries {
 
     // Layout-invisible semantics: the box read == the plain 2-D range
     // query with the same integer-derived bounds.
-    "q153_zorder_skipping" ->
-      """WITH b AS (SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
-                    MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax
-                    FROM orders),
-          r AS (SELECT cmin + (cmax - cmin) // 4 AS clo,
-                cmin + (cmax - cmin) * 2 // 5 AS chi,
-                kmin + (kmax - kmin) // 4 AS klo,
-                kmin + (kmax - kmin) * 2 // 5 AS khi FROM b)
-          SELECT o_custkey AS cust, o_orderkey AS k, o_totalprice AS p
-          FROM orders, r
-          WHERE o_custkey BETWEEN clo AND chi
-            AND o_orderkey BETWEEN klo AND khi""",
-
-    // Identical layout-invisible box oracle: OPTIMIZE only changes
-    // WHICH dirs the read skips, never the content.
-    "q220_optimize_clustered" ->
-      """WITH b AS (SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
-                    MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax
-                    FROM orders),
-          r AS (SELECT cmin + (cmax - cmin) // 4 AS clo,
-                cmin + (cmax - cmin) * 2 // 5 AS chi,
-                kmin + (kmax - kmin) // 4 AS klo,
-                kmin + (kmax - kmin) * 2 // 5 AS khi FROM b)
-          SELECT o_custkey AS cust, o_orderkey AS k, o_totalprice AS p
-          FROM orders, r
-          WHERE o_custkey BETWEEN clo AND chi
-            AND o_orderkey BETWEEN klo AND khi""",
-
-    // Layout-invisible semantics again — identical box oracle; the
-    // Hilbert layout must only change WHICH dirs the read skips.
-    "q209_hilbert_skipping" ->
-      """WITH b AS (SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
-                    MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax
-                    FROM orders),
-          r AS (SELECT cmin + (cmax - cmin) // 4 AS clo,
-                cmin + (cmax - cmin) * 2 // 5 AS chi,
-                kmin + (kmax - kmin) // 4 AS klo,
-                kmin + (kmax - kmin) * 2 // 5 AS khi FROM b)
-          SELECT o_custkey AS cust, o_orderkey AS k, o_totalprice AS p
-          FROM orders, r
-          WHERE o_custkey BETWEEN clo AND chi
-            AND o_orderkey BETWEEN klo AND khi""",
+    // ONE shared layout-invisible box oracle (SqlFragments
+    // .ordersBoxOracle) for every orders-layout query: the layout —
+    // z-order file sort, Hilbert code-range dirs, store OPTIMIZE —
+    // must only change WHICH dirs/files the read skips, never content.
+    "q153_zorder_skipping" -> SqlFragments.ordersBoxOracle,
+    "q220_optimize_clustered" -> SqlFragments.ordersBoxOracle,
+    "q209_hilbert_skipping" -> SqlFragments.ordersBoxOracle,
 
     // Maintenance-invisible semantics: the incrementally-refreshed MV
     // == the one-shot recompute over all facts.
@@ -2401,35 +2366,17 @@ object CurationQueries {
 
     // Maintenance-invisible AND approximation-exact: the incrementally
     // maintained bucket counts must serve the IDENTICAL integer sketch
-    // walk a one-shot pass over the raw facts computes.
+    // walk (the shared SqlFragments.relQuantileWalk fragment) a
+    // one-shot pass over the raw facts computes.
     "q215_quantile_mv" ->
-      """WITH src AS (
-           SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+      s"""WITH src AS (
+           SELECT strftime(o_orderdate, '%Y-%m-%d') AS k,
                   CAST(floor(o_totalprice * 100) AS BIGINT) AS v
            FROM orders
            WHERE strftime(o_orderdate, '%Y-%m-%d')
                  BETWEEN '1995-01-01' AND '1995-06-30'
              AND floor(o_totalprice * 100) >= 1),
-         bb AS (
-           SELECT d, v, CAST(length(bin(v)) - 1 AS BIGINT) AS e FROM src),
-         bk AS (
-           SELECT d, CASE WHEN v < 128 THEN v
-             ELSE (e - 7 + 1) * 128 + (v >> CAST(e - 7 AS INT)) - 128 END AS b
-           FROM bb),
-         c AS (SELECT d, b, COUNT(*) AS c FROM bk GROUP BY d, b),
-         cum AS (
-           SELECT d, b, SUM(c) OVER (PARTITION BY d ORDER BY b) AS cum,
-                  SUM(c) OVER (PARTITION BY d) AS n
-           FROM c),
-         r AS (
-           SELECT d, cum, n, CASE WHEN b < 128 THEN b
-             ELSE (128 + b % 128) << CAST(b // 128 - 1 AS INT) END AS rep
-           FROM cum)
-         SELECT d, CAST(MAX(n) AS BIGINT) AS n,
-           MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN rep END) AS p50,
-           MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN rep END) AS p90,
-           MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN rep END) AS p99
-         FROM r GROUP BY d""",
+         ${SqlFragments.relQuantileWalk("src", "d")}""",
 
     // The CDF replay: full-outer join of the two window snapshots on k.
     "q135_snapshot_diff" ->

@@ -732,38 +732,19 @@ object PipelineQueries {
           GROUP BY us - (us % 21600000000), mus
           HAVING (us - (us % 21600000000)) + 21600000000 <= mus - 3600000000""",
 
-    // Closed 6h windows only (same final-watermark cutoff as q76);
-    // the integer sketch walk replays per window.
+    // Closed 6h windows only (same final-watermark cutoff as q76); the
+    // shared SqlFragments.relQuantileWalk fragment replays per window.
     "q216_stream_quantiles" ->
-      """WITH mx AS (
+      s"""WITH mx AS (
            SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS mus FROM events),
-         e AS (
+         ev AS (
            SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us,
                   CAST(floor(value * 100) AS BIGINT) AS v
            FROM events WHERE floor(value * 100) >= 1),
-         w AS (
-           SELECT us - (us % 21600000000) AS w_us, v FROM e, mx
+         src AS (
+           SELECT us - (us % 21600000000) AS k, v FROM ev, mx
            WHERE (us - (us % 21600000000)) + 21600000000 <= mus - 3600000000),
-         bb AS (
-           SELECT w_us, v, CAST(length(bin(v)) - 1 AS BIGINT) AS e FROM w),
-         bk AS (
-           SELECT w_us, CASE WHEN v < 128 THEN v
-             ELSE (e - 7 + 1) * 128 + (v >> CAST(e - 7 AS INT)) - 128 END AS b
-           FROM bb),
-         c AS (SELECT w_us, b, COUNT(*) AS c FROM bk GROUP BY w_us, b),
-         cum AS (
-           SELECT w_us, b, SUM(c) OVER (PARTITION BY w_us ORDER BY b) AS cum,
-                  SUM(c) OVER (PARTITION BY w_us) AS n
-           FROM c),
-         r AS (
-           SELECT w_us, cum, n, CASE WHEN b < 128 THEN b
-             ELSE (128 + b % 128) << CAST(b // 128 - 1 AS INT) END AS rep
-           FROM cum)
-         SELECT w_us, CAST(MAX(n) AS BIGINT) AS n,
-           MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN rep END) AS p50,
-           MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN rep END) AS p90,
-           MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN rep END) AS p99
-         FROM r GROUP BY w_us""",
+         ${SqlFragments.relQuantileWalk("src", "w_us")}""",
 
     "q83_stream_ingest_sink" ->
       """SELECT event_id,

@@ -1070,35 +1070,14 @@ object RelationalQueries {
          SELECT CAST(node AS BIGINT) AS node, MIN(d) AS d
          FROM walk GROUP BY node""",
 
-    // The identical integer sketch walk: len(bin(v))-1 bit-length
-    // buckets with 128 linear sub-buckets, cumulative counts, rank
-    // pick at CEIL(q·n), lower-bound representative — every step is
-    // integer/shift arithmetic both engines compute bit-identically.
+    // The identical integer sketch walk — the ONE shared fragment
+    // (SqlFragments.relQuantileWalk) q214/q215/q216 all grade against.
     "q214_rel_quantile_sketch" ->
-      """WITH src AS (
+      s"""WITH src AS (
            SELECT l_returnflag AS k,
                   CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
            FROM lineitem WHERE floor(l_extendedprice * 100) >= 1),
-         bb AS (
-           SELECT k, v, CAST(length(bin(v)) - 1 AS BIGINT) AS e FROM src),
-         bk AS (
-           SELECT k, CASE WHEN v < 128 THEN v
-             ELSE (e - 7 + 1) * 128 + (v >> CAST(e - 7 AS INT)) - 128 END AS b
-           FROM bb),
-         c AS (SELECT k, b, COUNT(*) AS c FROM bk GROUP BY k, b),
-         cum AS (
-           SELECT k, b, SUM(c) OVER (PARTITION BY k ORDER BY b) AS cum,
-                  SUM(c) OVER (PARTITION BY k) AS n
-           FROM c),
-         r AS (
-           SELECT k, cum, n, CASE WHEN b < 128 THEN b
-             ELSE (128 + b % 128) << CAST(b // 128 - 1 AS INT) END AS rep
-           FROM cum)
-         SELECT k AS l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
-           MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN rep END) AS p50,
-           MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN rep END) AS p90,
-           MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN rep END) AS p99
-         FROM r GROUP BY k""",
+         ${SqlFragments.relQuantileWalk("src", "l_returnflag")}""",
 
     // DuckDB's jaro_winkler_similarity implements the identical classic
     // semantics (boost 0.1, prefix cap 4, threshold 0.7 — empirically

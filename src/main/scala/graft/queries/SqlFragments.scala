@@ -338,4 +338,54 @@ object SqlFragments {
       if (applyRound) viterbi(emRounds + 1, s"vm$emRounds") else ""
     base + rounds + apply
   }
+
+  /** DuckDB mirror of `Stats.relQuantiles` at subBits = 7 and
+    * qs = (0.5, 0.9, 0.99): the integer sketch walk (bit-length log2
+    * buckets, 128 linear sub-buckets, cumulative window, rank pick at
+    * CEIL(q·n), lower-bound representative) over a caller-defined CTE
+    * `srcCte(k, v)` with v a positive BIGINT. Returns the CTE suffix +
+    * final SELECT; the caller prepends `WITH <srcCte> AS (...),`.
+    * ONE copy — q214/q215/q216 all grade against this fragment, so the
+    * sketch constants can never drift between their oracles.
+    */
+  def relQuantileWalk(srcCte: String, keyOut: String): String =
+    s"""_rqw_bb AS (
+           SELECT k, v, CAST(length(bin(v)) - 1 AS BIGINT) AS e FROM $srcCte),
+         _rqw_bk AS (
+           SELECT k, CASE WHEN v < 128 THEN v
+             ELSE (e - 7 + 1) * 128 + (v >> CAST(e - 7 AS INT)) - 128 END AS b
+           FROM _rqw_bb),
+         _rqw_c AS (SELECT k, b, COUNT(*) AS c FROM _rqw_bk GROUP BY k, b),
+         _rqw_cum AS (
+           SELECT k, b, SUM(c) OVER (PARTITION BY k ORDER BY b) AS cum,
+                  SUM(c) OVER (PARTITION BY k) AS n
+           FROM _rqw_c),
+         _rqw_r AS (
+           SELECT k, cum, n, CASE WHEN b < 128 THEN b
+             ELSE (128 + b % 128) << CAST(b // 128 - 1 AS INT) END AS rep
+           FROM _rqw_cum)
+         SELECT k AS $keyOut, CAST(MAX(n) AS BIGINT) AS n,
+           MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN rep END) AS p50,
+           MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN rep END) AS p90,
+           MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN rep END) AS p99
+         FROM _rqw_r GROUP BY k"""
+
+  /** The layout-invisible 2-D box oracle shared by every orders-layout
+    * query (q153 z-order, q209 Hilbert dirs, q220 OPTIMIZE): the same
+    * quartile box over (o_custkey, o_orderkey) regardless of HOW the
+    * store laid the data out — layout must only change which dirs the
+    * read skips, never the content.
+    */
+  val ordersBoxOracle: String =
+    """WITH b AS (SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+                  MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax
+                  FROM orders),
+        r AS (SELECT cmin + (cmax - cmin) // 4 AS clo,
+              cmin + (cmax - cmin) * 2 // 5 AS chi,
+              kmin + (kmax - kmin) // 4 AS klo,
+              kmin + (kmax - kmin) * 2 // 5 AS khi FROM b)
+        SELECT o_custkey AS cust, o_orderkey AS k, o_totalprice AS p
+        FROM orders, r
+        WHERE o_custkey BETWEEN clo AND chi
+          AND o_orderkey BETWEEN klo AND khi"""
 }

@@ -97,6 +97,18 @@ class EntityResolutionSpec extends SparkSpec {
     assert(!got.contains(10L)) // below threshold: dropped
   }
 
+  test("resolveJaro keeps resolve's one-row-per-id cardinality under duplicate ids") {
+    // two dirty rows share id 5 with different names: the best-scoring
+    // (name, candidate) pair wins, ONE row out — same as resolve
+    val reg = Seq((1L, "alpha corp", 1L), (2L, "beta corp", 1L)).toDF("id", "name", "blk")
+    val d = Seq((5L, "alpha corp", 1L), (5L, "gamma ltd", 1L)).toDF("id", "name", "blk")
+    val got = EntityResolution.resolveJaro(d, "id", "name", reg, "id", "name",
+        "blk", minSim = 0.5).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(1) == "alpha corp") // the exact-match name won
+    assert(got.head.getLong(2) == 1L && got.head.getDouble(4) == 1.0)
+  }
+
   test("resolveJaro similarity is decimal-pinned before threshold and argmax") {
     val reg = Seq((1L, "abcdef", 1L)).toDF("id", "name", "blk")
     val d = Seq((9L, "abcdff", 1L)).toDF("id", "name", "blk")
