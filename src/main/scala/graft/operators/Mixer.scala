@@ -138,6 +138,28 @@ object Mixer {
       .limit(k)
   }
 
+  /** [[weightedSample]] PER KEY: exact `k` rows from every group,
+    * drawn without replacement proportional to weight — the per-domain
+    * weighted subsample a training-mix builder runs (cap each source
+    * at k docs, prefer high-quality ones, deterministically). Same
+    * LCG-deterministic Efraimidis–Spirakis priority; the per-group
+    * argmax is a rank window whose WindowGroupLimit keeps only each
+    * partition's top-k per key ahead of the shuffle, so the exchange
+    * carries O(k · keys) rows per partition, never the corpus.
+    */
+  def weightedSamplePerKey(df: DataFrame, keyCol: String, idCol: String,
+                           weightCol: String, k: Int): DataFrame = {
+    val u = (((col(idCol) * 1103515245L + 12345L) % 2147483648L).cast("double")
+      + 0.5) / 2147483648.0
+    df.where(col(weightCol) > 0)
+      .withColumn("es_key", graft.functions.NumFns.stableRound(
+        log(u) / col(weightCol), 12))
+      .withColumn("_r", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col(keyCol)).orderBy(col("es_key").desc, col(idCol))))
+      .where(col("_r") <= k)
+      .drop("_r")
+  }
+
   /** Resample `df` by temperature over `keyCol`, replicating each row
     * `copies` times; emits the input columns plus `copy_id` (1-based).
     *

@@ -1500,6 +1500,18 @@ object CurationQueries {
       graft.operators.Mixer.weightedSample(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
         idCol = "o_orderkey", weightCol = "o_totalprice", k = 200)
+    }),
+
+    // q123 stratified: exact 50 per order-priority, proportional to
+    // price — the per-domain weighted subsample of training-mix
+    // construction; WindowGroupLimit keeps only per-partition top-k
+    // per key ahead of the shuffle.
+    "q221_weighted_sample_per_key" -> ((s, dir) => {
+      graft.operators.Mixer.weightedSamplePerKey(
+        t(s, dir, "orders").select(col("o_orderpriority"),
+          col("o_orderkey"), col("o_totalprice")),
+        keyCol = "o_orderpriority", idCol = "o_orderkey",
+        weightCol = "o_totalprice", k = 50)
     })
   )
 
@@ -2614,6 +2626,18 @@ object CurationQueries {
                 " + 0.5) / 2147483648.0) / o_totalprice", 12)} AS es_key
             FROM orders WHERE o_totalprice > 0)
           SELECT o_orderkey, o_totalprice, es_key FROM w
-          ORDER BY es_key DESC, o_orderkey LIMIT 200"""
+          ORDER BY es_key DESC, o_orderkey LIMIT 200""",
+
+    // Same decimal-pinned ES priority, ranked per priority group.
+    "q221_weighted_sample_per_key" ->
+      s"""WITH w AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+            ${SqlFragments.r15(
+              "ln((CAST((o_orderkey * 1103515245 + 12345) % 2147483648 AS DOUBLE)" +
+                " + 0.5) / 2147483648.0) / o_totalprice", 12)} AS es_key
+            FROM orders WHERE o_totalprice > 0),
+          rk AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY es_key DESC, o_orderkey) AS r FROM w)
+          SELECT o_orderpriority, o_orderkey, o_totalprice, es_key
+          FROM rk WHERE r <= 50"""
   )
 }

@@ -245,4 +245,23 @@ class MixerSpec extends SparkSpec {
     assert(math.abs(pf - (1.0 - 105.0 / 111.0)) < 1e-15)
     assert(rows.size == 4)
   }
+
+  test("weightedSamplePerKey: exact k per group, partitioning-invariant, equals per-group global form") {
+    import spark.implicits._
+    val rows = (1L to 400L).map(i => (s"g${i % 4}", i, (i % 13 + 1).toDouble))
+    val df = rows.toDF("grp", "id", "w")
+    val got = Mixer.weightedSamplePerKey(df, "grp", "id", "w", k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got.groupBy(_._1).forall(_._2.size == 20))
+    // invariant under partitioning
+    val got8 = Mixer.weightedSamplePerKey(df.repartition(8), "grp", "id", "w", 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got.toSet == got8.toSet)
+    // per group it is exactly weightedSample applied to that group
+    for (g <- Seq("g0", "g3")) {
+      val solo = Mixer.weightedSample(df.where(col("grp") === g), "id", "w", 20)
+        .select("id").as[Long].collect().toSet
+      assert(got.filter(_._1 == g).map(_._2).toSet == solo)
+    }
+  }
 }
