@@ -74,6 +74,65 @@ object MultiMatchCount {
       ColumnBridge.expressionEager(text), patterns))
 }
 
+/** [[MultiMatchCount]]'s span-extraction sibling: the same one-pass
+  * automaton walk, emitting every match as (pattern index, 1-based
+  * byte start position) — what a redaction/PII-audit pipeline consumes
+  * (count tells you HOW MUCH; positions tell you WHERE to cut).
+  * Matches are sorted (position, pattern index) for deterministic
+  * output; overlapping and nested matches all emit, same match-end
+  * semantics as the counter. Null text ⇒ null.
+  */
+case class MultiMatchPositions(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  require(patterns.nonEmpty, "patterns must be non-empty")
+  require(patterns.forall(_.nonEmpty), "empty pattern not allowed")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("s", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "multi_match_positions"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"multi_match_positions requires string, got ${child.dataType}")
+
+  @transient private lazy val patBytes =
+    patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  @transient private lazy val ac = AhoCorasick.build(patBytes)
+
+  def positionsOf(text: UTF8String): ArrayData = {
+    val ends = ac.matchEnds(text)
+    val sorted = ends.map { case (p, e) =>
+      // 1-based start = end0 - len + 2 (matching the oracle's substr scan)
+      (e - patBytes(p).length + 2L, p)
+    }.sortBy(identity)
+    new GenericArrayData(sorted.map { case (s, p) =>
+      org.apache.spark.sql.catalyst.InternalRow(p, s)
+    }.toArray[Any])
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    positionsOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mmp", this, classOf[MultiMatchPositions].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.positionsOf($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiMatchPositions =
+    copy(child = newChild)
+}
+
+object MultiMatchPositions {
+  def apply(text: Column, patterns: Seq[String]): Column =
+    ColumnBridge.column(MultiMatchPositions(
+      ColumnBridge.expressionEager(text), patterns))
+}
+
 /** Dense-DFA Aho-Corasick over bytes: `next` is the goto function with
   * fail transitions pre-resolved (O(1) per input byte, no fail-chain
   * walking at match time), `outs` the per-state list of pattern
@@ -98,6 +157,25 @@ final class AhoCorasick(next: Array[Array[Int]], outs: Array[Array[Int]],
       i += 1
     }
     counts
+  }
+
+  /** Every match as (pattern index, 0-based END byte index). */
+  def matchEnds(text: UTF8String): scala.collection.mutable.ArrayBuffer[(Int, Int)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val n = text.numBytes
+    var state = 0
+    var i = 0
+    while (i < n) {
+      state = next(state)(text.getByte(i) & 0xff)
+      val out = outs(state)
+      var j = 0
+      while (j < out.length) {
+        buf += ((out(j), i))
+        j += 1
+      }
+      i += 1
+    }
+    buf
   }
 }
 

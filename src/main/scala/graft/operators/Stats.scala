@@ -291,6 +291,42 @@ object Stats {
   private def graftExpr(e: org.apache.spark.sql.catalyst.expressions.Expression) =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
 
+  /** Plain-Scala mirror of [[relBucket]] for driver-side probe values
+    * (kept in lockstep — RelQuantileSpec pins them equal).
+    */
+  def relBucketOf(v: Long, subBits: Int): Long = {
+    require(v >= 1, s"relBucket domain is v >= 1, got $v")
+    val m = subBits
+    val base = 1L << m
+    if (v < base) v
+    else {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      (e - m + 1) * base + (v >>> (e - m)) - base
+    }
+  }
+
+  /** Inverse quantile (CDF probes) from the same sketch: for each
+    * probe value, the number of rows per key whose BUCKET is
+    * at-or-below the probe's bucket — rank with the same 2^-subBits
+    * value-axis tolerance, from the same O(keys × buckets) additive
+    * state, zero extra passes over the data. Deterministic and
+    * integer-exact (the probe's bucket is the same arithmetic), so an
+    * oracle replays it hash-identically. Output:
+    * (keyCol, n, le_<probe> …).
+    */
+  def relRanks(df: DataFrame, keyCol: String, valCol: String,
+               probes: Seq[Long], subBits: Int = 7): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1), s"bad probes=$probes")
+    val counts = df.where(col(valCol).cast("long") >= 1)
+      .select(col(keyCol), relBucket(col(valCol), subBits).as("_b"))
+      .groupBy(col(keyCol), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val aggs = sum(col("_c")).as("n") +: probes.map(p =>
+      sum(when(col("_b") <= relBucketOf(p, subBits), col("_c"))
+        .otherwise(0L)).as(s"le_$p"))
+    counts.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Serve quantiles from pre-aggregated [[relBucket]] counts — the
     * read side of sketch-counts-as-MV-state: cumulative window over
     * the (tiny) per-key bucket table, rank pick at ceil(q·n),

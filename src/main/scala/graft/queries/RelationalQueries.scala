@@ -257,6 +257,19 @@ object RelationalQueries {
         qs = Seq(0.5, 0.9, 0.99), subBits = 7)
     }),
 
+    // Inverse quantile (CDF probes) from the SAME bucket sketch as
+    // q214: per-flag rank of three literal price probes — rows whose
+    // bucket is at-or-below each probe's bucket — from O(keys ×
+    // buckets) state with no extra data pass; integer-exact, so the
+    // oracle replays ranks hash-identically.
+    "q222_rel_rank_probes" -> ((s, dir) => {
+      val src = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).as("v"))
+      graft.operators.Stats.relRanks(src, "l_returnflag", "v",
+        probes = Seq(1000000L, 5000000L, 9000000L), subBits = 7)
+    }),
+
     // Fuzzy record linkage under the native Jaro-Winkler expression
     // (q112's shape with the prefix-boosted metric record linkage
     // actually uses — transposed/dropped characters in the dirty names
@@ -1078,6 +1091,23 @@ object RelationalQueries {
                   CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
            FROM lineitem WHERE floor(l_extendedprice * 100) >= 1),
          ${SqlFragments.relQuantileWalk("src", "l_returnflag")}""",
+
+    // Probe buckets computed by the same relBucketExpr arithmetic the
+    // engine mirrors in Stats.relBucketOf.
+    "q222_rel_rank_probes" -> {
+      val probes = Seq(1000000L, 5000000L, 9000000L)
+      val les = probes.map(p =>
+        s"CAST(SUM(CASE WHEN b <= ${SqlFragments.relBucketExpr(p.toString)} " +
+          s"THEN 1 ELSE 0 END) AS BIGINT) AS le_$p").mkString(",\n           ")
+      s"""WITH src AS (
+           SELECT l_returnflag AS k,
+                  CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem WHERE floor(l_extendedprice * 100) >= 1),
+         bb AS (SELECT k, ${SqlFragments.relBucketExpr("v")} AS b FROM src)
+         SELECT k AS l_returnflag, COUNT(*) AS n,
+           $les
+         FROM bb GROUP BY k"""
+    },
 
     // DuckDB's jaro_winkler_similarity implements the identical classic
     // semantics (boost 0.1, prefix cap 4, threshold 0.7 — empirically

@@ -370,6 +370,15 @@ object SqlFragments {
            MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN rep END) AS p99
          FROM _rqw_r GROUP BY k"""
 
+  /** DuckDB mirror of `Stats.relBucket`/`relBucketOf` at subBits = 7
+    * on an arbitrary SQL expression (e.g. a literal rank probe):
+    * (e-6)·128 + (v >> (e-7)) - 128 with e = length(bin(v)) - 1.
+    */
+  def relBucketExpr(v: String): String =
+    s"(CASE WHEN ($v) < 128 THEN ($v) ELSE " +
+      s"(CAST(length(bin($v)) - 1 AS BIGINT) - 6) * 128 + " +
+      s"(($v) >> CAST(length(bin($v)) - 8 AS INT)) - 128 END)"
+
   /** The layout-invisible 2-D box oracle shared by every orders-layout
     * query (q153 z-order, q209 Hilbert dirs, q220 OPTIMIZE): the same
     * quartile box over (o_custkey, o_orderkey) regardless of HOW the

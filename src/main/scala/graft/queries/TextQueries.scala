@@ -33,6 +33,22 @@ object TextQueries {
           element_at(typedlit(pats), col("_i") + 1).as("pat"), col("cnt"))
     }),
 
+    // q217's span-extraction sibling: every dictionary match emitted
+    // with its 1-based position — the WHERE a redaction/PII-audit
+    // pipeline cuts at — from the same one-pass automaton
+    // (expressions/MultiMatchPositions). Oracle: the positions the
+    // definitional substring scan finds.
+    "q223_phrase_positions" -> ((s, dir) => {
+      val pats = Seq("the", "data", "tion")
+      t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(graft.expressions.MultiMatchPositions(
+            lower(col("text")), pats)).as("m"))
+        .select(col("doc_id"),
+          element_at(typedlit(pats), col("m.p") + 1).as("pat"),
+          col("m.s").as("pos"))
+    }),
+
     // U1: CleanNews as native expressions (reference
     // batchPipeline.py:41-52) + F1 dropna (len<10 => null => dropped).
     "q11_clean_text" -> ((s, dir) => {
@@ -459,6 +475,17 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Every match position the definitional substring scan finds.
+    "q223_phrase_positions" ->
+      """WITH pats AS (SELECT * FROM (VALUES ('the'), ('data'), ('tion')) p(pat)),
+          docs AS (SELECT doc_id, lower(text) AS t FROM documents
+                   WHERE text IS NOT NULL),
+          hits AS (SELECT doc_id, pat,
+            unnest(list_filter(generate_series(1, length(t) - length(pat) + 1),
+                i -> substr(t, CAST(i AS INT), length(pat)) = pat)) AS pos
+            FROM docs, pats)
+          SELECT doc_id, pat, CAST(pos AS BIGINT) AS pos FROM hits""",
+
     // Definitional overlapping-occurrence count: every position whose
     // substring equals the pattern ("aa" occurs twice in "aaa" — the
     // AC match-end semantics).

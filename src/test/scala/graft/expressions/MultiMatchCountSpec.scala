@@ -54,6 +54,32 @@ class MultiMatchCountSpec extends SparkSpec {
     assert(rows(2).isNullAt(0))
   }
 
+  test("positions: every match start, 1-based, sorted, overlaps included") {
+    def pos(text: String, pats: Seq[String]): Seq[(Int, Long)] = {
+      val e = MultiMatchPositions(
+        org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(text)),
+        pats)
+      e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+          .elementType)
+        .map { r =>
+          val row = r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+          (row.getInt(0), row.getLong(1))
+        }.toSeq
+    }
+    assert(pos("aaa", Seq("aa")) == Seq((0, 1L), (0, 2L)))
+    assert(pos("ushers", Seq("he", "she", "hers")) ==
+      Seq((1, 2L), (0, 3L), (2, 3L))) // sorted by (pos, patIdx)
+    // positions agree with counts
+    val rng = new scala.util.Random(23)
+    val pats = Seq("ab", "bba", "b")
+    (1 to 100).foreach { _ =>
+      val s = (0 until rng.nextInt(30)).map(_ => if (rng.nextBoolean()) 'a' else 'b').mkString
+      val byPat = pos(s, pats).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      assert(pats.indices.map(i => byPat.getOrElse(i, 0L)) == ac(s, pats))
+    }
+  }
+
   test("one pass regardless of dictionary size: dense-DFA walk over bytes") {
     // long dictionary, all counted in a single eval
     val pats = (0 until 50).map(i => f"w$i%02d")

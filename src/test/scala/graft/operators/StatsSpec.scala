@@ -209,6 +209,31 @@ class StatsSpec extends SparkSpec {
     assert(fromMerged == oneShot)
   }
 
+  test("relRanks: rank probes bound the exact CDF within one bucket width") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val vals = Seq.fill(4000)(1L + math.abs(rng.nextLong()) % 3000000L)
+    val probes = Seq(1000L, 50000L, 2000000L)
+    val got = Stats.relRanks(vals.map(("k", _)).toDF("key", "v"),
+      "key", "v", probes).collect().head
+    assert(got.getLong(1) == vals.size)
+    probes.zipWithIndex.foreach { case (p, i) =>
+      val est = got.getLong(2 + i)
+      val exactLe = vals.count(_ <= p).toLong
+      // est counts rows at-or-below the probe's BUCKET: >= exact rank,
+      // and within the bucket's width of it (relative error 2^-7)
+      assert(est >= exactLe, s"probe $p: $est < $exactLe")
+      val hi = vals.count(_ <= p + math.max(1L, p / 128) + 1).toLong
+      assert(est <= hi, s"probe $p: $est > $hi")
+    }
+    // probe bucket arithmetic: Scala mirror equals the Column expr
+    for (v <- Seq(1L, 127L, 128L, 1000000L, (1L << 40) + 12345L)) {
+      val viaCol = Seq(v).toDF("v")
+        .select(Stats.relBucket(col("v"), 7)).as[Long].head()
+      assert(Stats.relBucketOf(v, 7) == viaCol, s"v=$v")
+    }
+  }
+
   test("relQuantiles: non-positive values are out of contract and dropped") {
     import spark.implicits._
     val df = Seq(("k", -5L), ("k", 0L), ("k", 3L), ("k", 7L)).toDF("key", "v")
