@@ -270,6 +270,24 @@ object RelationalQueries {
         probes = Seq(1000000L, 5000000L, 9000000L), subBits = 7)
     }),
 
+    // Weighted shortest costs (bounded Bellman-Ford, frontier-
+    // optimized — operators/Bfs.weightedCosts): min cost over walks of
+    // at most 3 edges from the source set, integer edge weights
+    // derived deterministically from the data. The oracle enumerates
+    // the same bounded walks as a recursive CTE and takes MIN(cost).
+    "q224_weighted_shortest" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_orderkey") % 5 === 0)
+        .select(pmod(col("l_orderkey"), lit(2000)).as("u"),
+          (pmod(col("l_partkey").cast("long"), lit(2000)) + 100000).as("v"),
+          (pmod(col("l_partkey").cast("long"), lit(9)) + 1).as("w"))
+      val edges = li.unionByName(
+        li.select(col("v").as("u"), col("u").as("v"), col("w")))
+      val sources = li.select(col("u").as("node"))
+        .where(pmod(col("node"), lit(500)) === 0).distinct()
+      graft.operators.Bfs.weightedCosts(edges, "u", "v", "w",
+        sources, "node", maxHops = 3)
+    }),
+
     // Fuzzy record linkage under the native Jaro-Winkler expression
     // (q112's shape with the prefix-boosted metric record linkage
     // actually uses — transposed/dropped characters in the dirty names
@@ -1091,6 +1109,25 @@ object RelationalQueries {
                   CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
            FROM lineitem WHERE floor(l_extendedprice * 100) >= 1),
          ${SqlFragments.relQuantileWalk("src", "l_returnflag")}""",
+
+    // min over the same bounded walk set; UNION set-dedup on
+    // (node, cost, hops) keeps the recursion finite.
+    "q224_weighted_shortest" ->
+      """WITH RECURSIVE e0 AS (
+           SELECT l_orderkey % 2000 AS u, l_partkey % 2000 + 100000 AS v,
+                  l_partkey % 9 + 1 AS w
+           FROM lineitem WHERE l_orderkey % 5 = 0),
+         e AS (SELECT DISTINCT u, v, w FROM
+                 (SELECT u, v, w FROM e0
+                  UNION ALL SELECT v AS u, u AS v, w FROM e0)),
+         walk(node, c, h) AS (
+           SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS c, 0 AS h
+           FROM e0 WHERE u % 500 = 0
+           UNION
+           SELECT e.v, w.c + e.w, w.h + 1 FROM walk w JOIN e ON e.u = w.node
+           WHERE w.h < 3)
+         SELECT CAST(node AS BIGINT) AS node, MIN(c) AS cost
+         FROM walk GROUP BY node""",
 
     // Probe buckets computed by the same relBucketExpr arithmetic the
     // engine mirrors in Stats.relBucketOf.

@@ -60,6 +60,52 @@ class BfsSpec extends SparkSpec {
     assert(run(edges, sources, maxHops) == expect)
   }
 
+  test("weightedCosts: matches brute-force min cost over bounded walks") {
+    val rng = new scala.util.Random(31)
+    val edges = Seq.fill(120)((rng.nextInt(25).toLong, rng.nextInt(25).toLong,
+      (1 + rng.nextInt(9)).toLong))
+    val sources = Seq(0L, 3L)
+    val maxHops = 4
+    val adj = edges.groupBy(_._1)
+    def brute(): Map[Long, Long] = {
+      var best = sources.map(_ -> 0L).toMap
+      var frontier: Map[Long, Long] = best
+      for (_ <- 1 to maxHops) {
+        val nxt = frontier.toSeq.flatMap { case (n, c) =>
+          adj.getOrElse(n, Nil).map { case (_, t, w) => t -> (c + w) } }
+          .groupBy(_._1).map { case (n, cs) => n -> cs.map(_._2).min }
+        val improved = nxt.filter { case (n, c) => best.get(n).forall(c < _) }
+        best ++= improved
+        frontier = improved
+      }
+      best
+    }
+    val got = Bfs.weightedCosts(edges.toDF("s", "t", "w"), "s", "t", "w",
+        sources.toDF("node"), "node", maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute())
+  }
+
+  test("weightedCosts: parallel edges take the min; negative weights dropped") {
+    val edges = Seq((1L, 2L, 9L), (1L, 2L, 4L), (2L, 3L, -5L), (2L, 3L, 2L))
+      .toDF("s", "t", "w")
+    val got = Bfs.weightedCosts(edges, "s", "t", "w",
+        Seq(1L).toDF("node"), "node", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 4L, 3L -> 6L))
+  }
+
+  test("weightedCosts: cheaper-but-longer path wins within the hop budget") {
+    // 0→9 direct cost 100; 0→1→2→9 cost 3 but needs 3 hops
+    val edges = Seq((0L, 9L, 100L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 9L, 1L))
+      .toDF("s", "t", "w")
+    def run(h: Int) = Bfs.weightedCosts(edges, "s", "t", "w",
+        Seq(0L).toDF("node"), "node", h)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1)(9L) == 100L) // only the direct edge fits
+    assert(run(3)(9L) == 3L)   // the long cheap path relaxes through
+  }
+
   test("null endpoints are dropped; empty sources yield empty output") {
     val e = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(2L), None))
       .toDF("s", "t")
