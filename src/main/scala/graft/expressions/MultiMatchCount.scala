@@ -133,6 +133,71 @@ object MultiMatchPositions {
       ColumnBridge.expressionEager(text), patterns))
 }
 
+/** Dictionary REDACTION in the same one-pass walk: every byte covered
+  * by at least one pattern match is replaced with `*`. Union-of-spans
+  * masking is deliberately the semantics — it is ORDER-INDEPENDENT
+  * (no leftmost-longest policy to tie-break, overlapping and nested
+  * matches just union), which is both what a PII scrubber wants
+  * (nothing a pattern matched survives) and what makes the operation
+  * exactly replayable by an oracle's position scan. Masking is
+  * per-BYTE (the match unit); patterns that end inside a multi-byte
+  * code point mask its bytes — ASCII-safe, and for non-ASCII
+  * dictionaries the mask unit is still well-defined bytes. Null ⇒
+  * null; text without matches passes through unchanged (same buffer,
+  * zero copy).
+  */
+case class MultiMatchRedact(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  require(patterns.nonEmpty, "patterns must be non-empty")
+  require(patterns.forall(_.nonEmpty), "empty pattern not allowed")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "multi_match_redact"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"multi_match_redact requires string, got ${child.dataType}")
+
+  @transient private lazy val patBytes =
+    patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  @transient private lazy val ac = AhoCorasick.build(patBytes)
+
+  def redact(text: UTF8String): UTF8String = {
+    val ends = ac.matchEnds(text)
+    if (ends.isEmpty) return text
+    val bytes = text.getBytes.clone()
+    var i = 0
+    while (i < ends.length) {
+      val (p, e) = ends(i)
+      var j = e - patBytes(p).length + 1
+      while (j <= e) {
+        bytes(j) = '*'
+        j += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(bytes)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    redact(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mmr", this, classOf[MultiMatchRedact].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.redact($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiMatchRedact =
+    copy(child = newChild)
+}
+
+object MultiMatchRedact {
+  def apply(text: Column, patterns: Seq[String]): Column =
+    ColumnBridge.column(MultiMatchRedact(
+      ColumnBridge.expressionEager(text), patterns))
+}
+
 /** Dense-DFA Aho-Corasick over bytes: `next` is the goto function with
   * fail transitions pre-resolved (O(1) per input byte, no fail-chain
   * walking at match time), `outs` the per-state list of pattern

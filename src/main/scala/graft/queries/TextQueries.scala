@@ -49,6 +49,22 @@ object TextQueries {
           col("m.s").as("pos"))
     }),
 
+    // Dictionary REDACTION — the q217/q223 capstone: every byte any
+    // pattern matched is masked in ONE automaton pass
+    // (expressions/MultiMatchRedact). Union-of-spans semantics:
+    // order-independent (overlaps/nesting just union — nothing a
+    // pattern matched survives, the PII-scrubber contract) and
+    // therefore exactly replayable — the oracle rebuilds each
+    // document character-by-character from the definitional position
+    // scan's covered set.
+    "q225_dictionary_redaction" -> ((s, dir) => {
+      val pats = Seq("the", "data", "tion")
+      t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.expressions.MultiMatchRedact(lower(col("text")), pats)
+            .as("redacted"))
+    }),
+
     // U1: CleanNews as native expressions (reference
     // batchPipeline.py:41-52) + F1 dropna (len<10 => null => dropped).
     "q11_clean_text" -> ((s, dir) => {
@@ -475,6 +491,33 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Character-by-character rebuild: masked iff covered by any match
+    // span from the definitional position scan; empty texts survive
+    // via the left join.
+    "q225_dictionary_redaction" ->
+      """WITH pats AS (SELECT * FROM (VALUES ('the'), ('data'), ('tion')) p(pat)),
+          docs AS (SELECT doc_id, lower(text) AS t FROM documents
+                   WHERE text IS NOT NULL),
+          cover AS (SELECT doc_id,
+            unnest(list_filter(generate_series(1, length(t) - length(pat) + 1),
+                i -> substr(t, CAST(i AS INT), length(pat)) = pat)) AS s,
+            length(pat) AS pl
+            FROM docs, pats),
+          maskpos AS (SELECT DISTINCT doc_id, i FROM
+            (SELECT doc_id, unnest(generate_series(s, s + pl - 1)) AS i
+             FROM cover)),
+          chars AS (SELECT d.doc_id, gs.i,
+              CASE WHEN m.i IS NOT NULL THEN '*'
+                   ELSE substr(d.t, CAST(gs.i AS INT), 1) END AS ch
+            FROM docs d
+            CROSS JOIN LATERAL
+              (SELECT unnest(generate_series(1, length(d.t))) AS i) gs
+            LEFT JOIN maskpos m ON m.doc_id = d.doc_id AND m.i = gs.i),
+          agg AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS r
+                  FROM chars GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(a.r, '') AS redacted
+          FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+
     // Every match position the definitional substring scan finds.
     "q223_phrase_positions" ->
       """WITH pats AS (SELECT * FROM (VALUES ('the'), ('data'), ('tion')) p(pat)),

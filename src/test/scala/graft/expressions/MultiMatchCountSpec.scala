@@ -80,6 +80,29 @@ class MultiMatchCountSpec extends SparkSpec {
     }
   }
 
+  test("redact: union of spans, overlaps and nesting included; no-match passes through") {
+    def red(text: String, pats: Seq[String]): String =
+      MultiMatchRedact(
+        org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(text)),
+        pats).eval(null).asInstanceOf[UTF8String].toString
+    assert(red("the thing", Seq("the")) == "*** thing")
+    assert(red("ushers", Seq("she", "hers")) == "u*****") // overlap unions
+    assert(red("aaa", Seq("aa")) == "***")                // self-overlap unions
+    assert(red("abcabc", Seq("abcabc", "ca")) == "******") // nesting
+    assert(red("clean text", Seq("zzz")) == "clean text")
+    // redacted == brute mask from positions
+    val rng = new scala.util.Random(41)
+    val pats = Seq("ab", "bba", "b")
+    (1 to 100).foreach { _ =>
+      val s = (0 until rng.nextInt(25)).map(_ => if (rng.nextBoolean()) 'a' else 'b').mkString
+      val mask = Array.fill(s.length)(false)
+      for (p <- pats; i <- 0 to s.length - p.length if s.regionMatches(i, p, 0, p.length);
+           j <- i until i + p.length) mask(j) = true
+      val want = s.zipWithIndex.map { case (c, i) => if (mask(i)) '*' else c }.mkString
+      assert(red(s, pats) == want, s"text=$s")
+    }
+  }
+
   test("one pass regardless of dictionary size: dense-DFA walk over bytes") {
     // long dictionary, all counted in a single eval
     val pats = (0 until 50).map(i => f"w$i%02d")
