@@ -396,6 +396,34 @@ object PipelineQueries {
             .as("est_ok"))
     }),
 
+    // Streaming HOT-KEY detection — the q61/Skew sketch (Misra–Gries
+    // candidates + CMS refinement, one mergeable buffer) as streaming
+    // state: the global update-mode agg folds every micro-batch into
+    // O(1/minFrac + CMS) state, and the LAST update's buffer yields
+    // the hot set. Deterministically skewed key (60% mass on key 0,
+    // 10% on each of 6..9) with minFrac 0.15: the MG superset
+    // guarantee + the eps·n CMS margin make the admitted set exactly
+    // the true hot set, so the oracle's exact HAVING replays it.
+    "q226_stream_hot_keys" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val raw = graft.Tables.eventsStream(s, dir, Seq(
+        StructField("ts", LongType), StructField("user_id", LongType)))
+      val keyed = raw.select(
+        when(pmod(col("user_id"), lit(10)) < 6, lit(0L))
+          .otherwise(pmod(col("user_id"), lit(10))).as("k"))
+      val agg = keyed.agg(graft.expressions.HeavyHittersAgg(
+        col("k"), k = 14, eps = 1e-3, conf = 0.99).as("hh"))
+      val mat = graft.streaming.StreamJoin.runAvailableNow(s,
+        agg.select(col("hh.total").as("t"), col("hh.cms").as("cms"),
+          col("hh.candidates").as("cand")),
+        statePartitions = Some(1), mode = "update")
+      mat.orderBy(col("t").desc).limit(1)
+        .select(col("t"), col("cms"), explode(col("cand")).as("c"))
+        .where(graft.expressions.CmsEstimate(col("cms"), col("c"))
+          > col("t") * 0.15)
+        .select(col("c").cast("long").as("k"))
+    }),
+
     // Streaming SESSION windows in append mode (the data-dependent
     // window kind: windows merge as events arrive, close only when the
     // watermark passes last-event + gap). Same emission contract as
@@ -720,6 +748,15 @@ object PipelineQueries {
           FROM e, mx
           GROUP BY us - (us % 21600000000), event_type, mus
           HAVING (us - (us % 21600000000)) + 21600000000 <= mus - 3600000000""",
+
+    // Exact frequency threshold — the sketch's separation margin
+    // makes the approximate admission identical to it.
+    "q226_stream_hot_keys" ->
+      """WITH k AS (SELECT CASE WHEN user_id % 10 < 6 THEN 0
+                     ELSE user_id % 10 END AS k FROM events),
+          tot AS (SELECT COUNT(*) AS t FROM k)
+          SELECT CAST(k AS BIGINT) AS k FROM k, tot
+          GROUP BY k, t HAVING COUNT(*) > 0.15 * t""",
 
     // Same q76 cutoff; exact distinct from the oracle, estimate gated.
     "q218_stream_distinct" ->
