@@ -166,7 +166,13 @@ case class MultiMatchRedact(child: Expression, patterns: Seq[String])
   def redact(text: UTF8String): UTF8String = {
     val ends = ac.matchEnds(text)
     if (ends.isEmpty) return text
-    val bytes = text.getBytes.clone()
+    // copy byte-by-byte off the UTF8String: exactly ONE allocation
+    // (getBytes may itself copy for offset-backed strings — the common
+    // UnsafeRow case — and cloning that would double the per-row cost)
+    val n = text.numBytes
+    val bytes = new Array[Byte](n)
+    var b = 0
+    while (b < n) { bytes(b) = text.getByte(b); b += 1 }
     var i = 0
     while (i < ends.length) {
       val (p, e) = ends(i)

@@ -127,38 +127,44 @@ object Mixer {
     * shuffle of the corpus, no full sort. Emits the input columns plus
     * `es_key` (the priority, stabilized for cross-engine grading).
     */
-  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
-                     k: Int): DataFrame = {
+  /** The Efraimidis–Spirakis priority shared by both weighted
+    * samplers — ONE copy, because the q123/q221 oracles are pinned to
+    * this exact arithmetic: LCG-uniform from the id, ln(u)/w, decimal-
+    * pinned at scale 12.
+    */
+  private def esKey(idCol: String, weightCol: String): Column = {
     val u = (((col(idCol) * 1103515245L + 12345L) % 2147483648L).cast("double")
       + 0.5) / 2147483648.0
-    df.where(col(weightCol) > 0)
-      .withColumn("es_key", graft.functions.NumFns.stableRound(
-        log(u) / col(weightCol), 12))
-      .orderBy(col("es_key").desc, col(idCol))
-      .limit(k)
+    graft.functions.NumFns.stableRound(log(u) / col(weightCol), 12)
   }
 
-  /** [[weightedSample]] PER KEY: exact `k` rows from every group,
-    * drawn without replacement proportional to weight — the per-domain
-    * weighted subsample a training-mix builder runs (cap each source
-    * at k docs, prefer high-quality ones, deterministically). Same
-    * LCG-deterministic Efraimidis–Spirakis priority; the per-group
-    * argmax is a rank window whose WindowGroupLimit keeps only each
-    * partition's top-k per key ahead of the shuffle, so the exchange
-    * carries O(k · keys) rows per partition, never the corpus.
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame =
+    df.where(col(weightCol) > 0)
+      .withColumn("es_key", esKey(idCol, weightCol))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+
+  /** [[weightedSample]] PER KEY: up to `k` rows from every group
+    * (exactly `k` when the group has that many positive-weight rows —
+    * rows with weight <= 0 are out of contract and dropped, as in
+    * [[weightedSample]]), drawn without replacement proportional to
+    * weight — the per-domain weighted subsample a training-mix builder
+    * runs (cap each source at k docs, prefer high-quality ones,
+    * deterministically). Same LCG-deterministic Efraimidis–Spirakis
+    * priority; the per-group argmax is a rank window whose
+    * WindowGroupLimit keeps only each partition's top-k per key ahead
+    * of the shuffle, so the exchange carries O(k · keys) rows per
+    * partition, never the corpus.
     */
   def weightedSamplePerKey(df: DataFrame, keyCol: String, idCol: String,
-                           weightCol: String, k: Int): DataFrame = {
-    val u = (((col(idCol) * 1103515245L + 12345L) % 2147483648L).cast("double")
-      + 0.5) / 2147483648.0
+                           weightCol: String, k: Int): DataFrame =
     df.where(col(weightCol) > 0)
-      .withColumn("es_key", graft.functions.NumFns.stableRound(
-        log(u) / col(weightCol), 12))
+      .withColumn("es_key", esKey(idCol, weightCol))
       .withColumn("_r", row_number().over(org.apache.spark.sql.expressions
         .Window.partitionBy(col(keyCol)).orderBy(col("es_key").desc, col(idCol))))
       .where(col("_r") <= k)
       .drop("_r")
-  }
 
   /** Resample `df` by temperature over `keyCol`, replicating each row
     * `copies` times; emits the input columns plus `copy_id` (1-based).

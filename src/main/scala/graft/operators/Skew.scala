@@ -110,16 +110,33 @@ object Skew {
   def hotKeysSketch(fact: DataFrame, key: String, minFrac: Double,
                     eps: Double = 1e-3, conf: Double = 0.99): Seq[Any] = {
     require(minFrac > 0.0 && minFrac <= 1.0)
-    val k = math.max(1, math.ceil(2.0 / minFrac).toInt)
     val hh = fact.agg(graft.expressions.HeavyHittersAgg(
-      col(key), k, eps, conf).as("hh"))
-    hh.select(col("hh.total").as("_t"), col("hh.cms").as("_cms"),
-        explode(col("hh.candidates")).as("_cand"))
+      col(key), hhCounters(minFrac), eps, conf).as("hh"))
+    admitHot(hh.select(col("hh.total"), col("hh.cms"), col("hh.candidates")),
+        minFrac)
+      .collect().map(_.get(0)).toSeq.sortBy(String.valueOf(_))
+  }
+
+  /** MG counter count for the superset guarantee at `minFrac` —
+    * k >= 2/minFrac - 1 keeps every truly hot key's counter positive
+    * through any merge tree (see [[graft.expressions.HeavyHittersAgg]]).
+    */
+  def hhCounters(minFrac: Double): Int =
+    math.max(1, math.ceil(2.0 / minFrac).toInt)
+
+  /** The frame-level admission gate over an evaluated heavy-hitter
+    * buffer — one row of (total, cms, candidates) — shared by the
+    * batch collector above and the streaming hot-key query (q226), so
+    * batch and streaming can never drift on the admission rule.
+    * @return one row per admitted hot key (the exploded candidate)
+    */
+  def admitHot(hhFrame: DataFrame, minFrac: Double): DataFrame =
+    hhFrame
+      .select(col("total").as("_t"), col("cms").as("_cms"),
+        explode(col("candidates")).as("_cand"))
       .where(graft.expressions.CmsEstimate(col("_cms"), col("_cand"))
         > col("_t") * lit(minFrac))
       .select(col("_cand"))
-      .collect().map(_.get(0)).toSeq.sortBy(String.valueOf(_))
-  }
 
   /** Hot-key-only salted join: [[saltedJoin]] taxes EVERY key with a
     * `salts`× dim replication — at large dim scale that replication IS

@@ -242,13 +242,20 @@ object Stats {
     * p50/p99/p99_9 style.
     */
   def relQuantiles(df: DataFrame, keyCol: String, valCol: String,
-                   qs: Seq[Double], subBits: Int = 7): DataFrame = {
-    val counts = df.where(col(valCol).cast("long") >= 1)
+                   qs: Seq[Double], subBits: Int = 7): DataFrame =
+    relQuantilesFromCounts(bucketCounts(df, keyCol, valCol, subBits),
+      keyCol, "_b", "_c", qs, subBits)
+
+  /** The shared sketch-state construction (v ≥ 1 contract + bucket +
+    * map-side-combined counts) both the quantile and the rank paths
+    * build on — one copy so they can never diverge.
+    */
+  private def bucketCounts(df: DataFrame, keyCol: String, valCol: String,
+                           subBits: Int): DataFrame =
+    df.where(col(valCol).cast("long") >= 1)
       .select(col(keyCol), relBucket(col(valCol), subBits).as("_b"))
       .groupBy(col(keyCol), col("_b"))
       .agg(count(lit(1)).as("_c"))
-    relQuantilesFromCounts(counts, keyCol, "_b", "_c", qs, subBits)
-  }
 
   /** The log2/sub-bucket index of a positive integer value — the
     * mergeable-additive sketch state [[relQuantiles]] aggregates and
@@ -317,10 +324,7 @@ object Stats {
   def relRanks(df: DataFrame, keyCol: String, valCol: String,
                probes: Seq[Long], subBits: Int = 7): DataFrame = {
     require(probes.nonEmpty && probes.forall(_ >= 1), s"bad probes=$probes")
-    val counts = df.where(col(valCol).cast("long") >= 1)
-      .select(col(keyCol), relBucket(col(valCol), subBits).as("_b"))
-      .groupBy(col(keyCol), col("_b"))
-      .agg(count(lit(1)).as("_c"))
+    val counts = bucketCounts(df, keyCol, valCol, subBits)
     val aggs = sum(col("_c")).as("n") +: probes.map(p =>
       sum(when(col("_b") <= relBucketOf(p, subBits), col("_c"))
         .otherwise(0L)).as(s"le_$p"))

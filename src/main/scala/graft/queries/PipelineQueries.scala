@@ -411,17 +411,19 @@ object PipelineQueries {
       val keyed = raw.select(
         when(pmod(col("user_id"), lit(10)) < 6, lit(0L))
           .otherwise(pmod(col("user_id"), lit(10))).as("k"))
+      val minFrac = 0.15
       val agg = keyed.agg(graft.expressions.HeavyHittersAgg(
-        col("k"), k = 14, eps = 1e-3, conf = 0.99).as("hh"))
+        col("k"), graft.operators.Skew.hhCounters(minFrac),
+        eps = 1e-3, conf = 0.99).as("hh"))
       val mat = graft.streaming.StreamJoin.runAvailableNow(s,
-        agg.select(col("hh.total").as("t"), col("hh.cms").as("cms"),
-          col("hh.candidates").as("cand")),
+        agg.select(col("hh.total").as("total"), col("hh.cms").as("cms"),
+          col("hh.candidates").as("candidates")),
         statePartitions = Some(1), mode = "update")
-      mat.orderBy(col("t").desc).limit(1)
-        .select(col("t"), col("cms"), explode(col("cand")).as("c"))
-        .where(graft.expressions.CmsEstimate(col("cms"), col("c"))
-          > col("t") * 0.15)
-        .select(col("c").cast("long").as("k"))
+      // last update's buffer = the full-stream state; the admission
+      // gate is Skew.admitHot — ONE copy shared with the batch path
+      graft.operators.Skew.admitHot(
+          mat.orderBy(col("total").desc).limit(1), minFrac)
+        .select(col("_cand").cast("long").as("k"))
     }),
 
     // Streaming SESSION windows in append mode (the data-dependent

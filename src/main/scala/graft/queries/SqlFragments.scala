@@ -349,12 +349,8 @@ object SqlFragments {
     * sketch constants can never drift between their oracles.
     */
   def relQuantileWalk(srcCte: String, keyOut: String): String =
-    s"""_rqw_bb AS (
-           SELECT k, v, CAST(length(bin(v)) - 1 AS BIGINT) AS e FROM $srcCte),
-         _rqw_bk AS (
-           SELECT k, CASE WHEN v < 128 THEN v
-             ELSE (e - 7 + 1) * 128 + (v >> CAST(e - 7 AS INT)) - 128 END AS b
-           FROM _rqw_bb),
+    s"""_rqw_bk AS (
+           SELECT k, ${relBucketExpr("v")} AS b FROM $srcCte),
          _rqw_c AS (SELECT k, b, COUNT(*) AS c FROM _rqw_bk GROUP BY k, b),
          _rqw_cum AS (
            SELECT k, b, SUM(c) OVER (PARTITION BY k ORDER BY b) AS cum,

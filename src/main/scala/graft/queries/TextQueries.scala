@@ -37,7 +37,12 @@ object TextQueries {
     // with its 1-based position — the WHERE a redaction/PII-audit
     // pipeline cuts at — from the same one-pass automaton
     // (expressions/MultiMatchPositions). Oracle: the positions the
-    // definitional substring scan finds.
+    // definitional substring scan finds. NOTE the engine's positions
+    // are BYTE offsets (the AC match unit) while the oracle's substr
+    // scan is per-character — identical on this ASCII corpus; a
+    // non-ASCII corpus would need a byte-domain oracle (the counting
+    // and redaction forms q217/q225 are offset-free and corpus-
+    // agnostic).
     "q223_phrase_positions" -> ((s, dir) => {
       val pats = Seq("the", "data", "tion")
       t(s, dir, "documents").where(col("text").isNotNull)

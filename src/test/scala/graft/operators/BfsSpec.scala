@@ -66,17 +66,20 @@ class BfsSpec extends SparkSpec {
       (1 + rng.nextInt(9)).toLong))
     val sources = Seq(0L, 3L)
     val maxHops = 4
-    val adj = edges.groupBy(_._1)
+    // INDEPENDENT oracle: full Bellman-Ford relaxing EVERY known node
+    // each round (no frontier optimization — deliberately a different
+    // algorithm than the production code, so frontier-propagation bugs
+    // can't cancel out). After H rounds: min cost over <=H-edge walks.
     def brute(): Map[Long, Long] = {
       var best = sources.map(_ -> 0L).toMap
-      var frontier: Map[Long, Long] = best
       for (_ <- 1 to maxHops) {
-        val nxt = frontier.toSeq.flatMap { case (n, c) =>
-          adj.getOrElse(n, Nil).map { case (_, t, w) => t -> (c + w) } }
+        val relaxed = edges.flatMap { case (s, t, w) =>
+          best.get(s).map(c => t -> (c + w)) }
           .groupBy(_._1).map { case (n, cs) => n -> cs.map(_._2).min }
-        val improved = nxt.filter { case (n, c) => best.get(n).forall(c < _) }
-        best ++= improved
-        frontier = improved
+        best = (best.keySet ++ relaxed.keySet).map { n =>
+          n -> math.min(best.getOrElse(n, Long.MaxValue),
+            relaxed.getOrElse(n, Long.MaxValue))
+        }.toMap
       }
       best
     }

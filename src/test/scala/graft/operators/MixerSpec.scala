@@ -264,4 +264,18 @@ class MixerSpec extends SparkSpec {
       assert(got.filter(_._1 == g).map(_._2).toSet == solo)
     }
   }
+
+  test("weightedSamplePerKey: small groups yield their whole positive-weight set") {
+    import spark.implicits._
+    // g_small has 3 positive-weight rows (< k); g_zero only weight-0 rows
+    val df = (Seq(("g_small", 1L, 2.0), ("g_small", 2L, 1.0), ("g_small", 3L, 5.0),
+      ("g_small", 4L, 0.0), ("g_zero", 9L, 0.0)) ++
+      (10L to 40L).map(i => ("g_big", i, 1.0))).toDF("grp", "id", "w")
+    val got = Mixer.weightedSamplePerKey(df, "grp", "id", "w", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byG = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byG("g_small") == Set(1L, 2L, 3L)) // all positive rows, w=0 dropped
+    assert(!byG.contains("g_zero"))           // nothing eligible
+    assert(byG("g_big").size == 10)           // capped at k
+  }
 }
