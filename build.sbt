@@ -3,6 +3,10 @@ ThisBuild / version := "0.1.0"
 name := "abigdatalambdaarchitectureforrealtimestockpriceforecastingusingfinancialnewsspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
+// Sources carry UTF-8 literals (non-ASCII grading fixtures); the
+// container locale is POSIX, so JDK 17's scalac would otherwise decode
+// them as ASCII and mangle every multi-byte literal.
+ThisBuild / scalacOptions ++= Seq("-encoding", "UTF-8")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(

@@ -76,11 +76,18 @@ object MultiMatchCount {
 
 /** [[MultiMatchCount]]'s span-extraction sibling: the same one-pass
   * automaton walk, emitting every match as (pattern index, 1-based
-  * byte start position) — what a redaction/PII-audit pipeline consumes
-  * (count tells you HOW MUCH; positions tell you WHERE to cut).
-  * Matches are sorted (position, pattern index) for deterministic
-  * output; overlapping and nested matches all emit, same match-end
-  * semantics as the counter. Null text ⇒ null.
+  * byte start position, 1-based CHARACTER start position) — what a
+  * redaction/PII-audit pipeline consumes (count tells you HOW MUCH;
+  * positions tell you WHERE to cut). The byte start `s` is the raw
+  * match unit (offset-exact for byte-domain consumers); the character
+  * start `cs` is what `substring()`/`substr` cut at — identical to `s`
+  * on ASCII, diverging on multi-byte text, where cutting at the byte
+  * offset would split a codepoint (the walk carries a codepoint
+  * counter beside the byte cursor — [[AhoCorasick.matchEndsWithChars]]
+  * — so `cs` costs no second decode pass). Matches are sorted
+  * (byte position, pattern index) for deterministic output;
+  * overlapping and nested matches all emit, same match-end semantics
+  * as the counter. Null text ⇒ null.
   */
 case class MultiMatchPositions(child: Expression, patterns: Seq[String])
     extends UnaryExpression {
@@ -91,7 +98,8 @@ case class MultiMatchPositions(child: Expression, patterns: Seq[String])
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("p",
         org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("s", LongType, nullable = false))),
+      org.apache.spark.sql.types.StructField("s", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cs", LongType, nullable = false))),
     containsNull = false)
   override def prettyName: String = "multi_match_positions"
 
@@ -102,16 +110,21 @@ case class MultiMatchPositions(child: Expression, patterns: Seq[String])
 
   @transient private lazy val patBytes =
     patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  @transient private lazy val patChars =
+    patterns.map(p => p.codePointCount(0, p.length))
+
   @transient private lazy val ac = AhoCorasick.build(patBytes)
 
   def positionsOf(text: UTF8String): ArrayData = {
-    val ends = ac.matchEnds(text)
-    val sorted = ends.map { case (p, e) =>
-      // 1-based start = end0 - len + 2 (matching the oracle's substr scan)
-      (e - patBytes(p).length + 2L, p)
-    }.sortBy(identity)
-    new GenericArrayData(sorted.map { case (s, p) =>
-      org.apache.spark.sql.catalyst.InternalRow(p, s)
+    val ends = ac.matchEndsWithChars(text)
+    val sorted = ends.map { case (p, e, ce) =>
+      // 1-based starts = 0-based end − len + 2, in each unit's own
+      // length (bytes for s, codepoints for cs — the oracle's substr
+      // scan is the character form)
+      (e - patBytes(p).length + 2L, p, ce - patChars(p) + 2L)
+    }.sortBy(t => (t._1, t._2))
+    new GenericArrayData(sorted.map { case (s, p, cs) =>
+      org.apache.spark.sql.catalyst.InternalRow(p, s, cs)
     }.toArray[Any])
   }
 
@@ -242,6 +255,39 @@ final class AhoCorasick(next: Array[Array[Int]], outs: Array[Array[Int]],
       var j = 0
       while (j < out.length) {
         buf += ((out(j), i))
+        j += 1
+      }
+      i += 1
+    }
+    buf
+  }
+
+  /** Every match as (pattern index, 0-based END byte index, 0-based END
+    * CHARACTER index) — the same single walk carrying a codepoint
+    * counter alongside the byte cursor (a byte starts a codepoint iff
+    * it is not a UTF-8 continuation byte, `(b & 0xC0) != 0x80`), so
+    * character offsets cost O(1) per byte, not a second decode pass.
+    * For valid UTF-8 every match is codepoint-aligned (a pattern's
+    * first byte is a lead byte and can only match a lead byte), so the
+    * end character index is exactly the index of the match's last
+    * codepoint — what a `substring()` consumer needs where byte
+    * offsets would cut multi-byte text mid-codepoint.
+    */
+  def matchEndsWithChars(
+      text: UTF8String): scala.collection.mutable.ArrayBuffer[(Int, Int, Int)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    val n = text.numBytes
+    var state = 0
+    var i = 0
+    var chars = 0 // codepoint starts seen so far
+    while (i < n) {
+      val b = text.getByte(i)
+      if ((b & 0xc0) != 0x80) chars += 1
+      state = next(state)(b & 0xff)
+      val out = outs(state)
+      var j = 0
+      while (j < out.length) {
+        buf += ((out(j), i, chars - 1))
         j += 1
       }
       i += 1

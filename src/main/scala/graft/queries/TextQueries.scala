@@ -37,12 +37,10 @@ object TextQueries {
     // with its 1-based position — the WHERE a redaction/PII-audit
     // pipeline cuts at — from the same one-pass automaton
     // (expressions/MultiMatchPositions). Oracle: the positions the
-    // definitional substring scan finds. NOTE the engine's positions
-    // are BYTE offsets (the AC match unit) while the oracle's substr
-    // scan is per-character — identical on this ASCII corpus; a
-    // non-ASCII corpus would need a byte-domain oracle (the counting
-    // and redaction forms q217/q225 are offset-free and corpus-
-    // agnostic).
+    // definitional substring scan finds. This query grades the BYTE
+    // offset `s` (the AC match unit), identical to the character
+    // offset on this ASCII corpus; q227 grades the CHARACTER offset
+    // `cs` on a derived multi-byte corpus where the two diverge.
     "q223_phrase_positions" -> ((s, dir) => {
       val pats = Seq("the", "data", "tion")
       t(s, dir, "documents").where(col("text").isNotNull)
@@ -52,6 +50,32 @@ object TextQueries {
         .select(col("doc_id"),
           element_at(typedlit(pats), col("m.p") + 1).as("pat"),
           col("m.s").as("pos"))
+    }),
+
+    // q223 on MULTI-BYTE text: the corpus is deterministically
+    // de-ASCII-fied (a→ä, e→é — both 2-byte UTF-8), the dictionary
+    // contains the translated patterns, and the graded offset is the
+    // CHARACTER start `cs` the one-pass walk carries beside the byte
+    // cursor — plus the substring CUT at that offset, which must
+    // round-trip to the matched pattern (the consumer contract: a
+    // char-domain `substr` fed a byte offset would split codepoints).
+    // The oracle replays the per-character substring scan and the same
+    // cut; `s` and `cs` genuinely diverge on this corpus, so the query
+    // fails if either unit leaks into the other.
+    "q227_phrase_positions_unicode" -> ((s, dir) => {
+      val pats = Seq("thé", "dätä", "tion")
+      val patLens = pats.map(p => p.codePointCount(0, p.length).toLong)
+      t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          translate(lower(col("text")), "ae", "äé").as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(graft.expressions.MultiMatchPositions(
+            col("t"), pats)).as("m"))
+        .select(col("doc_id"),
+          element_at(typedlit(pats), col("m.p") + 1).as("pat"),
+          col("m.cs").as("cpos"),
+          col("t").substr(col("m.cs"),
+            element_at(typedlit(patLens), col("m.p") + 1)).as("cut"))
     }),
 
     // Dictionary REDACTION — the q217/q223 capstone: every byte any
@@ -522,6 +546,22 @@ object TextQueries {
                   FROM chars GROUP BY doc_id)
           SELECT d.doc_id, COALESCE(a.r, '') AS redacted
           FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+
+    // The per-CHARACTER substring scan over the de-ASCII-fied corpus:
+    // DuckDB's length/substr are codepoint-based, so its positions ARE
+    // character offsets — exactly the `cs` unit under grade — and the
+    // cut replays identically.
+    "q227_phrase_positions_unicode" ->
+      """WITH pats AS (SELECT * FROM (VALUES ('thé'), ('dätä'), ('tion')) p(pat)),
+          docs AS (SELECT doc_id, translate(lower(text), 'ae', 'äé') AS t
+                   FROM documents WHERE text IS NOT NULL),
+          hits AS (SELECT doc_id, t, pat,
+            unnest(list_filter(generate_series(1, length(t) - length(pat) + 1),
+                i -> substr(t, CAST(i AS INT), length(pat)) = pat)) AS cpos
+            FROM docs, pats)
+          SELECT doc_id, pat, CAST(cpos AS BIGINT) AS cpos,
+                 substr(t, CAST(cpos AS INT), length(pat)) AS cut
+          FROM hits""",
 
     // Every match position the definitional substring scan finds.
     "q223_phrase_positions" ->

@@ -80,6 +80,50 @@ class MultiMatchCountSpec extends SparkSpec {
     }
   }
 
+  test("positions: character offsets diverge from byte offsets on multi-byte text") {
+    def pos3(text: String, pats: Seq[String]): Seq[(Int, Long, Long)] = {
+      val e = MultiMatchPositions(
+        org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(text)),
+        pats)
+      e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+          .elementType)
+        .map { r =>
+          val row = r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+          (row.getInt(0), row.getLong(1), row.getLong(2))
+        }.toSeq
+    }
+    // "dätä thé": ä/é are 2-byte UTF-8 — bytes d=1 ä=2-3 t=4 ä=5-6 ␣=7
+    // t=8 h=9 é=10-11, chars d=1 ä=2 t=3 ä=4 ␣=5 t=6 h=7 é=8
+    assert(pos3("dätä thé", Seq("thé", "dätä")) ==
+      Seq((1, 1L, 1L), (0, 8L, 6L)))
+    // ASCII: the two units coincide on every match
+    assert(pos3("the theory", Seq("the")).forall { case (_, s, cs) => s == cs })
+    // 3-byte and 4-byte codepoints ahead of the match shift bytes, not chars
+    assert(pos3("€😀 abc", Seq("abc")) ==
+      Seq((0, 9L, 4L))) // € is 3 bytes, 😀 is 4 bytes (one codepoint)
+  }
+
+  test("character offsets feed substring() and round-trip to the pattern") {
+    val pats = Seq("thé", "dätä")
+    val lens = pats.map(p => p.codePointCount(0, p.length).toLong)
+    val rows = Seq("xä dätä yé thé", "no match here", "dätä")
+      .toDF("t")
+      .select(col("t"),
+        explode(MultiMatchPositions(col("t"), pats)).as("m"))
+      .select(
+        element_at(typedlit(pats), col("m.p") + 1).as("pat"),
+        col("t").substr(col("m.cs"),
+          element_at(typedlit(lens), col("m.p") + 1)).as("cut"),
+        col("m.s").as("s"), col("m.cs").as("cs"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"cut '${r.getString(1)}' != pattern '${r.getString(0)}'"))
+    // and the byte offset would NOT round-trip where multi-byte text precedes
+    assert(rows.exists(r => r.getLong(2) != r.getLong(3)))
+  }
+
   test("redact: union of spans, overlaps and nesting included; no-match passes through") {
     def red(text: String, pats: Seq[String]): String =
       MultiMatchRedact(
