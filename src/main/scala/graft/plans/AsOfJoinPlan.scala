@@ -43,6 +43,25 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
   // outAttrs are born here, not read from a child — without this the
   // analyzer's missing-attribute check rejects the node
   override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
+
+  /** An as-of join emits EXACTLY one row per left row — the node knows
+    * its own cardinality, so say so. The default BinaryNode estimate is
+    * the product of the children's sizes, which overestimates this
+    * output by |right| and suppresses a legitimate broadcast when the
+    * as-of result is the small side of a downstream join (the same
+    * optimizer-barrier class the pushdown/pruning rules close). Size =
+    * left's bytes scaled by the carried columns' width share; row count
+    * carries through untouched.
+    */
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics = {
+    val ls = left.stats
+    val lw = BigInt(math.max(1, left.output.map(_.dataType.defaultSize).sum))
+    val ow = BigInt(outAttrs.map(_.dataType.defaultSize).sum)
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = (ls.sizeInBytes * (lw + ow) / lw).max(1),
+      rowCount = ls.rowCount)
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
     copy(left = newLeft, right = newRight)

@@ -54,6 +54,22 @@ case class IntervalJoinNode(left: LogicalPlan, right: LogicalPlan,
   require(leftKey.dataType == rightKey.dataType,
     s"key types must match: ${leftKey.dataType} vs ${rightKey.dataType}")
   override def output: Seq[Attribute] = left.output ++ right.output
+
+  /** Overlap joins are selective: the output degree is the data's
+    * concurrent-overlap count, not |left|·|right|. The default
+    * BinaryNode product estimate would mark any downstream join
+    * over this output unbroadcastable; cap the estimate at a small
+    * fan-out of the inputs (each side read once + a bounded match
+    * multiplier) while keeping the true product as a floor for tiny
+    * inputs where the product IS the honest bound.
+    */
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics = {
+    val l = left.stats.sizeInBytes
+    val r = right.stats.sizeInBytes
+    val capped = ((l + r) * 8).min(l * r).max(l.max(r)).max(1)
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(sizeInBytes = capped)
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinNode =
     copy(left = newLeft, right = newRight)
@@ -76,7 +92,9 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
   override def output: Seq[Attribute] = left.output ++ right.output
 
   override lazy val metrics = Map(
-    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "maxActiveRights" -> SQLMetrics.createMetric(sparkContext,
+      "peak buffered right rows (summed per-partition peaks)"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
@@ -94,8 +112,26 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
       newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =
     copy(left = newLeft, right = newRight)
 
+  /** Upper bound on the active right set, per partition. The sweep's
+    * memory is O(max concurrent overlap) BY DESIGN — the output degree
+    * the data demands — but unlike SortMergeJoin's buffered side it has
+    * no spill path, so one pathological key (every right interval
+    * long-lived and mutually overlapping) would otherwise grow the
+    * buffer until the executor OOMs with no attribution. The guard
+    * makes that contract ENFORCED: crossing the cap fails the task
+    * loudly, naming the operator, the cap, and the conf to raise
+    * (`spark.graft.intervalJoin.maxActive`; default 4M rows ≈ hundreds
+    * of MB of copied UnsafeRows — far past any sane overlap degree).
+    * The `maxActiveRights` metric reports the observed peak so a
+    * near-miss is visible in the SQL UI before it becomes an incident.
+    */
+  private def maxActiveLimit: Long =
+    conf.getConfString("spark.graft.intervalJoin.maxActive", (4L << 20).toString).toLong
+
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
+    val maxActiveRights = longMetric("maxActiveRights")
+    val maxActive = maxActiveLimit
     val keyType = leftKey.dataType
     val leftOutput = left.output
     val rightOutput = right.output
@@ -129,6 +165,7 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
       // key whose end might still exceed a future left's start
       val active = new java.util.ArrayList[UnsafeRow]()
       var curKey: UnsafeRow = null // active rows' key (a copied probe row)
+      var peakActive = 0L // this partition's peak, reported incrementally
       lIter.flatMap { lrow =>
         val lkse = lkseProj(lrow)
         if (lkse.isNullAt(0) || lkse.isNullAt(1) || lkse.isNullAt(2) ||
@@ -158,7 +195,20 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
                 val r = rBuf.next()
                 // proper interval still able to reach this or a later
                 // left (left starts only grow within the key)
-                if (rs < re && re > ls) active.add(rRowProj(r).copy())
+                if (rs < re && re > ls) {
+                  active.add(rRowProj(r).copy())
+                  if (active.size > peakActive) {
+                    maxActiveRights += active.size - peakActive
+                    peakActive = active.size
+                    if (peakActive > maxActive)
+                      throw new IllegalStateException(
+                        s"interval join: active right set exceeded " +
+                        s"spark.graft.intervalJoin.maxActive=$maxActive rows " +
+                        s"on one key — a pathological overlap degree this " +
+                        s"operator buffers in memory by design; raise the " +
+                        s"conf or pre-split the hot key")
+                  }
+                }
               } else scan = false
             }
           }

@@ -16,6 +16,50 @@ class AsOfJoinNativeSpec extends SparkSpec {
   private def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
     df.collect().map(_.toString).toSet
 
+  test("statistics: a small as-of result still broadcasts into a downstream join") {
+    // the node reports output ≈ left (one row per left row) instead of
+    // the default BinaryNode product-of-children — without the
+    // override, |left|·|right| bytes mark this side unbroadcastable
+    // and the downstream join degrades to SMJ
+    val left = spark.range(200).selectExpr("id as k", "id as t")
+    val right = spark.range(200).selectExpr("id % 50 as k", "id as rt", "id as v")
+    val asof = AsOfJoin.lookupLastNative(left, right, "k", "t", "rt", "v", "out")
+    val big = spark.range(100000).selectExpr("id as k", "id * 2 as payload")
+    val joined = big.join(asof, Seq("k"))
+    // static (pre-AQE) plan: the as-of side must be the broadcast build
+    val p = joined.queryExecution.sparkPlan
+    val bhj = p.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"expected BroadcastHashJoin in:\n$p")
+    // the as-of subtree must be the BUILD side of that join
+    assert(bhj.exists { b =>
+      val build = b.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+        case _ => b.left
+      }
+      build.exists(_.isInstanceOf[AsOfJoinExec])
+    }, s"as-of side not the broadcast build side:\n$p")
+    // and the logical estimate is left-sized, not product-sized
+    val node = asof.queryExecution.optimizedPlan.collectFirst {
+      case n: AsOfJoinNode => n }.get
+    assert(node.stats.sizeInBytes <= node.left.stats.sizeInBytes * 3,
+      s"stats not left-shaped: ${node.stats}")
+  }
+
+  test("statistics: interval-join output joins broadcast-side downstream") {
+    val l = spark.range(300).selectExpr("id % 20 as k", "id as lid",
+      "id as s", "id + 3 as e")
+    val r = spark.range(300).selectExpr("id % 20 as k", "id as rid",
+      "id as s", "id + 2 as e")
+    val ij = graft.operators.RangeJoin.overlapJoinNative(l, r,
+      "k", "lid", "s", "e", "k", "rid", "s", "e")
+    val big = spark.range(100000).selectExpr("id as a_id", "id * 3 as payload")
+    val p = big.join(ij, Seq("a_id")).queryExecution.sparkPlan
+    val bhj = p.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"expected BroadcastHashJoin in:\n$p")
+  }
+
   test("native equals composed on the events corpus") {
     val ev = graft.Tables.load(spark, sf(), "events")
     val errors = ev.where(col("event_type") === "error")

@@ -121,6 +121,24 @@ class IntervalJoinNativeSpec extends SparkSpec {
     assert(!p.take(execIdx).contains("HashAggregate"), p)
   }
 
+  test("active-set guard: a pathological all-overlapping key fails loudly, not OOM") {
+    // 200 rights under one key, all spanning [0, 10^6): the active set
+    // must hold all of them at once — with the cap dialed below that,
+    // the task fails with the named conf instead of buffering on
+    spark.conf.set("spark.graft.intervalJoin.maxActive", "100")
+    try {
+      val l = Seq((1L, 0L, 1L, 999999L)).toDF("k", "id", "s", "e")
+      val r = (0L until 200L).map(i => (1L, i, 0L, 1000000L))
+        .toDF("k", "id", "s", "e")
+      val ex = intercept[org.apache.spark.SparkException] {
+        RangeJoin.overlapJoinNative(l, r,
+          "k", "id", "s", "e", "k", "id", "s", "e").count()
+      }
+      val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).mkString
+      assert(msg.contains("spark.graft.intervalJoin.maxActive"), msg)
+    } finally spark.conf.unset("spark.graft.intervalJoin.maxActive")
+  }
+
   test("whole-stage boundary: both children fuse into codegen stages") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
