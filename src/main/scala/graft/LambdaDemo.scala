@@ -19,6 +19,7 @@ object LambdaDemo {
     val root = if (args.nonEmpty) args(0)
       else Files.createTempDirectory("graft_lambda_").toString
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -12,6 +12,7 @@ object TimeQ {
     val names = args(1).split(",").toSeq
     val nRuns = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")

@@ -73,5 +73,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => PruneColumnsThroughGraftJoins)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => IntervalJoinStrategy)
+    // the SQL surface: ASOF JOIN statements parse to the native node
+    // (GraftSqlParser recognizes the shape, ResolveGraftAsOfJoin types
+    // it); parser injection only takes effect at session BUILD time,
+    // so every entry point builds with .withExtensions(new
+    // GraftExtensions) — Tuning.install alone cannot add this tier
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    e.injectResolutionRule(_ => ResolveGraftAsOfJoin)
   }
 }

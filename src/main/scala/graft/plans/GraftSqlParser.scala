@@ -1,0 +1,174 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StructType
+
+/** SQL surface for the native as-of join — the `injectParser` tier of
+  * the Catalyst extension API (the column-API forms already plan to
+  * [[AsOfJoinNode]]; this makes the SAME node reachable from pure SQL,
+  * the way DuckDB/QuestDB spell it):
+  *
+  * {{{
+  *   SELECT <list> FROM <left> ASOF [LEFT] JOIN <right>
+  *   ON <leftKey> = <rightKey> AND <leftTime> >= <rightTime>
+  * }}}
+  *
+  * `>=` is the backward as-of (latest right at-or-before each left
+  * row), `<=` the forward one; the join carries EVERY right column
+  * (null when no right row qualifies — left-join semantics, which is
+  * what the native node computes; add `WHERE x IS NOT NULL` for the
+  * inner form). Equal-time ties resolve by the carried right tuple —
+  * ascending lexicographic, so backward picks the max and forward the
+  * min, matching the column-API contract exactly (q228 grades the SQL
+  * form against q201's oracle).
+  *
+  * The statement is recognized by shape — one SELECT list over one
+  * ASOF JOIN of two named relations with a two-conjunct ON — and
+  * built DIRECTLY as logical plan: `UnresolvedRelation`s under an
+  * [[UnresolvedAsOfJoin]], the select list parsed per item by the
+  * DELEGATE parser (so any expression Spark SQL accepts works in the
+  * list). Everything that doesn't match the shape — including every
+  * other statement kind — falls through to the delegate verbatim:
+  * the parser adds a statement form, it never re-interprets one.
+  * Resolution happens in [[ResolveGraftAsOfJoin]] (injected as a
+  * resolution rule): once both children resolve, the name-based node
+  * becomes a fully-typed [[AsOfJoinNode]] and plans through the
+  * existing strategy.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseAsOf(sqlText, delegate)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseAsOf(sqlText, delegate)
+      .getOrElse(delegate.parseQuery(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+
+  // SELECT <list> FROM <tbl> ASOF [LEFT] JOIN <tbl>
+  //   ON <col> = <col> AND <col> >=|<= <col>
+  // Identifiers are (qualified) plain names; the select list is any
+  // expression text (split on top-level commas, parsed by the
+  // delegate). DOTALL so multi-line statements match.
+  private val AsOfRe =
+    ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)\s+ASOF\s+(?:LEFT\s+)?JOIN\s+""" +
+      """([\w.]+)\s+ON\s+([\w.]+)\s*=\s*([\w.]+)\s+AND\s+""" +
+      """([\w.]+)\s*(>=|<=)\s*([\w.]+)\s*;?\s*$""").r
+
+  /** Split a select list on commas at paren/bracket depth 0, outside
+    * quotes — enough for arbitrary expressions with function calls and
+    * string literals in the list.
+    */
+  private[plans] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        cur += c
+        if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur += c
+        case '(' | '[' => depth += 1; cur += c
+        case ')' | ']' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private[plans] def parseAsOf(sqlText: String,
+                               delegate: ParserInterface): Option[LogicalPlan] =
+    AsOfRe.findFirstMatchIn(sqlText).map { m =>
+      val Seq(selList, lTbl, rTbl, lk, rk, lt, op, rt) =
+        (1 to 8).map(m.group)
+      val items: Seq[Expression] = splitTopLevel(selList).map {
+        case "*" => UnresolvedStar(None)
+        case item => UnresolvedAlias(delegate.parseExpression(item))
+      }
+      val node = UnresolvedAsOfJoin(
+        UnresolvedRelation(delegate.parseMultipartIdentifier(lTbl)),
+        UnresolvedRelation(delegate.parseMultipartIdentifier(rTbl)),
+        lk, rk, lt, rt, forward = op == "<=")
+      Project(items.map {
+        case ne: org.apache.spark.sql.catalyst.expressions.NamedExpression => ne
+        case e => UnresolvedAlias(e)
+      }, node)
+    }
+}
+
+/** The parse-time as-of node: pure names over unresolved children.
+  * [[ResolveGraftAsOfJoin]] turns it into the typed [[AsOfJoinNode]]
+  * once both children resolve; until then it reports itself unresolved
+  * so nothing upstream binds to its (empty) output.
+  */
+case class UnresolvedAsOfJoin(left: LogicalPlan, right: LogicalPlan,
+                              leftKey: String, rightKey: String,
+                              leftTime: String, rightTime: String,
+                              forward: Boolean)
+    extends BinaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): UnresolvedAsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Resolution rule for [[UnresolvedAsOfJoin]]: bind the four column
+  * names against the resolved children (session resolver, so case
+  * sensitivity follows the engine config), carry ALL right columns as
+  * produced attributes (fresh exprIds — they are BORN at the join, the
+  * same contract the column-API builder sets), and emit the typed
+  * [[AsOfJoinNode]].
+  */
+object ResolveGraftAsOfJoin extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u @ UnresolvedAsOfJoin(l, r, lk, rk, lt, rt, fwd)
+          if l.resolved && r.resolved =>
+        def attr(p: LogicalPlan, n: String): Attribute =
+          p.output.filter(a => conf.resolver(a.name, n)) match {
+            case Seq(one) => one
+            case Seq() => throw new IllegalArgumentException(
+              s"ASOF JOIN: column `$n` not found among " +
+                p.output.map(_.name).mkString("(", ", ", ")"))
+            case many => throw new IllegalArgumentException(
+              s"ASOF JOIN: column `$n` is ambiguous: " +
+                many.mkString("[", ", ", "]"))
+          }
+        val outAttrs = r.output.map(a =>
+          AttributeReference(a.name, a.dataType, nullable = true)())
+        AsOfJoinNode(l, r, attr(l, lk), attr(r, rk),
+          attr(l, lt), attr(r, rt),
+          rightValues = r.output, outAttrs = outAttrs, forward = fwd)
+    }
+}

@@ -163,6 +163,27 @@ object CoreQueries {
           col("last_purchase_ts").cast("timestamp_ntz").as("last_purchase_ts"))
     }),
 
+    // q201 in PURE SQL — the injectParser tier: `ASOF JOIN` is a
+    // statement shape the stock parser rejects; GraftSqlParser
+    // recognizes it, ResolveGraftAsOfJoin types it, and the SAME
+    // native node/strategy/exec as q201 runs it. Graded against q201's
+    // subquery oracle: the SQL spelling must be indistinguishable from
+    // the column-API one.
+    "q228_asof_sql" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView("g_errors")
+      ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+        .createOrReplaceTempView("g_purchases")
+      s.sql("""SELECT event_id, user_id,
+                      CAST(ts AS timestamp_ntz) AS ts,
+                      CAST(p_ts AS timestamp_ntz) AS last_purchase_ts
+               FROM g_errors ASOF JOIN g_purchases
+               ON user_id = p_uid AND ts >= p_ts""")
+    }),
+
     // q87's forward as-of through the native operator (earliest right
     // time at-or-after, ties to the min value — the merge head under
     // the (time, value)-ascending sort). Same oracle as q87.
@@ -298,6 +319,14 @@ object CoreQueries {
             AND CAST(p.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
             AND CAST(p.ts AS TIMESTAMP) >=
                 CAST(e.ts AS TIMESTAMP) - INTERVAL 1 HOUR) AS recent_purchase_ts
+         FROM events e WHERE e.event_type = 'error'""",
+
+    // the SQL spelling must be indistinguishable from q10's truth too
+    "q228_asof_sql" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+         (SELECT max(CAST(p.ts AS TIMESTAMP)) FROM events p
+          WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+            AND CAST(p.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)) AS last_purchase_ts
          FROM events e WHERE e.event_type = 'error'""",
 
     // the native operator must be indistinguishable from q10's truth

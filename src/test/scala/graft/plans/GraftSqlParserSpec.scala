@@ -1,0 +1,107 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** The SQL surface for the native as-of join: `ASOF JOIN` statements
+  * parse (GraftSqlParser), resolve (ResolveGraftAsOfJoin), and plan to
+  * the same AsOfJoinExec as the column API — row-identical to it both
+  * directions — while every other statement passes through the stock
+  * parser untouched.
+  */
+class GraftSqlParserSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def views(): Unit = {
+    Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c"), (3L, 1L, "d"))
+      .toDF("k", "t", "tag").createOrReplaceTempView("sql_l")
+    Seq((1L, 10L, 100.0), (1L, 10L, 200.0), (1L, 4L, 50.0),
+      (2L, 7L, 7.5), (2L, 8L, 9.9), (9L, 1L, 1.0))
+      .toDF("rk", "rt", "v").createOrReplaceTempView("sql_r")
+  }
+
+  test("backward ASOF JOIN: plans to AsOfJoinExec, rows equal the column API") {
+    views()
+    val df = spark.sql(
+      """SELECT tag, v AS got FROM sql_l ASOF JOIN sql_r
+         ON k = rk AND t >= rt""")
+    assert(df.queryExecution.sparkPlan.exists(_.isInstanceOf[AsOfJoinExec]),
+      df.queryExecution.sparkPlan.toString)
+    val got = df.collect().map(r => (r.getString(0),
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    // same tie rule as the column API: equal-time rights -> max value
+    assert(got == Set(("a", Some(200.0)), ("b", Some(50.0)),
+      ("c", Some(7.5)), ("d", None)))
+  }
+
+  test("SQL form is row-identical to the column API on the events corpus") {
+    val ev = graft.Tables.load(spark, sf(), "events")
+    ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("sql_errors")
+    ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+      .createOrReplaceTempView("sql_purchases")
+    val viaSql = spark.sql(
+      """SELECT event_id, user_id, ts, p_ts AS last_purchase_ts
+         FROM sql_errors ASOF JOIN sql_purchases
+         ON user_id = p_uid AND ts >= p_ts""")
+    // the column API wants one key name on both sides — align first
+    val viaApi = AsOfJoin.lookupLastNative(
+      spark.table("sql_errors"),
+      spark.table("sql_purchases").withColumnRenamed("p_uid", "user_id"),
+      "user_id", "ts", "p_ts", "p_ts", "last_purchase_ts")
+    assert(viaSql.collect().map(_.toString).toSet ==
+      viaApi.collect().map(_.toString).toSet)
+  }
+
+  test("forward ASOF JOIN (<=): earliest right at-or-after, ties to min") {
+    views()
+    val df = spark.sql(
+      """SELECT tag, v AS got FROM sql_l ASOF JOIN sql_r
+         ON k = rk AND t <= rt""")
+    assert(df.queryExecution.sparkPlan.exists(_.isInstanceOf[AsOfJoinExec]))
+    val got = df.collect().map(r => (r.getString(0),
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    // a: t=10 -> rt=10 tie -> min v = 100; b: t=5 -> rt=10 -> 100
+    // c: t=7 -> rt=7 -> 7.5; d: k=3 unmatched
+    assert(got == Set(("a", Some(100.0)), ("b", Some(100.0)),
+      ("c", Some(7.5)), ("d", None)))
+  }
+
+  test("star select and expression list both work; right columns all carried") {
+    views()
+    val all = spark.sql(
+      """SELECT * FROM sql_l ASOF JOIN sql_r ON k = rk AND t >= rt""")
+    assert(all.columns.toSeq == Seq("k", "t", "tag", "rk", "rt", "v"))
+    val expr = spark.sql(
+      """SELECT upper(tag) AS utag, coalesce(v, -1.0) AS v2, rt
+         FROM sql_l ASOF JOIN sql_r ON k = rk AND t >= rt""")
+    assert(expr.columns.toSeq == Seq("utag", "v2", "rt"))
+    assert(expr.where(col("utag") === "D").head().getDouble(1) == -1.0)
+  }
+
+  test("every other statement delegates to the stock parser") {
+    views()
+    assert(spark.sql("SELECT COUNT(*) FROM sql_l").head().getLong(0) == 4L)
+    assert(spark.sql("SELECT l.tag FROM sql_l l JOIN sql_r r ON l.k = r.rk")
+      .count() > 0)
+  }
+
+  test("unknown ON columns fail with a named error") {
+    views()
+    val e = intercept[Exception] {
+      spark.sql("""SELECT * FROM sql_l ASOF JOIN sql_r
+                   ON nope = rk AND t >= rt""").collect()
+    }
+    assert(e.getMessage.contains("nope"), e.getMessage)
+  }
+
+  test("splitTopLevel respects parens and quotes") {
+    assert(GraftSqlParser.splitTopLevel("a, f(b, c), 'x,y', d") ==
+      Seq("a", "f(b, c)", "'x,y'", "d"))
+    assert(GraftSqlParser.splitTopLevel("cast(a as decimal(10, 2)), b") ==
+      Seq("cast(a as decimal(10, 2))", "b"))
+  }
+}

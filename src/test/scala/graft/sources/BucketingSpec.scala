@@ -18,6 +18,7 @@ class BucketingSpec extends AnyFunSuite {
   // set for the whole test JVM in build.sbt.
   private lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

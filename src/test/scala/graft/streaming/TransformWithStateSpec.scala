@@ -16,6 +16,7 @@ class TransformWithStateSpec extends AnyFunSuite {
   // conf must not leak into the other streaming suites' sessions
   private lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
