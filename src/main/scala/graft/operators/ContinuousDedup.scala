@@ -28,23 +28,29 @@ import org.apache.spark.sql.functions._
   * Per micro-batch (exactly once, keyed by the foreachBatch txn id):
   *  1. LSH-verify the batch against the fingerprint store AND itself →
   *     new edges ([[IncrementalDedup.verifiedEdges]]; only batch-side
-  *     bucket probes, stored-vs-stored never re-derived).
+  *     bucket probes, stored-vs-stored never re-derived). Store-side
+  *     inputs (fps, labels) are read AS OF THE LAST SYNCPOINT, not
+  *     "latest": the deltas become pure functions of (batch, previous
+  *     cycle) — bit-identical on any replay no matter which subset of
+  *     this batch's own commits already landed.
   *  2. Fold the edges into the stored labeling on the LABEL graph —
   *     O(new edges), broadcast remap — and take the changed/new delta;
   *     batch docs with no edges join as their own singleton clusters.
-  *  3. Upsert splits, then labels, then absorb fingerprints — each
-  *     commit txn-fenced, so a redelivered batch no-ops and a CRASH
-  *     between commits replays to the identical final state. The order
-  *     is load-bearing: deltas are deterministic functions of (batch,
-  *     fps, labels), so every prefix of the commit sequence that
-  *     survives a crash leaves those inputs unchanged for the replay to
-  *     recompute the SAME deltas — splits (a pure function of the
-  *     labels delta) must therefore commit before labels itself.
+  *  3. Upsert splits, labels, and fingerprints — three txn-fenced
+  *     commits on three different views. The pinned reads of step 1
+  *     make them ORDER-INDEPENDENT (no commit changes another's
+  *     inputs), so the production path lands all three in ONE PARALLEL
+  *     section — the loop's wall-clock tail is the slowest single
+  *     commit, not the sum of three sequential publishes — and a crash
+  *     leaving ANY subset applied replays to the identical final state
+  *     (each view's fence skips what landed, the recomputed deltas are
+  *     the same, the missing commits complete).
   *  4. Publish ONE txn-tagged SYNCPOINT pinning the three post-batch
-  *     versions — the batch's reader-visible commit point. Per-view
-  *     manifests make each store individually consistent, but a reader
-  *     resolving "latest" per view between steps 3a-3c can still see a
-  *     split row whose label has not landed (the splice tear
+  *     versions — the batch's reader-visible commit point, strictly
+  *     after all three view commits. Per-view manifests make each
+  *     store individually consistent, but a reader resolving "latest"
+  *     per view between step-3 commits can still see a split row whose
+  *     label has not landed (the splice tear
   *     [[SnapshotStore.publishSync]] exists to close). Cycle readers
   *     therefore resolve ONE syncpoint ([[SnapshotStore.readSync]]):
   *     the batch becomes visible to them ATOMICALLY at the single
@@ -118,12 +124,18 @@ object ContinuousDedup {
       names, fractions, estThreshold, jaccardThreshold, numHashes, shingleN,
       stopAfter = 4)
 
-  /** [[processBatch]] with a crash-injection point: stop after the
-    * first `stopAfter` commits (1 = splits only, 2 = +labels, 3 = +fps,
-    * 4 = +syncpoint = the full batch). The recovery spec drives this to
-    * prove a replayed batch converges from every crash prefix, and the
-    * isolation spec uses prefix 1-3 to show cycle readers never see the
-    * un-syncpointed partial batch.
+  /** [[processBatch]] with crash-injection points. `stopAfter` stops
+    * after the first N commits in splits→labels→fps order (1 = splits
+    * only, 2 = +labels, 3 = +fps, 4 = the full batch — which runs the
+    * three commits as one PARALLEL section, since only the full path
+    * has no prefix to respect); `skip` drops named view commits (and
+    * the syncpoint) entirely — simulating a parallel section where the
+    * OTHER commits won the race before the crash, the out-of-order
+    * partial state the sequential stopAfter prefixes can't express.
+    * The recovery specs drive both to prove a replayed batch converges
+    * from EVERY subset of landed commits, and the isolation spec uses
+    * prefixes to show cycle readers never see an un-syncpointed
+    * partial batch.
     */
   private[graft] def processBatchSteps(store: SnapshotStore, batch: DataFrame,
                                        corpusText: DataFrame,
@@ -133,7 +145,8 @@ object ContinuousDedup {
                                        estThreshold: Double,
                                        jaccardThreshold: Double,
                                        numHashes: Int, shingleN: Int,
-                                       stopAfter: Int): Unit = {
+                                       stopAfter: Int,
+                                       skip: Set[String] = Set.empty): Unit = {
     // the STORE-LEVEL fence: a batch whose syncpoint landed is fully
     // applied — zero work, zero reads, zero version movement. (A batch
     // whose view commits all landed but whose syncpoint did not falls
@@ -154,10 +167,17 @@ object ContinuousDedup {
       // would re-run the whole LSH banding pass
       val bfp = IncrementalDedup.fingerprints(docs, idCol, textCol,
         numHashes, shingleN).localCheckpoint()
-      val edges = IncrementalDedup.verifiedEdgesFromFps(store.read(FpsView),
+      // store-side inputs pinned to the LAST SYNCPOINT (the previous
+      // cycle): a replay sees the identical inputs whatever subset of
+      // THIS batch's commits already landed — the property that makes
+      // the three commits below order-independent. (A store without a
+      // syncpoint — not seeded through this loop — degrades to latest.)
+      def pinned(view: String): DataFrame =
+        if (store.syncpoints.isEmpty) store.read(view) else store.readSync(view)
+      val edges = IncrementalDedup.verifiedEdgesFromFps(pinned(FpsView),
         bfp, corpusText, idCol, textCol, numHashes, bands = 8,
         estThreshold, jaccardThreshold, shingleN).localCheckpoint()
-      val storedLabels = store.read(LabelsView)
+      val storedLabels = pinned(LabelsView)
       val edgeDelta = Components.incrementalComponentsDelta(
         storedLabels, edges, "a_id", "b_id")
       // batch docs with no near-dup edge become singleton clusters; the
@@ -170,14 +190,33 @@ object ContinuousDedup {
         .withColumn("comp", col("id"))
       // the delta feeds two commits — materialize once (O(delta) rows)
       val delta = edgeDelta.unionByName(singles).localCheckpoint()
-      store.mergeIntoOnce(SplitsView, withSplit(delta, names, fractions),
-        "id", txnId)
-      if (stopAfter <= 1) return
-      store.mergeIntoOnce(LabelsView, delta, "id", txnId)
-      if (stopAfter <= 2) return
-      store.appendOnce(FpsView, bfp, txnId)
+      if (stopAfter >= 4 && skip.isEmpty) {
+        // production path: three independent txn-fenced commits on
+        // three different views, one parallel section — the loop tail
+        // is the SLOWEST commit, not the sum (each is mostly driver IO
+        // + one small write job; the 3 jobs share the executor pool)
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(Future.sequence(Seq(
+            Future(store.mergeIntoOnce(SplitsView,
+              withSplit(delta, names, fractions), "id", txnId)),
+            Future(store.mergeIntoOnce(LabelsView, delta, "id", txnId)),
+            Future(store.appendOnce(FpsView, bfp, txnId)))),
+          scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+      } else {
+        if (!skip.contains(SplitsView))
+          store.mergeIntoOnce(SplitsView, withSplit(delta, names, fractions),
+            "id", txnId)
+        if (stopAfter <= 1) return
+        if (!skip.contains(LabelsView))
+          store.mergeIntoOnce(LabelsView, delta, "id", txnId)
+        if (stopAfter <= 2) return
+        if (!skip.contains(FpsView)) store.appendOnce(FpsView, bfp, txnId)
+      }
     }
-    if (stopAfter <= 3) return
+    if (stopAfter <= 3 || skip.nonEmpty) return
     // the batch's ATOMIC reader-visible commit point: one link(2)
     // publish pinning all three post-batch versions, fenced by the
     // same txn id

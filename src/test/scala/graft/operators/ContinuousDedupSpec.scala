@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   *  - CONVERGENCE: any batch slicing, in any order, lands the three
   *    stores on the one-shot truth (full clustering + cluster-keyed
   *    splits over the union corpus).
-  *  - CRASH RECOVERY: a batch killed after ANY prefix of its three
-  *    txn-fenced commits replays to the identical final state (the
-  *    splits→labels→fps commit order is exactly what makes every
-  *    prefix recoverable — deltas recompute from inputs no committed
-  *    prefix has mutated).
+  *  - CRASH RECOVERY: a batch killed with ANY subset of its three
+  *    txn-fenced commits applied — sequential prefixes AND the
+  *    out-of-order subsets a parallel commit section can leave —
+  *    replays to the identical final state: the syncpoint-pinned
+  *    reads recompute the same deltas from inputs no landed commit
+  *    has mutated, and each view's fence skips what landed.
   */
 class ContinuousDedupSpec extends SparkSpec {
 
@@ -106,6 +107,36 @@ class ContinuousDedupSpec extends SparkSpec {
       assert(st.appliedSyncTxns.contains(2L), s"syncpoint missing at stop=$stop")
       assert(st.readSync(ContinuousDedup.LabelsView).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap == labelsOf(clean))
+    }
+  }
+
+  test("crash leaving an OUT-OF-ORDER commit subset replays to the identical state") {
+    // the parallel section can land any subset before a crash — not
+    // just splits→labels→fps prefixes; each such state must replay to
+    // the clean-run truth because the deltas recompute from the
+    // syncpoint-pinned (pre-batch) inputs, never from "latest"
+    val hist = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+    val b1 = docs.where(col("doc_id") % 5 === 0)
+    val b2 = docs.where(col("doc_id") % 5 === 1)
+    val clean = freshStore("cdspec_ooo_clean")
+    runLoop(clean, hist, Seq(b1, b2))
+    val cases = Seq(
+      Set(ContinuousDedup.SplitsView),                            // labels+fps won
+      Set(ContinuousDedup.SplitsView, ContinuousDedup.LabelsView), // only fps won
+      Set(ContinuousDedup.LabelsView))                            // splits+fps won
+    cases.zipWithIndex.foreach { case (skip, i) =>
+      val st = freshStore(s"cdspec_ooo$i")
+      ContinuousDedup.seed(st, hist, "doc_id", "text")
+      ContinuousDedup.processBatch(st, b1, docs, "doc_id", "text", txnId = 1L)
+      ContinuousDedup.processBatchSteps(st, b2, docs, "doc_id", "text",
+        txnId = 2L, Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1),
+        0.3, 0.4, 32, 2, stopAfter = 4, skip = skip)
+      skip.foreach(v => assert(!st.appliedTxns(v).contains(2L)))
+      ContinuousDedup.processBatch(st, b2, docs, "doc_id", "text", txnId = 2L)
+      assert(labelsOf(st) == labelsOf(clean), s"labels diverge, skip=$skip")
+      assert(splitsOf(st) == splitsOf(clean), s"splits diverge, skip=$skip")
+      assert(fpsIdsOf(st) == fpsIdsOf(clean), s"fps diverge, skip=$skip")
+      assert(st.appliedSyncTxns.contains(2L))
     }
   }
 
