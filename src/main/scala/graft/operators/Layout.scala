@@ -70,4 +70,13 @@ object Layout {
       .sortWithinPartitions(col("_h"))
       .drop("_h")
       .write.mode("overwrite").parquet(path)
+
+  /** Hilbert index of a d-DIMENSIONAL point (2..6 coordinates, `bits`
+    * bits each, d·bits ≤ 63) — real CLUSTER BY takes 3-4 columns; the
+    * native expression [[graft.expressions.HilbertCodeN]] (Skilling's
+    * d-dimensional transpose walk). Same non-negative/fit-in-bits
+    * input contract; null in any coordinate ⇒ null code.
+    */
+  def hilbertCodeN(cols: Seq[Column], bits: Int): Column =
+    graft.expressions.HilbertCodeN(cols, bits)
 }

@@ -1108,6 +1108,47 @@ object CurationQueries {
     // one OPTIMIZE overwrite) — the lakehouse OPTIMIZE…CLUSTER BY
     // command. Same layout-invisible box oracle; the prune must again
     // skip dirs, require-pinned.
+    // OPTIMIZE ... CLUSTER BY over THREE columns — real lakehouse
+    // clustering keys, not 2 — via the d-dimensional Hilbert code
+    // (expressions/HilbertCodeN, Skilling's transpose walk;
+    // SnapshotStore.optimizeClusteredN): one atomic version whose
+    // range dirs are connected 3-D curve segments, so the box prune
+    // skips dirs on ALL THREE dimensions at once. The orderkey
+    // dimension is div-8-scaled into the 20-bit/dim budget (monotone,
+    // so per-dir orderkey envelopes stay tight); price clusters on
+    // whole dollars. Layout-invisible oracle: the same 3-D quartile
+    // box regardless of layout — plus the in-query require that the
+    // optimized layout actually SKIPPED dirs.
+    "q229_optimize_clustered_3d" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q229_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_custkey").as("cust"),
+        col("o_orderkey").as("k"), col("o_totalprice").as("p"),
+        expr("o_orderkey div 8").as("_kd"),
+        floor(col("o_totalprice")).as("_pd"))
+      st.commit("t", o, overwrite = true, statsCols = Seq("cust", "k", "p"))
+      val v = st.optimizeClusteredN("t", Seq("cust", "_kd", "_pd"),
+        bits = 20, targetDirs = 8, statsCols = Seq("cust", "k", "p"))
+      require(v == 2L, s"optimize should publish one version, got v$v")
+      val br = o.agg(min(col("cust")), max(col("cust")),
+        min(col("k")), max(col("k")), min(col("p")), max(col("p"))).head()
+      val (cmin, cmax, kmin, kmax) =
+        (br.getLong(0), br.getLong(1), br.getLong(2), br.getLong(3))
+      val (pmin, pmax) = (br.getDouble(4), br.getDouble(5))
+      val preds = Seq(
+        ("cust", (cmin + (cmax - cmin) / 4).toString,
+          (cmin + (cmax - cmin) * 2 / 5).toString),
+        ("k", (kmin + (kmax - kmin) / 4).toString,
+          (kmin + (kmax - kmin) * 2 / 5).toString),
+        ("p", (pmin + (pmax - pmin) / 4).toString,
+          (pmin + (pmax - pmin) * 2 / 5).toString))
+      val (kept, skipped) = st.pruneDirsBox("t", preds)
+      require(skipped.nonEmpty,
+        s"3-D box prune skipped nothing (kept ${kept.size} dirs)")
+      st.readPrunedBox("t", preds).select(col("cust"), col("k"), col("p"))
+    }),
+
     "q220_optimize_clustered" -> ((s, dir) => {
       val root = graft.sources.Scratch.processScoped("q220_snap", dir)
       graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
@@ -2350,6 +2391,25 @@ object CurationQueries {
     "q153_zorder_skipping" -> SqlFragments.ordersBoxOracle,
     "q220_optimize_clustered" -> SqlFragments.ordersBoxOracle,
     "q209_hilbert_skipping" -> SqlFragments.ordersBoxOracle,
+
+    // The 3-D layout-invisible box: same content whatever the layout;
+    // the layout only changes which dirs the read skips.
+    "q229_optimize_clustered_3d" ->
+      """WITH b AS (SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+                    MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax,
+                    MIN(o_totalprice) AS pmin, MAX(o_totalprice) AS pmax
+                    FROM orders),
+          r AS (SELECT cmin + (cmax - cmin) // 4 AS clo,
+                cmin + (cmax - cmin) * 2 // 5 AS chi,
+                kmin + (kmax - kmin) // 4 AS klo,
+                kmin + (kmax - kmin) * 2 // 5 AS khi,
+                pmin + (pmax - pmin) / 4 AS plo,
+                pmin + (pmax - pmin) * 2 / 5 AS phi FROM b)
+          SELECT o_custkey AS cust, o_orderkey AS k, o_totalprice AS p
+          FROM orders, r
+          WHERE o_custkey BETWEEN clo AND chi
+            AND o_orderkey BETWEEN klo AND khi
+            AND o_totalprice BETWEEN plo AND phi""",
 
     // Maintenance-invisible semantics: the incrementally-refreshed MV
     // == the one-shot recompute over all facts.

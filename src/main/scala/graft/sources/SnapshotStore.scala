@@ -703,14 +703,36 @@ class SnapshotStore(spark: SparkSession, root: String) {
     */
   def optimizeClustered(view: String, aCol: String, bCol: String,
                         bits: Int = 25, targetDirs: Int = 8,
-                        statsCols: Seq[String] = Nil): Long = {
+                        statsCols: Seq[String] = Nil): Long =
+    optimizeByCode(view,
+      graft.operators.Layout.hilbertCode(col(aCol), col(bCol), bits),
+      targetDirs, statsCols)
+
+  /** OPTIMIZE … CLUSTER BY (c1, …, cd): [[optimizeClustered]] on a
+    * d-DIMENSIONAL Hilbert key (2..6 cluster columns, `bits` bits
+    * each — [[graft.operators.Layout.hilbertCodeN]]) — what a real
+    * lakehouse CLUSTER BY takes. Each range dir is one connected curve
+    * segment, so its min/max envelope is tight on ALL d cluster
+    * columns and [[pruneDirsBox]] skips dirs for d-dimensional box
+    * queries. Same atomicity/OCC/null-routing contract as the 2-D
+    * form.
+    */
+  def optimizeClusteredN(view: String, clusterCols: Seq[String],
+                         bits: Int = 20, targetDirs: Int = 8,
+                         statsCols: Seq[String] = Nil): Long =
+    optimizeByCode(view,
+      graft.operators.Layout.hilbertCodeN(clusterCols.map(col), bits),
+      targetDirs, statsCols)
+
+  private def optimizeByCode(view: String, code: Column,
+                             targetDirs: Int,
+                             statsCols: Seq[String]): Long = {
     require(targetDirs >= 1, s"bad targetDirs=$targetDirs")
     val vs = versions(view)
     require(vs.nonEmpty, s"$view: nothing to optimize")
     val base = vs.max
     val cur = read(view, Some(base))
-    val coded = cur.withColumn("_h",
-      graft.operators.Layout.hilbertCode(col(aCol), col(bCol), bits))
+    val coded = cur.withColumn("_h", code)
     val mm = coded.agg(min(col("_h")), max(col("_h"))).head()
     if (mm.isNullAt(0)) // no codable rows: plain single-dir rewrite
       return commit(view, cur, overwrite = true, expectedBase = Some(base),

@@ -141,6 +141,29 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("t", Some(1L)).count() == (1 << 12))
   }
 
+  test("optimizeClusteredN: 3-D recluster is lossless, atomic, and box-prunes all dims") {
+    val (st, _) = freshStore()
+    val grid = (0 until (1 << 12)).map(i =>
+      ((i % 16).toLong, ((i / 16) % 16).toLong, (i / 256).toLong, i))
+      .toDF("x", "y", "z", "payload")
+    st.commit("t", grid.repartition(6), overwrite = true,
+      statsCols = Seq("x", "y", "z"))
+    val preds = Seq(("x", "2", "5"), ("y", "2", "5"), ("z", "2", "5"))
+    val (_, s0) = st.pruneDirsBox("t", preds)
+    assert(s0.isEmpty, s"random layout should not prune, skipped $s0")
+    val before = st.read("t").select("payload").as[Int].collect().sorted.toSeq
+    val v = st.optimizeClusteredN("t", Seq("x", "y", "z"), bits = 4,
+      targetDirs = 8, statsCols = Seq("x", "y", "z"))
+    assert(v == 2L) // ONE version for the whole recluster
+    assert(st.read("t").select("payload").as[Int].collect().sorted.toSeq == before)
+    val (k1, s1) = st.pruneDirsBox("t", preds)
+    assert(s1.nonEmpty, s"3-D clustered layout must skip dirs (kept ${k1.size})")
+    val boxed = st.readPrunedBox("t", preds)
+      .where(col("x").between(2, 5) && col("y").between(2, 5) &&
+        col("z").between(2, 5)).count()
+    assert(boxed == 4L * 4L * 4L)
+  }
+
   test("optimizeClustered: NULL cluster keys route to the last range dir, losslessly") {
     val (st, _) = freshStore()
     val rows: Seq[(Option[Long], Option[Long], Int)] =
