@@ -505,6 +505,31 @@ object PipelineQueries {
     // micro-batch probes it map-side, which is why this join class is
     // free at scale (the dim re-reads per batch; pin it with a
     // broadcast hint). Users map onto the customer dim by key range.
+    // q82's enrichment upgraded from equi to AS-OF semantics: per
+    // streamed error event, the latest purchase time at-or-before the
+    // event — the point-in-time feature lookup a streaming scorer
+    // needs — through the NATIVE AsOfJoinNode, planned per micro-batch
+    // by the same strategy as the batch path (stream-static as-of is
+    // exactly a per-batch backward lookup against the static side, so
+    // batch-vs-stream must be row-identical: the oracle is q201's).
+    "q230_stream_asof_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val purchases = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      val stream = graft.Tables.eventsStream(s, dir, Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("ts", LongType), StructField("event_type", StringType)))
+        .where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val joined = graft.operators.AsOfJoin.lookupLastNative(stream,
+        purchases, "user_id", "ts", "p_ts", "p_ts", "last_purchase_ts")
+      graft.streaming.StreamJoin.runAvailableNow(s,
+        joined.select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("last_purchase_ts").cast("timestamp_ntz").as("last_purchase_ts")))
+    }),
+
     "q82_stream_static_join" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -799,6 +824,14 @@ object PipelineQueries {
     "q82_stream_static_join" ->
       """SELECT event_id, user_id, c_mktsegment, value
          FROM events JOIN customer ON user_id = c_custkey""",
+
+    // the streamed as-of must be indistinguishable from q10/q201's truth
+    "q230_stream_asof_enrich" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+         (SELECT max(CAST(p.ts AS TIMESTAMP)) FROM events p
+          WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+            AND CAST(p.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)) AS last_purchase_ts
+         FROM events e WHERE e.event_type = 'error'""",
 
     "q84_stream_outer_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS t
