@@ -8,14 +8,18 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Pro
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.StructType
 
-/** SQL surface for the native as-of join — the `injectParser` tier of
+/** SQL surface for the native graft joins — the `injectParser` tier of
   * the Catalyst extension API (the column-API forms already plan to
-  * [[AsOfJoinNode]]; this makes the SAME node reachable from pure SQL,
-  * the way DuckDB/QuestDB spell it):
+  * [[AsOfJoinNode]]/[[IntervalJoinNode]]; this makes the SAME nodes
+  * reachable from pure SQL, the way DuckDB/QuestDB spell them):
   *
   * {{{
   *   SELECT <list> FROM <left> ASOF [LEFT] JOIN <right>
   *   ON <leftKey> = <rightKey> AND <leftTime> >= <rightTime>
+  *
+  *   SELECT <list> FROM <left> INTERVAL JOIN <right>
+  *   ON <leftKey> = <rightKey>
+  *   AND (<leftStart>, <leftEnd>) OVERLAPS (<rightStart>, <rightEnd>)
   * }}}
   *
   * `>=` is the backward as-of (latest right at-or-before each left
@@ -42,13 +46,15 @@ import org.apache.spark.sql.types.StructType
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan =
+  private def graftPlan(sqlText: String): Option[LogicalPlan] =
     GraftSqlParser.parseAsOf(sqlText, delegate)
-      .getOrElse(delegate.parsePlan(sqlText))
+      .orElse(GraftSqlParser.parseInterval(sqlText, delegate))
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    graftPlan(sqlText).getOrElse(delegate.parsePlan(sqlText))
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    GraftSqlParser.parseAsOf(sqlText, delegate)
-      .getOrElse(delegate.parseQuery(sqlText))
+    graftPlan(sqlText).getOrElse(delegate.parseQuery(sqlText))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -106,23 +112,48 @@ object GraftSqlParser {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  // SELECT <list> FROM <tbl> INTERVAL JOIN <tbl>
+  //   ON <col> = <col> AND (<start>, <end>) OVERLAPS (<start>, <end>)
+  // — the half-open interval-overlap join, same ON-shape convention.
+  private val IntervalRe =
+    ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)\s+INTERVAL\s+JOIN\s+""" +
+      """([\w.]+)\s+ON\s+([\w.]+)\s*=\s*([\w.]+)\s+AND\s+""" +
+      """\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\)\s+OVERLAPS\s+""" +
+      """\(\s*([\w.]+)\s*,\s*([\w.]+)\s*\)\s*;?\s*$""").r
+
+  private def selectItems(selList: String,
+                          delegate: ParserInterface): Seq[
+      org.apache.spark.sql.catalyst.expressions.NamedExpression] =
+    splitTopLevel(selList).map {
+      case "*" => UnresolvedStar(None)
+      case item => delegate.parseExpression(item) match {
+        case ne: org.apache.spark.sql.catalyst.expressions.NamedExpression => ne
+        case e => UnresolvedAlias(e)
+      }
+    }
+
   private[plans] def parseAsOf(sqlText: String,
                                delegate: ParserInterface): Option[LogicalPlan] =
     AsOfRe.findFirstMatchIn(sqlText).map { m =>
       val Seq(selList, lTbl, rTbl, lk, rk, lt, op, rt) =
         (1 to 8).map(m.group)
-      val items: Seq[Expression] = splitTopLevel(selList).map {
-        case "*" => UnresolvedStar(None)
-        case item => UnresolvedAlias(delegate.parseExpression(item))
-      }
       val node = UnresolvedAsOfJoin(
         UnresolvedRelation(delegate.parseMultipartIdentifier(lTbl)),
         UnresolvedRelation(delegate.parseMultipartIdentifier(rTbl)),
         lk, rk, lt, rt, forward = op == "<=")
-      Project(items.map {
-        case ne: org.apache.spark.sql.catalyst.expressions.NamedExpression => ne
-        case e => UnresolvedAlias(e)
-      }, node)
+      Project(selectItems(selList, delegate), node)
+    }
+
+  private[plans] def parseInterval(sqlText: String,
+                                   delegate: ParserInterface): Option[LogicalPlan] =
+    IntervalRe.findFirstMatchIn(sqlText).map { m =>
+      val Seq(selList, lTbl, rTbl, lk, rk, ls, le, rs, re) =
+        (1 to 9).map(m.group)
+      val node = UnresolvedIntervalJoin(
+        UnresolvedRelation(delegate.parseMultipartIdentifier(lTbl)),
+        UnresolvedRelation(delegate.parseMultipartIdentifier(rTbl)),
+        lk, rk, ls, le, rs, re)
+      Project(selectItems(selList, delegate), node)
     }
 }
 
@@ -143,32 +174,60 @@ case class UnresolvedAsOfJoin(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
-/** Resolution rule for [[UnresolvedAsOfJoin]]: bind the four column
+/** The parse-time interval-join node — [[UnresolvedAsOfJoin]]'s
+  * sibling for the `INTERVAL JOIN … OVERLAPS` statement shape.
+  */
+case class UnresolvedIntervalJoin(left: LogicalPlan, right: LogicalPlan,
+                                  leftKey: String, rightKey: String,
+                                  leftStart: String, leftEnd: String,
+                                  rightStart: String, rightEnd: String)
+    extends BinaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): UnresolvedIntervalJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Resolution rule for the SQL-born graft join nodes: bind column
   * names against the resolved children (session resolver, so case
-  * sensitivity follows the engine config), carry ALL right columns as
-  * produced attributes (fresh exprIds — they are BORN at the join, the
-  * same contract the column-API builder sets), and emit the typed
-  * [[AsOfJoinNode]].
+  * sensitivity follows the engine config) and emit the typed native
+  * nodes. As-of carries ALL right columns as produced attributes
+  * (fresh exprIds — they are BORN at the join, the same contract the
+  * column-API builder sets); interval bounds cast to the node's
+  * LongType contract (any integral input works from SQL).
   */
 object ResolveGraftAsOfJoin extends Rule[LogicalPlan] {
+
+  private def attr(tag: String, p: LogicalPlan, n: String): Attribute =
+    p.output.filter(a => conf.resolver(a.name, n)) match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"$tag: column `$n` not found among " +
+          p.output.map(_.name).mkString("(", ", ", ")"))
+      case many => throw new IllegalArgumentException(
+        s"$tag: column `$n` is ambiguous: " + many.mkString("[", ", ", "]"))
+    }
+
+  private def asLong(a: Attribute): org.apache.spark.sql.catalyst.expressions.Expression =
+    if (a.dataType == org.apache.spark.sql.types.LongType) a
+    else org.apache.spark.sql.catalyst.expressions.Cast(a,
+      org.apache.spark.sql.types.LongType)
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
-      case u @ UnresolvedAsOfJoin(l, r, lk, rk, lt, rt, fwd)
+      case UnresolvedAsOfJoin(l, r, lk, rk, lt, rt, fwd)
           if l.resolved && r.resolved =>
-        def attr(p: LogicalPlan, n: String): Attribute =
-          p.output.filter(a => conf.resolver(a.name, n)) match {
-            case Seq(one) => one
-            case Seq() => throw new IllegalArgumentException(
-              s"ASOF JOIN: column `$n` not found among " +
-                p.output.map(_.name).mkString("(", ", ", ")"))
-            case many => throw new IllegalArgumentException(
-              s"ASOF JOIN: column `$n` is ambiguous: " +
-                many.mkString("[", ", ", "]"))
-          }
         val outAttrs = r.output.map(a =>
           AttributeReference(a.name, a.dataType, nullable = true)())
-        AsOfJoinNode(l, r, attr(l, lk), attr(r, rk),
-          attr(l, lt), attr(r, rt),
+        AsOfJoinNode(l, r, attr("ASOF JOIN", l, lk), attr("ASOF JOIN", r, rk),
+          attr("ASOF JOIN", l, lt), attr("ASOF JOIN", r, rt),
           rightValues = r.output, outAttrs = outAttrs, forward = fwd)
+      case UnresolvedIntervalJoin(l, r, lk, rk, ls, le, rs, re)
+          if l.resolved && r.resolved =>
+        val t = "INTERVAL JOIN"
+        IntervalJoinNode(l, r, attr(t, l, lk), attr(t, r, rk),
+          asLong(attr(t, l, ls)), asLong(attr(t, l, le)),
+          asLong(attr(t, r, rs)), asLong(attr(t, r, re)))
     }
 }

@@ -198,6 +198,37 @@ object RelationalQueries {
         "ak", "a_id", "as0", "ae", "bk", "b_id", "bs0", "be")
     }),
 
+    // q207 in PURE SQL — the injectParser tier's second statement
+    // shape: `INTERVAL JOIN ... ON k = k AND (s, e) OVERLAPS (s, e)`
+    // parses (GraftSqlParser), resolves (ResolveGraftAsOfJoin), and
+    // plans to the SAME plane-sweep exec as the column API. Same
+    // direct-inequality oracle as q124/q207: the SQL spelling must be
+    // semantically invisible too.
+    "q231_interval_sql" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .where(col("o_orderkey") % 47 === 0)
+        .select(pmod(col("o_custkey"), lit(50)).as("ak"),
+          col("o_orderkey").as("a_id"),
+          datediff(to_date(col("o_orderdate")), lit("1990-01-01"))
+            .cast("long").as("as0"))
+        .withColumn("ae", col("as0") + 14)
+        .createOrReplaceTempView("g_iv_a")
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 61 === 0)
+        .select(pmod(col("l_suppkey").cast("long"), lit(50)).as("bk"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("b_id"),
+          datediff(to_date(col("l_shipdate")), lit("1990-01-01"))
+            .cast("long").as("bs0"))
+        .withColumn("be", col("bs0") + 7)
+        .createOrReplaceTempView("g_iv_b")
+      s.sql("""SELECT ak AS key, a_id, b_id,
+                      greatest(as0, bs0) AS ov_start,
+                      least(ae, be) AS ov_end,
+                      least(ae, be) - greatest(as0, bs0) AS ov_len
+               FROM g_iv_a INTERVAL JOIN g_iv_b
+               ON ak = bk AND (as0, ae) OVERLAPS (bs0, be)""")
+    }),
+
     // SCD-2 point-in-time dimension lookup — the warehouse-classic
     // "fact timestamp within dimension validity window" join, through
     // the SAME native interval operator: the fact side degenerates to
@@ -1038,6 +1069,23 @@ object RelationalQueries {
 
     // Direct inequality join — the semantics the binned plan must match.
     "q124_interval_overlap" ->
+      """WITH a AS (SELECT o_custkey % 50 AS key, o_orderkey AS a_id,
+                    datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS a_s
+                    FROM orders WHERE o_orderkey % 47 = 0),
+         b AS (SELECT l_suppkey % 50 AS bkey,
+               l_orderkey * 10 + l_linenumber AS b_id,
+               datediff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS b_s
+               FROM lineitem WHERE l_orderkey % 61 = 0)
+         SELECT CAST(a.key AS BIGINT) AS key, a_id, b_id,
+           CAST(GREATEST(a_s, b_s) AS BIGINT) AS ov_start,
+           CAST(LEAST(a_s + 14, b_s + 7) AS BIGINT) AS ov_end,
+           CAST(LEAST(a_s + 14, b_s + 7) - GREATEST(a_s, b_s) AS BIGINT) AS ov_len
+         FROM a JOIN b ON a.key = b.bkey
+           AND GREATEST(a_s, b_s) < LEAST(a_s + 14, b_s + 7)""",
+
+    // Same inequality oracle again — the SQL spelling of the native
+    // sweep must be just as invisible as the column-API one.
+    "q231_interval_sql" ->
       """WITH a AS (SELECT o_custkey % 50 AS key, o_orderkey AS a_id,
                     datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS a_s
                     FROM orders WHERE o_orderkey % 47 = 0),

@@ -82,6 +82,32 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(expr.where(col("utag") === "D").head().getDouble(1) == -1.0)
   }
 
+  test("INTERVAL JOIN ... OVERLAPS plans to IntervalJoinExec, rows equal the column API") {
+    Seq((1L, 10L, 0L, 5L), (1L, 11L, 4L, 8L), (2L, 12L, 0L, 3L))
+      .toDF("k", "lid", "s", "e").createOrReplaceTempView("iv_l")
+    Seq((1L, 20L, 3L, 6L), (1L, 21L, 5L, 9L), (2L, 22L, 5L, 7L))
+      .toDF("k2", "rid", "s2", "e2").createOrReplaceTempView("iv_r")
+    val df = spark.sql(
+      """SELECT lid, rid FROM iv_l INTERVAL JOIN iv_r
+         ON k = k2 AND (s, e) OVERLAPS (s2, e2)""")
+    assert(df.queryExecution.sparkPlan.exists(_.isInstanceOf[IntervalJoinExec]),
+      df.queryExecution.sparkPlan.toString)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // half-open overlap: max(s,s2) < min(e,e2)
+    assert(got == Set((10L, 20L), (11L, 20L), (11L, 21L)))
+  }
+
+  test("INTERVAL JOIN casts integral (non-long) bounds into the node's contract") {
+    Seq((1, 10, 0, 5)).toDF("k", "lid", "s", "e")
+      .createOrReplaceTempView("iv_il")
+    Seq((1, 20, 3, 6)).toDF("k2", "rid", "s2", "e2")
+      .createOrReplaceTempView("iv_ir")
+    val got = spark.sql(
+      """SELECT lid, rid FROM iv_il INTERVAL JOIN iv_ir
+         ON k = k2 AND (s, e) OVERLAPS (s2, e2)""").collect()
+    assert(got.map(r => (r.getInt(0), r.getInt(1))).toSet == Set((10, 20)))
+  }
+
   test("every other statement delegates to the stock parser") {
     views()
     assert(spark.sql("SELECT COUNT(*) FROM sql_l").head().getLong(0) == 4L)
