@@ -94,6 +94,30 @@ object TextQueries {
             .as("redacted"))
     }),
 
+    // Sequence packing (operators/Packer): the concat-and-chunk
+    // layout index — per document its global token offset, first/last
+    // training window, and offset inside the first, under 512-token
+    // windows and 8 writer shards. Pure per-shard running sum + integer
+    // arithmetic, so the oracle replays it exactly.
+    "q232_sequence_packing" -> ((s, dir) =>
+      graft.operators.Packer.chunkIndex(t(s, dir, "documents"),
+        "doc_id", "text", budget = 512, shards = 8)),
+
+    // Benchmark decontamination (operators/Decontam): training docs
+    // sharing any word 3-gram with the held-out eval slice
+    // (doc_id % 97 = 0), counted per occurrence and per distinct gram
+    // — the GPT-3-style exact-overlap leakage gate (13-grams there;
+    // 3 here because the synthetic corpus has no long templated runs
+    // — the n dial is spec-pinned). Eval grams broadcast; the train
+    // side is one tokenize+slide pass.
+    "q233_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontam.ngramHits(
+        docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", n = 3)
+    }),
+
     // U1: CleanNews as native expressions (reference
     // batchPipeline.py:41-52) + F1 dropna (len<10 => null => dropped).
     "q11_clean_text" -> ((s, dir) => {
@@ -588,6 +612,39 @@ object TextQueries {
             FROM docs, pats)
           SELECT doc_id, pat, CAST(cnt AS BIGINT) AS cnt
           FROM hits WHERE cnt > 0""",
+    // The same shard/cumsum/chunk arithmetic, all integer.
+    "q232_sequence_packing" ->
+      s"""WITH t AS (SELECT doc_id,
+              CAST(len(${SqlFragments.toksExpr}) AS BIGINT) AS n_toks,
+              doc_id % 8 AS shard
+            FROM documents WHERE text IS NOT NULL),
+          nz AS (SELECT * FROM t WHERE n_toks > 0),
+          c AS (SELECT doc_id, shard, n_toks,
+                CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id)
+                     AS BIGINT) AS e
+                FROM nz)
+          SELECT doc_id, shard, n_toks, e - n_toks AS start_off,
+                 (e - n_toks) // 512 AS first_chunk,
+                 (e - 1) // 512 AS last_chunk,
+                 (e - n_toks) % 512 AS chunk_off
+          FROM c""",
+
+    // The definitional overlap: every train gram position whose 3-gram
+    // appears anywhere in the eval slice.
+    "q233_decontamination" ->
+      s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks
+                     FROM documents WHERE text IS NOT NULL),
+          g AS (SELECT doc_id,
+                array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+                FROM (SELECT doc_id, toks,
+                      unnest(range(1, len(toks) - 3 + 2)) AS i
+                      FROM t WHERE len(toks) >= 3)),
+          ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+          tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+          SELECT doc_id, COUNT(*) AS n_hits,
+                 CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_grams
+          FROM tr JOIN ev USING (gram) GROUP BY doc_id""",
+
     "q11_clean_text" ->
       s"""SELECT doc_id, ${SqlFragments.cleanExpr} AS clean
           FROM documents WHERE text IS NOT NULL AND LENGTH(text) >= 10""",

@@ -20,7 +20,15 @@ class PushFiltersSpec extends SparkSpec {
     .map(i => (i % 12, 1000L + i, i * 4, i * 4 + 9)).toDF("k", "rid", "s", "e")
 
   test("interval join: both sides' single-side conjuncts push below the node") {
-    val joined = RangeJoin.overlapJoinNative(lDf, rDf,
+    // parquet-backed inputs: over a LocalRelation the pushed filters
+    // immediately FOLD into the relation (ConvertToLocalRelation runs
+    // after the injected push rule) and the structural probe below
+    // would see nothing — which is the push working, not failing
+    val dir = java.nio.file.Files.createTempDirectory("pushiv").toString
+    lDf.write.mode("overwrite").parquet(s"$dir/l")
+    rDf.write.mode("overwrite").parquet(s"$dir/r")
+    val joined = RangeJoin.overlapJoinNative(
+        spark.read.parquet(s"$dir/l"), spark.read.parquet(s"$dir/r"),
         "k", "lid", "s", "e", "k", "rid", "s", "e")
       .where(col("a_id") < 100 && col("b_id") >= 1050 && col("ov_len") > 1)
     val opt = joined.queryExecution.optimizedPlan
@@ -47,10 +55,15 @@ class PushFiltersSpec extends SparkSpec {
   }
 
   test("as-of join: left conjunct pushes, right-value conjunct must NOT") {
-    val trades = Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 15L, 300L))
-      .toDF("k", "t", "qty")
-    val quotes = Seq((1L, 5L, 9.0), (1L, 18L, 11.0), (2L, 1L, 5.0))
-      .toDF("k", "t", "px")
+    // parquet-backed for the same reason as above: a pushed conjunct
+    // over a LocalRelation folds away and leaves nothing to probe
+    val dir = java.nio.file.Files.createTempDirectory("pushasof").toString
+    Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 15L, 300L))
+      .toDF("k", "t", "qty").write.mode("overwrite").parquet(s"$dir/t")
+    Seq((1L, 5L, 9.0), (1L, 18L, 11.0), (2L, 1L, 5.0))
+      .toDF("k", "t", "px").write.mode("overwrite").parquet(s"$dir/q")
+    val trades = spark.read.parquet(s"$dir/t")
+    val quotes = spark.read.parquet(s"$dir/q")
     val joined = AsOfJoin.lookupLastNative(trades, quotes, "k", "t", "t",
         "px", "px")
       .where(col("qty") > 150 && col("px") > 10.0)
