@@ -341,10 +341,18 @@ object Stats {
     */
   private def qAsRational(q: Double): (Long, Long) = {
     val bd = java.math.BigDecimal.valueOf(q).stripTrailingZeros
-    if (bd.scale <= 0) (bd.toBigIntegerExact.longValueExact, 1L)
-    else (bd.unscaledValue.longValueExact,
-      java.math.BigDecimal.ONE.movePointRight(bd.scale)
-        .toBigIntegerExact.longValueExact)
+    val (num, den) =
+      if (bd.scale <= 0) (bd.toBigIntegerExact.longValueExact, 1L)
+      else (bd.unscaledValue.longValueExact,
+        java.math.BigDecimal.ONE.movePointRight(bd.scale)
+          .toBigIntegerExact.longValueExact)
+    // n·num must stay inside Long for any real row count: cap the
+    // denominator so a quantile like a raw double third (17 decimal
+    // digits) fails loudly instead of silently overflowing the rank
+    require(den <= 1000000L,
+      s"quantile $q needs > 6 decimal digits — spell it as a <= 6-decimal " +
+        "value (the rank arithmetic is exact integer, n*num must fit Long)")
+    (num, den)
   }
 
   /** The exact rank `ceil(q·n)` of quantile `q` over `n` rows, as

@@ -70,6 +70,16 @@ class GraftSqlParserSpec extends SparkSpec {
       ("c", Some(7.5)), ("d", None)))
   }
 
+  test("ASOF LEFT JOIN spells the same (left-semantics) operator") {
+    views()
+    val df = spark.sql(
+      """SELECT tag, v AS got FROM sql_l ASOF LEFT JOIN sql_r
+         ON k = rk AND t >= rt""")
+    assert(df.queryExecution.sparkPlan.exists(_.isInstanceOf[AsOfJoinExec]))
+    // unmatched left rows survive with NULL — the operator's contract
+    assert(df.where(col("tag") === "d").head().isNullAt(1))
+  }
+
   test("star select and expression list both work; right columns all carried") {
     views()
     val all = spark.sql(
