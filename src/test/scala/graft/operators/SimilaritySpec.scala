@@ -6,6 +6,61 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("signProject: exact integer projection, driver-replayed; zero shuffles") {
+    val vecs = Seq(
+      (0L, Seq(0.5f, -1.25f, 2.0f)),
+      (1L, Seq(0.0f, 0.001f, -0.0015f))).toDF("vec_id", "embedding")
+    val outDim = 4
+    val got = Similarity.signProject(vecs, "vec_id", "embedding", outDim)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // driver replay of the exact contract (the full 4-step mixer)
+    def sign(i: Long, j: Long): Long = {
+      val h1 = ((i * outDim + j + 1) * 1103515245L + 12345L) % 2147483648L
+      val h2 = h1 ^ (h1 >> 13)
+      val h3 = (h2 * 69069L + 1L) % 2147483648L
+      val h4 = h3 ^ (h3 >> 7)
+      1L - 2L * ((h4 >> 12) & 1L)
+    }
+    val ref = for {
+      (id, vs) <- Seq(0L -> Seq(0.5f, -1.25f, 2.0f),
+        1L -> Seq(0.0f, 0.001f, -0.0015f))
+      j <- 0 until outDim
+    } yield (id, j) -> vs.zipWithIndex.map { case (v, i) =>
+      math.floor(v.toDouble * 1000).toLong * sign(i, j)
+    }.sum
+    assert(got == ref.toMap)
+    // the corpus never shuffles: no Exchange anywhere in the plan
+    val plan = Similarity.signProject(vecs, "vec_id", "embedding", outDim)
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, plan.toString)
+  }
+
+  test("signProject: norms concentrate around outDim * ||q||^2 (JL property)") {
+    // E[(sum_i q_i s_ij)^2] = ||q||^2 per output coordinate, so
+    // ||proj||^2 / (outDim * ||q||^2) concentrates around 1 with
+    // ~1/sqrt(outDim) spread. (A distance-ORDER test is meaningless on
+    // this corpus: isotropic synthetic vectors concentrate all pairwise
+    // distances, so their order carries no signal to preserve.)
+    val emb = graft.Tables.load(spark, sf(), "embeddings")
+    val outDim = 16
+    val proj = Similarity.signProject(emb, "vec_id", "embedding", outDim)
+      .groupBy("vec_id")
+      .agg(sum(col("v") * col("v")).as("p2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    val q2 = emb.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1)
+        .map(v => math.floor(v.toDouble * 1000)).map(x => x * x).sum
+    }.toMap
+    val ratios = q2.collect { case (id, n2) if n2 > 0 =>
+      proj(id) / (outDim * n2) }.toSeq
+    assert(ratios.nonEmpty)
+    val within = ratios.count(r => r > 0.35 && r < 2.5).toDouble / ratios.size
+    assert(within > 0.9, s"JL concentration violated: $within within band, " +
+      s"median ${ratios.sorted.apply(ratios.size / 2)}")
+  }
+
   test("bruteForceTopK returns the true cosine top-k") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f)),
