@@ -49,6 +49,77 @@ object IncrementalAgg {
     store.mergeInto(view, upserts, keyCol, statsCols = Seq(keyCol))
   }
 
+  /** [[refresh]] with RETRACTIONS — the "counting algorithm" of the
+    * incremental-view-maintenance literature: the delta carries an
+    * `opCol` of +1 (insert) / −1 (delete of a previously-inserted
+    * fact), partials become `sum(op)` / `sum(op·c)` (one hash agg,
+    * O(delta)), existing rows merge by addition exactly as in
+    * [[refresh]], and a key whose maintained count reaches ZERO is
+    * REMOVED from the view (the mergeInto tombstone path) — the MV
+    * stays equal to the one-shot aggregate over the surviving facts,
+    * never accumulating dead keys. Deletes for facts never inserted
+    * are out of contract (counts would go negative — the standard IVM
+    * multiset assumption).
+    */
+  def refreshWithRetractions(store: SnapshotStore, view: String,
+                             delta: DataFrame, keyCol: String,
+                             sumCols: Seq[String],
+                             opCol: String = "op"): Long = {
+    val aggs = sum(col(opCol)).cast("long").as("n") +:
+      sumCols.map(c => sum(col(opCol) * col(c)).as(s"sum_$c"))
+    val partial = delta.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val mergeAggs = sum(col("n")).as("n") +:
+      sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))
+    val merged =
+      if (store.versions(view).isEmpty) partial
+      else store.read(view)
+        .join(partial.select(col(keyCol)), Seq(keyCol), "left_semi")
+        .unionByName(partial)
+        .groupBy(col(keyCol)).agg(mergeAggs.head, mergeAggs.tail: _*)
+    if (store.versions(view).isEmpty)
+      store.commit(view, merged.where(col("n") =!= 0),
+        overwrite = true, statsCols = Seq(keyCol))
+    else
+      store.mergeInto(view, merged.withColumn("_del", col("n") === 0),
+        keyCol, deleteCol = Some("_del"), statsCols = Seq(keyCol))
+  }
+
+  /** Incremental maintenance of a JOIN view (MV = facts ⋈ dim on
+    * `joinKey`, dim keys unique) under FACT APPENDS: the classic
+    * ΔMV = Δfacts ⋈ dim — only the delta joins (the dim side
+    * broadcasts when small, which is the dimension-table norm), and
+    * the new rows land through the fact-id-keyed file-pruned merge.
+    * The fact table is never re-read.
+    */
+  def refreshJoinFacts(store: SnapshotStore, view: String,
+                       deltaFacts: DataFrame, dim: DataFrame,
+                       factIdCol: String, joinKey: String): Long = {
+    val rows = deltaFacts.join(dim, Seq(joinKey))
+    if (store.versions(view).isEmpty)
+      store.commit(view, rows, overwrite = true, statsCols = Seq(factIdCol))
+    else store.mergeInto(view, rows, factIdCol, statsCols = Seq(factIdCol))
+  }
+
+  /** The other IVM direction for the same join view: DIM UPDATES.
+    * ΔMV = (MV rows whose `joinKey` is in Δdim) re-joined to the new
+    * dim rows — an O(affected) semi-probe + rejoin, never a fact-table
+    * scan; the rewritten rows land through the same fact-id merge
+    * (copy-on-write touches only dirs holding affected fact ids).
+    * Δdim rows REPLACE the dim attributes for their key (SCD-1
+    * semantics); dim-key deletes are out of scope here (they would
+    * cascade row deletions — model those as fact retractions).
+    */
+  def refreshJoinDim(store: SnapshotStore, view: String,
+                     deltaDim: DataFrame, factIdCol: String,
+                     joinKey: String): Long = {
+    require(store.versions(view).nonEmpty, s"$view: join MV not seeded")
+    val dimCols = deltaDim.columns.filterNot(_ == joinKey).toSeq
+    val touched = store.read(view)
+      .join(deltaDim.select(col(joinKey)), Seq(joinKey), "left_semi")
+    val rejoined = touched.drop(dimCols: _*).join(deltaDim, Seq(joinKey))
+    store.mergeInto(view, rejoined, factIdCol, statsCols = Seq(factIdCol))
+  }
+
   /** [[refresh]] for a NON-additive aggregate: per-key COUNT(DISTINCT)
     * maintained as a mergeable HLL sketch column. A distinct count
     * cannot be refreshed from `old + delta` scalars — re-counting

@@ -1200,6 +1200,54 @@ object CurationQueries {
       st.read("mv").select(col("d"), col("n"), col("sum_cents"))
     }),
 
+    // Incremental JOIN-view maintenance — both IVM directions on one
+    // enriched MV (orders ⋈ customer): fact APPENDS refresh as
+    // ΔMV = Δfacts ⋈ dim (only the delta joins, dim broadcasts), and
+    // a DIM UPDATE (SCD-1: every 10th customer re-segmented) refreshes
+    // as an O(affected) semi-probe + rejoin through the fact-id-keyed
+    // file-pruned merge — the fact table is never re-read in either
+    // direction. Maintenance-invisible oracle: the one-shot join of
+    // ALL facts against the UPDATED dimension.
+    "q236_join_mv" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q236_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "mv"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("ck"), floor(col("o_totalprice") * 100).as("cents"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+      graft.operators.IncrementalAgg.refreshJoinFacts(st, "mv",
+        o.where(col("k") % 3 =!= 0), dim, "k", "ck")
+      graft.operators.IncrementalAgg.refreshJoinFacts(st, "mv",
+        o.where(col("k") % 3 === 0), dim, "k", "ck")
+      graft.operators.IncrementalAgg.refreshJoinDim(st, "mv",
+        dim.where(col("ck") % 10 === 0).withColumn("seg", lit("MOVED")),
+        "k", "ck")
+      st.read("mv").select(col("k"), col("ck"), col("cents"), col("seg"))
+    }),
+
+    // Retraction-capable aggregate MV — the IVM "counting algorithm":
+    // the delta carries op = +1/-1, partials are sum(op)/sum(op·c),
+    // merges stay additive, and keys whose count reaches zero DELETE
+    // from the view (the mergeInto tombstone path). Batch 2 both
+    // retracts a slice of batch 1 and inserts new facts; the MV must
+    // equal the one-shot aggregate over the surviving multiset.
+    "q237_mv_retractions" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q237_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "mv"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_custkey").as("ck"),
+        col("o_orderkey").as("k"), floor(col("o_totalprice") * 100).as("cents"))
+      val a = o.where(col("k") % 3 =!= 0)
+      graft.operators.IncrementalAgg.refreshWithRetractions(st, "mv",
+        a.withColumn("op", lit(1)), "ck", Seq("cents"))
+      graft.operators.IncrementalAgg.refreshWithRetractions(st, "mv",
+        a.where(col("k") % 7 === 0).withColumn("op", lit(-1))
+          .unionByName(o.where(col("k") % 3 === 0).withColumn("op", lit(1))),
+        "ck", Seq("cents"))
+      st.read("mv").select(col("ck"), col("n"), col("sum_cents"))
+    }),
+
     // q154's NON-additive sibling: per-day COUNT(DISTINCT customer)
     // maintained incrementally as a mergeable HLL sketch column in the
     // MV — a distinct count can't refresh from old+delta scalars, but
@@ -2410,6 +2458,25 @@ object CurationQueries {
           WHERE o_custkey BETWEEN clo AND chi
             AND o_orderkey BETWEEN klo AND khi
             AND o_totalprice BETWEEN plo AND phi""",
+
+    // One-shot join of ALL facts against the UPDATED dimension.
+    "q236_join_mv" ->
+      """SELECT o_orderkey AS k, o_custkey AS ck,
+            CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+            CASE WHEN c_custkey % 10 = 0 THEN 'MOVED'
+                 ELSE c_mktsegment END AS seg
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+
+    // One-shot aggregate over the surviving multiset:
+    // inserted = (k%3<>0) then (k%3=0); retracted = (k%3<>0 AND k%7=0)
+    // => survivors are k%3=0 OR k%7<>0.
+    "q237_mv_retractions" ->
+      """SELECT o_custkey AS ck, COUNT(*) AS n,
+            CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS sum_cents
+         FROM orders
+         WHERE o_orderkey % 3 = 0 OR o_orderkey % 7 <> 0
+         GROUP BY o_custkey""",
 
     // Maintenance-invisible semantics: the incrementally-refreshed MV
     // == the one-shot recompute over all facts.

@@ -23,6 +23,42 @@ class IncrementalAggSpec extends SparkSpec {
     assert(st.versions("mv") == Seq(1L, 2L))
   }
 
+  test("retractions: counts subtract, zeroed keys DELETE from the view") {
+    val root = Scratch.processScoped("incagg_spec", sf()) + "/mv4"
+    Scratch.deleteRecursively(new java.io.File(root))
+    val st = new SnapshotStore(spark, root)
+    val b1 = Seq(("a", 10L, 1), ("a", 20L, 1), ("b", 5L, 1)).toDF("d", "v", "op")
+    IncrementalAgg.refreshWithRetractions(st, "mv", b1, "d", Seq("v"))
+    // retract one 'a' fact, ALL of 'b', insert a new key 'c'
+    val b2 = Seq(("a", 20L, -1), ("b", 5L, -1), ("c", 7L, 1)).toDF("d", "v", "op")
+    IncrementalAgg.refreshWithRetractions(st, "mv", b2, "d", Seq("v"))
+    val got = st.read("mv").select("d", "n", "sum_v")
+      .as[(String, Long, Long)].collect()
+      .map { case (d, n, s) => d -> (n, s) }.toMap
+    // 'b' reached zero and is GONE, not a dead zero row
+    assert(got == Map("a" -> (1L, 10L), "c" -> (1L, 7L)))
+  }
+
+  test("join MV: fact appends and dim updates both equal the one-shot join") {
+    val root = Scratch.processScoped("incagg_spec", sf()) + "/mv5"
+    Scratch.deleteRecursively(new java.io.File(root))
+    val st = new SnapshotStore(spark, root)
+    val dim = Seq((1L, "X"), (2L, "Y")).toDF("ck", "seg")
+    val f1 = Seq((10L, 1L, 100L), (11L, 2L, 200L)).toDF("k", "ck", "v")
+    val f2 = Seq((12L, 1L, 300L)).toDF("k", "ck", "v")
+    IncrementalAgg.refreshJoinFacts(st, "mv", f1, dim, "k", "ck")
+    IncrementalAgg.refreshJoinFacts(st, "mv", f2, dim, "k", "ck")
+    // SCD-1 update: customer 1 re-segmented; only its rows rewrite
+    IncrementalAgg.refreshJoinDim(st, "mv",
+      Seq((1L, "Z")).toDF("ck", "seg"), "k", "ck")
+    val got = st.read("mv").select("k", "seg")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(10L -> "Z", 11L -> "Y", 12L -> "Z"))
+    // a dim update whose keys miss a dir's fact-id range carries that
+    // dir by name (no rewrite): check version count only grew by one
+    assert(st.versions("mv").size == 3)
+  }
+
   test("a delta disjoint from stored keys carries every old dir by name") {
     val root = Scratch.processScoped("incagg_spec", sf()) + "/mv2"
     Scratch.deleteRecursively(new java.io.File(root))
