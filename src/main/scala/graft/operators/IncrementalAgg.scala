@@ -49,6 +49,41 @@ object IncrementalAgg {
     store.mergeInto(view, upserts, keyCol, statsCols = Seq(keyCol))
   }
 
+  /** [[refresh]] for the full CUBE of `keys` — every rollup
+    * granularity (2^|keys| grouping sets, the OLAP pre-aggregation
+    * layer) maintained in ONE view through one refresh: the delta's
+    * `cube()` partials are additive per grouping set exactly like the
+    * flat aggregate's, so the whole lattice refreshes with one
+    * O(2^k·delta) hash agg + one file-pruned merge — the fact table is
+    * never re-read for ANY granularity. Rollup rows carry NULL in the
+    * rolled-up key columns (standard cube output); the merge key is an
+    * internal sentinel-coalesced concat (`_mvk`), so corpus keys must
+    * not contain the 0x01 separator or equal the sentinel — the usual
+    * reserved-value caveat of composite string keys.
+    */
+  def refreshCube(store: SnapshotStore, view: String, delta: DataFrame,
+                  keys: Seq[String], sumCols: Seq[String]): Long = {
+    require(keys.nonEmpty && keys.size <= 4, s"cube over 1..4 keys: $keys")
+    val aggs = count(lit(1)).as("n") +:
+      sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+    val mvk = concat_ws("\u0001",
+      keys.map(k => coalesce(col(k).cast("string"), lit("\u0002"))): _*)
+    val partial = delta.cube(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("_mvk", mvk)
+    if (store.versions(view).isEmpty)
+      return store.commit(view, partial, overwrite = true,
+        statsCols = Seq("_mvk"))
+    val touched = store.read(view)
+      .join(partial.select(col("_mvk")), Seq("_mvk"), "left_semi")
+    val mergeAggs = sum(col("n")).as("n") +:
+      sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))
+    val upserts = touched.unionByName(partial)
+      .groupBy(col("_mvk") +: keys.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+    store.mergeInto(view, upserts, "_mvk", statsCols = Seq("_mvk"))
+  }
+
   /** [[refresh]] with RETRACTIONS — the "counting algorithm" of the
     * incremental-view-maintenance literature: the delta carries an
     * `opCol` of +1 (insert) / −1 (delete of a previously-inserted

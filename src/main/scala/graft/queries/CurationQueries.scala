@@ -1200,6 +1200,60 @@ object CurationQueries {
       st.read("mv").select(col("d"), col("n"), col("sum_cents"))
     }),
 
+    // Incremental CUBE maintenance: every rollup granularity of
+    // (month, order priority) — the OLAP pre-aggregation lattice, 2^2
+    // grouping sets — maintained in ONE view through additive
+    // refreshes (IncrementalAgg.refreshCube): the second delta's
+    // cube partials merge onto the stored lattice via the file-pruned
+    // MERGE, the fact table is never re-read for any granularity.
+    // Rollup rows carry NULL in the rolled-up keys, exactly the
+    // GROUP BY CUBE shape the oracle computes one-shot.
+    "q238_cube_mv" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q238_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "mv"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val facts = t(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("d"),
+          col("o_orderpriority").as("p"),
+          col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).as("cents"))
+      graft.operators.IncrementalAgg.refreshCube(st, "mv",
+        facts.where(col("k") % 2 === 0).drop("k"), Seq("d", "p"), Seq("cents"))
+      graft.operators.IncrementalAgg.refreshCube(st, "mv",
+        facts.where(col("k") % 2 =!= 0).drop("k"), Seq("d", "p"), Seq("cents"))
+      st.read("mv").select(col("d"), col("p"), col("n"), col("sum_cents"))
+    }),
+
+    // Partial compaction — OPTIMIZE ... WHERE small
+    // (SnapshotStore.compactSmall): only the dirs below the size
+    // threshold rewrite into one consolidated dir; the settled big dir
+    // is carried into the new manifest BY NAME (zero IO) — what
+    // OPTIMIZE must mean at 100 TB, where full-table compaction costs
+    // the table. Threshold derived size-relative (the big dir's own
+    // bytes) so the shape holds at any sf; in-query requires pin the
+    // carried-dir and consolidation structure, the oracle pins content.
+    "q239_partial_compaction" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q239_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("p"))
+      st.commit("t", o.where(col("k") % 4 =!= 0).coalesce(2), overwrite = true)
+      val bigDirs = st.manifestDirs("t").toSet
+      (0 until 4).foreach { i =>
+        st.commit("t", o.where(col("k") % 4 === 0 &&
+          pmod(expr("k div 4"), lit(4)) === i).coalesce(1), overwrite = false)
+      }
+      val threshold = bigDirs.map(st.dirBytes("t", _)).min
+      val v = st.compactSmall("t", smallBytes = threshold)
+      val after = st.manifestDirs("t", Some(v))
+      require(bigDirs.subsetOf(after.toSet),
+        s"settled dirs must carry by name: $bigDirs vs $after")
+      require(after.size == bigDirs.size + 1,
+        s"small dirs must consolidate to ONE: $after")
+      st.read("t")
+    }),
+
     // Incremental JOIN-view maintenance — both IVM directions on one
     // enriched MV (orders ⋈ customer): fact APPENDS refresh as
     // ΔMV = Δfacts ⋈ dim (only the delta joins, dim broadcasts), and
@@ -2458,6 +2512,18 @@ object CurationQueries {
           WHERE o_custkey BETWEEN clo AND chi
             AND o_orderkey BETWEEN klo AND khi
             AND o_totalprice BETWEEN plo AND phi""",
+
+    // The one-shot lattice: GROUP BY CUBE over all facts.
+    "q238_cube_mv" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS d, o_orderpriority AS p,
+            COUNT(*) AS n,
+            CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS sum_cents
+         FROM orders GROUP BY CUBE (d, p)""",
+
+    // Layout-invisible: compaction must not change content.
+    "q239_partial_compaction" ->
+      "SELECT o_orderkey AS k, o_totalprice AS p FROM orders",
 
     // One-shot join of ALL facts against the UPDATED dimension.
     "q236_join_mv" ->

@@ -670,19 +670,53 @@ class SnapshotStore(spark: SparkSession, root: String) {
     *
     * @return the new compacted version
     */
+  /** Total parquet bytes of one manifest dir — the size signal
+    * [[compactSmall]] partitions on (public so callers can derive
+    * size-relative thresholds).
+    */
+  def dirBytes(view: String, dirName: String): Long =
+    listEntries(dirPath(view, dirName))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+
   def compact(view: String, targetFileBytes: Long = 128L << 20,
               statsCols: Seq[String] = Nil): Long = {
     val vs = versions(view)
     require(vs.nonEmpty, s"$view: nothing to compact")
     val base = vs.max
-    val bytes = readManifest(view, base)
-      .map(dirPath(view, _))
-      .flatMap(d => listEntries(d)
-        .filter(_.getFileName.toString.endsWith(".parquet")))
-      .map(Files.size).sum
+    val bytes = readManifest(view, base).map(dirBytes(view, _)).sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     commit(view, read(view, Some(base)).coalesce(nFiles),
       overwrite = true, expectedBase = Some(base), statsCols = statsCols)
+  }
+
+  /** PARTIAL compaction — `OPTIMIZE ... WHERE small`: rewrite ONLY the
+    * dirs below `smallBytes` into one consolidated dir and carry every
+    * other dir into the new manifest BY NAME, zero IO. This is what
+    * OPTIMIZE means at 100 TB: a maintenance loop's thousand tiny
+    * append dirs compact without ever re-reading the table's large
+    * settled dirs (the full [[compact]] rewrite would cost the table's
+    * size each run). Atomic single-version publish, same OCC contract;
+    * a no-op (fewer than two small dirs) publishes nothing and returns
+    * the current version.
+    */
+  def compactSmall(view: String, smallBytes: Long = 32L << 20,
+                   statsCols: Seq[String] = Nil): Long = {
+    val vs = versions(view)
+    require(vs.nonEmpty, s"$view: nothing to compact")
+    val base = vs.max
+    val dirs = readManifest(view, base)
+    val (small, big) = dirs.partition(dirBytes(view, _) < smallBytes)
+    if (small.size <= 1) return base
+    val next = base + 1
+    val dataDir = newDirName(next, None)
+    val smallTotal = small.map(dirBytes(view, _)).sum
+    val nFiles = math.max(1L, (smallTotal + (128L << 20) - 1) / (128L << 20)).toInt
+    writeData(view, readDirs(small, view).coalesce(nFiles), dataDir, statsCols)
+    if (versions(view).max != base)
+      throw new SnapshotConflict(s"$view: base v$base superseded during compact")
+    publish(view, next, big :+ dataDir, manifestTxns(view, base))
+    next
   }
 
   /** OPTIMIZE … CLUSTER BY (a, b): rewrite the current snapshot into

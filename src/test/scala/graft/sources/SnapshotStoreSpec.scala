@@ -141,6 +141,27 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("t", Some(1L)).count() == (1 << 12))
   }
 
+  test("compactSmall: sub-threshold dirs consolidate, settled dirs carry by name") {
+    val (st, _) = freshStore()
+    // one big dir (10k rows), four tiny append dirs
+    st.commit("t", (0 until 10000).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1), overwrite = true)
+    val big = st.manifestDirs("t").toSet
+    (0 until 4).foreach(i => st.commit("t",
+      Seq((100000 + i, "tiny")).toDF("k", "v").coalesce(1), overwrite = false))
+    val before = st.read("t").count()
+    val threshold = big.map(st.dirBytes("t", _)).min
+    val v = st.compactSmall("t", smallBytes = threshold)
+    val after = st.manifestDirs("t", Some(v))
+    assert(big.subsetOf(after.toSet), s"big dir rewritten: $big vs $after")
+    assert(after.size == big.size + 1, s"smalls not consolidated: $after")
+    assert(st.read("t").count() == before)
+    // idempotent: a second pass has at most one small dir -> no-op,
+    // no version published
+    assert(st.compactSmall("t", smallBytes = threshold) == v)
+    assert(st.versions("t").max == v)
+  }
+
   test("optimizeClusteredN: 3-D recluster is lossless, atomic, and box-prunes all dims") {
     val (st, _) = freshStore()
     val grid = (0 until (1 << 12)).map(i =>
