@@ -1200,6 +1200,32 @@ object CurationQueries {
       st.read("mv").select(col("d"), col("n"), col("sum_cents"))
     }),
 
+    // DELETE without rewrite — deletion vectors
+    // (SnapshotStore.deleteWhere): 10% of the table deletes as one
+    // small parquet key vector (in-query require: data dirs BYTE-
+    // IDENTICAL by name, vector present), readers anti-join it
+    // broadcast; a later MERGE re-inserts a third of the deleted keys
+    // at doubled price and SUBTRACTS them from the carried vector —
+    // upsert-after-delete resurrects. At 100 TB: deleting 0.1% costs
+    // key IO, not a file rewrite.
+    "q240_deletion_vectors" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q240_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("p"))
+      st.commit("t", o.repartition(4), overwrite = true, statsCols = Seq("k"))
+      val dirs1 = st.manifestDirs("t").toSet
+      val v2 = st.deleteWhere("t", "k", col("k") % 10 === 0)
+      require(st.manifestDirs("t", Some(v2)).toSet == dirs1,
+        "deletion vector must not rewrite data dirs")
+      require(st.manifestDels("t", v2).nonEmpty, "vector missing")
+      st.mergeInto("t",
+        o.where(col("k") % 30 === 0).withColumn("p", col("p") * 2), "k",
+        statsCols = Seq("k"))
+      st.read("t")
+    }),
+
     // Incremental CUBE maintenance: every rollup granularity of
     // (month, order priority) — the OLAP pre-aggregation lattice, 2^2
     // grouping sets — maintained in ONE view through additive
@@ -2512,6 +2538,15 @@ object CurationQueries {
           WHERE o_custkey BETWEEN clo AND chi
             AND o_orderkey BETWEEN klo AND khi
             AND o_totalprice BETWEEN plo AND phi""",
+
+    // Survivors + resurrected-at-double: the delete keyed out k%10=0,
+    // the merge re-inserted exactly the k%30=0 slice at 2x price.
+    "q240_deletion_vectors" ->
+      """SELECT o_orderkey AS k, o_totalprice AS p
+         FROM orders WHERE o_orderkey % 10 <> 0
+         UNION ALL
+         SELECT o_orderkey AS k, o_totalprice * 2 AS p
+         FROM orders WHERE o_orderkey % 30 = 0""",
 
     // The one-shot lattice: GROUP BY CUBE over all facts.
     "q238_cube_mv" ->

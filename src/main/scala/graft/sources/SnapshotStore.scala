@@ -54,6 +54,12 @@ import scala.jdk.CollectionConverters._
   *    any two retained versions, computed as one full-outer join of the
   *    two snapshots on the key (each side is manifest-resolved, so the
   *    diff is consistent even under concurrent commits).
+  *  - '''deletion vectors''' ([[deleteWhere]]): row-level DELETE with zero
+  *    data-file rewrite — the matching keys publish as a small parquet
+  *    vector the readers anti-join (broadcast); MERGE subtracts
+  *    re-inserted keys (upsert-after-delete resurrects), OPTIMIZE/
+  *    compaction materializes, time travel and restore see each
+  *    version's own vector set.
   *
   * Reads merge schemas across data dirs (`mergeSchema`), so an append
   * that adds a column is readable immediately — old rows surface NULL
@@ -125,6 +131,16 @@ class SnapshotStore(spark: SparkSession, root: String) {
   private def manifestTxns(view: String, v: Long): Set[Long] =
     manifestField(Files.readString(manifestPath(view, v)), "txns")
       .map(_.toLong).toSet
+
+  /** The DELETION-VECTOR dirs of snapshot `v`: parquet key lists under
+    * the data root that readers ANTI-JOIN against the snapshot's data
+    * dirs — row-level deletes with zero data-file rewrite (the Delta
+    * deletion-vector / Iceberg equality-delete idea, keyed). Absent in
+    * pre-DV manifests ⇒ empty. Public so specs/queries can pin the
+    * no-rewrite structure.
+    */
+  def manifestDels(view: String, v: Long): Seq[String] =
+    manifestField(Files.readString(manifestPath(view, v)), "dels")
 
   /** The data-dir names snapshot `v` (default: latest) is made of —
     * public so tests can pin copy-on-write behavior (which dirs a merge
@@ -250,11 +266,12 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * with its full content; first committer wins, the loser throws.
     */
   private def publish(view: String, next: Long, dirs: Seq[String],
-                      txns: Set[Long]): Unit = {
+                      txns: Set[Long], dels: Seq[String] = Nil): Unit = {
     Files.createDirectories(manifestDir(view))
     val tmp = Files.createTempFile(manifestDir(view), s".v$next", ".tmp")
     Files.writeString(tmp,
       dirs.map(d => "\"" + d + "\"").mkString("{\"dirs\":[", ",", "],") +
+        dels.map(d => "\"" + d + "\"").mkString("\"dels\":[", ",", "],") +
         txns.toSeq.sorted.mkString("\"txns\":[", ",", "]}"))
     try
       Files.createLink(manifestPath(view, next), tmp)
@@ -294,7 +311,13 @@ class SnapshotStore(spark: SparkSession, root: String) {
     // overwrite — so an appendOnce retry racing a compaction/rewrite
     // still recognizes its txn instead of double-appending
     val prevTxns = if (vs.isEmpty) Set.empty[Long] else manifestTxns(view, base)
-    publish(view, next, dirs, prevTxns ++ txn)
+    // deletion vectors: an OVERWRITE replaces content (deletes die with
+    // it); an APPEND carries them — appended rows matching a live
+    // deleted key stay suppressed at read (re-insert through mergeInto,
+    // which subtracts re-inserted keys from the vector)
+    val dels =
+      if (overwrite || vs.isEmpty) Nil else manifestDels(view, base)
+    publish(view, next, dirs, prevTxns ++ txn, dels)
     seedSchemaCache(view, dirs, df.schema,
       prev = if (overwrite || vs.isEmpty) None else Some(readManifest(view, base)))
     next
@@ -376,12 +399,39 @@ class SnapshotStore(spark: SparkSession, root: String) {
     spark.read.schema(sch).parquet(paths: _*)
   }
 
+  /** Anti-join `df` against the snapshot's deletion vectors (each a
+    * one-column parquet key list): the read-time half of
+    * [[deleteWhere]]'s zero-rewrite deletes. No vectors ⇒ the frame
+    * passes through untouched (the common case costs nothing). The
+    * vectors are O(deleted keys) and BROADCAST — at 100 TB the scan
+    * side never shuffles for a delete.
+    */
+  private def applyDels(df: DataFrame, view: String,
+                        dels: Seq[String]): DataFrame =
+    if (dels.isEmpty) df
+    else {
+      val delKeys = readDirs(dels, view)
+      df.join(broadcast(delKeys.distinct()), Seq(delKeys.columns.head),
+        "left_anti")
+    }
+
+  private def resolvedVersion(view: String, asOf: Option[Long]): Long = {
+    val vs = versions(view)
+    require(vs.nonEmpty, s"$view: no committed snapshot")
+    asOf.getOrElse(vs.max)
+  }
+
   /** Read a snapshot: the latest by default, or AS OF `asOf`. The
     * manifest is resolved once here — commits that land afterwards
-    * cannot change what this DataFrame reads.
+    * cannot change what this DataFrame reads. Deletion vectors of the
+    * resolved snapshot apply (anti-join) before anything else sees the
+    * rows.
     */
-  def read(view: String, asOf: Option[Long] = None): DataFrame =
-    readDirs(manifestDirs(view, asOf), view)
+  def read(view: String, asOf: Option[Long] = None): DataFrame = {
+    val v = resolvedVersion(view, asOf)
+    applyDels(readDirs(readManifest(view, v), view), view,
+      manifestDels(view, v))
+  }
 
   /** The manifest dirs of snapshot `asOf` split into (kept, skipped) for
     * the range predicate `lo <= c <= hi` — a dir is skipped only when its
@@ -410,7 +460,8 @@ class SnapshotStore(spark: SparkSession, root: String) {
     // all dirs pruned -> provably-empty result; lit(false) collapses the
     // scan to an empty LocalRelation with the right schema
     if (keep.isEmpty) return read(view, asOf).where(lit(false))
-    val df = readDirs(keep, view)
+    val df = applyDels(readDirs(keep, view), view,
+      manifestDels(view, resolvedVersion(view, asOf)))
     val dt = df.schema(c).dataType
     df.where(col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt))
   }
@@ -440,7 +491,9 @@ class SnapshotStore(spark: SparkSession, root: String) {
                     asOf: Option[Long] = None): DataFrame = {
     val (keep, _) = pruneDirsBox(view, preds, asOf)
     if (keep.isEmpty) return read(view, asOf).where(lit(false))
-    preds.foldLeft(readDirs(keep, view)) { case (df, (c, lo, hi)) =>
+    val base = applyDels(readDirs(keep, view), view,
+      manifestDels(view, resolvedVersion(view, asOf)))
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
       val dt = df.schema(c).dataType
       df.where(col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt))
     }
@@ -481,7 +534,57 @@ class SnapshotStore(spark: SparkSession, root: String) {
                    asOf: Option[Long] = None): DataFrame = {
     val (keep, _) = pruneDirsEq(view, c, value, asOf)
     if (keep.isEmpty) return read(view, asOf).where(lit(false))
-    readDirs(keep, view).where(col(c) === lit(value))
+    applyDels(readDirs(keep, view), view,
+      manifestDels(view, resolvedVersion(view, asOf)))
+      .where(col(c) === lit(value))
+  }
+
+  // ------------------------------------------------------ row-level delete
+
+  /** DELETE FROM `view` WHERE `pred` — with ZERO data-file rewrite:
+    * the matching rows' keys are written as a small parquet key list
+    * (a DELETION VECTOR — the Delta DV / Iceberg equality-delete idea,
+    * keyed) and the new manifest references the SAME data dirs plus
+    * the vector; readers anti-join it (broadcast — O(deleted keys)).
+    * At 100 TB this is the difference between deleting 0.1% of a table
+    * in seconds of metadata+key IO and rewriting every file the
+    * predicate touches ([[mergeInto]]'s tombstone path — which remains
+    * the right tool when the delete is a large fraction of its dirs).
+    *
+    * Contract: `keyCol` must be the view's row-identity key (unique —
+    * the same key mergeInto upserts on), and ONE key column per view's
+    * vector set. Deletes compose: later vectors append; a later
+    * [[mergeInto]] SUBTRACTS re-inserted keys from the vector (so
+    * upsert-after-delete resurrects); [[compact]]/OPTIMIZE materialize
+    * and drop vectors; an overwrite commit discards them with the
+    * content. Returns the new version (base version when nothing
+    * matched — no empty vector is published).
+    */
+  def deleteWhere(view: String, keyCol: String, pred: Column): Long = {
+    val vs = versions(view)
+    require(vs.nonEmpty, s"$view: nothing to delete from")
+    val base = vs.max
+    val prevDels = manifestDels(view, base)
+    prevDels.headOption.foreach { d =>
+      val existing = readDirs(Seq(d), view).columns.head
+      require(existing == keyCol,
+        s"$view: deletion vectors are keyed by `$existing`, got `$keyCol`")
+    }
+    val keys = read(view, Some(base)).where(pred)
+      .select(col(keyCol)).distinct()
+    val next = base + 1
+    val delDir = s"del$next-" + java.util.UUID.randomUUID().toString.take(8)
+    keys.coalesce(1).write.mode("overwrite")
+      .parquet(dataRoot(view).resolve(delDir).toString)
+    if (spark.read.parquet(dataRoot(view).resolve(delDir).toString).isEmpty) {
+      Scratch.deleteRecursively(dataRoot(view).resolve(delDir).toFile)
+      return base
+    }
+    if (versions(view).max != base)
+      throw new SnapshotConflict(s"$view: base v$base superseded during delete")
+    publish(view, next, readManifest(view, base), manifestTxns(view, base),
+      prevDels :+ delDir)
+    next
   }
 
   // ---------------------------------------------------------- merge / diff
@@ -559,9 +662,15 @@ class SnapshotStore(spark: SparkSession, root: String) {
       }
     val (touched, untouched) =
       dirs.partition(d => hit.contains(d) || statless.contains(d))
+    // deletion vectors of the base snapshot: the touched-dir read must
+    // honor them (a rewritten dir is BORN clean — resurrecting deleted
+    // rows into it would undo the delete), and keys the source
+    // re-inserts SUBTRACT from the carried vector so upsert-after-
+    // delete resurrects
+    val baseDels = manifestDels(view, base)
     val rewritten =
       if (touched.isEmpty) upserts
-      else aligned(readDirs(touched, view))
+      else aligned(applyDels(readDirs(touched, view), view, baseDels))
         .join(source.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         .unionByName(upserts)
     // Size the rewrite's file count from the touched dirs' bytes (the
@@ -583,11 +692,35 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val next = base + 1
     val dataDir = newDirName(next, txn)
     writeData(view, sized, dataDir, statsCols)
+    // carried vector = base vector minus re-inserted keys (when the
+    // vector is keyed by this merge's key — an orthogonal-keyed vector
+    // carries verbatim); dropping to NOTHING drops the vector files
+    // from the manifest entirely
+    val newDels =
+      if (baseDels.isEmpty) Nil
+      else {
+        val delKeys = readDirs(baseDels, view)
+        if (delKeys.columns.head != keyCol) baseDels
+        else {
+          val remaining = delKeys.distinct()
+            .join(source.select(col(keyCol)).distinct(), Seq(keyCol),
+              "left_anti")
+          if (remaining.isEmpty) Nil
+          else {
+            val delDir = s"del$next-" +
+              java.util.UUID.randomUUID().toString.take(8)
+            remaining.coalesce(1).write.mode("overwrite")
+              .parquet(dataRoot(view).resolve(delDir).toString)
+            Seq(delDir)
+          }
+        }
+      }
     // re-check the base AFTER the (slow) data write, right before the
     // atomic publish — the publish itself still decides the race
     if (versions(view).max != base)
       throw new SnapshotConflict(s"$view: base v$base superseded during merge")
-    publish(view, next, untouched :+ dataDir, manifestTxns(view, base) ++ txn)
+    publish(view, next, untouched :+ dataDir, manifestTxns(view, base) ++ txn,
+      newDels)
     // untouched dirs hold column subsets of targetSchema and the
     // rewritten dir was aligned to it — the new version's merged schema
     // IS targetSchema, known in the driver
@@ -712,10 +845,15 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val dataDir = newDirName(next, None)
     val smallTotal = small.map(dirBytes(view, _)).sum
     val nFiles = math.max(1L, (smallTotal + (128L << 20) - 1) / (128L << 20)).toInt
-    writeData(view, readDirs(small, view).coalesce(nFiles), dataDir, statsCols)
+    // the consolidated dir is born clean of deletion vectors; the
+    // vector carries forward for the big dirs it still applies to
+    // (re-applying to the clean dir is a no-op — the rows are gone)
+    val dels = manifestDels(view, base)
+    writeData(view, applyDels(readDirs(small, view), view, dels)
+      .coalesce(nFiles), dataDir, statsCols)
     if (versions(view).max != base)
       throw new SnapshotConflict(s"$view: base v$base superseded during compact")
-    publish(view, next, big :+ dataDir, manifestTxns(view, base))
+    publish(view, next, big :+ dataDir, manifestTxns(view, base), dels)
     next
   }
 
@@ -833,7 +971,8 @@ class SnapshotStore(spark: SparkSession, root: String) {
     require(vs.contains(v), s"$view: version $v not retained")
     val base = vs.max
     val next = base + 1
-    publish(view, next, readManifest(view, v), manifestTxns(view, base))
+    publish(view, next, readManifest(view, v), manifestTxns(view, base),
+      manifestDels(view, v))
     next
   }
 
@@ -856,13 +995,14 @@ class SnapshotStore(spark: SparkSession, root: String) {
     */
   def cloneView(src: String, dst: String, asOf: Option[Long] = None): Long = {
     require(versions(dst).isEmpty, s"$dst: clone target must be empty")
-    val rel = manifestDirs(src, asOf).map { d =>
+    def rel(d: String) =
       // foreign refs (clone of a clone) are root-of-view-relative
       // already and stay valid verbatim; the source's own dirs
       // re-point into its data root
       if (d.contains("/")) d else s"../../$src/data/$d"
-    }
-    publish(dst, 1L, rel, Set.empty)
+    val srcV = resolvedVersion(src, asOf)
+    publish(dst, 1L, readManifest(src, srcV).map(rel), Set.empty,
+      manifestDels(src, srcV).map(rel))
     1L
   }
 
@@ -880,7 +1020,9 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val vs = versions(view)
     val pinned = syncpoints.flatMap(s => syncPins(Some(s)).get(view)).toSet
     val keep = (vs.takeRight(retainVersions) ++ vs.filter(pinned)).distinct
-    val live = keep.flatMap(readManifest(view, _)).toSet
+    // deletion vectors are retention roots exactly like data dirs
+    val live = keep.flatMap(v =>
+      readManifest(view, v) ++ manifestDels(view, v)).toSet
     if (Files.isDirectory(dataRoot(view)))
       listEntries(dataRoot(view))
         .filterNot(p => live.contains(p.getFileName.toString))

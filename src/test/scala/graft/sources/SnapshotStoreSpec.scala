@@ -141,6 +141,53 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("t", Some(1L)).count() == (1 << 12))
   }
 
+  test("deletion vectors: delete without rewrite, compose, resurrect via merge, materialize on compact") {
+    val (st, _) = freshStore()
+    st.commit("t", (0 until 1000).map(i => (i.toLong, i * 10L)).toDF("k", "v")
+      .repartition(3), overwrite = true, statsCols = Seq("k"))
+    val dirsBefore = st.manifestDirs("t").toSet
+    // 1) delete 10%: same data dirs, one vector, content minus the keys
+    val v2 = st.deleteWhere("t", "k", col("k") % 10 === 0)
+    assert(st.manifestDirs("t", Some(v2)).toSet == dirsBefore,
+      "delete must not rewrite data dirs")
+    assert(st.manifestDels("t", v2).size == 1)
+    assert(st.read("t").count() == 900)
+    assert(st.read("t").where(col("k") % 10 === 0).isEmpty)
+    // time travel: the pre-delete snapshot still has every row
+    assert(st.read("t", Some(v2 - 1)).count() == 1000)
+    // 2) deletes compose: second vector appends
+    val v3 = st.deleteWhere("t", "k", col("k") === 1L)
+    assert(st.manifestDels("t", v3).size == 2)
+    assert(st.read("t").count() == 899)
+    // matching nothing publishes nothing
+    assert(st.deleteWhere("t", "k", col("k") === -5L) == v3)
+    // 3) merge resurrects re-inserted keys and subtracts them from the
+    // carried vector; other deleted keys stay deleted
+    st.mergeInto("t", Seq((20L, 777L), (2000L, 1L)).toDF("k", "v"), "k",
+      statsCols = Seq("k"))
+    val after = st.read("t")
+    assert(after.where(col("k") === 20L).head().getLong(1) == 777L)
+    assert(after.where(col("k") === 30L).isEmpty, "still deleted")
+    assert(after.count() == 901) // 899 + resurrected 20 + inserted 2000
+    // 4) compaction materializes: vectors gone, content unchanged
+    val content = after.orderBy("k").collect().map(_.toString).toSeq
+    val v5 = st.compact("t", statsCols = Seq("k"))
+    assert(st.manifestDels("t", v5).isEmpty)
+    assert(st.read("t").orderBy("k").collect().map(_.toString).toSeq == content)
+  }
+
+  test("deletion vectors: pruned reads honor them; vacuum keeps vector dirs") {
+    val (st, _) = freshStore()
+    st.commit("t", (0 until 200).map(i => (i.toLong, s"p$i")).toDF("k", "v")
+      .repartition(2), overwrite = true, statsCols = Seq("k"))
+    st.deleteWhere("t", "k", col("k") < 50)
+    assert(st.readPruned("t", "k", "0", "100").count() == 51) // 50..100
+    assert(st.readPrunedEq("t", "k", 10L).isEmpty)
+    assert(st.readPrunedEq("t", "k", 60L).count() == 1)
+    st.vacuum("t", retainVersions = 1)
+    assert(st.read("t").count() == 150, "vector must survive vacuum")
+  }
+
   test("compactSmall: sub-threshold dirs consolidate, settled dirs carry by name") {
     val (st, _) = freshStore()
     // one big dir (10k rows), four tiny append dirs
