@@ -560,7 +560,8 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * content. Returns the new version (base version when nothing
     * matched — no empty vector is published).
     */
-  def deleteWhere(view: String, keyCol: String, pred: Column): Long = {
+  def deleteWhere(view: String, keyCol: String, pred: Column,
+                  txn: Option[Long] = None): Long = {
     val vs = versions(view)
     require(vs.nonEmpty, s"$view: nothing to delete from")
     val base = vs.max
@@ -582,10 +583,22 @@ class SnapshotStore(spark: SparkSession, root: String) {
     }
     if (versions(view).max != base)
       throw new SnapshotConflict(s"$view: base v$base superseded during delete")
-    publish(view, next, readManifest(view, base), manifestTxns(view, base),
-      prevDels :+ delDir)
+    publish(view, next, readManifest(view, base),
+      manifestTxns(view, base) ++ txn, prevDels :+ delDir)
     next
   }
+
+  /** Idempotent [[deleteWhere]] keyed by `txnId` — the exactly-once
+    * DELETE primitive (the GDPR/compliance deleter in a foreachBatch
+    * loop): a redelivered batch id is recognized in the manifest's
+    * persisted txn history and skipped, completing the exactly-once
+    * family (appendOnce / mergeIntoOnce / deleteWhereOnce). Returns
+    * the version, or None when the txn had already landed.
+    */
+  def deleteWhereOnce(view: String, keyCol: String, pred: Column,
+                      txnId: Long): Option[Long] =
+    if (appliedTxns(view).contains(txnId)) None
+    else Some(deleteWhere(view, keyCol, pred, txn = Some(txnId)))
 
   // ---------------------------------------------------------- merge / diff
 

@@ -176,6 +176,22 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("t").orderBy("k").collect().map(_.toString).toSeq == content)
   }
 
+  test("deleteWhereOnce: redelivered delete txns are fenced, ids survive compaction") {
+    val (st, _) = freshStore()
+    st.commit("t", (0 until 100).map(i => (i.toLong, i)).toDF("k", "v"),
+      overwrite = true, statsCols = Seq("k"))
+    assert(st.deleteWhereOnce("t", "k", col("k") < 10, txnId = 7L).nonEmpty)
+    assert(st.read("t").count() == 90)
+    // redelivery: fenced, nothing moves
+    val v = st.versions("t").max
+    assert(st.deleteWhereOnce("t", "k", col("k") < 10, txnId = 7L).isEmpty)
+    assert(st.versions("t").max == v)
+    // the fence survives a compaction (txns persist in the manifest)
+    st.compact("t", statsCols = Seq("k"))
+    assert(st.deleteWhereOnce("t", "k", col("k") < 10, txnId = 7L).isEmpty)
+    assert(st.read("t").count() == 90)
+  }
+
   test("deletion vectors: pruned reads honor them; vacuum keeps vector dirs") {
     val (st, _) = freshStore()
     st.commit("t", (0 until 200).map(i => (i.toLong, s"p$i")).toDF("k", "v")
