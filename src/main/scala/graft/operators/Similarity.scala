@@ -52,14 +52,17 @@ object Similarity {
       val h4 = h3.bitwiseXOR(shiftright(h3, 7))
       lit(1L) - lit(2L) * pmod(shiftright(h4, 12), lit(2L))
     }
+    // the (value, index) zip builds ONCE per row — the per-coordinate
+    // folds (all interpreted higher-order functions) then only read it,
+    // instead of re-zipping outDim times per row
     val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
-      aggregate(
-        zip_with(col("_q"), sequence(lit(0L), size(col("_q")) - 1),
-          (v, i) => struct(v.as("v"), i.as("i"))),
-        lit(0L),
+      aggregate(col("_qi"), lit(0L),
         (acc, x) => acc + x.getField("v") * sign(x.getField("i"), j)))
     df.where(col(vecCol).isNotNull)
       .select(col(idCol), q.as("_q"))
+      .select(col(idCol),
+        zip_with(col("_q"), sequence(lit(0L), size(col("_q")) - 1),
+          (v, i) => struct(v.as("v"), i.as("i"))).as("_qi"))
       .select(col(idCol), posexplode(proj).as(Seq("j", "v")))
   }
 
