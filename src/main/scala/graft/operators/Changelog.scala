@@ -13,6 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object Changelog {
 
+  /** A [[graft.sources.SnapshotStore.diff]] change feed re-shaped into
+    * the ±1 op-rows [[IncrementalAgg.refreshWithRetractions]] consumes
+    * — the glue that turns ANY table's CDC into aggregate-MV
+    * maintenance: inserts emit (+1, post payload), deletes (−1, pre),
+    * updates BOTH (−1 pre, +1 post — the retract/emit pair of every
+    * streaming-SQL changelog model). `cols` are the payload columns
+    * the downstream MV needs (its group key + measures); everything
+    * else in the feed is dropped. O(changes) rows, one pass.
+    */
+  def cdcToOps(cdc: DataFrame, cols: Seq[String]): DataFrame = {
+    val pre = cdc.where(col("change_type").isin("update", "delete"))
+      .select(cols.map(c => col(s"${c}_pre").as(c)) :+ lit(-1).as("op"): _*)
+    val post = cdc.where(col("change_type").isin("update", "insert"))
+      .select(cols.map(c => col(s"${c}_post").as(c)) :+ lit(1).as("op"): _*)
+    pre.unionByName(post)
+  }
+
   /** Apply a changelog to a base snapshot: the LATEST change per key
     * (by `seqCol`, ties broken toward the higher seq being "later")
     * wins — an upsert (`opCol` = "U") replaces the key's row, a delete

@@ -1200,6 +1200,47 @@ object CurationQueries {
       st.read("mv").select(col("d"), col("n"), col("sum_cents"))
     }),
 
+    // CDC-driven MV maintenance — the full loop composed from parts
+    // that each grade on their own: a base table evolves through ONE
+    // mixed merge (updates double a slice's price, tombstones delete
+    // another, an April slice inserts), the store's change feed
+    // (SnapshotStore.diff) re-shapes into retract/emit op-rows
+    // (Changelog.cdcToOps — updates emit the −1 pre / +1 post pair of
+    // every streaming-SQL changelog model), and those ops maintain a
+    // per-day aggregate MV (IncrementalAgg.refreshWithRetractions).
+    // Neither the base nor the MV ever rescans facts; the MV must
+    // equal the one-shot aggregate over the FINAL table state.
+    "q241_cdc_to_mv" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q241_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "mv"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val f = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          floor(col("o_totalprice") * 100).as("cents"))
+      val v1Facts = f.where(col("d").between("1995-01-01", "1995-03-31"))
+      st.commit("t", v1Facts, overwrite = true, statsCols = Seq("k"))
+      graft.operators.IncrementalAgg.refreshWithRetractions(st, "mv",
+        v1Facts.withColumn("op", lit(1)), "d", Seq("cents"))
+      // one mixed merge: update k%5=0 (2x price), delete k%7=0
+      // (tombstones win over updates), insert April
+      val src = v1Facts.where(col("k") % 5 === 0 && col("k") % 7 =!= 0)
+        .withColumn("cents", col("cents") * 2).withColumn("_del", lit(false))
+        .unionByName(v1Facts.where(col("k") % 7 === 0)
+          .withColumn("_del", lit(true)))
+        .unionByName(f.where(col("d").between("1995-04-01", "1995-04-30"))
+          .withColumn("_del", lit(false)))
+      val v1 = st.versions("t").max
+      val v2 = st.mergeInto("t", src, "k", deleteCol = Some("_del"),
+        statsCols = Seq("k"))
+      val ops = graft.operators.Changelog.cdcToOps(
+        st.diff("t", v1, v2, Seq("k")), Seq("d", "cents"))
+      graft.operators.IncrementalAgg.refreshWithRetractions(st, "mv",
+        ops, "d", Seq("cents"))
+      st.read("mv").select(col("d"), col("n"), col("sum_cents"))
+    }),
+
     // DELETE without rewrite — deletion vectors
     // (SnapshotStore.deleteWhere): 10% of the table deletes as one
     // small parquet key vector (in-query require: data dirs BYTE-
@@ -2538,6 +2579,25 @@ object CurationQueries {
           WHERE o_custkey BETWEEN clo AND chi
             AND o_orderkey BETWEEN klo AND khi
             AND o_totalprice BETWEEN plo AND phi""",
+
+    // The one-shot aggregate over the FINAL table state: Jan-Mar
+    // minus the k%7=0 deletes, k%5=0 survivors at doubled price, plus
+    // the April inserts.
+    "q241_cdc_to_mv" ->
+      """WITH f AS (SELECT o_orderkey AS k,
+              strftime(o_orderdate, '%Y-%m-%d') AS d,
+              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders),
+          fin AS (
+            SELECT d, CASE WHEN k % 5 = 0 THEN cents * 2 ELSE cents END
+              AS cents
+            FROM f WHERE d BETWEEN '1995-01-01' AND '1995-03-31'
+              AND k % 7 <> 0
+            UNION ALL
+            SELECT d, cents FROM f
+            WHERE d BETWEEN '1995-04-01' AND '1995-04-30')
+          SELECT d, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+          FROM fin GROUP BY d""",
 
     // Survivors + resurrected-at-double: the delete keyed out k%10=0,
     // the merge re-inserted exactly the k%30=0 slice at 2x price.

@@ -50,6 +50,21 @@ object TimeSeriesQueries {
     // arithmetic over the stabilized close; each frame aggregate is
     // r15'd before any derived arithmetic, so bands and RSI are pure
     // functions of identical doubles on both engines.
+    // Regular-grid resample + forward fill (operators/Resample): a
+    // gappy per-key daily series (every 11th order only) normalizes
+    // onto each key's own observed day range, gaps carrying the last
+    // observation forward with provenance — the pandas/kdb ffill as a
+    // distributed dataflow (per-key spine explode + one ordered
+    // window). Oracle: generate_series spine + LAST_VALUE IGNORE
+    // NULLS, value exact integer cents.
+    "q242_gapfill_ffill" -> ((s, dir) => {
+      val src = t(s, dir, "orders").where(col("o_orderkey") % 11 === 0)
+        .select(pmod(col("o_custkey"), lit(20)).as("key"),
+          col("o_orderdate").as("od"),
+          floor(col("o_totalprice") * 100).as("cents"))
+      graft.operators.Resample.ffillDaily(src, "key", "od", "cents")
+    }),
+
     "q107_tech_indicators" -> ((s, dir) => {
       val w1 = Window.orderBy("d")
       val w14 = Window.orderBy("d").rowsBetween(-13, 0)
@@ -212,6 +227,24 @@ object TimeSeriesQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q242_gapfill_ffill" ->
+      """WITH src AS (SELECT o_custkey % 20 AS key,
+              CAST(o_orderdate AS DATE) AS d,
+              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_orderkey % 11 = 0),
+          obs AS (SELECT key, d, MAX(cents) AS v FROM src GROUP BY key, d),
+          b AS (SELECT key, MIN(d) AS lo, MAX(d) AS hi FROM obs GROUP BY key),
+          spine AS (SELECT key,
+              CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                AS d FROM b),
+          j AS (SELECT s.key, s.d, o.v FROM spine s
+                LEFT JOIN obs o ON s.key = o.key AND s.d = o.d)
+          SELECT key, d,
+            LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+            v IS NULL AS filled
+          FROM j""",
 
     "q107_tech_indicators" ->
       s"""WITH daily AS ($dailyCloseSql),
