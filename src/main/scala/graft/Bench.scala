@@ -92,7 +92,8 @@ object Bench {
       // the source dir (write-once — rounds 2..n measure the loop, not
       // the staging write) — see cleanProcessScoped's doc
       graft.sources.Scratch.cleanProcessScoped(
-        keepPrefixes = Seq("q148_idx", "q158_idx", "q197_in", "wj_wts"))
+        keepPrefixes = Seq("q148_idx", "q158_idx", "q197_in", "q243_in",
+          "wj_wts"))
       System.gc()
       // a beat for the ContextCleaner's async shuffle/broadcast cleanup
       Thread.sleep(200)

@@ -505,6 +505,71 @@ object PipelineQueries {
     // micro-batch probes it map-side, which is why this join class is
     // free at scale (the dim re-reads per batch; pin it with a
     // broadcast hint). Users map onto the customer dim by key range.
+    // Streaming GDPR deleter — the compliance loop composed from the
+    // round's pieces: a stream of erasure requests (user ids) drives
+    // foreachBatch(deleteWhereOnce) against the ACID table — each
+    // micro-batch publishes ONE deletion vector keyed by the batch id
+    // (zero data rewrite; a redelivered batch is fenced by the txn
+    // history), and a RESTART on the same checkpoint moves nothing
+    // (required in-query). Final table = every row of a non-erased
+    // user, which is the oracle.
+    "q243_stream_gdpr_delete" -> ((s, dir) => {
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val root = graft.sources.Scratch.processScoped("q243_gdpr", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "store"))
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "_cp"))
+      val inRoot = graft.sources.Scratch.processScoped("q243_in", dir)
+      val inDir = new java.io.File(s"$inRoot/in")
+      if (!new java.io.File(inDir, "_staged").exists()) {
+        inDir.mkdirs()
+        val reqs = ev.select(col("user_id")).distinct()
+          .where(pmod(col("user_id"), lit(13)) === 0)
+        Seq(0, 1).foreach { m =>
+          val tmp = s"$inRoot/tmp$m"
+          reqs.where(pmod(col("user_id"), lit(2)) === m).coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(inDir, s"b$m.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(1700000000000L + m * 10000L)
+          graft.sources.Scratch.deleteRecursively(new java.io.File(tmp))
+        }
+        new java.io.File(inDir, "_staged").createNewFile()
+      }
+      val st = new graft.sources.SnapshotStore(s, s"$root/store")
+      st.commit("t", ev, overwrite = true, statsCols = Seq("event_id"))
+      def runStream(): Unit = {
+        val stream = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType))))
+          .option("maxFilesPerTrigger", 1).parquet(s"$inDir")
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$root/_cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val users = batch.select(col("user_id")).distinct()
+              .collect().map(_.getLong(0)).toSeq
+            if (users.nonEmpty)
+              st.deleteWhereOnce("t", "event_id",
+                col("user_id").isin(users: _*), txnId = id)
+            ()
+          }
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      runStream()
+      val v = st.versions("t").max
+      runStream() // restart on the same checkpoint: fenced, nothing moves
+      require(st.versions("t").max == v,
+        "redelivered erasure batches must be fenced")
+      require(st.manifestDels("t", v).nonEmpty, "vectors missing")
+      st.read("t")
+    }),
+
     // q82's enrichment upgraded from equi to AS-OF semantics: per
     // streamed error event, the latest purchase time at-or-before the
     // event — the point-in-time feature lookup a streaming scorer
@@ -824,6 +889,11 @@ object PipelineQueries {
     "q82_stream_static_join" ->
       """SELECT event_id, user_id, c_mktsegment, value
          FROM events JOIN customer ON user_id = c_custkey""",
+
+    // every row of a non-erased user survives, nothing else
+    "q243_stream_gdpr_delete" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE user_id % 13 <> 0""",
 
     // the streamed as-of must be indistinguishable from q10/q201's truth
     "q230_stream_asof_enrich" ->
