@@ -80,5 +80,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // GraftExtensions) — Tuning.install alone cannot add this tier
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     e.injectResolutionRule(_ => ResolveGraftAsOfJoin)
+    e.injectResolutionRule(_ => ResolveGraftTimeTravel)
   }
 }

@@ -51,10 +51,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       .orElse(GraftSqlParser.parseInterval(sqlText, delegate))
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    graftPlan(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    GraftSqlParser.rewriteTimeTravel(sqlText) match {
+      case Some(rewritten) => parsePlan(rewritten)
+      case None => graftPlan(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    }
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    graftPlan(sqlText).getOrElse(delegate.parseQuery(sqlText))
+    GraftSqlParser.rewriteTimeTravel(sqlText) match {
+      case Some(rewritten) => parseQuery(rewritten)
+      case None => graftPlan(sqlText).getOrElse(delegate.parseQuery(sqlText))
+    }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -132,6 +138,25 @@ object GraftSqlParser {
       }
     }
 
+  // <table> VERSION AS OF <n> — time travel over a registered
+  // SnapshotStore view. A pure TEXT rewrite (the whole statement then
+  // parses through the delegate, so the surface composes with every
+  // statement form Spark SQL has — joins of two versions of the same
+  // table, subqueries, CTEs): each occurrence becomes the quoted
+  // identifier `name$asof$n`, which [[ResolveGraftTimeTravel]] later
+  // binds to `store.read(view, Some(n))`. Matches only a bare
+  // (qualified) name followed by the clause, so column references and
+  // string literals containing the words are left alone (the clause
+  // keyword sequence VERSION AS OF is not valid SQL anywhere else).
+  private val VersionAsOfRe =
+    """(?is)([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+
+  private[plans] def rewriteTimeTravel(sqlText: String): Option[String] =
+    if (VersionAsOfRe.findFirstIn(sqlText).isEmpty) None
+    else Some(VersionAsOfRe.replaceAllIn(sqlText, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        "`" + m.group(1) + "$asof$" + m.group(2) + "`")))
+
   private[plans] def parseAsOf(sqlText: String,
                                delegate: ParserInterface): Option[LogicalPlan] =
     AsOfRe.findFirstMatchIn(sqlText).map { m =>
@@ -187,6 +212,56 @@ case class UnresolvedIntervalJoin(left: LogicalPlan, right: LogicalPlan,
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): UnresolvedIntervalJoin =
     copy(left = newLeft, right = newRight)
+}
+
+/** Name → (store, view) registry backing the `VERSION AS OF` SQL
+  * surface: SQL statements carry only a table NAME, so the binding to
+  * a [[graft.sources.SnapshotStore]] has to live beside the session
+  * (the same role Spark's catalog plays for saved tables; this engine's
+  * tables are store views, which the stock catalog cannot hold).
+  * Process-global like the session registries the streaming queries
+  * use — one engine per JVM in every entry point; re-registering a
+  * name simply rebinds it.
+  */
+object GraftTableRegistry {
+  private val reg = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.sources.SnapshotStore, String)]
+
+  def register(name: String, store: graft.sources.SnapshotStore,
+               view: String): Unit = reg.update(name, (store, view))
+  def unregister(name: String): Unit = reg.remove(name)
+  def lookup(name: String): Option[(graft.sources.SnapshotStore, String)] =
+    reg.get(name)
+}
+
+/** Binds the parser's `name$asof$v` time-travel identifiers to the
+  * registered store view AT that version: the substituted subtree is
+  * the store read's analyzed plan (a parquet scan over the pinned
+  * manifest — stats/dels of that snapshot, immune to later commits),
+  * wrapped in a [[SubqueryAlias]] of the ORIGINAL name so qualified
+  * column references (`t.c`) keep resolving. An unregistered name
+  * fails loudly with the registration hint rather than surfacing the
+  * mangled identifier as a missing-table error.
+  */
+object ResolveGraftTimeTravel extends Rule[LogicalPlan] {
+
+  private val Ref = """(.+)\$asof\$(\d+)""".r
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: UnresolvedRelation => u.multipartIdentifier match {
+        case Seq(Ref(name, v)) =>
+          GraftTableRegistry.lookup(name) match {
+            case Some((store, view)) =>
+              org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(name,
+                store.read(view, Some(v.toLong)).queryExecution.analyzed)
+            case None => throw new IllegalArgumentException(
+              s"VERSION AS OF: table `$name` is not registered — call " +
+                "GraftTableRegistry.register(name, store, view) first")
+          }
+        case _ => u
+      }
+    }
 }
 
 /** Resolution rule for the SQL-born graft join nodes: bind column

@@ -184,6 +184,32 @@ object CoreQueries {
                ON user_id = p_uid AND ts >= p_ts""")
     }),
 
+    // Time travel from PURE SQL: `FROM t VERSION AS OF n` — the
+    // parser tier again (GraftSqlParser text-rewrites the clause to a
+    // time-travel identifier, ResolveGraftTimeTravel binds it to the
+    // registered SnapshotStore view at that PINNED version). One
+    // statement reads TWO versions of the same table — the
+    // before/after audit query every versioned lakehouse ships — and
+    // must see v1 exactly as committed even though v2 landed after.
+    "q246_sql_time_travel" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q246_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "ev"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      st.commit("ev", ev.where(col("event_id") % 2 === 0),
+        overwrite = true, statsCols = Seq("event_id"))
+      st.commit("ev", ev.where(col("event_id") % 2 === 1),
+        overwrite = false, statsCols = Seq("event_id"))
+      graft.plans.GraftTableRegistry.register("ev_tt", st, "ev")
+      s.sql("""SELECT v2.user_id, v2.n AS n_full, COALESCE(v1.n, 0) AS n_half
+               FROM (SELECT user_id, COUNT(*) AS n
+                     FROM ev_tt VERSION AS OF 2 GROUP BY user_id) v2
+               LEFT JOIN (SELECT user_id, COUNT(*) AS n
+                          FROM ev_tt VERSION AS OF 1 GROUP BY user_id) v1
+               ON v2.user_id = v1.user_id""")
+    }),
+
     // q87's forward as-of through the native operator (earliest right
     // time at-or-after, ties to the min value — the merge head under
     // the (time, value)-ascending sort). Same oracle as q87.
@@ -320,6 +346,15 @@ object CoreQueries {
             AND CAST(p.ts AS TIMESTAMP) >=
                 CAST(e.ts AS TIMESTAMP) - INTERVAL 1 HOUR) AS recent_purchase_ts
          FROM events e WHERE e.event_type = 'error'""",
+
+    // v2 = the whole table, v1 = exactly the first commit's slice
+    "q246_sql_time_travel" ->
+      """SELECT v2.user_id, v2.n AS n_full, COALESCE(v1.n, 0) AS n_half
+         FROM (SELECT user_id, COUNT(*) AS n
+               FROM events GROUP BY user_id) v2
+         LEFT JOIN (SELECT user_id, COUNT(*) AS n
+                    FROM events WHERE event_id % 2 = 0 GROUP BY user_id) v1
+         ON v2.user_id = v1.user_id""",
 
     // the SQL spelling must be indistinguishable from q10's truth too
     "q228_asof_sql" ->

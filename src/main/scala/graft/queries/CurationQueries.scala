@@ -1249,6 +1249,56 @@ object CurationQueries {
     // at doubled price and SUBTRACTS them from the carried vector —
     // upsert-after-delete resurrects. At 100 TB: deleting 0.1% costs
     // key IO, not a file rewrite.
+    // WAP — write, audit, publish: the deployment workflow that keeps
+    // unaudited data out of the serving table. Branch = zero-copy
+    // shallow clone (branchCreate); writes land on the branch with the
+    // store's NORMAL commit API while main stays pinned (verified);
+    // the audit is the declarative Expectations gate over the branch
+    // read; publish = fastForward — an O(files) atomic manifest swing,
+    // no data copied. The OCC half is exercised too: after main moves,
+    // fast-forwarding a stale branch must throw (publishing an audit
+    // of a stale base is the lost update WAP exists to prevent).
+    // Graded output = main after the cycle.
+    "q245_wap_publish" -> ((s, dir) => {
+      import graft.operators.Expectations
+      val root = graft.sources.Scratch.processScoped("q245_snap", dir)
+      Seq("t", "t@load", "t@stale").foreach(d =>
+        graft.sources.Scratch.deleteRecursively(new java.io.File(root, d)))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val c = t(s, dir, "customer").select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+      st.commit("t", c.where(col("k") % 4 === 0), overwrite = true,
+        statsCols = Seq("k"))
+      val mainBase = st.versions("t").max
+      // W: two commits on the branch, main never sees them
+      st.branchCreate("t", "load")
+      val b = st.branchView("t", "load")
+      st.commit(b, c.where(col("k") % 4 === 1), overwrite = false,
+        statsCols = Seq("k"))
+      st.commit(b, c.where(col("k") % 4 === 2), overwrite = false,
+        statsCols = Seq("k"))
+      require(st.versions("t").max == mainBase,
+        "branch writes must not advance main")
+      // A: the declarative gate runs against the BRANCH
+      val audit = Expectations.validate(st.read(b),
+        Seq(Expectations.NotNull("k"), Expectations.Unique(Seq("k"))))
+      require(audit.agg(sum(col("n_violations"))).head.getLong(0) == 0L,
+        "audit must pass before publish")
+      // P: atomic fast-forward
+      st.fastForward("t", "load")
+      // OCC: a stale branch (main advanced underneath) must NOT publish
+      st.branchCreate("t", "stale")
+      st.commit(st.branchView("t", "stale"), c.where(col("k") % 8 === 3),
+        overwrite = false, statsCols = Seq("k"))
+      st.commit("t", c.where(col("k") % 4 === 3), overwrite = false,
+        statsCols = Seq("k")) // concurrent writer on main
+      val conflicted =
+        try { st.fastForward("t", "stale"); false }
+        catch { case _: st.SnapshotConflict => true }
+      require(conflicted, "fast-forward of a diverged branch must throw")
+      st.read("t")
+    }),
+
     "q240_deletion_vectors" -> ((s, dir) => {
       val root = graft.sources.Scratch.processScoped("q240_snap", dir)
       graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
@@ -2601,6 +2651,13 @@ object CurationQueries {
 
     // Survivors + resurrected-at-double: the delete keyed out k%10=0,
     // the merge re-inserted exactly the k%30=0 slice at 2x price.
+    // base + two audited branch commits + the concurrent main append =
+    // every customer exactly once; the stale branch's commit must NOT
+    // be in here (its fast-forward was refused)
+    "q245_wap_publish" ->
+      """SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+         FROM customer""",
+
     "q240_deletion_vectors" ->
       """SELECT o_orderkey AS k, o_totalprice AS p
          FROM orders WHERE o_orderkey % 10 <> 0

@@ -505,6 +505,57 @@ object PipelineQueries {
     // micro-batch probes it map-side, which is why this join class is
     // free at scale (the dim re-reads per batch; pin it with a
     // broadcast hint). Users map onto the customer dim by key range.
+    // The ACID table AS a stream: readStream.format("graft-table") —
+    // the custom DSv1 streaming source whose offsets ARE the store's
+    // committed versions (GraftTableSourceProvider). Three runs on ONE
+    // checkpoint prove the contract end-to-end: run 1 emits the
+    // initial snapshot (one batch), two more commits land, run 2 emits
+    // EXACTLY the appended rows (readAppended over the offset range),
+    // run 3 emits nothing (offset log replay). Sink = appendOnce into
+    // a second store table, so source-side exactly-once composes with
+    // the sink-side txn fence. Graded output = everything the source
+    // table ever held, which is what the stream must deliver
+    // exactly once.
+    "q244_table_stream_source" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q244_snap", dir)
+      Seq("src", "out", "_cp").foreach(d =>
+        graft.sources.Scratch.deleteRecursively(new java.io.File(root, d)))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      st.commit("src", o.where(col("k") % 3 === 0), overwrite = true,
+        statsCols = Seq("k"))
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-table")
+          .option("root", root).option("view", "src").load()
+          .writeStream
+          .option("checkpointLocation", s"$root/_cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            if (!batch.isEmpty)
+              st.appendOnce("out", batch, txnId = id, statsCols = Seq("k"))
+            ()
+          }.start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      drain() // run 1: the initial snapshot
+      val afterFirst = st.read("out").count()
+      require(afterFirst == st.read("src").count(),
+        "run 1 must emit exactly the initial snapshot")
+      st.commit("src", o.where(col("k") % 3 === 1), overwrite = false,
+        statsCols = Seq("k"))
+      st.commit("src", o.where(col("k") % 3 === 2), overwrite = false,
+        statsCols = Seq("k"))
+      drain() // run 2: only the two appended commits
+      val vAfter2 = st.versions("out").max
+      drain() // run 3: nothing — the offset log already covers v3
+      require(st.versions("out").max == vAfter2,
+        "run 3 must move nothing (offset-log replay)")
+      require(st.read("out").count() == o.count(),
+        "runs 1+2 must deliver every row exactly once")
+      st.read("out")
+    }),
+
     // Streaming GDPR deleter — the compliance loop composed from the
     // round's pieces: a stream of erasure requests (user ids) drives
     // foreachBatch(deleteWhereOnce) against the ACID table — each
@@ -889,6 +940,11 @@ object PipelineQueries {
     "q82_stream_static_join" ->
       """SELECT event_id, user_id, c_mktsegment, value
          FROM events JOIN customer ON user_id = c_custkey""",
+
+    // exactly-once across three runs = the table, no more, no less
+    "q244_table_stream_source" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
+         FROM orders""",
 
     // every row of a non-erased user survives, nothing else
     "q243_stream_gdpr_delete" ->

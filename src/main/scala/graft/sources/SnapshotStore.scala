@@ -433,6 +433,52 @@ class SnapshotStore(spark: SparkSession, root: String) {
       manifestDels(view, v))
   }
 
+  /** Rows ADDED between snapshot `fromV` (EXCLUSIVE; `<= 0` = from the
+    * beginning, i.e. all of `toV`) and snapshot `toV` — the incremental
+    * read a streaming table scan is made of ([[graft.sources
+    * .GraftTableSourceProvider]] maps micro-batch offsets straight onto
+    * committed versions through this). Manifests are immutable, so the
+    * same (fromV, toV] range always yields the same rows — the
+    * determinism a replayed micro-batch needs for exactly-once.
+    *
+    * Append-only is VERIFIED, not assumed: a commit in the range that
+    * rewrote data (OPTIMIZE/overwrite/merge — `fromV`'s dirs are no
+    * longer a subset of `toV`'s) throws unless `allowRewrites`, because
+    * "new dirs since fromV" would silently re-emit rewritten rows as if
+    * they were inserts (Delta's readStream draws the same line, with
+    * `ignoreChanges` as the opt-in). Deletion vectors of `toV` apply to
+    * the appended rows (a key deleted in the same range never
+    * surfaces); rows emitted by EARLIER ranges cannot be retracted in
+    * append semantics — use the change-feed mode ([[diff]]) for that.
+    */
+  def readAppended(view: String, fromV: Long, toV: Long,
+                   allowRewrites: Boolean = false): DataFrame = {
+    val toDirs = readManifest(view, toV)
+    val fromDirs =
+      if (fromV <= 0L) Nil
+      else {
+        require(versions(view).contains(fromV),
+          s"$view: stream start version v$fromV no longer retained (vacuumed)")
+        readManifest(view, fromV)
+      }
+    val carried = toDirs.toSet
+    if (!allowRewrites)
+      fromDirs.filterNot(carried).headOption.foreach { gone =>
+        throw new SnapshotConflict(
+          s"$view: commit in (v$fromV, v$toV] rewrote data dir $gone — " +
+            "not an append; restart from a fresh offset or set " +
+            "allowRewrites to accept re-emission")
+      }
+    val added = {
+      val old = fromDirs.toSet
+      toDirs.filterNot(old)
+    }
+    if (added.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        read(view, Some(toV)).schema)
+    else applyDels(readDirs(added, view), view, manifestDels(view, toV))
+  }
+
   /** The manifest dirs of snapshot `asOf` split into (kept, skipped) for
     * the range predicate `lo <= c <= hi` — a dir is skipped only when its
     * recorded [min,max] for `c` provably misses the range (NULL rows
@@ -1017,6 +1063,75 @@ class SnapshotStore(spark: SparkSession, root: String) {
     publish(dst, 1L, readManifest(src, srcV).map(rel), Set.empty,
       manifestDels(src, srcV).map(rel))
     1L
+  }
+
+  // ------------------------------------------------- WAP branches
+
+  /** The view name a branch of `view` lives under — a branch IS a view
+    * (same manifests, same commits, same reads), so every store
+    * operation works on it unchanged; only [[fastForward]] knows the
+    * naming convention.
+    */
+  def branchView(view: String, branch: String): String = s"$view@$branch"
+
+  /** Open a WAP (write–audit–publish) branch: a zero-copy shallow
+    * clone of `view`'s head under [[branchView]]. Writers then commit
+    * to the branch with the NORMAL commit/append/merge API (isolated —
+    * main never sees branch data), auditors read and gate it
+    * ([[graft.operators.Expectations]]), and [[fastForward]] publishes
+    * the audited result into main atomically. The Iceberg/Nessie
+    * branch-and-merge workflow, expressed on this store's existing
+    * clone + exclusive-publish primitives.
+    */
+  def branchCreate(view: String, branch: String): Long =
+    cloneView(view, branchView(view, branch))
+
+  /** Atomically publish branch `branch`'s head as `view`'s next
+    * version — the P of WAP. Fails with [[SnapshotConflict]] if main
+    * advanced since [[branchCreate]] (the branch's v1 pins exactly the
+    * dirs main had then, so divergence is detectable from manifests
+    * alone — no extra metadata): a diverged main means the audit ran
+    * against a stale base, and publishing would silently drop main's
+    * newer commits — the lost-update WAP exists to prevent. Re-branch
+    * and re-audit instead (Iceberg's fast-forward draws the same line).
+    *
+    * Branch-local data dirs enter main as foreign refs into the branch
+    * view's data root (the shallow-clone mechanism, reversed) — an
+    * O(files) metadata publish, no data copied. The branch view stays
+    * on disk as a retention root for those dirs; run [[compact]] on
+    * main to localize them before dropping or vacuuming the branch
+    * (the documented clone-vs-vacuum contract, same direction).
+    */
+  def fastForward(view: String, branch: String): Long = {
+    val b = branchView(view, branch)
+    val bvs = versions(b)
+    require(bvs.nonEmpty, s"$b: no such branch")
+    val vs = versions(view)
+    require(vs.nonEmpty, s"$view: no committed snapshot")
+    val base = vs.max
+    // divergence check: main's CURRENT dirs, seen through the clone's
+    // relative-ref lens, must be exactly what the branch pinned at v1
+    def rel(d: String) = if (d.contains("/")) d else s"../../$view/data/$d"
+    val pinned = readManifest(b, 1L).toSet
+    val current = readManifest(view, base).map(rel).toSet
+    if (pinned != current)
+      throw new SnapshotConflict(
+        s"$view: advanced since branch '$branch' was created — " +
+          "fast-forward would drop main's commits; re-branch and re-audit")
+    // branch head dirs re-pointed for main: main's own dirs return to
+    // plain names, branch-local dirs become foreign refs, foreign refs
+    // stay verbatim (all data roots sit at the same depth, so a
+    // `../../x/data/d` ref resolves identically from any view)
+    val ownRef = s"../../$view/data/"
+    def toMain(d: String) =
+      if (d.startsWith(ownRef)) d.stripPrefix(ownRef)
+      else if (!d.contains("/")) s"../../$b/data/$d"
+      else d
+    val head = bvs.max
+    publish(view, base + 1, readManifest(b, head).map(toMain),
+      manifestTxns(view, base) ++ manifestTxns(b, head),
+      manifestDels(b, head).map(toMain))
+    base + 1
   }
 
   /** Delete data dirs referenced by NO manifest among the newest

@@ -1,0 +1,191 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.StreamingBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** The ACID table AS a stream — `spark.readStream.format("graft-table")`
+  * over a [[SnapshotStore]] view, the Delta-style table-stream the
+  * reference's speed layer would read instead of raw Kafka re-parses
+  * (its consumers re-read the raw topic because its store has no
+  * incremental read; this source makes the COMMITTED table the topic).
+  *
+  * Offsets ARE committed snapshot versions: `getOffset` is the view's
+  * latest manifest, `getBatch(a, b)` is [[SnapshotStore.readAppended]]
+  * over `(a, b]` — deterministic (manifests are immutable) and
+  * replayable from the checkpointed offset log, so a restarted query
+  * re-emits nothing and misses nothing, with NO source-side state: the
+  * store's manifest log doubles as the write-ahead log a streaming
+  * source needs. Commit granularity = micro-batch granularity
+  * (`maxVersionsPerTrigger` caps how many commits one batch absorbs).
+  *
+  * Two modes:
+  *  - append (default): new rows per commit; a rewriting commit
+  *    (OPTIMIZE/overwrite/merge) in the range fails loudly unless
+  *    `ignoreRewrites` (Delta's `ignoreChanges` line — silent
+  *    re-emission is worse than an error).
+  *  - change feed (`changeFeed=true`, requires `keyColumns`): emits
+  *    [[SnapshotStore.diff]] rows (`change_type` insert/update/delete
+  *    with pre/post payloads) per version step, so downstream
+  *    materializations can apply retractions — the streaming half of
+  *    the CDC-to-MV loop (q241's batch feed, as a source).
+  *
+  * Options: `root`, `view` (required); `changeFeed`, `keyColumns`,
+  * `startingVersion` (exclusive; default 0 = initial snapshot is the
+  * first batch), `maxVersionsPerTrigger`, `ignoreRewrites`.
+  *
+  * Built on the DataSource v1 streaming `Source` API deliberately: its
+  * `getBatch` returns a DataFrame, so the store's existing reads
+  * (merged-schema cache, deletion-vector anti-join, foreign refs)
+  * compose unchanged; the v2 `MicroBatchStream` would force this
+  * library to re-implement parquet row reading behind
+  * `PartitionReader`. The schema is pinned at stream start (columns
+  * added by later commits are dropped, columns removed read NULL —
+  * restart the query to pick up a new schema, Delta's contract).
+  */
+class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def param(parameters: Map[String, String], key: String): String =
+    parameters.getOrElse(key,
+      throw new IllegalArgumentException(s"graft-table source: option '$key' is required"))
+
+  private def keyCols(parameters: Map[String, String]): Seq[String] =
+    parameters.get("keyColumns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  private def streamSchema(store: SnapshotStore, view: String,
+                           parameters: Map[String, String]): StructType =
+    if (parameters.get("changeFeed").exists(_.toBoolean)) {
+      val keys = keyCols(parameters)
+      require(keys.nonEmpty, "graft-table changeFeed mode requires 'keyColumns'")
+      val v = store.versions(view).max
+      store.diff(view, v, v, keys).schema
+    } else store.read(view).schema
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val store = new SnapshotStore(sqlContext.sparkSession, param(parameters, "root"))
+    val view = param(parameters, "view")
+    (s"graft-table:$view",
+      schema.getOrElse(streamSchema(store, view, parameters)))
+  }
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val store = new SnapshotStore(spark, param(parameters, "root"))
+    val view = param(parameters, "view")
+    new GraftTableSource(spark, store, view,
+      changeFeed = parameters.get("changeFeed").exists(_.toBoolean),
+      keyColumns = keyCols(parameters),
+      fixedSchema = schema.getOrElse(streamSchema(store, view, parameters)),
+      startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      ignoreRewrites = parameters.get("ignoreRewrites").exists(_.toBoolean))
+  }
+}
+
+class GraftTableSource(spark: SparkSession,
+                       store: SnapshotStore,
+                       view: String,
+                       changeFeed: Boolean,
+                       keyColumns: Seq[String],
+                       fixedSchema: StructType,
+                       startingVersion: Long,
+                       maxVersionsPerTrigger: Option[Long],
+                       ignoreRewrites: Boolean) extends Source {
+
+  override def schema: StructType = fixedSchema
+
+  /** Version carried by an offset — after a restart the engine hands
+    * back the checkpoint-log form ([[SerializedOffset]]), live batches
+    * the typed one; both serialize as the bare version number.
+    */
+  private def ver(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json().trim.toLong
+  }
+
+  // the rate cap advances relative to the last end the engine asked us
+  // to materialize (getBatch is called with the recovered range on
+  // restart, so this re-seeds itself from the checkpoint before the
+  // first live batch; until then a too-low capped offset just reads as
+  // "no new data" — versions are contiguous by construction)
+  @volatile private var lastEnd: Long = startingVersion
+
+  override def getOffset: Option[OffsetV1] = {
+    val vs = store.versions(view)
+    if (vs.isEmpty) None
+    else {
+      val latest = vs.max
+      // rate limit counts committed versions, not rows — commits are
+      // the store's natural batch unit
+      val capped = maxVersionsPerTrigger.fold(latest)(n =>
+        math.min(latest, math.max(lastEnd, startingVersion) + n))
+      Some(LongOffset(capped))
+    }
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = start.map(o => ver(o)).getOrElse(startingVersion)
+    val to = ver(end)
+    lastEnd = math.max(lastEnd, to)
+    val batch =
+      if (to <= from) emptyBatch
+      else if (changeFeed) cdfBatch(from, to)
+      else store.readAppended(view, from, to, allowRewrites = ignoreRewrites)
+    StreamingBridge.asStreaming(align(batch))
+  }
+
+  private def emptyBatch: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], fixedSchema)
+
+  /** Change-feed batch: manifest-diff between the offsets; the initial
+    * range (from before the first retained version) surfaces snapshot
+    * `to` as pure inserts in the same schema.
+    */
+  private def cdfBatch(from: Long, to: Long): DataFrame =
+    if (from > 0 && store.versions(view).contains(from))
+      store.diff(view, from, to, keyColumns)
+    else {
+      val snap = store.read(view, Some(to))
+      val have = snap.columns.toSet
+      val payload = fixedSchema.fieldNames.toSeq
+        .filterNot(keyColumns.contains).filterNot(_ == "change_type")
+      snap.select((keyColumns.map(col) :+ lit("insert").as("change_type")) ++
+        payload.map { c =>
+          val base = c.stripSuffix("_post")
+          if (c.endsWith("_pre") || !have.contains(base)) lit(null).as(c)
+          else col(base).as(c)
+        }: _*)
+    }
+
+  /** Pin every batch to the stream-start schema: same columns, same
+    * order, same types (casts cover commit-time widenings; a column a
+    * later commit dropped reads NULL via the store's merged-schema
+    * read).
+    */
+  private def align(df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    df.select(fixedSchema.fields.toSeq.map { f =>
+      (if (have.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    }: _*)
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -36,3 +36,17 @@ object DatasetBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
+
+/** Batch→streaming DataFrame bridge for DSv1 streaming sources: the
+  * micro-batch a `Source.getBatch` returns must carry
+  * `isStreaming = true` (MicroBatchExecution asserts it), and the only
+  * constructor that sets the flag — `internalCreateDataFrame` — is
+  * `private[sql]`. Same extension-library pattern as [[ColumnBridge]].
+  */
+object StreamingBridge {
+  def asStreaming(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+}

@@ -140,4 +140,40 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(GraftSqlParser.splitTopLevel("cast(a as decimal(10, 2)), b") ==
       Seq("cast(a as decimal(10, 2))", "b"))
   }
+
+  test("VERSION AS OF reads the pinned snapshot; two versions in one statement") {
+    val root = graft.sources.Scratch.processScoped("sqlparser_tt", "spec")
+    graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+    val st = new graft.sources.SnapshotStore(spark, root)
+    st.commit("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"), overwrite = true)
+    st.commit("t", Seq((3L, "c")).toDF("k", "v"), overwrite = false)
+    GraftTableRegistry.register("tt_spec", st, "t")
+    assert(spark.sql("SELECT k FROM tt_spec VERSION AS OF 1")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // qualified references resolve through the original name
+    assert(spark.sql(
+      """SELECT a.k FROM tt_spec VERSION AS OF 2 a
+         LEFT ANTI JOIN tt_spec VERSION AS OF 1 b ON a.k = b.k""")
+      .as[Long].collect().toSet == Set(3L))
+    // the pin is the resolved manifest: a commit after parse+plan
+    val pinned = spark.sql("SELECT k FROM tt_spec VERSION AS OF 2")
+    st.commit("t", Seq((9L, "z")).toDF("k", "v"), overwrite = true)
+    assert(pinned.as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("VERSION AS OF on an unregistered name fails with the registration hint") {
+    val ex = intercept[Exception](
+      spark.sql("SELECT * FROM nope_not_there VERSION AS OF 1").collect())
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => String.valueOf(m.getMessage)).mkString(" | ")
+    assert(msgs.contains("not registered"), msgs)
+  }
+
+  test("statements without the clause never hit the time-travel rewrite") {
+    // a column literally named `version` and strings containing the
+    // words survive untouched
+    Seq((1L, "x")).toDF("version", "s").createOrReplaceTempView("tt_plain")
+    assert(spark.sql("SELECT version FROM tt_plain").as[Long].collect()
+      .toSet == Set(1L))
+  }
 }

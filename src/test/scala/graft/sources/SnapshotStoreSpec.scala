@@ -728,4 +728,56 @@ class SnapshotStoreSpec extends SparkSpec {
     pool.shutdown()
     assert(st.syncpoints == (1L to 12L), st.syncpoints.toString)
   }
+
+  test("WAP: branch writes are isolated; fast-forward publishes them atomically") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
+    st.branchCreate("t", "wip")
+    val b = st.branchView("t", "wip")
+    // zero-copy: the branch's v1 holds only foreign refs, no data dirs of its own
+    assert(st.manifestDirs(b).forall(_.contains("/")))
+    st.commit(b, Seq((2, "b")).toDF("k", "v"), overwrite = false)
+    st.commit(b, Seq((3, "c")).toDF("k", "v"), overwrite = false)
+    def ks(view: String) = st.read(view).select("k").as[Int].collect().toSet
+    assert(ks("t") == Set(1), "main must not see branch writes")
+    assert(ks(b) == Set(1, 2, 3))
+    val v = st.fastForward("t", "wip")
+    assert(v == 2L)
+    assert(ks("t") == Set(1, 2, 3))
+    // time travel across the publish still works
+    assert(st.read("t", Some(1L)).select("k").as[Int].collect().toSet == Set(1))
+  }
+
+  test("WAP: fast-forward of a diverged branch refuses (OCC), deletes carry") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq((1, "a"), (2, "b")).toDF("k", "v"), overwrite = true)
+    st.branchCreate("t", "wip")
+    val b = st.branchView("t", "wip")
+    st.deleteWhere(b, "k", col("k") === 1) // branch-side DV
+    st.commit("t", Seq((9, "z")).toDF("k", "v"), overwrite = false) // main moves
+    intercept[RuntimeException](st.fastForward("t", "wip"))
+    // re-branch from the new head: the cycle completes
+    st.branchCreate("t", "wip2")
+    val b2 = st.branchView("t", "wip2")
+    st.deleteWhere(b2, "k", col("k") === 1)
+    st.fastForward("t", "wip2")
+    assert(st.read("t").select("k").as[Int].collect().toSet == Set(2, 9))
+  }
+
+  test("WAP: branch compaction localizes, then fast-forward carries local dirs") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
+    st.branchCreate("t", "wip")
+    val b = st.branchView("t", "wip")
+    st.commit(b, Seq((2, "b")).toDF("k", "v"), overwrite = false)
+    st.compact(b) // branch-local rewrite: all dirs now live under the branch
+    assert(st.manifestDirs(b).forall(!_.contains("/")))
+    st.fastForward("t", "wip")
+    // main's new head references the branch's data root (foreign refs)
+    assert(st.manifestDirs("t").forall(_.contains(s"$b/data")))
+    assert(st.read("t").select("k").as[Int].collect().toSet == Set(1, 2))
+    // localize main, then the branch dirs are droppable
+    st.compact("t")
+    assert(st.manifestDirs("t").forall(!_.contains("/")))
+  }
 }

@@ -1,0 +1,150 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+/** The graft-table streaming source: offsets are committed snapshot
+  * versions, batches are the manifest-diff rows, and everything a
+  * restart replays comes from immutable manifests — exactly-once with
+  * zero source-side state.
+  */
+class TableStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def fresh(): (SnapshotStore, String) = {
+    n += 1
+    val root = Scratch.processScoped("tablestream_spec", "spec") + s"/case$n"
+    (new SnapshotStore(spark, root), root)
+  }
+
+  private def drainTo(root: String, results: scala.collection.mutable.Buffer[(Long, Set[Long])],
+                      extra: Map[String, String] = Map.empty): Unit = {
+    var r = spark.readStream.format("graft-table")
+      .option("root", root).option("view", "src")
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load().writeStream
+      .option("checkpointLocation", s"$root/_cp")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ks = batch.select(col("k")).collect().map(_.getLong(0)).toSet
+        if (ks.nonEmpty) results.synchronized { results += ((id, ks)) }
+        ()
+      }.start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  test("append mode: initial snapshot, then exactly the appended commits, then nothing") {
+    val (st, root) = fresh()
+    st.commit("src", Seq((1L, "a"), (2L, "b")).toDF("k", "v"), overwrite = true)
+    val got = scala.collection.mutable.Buffer.empty[(Long, Set[Long])]
+    drainTo(root, got)
+    assert(got.map(_._2).toSet == Set(Set(1L, 2L)), got.toString)
+    st.commit("src", Seq((3L, "c")).toDF("k", "v"), overwrite = false)
+    st.commit("src", Seq((4L, "d")).toDF("k", "v"), overwrite = false)
+    drainTo(root, got)
+    assert(got.flatMap(_._2).toSet == Set(1L, 2L, 3L, 4L))
+    assert(got.flatMap(_._2).size == 4, s"re-emission: $got")
+    val before = got.size
+    drainTo(root, got) // no new commits: the offset log already covers it
+    assert(got.size == before, "a drained stream must emit nothing")
+  }
+
+  test("a delete in the offset range never surfaces the deleted rows") {
+    val (st, root) = fresh()
+    st.commit("src", Seq((1L, "a")).toDF("k", "v"), overwrite = true)
+    val got = scala.collection.mutable.Buffer.empty[(Long, Set[Long])]
+    drainTo(root, got)
+    st.commit("src", Seq((2L, "b"), (3L, "c")).toDF("k", "v"), overwrite = false)
+    st.deleteWhere("src", "k", col("k") === 3L)
+    drainTo(root, got)
+    // the appended batch (2,3] applies v3's deletion vector: 3 is gone
+    assert(got.flatMap(_._2).toSet == Set(1L, 2L))
+  }
+
+  test("a rewriting commit mid-range fails loudly; ignoreRewrites opts in") {
+    val (st, root) = fresh()
+    st.commit("src", Seq((1L, "a")).toDF("k", "v"), overwrite = true)
+    val got = scala.collection.mutable.Buffer.empty[(Long, Set[Long])]
+    drainTo(root, got)
+    st.compact("src") // rewrites every dir
+    val ex = intercept[StreamingQueryException] { drainTo(root, got) }
+    assert(ex.getMessage != null)
+    // opt-in re-emission: the compacted dir re-surfaces its rows
+    drainTo(root, got, Map("ignoreRewrites" -> "true"))
+    assert(got.flatMap(_._2).toSet == Set(1L))
+  }
+
+  test("change feed mode: initial inserts, then typed change rows") {
+    val (st, root) = fresh()
+    st.commit("src", Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"),
+      overwrite = true, statsCols = Seq("k"))
+    val rows = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Row]
+    def drainCdf(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("root", root).option("view", "src")
+        .option("changeFeed", "true").option("keyColumns", "k")
+        .load().writeStream
+        .option("checkpointLocation", s"$root/_cpc")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val got = batch.collect()
+          rows.synchronized { rows ++= got }
+          ()
+        }.start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    drainCdf()
+    assert(rows.map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type")))
+      .toSet == Set((1L, "insert"), (2L, "insert")))
+    rows.clear()
+    st.mergeInto("src", Seq((2L, 25.0), (9L, 90.0)).toDF("k", "x"), "k",
+      statsCols = Seq("k"))
+    drainCdf()
+    val typed = rows.map(r => (r.getAs[Long]("k"),
+      r.getAs[String]("change_type"))).toSet
+    assert(typed == Set((2L, "update"), (9L, "insert")), typed.toString)
+  }
+
+  test("rate limit: maxVersionsPerTrigger walks one commit per batch") {
+    val (st, root) = fresh()
+    st.commit("src", Seq((1L, "a")).toDF("k", "v"), overwrite = true)
+    st.commit("src", Seq((2L, "b")).toDF("k", "v"), overwrite = false)
+    st.commit("src", Seq((3L, "c")).toDF("k", "v"), overwrite = false)
+    val got = scala.collection.mutable.Buffer.empty[(Long, Set[Long])]
+    val q = spark.readStream.format("graft-table")
+      .option("root", root).option("view", "src")
+      .option("maxVersionsPerTrigger", "1")
+      .load().writeStream
+      .option("checkpointLocation", s"$root/_cp")
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val ks = batch.select(col("k")).collect().map(_.getLong(0)).toSet
+        if (ks.nonEmpty) got.synchronized { got += ((id, ks)) }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // one version per micro-batch: three distinct single-key batches
+    assert(got.map(_._2).toList == List(Set(1L), Set(2L), Set(3L)), got.toString)
+  }
+
+  test("readAppended is the deterministic range read under it all") {
+    val (st, _) = fresh()
+    st.commit("t", Seq((1L, "a")).toDF("k", "v"), overwrite = true)
+    st.commit("t", Seq((2L, "b")).toDF("k", "v"), overwrite = false)
+    st.commit("t", Seq((3L, "c")).toDF("k", "v"), overwrite = false)
+    def ks(df: DataFrame) = df.select("k").as[Long].collect().toSet
+    assert(ks(st.readAppended("t", 0L, 3L)) == Set(1L, 2L, 3L))
+    assert(ks(st.readAppended("t", 1L, 3L)) == Set(2L, 3L))
+    assert(ks(st.readAppended("t", 2L, 3L)) == Set(3L))
+    assert(ks(st.readAppended("t", 3L, 3L)) == Set.empty[Long])
+    // replay of the same range is identical (manifests are immutable)
+    assert(ks(st.readAppended("t", 1L, 3L)) == Set(2L, 3L))
+    st.compact("t")
+    intercept[RuntimeException](st.readAppended("t", 3L, 4L))
+    assert(ks(st.readAppended("t", 3L, 4L, allowRewrites = true)) ==
+      Set(1L, 2L, 3L))
+  }
+}
