@@ -99,7 +99,8 @@ object IncrementalAgg {
   def refreshWithRetractions(store: SnapshotStore, view: String,
                              delta: DataFrame, keyCol: String,
                              sumCols: Seq[String],
-                             opCol: String = "op"): Long = {
+                             opCol: String = "op",
+                             txn: Option[Long] = None): Long = {
     val aggs = sum(col(opCol)).cast("long").as("n") +:
       sumCols.map(c => sum(col(opCol) * col(c)).as(s"sum_$c"))
     val partial = delta.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
@@ -113,10 +114,10 @@ object IncrementalAgg {
         .groupBy(col(keyCol)).agg(mergeAggs.head, mergeAggs.tail: _*)
     if (store.versions(view).isEmpty)
       store.commit(view, merged.where(col("n") =!= 0),
-        overwrite = true, statsCols = Seq(keyCol))
+        overwrite = true, statsCols = Seq(keyCol), txn = txn)
     else
       store.mergeInto(view, merged.withColumn("_del", col("n") === 0),
-        keyCol, deleteCol = Some("_del"), statsCols = Seq(keyCol))
+        keyCol, deleteCol = Some("_del"), statsCols = Seq(keyCol), txn = txn)
   }
 
   /** Incremental maintenance of a JOIN view (MV = facts ⋈ dim on

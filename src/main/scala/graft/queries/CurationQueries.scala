@@ -1241,6 +1241,61 @@ object CurationQueries {
       st.read("mv").select(col("d"), col("n"), col("sum_cents"))
     }),
 
+    // q241's CDC-to-MV loop, fully STREAMING: the graft-table source
+    // in changeFeed mode IS the CDC feed (offsets = versions, each
+    // micro-batch = one version step's diff rows), foreachBatch
+    // reshapes it (cdcToOps) and folds it into the aggregate MV with
+    // the refresh txn-fenced by the BATCH id — so the whole loop is
+    // exactly-once end to end: source replay is deterministic from
+    // manifests, sink replay is fenced by the txn history, and an
+    // extra drain on the same checkpoint moves nothing (required).
+    // The fact table is never re-read; same one-shot oracle as q241.
+    "q247_stream_cdc_to_mv" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q247_snap", dir)
+      Seq("t", "mv", "_cp").foreach(d =>
+        graft.sources.Scratch.deleteRecursively(new java.io.File(root, d)))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val f = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          floor(col("o_totalprice") * 100).as("cents"))
+      val v1Facts = f.where(col("d").between("1995-01-01", "1995-03-31"))
+      st.commit("t", v1Facts, overwrite = true, statsCols = Seq("k"))
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-table")
+          .option("root", root).option("view", "t")
+          .option("changeFeed", "true").option("keyColumns", "k")
+          .load().writeStream
+          .option("checkpointLocation", s"$root/_cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            if (!st.appliedTxns("mv").contains(id)) {
+              val ops = graft.operators.Changelog.cdcToOps(
+                batch, Seq("d", "cents"))
+              graft.operators.IncrementalAgg.refreshWithRetractions(st,
+                "mv", ops, "d", Seq("cents"), txn = Some(id))
+            }
+            ()
+          }.start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      drain() // batch 0: the initial snapshot as inserts
+      val src = v1Facts.where(col("k") % 5 === 0 && col("k") % 7 =!= 0)
+        .withColumn("cents", col("cents") * 2).withColumn("_del", lit(false))
+        .unionByName(v1Facts.where(col("k") % 7 === 0)
+          .withColumn("_del", lit(true)))
+        .unionByName(f.where(col("d").between("1995-04-01", "1995-04-30"))
+          .withColumn("_del", lit(false)))
+      st.mergeInto("t", src, "k", deleteCol = Some("_del"),
+        statsCols = Seq("k"))
+      drain() // batch 1: the merge's diff maintains the MV
+      val vAfter = st.versions("mv").max
+      drain() // replay: nothing may move
+      require(st.versions("mv").max == vAfter,
+        "a drained CDC stream must not re-apply")
+      st.read("mv").select(col("d"), col("n"), col("sum_cents"))
+    }),
+
     // DELETE without rewrite — deletion vectors
     // (SnapshotStore.deleteWhere): 10% of the table deletes as one
     // small parquet key vector (in-query require: data dirs BYTE-
@@ -2634,6 +2689,24 @@ object CurationQueries {
     // minus the k%7=0 deletes, k%5=0 survivors at doubled price, plus
     // the April inserts.
     "q241_cdc_to_mv" ->
+      """WITH f AS (SELECT o_orderkey AS k,
+              strftime(o_orderdate, '%Y-%m-%d') AS d,
+              CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders),
+          fin AS (
+            SELECT d, CASE WHEN k % 5 = 0 THEN cents * 2 ELSE cents END
+              AS cents
+            FROM f WHERE d BETWEEN '1995-01-01' AND '1995-03-31'
+              AND k % 7 <> 0
+            UNION ALL
+            SELECT d, cents FROM f
+            WHERE d BETWEEN '1995-04-01' AND '1995-04-30')
+          SELECT d, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+          FROM fin GROUP BY d""",
+
+    // same final state as q241 — the streaming loop must be
+    // indistinguishable from the batch one
+    "q247_stream_cdc_to_mv" ->
       """WITH f AS (SELECT o_orderkey AS k,
               strftime(o_orderdate, '%Y-%m-%d') AS d,
               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents

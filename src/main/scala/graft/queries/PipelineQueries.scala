@@ -556,6 +556,57 @@ object PipelineQueries {
       st.read("out")
     }),
 
+    // Stream THROUGH a compaction — the operational path q244 fences:
+    // OPTIMIZE rewrites every data dir, so "new dirs since my offset"
+    // stops meaning "appended rows" and the append-mode stream FAILS
+    // (required below — silent re-emission is the bug). The recovery
+    // that loses nothing is sink-shaped: a KEYED sink replays from
+    // scratch and converges (mergeIntoOnce is idempotent per key and
+    // txn-fenced per batch), so a fresh checkpoint from version 0
+    // re-absorbs the compacted table plus everything after it. Append
+    // sinks would opt into ignoreRewrites instead; q248 grades the
+    // keyed-replay road. Run-2 txns live in a distinct id space — a
+    // new checkpoint restarts batch ids at 0, and the fence must not
+    // mistake them for run-1's.
+    "q248_stream_compaction_replay" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q248_snap", dir)
+      Seq("src", "out", "_cp1", "_cp2").foreach(d =>
+        graft.sources.Scratch.deleteRecursively(new java.io.File(root, d)))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      st.commit("src", o.where(col("k") % 3 === 0), overwrite = true,
+        statsCols = Seq("k"))
+      def drain(cp: String, txnBase: Long): Unit = {
+        val q = s.readStream.format("graft-table")
+          .option("root", root).option("view", "src").load()
+          .writeStream
+          .option("checkpointLocation", s"$root/$cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            if (!batch.isEmpty)
+              st.mergeIntoOnce("out", batch, "k", txnId = txnBase + id,
+                statsCols = Seq("k"))
+            ()
+          }.start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      drain("_cp1", 0L)
+      st.commit("src", o.where(col("k") % 3 === 1), overwrite = false,
+        statsCols = Seq("k"))
+      st.compact("src") // rewrites every dir
+      st.commit("src", o.where(col("k") % 3 === 2), overwrite = false,
+        statsCols = Seq("k"))
+      val failed =
+        try { drain("_cp1", 0L); false }
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => true }
+      require(failed, "a compaction inside the offset range must fail the append stream")
+      drain("_cp2", 1000L) // keyed replay from scratch: converges
+      require(st.read("out").count() == o.count(),
+        "keyed replay must converge to the table, no dup no loss")
+      st.read("out")
+    }),
+
     // Streaming GDPR deleter — the compliance loop composed from the
     // round's pieces: a stream of erasure requests (user ids) drives
     // foreachBatch(deleteWhereOnce) against the ACID table — each
@@ -940,6 +991,11 @@ object PipelineQueries {
     "q82_stream_static_join" ->
       """SELECT event_id, user_id, c_mktsegment, value
          FROM events JOIN customer ON user_id = c_custkey""",
+
+    // replay-after-compaction converges to exactly the table
+    "q248_stream_compaction_replay" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
+         FROM orders""",
 
     // exactly-once across three runs = the table, no more, no less
     "q244_table_stream_source" ->

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions._
@@ -105,7 +105,8 @@ class GraftTableSource(spark: SparkSession,
                        fixedSchema: StructType,
                        startingVersion: Long,
                        maxVersionsPerTrigger: Option[Long],
-                       ignoreRewrites: Boolean) extends Source {
+                       ignoreRewrites: Boolean)
+    extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   override def schema: StructType = fixedSchema
 
@@ -119,30 +120,49 @@ class GraftTableSource(spark: SparkSession,
     case other => other.json().trim.toLong
   }
 
-  // the rate cap advances relative to the last end the engine asked us
-  // to materialize (getBatch is called with the recovered range on
-  // restart, so this re-seeds itself from the checkpoint before the
-  // first live batch; until then a too-low capped offset just reads as
-  // "no new data" — versions are contiguous by construction)
-  @volatile private var lastEnd: Long = startingVersion
+  // ---- admission control (the FileStreamSource shape: a v1 Source
+  // that ALSO implements the v2 admission interfaces, so rate limits
+  // and Trigger.AvailableNow compose as multiple capped batches
+  // instead of one unbounded one)
 
+  // AvailableNow pin: versions committed AFTER query start are not
+  // this run's problem — latestOffset never advances past it, and the
+  // engine drains up to it in maxVersionsPerTrigger-sized steps
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(
+      store.versions(view).lastOption.getOrElse(startingVersion))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Next batch end for a batch starting (exclusive) at `startOffset`:
+    * the latest committed version, clamped by the AvailableNow pin and
+    * the per-trigger version cap (commits are the store's natural
+    * batch unit — rate limiting counts them, not rows). `null` = no
+    * new data, the engine's idle signal.
+    */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val from = Option(startOffset).map(ver).getOrElse(startingVersion)
+    val vs = store.versions(view)
+    if (vs.isEmpty) return null
+    val pinned = availableNowEnd.fold(vs.last)(e => math.min(vs.last, e))
+    val end = maxVersionsPerTrigger.fold(pinned)(n => math.min(pinned, from + n))
+    if (end <= from) null else LongOffset(end)
+  }
+
+  // legacy v1 polling path (kept for completeness — the engine prefers
+  // the admission-control path above when both are present)
   override def getOffset: Option[OffsetV1] = {
     val vs = store.versions(view)
-    if (vs.isEmpty) None
-    else {
-      val latest = vs.max
-      // rate limit counts committed versions, not rows — commits are
-      // the store's natural batch unit
-      val capped = maxVersionsPerTrigger.fold(latest)(n =>
-        math.min(latest, math.max(lastEnd, startingVersion) + n))
-      Some(LongOffset(capped))
-    }
+    if (vs.isEmpty) None else Some(LongOffset(vs.max))
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(o => ver(o)).getOrElse(startingVersion)
     val to = ver(end)
-    lastEnd = math.max(lastEnd, to)
     val batch =
       if (to <= from) emptyBatch
       else if (changeFeed) cdfBatch(from, to)

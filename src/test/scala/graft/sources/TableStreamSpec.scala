@@ -130,6 +130,19 @@ class TableStreamSpec extends SparkSpec {
     assert(got.map(_._2).toList == List(Set(1L), Set(2L), Set(3L)), got.toString)
   }
 
+  test("AvailableNow + rate limit drains EVERYTHING in capped batches") {
+    // the admission-control contract: the run must not stop at the
+    // first capped batch — it steps one version per batch to the
+    // offset pinned at query start
+    val (st, root) = fresh()
+    st.commit("src", Seq((1L, "a")).toDF("k", "v"), overwrite = true)
+    st.commit("src", Seq((2L, "b")).toDF("k", "v"), overwrite = false)
+    st.commit("src", Seq((3L, "c")).toDF("k", "v"), overwrite = false)
+    val got = scala.collection.mutable.Buffer.empty[(Long, Set[Long])]
+    drainTo(root, got, Map("maxVersionsPerTrigger" -> "1"))
+    assert(got.map(_._2).toList == List(Set(1L), Set(2L), Set(3L)), got.toString)
+  }
+
   test("readAppended is the deterministic range read under it all") {
     val (st, _) = fresh()
     st.commit("t", Seq((1L, "a")).toDF("k", "v"), overwrite = true)
