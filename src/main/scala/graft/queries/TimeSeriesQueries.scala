@@ -57,6 +57,23 @@ object TimeSeriesQueries {
     // distributed dataflow (per-key spine explode + one ordered
     // window). Oracle: generate_series spine + LAST_VALUE IGNORE
     // NULLS, value exact integer cents.
+    // Holt linear-trend forecast per key — the one-pass smoothing
+    // recurrence as a codegen'd array fold (no window, no iteration,
+    // one agg row per key), h-step forecasts from the final
+    // (level, trend). Dyadic constants (alpha=0.5, beta=0.25) make
+    // the recurrence bit-identical in any IEEE engine, so the DuckDB
+    // oracle replays it EXACTLY through a recursive CTE — a raw-double
+    // hash match on a genuinely sequential computation.
+    "q249_holt_forecast" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).cast("string").as("d"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("user_id"), col("d"))
+        .agg(sum(col("cents")).as("y"))
+      graft.operators.Smoothing.holtLinear(daily, "user_id", "d", "y",
+        alpha = 0.5, beta = 0.25, horizon = 3)
+    }),
+
     "q242_gapfill_ffill" -> ((s, dir) => {
       val src = t(s, dir, "orders").where(col("o_orderkey") % 11 === 0)
         .select(pmod(col("o_custkey"), lit(20)).as("key"),
@@ -227,6 +244,33 @@ object TimeSeriesQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // the recurrence replayed verbatim: level first, trend from the
+    // NEW level, zero-trend init — literal-for-literal the operator's
+    // update (dyadic constants make both engines bit-identical)
+    "q249_holt_forecast" ->
+      """WITH RECURSIVE src AS (
+           SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
+                  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS yi
+           FROM events GROUP BY user_id, d),
+         s AS (SELECT user_id, CAST(yi AS DOUBLE) AS y,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS i
+               FROM src),
+         hw AS (
+           SELECT user_id, i, y AS l, CAST(0.0 AS DOUBLE) AS b
+           FROM s WHERE i = 1
+           UNION ALL
+           SELECT s.user_id, s.i,
+                  0.5*s.y + 0.5*(hw.l + hw.b),
+                  0.25*((0.5*s.y + 0.5*(hw.l + hw.b)) - hw.l) + 0.75*hw.b
+           FROM hw JOIN s ON s.user_id = hw.user_id AND s.i = hw.i + 1),
+         fin AS (
+           SELECT user_id, i AS n, l AS level, b AS trend FROM hw
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY i DESC) = 1)
+         SELECT f.user_id, f.n, f.level, f.trend, t.h,
+                f.level + CAST(t.h AS DOUBLE) * f.trend AS yhat
+         FROM fin f
+         CROSS JOIN (SELECT CAST(range AS BIGINT) AS h FROM range(1, 4)) t""",
 
     "q242_gapfill_ffill" ->
       """WITH src AS (SELECT o_custkey % 20 AS key,

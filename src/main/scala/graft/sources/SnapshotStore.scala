@@ -1150,13 +1150,39 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val keep = (vs.takeRight(retainVersions) ++ vs.filter(pinned)).distinct
     // deletion vectors are retention roots exactly like data dirs
     val live = keep.flatMap(v =>
-      readManifest(view, v) ++ manifestDels(view, v)).toSet
+      readManifest(view, v) ++ manifestDels(view, v)).toSet ++
+      branchPinnedDirs(view)
     if (Files.isDirectory(dataRoot(view)))
       listEntries(dataRoot(view))
         .filterNot(p => live.contains(p.getFileName.toString))
         .foreach(p => Scratch.deleteRecursively(p.toFile))
     vs.dropRight(retainVersions).filterNot(pinned)
       .foreach(v => Files.deleteIfExists(manifestPath(view, v)))
+  }
+
+  /** `view`'s data dirs still referenced by ANY other view in this
+    * store root (WAP branches, shallow clones, fast-forwarded mains) —
+    * retention roots for [[vacuum]]. Foreign refs all spell the source
+    * as `../../<view>/data/<dir>`, so every retained version of every
+    * sibling view is scanned for that prefix: a vacuum can never take
+    * data a live same-root reference still reads, which closes the
+    * clone-vs-vacuum caveat WITHIN a root (cross-store copies remain
+    * the caller's contract — localize with [[compact]] first). Cost is
+    * O(total manifests) string work — no data IO, commit-scale
+    * metadata.
+    */
+  private def branchPinnedDirs(view: String): Set[String] = {
+    val prefix = s"../../$view/data/"
+    val rootDir = Paths.get(root)
+    if (!Files.isDirectory(rootDir)) Set.empty
+    else listEntries(rootDir)
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filter(c => c != view && Files.isDirectory(manifestDir(c)))
+      .flatMap(c => versions(c).flatMap(v =>
+        (readManifest(c, v) ++ manifestDels(c, v))
+          .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))))
+      .toSet
   }
 
   /** Drop every syncpoint older than the newest `retain`, releasing the

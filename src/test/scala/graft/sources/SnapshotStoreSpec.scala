@@ -780,4 +780,21 @@ class SnapshotStoreSpec extends SparkSpec {
     st.compact("t")
     assert(st.manifestDirs("t").forall(!_.contains("/")))
   }
+
+  test("vacuum of main never takes dirs a live branch or clone still reads") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
+    st.branchCreate("t", "wip")
+    st.cloneView("t", "c1")
+    // main moves on: OPTIMIZE supersedes v1's dir, vacuum GCs history
+    st.commit("t", Seq((2, "b")).toDF("k", "v"), overwrite = false)
+    st.compact("t")
+    st.vacuum("t", retainVersions = 1)
+    // the branch and the clone still read their pinned v1 snapshot
+    assert(st.read(st.branchView("t", "wip")).select("k").as[Int]
+      .collect().toSet == Set(1))
+    assert(st.read("c1").select("k").as[Int].collect().toSet == Set(1))
+    // and main itself reads its compacted head
+    assert(st.read("t").select("k").as[Int].collect().toSet == Set(1, 2))
+  }
 }
