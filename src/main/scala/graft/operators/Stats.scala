@@ -410,4 +410,38 @@ object Stats {
     perKey.select(col(keyCol) +: col("n") +:
       qs.map(q => pickAt(exactRank(col("n"), q)).as(label(q))): _*)
   }
+
+  /** ANALYZE-style EXACT column statistics in one pass: per requested
+    * column, one long-format row (column, n_rows, n_nonnull, n_null,
+    * ndv, min_s, max_s) — the table profile a catalog stores for CBO
+    * and a data-quality report prints.
+    *
+    * Shape: ONE aggregation carrying every column's count/ndv/min/max;
+    * the k exact `countDistinct`s plan through Catalyst's Expand (×k
+    * input inflation) — the textbook ANALYZE cost, paid rarely and by
+    * an explicit command, never inside a query. The approximate path
+    * for routine refresh is the HLL/bucket-sketch family (q88/q218).
+    * min/max stringify through CAST for the uniform long schema —
+    * exact for integers/dates/strings; floating columns are
+    * engine-repr-dependent and belong in the numeric profilers
+    * instead.
+    */
+  def analyzeColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "analyzeColumns: no columns")
+    val aggs = count(lit(1)).as("_n") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"_nn_$c"),
+      countDistinct(col(c)).as(s"_ndv_$c"),
+      min(col(c)).cast("string").as(s"_min_$c"),
+      max(col(c)).cast("string").as(s"_max_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col("_n").as("n_rows"),
+        col(s"_nn_$c").as("n_nonnull"),
+        (col("_n") - col(s"_nn_$c")).as("n_null"),
+        col(s"_ndv_$c").as("ndv"),
+        col(s"_min_$c").as("min_s"),
+        col(s"_max_$c").as("max_s"))): _*)).as("_r"))
+      .select(col("_r.*"))
+  }
 }

@@ -15,6 +15,15 @@ object ExtendedQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ANALYZE TABLE: exact per-column stats (count/nulls/NDV/min/max)
+    // in ONE aggregation pass — the k exact countDistincts ride
+    // Catalyst's Expand (the textbook ANALYZE cost, paid by explicit
+    // command); output is the long-format profile a catalog stores.
+    "q250_analyze_table" -> ((s, dir) => {
+      graft.operators.Stats.analyzeColumns(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"))
+    }),
+
     // DISTINCT (dedup on full projection — one shuffle).
     "q27_distinct" -> ((s, dir) => {
       t(s, dir, "events").select(col("user_id"), col("event_type")).distinct()
@@ -252,6 +261,31 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q250_analyze_table" ->
+      """SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+             COUNT(o_orderkey) AS n_nonnull,
+             COUNT(*) - COUNT(o_orderkey) AS n_null,
+             COUNT(DISTINCT o_orderkey) AS ndv,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+         FROM orders
+         UNION ALL
+         SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+             COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+             CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate),
+             COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+             CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+             COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+             CAST(MIN(o_orderpriority) AS VARCHAR),
+             CAST(MAX(o_orderpriority) AS VARCHAR)
+         FROM orders""",
+
     "q27_distinct" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "q28_set_ops" ->
