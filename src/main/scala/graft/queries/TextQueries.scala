@@ -280,6 +280,19 @@ object TextQueries {
         terms = Seq("spark", "join", "stream", "vector"), topK = 20)
     }),
 
+    // WordPiece (BERT-style) greedy longest-match segmentation — the
+    // third tokenizer family (BPE = merge order, Unigram = Viterbi,
+    // WordPiece = longest-match-first with ## continuations). The
+    // greedy walk is a codegen'd fold, not an iterative join: best
+    // match per position resolved once via a broadcast vocab
+    // semi-join, then cursor hops inside one expression. Vocabulary
+    // is data-derived (substring totals >= minCount + all single
+    // chars), so the DuckDB oracle replays the WHOLE thing — vocab,
+    // longest-match table, recursive walk — from the same corpus.
+    "q251_wordpiece" -> ((s, dir) =>
+      graft.operators.WordPiece.segmentCounts(t(s, dir, "documents"),
+        "text", minCount = 2000L, maxPiece = 4, topK = 50)),
+
     // One BPE-training iteration's pair counts: adjacent char-pair
     // symbols weighted by word frequency, top-20 merges. The corpus
     // collapses to the distinct-word table before the pair explode —
@@ -791,6 +804,42 @@ object TextQueries {
             COUNT(*) AS n_terms
           FROM sc GROUP BY doc_id
           ORDER BY score DESC, doc_id LIMIT 20""",
+
+    // Full replay: the same frequency-derived vocab, the same
+    // longest-match-per-position table, the greedy cursor walk as a
+    // recursive CTE (the walk leaves the word when no best row
+    // matches, ending recursion), ##-marking and counts identical.
+    "q251_wordpiece" ->
+      """WITH RECURSIVE words AS (
+           SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+             SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+             FROM documents WHERE text IS NOT NULL) GROUP BY w),
+         pos AS (SELECT CAST(range AS INT) AS pos FROM range(1, 64)),
+         lens AS (SELECT CAST(range AS INT) AS len FROM range(1, 5)),
+         grid AS (
+           SELECT w.w, w.freq, p.pos, l.len,
+                  substr(w.w, p.pos, l.len) AS piece
+           FROM words w JOIN pos p ON p.pos <= LENGTH(w.w)
+           JOIN lens l ON p.pos + l.len - 1 <= LENGTH(w.w)),
+         vocab AS (
+           SELECT piece FROM (
+             SELECT piece, SUM(freq) AS total FROM grid GROUP BY piece)
+           WHERE total >= 2000 OR LENGTH(piece) = 1),
+         best AS (
+           SELECT g.w, g.pos, MAX(g.len) AS bl
+           FROM grid g JOIN vocab v ON v.piece = g.piece GROUP BY g.w, g.pos),
+         walk AS (
+           SELECT w AS w, 1 AS pos FROM words
+           UNION ALL
+           SELECT wk.w, wk.pos + b.bl
+           FROM walk wk JOIN best b ON b.w = wk.w AND b.pos = wk.pos),
+         pieces AS (
+           SELECT wk.w, wk.pos, substr(wk.w, wk.pos, b.bl) AS p
+           FROM walk wk JOIN best b ON b.w = wk.w AND b.pos = wk.pos)
+         SELECT CASE WHEN pc.pos = 1 THEN pc.p ELSE '##' || pc.p END AS piece,
+                CAST(SUM(wo.freq) AS BIGINT) AS n
+         FROM pieces pc JOIN words wo ON wo.w = pc.w
+         GROUP BY 1 ORDER BY n DESC, piece LIMIT 50""",
 
     // Pair counts replay over the same distinct-word frequency table;
     // range(1, len) is 1..len-1 = Spark's sequence(1, length-1).
