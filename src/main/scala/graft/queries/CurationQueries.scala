@@ -1304,6 +1304,45 @@ object CurationQueries {
     // at doubled price and SUBTRACTS them from the carried vector —
     // upsert-after-delete resurrects. At 100 TB: deleting 0.1% costs
     // key IO, not a file rewrite.
+    // Secondary index: exact (value -> dir) membership for point
+    // lookups on a column the LAYOUT does not correlate with — where
+    // min/max stats keep every dir and blooms still false-positive,
+    // the index answers with NO false positives. Built once, extended
+    // INCREMENTALLY (only never-seen dirs scan on refresh), consulted
+    // at O(dirs) driver cost. The in-query requires pin the pruning:
+    // per-priority commits make dirs value-pure, so the urgent lookup
+    // must keep exactly 1 of 5 dirs before the mixed append, and
+    // 2 of 6 after (urgent dir + the new mixed dir) — while rows stay
+    // layout-invisibly equal to the flat filter.
+    "q252_secondary_index" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q252_snap", dir)
+      Seq("t", "t__idx__pri").foreach(d =>
+        graft.sources.Scratch.deleteRecursively(new java.io.File(root, d)))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pri"), col("o_totalprice").as("p"))
+      val half = o.where(col("k") % 2 === 0)
+      val pris = half.select(col("pri")).distinct()
+        .collect().map(_.getString(0)).sorted
+      pris.zipWithIndex.foreach { case (pv, i) =>
+        st.commit("t", half.where(col("pri") === pv),
+          overwrite = i == 0, statsCols = Seq("k"))
+      }
+      st.indexRefresh("t", "pri")
+      val (keep1, skip1) = st.indexedDirsEq("t", "pri", "1-URGENT")
+      require(keep1.size == 1 && skip1.size == pris.length - 1,
+        s"index must keep exactly the urgent dir, got $keep1 / $skip1")
+      st.commit("t", o.where(col("k") % 2 === 1), overwrite = false,
+        statsCols = Seq("k")) // mixed dir: uncovered until refresh
+      val (keep2, _) = st.indexedDirsEq("t", "pri", "1-URGENT")
+      require(keep2.size == 2, "uncovered dir must be kept conservatively")
+      st.indexRefresh("t", "pri") // incremental: scans ONLY the new dir
+      val (keep3, skip3) = st.indexedDirsEq("t", "pri", "1-URGENT")
+      require(keep3.size == 2 && skip3.size == pris.length - 1,
+        "after refresh the mixed dir is indexed, urgent keeps 2 dirs")
+      st.readIndexedEq("t", "pri", "1-URGENT")
+    }),
+
     // WAP — write, audit, publish: the deployment workflow that keeps
     // unaudited data out of the serving table. Branch = zero-copy
     // shallow clone (branchCreate); writes land on the branch with the
@@ -2724,6 +2763,12 @@ object CurationQueries {
 
     // Survivors + resurrected-at-double: the delete keyed out k%10=0,
     // the merge re-inserted exactly the k%30=0 slice at 2x price.
+    // the index path must be layout-invisible: same rows as the flat
+    // filter over everything committed
+    "q252_secondary_index" ->
+      """SELECT o_orderkey AS k, o_orderpriority AS pri, o_totalprice AS p
+         FROM orders WHERE o_orderpriority = '1-URGENT'""",
+
     // base + two audited branch commits + the concurrent main append =
     // every customer exactly once; the stale branch's commit must NOT
     // be in here (its fast-forward was refused)

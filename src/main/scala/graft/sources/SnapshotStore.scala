@@ -585,6 +585,79 @@ class SnapshotStore(spark: SparkSession, root: String) {
       .where(col(c) === lit(value))
   }
 
+  // ---------------------------------------------------- secondary index
+
+  private def idxView(view: String, c: String) = s"${view}__idx__$c"
+
+  private def dirBase(view: String, d: String): String =
+    dirPath(view, d).getFileName.toString
+
+  /** Build — or incrementally EXTEND — the exact secondary index on
+    * `view.c`: a store table (`<view>__idx__<c>`) of the DISTINCT
+    * (value, data-dir) pairs, the Hyperspace-style index that answers
+    * "which dirs can hold value v" with NO false positives — the tool
+    * for point lookups on a column the LAYOUT does not correlate with
+    * (per-dir min/max spans everything and [[readPrunedEq]] keeps all
+    * dirs; blooms help but still false-positive). Refresh scans ONLY
+    * dirs the index has never seen (dir names are immutable content
+    * addresses), so steady-state maintenance costs one scan of the
+    * newest appends; rewritten dirs (compaction) surface as uncovered
+    * and are read conservatively by [[readIndexedEq]] until the next
+    * refresh — stale index rows for dropped dirs are harmless (lookup
+    * intersects against the CURRENT manifest). Suited to bounded-
+    * cardinality columns (the index holds |values|×|dirs| rows at
+    * worst).
+    */
+  def indexRefresh(view: String, c: String): Long = {
+    val iv = idxView(view, c)
+    val covered: Set[String] =
+      if (versions(iv).isEmpty) Set.empty
+      else read(iv).select(col("_dir")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val dirs = manifestDirs(view)
+    val fresh = dirs.filterNot(d => covered.contains(dirBase(view, d)))
+    if (fresh.isEmpty) return versions(iv).max
+    val rows = readDirs(fresh, view)
+      .withColumn("_dir",
+        expr("regexp_extract(input_file_name(), '([^/]+)/[^/]+$', 1)"))
+      .select(col(c), col("_dir")).distinct()
+    commit(iv, rows, overwrite = versions(iv).isEmpty, statsCols = Seq(c))
+  }
+
+  /** The manifest dirs split (kept, skipped) for `c = value` BY THE
+    * INDEX: kept = dirs the index places the value in, plus dirs it
+    * has not covered yet (conservative, never wrong). O(index rows)
+    * driver work — the same metadata scale as the manifests.
+    */
+  def indexedDirsEq(view: String, c: String,
+                    value: Any): (Seq[String], Seq[String]) = {
+    val iv = idxView(view, c)
+    require(versions(iv).nonEmpty, s"$iv: index not built — indexRefresh first")
+    // two O(dirs)-sized collects (never the value column): the hit
+    // probe itself rides the index table's own stats pruning, so a
+    // high-cardinality index stays cheap to consult
+    val hits = read(iv).where(col(c) === lit(value))
+      .select(col("_dir")).distinct().collect().map(_.getString(0)).toSet
+    val covered = read(iv).select(col("_dir")).distinct()
+      .collect().map(_.getString(0)).toSet
+    manifestDirs(view).partition { d =>
+      val b = dirBase(view, d)
+      hits.contains(b) || !covered.contains(b)
+    }
+  }
+
+  /** Point lookup through the secondary index: read ONLY the dirs
+    * [[indexedDirsEq]] keeps, deletion vectors applied, residual
+    * filter on top (the index prunes dirs, it does not prove rows).
+    */
+  def readIndexedEq(view: String, c: String, value: Any): DataFrame = {
+    val (keep, _) = indexedDirsEq(view, c, value)
+    if (keep.isEmpty) return read(view).where(lit(false))
+    applyDels(readDirs(keep, view), view,
+      manifestDels(view, resolvedVersion(view, None)))
+      .where(col(c) === lit(value))
+  }
+
   // ------------------------------------------------------ row-level delete
 
   /** DELETE FROM `view` WHERE `pred` — with ZERO data-file rewrite:

@@ -781,6 +781,34 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.manifestDirs("t").forall(!_.contains("/")))
   }
 
+  test("secondary index: exact pruning, DV-aware reads, conservative on rewrites") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq((1L, "x"), (2L, "x")).toDF("k", "c"), overwrite = true)
+    st.commit("t", Seq((3L, "y")).toDF("k", "c"), overwrite = false)
+    st.indexRefresh("t", "c")
+    val (k1, s1) = st.indexedDirsEq("t", "c", "x")
+    assert(k1.size == 1 && s1.size == 1, s"$k1 / $s1")
+    def ks(v: String) = st.readIndexedEq("t", "c", v)
+      .select("k").as[Long].collect().toSet
+    assert(ks("x") == Set(1L, 2L) && ks("y") == Set(3L))
+    assert(ks("nope") == Set.empty[Long]) // no dir holds it: zero dirs read
+    // deletion vectors apply through the indexed read
+    st.deleteWhere("t", "k", col("k") === 1L)
+    assert(ks("x") == Set(2L))
+    // a rewrite (compaction) leaves the new dir uncovered: kept
+    // conservatively, rows stay correct before AND after re-refresh
+    st.compact("t")
+    val (k2, _) = st.indexedDirsEq("t", "c", "y")
+    assert(k2.size == 1, s"compacted dir must be kept uncovered: $k2")
+    assert(ks("x") == Set(2L) && ks("y") == Set(3L))
+    val before = st.versions("t__idx__c").max
+    st.indexRefresh("t", "c") // scans only the compacted dir
+    assert(st.versions("t__idx__c").max == before + 1)
+    assert(ks("x") == Set(2L) && ks("y") == Set(3L))
+    // a second refresh with nothing new commits nothing
+    assert(st.indexRefresh("t", "c") == before + 1)
+  }
+
   test("vacuum of main never takes dirs a live branch or clone still reads") {
     val (st, _) = freshStore()
     st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
