@@ -214,6 +214,56 @@ object PipelineQueries {
       speedRowsOut(s.createDataset(finalRows))
     }),
 
+    // The q249 forecaster ONLINE: Holt level/trend maintained per key
+    // by transformWithState (O(1) state — count, level, trend), fed as
+    // a real two-micro-batch stream in date order. The streamed fold
+    // must land on the BATCH fit bit-for-bit — graded by the same
+    // recursive-CTE oracle as q249 (stream/batch equivalence, the
+    // T5-for-forecasting claim; smoothing is order-sensitive, so the
+    // harness slices by date, not by scramble).
+    "q253_stream_holt" -> ((s0, dir) => {
+      // transformWithState needs the RocksDB provider; child session so
+      // the conf never leaks into the other streaming queries
+      val s = s0.newSession()
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s0.conf.get("spark.sql.shuffle.partitions"))
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val all = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).cast("string").as("d"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("user_id"), col("d")).agg(sum(col("cents")).as("y"))
+        .select(col("user_id").as("key"), col("d"),
+          col("y").cast("double").as("y"))
+        .as[graft.streaming.SeriesPoint].collect()
+      val pivot = all.map(_.d).sorted.apply(all.length / 2)
+      val (b1, b2) = all.partition(_.d < pivot)
+      val mem = MemoryStream[graft.streaming.SeriesPoint]
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, graft.streaming.HoltOut)]
+      val q = graft.streaming.Forecast.holtStream(mem.toDS(), 0.5, 0.25)
+        .writeStream.outputMode("append")
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.streaming.HoltOut],
+                         bid: Long) =>
+          buf.synchronized { buf ++= ds.collect().map((bid, _)) }; ()
+        }.start()
+      try {
+        mem.addData(b1.toSeq); q.processAllAvailable()
+        mem.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val fin = buf.synchronized {
+        buf.groupBy(_._2.key).values.map(_.maxBy(_._1)._2).toSeq
+      }
+      s.createDataset(fin).toDF()
+        .select(col("key").as("user_id"), col("n"), col("level"),
+          col("trend"), explode(sequence(lit(1L), lit(3L))).as("h"))
+        .withColumn("yhat",
+          col("level") + col("h").cast("double") * col("trend"))
+    }),
+
     // Streaming reservoir sampling — a bounded exact k-sample per key
     // over an unbounded stream, run as a REAL two-micro-batch stateful
     // query (fMGWS, O(k) state per key). Priorities are LCG hashes of
@@ -920,6 +970,8 @@ object PipelineQueries {
     "q85_speed_merge_tws" -> SpeedMergeSql,
     // T5: shuffled two-batch delivery converges to the in-order result
     "q95_speed_merge_late" -> SpeedMergeSql,
+    // the streamed Holt fold must equal the batch recurrence exactly
+    "q253_stream_holt" -> TimeSeriesQueries.HoltSql,
 
     "q71_stream_interval_join" ->
       """SELECT v.event_id AS view_id, p.event_id AS buy_id, v.user_id,

@@ -243,34 +243,41 @@ object TimeSeriesQueries {
     })
   )
 
+  /** The Holt recurrence replayed verbatim as a recursive CTE — shared
+    * by q249 (batch fold) and q253 (streamed fold): level first, trend
+    * from the NEW level, zero-trend init; dyadic constants make both
+    * engines bit-identical.
+    */
+  private[queries] val HoltSql: String =
+    """WITH RECURSIVE src AS (
+         SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
+                CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS yi
+         FROM events GROUP BY user_id, d),
+       s AS (SELECT user_id, CAST(yi AS DOUBLE) AS y,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS i
+             FROM src),
+       hw AS (
+         SELECT user_id, i, y AS l, CAST(0.0 AS DOUBLE) AS b
+         FROM s WHERE i = 1
+         UNION ALL
+         SELECT s.user_id, s.i,
+                0.5*s.y + 0.5*(hw.l + hw.b),
+                0.25*((0.5*s.y + 0.5*(hw.l + hw.b)) - hw.l) + 0.75*hw.b
+         FROM hw JOIN s ON s.user_id = hw.user_id AND s.i = hw.i + 1),
+       fin AS (
+         SELECT user_id, i AS n, l AS level, b AS trend FROM hw
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY i DESC) = 1)
+       SELECT f.user_id, f.n, f.level, f.trend, t.h,
+              f.level + CAST(t.h AS DOUBLE) * f.trend AS yhat
+       FROM fin f
+       CROSS JOIN (SELECT CAST(range AS BIGINT) AS h FROM range(1, 4)) t"""
+
   val oracle: Map[String, String] = Map(
 
     // the recurrence replayed verbatim: level first, trend from the
     // NEW level, zero-trend init — literal-for-literal the operator's
     // update (dyadic constants make both engines bit-identical)
-    "q249_holt_forecast" ->
-      """WITH RECURSIVE src AS (
-           SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
-                  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS yi
-           FROM events GROUP BY user_id, d),
-         s AS (SELECT user_id, CAST(yi AS DOUBLE) AS y,
-                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS i
-               FROM src),
-         hw AS (
-           SELECT user_id, i, y AS l, CAST(0.0 AS DOUBLE) AS b
-           FROM s WHERE i = 1
-           UNION ALL
-           SELECT s.user_id, s.i,
-                  0.5*s.y + 0.5*(hw.l + hw.b),
-                  0.25*((0.5*s.y + 0.5*(hw.l + hw.b)) - hw.l) + 0.75*hw.b
-           FROM hw JOIN s ON s.user_id = hw.user_id AND s.i = hw.i + 1),
-         fin AS (
-           SELECT user_id, i AS n, l AS level, b AS trend FROM hw
-           QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY i DESC) = 1)
-         SELECT f.user_id, f.n, f.level, f.trend, t.h,
-                f.level + CAST(t.h AS DOUBLE) * f.trend AS yhat
-         FROM fin f
-         CROSS JOIN (SELECT CAST(range AS BIGINT) AS h FROM range(1, 4)) t""",
+    "q249_holt_forecast" -> HoltSql,
 
     "q242_gapfill_ffill" ->
       """WITH src AS (SELECT o_custkey % 20 AS key,
