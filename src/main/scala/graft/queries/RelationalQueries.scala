@@ -117,6 +117,19 @@ object RelationalQueries {
     // mod 500); every iteration's ranks pass through stableRound, so
     // the oracle replays the unrolled trajectory hash-exactly (the
     // KMeans stableScale device applied to graph state).
+    // DeepWalk-style walk corpus over the q104 graph: one
+    // LCG-deterministic walk per start node, 4 steps, each step ONE
+    // frontier join against the rank-ordered adjacency — the
+    // graph-to-sentences preprocessing an embedding trainer (q157
+    // skip-grams) consumes, replayable in SQL because the "random"
+    // neighbor pick is the shared 31-bit LCG convention.
+    "q254_random_walks" -> ((s, dir) => {
+      val edges = t(s, dir, "events")
+        .select(pmod(col("user_id"), lit(500)).as("src"),
+          pmod(floor(col("value")), lit(500)).cast("long").as("dst"))
+      graft.operators.Walks.randomWalks(edges, "src", "dst", steps = 4)
+    }),
+
     "q104_pagerank" -> ((s, dir) => {
       val edges = t(s, dir, "events")
         .select(pmod(col("user_id"), lit(500)).as("src"),
@@ -963,6 +976,27 @@ object RelationalQueries {
          SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(t2) AS BIGINT) FROM s2
          UNION ALL
          SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(t3) AS BIGINT) FROM s3""",
+
+    // the walk recursion replayed: same ranked adjacency, same LCG
+    // pick (all operands non-negative, so % == pmod)
+    "q254_random_walks" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT user_id % 500 AS src,
+                  CAST(floor("value") AS BIGINT) % 500 AS dst FROM events),
+         adj AS (SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk
+                 FROM e),
+         deg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
+         walk AS (
+           SELECT src AS start, src AS node, 0 AS step FROM deg
+           UNION ALL
+           SELECT w.start, a.dst, w.step + 1
+           FROM walk w
+           JOIN deg d ON d.src = w.node
+           JOIN adj a ON a.src = w.node
+            AND a.rnk = (((w.node + (w.step + 1) * 1000003) % 2147483648)
+                         * 1103515245 + 12345) % 2147483648 % d.deg
+           WHERE w.step < 4)
+         SELECT start, node, step FROM walk""",
 
     // Unrolled 3-iteration PageRank replay. Every numeric literal is
     // CAST to DOUBLE: DuckDB parses bare 0.85 as DECIMAL, whose exact
