@@ -50,14 +50,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     GraftSqlParser.parseAsOf(sqlText, delegate)
       .orElse(GraftSqlParser.parseInterval(sqlText, delegate))
 
+  private def rewrites(sqlText: String): Option[String] =
+    GraftSqlParser.rewriteDescribeHistory(sqlText)
+      .orElse(GraftSqlParser.rewriteTimeTravel(sqlText))
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.rewriteTimeTravel(sqlText) match {
+    rewrites(sqlText) match {
       case Some(rewritten) => parsePlan(rewritten)
       case None => graftPlan(sqlText).getOrElse(delegate.parsePlan(sqlText))
     }
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    GraftSqlParser.rewriteTimeTravel(sqlText) match {
+    rewrites(sqlText) match {
       case Some(rewritten) => parseQuery(rewritten)
       case None => graftPlan(sqlText).getOrElse(delegate.parseQuery(sqlText))
     }
@@ -157,6 +161,17 @@ object GraftSqlParser {
       scala.util.matching.Regex.quoteReplacement(
         "`" + m.group(1) + "$asof$" + m.group(2) + "`")))
 
+  // DESCRIBE HISTORY <table> — the table-history statement (Delta's
+  // spelling) over a registered store view: rewritten to a SELECT over
+  // the `name$history` identifier, bound by [[ResolveGraftTimeTravel]]
+  // to `store.history(view)`.
+  private val DescribeHistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
+
+  private[plans] def rewriteDescribeHistory(sqlText: String): Option[String] =
+    DescribeHistoryRe.findFirstMatchIn(sqlText).map(m =>
+      "SELECT * FROM `" + m.group(1) + "$history`")
+
   private[plans] def parseAsOf(sqlText: String,
                                delegate: ParserInterface): Option[LogicalPlan] =
     AsOfRe.findFirstMatchIn(sqlText).map { m =>
@@ -246,19 +261,24 @@ object GraftTableRegistry {
 object ResolveGraftTimeTravel extends Rule[LogicalPlan] {
 
   private val Ref = """(.+)\$asof\$(\d+)""".r
+  private val HistRef = """(.+)\$history""".r
+
+  private def registered(tag: String, name: String) =
+    GraftTableRegistry.lookup(name).getOrElse(throw new IllegalArgumentException(
+      s"$tag: table `$name` is not registered — call " +
+        "GraftTableRegistry.register(name, store, view) first"))
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case u: UnresolvedRelation => u.multipartIdentifier match {
         case Seq(Ref(name, v)) =>
-          GraftTableRegistry.lookup(name) match {
-            case Some((store, view)) =>
-              org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(name,
-                store.read(view, Some(v.toLong)).queryExecution.analyzed)
-            case None => throw new IllegalArgumentException(
-              s"VERSION AS OF: table `$name` is not registered — call " +
-                "GraftTableRegistry.register(name, store, view) first")
-          }
+          val (store, view) = registered("VERSION AS OF", name)
+          org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(name,
+            store.read(view, Some(v.toLong)).queryExecution.analyzed)
+        case Seq(HistRef(name)) =>
+          val (store, view) = registered("DESCRIBE HISTORY", name)
+          org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(name,
+            store.history(view).queryExecution.analyzed)
         case _ => u
       }
     }

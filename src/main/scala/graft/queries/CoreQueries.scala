@@ -210,6 +210,23 @@ object CoreQueries {
                ON v2.user_id = v1.user_id""")
     }),
 
+    // DESCRIBE HISTORY from SQL — the other statement the parser tier
+    // adds over registered store views (Delta's spelling): three known
+    // commits (overwrite, append, overwrite) must surface as exactly
+    // the deterministic (version, n_dirs, n_txns, overwrite) rows the
+    // VALUES oracle pins.
+    "q255_sql_describe_history" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q255_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "h"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val ev = t(s, dir, "events").select(col("event_id"), col("value"))
+      st.commit("h", ev.where(col("event_id") % 3 === 0), overwrite = true)
+      st.commit("h", ev.where(col("event_id") % 3 === 1), overwrite = false)
+      st.commit("h", ev.where(col("event_id") % 3 === 2), overwrite = true)
+      graft.plans.GraftTableRegistry.register("h_tt", st, "h")
+      s.sql("DESCRIBE HISTORY h_tt")
+    }),
+
     // q87's forward as-of through the native operator (earliest right
     // time at-or-after, ties to the min value — the merge head under
     // the (time, value)-ascending sort). Same oracle as q87.
@@ -355,6 +372,14 @@ object CoreQueries {
          LEFT JOIN (SELECT user_id, COUNT(*) AS n
                     FROM events WHERE event_id % 2 = 0 GROUP BY user_id) v1
          ON v2.user_id = v1.user_id""",
+
+    // the history of (overwrite, append, overwrite), by construction
+    "q255_sql_describe_history" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), false),
+           (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), false),
+           (CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), true))
+         AS t(version, n_dirs, n_txns, overwrite)""",
 
     // the SQL spelling must be indistinguishable from q10's truth too
     "q228_asof_sql" ->

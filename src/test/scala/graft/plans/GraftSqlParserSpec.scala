@@ -169,6 +169,19 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(msgs.contains("not registered"), msgs)
   }
 
+  test("DESCRIBE HISTORY resolves through the registry") {
+    val root = graft.sources.Scratch.processScoped("sqlparser_dh", "spec")
+    graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+    val st = new graft.sources.SnapshotStore(spark, root)
+    st.commit("t", Seq((1L, "a")).toDF("k", "v"), overwrite = true)
+    st.commit("t", Seq((2L, "b")).toDF("k", "v"), overwrite = false)
+    GraftTableRegistry.register("dh_spec", st, "t")
+    val rows = spark.sql("DESCRIBE HISTORY dh_spec")
+      .select("version", "n_dirs", "overwrite")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(rows == Set((1L, 1L, false), (2L, 2L, false)), rows.toString)
+  }
+
   test("statements without the clause never hit the time-travel rewrite") {
     // a column literally named `version` and strings containing the
     // words survive untouched
