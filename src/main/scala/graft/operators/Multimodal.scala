@@ -163,6 +163,117 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Full P6 pixel plane (header-tolerant like [[decodePpm]]): None for
+    * anything malformed. Values 0..255 as ints, raster order.
+    */
+  def decodePpmPixels(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    var pos = 0
+    def skip(): Unit = {
+      var go = true
+      while (go && pos < payload.length) {
+        val c = payload(pos) & 0xFF
+        if (c == '#') while (pos < payload.length && payload(pos) != '\n') pos += 1
+        else if (Character.isWhitespace(c)) pos += 1
+        else go = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skip()
+      val start = pos
+      var v = 0L
+      while (pos < payload.length && (payload(pos) & 0xFF).toChar.isDigit && v <= Int.MaxValue) {
+        v = v * 10 + (payload(pos) - '0'); pos += 1
+      }
+      if (pos == start || v > Int.MaxValue) None else Some(v.toInt)
+    }
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return None
+    pos = 2
+    for {
+      w <- readInt(); h <- readInt(); maxval <- readInt()
+      if w > 0 && h > 0 && maxval == 255
+      need = w.toLong * h * 3
+      if need <= Int.MaxValue
+      if pos < payload.length && Character.isWhitespace(payload(pos) & 0xFF)
+      if { pos += 1; (payload.length - pos).toLong >= need }
+    } yield {
+      val n = w * h * 3
+      val px = new Array[Int](n)
+      var i = 0
+      while (i < n) { px(i) = payload(pos + i) & 0xFF; i += 1 }
+      (w, h, px)
+    }
+  }
+
+  val ppmTensorSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("c", LongType),
+    StructField("x", LongType),
+    StructField("y", LongType),
+    StructField("v", LongType),
+    StructField("v_norm", DoubleType)))
+
+  /** Model-input tensor prep — center-crop to (cw × ch) and per-image
+    * per-channel standardization ((v − mean)/√(var + eps)), the step
+    * between decode and the model in every vision pipeline
+    * (torchvision's CenterCrop + Normalize, here with image-derived
+    * moments so the contract is self-contained). Same batched
+    * partition-iterator seam as [[ppmFeatures]]; images smaller than
+    * the crop are dropped, not padded. Moments come from EXACT integer
+    * sums over the crop (sum, sum-of-squares), so every emitted double
+    * is a pure function of integers both engines replay bit-for-bit.
+    * Output: one row per (media_id, channel, x, y) of the crop.
+    */
+  def ppmCropNormalize(media: DataFrame, cw: Int, ch: Int,
+                       eps: Double = 1e-5): DataFrame = {
+    require(cw >= 1 && ch >= 1, s"bad crop ($cw, $ch)")
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(ppmTensorSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          decodePpmPixels(payload).toSeq.flatMap { case (w, h, px) =>
+            if (w < cw || h < ch) Seq.empty
+            else {
+              val x0 = (w - cw) / 2
+              val y0 = (h - ch) / 2
+              val npx = (cw * ch).toDouble
+              val out = Seq.newBuilder[Row]
+              var c = 0
+              while (c < 3) {
+                var sum = 0L
+                var sq = 0L
+                var y = 0
+                while (y < ch) {
+                  var x = 0
+                  while (x < cw) {
+                    val v = px(3 * ((y0 + y) * w + (x0 + x)) + c)
+                    sum += v; sq += v.toLong * v; x += 1
+                  }
+                  y += 1
+                }
+                val mean = sum.toDouble / npx
+                val denom = math.sqrt(sq.toDouble / npx - mean * mean + eps)
+                var y2 = 0
+                while (y2 < ch) {
+                  var x2 = 0
+                  while (x2 < cw) {
+                    val v = px(3 * ((y0 + y2) * w + (x0 + x2)) + c)
+                    out += Row(id, c.toLong, x2.toLong, y2.toLong, v.toLong,
+                      (v.toDouble - mean) / denom)
+                    x2 += 1
+                  }
+                  y2 += 1
+                }
+                c += 1
+              }
+              out.result()
+            }
+          }
+        }
+      }(encoder)
+  }
+
   /** Build a media table from the documents table (payload = utf-8 bytes
     * of text) — the offline stand-in for real binary media.
     */

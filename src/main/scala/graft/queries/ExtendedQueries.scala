@@ -211,6 +211,19 @@ object ExtendedQueries {
     // 8x6 -> 4x3, then dimensions + per-channel means of the SAMPLED
     // pixels. Oracle replays the source-pixel arithmetic at the strided
     // coordinates.
+    // CenterCrop + Normalize — the decode-to-model tensor prep step
+    // (torchvision semantics, per-image moments): 4x4 center crop of
+    // the 8x6 synthetic P6 frames, per-channel standardization from
+    // EXACT integer sums. One row per (image, channel, x, y); every
+    // double is a pure function of integers both engines replay.
+    "q256_image_crop_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, graft.operators.Multimodal.syntheticPpm(id)))
+        .toDF("media_id", "payload")
+      graft.operators.Multimodal.ppmCropNormalize(media, cw = 4, ch = 4)
+    }),
+
     "q183_image_resize" -> ((s, dir) => {
       import s.implicits._
       val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
@@ -456,6 +469,23 @@ object ExtendedQueries {
            CAST(CASE WHEN prev IS NULL OR bit_count(xor(phash, prev)) > 2
                 THEN 1 ELSE 0 END AS BIGINT) AS is_key
          FROM k""",
+
+    // crop window (x0, y0) = (2, 1); raster index 3*((1+y)*8+(2+x))+c;
+    // moments from integer sums over the 16 crop pixels
+    "q256_image_crop_normalize" ->
+      """WITH px AS (SELECT doc_id, c, x, y,
+             CAST((1103515245 * (doc_id + 3 * ((1 + y) * 8 + (2 + x)) + c)
+               + 12345) % 256 AS BIGINT) AS v
+           FROM documents, generate_series(0, 2) tc(c),
+             generate_series(0, 3) ty(y), generate_series(0, 3) tx(x)),
+         st AS (SELECT doc_id, c,
+                  CAST(SUM(v) AS DOUBLE) / 16.0 AS mean,
+                  CAST(SUM(v * v) AS DOUBLE) / 16.0 AS msq
+                FROM px GROUP BY doc_id, c)
+         SELECT p.doc_id AS media_id, p.c, p.x, p.y, p.v,
+           (CAST(p.v AS DOUBLE) - s.mean)
+             / sqrt(s.msq - s.mean * s.mean + 1e-5) AS v_norm
+         FROM px p JOIN st s ON p.doc_id = s.doc_id AND p.c = s.c""",
 
     // Source pixels at the strided coordinates; integer sums / 12.0 are
     // exact in both engines, so the means compare raw.
