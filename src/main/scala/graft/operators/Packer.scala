@@ -49,4 +49,54 @@ object Packer {
         expr(s"(_end - 1) div ${budget}L").as("last_chunk"),
         pmod(col("start_off"), lit(budget.toLong)).as("chunk_off"))
   }
+
+  /** First-fit-decreasing BIN PACKING per shard — the other packing
+    * discipline ([[chunkIndex]] concatenates-and-splits; FFD keeps
+    * documents WHOLE and minimizes wasted capacity, the classic
+    * batch-assembly heuristic, ≤ 11/9·OPT+1 bins): items sort by
+    * (length desc, id), each goes to the FIRST bin with room, else
+    * opens a new bin. Oversize items each occupy their own bin.
+    *
+    * Scale shape: packing is inherently sequential, so the SHARD is
+    * the parallel unit (the same contract every trainer's data loader
+    * uses — order matters within a shard, shards are independent);
+    * within a shard the whole FFD run is ONE codegen'd `aggregate()`
+    * fold whose state is the bin-load array (O(bins) per item, no
+    * positional `element_at` — the fit scan is itself a fold, ANSI-
+    * safe). Output: (shard, id, bin), bins 0-based per shard.
+    */
+  def firstFitDecreasing(df: DataFrame, idCol: String, lenCol: String,
+                         shardCol: String, capacity: Long): DataFrame = {
+    require(capacity >= 1, s"bad capacity=$capacity")
+    // first-fit index over the load array, or -1: a single fold pass
+    def fit(loads: String, len: String) =
+      s"""aggregate($loads,
+            named_struct('i', cast(0 as bigint), 'f', cast(-1 as bigint)),
+            (a, x) -> named_struct('i', a.i + 1,
+              'f', if(a.f >= 0, a.f,
+                      if(x + $len <= ${capacity}L, a.i, cast(-1 as bigint)))),
+            a -> a.f)"""
+    df.select(col(shardCol).as("shard"), col(idCol).cast("long").as("_id"),
+        col(lenCol).cast("long").as("_len"))
+      .groupBy(col("shard"))
+      .agg(array_sort(collect_list(struct((-col("_len")).as("_nl"),
+        col("_id"), col("_len")))).as("_it"))
+      .select(col("shard"), explode(expr(s"""
+        aggregate(_it,
+          named_struct('loads', cast(array() as array<bigint>),
+                       'asg', cast(array() as array<struct<id:bigint,bin:bigint>>)),
+          (acc, it) -> named_struct(
+            'loads',
+            if (${fit("acc.loads", "it._len")} >= 0,
+              transform(acc.loads, (x, j) ->
+                if (j = ${fit("acc.loads", "it._len")}, x + it._len, x)),
+              acc.loads || array(it._len)),
+            'asg',
+            acc.asg || array(named_struct('id', it._id,
+              'bin', if (${fit("acc.loads", "it._len")} >= 0,
+                         ${fit("acc.loads", "it._len")},
+                         cast(size(acc.loads) as bigint))))),
+          acc -> acc.asg)""")).as("_a"))
+      .select(col("shard"), col("_a.id").as(idCol), col("_a.bin"))
+  }
 }

@@ -123,6 +123,17 @@ object TextQueries {
       graft.operators.Packer.chunkIndex(t(s, dir, "documents"),
         "doc_id", "text", budget = 512, shards = 8)),
 
+    // First-fit-decreasing bin packing per shard — documents stay
+    // WHOLE (q232 splits), bins fill by the classic 11/9·OPT+1
+    // heuristic; shard = parallel unit, the in-shard FFD run is ONE
+    // codegen'd fold over the sorted items with the bin-load array as
+    // state. Oracle: the same greedy replayed by a list-carrying
+    // recursive CTE.
+    "q257_ffd_packing" -> ((s, dir) =>
+      graft.operators.Packer.firstFitDecreasing(
+        t(s, dir, "documents").withColumn("shard", pmod(col("doc_id"), lit(8))),
+        "doc_id", "n_chars", "shard", capacity = 2048L)),
+
     // Benchmark decontamination (operators/Decontam): training docs
     // sharing any word 3-gram with the held-out eval slice
     // (doc_id % 97 = 0), counted per occurrence and per distinct gram
@@ -682,6 +693,35 @@ object TextQueries {
                  (e - 1) // 512 AS last_chunk,
                  (e - n_toks) % 512 AS chunk_off
           FROM c""",
+
+    // FFD replayed: list-carrying recursion, fit = 1-based
+    // list_position NULLIF'd to the not-found case
+    "q257_ffd_packing" ->
+      """WITH RECURSIVE itm AS (
+           SELECT doc_id % 8 AS shard, doc_id, n_chars AS len,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                                ORDER BY n_chars DESC, doc_id) AS r
+           FROM documents),
+         pk AS (
+           SELECT shard, CAST(0 AS BIGINT) AS r, CAST([] AS BIGINT[]) AS loads,
+                  CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS bin
+           FROM (SELECT DISTINCT shard FROM itm)
+           UNION ALL
+           SELECT i.shard, i.r,
+             CASE WHEN NULLIF(list_position(
+                    list_transform(p.loads, x -> x + i.len <= 2048), true), 0)
+                  IS NULL
+                  THEN list_append(p.loads, i.len)
+                  ELSE list_transform(p.loads, (x, j) -> CASE
+                    WHEN j = NULLIF(list_position(
+                      list_transform(p.loads, x2 -> x2 + i.len <= 2048), true), 0)
+                    THEN x + i.len ELSE x END) END,
+             i.doc_id,
+             COALESCE(NULLIF(list_position(
+                 list_transform(p.loads, x -> x + i.len <= 2048), true), 0),
+               len(p.loads) + 1) - 1
+           FROM pk p JOIN itm i ON i.shard = p.shard AND i.r = p.r + 1)
+         SELECT shard, doc_id, bin FROM pk WHERE doc_id IS NOT NULL""",
 
     // The definitional overlap: every train gram position whose 3-gram
     // appears anywhere in the eval slice.

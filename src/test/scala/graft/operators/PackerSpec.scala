@@ -51,4 +51,27 @@ class PackerSpec extends SparkSpec {
       .collect().map(_.toString).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("FFD packing: first fit after the decreasing sort, oversize isolates") {
+    import spark.implicits._
+    // sorted desc: 9(own bin), 5, 4, 3, 2 at capacity 7:
+    //   9 -> bin0 (oversize); 5 -> bin1; 4 -> bin2 (5+4>7);
+    //   3 -> bin2 (4+3=7); 2 -> bin1 (5+2=7)
+    val df = Seq((1L, 5L), (2L, 4L), (3L, 3L), (4L, 2L), (5L, 9L))
+      .toDF("id", "len").withColumn("shard", org.apache.spark.sql.functions.lit(0))
+    val got = Packer.firstFitDecreasing(df, "id", "len", "shard", capacity = 7L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((5L, 0L), (1L, 1L), (2L, 2L), (3L, 2L), (4L, 1L)),
+      got.toString)
+  }
+
+  test("FFD packing: shards pack independently") {
+    import spark.implicits._
+    val df = Seq((1L, 6L, 0), (2L, 6L, 1), (3L, 1L, 0), (4L, 1L, 1))
+      .toDF("id", "len", "shard")
+    val got = Packer.firstFitDecreasing(df, "id", "len", "shard", capacity = 7L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0, 1L, 0L), (0, 3L, 0L), (1, 2L, 0L), (1, 4L, 0L)),
+      got.toString)
+  }
 }
