@@ -96,4 +96,40 @@ object Rerank {
     }
     dot / math.sqrt(na * nb)
   }
+
+  /** NDCG@k over a scored candidate table — the ranking-quality half
+    * of the eval family (recall@k is q167's): per query, DCG of the
+    * top-k by (score desc, id) against the IDEAL ordering of the SAME
+    * candidate set (rel desc, id) — the rerank-eval convention (how
+    * well did the ranker ORDER what it retrieved; candidate recall is
+    * measured separately). `log2` spelled `ln(x)/ln(2)` so both
+    * engines share the arithmetic; the 10-element sums are r15'd per
+    * the order-dependent-aggregate policy.
+    *
+    * Scale shape: two row_number windows partitioned by the query key
+    * and one per-query agg — parallel across queries, O(candidates)
+    * per query.
+    */
+  def ndcgAtK(scored: org.apache.spark.sql.DataFrame, qCol: String,
+              idCol: String, scoreCol: String, relCol: String,
+              k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"bad k=$k")
+    val byScore = Window.partitionBy(col(qCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val byRel = Window.partitionBy(col(qCol))
+      .orderBy(col(relCol).desc, col(idCol))
+    def gain(rank: org.apache.spark.sql.Column) =
+      col(relCol) / (log(rank.cast("double") + lit(1.0)) / log(lit(2.0)))
+    val staged = scored
+      .withColumn("_r", row_number().over(byScore))
+      .withColumn("_ri", row_number().over(byRel))
+    val dcg = staged.where(col("_r") <= k).groupBy(col(qCol))
+      .agg(graft.functions.NumFns.stableRound(sum(gain(col("_r"))), 8).as("dcg"))
+    val idcg = staged.where(col("_ri") <= k).groupBy(col(qCol))
+      .agg(graft.functions.NumFns.stableRound(sum(gain(col("_ri"))), 8).as("idcg"))
+    dcg.join(idcg, Seq(qCol))
+      .withColumn("ndcg", graft.functions.NumFns.stableRound(
+        when(col("idcg") === 0.0, lit(0.0)).otherwise(col("dcg") / col("idcg")), 8))
+  }
 }

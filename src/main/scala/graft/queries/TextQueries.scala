@@ -312,6 +312,23 @@ object TextQueries {
       graft.operators.TfIdf.bpePairCounts(t(s, dir, "documents"), "text",
         topK = 20)),
 
+    // Ranking-quality eval: per-term NDCG@10 of the BM25 ranker over
+    // its own top-50 candidates (ordering quality; candidate recall is
+    // q167's metric), graded relevance = doc_id % 4 — the
+    // deterministic label fixture. Completes the eval family
+    // (dedup P/R q171, recall@k q167, OOV q175) with the ranking
+    // metric every retrieval stack reports.
+    "q258_ndcg_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = Seq("spark", "join", "stream", "vector").map { tm =>
+        graft.operators.TfIdf.bm25(docs, "doc_id", "text", Seq(tm), topK = 50)
+          .withColumn("term", lit(tm))
+      }.reduce(_ unionByName _)
+      graft.operators.Rerank.ndcgAtK(
+        scored.withColumn("rel", (col("doc_id") % 4).cast("double")),
+        "term", "doc_id", "score", "rel", k = 10)
+    }),
+
     // Hybrid-retrieval fusion: BM25 (q108's ranker) + Dirichlet query
     // likelihood fused by reciprocal rank, top-10. Each retriever cuts
     // to its own bounded top-50 first; fusion touches only the lists'
@@ -844,6 +861,49 @@ object TextQueries {
             COUNT(*) AS n_terms
           FROM sc GROUP BY doc_id
           ORDER BY score DESC, doc_id LIMIT 20""",
+
+    // Single-term BM25 per query term (q108's CTE ungrouped), top-50
+    // candidates, DCG/IDCG over ln-ratio log2, r15'd sums.
+    "q258_ndcg_eval" ->
+      s"""WITH t AS (SELECT doc_id, ${SqlFragments.toksExpr} AS toks
+                     FROM documents WHERE text IS NOT NULL),
+          d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+          s AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                       CAST(COUNT(*) AS DOUBLE) AS n FROM d),
+          q AS (SELECT unnest(['spark', 'join', 'stream', 'vector']) AS term),
+          tf AS (SELECT doc_id, dl, term,
+                 CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+                 FROM d, q),
+          m AS (SELECT * FROM tf WHERE tf > 0),
+          df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM m GROUP BY term),
+          sc AS (SELECT m.term, m.doc_id,
+                 ${SqlFragments.r15(
+                   """ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+                      (CAST(m.tf AS DOUBLE) * 2.2) /
+                      (CAST(m.tf AS DOUBLE) +
+                       1.2 * (0.25 + 0.75 * CAST(m.dl AS DOUBLE) / s.avgdl))""", 8)}
+                   AS score
+                 FROM m JOIN df USING (term), s),
+          cand AS (SELECT term, doc_id, score,
+                   CAST(doc_id % 4 AS DOUBLE) AS rel,
+                   ROW_NUMBER() OVER (PARTITION BY term
+                     ORDER BY score DESC, doc_id) AS r
+                   FROM sc QUALIFY r <= 50),
+          ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+                       ORDER BY rel DESC, doc_id) AS ri FROM cand),
+          dcg AS (SELECT term, ${SqlFragments.r15(
+                    "SUM(rel / (ln(CAST(r AS DOUBLE) + 1.0) / ln(2.0)))", 8)}
+                    AS dcg
+                  FROM ranked WHERE r <= 10 GROUP BY term),
+          idcg AS (SELECT term, ${SqlFragments.r15(
+                     "SUM(rel / (ln(CAST(ri AS DOUBLE) + 1.0) / ln(2.0)))", 8)}
+                     AS idcg
+                   FROM ranked WHERE ri <= 10 GROUP BY term)
+          SELECT dcg.term, dcg.dcg, idcg.idcg,
+            ${SqlFragments.r15(
+              "CASE WHEN idcg.idcg = 0 THEN 0.0 ELSE dcg.dcg / idcg.idcg END", 8)}
+              AS ndcg
+          FROM dcg JOIN idcg USING (term)""",
 
     // Full replay: the same frequency-derived vocab, the same
     // longest-match-per-position table, the greedy cursor walk as a
