@@ -411,6 +411,43 @@ object Stats {
       qs.map(q => pickAt(exactRank(col("n"), q)).as(label(q))): _*)
   }
 
+  /** Per-key ordinary least squares from EXACT integer sufficient
+    * statistics — the trend fit a metrics pipeline runs per entity:
+    * one hash aggregation collects (n, Σx, Σy, Σxy, Σx², Σy²) as
+    * BIGINTs (x and y must be integral — exact to 2^63, callers scale
+    * doubles to cents/ticks first), and slope/intercept/R² are pure
+    * double functions OF those integers — bit-identical in any IEEE
+    * engine, unlike the built-in `regr_*` aggregates whose streaming
+    * double accumulation is order-dependent. One shuffle, no window,
+    * O(1) state per key. Degenerate keys (n < 2 or zero x-variance)
+    * yield NULL fit columns.
+    */
+  def olsPerKey(df: DataFrame, keyCol: String, xCol: String,
+                yCol: String): DataFrame = {
+    val agg = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col(xCol).cast("long")).as("sx"),
+      sum(col(yCol).cast("long")).as("sy"),
+      sum(col(xCol).cast("long") * col(yCol).cast("long")).as("sxy"),
+      sum(col(xCol).cast("long") * col(xCol).cast("long")).as("sxx"),
+      sum(col(yCol).cast("long") * col(yCol).cast("long")).as("syy"))
+    agg.select(col(keyCol), col("n"),
+      (col("n") * col("sxy") - col("sx") * col("sy")).as("_cxy"),
+      (col("n") * col("sxx") - col("sx") * col("sx")).as("_cxx"),
+      (col("n") * col("syy") - col("sy") * col("sy")).as("_cyy"),
+      col("sx"), col("sy"))
+      .select(col(keyCol), col("n"),
+        when(col("n") >= 2 && col("_cxx") =!= 0,
+          col("_cxy").cast("double") / col("_cxx").cast("double")).as("slope"),
+        when(col("n") >= 2 && col("_cxx") =!= 0,
+          (col("sy").cast("double") -
+            col("_cxy").cast("double") / col("_cxx").cast("double") *
+              col("sx").cast("double")) / col("n").cast("double")).as("intercept"),
+        when(col("n") >= 2 && col("_cxx") =!= 0 && col("_cyy") =!= 0,
+          col("_cxy").cast("double") * col("_cxy").cast("double") /
+            (col("_cxx").cast("double") * col("_cyy").cast("double"))).as("r2"))
+  }
+
   /** ANALYZE-style EXACT column statistics in one pass: per requested
     * column, one long-format row (column, n_rows, n_nonnull, n_null,
     * ndv, min_s, max_s) — the table profile a catalog stores for CBO

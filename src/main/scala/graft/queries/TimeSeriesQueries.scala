@@ -64,6 +64,21 @@ object TimeSeriesQueries {
     // the recurrence bit-identical in any IEEE engine, so the DuckDB
     // oracle replays it EXACTLY through a recursive CTE — a raw-double
     // hash match on a genuinely sequential computation.
+    // Per-key OLS trend from exact integer sufficient statistics —
+    // slope/intercept/R² of daily cents vs epoch-day, one hash agg
+    // (no window, no regr_* order-dependent accumulation): every fit
+    // value is a pure double function of exact BIGINTs, so the oracle
+    // matches raw.
+    "q259_ols_trend" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("x"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("user_id"), col("x"))
+        .agg(sum(col("cents")).as("y"))
+      graft.operators.Stats.olsPerKey(daily, "user_id", "x", "y")
+    }),
+
     "q249_holt_forecast" -> ((s, dir) => {
       val daily = t(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).cast("string").as("d"),
@@ -278,6 +293,37 @@ object TimeSeriesQueries {
     // NEW level, zero-trend init — literal-for-literal the operator's
     // update (dyadic constants make both engines bit-identical)
     "q249_holt_forecast" -> HoltSql,
+
+    // same integer sufficient stats, same double formulas
+    "q259_ols_trend" ->
+      """WITH daily AS (
+           SELECT user_id,
+             CAST(datediff('day', DATE '1970-01-01',
+               CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+           FROM events GROUP BY user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE)),
+         a AS (SELECT user_id, COUNT(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+               FROM daily GROUP BY user_id),
+         c AS (SELECT user_id, n,
+                 n * sxy - sx * sy AS cxy,
+                 n * sxx - sx * sx AS cxx,
+                 n * syy - sy * sy AS cyy, sx, sy FROM a)
+         SELECT user_id, n,
+           CASE WHEN n >= 2 AND cxx <> 0
+             THEN CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE) END AS slope,
+           CASE WHEN n >= 2 AND cxx <> 0
+             THEN (CAST(sy AS DOUBLE)
+                   - CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE)
+                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END AS intercept,
+           CASE WHEN n >= 2 AND cxx <> 0 AND cyy <> 0
+             THEN CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE)
+                  / (CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE)) END AS r2
+         FROM c""",
 
     "q242_gapfill_ffill" ->
       """WITH src AS (SELECT o_custkey % 20 AS key,
