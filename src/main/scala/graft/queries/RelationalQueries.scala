@@ -130,6 +130,19 @@ object RelationalQueries {
       graft.operators.Walks.randomWalks(edges, "src", "dst", steps = 4)
     }),
 
+    // node2vec-biased walks (p=2, q=4 as dyadic weights .5/1/.25):
+    // second-order walk — the neighbor pick at step t weights return
+    // (nbr = prev), distance-1 (edge prev->nbr) and far neighbors
+    // differently, via inverse-CDF at an LCG threshold over the
+    // nbr-ordered cumulative weights. All sums dyadic-exact, so the
+    // unrolled SQL replays the pick bit-for-bit.
+    "q260_node2vec_walks" -> ((s, dir) => {
+      val edges = t(s, dir, "events")
+        .select(pmod(col("user_id"), lit(500)).as("src"),
+          pmod(floor(col("value")), lit(500)).cast("long").as("dst"))
+      graft.operators.Walks.node2vecWalks(edges, "src", "dst", steps = 3)
+    }),
+
     "q104_pagerank" -> ((s, dir) => {
       val edges = t(s, dir, "events")
         .select(pmod(col("user_id"), lit(500)).as("src"),
@@ -976,6 +989,63 @@ object RelationalQueries {
          SELECT CAST(2 AS BIGINT), 'click', CAST(COUNT(t2) AS BIGINT) FROM s2
          UNION ALL
          SELECT CAST(3 AS BIGINT), 'purchase', CAST(COUNT(t3) AS BIGINT) FROM s3""",
+
+    // the biased walk unrolled: uniform step 1, then two biased steps
+    // (same dyadic weights, same nbr-ordered cumulative inverse-CDF)
+    "q260_node2vec_walks" ->
+      """WITH e AS (SELECT DISTINCT user_id % 500 AS src,
+                    CAST(floor("value") AS BIGINT) % 500 AS dst FROM events),
+         adj AS (SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk
+                 FROM e),
+         deg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
+         w0 AS (SELECT src AS start, src AS node FROM deg),
+         w1 AS (
+           SELECT w0.start, a.dst AS node, w0.node AS prev
+           FROM w0 JOIN deg d ON d.src = w0.node
+           JOIN adj a ON a.src = w0.node
+            AND a.rnk = (((w0.node + 1000003) % 2147483648)
+                         * 1103515245 + 12345) % 2147483648 % d.deg),
+         c2 AS (
+           SELECT w1.start, w1.node, w1.prev, a.dst,
+             CASE WHEN a.dst = w1.prev THEN 0.5
+                  WHEN e2.src IS NOT NULL THEN 1.0
+                  ELSE 0.25 END AS w
+           FROM w1 JOIN adj a ON a.src = w1.node
+           LEFT JOIN e e2 ON e2.src = w1.prev AND e2.dst = a.dst),
+         s2 AS (
+           SELECT start, node, prev, dst,
+             SUM(w) OVER (PARTITION BY start ORDER BY dst) AS cum,
+             ((CAST((((node + 2 * 1000003) % 2147483648)
+                     * 1103515245 + 12345) % 2147483648 AS DOUBLE) + 0.5)
+              / 2147483648.0) * SUM(w) OVER (PARTITION BY start) AS thr
+           FROM c2),
+         w2 AS (
+           SELECT start, dst AS node, node AS prev FROM s2
+           WHERE cum >= thr
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY start ORDER BY cum) = 1),
+         c3 AS (
+           SELECT w2.start, w2.node, w2.prev, a.dst,
+             CASE WHEN a.dst = w2.prev THEN 0.5
+                  WHEN e2.src IS NOT NULL THEN 1.0
+                  ELSE 0.25 END AS w
+           FROM w2 JOIN adj a ON a.src = w2.node
+           LEFT JOIN e e2 ON e2.src = w2.prev AND e2.dst = a.dst),
+         s3 AS (
+           SELECT start, node, prev, dst,
+             SUM(w) OVER (PARTITION BY start ORDER BY dst) AS cum,
+             ((CAST((((node + 3 * 1000003) % 2147483648)
+                     * 1103515245 + 12345) % 2147483648 AS DOUBLE) + 0.5)
+              / 2147483648.0) * SUM(w) OVER (PARTITION BY start) AS thr
+           FROM c3),
+         w3 AS (
+           SELECT start, dst AS node, node AS prev FROM s3
+           WHERE cum >= thr
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY start ORDER BY cum) = 1)
+         SELECT start, node, 0 AS step FROM w0
+         UNION ALL SELECT start, node, 1 FROM w1
+         UNION ALL SELECT start, node, 2 FROM w2
+         UNION ALL SELECT start, node, 3 FROM w3""",
 
     // the walk recursion replayed: same ranked adjacency, same LCG
     // pick (all operands non-negative, so % == pmod)
