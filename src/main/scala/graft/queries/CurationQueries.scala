@@ -1343,6 +1343,38 @@ object CurationQueries {
       st.readIndexedEq("t", "pri", "1-URGENT")
     }),
 
+    // WAP with a REBASE: main moves while the branch is loading, the
+    // fast-forward refuses (q245's OCC), and rebaseBranch recovers —
+    // re-pointing the branch onto main's new head while keeping the
+    // branch's appends (O(files) metadata; branch-side deletes refuse
+    // — only a re-audit can prove them against rows main rewrote).
+    // Audit re-runs on the rebased branch, publish lands atomically.
+    "q261_wap_rebase" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q261_snap", dir)
+      Seq("t", "t@load").foreach(d =>
+        graft.sources.Scratch.deleteRecursively(new java.io.File(root, d)))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      st.commit("t", o.where(col("k") % 3 === 0), overwrite = true,
+        statsCols = Seq("k"))
+      st.branchCreate("t", "load")
+      val b = st.branchView("t", "load")
+      st.commit(b, o.where(col("k") % 3 === 1), overwrite = false,
+        statsCols = Seq("k")) // branch work
+      st.commit("t", o.where(col("k") % 3 === 2), overwrite = false,
+        statsCols = Seq("k")) // concurrent main writer
+      val refused =
+        try { st.fastForward("t", "load"); false }
+        catch { case _: st.SnapshotConflict => true }
+      require(refused, "diverged branch must refuse fast-forward")
+      st.rebaseBranch("t", "load")
+      require(st.read(b).count() == o.count(),
+        "rebased branch must see main's new rows plus its own")
+      st.fastForward("t", "load")
+      st.read("t")
+    }),
+
     // WAP — write, audit, publish: the deployment workflow that keeps
     // unaudited data out of the serving table. Branch = zero-copy
     // shallow clone (branchCreate); writes land on the branch with the
@@ -2768,6 +2800,11 @@ object CurationQueries {
     "q252_secondary_index" ->
       """SELECT o_orderkey AS k, o_orderpriority AS pri, o_totalprice AS p
          FROM orders WHERE o_orderpriority = '1-URGENT'""",
+
+    // after refuse -> rebase -> publish, main holds every slice once
+    "q261_wap_rebase" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
+         FROM orders""",
 
     // base + two audited branch commits + the concurrent main append =
     // every customer exactly once; the stale branch's commit must NOT

@@ -1182,15 +1182,24 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val vs = versions(view)
     require(vs.nonEmpty, s"$view: no committed snapshot")
     val base = vs.max
-    // divergence check: main's CURRENT dirs, seen through the clone's
-    // relative-ref lens, must be exactly what the branch pinned at v1
+    // divergence check, two accepted shapes: (a) main is exactly what
+    // the branch pinned at v1 (nothing moved — branch-side rewrites
+    // like compaction are fine); (b) the branch HEAD still carries
+    // main's current snapshot whole, dirs and deletion vectors — the
+    // post-[[rebaseBranch]] shape (main + branch appends). Anything
+    // else means the audit ran against a stale base.
     def rel(d: String) = if (d.contains("/")) d else s"../../$view/data/$d"
     val pinned = readManifest(b, 1L).toSet
     val current = readManifest(view, base).map(rel).toSet
-    if (pinned != current)
+    val bHead = readManifest(b, bvs.max).toSet
+    val carriesMain = current.subsetOf(bHead) &&
+      manifestDels(view, base).map(rel).toSet
+        .subsetOf(manifestDels(b, bvs.max).toSet)
+    if (pinned != current && !carriesMain)
       throw new SnapshotConflict(
         s"$view: advanced since branch '$branch' was created — " +
-          "fast-forward would drop main's commits; re-branch and re-audit")
+          "fast-forward would drop main's commits; rebaseBranch (or " +
+          "re-branch) and re-audit")
     // branch head dirs re-pointed for main: main's own dirs return to
     // plain names, branch-local dirs become foreign refs, foreign refs
     // stay verbatim (all data roots sit at the same depth, so a
@@ -1205,6 +1214,44 @@ class SnapshotStore(spark: SparkSession, root: String) {
       manifestTxns(view, base) ++ manifestTxns(b, head),
       manifestDels(b, head).map(toMain))
     base + 1
+  }
+
+  /** Re-point branch `branch` onto `view`'s CURRENT head — the
+    * recovery [[fastForward]]'s OCC refusal asks for, without losing
+    * the branch's work: valid when the branch's own changes are PURE
+    * APPENDS since [[branchCreate]] (appended dirs; no dropped base
+    * dirs, no branch-side deletion vectors — a branch delete may
+    * target rows main has since rewritten, which only a re-audit can
+    * reconcile, so it refuses). Publishes a new branch version =
+    * main's current snapshot (dirs + dels, as foreign refs) plus the
+    * branch-local dirs — O(files) metadata, no data IO. Re-run the
+    * audit, then fast-forward.
+    */
+  def rebaseBranch(view: String, branch: String): Long = {
+    val b = branchView(view, branch)
+    val bvs = versions(b)
+    require(bvs.nonEmpty, s"$b: no such branch")
+    val head = bvs.max
+    def rel(d: String) = if (d.contains("/")) d else s"../../$view/data/$d"
+    val base = readManifest(b, 1L).toSet
+    val headDirs = readManifest(b, head)
+    if (!base.subsetOf(headDirs.toSet))
+      throw new SnapshotConflict(
+        s"$b: branch rewrote its base (not append-only) — cannot rebase")
+    val baseDels = manifestDels(b, 1L).toSet
+    if (manifestDels(b, head).exists(!baseDels.contains(_)))
+      throw new SnapshotConflict(
+        s"$b: branch carries its own deletes — rebase cannot prove them " +
+          "against main's new rows; re-branch and re-audit")
+    val local = headDirs.filterNot(base)
+    val vs = versions(view)
+    require(vs.nonEmpty, s"$view: no committed snapshot")
+    val mainHead = vs.max
+    publish(b, head + 1,
+      readManifest(view, mainHead).map(rel) ++ local,
+      manifestTxns(b, head) ++ manifestTxns(view, mainHead),
+      manifestDels(view, mainHead).map(rel))
+    head + 1
   }
 
   /** Delete data dirs referenced by NO manifest among the newest

@@ -764,6 +764,27 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("t").select("k").as[Int].collect().toSet == Set(2, 9))
   }
 
+  test("WAP: rebase re-points an append-only branch; deletes refuse") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
+    st.branchCreate("t", "wip")
+    val b = st.branchView("t", "wip")
+    st.commit(b, Seq((2, "b")).toDF("k", "v"), overwrite = false)
+    st.commit("t", Seq((3, "c")).toDF("k", "v"), overwrite = false)
+    intercept[RuntimeException](st.fastForward("t", "wip"))
+    st.rebaseBranch("t", "wip")
+    def ks(view: String) = st.read(view).select("k").as[Int].collect().toSet
+    assert(ks(b) == Set(1, 2, 3), "rebase keeps branch work on the new base")
+    st.fastForward("t", "wip")
+    assert(ks("t") == Set(1, 2, 3))
+    // a branch with its own deletion vector cannot rebase
+    st.branchCreate("t", "del")
+    val bd = st.branchView("t", "del")
+    st.deleteWhere(bd, "k", col("k") === 1)
+    st.commit("t", Seq((9, "z")).toDF("k", "v"), overwrite = false)
+    intercept[RuntimeException](st.rebaseBranch("t", "del"))
+  }
+
   test("WAP: branch compaction localizes, then fast-forward carries local dirs") {
     val (st, _) = freshStore()
     st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
