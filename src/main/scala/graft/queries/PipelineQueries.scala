@@ -606,6 +606,45 @@ object PipelineQueries {
       st.read("out")
     }),
 
+    // Table → table with ZERO user-side plumbing: the graft-table
+    // format on BOTH ends — source offsets are commit versions, the
+    // sink lands each micro-batch as one txn-fenced commit (batch id
+    // = txn id) — so the whole declarative pipeline is exactly-once
+    // end to end with no foreachBatch and no state outside the two
+    // tables' manifests. Three runs on one checkpoint: snapshot, the
+    // appended commit, nothing.
+    "q262_table_to_table_stream" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q262_snap", dir)
+      Seq("src", "out", "_cp").foreach(d =>
+        graft.sources.Scratch.deleteRecursively(new java.io.File(root, d)))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      st.commit("src", o.where(col("k") % 2 === 0), overwrite = true,
+        statsCols = Seq("k"))
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-table")
+          .option("root", root).option("view", "src").load()
+          .withColumn("p2", col("p") * 2)
+          .writeStream.format("graft-table")
+          .option("root", root).option("view", "out")
+          .option("statsColumns", "k")
+          .option("checkpointLocation", s"$root/_cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      drain()
+      st.commit("src", o.where(col("k") % 2 === 1), overwrite = false,
+        statsCols = Seq("k"))
+      drain()
+      val vAfter = st.versions("out").max
+      drain()
+      require(st.versions("out").max == vAfter,
+        "a drained pipeline must commit nothing (txn fence)")
+      st.read("out")
+    }),
+
     // Stream THROUGH a compaction — the operational path q244 fences:
     // OPTIMIZE rewrites every data dir, so "new dirs since my offset"
     // stops meaning "appended rows" and the append-mode stream FAILS
@@ -1043,6 +1082,12 @@ object PipelineQueries {
     "q82_stream_static_join" ->
       """SELECT event_id, user_id, c_mktsegment, value
          FROM events JOIN customer ON user_id = c_custkey""",
+
+    // the declarative pipeline delivers the projected table exactly once
+    "q262_table_to_table_stream" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p,
+                o_totalprice * 2 AS p2
+         FROM orders""",
 
     // replay-after-compaction converges to exactly the table
     "q248_stream_compaction_replay" ->

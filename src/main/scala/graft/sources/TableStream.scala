@@ -2,11 +2,12 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.StreamingBridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** The ACID table AS a stream — `spark.readStream.format("graft-table")`
@@ -48,9 +49,33 @@ import org.apache.spark.sql.types.StructType
   * added by later commits are dropped, columns removed read NULL —
   * restart the query to pick up a new schema, Delta's contract).
   */
-class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class GraftTableSourceProvider extends StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
+
+  /** The SINK half — `writeStream.format("graft-table")`: every
+    * micro-batch lands as ONE txn-fenced store commit keyed by the
+    * batch id, so sink-side exactly-once needs no foreachBatch
+    * plumbing. Modes: Append → [[SnapshotStore.appendOnce]]; Update
+    * (requires `mergeKey`) → [[SnapshotStore.mergeIntoOnce]] (upsert
+    * by key); Complete → a fenced overwrite commit. With the source
+    * half this makes the ACID table BOTH ends of a stream — table to
+    * table with end-to-end exactly-once and zero user-side state.
+    */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val store = new SnapshotStore(sqlContext.sparkSession, param(parameters, "root"))
+    val view = param(parameters, "view")
+    val mergeKey = parameters.get("mergeKey")
+    if (outputMode == OutputMode.Update())
+      require(mergeKey.nonEmpty, "graft-table sink: Update mode requires 'mergeKey'")
+    val stats = parameters.get("statsColumns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    new GraftTableSink(store, view, outputMode, mergeKey, stats)
+  }
 
   private def param(parameters: Map[String, String], key: String): String =
     parameters.getOrElse(key,
@@ -208,4 +233,31 @@ class GraftTableSource(spark: SparkSession,
 
   override def commit(end: OffsetV1): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** One store commit per micro-batch, fenced by the batch id (a
+  * redelivered batch after restart is recognized in the txn history
+  * and skipped — the store's manifest IS the sink's commit log).
+  */
+class GraftTableSink(store: SnapshotStore, view: String,
+                     outputMode: OutputMode, mergeKey: Option[String],
+                     statsCols: Seq[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // re-root the incremental plan as a standalone batch frame over
+    // the batch's RDD (the handed-in Dataset is streaming-bound and
+    // rejects batch writes — ForeachBatchSink does the same re-wrap)
+    val df = StreamingBridge.asBatch(data)
+    outputMode match {
+      case m if m == OutputMode.Complete() =>
+        if (!store.appliedTxns(view).contains(batchId))
+          store.commit(view, df, overwrite = true,
+            statsCols = statsCols, txn = Some(batchId))
+      case _ if mergeKey.isDefined =>
+        store.mergeIntoOnce(view, df, mergeKey.get, txnId = batchId,
+          statsCols = statsCols)
+      case _ =>
+        store.appendOnce(view, df, txnId = batchId, statsCols = statsCols)
+    }
+  }
 }

@@ -49,4 +49,15 @@ object StreamingBridge {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The reverse direction, for custom v1 SINKS: re-root the
+    * micro-batch a `Sink.addBatch` receives (whose plan is streaming-
+    * bound) as a standalone BATCH frame over the same RDD — what
+    * ForeachBatchSink does before handing user code the batch.
+    */
+  def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -143,6 +143,34 @@ class TableStreamSpec extends SparkSpec {
     assert(got.map(_._2).toList == List(Set(1L), Set(2L), Set(3L)), got.toString)
   }
 
+  test("sink: merge mode upserts by key, txn-fenced per batch") {
+    val (st, root) = fresh()
+    st.commit("src", Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"), overwrite = true)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("root", root).option("view", "src")
+        .option("changeFeed", "true").option("keyColumns", "k").load()
+        .select(col("k"), col("x_post").as("x"))
+        .where(col("change_type") =!= "delete")
+        .writeStream.format("graft-table")
+        .option("root", root).option("view", "out")
+        .option("mergeKey", "k").option("statsColumns", "k")
+        .option("checkpointLocation", s"$root/_cp")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    drain()
+    st.mergeInto("src", Seq((2L, 25.0), (3L, 30.0)).toDF("k", "x"), "k",
+      statsCols = Seq("k"))
+    drain()
+    val out = st.read("out").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out == Set((1L, 10.0), (2L, 25.0), (3L, 30.0)), out.toString)
+    val v = st.versions("out").max
+    drain() // nothing new: fence holds
+    assert(st.versions("out").max == v)
+  }
+
   test("readAppended is the deterministic range read under it all") {
     val (st, _) = fresh()
     st.commit("t", Seq((1L, "a")).toDF("k", "v"), overwrite = true)
