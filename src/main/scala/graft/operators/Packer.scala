@@ -85,17 +85,17 @@ object Packer {
         aggregate(_it,
           named_struct('loads', cast(array() as array<bigint>),
                        'asg', cast(array() as array<struct<id:bigint,bin:bigint>>)),
-          (acc, it) -> named_struct(
-            'loads',
-            if (${fit("acc.loads", "it._len")} >= 0,
-              transform(acc.loads, (x, j) ->
-                if (j = ${fit("acc.loads", "it._len")}, x + it._len, x)),
-              acc.loads || array(it._len)),
-            'asg',
-            acc.asg || array(named_struct('id', it._id,
-              'bin', if (${fit("acc.loads", "it._len")} >= 0,
-                         ${fit("acc.loads", "it._len")},
-                         cast(size(acc.loads) as bigint))))),
+          (acc, it) -> element_at(transform(
+            array(${fit("acc.loads", "it._len")}),
+            f -> named_struct(
+              'loads',
+              if (f >= 0,
+                transform(acc.loads, (x, j) -> if (j = f, x + it._len, x)),
+                acc.loads || array(it._len)),
+              'asg',
+              acc.asg || array(named_struct('id', it._id,
+                'bin', if (f >= 0, f, cast(size(acc.loads) as bigint)))))),
+            1),
           acc -> acc.asg)""")).as("_a"))
       .select(col("shard"), col("_a.id").as(idCol), col("_a.bin"))
   }
