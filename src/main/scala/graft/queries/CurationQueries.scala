@@ -1343,6 +1343,37 @@ object CurationQueries {
       st.readIndexedEq("t", "pri", "1-URGENT")
     }),
 
+    // Retention expiry at partition-drop cost: three range commits
+    // (stats sidecars on the date), DELETE WHERE d < cutoff — the
+    // all-before dir leaves the manifest with ZERO data IO, the
+    // straddling dir contributes a residual deletion vector scanned
+    // from itself alone, the future dir is untouched; one atomic
+    // publish. The in-query requires pin the structure (exactly one
+    // dir dropped, exactly one vector added, live dirs carried by
+    // name); the oracle pins the surviving rows.
+    "q263_retention_expiry" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q263_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        col("o_totalprice").as("p"))
+      st.commit("t", o.where(col("d") < "1997-01-01"), overwrite = true,
+        statsCols = Seq("k", "d"))
+      st.commit("t", o.where(col("d") >= "1997-01-01" && col("d") < "1999-01-01"),
+        overwrite = false, statsCols = Seq("k", "d"))
+      st.commit("t", o.where(col("d") >= "1999-01-01"), overwrite = false,
+        statsCols = Seq("k", "d"))
+      val before = st.manifestDirs("t")
+      val v = st.expireBefore("t", "d", "1998-01-01", keyCol = "k")
+      val after = st.manifestDirs("t", Some(v))
+      require(after.size == before.size - 1 && after.forall(before.contains),
+        "exactly the all-before dir must leave; live dirs carry by name")
+      require(st.manifestDels("t", v).size == 1,
+        "the straddling dir contributes exactly one residual vector")
+      st.read("t")
+    }),
+
     // WAP with a REBASE: main moves while the branch is loading, the
     // fast-forward refuses (q245's OCC), and rebaseBranch recovers —
     // re-pointing the branch onto main's new head while keeping the
@@ -2800,6 +2831,12 @@ object CurationQueries {
     "q252_secondary_index" ->
       """SELECT o_orderkey AS k, o_orderpriority AS pri, o_totalprice AS p
          FROM orders WHERE o_orderpriority = '1-URGENT'""",
+
+    // retention semantics: everything at-or-after the cutoff survives
+    "q263_retention_expiry" ->
+      """SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m-%d') AS d,
+                o_totalprice AS p
+         FROM orders WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1998-01-01'""",
 
     // after refuse -> rebase -> publish, main holds every slice once
     "q261_wap_rebase" ->

@@ -707,6 +707,60 @@ class SnapshotStore(spark: SparkSession, root: String) {
     next
   }
 
+  /** Retention expiry — `DELETE WHERE c < cutoff` at PARTITION-DROP
+    * cost: dirs whose recorded max for `c` is provably below the
+    * cutoff leave the manifest wholesale (zero IO — the O(files)
+    * partition-drop every time-partitioned table relies on), and only
+    * the STRADDLING dirs contribute a residual deletion vector
+    * ([[deleteWhere]]'s row-grained half, scanned from those dirs
+    * alone). One atomic publish carries both. `cutoff` compares in the
+    * stats domain (numeric when the sidecar recorded the column
+    * numeric, lexicographic for dates/strings); dirs without stats for
+    * `c` are never provably dead (conservatively row-filtered).
+    *
+    * Contract: the retention column must be NON-NULL by table design
+    * (the usual event-time contract) — a dropped dir takes any NULL-`c`
+    * rows with it, unlike the SQL predicate, which keeps them. Refuses
+    * to expire the final dir (an empty table must be an explicit
+    * overwrite, not a retention side effect).
+    */
+  def expireBefore(view: String, c: String, cutoff: String, keyCol: String,
+                   txn: Option[Long] = None): Long = {
+    val vs = versions(view)
+    require(vs.nonEmpty, s"$view: nothing to expire")
+    val base = vs.max
+    val dirs = readManifest(view, base)
+    val (dead, live) = dirs.partition { d =>
+      dirStats(view, d).get(c).exists { case (numeric, _, hi) =>
+        if (numeric) hi.toDouble < cutoff.toDouble else hi < cutoff
+      }
+    }
+    require(live.nonEmpty,
+      s"$view: expiry would drop every dir — overwrite explicitly instead")
+    val prevDels = manifestDels(view, base)
+    prevDels.headOption.foreach { d =>
+      val existing = readDirs(Seq(d), view).columns.head
+      require(existing == keyCol,
+        s"$view: deletion vectors are keyed by `$existing`, got `$keyCol`")
+    }
+    val residual = readDirs(live, view).where(col(c) < lit(cutoff))
+      .select(col(keyCol)).distinct()
+    val next = base + 1
+    val delDir = s"del$next-" + java.util.UUID.randomUUID().toString.take(8)
+    residual.coalesce(1).write.mode("overwrite")
+      .parquet(dataRoot(view).resolve(delDir).toString)
+    val hasResidual =
+      !spark.read.parquet(dataRoot(view).resolve(delDir).toString).isEmpty
+    if (!hasResidual)
+      Scratch.deleteRecursively(dataRoot(view).resolve(delDir).toFile)
+    if (dead.isEmpty && !hasResidual) return base
+    if (versions(view).max != base)
+      throw new SnapshotConflict(s"$view: base v$base superseded during expiry")
+    publish(view, next, live, manifestTxns(view, base) ++ txn,
+      if (hasResidual) prevDels :+ delDir else prevDels)
+    next
+  }
+
   /** Idempotent [[deleteWhere]] keyed by `txnId` — the exactly-once
     * DELETE primitive (the GDPR/compliance deleter in a foreachBatch
     * loop): a redelivered batch id is recognized in the manifest's

@@ -57,9 +57,10 @@ class GraftTableSourceProvider extends StreamSourceProvider
   /** The SINK half — `writeStream.format("graft-table")`: every
     * micro-batch lands as ONE txn-fenced store commit keyed by the
     * batch id, so sink-side exactly-once needs no foreachBatch
-    * plumbing. Modes: Append → [[SnapshotStore.appendOnce]]; Update
-    * (requires `mergeKey`) → [[SnapshotStore.mergeIntoOnce]] (upsert
-    * by key); Complete → a fenced overwrite commit. With the source
+    * plumbing. Modes: Complete → a fenced overwrite commit; otherwise
+    * `mergeKey` set → [[SnapshotStore.mergeIntoOnce]] (upsert by key —
+    * required by Update mode, allowed in Append); plain Append →
+    * [[SnapshotStore.appendOnce]]. With the source
     * half this makes the ACID table BOTH ends of a stream — table to
     * table with end-to-end exactly-once and zero user-side state.
     */

@@ -830,6 +830,30 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.indexRefresh("t", "c") == before + 1)
   }
 
+  test("retention expiry: dir drop + residual vector, no-op and guard rails") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq((1, "2024-01-01"), (2, "2024-01-02")).toDF("k", "d"),
+      overwrite = true, statsCols = Seq("k", "d"))
+    st.commit("t", Seq((3, "2024-02-01"), (4, "2024-03-01")).toDF("k", "d"),
+      overwrite = false, statsCols = Seq("k", "d"))
+    st.commit("t", Seq((5, "2024-04-01")).toDF("k", "d"),
+      overwrite = false, statsCols = Seq("k", "d"))
+    val dirs0 = st.manifestDirs("t")
+    // nothing before the epoch: no-op, no version
+    assert(st.expireBefore("t", "d", "2024-01-01", "k") == 3L)
+    // Jan dir drops whole; Feb row leaves the straddling dir via DV
+    val v = st.expireBefore("t", "d", "2024-02-15", "k")
+    assert(v == 4L)
+    assert(st.manifestDirs("t", Some(v)).size == dirs0.size - 1)
+    assert(st.manifestDels("t", v).size == 1)
+    assert(st.read("t").select("k").as[Int].collect().toSet == Set(4, 5))
+    // time travel still reads the pre-expiry snapshot
+    assert(st.read("t", Some(3L)).count() == 5)
+    // refuse to expire the entire table
+    intercept[IllegalArgumentException](
+      st.expireBefore("t", "d", "2099-01-01", "k"))
+  }
+
   test("vacuum of main never takes dirs a live branch or clone still reads") {
     val (st, _) = freshStore()
     st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
