@@ -1343,6 +1343,40 @@ object CurationQueries {
       st.readIndexedEq("t", "pri", "1-URGENT")
     }),
 
+    // DEEP CLONE across store roots: byte-copied data dirs (stats
+    // sidecars and deletion vectors included) + a fresh v1 manifest —
+    // fully independent of the source (later source commits invisible,
+    // required), with data SKIPPING intact at the target (the pruning
+    // split must still skip dirs, required — the sidecars traveled).
+    "q264_deep_clone" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q264_snap", dir)
+      Seq("a", "b").foreach(d =>
+        graft.sources.Scratch.deleteRecursively(new java.io.File(root, d)))
+      val src = new graft.sources.SnapshotStore(s, s"$root/a")
+      val dst = new graft.sources.SnapshotStore(s, s"$root/b")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        col("o_totalprice").as("p"))
+      src.commit("t", o.where(col("d") < "1998-01-01"), overwrite = true,
+        statsCols = Seq("k", "d"))
+      src.commit("t", o.where(col("d") >= "1998-01-01"), overwrite = false,
+        statsCols = Seq("k", "d"))
+      src.deleteWhere("t", "k", col("k") % 10 === 0)
+      src.deepClone(dst, "t", "t")
+      // independence: the source moves on (fresh keys — a re-insert of
+      // deleted keys would stay DV-suppressed), the clone must not
+      src.commit("t", o.where(col("k") % 97 === 0)
+        .withColumn("k", -col("k")), overwrite = false,
+        statsCols = Seq("k", "d"))
+      require(dst.read("t").count() < src.read("t").count(),
+        "clone must be pinned, not a live reference")
+      // the copied sidecars still prune at the target
+      val (keep, skip) = dst.pruneDirs("t", "d", "1999-01-01", "2099-12-31")
+      require(skip.nonEmpty && keep.nonEmpty,
+        "data skipping must survive the clone (sidecars traveled)")
+      dst.read("t")
+    }),
+
     // Retention expiry at partition-drop cost: three range commits
     // (stats sidecars on the date), DELETE WHERE d < cutoff — the
     // all-before dir leaves the manifest with ZERO data IO, the
@@ -2831,6 +2865,13 @@ object CurationQueries {
     "q252_secondary_index" ->
       """SELECT o_orderkey AS k, o_orderpriority AS pri, o_totalprice AS p
          FROM orders WHERE o_orderpriority = '1-URGENT'""",
+
+    // the clone pins the pre-divergence state: both commits, the
+    // delete applied, the source's later insert invisible
+    "q264_deep_clone" ->
+      """SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m-%d') AS d,
+                o_totalprice AS p
+         FROM orders WHERE o_orderkey % 10 <> 0""",
 
     // retention semantics: everything at-or-after the cutoff survives
     "q263_retention_expiry" ->

@@ -1308,6 +1308,41 @@ class SnapshotStore(spark: SparkSession, root: String) {
     head + 1
   }
 
+  /** DEEP CLONE into another store (or another view of this one):
+    * byte-copy the snapshot's data dirs — stats/bloom sidecars, file
+    * layout, clustering all preserved, so data skipping works at the
+    * target without recomputation — and publish the target's v1
+    * manifest over the copies. Unlike [[cloneView]] (zero-copy, shares
+    * files) the result is fully INDEPENDENT: vacuum/rewrites on either
+    * side cannot touch the other, the cross-store migration/DR shape.
+    * Deletion vectors copy too (the clone is logically identical, not
+    * physically materialized). Copy runs driver-side file by file —
+    * the local-filesystem analog of the distcp/cloud-copy job a
+    * cluster deployment would run; the MANIFEST publish stays the same
+    * O(files) atomic step either way.
+    */
+  def deepClone(target: SnapshotStore, srcView: String, dstView: String,
+                asOf: Option[Long] = None): Long = {
+    require(target.versions(dstView).isEmpty,
+      s"$dstView: deep-clone target must be empty")
+    val v = resolvedVersion(srcView, asOf)
+    def copyDir(d: String): String = {
+      val from = dirPath(srcView, d)
+      val name = from.getFileName.toString
+      val to = target.dataRoot(dstView).resolve(name)
+      Files.createDirectories(to)
+      listEntries(from).foreach { f =>
+        Files.copy(f, to.resolve(f.getFileName.toString),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      name
+    }
+    val dirs = readManifest(srcView, v).map(copyDir)
+    val dels = manifestDels(srcView, v).map(copyDir)
+    target.publish(dstView, 1L, dirs, Set.empty, dels)
+    1L
+  }
+
   /** Delete data dirs referenced by NO manifest among the newest
     * `retainVersions` (and drop the older manifests): the GC that makes
     * immutable-file commits sustainable. Never touches a dir a retained
