@@ -830,6 +830,23 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.indexRefresh("t", "c") == before + 1)
   }
 
+  test("deep clone: independent copy, DVs travel, zero-copy refs localize") {
+    val (st, root) = freshStore()
+    st.commit("t", Seq((1, "a"), (2, "b")).toDF("k", "v"), overwrite = true)
+    st.cloneView("t", "zc") // zero-copy clone: foreign refs
+    st.deleteWhere("zc", "k", col("k") === 1)
+    val other = new SnapshotStore(spark, s"$root/other")
+    st.deepClone(other, "zc", "t2")
+    // the copy localized the foreign-ref dirs and carried the vector
+    assert(other.manifestDirs("t2").forall(!_.contains("/")))
+    assert(other.read("t2").select("k").as[Int].collect().toSet == Set(2))
+    // fully independent both directions
+    st.commit("zc", Seq((9, "z")).toDF("k", "v"), overwrite = false)
+    assert(other.read("t2").count() == 1)
+    other.commit("t2", Seq((7, "q")).toDF("k", "v"), overwrite = false)
+    assert(st.read("zc").select("k").as[Int].collect().toSet == Set(2, 9))
+  }
+
   test("retention expiry: dir drop + residual vector, no-op and guard rails") {
     val (st, _) = freshStore()
     st.commit("t", Seq((1, "2024-01-01"), (2, "2024-01-02")).toDF("k", "d"),
