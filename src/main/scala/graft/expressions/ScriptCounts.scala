@@ -53,7 +53,13 @@ case class ScriptCounts(child: Expression) extends UnaryExpression {
     else if (cp >= 0x4e00 && cp <= 0x9fff) 5
     else 6
 
-  /** Single entry for interpreted eval AND generated code. */
+  /** Single entry for interpreted eval AND generated code. Malformed
+    * UTF-8 never reads past numBytes: a truncated multi-byte tail, a
+    * continuation byte in lead position, or an invalid lead (0xf8+)
+    * counts as ONE 'other' codepoint and the walk advances one byte —
+    * defensive against non-string-born binary, same spirit as the
+    * bounds-checked walk matchEndsWithChars gets from the JVM string.
+    */
   def countsOf(text: UTF8String): ArrayData = {
     val counts = new Array[Long](7)
     val n = text.numBytes
@@ -62,17 +68,20 @@ case class ScriptCounts(child: Expression) extends UnaryExpression {
       val b0 = text.getByte(i) & 0xff
       var cp = 0
       if (b0 < 0x80) { cp = b0; i += 1 }
-      else if ((b0 & 0xe0) == 0xc0) {
+      else if ((b0 & 0xe0) == 0xc0 && i + 1 < n) {
         cp = ((b0 & 0x1f) << 6) | (text.getByte(i + 1) & 0x3f)
         i += 2
-      } else if ((b0 & 0xf0) == 0xe0) {
+      } else if ((b0 & 0xf0) == 0xe0 && i + 2 < n) {
         cp = ((b0 & 0x0f) << 12) | ((text.getByte(i + 1) & 0x3f) << 6) |
           (text.getByte(i + 2) & 0x3f)
         i += 3
-      } else {
+      } else if ((b0 & 0xf8) == 0xf0 && i + 3 < n) {
         cp = ((b0 & 0x07) << 18) | ((text.getByte(i + 1) & 0x3f) << 12) |
           ((text.getByte(i + 2) & 0x3f) << 6) | (text.getByte(i + 3) & 0x3f)
         i += 4
+      } else {
+        cp = 0xfffd // invalid/truncated sequence: one 'other', step 1
+        i += 1
       }
       counts(clsOf(cp)) += 1
     }

@@ -241,18 +241,23 @@ object TfIdf {
     * semantic retrieval without score calibration.
     *
     * Each input is a (doc_id, score) frame ALREADY cut to its own
-    * bounded top-k — so the rank window (a single-partition sort, fine
-    * on ≤topK rows, never corpus-scale) and the fusion agg touch only
-    * the lists' union. That is the 100 TB contract: retrievers prune,
-    * fusion is O(Σ list sizes). Ranks are deterministic
-    * (score desc, doc_id); the fused sum is r15-stabilized.
+    * bounded top-k, and each list ranks within ITS OWN window
+    * partition (the lists union first, tagged by list index, so one
+    * hash-partitioned window ranks all of them — no single-partition
+    * exchange anywhere, even structurally). That is the 100 TB
+    * contract: retrievers prune, fusion is O(Σ list sizes). Ranks are
+    * deterministic (score desc, doc_id); the fused sum is
+    * r15-stabilized.
     */
   def rrfFuse(rankings: Seq[DataFrame], k: Int = 60, topK: Int = 10): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
-    rankings.map(_.select(col("doc_id"), col("score"))
-        .withColumn("rank", row_number().over(w).cast("long")))
+    val w = Window.partitionBy(col("_list"))
+      .orderBy(col("score").desc, col("doc_id"))
+    rankings.zipWithIndex.map { case (r, i) =>
+        r.select(col("doc_id"), col("score")).withColumn("_list", lit(i))
+      }
       .reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(w).cast("long"))
       .groupBy(col("doc_id"))
       .agg(graft.functions.NumFns.stableRound(
           sum(lit(1.0) / (lit(k.toDouble) + col("rank"))), 12).as("rrf"),

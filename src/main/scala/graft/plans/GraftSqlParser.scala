@@ -149,17 +149,67 @@ object GraftSqlParser {
   // table, subqueries, CTEs): each occurrence becomes the quoted
   // identifier `name$asof$n`, which [[ResolveGraftTimeTravel]] later
   // binds to `store.read(view, Some(n))`. Matches only a bare
-  // (qualified) name followed by the clause, so column references and
-  // string literals containing the words are left alone (the clause
-  // keyword sequence VERSION AS OF is not valid SQL anywhere else).
+  // (qualified) name followed by the clause at QUOTE DEPTH ZERO:
+  // occurrences inside '…'/"…"/`…` literals and identifiers or inside
+  // --/'/*' comments are left verbatim (enforced by [[quotedMask]],
+  // the same quote walk [[splitTopLevel]] uses — not just claimed).
   private val VersionAsOfRe =
     """(?is)([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
 
+  /** Per-character mask of `s`: true where the character sits inside a
+    * quoted region ('…', "…", `…`; SQL's doubled-quote escaping works
+    * by toggle) or a comment (line `--` to EOL, or slash-star block).
+    * Text rewrites consult it so they only touch real syntax.
+    */
+  private[plans] def quotedMask(s: String): Array[Boolean] = {
+    val in = new Array[Boolean](s.length)
+    var quote: Char = 0 // 0 none; '-' line comment; '*' block comment
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote == '-') {
+        in(i) = true; if (c == '\n') quote = 0
+      } else if (quote == '*') {
+        in(i) = true
+        if (c == '/' && i > 0 && s.charAt(i - 1) == '*') quote = 0
+      } else if (quote != 0) {
+        in(i) = true; if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; in(i) = true
+      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        quote = '-'; in(i) = true
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        quote = '*'; in(i) = true
+      }
+      i += 1
+    }
+    in
+  }
+
+  /** Replace `re`'s matches in `sqlText` — but ONLY matches lying
+    * entirely outside quoted/comment regions. None when nothing
+    * rewritable matched.
+    */
+  private def replaceOutsideQuotes(sqlText: String, re: scala.util.matching.Regex)(
+      build: scala.util.matching.Regex.Match => String): Option[String] = {
+    val mask = quotedMask(sqlText)
+    val ms = re.findAllMatchIn(sqlText)
+      .filterNot(m => (m.start until m.end).exists(mask)).toSeq
+    if (ms.isEmpty) None
+    else {
+      val sb = new StringBuilder
+      var pos = 0
+      ms.foreach { m =>
+        sb.append(sqlText.substring(pos, m.start)).append(build(m))
+        pos = m.end
+      }
+      Some(sb.append(sqlText.substring(pos)).toString)
+    }
+  }
+
   private[plans] def rewriteTimeTravel(sqlText: String): Option[String] =
-    if (VersionAsOfRe.findFirstIn(sqlText).isEmpty) None
-    else Some(VersionAsOfRe.replaceAllIn(sqlText, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        "`" + m.group(1) + "$asof$" + m.group(2) + "`")))
+    replaceOutsideQuotes(sqlText, VersionAsOfRe)(m =>
+      "`" + m.group(1) + "$asof$" + m.group(2) + "`")
 
   // DESCRIBE HISTORY <table> — the table-history statement (Delta's
   // spelling) over a registered store view: rewritten to a SELECT over

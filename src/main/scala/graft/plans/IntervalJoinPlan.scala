@@ -113,25 +113,31 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = newLeft, right = newRight)
 
   /** Upper bound on the active right set, per partition. The sweep's
-    * memory is O(max concurrent overlap) BY DESIGN — the output degree
-    * the data demands — but unlike SortMergeJoin's buffered side it has
-    * no spill path, so one pathological key (every right interval
-    * long-lived and mutually overlapping) would otherwise grow the
-    * buffer until the executor OOMs with no attribution. The guard
-    * makes that contract ENFORCED: crossing the cap fails the task
-    * loudly, naming the operator, the cap, and the conf to raise
-    * (`spark.graft.intervalJoin.maxActive`; default 4M rows ≈ hundreds
-    * of MB of copied UnsafeRows — far past any sane overlap degree).
-    * The `maxActiveRights` metric reports the observed peak so a
-    * near-miss is visible in the SQL UI before it becomes an incident.
+    * state is O(max concurrent overlap) BY DESIGN — the output degree
+    * the data demands. Below `spark.graft.intervalJoin.inMemoryRows`
+    * (default 64k) the set lives in an on-heap array; past it the
+    * buffer migrates into the SAME spill-capable structure
+    * SortMergeJoin buffers its matches in (UnsafeExternalSorter via
+    * ExternalAppendOnlyUnsafeRowArray), so a hot key degrades to disk
+    * IO instead of an executor OOM. The ceiling stays ENFORCED on top:
+    * crossing `spark.graft.intervalJoin.maxActive` (default 4M rows)
+    * fails the task loudly, naming the conf — at that point the
+    * output itself is quadratic-degree and the caller should pre-split
+    * the key, not spill harder. The `maxActiveRights` metric reports
+    * the observed peak so a near-miss is visible in the SQL UI before
+    * it becomes an incident.
     */
   private def maxActiveLimit: Long =
     conf.getConfString("spark.graft.intervalJoin.maxActive", (4L << 20).toString).toLong
+
+  private def inMemoryRows: Int =
+    conf.getConfString("spark.graft.intervalJoin.inMemoryRows", (64 << 10).toString).toInt
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val maxActiveRights = longMetric("maxActiveRights")
     val maxActive = maxActiveLimit
+    val memRows = inMemoryRows
     val keyType = leftKey.dataType
     val leftOutput = left.output
     val rightOutput = right.output
@@ -162,8 +168,18 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
       val joined = new JoinedRow
       val rBuf = rIter.buffered
       // the active set: copied [k,s,e,cols…] rights of the CURRENT left
-      // key whose end might still exceed a future left's start
-      val active = new java.util.ArrayList[UnsafeRow]()
+      // key whose end might still exceed a future left's start. Small
+      // sets live on heap; past `inMemoryRows` the buffer is the same
+      // spill-capable sorter SMJ's buffered side uses. Dead rights
+      // (end <= current left start — dead for every later left too,
+      // starts only grow) are filtered at emission and physically
+      // dropped by a REBUILD once they are half the buffer: the
+      // spillable structure is append-only, so compaction is
+      // copy-the-survivors, amortized O(1) per buffered row.
+      def newActive() = new org.apache.spark.sql.graftbridge
+        .SpillableRowBuffer(memRows, 32L << 20)
+      var active = newActive()
+      var deadSeen = 0L // dead rights counted in the last emission scan
       var curKey: UnsafeRow = null // active rows' key (a copied probe row)
       var peakActive = 0L // this partition's peak, reported incrementally
       lIter.flatMap { lrow =>
@@ -175,7 +191,20 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
           val le = lkse.getLong(2)
           if (curKey == null || keyOrd.compare(curKey, lkse) != 0) {
             active.clear()
+            deadSeen = 0L
             curKey = lkse.copy()
+          } else if (deadSeen * 2 >= active.length.toLong && deadSeen > 0) {
+            // compact: copy survivors (end beyond this left's start)
+            // into a fresh buffer; the old one frees its pages/files
+            val fresh = newActive()
+            val it = active.iterator
+            while (it.hasNext) {
+              val r = it.next()
+              if (r.getLong(2) > ls) fresh.add(r)
+            }
+            active.clear()
+            active = fresh
+            deadSeen = 0L
           }
           // pull rights up to this left's horizon: discard passed keys
           // and dead-on-arrival intervals, buffer live candidates, stop
@@ -196,51 +225,47 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
                 // proper interval still able to reach this or a later
                 // left (left starts only grow within the key)
                 if (rs < re && re > ls) {
-                  active.add(rRowProj(r).copy())
-                  if (active.size > peakActive) {
-                    maxActiveRights += active.size - peakActive
-                    peakActive = active.size
+                  active.add(rRowProj(r)) // the buffer copies on add
+                  if (active.length > peakActive) {
+                    maxActiveRights += active.length - peakActive
+                    peakActive = active.length
                     if (peakActive > maxActive)
                       throw new IllegalStateException(
                         s"interval join: active right set exceeded " +
                         s"spark.graft.intervalJoin.maxActive=$maxActive rows " +
-                        s"on one key — a pathological overlap degree this " +
-                        s"operator buffers in memory by design; raise the " +
-                        s"conf or pre-split the hot key")
+                        s"on one key — past the spill tier this is a " +
+                        s"quadratic overlap degree; raise the conf only " +
+                        s"if that output is intended, else pre-split " +
+                        s"the hot key")
                   }
                 }
               } else scan = false
             }
           }
-          // sweep the active set: compact out rights this left's start
-          // has passed (dead for every later left too), lazily emit the
-          // overlaps — max(ls,rs) < min(le,re) reduces to rs < le
-          // (with re > ls held by compaction) for proper intervals
-          var i = 0
-          var w = 0
-          while (i < active.size) {
-            val r = active.get(i)
-            if (r.getLong(2) > ls) {
-              if (w != i) active.set(w, active.get(i))
-              w += 1
-            }
-            i += 1
-          }
-          while (active.size > w) active.remove(active.size - 1)
-          val n = active.size
+          // lazily emit the overlaps in one pass over the buffer:
+          // max(ls,rs) < min(le,re) = rs < le && re > ls for proper
+          // intervals; rows failing re > ls are counted dead for the
+          // next compaction decision
+          val it = active.iterator
+          var scanDead = 0L
           new Iterator[InternalRow] {
-            private var idx = 0
+            private var nextR: UnsafeRow = null
             private def seek(): Unit = {
-              while (idx < n && active.get(idx).getLong(1) >= le) idx += 1
+              nextR = null
+              while (nextR == null && it.hasNext) {
+                val r = it.next()
+                if (r.getLong(2) <= ls) scanDead += 1
+                else if (r.getLong(1) < le) nextR = r
+              }
+              if (!it.hasNext && nextR == null) deadSeen = scanDead
             }
             seek()
-            override def hasNext: Boolean = idx < n
+            override def hasNext: Boolean = nextR != null
             override def next(): InternalRow = {
-              val r = active.get(idx)
-              idx += 1
-              seek()
               numOutputRows += 1
-              outProj(joined(lrow, r))
+              val out = outProj(joined(lrow, nextR))
+              seek()
+              out
             }
           }
         }

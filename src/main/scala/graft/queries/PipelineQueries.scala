@@ -608,8 +608,9 @@ object PipelineQueries {
 
     // Table → table with ZERO user-side plumbing: the graft-table
     // format on BOTH ends — source offsets are commit versions, the
-    // sink lands each micro-batch as one txn-fenced commit (batch id
-    // = txn id) — so the whole declarative pipeline is exactly-once
+    // sink lands each micro-batch as one txn-fenced commit (txn id =
+    // batch id salted by the checkpoint's namespace, so a second
+    // writer query can't collide) — so the pipeline is exactly-once
     // end to end with no foreachBatch and no state outside the two
     // tables' manifests. Three runs on one checkpoint: snapshot, the
     // appended commit, nothing.

@@ -628,11 +628,23 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * INDEX: kept = dirs the index places the value in, plus dirs it
     * has not covered yet (conservative, never wrong). O(index rows)
     * driver work — the same metadata scale as the manifests.
+    *
+    * With `spark.graft.index.autoRefresh=true` the consult FIRST runs
+    * the (incremental, never-seen-dirs-only) [[indexRefresh]], so a
+    * commit→lookup sequence prunes without anyone remembering the
+    * manual refresh — maintenance is lazy and paid by the reader it
+    * benefits, and a fully-covered index costs only the O(dirs)
+    * coverage probe the consult does anyway. Off (default), uncovered
+    * dirs read conservatively until the caller refreshes — the
+    * bulk-load-then-refresh-once pattern.
     */
   def indexedDirsEq(view: String, c: String,
                     value: Any): (Seq[String], Seq[String]) = {
     val iv = idxView(view, c)
     require(versions(iv).nonEmpty, s"$iv: index not built — indexRefresh first")
+    if (spark.conf.getOption("spark.graft.index.autoRefresh")
+          .exists(_.toBoolean))
+      indexRefresh(view, c)
     // two O(dirs)-sized collects (never the value column): the hit
     // probe itself rides the index table's own stats pruning, so a
     // high-cardinality index stays cheap to consult
@@ -672,7 +684,9 @@ class SnapshotStore(spark: SparkSession, root: String) {
     *
     * Contract: `keyCol` must be the view's row-identity key (unique —
     * the same key mergeInto upserts on), and ONE key column per view's
-    * vector set. Deletes compose: later vectors append; a later
+    * vector set. Deletes compose: later vectors append (auto-folded
+    * into one key list past `spark.graft.dv.maxVectors` — see
+    * [[foldDels]]); a later
     * [[mergeInto]] SUBTRACTS re-inserted keys from the vector (so
     * upsert-after-delete resurrects); [[compact]]/OPTIMIZE materialize
     * and drop vectors; an overwrite commit discards them with the
@@ -703,8 +717,33 @@ class SnapshotStore(spark: SparkSession, root: String) {
     if (versions(view).max != base)
       throw new SnapshotConflict(s"$view: base v$base superseded during delete")
     publish(view, next, readManifest(view, base),
-      manifestTxns(view, base) ++ txn, prevDels :+ delDir)
+      manifestTxns(view, base) ++ txn, foldDels(view, next, prevDels :+ delDir))
     next
+  }
+
+  /** Carried-vector lifecycle: when a delete would carry more than
+    * `spark.graft.dv.maxVectors` vector dirs (default 8), merge them
+    * ALL into one distinct key list published in their place — the
+    * fold that keeps a long-running delete loop (the q243 GDPR shape:
+    * one vector per micro-batch) bounded. Cost is O(total deleted
+    * keys) key-file IO at the folding publish, amortized O(keys/maxV)
+    * per delete; reads then broadcast ONE compact list instead of an
+    * ever-growing union, and the per-read vector-dir listing stays
+    * ≤ maxVectors forever without waiting for a full compact/OPTIMIZE.
+    * Superseded vector dirs stay on disk — older manifests still
+    * reference them for time travel; vacuum GCs them with their
+    * manifests (vectors are retention roots there already).
+    */
+  private def foldDels(view: String, next: Long, dels: Seq[String]): Seq[String] = {
+    val maxV = spark.conf.getOption("spark.graft.dv.maxVectors")
+      .map(_.toInt).getOrElse(8)
+    if (dels.size <= maxV) dels
+    else {
+      val dir = s"del$next-fold" + java.util.UUID.randomUUID().toString.take(8)
+      readDirs(dels, view).distinct().coalesce(1).write.mode("overwrite")
+        .parquet(dataRoot(view).resolve(dir).toString)
+      Seq(dir)
+    }
   }
 
   /** Retention expiry — `DELETE WHERE c < cutoff` at PARTITION-DROP
@@ -757,7 +796,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
     if (versions(view).max != base)
       throw new SnapshotConflict(s"$view: base v$base superseded during expiry")
     publish(view, next, live, manifestTxns(view, base) ++ txn,
-      if (hasResidual) prevDels :+ delDir else prevDels)
+      foldDels(view, next, if (hasResidual) prevDels :+ delDir else prevDels))
     next
   }
 
@@ -1237,19 +1276,24 @@ class SnapshotStore(spark: SparkSession, root: String) {
     require(vs.nonEmpty, s"$view: no committed snapshot")
     val base = vs.max
     // divergence check, two accepted shapes: (a) main is exactly what
-    // the branch pinned at v1 (nothing moved — branch-side rewrites
-    // like compaction are fine); (b) the branch HEAD still carries
-    // main's current snapshot whole, dirs and deletion vectors — the
-    // post-[[rebaseBranch]] shape (main + branch appends). Anything
-    // else means the audit ran against a stale base.
+    // the branch pinned at v1 — DIRS AND DELETION VECTORS (a main-side
+    // deleteWhere/expireBefore moves only the manifest's dels, and
+    // publishing the branch's branch-time dels over it would silently
+    // resurrect main's deleted rows; nothing moved — branch-side
+    // rewrites like compaction are fine); (b) the branch HEAD still
+    // carries main's current snapshot whole, dirs and deletion
+    // vectors — the post-[[rebaseBranch]] shape (main + branch
+    // appends). Anything else means the audit ran against a stale base.
     def rel(d: String) = if (d.contains("/")) d else s"../../$view/data/$d"
     val pinned = readManifest(b, 1L).toSet
     val current = readManifest(view, base).map(rel).toSet
+    val pinnedDels = manifestDels(b, 1L).toSet
+    val currentDels = manifestDels(view, base).map(rel).toSet
     val bHead = readManifest(b, bvs.max).toSet
     val carriesMain = current.subsetOf(bHead) &&
-      manifestDels(view, base).map(rel).toSet
-        .subsetOf(manifestDels(b, bvs.max).toSet)
-    if (pinned != current && !carriesMain)
+      currentDels.subsetOf(manifestDels(b, bvs.max).toSet)
+    val matchesPin = pinned == current && pinnedDels == currentDels
+    if (!matchesPin && !carriesMain)
       throw new SnapshotConflict(
         s"$view: advanced since branch '$branch' was created — " +
           "fast-forward would drop main's commits; rebaseBranch (or " +

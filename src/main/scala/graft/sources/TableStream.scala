@@ -75,7 +75,14 @@ class GraftTableSourceProvider extends StreamSourceProvider
       require(mergeKey.nonEmpty, "graft-table sink: Update mode requires 'mergeKey'")
     val stats = parameters.get("statsColumns").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    new GraftTableSink(store, view, outputMode, mergeKey, stats)
+    // txn namespace: two independent queries (or a reset checkpoint)
+    // share the raw 0,1,2… batch-id space — fencing on it alone would
+    // silently skip the second writer's colliding ids. The Delta
+    // (appId, version) shape: an explicit `txnAppId`, else the
+    // query's checkpointLocation (stable across restarts of the SAME
+    // query, distinct between queries), salts the fence.
+    val ns = parameters.get("txnAppId").orElse(parameters.get("checkpointLocation"))
+    new GraftTableSink(store, view, outputMode, mergeKey, stats, ns)
   }
 
   private def param(parameters: Map[String, String], key: String): String =
@@ -199,14 +206,31 @@ class GraftTableSource(spark: SparkSession,
   private def emptyBatch: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], fixedSchema)
 
-  /** Change-feed batch: manifest-diff between the offsets; the initial
-    * range (from before the first retained version) surfaces snapshot
-    * `to` as pure inserts in the same schema.
+  /** Change-feed batch: manifest-diff between the offsets; ONLY the
+    * initial range (`from <= 0` — a fresh stream with no starting
+    * version) surfaces snapshot `to` as pure inserts in the same
+    * schema. A positive `from` that is no longer a retained version
+    * (vacuumed while the query was down, or a bad startingVersion)
+    * fails LOUDLY like the append path does — silently re-emitting the
+    * full snapshot as inserts would duplicate every already-streamed
+    * row into downstream retraction MVs, which is strictly worse than
+    * an error.
     */
+  private def gone(v: Long): Nothing =
+    throw new IllegalStateException(
+      s"graft-table changeFeed: stream offset version $v of " +
+        s"'$view' is no longer retained (vacuumed?) — restart from " +
+        "a fresh checkpoint or raise vacuum retention")
+
   private def cdfBatch(from: Long, to: Long): DataFrame =
-    if (from > 0 && store.versions(view).contains(from))
+    if (from > 0) {
+      if (!store.versions(view).contains(from)) gone(from)
       store.diff(view, from, to, keyColumns)
-    else {
+    } else {
+      // both ends checked: a restart replays the committed initial
+      // batch through here too, and its end version may have been
+      // vacuumed while the query was down
+      if (!store.versions(view).contains(to)) gone(to)
       val snap = store.read(view, Some(to))
       val have = snap.columns.toSet
       val payload = fixedSchema.fieldNames.toSeq
@@ -236,29 +260,46 @@ class GraftTableSource(spark: SparkSession,
   override def stop(): Unit = ()
 }
 
-/** One store commit per micro-batch, fenced by the batch id (a
-  * redelivered batch after restart is recognized in the txn history
-  * and skipped — the store's manifest IS the sink's commit log).
+/** One store commit per micro-batch, fenced by the batch id SALTED
+  * with the query's txn namespace (txnAppId / checkpointLocation —
+  * Delta's (appId, version) identity): a redelivered batch of the SAME
+  * query after restart is recognized in the txn history and skipped,
+  * while a DIFFERENT query writing the same view (its own 0,1,2… id
+  * space) fences independently instead of being silently swallowed.
+  * Without any namespace (no checkpointLocation option) the raw batch
+  * id is the fence and the view accepts exactly one writer lineage —
+  * the documented fallback.
   */
 class GraftTableSink(store: SnapshotStore, view: String,
                      outputMode: OutputMode, mergeKey: Option[String],
-                     statsCols: Seq[String]) extends Sink {
+                     statsCols: Seq[String],
+                     txnNamespace: Option[String] = None) extends Sink {
+
+  /** Deterministic per-(namespace, batch) fence id: namespace hash in
+    * the high 32 bits, batch id in the low — stable across restarts
+    * (the namespace string is), disjoint between queries up to the
+    * 32-bit hash.
+    */
+  private def fence(batchId: Long): Long =
+    txnNamespace.fold(batchId)(ns =>
+      (scala.util.hashing.MurmurHash3.stringHash(ns).toLong << 32) ^ batchId)
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // re-root the incremental plan as a standalone batch frame over
     // the batch's RDD (the handed-in Dataset is streaming-bound and
     // rejects batch writes — ForeachBatchSink does the same re-wrap)
     val df = StreamingBridge.asBatch(data)
+    val txnId = fence(batchId)
     outputMode match {
       case m if m == OutputMode.Complete() =>
-        if (!store.appliedTxns(view).contains(batchId))
+        if (!store.appliedTxns(view).contains(txnId))
           store.commit(view, df, overwrite = true,
-            statsCols = statsCols, txn = Some(batchId))
+            statsCols = statsCols, txn = Some(txnId))
       case _ if mergeKey.isDefined =>
-        store.mergeIntoOnce(view, df, mergeKey.get, txnId = batchId,
+        store.mergeIntoOnce(view, df, mergeKey.get, txnId = txnId,
           statsCols = statsCols)
       case _ =>
-        store.appendOnce(view, df, txnId = batchId, statsCols = statsCols)
+        store.appendOnce(view, df, txnId = txnId, statsCols = statsCols)
     }
   }
 }

@@ -34,11 +34,7 @@ class PlanLintSpec extends SparkSpec {
     * and every entry justified by an O(bounded) frame, never by "it's
     * small at this sf".
     */
-  private val singlePartitionAllowed: Map[String, String] = Map(
-    "q141_rrf_fusion" -> ("rrfFuse ranks each retriever's list with an " +
-      "unpartitioned row_number window; inputs are top-K retrieval " +
-      "lists (O(K) rows by contract), never a corpus-sized frame")
-  )
+  private val singlePartitionAllowed: Map[String, String] = Map.empty
 
   private def lint(name: String, root: SparkPlan): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()

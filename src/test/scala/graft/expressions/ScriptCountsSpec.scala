@@ -40,4 +40,31 @@ class ScriptCountsSpec extends SparkSpec {
     assert(rows(0).getSeq[Long](0) == counts("a я 中 5"))
     assert(rows(1).isNullAt(0))
   }
+
+  test("malformed UTF-8 never reads past numBytes: truncated tails and stray continuations") {
+    def countsBytes(bs: Array[Byte]): Seq[Long] =
+      ScriptCounts(org.apache.spark.sql.catalyst.expressions.Literal(
+          UTF8String.fromBytes(bs),
+          org.apache.spark.sql.types.StringType))
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+    // truncated multi-byte leads at end of buffer: every invalid byte
+    // (the lead AND its orphaned continuations) counts as one 'other',
+    // and no read ever passes the end
+    assert(countsBytes(Array(0xc3.toByte)) == Seq(0, 0, 0, 0, 0, 0, 1))
+    assert(countsBytes(Array('a'.toByte, 0xe4.toByte, 0xb8.toByte)) ==
+      Seq(1, 0, 0, 0, 0, 0, 2))
+    assert(countsBytes(Array(0xf0.toByte, 0x9f.toByte, 0x98.toByte)) ==
+      Seq(0, 0, 0, 0, 0, 0, 3))
+    // continuation byte in lead position: 'other', advance one byte —
+    // the following valid codepoint still counts
+    assert(countsBytes(Array(0x80.toByte, 'z'.toByte)) ==
+      Seq(1, 0, 0, 0, 0, 0, 1))
+    // invalid lead 0xf8+: never the 4-byte branch
+    assert(countsBytes(Array(0xff.toByte, '1'.toByte)) ==
+      Seq(0, 1, 0, 0, 0, 0, 1))
+    // well-formed input is byte-for-byte unchanged by the guards
+    assert(countsBytes("mix äэ中 1😀".getBytes("UTF-8")) ==
+      counts("mix äэ中 1😀"))
+  }
 }

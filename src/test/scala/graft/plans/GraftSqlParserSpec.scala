@@ -189,4 +189,23 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(spark.sql("SELECT version FROM tt_plain").as[Long].collect()
       .toSet == Set(1L))
   }
+
+  test("VERSION AS OF inside string literals and comments is left verbatim") {
+    // pure literal: no rewrite fires at all
+    assert(GraftSqlParser.rewriteTimeTravel(
+      "SELECT 'orders VERSION AS OF 3' AS note").isEmpty)
+    assert(GraftSqlParser.rewriteTimeTravel(
+      "SELECT k -- orders VERSION AS OF 3\nFROM t").isEmpty)
+    assert(GraftSqlParser.rewriteTimeTravel(
+      "SELECT /* t VERSION AS OF 9 */ k FROM t").isEmpty)
+    // mixed: only the quote-depth-0 occurrence rewrites
+    val mixed = GraftSqlParser.rewriteTimeTravel(
+      "SELECT 'x VERSION AS OF 7' AS s, k FROM tt_spec VERSION AS OF 1")
+    assert(mixed.contains(
+      "SELECT 'x VERSION AS OF 7' AS s, k FROM `tt_spec$asof$1`"), mixed)
+    // end to end: the literal survives execution byte-identical
+    Seq((1L, "x")).toDF("k", "s").createOrReplaceTempView("tt_lit")
+    assert(spark.sql("SELECT 'orders VERSION AS OF 3' AS note FROM tt_lit")
+      .head().getString(0) == "orders VERSION AS OF 3")
+  }
 }

@@ -139,6 +139,49 @@ class IntervalJoinNativeSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.intervalJoin.maxActive")
   }
 
+  test("spill tier: a hot key past the in-memory threshold still joins correctly") {
+    // 500 mutually-overlapping rights on one key with the in-memory
+    // buffer dialed to 8 rows: the active set migrates into the
+    // sorter-backed (spillable) tier and the join must emit the full
+    // quadratic-degree output instead of erroring (the ceiling conf is
+    // left at its default, far above 500) — the graceful tier between
+    // "fits on heap" and the loud maxActive failure
+    spark.conf.set("spark.graft.intervalJoin.inMemoryRows", "8")
+    try {
+      val l = (0L until 50L).map(i => (1L, i, i * 10L, 1000000L))
+        .toDF("k", "id", "s", "e")
+      val r = (0L until 500L).map(i => (1L, i, 0L, 1000000L))
+        .toDF("k", "id", "s", "e")
+      val got = RangeJoin.overlapJoinNative(l, r,
+        "k", "id", "s", "e", "k", "id", "s", "e")
+      assert(got.count() == 50L * 500L)
+      // row content survives the spill round-trip, not just the count
+      val one = got.where(col("a_id") === 7L).count()
+      assert(one == 500L, s"left id=7 must match every right, got $one")
+    } finally spark.conf.unset("spark.graft.intervalJoin.inMemoryRows")
+  }
+
+  test("lazy compaction: disjoint short intervals keep the buffer near the live set") {
+    // 10k rights in consecutive disjoint [i, i+1) slots, lefts sweeping
+    // across them: each left kills the previous right, so the live set
+    // is O(1); the rebuild policy must keep the buffer bounded (dead
+    // rows halved away) rather than accumulating all 10k
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val l = (0L until 10000L).map(i => (1L, i, i, i + 1L))
+        .toDF("k", "id", "s", "e")
+      val r = (0L until 10000L).map(i => (1L, i, i, i + 1L))
+        .toDF("k", "id", "s", "e")
+      val df = RangeJoin.overlapJoinNative(l, r,
+        "k", "id", "s", "e", "k", "id", "s", "e")
+      assert(df.count() == 10000L) // each left matches exactly its twin
+      val exec = df.queryExecution.executedPlan.collectFirst {
+        case e: IntervalJoinExec => e }.get
+      val peak = exec.metrics("maxActiveRights").value
+      assert(peak < 5000L, s"buffer accumulated dead rights: peak=$peak")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("whole-stage boundary: both children fuse into codegen stages") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

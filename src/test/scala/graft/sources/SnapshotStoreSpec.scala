@@ -764,6 +764,61 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("t").select("k").as[Int].collect().toSet == Set(2, 9))
   }
 
+  test("WAP: fast-forward refuses when main moved by DELETE only (DV-aware OCC)") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"),
+      overwrite = true)
+    st.branchCreate("t", "wip")
+    val b = st.branchView("t", "wip")
+    st.commit(b, Seq((9, "z")).toDF("k", "v"), overwrite = false)
+    // main moves by deleteWhere ONLY: identical dir set, different
+    // deletion vectors — publishing the branch's branch-time dels
+    // would silently resurrect k=2
+    st.deleteWhere("t", "k", col("k") === 2)
+    intercept[RuntimeException](st.fastForward("t", "wip"))
+    def ks() = st.read("t").select("k").as[Int].collect().toSet
+    assert(ks() == Set(1, 3), "main's delete must survive the refusal")
+    // recovery: the branch is append-only, so rebase picks up main's
+    // dels and the fast-forward then lands branch work WITHOUT
+    // undoing the delete
+    st.rebaseBranch("t", "wip")
+    st.fastForward("t", "wip")
+    assert(ks() == Set(1, 3, 9))
+  }
+
+  test("deletion vectors auto-fold: a 50-batch GDPR delete loop stays bounded") {
+    val (st, _) = freshStore()
+    val n = 1000
+    st.commit("t", (0 until n).map(i => (i.toLong, i * 3L)).toDF("k", "v")
+      .repartition(2), overwrite = true, statsCols = Seq("k"))
+    val dirsBefore = st.manifestDirs("t").toSet
+    for (i <- 0 until 50)
+      st.deleteWhereOnce("t", "k", col("k") === i * 7L, txnId = 100L + i)
+    val v = st.versions("t").max
+    assert(v == 51L)
+    // the carried vector set is bounded by the fold threshold forever,
+    // not by how many deletes have landed
+    assert(st.manifestDels("t", v).size <= 8,
+      s"unfolded: ${st.manifestDels("t", v).size} vectors after 50 deletes")
+    // data dirs are never rewritten by the fold (it is key-list IO only)
+    assert(st.manifestDirs("t", Some(v)).toSet == dirsBefore)
+    // reads are hash-identical to the semantic content
+    val expect = (0 until n).map(_.toLong).toSet --
+      (0 until 50).map(_ * 7L).toSet
+    assert(st.read("t").select("k").as[Long].collect().toSet == expect)
+    // txn fences survive across folds
+    assert(st.deleteWhereOnce("t", "k", col("k") === 0L, txnId = 100L).isEmpty)
+    // time travel to a pre-fold intermediate version still resolves its
+    // own (superseded) vector dirs
+    assert(st.read("t", Some(26L)).count() == n - 25)
+    // and the exactly-once read content at head is stable across a
+    // further fold cycle
+    for (i <- 50 until 60)
+      st.deleteWhereOnce("t", "k", col("k") === i * 7L, txnId = 100L + i)
+    assert(st.manifestDels("t", st.versions("t").max).size <= 8)
+    assert(st.read("t").count() == n - 60)
+  }
+
   test("WAP: rebase re-points an append-only branch; deletes refuse") {
     val (st, _) = freshStore()
     st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
@@ -828,6 +883,31 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(ks("x") == Set(2L) && ks("y") == Set(3L))
     // a second refresh with nothing new commits nothing
     assert(st.indexRefresh("t", "c") == before + 1)
+  }
+
+  test("secondary index auto-refresh: commit→lookup prunes without a manual refresh") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq((1L, "x")).toDF("k", "c"), overwrite = true)
+    st.indexRefresh("t", "c")
+    st.commit("t", Seq((2L, "y")).toDF("k", "c"), overwrite = false)
+    st.commit("t", Seq((3L, "z")).toDF("k", "c"), overwrite = false)
+    // off (default): the two new dirs are uncovered — kept
+    // conservatively (the covered non-hit dir is still skipped)
+    val (kOff, _) = st.indexedDirsEq("t", "c", "y")
+    assert(kOff.size == 2, s"uncovered dirs must be kept: $kOff")
+    spark.conf.set("spark.graft.index.autoRefresh", "true")
+    try {
+      // on: the consult runs the incremental refresh first, so the
+      // lookup prunes to exactly the one dir holding the value
+      val (kOn, sOn) = st.indexedDirsEq("t", "c", "y")
+      assert(kOn.size == 1 && sOn.size == 2, s"$kOn / $sOn")
+      assert(st.readIndexedEq("t", "c", "y").select("k").as[Long]
+        .collect().toSet == Set(2L))
+      // the refresh committed exactly once; a second consult no-ops
+      val v = st.versions("t__idx__c").max
+      st.indexedDirsEq("t", "c", "z")
+      assert(st.versions("t__idx__c").max == v)
+    } finally spark.conf.unset("spark.graft.index.autoRefresh")
   }
 
   test("deep clone: independent copy, DVs travel, zero-copy refs localize") {

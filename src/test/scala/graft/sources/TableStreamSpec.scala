@@ -171,6 +171,130 @@ class TableStreamSpec extends SparkSpec {
     assert(st.versions("out").max == v)
   }
 
+  test("change feed: a vacuumed checkpoint offset fails loudly, never re-emits the snapshot") {
+    val (st, root) = fresh()
+    st.commit("src", Seq((1L, 10.0)).toDF("k", "x"),
+      overwrite = true, statsCols = Seq("k"))
+    val rows = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Row]
+    def drainCdf(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("root", root).option("view", "src")
+        .option("changeFeed", "true").option("keyColumns", "k")
+        .load().writeStream
+        .option("checkpointLocation", s"$root/_cpc")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val got = batch.collect()
+          rows.synchronized { rows ++= got }
+          ()
+        }.start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    drainCdf() // offset log now ends at v1
+    assert(rows.size == 1)
+    st.commit("src", Seq((2L, 20.0)).toDF("k", "x"), overwrite = false,
+      statsCols = Seq("k"))
+    st.commit("src", Seq((3L, 30.0)).toDF("k", "x"), overwrite = false,
+      statsCols = Seq("k"))
+    st.vacuum("src", retainVersions = 1) // v1 (the offset) is gone
+    val before = rows.size
+    val ex = intercept[StreamingQueryException] { drainCdf() }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => String.valueOf(m.getMessage)).mkString(" | ")
+    assert(msgs.contains("no longer retained"), msgs)
+    assert(rows.size == before,
+      "the failed restart must not re-emit the snapshot as inserts")
+  }
+
+  test("sink: two independent queries on one view fence in disjoint txn spaces") {
+    val (st, root) = fresh()
+    st.commit("srcA", Seq((1L, "a")).toDF("k", "v"), overwrite = true)
+    st.commit("srcB", Seq((2L, "b")).toDF("k", "v"), overwrite = true)
+    // both queries write batch id 0 into the SAME output view; the
+    // checkpoint-salted fence must keep them apart (a raw-batch-id
+    // fence would silently swallow the second writer's batch 0)
+    def drain(view: String, cp: String): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("root", root).option("view", view).load()
+        .writeStream.format("graft-table")
+        .option("root", root).option("view", "out")
+        .option("checkpointLocation", s"$root/$cp")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    drain("srcA", "_cpA")
+    drain("srcB", "_cpB")
+    assert(st.read("out").select("k").as[Long].collect().toSet == Set(1L, 2L))
+    // each query's OWN fence still holds across a restart
+    val v = st.versions("out").max
+    drain("srcA", "_cpA")
+    drain("srcB", "_cpB")
+    assert(st.versions("out").max == v, "redelivered batches must fence")
+  }
+
+  test("schema evolution: batches pin the stream-start schema; a fresh checkpoint adopts the new one") {
+    val (st, root) = fresh()
+    st.commit("src", Seq((1L, "a")).toDF("k", "v"), overwrite = true)
+    val rows = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.Row]
+    val schemas = scala.collection.mutable.Buffer.empty[Seq[String]]
+    def drain(cp: String): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("root", root).option("view", "src").load()
+        .writeStream
+        .option("checkpointLocation", s"$root/$cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val got = batch.collect()
+          rows.synchronized {
+            rows ++= got
+            if (got.nonEmpty) schemas += batch.columns.toSeq
+          }
+          ()
+        }.start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    // one RUNNING query: the pin applies within the run, so evolve the
+    // table while it is live
+    val q = spark.readStream.format("graft-table")
+      .option("root", root).option("view", "src").load()
+      .writeStream
+      .option("checkpointLocation", s"$root/_cp1")
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val got = batch.collect()
+        rows.synchronized {
+          rows ++= got
+          if (got.nonEmpty) schemas += batch.columns.toSeq
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(schemas.last == Seq("k", "v")) // pinned at stream start
+      // the table evolves mid-stream: a commit ADDS w and DROPS v
+      st.commit("src", Seq((2L, 7L)).toDF("k", "w"), overwrite = false)
+      rows.clear(); schemas.clear()
+      q.processAllAvailable()
+      // the running lineage stays on the pinned schema: w is dropped,
+      // the dropped v reads NULL — same columns, order, types
+      assert(schemas.last == Seq("k", "v"), schemas.toString)
+      assert(rows.map(r => (r.getLong(0),
+        Option(r.getString(1)))).toSeq == Seq((2L, None)))
+    } finally q.stop()
+    // restart on the SAME checkpoint re-pins at the current (merged)
+    // schema — Delta's restart-to-pick-up-schema contract: the new
+    // column surfaces, nothing already consumed re-emits
+    st.commit("src", Seq((3L, 9L)).toDF("k", "w"), overwrite = false)
+    rows.clear(); schemas.clear()
+    drain("_cp1")
+    assert(schemas.last.toSet == Set("k", "v", "w"), schemas.toString)
+    assert(rows.size == 1, s"only the new commit replays: $rows")
+    val r3 = rows.head
+    assert(r3.getAs[Long]("k") == 3L)
+    assert(Option(r3.getAs[String]("v")).isEmpty)
+    assert(r3.getAs[Long]("w") == 9L)
+  }
+
   test("readAppended is the deterministic range read under it all") {
     val (st, _) = fresh()
     st.commit("t", Seq((1L, "a")).toDF("k", "v"), overwrite = true)
