@@ -1490,6 +1490,37 @@ object CurationQueries {
       st.read("t")
     }),
 
+    // Deletion-vector FOLD lifecycle — the q243 GDPR loop run 15
+    // cycles, one exactly-once deleteWhereOnce per batch: past
+    // spark.graft.dv.maxVectors (default 8) the carried vectors
+    // auto-merge into ONE distinct key list at publish, so the
+    // read-side broadcast and the per-read vector-dir listing stay
+    // bounded by the threshold FOREVER (in-query require) instead of
+    // growing one dir per compliance batch until a full OPTIMIZE. Data
+    // dirs are untouched (key-list IO only, second require), txn
+    // fences survive across folds (third), and the content stays
+    // hash-exact — the oracle replays all 15 deletes declaratively.
+    "q265_dv_fold" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q265_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      st.commit("t", o.repartition(4), overwrite = true, statsCols = Seq("k"))
+      val dirs1 = st.manifestDirs("t").toSet
+      for (i <- 0 until 15)
+        st.deleteWhereOnce("t", "k", pmod(col("k"), lit(97)) === i,
+          txnId = 500L + i)
+      val v = st.versions("t").max
+      require(st.manifestDels("t", v).size <= 8,
+        s"vectors must fold: ${st.manifestDels("t", v).size} after 15 deletes")
+      require(st.manifestDirs("t", Some(v)).toSet == dirs1,
+        "fold is key-list IO only — data dirs must be untouched")
+      require(st.deleteWhereOnce("t", "k", pmod(col("k"), lit(97)) === 0,
+        txnId = 500L).isEmpty, "txn fence must survive folds")
+      st.read("t")
+    }),
+
     "q240_deletion_vectors" -> ((s, dir) => {
       val root = graft.sources.Scratch.processScoped("q240_snap", dir)
       graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
@@ -2897,6 +2928,11 @@ object CurationQueries {
          UNION ALL
          SELECT o_orderkey AS k, o_totalprice * 2 AS p
          FROM orders WHERE o_orderkey % 30 = 0""",
+
+    // All 15 folded deletes replayed declaratively.
+    "q265_dv_fold" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
+         FROM orders WHERE (o_orderkey % 97) >= 15""",
 
     // The one-shot lattice: GROUP BY CUBE over all facts.
     "q238_cube_mv" ->

@@ -224,6 +224,36 @@ object RelationalQueries {
         "ak", "a_id", "as0", "ae", "bk", "b_id", "bs0", "be")
     }),
 
+    // q207's sweep forced through its SPILL TIER: the active right set
+    // migrates into the sorter-backed buffer (what SortMergeJoin
+    // buffers matches in — disk-spillable under memory pressure) by
+    // dialing spark.graft.intervalJoin.inMemoryRows to 4 on a child
+    // session, so every key's active set runs sorter-tier code on real
+    // data. Same direct-inequality oracle as q124/q207: the storage
+    // tier of the operator's state must be just as invisible as its
+    // physical plan. (The pathological-degree ceiling and the
+    // dead-right compaction policy are spec-pinned.)
+    "q266_interval_spill" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.graft.intervalJoin.inMemoryRows", "4")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s0.conf.get("spark.sql.shuffle.partitions"))
+      val a = t(s, dir, "orders")
+        .where(col("o_orderkey") % 47 === 0)
+        .select(pmod(col("o_custkey"), lit(50)).as("ak"),
+          col("o_orderkey").as("a_id"),
+          datediff(to_date(col("o_orderdate")), lit("1990-01-01")).as("as0"))
+        .withColumn("ae", col("as0") + 14)
+      val b = t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 61 === 0)
+        .select(pmod(col("l_suppkey").cast("long"), lit(50)).as("bk"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("b_id"),
+          datediff(to_date(col("l_shipdate")), lit("1990-01-01")).as("bs0"))
+        .withColumn("be", col("bs0") + 7)
+      graft.operators.RangeJoin.overlapJoinNative(a, b,
+        "ak", "a_id", "as0", "ae", "bk", "b_id", "bs0", "be")
+    }),
+
     // q207 in PURE SQL — the injectParser tier's second statement
     // shape: `INTERVAL JOIN ... ON k = k AND (s, e) OVERLAPS (s, e)`
     // parses (GraftSqlParser), resolves (ResolveGraftAsOfJoin), and
@@ -1190,6 +1220,23 @@ object RelationalQueries {
     // Same inequality oracle again — the SQL spelling of the native
     // sweep must be just as invisible as the column-API one.
     "q231_interval_sql" ->
+      """WITH a AS (SELECT o_custkey % 50 AS key, o_orderkey AS a_id,
+                    datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS a_s
+                    FROM orders WHERE o_orderkey % 47 = 0),
+         b AS (SELECT l_suppkey % 50 AS bkey,
+               l_orderkey * 10 + l_linenumber AS b_id,
+               datediff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS b_s
+               FROM lineitem WHERE l_orderkey % 61 = 0)
+         SELECT CAST(a.key AS BIGINT) AS key, a_id, b_id,
+           CAST(GREATEST(a_s, b_s) AS BIGINT) AS ov_start,
+           CAST(LEAST(a_s + 14, b_s + 7) AS BIGINT) AS ov_end,
+           CAST(LEAST(a_s + 14, b_s + 7) - GREATEST(a_s, b_s) AS BIGINT) AS ov_len
+         FROM a JOIN b ON a.key = b.bkey
+           AND GREATEST(a_s, b_s) < LEAST(a_s + 14, b_s + 7)""",
+
+    // Same inequality oracle — the state tier (spilled buffer) must be
+    // invisible too.
+    "q266_interval_spill" ->
       """WITH a AS (SELECT o_custkey % 50 AS key, o_orderkey AS a_id,
                     datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS a_s
                     FROM orders WHERE o_orderkey % 47 = 0),

@@ -162,33 +162,11 @@ class SnapshotStore(spark: SparkSession, root: String) {
     */
   private val StatsFile = "_stats.tsv"
 
-  private def writeStats(view: String, dirName: String, df: DataFrame,
-                         statsCols: Seq[String],
-                         bloomCols: Seq[String] = Nil): Unit = {
-    if (statsCols.isEmpty && bloomCols.isEmpty) return
+  private def writeStats(view: String, dirName: String,
+                         bloomCols: Seq[String]): Unit = {
+    if (bloomCols.isEmpty) return
     val path = dataRoot(view).resolve(dirName)
     val written = spark.read.parquet(path.toString)
-    if (statsCols.nonEmpty) {
-      val kinds = statsCols.map { c =>
-        c -> written.schema(c).dataType.isInstanceOf[NumericType]
-      }
-      val aggs = kinds.flatMap { case (c, numeric) =>
-        // numeric bounds are recorded in the column's OWN representation
-        // (no double round-trip: a 64-bit key beyond 2^53 would lose
-        // precision and let mergeInto misclassify a dir as untouched —
-        // a silently skipped update); comparisons parse them as exact
-        // BigDecimal
-        val cc = if (numeric) col(c) else col(c).cast("string")
-        Seq(min(cc), max(cc))
-      }
-      val r = written.agg(aggs.head, aggs.tail: _*).head()
-      val lines = kinds.zipWithIndex.collect {
-        case ((c, numeric), i) if !r.isNullAt(2 * i) =>
-          val kind = if (numeric) "n" else "s"
-          s"$c\t$kind\t${r.get(2 * i)}\t${r.get(2 * i + 1)}"
-      }
-      Files.writeString(path.resolve(StatsFile), lines.mkString("\n"))
-    }
     // Bloom sidecars: point-lookup skipping for columns whose values
     // interleave across commits (min/max ranges all overlap, so range
     // stats prune nothing — digest/key probes are exactly this shape).
@@ -249,12 +227,48 @@ class SnapshotStore(spark: SparkSession, root: String) {
     s"b$next-$tag" + java.util.UUID.randomUUID().toString.take(8)
   }
 
+  /** Write the dir AND its min/max stats sidecar in ONE job: the
+    * bounds ride the write itself as observed metrics
+    * (`Dataset.observe` — collected on the executors while rows stream
+    * into parquet), replacing the re-read + aggregate job every commit
+    * used to pay. A keyed maintenance loop committing small deltas is
+    * dominated by this per-commit fixed cost, so halving the job count
+    * is the loop-tail lever. Numeric bounds are recorded in the
+    * column's OWN representation (no double round-trip: a 64-bit key
+    * beyond 2^53 would lose precision and let mergeInto misclassify a
+    * dir as untouched — a silently skipped update); comparisons parse
+    * them as exact BigDecimal. Bloom sidecars still re-read the
+    * written dir: a membership sketch needs a second pass over the
+    * data, and the written parquet is cheaper than re-running an
+    * arbitrary lineage.
+    */
   private def writeData(view: String, df: DataFrame, dirName: String,
                         statsCols: Seq[String],
                         bloomCols: Seq[String] = Nil): Unit = {
-    df.write.mode("overwrite")
-      .parquet(dataRoot(view).resolve(dirName).toString)
-    writeStats(view, dirName, df, statsCols, bloomCols)
+    val target = dataRoot(view).resolve(dirName).toString
+    if (statsCols.isEmpty) df.write.mode("overwrite").parquet(target)
+    else {
+      val kinds = statsCols.map { c =>
+        c -> df.schema(c).dataType.isInstanceOf[NumericType]
+      }
+      val aggs = kinds.zipWithIndex.flatMap { case ((c, numeric), i) =>
+        val cc = if (numeric) col(c) else col(c).cast("string")
+        Seq(min(cc).as(s"mn_$i"), max(cc).as(s"mx_$i"))
+      }
+      val obs = org.apache.spark.sql.Observation()
+      df.observe(obs, aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(target)
+      val r = obs.get
+      val lines = kinds.zipWithIndex.collect {
+        case ((c, numeric), i) if r.get(s"mn_$i").exists(_ != null) =>
+          val kind = if (numeric) "n" else "s"
+          s"$c\t$kind\t${r(s"mn_$i")}\t${r(s"mx_$i")}"
+      }
+      Files.writeString(
+        dataRoot(view).resolve(dirName).resolve(StatsFile),
+        lines.mkString("\n"))
+    }
+    writeStats(view, dirName, bloomCols)
   }
 
   /** Atomic exclusive publish of manifest v`next` listing `dirs`.
