@@ -87,10 +87,15 @@ object ContinuousDedup {
            estThreshold: Double = 0.3, jaccardThreshold: Double = 0.4,
            numHashes: Int = 32, shingleN: Int = 2): Unit = {
     val docs = hist.where(col(textCol).isNotNull)
-    IncrementalDedup.snapshotAcid(store, FpsView, docs, idCol, textCol,
-      numHashes, shingleN)
-    val pairs = Dedup.lshVerifiedPairs(docs, idCol, textCol,
-      estThreshold, jaccardThreshold, shingleN)
+    // fingerprint the corpus ONCE: the same materialized (id, sig)
+    // frame feeds the fingerprint-store commit and the pair stage —
+    // previously each ran its own full tokenize+MinHash corpus pass
+    val fps = IncrementalDedup.fingerprints(docs, idCol, textCol,
+      numHashes, shingleN).localCheckpoint()
+    store.commit(FpsView, fps, overwrite = true)
+    val pairs = Dedup.lshVerifiedPairsFromSigs(
+      fps.select(col("id"), col("sig")), docs, idCol, textCol,
+      estThreshold, jaccardThreshold, shingleN, numHashes)
     val clustered = Components.connectedComponents(pairs, "a_id", "b_id")
       .select(col("id"), col("comp").as("_cc"))
     val labels = docs.select(col(idCol).cast("long").as("id"))
