@@ -92,19 +92,31 @@ object ContinuousDedup {
     // previously each ran its own full tokenize+MinHash corpus pass
     val fps = IncrementalDedup.fingerprints(docs, idCol, textCol,
       numHashes, shingleN).localCheckpoint()
-    store.commit(FpsView, fps, overwrite = true)
-    val pairs = Dedup.lshVerifiedPairsFromSigs(
-      fps.select(col("id"), col("sig")), docs, idCol, textCol,
-      estThreshold, jaccardThreshold, shingleN, numHashes)
-    val clustered = Components.connectedComponents(pairs, "a_id", "b_id")
-      .select(col("id"), col("comp").as("_cc"))
-    val labels = docs.select(col(idCol).cast("long").as("id"))
-      .join(clustered, Seq("id"), "left")
-      .select(col("id"), coalesce(col("_cc"), col("id")).as("comp"))
-      .localCheckpoint()
-    store.commit(LabelsView, labels, overwrite = true)
-    store.commit(SplitsView, withSplit(labels, names, fractions),
-      overwrite = true)
+    // the three seed commits are independent given the checkpointed
+    // frames (same argument as processBatch's parallel section): the
+    // fps WRITE overlaps the LSH/clustering compute, and labels/splits
+    // land concurrently — the seed's commit tail is the slowest write,
+    // not the sum of three
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fFps = Future(store.commit(FpsView, fps, overwrite = true))
+      val pairs = Dedup.lshVerifiedPairsFromSigs(
+        fps.select(col("id"), col("sig")), docs, idCol, textCol,
+        estThreshold, jaccardThreshold, shingleN, numHashes)
+      val clustered = Components.connectedComponents(pairs, "a_id", "b_id")
+        .select(col("id"), col("comp").as("_cc"))
+      val labels = docs.select(col(idCol).cast("long").as("id"))
+        .join(clustered, Seq("id"), "left")
+        .select(col("id"), coalesce(col("_cc"), col("id")).as("comp"))
+        .localCheckpoint()
+      Await.result(Future.sequence(Seq(fFps,
+        Future(store.commit(LabelsView, labels, overwrite = true)),
+        Future(store.commit(SplitsView, withSplit(labels, names, fractions),
+          overwrite = true)))),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
     // the seed cycle's syncpoint: cycle readers have a consistent
     // pinned view from the very first publish
     store.publishSync(
