@@ -57,7 +57,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     rewrites(sqlText) match {
       case Some(rewritten) => parsePlan(rewritten)
-      case None => graftPlan(sqlText).getOrElse(delegate.parsePlan(sqlText))
+      case None => GraftSqlParser.parseMaintenance(sqlText)
+        .orElse(graftPlan(sqlText))
+        .getOrElse(delegate.parsePlan(sqlText))
     }
 
   override def parseQuery(sqlText: String): LogicalPlan =
@@ -222,6 +224,27 @@ object GraftSqlParser {
     DescribeHistoryRe.findFirstMatchIn(sqlText).map(m =>
       "SELECT * FROM `" + m.group(1) + "$history`")
 
+  // OPTIMIZE <table> [CLUSTER BY (c1, …, cd)] and
+  // VACUUM <table> [RETAIN <n> VERSIONS] — the table-maintenance
+  // statements (Delta's spellings) over registered store views,
+  // parsed directly to RunnableCommands: `spark.sql` executes a
+  // Command plan eagerly exactly once, returning the metrics row —
+  // no side effects hide in analysis rules.
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+([\w.]+)\s*(?:CLUSTER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+
+  private[plans] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
+    OptimizeRe.findFirstMatchIn(sqlText).map { m =>
+      val cols = Option(m.group(2)).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      GraftOptimizeCommand(m.group(1), cols): LogicalPlan
+    }.orElse(VacuumRe.findFirstMatchIn(sqlText).map { m =>
+      GraftVacuumCommand(m.group(1),
+        Option(m.group(2)).map(_.toInt).getOrElse(1)): LogicalPlan
+    })
+
   private[plans] def parseAsOf(sqlText: String,
                                delegate: ParserInterface): Option[LogicalPlan] =
     AsOfRe.findFirstMatchIn(sqlText).map { m =>
@@ -277,6 +300,53 @@ case class UnresolvedIntervalJoin(left: LogicalPlan, right: LogicalPlan,
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): UnresolvedIntervalJoin =
     copy(left = newLeft, right = newRight)
+}
+
+/** `OPTIMIZE <table> [CLUSTER BY (…)]` as a RunnableCommand: plain
+  * form compacts ([[graft.sources.SnapshotStore.compact]] — vectors
+  * materialize, foreign refs localize); CLUSTER BY recluster the
+  * table along the d-dimensional Hilbert curve
+  * ([[graft.sources.SnapshotStore.optimizeClusteredN]], cluster
+  * columns recorded as stats so box pruning works immediately).
+  * Returns one (table, version) row, Delta-OPTIMIZE style.
+  */
+case class GraftOptimizeCommand(name: String, clusterCols: Seq[String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("version", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val (store, view) = GraftTableRegistry.lookup(name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"OPTIMIZE: table `$name` is not registered — call " +
+          "GraftTableRegistry.register(name, store, view) first"))
+    val v =
+      if (clusterCols.isEmpty) store.compact(view)
+      else store.optimizeClusteredN(view, clusterCols,
+        statsCols = clusterCols)
+    Seq(org.apache.spark.sql.Row(name, v))
+  }
+}
+
+/** `VACUUM <table> [RETAIN n VERSIONS]` as a RunnableCommand —
+  * [[graft.sources.SnapshotStore.vacuum]] over the registry binding.
+  * Returns one (table, removed_dirs) row.
+  */
+case class GraftVacuumCommand(name: String, retainVersions: Int)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("removed_dirs", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val (store, view) = GraftTableRegistry.lookup(name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"VACUUM: table `$name` is not registered — call " +
+          "GraftTableRegistry.register(name, store, view) first"))
+    Seq(org.apache.spark.sql.Row(name,
+      store.vacuum(view, retainVersions).toLong))
+  }
 }
 
 /** Name → (store, view) registry backing the `VERSION AS OF` SQL

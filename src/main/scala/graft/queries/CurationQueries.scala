@@ -1490,6 +1490,38 @@ object CurationQueries {
       st.read("t")
     }),
 
+    // Table maintenance in PURE SQL — the injectParser tier's command
+    // statements (Delta's spellings): `OPTIMIZE t` parses to a
+    // RunnableCommand that compacts the registered store view (three
+    // commit dirs → one, metrics row back), and `VACUUM t RETAIN 1
+    // VERSIONS` GC's the unreferenced dirs + old manifests (removed
+    // count back). In-query requires pin the command effects (one dir,
+    // ≥3 dirs GC'd, only the compacted version retained); the graded
+    // frame is the post-maintenance read — byte-identical to the
+    // union of the three commits.
+    "q267_sql_maintenance" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q267_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      st.commit("t", o.where(col("k") % 3 === 0), overwrite = true,
+        statsCols = Seq("k"))
+      st.commit("t", o.where(col("k") % 3 === 1), overwrite = false,
+        statsCols = Seq("k"))
+      st.commit("t", o.where(col("k") % 3 === 2), overwrite = false,
+        statsCols = Seq("k"))
+      graft.plans.GraftTableRegistry.register("t267", st, "t")
+      val ov = s.sql("OPTIMIZE t267").head()
+      require(ov.getLong(1) == 4L && st.manifestDirs("t").size == 1,
+        "OPTIMIZE must compact to one dir at v4")
+      val rv = s.sql("VACUUM t267 RETAIN 1 VERSIONS").head()
+      require(rv.getLong(1) >= 3L,
+        s"pre-compaction dirs must be GC'd, removed=${rv.getLong(1)}")
+      require(st.versions("t") == Seq(4L), "older manifests dropped")
+      st.read("t")
+    }),
+
     // Deletion-vector FOLD lifecycle — the q243 GDPR loop run 15
     // cycles, one exactly-once deleteWhereOnce per batch: past
     // spark.graft.dv.maxVectors (default 8) the carried vectors
@@ -2933,6 +2965,12 @@ object CurationQueries {
     "q265_dv_fold" ->
       """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
          FROM orders WHERE (o_orderkey % 97) >= 15""",
+
+    // Maintenance must be content-neutral: the post-OPTIMIZE+VACUUM
+    // read is the plain union of the three commits.
+    "q267_sql_maintenance" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
+         FROM orders""",
 
     // The one-shot lattice: GROUP BY CUBE over all facts.
     "q238_cube_mv" ->

@@ -1411,7 +1411,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * break it (the Delta-style time-travel-vs-VACUUM contract, with
     * pins as explicit retention roots rather than a time window).
     */
-  def vacuum(view: String, retainVersions: Int = 1): Unit = {
+  def vacuum(view: String, retainVersions: Int = 1): Int = {
     val vs = versions(view)
     val pinned = syncpoints.flatMap(s => syncPins(Some(s)).get(view)).toSet
     val keep = (vs.takeRight(retainVersions) ++ vs.filter(pinned)).distinct
@@ -1419,12 +1419,14 @@ class SnapshotStore(spark: SparkSession, root: String) {
     val live = keep.flatMap(v =>
       readManifest(view, v) ++ manifestDels(view, v)).toSet ++
       branchPinnedDirs(view)
-    if (Files.isDirectory(dataRoot(view)))
-      listEntries(dataRoot(view))
+    val dead =
+      if (!Files.isDirectory(dataRoot(view))) Nil
+      else listEntries(dataRoot(view))
         .filterNot(p => live.contains(p.getFileName.toString))
-        .foreach(p => Scratch.deleteRecursively(p.toFile))
+    dead.foreach(p => Scratch.deleteRecursively(p.toFile))
     vs.dropRight(retainVersions).filterNot(pinned)
       .foreach(v => Files.deleteIfExists(manifestPath(view, v)))
+    dead.size
   }
 
   /** `view`'s data dirs still referenced by ANY other view in this

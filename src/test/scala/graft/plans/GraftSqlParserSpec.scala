@@ -190,6 +190,41 @@ class GraftSqlParserSpec extends SparkSpec {
       .toSet == Set(1L))
   }
 
+  test("OPTIMIZE and VACUUM statements run through the registry") {
+    val root = graft.sources.Scratch.processScoped("sqlparser_opt", "spec")
+    graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+    val st = new graft.sources.SnapshotStore(spark, root)
+    st.commit("t", Seq((1L, "a")).toDF("k", "v"), overwrite = true)
+    st.commit("t", Seq((2L, "b")).toDF("k", "v"), overwrite = false)
+    GraftTableRegistry.register("opt_spec", st, "t")
+    val r = spark.sql("OPTIMIZE opt_spec").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("opt_spec", 3L)))
+    assert(st.manifestDirs("t").size == 1, "compacted to one dir")
+    val vac = spark.sql("VACUUM opt_spec RETAIN 1 VERSIONS").collect()
+    assert(vac.head.getLong(1) >= 2L, vac.mkString) // both old dirs GC'd
+    assert(st.versions("t") == Seq(3L))
+    assert(st.read("t").select("k").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("OPTIMIZE ... CLUSTER BY reclusters along the Hilbert curve") {
+    val root = graft.sources.Scratch.processScoped("sqlparser_optc", "spec")
+    graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+    val st = new graft.sources.SnapshotStore(spark, root)
+    val grid = (0 until 1024).map(i => (i.toLong % 32, i.toLong / 32, i))
+      .toDF("x", "y", "payload")
+    st.commit("t", grid.repartition(4), overwrite = true)
+    GraftTableRegistry.register("optc_spec", st, "t")
+    val r = spark.sql("OPTIMIZE optc_spec CLUSTER BY (x, y)").head()
+    assert(r.getLong(1) == 2L)
+    // the clustered layout prunes a box query (cluster cols recorded
+    // as stats by the command itself)
+    val preds = Seq(("x", "0", "3"), ("y", "0", "3"))
+    val (_, skipped) = st.pruneDirsBox("t", preds)
+    assert(skipped.nonEmpty, "CLUSTER BY must produce a prunable layout")
+    assert(st.read("t").count() == 1024L)
+  }
+
   test("VERSION AS OF inside string literals and comments is left verbatim") {
     // pure literal: no rewrite fires at all
     assert(GraftSqlParser.rewriteTimeTravel(
