@@ -55,12 +55,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       .orElse(GraftSqlParser.rewriteTimeTravel(sqlText))
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    rewrites(sqlText) match {
-      case Some(rewritten) => parsePlan(rewritten)
-      case None => GraftSqlParser.parseMaintenance(sqlText)
-        .orElse(graftPlan(sqlText))
-        .getOrElse(delegate.parsePlan(sqlText))
-    }
+    // maintenance statements FIRST: `RESTORE t TO VERSION AS OF n`
+    // contains the time-travel clause textually, and the rewrite would
+    // otherwise mangle the statement before the command regex sees it
+    GraftSqlParser.parseMaintenance(sqlText).getOrElse(
+      rewrites(sqlText) match {
+        case Some(rewritten) => parsePlan(rewritten)
+        case None =>
+          graftPlan(sqlText).getOrElse(delegate.parsePlan(sqlText))
+      })
 
   override def parseQuery(sqlText: String): LogicalPlan =
     rewrites(sqlText) match {
@@ -234,6 +237,8 @@ object GraftSqlParser {
     """(?is)^\s*OPTIMIZE\s+([\w.]+)\s*(?:CLUSTER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
 
   private[plans] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     OptimizeRe.findFirstMatchIn(sqlText).map { m =>
@@ -243,6 +248,8 @@ object GraftSqlParser {
     }.orElse(VacuumRe.findFirstMatchIn(sqlText).map { m =>
       GraftVacuumCommand(m.group(1),
         Option(m.group(2)).map(_.toInt).getOrElse(1)): LogicalPlan
+    }).orElse(RestoreRe.findFirstMatchIn(sqlText).map { m =>
+      GraftRestoreCommand(m.group(1), m.group(2).toLong): LogicalPlan
     })
 
   private[plans] def parseAsOf(sqlText: String,
@@ -346,6 +353,29 @@ case class GraftVacuumCommand(name: String, retainVersions: Int)
           "GraftTableRegistry.register(name, store, view) first"))
     Seq(org.apache.spark.sql.Row(name,
       store.vacuum(view, retainVersions).toLong))
+  }
+}
+
+/** `RESTORE [TABLE] <table> TO VERSION AS OF <n>` as a
+  * RunnableCommand — [[graft.sources.SnapshotStore.restore]]: a NEW
+  * version re-publishing the target manifest (dirs + deletion
+  * vectors), so history is preserved and txn fences carry forward.
+  * Returns one (table, restored_version, new_version) row.
+  */
+case class GraftRestoreCommand(name: String, toVersion: Long)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("restored_version", org.apache.spark.sql.types.LongType)(),
+    AttributeReference("new_version", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val (store, view) = GraftTableRegistry.lookup(name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"RESTORE: table `$name` is not registered — call " +
+          "GraftTableRegistry.register(name, store, view) first"))
+    Seq(org.apache.spark.sql.Row(name, toVersion,
+      store.restore(view, toVersion)))
   }
 }
 

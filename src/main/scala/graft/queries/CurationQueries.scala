@@ -1522,6 +1522,36 @@ object CurationQueries {
       st.read("t")
     }),
 
+    // RESTORE in PURE SQL — the bad-deploy rollback statement: v1 is
+    // the good snapshot, v2 an erroneous overwrite, v3 a deleteWhere
+    // on top of it; `RESTORE TABLE t TO VERSION AS OF 1` republishes
+    // v1's manifest (dirs AND its empty vector set) as v4, history
+    // intact (in-query requires pin v4, the still-travelable v2, and
+    // the carried txn fence). Graded frame = the restored read; the
+    // oracle is simply v1's content.
+    "q268_sql_restore" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q268_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      st.commit("t", o.where(col("k") % 2 === 0), overwrite = true,
+        statsCols = Seq("k"), txn = Some(11L))
+      st.commit("t", o.where(col("k") % 7 === 0), overwrite = true,
+        statsCols = Seq("k")) // the bad deploy
+      st.deleteWhere("t", "k", col("k") % 14 === 0)
+      graft.plans.GraftTableRegistry.register("t268", st, "t")
+      val r = s.sql("RESTORE TABLE t268 TO VERSION AS OF 1").head()
+      require(r.getLong(2) == 4L, "restore must publish a NEW version")
+      require(st.read("t", Some(3L)).count() ==
+        st.read("t", Some(2L)).count() - st.read("t", Some(2L))
+          .where(col("k") % 14 === 0).count(),
+        "the bad versions must stay time-travelable")
+      require(st.appliedTxns("t").contains(11L),
+        "txn fences must carry across the restore")
+      st.read("t")
+    }),
+
     // Deletion-vector FOLD lifecycle — the q243 GDPR loop run 15
     // cycles, one exactly-once deleteWhereOnce per batch: past
     // spark.graft.dv.maxVectors (default 8) the carried vectors
@@ -2971,6 +3001,11 @@ object CurationQueries {
     "q267_sql_maintenance" ->
       """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
          FROM orders""",
+
+    // The restored table IS v1's content.
+    "q268_sql_restore" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
+         FROM orders WHERE o_orderkey % 2 = 0""",
 
     // The one-shot lattice: GROUP BY CUBE over all facts.
     "q238_cube_mv" ->

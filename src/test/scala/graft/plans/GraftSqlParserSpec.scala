@@ -225,6 +225,24 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(st.read("t").count() == 1024L)
   }
 
+  test("RESTORE TABLE ... TO VERSION AS OF republishes the old snapshot") {
+    val root = graft.sources.Scratch.processScoped("sqlparser_rst", "spec")
+    graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+    val st = new graft.sources.SnapshotStore(spark, root)
+    st.commit("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"), overwrite = true)
+    st.commit("t", Seq((9L, "z")).toDF("k", "v"), overwrite = true)
+    GraftTableRegistry.register("rst_spec", st, "t")
+    val r = spark.sql("RESTORE TABLE rst_spec TO VERSION AS OF 1").head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) == ("rst_spec", 1L, 3L))
+    assert(st.read("t").select("k").as[Long].collect().toSet == Set(1L, 2L))
+    // the bad version is still time-travelable (restore is a publish,
+    // not a rollback-by-deletion), and the TABLE-less spelling parses
+    assert(st.read("t", Some(2L)).select("k").as[Long].collect()
+      .toSet == Set(9L))
+    spark.sql("RESTORE rst_spec TO VERSION AS OF 2")
+    assert(st.read("t").select("k").as[Long].collect().toSet == Set(9L))
+  }
+
   test("VERSION AS OF inside string literals and comments is left verbatim") {
     // pure literal: no rewrite fires at all
     assert(GraftSqlParser.rewriteTimeTravel(
