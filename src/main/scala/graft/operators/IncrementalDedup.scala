@@ -91,6 +91,23 @@ object IncrementalDedup {
                          numHashes: Int = 32, bands: Int = 8,
                          estThreshold: Double = 0.3, jaccardThreshold: Double = 0.4,
                          shingleN: Int = 2, maxBucket: Int = 256): DataFrame = {
+    val (exactSurv, drops) = survivorCore(stored, batch, histText, idCol,
+      textCol, numHashes, bands, estThreshold, jaccardThreshold, shingleN,
+      maxBucket)
+    batch
+      .join(exactSurv.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+      .join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** The shared survivor computation: (exact-survivor FINGERPRINTS,
+    * near-dup drop ids). The batch is fingerprinted exactly once; both
+    * public forms assemble their output from these two frames.
+    */
+  private def survivorCore(stored: DataFrame, batch: DataFrame,
+                           histText: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int, bands: Int,
+                           estThreshold: Double, jaccardThreshold: Double,
+                           shingleN: Int, maxBucket: Int): (DataFrame, DataFrame) = {
     val bfp = fingerprints(batch, idCol, textCol, numHashes, shingleN)
     // 1. exact: batch fingerprints whose digest is unseen. Staged: the
     // minhash pass over the batch feeds BOTH the candidate banding and
@@ -137,9 +154,27 @@ object IncrementalDedup {
         size(array_intersect(col("_sh_new_id"), col("_sh_old_id"))).cast("double") /
           col("_u") >= jaccardThreshold)
       .select(col("new_id").as(idCol)).distinct()
-    batch
-      .join(exactSurv.select(col("id").as(idCol)), Seq(idCol), "left_semi")
-      .join(drops, Seq(idCol), "left_anti")
+    (exactSurv, drops)
+  }
+
+  /** [[dedupAgainstStored]] returning the survivors' FINGERPRINTS
+    * instead of their batch rows — the form the absorb step wants: the
+    * batch's minhash pass already produced every survivor's (digest,
+    * sig, shard) during candidate generation, so handing this frame
+    * straight to [[absorbFpsOnce]] saves the second full
+    * tokenize+MinHash pass over the survivors that
+    * `absorbOnce(dedupAgainstAcid(...))` pays per micro-batch.
+    */
+  def dedupFpsAgainstStored(stored: DataFrame, batch: DataFrame,
+                            histText: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 32, bands: Int = 8,
+                            estThreshold: Double = 0.3,
+                            jaccardThreshold: Double = 0.4,
+                            shingleN: Int = 2, maxBucket: Int = 256): DataFrame = {
+    val (exactSurv, drops) = survivorCore(stored, batch, histText, idCol,
+      textCol, numHashes, bands, estThreshold, jaccardThreshold, shingleN,
+      maxBucket)
+    exactSurv.join(drops.select(col(idCol).as("id")), Seq("id"), "left_anti")
   }
 
   /** Verified near-dup EDGES touching a batch: batch-vs-stored AND
@@ -269,4 +304,12 @@ object IncrementalDedup {
                  shingleN: Int = 2): Option[Long] =
     store.appendOnce(view,
       fingerprints(survivors, idCol, textCol, numHashes, shingleN), txnId)
+
+  /** [[absorbOnce]] over an already-fingerprinted survivor frame (the
+    * [[dedupFpsAgainstStored]] output) — the per-micro-batch pairing
+    * that fingerprints the batch exactly once end to end.
+    */
+  def absorbFpsOnce(store: graft.sources.SnapshotStore, view: String,
+                    survivorFps: DataFrame, txnId: Long): Option[Long] =
+    store.appendOnce(view, survivorFps, txnId)
 }

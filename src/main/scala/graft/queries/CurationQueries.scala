@@ -759,13 +759,16 @@ object CurationQueries {
       graft.operators.IncrementalDedup.snapshotAcid(st, "fps", hist,
         "doc_id", "text")
       Seq(b1 -> 1L, b2 -> 2L).foreach { case (batch, txn) =>
-        val surv = graft.operators.IncrementalDedup.dedupAgainstAcid(
-          st, "fps", batch, master, "doc_id", "text",
+        // single-fingerprint pairing: the dedup probe's minhash pass
+        // already carries every survivor's (digest, sig, shard), so
+        // the absorb appends that frame instead of re-hashing the text
+        val survFps = graft.operators.IncrementalDedup.dedupFpsAgainstStored(
+          st.read("fps"), batch, master, "doc_id", "text",
           estThreshold = 0.3, jaccardThreshold = 0.4)
-        graft.operators.IncrementalDedup.absorbOnce(st, "fps", surv,
-          "doc_id", "text", txnId = txn)
-        require(graft.operators.IncrementalDedup.absorbOnce(st, "fps", surv,
-          "doc_id", "text", txnId = txn).isEmpty,
+        graft.operators.IncrementalDedup.absorbFpsOnce(st, "fps", survFps,
+          txnId = txn)
+        require(graft.operators.IncrementalDedup.absorbFpsOnce(st, "fps",
+          survFps, txnId = txn).isEmpty,
           "redelivered micro-batch must no-op")
       }
       st.read("fps").select(col("id").as("doc_id"), col("digest"),
