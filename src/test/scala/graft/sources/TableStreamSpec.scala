@@ -64,6 +64,31 @@ class TableStreamSpec extends SparkSpec {
     assert(got.flatMap(_._2).toSet == Set(1L, 2L))
   }
 
+  test("a deletion-vector FOLD inside the offset range is invisible to the append stream") {
+    // three deletes with the fold threshold dialed to 2: the third
+    // publish merges the carried vectors into one new key-list dir —
+    // a dels-only manifest change that must NOT trip the rewrite
+    // detector (data dirs are untouched), and the appended batch must
+    // apply the FOLDED list
+    spark.conf.set("spark.graft.dv.maxVectors", "2")
+    try {
+      val (st, root) = fresh()
+      st.commit("src", (0L until 10L).map(k => (k, "a")).toDF("k", "v"),
+        overwrite = true)
+      val got = scala.collection.mutable.Buffer.empty[(Long, Set[Long])]
+      drainTo(root, got)
+      st.commit("src", (10L until 20L).map(k => (k, "b")).toDF("k", "v"),
+        overwrite = false)
+      Seq(10L, 11L, 12L).foreach(k =>
+        st.deleteWhere("src", "k", col("k") === k))
+      assert(st.manifestDels("src", st.versions("src").max).size <= 2,
+        "the fold must have fired")
+      drainTo(root, got)
+      assert(got.flatMap(_._2).toSet ==
+        (0L until 10L).toSet ++ (13L until 20L).toSet, got.toString)
+    } finally spark.conf.unset("spark.graft.dv.maxVectors")
+  }
+
   test("a rewriting commit mid-range fails loudly; ignoreRewrites opts in") {
     val (st, root) = fresh()
     st.commit("src", Seq((1L, "a")).toDF("k", "v"), overwrite = true)
