@@ -239,6 +239,8 @@ object GraftSqlParser {
     """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val DeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
 
   private[plans] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     OptimizeRe.findFirstMatchIn(sqlText).map { m =>
@@ -250,6 +252,11 @@ object GraftSqlParser {
         Option(m.group(2)).map(_.toInt).getOrElse(1)): LogicalPlan
     }).orElse(RestoreRe.findFirstMatchIn(sqlText).map { m =>
       GraftRestoreCommand(m.group(1), m.group(2).toLong): LogicalPlan
+    }).orElse(DeleteRe.findFirstMatchIn(sqlText).collect {
+      // claim DELETE FROM only for REGISTERED names: everything else
+      // (v2 catalog tables, etc.) falls through to the delegate
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        GraftDeleteCommand(m.group(1), m.group(2)): LogicalPlan
     })
 
   private[plans] def parseAsOf(sqlText: String,
@@ -379,6 +386,39 @@ case class GraftRestoreCommand(name: String, toVersion: Long)
   }
 }
 
+/** `DELETE FROM <table> WHERE <pred>` as a RunnableCommand —
+  * [[graft.sources.SnapshotStore.deleteWhere]]: a DELETION-VECTOR
+  * delete (zero data-file rewrite, O(deleted keys) key IO, auto-fold
+  * past the vector threshold), keyed by the row-identity column the
+  * registration recorded ([[GraftTableRegistry.lookupKey]] — vectors
+  * are keyed, and SQL carries only the name). The predicate text
+  * parses through the session's own expression parser at run time, so
+  * any Spark WHERE clause works. Claimed only for registered names —
+  * DELETE against anything else still reaches the stock parser.
+  * Returns one (table, version) row (version unchanged when nothing
+  * matched — no empty vector publishes).
+  */
+case class GraftDeleteCommand(name: String, predicateSql: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("version", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val (store, view) = GraftTableRegistry.lookup(name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"DELETE FROM: table `$name` is not registered"))
+    val keyCol = GraftTableRegistry.lookupKey(name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"DELETE FROM: table `$name` was registered without a key " +
+          "column — register(name, store, view, keyCol) to enable " +
+          "keyed deletion vectors"))
+    Seq(org.apache.spark.sql.Row(name,
+      store.deleteWhere(view, keyCol,
+        org.apache.spark.sql.functions.expr(predicateSql))))
+  }
+}
+
 /** Name → (store, view) registry backing the `VERSION AS OF` SQL
   * surface: SQL statements carry only a table NAME, so the binding to
   * a [[graft.sources.SnapshotStore]] has to live beside the session
@@ -391,12 +431,25 @@ case class GraftRestoreCommand(name: String, toVersion: Long)
 object GraftTableRegistry {
   private val reg = scala.collection.concurrent.TrieMap
     .empty[String, (graft.sources.SnapshotStore, String)]
+  private val keys = scala.collection.concurrent.TrieMap.empty[String, String]
 
   def register(name: String, store: graft.sources.SnapshotStore,
                view: String): Unit = reg.update(name, (store, view))
-  def unregister(name: String): Unit = reg.remove(name)
+
+  /** Registration with the view's row-identity KEY column — what the
+    * `DELETE FROM` statement needs (deletion vectors are keyed; SQL
+    * carries only the table name, so the key binds here, the same way
+    * a real catalog would record the table's primary key).
+    */
+  def register(name: String, store: graft.sources.SnapshotStore,
+               view: String, keyCol: String): Unit = {
+    reg.update(name, (store, view))
+    keys.update(name, keyCol)
+  }
+  def unregister(name: String): Unit = { reg.remove(name); keys.remove(name) }
   def lookup(name: String): Option[(graft.sources.SnapshotStore, String)] =
     reg.get(name)
+  def lookupKey(name: String): Option[String] = keys.get(name)
 }
 
 /** Binds the parser's `name$asof$v` time-travel identifiers to the

@@ -1525,6 +1525,32 @@ object CurationQueries {
       st.read("t")
     }),
 
+    // DELETE FROM in PURE SQL — the GDPR statement end to end: two
+    // `DELETE FROM t WHERE <pred>` statements run deletion-vector
+    // deletes through the registry's recorded key column (zero data
+    // rewrite — in-query requires pin untouched dirs and the carried
+    // vectors), composing with the rest of the SQL surface: the graded
+    // frame itself reads back through `VERSION AS OF` the post-delete
+    // version. Oracle replays both predicates declaratively.
+    "q269_sql_delete" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q269_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      st.commit("t", o.repartition(3), overwrite = true, statsCols = Seq("k"))
+      val dirs1 = st.manifestDirs("t").toSet
+      graft.plans.GraftTableRegistry.register("t269", st, "t", keyCol = "k")
+      val d1 = s.sql("DELETE FROM t269 WHERE k % 11 = 0").head()
+      val d2 = s.sql("DELETE FROM t269 WHERE cust % 13 = 0 AND k % 11 <> 0").head()
+      require(d1.getLong(1) == 2L && d2.getLong(1) == 3L,
+        "each DELETE must publish one version")
+      require(st.manifestDirs("t").toSet == dirs1,
+        "vector deletes must not rewrite data dirs")
+      require(st.manifestDels("t", 3L).size == 2, "two carried vectors")
+      s.sql("SELECT k, cust, p FROM t269 VERSION AS OF 3")
+    }),
+
     // RESTORE in PURE SQL — the bad-deploy rollback statement: v1 is
     // the good snapshot, v2 an erroneous overwrite, v3 a deleteWhere
     // on top of it; `RESTORE TABLE t TO VERSION AS OF 1` republishes
@@ -3009,6 +3035,13 @@ object CurationQueries {
     "q268_sql_restore" ->
       """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
          FROM orders WHERE o_orderkey % 2 = 0""",
+
+    // Both DELETE predicates replayed declaratively.
+    "q269_sql_delete" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
+         FROM orders
+         WHERE o_orderkey % 11 <> 0
+           AND NOT (o_custkey % 13 = 0 AND o_orderkey % 11 <> 0)""",
 
     // The one-shot lattice: GROUP BY CUBE over all facts.
     "q238_cube_mv" ->

@@ -243,6 +243,33 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(st.read("t").select("k").as[Long].collect().toSet == Set(9L))
   }
 
+  test("DELETE FROM ... WHERE runs a deletion-vector delete; unregistered names delegate") {
+    val root = graft.sources.Scratch.processScoped("sqlparser_del", "spec")
+    graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+    val st = new graft.sources.SnapshotStore(spark, root)
+    st.commit("t", (0L until 100L).map(k => (k, k * 2)).toDF("k", "v"),
+      overwrite = true, statsCols = Seq("k"))
+    val dirs = st.manifestDirs("t").toSet
+    GraftTableRegistry.register("del_spec", st, "t", keyCol = "k")
+    val r = spark.sql("DELETE FROM del_spec WHERE k % 10 = 0 AND k < 50").head()
+    assert((r.getString(0), r.getLong(1)) == ("del_spec", 2L))
+    // zero rewrite: same data dirs plus one vector
+    assert(st.manifestDirs("t").toSet == dirs)
+    assert(st.manifestDels("t", 2L).size == 1)
+    assert(st.read("t").count() == 95)
+    assert(st.read("t").where(col("k") === 20L).isEmpty)
+    // a key-less registration fails with the registration hint
+    GraftTableRegistry.register("del_nokey", st, "t")
+    val ex = intercept[Exception](
+      spark.sql("DELETE FROM del_nokey WHERE k = 1").collect())
+    assert(ex.getMessage.contains("key"), ex.getMessage)
+    // DELETE against an unregistered name reaches the stock parser
+    // (which rejects it as an unresolved table, not our command)
+    val ex2 = intercept[Exception](
+      spark.sql("DELETE FROM not_registered_at_all WHERE x = 1").collect())
+    assert(!String.valueOf(ex2.getMessage).contains("not registered"))
+  }
+
   test("VERSION AS OF inside string literals and comments is left verbatim") {
     // pure literal: no rewrite fires at all
     assert(GraftSqlParser.rewriteTimeTravel(
