@@ -241,6 +241,10 @@ object GraftSqlParser {
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val InsertRe =
+    """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+(SELECT\s+.+?|VALUES\s+.+?)\s*;?\s*$""".r
+  private val UpdateRe =
+    """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
 
   private[plans] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     OptimizeRe.findFirstMatchIn(sqlText).map { m =>
@@ -253,10 +257,16 @@ object GraftSqlParser {
     }).orElse(RestoreRe.findFirstMatchIn(sqlText).map { m =>
       GraftRestoreCommand(m.group(1), m.group(2).toLong): LogicalPlan
     }).orElse(DeleteRe.findFirstMatchIn(sqlText).collect {
-      // claim DELETE FROM only for REGISTERED names: everything else
-      // (v2 catalog tables, etc.) falls through to the delegate
+      // claim DML only for REGISTERED names: everything else
+      // (v2 catalog tables, temp views, etc.) falls through verbatim
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftDeleteCommand(m.group(1), m.group(2)): LogicalPlan
+    }).orElse(InsertRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        GraftInsertCommand(m.group(1), m.group(2)): LogicalPlan
+    }).orElse(UpdateRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        GraftUpdateCommand(m.group(1), m.group(2), m.group(3)): LogicalPlan
     })
 
   private[plans] def parseAsOf(sqlText: String,
@@ -416,6 +426,86 @@ case class GraftDeleteCommand(name: String, predicateSql: String)
     Seq(org.apache.spark.sql.Row(name,
       store.deleteWhere(view, keyCol,
         org.apache.spark.sql.functions.expr(predicateSql))))
+  }
+}
+
+/** `INSERT INTO <table> SELECT …|VALUES …` as a RunnableCommand: the
+  * payload query runs through the full session SQL (so it can itself
+  * use `VERSION AS OF`, graft joins, temp views…), aligned BY NAME to
+  * the table's current schema, and lands as ONE append commit with
+  * the key column (when registered) recorded as stats. Claimed only
+  * for registered names. Returns (table, version, rows_inserted).
+  */
+case class GraftInsertCommand(name: String, querySql: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("version", org.apache.spark.sql.types.LongType)(),
+    AttributeReference("rows_inserted", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val (store, view) = GraftTableRegistry.lookup(name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"INSERT INTO: table `$name` is not registered"))
+    val src0 = spark.sql(querySql)
+    val target = store.read(view).schema
+    require(src0.columns.length == target.length,
+      s"INSERT INTO $name: ${src0.columns.length} columns, table has ${target.length}")
+    // positional binding with the table's names/types — the SQL INSERT
+    // contract (a VALUES list has no names to match on)
+    val src = src0.toDF(target.map(_.name): _*)
+      .select(target.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+      .localCheckpoint()
+    val n = src.count()
+    val v = store.commit(view, src, overwrite = false,
+      statsCols = GraftTableRegistry.lookupKey(name).toSeq)
+    Seq(org.apache.spark.sql.Row(name, v, n))
+  }
+}
+
+/** `UPDATE <table> SET c = expr[, …] WHERE <pred>` as a
+  * RunnableCommand — expressed as the store's keyed MERGE: the source
+  * is the current snapshot filtered to the predicate with the SET
+  * expressions applied, so only key-overlapping dirs rewrite
+  * (copy-on-write + file skipping, never a full-table rewrite) and
+  * the statement is one atomic commit. Needs the registered key
+  * column. Returns (table, version, rows_updated).
+  */
+case class GraftUpdateCommand(name: String, setSql: String, predicateSql: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("version", org.apache.spark.sql.types.LongType)(),
+    AttributeReference("rows_updated", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val (store, view) = GraftTableRegistry.lookup(name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"UPDATE: table `$name` is not registered"))
+    val keyCol = GraftTableRegistry.lookupKey(name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"UPDATE: table `$name` was registered without a key column — " +
+          "register(name, store, view, keyCol) first"))
+    import org.apache.spark.sql.functions.expr
+    val assignments = GraftSqlParser.splitTopLevel(setSql).map { a =>
+      val eq = a.indexOf('=')
+      require(eq > 0, s"UPDATE $name: bad assignment `$a`")
+      (a.take(eq).trim, a.drop(eq + 1).trim)
+    }
+    require(!assignments.exists(_._1.equalsIgnoreCase(keyCol)),
+      s"UPDATE $name: assigning the row-identity key `$keyCol` is not " +
+        "an update — DELETE + INSERT instead (keyed merge semantics)")
+    val updated = assignments.foldLeft(
+        store.read(view).where(expr(predicateSql))) {
+      case (df, (c, e)) => df.withColumn(c, expr(e))
+    }.localCheckpoint()
+    val n = updated.count()
+    val v =
+      if (n == 0) store.versions(view).max
+      else store.mergeInto(view, updated, keyCol,
+        statsCols = Seq(keyCol))
+    Seq(org.apache.spark.sql.Row(name, v, n))
   }
 }
 

@@ -1551,6 +1551,35 @@ object CurationQueries {
       s.sql("SELECT k, cust, p FROM t269 VERSION AS OF 3")
     }),
 
+    // INSERT INTO + UPDATE in PURE SQL — the rest of the DML family:
+    // the INSERT payload is itself full session SQL (here reading the
+    // odd half from a temp view), lands as ONE append commit; UPDATE
+    // compiles to the keyed copy-on-write MERGE (only key-overlapping
+    // dirs rewrite) with the rows_updated count back. The graded frame
+    // is the post-DML table; the oracle replays both statements
+    // declaratively.
+    "q270_sql_dml" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q270_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      o.createOrReplaceTempView("q270_orders")
+      st.commit("t", o.where(col("k") % 2 === 0), overwrite = true,
+        statsCols = Seq("k"))
+      graft.plans.GraftTableRegistry.register("t270", st, "t", keyCol = "k")
+      val ins = s.sql(
+        "INSERT INTO t270 SELECT k, cust, p FROM q270_orders WHERE k % 2 = 1")
+        .head()
+      require(ins.getLong(1) == 2L && ins.getLong(2) > 0,
+        s"insert must land as v2 with rows: $ins")
+      val up = s.sql("UPDATE t270 SET p = p * 2 WHERE cust % 10 = 0").head()
+      require(up.getLong(1) == 3L && up.getLong(2) > 0,
+        s"update must land as ONE commit with rows: $up")
+      require(st.versions("t") == Seq(1L, 2L, 3L), "exactly three versions")
+      st.read("t")
+    }),
+
     // RESTORE in PURE SQL — the bad-deploy rollback statement: v1 is
     // the good snapshot, v2 an erroneous overwrite, v3 a deleteWhere
     // on top of it; `RESTORE TABLE t TO VERSION AS OF 1` republishes
@@ -3035,6 +3064,14 @@ object CurationQueries {
     "q268_sql_restore" ->
       """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
          FROM orders WHERE o_orderkey % 2 = 0""",
+
+    // INSERT(odd half) + UPDATE(p doubles where cust % 10 = 0),
+    // replayed declaratively over the full table.
+    "q270_sql_dml" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+                CASE WHEN o_custkey % 10 = 0 THEN o_totalprice * 2
+                     ELSE o_totalprice END AS p
+         FROM orders""",
 
     // Both DELETE predicates replayed declaratively.
     "q269_sql_delete" ->

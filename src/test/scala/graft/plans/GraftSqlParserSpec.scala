@@ -270,6 +270,40 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(!String.valueOf(ex2.getMessage).contains("not registered"))
   }
 
+  test("INSERT INTO and UPDATE statements run as store commits") {
+    val root = graft.sources.Scratch.processScoped("sqlparser_dml", "spec")
+    graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+    val st = new graft.sources.SnapshotStore(spark, root)
+    st.commit("t", Seq((1L, 10.0), (2L, 20.0)).toDF("k", "p"),
+      overwrite = true, statsCols = Seq("k"))
+    GraftTableRegistry.register("dml_spec", st, "t", keyCol = "k")
+    // INSERT: VALUES form + a SELECT form that itself uses the
+    // registered surface (VERSION AS OF)
+    val ins = spark.sql("INSERT INTO dml_spec VALUES (3L, 30.0)").head()
+    assert((ins.getLong(1), ins.getLong(2)) == (2L, 1L))
+    spark.sql(
+      "INSERT INTO dml_spec SELECT k + 100, p FROM dml_spec VERSION AS OF 1")
+    assert(st.read("t").count() == 5)
+    // UPDATE: copy-on-write merge, one atomic commit, count back
+    val up = spark.sql(
+      "UPDATE dml_spec SET p = p * 2 WHERE k IN (1, 101)").head()
+    assert(up.getLong(2) == 2L, up.toString)
+    val got = st.read("t").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 20.0, 2L -> 20.0, 3L -> 30.0,
+      101L -> 20.0, 102L -> 20.0), got.toString)
+    // assigning the key refuses; zero-match UPDATE moves nothing
+    intercept[Exception](
+      spark.sql("UPDATE dml_spec SET k = k + 1 WHERE p = 20.0").collect())
+    val v = st.versions("t").max
+    assert(spark.sql("UPDATE dml_spec SET p = 0.0 WHERE k = 999")
+      .head().getLong(2) == 0L)
+    assert(st.versions("t").max == v)
+    // DML against unregistered names still reaches the stock parser
+    Seq((1L, 1.0)).toDF("k", "p").createOrReplaceTempView("dml_plain")
+    intercept[Exception](
+      spark.sql("INSERT INTO dml_plain VALUES (2L, 2.0)").collect())
+  }
+
   test("VERSION AS OF inside string literals and comments is left verbatim") {
     // pure literal: no rewrite fires at all
     assert(GraftSqlParser.rewriteTimeTravel(
