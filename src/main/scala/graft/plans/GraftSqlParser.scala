@@ -245,6 +245,16 @@ object GraftSqlParser {
     """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+(SELECT\s+.+?|VALUES\s+.+?)\s*;?\s*$""".r
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  // the upsert-all MERGE shape (update/insert every column by name) —
+  // the form the store's keyed mergeInto implements; an optional
+  // matched-DELETE clause maps to mergeInto's tombstone column
+  private val MergeRe =
+    ("""(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+\w+|\s+(?!USING)\w+)?\s+""" +
+      """USING\s+([\w.]+)(?:\s+AS\s+\w+|\s+(?!ON)\w+)?\s+""" +
+      """ON\s+([\w.]+)\s*=\s*([\w.]+)\s+""" +
+      """(?:WHEN\s+MATCHED\s+AND\s+([\w.]+)\s+THEN\s+DELETE\s+)?""" +
+      """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
+      """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""").r
 
   private[plans] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     OptimizeRe.findFirstMatchIn(sqlText).map { m =>
@@ -267,6 +277,11 @@ object GraftSqlParser {
     }).orElse(UpdateRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftUpdateCommand(m.group(1), m.group(2), m.group(3)): LogicalPlan
+    }).orElse(MergeRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        GraftMergeCommand(m.group(1), m.group(2),
+          Seq(m.group(3), m.group(4)).map(c => c.split('.').last),
+          Option(m.group(5)).map(_.split('.').last)): LogicalPlan
     })
 
   private[plans] def parseAsOf(sqlText: String,
@@ -506,6 +521,41 @@ case class GraftUpdateCommand(name: String, setSql: String, predicateSql: String
       else store.mergeInto(view, updated, keyCol,
         statsCols = Seq(keyCol))
     Seq(org.apache.spark.sql.Row(name, v, n))
+  }
+}
+
+/** `MERGE INTO <t> USING <src> ON t.k = s.k [WHEN MATCHED AND <del>
+  * THEN DELETE] WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+  * INSERT *` — the upsert-all MERGE shape (the one the store's keyed
+  * [[graft.sources.SnapshotStore.mergeInto]] implements: matched rows
+  * replaced whole, unmatched inserted, copy-on-write with file
+  * skipping). `src` is a registered view or any session-visible table
+  * or temp view; both ON sides must name the registered key column.
+  * Returns (table, version).
+  */
+case class GraftMergeCommand(name: String, srcName: String,
+                             onCols: Seq[String], deleteCol: Option[String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("version", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val (store, view) = GraftTableRegistry.lookup(name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"MERGE INTO: table `$name` is not registered"))
+    val keyCol = GraftTableRegistry.lookupKey(name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"MERGE INTO: table `$name` was registered without a key column"))
+    require(onCols.forall(_.equalsIgnoreCase(keyCol)),
+      s"MERGE INTO $name: ON must equate the registered key `$keyCol` " +
+        s"on both sides, got ${onCols.mkString(" = ")}")
+    val source = GraftTableRegistry.lookup(srcName)
+      .map { case (s2, v2) => s2.read(v2) }
+      .getOrElse(spark.table(srcName))
+    Seq(org.apache.spark.sql.Row(name,
+      store.mergeInto(view, source, keyCol, deleteCol = deleteCol,
+        statsCols = Seq(keyCol))))
   }
 }
 

@@ -1580,6 +1580,34 @@ object CurationQueries {
       st.read("t")
     }),
 
+    // MERGE INTO in PURE SQL — the lakehouse statement: the upsert-all
+    // shape with a matched-DELETE clause compiles to the store's keyed
+    // copy-on-write merge (one atomic commit, file skipping, tombstone
+    // deletes). Matched rows replace whole, del-flagged matches drop,
+    // unmatched insert; the oracle replays all three outcomes
+    // declaratively.
+    "q271_sql_merge" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q271_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      st.commit("t", o.where(col("k") % 2 === 0), overwrite = true,
+        statsCols = Seq("k"))
+      o.where(col("k") % 3 === 0)
+        .select(col("k"), col("cust"), (col("p") * 2).as("p"),
+          (col("k") % 10 === 0).as("del"))
+        .createOrReplaceTempView("q271_src")
+      graft.plans.GraftTableRegistry.register("t271", st, "t", keyCol = "k")
+      val r = s.sql(
+        """MERGE INTO t271 AS t USING q271_src AS s ON t.k = s.k
+           WHEN MATCHED AND del THEN DELETE
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""").head()
+      require(r.getLong(1) == 2L, "one atomic commit")
+      st.read("t")
+    }),
+
     // RESTORE in PURE SQL — the bad-deploy rollback statement: v1 is
     // the good snapshot, v2 an erroneous overwrite, v3 a deleteWhere
     // on top of it; `RESTORE TABLE t TO VERSION AS OF 1` republishes
@@ -3072,6 +3100,16 @@ object CurationQueries {
                 CASE WHEN o_custkey % 10 = 0 THEN o_totalprice * 2
                      ELSE o_totalprice END AS p
          FROM orders""",
+
+    // MERGE outcomes replayed: carried target-only rows, doubled
+    // upserts (matched or inserted), del-flagged matches gone (no odd
+    // k has k % 10 = 0, so unmatched tombstones don't arise).
+    "q271_sql_merge" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
+         FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice * 2
+         FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 <> 0""",
 
     // Both DELETE predicates replayed declaratively.
     "q269_sql_delete" ->

@@ -304,6 +304,31 @@ class GraftSqlParserSpec extends SparkSpec {
       spark.sql("INSERT INTO dml_plain VALUES (2L, 2.0)").collect())
   }
 
+  test("MERGE INTO upsert-all shape runs the store's keyed merge") {
+    val root = graft.sources.Scratch.processScoped("sqlparser_mrg", "spec")
+    graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+    val st = new graft.sources.SnapshotStore(spark, root)
+    st.commit("t", Seq((1L, 10.0), (2L, 20.0)).toDF("k", "p"),
+      overwrite = true, statsCols = Seq("k"))
+    GraftTableRegistry.register("mrg_spec", st, "t", keyCol = "k")
+    Seq((2L, 25.0, false), (3L, 30.0, false), (1L, 0.0, true))
+      .toDF("k", "p", "del").createOrReplaceTempView("mrg_src")
+    val r = spark.sql(
+      """MERGE INTO mrg_spec AS t USING mrg_src AS s ON t.k = s.k
+         WHEN MATCHED AND del THEN DELETE
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""").head()
+    assert((r.getString(0), r.getLong(1)) == ("mrg_spec", 2L))
+    assert(st.read("t").as[(Long, Double)].collect().toMap ==
+      Map(2L -> 25.0, 3L -> 30.0)) // 1 tombstoned, 2 updated, 3 inserted
+    // ON must equate the registered key
+    val ex = intercept[Exception](spark.sql(
+      """MERGE INTO mrg_spec AS t USING mrg_src AS s ON t.p = s.p
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""").collect())
+    assert(ex.getMessage.contains("registered key"), ex.getMessage)
+  }
+
   test("VERSION AS OF inside string literals and comments is left verbatim") {
     // pure literal: no rewrite fires at all
     assert(GraftSqlParser.rewriteTimeTravel(
