@@ -722,9 +722,12 @@ class SnapshotStore(spark: SparkSession, root: String) {
       .select(col(keyCol)).distinct()
     val next = base + 1
     val delDir = s"del$next-" + java.util.UUID.randomUUID().toString.take(8)
-    keys.coalesce(1).write.mode("overwrite")
-      .parquet(dataRoot(view).resolve(delDir).toString)
-    if (spark.read.parquet(dataRoot(view).resolve(delDir).toString).isEmpty) {
+    // key count observed DURING the vector write (one job, no re-read)
+    // — a compliance loop's per-delete cost is this job + the publish
+    val obs = org.apache.spark.sql.Observation()
+    keys.observe(obs, count(lit(1)).as("n")).coalesce(1).write
+      .mode("overwrite").parquet(dataRoot(view).resolve(delDir).toString)
+    if (obs.get("n").asInstanceOf[Long] == 0L) {
       Scratch.deleteRecursively(dataRoot(view).resolve(delDir).toFile)
       return base
     }
@@ -800,10 +803,11 @@ class SnapshotStore(spark: SparkSession, root: String) {
       .select(col(keyCol)).distinct()
     val next = base + 1
     val delDir = s"del$next-" + java.util.UUID.randomUUID().toString.take(8)
-    residual.coalesce(1).write.mode("overwrite")
-      .parquet(dataRoot(view).resolve(delDir).toString)
-    val hasResidual =
-      !spark.read.parquet(dataRoot(view).resolve(delDir).toString).isEmpty
+    // residual count observed during the write (no re-read job)
+    val obs = org.apache.spark.sql.Observation()
+    residual.observe(obs, count(lit(1)).as("n")).coalesce(1).write
+      .mode("overwrite").parquet(dataRoot(view).resolve(delDir).toString)
+    val hasResidual = obs.get("n").asInstanceOf[Long] > 0L
     if (!hasResidual)
       Scratch.deleteRecursively(dataRoot(view).resolve(delDir).toFile)
     if (dead.isEmpty && !hasResidual) return base
@@ -944,13 +948,17 @@ class SnapshotStore(spark: SparkSession, root: String) {
           val remaining = delKeys.distinct()
             .join(source.select(col(keyCol)).distinct(), Seq(keyCol),
               "left_anti")
-          if (remaining.isEmpty) Nil
+          // write-then-check with an observed count: one execution of
+          // the subtraction plan instead of isEmpty-probe + write
+          val delDir = s"del$next-" +
+            java.util.UUID.randomUUID().toString.take(8)
+          val obs = org.apache.spark.sql.Observation()
+          remaining.observe(obs, count(lit(1)).as("n")).coalesce(1).write
+            .mode("overwrite").parquet(dataRoot(view).resolve(delDir).toString)
+          if (obs.get("n").asInstanceOf[Long] > 0L) Seq(delDir)
           else {
-            val delDir = s"del$next-" +
-              java.util.UUID.randomUUID().toString.take(8)
-            remaining.coalesce(1).write.mode("overwrite")
-              .parquet(dataRoot(view).resolve(delDir).toString)
-            Seq(delDir)
+            Scratch.deleteRecursively(dataRoot(view).resolve(delDir).toFile)
+            Nil
           }
         }
       }
