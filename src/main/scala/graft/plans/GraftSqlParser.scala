@@ -244,7 +244,7 @@ object GraftSqlParser {
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+(SELECT\s+.+?|VALUES\s+.+?)\s*;?\s*$""".r
   private val UpdateRe =
-    """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   // the upsert-all MERGE shape (update/insert every column by name) —
   // the form the store's keyed mergeInto implements; an optional
   // matched-DELETE clause maps to mergeInto's tombstone column
@@ -276,7 +276,8 @@ object GraftSqlParser {
         GraftInsertCommand(m.group(1), m.group(2)): LogicalPlan
     }).orElse(UpdateRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftUpdateCommand(m.group(1), m.group(2), m.group(3)): LogicalPlan
+        GraftUpdateCommand(m.group(1), m.group(2),
+          Option(m.group(3)).getOrElse("true")): LogicalPlan
     }).orElse(MergeRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftMergeCommand(m.group(1), m.group(2),
@@ -467,25 +468,32 @@ case class GraftInsertCommand(name: String, querySql: String)
     require(src0.columns.length == target.length,
       s"INSERT INTO $name: ${src0.columns.length} columns, table has ${target.length}")
     // positional binding with the table's names/types — the SQL INSERT
-    // contract (a VALUES list has no names to match on)
+    // contract (a VALUES list has no names to match on). rows_inserted
+    // is observed DURING the commit's write job: no pre-materialization
+    // of the payload, so INSERT SELECT over an arbitrarily large query
+    // stays one streaming write pass.
+    val obs = org.apache.spark.sql.Observation()
     val src = src0.toDF(target.map(_.name): _*)
       .select(target.map(f =>
         org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
-      .localCheckpoint()
-    val n = src.count()
+      .observe(obs, org.apache.spark.sql.functions
+        .count(org.apache.spark.sql.functions.lit(1)).as("n"))
     val v = store.commit(view, src, overwrite = false,
       statsCols = GraftTableRegistry.lookupKey(name).toSeq)
-    Seq(org.apache.spark.sql.Row(name, v, n))
+    Seq(org.apache.spark.sql.Row(name, v, obs.get("n").asInstanceOf[Long]))
   }
 }
 
-/** `UPDATE <table> SET c = expr[, …] WHERE <pred>` as a
+/** `UPDATE <table> SET c = expr[, …] [WHERE <pred>]` as a
   * RunnableCommand — expressed as the store's keyed MERGE: the source
   * is the current snapshot filtered to the predicate with the SET
   * expressions applied, so only key-overlapping dirs rewrite
-  * (copy-on-write + file skipping, never a full-table rewrite) and
-  * the statement is one atomic commit. Needs the registered key
-  * column. Returns (table, version, rows_updated).
+  * (copy-on-write + file skipping) and the statement is one atomic
+  * commit; no WHERE = all rows. Needs the registered key column.
+  * Scale contract: the updated set materializes once (mergeInto's
+  * multi-reference source) — an UPDATE touching most of a huge table
+  * should be an overwrite job instead, like every keyed-merge engine.
+  * Returns (table, version, rows_updated).
   */
 case class GraftUpdateCommand(name: String, setSql: String, predicateSql: String)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {

@@ -298,6 +298,10 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(spark.sql("UPDATE dml_spec SET p = 0.0 WHERE k = 999")
       .head().getLong(2) == 0L)
     assert(st.versions("t").max == v)
+    // WHERE-less UPDATE touches every row
+    val all = spark.sql("UPDATE dml_spec SET p = 1.0").head()
+    assert(all.getLong(2) == 5L, all.toString)
+    assert(st.read("t").select("p").as[Double].collect().forall(_ == 1.0))
     // DML against unregistered names still reaches the stock parser
     Seq((1L, 1.0)).toDF("k", "p").createOrReplaceTempView("dml_plain")
     intercept[Exception](
