@@ -163,12 +163,17 @@ object GraftSqlParser {
 
   /** Per-character mask of `s`: true where the character sits inside a
     * quoted region ('…', "…", `…`; SQL's doubled-quote escaping works
-    * by toggle) or a comment (line `--` to EOL, or slash-star block).
-    * Text rewrites consult it so they only touch real syntax.
+    * by toggle, and Spark's default backslash escaping is honored —
+    * a backslash-quote inside a literal does not close it) or a
+    * comment (line `--` to EOL, or slash-star block; a block comment
+    * needs at least four chars, so the opener's star can never double
+    * as the closer's). Text rewrites consult it so they only touch
+    * real syntax.
     */
   private[plans] def quotedMask(s: String): Array[Boolean] = {
     val in = new Array[Boolean](s.length)
     var quote: Char = 0 // 0 none; '-' line comment; '*' block comment
+    var commentStart = -1
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -176,15 +181,20 @@ object GraftSqlParser {
         in(i) = true; if (c == '\n') quote = 0
       } else if (quote == '*') {
         in(i) = true
-        if (c == '/' && i > 0 && s.charAt(i - 1) == '*') quote = 0
+        if (c == '/' && i >= commentStart + 3 && s.charAt(i - 1) == '*')
+          quote = 0
       } else if (quote != 0) {
-        in(i) = true; if (c == quote) quote = 0
+        in(i) = true
+        if (c == '\\' && quote != '`' && i + 1 < s.length) {
+          // backslash escape inside '…'/"…": consume the next char too
+          in(i + 1) = true; i += 1
+        } else if (c == quote) quote = 0
       } else if (c == '\'' || c == '"' || c == '`') {
         quote = c; in(i) = true
       } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
         quote = '-'; in(i) = true
       } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
-        quote = '*'; in(i) = true
+        quote = '*'; commentStart = i; in(i) = true
       }
       i += 1
     }
@@ -243,8 +253,10 @@ object GraftSqlParser {
     """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+(SELECT\s+.+?|VALUES\s+.+?)\s*;?\s*$""".r
+  // group(2) = everything after SET; the WHERE boundary is resolved by
+  // [[splitTopLevelWhere]] (quote/paren-aware), never by the regex
   private val UpdateRe =
-    """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+    """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s*;?\s*$""".r
   // the upsert-all MERGE shape (update/insert every column by name) —
   // the form the store's keyed mergeInto implements; an optional
   // matched-DELETE clause maps to mergeInto's tombstone column
@@ -256,19 +268,50 @@ object GraftSqlParser {
       """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
       """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""").r
 
+  /** Split `s` at the FIRST `WHERE` keyword lying at paren depth 0
+    * outside quotes/comments (the mask walk): (before, Some(after)),
+    * or (s, None) when no top-level WHERE exists. Subquery WHEREs are
+    * parenthesized (depth > 0) and literal WHEREs are masked, so the
+    * split is the clause boundary a parser would find.
+    */
+  private[plans] def splitTopLevelWhere(s: String): (String, Option[String]) = {
+    val mask = quotedMask(s)
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!mask(i)) {
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (depth == 0 && (c == 'w' || c == 'W') && i + 5 <= s.length &&
+                 s.substring(i, i + 5).equalsIgnoreCase("WHERE") &&
+                 (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+                 (i + 5 == s.length || !Character.isLetterOrDigit(s.charAt(i + 5))))
+          return (s.take(i).trim, Some(s.drop(i + 5).trim))
+      }
+      i += 1
+    }
+    (s.trim, None)
+  }
+
+  // every statement form is claimed ONLY for names in the registry:
+  // OPTIMIZE/VACUUM/DELETE/… against anything else (another
+  // extension's tables, temp views, v2 catalogs) falls through to the
+  // delegate chain verbatim
   private[plans] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
-    OptimizeRe.findFirstMatchIn(sqlText).map { m =>
-      val cols = Option(m.group(2)).toSeq
-        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      GraftOptimizeCommand(m.group(1), cols): LogicalPlan
-    }.orElse(VacuumRe.findFirstMatchIn(sqlText).map { m =>
-      GraftVacuumCommand(m.group(1),
-        Option(m.group(2)).map(_.toInt).getOrElse(1)): LogicalPlan
-    }).orElse(RestoreRe.findFirstMatchIn(sqlText).map { m =>
-      GraftRestoreCommand(m.group(1), m.group(2).toLong): LogicalPlan
+    OptimizeRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        val cols = Option(m.group(2)).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        GraftOptimizeCommand(m.group(1), cols): LogicalPlan
+    }.orElse(VacuumRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        GraftVacuumCommand(m.group(1),
+          Option(m.group(2)).map(_.toInt).getOrElse(1)): LogicalPlan
+    }).orElse(RestoreRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        GraftRestoreCommand(m.group(1), m.group(2).toLong): LogicalPlan
     }).orElse(DeleteRe.findFirstMatchIn(sqlText).collect {
-      // claim DML only for REGISTERED names: everything else
-      // (v2 catalog tables, temp views, etc.) falls through verbatim
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftDeleteCommand(m.group(1), m.group(2)): LogicalPlan
     }).orElse(InsertRe.findFirstMatchIn(sqlText).collect {
@@ -276,8 +319,12 @@ object GraftSqlParser {
         GraftInsertCommand(m.group(1), m.group(2)): LogicalPlan
     }).orElse(UpdateRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftUpdateCommand(m.group(1), m.group(2),
-          Option(m.group(3)).getOrElse("true")): LogicalPlan
+        // the SET/WHERE boundary is found by the mask walk, not the
+        // regex: a WHERE inside a parenthesized subquery or a string
+        // literal in the SET list must not split the statement
+        val (setSql, pred) = splitTopLevelWhere(m.group(2))
+        GraftUpdateCommand(m.group(1), setSql,
+          pred.getOrElse("true")): LogicalPlan
     }).orElse(MergeRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftMergeCommand(m.group(1), m.group(2),
@@ -357,10 +404,7 @@ case class GraftOptimizeCommand(name: String, clusterCols: Seq[String])
     AttributeReference("version", org.apache.spark.sql.types.LongType)())
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
-    val (store, view) = GraftTableRegistry.lookup(name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"OPTIMIZE: table `$name` is not registered — call " +
-          "GraftTableRegistry.register(name, store, view) first"))
+    val (store, view) = GraftTableRegistry.required("OPTIMIZE", name)
     val v =
       if (clusterCols.isEmpty) store.compact(view)
       else store.optimizeClusteredN(view, clusterCols,
@@ -380,10 +424,7 @@ case class GraftVacuumCommand(name: String, retainVersions: Int)
     AttributeReference("removed_dirs", org.apache.spark.sql.types.LongType)())
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
-    val (store, view) = GraftTableRegistry.lookup(name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"VACUUM: table `$name` is not registered — call " +
-          "GraftTableRegistry.register(name, store, view) first"))
+    val (store, view) = GraftTableRegistry.required("VACUUM", name)
     Seq(org.apache.spark.sql.Row(name,
       store.vacuum(view, retainVersions).toLong))
   }
@@ -403,10 +444,7 @@ case class GraftRestoreCommand(name: String, toVersion: Long)
     AttributeReference("new_version", org.apache.spark.sql.types.LongType)())
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
-    val (store, view) = GraftTableRegistry.lookup(name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"RESTORE: table `$name` is not registered — call " +
-          "GraftTableRegistry.register(name, store, view) first"))
+    val (store, view) = GraftTableRegistry.required("RESTORE", name)
     Seq(org.apache.spark.sql.Row(name, toVersion,
       store.restore(view, toVersion)))
   }
@@ -431,14 +469,8 @@ case class GraftDeleteCommand(name: String, predicateSql: String)
     AttributeReference("version", org.apache.spark.sql.types.LongType)())
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
-    val (store, view) = GraftTableRegistry.lookup(name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"DELETE FROM: table `$name` is not registered"))
-    val keyCol = GraftTableRegistry.lookupKey(name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"DELETE FROM: table `$name` was registered without a key " +
-          "column — register(name, store, view, keyCol) to enable " +
-          "keyed deletion vectors"))
+    val (store, view) = GraftTableRegistry.required("DELETE FROM", name)
+    val keyCol = GraftTableRegistry.requiredKey("DELETE FROM", name)
     Seq(org.apache.spark.sql.Row(name,
       store.deleteWhere(view, keyCol,
         org.apache.spark.sql.functions.expr(predicateSql))))
@@ -460,9 +492,7 @@ case class GraftInsertCommand(name: String, querySql: String)
     AttributeReference("rows_inserted", org.apache.spark.sql.types.LongType)())
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
-    val (store, view) = GraftTableRegistry.lookup(name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"INSERT INTO: table `$name` is not registered"))
+    val (store, view) = GraftTableRegistry.required("INSERT INTO", name)
     val src0 = spark.sql(querySql)
     val target = store.read(view).schema
     require(src0.columns.length == target.length,
@@ -503,13 +533,8 @@ case class GraftUpdateCommand(name: String, setSql: String, predicateSql: String
     AttributeReference("rows_updated", org.apache.spark.sql.types.LongType)())
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
-    val (store, view) = GraftTableRegistry.lookup(name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"UPDATE: table `$name` is not registered"))
-    val keyCol = GraftTableRegistry.lookupKey(name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"UPDATE: table `$name` was registered without a key column — " +
-          "register(name, store, view, keyCol) first"))
+    val (store, view) = GraftTableRegistry.required("UPDATE", name)
+    val keyCol = GraftTableRegistry.requiredKey("UPDATE", name)
     import org.apache.spark.sql.functions.expr
     val assignments = GraftSqlParser.splitTopLevel(setSql).map { a =>
       val eq = a.indexOf('=')
@@ -519,10 +544,19 @@ case class GraftUpdateCommand(name: String, setSql: String, predicateSql: String
     require(!assignments.exists(_._1.equalsIgnoreCase(keyCol)),
       s"UPDATE $name: assigning the row-identity key `$keyCol` is not " +
         "an update — DELETE + INSERT instead (keyed merge semantics)")
-    val updated = assignments.foldLeft(
-        store.read(view).where(expr(predicateSql))) {
-      case (df, (c, e)) => df.withColumn(c, expr(e))
-    }.localCheckpoint()
+    // SIMULTANEOUS assignment (the SQL contract): every SET expression
+    // evaluates against the OLD row in one projection — `SET a = b,
+    // b = a` swaps, it does not copy (sequential withColumns would
+    // read the already-updated column)
+    val base = store.read(view).where(expr(predicateSql))
+    val byName = assignments.map { case (c, e) => c.toLowerCase -> e }.toMap
+    require(byName.size == assignments.size,
+      s"UPDATE $name: duplicate SET column")
+    val updated = base.select(base.columns.toSeq.map { c =>
+      byName.get(c.toLowerCase)
+        .map(e => expr(e).cast(base.schema(c).dataType).as(c))
+        .getOrElse(org.apache.spark.sql.functions.col(c))
+    }: _*).localCheckpoint()
     val n = updated.count()
     val v =
       if (n == 0) store.versions(view).max
@@ -549,20 +583,32 @@ case class GraftMergeCommand(name: String, srcName: String,
     AttributeReference("version", org.apache.spark.sql.types.LongType)())
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
-    val (store, view) = GraftTableRegistry.lookup(name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"MERGE INTO: table `$name` is not registered"))
-    val keyCol = GraftTableRegistry.lookupKey(name)
-      .getOrElse(throw new IllegalArgumentException(
-        s"MERGE INTO: table `$name` was registered without a key column"))
+    val (store, view) = GraftTableRegistry.required("MERGE INTO", name)
+    val keyCol = GraftTableRegistry.requiredKey("MERGE INTO", name)
     require(onCols.forall(_.equalsIgnoreCase(keyCol)),
       s"MERGE INTO $name: ON must equate the registered key `$keyCol` " +
         s"on both sides, got ${onCols.mkString(" = ")}")
     val source = GraftTableRegistry.lookup(srcName)
       .map { case (s2, v2) => s2.read(v2) }
       .getOrElse(spark.table(srcName))
+    // SQL MERGE semantics for the delete clause: `WHEN MATCHED AND d
+    // THEN DELETE` applies to MATCHED rows only — an unmatched source
+    // row with d=true still INSERTs (the store's mergeInto treats d as
+    // a CDC tombstone and would silently drop it). Scope the flag to
+    // matched keys with one semi-probe against the target's key set —
+    // only when a delete clause is present; key-only column pruning
+    // keeps the probe one narrow scan.
+    val scoped = deleteCol.fold(source) { d =>
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      val tKeys = store.read(view).select(col(keyCol)).distinct()
+        .withColumn("_graft_matched", lit(true))
+      source.join(tKeys, Seq(keyCol), "left")
+        .withColumn(d, col(d).cast("boolean") &&
+          coalesce(col("_graft_matched"), lit(false)))
+        .drop("_graft_matched")
+    }
     Seq(org.apache.spark.sql.Row(name,
-      store.mergeInto(view, source, keyCol, deleteCol = deleteCol,
+      store.mergeInto(view, scoped, keyCol, deleteCol = deleteCol,
         statsCols = Seq(keyCol))))
   }
 }
@@ -582,12 +628,18 @@ object GraftTableRegistry {
   private val keys = scala.collection.concurrent.TrieMap.empty[String, String]
 
   def register(name: String, store: graft.sources.SnapshotStore,
-               view: String): Unit = reg.update(name, (store, view))
+               view: String): Unit = {
+    reg.update(name, (store, view))
+    // a re-registration REPLACES the binding whole: a key column from
+    // a prior 4-arg registration must not silently apply to the new
+    // view (a wrong-keyed deletion vector excludes the wrong rows)
+    keys.remove(name)
+  }
 
   /** Registration with the view's row-identity KEY column — what the
-    * `DELETE FROM` statement needs (deletion vectors are keyed; SQL
-    * carries only the table name, so the key binds here, the same way
-    * a real catalog would record the table's primary key).
+    * keyed DML statements need (deletion vectors and merges are keyed;
+    * SQL carries only the table name, so the key binds here, the same
+    * way a real catalog would record the table's primary key).
     */
   def register(name: String, store: graft.sources.SnapshotStore,
                view: String, keyCol: String): Unit = {
@@ -598,6 +650,20 @@ object GraftTableRegistry {
   def lookup(name: String): Option[(graft.sources.SnapshotStore, String)] =
     reg.get(name)
   def lookupKey(name: String): Option[String] = keys.get(name)
+
+  /** Lookup-or-fail with the registration hint — the shared error
+    * every statement command raises.
+    */
+  def required(tag: String, name: String): (graft.sources.SnapshotStore, String) =
+    lookup(name).getOrElse(throw new IllegalArgumentException(
+      s"$tag: table `$name` is not registered — call " +
+        "GraftTableRegistry.register(name, store, view) first"))
+
+  /** The registered key column, or fail naming the 4-arg overload. */
+  def requiredKey(tag: String, name: String): String =
+    lookupKey(name).getOrElse(throw new IllegalArgumentException(
+      s"$tag: table `$name` was registered without a key column — " +
+        "register(name, store, view, keyCol) to enable keyed DML"))
 }
 
 /** Binds the parser's `name$asof$v` time-travel identifiers to the
@@ -615,9 +681,7 @@ object ResolveGraftTimeTravel extends Rule[LogicalPlan] {
   private val HistRef = """(.+)\$history""".r
 
   private def registered(tag: String, name: String) =
-    GraftTableRegistry.lookup(name).getOrElse(throw new IllegalArgumentException(
-      s"$tag: table `$name` is not registered — call " +
-        "GraftTableRegistry.register(name, store, view) first"))
+    GraftTableRegistry.required(tag, name)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {

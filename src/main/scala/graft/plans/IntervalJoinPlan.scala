@@ -229,7 +229,22 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
                   if (active.length > peakActive) {
                     maxActiveRights += active.length - peakActive
                     peakActive = active.length
-                    if (peakActive > maxActive)
+                  }
+                  if (active.length > maxActive) {
+                    // the buffer may be up to ~2x the LIVE set (lazy
+                    // compaction retains dead rights between rebuilds)
+                    // — force a compaction and only fail if the true
+                    // concurrent-overlap degree crosses the ceiling
+                    val fresh = newActive()
+                    val it = active.iterator
+                    while (it.hasNext) {
+                      val r2 = it.next()
+                      if (r2.getLong(2) > ls) fresh.add(r2)
+                    }
+                    active.clear()
+                    active = fresh
+                    deadSeen = 0L
+                    if (active.length > maxActive)
                       throw new IllegalStateException(
                         s"interval join: active right set exceeded " +
                         s"spark.graft.intervalJoin.maxActive=$maxActive rows " +

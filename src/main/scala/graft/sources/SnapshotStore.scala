@@ -1420,6 +1420,10 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * pins as explicit retention roots rather than a time window).
     */
   def vacuum(view: String, retainVersions: Int = 1): Int = {
+    // retain >= 1 is a hard floor: takeRight(0) would GC every dir and
+    // manifest — an unrecoverable table wipe from one typo'd statement
+    require(retainVersions >= 1,
+      s"$view: vacuum must retain at least 1 version, got $retainVersions")
     val vs = versions(view)
     val pinned = syncpoints.flatMap(s => syncPins(Some(s)).get(view)).toSet
     val keep = (vs.takeRight(retainVersions) ++ vs.filter(pinned)).distinct

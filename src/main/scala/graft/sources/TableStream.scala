@@ -269,6 +269,13 @@ class GraftTableSource(spark: SparkSession,
   * Without any namespace (no checkpointLocation option) the raw batch
   * id is the fence and the view accepts exactly one writer lineage —
   * the documented fallback.
+  *
+  * Upgrade note: fences recorded BEFORE namespacing (raw batch ids)
+  * are not recognized by a salted restart of the same checkpoint — a
+  * view written by a pre-namespacing query should restart from a
+  * fresh checkpoint (or pass `txnAppId` matching nothing and accept
+  * one replayed batch through the keyed merge path, which is
+  * idempotent per key).
   */
 class GraftTableSink(store: SnapshotStore, view: String,
                      outputMode: OutputMode, mergeKey: Option[String],

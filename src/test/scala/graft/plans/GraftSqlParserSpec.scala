@@ -308,6 +308,54 @@ class GraftSqlParserSpec extends SparkSpec {
       spark.sql("INSERT INTO dml_plain VALUES (2L, 2.0)").collect())
   }
 
+  test("review fixes: simultaneous SET, WHERE in literals/subqueries, unmatched tombstones, stale keys") {
+    val root = graft.sources.Scratch.processScoped("sqlparser_fix", "spec")
+    graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+    val st = new graft.sources.SnapshotStore(spark, root)
+    st.commit("t", Seq((1L, 10.0, 100.0)).toDF("k", "a", "b"),
+      overwrite = true, statsCols = Seq("k"))
+    GraftTableRegistry.register("fix_spec", st, "t", keyCol = "k")
+    // simultaneous assignment: SET a = b, b = a SWAPS
+    spark.sql("UPDATE fix_spec SET a = b, b = a WHERE k = 1").collect()
+    val r = st.read("t").head()
+    assert((r.getDouble(1), r.getDouble(2)) == (100.0, 10.0), r.toString)
+    // a WHERE inside a parenthesized subquery / string literal in the
+    // SET list does not split the statement
+    Seq((1L, 7.0)).toDF("k", "x").createOrReplaceTempView("fix_src")
+    spark.sql("""UPDATE fix_spec
+      SET a = (SELECT max(x) FROM fix_src WHERE x > 0) WHERE k = 1""").collect()
+    assert(st.read("t").head().getDouble(1) == 7.0)
+    // MERGE: an UNMATCHED del-flagged source row still INSERTS (the
+    // SQL contract — the matched-delete clause scopes to matches)
+    Seq((1L, 0.0, 0.0, true), (9L, 9.0, 9.0, true))
+      .toDF("k", "a", "b", "del").createOrReplaceTempView("fix_msrc")
+    spark.sql("""MERGE INTO fix_spec AS t USING fix_msrc AS s ON t.k = s.k
+      WHEN MATCHED AND del THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""").collect()
+    assert(st.read("t").select("k").as[Long].collect().toSet == Set(9L),
+      "matched del drops; UNMATCHED del inserts")
+    // re-registering WITHOUT a key clears the stale key binding
+    GraftTableRegistry.register("fix_spec", st, "t")
+    val ex = intercept[Exception](
+      spark.sql("DELETE FROM fix_spec WHERE k = 9").collect())
+    assert(ex.getMessage.contains("key"), ex.getMessage)
+    // VACUUM RETAIN 0 refuses instead of wiping the table
+    GraftTableRegistry.register("fix_spec", st, "t", keyCol = "k")
+    val ex2 = intercept[Exception](
+      spark.sql("VACUUM fix_spec RETAIN 0 VERSIONS").collect())
+    assert(ex2.getMessage.contains("retain"), ex2.getMessage)
+    // unregistered OPTIMIZE/VACUUM fall through to the delegate
+    val ex3 = intercept[Exception](
+      spark.sql("OPTIMIZE not_ours_at_all").collect())
+    assert(!String.valueOf(ex3.getMessage).contains("not registered"),
+      ex3.getMessage)
+    // backslash-escaped quote inside a literal does not end the quote
+    // region for the time-travel rewrite
+    assert(GraftSqlParser.rewriteTimeTravel(
+      "SELECT 'a\\' x VERSION AS OF 3' AS s").isEmpty)
+  }
+
   test("MERGE INTO upsert-all shape runs the store's keyed merge") {
     val root = graft.sources.Scratch.processScoped("sqlparser_mrg", "spec")
     graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
