@@ -1608,6 +1608,42 @@ object CurationQueries {
       st.read("t")
     }),
 
+    // The SQL-ONLY lifecycle capstone: after the seed commit, EVERY
+    // mutation and read runs through spark.sql over the registered
+    // name — INSERT (payload = session SQL), UPDATE (simultaneous SET
+    // via keyed merge), DELETE (deletion vector), MERGE (upsert-all,
+    // including resurrect-by-reinsert of previously deleted keys),
+    // OPTIMIZE (compact), VACUUM (GC to 2 versions), DESCRIBE HISTORY
+    // (pinned to the retained count), and the graded frame itself is a
+    // VERSION AS OF read. One oracle replays the whole composition
+    // declaratively — a user of this engine can live entirely in SQL.
+    "q272_sql_lifecycle" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q272_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      o.createOrReplaceTempView("q272_orders")
+      o.where(col("k") % 6 === 0)
+        .select(col("k"), col("cust"), (col("p") * 3).as("p"))
+        .createOrReplaceTempView("q272_src")
+      st.commit("t", o.where(col("k") % 4 === 0), overwrite = true,
+        statsCols = Seq("k"))
+      graft.plans.GraftTableRegistry.register("t272", st, "t", keyCol = "k")
+      s.sql("INSERT INTO t272 SELECT k, cust, p FROM q272_orders WHERE k % 4 = 1")
+      s.sql("UPDATE t272 SET p = p + 1000 WHERE cust % 7 = 0")
+      s.sql("DELETE FROM t272 WHERE k % 20 = 0")
+      s.sql("""MERGE INTO t272 AS t USING q272_src AS s ON t.k = s.k
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("OPTIMIZE t272")
+      s.sql("VACUUM t272 RETAIN 2 VERSIONS")
+      require(s.sql("DESCRIBE HISTORY t272").count() == 2L,
+        "vacuum must leave exactly the 2 retained versions")
+      require(st.versions("t") == Seq(5L, 6L), st.versions("t").toString)
+      s.sql("SELECT k, cust, p FROM t272 VERSION AS OF 6")
+    }),
+
     // RESTORE in PURE SQL — the bad-deploy rollback statement: v1 is
     // the good snapshot, v2 an erroneous overwrite, v3 a deleteWhere
     // on top of it; `RESTORE TABLE t TO VERSION AS OF 1` republishes
@@ -3110,6 +3146,21 @@ object CurationQueries {
          UNION ALL
          SELECT o_orderkey, o_custkey, o_totalprice * 2
          FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 <> 0""",
+
+    // The whole SQL lifecycle replayed: seed(k%4=0) + insert(k%4=1),
+    // +1000 where cust%7=0, delete k%20=0, then the merge REPLACES
+    // every k%6=0 row whole (p*3 — including resurrecting deleted
+    // k%20=0∧k%6=0 keys) and inserts the unmatched ones.
+    "q272_sql_lifecycle" ->
+      """WITH base AS (
+           SELECT o_orderkey AS k, o_custkey AS cust,
+                  CASE WHEN o_custkey % 7 = 0 THEN o_totalprice + 1000
+                       ELSE o_totalprice END AS p
+           FROM orders WHERE o_orderkey % 4 IN (0, 1))
+         SELECT k, cust, p FROM base WHERE k % 20 <> 0 AND k % 6 <> 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice * 3
+         FROM orders WHERE o_orderkey % 6 = 0""",
 
     // Both DELETE predicates replayed declaratively.
     "q269_sql_delete" ->
