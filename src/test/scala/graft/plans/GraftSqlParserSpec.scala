@@ -134,6 +134,29 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
+  test("quotedMask and splitTopLevelWhere edges: doubled quotes, nested parens, keyword boundaries") {
+    // SQL doubled-quote escaping: the whole literal stays masked
+    assert(GraftSqlParser.rewriteTimeTravel(
+      "SELECT 'it''s t VERSION AS OF 2 ok' AS s").isEmpty)
+    // a WHERE glued into an identifier is not a clause boundary
+    val (set1, pred1) = GraftSqlParser.splitTopLevelWhere(
+      "nowhere_col = 1 WHERE k = 2")
+    assert(set1 == "nowhere_col = 1" && pred1.contains("k = 2"))
+    // nested subqueries: only the depth-0 WHERE splits
+    val (set2, pred2) = GraftSqlParser.splitTopLevelWhere(
+      "a = (SELECT x FROM u WHERE y IN (SELECT z FROM w WHERE q = 1)) WHERE k = 3")
+    assert(set2 == "a = (SELECT x FROM u WHERE y IN (SELECT z FROM w WHERE q = 1))",
+      set2)
+    assert(pred2.contains("k = 3"))
+    // no top-level WHERE at all
+    assert(GraftSqlParser.splitTopLevelWhere("a = 1, b = 2") ==
+      ("a = 1, b = 2", None))
+    // a WHERE inside a line comment is masked
+    val (set3, pred3) = GraftSqlParser.splitTopLevelWhere(
+      "a = 1 -- WHERE not here\n WHERE k = 4")
+    assert(pred3.contains("k = 4"), s"$set3 / $pred3")
+  }
+
   test("splitTopLevel respects parens and quotes") {
     assert(GraftSqlParser.splitTopLevel("a, f(b, c), 'x,y', d") ==
       Seq("a", "f(b, c)", "'x,y'", "d"))
