@@ -165,24 +165,31 @@ object GraftSqlParser {
     * quoted region ('…', "…", `…`; SQL's doubled-quote escaping works
     * by toggle, and Spark's default backslash escaping is honored —
     * a backslash-quote inside a literal does not close it) or a
-    * comment (line `--` to EOL, or slash-star block; a block comment
-    * needs at least four chars, so the opener's star can never double
-    * as the closer's). Text rewrites consult it so they only touch
-    * real syntax.
+    * comment (line `--` to EOL, or slash-star block; bracketed
+    * comments NEST in Spark SQL, so the walk tracks depth and unmasks
+    * only when the outermost closes). Text rewrites consult it so
+    * they only touch real syntax.
     */
   private[plans] def quotedMask(s: String): Array[Boolean] = {
     val in = new Array[Boolean](s.length)
     var quote: Char = 0 // 0 none; '-' line comment; '*' block comment
-    var commentStart = -1
+    var blockDepth = 0 // Spark SQL bracketed comments NEST
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (quote == '-') {
         in(i) = true; if (c == '\n') quote = 0
       } else if (quote == '*') {
+        // the two-char tokens consume atomically, so an opener's star
+        // can never double as a closer's (and vice versa)
         in(i) = true
-        if (c == '/' && i >= commentStart + 3 && s.charAt(i - 1) == '*')
-          quote = 0
+        if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+          blockDepth += 1; in(i + 1) = true; i += 1
+        } else if (c == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+          in(i + 1) = true; i += 1
+          blockDepth -= 1
+          if (blockDepth == 0) quote = 0
+        }
       } else if (quote != 0) {
         in(i) = true
         if (c == '\\' && quote != '`' && i + 1 < s.length) {
@@ -194,7 +201,7 @@ object GraftSqlParser {
       } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
         quote = '-'; in(i) = true
       } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
-        quote = '*'; commentStart = i; in(i) = true
+        quote = '*'; blockDepth = 1; in(i) = true; in(i + 1) = true; i += 1
       }
       i += 1
     }
@@ -276,6 +283,10 @@ object GraftSqlParser {
     */
   private[plans] def splitTopLevelWhere(s: String): (String, Option[String]) = {
     val mask = quotedMask(s)
+    // identifier characters per Spark's unquoted-identifier lexer: a
+    // SET column like `where_updated` (or `x_where`) must not read as
+    // the WHERE keyword — '_' and '$' continue an identifier
+    def ident(c: Char) = Character.isLetterOrDigit(c) || c == '_' || c == '$'
     var depth = 0
     var i = 0
     while (i < s.length) {
@@ -285,8 +296,8 @@ object GraftSqlParser {
         else if (c == ')' || c == ']') depth -= 1
         else if (depth == 0 && (c == 'w' || c == 'W') && i + 5 <= s.length &&
                  s.substring(i, i + 5).equalsIgnoreCase("WHERE") &&
-                 (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
-                 (i + 5 == s.length || !Character.isLetterOrDigit(s.charAt(i + 5))))
+                 (i == 0 || !ident(s.charAt(i - 1))) &&
+                 (i + 5 == s.length || !ident(s.charAt(i + 5))))
           return (s.take(i).trim, Some(s.drop(i + 5).trim))
       }
       i += 1
@@ -503,9 +514,27 @@ case class GraftInsertCommand(name: String, querySql: String)
     // of the payload, so INSERT SELECT over an arbitrarily large query
     // stays one streaming write pass.
     val obs = org.apache.spark.sql.Observation()
-    val src = src0.toDF(target.map(_.name): _*)
-      .select(target.map(f =>
-        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, raise_error, when}
+    val named = src0.toDF(target.map(_.name): _*)
+    val src = named
+      .select(target.map { f =>
+        val srcType = named.schema(f.name).dataType
+        if (srcType == f.dataType) col(f.name)
+        else {
+          // ANSI-strict alignment: under ANSI (the Spark 4 default) the
+          // cast itself fails loudly; with ANSI off a lenient cast
+          // turns an incompatible value into NULL and would silently
+          // insert it — the guard fails the commit's write job instead,
+          // naming column and value (the job aborts before any publish)
+          val casted = col(f.name).cast(f.dataType)
+          when(col(f.name).isNotNull && casted.isNull,
+            raise_error(concat_ws("", lit(s"INSERT INTO $name: value '"),
+              col(f.name).cast("string"),
+              lit(s"' is not a valid ${f.dataType.simpleString} for " +
+                s"column ${f.name}"))).cast(f.dataType))
+            .otherwise(casted).as(f.name)
+        }
+      }: _*)
       .observe(obs, org.apache.spark.sql.functions
         .count(org.apache.spark.sql.functions.lit(1)).as("n"))
     val v = store.commit(view, src, overwrite = false,
@@ -552,12 +581,19 @@ case class GraftUpdateCommand(name: String, setSql: String, predicateSql: String
     val byName = assignments.map { case (c, e) => c.toLowerCase -> e }.toMap
     require(byName.size == assignments.size,
       s"UPDATE $name: duplicate SET column")
+    // rows_updated rides the checkpoint's own materialization job (an
+    // Observation below the checkpoint) — one pass over the updated
+    // subset, no second count job; the localCheckpoint itself is what
+    // lets mergeInto reference the source multiple times without
+    // recomputing the SET projection
+    val obs = org.apache.spark.sql.Observation()
     val updated = base.select(base.columns.toSeq.map { c =>
       byName.get(c.toLowerCase)
         .map(e => expr(e).cast(base.schema(c).dataType).as(c))
         .getOrElse(org.apache.spark.sql.functions.col(c))
-    }: _*).localCheckpoint()
-    val n = updated.count()
+    }: _*).observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n")).localCheckpoint()
+    val n = obs.get("n").asInstanceOf[Long]
     val v =
       if (n == 0) store.versions(view).max
       else store.mergeInto(view, updated, keyCol,
@@ -591,6 +627,8 @@ case class GraftMergeCommand(name: String, srcName: String,
     val source = GraftTableRegistry.lookup(srcName)
       .map { case (s2, v2) => s2.read(v2) }
       .getOrElse(spark.table(srcName))
+    GraftMergeCommand.requireUniqueSourceKeys(s"MERGE INTO $name",
+      source, keyCol)
     // SQL MERGE semantics for the delete clause: `WHEN MATCHED AND d
     // THEN DELETE` applies to MATCHED rows only — an unmatched source
     // row with d=true still INSERTs (the store's mergeInto treats d as
@@ -610,6 +648,32 @@ case class GraftMergeCommand(name: String, srcName: String,
     Seq(org.apache.spark.sql.Row(name,
       store.mergeInto(view, scoped, keyCol, deleteCol = deleteCol,
         statsCols = Seq(keyCol))))
+  }
+}
+
+object GraftMergeCommand {
+  /** The SQL MERGE cardinality rule: at most ONE source row may match
+    * a target row — two source rows on the same key would both land
+    * through the store's anti-join+union merge, a silent duplicate-key
+    * corruption of a keyed table. One narrow aggregate probe over the
+    * source keys (key-only column pruning; runs BEFORE any write), a
+    * clear refusal naming the offending key otherwise.
+    */
+  private[plans] def requireUniqueSourceKeys(tag: String,
+      source: org.apache.spark.sql.DataFrame, keyCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dup = source.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_graft_n"))
+      .where(col("_graft_n") > 1)
+      .select(col(keyCol).cast("string"), col("_graft_n"))
+      .limit(1).collect()
+    dup.headOption.foreach { r =>
+      throw new IllegalArgumentException(
+        s"$tag: source has ${r.getLong(1)} rows for key `${r.getString(0)}` " +
+          "— SQL MERGE requires at most one source row per target row; " +
+          "deduplicate the source (e.g. row_number() OVER " +
+          "(PARTITION BY key ORDER BY …) = 1) first")
+    }
   }
 }
 

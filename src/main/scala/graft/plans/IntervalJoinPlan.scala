@@ -182,6 +182,7 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
       var deadSeen = 0L // dead rights counted in the last emission scan
       var curKey: UnsafeRow = null // active rows' key (a copied probe row)
       var peakActive = 0L // this partition's peak, reported incrementally
+      var keyEmitted = 0L // rows emitted for curKey — names the hot key
       lIter.flatMap { lrow =>
         val lkse = lkseProj(lrow)
         if (lkse.isNullAt(0) || lkse.isNullAt(1) || lkse.isNullAt(2) ||
@@ -193,6 +194,7 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
             active.clear()
             deadSeen = 0L
             curKey = lkse.copy()
+            keyEmitted = 0L
           } else if (deadSeen * 2 >= active.length.toLong && deadSeen > 0) {
             // compact: copy survivors (end beyond this left's start)
             // into a fresh buffer; the old one frees its pages/files
@@ -245,10 +247,15 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
                     active = fresh
                     deadSeen = 0L
                     if (active.length > maxActive)
+                      // name the hot key and its observed counts so the
+                      // failure is actionable without a re-run
                       throw new IllegalStateException(
                         s"interval join: active right set exceeded " +
                         s"spark.graft.intervalJoin.maxActive=$maxActive rows " +
-                        s"on one key — past the spill tier this is a " +
+                        s"on key `${curKey.get(0, keyType)}` " +
+                        s"(${active.length} live buffered rights, " +
+                        s"$keyEmitted rows already emitted for this key) " +
+                        s"— past the spill tier this is a " +
                         s"quadratic overlap degree; raise the conf only " +
                         s"if that output is intended, else pre-split " +
                         s"the hot key")
@@ -278,6 +285,7 @@ case class IntervalJoinExec(left: SparkPlan, right: SparkPlan,
             override def hasNext: Boolean = nextR != null
             override def next(): InternalRow = {
               numOutputRows += 1
+              keyEmitted += 1
               val out = outProj(joined(lrow, nextR))
               seek()
               out

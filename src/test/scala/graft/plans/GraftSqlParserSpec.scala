@@ -404,6 +404,85 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(ex.getMessage.contains("registered key"), ex.getMessage)
   }
 
+  test("round-14 hardening: nested comments, identifier WHERE boundary, ANSI INSERT, MERGE cardinality") {
+    // nested bracketed comments (Spark SQL nests them) stay masked to
+    // the OUTERMOST close — the inner */ must not unmask the tail
+    assert(GraftSqlParser.rewriteTimeTravel(
+      "SELECT /* a /* b */ t VERSION AS OF 3 */ k FROM t").isEmpty)
+    // '_' and '$' continue an identifier: SET columns containing a
+    // 'where' fragment never split the statement
+    assert(GraftSqlParser.splitTopLevelWhere("where_updated = 1 WHERE k = 2") ==
+      ("where_updated = 1", Some("k = 2")))
+    assert(GraftSqlParser.splitTopLevelWhere("a = x_where") ==
+      ("a = x_where", None))
+    assert(GraftSqlParser.splitTopLevelWhere("a = where$t") ==
+      ("a = where$t", None))
+    val root = graft.sources.Scratch.processScoped("sqlparser_r14", "spec")
+    graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+    val st = new graft.sources.SnapshotStore(spark, root)
+    st.commit("t", Seq((1L, 0, 10.0), (2L, 0, 20.0))
+      .toDF("k", "where_updated", "p"),
+      overwrite = true, statsCols = Seq("k"))
+    GraftTableRegistry.register("r14_spec", st, "t", keyCol = "k")
+    // end to end: the underscore-adjacent 'where' is a SET column
+    val up = spark.sql(
+      "UPDATE r14_spec SET where_updated = 1 WHERE k = 2").head()
+    assert(up.getLong(2) == 1L, up.toString)
+    assert(st.read("t").agg(sum(col("where_updated"))).head().getLong(0) == 1L)
+    // ANSI-strict INSERT: an incompatible value fails the write job
+    // loudly (naming column and value) and nothing publishes
+    val before = st.versions("t").max
+    val ex = intercept[Exception](
+      spark.sql("INSERT INTO r14_spec VALUES (9L, 'nope', 1.0)").collect())
+    val msg = ex.getMessage +
+      Iterator.iterate(ex.getCause)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString
+    // ANSI-on sessions (the Spark 4 default) fail inside the cast
+    // itself; the raise_error guard covers ANSI-off sessions — either
+    // way the failure is loud and names the value
+    assert(msg.contains("nope") &&
+      (msg.contains("not a valid") || msg.contains("CAST_INVALID_INPUT")), msg)
+    assert(st.versions("t").max == before, "a failed INSERT must not publish")
+    // with ANSI off (where default casts silently NULL) the
+    // raise_error guard is what fails the job
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val ex1b = intercept[Exception](
+        spark.sql("INSERT INTO r14_spec VALUES (9L, 'nope', 1.0)").collect())
+      val msg1b = ex1b.getMessage +
+        Iterator.iterate(ex1b.getCause)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString
+      assert(msg1b.contains("not a valid") && msg1b.contains("nope"), msg1b)
+      assert(st.versions("t").max == before)
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
+    // a legal widening cast still lands
+    spark.sql("INSERT INTO r14_spec VALUES (9, 1, 1.0)")
+    assert(st.read("t").count() == 3L)
+    // MERGE refuses duplicate source keys (silent duplicate-key
+    // corruption otherwise) and names the offending key...
+    Seq((2L, 1, 1.0), (2L, 1, 2.0), (5L, 0, 5.0))
+      .toDF("k", "where_updated", "p").createOrReplaceTempView("r14_dup")
+    val ex2 = intercept[Exception](spark.sql(
+      """MERGE INTO r14_spec AS t USING r14_dup AS s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""").collect())
+    assert(ex2.getMessage.contains("at most one source row") &&
+      ex2.getMessage.contains("`2`"), ex2.getMessage)
+    // ...and the documented dedup workaround passes
+    spark.sql("""CREATE OR REPLACE TEMP VIEW r14_dedup AS
+      SELECT k, where_updated, p FROM (
+        SELECT *, row_number() OVER (PARTITION BY k ORDER BY p DESC) rn
+        FROM r14_dup) WHERE rn = 1""")
+    spark.sql(
+      """MERGE INTO r14_spec AS t USING r14_dedup AS s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""").collect()
+    val got = st.read("t").select(col("k"), col("p")).as[(Long, Double)]
+      .collect().toMap
+    assert(got == Map(1L -> 10.0, 2L -> 2.0, 5L -> 5.0, 9L -> 1.0),
+      got.toString)
+  }
+
   test("VERSION AS OF inside string literals and comments is left verbatim") {
     // pure literal: no rewrite fires at all
     assert(GraftSqlParser.rewriteTimeTravel(

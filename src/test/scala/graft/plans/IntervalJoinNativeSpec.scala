@@ -136,6 +136,11 @@ class IntervalJoinNativeSpec extends SparkSpec {
       }
       val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).mkString
       assert(msg.contains("spark.graft.intervalJoin.maxActive"), msg)
+      // the error is actionable without a re-run: it names the hot key
+      // and the observed buffered/emitted counts
+      assert(msg.contains("on key `1`"), msg)
+      assert(msg.contains("live buffered rights"), msg)
+      assert(msg.contains("already emitted for this key"), msg)
     } finally spark.conf.unset("spark.graft.intervalJoin.maxActive")
   }
 
