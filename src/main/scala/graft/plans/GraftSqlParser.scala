@@ -264,6 +264,47 @@ object GraftSqlParser {
   // [[splitTopLevelWhere]] (quote/paren-aware), never by the regex
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s*;?\s*$""".r
+  // CREATE TABLE <name> (<schema DDL>) USING graft [PRIMARY KEY k]
+  // [LOCATION '<root>'] — the pure-SQL table origin: instantiates the
+  // store view (one empty v1 commit so the schema is durable on disk)
+  // and records the registry binding, so the WHOLE lifecycle is
+  // reachable from SQL with zero Scala setup. The CTAS form seeds v1
+  // from any session query instead. Claimed by the `USING graft`
+  // provider token (no registry entry exists yet); every other CREATE
+  // falls through verbatim. The store root comes from LOCATION or the
+  // `spark.graft.store.root` conf — the role a catalog's managed
+  // location plays.
+  private val CreateTableRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*""" +
+      """\((.+?)\)\s*USING\s+graft""" +
+      """(?:\s+PRIMARY\s+KEY\s+\(?\s*(\w+)\s*\)?)?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
+  private val CtasRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+""" +
+      """USING\s+graft""" +
+      """(?:\s+PRIMARY\s+KEY\s+\(?\s*(\w+)\s*\)?)?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?""" +
+      """\s+AS\s+(SELECT\s+.+?)\s*;?\s*$""").r
+  // DROP TABLE unbinds the registry entry (claimed only for registered
+  // names — a DROP of anything else reaches the stock parser); the
+  // store data stays on disk, external-table semantics, GC via VACUUM
+  private val DropTableRe =
+    """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+  // the COLUMN-LEVEL merge shape real migrations write: WHEN MATCHED
+  // THEN UPDATE SET c = expr[, …] and/or WHEN NOT MATCHED THEN INSERT
+  // (cols) VALUES (exprs) — compiled to the same keyed mergeInto with
+  // a PROJECTED source (matched rows = old target row with the SET
+  // expressions applied over the joined (target, source) pair;
+  // unmatched rows = the VALUES projection, unnamed columns NULL).
+  // Aliases are captured so expressions can qualify either side.
+  // (?!\*) keeps the upsert-all form on its own dedicated path.
+  private val MergeColsRe =
+    ("""(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+""" +
+      """USING\s+([\w.]+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+""" +
+      """ON\s+([\w.]+)\s*=\s*([\w.]+)\s+""" +
+      """(?:WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?!\*)(.+?)\s*)??""" +
+      """(?:WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*""" +
+      """VALUES\s*\((.+)\)\s*)?;?\s*$""").r
   // the upsert-all MERGE shape (update/insert every column by name) —
   // the form the store's keyed mergeInto implements; an optional
   // matched-DELETE clause maps to mergeInto's tombstone column
@@ -341,6 +382,27 @@ object GraftSqlParser {
         GraftMergeCommand(m.group(1), m.group(2),
           Seq(m.group(3), m.group(4)).map(c => c.split('.').last),
           Option(m.group(5)).map(_.split('.').last)): LogicalPlan
+    }).orElse(MergeColsRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty &&
+          (m.group(7) != null || m.group(8) != null) =>
+        GraftMergeColumnsCommand(m.group(1), Option(m.group(2)),
+          m.group(3), Option(m.group(4)),
+          Seq(m.group(5), m.group(6)),
+          setSql = Option(m.group(7)),
+          insertCols = Option(m.group(8)).map(c =>
+            c.split(",").toSeq.map(_.trim).filter(_.nonEmpty)),
+          insertValsSql = Option(m.group(9))): LogicalPlan
+    }).orElse(CreateTableRe.findFirstMatchIn(sqlText).map { m =>
+      GraftCreateTableCommand(m.group(2), Some(m.group(3)), None,
+        Option(m.group(4)), Option(m.group(5)),
+        ifNotExists = m.group(1) != null): LogicalPlan
+    }).orElse(CtasRe.findFirstMatchIn(sqlText).map { m =>
+      GraftCreateTableCommand(m.group(2), None, Some(m.group(5)),
+        Option(m.group(3)), Option(m.group(4)),
+        ifNotExists = m.group(1) != null): LogicalPlan
+    }).orElse(DropTableRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        GraftDropTableCommand(m.group(1)): LogicalPlan
     })
 
   private[plans] def parseAsOf(sqlText: String,
@@ -651,6 +713,96 @@ case class GraftMergeCommand(name: String, srcName: String,
   }
 }
 
+/** The column-level MERGE forms: `WHEN MATCHED THEN UPDATE SET c =
+  * expr[, …]` and/or `WHEN NOT MATCHED THEN INSERT (cols) VALUES
+  * (exprs)` — compiled to the SAME keyed
+  * [[graft.sources.SnapshotStore.mergeInto]] with a PROJECTED source:
+  * one left join of the source onto the target (so SET/VALUES
+  * expressions can reference BOTH sides by alias), then per target
+  * column `when(matched, setExpr | old target value).otherwise(
+  * insertExpr | NULL)`. SET assignments are SIMULTANEOUS (one
+  * projection over the old row, like UPDATE). An update-only merge
+  * scopes to matched source rows, an insert-only merge to unmatched —
+  * the other side of the table is untouched either way (mergeInto's
+  * copy-on-write only rewrites key-overlapping dirs). Duplicate source
+  * keys refuse up front (the SQL MERGE cardinality rule).
+  */
+case class GraftMergeColumnsCommand(name: String, tAliasOpt: Option[String],
+                                    srcName: String, sAliasOpt: Option[String],
+                                    onCols: Seq[String],
+                                    setSql: Option[String],
+                                    insertCols: Option[Seq[String]],
+                                    insertValsSql: Option[String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("version", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    val tag = s"MERGE INTO $name"
+    val (store, view) = GraftTableRegistry.required("MERGE INTO", name)
+    val keyCol = GraftTableRegistry.requiredKey("MERGE INTO", name)
+    require(onCols.map(_.split('.').last).forall(_.equalsIgnoreCase(keyCol)),
+      s"$tag: ON must equate the registered key `$keyCol` on both " +
+        s"sides, got ${onCols.mkString(" = ")}")
+    val target = store.read(view)
+    val targetSchema = target.schema
+    val source = GraftTableRegistry.lookup(srcName)
+      .map { case (s2, v2) => s2.read(v2) }
+      .getOrElse(spark.table(srcName))
+    GraftMergeCommand.requireUniqueSourceKeys(tag, source, keyCol)
+    val ta = tAliasOpt.getOrElse(name.split('.').last)
+    val sa = sAliasOpt.getOrElse(srcName.split('.').last)
+    require(!ta.equalsIgnoreCase(sa),
+      s"$tag: target and source aliases collide (`$ta`) — alias one side")
+    val setPairs = setSql.toSeq.flatMap(GraftSqlParser.splitTopLevel).map { a =>
+      val eq = a.indexOf('=')
+      require(eq > 0, s"$tag: bad assignment `$a`")
+      a.take(eq).trim.split('.').last.toLowerCase -> a.drop(eq + 1).trim
+    }
+    val sets = setPairs.toMap
+    require(sets.size == setPairs.size, s"$tag: duplicate SET column")
+    require(!sets.contains(keyCol.toLowerCase),
+      s"$tag: a keyed merge cannot reassign the key `$keyCol`")
+    val insMap: Map[String, String] = (insertCols, insertValsSql) match {
+      case (Some(cs), Some(vs)) =>
+        val es = GraftSqlParser.splitTopLevel(vs)
+        require(cs.size == es.size,
+          s"$tag: INSERT names ${cs.size} columns but VALUES has ${es.size}")
+        val m = cs.map(_.split('.').last.toLowerCase).zip(es).toMap
+        require(m.size == cs.size, s"$tag: duplicate INSERT column")
+        require(m.contains(keyCol.toLowerCase),
+          s"$tag: the INSERT column list must include the key `$keyCol`")
+        m
+      case _ => Map.empty
+    }
+    val tcols = targetSchema.map(_.name)
+    (sets.keySet ++ insMap.keySet).foreach { c =>
+      require(tcols.exists(_.toLowerCase == c),
+        s"$tag: `$c` is not a target column " +
+          tcols.mkString("(", ", ", ")"))
+    }
+    val joined = source.as(sa).join(target.as(ta),
+      col(s"$sa.$keyCol") === col(s"$ta.$keyCol"), "left")
+    val matched = col(s"$ta.$keyCol").isNotNull
+    val scoped =
+      if (setSql.isEmpty) joined.where(!matched) // insert-only
+      else if (insMap.isEmpty) joined.where(matched) // update-only
+      else joined
+    val projected = scoped.select(tcols.map { c =>
+      val dt = targetSchema(c).dataType
+      val upd = sets.get(c.toLowerCase)
+        .map(e => expr(e).cast(dt)).getOrElse(col(s"$ta.$c"))
+      val ins = insMap.get(c.toLowerCase)
+        .map(e => expr(e).cast(dt)).getOrElse(lit(null).cast(dt))
+      when(matched, upd).otherwise(ins).as(c)
+    }: _*)
+    Seq(org.apache.spark.sql.Row(name,
+      store.mergeInto(view, projected, keyCol, statsCols = Seq(keyCol))))
+  }
+}
+
 object GraftMergeCommand {
   /** The SQL MERGE cardinality rule: at most ONE source row may match
     * a target row — two source rows on the same key would both land
@@ -674,6 +826,95 @@ object GraftMergeCommand {
           "deduplicate the source (e.g. row_number() OVER " +
           "(PARTITION BY key ORDER BY …) = 1) first")
     }
+  }
+}
+
+/** `CREATE TABLE <name> (<ddl>) USING graft [PRIMARY KEY k]
+  * [LOCATION '<root>']` and the CTAS form — the pure-SQL table origin.
+  * The schema form publishes an EMPTY v1 (one zero-row parquet file,
+  * written through one task so the schema is durable on disk, not just
+  * in the session's cache); CTAS seeds v1 from any session query
+  * (which may itself use VERSION AS OF, graft joins, temp views).
+  * Either way the (name → store view [+ key]) binding lands in
+  * [[GraftTableRegistry]], making every DML/maintenance statement and
+  * time travel reachable with zero Scala setup. `IF NOT EXISTS`
+  * adopts: an already-registered name or a store view already on disk
+  * under the resolved root returns its current version instead of
+  * failing. The root resolves LOCATION first, then the
+  * `spark.graft.store.root` conf (the managed-location role).
+  * Returns one (table, version) row.
+  */
+case class GraftCreateTableCommand(name: String,
+                                   schemaDdl: Option[String],
+                                   querySql: Option[String],
+                                   keyCol: Option[String],
+                                   location: Option[String],
+                                   ifNotExists: Boolean)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("version", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    GraftTableRegistry.lookup(name).foreach { case (st, view) =>
+      if (!ifNotExists) throw new IllegalArgumentException(
+        s"CREATE TABLE $name: already registered — DROP TABLE $name " +
+          "first, or use CREATE TABLE IF NOT EXISTS")
+      return Seq(org.apache.spark.sql.Row(name, st.versions(view).max))
+    }
+    val root = location
+      .orElse(spark.conf.getOption("spark.graft.store.root"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE $name USING graft: no store root — add " +
+          "LOCATION '<path>' or set spark.graft.store.root"))
+    val store = new graft.sources.SnapshotStore(spark, root)
+    def register(): Unit = keyCol match {
+      case Some(k) => GraftTableRegistry.register(name, store, name, k)
+      case None => GraftTableRegistry.register(name, store, name)
+    }
+    if (store.versions(name).nonEmpty) {
+      if (!ifNotExists) throw new IllegalArgumentException(
+        s"CREATE TABLE $name: a store view `$name` already exists " +
+          s"under $root — CREATE TABLE IF NOT EXISTS adopts it")
+      register()
+      return Seq(org.apache.spark.sql.Row(name, store.versions(name).max))
+    }
+    val seed = querySql match {
+      case Some(q) => spark.sql(q)
+      case None =>
+        val schema = org.apache.spark.sql.types.StructType
+          .fromDDL(schemaDdl.get)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          .repartition(1)
+    }
+    keyCol.foreach { k =>
+      require(seed.columns.exists(_.equalsIgnoreCase(k)),
+        s"CREATE TABLE $name: PRIMARY KEY `$k` is not a table column " +
+          seed.columns.mkString("(", ", ", ")"))
+    }
+    val v = store.commit(name, seed, overwrite = true,
+      statsCols = keyCol.toSeq)
+    register()
+    Seq(org.apache.spark.sql.Row(name, v))
+  }
+}
+
+/** `DROP TABLE <name>` for a registered graft table: unbinds the
+  * registry entry, so the name stops resolving in SQL. The store data
+  * stays on disk (external-table semantics — the registry is a
+  * binding, not ownership); reclaim space with VACUUM before dropping,
+  * or via the store API. Unregistered names fall through to the stock
+  * parser, so this can never unbind another catalog's table.
+  */
+case class GraftDropTableCommand(name: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    GraftTableRegistry.unregister(name)
+    Seq(org.apache.spark.sql.Row(name))
   }
 }
 

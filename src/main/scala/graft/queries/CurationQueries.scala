@@ -1644,6 +1644,89 @@ object CurationQueries {
       s.sql("SELECT k, cust, p FROM t272 VERSION AS OF 6")
     }),
 
+    // q272's composition with ZERO Scala setup — the table itself is
+    // BORN in SQL: CREATE TABLE ... USING graft ... AS SELECT seeds v1
+    // and records the registry binding (PRIMARY KEY k enables the
+    // keyed DML), then the same INSERT/UPDATE/DELETE/MERGE/OPTIMIZE/
+    // VACUUM flow runs, then DROP TABLE unbinds the name (in-query
+    // require: DML stops resolving) and CREATE TABLE IF NOT EXISTS
+    // re-ADOPTS the on-disk view at its current version — the full
+    // catalog story: create, mutate, maintain, drop, re-attach, all
+    // from SQL. Oracle = q272's declarative replay (same composition).
+    "q273_sql_create_table" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q273_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t273"))
+      graft.plans.GraftTableRegistry.unregister("t273")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q273_orders")
+      s.sql("CREATE OR REPLACE TEMP VIEW q273_src AS " +
+        "SELECT k, cust, p * 3 AS p FROM q273_orders WHERE k % 6 = 0")
+      val created = s.sql(s"CREATE TABLE t273 USING graft PRIMARY KEY k " +
+        s"LOCATION '$root' AS SELECT k, cust, p FROM q273_orders " +
+        "WHERE k % 4 = 0").head()
+      require(created.getLong(1) == 1L, created.toString)
+      s.sql("INSERT INTO t273 SELECT k, cust, p FROM q273_orders WHERE k % 4 = 1")
+      s.sql("UPDATE t273 SET p = p + 1000 WHERE cust % 7 = 0")
+      s.sql("DELETE FROM t273 WHERE k % 20 = 0")
+      s.sql("""MERGE INTO t273 AS t USING q273_src AS s ON t.k = s.k
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("OPTIMIZE t273")
+      s.sql("VACUUM t273 RETAIN 2 VERSIONS")
+      require(s.sql("DESCRIBE HISTORY t273").count() == 2L,
+        "vacuum must leave exactly the 2 retained versions")
+      s.sql("DROP TABLE t273")
+      require(scala.util.Try(
+        s.sql("DELETE FROM t273 WHERE k = 0").collect()).isFailure,
+        "after DROP the name must fall through to the stock parser")
+      require(s.sql("CREATE TABLE IF NOT EXISTS t273 " +
+        "(k BIGINT, cust BIGINT, p DOUBLE) USING graft PRIMARY KEY k " +
+        s"LOCATION '$root'").head().getLong(1) == 6L,
+        "IF NOT EXISTS must adopt the on-disk view at its current version")
+      s.sql("SELECT k, cust, p FROM t273 VERSION AS OF 6")
+    }),
+
+    // COLUMN-LEVEL SQL MERGE — the migration shape (`UPDATE SET c =
+    // expr` over BOTH sides, `INSERT (cols) VALUES (exprs)`), compiled
+    // to the keyed copy-on-write mergeInto with a projected source.
+    // Three statements grade all three clause shapes on one table:
+    // both-clause (matched rows get p += bonus, unmatched insert with
+    // a literal segment), update-only (unmatched source rows must NOT
+    // insert), insert-only (matched source rows must NOT touch the
+    // target). The oracle replays the composition declaratively; all
+    // arithmetic is identical per-row double math on both engines.
+    "q274_sql_merge_columns" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q274_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t274"))
+      graft.plans.GraftTableRegistry.unregister("t274")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q274_orders")
+      s.sql(s"CREATE TABLE t274 USING graft PRIMARY KEY k LOCATION '$root' " +
+        "AS SELECT k, cust, CAST('base' AS STRING) AS seg, p " +
+        "FROM q274_orders WHERE k % 2 = 0")
+      s.sql("CREATE OR REPLACE TEMP VIEW q274_src AS " +
+        "SELECT k, cust, p * 0.5 AS bonus FROM q274_orders WHERE k % 3 = 0")
+      s.sql("""MERGE INTO t274 AS t USING q274_src AS s ON t.k = s.k
+               WHEN MATCHED THEN UPDATE SET p = t.p + s.bonus, seg = 'boosted'
+               WHEN NOT MATCHED THEN INSERT (k, cust, seg, p)
+               VALUES (s.k, s.cust, 'inserted', s.bonus)""")
+      // update-only: k%5=0 source rows bump p; the k%2<>0, %3<>0 ones
+      // must not insert
+      s.sql("CREATE OR REPLACE TEMP VIEW q274_src2 AS " +
+        "SELECT k, 100.0 AS bump FROM q274_orders WHERE k % 5 = 0")
+      s.sql("""MERGE INTO t274 AS t USING q274_src2 AS s ON t.k = s.k
+               WHEN MATCHED THEN UPDATE SET p = t.p + s.bump""")
+      // insert-only: k%7=0 rows insert only where absent (NULL cust)
+      s.sql("CREATE OR REPLACE TEMP VIEW q274_src3 AS " +
+        "SELECT k, p FROM q274_orders WHERE k % 7 = 0")
+      s.sql("""MERGE INTO t274 AS t USING q274_src3 AS s ON t.k = s.k
+               WHEN NOT MATCHED THEN INSERT (k, seg, p)
+               VALUES (s.k, 'lateinsert', s.p)""")
+      s.sql("SELECT k, cust, seg, p FROM t274 VERSION AS OF 4")
+    }),
+
     // RESTORE in PURE SQL — the bad-deploy rollback statement: v1 is
     // the good snapshot, v2 an erroneous overwrite, v3 a deleteWhere
     // on top of it; `RESTORE TABLE t TO VERSION AS OF 1` republishes
@@ -3152,6 +3235,40 @@ object CurationQueries {
     // every k%6=0 row whole (p*3 — including resurrecting deleted
     // k%20=0∧k%6=0 keys) and inserts the unmatched ones.
     "q272_sql_lifecycle" ->
+      """WITH base AS (
+           SELECT o_orderkey AS k, o_custkey AS cust,
+                  CASE WHEN o_custkey % 7 = 0 THEN o_totalprice + 1000
+                       ELSE o_totalprice END AS p
+           FROM orders WHERE o_orderkey % 4 IN (0, 1))
+         SELECT k, cust, p FROM base WHERE k % 20 <> 0 AND k % 6 <> 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice * 3
+         FROM orders WHERE o_orderkey % 6 = 0""",
+
+    // The three clause shapes replayed declaratively: base rows boost
+    // (+p/2 when k%3=0) then bump (+100 when k%5=0); k%3 strays insert
+    // with halved p (then bump); k%7 strays insert untouched (the
+    // insert-only statement ran last). Identical per-row double
+    // arithmetic in the same association order on both engines.
+    "q274_sql_merge_columns" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+            CASE WHEN o_orderkey % 3 = 0 THEN 'boosted' ELSE 'base' END AS seg,
+            o_totalprice
+              + CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 0.5 ELSE 0 END
+              + CASE WHEN o_orderkey % 5 = 0 THEN 100.0 ELSE 0 END AS p
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, 'inserted',
+            o_totalprice * 0.5
+              + CASE WHEN o_orderkey % 5 = 0 THEN 100.0 ELSE 0 END
+         FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+         UNION ALL
+         SELECT o_orderkey, NULL, 'lateinsert', o_totalprice
+         FROM orders WHERE o_orderkey % 7 = 0
+           AND o_orderkey % 2 <> 0 AND o_orderkey % 3 <> 0""",
+
+    // Same composition as q272, born and closed entirely in SQL.
+    "q273_sql_create_table" ->
       """WITH base AS (
            SELECT o_orderkey AS k, o_custkey AS cust,
                   CASE WHEN o_custkey % 7 = 0 THEN o_totalprice + 1000

@@ -483,6 +483,114 @@ class GraftSqlParserSpec extends SparkSpec {
       got.toString)
   }
 
+  test("column-level MERGE: SET c = expr, INSERT (cols) VALUES, single-clause scoping") {
+    val root = graft.sources.Scratch.processScoped("sqlparser_mrgc", "spec")
+    graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+    val st = new graft.sources.SnapshotStore(spark, root)
+    st.commit("t", Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "tag", "p"),
+      overwrite = true, statsCols = Seq("k"))
+    GraftTableRegistry.register("mrgc_spec", st, "t", keyCol = "k")
+    Seq((2L, 5.0), (3L, 7.0)).toDF("k", "bonus")
+      .createOrReplaceTempView("mrgc_src")
+    // both clauses: SET references BOTH sides; INSERT projects with a
+    // literal and leaves no column unnamed
+    spark.sql("""MERGE INTO mrgc_spec AS t USING mrgc_src AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET p = t.p + s.bonus
+      WHEN NOT MATCHED THEN INSERT (k, tag, p) VALUES (s.k, 'new', s.bonus)""")
+    def rows() = st.read("t").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("-"),
+        r.getDouble(2))).toSet
+    assert(rows() == Set((1L, "a", 10.0), (2L, "b", 25.0), (3L, "new", 7.0)),
+      rows().toString)
+    // update-only: an unmatched source row must NOT insert
+    Seq((3L, 1.0), (9L, 9.0)).toDF("k", "bonus")
+      .createOrReplaceTempView("mrgc_src2")
+    spark.sql("""MERGE INTO mrgc_spec AS t USING mrgc_src2 AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET p = t.p + s.bonus""")
+    assert(rows() == Set((1L, "a", 10.0), (2L, "b", 25.0), (3L, "new", 8.0)),
+      rows().toString)
+    // insert-only: a matched source row must leave the target row alone;
+    // unnamed columns land NULL
+    Seq((3L, 100.0), (4L, 4.0)).toDF("k", "bonus")
+      .createOrReplaceTempView("mrgc_src3")
+    spark.sql("""MERGE INTO mrgc_spec AS t USING mrgc_src3 AS s ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT (k, p) VALUES (s.k, s.bonus)""")
+    assert(rows() == Set((1L, "a", 10.0), (2L, "b", 25.0), (3L, "new", 8.0),
+      (4L, "-", 4.0)), rows().toString)
+    // guard rails: key reassignment, unknown column, INSERT without the
+    // key, duplicate source keys
+    val ex1 = intercept[Exception](spark.sql(
+      """MERGE INTO mrgc_spec AS t USING mrgc_src AS s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET k = s.k + 1""").collect())
+    assert(ex1.getMessage.contains("reassign the key"), ex1.getMessage)
+    val ex2 = intercept[Exception](spark.sql(
+      """MERGE INTO mrgc_spec AS t USING mrgc_src AS s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET nosuch = 1""").collect())
+    assert(ex2.getMessage.contains("not a target column"), ex2.getMessage)
+    val ex3 = intercept[Exception](spark.sql(
+      """MERGE INTO mrgc_spec AS t USING mrgc_src AS s ON t.k = s.k
+         WHEN NOT MATCHED THEN INSERT (p) VALUES (s.bonus)""").collect())
+    assert(ex3.getMessage.contains("must include the key"), ex3.getMessage)
+    Seq((7L, 1.0), (7L, 2.0)).toDF("k", "bonus")
+      .createOrReplaceTempView("mrgc_dup")
+    val ex4 = intercept[Exception](spark.sql(
+      """MERGE INTO mrgc_spec AS t USING mrgc_dup AS s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET p = s.bonus""").collect())
+    assert(ex4.getMessage.contains("at most one source row"), ex4.getMessage)
+  }
+
+  test("CREATE TABLE / CTAS / DROP TABLE: the pure-SQL table origin") {
+    val root = graft.sources.Scratch.processScoped("sqlparser_ddl", "spec")
+    graft.sources.Scratch.deleteRecursively(new java.io.File(root, "ddl_t"))
+    graft.sources.Scratch.deleteRecursively(new java.io.File(root, "ddl_c"))
+    GraftTableRegistry.unregister("ddl_t")
+    GraftTableRegistry.unregister("ddl_c")
+    // schema form: an EMPTY v1 whose schema is durable on disk
+    val r = spark.sql("CREATE TABLE ddl_t (k BIGINT, v STRING) " +
+      s"USING graft PRIMARY KEY k LOCATION '$root'").head()
+    assert((r.getString(0), r.getLong(1)) == ("ddl_t", 1L))
+    val empty = spark.sql("SELECT * FROM ddl_t VERSION AS OF 1")
+    assert(empty.schema.map(_.name) == Seq("k", "v"))
+    assert(empty.count() == 0L)
+    // the FULL DML lifecycle over the SQL-born table, zero Scala setup
+    spark.sql("INSERT INTO ddl_t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("UPDATE ddl_t SET v = 'z' WHERE k = 2")
+    spark.sql("DELETE FROM ddl_t WHERE k = 1")
+    assert(spark.sql("SELECT k, v FROM ddl_t VERSION AS OF 4").collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSet == Set((2L, "z")))
+    // bare CREATE of a registered name refuses; IF NOT EXISTS adopts
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE ddl_t (k BIGINT) USING graft LOCATION '$root'").collect())
+    assert(spark.sql("CREATE TABLE IF NOT EXISTS ddl_t (k BIGINT, v STRING) " +
+      s"USING graft LOCATION '$root'").head().getLong(1) == 4L)
+    // CTAS seeds v1 from a session query (here: a time-travel read)
+    val c = spark.sql(s"CREATE TABLE ddl_c USING graft PRIMARY KEY k " +
+      s"LOCATION '$root' AS SELECT k, v FROM ddl_t VERSION AS OF 4").head()
+    assert((c.getString(0), c.getLong(1)) == ("ddl_c", 1L))
+    // DROP unbinds the name (data stays on disk)...
+    spark.sql("DROP TABLE ddl_c")
+    intercept[Exception](
+      spark.sql("DELETE FROM ddl_c WHERE k = 2").collect())
+    // ...and a later CREATE IF NOT EXISTS re-adopts the on-disk view
+    assert(spark.sql("CREATE TABLE IF NOT EXISTS ddl_c (k BIGINT, v STRING) " +
+      s"USING graft PRIMARY KEY k LOCATION '$root'").head().getLong(1) == 1L)
+    assert(spark.sql("SELECT * FROM ddl_c VERSION AS OF 1").count() == 1L)
+    // guard rails: no root anywhere, and a PRIMARY KEY that is not a column
+    GraftTableRegistry.unregister("ddl_miss")
+    val ex = intercept[Exception](spark.sql(
+      "CREATE TABLE ddl_miss (k BIGINT) USING graft").collect())
+    assert(ex.getMessage.contains("spark.graft.store.root"), ex.getMessage)
+    val ex2 = intercept[Exception](spark.sql(
+      s"CREATE TABLE ddl_miss (k BIGINT) USING graft PRIMARY KEY nope " +
+        s"LOCATION '$root'").collect())
+    assert(ex2.getMessage.contains("PRIMARY KEY"), ex2.getMessage)
+    // non-graft CREATE/DROP statements are never claimed
+    assert(GraftSqlParser.parseMaintenance(
+      "CREATE TABLE x (k INT) USING parquet").isEmpty)
+    assert(GraftSqlParser.parseMaintenance(
+      "DROP TABLE some_unregistered_name").isEmpty)
+  }
+
   test("VERSION AS OF inside string literals and comments is left verbatim") {
     // pure literal: no rewrite fires at all
     assert(GraftSqlParser.rewriteTimeTravel(
