@@ -1727,6 +1727,49 @@ object CurationQueries {
       s.sql("SELECT k, cust, seg, p FROM t274 VERSION AS OF 4")
     }),
 
+    // The DV-vs-REWRITE escalation graded end-to-end through SQL:
+    // with the probe forced on (rewriteMinBytes=0 — at production
+    // defaults it arms past 1 GB of table data) a DELETE matching ~1/3
+    // of the table crosses rewriteFraction=0.3 and escalates to
+    // copy-on-write instead of publishing an unbounded deletion
+    // vector. Structure pinned in-query: NO vector exists after the
+    // delete, the key-disjoint second dir is carried BY NAME (zero
+    // IO), the matched dir is gone. The oracle replays the delete
+    // declaratively; the half-split threshold is expressed as
+    // k*2 <= max(k) on both engines so integer flooring agrees.
+    "q275_dv_rewrite" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q275_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t275"))
+      graft.plans.GraftTableRegistry.unregister("t275")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      o.createOrReplaceTempView("q275_orders")
+      val h = o.agg(max(col("k"))).head().getLong(0) / 2
+      s.sql(s"CREATE TABLE t275 USING graft PRIMARY KEY k LOCATION '$root' " +
+        s"AS SELECT k, cust, p FROM q275_orders WHERE k <= $h")
+      s.sql(s"INSERT INTO t275 SELECT k, cust, p FROM q275_orders WHERE k > $h")
+      val st = graft.plans.GraftTableRegistry.lookup("t275").get._1
+      val dirsBefore = st.manifestDirs("t275")
+      try {
+        s.conf.set("spark.graft.dv.rewriteMinBytes", "0")
+        s.conf.set("spark.graft.dv.rewriteFraction", "0.3")
+        s.sql(s"DELETE FROM t275 WHERE k % 3 <> 0 AND k <= $h")
+      } finally {
+        s.conf.unset("spark.graft.dv.rewriteMinBytes")
+        s.conf.unset("spark.graft.dv.rewriteFraction")
+      }
+      val v = st.versions("t275").max
+      require(v == 3L, s"CTAS + INSERT + rewrite-delete = v3, got v$v")
+      require(st.manifestDels("t275", v).isEmpty,
+        "a wide delete must escalate to rewrite — no deletion vector")
+      val dirsAfter = st.manifestDirs("t275", Some(v))
+      require(dirsAfter.contains(dirsBefore(1)),
+        s"the key-disjoint dir must carry by name: $dirsBefore -> $dirsAfter")
+      require(!dirsAfter.contains(dirsBefore.head),
+        s"the matched dir must be rewritten away: $dirsBefore -> $dirsAfter")
+      s.sql("SELECT k, cust, p FROM t275 VERSION AS OF 3")
+    }),
+
     // RESTORE in PURE SQL — the bad-deploy rollback statement: v1 is
     // the good snapshot, v2 an erroneous overwrite, v3 a deleteWhere
     // on top of it; `RESTORE TABLE t TO VERSION AS OF 1` republishes
@@ -3266,6 +3309,15 @@ object CurationQueries {
          SELECT o_orderkey, NULL, 'lateinsert', o_totalprice
          FROM orders WHERE o_orderkey % 7 = 0
            AND o_orderkey % 2 <> 0 AND o_orderkey % 3 <> 0""",
+
+    // Survivors of the wide delete: keep k%3=0 in the lower half, all
+    // of the upper half. k*2 <= max expresses the integer half-split
+    // identically on both engines.
+    "q275_dv_rewrite" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
+         FROM orders
+         WHERE NOT (o_orderkey % 3 <> 0 AND
+                    o_orderkey * 2 <= (SELECT max(o_orderkey) FROM orders))""",
 
     // Same composition as q272, born and closed entirely in SQL.
     "q273_sql_create_table" ->
