@@ -290,6 +290,23 @@ object GraftSqlParser {
   // store data stays on disk, external-table semantics, GC via VACUUM
   private val DropTableRe =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+  // ALTER TABLE <t> ADD COLUMN[S] (c1 T1, …) — schema evolution as the
+  // store already defines it (per-dir schemas, merged at read): one
+  // empty append dir carrying the widened schema makes the new columns
+  // part of every later read (NULL for existing rows), zero data IO
+  private val AlterAddRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s*""" +
+      """\(?\s*(.+?)\s*\)?\s*;?\s*$""").r
+  // TRUNCATE TABLE <t> — an empty overwrite commit: contents go, the
+  // version history (and txn fences) stay, time travel still reads
+  // every prior snapshot until VACUUM
+  private val TruncateRe =
+    """(?is)^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+  // DESCRIBE DETAIL <t> — the table-metadata statement (Delta's
+  // spelling): one row of (version, dir/vector counts, bytes), all
+  // O(files) driver metadata
+  private val DescribeDetailRe =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*$""".r
   // the COLUMN-LEVEL merge shape real migrations write: WHEN MATCHED
   // THEN UPDATE SET c = expr[, …] and/or WHEN NOT MATCHED THEN INSERT
   // (cols) VALUES (exprs) — compiled to the same keyed mergeInto with
@@ -403,6 +420,15 @@ object GraftSqlParser {
     }).orElse(DropTableRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftDropTableCommand(m.group(1)): LogicalPlan
+    }).orElse(AlterAddRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        GraftAlterAddColumnsCommand(m.group(1), m.group(2)): LogicalPlan
+    }).orElse(TruncateRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        GraftTruncateCommand(m.group(1)): LogicalPlan
+    }).orElse(DescribeDetailRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        GraftDescribeDetailCommand(m.group(1)): LogicalPlan
     })
 
   private[plans] def parseAsOf(sqlText: String,
@@ -915,6 +941,87 @@ case class GraftDropTableCommand(name: String)
       : Seq[org.apache.spark.sql.Row] = {
     GraftTableRegistry.unregister(name)
     Seq(org.apache.spark.sql.Row(name))
+  }
+}
+
+/** `ALTER TABLE <t> ADD COLUMN[S] (c1 T1, …)`: schema evolution the
+  * way the store already defines it — per-dir schemas merged at read —
+  * so the statement is ONE empty append dir carrying the widened
+  * schema (zero data IO; existing rows surface NULL in the new
+  * columns, exactly what a widening commit produces). Refuses columns
+  * that already exist. The empty dir folds away at the next
+  * OPTIMIZE/compaction like any other small dir. Returns
+  * (table, version).
+  */
+case class GraftAlterAddColumnsCommand(name: String, columnsDdl: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("version", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val (store, view) = GraftTableRegistry.required("ALTER TABLE", name)
+    val cur = store.read(view).schema
+    val added = org.apache.spark.sql.types.StructType.fromDDL(columnsDdl)
+    added.foreach { f =>
+      require(!cur.exists(_.name.equalsIgnoreCase(f.name)),
+        s"ALTER TABLE $name: column `${f.name}` already exists")
+    }
+    val widened = org.apache.spark.sql.types.StructType(cur ++ added)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
+      .repartition(1)
+    Seq(org.apache.spark.sql.Row(name,
+      store.commit(view, empty, overwrite = false)))
+  }
+}
+
+/** `TRUNCATE TABLE <t>`: an EMPTY overwrite commit — contents go in
+  * one metadata publish (no data IO beyond one zero-row schema file),
+  * history and txn fences stay, every prior snapshot remains
+  * time-travelable until VACUUM. Returns (table, version).
+  */
+case class GraftTruncateCommand(name: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("version", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val (store, view) = GraftTableRegistry.required("TRUNCATE TABLE", name)
+    val schema = store.read(view).schema
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .repartition(1)
+    Seq(org.apache.spark.sql.Row(name,
+      store.commit(view, empty, overwrite = true)))
+  }
+}
+
+/** `DESCRIBE DETAIL <t>` — one metadata row for the current snapshot:
+  * version, data-dir / deletion-vector counts, total data bytes, and
+  * the registered key column. Pure driver-side manifest listing, the
+  * operational dashboard query.
+  */
+case class GraftDescribeDetailCommand(name: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType)(),
+    AttributeReference("version", LongType)(),
+    AttributeReference("num_data_dirs", LongType)(),
+    AttributeReference("num_deletion_vectors", LongType)(),
+    AttributeReference("data_bytes", LongType)(),
+    AttributeReference("key_column", StringType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val (store, view) = GraftTableRegistry.required("DESCRIBE DETAIL", name)
+    val v = store.versions(view).max
+    val dirs = store.manifestDirs(view, Some(v))
+    val dels = store.manifestDels(view, v)
+    Seq(org.apache.spark.sql.Row(name, v, dirs.size.toLong,
+      dels.size.toLong, dirs.map(store.dirBytes(view, _)).sum,
+      GraftTableRegistry.lookupKey(name).orNull))
   }
 }
 

@@ -1770,6 +1770,30 @@ object CurationQueries {
       s.sql("SELECT k, cust, p FROM t275 VERSION AS OF 3")
     }),
 
+    // SQL schema evolution: ALTER TABLE ADD COLUMN is ONE empty append
+    // dir carrying the widened schema (zero data IO — the store's
+    // per-dir-schema merge makes existing rows surface NULL), then the
+    // evolved column round-trips through INSERT (positional, 4-wide)
+    // and a keyed UPDATE that backfills a slice of the OLD rows. The
+    // graded read proves old dirs (no such column on disk), the empty
+    // schema dir, and post-evolution data all merge to one frame.
+    "q276_sql_alter_schema" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q276_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t276"))
+      graft.plans.GraftTableRegistry.unregister("t276")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q276_orders")
+      s.sql(s"CREATE TABLE t276 USING graft PRIMARY KEY k LOCATION '$root' " +
+        "AS SELECT k, cust, p FROM q276_orders WHERE k % 2 = 0")
+      val av = s.sql("ALTER TABLE t276 ADD COLUMN note STRING").head()
+      require(av.getLong(1) == 2L, av.toString)
+      s.sql("INSERT INTO t276 SELECT k, cust, p, " +
+        "concat('n', CAST(k AS STRING)) FROM q276_orders WHERE k % 2 <> 0")
+      s.sql("UPDATE t276 SET note = 'old' WHERE k % 10 = 0")
+      s.sql("SELECT k, cust, p, note FROM t276 VERSION AS OF 4")
+    }),
+
     // RESTORE in PURE SQL — the bad-deploy rollback statement: v1 is
     // the good snapshot, v2 an erroneous overwrite, v3 a deleteWhere
     // on top of it; `RESTORE TABLE t TO VERSION AS OF 1` republishes
@@ -3318,6 +3342,18 @@ object CurationQueries {
          FROM orders
          WHERE NOT (o_orderkey % 3 <> 0 AND
                     o_orderkey * 2 <= (SELECT max(o_orderkey) FROM orders))""",
+
+    // Evolution replayed declaratively: even keys predate the column
+    // (NULL unless the k%10 backfill hit them), odd keys inserted with
+    // the concatenated note.
+    "q276_sql_alter_schema" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p,
+            CASE WHEN o_orderkey % 10 = 0 THEN 'old' ELSE NULL END AS note
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice,
+            'n' || CAST(o_orderkey AS VARCHAR)
+         FROM orders WHERE o_orderkey % 2 <> 0""",
 
     // Same composition as q272, born and closed entirely in SQL.
     "q273_sql_create_table" ->

@@ -591,6 +591,54 @@ class GraftSqlParserSpec extends SparkSpec {
       "DROP TABLE some_unregistered_name").isEmpty)
   }
 
+  test("ALTER TABLE ADD COLUMNS, TRUNCATE TABLE, DESCRIBE DETAIL") {
+    val root = graft.sources.Scratch.processScoped("sqlparser_ddl2", "spec")
+    graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+    val st = new graft.sources.SnapshotStore(spark, root)
+    st.commit("t", Seq((1L, 10.0)).toDF("k", "p"),
+      overwrite = true, statsCols = Seq("k"))
+    GraftTableRegistry.register("ddl2_spec", st, "t", keyCol = "k")
+    // ALTER widens the merged schema; existing rows surface NULL
+    val a = spark.sql("ALTER TABLE ddl2_spec ADD COLUMN note STRING").head()
+    assert((a.getString(0), a.getLong(1)) == ("ddl2_spec", 2L))
+    assert(st.read("t").schema.map(_.name) == Seq("k", "p", "note"))
+    assert(st.read("t").where(col("note").isNull).count() == 1L)
+    // new rows carry it; re-adding an existing column refuses
+    spark.sql("INSERT INTO ddl2_spec VALUES (2L, 20.0, 'hi')")
+    assert(st.read("t").where(col("note") === "hi").count() == 1L)
+    val ex = intercept[Exception](
+      spark.sql("ALTER TABLE ddl2_spec ADD COLUMN p DOUBLE").collect())
+    assert(ex.getMessage.contains("already exists"), ex.getMessage)
+    // multi-column parenthesized form
+    spark.sql("ALTER TABLE ddl2_spec ADD COLUMNS (m INT, q DOUBLE)")
+    assert(st.read("t").schema.map(_.name) == Seq("k", "p", "note", "m", "q"))
+    // DESCRIBE DETAIL: one metadata row, zero jobs needed
+    val d = spark.sql("DESCRIBE DETAIL ddl2_spec").head()
+    assert(d.getString(0) == "ddl2_spec")
+    assert(d.getLong(1) == st.versions("t").max)
+    assert(d.getLong(2) == st.manifestDirs("t").size.toLong)
+    assert(d.getLong(3) == 0L)
+    assert(d.getLong(4) > 0L)
+    assert(d.getString(5) == "k")
+    // TRUNCATE: contents go, history and fences stay, still writable
+    st.appendOnce("t", Seq((3L, 1.0, "z", 1, 1.0))
+      .toDF("k", "p", "note", "m", "q"), txnId = 7L)
+    val tv = spark.sql("TRUNCATE TABLE ddl2_spec").head().getLong(1)
+    assert(st.read("t").count() == 0L)
+    assert(st.read("t", Some(tv - 1)).count() == 3L)
+    assert(st.appliedTxns("t").contains(7L),
+      "txn fences must survive TRUNCATE")
+    spark.sql("INSERT INTO ddl2_spec VALUES (5L, 1.0, 'x', 1, 1.0)")
+    assert(st.read("t").count() == 1L)
+    // none of the three is claimed for unregistered names
+    assert(GraftSqlParser.parseMaintenance(
+      "ALTER TABLE not_ours ADD COLUMN x INT").isEmpty)
+    assert(GraftSqlParser.parseMaintenance(
+      "TRUNCATE TABLE not_ours").isEmpty)
+    assert(GraftSqlParser.parseMaintenance(
+      "DESCRIBE DETAIL not_ours").isEmpty)
+  }
+
   test("VERSION AS OF inside string literals and comments is left verbatim") {
     // pure literal: no rewrite fires at all
     assert(GraftSqlParser.rewriteTimeTravel(
