@@ -646,6 +646,53 @@ object PipelineQueries {
       st.read("out")
     }),
 
+    // CDC REPLICATION with zero user state: the change-feed SOURCE
+    // (snapshot-diff per offset range) feeds the keyed SINK's
+    // `deleteColumn` tombstone apply, so a replica table tracks a
+    // source through the FULL SQL DML surface — the seed snapshot
+    // lands as inserts, then one diff batch nets INSERT + UPDATE +
+    // deletion-vector DELETE into upserts and keyed deletes, all
+    // txn-fenced (third drain required to commit nothing). The oracle
+    // replays the mutations declaratively against the replica.
+    "q277_cdc_replication" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q277_snap", dir)
+      Seq("t277", "rep277", "_cp277").foreach(d =>
+        graft.sources.Scratch.deleteRecursively(new java.io.File(root, d)))
+      graft.plans.GraftTableRegistry.unregister("t277")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q277_orders")
+      s.sql(s"CREATE TABLE t277 USING graft PRIMARY KEY k LOCATION '$root' " +
+        "AS SELECT k, cust, p FROM q277_orders WHERE k % 3 = 0")
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-table")
+          .option("root", root).option("view", "t277")
+          .option("changeFeed", "true").option("keyColumns", "k").load()
+          .select(col("k"), col("cust_post").as("cust"),
+            col("p_post").as("p"),
+            (col("change_type") === "delete").as("del"))
+          .writeStream.format("graft-table")
+          .option("root", root).option("view", "rep277")
+          .option("mergeKey", "k").option("deleteColumn", "del")
+          .option("statsColumns", "k")
+          .option("checkpointLocation", s"$root/_cp277")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      drain() // the v1 snapshot replicates as pure inserts
+      s.sql("INSERT INTO t277 SELECT k, cust, p FROM q277_orders WHERE k % 3 = 1")
+      s.sql("UPDATE t277 SET p = p + 1000 WHERE cust % 5 = 0")
+      s.sql("DELETE FROM t277 WHERE k % 9 = 0")
+      drain() // one net diff batch applies all three mutations
+      val st = graft.plans.GraftTableRegistry.lookup("t277").get._1
+      val vRep = st.versions("rep277").max
+      drain()
+      require(st.versions("rep277").max == vRep,
+        "a drained replication pipeline must commit nothing")
+      st.read("rep277")
+    }),
+
     // Stream THROUGH a compaction — the operational path q244 fences:
     // OPTIMIZE rewrites every data dir, so "new dirs since my offset"
     // stops meaning "appended rows" and the append-mode stream FAILS
@@ -1089,6 +1136,14 @@ object PipelineQueries {
       """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p,
                 o_totalprice * 2 AS p2
          FROM orders""",
+
+    // the replica after netting insert + update + delete
+    "q277_cdc_replication" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+            CASE WHEN o_custkey % 5 = 0 THEN o_totalprice + 1000
+                 ELSE o_totalprice END AS p
+         FROM orders
+         WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 9 <> 0""",
 
     // replay-after-compaction converges to exactly the table
     "q248_stream_compaction_replay" ->

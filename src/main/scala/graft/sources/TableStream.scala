@@ -38,7 +38,10 @@ import org.apache.spark.sql.types.StructType
   *
   * Options: `root`, `view` (required); `changeFeed`, `keyColumns`,
   * `startingVersion` (exclusive; default 0 = initial snapshot is the
-  * first batch), `maxVersionsPerTrigger`, `ignoreRewrites`.
+  * first batch), `maxVersionsPerTrigger`, `ignoreRewrites`. Sink side:
+  * `mergeKey` (upsert by key), `deleteColumn` (with `mergeKey`: rows
+  * flagged true DELETE their key — the CDC-tombstone apply),
+  * `statsColumns`, `txnAppId`, `legacyTxnFence`.
   *
   * Built on the DataSource v1 streaming `Source` API deliberately: its
   * `getBatch` returns a DataFrame, so the store's existing reads
@@ -82,8 +85,12 @@ class GraftTableSourceProvider extends StreamSourceProvider
     // query's checkpointLocation (stable across restarts of the SAME
     // query, distinct between queries), salts the fence.
     val ns = parameters.get("txnAppId").orElse(parameters.get("checkpointLocation"))
+    val delCol = parameters.get("deleteColumn")
+    require(delCol.isEmpty || mergeKey.nonEmpty,
+      "graft-table sink: 'deleteColumn' requires 'mergeKey' (tombstones are keyed)")
     new GraftTableSink(store, view, outputMode, mergeKey, stats, ns,
-      legacyTxnFence = parameters.get("legacyTxnFence").exists(_.toBoolean))
+      legacyTxnFence = parameters.get("legacyTxnFence").exists(_.toBoolean),
+      deleteCol = delCol)
   }
 
   private def param(parameters: Map[String, String], key: String): String =
@@ -282,7 +289,8 @@ class GraftTableSink(store: SnapshotStore, view: String,
                      outputMode: OutputMode, mergeKey: Option[String],
                      statsCols: Seq[String],
                      txnNamespace: Option[String] = None,
-                     legacyTxnFence: Boolean = false) extends Sink {
+                     legacyTxnFence: Boolean = false,
+                     deleteCol: Option[String] = None) extends Sink {
 
   /** Deterministic per-(namespace, batch) fence id: namespace hash in
     * the high 32 bits, batch id in the low — stable across restarts
@@ -313,8 +321,11 @@ class GraftTableSink(store: SnapshotStore, view: String,
           store.commit(view, df, overwrite = true,
             statsCols = statsCols, txn = Some(txnId))
       case _ if mergeKey.isDefined =>
+        // deleteColumn marks CDC tombstones: a flagged row DELETES its
+        // key instead of upserting — the zero-user-code sink half of a
+        // change-feed replication pipeline
         store.mergeIntoOnce(view, df, mergeKey.get, txnId = txnId,
-          statsCols = statsCols)
+          deleteCol = deleteCol, statsCols = statsCols)
       case _ =>
         store.appendOnce(view, df, txnId = txnId, statsCols = statsCols)
     }

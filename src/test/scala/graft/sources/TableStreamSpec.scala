@@ -196,6 +196,40 @@ class TableStreamSpec extends SparkSpec {
     assert(st.versions("out").max == v)
   }
 
+  test("sink: deleteColumn applies CDC tombstones; requires mergeKey") {
+    val (st, root) = fresh()
+    st.commit("src", Seq((1L, 10.0), (2L, 20.0), (9L, 90.0)).toDF("k", "x"),
+      overwrite = true, statsCols = Seq("k"))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("root", root).option("view", "src")
+        .option("changeFeed", "true").option("keyColumns", "k").load()
+        .select(col("k"), col("x_post").as("x"),
+          (col("change_type") === "delete").as("del"))
+        .writeStream.format("graft-table")
+        .option("root", root).option("view", "out")
+        .option("mergeKey", "k").option("deleteColumn", "del")
+        .option("statsColumns", "k")
+        .option("checkpointLocation", s"$root/_cp")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    drain() // snapshot inserts (del all false)
+    st.deleteWhere("src", "k", col("k") === 9L) // DV delete on the source
+    st.mergeInto("src", Seq((2L, 25.0)).toDF("k", "x"), "k",
+      statsCols = Seq("k"))
+    drain() // one diff range: the tombstone deletes, the update upserts
+    val out = st.read("out").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out == Set((1L, 10.0), (2L, 25.0)), out.toString)
+    // tombstones are keyed: deleteColumn without mergeKey refuses
+    val ex = intercept[IllegalArgumentException](
+      new GraftTableSourceProvider().createSink(spark.sqlContext,
+        Map("root" -> root, "view" -> "out", "deleteColumn" -> "del"),
+        Nil, org.apache.spark.sql.streaming.OutputMode.Append()))
+    assert(ex.getMessage.contains("mergeKey"), ex.getMessage)
+  }
+
   test("change feed: a vacuumed checkpoint offset fails loudly, never re-emits the snapshot") {
     val (st, root) = fresh()
     st.commit("src", Seq((1L, 10.0)).toDF("k", "x"),
