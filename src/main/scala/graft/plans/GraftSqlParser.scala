@@ -293,10 +293,30 @@ object GraftSqlParser {
   // ALTER TABLE <t> ADD COLUMN[S] (c1 T1, …) — schema evolution as the
   // store already defines it (per-dir schemas, merged at read): one
   // empty append dir carrying the widened schema makes the new columns
-  // part of every later read (NULL for existing rows), zero data IO
+  // part of every later read (NULL for existing rows), zero data IO.
+  // The column list is captured RAW and unwrapped by [[stripOuterParens]]
+  // — regex-optional parens would steal the closing paren of a
+  // parameterized type (`ADD COLUMN d DECIMAL(10,2)`).
   private val AlterAddRe =
-    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s*""" +
-      """\(?\s*(.+?)\s*\)?\s*;?\s*$""").r
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s*(.+?)\s*;?\s*$""".r
+
+  /** Strip ONE wrapping paren pair — only when the opening paren
+    * actually closes at the final character (depth walk), so a
+    * parameterized type's own parens are never touched.
+    */
+  private[plans] def stripOuterParens(s: String): String = {
+    val t = s.trim
+    if (!t.startsWith("(") || !t.endsWith(")")) return t
+    var depth = 0
+    var i = 0
+    while (i < t.length - 1) {
+      val c = t.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return t }
+      i += 1
+    }
+    t.substring(1, t.length - 1).trim
+  }
   // TRUNCATE TABLE <t> — an empty overwrite commit: contents go, the
   // version history (and txn fences) stay, time travel still reads
   // every prior snapshot until VACUUM
@@ -422,7 +442,8 @@ object GraftSqlParser {
         GraftDropTableCommand(m.group(1)): LogicalPlan
     }).orElse(AlterAddRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftAlterAddColumnsCommand(m.group(1), m.group(2)): LogicalPlan
+        GraftAlterAddColumnsCommand(m.group(1),
+          stripOuterParens(m.group(2))): LogicalPlan
     }).orElse(TruncateRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftTruncateCommand(m.group(1)): LogicalPlan
@@ -430,6 +451,21 @@ object GraftSqlParser {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftDescribeDetailCommand(m.group(1)): LogicalPlan
     })
+
+  /** A zero-row frame that still writes ONE real parquet file: the
+    * repartition(1) is load-bearing — an empty-RDD frame has zero
+    * partitions and would write no file at all, leaving the schema
+    * non-durable on disk (coalesce cannot raise a 0-partition count
+    * either). CREATE TABLE, ALTER ADD COLUMNS, and TRUNCATE all seed
+    * through this.
+    */
+  private[plans] def emptySingleFileFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .repartition(1)
 
   private[plans] def parseAsOf(sqlText: String,
                                delegate: ParserInterface): Option[LogicalPlan] =
@@ -882,10 +918,28 @@ case class GraftCreateTableCommand(name: String,
     AttributeReference("version", org.apache.spark.sql.types.LongType)())
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
+    def norm(p: String) =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize
     GraftTableRegistry.lookup(name).foreach { case (st, view) =>
       if (!ifNotExists) throw new IllegalArgumentException(
         s"CREATE TABLE $name: already registered — DROP TABLE $name " +
           "first, or use CREATE TABLE IF NOT EXISTS")
+      // adoption must not silently contradict the statement: a
+      // LOCATION or PRIMARY KEY that disagrees with the live binding
+      // is a conflict, not a no-op (a mismatched key would route
+      // keyed DML onto the wrong row identity)
+      location.foreach { l =>
+        require(norm(l) == norm(st.root),
+          s"CREATE TABLE IF NOT EXISTS $name: LOCATION '$l' conflicts " +
+            s"with the registered root '${st.root}'")
+      }
+      keyCol.foreach { k =>
+        val bound = GraftTableRegistry.lookupKey(name)
+        require(bound.exists(_.equalsIgnoreCase(k)),
+          s"CREATE TABLE IF NOT EXISTS $name: PRIMARY KEY `$k` " +
+            s"conflicts with the registered key " +
+            bound.fold("(none)")(b => s"`$b`"))
+      }
       return Seq(org.apache.spark.sql.Row(name, st.versions(view).max))
     }
     val root = location
@@ -902,17 +956,23 @@ case class GraftCreateTableCommand(name: String,
       if (!ifNotExists) throw new IllegalArgumentException(
         s"CREATE TABLE $name: a store view `$name` already exists " +
           s"under $root — CREATE TABLE IF NOT EXISTS adopts it")
+      // the adopted view's REAL schema is authoritative — the declared
+      // PRIMARY KEY must be one of its columns or keyed DML would bind
+      // to a non-existent (or wrong) row identity
+      keyCol.foreach { k =>
+        val cols = store.read(name).columns
+        require(cols.exists(_.equalsIgnoreCase(k)),
+          s"CREATE TABLE IF NOT EXISTS $name: PRIMARY KEY `$k` is not " +
+            "a column of the adopted view " +
+            cols.mkString("(", ", ", ")"))
+      }
       register()
       return Seq(org.apache.spark.sql.Row(name, store.versions(name).max))
     }
     val seed = querySql match {
       case Some(q) => spark.sql(q)
-      case None =>
-        val schema = org.apache.spark.sql.types.StructType
-          .fromDDL(schemaDdl.get)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-          .repartition(1)
+      case None => GraftSqlParser.emptySingleFileFrame(spark,
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDdl.get))
     }
     keyCol.foreach { k =>
       require(seed.columns.exists(_.equalsIgnoreCase(k)),
@@ -968,11 +1028,9 @@ case class GraftAlterAddColumnsCommand(name: String, columnsDdl: String)
         s"ALTER TABLE $name: column `${f.name}` already exists")
     }
     val widened = org.apache.spark.sql.types.StructType(cur ++ added)
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
-      .repartition(1)
-    Seq(org.apache.spark.sql.Row(name,
-      store.commit(view, empty, overwrite = false)))
+    Seq(org.apache.spark.sql.Row(name, store.commit(view,
+      GraftSqlParser.emptySingleFileFrame(spark, widened),
+      overwrite = false)))
   }
 }
 
@@ -989,12 +1047,9 @@ case class GraftTruncateCommand(name: String)
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("TRUNCATE TABLE", name)
-    val schema = store.read(view).schema
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .repartition(1)
-    Seq(org.apache.spark.sql.Row(name,
-      store.commit(view, empty, overwrite = true)))
+    Seq(org.apache.spark.sql.Row(name, store.commit(view,
+      GraftSqlParser.emptySingleFileFrame(spark, store.read(view).schema),
+      overwrite = true)))
   }
 }
 

@@ -70,7 +70,7 @@ import scala.jdk.CollectionConverters._
   * time travel stay O(files), and reads plan partition pruning from the
   * manifest's dir list exactly like any multi-dir parquet scan.
   */
-class SnapshotStore(spark: SparkSession, root: String) {
+class SnapshotStore(spark: SparkSession, val root: String) {
 
   final class SnapshotConflict(msg: String) extends RuntimeException(msg)
 
@@ -757,6 +757,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
       .map(_.toLong).getOrElse(1L << 30)
     val hit = pred.cast("boolean")
     var probedMatched = -1L // -1 = probe skipped
+    var matchedDirs: Option[Seq[String]] = None
     if (dirs.map(dirBytes(view, _)).sum >= minBytes) {
       val frac = spark.conf.getOption("spark.graft.dv.rewriteFraction")
         .map(_.toDouble).getOrElse(0.3)
@@ -774,16 +775,24 @@ class SnapshotStore(spark: SparkSession, root: String) {
       val totalRows = probe.map(_.getLong(1)).sum
       val matched = probe.map(_.getLong(2)).sum
       if (matched == 0L) return base
-      if (matched >= frac * totalRows || matched >= minKeys) {
-        val hitDirs = probe.filter(_.getLong(2) > 0L)
-          .map(_.getString(0)).toSet
-        return deleteRewrite(view, keyCol, base, dirs, prevDels,
-          dirs.filter(d => hitDirs.contains(dirBase(view, d))), hit, txn)
-      }
+      val hitDirs = probe.filter(_.getLong(2) > 0L).map(_.getString(0)).toSet
+      val touched = dirs.filter(d => hitDirs.contains(dirBase(view, d)))
+      if (matched >= frac * totalRows || matched >= minKeys)
+        return deleteRewrite(view, keyCol, base, dirs, prevDels, touched,
+          hit, txn)
       probedMatched = matched
+      matchedDirs = Some(touched)
     }
-    val keys = read(view, Some(base)).where(pred)
-      .select(col(keyCol)).distinct()
+    // when the probe ran, the key-selection scan reads ONLY the dirs it
+    // found matches in (often a small subset on a time-keyed table) —
+    // the probe's cost buys back most of a second full pass. Aligned to
+    // the snapshot schema: the predicate may reference a schema-evolved
+    // column those dirs predate.
+    val keys = matchedDirs
+      .map(md => alignedTo(applyDels(readDirs(md, view), view, prevDels),
+        read(view, Some(base)).schema))
+      .getOrElse(read(view, Some(base)))
+      .where(pred).select(col(keyCol)).distinct()
     val next = base + 1
     val delDir = s"del$next-" + java.util.UUID.randomUUID().toString.take(8)
     // key count observed DURING the vector write (one job, no re-read)
@@ -825,7 +834,12 @@ class SnapshotStore(spark: SparkSession, root: String) {
                             txn: Option[Long]): Long = {
     val untouched = dirs.filterNot(touched.toSet)
     val snapshotSchema = read(view, Some(base)).schema
-    val keep = applyDels(readDirs(touched, view), view, prevDels)
+    // aligned to the snapshot schema (same contract as mergeInto's
+    // rewrite): the predicate may reference a schema-evolved column
+    // the touched dirs predate, and the rewritten dir must carry the
+    // full-width rows the whole-table read would produce
+    val keep = alignedTo(
+      applyDels(readDirs(touched, view), view, prevDels), snapshotSchema)
       .where(!coalesce(hit, lit(false)))
     val touchedBytes = touched.map(dirBytes(view, _)).sum
     val nOut = math.max(1L, (touchedBytes + (128L << 20) - 1) / (128L << 20))
@@ -956,6 +970,19 @@ class SnapshotStore(spark: SparkSession, root: String) {
     if (appliedTxns(view).contains(txnId)) None
     else Some(deleteWhere(view, keyCol, pred, txn = Some(txnId)))
 
+  /** Project `df` to exactly `schema`'s columns, surfacing typed NULLs
+    * for columns `df` predates — what the whole-table mergeSchema read
+    * would yield. The schema-evolution alignment every dir-subset
+    * rewrite needs ([[mergeInto]], [[deleteRewrite]], the probed
+    * key-selection scan) before predicates or unions over the full
+    * snapshot width.
+    */
+  private def alignedTo(df: DataFrame,
+                        schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(schema.map(f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
+
   /** Split `dirs` into (hit, miss) by whether SOME key in `keys` falls
     * inside the dir's recorded [min,max] for `keyCol` — the
     * copy-on-write skipping probe [[mergeInto]] and the delete-rewrite
@@ -1034,10 +1061,7 @@ class SnapshotStore(spark: SparkSession, root: String) {
     // that exists only in other dirs; project such columns as typed
     // NULLs (what the whole-table mergeSchema read would yield) before
     // the anti-join/union instead of failing the select.
-    def aligned(df: DataFrame): DataFrame =
-      df.select(targetCols.map(c =>
-        if (df.columns.contains(c)) col(c)
-        else lit(null).cast(targetSchema(c).dataType).as(c)): _*)
+    def aligned(df: DataFrame): DataFrame = alignedTo(df, targetSchema)
     val (touched, untouched) = dirsHitByKeys(view, dirs, keyCol, source)
     // deletion vectors of the base snapshot: the touched-dir read must
     // honor them (a rewritten dir is BORN clean — resurrecting deleted
@@ -1083,11 +1107,20 @@ class SnapshotStore(spark: SparkSession, root: String) {
             .join(source.select(col(keyCol)).distinct(), Seq(keyCol),
               "left_anti")
           // write-then-check with an observed count: one execution of
-          // the subtraction plan instead of isEmpty-probe + write
+          // the subtraction plan instead of isEmpty-probe + write. The
+          // write parallelizes past the broadcast byte bound — a merge
+          // loop over a table carrying a huge vector must not rewrite
+          // the full key list through one task every batch (the same
+          // bound foldDels applies).
           val delDir = s"del$next-" +
             java.util.UUID.randomUUID().toString.take(8)
           val obs = org.apache.spark.sql.Observation()
-          remaining.observe(obs, count(lit(1)).as("n")).coalesce(1).write
+          val counted = remaining.observe(obs, count(lit(1)).as("n"))
+          val sizedDel =
+            if (delBytes(view, baseDels) <= dvBroadcastMaxBytes)
+              counted.coalesce(1)
+            else counted
+          sizedDel.write
             .mode("overwrite").parquet(dataRoot(view).resolve(delDir).toString)
           if (obs.get("n").asInstanceOf[Long] > 0L) Seq(delDir)
           else {

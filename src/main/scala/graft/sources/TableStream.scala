@@ -88,6 +88,13 @@ class GraftTableSourceProvider extends StreamSourceProvider
     val delCol = parameters.get("deleteColumn")
     require(delCol.isEmpty || mergeKey.nonEmpty,
       "graft-table sink: 'deleteColumn' requires 'mergeKey' (tombstones are keyed)")
+    // Complete mode overwrites the table with the batch verbatim —
+    // honoring tombstones there is a different (filtering) semantic;
+    // refusing beats silently committing flag columns and dead rows
+    require(delCol.isEmpty || outputMode != OutputMode.Complete(),
+      "graft-table sink: 'deleteColumn' is a keyed-merge option — " +
+        "Complete mode overwrites with the batch verbatim; drop the " +
+        "option or use append/update with 'mergeKey'")
     new GraftTableSink(store, view, outputMode, mergeKey, stats, ns,
       legacyTxnFence = parameters.get("legacyTxnFence").exists(_.toBoolean),
       deleteCol = delCol)

@@ -575,6 +575,26 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(spark.sql("CREATE TABLE IF NOT EXISTS ddl_c (k BIGINT, v STRING) " +
       s"USING graft PRIMARY KEY k LOCATION '$root'").head().getLong(1) == 1L)
     assert(spark.sql("SELECT * FROM ddl_c VERSION AS OF 1").count() == 1L)
+    // adoption must not silently contradict the statement: conflicting
+    // LOCATION / PRIMARY KEY refuse instead of rebinding or no-op'ing
+    val exL = intercept[Exception](spark.sql(
+      "CREATE TABLE IF NOT EXISTS ddl_c (k BIGINT) USING graft " +
+        "PRIMARY KEY k LOCATION '/tmp/entirely_different_root'").collect())
+    assert(exL.getMessage.contains("conflicts with the registered root"),
+      exL.getMessage)
+    val exK = intercept[Exception](spark.sql(
+      "CREATE TABLE IF NOT EXISTS ddl_c (k BIGINT, v STRING) USING graft " +
+        s"PRIMARY KEY v LOCATION '$root'").collect())
+    assert(exK.getMessage.contains("conflicts with the registered key"),
+      exK.getMessage)
+    // on-disk adoption validates the declared key against the REAL
+    // schema of the adopted view, not the statement's column list
+    GraftTableRegistry.unregister("ddl_c")
+    val exA = intercept[Exception](spark.sql(
+      "CREATE TABLE IF NOT EXISTS ddl_c (k BIGINT, nope BIGINT) " +
+        s"USING graft PRIMARY KEY nope LOCATION '$root'").collect())
+    assert(exA.getMessage.contains("not a column of the adopted view"),
+      exA.getMessage)
     // guard rails: no root anywhere, and a PRIMARY KEY that is not a column
     GraftTableRegistry.unregister("ddl_miss")
     val ex = intercept[Exception](spark.sql(
@@ -630,6 +650,22 @@ class GraftSqlParserSpec extends SparkSpec {
       "txn fences must survive TRUNCATE")
     spark.sql("INSERT INTO ddl2_spec VALUES (5L, 1.0, 'x', 1, 1.0)")
     assert(st.read("t").count() == 1L)
+    // parameterized types: the type's own parens must survive the
+    // optional-wrapper unwrapping (both forms)
+    spark.sql("ALTER TABLE ddl2_spec ADD COLUMN d DECIMAL(10,2)")
+    assert(st.read("t").schema("d").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
+    spark.sql("ALTER TABLE ddl2_spec ADD COLUMNS (e DECIMAL(5,1))")
+    assert(st.read("t").schema("e").dataType ==
+      org.apache.spark.sql.types.DecimalType(5, 1))
+    assert(GraftSqlParser.stripOuterParens("a INT, b STRING") ==
+      "a INT, b STRING")
+    assert(GraftSqlParser.stripOuterParens("(a INT, b STRING)") ==
+      "a INT, b STRING")
+    assert(GraftSqlParser.stripOuterParens("d DECIMAL(10,2)") ==
+      "d DECIMAL(10,2)")
+    assert(GraftSqlParser.stripOuterParens("(d DECIMAL(10,2), e INT)") ==
+      "d DECIMAL(10,2), e INT")
     // none of the three is claimed for unregistered names
     assert(GraftSqlParser.parseMaintenance(
       "ALTER TABLE not_ours ADD COLUMN x INT").isEmpty)

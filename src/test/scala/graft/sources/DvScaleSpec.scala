@@ -131,6 +131,32 @@ class DvScaleSpec extends SparkSpec {
     }
   }
 
+  test("escalated delete aligns schema-evolved predicate columns") {
+    val (st, _) = freshStore()
+    st.commit("t", (0 until 2000).map(k => (k.toLong, s"v$k")).toDF("k", "v"),
+      overwrite = true, statsCols = Seq("k"))
+    // evolve: `flag` exists only in the second dir's rows
+    st.commit("t", (2000 until 3000).map(k => (k.toLong, s"v$k", k % 2))
+      .toDF("k", "v", "flag"), overwrite = false, statsCols = Seq("k"))
+    withConf("spark.graft.dv.rewriteMinBytes" -> "0",
+             "spark.graft.dv.rewriteFraction" -> "0.3") {
+      // matches every pre-evolution row; the touched dir lacks `flag`
+      // on disk — the rewrite must align, not fail resolution
+      val v = st.deleteWhere("t", "k", col("flag").isNull)
+      assert(st.manifestDels("t", v).isEmpty, "2/3 matched must rewrite")
+      assert(st.read("t").count() == 1000L)
+      assert(st.read("t").schema.fieldNames.contains("flag"))
+    }
+    // the probed DV path's matched-dirs key scan aligns too
+    withConf("spark.graft.dv.rewriteMinBytes" -> "0",
+             "spark.graft.dv.rewriteFraction" -> "0.99",
+             "spark.graft.dv.rewriteMinKeys" -> "100000") {
+      val v2 = st.deleteWhere("t", "k", col("flag") === 1)
+      assert(st.manifestDels("t", v2).nonEmpty, "narrow delete stays DV")
+      assert(st.read("t").count() == 500L)
+    }
+  }
+
   test("size-tiered fold: the dominant vector is carried verbatim, not rewritten") {
     val (st, _) = freshStore()
     seed(st)

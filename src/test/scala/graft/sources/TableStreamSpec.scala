@@ -228,6 +228,14 @@ class TableStreamSpec extends SparkSpec {
         Map("root" -> root, "view" -> "out", "deleteColumn" -> "del"),
         Nil, org.apache.spark.sql.streaming.OutputMode.Append()))
     assert(ex.getMessage.contains("mergeKey"), ex.getMessage)
+    // ...and Complete mode (verbatim overwrite) refuses the option
+    // instead of silently committing flag columns and dead rows
+    val ex2 = intercept[IllegalArgumentException](
+      new GraftTableSourceProvider().createSink(spark.sqlContext,
+        Map("root" -> root, "view" -> "out", "mergeKey" -> "k",
+          "deleteColumn" -> "del"),
+        Nil, org.apache.spark.sql.streaming.OutputMode.Complete()))
+    assert(ex2.getMessage.contains("Complete"), ex2.getMessage)
   }
 
   test("change feed: a vacuumed checkpoint offset fails loudly, never re-emits the snapshot") {
