@@ -970,6 +970,36 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     if (appliedTxns(view).contains(txnId)) None
     else Some(deleteWhere(view, keyCol, pred, txn = Some(txnId)))
 
+  /** Run `body` — one full optimistic write attempt — retrying on
+    * [[SnapshotConflict]] up to `attempts` times with jittered
+    * exponential backoff: the OCC client loop every table format makes
+    * callers hand-write. `body` must resolve the table's CURRENT state
+    * inside itself each attempt (commit / mergeInto / deleteWhere /
+    * expireBefore all do — they re-read the latest base per call, so
+    * wrapping a single mutation directly is always correct; a body
+    * that captured a DataFrame from a pre-conflict read would retry
+    * against stale content). Jitter is seeded per thread with a
+    * deterministic LCG — no global RNG, no synchronized hot spot in
+    * the very loop meant to decongest writers.
+    */
+  def retryOnConflict[T](attempts: Int = 8, baseBackoffMs: Long = 25)
+                        (body: => T): T = {
+    var n = 0
+    var seed = Thread.currentThread().getId * 0x9E3779B97F4A7C15L + 1L
+    while (true) {
+      try return body
+      catch {
+        case e: SnapshotConflict =>
+          n += 1
+          if (n >= attempts) throw e
+          seed = seed * 6364136223846793005L + 1442695040888963407L
+          val cap = baseBackoffMs << math.min(n, 6)
+          Thread.sleep(math.floorMod(seed, math.max(1L, cap)) + 1L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Project `df` to exactly `schema`'s columns, surfacing typed NULLs
     * for columns `df` predates — what the whole-table mergeSchema read
     * would yield. The schema-evolution alignment every dir-subset

@@ -203,6 +203,41 @@ class DvScaleSpec extends SparkSpec {
     }
   }
 
+  test("retryOnConflict: racing keyed merges all land; exhaustion rethrows") {
+    val (st, _) = freshStore()
+    st.commit("t", Seq((0L, "seed")).toDF("k", "v"),
+      overwrite = true, statsCols = Seq("k"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = (1 to 3).flatMap { w =>
+      (1 to 3).map { i =>
+        scala.concurrent.Future {
+          // each attempt re-runs the WHOLE mergeInto (fresh base read)
+          st.retryOnConflict(attempts = 50) {
+            st.mergeInto("t", Seq((w * 10L + i, s"w$w-$i")).toDF("k", "v"),
+              "k", statsCols = Seq("k"))
+          }
+        }
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    assert(st.versions("t") == (1L to 10L), st.versions("t").toString)
+    assert(st.read("t").count() == 10L) // seed + 9 merged keys, once each
+    // exhaustion: a body that always conflicts rethrows after the cap
+    var calls = 0
+    val ex = intercept[RuntimeException](
+      st.retryOnConflict(attempts = 3, baseBackoffMs = 1) {
+        calls += 1
+        throw new st.SnapshotConflict("always stale")
+      })
+    assert(ex.getMessage.contains("always stale"))
+    assert(calls == 3, s"expected exactly 3 attempts, got $calls")
+  }
+
   test("legacyTxnFence: the one-restart migration switch honors raw batch-id fences") {
     val (st, _) = freshStore()
     st.commit("t", Seq((1L, "a")).toDF("k", "v"), overwrite = true)
