@@ -53,6 +53,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def rewrites(sqlText: String): Option[String] =
     GraftSqlParser.rewriteDescribeHistory(sqlText)
       .orElse(GraftSqlParser.rewriteTimeTravel(sqlText))
+      .orElse(GraftSqlParser.rewriteChanges(sqlText))
 
   override def parsePlan(sqlText: String): LogicalPlan =
     // maintenance statements FIRST: `RESTORE t TO VERSION AS OF n`
@@ -232,6 +233,21 @@ object GraftSqlParser {
   private[plans] def rewriteTimeTravel(sqlText: String): Option[String] =
     replaceOutsideQuotes(sqlText, VersionAsOfRe)(m =>
       "`" + m.group(1) + "$asof$" + m.group(2) + "`")
+
+  // <table> CHANGES FROM <a> TO <b> — the change data feed as a SQL
+  // relation (the batch half of the changeFeed stream source): each
+  // occurrence becomes the quoted identifier `name$diff$a$b`, which
+  // [[ResolveGraftTimeTravel]] binds to `store.diff(view, a, b, key)`
+  // over the registry's recorded key. Same quote/comment masking and
+  // compositionality as VERSION AS OF (usable in joins, CTEs,
+  // subqueries). The digit-anchored FROM keeps `SELECT changes FROM t`
+  // and every other accidental shape unmatched.
+  private val ChangesRe =
+    """(?is)([\w.]+)\s+CHANGES\s+FROM\s+(\d+)\s+TO\s+(\d+)""".r
+
+  private[plans] def rewriteChanges(sqlText: String): Option[String] =
+    replaceOutsideQuotes(sqlText, ChangesRe)(m =>
+      "`" + m.group(1) + "$diff$" + m.group(2) + "$" + m.group(3) + "`")
 
   // DESCRIBE HISTORY <table> — the table-history statement (Delta's
   // spelling) over a registered store view: rewritten to a SELECT over
@@ -1146,6 +1162,7 @@ object ResolveGraftTimeTravel extends Rule[LogicalPlan] {
 
   private val Ref = """(.+)\$asof\$(\d+)""".r
   private val HistRef = """(.+)\$history""".r
+  private val DiffRef = """(.+)\$diff\$(\d+)\$(\d+)""".r
 
   private def registered(tag: String, name: String) =
     GraftTableRegistry.required(tag, name)
@@ -1161,6 +1178,12 @@ object ResolveGraftTimeTravel extends Rule[LogicalPlan] {
           val (store, view) = registered("DESCRIBE HISTORY", name)
           org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(name,
             store.history(view).queryExecution.analyzed)
+        case Seq(DiffRef(name, a, b)) =>
+          val (store, view) = registered("CHANGES FROM", name)
+          val key = GraftTableRegistry.requiredKey("CHANGES FROM", name)
+          org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(name,
+            store.diff(view, a.toLong, b.toLong, Seq(key))
+              .queryExecution.analyzed)
         case _ => u
       }
     }

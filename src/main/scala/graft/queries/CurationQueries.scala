@@ -1794,6 +1794,30 @@ object CurationQueries {
       s.sql("SELECT k, cust, p, note FROM t276 VERSION AS OF 4")
     }),
 
+    // The CHANGE DATA FEED as a SQL relation: `t CHANGES FROM a TO b`
+    // rewrites (quote-masked, like VERSION AS OF) to the registry-
+    // bound snapshot diff — typed insert/update/delete rows with full
+    // pre/post payloads, composable into any statement. The graded
+    // frame diffs v1 -> v4 across INSERT + UPDATE + DV-DELETE run
+    // through SQL; the oracle constructs the same typed rows
+    // declaratively (note: the deleted rows' pre-payload is their v1
+    // value — the intermediate update is invisible to a v1-v4 diff,
+    // exactly snapshot-diff semantics).
+    "q278_sql_changes" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q278_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t278"))
+      graft.plans.GraftTableRegistry.unregister("t278")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q278_orders")
+      s.sql(s"CREATE TABLE t278 USING graft PRIMARY KEY k LOCATION '$root' " +
+        "AS SELECT k, cust, p FROM q278_orders WHERE k % 4 = 0")
+      s.sql("INSERT INTO t278 SELECT k, cust, p FROM q278_orders WHERE k % 4 = 1")
+      s.sql("UPDATE t278 SET p = p + 1000 WHERE cust % 7 = 0")
+      s.sql("DELETE FROM t278 WHERE k % 20 = 0")
+      s.sql("SELECT change_type, k, p_pre, p_post FROM t278 CHANGES FROM 1 TO 4")
+    }),
+
     // RESTORE in PURE SQL — the bad-deploy rollback statement: v1 is
     // the good snapshot, v2 an erroneous overwrite, v3 a deleteWhere
     // on top of it; `RESTORE TABLE t TO VERSION AS OF 1` republishes
@@ -3354,6 +3378,23 @@ object CurationQueries {
          SELECT o_orderkey, o_custkey, o_totalprice,
             'n' || CAST(o_orderkey AS VARCHAR)
          FROM orders WHERE o_orderkey % 2 <> 0""",
+
+    // The typed diff rows constructed declaratively. Updates surface
+    // only where the payload actually changed (cust%7 rows not yet
+    // deleted); deletes carry their v1 pre-payload.
+    "q278_sql_changes" ->
+      """SELECT 'insert' AS change_type, o_orderkey AS k,
+            CAST(NULL AS DOUBLE) AS p_pre,
+            CASE WHEN o_custkey % 7 = 0 THEN o_totalprice + 1000
+                 ELSE o_totalprice END AS p_post
+         FROM orders WHERE o_orderkey % 4 = 1
+         UNION ALL
+         SELECT 'update', o_orderkey, o_totalprice, o_totalprice + 1000
+         FROM orders WHERE o_orderkey % 4 = 0 AND o_custkey % 7 = 0
+           AND o_orderkey % 20 <> 0
+         UNION ALL
+         SELECT 'delete', o_orderkey, o_totalprice, NULL
+         FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 20 = 0""",
 
     // Same composition as q272, born and closed entirely in SQL.
     "q273_sql_create_table" ->

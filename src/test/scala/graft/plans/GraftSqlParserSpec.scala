@@ -675,6 +675,38 @@ class GraftSqlParserSpec extends SparkSpec {
       "DESCRIBE DETAIL not_ours").isEmpty)
   }
 
+  test("CHANGES FROM ... TO: the change data feed as a SQL relation") {
+    // rewrite fires only on the real clause shape, outside quotes
+    assert(GraftSqlParser.rewriteChanges(
+      "SELECT * FROM t CHANGES FROM 1 TO 4")
+      .contains("SELECT * FROM `t$diff$1$4`"))
+    assert(GraftSqlParser.rewriteChanges(
+      "SELECT 't CHANGES FROM 1 TO 4' AS s").isEmpty)
+    assert(GraftSqlParser.rewriteChanges("SELECT changes FROM t").isEmpty)
+    val root = graft.sources.Scratch.processScoped("sqlparser_chg", "spec")
+    graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+    val st = new graft.sources.SnapshotStore(spark, root)
+    st.commit("t", Seq((1L, 10.0), (2L, 20.0)).toDF("k", "p"),
+      overwrite = true, statsCols = Seq("k"))
+    st.mergeInto("t", Seq((2L, 25.0), (3L, 30.0)).toDF("k", "p"), "k",
+      statsCols = Seq("k"))
+    GraftTableRegistry.register("chg_spec", st, "t", keyCol = "k")
+    val rows = spark.sql(
+      "SELECT change_type, k FROM chg_spec CHANGES FROM 1 TO 2").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("update", 2L), ("insert", 3L)), rows.toString)
+    // composes: the diff relation joins like any other
+    val joined = spark.sql(
+      """SELECT c.change_type, v.p FROM chg_spec CHANGES FROM 1 TO 2 AS c
+         JOIN chg_spec VERSION AS OF 2 AS v ON c.k = v.k""").count()
+    assert(joined == 2L)
+    // a key-less registration fails with the 4-arg hint
+    GraftTableRegistry.register("chg_nokey", st, "t")
+    val ex = intercept[Exception](spark.sql(
+      "SELECT * FROM chg_nokey CHANGES FROM 1 TO 2").collect())
+    assert(ex.getMessage.contains("key"), ex.getMessage)
+  }
+
   test("VERSION AS OF inside string literals and comments is left verbatim") {
     // pure literal: no rewrite fires at all
     assert(GraftSqlParser.rewriteTimeTravel(
