@@ -38,7 +38,9 @@ import org.apache.spark.sql.types.StructType
   *
   * Options: `root`, `view` (required); `changeFeed`, `keyColumns`,
   * `startingVersion` (exclusive; default 0 = initial snapshot is the
-  * first batch), `maxVersionsPerTrigger`, `ignoreRewrites`. Sink side:
+  * first batch), `maxVersionsPerTrigger`, `maxBytesPerTrigger` (soft
+  * byte cap per batch over the range's ADDED dirs — the rate limit
+  * that matters at scale), `ignoreRewrites`. Sink side:
   * `mergeKey` (upsert by key), `deleteColumn` (with `mergeKey`: rows
   * flagged true DELETE their key — the CDC-tombstone apply),
   * `statsColumns`, `txnAppId`, `legacyTxnFence`.
@@ -141,6 +143,7 @@ class GraftTableSourceProvider extends StreamSourceProvider
       fixedSchema = schema.getOrElse(streamSchema(store, view, parameters)),
       startingVersion = parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map(_.toLong),
       ignoreRewrites = parameters.get("ignoreRewrites").exists(_.toBoolean))
   }
 }
@@ -153,6 +156,7 @@ class GraftTableSource(spark: SparkSession,
                        fixedSchema: StructType,
                        startingVersion: Long,
                        maxVersionsPerTrigger: Option[Long],
+                       maxBytesPerTrigger: Option[Long] = None,
                        ignoreRewrites: Boolean)
     extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
@@ -197,8 +201,37 @@ class GraftTableSource(spark: SparkSession,
     val vs = store.versions(view)
     if (vs.isEmpty) return null
     val pinned = availableNowEnd.fold(vs.last)(e => math.min(vs.last, e))
-    val end = maxVersionsPerTrigger.fold(pinned)(n => math.min(pinned, from + n))
+    val vEnd = maxVersionsPerTrigger.fold(pinned)(n => math.min(pinned, from + n))
+    val end = maxBytesPerTrigger.fold(vEnd)(cap => byteCappedEnd(from, vEnd, cap))
     if (end <= from) null else LongOffset(end)
+  }
+
+  /** Walk committed versions in (from, vEnd], accumulating each
+    * version's ADDED data-dir bytes (driver-side manifest + file
+    * listing only — no jobs); stop once the cumulative bytes reach
+    * `maxBytesPerTrigger`, always admitting at least one version — the
+    * soft-cap contract (a single over-cap commit must still make
+    * progress). Bytes, not versions, are the unit that matters at
+    * scale: one OPTIMIZE commit can be a thousand times a normal
+    * append, and a version-count limit would admit it blindly.
+    */
+  private def byteCappedEnd(from: Long, vEnd: Long, cap: Long): Long = {
+    val committed = store.versions(view)
+    val pending = committed.filter(v => v > from && v <= vEnd)
+    var cum = 0L
+    var end = from
+    val it = pending.iterator
+    while (it.hasNext && (end == from || cum < cap)) {
+      val v = it.next()
+      val prev =
+        if (committed.contains(v - 1))
+          store.manifestDirs(view, Some(v - 1)).toSet
+        else Set.empty[String]
+      cum += store.manifestDirs(view, Some(v)).filterNot(prev)
+        .map(store.dirBytes(view, _)).sum
+      end = v
+    }
+    end
   }
 
   // legacy v1 polling path (kept for completeness — the engine prefers

@@ -21,12 +21,13 @@ class TableStreamSpec extends SparkSpec {
   }
 
   private def drainTo(root: String, results: scala.collection.mutable.Buffer[(Long, Set[Long])],
-                      extra: Map[String, String] = Map.empty): Unit = {
+                      extra: Map[String, String] = Map.empty,
+                      cp: String = "_cp"): Unit = {
     var r = spark.readStream.format("graft-table")
       .option("root", root).option("view", "src")
     extra.foreach { case (k, v) => r = r.option(k, v) }
     val q = r.load().writeStream
-      .option("checkpointLocation", s"$root/_cp")
+      .option("checkpointLocation", s"$root/$cp")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val ks = batch.select(col("k")).collect().map(_.getLong(0)).toSet
@@ -166,6 +167,24 @@ class TableStreamSpec extends SparkSpec {
     val got = scala.collection.mutable.Buffer.empty[(Long, Set[Long])]
     drainTo(root, got, Map("maxVersionsPerTrigger" -> "1"))
     assert(got.map(_._2).toList == List(Set(1L), Set(2L), Set(3L)), got.toString)
+  }
+
+  test("maxBytesPerTrigger: a soft byte cap over each batch's added dirs") {
+    val (st, root) = fresh()
+    st.commit("src", Seq((1L, "a")).toDF("k", "v"), overwrite = true)
+    st.commit("src", Seq((2L, "b")).toDF("k", "v"), overwrite = false)
+    st.commit("src", Seq((3L, "c")).toDF("k", "v"), overwrite = false)
+    // every commit's dir is larger than 1 byte -> one version per batch
+    // (soft cap: an over-cap commit still makes progress)
+    val tiny = scala.collection.mutable.Buffer.empty[(Long, Set[Long])]
+    drainTo(root, tiny, Map("maxBytesPerTrigger" -> "1"), cp = "_cpB1")
+    assert(tiny.map(_._2).toList == List(Set(1L), Set(2L), Set(3L)),
+      tiny.toString)
+    // a cap above the total admits everything in one batch
+    val big = scala.collection.mutable.Buffer.empty[(Long, Set[Long])]
+    drainTo(root, big, Map("maxBytesPerTrigger" -> (1L << 30).toString),
+      cp = "_cpB2")
+    assert(big.map(_._2).toList == List(Set(1L, 2L, 3L)), big.toString)
   }
 
   test("sink: merge mode upserts by key, txn-fenced per batch") {
