@@ -343,6 +343,13 @@ object GraftSqlParser {
   // O(files) driver metadata
   private val DescribeDetailRe =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*$""".r
+  // ANALYZE TABLE <t> COMPUTE STATISTICS FOR ALL COLUMNS | FOR COLUMNS
+  // c1, … — Spark's own spelling, claimed only for registered store
+  // views (catalog tables still reach the stock command); returns the
+  // long-format exact profile (count/nulls/NDV/min/max per column)
+  private val AnalyzeRe =
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS\s+""" +
+      """FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+(.+?))\s*;?\s*$""").r
   // the COLUMN-LEVEL merge shape real migrations write: WHEN MATCHED
   // THEN UPDATE SET c = expr[, …] and/or WHEN NOT MATCHED THEN INSERT
   // (cols) VALUES (exprs) — compiled to the same keyed mergeInto with
@@ -466,6 +473,11 @@ object GraftSqlParser {
     }).orElse(DescribeDetailRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftDescribeDetailCommand(m.group(1)): LogicalPlan
+    }).orElse(AnalyzeRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        GraftAnalyzeCommand(m.group(1),
+          Option(m.group(3)).map(_.split(",").toSeq
+            .map(_.trim).filter(_.nonEmpty))): LogicalPlan
     })
 
   /** A zero-row frame that still writes ONE real parquet file: the
@@ -1093,6 +1105,39 @@ case class GraftDescribeDetailCommand(name: String)
     Seq(org.apache.spark.sql.Row(name, v, dirs.size.toLong,
       dels.size.toLong, dirs.map(store.dirBytes(view, _)).sum,
       GraftTableRegistry.lookupKey(name).orNull))
+  }
+}
+
+/** `ANALYZE TABLE <t> COMPUTE STATISTICS FOR ALL COLUMNS | FOR COLUMNS
+  * c1, …` over a registered store view — Spark's own statement
+  * spelling bound to [[graft.operators.Stats.analyzeColumns]]: the
+  * exact long-format profile (rows, non-null, NDV, min/max as strings)
+  * in ONE aggregation pass (the k exact countDistincts ride Catalyst's
+  * Expand — the textbook ANALYZE cost, paid by explicit command).
+  * O(columns) result rows collect to the driver, catalog-sized.
+  */
+case class GraftAnalyzeCommand(name: String, columns: Option[Seq[String]])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType)(),
+    AttributeReference("n_rows", LongType)(),
+    AttributeReference("n_nonnull", LongType)(),
+    AttributeReference("n_null", LongType)(),
+    AttributeReference("ndv", LongType)(),
+    AttributeReference("min_s", StringType)(),
+    AttributeReference("max_s", StringType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val (store, view) = GraftTableRegistry.required("ANALYZE TABLE", name)
+    val df = store.read(view)
+    val cols = columns.getOrElse(df.columns.toSeq)
+    cols.foreach { c =>
+      require(df.columns.exists(_.equalsIgnoreCase(c)),
+        s"ANALYZE TABLE $name: `$c` is not a table column " +
+          df.columns.mkString("(", ", ", ")"))
+    }
+    graft.operators.Stats.analyzeColumns(df, cols).collect().toSeq
   }
 }
 

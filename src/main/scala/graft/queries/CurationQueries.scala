@@ -1818,6 +1818,25 @@ object CurationQueries {
       s.sql("SELECT change_type, k, p_pre, p_post FROM t278 CHANGES FROM 1 TO 4")
     }),
 
+    // ANALYZE TABLE in SQL — Spark's own statement spelling over a
+    // registered store view: the exact long-format column profile
+    // (rows / non-null / NDV / min / max) in ONE aggregation pass,
+    // graded against the declarative per-column replay. Profiled
+    // columns are integer/string (exact cross-engine string casts —
+    // float repr is engine-dependent and belongs to the numeric
+    // profilers).
+    "q279_sql_analyze" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q279_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t279"))
+      graft.plans.GraftTableRegistry.unregister("t279")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_orderpriority").as("prio"))
+        .createOrReplaceTempView("q279_orders")
+      s.sql(s"CREATE TABLE t279 USING graft PRIMARY KEY k LOCATION '$root' " +
+        "AS SELECT k, cust, prio FROM q279_orders WHERE k % 3 = 0")
+      s.sql("ANALYZE TABLE t279 COMPUTE STATISTICS FOR COLUMNS k, cust, prio")
+    }),
+
     // RESTORE in PURE SQL — the bad-deploy rollback statement: v1 is
     // the good snapshot, v2 an erroneous overwrite, v3 a deleteWhere
     // on top of it; `RESTORE TABLE t TO VERSION AS OF 1` republishes
@@ -3395,6 +3414,26 @@ object CurationQueries {
          UNION ALL
          SELECT 'delete', o_orderkey, o_totalprice, NULL
          FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 20 = 0""",
+
+    // The exact profile of the k%3 subset, one UNION branch per column.
+    "q279_sql_analyze" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_custkey AS cust,
+                           o_orderpriority AS prio
+                    FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT 'k' AS "column", COUNT(*) AS n_rows, COUNT(k) AS n_nonnull,
+                COUNT(*) - COUNT(k) AS n_null, COUNT(DISTINCT k) AS ndv,
+                CAST(MIN(k) AS VARCHAR) AS min_s, CAST(MAX(k) AS VARCHAR) AS max_s
+         FROM t
+         UNION ALL
+         SELECT 'cust', COUNT(*), COUNT(cust), COUNT(*) - COUNT(cust),
+                COUNT(DISTINCT cust), CAST(MIN(cust) AS VARCHAR),
+                CAST(MAX(cust) AS VARCHAR)
+         FROM t
+         UNION ALL
+         SELECT 'prio', COUNT(*), COUNT(prio), COUNT(*) - COUNT(prio),
+                COUNT(DISTINCT prio), CAST(MIN(prio) AS VARCHAR),
+                CAST(MAX(prio) AS VARCHAR)
+         FROM t""",
 
     // Same composition as q272, born and closed entirely in SQL.
     "q273_sql_create_table" ->

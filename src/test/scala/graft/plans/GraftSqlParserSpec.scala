@@ -666,13 +666,25 @@ class GraftSqlParserSpec extends SparkSpec {
       "d DECIMAL(10,2)")
     assert(GraftSqlParser.stripOuterParens("(d DECIMAL(10,2), e INT)") ==
       "d DECIMAL(10,2), e INT")
-    // none of the three is claimed for unregistered names
+    // ANALYZE TABLE: Spark's spelling over the registered view — the
+    // ALL COLUMNS form profiles everything, unknown columns refuse
+    val prof = spark.sql(
+      "ANALYZE TABLE ddl2_spec COMPUTE STATISTICS FOR ALL COLUMNS")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prof.keySet == st.read("t").columns.toSet, prof.toString)
+    assert(prof.values.forall(_ == 1L), prof.toString) // 1 row post-truncate+insert
+    val exAn = intercept[Exception](spark.sql(
+      "ANALYZE TABLE ddl2_spec COMPUTE STATISTICS FOR COLUMNS nosuch").collect())
+    assert(exAn.getMessage.contains("not a table column"), exAn.getMessage)
+    // none of the four is claimed for unregistered names
     assert(GraftSqlParser.parseMaintenance(
       "ALTER TABLE not_ours ADD COLUMN x INT").isEmpty)
     assert(GraftSqlParser.parseMaintenance(
       "TRUNCATE TABLE not_ours").isEmpty)
     assert(GraftSqlParser.parseMaintenance(
       "DESCRIBE DETAIL not_ours").isEmpty)
+    assert(GraftSqlParser.parseMaintenance(
+      "ANALYZE TABLE not_ours COMPUTE STATISTICS FOR ALL COLUMNS").isEmpty)
   }
 
   test("CHANGES FROM ... TO: the change data feed as a SQL relation") {
