@@ -269,7 +269,13 @@ object GraftSqlParser {
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([\w.]+)\s*(?:CLUSTER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+    ("""(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
+      """(\s+DRY\s+RUN)?\s*;?\s*$""").r
+  // SHOW GRAFT TABLES — the registry listing (name, root, view, key,
+  // version per binding); spelled with the provider token so the stock
+  // SHOW TABLES surface is never shadowed
+  private val ShowTablesRe =
+    """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val DeleteRe =
@@ -419,7 +425,10 @@ object GraftSqlParser {
     }.orElse(VacuumRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftVacuumCommand(m.group(1),
-          Option(m.group(2)).map(_.toInt).getOrElse(1)): LogicalPlan
+          Option(m.group(2)).map(_.toInt).getOrElse(1),
+          dryRun = m.group(3) != null): LogicalPlan
+    }).orElse(ShowTablesRe.findFirstMatchIn(sqlText).map { _ =>
+      GraftShowTablesCommand(): LogicalPlan
     }).orElse(RestoreRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftRestoreCommand(m.group(1), m.group(2).toLong): LogicalPlan
@@ -576,21 +585,58 @@ case class GraftOptimizeCommand(name: String, clusterCols: Seq[String])
   }
 }
 
-/** `VACUUM <table> [RETAIN n VERSIONS]` as a RunnableCommand —
-  * [[graft.sources.SnapshotStore.vacuum]] over the registry binding.
-  * Returns one (table, removed_dirs) row.
+/** `VACUUM <table> [RETAIN n VERSIONS] [DRY RUN]` as a
+  * RunnableCommand — [[graft.sources.SnapshotStore.vacuum]] over the
+  * registry binding. Returns one (table, removed_dirs) row; the DRY
+  * RUN form deletes nothing and returns one row PER dir that would be
+  * removed (the pre-flight every operator runs before GC'ing a
+  * shared root).
   */
-case class GraftVacuumCommand(name: String, retainVersions: Int)
+case class GraftVacuumCommand(name: String, retainVersions: Int,
+                              dryRun: Boolean = false)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
-  override def output: Seq[Attribute] = Seq(
-    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
-    AttributeReference("removed_dirs", org.apache.spark.sql.types.LongType)())
+  override def output: Seq[Attribute] =
+    if (dryRun) Seq(
+      AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+      AttributeReference("would_remove", org.apache.spark.sql.types.StringType)())
+    else Seq(
+      AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+      AttributeReference("removed_dirs", org.apache.spark.sql.types.LongType)())
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("VACUUM", name)
-    Seq(org.apache.spark.sql.Row(name,
+    if (dryRun)
+      store.vacuumDryRun(view, retainVersions)
+        .map(d => org.apache.spark.sql.Row(name, d))
+    else Seq(org.apache.spark.sql.Row(name,
       store.vacuum(view, retainVersions).toLong))
   }
+}
+
+/** `SHOW GRAFT TABLES` — one row per registry binding: the catalog
+  * listing for the engine's tables (name, store root, view, key
+  * column, current version). Driver metadata only.
+  */
+case class GraftShowTablesCommand()
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType)(),
+    AttributeReference("root", StringType)(),
+    AttributeReference("view", StringType)(),
+    AttributeReference("key_column", StringType)(),
+    AttributeReference("version", LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] =
+    GraftTableRegistry.bindings.sortBy(_._1).map {
+      case (name, (store, view)) =>
+        val v = store.versions(view) match {
+          case Nil => 0L
+          case vs => vs.max
+        }
+        org.apache.spark.sql.Row(name, store.root, view,
+          GraftTableRegistry.lookupKey(name).orNull, v)
+    }
 }
 
 /** `RESTORE [TABLE] <table> TO VERSION AS OF <n>` as a
@@ -1178,6 +1224,9 @@ object GraftTableRegistry {
   def lookup(name: String): Option[(graft.sources.SnapshotStore, String)] =
     reg.get(name)
   def lookupKey(name: String): Option[String] = keys.get(name)
+  /** Every live binding — the `SHOW GRAFT TABLES` listing. */
+  def bindings: Seq[(String, (graft.sources.SnapshotStore, String))] =
+    reg.toSeq
 
   /** Lookup-or-fail with the registration hint — the shared error
     * every statement command raises.

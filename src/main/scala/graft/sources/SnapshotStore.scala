@@ -1616,7 +1616,17 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * break it (the Delta-style time-travel-vs-VACUUM contract, with
     * pins as explicit retention roots rather than a time window).
     */
-  def vacuum(view: String, retainVersions: Int = 1): Int = {
+  def vacuum(view: String, retainVersions: Int = 1): Int =
+    vacuumImpl(view, retainVersions, dryRun = false).size
+
+  /** What [[vacuum]] WOULD remove — dir names only, nothing deleted:
+    * the pre-flight every operator runs before GC'ing a shared root.
+    */
+  def vacuumDryRun(view: String, retainVersions: Int = 1): Seq[String] =
+    vacuumImpl(view, retainVersions, dryRun = true)
+
+  private def vacuumImpl(view: String, retainVersions: Int,
+                         dryRun: Boolean): Seq[String] = {
     // retain >= 1 is a hard floor: takeRight(0) would GC every dir and
     // manifest — an unrecoverable table wipe from one typo'd statement
     require(retainVersions >= 1,
@@ -1632,10 +1642,12 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       if (!Files.isDirectory(dataRoot(view))) Nil
       else listEntries(dataRoot(view))
         .filterNot(p => live.contains(p.getFileName.toString))
-    dead.foreach(p => Scratch.deleteRecursively(p.toFile))
-    vs.dropRight(retainVersions).filterNot(pinned)
-      .foreach(v => Files.deleteIfExists(manifestPath(view, v)))
-    dead.size
+    if (!dryRun) {
+      dead.foreach(p => Scratch.deleteRecursively(p.toFile))
+      vs.dropRight(retainVersions).filterNot(pinned)
+        .foreach(v => Files.deleteIfExists(manifestPath(view, v)))
+    }
+    dead.map(_.getFileName.toString)
   }
 
   /** `view`'s data dirs still referenced by ANY other view in this

@@ -687,6 +687,33 @@ class GraftSqlParserSpec extends SparkSpec {
       "ANALYZE TABLE not_ours COMPUTE STATISTICS FOR ALL COLUMNS").isEmpty)
   }
 
+  test("VACUUM DRY RUN and SHOW GRAFT TABLES") {
+    val root = graft.sources.Scratch.processScoped("sqlparser_vdr", "spec")
+    graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+    val st = new graft.sources.SnapshotStore(spark, root)
+    st.commit("t", Seq((1L, "a")).toDF("k", "v"),
+      overwrite = true, statsCols = Seq("k"))
+    st.commit("t", Seq((2L, "b")).toDF("k", "v"),
+      overwrite = true, statsCols = Seq("k")) // v1's dir is now dead
+    GraftTableRegistry.register("vdr_spec", st, "t", keyCol = "k")
+    // dry run names the removable dirs and deletes NOTHING
+    val dry = spark.sql("VACUUM vdr_spec RETAIN 1 VERSIONS DRY RUN").collect()
+    assert(dry.length == 1, dry.mkString(","))
+    assert(dry.head.getString(1) == st.manifestDirs("t", Some(1L)).head)
+    assert(st.versions("t") == Seq(1L, 2L), "dry run must not GC")
+    assert(st.read("t", Some(1L)).count() == 1L)
+    // the real vacuum then removes exactly what the dry run named
+    val removed = spark.sql("VACUUM vdr_spec RETAIN 1 VERSIONS").head()
+    assert(removed.getLong(1) == 1L)
+    assert(st.versions("t") == Seq(2L))
+    // the registry listing carries the binding and its version
+    val shown = spark.sql("SHOW GRAFT TABLES").collect()
+      .map(r => r.getString(0) -> (r.getString(2), r.getString(3),
+        r.getLong(4))).toMap
+    assert(shown("vdr_spec") == (("t", "k", 2L)), shown.toString)
+    assert(shown.contains("vdr_spec"))
+  }
+
   test("CHANGES FROM ... TO: the change data feed as a SQL relation") {
     // rewrite fires only on the real clause shape, outside quotes
     assert(GraftSqlParser.rewriteChanges(
