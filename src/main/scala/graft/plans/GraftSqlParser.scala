@@ -588,9 +588,10 @@ case class GraftOptimizeCommand(name: String, clusterCols: Seq[String])
 /** `VACUUM <table> [RETAIN n VERSIONS] [DRY RUN]` as a
   * RunnableCommand — [[graft.sources.SnapshotStore.vacuum]] over the
   * registry binding. Returns one (table, removed_dirs) row; the DRY
-  * RUN form deletes nothing and returns one row PER dir that would be
-  * removed (the pre-flight every operator runs before GC'ing a
-  * shared root).
+  * RUN form deletes nothing and returns one (kind, would_remove) row
+  * per dead data dir AND per expiring version — the manifest half
+  * matters even when no dir dies: an append-only table keeps every
+  * dir live, but old versions (and time travel to them) still go.
   */
 case class GraftVacuumCommand(name: String, retainVersions: Int,
                               dryRun: Boolean = false)
@@ -598,6 +599,7 @@ case class GraftVacuumCommand(name: String, retainVersions: Int,
   override def output: Seq[Attribute] =
     if (dryRun) Seq(
       AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+      AttributeReference("kind", org.apache.spark.sql.types.StringType)(),
       AttributeReference("would_remove", org.apache.spark.sql.types.StringType)())
     else Seq(
       AttributeReference("table", org.apache.spark.sql.types.StringType)(),
@@ -605,10 +607,11 @@ case class GraftVacuumCommand(name: String, retainVersions: Int,
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("VACUUM", name)
-    if (dryRun)
-      store.vacuumDryRun(view, retainVersions)
-        .map(d => org.apache.spark.sql.Row(name, d))
-    else Seq(org.apache.spark.sql.Row(name,
+    if (dryRun) {
+      val (dirs, vers) = store.vacuumDryRun(view, retainVersions)
+      dirs.map(d => org.apache.spark.sql.Row(name, "data_dir", d)) ++
+        vers.map(v => org.apache.spark.sql.Row(name, "version", s"v$v"))
+    } else Seq(org.apache.spark.sql.Row(name,
       store.vacuum(view, retainVersions).toLong))
   }
 }
@@ -1177,12 +1180,16 @@ case class GraftAnalyzeCommand(name: String, columns: Option[Seq[String]])
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("ANALYZE TABLE", name)
     val df = store.read(view)
-    val cols = columns.getOrElse(df.columns.toSeq)
-    cols.foreach { c =>
-      require(df.columns.exists(_.equalsIgnoreCase(c)),
-        s"ANALYZE TABLE $name: `$c` is not a table column " +
-          df.columns.mkString("(", ", ", ")"))
-    }
+    // resolve each listed name to the table's OWN spelling (so a
+    // case-variant spelling profiles instead of failing resolution
+    // downstream) and de-duplicate (FOR COLUMNS k, k would otherwise
+    // build ambiguous aggregate aliases)
+    val cols = columns.getOrElse(df.columns.toSeq).map { c =>
+      df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"ANALYZE TABLE $name: `$c` is not a table column " +
+            df.columns.mkString("(", ", ", ")")))
+    }.distinct
     graft.operators.Stats.analyzeColumns(df, cols).collect().toSeq
   }
 }
@@ -1275,8 +1282,21 @@ object ResolveGraftTimeTravel extends Rule[LogicalPlan] {
         case Seq(DiffRef(name, a, b)) =>
           val (store, view) = registered("CHANGES FROM", name)
           val key = GraftTableRegistry.requiredKey("CHANGES FROM", name)
+          // the range contract up front: an inverted range would
+          // silently emit a REVERSED feed (deletes as inserts), and a
+          // nonexistent version would surface as a raw file error
+          // instead of this surface's friendly refusal
+          val (lo, hi) = (a.toLong, b.toLong)
+          if (lo >= hi) throw new IllegalArgumentException(
+            s"CHANGES FROM $lo TO $hi on `$name`: the range must " +
+              "ascend (FROM < TO)")
+          val vs = store.versions(view)
+          Seq(lo, hi).filterNot(vs.contains).foreach(v =>
+            throw new IllegalArgumentException(
+              s"CHANGES FROM $lo TO $hi on `$name`: version $v is not " +
+                s"a retained version ${vs.mkString("(", ", ", ")")}"))
           org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(name,
-            store.diff(view, a.toLong, b.toLong, Seq(key))
+            store.diff(view, lo, hi, Seq(key))
               .queryExecution.analyzed)
         case _ => u
       }

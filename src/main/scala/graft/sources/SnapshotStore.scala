@@ -1617,16 +1617,21 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * pins as explicit retention roots rather than a time window).
     */
   def vacuum(view: String, retainVersions: Int = 1): Int =
-    vacuumImpl(view, retainVersions, dryRun = false).size
+    vacuumImpl(view, retainVersions, dryRun = false)._1.size
 
-  /** What [[vacuum]] WOULD remove — dir names only, nothing deleted:
-    * the pre-flight every operator runs before GC'ing a shared root.
+  /** What [[vacuum]] WOULD remove — (dead data dirs, expiring
+    * VERSIONS), nothing deleted: the pre-flight every operator runs
+    * before GC'ing a shared root. The versions half matters even when
+    * no dir dies (an append-only table keeps every dir live in the
+    * head manifest, but the old manifests still go — and with them
+    * time travel).
     */
-  def vacuumDryRun(view: String, retainVersions: Int = 1): Seq[String] =
+  def vacuumDryRun(view: String,
+                   retainVersions: Int = 1): (Seq[String], Seq[Long]) =
     vacuumImpl(view, retainVersions, dryRun = true)
 
   private def vacuumImpl(view: String, retainVersions: Int,
-                         dryRun: Boolean): Seq[String] = {
+                         dryRun: Boolean): (Seq[String], Seq[Long]) = {
     // retain >= 1 is a hard floor: takeRight(0) would GC every dir and
     // manifest — an unrecoverable table wipe from one typo'd statement
     require(retainVersions >= 1,
@@ -1642,12 +1647,12 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       if (!Files.isDirectory(dataRoot(view))) Nil
       else listEntries(dataRoot(view))
         .filterNot(p => live.contains(p.getFileName.toString))
+    val deadVersions = vs.dropRight(retainVersions).filterNot(pinned)
     if (!dryRun) {
       dead.foreach(p => Scratch.deleteRecursively(p.toFile))
-      vs.dropRight(retainVersions).filterNot(pinned)
-        .foreach(v => Files.deleteIfExists(manifestPath(view, v)))
+      deadVersions.foreach(v => Files.deleteIfExists(manifestPath(view, v)))
     }
-    dead.map(_.getFileName.toString)
+    (dead.map(_.getFileName.toString), deadVersions)
   }
 
   /** `view`'s data dirs still referenced by ANY other view in this

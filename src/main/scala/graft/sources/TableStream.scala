@@ -202,33 +202,46 @@ class GraftTableSource(spark: SparkSession,
     if (vs.isEmpty) return null
     val pinned = availableNowEnd.fold(vs.last)(e => math.min(vs.last, e))
     val vEnd = maxVersionsPerTrigger.fold(pinned)(n => math.min(pinned, from + n))
-    val end = maxBytesPerTrigger.fold(vEnd)(cap => byteCappedEnd(from, vEnd, cap))
+    val end = maxBytesPerTrigger.fold(vEnd)(cap =>
+      byteCappedEnd(vs, from, vEnd, cap))
     if (end <= from) null else LongOffset(end)
   }
 
   /** Walk committed versions in (from, vEnd], accumulating each
-    * version's ADDED data-dir bytes (driver-side manifest + file
-    * listing only — no jobs); stop once the cumulative bytes reach
-    * `maxBytesPerTrigger`, always admitting at least one version — the
-    * soft-cap contract (a single over-cap commit must still make
+    * version's ADDED dir bytes — data dirs AND deletion-vector dirs
+    * (a changeFeed stream's backlog can be all DV deletes; counting
+    * them as zero would admit it unbounded). Driver-side manifest +
+    * file listing only, no jobs; each version's manifest is read ONCE
+    * (the dirs carry forward as the next step's predecessor — the
+    * committed list is contiguous except below a vacuum horizon, where
+    * the predecessor re-derives). Stops once the cumulative bytes
+    * reach `maxBytesPerTrigger`, always admitting at least one version
+    * — the soft-cap contract (a single over-cap commit must still make
     * progress). Bytes, not versions, are the unit that matters at
     * scale: one OPTIMIZE commit can be a thousand times a normal
     * append, and a version-count limit would admit it blindly.
     */
-  private def byteCappedEnd(from: Long, vEnd: Long, cap: Long): Long = {
-    val committed = store.versions(view)
+  private def byteCappedEnd(committed: Seq[Long], from: Long, vEnd: Long,
+                            cap: Long): Long = {
+    def allDirs(v: Long): Set[String] =
+      (store.manifestDirs(view, Some(v)) ++ store.manifestDels(view, v)).toSet
     val pending = committed.filter(v => v > from && v <= vEnd)
     var cum = 0L
     var end = from
+    var prevV = from
+    var prevDirs: Set[String] =
+      if (committed.contains(from)) allDirs(from) else Set.empty
     val it = pending.iterator
     while (it.hasNext && (end == from || cum < cap)) {
       val v = it.next()
       val prev =
-        if (committed.contains(v - 1))
-          store.manifestDirs(view, Some(v - 1)).toSet
+        if (v == prevV + 1) prevDirs
+        else if (committed.contains(v - 1)) allDirs(v - 1)
         else Set.empty[String]
-      cum += store.manifestDirs(view, Some(v)).filterNot(prev)
-        .map(store.dirBytes(view, _)).sum
+      val dirs = allDirs(v)
+      cum += dirs.diff(prev).toSeq.map(store.dirBytes(view, _)).sum
+      prevV = v
+      prevDirs = dirs
       end = v
     }
     end

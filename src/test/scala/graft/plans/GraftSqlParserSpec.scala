@@ -696,21 +696,35 @@ class GraftSqlParserSpec extends SparkSpec {
     st.commit("t", Seq((2L, "b")).toDF("k", "v"),
       overwrite = true, statsCols = Seq("k")) // v1's dir is now dead
     GraftTableRegistry.register("vdr_spec", st, "t", keyCol = "k")
-    // dry run names the removable dirs and deletes NOTHING
+    // dry run names the removable dirs AND expiring versions, deletes
+    // NOTHING
     val dry = spark.sql("VACUUM vdr_spec RETAIN 1 VERSIONS DRY RUN").collect()
-    assert(dry.length == 1, dry.mkString(","))
-    assert(dry.head.getString(1) == st.manifestDirs("t", Some(1L)).head)
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(dry == Set(
+      ("data_dir", st.manifestDirs("t", Some(1L)).head),
+      ("version", "v1")), dry.toString)
     assert(st.versions("t") == Seq(1L, 2L), "dry run must not GC")
     assert(st.read("t", Some(1L)).count() == 1L)
-    // the real vacuum then removes exactly what the dry run named
+    // append-only shape: no dir dies, but the dry run still surfaces
+    // the manifest (time-travel) loss
+    st.commit("t", Seq((3L, "c")).toDF("k", "v"), overwrite = false,
+      statsCols = Seq("k"))
+    val dry2 = spark.sql("VACUUM vdr_spec RETAIN 1 VERSIONS DRY RUN")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(dry2.contains(("version", "v2")), dry2.toString)
+    val live3 = st.manifestDirs("t", Some(3L)).toSet
+    assert(dry2.collect { case ("data_dir", d) => d }
+      .forall(!live3.contains(_)), dry2.toString)
+    // the real vacuum then removes exactly what the dry run named:
+    // v1's dir (v2's is carried live in v3), versions v1 and v2
     val removed = spark.sql("VACUUM vdr_spec RETAIN 1 VERSIONS").head()
     assert(removed.getLong(1) == 1L)
-    assert(st.versions("t") == Seq(2L))
+    assert(st.versions("t") == Seq(3L))
     // the registry listing carries the binding and its version
     val shown = spark.sql("SHOW GRAFT TABLES").collect()
       .map(r => r.getString(0) -> (r.getString(2), r.getString(3),
         r.getLong(4))).toMap
-    assert(shown("vdr_spec") == (("t", "k", 2L)), shown.toString)
+    assert(shown("vdr_spec") == (("t", "k", 3L)), shown.toString)
     assert(shown.contains("vdr_spec"))
   }
 
