@@ -1017,7 +1017,8 @@ case class GraftCreateTableCommand(name: String,
             s"conflicts with the registered key " +
             bound.fold("(none)")(b => s"`$b`"))
       }
-      return Seq(org.apache.spark.sql.Row(name, st.versions(view).max))
+      return Seq(org.apache.spark.sql.Row(name,
+        st.versions(view).lastOption.getOrElse(0L)))
     }
     val root = location
       .orElse(spark.conf.getOption("spark.graft.store.root"))
@@ -1148,12 +1149,18 @@ case class GraftDescribeDetailCommand(name: String)
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("DESCRIBE DETAIL", name)
-    val v = store.versions(view).max
-    val dirs = store.manifestDirs(view, Some(v))
-    val dels = store.manifestDels(view, v)
-    Seq(org.apache.spark.sql.Row(name, v, dirs.size.toLong,
-      dels.size.toLong, dirs.map(store.dirBytes(view, _)).sum,
-      GraftTableRegistry.lookupKey(name).orNull))
+    val key = GraftTableRegistry.lookupKey(name).orNull
+    // a registered-but-never-committed view describes as v0, empty —
+    // not a crash (versions.max / readManifest would throw)
+    store.versions(view).lastOption match {
+      case None =>
+        Seq(org.apache.spark.sql.Row(name, 0L, 0L, 0L, 0L, key))
+      case Some(v) =>
+        val dirs = store.manifestDirs(view, Some(v))
+        val dels = store.manifestDels(view, v)
+        Seq(org.apache.spark.sql.Row(name, v, dirs.size.toLong,
+          dels.size.toLong, dirs.map(store.dirBytes(view, _)).sum, key))
+    }
   }
 }
 

@@ -726,6 +726,15 @@ class GraftSqlParserSpec extends SparkSpec {
         r.getLong(4))).toMap
     assert(shown("vdr_spec") == (("t", "k", 3L)), shown.toString)
     assert(shown.contains("vdr_spec"))
+    // registered-but-never-committed views describe (and list) as v0
+    // instead of crashing on an empty version chain
+    GraftTableRegistry.register("vdr_empty", st, "never_committed", "k")
+    val d0 = spark.sql("DESCRIBE DETAIL vdr_empty").head()
+    assert((d0.getLong(1), d0.getLong(2), d0.getLong(4)) == ((0L, 0L, 0L)),
+      d0.toString)
+    assert(spark.sql("SHOW GRAFT TABLES").collect()
+      .find(_.getString(0) == "vdr_empty").get.getLong(4) == 0L)
+    GraftTableRegistry.unregister("vdr_empty")
   }
 
   test("CHANGES FROM ... TO: the change data feed as a SQL relation") {
