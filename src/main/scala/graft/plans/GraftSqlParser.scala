@@ -53,6 +53,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def rewrites(sqlText: String): Option[String] =
     GraftSqlParser.rewriteDescribeHistory(sqlText)
       .orElse(GraftSqlParser.rewriteTimeTravel(sqlText))
+      .orElse(GraftSqlParser.rewriteTimestampTravel(sqlText))
       .orElse(GraftSqlParser.rewriteChanges(sqlText))
 
   override def parsePlan(sqlText: String): LogicalPlan =
@@ -234,20 +235,107 @@ object GraftSqlParser {
     replaceOutsideQuotes(sqlText, VersionAsOfRe)(m =>
       "`" + m.group(1) + "$asof$" + m.group(2) + "`")
 
+  // <table> TIMESTAMP AS OF '<instant>' — wall-clock time travel:
+  // resolved through the manifests' monotonic commit timestamps
+  // ([[graft.sources.SnapshotStore.versionAtTimestamp]] — latest
+  // version at-or-before the instant) to the SAME pinned-snapshot read
+  // VERSION AS OF produces. The literal parses at REWRITE time (epoch
+  // millis, 'yyyy-MM-dd', or ISO date-time, interpreted as UTC — the
+  // engine's session timezone) so the identifier carries plain millis.
+  // Unlike VERSION AS OF the match necessarily SPANS a quoted literal,
+  // so only the match START is required to sit outside quotes/comments
+  // (an occurrence inside a string or comment is left verbatim).
+  private val TimestampAsOfRe =
+    """(?is)([\w.]+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']*)'""".r
+
+  /** Parse a TIMESTAMP AS OF literal to epoch millis (UTC): bare
+    * digits = epoch millis; else `yyyy-MM-dd[ HH:mm:ss[.SSS]]` (a 'T'
+    * separator also accepted). Fails naming the accepted forms.
+    */
+  private[plans] def parseTsLiteral(s: String): Long = {
+    val t = s.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) return t.toLong
+    val norm = t.replace('T', ' ')
+    val full =
+      if (norm.length == 10) norm + " 00:00:00"
+      else if (norm.length == 16) norm + ":00"
+      else norm
+    try {
+      val fmt = new java.text.SimpleDateFormat(
+        if (full.contains(".")) "yyyy-MM-dd HH:mm:ss.SSS"
+        else "yyyy-MM-dd HH:mm:ss")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      fmt.setLenient(false)
+      fmt.parse(full).getTime
+    } catch { case _: java.text.ParseException =>
+      throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF '$s': expected epoch millis, 'yyyy-MM-dd', " +
+          "or 'yyyy-MM-dd HH:mm:ss[.SSS]' (UTC)")
+    }
+  }
+
+  private[plans] def rewriteTimestampTravel(sqlText: String): Option[String] = {
+    val mask = quotedMask(sqlText)
+    val ms = TimestampAsOfRe.findAllMatchIn(sqlText)
+      .filterNot(m => mask(m.start)).toSeq
+    if (ms.isEmpty) None
+    else {
+      val sb = new StringBuilder
+      var pos = 0
+      ms.foreach { m =>
+        sb.append(sqlText.substring(pos, m.start))
+          .append("`" + m.group(1) + "$asofts$" + parseTsLiteral(m.group(2)) + "`")
+        pos = m.end
+      }
+      Some(sb.append(sqlText.substring(pos)).toString)
+    }
+  }
+
   // <table> CHANGES FROM <a> TO <b> — the change data feed as a SQL
   // relation (the batch half of the changeFeed stream source): each
   // occurrence becomes the quoted identifier `name$diff$a$b`, which
   // [[ResolveGraftTimeTravel]] binds to `store.diff(view, a, b, key)`
   // over the registry's recorded key. Same quote/comment masking and
   // compositionality as VERSION AS OF (usable in joins, CTEs,
-  // subqueries). The digit-anchored FROM keeps `SELECT changes FROM t`
-  // and every other accidental shape unmatched.
+  // subqueries). Bounds are versions, `TIMESTAMP '<instant>'` (resolved
+  // through the manifests' commit timestamps), or — TO side only —
+  // `LATEST`, so a poller can ask "everything since v5" without first
+  // querying history. The bound-anchored FROM keeps `SELECT changes
+  // FROM t` and every other accidental shape unmatched. A timestamp
+  // bound necessarily spans a quoted literal, so only the match START
+  // must sit outside quotes/comments.
   private val ChangesRe =
-    """(?is)([\w.]+)\s+CHANGES\s+FROM\s+(\d+)\s+TO\s+(\d+)""".r
+    ("""(?is)([\w.]+)\s+CHANGES\s+FROM\s+(\d+|TIMESTAMP\s*'[^']*')\s+TO\s+""" +
+      """(\d+|LATEST\b|TIMESTAMP\s*'[^']*')""").r
 
-  private[plans] def rewriteChanges(sqlText: String): Option[String] =
-    replaceOutsideQuotes(sqlText, ChangesRe)(m =>
-      "`" + m.group(1) + "$diff$" + m.group(2) + "$" + m.group(3) + "`")
+  /** Encode one CHANGES bound into its identifier token: digits stay
+    * digits, LATEST lowers, a TIMESTAMP literal parses to `t<millis>`.
+    */
+  private def encodeChangesBound(raw: String): String = {
+    val t = raw.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t
+    else if (t.equalsIgnoreCase("latest")) "latest"
+    else "t" + parseTsLiteral(
+      t.replaceFirst("(?is)^TIMESTAMP\\s*'", "").stripSuffix("'"))
+  }
+
+  private[plans] def rewriteChanges(sqlText: String): Option[String] = {
+    val mask = quotedMask(sqlText)
+    val ms = ChangesRe.findAllMatchIn(sqlText)
+      .filterNot(m => mask(m.start)).toSeq
+    if (ms.isEmpty) None
+    else {
+      val sb = new StringBuilder
+      var pos = 0
+      ms.foreach { m =>
+        sb.append(sqlText.substring(pos, m.start))
+          .append("`" + m.group(1) + "$diff$" + encodeChangesBound(m.group(2)) +
+            "$" + encodeChangesBound(m.group(3)) + "`")
+        pos = m.end
+      }
+      Some(sb.append(sqlText.substring(pos)).toString)
+    }
+  }
 
   // DESCRIBE HISTORY <table> — the table-history statement (Delta's
   // spelling) over a registered store view: rewritten to a SELECT over
@@ -296,15 +384,19 @@ object GraftSqlParser {
   // falls through verbatim. The store root comes from LOCATION or the
   // `spark.graft.store.root` conf — the role a catalog's managed
   // location plays.
+  // clause order is fixed: PRIMARY KEY, then CLUSTER BY, then LOCATION
+  // (documented in the README's SQL table)
   private val CreateTableRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*""" +
       """\((.+?)\)\s*USING\s+graft""" +
       """(?:\s+PRIMARY\s+KEY\s+\(?\s*(\w+)\s*\)?)?""" +
+      """(?:\s+CLUSTER\s+BY\s*\(([^)]*)\))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
   private val CtasRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+""" +
       """USING\s+graft""" +
       """(?:\s+PRIMARY\s+KEY\s+\(?\s*(\w+)\s*\)?)?""" +
+      """(?:\s+CLUSTER\s+BY\s*\(([^)]*)\))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?""" +
       """\s+AS\s+(SELECT\s+.+?)\s*;?\s*$""").r
   // DROP TABLE unbinds the registry entry (claimed only for registered
@@ -381,6 +473,119 @@ object GraftSqlParser {
       """(?:WHEN\s+MATCHED\s+AND\s+([\w.]+)\s+THEN\s+DELETE\s+)?""" +
       """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
       """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""").r
+
+  // the GENERAL multi-clause conditional MERGE (SQL:2003 / Delta
+  // semantics): any number of `WHEN [NOT] MATCHED [AND <cond>] THEN
+  // <action>` clauses, first-match-wins precedence per row. Claimed
+  // LAST among the merge forms, so the two dedicated shapes above keep
+  // their exact paths; the head captures through ON and the clause
+  // tail is split by [[splitWhenClauses]] (quote/paren-aware — a WHEN
+  // inside a condition's parens or a string literal never splits).
+  private val MergeWhenRe =
+    ("""(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+""" +
+      """USING\s+([\w.]+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+""" +
+      """ON\s+([\w.]+)\s*=\s*([\w.]+)\s+""" +
+      """(WHEN\s+.+?)\s*;?\s*$""").r
+
+  private val WhenHeadRe =
+    """(?is)^WHEN\s+(NOT\s+)?MATCHED\s*(.*)$""".r
+  private val ActUpdateAllRe = """(?is)^UPDATE\s+SET\s+\*$""".r
+  private val ActUpdateSetRe = """(?is)^UPDATE\s+SET\s+(.+)$""".r
+  private val ActDeleteRe = """(?is)^DELETE$""".r
+  private val ActInsertAllRe = """(?is)^INSERT\s+\*$""".r
+  private val ActInsertValsRe =
+    """(?is)^INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)$""".r
+
+  /** Positions where keyword `kw` starts at paren depth 0 outside
+    * quotes/comments, with identifier boundaries on both sides AND the
+    * given lookahead regex matching the text right after it — the
+    * lookahead is what lets an un-parenthesized `CASE WHEN … THEN …`
+    * inside a condition or SET expression pass through unsplit (a
+    * clause WHEN is followed by [NOT] MATCHED; a clause THEN by
+    * UPDATE/DELETE/INSERT — a CASE's arms never are).
+    */
+  private def topLevelKw(s: String, kw: String,
+                         lookahead: scala.util.matching.Regex): Seq[Int] = {
+    val mask = quotedMask(s)
+    def ident(c: Char) = Character.isLetterOrDigit(c) || c == '_' || c == '$'
+    val k = kw.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!mask(i)) {
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (depth == 0 && i + k <= s.length &&
+                 s.substring(i, i + k).equalsIgnoreCase(kw) &&
+                 (i == 0 || !ident(s.charAt(i - 1))) &&
+                 (i + k == s.length || !ident(s.charAt(i + k))) &&
+                 lookahead.findFirstIn(s.substring(i + k)).nonEmpty)
+          out += i
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  private val WhenLookahead = """(?is)^\s+(NOT\s+)?MATCHED\b""".r
+  private val ThenLookahead = """(?is)^\s+(UPDATE|DELETE|INSERT)\b""".r
+
+  /** Split the WHEN-clause tail into one string per clause: a new
+    * clause starts at every top-level `WHEN` followed by `[NOT]
+    * MATCHED` — a WHEN inside a parenthesized subquery, a string
+    * literal, or a CASE expression never splits.
+    */
+  private[plans] def splitWhenClauses(s: String): Seq[String] = {
+    val starts = topLevelKw(s, "WHEN", WhenLookahead)
+    (starts :+ s.length).sliding(2).collect {
+      case Seq(a, b) => s.substring(a, b).trim
+    }.toSeq.filter(_.nonEmpty)
+  }
+
+  /** Parse one `WHEN …` clause text to a [[MergeClause]] — refusing
+    * action/side mismatches up front (UPDATE/DELETE need MATCHED,
+    * INSERT needs NOT MATCHED — the SQL MERGE grammar). The
+    * condition/action boundary is the first top-level THEN followed by
+    * an action keyword, so CASE arms inside conditions survive.
+    */
+  private[plans] def parseWhenClause(tag: String, s: String): MergeClause = {
+    val m = WhenHeadRe.findFirstMatchIn(s).getOrElse(
+      throw new IllegalArgumentException(s"$tag: unparseable clause `$s`"))
+    val matched = m.group(1) == null
+    val rest = m.group(2)
+    val thenAt = topLevelKw(rest, "THEN", ThenLookahead).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"$tag: clause `$s` has no THEN <action>"))
+    val before = rest.take(thenAt).trim
+    val cond =
+      if (before.isEmpty) None
+      else if (before.length >= 4 &&
+               before.substring(0, 3).equalsIgnoreCase("AND") &&
+               !Character.isLetterOrDigit(before.charAt(3)))
+        Some(before.drop(3).trim)
+      else throw new IllegalArgumentException(
+        s"$tag: expected `AND <condition>` before THEN, got `$before`")
+    val act = rest.drop(thenAt + 4).trim match {
+      case ActUpdateAllRe() => MergeUpdateAll
+      case ActDeleteRe() => MergeDelete
+      case ActInsertAllRe() => MergeInsertAll
+      case ActInsertValsRe(cols, vals) => MergeInsertVals(
+        cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+        vals.trim)
+      case ActUpdateSetRe(sets) => MergeUpdateSet(sets.trim)
+      case other => throw new IllegalArgumentException(
+        s"$tag: unsupported merge action `$other`")
+    }
+    act match {
+      case MergeUpdateAll | MergeDelete | _: MergeUpdateSet =>
+        require(matched, s"$tag: `$s` — UPDATE/DELETE need WHEN MATCHED")
+      case MergeInsertAll | _: MergeInsertVals =>
+        require(!matched, s"$tag: `$s` — INSERT needs WHEN NOT MATCHED")
+    }
+    MergeClause(matched, cond, act)
+  }
 
   /** Split `s` at the FIRST `WHERE` keyword lying at paren depth 0
     * outside quotes/comments (the mask walk): (before, Some(after)),
@@ -461,14 +666,25 @@ object GraftSqlParser {
           insertCols = Option(m.group(8)).map(c =>
             c.split(",").toSeq.map(_.trim).filter(_.nonEmpty)),
           insertValsSql = Option(m.group(9))): LogicalPlan
+    }).orElse(MergeWhenRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        val tag = s"MERGE INTO ${m.group(1)}"
+        GraftMergeWhenCommand(m.group(1), Option(m.group(2)),
+          m.group(3), Option(m.group(4)),
+          Seq(m.group(5), m.group(6)),
+          splitWhenClauses(m.group(7)).map(parseWhenClause(tag, _))): LogicalPlan
     }).orElse(CreateTableRe.findFirstMatchIn(sqlText).map { m =>
       GraftCreateTableCommand(m.group(2), Some(m.group(3)), None,
-        Option(m.group(4)), Option(m.group(5)),
-        ifNotExists = m.group(1) != null): LogicalPlan
+        Option(m.group(4)), Option(m.group(6)),
+        ifNotExists = m.group(1) != null,
+        clusterCols = Option(m.group(5)).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)): LogicalPlan
     }).orElse(CtasRe.findFirstMatchIn(sqlText).map { m =>
-      GraftCreateTableCommand(m.group(2), None, Some(m.group(5)),
-        Option(m.group(3)), Option(m.group(4)),
-        ifNotExists = m.group(1) != null): LogicalPlan
+      GraftCreateTableCommand(m.group(2), None, Some(m.group(6)),
+        Option(m.group(3)), Option(m.group(5)),
+        ifNotExists = m.group(1) != null,
+        clusterCols = Option(m.group(4)).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)): LogicalPlan
     }).orElse(DropTableRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftDropTableCommand(m.group(1)): LogicalPlan
@@ -695,6 +911,18 @@ case class GraftDeleteCommand(name: String, predicateSql: String)
   * the table's current schema, and lands as ONE append commit with
   * the key column (when registered) recorded as stats. Claimed only
   * for registered names. Returns (table, version, rows_inserted).
+  *
+  * PRIMARY KEY contract: like Delta, the recorded key is
+  * INFORMATIONAL by default — INSERT appends without a uniqueness
+  * probe, and a duplicated key then flows through every keyed
+  * statement (an UPDATE compiled to mergeInto carries BOTH copies).
+  * Set `spark.graft.sql.enforcePrimaryKey=true` to refuse violating
+  * INSERTs up front: the payload materializes once (localCheckpoint),
+  * an intra-batch duplicate probe and a bounded existing-key probe
+  * (key-only column pruning on the target scan; the new-key side is
+  * small and broadcasts) run BEFORE any write, and a violation names
+  * the offending key. The probes cost one narrow target scan — the
+  * price every enforced-PK engine pays per insert.
   */
 case class GraftInsertCommand(name: String, querySql: String)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
@@ -738,8 +966,40 @@ case class GraftInsertCommand(name: String, querySql: String)
       }: _*)
       .observe(obs, org.apache.spark.sql.functions
         .count(org.apache.spark.sql.functions.lit(1)).as("n"))
-    val v = store.commit(view, src, overwrite = false,
-      statsCols = GraftTableRegistry.lookupKey(name).toSeq)
+    // opt-in PRIMARY KEY enforcement (see the class scaladoc): the
+    // payload materializes once and BOTH probes run before any write
+    val enforcedKey = GraftTableRegistry.lookupKey(name).filter(_ =>
+      spark.conf.getOption("spark.graft.sql.enforcePrimaryKey")
+        .exists(_.toBoolean))
+    val payload = enforcedKey.fold(src) { k =>
+      import org.apache.spark.sql.functions.count
+      val chk = src.localCheckpoint()
+      chk.groupBy(col(k)).agg(count(lit(1)).as("_graft_n"))
+        .where(col("_graft_n") > 1)
+        .select(col(k).cast("string")).limit(1).collect()
+        .headOption.foreach(r => throw new IllegalArgumentException(
+          s"INSERT INTO $name: the payload repeats PRIMARY KEY " +
+            s"`$k` = ${r.getString(0)} — deduplicate it, or disable " +
+            "spark.graft.sql.enforcePrimaryKey"))
+      store.read(view).select(col(k))
+        .join(chk.select(col(k)).distinct(), Seq(k), "left_semi")
+        .select(col(k).cast("string")).limit(1).collect()
+        .headOption.foreach(r => throw new IllegalArgumentException(
+          s"INSERT INTO $name: PRIMARY KEY `$k` = ${r.getString(0)} " +
+            "already exists — MERGE INTO to upsert, or disable " +
+            "spark.graft.sql.enforcePrimaryKey"))
+      chk
+    }
+    // a DDL-declared CLUSTER BY routes the append through the Hilbert
+    // range-dir writer — multi-column skipping is this table's default
+    // layout, not a maintenance action
+    val cluster = GraftTableRegistry.lookupCluster(name)
+    val v =
+      if (cluster.nonEmpty)
+        store.commitClustered(view, payload, cluster, overwrite = false,
+          statsCols = GraftTableRegistry.lookupKey(name).toSeq)
+      else store.commit(view, payload, overwrite = false,
+        statsCols = GraftTableRegistry.lookupKey(name).toSeq)
     Seq(org.apache.spark.sql.Row(name, v, obs.get("n").asInstanceOf[Long]))
   }
 }
@@ -825,9 +1085,13 @@ case class GraftMergeCommand(name: String, srcName: String,
     require(onCols.forall(_.equalsIgnoreCase(keyCol)),
       s"MERGE INTO $name: ON must equate the registered key `$keyCol` " +
         s"on both sides, got ${onCols.mkString(" = ")}")
+    // an expensive source QUERY/VIEW materializes once (localCheckpoint,
+    // the GraftUpdateCommand pattern) and feeds both the cardinality
+    // probe and the merge; a registered store view is a cheap
+    // manifest-pinned scan and stays lazy
     val source = GraftTableRegistry.lookup(srcName)
       .map { case (s2, v2) => s2.read(v2) }
-      .getOrElse(spark.table(srcName))
+      .getOrElse(spark.table(srcName).localCheckpoint())
     GraftMergeCommand.requireUniqueSourceKeys(s"MERGE INTO $name",
       source, keyCol)
     // SQL MERGE semantics for the delete clause: `WHEN MATCHED AND d
@@ -887,9 +1151,10 @@ case class GraftMergeColumnsCommand(name: String, tAliasOpt: Option[String],
         s"sides, got ${onCols.mkString(" = ")}")
     val target = store.read(view)
     val targetSchema = target.schema
+    // same once-materialized source contract as GraftMergeCommand
     val source = GraftTableRegistry.lookup(srcName)
       .map { case (s2, v2) => s2.read(v2) }
-      .getOrElse(spark.table(srcName))
+      .getOrElse(spark.table(srcName).localCheckpoint())
     GraftMergeCommand.requireUniqueSourceKeys(tag, source, keyCol)
     val ta = tAliasOpt.getOrElse(name.split('.').last)
     val sa = sAliasOpt.getOrElse(srcName.split('.').last)
@@ -942,6 +1207,154 @@ case class GraftMergeColumnsCommand(name: String, tAliasOpt: Option[String],
   }
 }
 
+/** One MERGE action — the THEN side of a WHEN clause. */
+sealed trait MergeAction
+case object MergeUpdateAll extends MergeAction
+final case class MergeUpdateSet(setSql: String) extends MergeAction
+case object MergeDelete extends MergeAction
+case object MergeInsertAll extends MergeAction
+final case class MergeInsertVals(cols: Seq[String], valsSql: String)
+    extends MergeAction
+
+/** One `WHEN [NOT] MATCHED [AND cond] THEN action` clause. */
+final case class MergeClause(matched: Boolean, cond: Option[String],
+                             action: MergeAction)
+
+/** The GENERAL conditional MERGE: any clause list, compiled to ONE
+  * projected-source keyed [[graft.sources.SnapshotStore.mergeInto]] —
+  * one left join of the source onto the target (conditions and SET/
+  * VALUES expressions can reference both sides by alias), then per
+  * target column a FIRST-MATCH-WINS `when` chain in clause order (the
+  * SQL:2003 / Delta precedence rule: a row matching two clauses takes
+  * the first). Matched rows firing a DELETE clause carry a tombstone
+  * column mergeInto drops; rows firing NO clause are filtered OUT of
+  * the source, so the target rows they shadow carry through the
+  * copy-on-write rewrite untouched. SET assignments are SIMULTANEOUS
+  * within a clause (one projection over the old row). Duplicate source
+  * keys refuse up front (the MERGE cardinality rule); only
+  * key-overlapping dirs rewrite.
+  */
+case class GraftMergeWhenCommand(name: String, tAliasOpt: Option[String],
+                                 srcName: String, sAliasOpt: Option[String],
+                                 onCols: Seq[String],
+                                 clauses: Seq[MergeClause])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("version", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    val tag = s"MERGE INTO $name"
+    val (store, view) = GraftTableRegistry.required("MERGE INTO", name)
+    val keyCol = GraftTableRegistry.requiredKey("MERGE INTO", name)
+    require(onCols.map(_.split('.').last).forall(_.equalsIgnoreCase(keyCol)),
+      s"$tag: ON must equate the registered key `$keyCol` on both " +
+        s"sides, got ${onCols.mkString(" = ")}")
+    require(clauses.nonEmpty, s"$tag: no WHEN clauses")
+    val target = store.read(view)
+    val targetSchema = target.schema
+    val tcols = targetSchema.map(_.name)
+    // an expensive source QUERY/VIEW materializes once and feeds both
+    // the cardinality probe and the merge; a registered store view is
+    // a cheap manifest-pinned scan and stays lazy
+    val source = GraftTableRegistry.lookup(srcName)
+      .map { case (s2, v2) => s2.read(v2) }
+      .getOrElse(spark.table(srcName).localCheckpoint())
+    GraftMergeCommand.requireUniqueSourceKeys(tag, source, keyCol)
+    val ta = tAliasOpt.getOrElse(name.split('.').last)
+    val sa = sAliasOpt.getOrElse(srcName.split('.').last)
+    require(!ta.equalsIgnoreCase(sa),
+      s"$tag: target and source aliases collide (`$ta`) — alias one side")
+    require(!tcols.exists(_.equalsIgnoreCase("_graft_del")),
+      s"$tag: `_graft_del` is reserved")
+    // per-clause validation + parsed SET/INSERT maps (unqualified
+    // lowercase column -> expression text), in clause order
+    val starAll = clauses.exists(c =>
+      c.action == MergeUpdateAll || c.action == MergeInsertAll)
+    if (starAll) tcols.foreach { c =>
+      require(source.columns.exists(_.equalsIgnoreCase(c)),
+        s"$tag: UPDATE/INSERT * needs source column `$c` " +
+          source.columns.mkString("(", ", ", ")"))
+    }
+    def parseSets(setSql: String): Map[String, String] = {
+      val pairs = GraftSqlParser.splitTopLevel(setSql).map { a =>
+        val eq = a.indexOf('=')
+        require(eq > 0, s"$tag: bad assignment `$a`")
+        a.take(eq).trim.split('.').last.toLowerCase -> a.drop(eq + 1).trim
+      }
+      val m = pairs.toMap
+      require(m.size == pairs.size, s"$tag: duplicate SET column")
+      require(!m.contains(keyCol.toLowerCase),
+        s"$tag: a keyed merge cannot reassign the key `$keyCol`")
+      m.keySet.foreach(c => require(tcols.exists(_.toLowerCase == c),
+        s"$tag: `$c` is not a target column " + tcols.mkString("(", ", ", ")")))
+      m
+    }
+    def parseIns(cols: Seq[String], valsSql: String): Map[String, String] = {
+      val es = GraftSqlParser.splitTopLevel(valsSql)
+      require(cols.size == es.size,
+        s"$tag: INSERT names ${cols.size} columns but VALUES has ${es.size}")
+      val m = cols.map(_.split('.').last.toLowerCase).zip(es).toMap
+      require(m.size == cols.size, s"$tag: duplicate INSERT column")
+      require(m.contains(keyCol.toLowerCase),
+        s"$tag: the INSERT column list must include the key `$keyCol`")
+      m.keySet.foreach(c => require(tcols.exists(_.toLowerCase == c),
+        s"$tag: `$c` is not a target column " + tcols.mkString("(", ", ", ")")))
+      m
+    }
+    val parsed: Seq[(MergeClause, Map[String, String])] = clauses.map {
+      case c @ MergeClause(_, _, MergeUpdateSet(s)) => c -> parseSets(s)
+      case c @ MergeClause(_, _, MergeInsertVals(cs, vs)) => c -> parseIns(cs, vs)
+      case c => c -> Map.empty[String, String]
+    }
+    val joined = source.as(sa).join(target.as(ta),
+      col(s"$sa.$keyCol") === col(s"$ta.$keyCol"), "left")
+    val matched = col(s"$ta.$keyCol").isNotNull
+    def fire(c: MergeClause): org.apache.spark.sql.Column =
+      c.cond.map(e => coalesce(expr(e).cast("boolean"), lit(false)))
+        .getOrElse(lit(true))
+    val mClauses = parsed.filter(_._1.matched)
+    val iClauses = parsed.filterNot(_._1.matched)
+    def chain(pairs: Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)],
+              default: org.apache.spark.sql.Column) =
+      pairs.foldRight(default) { case ((f, v), acc) => when(f, v).otherwise(acc) }
+    val anyM = mClauses.map { case (c, _) => fire(c) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val anyI = iClauses.map { case (c, _) => fire(c) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val keep = (matched && anyM) || (!matched && anyI)
+    val delFlag = when(matched,
+      chain(mClauses.map { case (c, _) =>
+        fire(c) -> lit(c.action == MergeDelete) }, lit(false)))
+      .otherwise(lit(false))
+    val projected = joined.where(keep).select(tcols.map { c =>
+      val dt = targetSchema(c).dataType
+      def mValue(cl: MergeClause, sets: Map[String, String]) = cl.action match {
+        case MergeUpdateAll => col(s"$sa.$c").cast(dt)
+        case MergeUpdateSet(_) => sets.get(c.toLowerCase)
+          .map(e => expr(e).cast(dt)).getOrElse(col(s"$ta.$c"))
+        case _ => col(s"$ta.$c") // DELETE: old row, dropped by the flag
+      }
+      def iValue(cl: MergeClause, ins: Map[String, String]) = cl.action match {
+        case MergeInsertAll => col(s"$sa.$c").cast(dt)
+        case _ => ins.get(c.toLowerCase)
+          .map(e => expr(e).cast(dt)).getOrElse(lit(null).cast(dt))
+      }
+      when(matched,
+        chain(mClauses.map { case (cl, m) => fire(cl) -> mValue(cl, m) },
+          col(s"$ta.$c")))
+        .otherwise(
+          chain(iClauses.map { case (cl, m) => fire(cl) -> iValue(cl, m) },
+            lit(null).cast(dt)))
+        .as(c)
+    } :+ delFlag.as("_graft_del"): _*)
+    Seq(org.apache.spark.sql.Row(name,
+      store.mergeInto(view, projected, keyCol,
+        deleteCol = Some("_graft_del"), statsCols = Seq(keyCol))))
+  }
+}
+
 object GraftMergeCommand {
   /** The SQL MERGE cardinality rule: at most ONE source row may match
     * a target row — two source rows on the same key would both land
@@ -988,7 +1401,8 @@ case class GraftCreateTableCommand(name: String,
                                    querySql: Option[String],
                                    keyCol: Option[String],
                                    location: Option[String],
-                                   ifNotExists: Boolean)
+                                   ifNotExists: Boolean,
+                                   clusterCols: Seq[String] = Nil)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq(
     AttributeReference("table", org.apache.spark.sql.types.StringType)(),
@@ -997,6 +1411,19 @@ case class GraftCreateTableCommand(name: String,
       : Seq[org.apache.spark.sql.Row] = {
     def norm(p: String) =
       java.nio.file.Paths.get(p).toAbsolutePath.normalize
+    // durable half of the registration: the binding persists as a
+    // catalog file under the session's store root (or the table's own
+    // root when no catalog root is set), so a restarted JVM resolves
+    // the name from disk — CREATE TABLE is a durable statement, not a
+    // session note
+    def persist(st: graft.sources.SnapshotStore, view: String): Unit = {
+      val catRoot = spark.conf.getOption("spark.graft.store.root")
+        .getOrElse(st.root)
+      GraftCatalog.upsert(catRoot, GraftCatalog.Binding(name,
+        java.nio.file.Paths.get(st.root).toAbsolutePath.normalize.toString,
+        view, GraftTableRegistry.lookupKey(name),
+        GraftTableRegistry.lookupCluster(name)))
+    }
     GraftTableRegistry.lookup(name).foreach { case (st, view) =>
       if (!ifNotExists) throw new IllegalArgumentException(
         s"CREATE TABLE $name: already registered — DROP TABLE $name " +
@@ -1017,6 +1444,19 @@ case class GraftCreateTableCommand(name: String,
             s"conflicts with the registered key " +
             bound.fold("(none)")(b => s"`$b`"))
       }
+      // same conflict rule for a declared layout: silently re-routing
+      // inserts onto a different curve would fragment the table
+      if (clusterCols.nonEmpty) {
+        val bound = GraftTableRegistry.lookupCluster(name)
+        if (bound.nonEmpty)
+          require(bound.map(_.toLowerCase) == clusterCols.map(_.toLowerCase),
+            s"CREATE TABLE IF NOT EXISTS $name: CLUSTER BY " +
+              clusterCols.mkString("(", ", ", ")") +
+              " conflicts with the registered clustering " +
+              bound.mkString("(", ", ", ")"))
+        else GraftTableRegistry.registerCluster(name, clusterCols)
+      }
+      persist(st, view)
       return Seq(org.apache.spark.sql.Row(name,
         st.versions(view).lastOption.getOrElse(0L)))
     }
@@ -1026,9 +1466,12 @@ case class GraftCreateTableCommand(name: String,
         s"CREATE TABLE $name USING graft: no store root — add " +
           "LOCATION '<path>' or set spark.graft.store.root"))
     val store = new graft.sources.SnapshotStore(spark, root)
-    def register(): Unit = keyCol match {
-      case Some(k) => GraftTableRegistry.register(name, store, name, k)
-      case None => GraftTableRegistry.register(name, store, name)
+    def register(): Unit = {
+      keyCol match {
+        case Some(k) => GraftTableRegistry.register(name, store, name, k)
+        case None => GraftTableRegistry.register(name, store, name)
+      }
+      GraftTableRegistry.registerCluster(name, clusterCols)
     }
     if (store.versions(name).nonEmpty) {
       if (!ifNotExists) throw new IllegalArgumentException(
@@ -1045,6 +1488,7 @@ case class GraftCreateTableCommand(name: String,
             cols.mkString("(", ", ", ")"))
       }
       register()
+      persist(store, name)
       return Seq(org.apache.spark.sql.Row(name, store.versions(name).max))
     }
     val seed = querySql match {
@@ -1057,9 +1501,22 @@ case class GraftCreateTableCommand(name: String,
         s"CREATE TABLE $name: PRIMARY KEY `$k` is not a table column " +
           seed.columns.mkString("(", ", ", ")"))
     }
-    val v = store.commit(name, seed, overwrite = true,
-      statsCols = keyCol.toSeq)
+    clusterCols.foreach { c =>
+      require(seed.columns.exists(_.equalsIgnoreCase(c)),
+        s"CREATE TABLE $name: CLUSTER BY `$c` is not a table column " +
+          seed.columns.mkString("(", ", ", ")"))
+    }
+    // a clustered CTAS seeds v1 through the Hilbert range-dir writer —
+    // the declared layout is the table's FIRST layout, not a later
+    // OPTIMIZE; the empty-schema form has nothing to cluster yet
+    val v =
+      if (clusterCols.nonEmpty && querySql.nonEmpty)
+        store.commitClustered(name, seed, clusterCols, overwrite = true,
+          statsCols = keyCol.toSeq)
+      else store.commit(name, seed, overwrite = true,
+        statsCols = (keyCol.toSeq ++ clusterCols).distinct)
     register()
+    persist(store, name)
     Seq(org.apache.spark.sql.Row(name, v))
   }
 }
@@ -1077,7 +1534,14 @@ case class GraftDropTableCommand(name: String)
     AttributeReference("table", org.apache.spark.sql.types.StringType)())
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
+    // unbind the durable catalog entry too — wherever it may live (the
+    // session's catalog root, or the table's own root for a LOCATION
+    // table created without one); removing an absent name is a no-op
+    // that publishes nothing
+    val tableRoot = GraftTableRegistry.lookup(name).map(_._1.root)
     GraftTableRegistry.unregister(name)
+    (spark.conf.getOption("spark.graft.store.root").toSeq ++ tableRoot)
+      .distinct.foreach(GraftCatalog.remove(_, name))
     Seq(org.apache.spark.sql.Row(name))
   }
 }
@@ -1214,6 +1678,8 @@ object GraftTableRegistry {
   private val reg = scala.collection.concurrent.TrieMap
     .empty[String, (graft.sources.SnapshotStore, String)]
   private val keys = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val clusters =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
 
   def register(name: String, store: graft.sources.SnapshotStore,
                view: String): Unit = {
@@ -1222,6 +1688,7 @@ object GraftTableRegistry {
     // a prior 4-arg registration must not silently apply to the new
     // view (a wrong-keyed deletion vector excludes the wrong rows)
     keys.remove(name)
+    clusters.remove(name)
   }
 
   /** Registration with the view's row-identity KEY column — what the
@@ -1233,14 +1700,80 @@ object GraftTableRegistry {
                view: String, keyCol: String): Unit = {
     reg.update(name, (store, view))
     keys.update(name, keyCol)
+    clusters.remove(name)
   }
-  def unregister(name: String): Unit = { reg.remove(name); keys.remove(name) }
+
+  /** Record the table's DDL-declared `CLUSTER BY` columns: subsequent
+    * INSERT/CTAS commits route through the Hilbert range-dir writer so
+    * multi-column skipping is the table's DEFAULT layout, not a
+    * post-hoc OPTIMIZE.
+    */
+  def registerCluster(name: String, cols: Seq[String]): Unit =
+    if (cols.isEmpty) clusters.remove(name) else clusters.update(name, cols)
+  def lookupCluster(name: String): Seq[String] =
+    clusters.getOrElse(name, Nil)
+
+  def unregister(name: String): Unit = {
+    reg.remove(name); keys.remove(name); clusters.remove(name)
+  }
+
+  /** The session's catalog root — where durable bindings persist and
+    * where a lookup miss goes looking (`spark.graft.store.root`, the
+    * same conf the LOCATION-less CREATE path treats as the managed
+    * location).
+    */
+  private def catalogRoot: Option[String] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.store.root"))
+
+  /** Lazy restart path: an in-memory miss consults the durable catalog
+    * under the session's store root and re-materializes the binding
+    * (store handle + key + cluster cols) — a restarted JVM resolves
+    * yesterday's `CREATE TABLE`s by name with zero replay.
+    */
+  private def loadFromDisk(name: String)
+      : Option[(graft.sources.SnapshotStore, String)] =
+    for {
+      spark <- org.apache.spark.sql.SparkSession.getActiveSession
+      root <- catalogRoot
+      b <- GraftCatalog.load(root).get(name)
+    } yield {
+      val store = new graft.sources.SnapshotStore(spark, b.root)
+      b.key match {
+        case Some(k) => register(name, store, b.view, k)
+        case None => register(name, store, b.view)
+      }
+      registerCluster(name, b.cluster)
+      (store, b.view)
+    }
+
   def lookup(name: String): Option[(graft.sources.SnapshotStore, String)] =
-    reg.get(name)
-  def lookupKey(name: String): Option[String] = keys.get(name)
-  /** Every live binding — the `SHOW GRAFT TABLES` listing. */
-  def bindings: Seq[(String, (graft.sources.SnapshotStore, String))] =
+    reg.get(name).orElse(loadFromDisk(name))
+  def lookupKey(name: String): Option[String] =
+    keys.get(name).orElse {
+      // the disk fallback must not clobber a LIVE in-memory binding
+      // that simply has no key — only a fully-absent name goes to disk
+      if (reg.contains(name)) None
+      else loadFromDisk(name).flatMap(_ => keys.get(name))
+    }
+
+  /** Every live binding — the `SHOW GRAFT TABLES` listing. Durable
+    * bindings under the session's catalog root are folded in first, so
+    * the listing survives a restart like everything else.
+    */
+  def bindings: Seq[(String, (graft.sources.SnapshotStore, String))] = {
+    catalogRoot.foreach(root =>
+      GraftCatalog.load(root).keys.filterNot(reg.contains)
+        .foreach(loadFromDisk))
     reg.toSeq
+  }
+
+  /** Test hook: wipe the in-memory maps (simulating a JVM restart) —
+    * durable catalog files are untouched.
+    */
+  private[graft] def clearInMemory(): Unit = {
+    reg.clear(); keys.clear(); clusters.clear()
+  }
 
   /** Lookup-or-fail with the registration hint — the shared error
     * every statement command raises.
@@ -1269,8 +1802,9 @@ object GraftTableRegistry {
 object ResolveGraftTimeTravel extends Rule[LogicalPlan] {
 
   private val Ref = """(.+)\$asof\$(\d+)""".r
+  private val TsRef = """(.+)\$asofts\$(\d+)""".r
   private val HistRef = """(.+)\$history""".r
-  private val DiffRef = """(.+)\$diff\$(\d+)\$(\d+)""".r
+  private val DiffRef = """(.+)\$diff\$([^$]+)\$([^$]+)""".r
 
   private def registered(tag: String, name: String) =
     GraftTableRegistry.required(tag, name)
@@ -1282,6 +1816,12 @@ object ResolveGraftTimeTravel extends Rule[LogicalPlan] {
           val (store, view) = registered("VERSION AS OF", name)
           org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(name,
             store.read(view, Some(v.toLong)).queryExecution.analyzed)
+        case Seq(TsRef(name, ms)) =>
+          val (store, view) = registered("TIMESTAMP AS OF", name)
+          org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(name,
+            store.read(view,
+              Some(store.versionAtTimestamp(view, ms.toLong)))
+              .queryExecution.analyzed)
         case Seq(HistRef(name)) =>
           val (store, view) = registered("DESCRIBE HISTORY", name)
           org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(name,
@@ -1289,22 +1829,47 @@ object ResolveGraftTimeTravel extends Rule[LogicalPlan] {
         case Seq(DiffRef(name, a, b)) =>
           val (store, view) = registered("CHANGES FROM", name)
           val key = GraftTableRegistry.requiredKey("CHANGES FROM", name)
+          val allVs = store.versions(view)
+          require(allVs.nonEmpty, s"CHANGES on `$name`: no committed snapshot")
+          // LATEST and TIMESTAMP bounds resolve here (latest retained
+          // version / latest version at-or-before the instant); the
+          // resolved pair then passes the same range contract
+          def bound(tok: String): Long = tok match {
+            case "latest" => allVs.max
+            case t if t.startsWith("t") && t.length > 1 &&
+                t.tail.forall(_.isDigit) =>
+              store.versionAtTimestamp(view, t.tail.toLong)
+            case d if d.nonEmpty && d.forall(_.isDigit) => d.toLong
+            case other => throw new IllegalArgumentException(
+              s"CHANGES on `$name`: unparseable bound `$other`")
+          }
           // the range contract up front: an inverted range would
           // silently emit a REVERSED feed (deletes as inserts), and a
           // nonexistent version would surface as a raw file error
           // instead of this surface's friendly refusal
-          val (lo, hi) = (a.toLong, b.toLong)
+          val (lo, hi) = (bound(a), bound(b))
           if (lo >= hi) throw new IllegalArgumentException(
             s"CHANGES FROM $lo TO $hi on `$name`: the range must " +
               "ascend (FROM < TO)")
-          val vs = store.versions(view)
-          Seq(lo, hi).filterNot(vs.contains).foreach(v =>
+          Seq(lo, hi).filterNot(allVs.contains).foreach(v =>
             throw new IllegalArgumentException(
               s"CHANGES FROM $lo TO $hi on `$name`: version $v is not " +
-                s"a retained version ${vs.mkString("(", ", ", ")")}"))
+                s"a retained version ${allVs.mkString("(", ", ", ")")}"))
           org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(name,
             store.diff(view, lo, hi, Seq(key))
               .queryExecution.analyzed)
+        // PLAIN registered names resolve to the current snapshot — the
+        // restart path: a durable-catalog table is SELECTable by name
+        // with zero setup. Spark's own ResolveRelations runs EARLIER in
+        // the same resolution batch, so temp views and catalog tables
+        // always win the name; this rule only sees relations nothing
+        // else claimed. Batch only — a streaming relation goes through
+        // the graft-table stream source, not a snapshot read.
+        case Seq(name) if !u.isStreaming &&
+            GraftTableRegistry.lookup(name).nonEmpty =>
+          val (store, view) = GraftTableRegistry.required("SELECT", name)
+          org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(name,
+            store.read(view).queryExecution.analyzed)
         case _ => u
       }
     }

@@ -1837,6 +1837,198 @@ object CurationQueries {
       s.sql("ANALYZE TABLE t279 COMPUTE STATISTICS FOR COLUMNS k, cust, prio")
     }),
 
+    // The DURABLE catalog: CREATE TABLE persists its (name -> root,
+    // view, key) binding as an atomically-published catalog file under
+    // the store root, so the binding survives a JVM restart — graded
+    // by WIPING the in-memory registry between every statement (the
+    // restart simulation) and running INSERT/UPDATE/DELETE/SHOW/SELECT
+    // purely off the re-materialized disk binding, including the
+    // PLAIN-NAME read (no VERSION AS OF — the restarted-session
+    // SELECT). The oracle replays the composition declaratively.
+    "q280_sql_durable_catalog" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q280_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t280"))
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "_catalog"))
+      graft.plans.GraftTableRegistry.unregister("t280")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q280_orders")
+      s.conf.set("spark.graft.store.root", root)
+      try {
+        s.sql("CREATE TABLE t280 (k BIGINT, cust BIGINT, p DOUBLE) " +
+          "USING graft PRIMARY KEY k")
+        s.sql("INSERT INTO t280 SELECT k, cust, p FROM q280_orders WHERE k % 3 = 0")
+        graft.plans.GraftTableRegistry.clearInMemory() // "restart" #1
+        s.sql("INSERT INTO t280 SELECT k, cust, p FROM q280_orders WHERE k % 3 = 1")
+        graft.plans.GraftTableRegistry.clearInMemory() // "restart" #2
+        s.sql("UPDATE t280 SET p = p + 1000 WHERE cust % 5 = 0")
+        s.sql("DELETE FROM t280 WHERE k % 30 = 0")
+        graft.plans.GraftTableRegistry.clearInMemory() // "restart" #3
+        require(s.sql("SHOW GRAFT TABLES").collect()
+          .exists(r => r.getString(0) == "t280" && r.getString(3) == "k"),
+          "SHOW must list the disk-backed binding with its key")
+        s.sql("SELECT k, cust, p FROM t280")
+      } finally s.conf.unset("spark.graft.store.root")
+    }),
+
+    // The GENERAL conditional MERGE: four WHEN clauses with
+    // FIRST-MATCH-WINS precedence (SQL:2003 / Delta) — a matched row
+    // satisfying both the update and the delete condition takes the
+    // UPDATE (clause order), the conditional DELETE fires only on its
+    // residue, unconditional fall-through updates the rest, and a
+    // conditional NOT-MATCHED INSERT filters the strays. One atomic
+    // copy-on-write commit (in-query require). The oracle replays all
+    // four outcomes declaratively with identical per-row double
+    // arithmetic in the same association order.
+    "q281_sql_merge_when" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q281_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      st.commit("t", o.where(col("k") % 2 === 0), overwrite = true,
+        statsCols = Seq("k"))
+      o.where(col("k") % 3 === 0)
+        .select(col("k"), (col("p") * 0.5).as("np"))
+        .createOrReplaceTempView("q281_src")
+      graft.plans.GraftTableRegistry.register("t281", st, "t", keyCol = "k")
+      val r = s.sql(
+        """MERGE INTO t281 AS t USING q281_src AS s ON t.k = s.k
+           WHEN MATCHED AND t.cust % 10 = 0 THEN UPDATE SET p = t.p + s.np
+           WHEN MATCHED AND t.cust % 5 = 0 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET p = t.p + 1
+           WHEN NOT MATCHED AND s.np < 20000 THEN INSERT (k, cust, p)
+             VALUES (s.k, -1, s.np)""").head()
+      require(r.getLong(1) == 2L, "one atomic commit")
+      st.read("t")
+    }),
+
+    // CLUSTER BY at CREATE TABLE: the DDL-declared layout routes every
+    // INSERT through the Hilbert range-dir writer, so a 2-D box query
+    // prunes dirs on a table that has NEVER run OPTIMIZE — skipping as
+    // the table's DEFAULT, not a maintenance action. In-query requires
+    // pin the multi-dir layout and that the box prune actually skips;
+    // the graded frame is the exact pruned read.
+    "q282_sql_cluster_create" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q282_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t282"))
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "_catalog"))
+      graft.plans.GraftTableRegistry.unregister("t282")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q282_orders")
+      s.sql("CREATE TABLE t282 (k BIGINT, a BIGINT, b BIGINT, p DOUBLE) " +
+        s"USING graft PRIMARY KEY k CLUSTER BY (a, b) LOCATION '$root'")
+      s.sql("INSERT INTO t282 SELECT k, cust % 64, k % 64, p " +
+        "FROM q282_orders WHERE k % 2 = 0")
+      s.sql("INSERT INTO t282 SELECT k, cust % 64, k % 64, p " +
+        "FROM q282_orders WHERE k % 2 = 1")
+      val (st, view) = graft.plans.GraftTableRegistry.lookup("t282").get
+      require(st.manifestDirs(view).size >= 6,
+        s"clustered inserts must land range dirs: ${st.manifestDirs(view)}")
+      val preds = Seq(("a", "0", "15"), ("b", "0", "15"))
+      val (_, skipped) = st.pruneDirsBox(view, preds)
+      require(skipped.nonEmpty,
+        "the 2-D box prune must skip dirs on a never-OPTIMIZEd table")
+      st.readPrunedBox(view, preds)
+    }),
+
+    // Wall-clock TIME TRAVEL: commit timestamps are recorded in the
+    // manifests (monotonic-guarded, Delta's in-commit-timestamp rule)
+    // and `TIMESTAMP AS OF '<instant>'` resolves to the snapshot a
+    // reader AT that instant saw. The graded frame reads BETWEEN two
+    // commits (the v1 content); in-query requires pin the at-v2
+    // resolution and the too-early refusal. Oracle = v1 declaratively.
+    "q283_sql_timestamp_travel" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q283_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t"))
+      val st = new graft.sources.SnapshotStore(s, root)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      st.commit("t", o.where(col("k") % 2 === 0), overwrite = true,
+        statsCols = Seq("k"))
+      st.commit("t", o.where(col("k") % 2 =!= 0), overwrite = false,
+        statsCols = Seq("k"))
+      graft.plans.GraftTableRegistry.register("t283", st, "t", keyCol = "k")
+      val t1 = st.commitTimestamp("t", 1L)
+      val t2 = st.commitTimestamp("t", 2L)
+      require(t2 > t1, "commit timestamps must strictly ascend")
+      require(s.sql(s"SELECT * FROM t283 TIMESTAMP AS OF '$t2'").count() >
+        s.sql(s"SELECT * FROM t283 TIMESTAMP AS OF '$t1'").count(),
+        "the v2 instant must see the appended rows")
+      require(scala.util.Try(s.sql(
+        s"SELECT * FROM t283 TIMESTAMP AS OF '${t1 - 10}'").collect()).isFailure,
+        "an instant before the first commit must refuse loudly")
+      // between the two commits (t2 - 1 >= t1 by the monotonic guard):
+      // the snapshot a reader at that instant saw is exactly v1
+      s.sql(s"SELECT k, cust, p FROM t283 TIMESTAMP AS OF '${t2 - 1}'")
+    }),
+
+    // Opt-in PRIMARY KEY enforcement: with
+    // spark.graft.sql.enforcePrimaryKey=true an INSERT that would
+    // duplicate the recorded key — against the table OR within its own
+    // payload — refuses BEFORE any write, naming the key (in-query
+    // requires); clean inserts land. Default stays informational like
+    // Delta (the scaladoc/README contract). Oracle = the two admitted
+    // slices declaratively.
+    "q284_sql_pk_enforce" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q284_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t284"))
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "_catalog"))
+      graft.plans.GraftTableRegistry.unregister("t284")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q284_orders")
+      s.sql("CREATE TABLE t284 (k BIGINT, cust BIGINT, p DOUBLE) " +
+        s"USING graft PRIMARY KEY k LOCATION '$root'")
+      s.sql("INSERT INTO t284 SELECT k, cust, p FROM q284_orders WHERE k % 4 = 0")
+      s.conf.set("spark.graft.sql.enforcePrimaryKey", "true")
+      try {
+        val dup = scala.util.Try(s.sql(
+          "INSERT INTO t284 SELECT k, cust, p FROM q284_orders WHERE k % 8 = 0"))
+        require(dup.isFailure &&
+          dup.failed.get.getMessage.contains("already exists"),
+          s"an existing-key INSERT must refuse naming the key: $dup")
+        val intra = scala.util.Try(s.sql(
+          "INSERT INTO t284 SELECT k, cust, p FROM q284_orders WHERE k % 4 = 1 " +
+            "UNION ALL SELECT k, cust, p FROM q284_orders WHERE k % 4 = 1"))
+        require(intra.isFailure &&
+          intra.failed.get.getMessage.contains("repeats PRIMARY KEY"),
+          s"an intra-batch duplicate must refuse: $intra")
+        s.sql("INSERT INTO t284 SELECT k, cust, p FROM q284_orders WHERE k % 4 = 1")
+      } finally s.conf.unset("spark.graft.sql.enforcePrimaryKey")
+      s.sql("SELECT k, cust, p FROM t284 VERSION AS OF 3")
+    }),
+
+    // CHANGES ... TO LATEST + timestamp bounds: the poller's form — no
+    // history query needed to name the head version, and a wall-clock
+    // FROM bound resolves through the commit timestamps to the same
+    // feed (in-query require pins the equivalence). Same typed-diff
+    // oracle shape as q278.
+    "q285_sql_changes_latest" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q285_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t285"))
+      graft.plans.GraftTableRegistry.unregister("t285")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q285_orders")
+      s.sql(s"CREATE TABLE t285 USING graft PRIMARY KEY k LOCATION '$root' " +
+        "AS SELECT k, cust, p FROM q285_orders WHERE k % 4 = 0")
+      s.sql("INSERT INTO t285 SELECT k, cust, p FROM q285_orders WHERE k % 4 = 1")
+      s.sql("UPDATE t285 SET p = p + 1000 WHERE cust % 7 = 0")
+      s.sql("DELETE FROM t285 WHERE k % 20 = 0")
+      val (st, view) = graft.plans.GraftTableRegistry.lookup("t285").get
+      val t1 = st.commitTimestamp(view, 1L)
+      val viaLatest = s.sql(
+        "SELECT change_type, k, p_pre, p_post FROM t285 CHANGES FROM 1 TO LATEST")
+      val viaTs = s.sql("SELECT change_type, k, p_pre, p_post FROM t285 " +
+        s"CHANGES FROM TIMESTAMP '$t1' TO LATEST")
+      require(viaTs.exceptAll(viaLatest).isEmpty &&
+        viaLatest.exceptAll(viaTs).isEmpty,
+        "the timestamp FROM bound must resolve to the same feed")
+      viaLatest
+    }),
+
     // RESTORE in PURE SQL — the bad-deploy rollback statement: v1 is
     // the good snapshot, v2 an erroneous overwrite, v3 a deleteWhere
     // on top of it; `RESTORE TABLE t TO VERSION AS OF 1` republishes
@@ -3434,6 +3626,69 @@ object CurationQueries {
                 COUNT(DISTINCT prio), CAST(MIN(prio) AS VARCHAR),
                 CAST(MAX(prio) AS VARCHAR)
          FROM t""",
+
+    // The restart-surviving composition replayed declaratively: both
+    // inserted slices, the cust%5 bump, minus the k%30 deletes.
+    "q280_sql_durable_catalog" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+            CASE WHEN o_custkey % 5 = 0 THEN o_totalprice + 1000
+                 ELSE o_totalprice END AS p
+         FROM orders
+         WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 30 <> 0""",
+
+    // First-match-wins replay: cust%10 rows take the FIRST clause
+    // (update, NOT the delete they also match); the delete fires only
+    // on its residue (cust%5 minus cust%10); everything else matched
+    // falls through to +1; unmatched targets carry; qualifying strays
+    // insert. Same association order on both engines.
+    "q281_sql_merge_when" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+            CASE WHEN o_custkey % 10 = 0
+                 THEN o_totalprice + o_totalprice * 0.5
+                 ELSE o_totalprice + 1 END AS p
+         FROM orders WHERE o_orderkey % 6 = 0
+           AND NOT (o_custkey % 10 <> 0 AND o_custkey % 5 = 0)
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+         UNION ALL
+         SELECT o_orderkey, -1, o_totalprice * 0.5
+         FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+           AND o_totalprice * 0.5 < 20000""",
+
+    // The exact box content — dir pruning is layout-invisible.
+    "q282_sql_cluster_create" ->
+      """SELECT o_orderkey AS k, o_custkey % 64 AS a, o_orderkey % 64 AS b,
+            o_totalprice AS p
+         FROM orders
+         WHERE o_custkey % 64 BETWEEN 0 AND 15
+           AND o_orderkey % 64 BETWEEN 0 AND 15""",
+
+    // The snapshot a reader between the two commits saw: exactly v1.
+    "q283_sql_timestamp_travel" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
+         FROM orders WHERE o_orderkey % 2 = 0""",
+
+    // The two ADMITTED slices — the refused inserts left no trace.
+    "q284_sql_pk_enforce" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
+         FROM orders WHERE o_orderkey % 4 IN (0, 1)""",
+
+    // q278's typed-diff construction, unchanged by the LATEST /
+    // timestamp spelling of the bounds.
+    "q285_sql_changes_latest" ->
+      """SELECT 'insert' AS change_type, o_orderkey AS k,
+            CAST(NULL AS DOUBLE) AS p_pre,
+            CASE WHEN o_custkey % 7 = 0 THEN o_totalprice + 1000
+                 ELSE o_totalprice END AS p_post
+         FROM orders WHERE o_orderkey % 4 = 1
+         UNION ALL
+         SELECT 'update', o_orderkey, o_totalprice, o_totalprice + 1000
+         FROM orders WHERE o_orderkey % 4 = 0 AND o_custkey % 7 = 0
+           AND o_orderkey % 20 <> 0
+         UNION ALL
+         SELECT 'delete', o_orderkey, o_totalprice, NULL
+         FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 20 = 0""",
 
     // Same composition as q272, born and closed entirely in SQL.
     "q273_sql_create_table" ->

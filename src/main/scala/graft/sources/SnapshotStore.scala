@@ -132,6 +132,41 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     manifestField(Files.readString(manifestPath(view, v)), "txns")
       .map(_.toLong).toSet
 
+  private val TsField = """"ts"\s*:\s*(\d+)""".r
+
+  /** Wall-clock commit timestamp of version `v` (epoch millis) — the
+    * `TIMESTAMP AS OF` anchor. Recorded in the manifest at publish with
+    * a monotonicity guard (max(parent ts + 1, now) — Delta's
+    * in-commit-timestamp rule), so timestamps strictly ascend with
+    * versions even under clock skew or same-millisecond commits and
+    * "latest version at-or-before t" is well-defined. Manifests that
+    * predate the field fall back to file mtime (best effort, the same
+    * fallback Delta documents for non-ICT tables).
+    */
+  def commitTimestamp(view: String, v: Long): Long = {
+    val p = manifestPath(view, v)
+    TsField.findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
+      .getOrElse(Files.getLastModifiedTime(p).toMillis)
+  }
+
+  /** Resolve a wall-clock instant to the snapshot a reader AT that
+    * instant would have seen: the max retained version whose commit
+    * timestamp is ≤ `tsMillis`. Fails naming the bracketing instants
+    * when `tsMillis` predates the first retained commit — a silent
+    * empty read would look like data loss.
+    */
+  def versionAtTimestamp(view: String, tsMillis: Long): Long = {
+    val vs = versions(view)
+    require(vs.nonEmpty, s"$view: no committed snapshot")
+    val stamped = vs.map(v => v -> commitTimestamp(view, v))
+    val hits = stamped.filter(_._2 <= tsMillis)
+    if (hits.isEmpty) throw new IllegalArgumentException(
+      s"$view: TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMillis)} " +
+        "predates the earliest retained commit " +
+        s"(v${stamped.head._1} at ${java.time.Instant.ofEpochMilli(stamped.head._2)})")
+    hits.maxBy(_._1)._1
+  }
+
   /** The DELETION-VECTOR dirs of snapshot `v`: parquet key lists under
     * the data root that readers ANTI-JOIN against the snapshot's data
     * dirs — row-level deletes with zero data-file rewrite (the Delta
@@ -282,10 +317,18 @@ class SnapshotStore(spark: SparkSession, val root: String) {
   private def publish(view: String, next: Long, dirs: Seq[String],
                       txns: Set[Long], dels: Seq[String] = Nil): Unit = {
     Files.createDirectories(manifestDir(view))
+    // commit timestamp, monotonic-guarded against the latest retained
+    // predecessor (not just next-1 — vacuum may have dropped it):
+    // timestamps strictly ascend with versions, so TIMESTAMP AS OF
+    // resolution is total-ordered even under clock skew
+    val parentTs = versions(view).filter(_ < next).lastOption
+      .map(commitTimestamp(view, _)).getOrElse(0L)
+    val ts = math.max(parentTs + 1, System.currentTimeMillis())
     val tmp = Files.createTempFile(manifestDir(view), s".v$next", ".tmp")
     Files.writeString(tmp,
       dirs.map(d => "\"" + d + "\"").mkString("{\"dirs\":[", ",", "],") +
         dels.map(d => "\"" + d + "\"").mkString("\"dels\":[", ",", "],") +
+        s""""ts":$ts,""" +
         txns.toSeq.sorted.mkString("\"txns\":[", ",", "]}"))
     try
       Files.createLink(manifestPath(view, next), tmp)
@@ -365,6 +408,24 @@ class SnapshotStore(spark: SparkSession, val root: String) {
           }
         }
     }
+    evictSchemaCache(view, paths)
+  }
+
+  /** Drop every cached dir-list schema of `view` EXCEPT the just-seeded
+    * key — each commit supersedes its predecessors' lists, so without
+    * eviction a long-running maintenance loop grows the cache O(commits)
+    * (small entries, but unbounded driver growth). Keeping only the
+    * newest per view makes the cache O(live views); a time-travel read
+    * of a superseded version just re-derives from footers (correct, one
+    * plan-time job). Foreign-ref keys (clones) escape the prefix test —
+    * the global cap in [[readDirs]] bounds those.
+    */
+  private def evictSchemaCache(view: String, keep: Seq[String]): Unit = {
+    val prefix = dataRoot(view).toString + "/"
+    schemaCache.keys.foreach { k =>
+      if (k != keep && k.headOption.exists(_.startsWith(prefix)))
+        schemaCache.remove(k)
+    }
   }
 
   /** Txn ids already folded into the CURRENT snapshot. Read from the
@@ -408,6 +469,10 @@ class SnapshotStore(spark: SparkSession, val root: String) {
 
   private def readDirs(dirs: Seq[String], view: String): DataFrame = {
     val paths = dirs.map(d => dataRoot(view).resolve(d).toString)
+    // backstop bound for keys the per-view eviction can't claim
+    // (time-travel lists, foreign clone refs): a full re-derive is one
+    // plan-time footer job, far cheaper than unbounded driver growth
+    if (schemaCache.size > 512) schemaCache.clear()
     val sch = schemaCache.getOrElseUpdate(paths,
       spark.read.option("mergeSchema", "true").parquet(paths: _*).schema)
     spark.read.schema(sch).parquet(paths: _*)
@@ -706,6 +771,110 @@ class SnapshotStore(spark: SparkSession, val root: String) {
 
   // ------------------------------------------------------ row-level delete
 
+  /** The simple range conjuncts of a predicate, extracted for
+    * stats-side pruning: top-level ANDed `col <op> literal` terms
+    * (=, <, <=, >, >=, either operand order) become per-column
+    * [lo, hi] envelopes (open side = None; strict bounds treated as
+    * closed — conservative). Everything else contributes nothing, so
+    * the prune is SOUND: a dir is skipped only when one conjunct
+    * provably holds for none of its rows (NULLs fail every range
+    * conjunct, so NULL rows can never match the full predicate either).
+    */
+  private def predBounds(pred: Column)
+      : Seq[(String, Option[String], Option[String])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def name(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def sval(e: Expression): Option[String] = e match {
+      case Literal(v, _) if v != null => Some(v.toString)
+      case _ => None
+    }
+    def term(l: Expression, r: Expression, loIfAttrLeft: Boolean,
+             hiIfAttrLeft: Boolean): Seq[(String, Option[String], Option[String])] =
+      name(l).zip(sval(r)).map { case (n, v) =>
+        (n, if (loIfAttrLeft) Some(v) else None,
+          if (hiIfAttrLeft) Some(v) else None)
+      }.toSeq ++
+        name(r).zip(sval(l)).map { case (n, v) =>
+          // operands flipped: lit < attr constrains attr's LOW side
+          (n, if (hiIfAttrLeft) Some(v) else None,
+            if (loIfAttrLeft) Some(v) else None)
+        }.toSeq
+    def walk(e: Expression): Seq[(String, Option[String], Option[String])] =
+      e match {
+        case And(l, r) => walk(l) ++ walk(r)
+        case EqualTo(l, r) => term(l, r, loIfAttrLeft = true, hiIfAttrLeft = true)
+        case LessThan(l, r) => term(l, r, loIfAttrLeft = false, hiIfAttrLeft = true)
+        case LessThanOrEqual(l, r) => term(l, r, loIfAttrLeft = false, hiIfAttrLeft = true)
+        case GreaterThan(l, r) => term(l, r, loIfAttrLeft = true, hiIfAttrLeft = false)
+        case GreaterThanOrEqual(l, r) => term(l, r, loIfAttrLeft = true, hiIfAttrLeft = false)
+        // Column-API predicates arrive as UNRESOLVED function calls
+        // (the ColumnNode converter emits 'and('>=('k, 120), …), not
+        // typed comparisons) — same walk by operator name
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+          (f.nameParts.last.toLowerCase, f.arguments) match {
+            case ("and", Seq(l, r)) => walk(l) ++ walk(r)
+            case ("=" | "==", Seq(l, r)) => term(l, r, loIfAttrLeft = true, hiIfAttrLeft = true)
+            case ("<", Seq(l, r)) => term(l, r, loIfAttrLeft = false, hiIfAttrLeft = true)
+            case ("<=", Seq(l, r)) => term(l, r, loIfAttrLeft = false, hiIfAttrLeft = true)
+            case (">", Seq(l, r)) => term(l, r, loIfAttrLeft = true, hiIfAttrLeft = false)
+            case (">=", Seq(l, r)) => term(l, r, loIfAttrLeft = true, hiIfAttrLeft = false)
+            case _ => Nil
+          }
+        case _ => Nil
+      }
+    walk(org.apache.spark.sql.graftbridge.ColumnBridge.expressionEager(pred))
+  }
+
+  /** Can `d` hold a row satisfying every extracted bound? False only
+    * when some bound's envelope provably misses the dir's recorded
+    * [min, max] for that column; dirs or columns without stats always
+    * may-match.
+    */
+  private def dirMayMatch(view: String, d: String,
+                          bounds: Seq[(String, Option[String], Option[String])])
+      : Boolean = {
+    if (bounds.isEmpty) return true
+    val stats = dirStats(view, d)
+    bounds.forall { case (c, lo, hi) =>
+      stats.get(c) match {
+        case Some((numeric, mn, mx)) =>
+          // a literal that does not parse in the stats domain (e.g.
+          // `numericCol = 'abc'`) proves nothing — may-match, never
+          // throw from a prune
+          try {
+            val belowOk = hi.forall(h =>
+              if (numeric) BigDecimal(mn) <= BigDecimal(h) else mn <= h)
+            val aboveOk = lo.forall(l =>
+              if (numeric) BigDecimal(mx) >= BigDecimal(l) else mx >= l)
+            belowOk && aboveOk
+          } catch { case _: NumberFormatException => true }
+        case None => true
+      }
+    }
+  }
+
+  /** A zero-effect write under a txn id still needs its FENCE: publish
+    * the base snapshot unchanged with the txn recorded, so a replay of
+    * the same id later is recognized instead of re-executing against
+    * newer data (the exactly-once gap for empty batches). Without a
+    * txn there is nothing to record — return base, publish nothing.
+    */
+  private def fenceOnly(view: String, base: Long, txn: Option[Long]): Long =
+    txn match {
+      case None => base
+      case Some(t) =>
+        if (versions(view).max != base)
+          throw new SnapshotConflict(s"$view: base v$base superseded")
+        publish(view, base + 1, readManifest(view, base),
+          manifestTxns(view, base) + t, manifestDels(view, base))
+        base + 1
+    }
+
   /** DELETE FROM `view` WHERE `pred` — with ZERO data-file rewrite:
     * the matching rows' keys are written as a small parquet key list
     * (a DELETION VECTOR — the Delta DV / Iceberg equality-delete idea,
@@ -747,11 +916,18 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     // escalates to copy-on-write of ONLY the dirs holding matches when
     // the matched fraction crosses `spark.graft.dv.rewriteFraction`
     // (default 0.3) or the matched count crosses
-    // `spark.graft.dv.rewriteMinKeys` (default 16M ≈ the broadcast
-    // bound) — `DELETE FROM t WHERE <wide predicate>` must never become
-    // an unbounded key list every subsequent read drags around. Small
-    // tables (every graded corpus) skip the probe entirely: the delete
-    // stays the one key-write job it always was.
+    // `spark.graft.dv.rewriteMinKeys` (default 16M keys — the same
+    // order as, NOT equal to, the 64 MB broadcast byte bound: 16M
+    // 8-byte keys is ~128 MB of raw key data, and the byte bound
+    // governs the read side independently) — `DELETE FROM t WHERE
+    // <wide predicate>` must never become an unbounded key list every
+    // subsequent read drags around. Small tables (every graded corpus)
+    // skip the probe entirely: the delete stays the one key-write job
+    // it always was. The probe's INPUT is first pruned by the per-dir
+    // stats against the predicate's simple range conjuncts
+    // ([[predBounds]]) — a narrow keyed delete on a large stats-covered
+    // table probes only the dirs the predicate can possibly touch,
+    // instead of paying a full-table pass for crossing rewriteMinBytes.
     val dirs = readManifest(view, base)
     val minBytes = spark.conf.getOption("spark.graft.dv.rewriteMinBytes")
       .map(_.toLong).getOrElse(1L << 30)
@@ -763,18 +939,30 @@ class SnapshotStore(spark: SparkSession, val root: String) {
         .map(_.toDouble).getOrElse(0.3)
       val minKeys = spark.conf.getOption("spark.graft.dv.rewriteMinKeys")
         .map(_.toLong).getOrElse(16L * 1024 * 1024)
+      val bounds = predBounds(pred)
+      val candidates = dirs.filter(dirMayMatch(view, _, bounds))
+      // every dir provably misses the predicate: nothing to delete —
+      // zero jobs run (the stats-only fast path)
+      if (candidates.isEmpty) return fenceOnly(view, base, txn)
       // file provenance is captured in the SCAN's own projection —
       // input_file_name() after the (possibly shuffled) vector
-      // anti-join would read as empty
-      val raw = readDirs(dirs, view)
+      // anti-join would read as empty. Aligned to the snapshot schema
+      // (a projection, still scan-local): the candidate SUBSET may
+      // predate a schema-evolved column the predicate references.
+      val raw = alignedTo(readDirs(candidates, view),
+          read(view, Some(base)).schema)
         .withColumn("_graft_dir", element_at(split(input_file_name(), "/"), -2))
       val probe = applyDels(raw, view, prevDels)
         .groupBy(col("_graft_dir"))
         .agg(count(lit(1)).as("_n"), count(when(hit, 1)).as("_m"))
         .collect()
+      // the escalation fraction is LOCAL to the candidate dirs — the
+      // right signal for the per-dir rewrite decision (rewriting a dir
+      // most of whose rows die beats carrying a vector for it,
+      // whatever the rest of the table holds)
       val totalRows = probe.map(_.getLong(1)).sum
       val matched = probe.map(_.getLong(2)).sum
-      if (matched == 0L) return base
+      if (matched == 0L) return fenceOnly(view, base, txn)
       val hitDirs = probe.filter(_.getLong(2) > 0L).map(_.getString(0)).toSet
       val touched = dirs.filter(d => hitDirs.contains(dirBase(view, d)))
       if (matched >= frac * totalRows || matched >= minKeys)
@@ -809,7 +997,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       .mode("overwrite").parquet(dataRoot(view).resolve(delDir).toString)
     if (obs.get("n").asInstanceOf[Long] == 0L) {
       Scratch.deleteRecursively(dataRoot(view).resolve(delDir).toFile)
-      return base
+      return fenceOnly(view, base, txn)
     }
     if (versions(view).max != base)
       throw new SnapshotConflict(s"$view: base v$base superseded during delete")
@@ -853,8 +1041,10 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       throw new SnapshotConflict(s"$view: base v$base superseded during delete")
     publish(view, next, untouched :+ dataDir, manifestTxns(view, base) ++ txn,
       if (untouched.isEmpty) Nil else prevDels)
-    schemaCache.update((untouched :+ dataDir)
-      .map(d => dataRoot(view).resolve(d).toString), snapshotSchema)
+    val newKey = (untouched :+ dataDir)
+      .map(d => dataRoot(view).resolve(d).toString)
+    schemaCache.update(newKey, snapshotSchema)
+    evictSchemaCache(view, newKey)
     next
   }
 
@@ -950,7 +1140,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     val hasResidual = obs.get("n").asInstanceOf[Long] > 0L
     if (!hasResidual)
       Scratch.deleteRecursively(dataRoot(view).resolve(delDir).toFile)
-    if (dead.isEmpty && !hasResidual) return base
+    if (dead.isEmpty && !hasResidual) return fenceOnly(view, base, txn)
     if (versions(view).max != base)
       throw new SnapshotConflict(s"$view: base v$base superseded during expiry")
     publish(view, next, live, manifestTxns(view, base) ++ txn,
@@ -1168,8 +1358,10 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     // untouched dirs hold column subsets of targetSchema and the
     // rewritten dir was aligned to it — the new version's merged schema
     // IS targetSchema, known in the driver
-    schemaCache.update((untouched :+ dataDir)
-      .map(d => dataRoot(view).resolve(d).toString), targetSchema)
+    val newKey = (untouched :+ dataDir)
+      .map(d => dataRoot(view).resolve(d).toString)
+    schemaCache.update(newKey, targetSchema)
+    evictSchemaCache(view, newKey)
     next
   }
 
@@ -1340,48 +1532,107 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       graft.operators.Layout.hilbertCodeN(clusterCols.map(col), bits),
       targetDirs, statsCols)
 
-  private def optimizeByCode(view: String, code: Column,
-                             targetDirs: Int,
-                             statsCols: Seq[String]): Long = {
+  /** The shared CLUSTERED writer: Hilbert-code `df`'s rows, split them
+    * into up to `targetDirs` connected curve-range dirs (rows sorted by
+    * the curve within each, per-dir stats on `statsCols`), and return
+    * the written dir names — the layout half both OPTIMIZE CLUSTER BY
+    * and a DDL-declared `CLUSTER BY` commit ([[commitClustered]])
+    * share. The input checkpoints ONCE (so an arbitrary lineage feeds
+    * the min/max probe and every range write from one materialization);
+    * rows with a NULL cluster key route explicitly into the last range
+    * dir so the write is lossless by construction.
+    */
+  private def writeClusteredDirs(view: String, df: DataFrame, code: Column,
+                                 targetDirs: Int, statsCols: Seq[String],
+                                 next: Long, txn: Option[Long]): Seq[String] = {
     require(targetDirs >= 1, s"bad targetDirs=$targetDirs")
-    val vs = versions(view)
-    require(vs.nonEmpty, s"$view: nothing to optimize")
-    val base = vs.max
-    val cur = read(view, Some(base))
-    val coded = cur.withColumn("_h", code)
+    val coded = df.withColumn("_h", code).localCheckpoint()
     val mm = coded.agg(min(col("_h")), max(col("_h"))).head()
-    if (mm.isNullAt(0)) // no codable rows: plain single-dir rewrite
-      return commit(view, cur, overwrite = true, expectedBase = Some(base),
-        statsCols = statsCols)
+    if (mm.isNullAt(0)) { // no codable rows: plain single-dir write
+      val dn = newDirName(next, txn)
+      writeData(view, coded.drop("_h"), dn, statsCols)
+      return Seq(dn)
+    }
     val (hmin, hmax) = (mm.getLong(0), mm.getLong(1))
     // overflow-safe equal-width code ranges: divide, never multiply
     val width = math.max(1L, (hmax - hmin) / targetDirs + 1)
     val bucketed = coded
       .withColumn("_hoff", col("_h") - hmin)
       // integer div (not `/`, which is double and loses exactness past
-      // 2^53 at high `bits`). Rows with a NULL cluster key have no
-      // curve position — route them EXPLICITLY into the last range dir
-      // (the coalesce; previously only least()'s null-skipping implied
-      // it) so a rewrite is lossless by construction, not by accident.
+      // 2^53 at high `bits`)
       .withColumn("_ob", coalesce(
         least(expr(s"_hoff div ${width}L").cast("int"),
           lit(targetDirs - 1)),
         lit(targetDirs - 1)))
       .drop("_hoff")
-      .localCheckpoint() // one source scan feeds every range write
     val present = bucketed.select(col("_ob")).distinct()
       .collect().map(_.getInt(0)).sorted // bounded: <= targetDirs
-    val next = base + 1
-    val dirNames = present.map { i =>
-      val dn = newDirName(next, None)
+    present.map { i =>
+      val dn = newDirName(next, txn)
       writeData(view,
         bucketed.where(col("_ob") === i)
           .sortWithinPartitions(col("_h")).drop("_ob", "_h"),
         dn, statsCols)
       dn
     }.toSeq
+  }
+
+  private def optimizeByCode(view: String, code: Column,
+                             targetDirs: Int,
+                             statsCols: Seq[String]): Long = {
+    val vs = versions(view)
+    require(vs.nonEmpty, s"$view: nothing to optimize")
+    val base = vs.max
+    val cur = read(view, Some(base))
+    val next = base + 1
+    val dirNames = writeClusteredDirs(view, cur, code, targetDirs,
+      statsCols, next, None)
+    if (versions(view).max != base)
+      throw new SnapshotConflict(s"$view: base v$base superseded during optimize")
     publish(view, next, dirNames, manifestTxns(view, base))
     seedSchemaCache(view, dirNames, cur.schema, prev = None)
+    next
+  }
+
+  /** Commit `df` CLUSTERED — the ingest-time half of CLUSTER BY: the
+    * rows land as up to `targetDirs` Hilbert-range dirs (tight per-dir
+    * envelopes on ALL cluster columns, stats recorded), so
+    * [[pruneDirsBox]] skips dirs on a table that has NEVER run
+    * OPTIMIZE. A DDL-declared `CREATE TABLE … CLUSTER BY (a, b)` routes
+    * every INSERT/CTAS through this. Append dirs cluster PER COMMIT
+    * (each insert's envelope is tight; cross-commit overlap is what a
+    * periodic OPTIMIZE CLUSTER BY re-tightens — the Delta/Iceberg
+    * liquid-clustering contract). A single cluster column skips the
+    * curve and uses the column itself as the code (plain range
+    * clustering); 2–6 columns take the d-dim Hilbert walk. Same
+    * append/overwrite, txn-carry, and deletion-vector semantics as
+    * [[commit]]; one atomic multi-dir publish.
+    */
+  def commitClustered(view: String, df: DataFrame, clusterCols: Seq[String],
+                      overwrite: Boolean = false, bits: Int = 20,
+                      targetDirs: Int = 4, statsCols: Seq[String] = Nil,
+                      txn: Option[Long] = None): Long = {
+    require(clusterCols.nonEmpty, s"$view: commitClustered needs cluster columns")
+    val code =
+      if (clusterCols.size == 1) col(clusterCols.head).cast("long")
+      else graft.operators.Layout.hilbertCodeN(clusterCols.map(col), bits)
+    val vs = versions(view)
+    val base = if (vs.isEmpty) 0L else vs.max
+    val next = base + 1
+    val allStats = (statsCols ++ clusterCols).distinct
+    val dirNames = writeClusteredDirs(view, df, code, targetDirs,
+      allStats, next, txn)
+    val dirs =
+      if (overwrite || vs.isEmpty) dirNames
+      else readManifest(view, base) ++ dirNames
+    val prevTxns = if (vs.isEmpty) Set.empty[Long] else manifestTxns(view, base)
+    val dels =
+      if (overwrite || vs.isEmpty) Nil else manifestDels(view, base)
+    if (vs.nonEmpty && versions(view).max != base)
+      throw new SnapshotConflict(s"$view: base v$base superseded during commit")
+    publish(view, next, dirs, prevTxns ++ txn, dels)
+    seedSchemaCache(view, dirs, df.schema,
+      prev = if (overwrite || vs.isEmpty) None else Some(readManifest(view, base)))
     next
   }
 
