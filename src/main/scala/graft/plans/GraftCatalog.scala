@@ -62,18 +62,31 @@ object GraftCatalog {
     }
   }
 
+  // latest-version-checked read cache: registry lookups consult the
+  // catalog on EVERY in-memory miss (per statement-claim guard, per
+  // analyzer iteration), so the common no-change case must cost one
+  // directory listing, not a file read — the listing detects a
+  // concurrent publish and refreshes
+  private val loadCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Map[String, Binding])]
+
   /** All bindings in the latest catalog version (empty when no catalog
-    * exists yet). One file read.
+    * exists yet). One directory listing; one file read only when the
+    * version advanced since the last load.
     */
   def load(catRoot: String): Map[String, Binding] =
     versions(catRoot).lastOption.map { v =>
-      Files.readString(catPath(catRoot, v)).split("\n")
-        .filter(_.nonEmpty).map { line =>
-          val f = line.split("\t", -1)
-          f(0) -> Binding(f(0), f(1), f(2),
-            Some(f(3)).filter(_.nonEmpty),
-            f(4).split(",").toSeq.filter(_.nonEmpty))
-        }.toMap
+      loadCache.get(catRoot).filter(_._1 == v).map(_._2).getOrElse {
+        val m = Files.readString(catPath(catRoot, v)).split("\n")
+          .filter(_.nonEmpty).map { line =>
+            val f = line.split("\t", -1)
+            f(0) -> Binding(f(0), f(1), f(2),
+              Some(f(3)).filter(_.nonEmpty),
+              f(4).split(",").toSeq.filter(_.nonEmpty))
+          }.toMap
+        loadCache.update(catRoot, (v, m))
+        m
+      }
     }.getOrElse(Map.empty)
 
   private def render(m: Map[String, Binding]): String =

@@ -250,46 +250,67 @@ object GraftSqlParser {
 
   /** Parse a TIMESTAMP AS OF literal to epoch millis (UTC): bare
     * digits = epoch millis; else `yyyy-MM-dd[ HH:mm:ss[.SSS]]` (a 'T'
-    * separator also accepted). Fails naming the accepted forms.
+    * separator also accepted). The WHOLE literal must parse — a
+    * trailing timezone offset or stray suffix refuses instead of
+    * silently resolving to the wrong instant (SimpleDateFormat.parse
+    * ignores trailing text; the ParsePosition check closes that hole).
+    * Fails naming the accepted forms.
     */
   private[plans] def parseTsLiteral(s: String): Long = {
     val t = s.trim
     if (t.nonEmpty && t.forall(_.isDigit)) return t.toLong
+    def bad() = throw new IllegalArgumentException(
+      s"TIMESTAMP AS OF '$s': expected epoch millis, 'yyyy-MM-dd', " +
+        "or 'yyyy-MM-dd HH:mm:ss[.SSS]' (UTC)")
     val norm = t.replace('T', ' ')
     val full =
       if (norm.length == 10) norm + " 00:00:00"
       else if (norm.length == 16) norm + ":00"
       else norm
-    try {
-      val fmt = new java.text.SimpleDateFormat(
-        if (full.contains(".")) "yyyy-MM-dd HH:mm:ss.SSS"
-        else "yyyy-MM-dd HH:mm:ss")
-      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
-      fmt.setLenient(false)
-      fmt.parse(full).getTime
-    } catch { case _: java.text.ParseException =>
-      throw new IllegalArgumentException(
-        s"TIMESTAMP AS OF '$s': expected epoch millis, 'yyyy-MM-dd', " +
-          "or 'yyyy-MM-dd HH:mm:ss[.SSS]' (UTC)")
-    }
+    val fmt = new java.text.SimpleDateFormat(
+      if (full.contains(".")) "yyyy-MM-dd HH:mm:ss.SSS"
+      else "yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    fmt.setLenient(false)
+    val pos = new java.text.ParsePosition(0)
+    val d = fmt.parse(full, pos)
+    if (d == null || pos.getIndex != full.length) bad()
+    d.getTime
   }
 
-  private[plans] def rewriteTimestampTravel(sqlText: String): Option[String] = {
+  /** Like [[replaceOutsideQuotes]], but requiring only the match START
+    * to sit outside quotes/comments — for the rewrite shapes that
+    * necessarily SPAN a quoted literal (a timestamp bound). An
+    * occurrence inside a string or comment is still left verbatim.
+    */
+  private def replaceStartOutsideQuotes(sqlText: String,
+      re: scala.util.matching.Regex)(
+      build: scala.util.matching.Regex.Match => Option[String]): Option[String] = {
     val mask = quotedMask(sqlText)
-    val ms = TimestampAsOfRe.findAllMatchIn(sqlText)
-      .filterNot(m => mask(m.start)).toSeq
+    val ms = re.findAllMatchIn(sqlText)
+      .filterNot(m => mask(m.start))
+      .flatMap(m => build(m).map(m -> _)).toSeq
     if (ms.isEmpty) None
     else {
       val sb = new StringBuilder
       var pos = 0
-      ms.foreach { m =>
-        sb.append(sqlText.substring(pos, m.start))
-          .append("`" + m.group(1) + "$asofts$" + parseTsLiteral(m.group(2)) + "`")
+      ms.foreach { case (m, repl) =>
+        sb.append(sqlText.substring(pos, m.start)).append(repl)
         pos = m.end
       }
       Some(sb.append(sqlText.substring(pos)).toString)
     }
   }
+
+  // claimed ONLY for registered (incl. durable-catalog) names: Spark's
+  // own parser accepts `TIMESTAMP AS OF` for v2/vendor tables, and the
+  // rewrite must not steal native time travel from them (VERSION AS OF
+  // predates the registry gate and keeps its spec-pinned behavior)
+  private[plans] def rewriteTimestampTravel(sqlText: String): Option[String] =
+    replaceStartOutsideQuotes(sqlText, TimestampAsOfRe) { m =>
+      if (GraftTableRegistry.lookup(m.group(1)).isEmpty) None
+      else Some("`" + m.group(1) + "$asofts$" + parseTsLiteral(m.group(2)) + "`")
+    }
 
   // <table> CHANGES FROM <a> TO <b> — the change data feed as a SQL
   // relation (the batch half of the changeFeed stream source): each
@@ -319,23 +340,10 @@ object GraftSqlParser {
       t.replaceFirst("(?is)^TIMESTAMP\\s*'", "").stripSuffix("'"))
   }
 
-  private[plans] def rewriteChanges(sqlText: String): Option[String] = {
-    val mask = quotedMask(sqlText)
-    val ms = ChangesRe.findAllMatchIn(sqlText)
-      .filterNot(m => mask(m.start)).toSeq
-    if (ms.isEmpty) None
-    else {
-      val sb = new StringBuilder
-      var pos = 0
-      ms.foreach { m =>
-        sb.append(sqlText.substring(pos, m.start))
-          .append("`" + m.group(1) + "$diff$" + encodeChangesBound(m.group(2)) +
-            "$" + encodeChangesBound(m.group(3)) + "`")
-        pos = m.end
-      }
-      Some(sb.append(sqlText.substring(pos)).toString)
-    }
-  }
+  private[plans] def rewriteChanges(sqlText: String): Option[String] =
+    replaceStartOutsideQuotes(sqlText, ChangesRe)(m =>
+      Some("`" + m.group(1) + "$diff$" + encodeChangesBound(m.group(2)) +
+        "$" + encodeChangesBound(m.group(3)) + "`"))
 
   // DESCRIBE HISTORY <table> — the table-history statement (Delta's
   // spelling) over a registered store view: rewritten to a SELECT over
@@ -366,6 +374,12 @@ object GraftSqlParser {
     """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  // the wall-clock rollback form: the instant resolves through the
+  // manifests' commit timestamps at run time (same resolution as the
+  // read-side TIMESTAMP AS OF)
+  private val RestoreTsRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF""" +
+      """\s+'([^']*)'\s*;?\s*$""").r
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val InsertRe =
@@ -637,6 +651,10 @@ object GraftSqlParser {
     }).orElse(RestoreRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftRestoreCommand(m.group(1), m.group(2).toLong): LogicalPlan
+    }).orElse(RestoreTsRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        GraftRestoreCommand(m.group(1),
+          toTimestamp = Some(parseTsLiteral(m.group(2)))): LogicalPlan
     }).orElse(DeleteRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftDeleteCommand(m.group(1), m.group(2)): LogicalPlan
@@ -793,10 +811,26 @@ case class GraftOptimizeCommand(name: String, clusterCols: Seq[String])
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("OPTIMIZE", name)
+    // a bare OPTIMIZE on a table with a DDL-declared CLUSTER BY
+    // re-clusters along the declared curve (the liquid-clustering
+    // contract: maintenance tightens the table's OWN layout — plain
+    // compaction would silently destroy it); an explicit CLUSTER BY
+    // still overrides
+    val effective =
+      if (clusterCols.nonEmpty) clusterCols
+      else GraftTableRegistry.lookupCluster(name)
+    // keep the row-identity key's stats through maintenance — every
+    // insert records them, and dropping them here would make the NEXT
+    // keyed merge/delete read every rewritten dir
+    val stats = (GraftTableRegistry.lookupKey(name).toSeq ++ effective).distinct
     val v =
-      if (clusterCols.isEmpty) store.compact(view)
-      else store.optimizeClusteredN(view, clusterCols,
-        statsCols = clusterCols)
+      if (effective.isEmpty) store.compact(view, statsCols = stats)
+      else if (effective.size == 1)
+        // single-column clustering is a plain range layout — the
+        // clustered writer's 1-col code path (the curve needs 2+ dims)
+        store.commitClustered(view, store.read(view), effective,
+          overwrite = true, statsCols = stats)
+      else store.optimizeClusteredN(view, effective, statsCols = stats)
     Seq(org.apache.spark.sql.Row(name, v))
   }
 }
@@ -858,13 +892,16 @@ case class GraftShowTablesCommand()
     }
 }
 
-/** `RESTORE [TABLE] <table> TO VERSION AS OF <n>` as a
-  * RunnableCommand — [[graft.sources.SnapshotStore.restore]]: a NEW
-  * version re-publishing the target manifest (dirs + deletion
-  * vectors), so history is preserved and txn fences carry forward.
-  * Returns one (table, restored_version, new_version) row.
+/** `RESTORE [TABLE] <table> TO VERSION AS OF <n>` (or `TO TIMESTAMP
+  * AS OF '<instant>'` — resolved to the latest version at-or-before
+  * the instant) as a RunnableCommand —
+  * [[graft.sources.SnapshotStore.restore]]: a NEW version
+  * re-publishing the target manifest (dirs + deletion vectors), so
+  * history is preserved and txn fences carry forward. Returns one
+  * (table, restored_version, new_version) row.
   */
-case class GraftRestoreCommand(name: String, toVersion: Long)
+case class GraftRestoreCommand(name: String, toVersion: Long = -1L,
+                               toTimestamp: Option[Long] = None)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq(
     AttributeReference("table", org.apache.spark.sql.types.StringType)(),
@@ -873,8 +910,9 @@ case class GraftRestoreCommand(name: String, toVersion: Long)
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("RESTORE", name)
-    Seq(org.apache.spark.sql.Row(name, toVersion,
-      store.restore(view, toVersion)))
+    val v = toTimestamp.map(store.versionAtTimestamp(view, _))
+      .getOrElse(toVersion)
+    Seq(org.apache.spark.sql.Row(name, v, store.restore(view, v)))
   }
 }
 
@@ -967,10 +1005,16 @@ case class GraftInsertCommand(name: String, querySql: String)
       .observe(obs, org.apache.spark.sql.functions
         .count(org.apache.spark.sql.functions.lit(1)).as("n"))
     // opt-in PRIMARY KEY enforcement (see the class scaladoc): the
-    // payload materializes once and BOTH probes run before any write
+    // payload materializes once and BOTH probes run before any write.
+    // The commit pins the version the existing-key probe read
+    // (expectedBase) — a concurrent insert landing between probe and
+    // write surfaces as a SnapshotConflict instead of a silent
+    // duplicate slipping past enforcement.
     val enforcedKey = GraftTableRegistry.lookupKey(name).filter(_ =>
       spark.conf.getOption("spark.graft.sql.enforcePrimaryKey")
         .exists(_.toBoolean))
+    val probedBase = enforcedKey.map(_ =>
+      store.versions(view).lastOption.getOrElse(0L))
     val payload = enforcedKey.fold(src) { k =>
       import org.apache.spark.sql.functions.count
       val chk = src.localCheckpoint()
@@ -997,9 +1041,11 @@ case class GraftInsertCommand(name: String, querySql: String)
     val v =
       if (cluster.nonEmpty)
         store.commitClustered(view, payload, cluster, overwrite = false,
-          statsCols = GraftTableRegistry.lookupKey(name).toSeq)
+          statsCols = GraftTableRegistry.lookupKey(name).toSeq,
+          expectedBase = probedBase)
       else store.commit(view, payload, overwrite = false,
-        statsCols = GraftTableRegistry.lookupKey(name).toSeq)
+        statsCols = GraftTableRegistry.lookupKey(name).toSeq,
+        expectedBase = probedBase)
     Seq(org.apache.spark.sql.Row(name, v, obs.get("n").asInstanceOf[Long]))
   }
 }
@@ -1087,11 +1133,18 @@ case class GraftMergeCommand(name: String, srcName: String,
         s"on both sides, got ${onCols.mkString(" = ")}")
     // an expensive source QUERY/VIEW materializes once (localCheckpoint,
     // the GraftUpdateCommand pattern) and feeds both the cardinality
-    // probe and the merge; a registered store view is a cheap
-    // manifest-pinned scan and stays lazy
+    // probe and the merge — PROJECTED first to exactly the columns the
+    // upsert-all merge consumes (target columns + the tombstone flag),
+    // so a wide source never checkpoints full-width; a registered
+    // store view is a cheap manifest-pinned scan and stays lazy
     val source = GraftTableRegistry.lookup(srcName)
       .map { case (s2, v2) => s2.read(v2) }
-      .getOrElse(spark.table(srcName).localCheckpoint())
+      .getOrElse {
+        val needed = store.read(view).columns.toSeq ++ deleteCol
+        spark.table(srcName)
+          .select(needed.map(org.apache.spark.sql.functions.col): _*)
+          .localCheckpoint()
+      }
     GraftMergeCommand.requireUniqueSourceKeys(s"MERGE INTO $name",
       source, keyCol)
     // SQL MERGE semantics for the delete clause: `WHEN MATCHED AND d
@@ -1307,6 +1360,22 @@ case class GraftMergeWhenCommand(name: String, tAliasOpt: Option[String],
       case c @ MergeClause(_, _, MergeUpdateSet(s)) => c -> parseSets(s)
       case c @ MergeClause(_, _, MergeInsertVals(cs, vs)) => c -> parseIns(cs, vs)
       case c => c -> Map.empty[String, String]
+    }
+    // SQL:2003 / Delta reject target references in NOT MATCHED
+    // conditions at analysis time — here every target column is NULL
+    // (the left join's unmatched side), so `AND t.ok` would silently
+    // evaluate false and drop every insert; refuse loudly instead
+    clauses.filterNot(_.matched).flatMap(_.cond).foreach { cond =>
+      val refsTarget = org.apache.spark.sql.graftbridge.ColumnBridge
+        .expressionEager(expr(cond)).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.nameParts.length > 1 &&
+                a.nameParts.head.equalsIgnoreCase(ta) => a
+        }
+      require(refsTarget.isEmpty,
+        s"$tag: a WHEN NOT MATCHED condition cannot reference the " +
+          s"target (`${refsTarget.headOption.fold("")(_.name)}` in " +
+          s"`$cond`) — every target column is NULL for unmatched rows")
     }
     val joined = source.as(sa).join(target.as(ta),
       col(s"$sa.$keyCol") === col(s"$ta.$keyCol"), "left")
@@ -1527,6 +1596,14 @@ case class GraftCreateTableCommand(name: String,
   * binding, not ownership); reclaim space with VACUUM before dropping,
   * or via the store API. Unregistered names fall through to the stock
   * parser, so this can never unbind another catalog's table.
+  *
+  * Durable-catalog scope: the statement removes the binding from the
+  * SESSION'S catalog root (`spark.graft.store.root`) and from the
+  * table's own root — the two places CREATE persists to. A binding
+  * persisted under a DIFFERENT catalog root (the conf changed between
+  * CREATE and DROP) stays in that catalog, exactly as dropping a table
+  * from one metastore leaves its entry in another: re-point the conf
+  * at the original root to drop it there.
   */
 case class GraftDropTableCommand(name: String)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
@@ -1843,14 +1920,17 @@ object ResolveGraftTimeTravel extends Rule[LogicalPlan] {
             case other => throw new IllegalArgumentException(
               s"CHANGES on `$name`: unparseable bound `$other`")
           }
-          // the range contract up front: an inverted range would
+          // the range contract up front: an INVERTED range would
           // silently emit a REVERSED feed (deletes as inserts), and a
           // nonexistent version would surface as a raw file error
-          // instead of this surface's friendly refusal
+          // instead of this surface's friendly refusal. EQUAL bounds
+          // are a legal empty feed — the poller's idle cycle (`FROM v
+          // TO LATEST` with no commit since v) must yield zero rows,
+          // not an error.
           val (lo, hi) = (bound(a), bound(b))
-          if (lo >= hi) throw new IllegalArgumentException(
+          if (lo > hi) throw new IllegalArgumentException(
             s"CHANGES FROM $lo TO $hi on `$name`: the range must " +
-              "ascend (FROM < TO)")
+              "ascend (FROM <= TO)")
           Seq(lo, hi).filterNot(allVs.contains).foreach(v =>
             throw new IllegalArgumentException(
               s"CHANGES FROM $lo TO $hi on `$name`: version $v is not " +

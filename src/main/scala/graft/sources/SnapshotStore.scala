@@ -1611,13 +1611,17 @@ class SnapshotStore(spark: SparkSession, val root: String) {
   def commitClustered(view: String, df: DataFrame, clusterCols: Seq[String],
                       overwrite: Boolean = false, bits: Int = 20,
                       targetDirs: Int = 4, statsCols: Seq[String] = Nil,
-                      txn: Option[Long] = None): Long = {
+                      txn: Option[Long] = None,
+                      expectedBase: Option[Long] = None): Long = {
     require(clusterCols.nonEmpty, s"$view: commitClustered needs cluster columns")
     val code =
       if (clusterCols.size == 1) col(clusterCols.head).cast("long")
       else graft.operators.Layout.hilbertCodeN(clusterCols.map(col), bits)
     val vs = versions(view)
     val base = if (vs.isEmpty) 0L else vs.max
+    expectedBase.filter(_ != base).foreach { e =>
+      throw new SnapshotConflict(s"$view: expected base v$e but table is at v$base")
+    }
     val next = base + 1
     val allStats = (statsCols ++ clusterCols).distinct
     val dirNames = writeClusteredDirs(view, df, code, targetDirs,

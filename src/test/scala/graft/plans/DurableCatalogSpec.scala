@@ -98,9 +98,19 @@ class DurableCatalogSpec extends SparkSpec {
     val bad = intercept[Exception](spark.sql(
       "SELECT * FROM dc4 TIMESTAMP AS OF 'not-a-time'").collect())
     assert(bad.getMessage.contains("expected epoch millis"), bad.getMessage)
+    // a trailing timezone offset must refuse, not silently resolve two
+    // hours off (SimpleDateFormat.parse ignores trailing text)
+    val tz = intercept[Exception](spark.sql(
+      "SELECT * FROM dc4 TIMESTAMP AS OF '2026-01-01 10:00:00+02:00'").collect())
+    assert(tz.getMessage.contains("expected epoch millis"), tz.getMessage)
     // inside a string literal the clause is left verbatim
     val lit = spark.sql("SELECT 'x TIMESTAMP AS OF \\'1\\'' AS s").head.getString(0)
     assert(lit == "x TIMESTAMP AS OF '1'")
+    // an UNREGISTERED name is never hijacked — the statement reaches
+    // the stock parser (which owns TIMESTAMP AS OF for its own tables)
+    val native = intercept[Exception](spark.sql(
+      "SELECT * FROM no_such_graft TIMESTAMP AS OF '1'").collect())
+    assert(!native.getMessage.contains("registered"), native.getMessage)
     GraftTableRegistry.unregister("dc4")
   }
 
@@ -163,6 +173,35 @@ class DurableCatalogSpec extends SparkSpec {
     }
   }
 
+  test("RESTORE TO TIMESTAMP AS OF rolls back to the instant's snapshot") {
+    val root = freshRoot()
+    val st = new graft.sources.SnapshotStore(spark, root)
+    st.commit("t", Seq((1L, "good")).toDF("k", "v"), overwrite = true)
+    st.commit("t", Seq((2L, "bad")).toDF("k", "v"), overwrite = true)
+    GraftTableRegistry.register("dc8", st, "t", keyCol = "k")
+    val t1 = st.commitTimestamp("t", 1L)
+    val r = spark.sql(s"RESTORE TABLE dc8 TO TIMESTAMP AS OF '$t1'").head()
+    assert(r.getLong(1) == 1L && r.getLong(2) == 3L, r.toString)
+    assert(st.read("t").select("v").head.getString(0) == "good")
+    GraftTableRegistry.unregister("dc8")
+  }
+
+  test("bare OPTIMIZE re-clusters along a DDL-declared CLUSTER BY instead of destroying it") {
+    val root = freshRoot()
+    withRoot(root) {
+      spark.sql("CREATE TABLE dc9 (a BIGINT, b BIGINT) USING graft CLUSTER BY (a, b)")
+      (0 until 4).foreach(i => spark.sql(
+        s"INSERT INTO dc9 SELECT id % 32, (id + $i) % 32 " +
+          "FROM range(0, 256)"))
+      val (st, view) = GraftTableRegistry.lookup("dc9").get
+      spark.sql("OPTIMIZE dc9") // no CLUSTER BY clause
+      val (_, skipped) = st.pruneDirsBox(view, Seq(("a", "0", "7"), ("b", "0", "7")))
+      assert(skipped.nonEmpty,
+        "bare OPTIMIZE must preserve the declared layout (box prune still skips)")
+      spark.sql("DROP TABLE dc9")
+    }
+  }
+
   test("CHANGES ... TO LATEST and timestamp bounds resolve through commit timestamps") {
     val root = freshRoot()
     val st = new graft.sources.SnapshotStore(spark, root)
@@ -178,8 +217,13 @@ class DurableCatalogSpec extends SparkSpec {
       s"SELECT change_type, k FROM dc7 CHANGES FROM TIMESTAMP '$t1' TO LATEST")
       .as[(String, Long)].collect().toSet
     assert(viaTs == latest, viaTs.toString)
+    // the idle poll: head IS version 3, so FROM 3 TO LATEST is an
+    // EMPTY feed (not an error — a poller loops on this)
+    assert(spark.sql("SELECT * FROM dc7 CHANGES FROM 3 TO LATEST").isEmpty)
+    // an explicit inversion still refuses (a reversed feed would flip
+    // deletes into inserts)
     val inv = intercept[Exception](spark.sql(
-      "SELECT * FROM dc7 CHANGES FROM 3 TO LATEST WHERE 1=1").collect())
+      "SELECT * FROM dc7 CHANGES FROM 3 TO 2 WHERE 1=1").collect())
     assert(inv.getMessage.contains("ascend"), inv.getMessage)
     GraftTableRegistry.unregister("dc7")
   }

@@ -101,6 +101,12 @@ class MergeWhenSpec extends SparkSpec {
       s"""MERGE INTO $name AS t USING mw_dup AS s ON t.k = s.k
           WHEN MATCHED AND s.np > 0 THEN UPDATE SET p = s.np"""))
     assert(e3.getMessage.contains("at most one source row"), e3.getMessage)
+    // a NOT MATCHED condition referencing the target would silently
+    // evaluate NULL -> false and drop every insert — refuse loudly
+    val e4 = intercept[Exception](spark.sql(
+      s"""MERGE INTO $name AS t USING mw_src5 AS s ON t.k = s.k
+          WHEN NOT MATCHED AND t.p > 0 THEN INSERT (k, p) VALUES (s.k, s.np)"""))
+    assert(e4.getMessage.contains("cannot reference the target"), e4.getMessage)
   }
 
   test("a WHEN/THEN inside literals or CASE expressions never splits clauses") {
