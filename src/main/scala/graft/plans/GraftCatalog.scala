@@ -68,23 +68,27 @@ object GraftCatalog {
   // directory listing, not a file read — the listing detects a
   // concurrent publish and refreshes
   private val loadCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Long, Map[String, Binding])]
+    .empty[String, ((Long, Long), Map[String, Binding])]
 
   /** All bindings in the latest catalog version (empty when no catalog
-    * exists yet). One directory listing; one file read only when the
-    * version advanced since the last load.
+    * exists yet). One directory listing + one stat; the file is re-read
+    * only when the latest (version, mtime) pair changed — the mtime
+    * half catches a catalog dir deleted and RECREATED at the same
+    * version number, which a version-only key would serve stale.
     */
   def load(catRoot: String): Map[String, Binding] =
     versions(catRoot).lastOption.map { v =>
-      loadCache.get(catRoot).filter(_._1 == v).map(_._2).getOrElse {
-        val m = Files.readString(catPath(catRoot, v)).split("\n")
+      val p = catPath(catRoot, v)
+      val stamp = (v, Files.getLastModifiedTime(p).toMillis)
+      loadCache.get(catRoot).filter(_._1 == stamp).map(_._2).getOrElse {
+        val m = Files.readString(p).split("\n")
           .filter(_.nonEmpty).map { line =>
             val f = line.split("\t", -1)
             f(0) -> Binding(f(0), f(1), f(2),
               Some(f(3)).filter(_.nonEmpty),
               f(4).split(",").toSeq.filter(_.nonEmpty))
           }.toMap
-        loadCache.update(catRoot, (v, m))
+        loadCache.update(catRoot, (stamp, m))
         m
       }
     }.getOrElse(Map.empty)

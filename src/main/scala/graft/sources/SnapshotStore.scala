@@ -318,11 +318,16 @@ class SnapshotStore(spark: SparkSession, val root: String) {
                       txns: Set[Long], dels: Seq[String] = Nil): Unit = {
     Files.createDirectories(manifestDir(view))
     // commit timestamp, monotonic-guarded against the latest retained
-    // predecessor (not just next-1 — vacuum may have dropped it):
-    // timestamps strictly ascend with versions, so TIMESTAMP AS OF
-    // resolution is total-ordered even under clock skew
-    val parentTs = versions(view).filter(_ < next).lastOption
-      .map(commitTimestamp(view, _)).getOrElse(0L)
+    // predecessor: timestamps strictly ascend with versions, so
+    // TIMESTAMP AS OF resolution is total-ordered even under clock
+    // skew. The common case (next-1 retained) is one direct read; the
+    // listing fallback only runs when vacuum dropped the predecessor.
+    val parentTs =
+      if (next <= 1L) 0L
+      else if (Files.exists(manifestPath(view, next - 1)))
+        commitTimestamp(view, next - 1)
+      else versions(view).filter(_ < next).lastOption
+        .map(commitTimestamp(view, _)).getOrElse(0L)
     val ts = math.max(parentTs + 1, System.currentTimeMillis())
     val tmp = Files.createTempFile(manifestDir(view), s".v$next", ".tmp")
     Files.writeString(tmp,

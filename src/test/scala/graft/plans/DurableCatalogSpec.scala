@@ -173,6 +173,25 @@ class DurableCatalogSpec extends SparkSpec {
     }
   }
 
+  test("hammered catalog writers: concurrent upserts all land (link(2) OCC + re-apply)") {
+    val root = freshRoot()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val threads = (0 until 8).map { i =>
+      new Thread(() => GraftCatalog.upsert(root,
+        GraftCatalog.Binding(s"ham$i", root, s"v$i", Some("k"), Nil)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val m = GraftCatalog.load(root)
+    assert(m.keySet == (0 until 8).map(i => s"ham$i").toSet, m.keySet)
+    GraftCatalog.remove(root, "ham3")
+    val m2 = GraftCatalog.load(root)
+    assert(!m2.contains("ham3") && m2.size == 7,
+      "remove drops exactly one binding, the others survive")
+    // idempotent no-op mutations publish nothing
+    GraftCatalog.remove(root, "ham3")
+    assert(GraftCatalog.load(root).size == 7)
+  }
+
   test("RESTORE TO TIMESTAMP AS OF rolls back to the instant's snapshot") {
     val root = freshRoot()
     val st = new graft.sources.SnapshotStore(spark, root)
