@@ -34,11 +34,30 @@ object GraftCatalog {
 
   /** One durable binding: the table name, the ABSOLUTE store root the
     * view lives under (which may be a per-table LOCATION, not the
-    * catalog root), the store view, the optional row-identity key, and
-    * the optional DDL-declared cluster columns.
+    * catalog root), the store view, the optional row-identity key, the
+    * optional DDL-declared cluster columns, and the CHECK constraints
+    * (name → expression SQL). Constraint expressions are arbitrary SQL
+    * text, so they persist base64-encoded (`name:b64,…` — names are
+    * `\w+` and the base64 alphabet holds no `:`/`,`, so the field
+    * splits unambiguously); a 5-field line from a pre-constraint
+    * catalog parses with no constraints, so old catalogs keep loading.
     */
   final case class Binding(name: String, root: String, view: String,
-                           key: Option[String], cluster: Seq[String])
+                           key: Option[String], cluster: Seq[String],
+                           checks: Seq[(String, String)] = Nil)
+
+  private def renderChecks(cs: Seq[(String, String)]): String =
+    cs.map { case (n, e) =>
+      n + ":" + java.util.Base64.getEncoder.encodeToString(
+        e.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }.mkString(",")
+
+  private def parseChecks(s: String): Seq[(String, String)] =
+    s.split(",").toSeq.filter(_.nonEmpty).map { t =>
+      val Array(n, b) = t.split(":", 2)
+      n -> new String(java.util.Base64.getDecoder.decode(b),
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
 
   private val Keep = 4 // retained catalog versions (tiny files)
 
@@ -86,7 +105,8 @@ object GraftCatalog {
             val f = line.split("\t", -1)
             f(0) -> Binding(f(0), f(1), f(2),
               Some(f(3)).filter(_.nonEmpty),
-              f(4).split(",").toSeq.filter(_.nonEmpty))
+              f(4).split(",").toSeq.filter(_.nonEmpty),
+              if (f.length > 5) parseChecks(f(5)) else Nil)
           }.toMap
         loadCache.update(catRoot, (stamp, m))
         m
@@ -96,7 +116,7 @@ object GraftCatalog {
   private def render(m: Map[String, Binding]): String =
     m.values.toSeq.sortBy(_.name).map { b =>
       Seq(b.name, b.root, b.view, b.key.getOrElse(""),
-        b.cluster.mkString(",")).mkString("\t")
+        b.cluster.mkString(","), renderChecks(b.checks)).mkString("\t")
     }.mkString("\n")
 
   /** Read-modify-publish with the manifest OCC loop: link(2) fails on

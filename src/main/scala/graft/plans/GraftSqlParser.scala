@@ -362,8 +362,19 @@ object GraftSqlParser {
   // parsed directly to RunnableCommands: `spark.sql` executes a
   // Command plan eagerly exactly once, returning the metrics row —
   // no side effects hide in analysis rules.
+  // OPTIMIZE <t> [WHERE <pred>] [CLUSTER BY (a, b)] — a WHERE scopes
+  // the rewrite to the dirs the predicate may touch (stats-pruned),
+  // Delta's partition-scoped maintenance
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+([\w.]+)\s*(?:CLUSTER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+    ("""(?is)^\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?""" +
+      """\s*(?:CLUSTER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
+  // ALTER TABLE <t> CLUSTER BY (a, b) | NONE — re-declare (or clear)
+  // the table's layout: future INSERT/CTAS route through the new
+  // curve, the next bare OPTIMIZE re-clusters along it (the liquid-
+  // clustering lifecycle: layout is a table property, not a rewrite)
+  private val AlterClusterRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+CLUSTER\s+BY\s+""" +
+      """(?:\(([^)]*)\)|(NONE))\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
       """(\s+DRY\s+RUN)?\s*;?\s*$""").r
@@ -372,6 +383,11 @@ object GraftSqlParser {
   // SHOW TABLES surface is never shadowed
   private val ShowTablesRe =
     """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*$""".r
+  // SHOW CREATE TABLE <t> — the re-executable DDL for a registered
+  // graft table (claimed only for registered names, so the stock
+  // SHOW CREATE TABLE surface never loses a catalog table)
+  private val ShowCreateRe =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   // the wall-clock rollback form: the instant resolves through the
@@ -384,6 +400,43 @@ object GraftSqlParser {
     """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+(SELECT\s+.+?|VALUES\s+.+?)\s*;?\s*$""".r
+  // INSERT OVERWRITE [TABLE] <t> SELECT …|VALUES … — the full-content
+  // swap as ONE overwrite commit (every prior snapshot stays
+  // time-travelable); claimed only for registered names, so the stock
+  // INSERT OVERWRITE surface keeps catalog tables
+  private val InsertOverwriteRe =
+    ("""(?is)^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s+""" +
+      """(SELECT\s+.+?|VALUES\s+.+?)\s*;?\s*$""").r
+  // INSERT INTO <t> REPLACE WHERE <pred> SELECT …|VALUES … — Delta's
+  // atomic region swap; the pred/payload boundary is found by the
+  // mask walk ([[splitReplaceWhere]]), never the regex: a pred holding
+  // a parenthesized subquery must not split at the inner SELECT
+  private val ReplaceWhereRe =
+    """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+REPLACE\s+WHERE\s+(.+?)\s*;?\s*$""".r
+
+  // COPY INTO <t> FROM '<path>' FILEFORMAT = PARQUET|CSV|JSON
+  // [PATTERN = '<glob>'] — idempotent bulk file ingestion: each loaded
+  // file records a fence in the manifest txn set, so re-running the
+  // statement (or pointing it at a landing dir that keeps growing)
+  // loads every file EXACTLY once
+  private val CopyIntoRe =
+    ("""(?is)^\s*COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'\s+""" +
+      """FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*$""").r
+
+  private val SelectLookahead = """(?s)^\s""".r
+  private val ValuesLookahead = """(?s)^\s*\(""".r
+
+  /** Split a `<pred> SELECT …|VALUES …` tail at the FIRST top-level
+    * payload keyword (depth 0, outside quotes/comments — a subquery's
+    * SELECT sits inside parens and never splits). None when no payload
+    * keyword exists at top level or the predicate would be empty.
+    */
+  private[plans] def splitReplaceWhere(tail: String): Option[(String, String)] = {
+    val at = (topLevelKw(tail, "SELECT", SelectLookahead) ++
+      topLevelKw(tail, "VALUES", ValuesLookahead)).sorted.headOption
+    at.map(i => (tail.take(i).trim, tail.drop(i).trim))
+      .filter { case (pred, _) => pred.nonEmpty }
+  }
   // group(2) = everything after SET; the WHERE boundary is resolved by
   // [[splitTopLevelWhere]] (quote/paren-aware), never by the regex
   private val UpdateRe =
@@ -427,6 +480,40 @@ object GraftSqlParser {
   // parameterized type (`ADD COLUMN d DECIMAL(10,2)`).
   private val AlterAddRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s*(.+?)\s*;?\s*$""".r
+  // ALTER TABLE <t> ADD CONSTRAINT <nm> CHECK (<expr>) — the greedy
+  // body capture ends at the statement's LAST close paren, so nested
+  // parens inside the expression survive; existing rows validate
+  // before the constraint records (Delta's ADD CONSTRAINT contract)
+  private val AlterAddConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+""" +
+      """CHECK\s*\((.+)\)\s*;?\s*$""").r
+  private val AlterDropConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+""" +
+      """(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""").r
+
+  /** Wrap `df` with the table's CHECK-constraint guards: each
+    * constraint adds a `where` that passes every row (NULL passes —
+    * the SQL CHECK contract) or aborts the WRITE JOB itself via
+    * `raise_error` naming the constraint and the violating row (JSON)
+    * — zero extra passes, and the abort happens before any publish.
+    * `exempt` marks rows the guard must skip: a MERGE tombstone row is
+    * being DELETED — its source column values never land, so they
+    * cannot violate anything.
+    */
+  private[plans] def withCheckGuards(name: String,
+      df: org.apache.spark.sql.DataFrame,
+      exempt: org.apache.spark.sql.Column =
+        org.apache.spark.sql.functions.lit(false))
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    GraftTableRegistry.lookupChecks(name).foldLeft(df) { case (d, (nm, ex)) =>
+      val ok = coalesce(expr(ex).cast("boolean"), lit(true))
+      d.where(when(ok || exempt, lit(true)).otherwise(
+        raise_error(concat(
+          lit(s"$name: CHECK constraint `$nm` ($ex) violated by row "),
+          to_json(struct(df.columns.map(col): _*)))).cast("boolean")))
+    }
+  }
 
   /** Strip ONE wrapping paren pair — only when the opening paren
     * actually closes at the final character (depth walk), so a
@@ -601,6 +688,30 @@ object GraftSqlParser {
     MergeClause(matched, cond, act)
   }
 
+  /** True when the predicate text holds a SUBQUERY — an unmasked `(`
+    * whose next unmasked non-space token is SELECT. Such a predicate
+    * cannot evaluate per-row against a dir scan (`functions.expr` has
+    * no relation context), so DELETE/UPDATE route it through the full
+    * session SQL over the snapshot instead.
+    */
+  private[plans] def hasSubquery(s: String): Boolean = {
+    val mask = quotedMask(s)
+    var i = 0
+    while (i < s.length) {
+      if (!mask(i) && s.charAt(i) == '(') {
+        var j = i + 1
+        while (j < s.length && !mask(j) && Character.isWhitespace(s.charAt(j)))
+          j += 1
+        if (j + 6 <= s.length && !mask(j) &&
+            s.substring(j, j + 6).equalsIgnoreCase("SELECT") &&
+            (j + 6 == s.length || !Character.isLetterOrDigit(s.charAt(j + 6))))
+          return true
+      }
+      i += 1
+    }
+    false
+  }
+
   /** Split `s` at the FIRST `WHERE` keyword lying at paren depth 0
     * outside quotes/comments (the mask walk): (before, Some(after)),
     * or (s, None) when no top-level WHERE exists. Subquery WHEREs are
@@ -638,16 +749,25 @@ object GraftSqlParser {
   private[plans] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     OptimizeRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        val cols = Option(m.group(2)).toSeq
+        val cols = Option(m.group(3)).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-        GraftOptimizeCommand(m.group(1), cols): LogicalPlan
-    }.orElse(VacuumRe.findFirstMatchIn(sqlText).collect {
+        GraftOptimizeCommand(m.group(1), cols,
+          whereSql = Option(m.group(2)).map(_.trim)): LogicalPlan
+    }.orElse(AlterClusterRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        GraftAlterClusterCommand(m.group(1),
+          Option(m.group(2)).toSeq.flatMap(_.split(","))
+            .map(_.trim).filter(_.nonEmpty)): LogicalPlan
+    }).orElse(VacuumRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftVacuumCommand(m.group(1),
           Option(m.group(2)).map(_.toInt).getOrElse(1),
           dryRun = m.group(3) != null): LogicalPlan
     }).orElse(ShowTablesRe.findFirstMatchIn(sqlText).map { _ =>
       GraftShowTablesCommand(): LogicalPlan
+    }).orElse(ShowCreateRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        GraftShowCreateTableCommand(m.group(1)): LogicalPlan
     }).orElse(RestoreRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftRestoreCommand(m.group(1), m.group(2).toLong): LogicalPlan
@@ -658,9 +778,21 @@ object GraftSqlParser {
     }).orElse(DeleteRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftDeleteCommand(m.group(1), m.group(2)): LogicalPlan
+    }).orElse(ReplaceWhereRe.findFirstMatchIn(sqlText).flatMap { m =>
+      if (GraftTableRegistry.lookup(m.group(1)).isEmpty) None
+      else splitReplaceWhere(m.group(2)).map { case (pred, query) =>
+        GraftReplaceWhereCommand(m.group(1), pred, query): LogicalPlan
+      }
+    }).orElse(InsertOverwriteRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        GraftInsertOverwriteCommand(m.group(1), m.group(2)): LogicalPlan
     }).orElse(InsertRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftInsertCommand(m.group(1), m.group(2)): LogicalPlan
+    }).orElse(CopyIntoRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        GraftCopyIntoCommand(m.group(1), m.group(2), m.group(3),
+          Option(m.group(4))): LogicalPlan
     }).orElse(UpdateRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         // the SET/WHERE boundary is found by the mask walk, not the
@@ -706,6 +838,14 @@ object GraftSqlParser {
     }).orElse(DropTableRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftDropTableCommand(m.group(1)): LogicalPlan
+    }).orElse(AlterAddConstraintRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        GraftAddConstraintCommand(m.group(1), m.group(2),
+          m.group(3).trim): LogicalPlan
+    }).orElse(AlterDropConstraintRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        GraftDropConstraintCommand(m.group(1), m.group(3),
+          ifExists = m.group(2) != null): LogicalPlan
     }).orElse(AlterAddRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftAlterAddColumnsCommand(m.group(1),
@@ -737,6 +877,48 @@ object GraftSqlParser {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .repartition(1)
+
+  /** Positional SQL-INSERT payload binding shared by INSERT INTO /
+    * INSERT OVERWRITE / REPLACE WHERE: run the payload query through
+    * the full session SQL (so it can itself use `VERSION AS OF`, graft
+    * joins, temp views…), require the column COUNT matches, rename
+    * positionally to the table's names (a VALUES list has no names to
+    * match on), and cast each column to the table's type with the
+    * ANSI-strict guard — with ANSI off a lenient cast would silently
+    * NULL an incompatible value; the guard fails the write job instead,
+    * naming column and value, before any publish. The returned
+    * Observation counts the payload rows DURING the write job — no
+    * pre-materialization, an INSERT SELECT over an arbitrarily large
+    * query stays one streaming write pass. The table's CHECK
+    * constraints guard the aligned payload the same in-write way
+    * ([[withCheckGuards]]) — every INSERT form enforces them here.
+    */
+  private[plans] def alignInsertPayload(
+      spark: org.apache.spark.sql.SparkSession, tag: String,
+      target: org.apache.spark.sql.types.StructType, querySql: String,
+      checksFor: Option[String] = None)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Observation) = {
+    import org.apache.spark.sql.functions.{col, concat_ws, count, lit, raise_error, when}
+    val src0 = spark.sql(querySql)
+    require(src0.columns.length == target.length,
+      s"$tag: ${src0.columns.length} columns, table has ${target.length}")
+    val obs = org.apache.spark.sql.Observation()
+    val named = src0.toDF(target.map(_.name): _*)
+    val src = named.select(target.map { f =>
+      val srcType = named.schema(f.name).dataType
+      if (srcType == f.dataType) col(f.name)
+      else {
+        val casted = col(f.name).cast(f.dataType)
+        when(col(f.name).isNotNull && casted.isNull,
+          raise_error(concat_ws("", lit(s"$tag: value '"),
+            col(f.name).cast("string"),
+            lit(s"' is not a valid ${f.dataType.simpleString} for " +
+              s"column ${f.name}"))).cast(f.dataType))
+          .otherwise(casted).as(f.name)
+      }
+    }: _*).observe(obs, count(lit(1)).as("n"))
+    (checksFor.fold(src)(withCheckGuards(_, src)), obs)
+  }
 
   private[plans] def parseAsOf(sqlText: String,
                                delegate: ParserInterface): Option[LogicalPlan] =
@@ -803,7 +985,8 @@ case class UnresolvedIntervalJoin(left: LogicalPlan, right: LogicalPlan,
   * columns recorded as stats so box pruning works immediately).
   * Returns one (table, version) row, Delta-OPTIMIZE style.
   */
-case class GraftOptimizeCommand(name: String, clusterCols: Seq[String])
+case class GraftOptimizeCommand(name: String, clusterCols: Seq[String],
+                                whereSql: Option[String] = None)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq(
     AttributeReference("table", org.apache.spark.sql.types.StringType)(),
@@ -823,15 +1006,53 @@ case class GraftOptimizeCommand(name: String, clusterCols: Seq[String])
     // insert records them, and dropping them here would make the NEXT
     // keyed merge/delete read every rewritten dir
     val stats = (GraftTableRegistry.lookupKey(name).toSeq ++ effective).distinct
-    val v =
-      if (effective.isEmpty) store.compact(view, statsCols = stats)
-      else if (effective.size == 1)
-        // single-column clustering is a plain range layout — the
-        // clustered writer's 1-col code path (the curve needs 2+ dims)
-        store.commitClustered(view, store.read(view), effective,
-          overwrite = true, statsCols = stats)
-      else store.optimizeClusteredN(view, effective, statsCols = stats)
+    val v = whereSql match {
+      // WHERE scopes the rewrite to the dirs the predicate may touch —
+      // maintenance at the cost of what changed, never a table rewrite
+      case Some(w) => store.optimizeWhere(view,
+        org.apache.spark.sql.functions.expr(w), effective, statsCols = stats)
+      case None =>
+        if (effective.isEmpty) store.compact(view, statsCols = stats)
+        else if (effective.size == 1)
+          // single-column clustering is a plain range layout — the
+          // clustered writer's 1-col code path (the curve needs 2+ dims)
+          store.commitClustered(view, store.read(view), effective,
+            overwrite = true, statsCols = stats)
+        else store.optimizeClusteredN(view, effective, statsCols = stats)
+    }
     Seq(org.apache.spark.sql.Row(name, v))
+  }
+}
+
+/** `ALTER TABLE <t> CLUSTER BY (a, b) | NONE` — re-declare (or clear)
+  * the table's layout as a PROPERTY change: zero data IO now; future
+  * INSERT/CTAS route through the new curve and the next bare OPTIMIZE
+  * re-clusters the existing data along it (the liquid-clustering
+  * lifecycle). The new columns must exist in the current schema.
+  * Persists with the binding, so the declared layout survives a
+  * restart like everything else. Returns (table, clustering).
+  */
+case class GraftAlterClusterCommand(name: String, clusterCols: Seq[String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("clustering", org.apache.spark.sql.types.StringType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val (store, view) = GraftTableRegistry.required("ALTER TABLE", name)
+    if (clusterCols.nonEmpty) {
+      val cols = store.read(view).columns
+      clusterCols.foreach { c =>
+        require(cols.exists(_.equalsIgnoreCase(c)),
+          s"ALTER TABLE $name CLUSTER BY: `$c` is not a table column " +
+            cols.mkString("(", ", ", ")"))
+      }
+    }
+    GraftTableRegistry.registerCluster(name, clusterCols)
+    GraftTableRegistry.persistBinding(spark, name)
+    Seq(org.apache.spark.sql.Row(name,
+      if (clusterCols.isEmpty) "NONE"
+      else clusterCols.mkString("(", ", ", ")")))
   }
 }
 
@@ -923,7 +1144,12 @@ case class GraftRestoreCommand(name: String, toVersion: Long = -1L,
   * registration recorded ([[GraftTableRegistry.lookupKey]] — vectors
   * are keyed, and SQL carries only the name). The predicate text
   * parses through the session's own expression parser at run time, so
-  * any Spark WHERE clause works. Claimed only for registered names —
+  * any Spark WHERE clause works — including SUBQUERIES (`k IN
+  * (SELECT …)`, `EXISTS (…)`): those resolve through the full session
+  * SQL over the snapshot and delete by the matched key set
+  * ([[graft.sources.SnapshotStore.deleteKeys]] — one deletion-vector
+  * commit, the list never collects to the driver). Claimed only for
+  * registered names —
   * DELETE against anything else still reaches the stock parser.
   * Returns one (table, version) row (version unchanged when nothing
   * matched — no empty vector publishes).
@@ -937,9 +1163,27 @@ case class GraftDeleteCommand(name: String, predicateSql: String)
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("DELETE FROM", name)
     val keyCol = GraftTableRegistry.requiredKey("DELETE FROM", name)
-    Seq(org.apache.spark.sql.Row(name,
-      store.deleteWhere(view, keyCol,
-        org.apache.spark.sql.functions.expr(predicateSql))))
+    // a SUBQUERY predicate (`WHERE k IN (SELECT …)`) cannot evaluate
+    // per-row against a dir scan — resolve it through the full session
+    // SQL over the snapshot and delete by the matched KEY SET
+    // (deleteKeys: one deletion-vector commit, the list never touches
+    // the driver)
+    if (GraftSqlParser.hasSubquery(predicateSql)) {
+      val tmp = "graft_dml_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      store.read(view).createOrReplaceTempView(tmp)
+      try {
+        // aliased back to the TABLE's name so correlated references
+        // (`WHERE EXISTS (… WHERE other.g = t.g)`) keep resolving
+        val keys = spark.sql(s"SELECT `$keyCol` FROM $tmp AS " +
+          s"`${name.split('.').last}` WHERE $predicateSql")
+        Seq(org.apache.spark.sql.Row(name,
+          store.deleteKeys(view, keyCol, keys)))
+      } finally spark.catalog.dropTempView(tmp)
+    } else
+      Seq(org.apache.spark.sql.Row(name,
+        store.deleteWhere(view, keyCol,
+          org.apache.spark.sql.functions.expr(predicateSql))))
   }
 }
 
@@ -971,39 +1215,10 @@ case class GraftInsertCommand(name: String, querySql: String)
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("INSERT INTO", name)
-    val src0 = spark.sql(querySql)
     val target = store.read(view).schema
-    require(src0.columns.length == target.length,
-      s"INSERT INTO $name: ${src0.columns.length} columns, table has ${target.length}")
-    // positional binding with the table's names/types — the SQL INSERT
-    // contract (a VALUES list has no names to match on). rows_inserted
-    // is observed DURING the commit's write job: no pre-materialization
-    // of the payload, so INSERT SELECT over an arbitrarily large query
-    // stays one streaming write pass.
-    val obs = org.apache.spark.sql.Observation()
-    import org.apache.spark.sql.functions.{col, concat_ws, lit, raise_error, when}
-    val named = src0.toDF(target.map(_.name): _*)
-    val src = named
-      .select(target.map { f =>
-        val srcType = named.schema(f.name).dataType
-        if (srcType == f.dataType) col(f.name)
-        else {
-          // ANSI-strict alignment: under ANSI (the Spark 4 default) the
-          // cast itself fails loudly; with ANSI off a lenient cast
-          // turns an incompatible value into NULL and would silently
-          // insert it — the guard fails the commit's write job instead,
-          // naming column and value (the job aborts before any publish)
-          val casted = col(f.name).cast(f.dataType)
-          when(col(f.name).isNotNull && casted.isNull,
-            raise_error(concat_ws("", lit(s"INSERT INTO $name: value '"),
-              col(f.name).cast("string"),
-              lit(s"' is not a valid ${f.dataType.simpleString} for " +
-                s"column ${f.name}"))).cast(f.dataType))
-            .otherwise(casted).as(f.name)
-        }
-      }: _*)
-      .observe(obs, org.apache.spark.sql.functions
-        .count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val (src, obs) = GraftSqlParser.alignInsertPayload(spark,
+      s"INSERT INTO $name", target, querySql, checksFor = Some(name))
+    import org.apache.spark.sql.functions.{col, lit}
     // opt-in PRIMARY KEY enforcement (see the class scaladoc): the
     // payload materializes once and BOTH probes run before any write.
     // The commit pins the version the existing-key probe read
@@ -1050,6 +1265,212 @@ case class GraftInsertCommand(name: String, querySql: String)
   }
 }
 
+/** `INSERT OVERWRITE [TABLE] <t> SELECT …|VALUES …`: the payload
+  * replaces the table contents in ONE overwrite commit — history and
+  * txn fences stay, every prior snapshot remains time-travelable until
+  * VACUUM (the same lifecycle TRUNCATE has, with content). Payload
+  * binding, ANSI guard, and the streaming-write row count are shared
+  * with INSERT INTO ([[GraftSqlParser.alignInsertPayload]]); a
+  * DDL-declared CLUSTER BY routes the new content through the Hilbert
+  * range-dir writer. Opt-in PRIMARY KEY enforcement checks the payload
+  * against ITSELF only — the rows it would conflict with are the rows
+  * it replaces. Returns (table, version, rows_inserted).
+  */
+case class GraftInsertOverwriteCommand(name: String, querySql: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("version", org.apache.spark.sql.types.LongType)(),
+    AttributeReference("rows_inserted", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val (store, view) = GraftTableRegistry.required("INSERT OVERWRITE", name)
+    val target = store.read(view).schema
+    val (src, obs) = GraftSqlParser.alignInsertPayload(spark,
+      s"INSERT OVERWRITE $name", target, querySql, checksFor = Some(name))
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val enforcedKey = GraftTableRegistry.lookupKey(name).filter(_ =>
+      spark.conf.getOption("spark.graft.sql.enforcePrimaryKey")
+        .exists(_.toBoolean))
+    val payload = enforcedKey.fold(src) { k =>
+      val chk = src.localCheckpoint()
+      chk.groupBy(col(k)).agg(count(lit(1)).as("_graft_n"))
+        .where(col("_graft_n") > 1)
+        .select(col(k).cast("string")).limit(1).collect()
+        .headOption.foreach(r => throw new IllegalArgumentException(
+          s"INSERT OVERWRITE $name: the payload repeats PRIMARY KEY " +
+            s"`$k` = ${r.getString(0)} — deduplicate it, or disable " +
+            "spark.graft.sql.enforcePrimaryKey"))
+      chk
+    }
+    val cluster = GraftTableRegistry.lookupCluster(name)
+    val v =
+      if (cluster.nonEmpty)
+        store.commitClustered(view, payload, cluster, overwrite = true,
+          statsCols = GraftTableRegistry.lookupKey(name).toSeq)
+      else store.commit(view, payload, overwrite = true,
+        statsCols = (GraftTableRegistry.lookupKey(name).toSeq ++ cluster).distinct)
+    Seq(org.apache.spark.sql.Row(name, v, obs.get("n").asInstanceOf[Long]))
+  }
+}
+
+/** `INSERT INTO <t> REPLACE WHERE <pred> SELECT …|VALUES …` — the
+  * atomic REGION swap (Delta's replaceWhere): one commit whose
+  * snapshot is (old rows NOT matching pred) ∪ (payload), compiled to
+  * [[graft.sources.SnapshotStore.replaceWhere]] — stats-pruned
+  * copy-on-write of only the dirs the predicate may touch, untouched
+  * dirs carried by name, and an in-write guard refusing any payload
+  * row OUTSIDE the predicate (it would silently survive the next
+  * replace of a different region). The idiomatic form of "reload one
+  * day's partition". Opt-in PRIMARY KEY enforcement probes the payload
+  * against itself and against the SURVIVING rows (`NOT pred`) — the
+  * replaced region cannot conflict. Returns (table, version,
+  * rows_inserted).
+  */
+case class GraftReplaceWhereCommand(name: String, predicateSql: String,
+                                    querySql: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("version", org.apache.spark.sql.types.LongType)(),
+    AttributeReference("rows_inserted", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val tag = s"INSERT INTO $name REPLACE WHERE"
+    val (store, view) = GraftTableRegistry.required(tag, name)
+    val target = store.read(view).schema
+    val (src, obs) = GraftSqlParser.alignInsertPayload(spark, tag,
+      target, querySql, checksFor = Some(name))
+    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit}
+    val pred = expr(predicateSql)
+    val enforcedKey = GraftTableRegistry.lookupKey(name).filter(_ =>
+      spark.conf.getOption("spark.graft.sql.enforcePrimaryKey")
+        .exists(_.toBoolean))
+    val payload = enforcedKey.fold(src) { k =>
+      val chk = src.localCheckpoint()
+      chk.groupBy(col(k)).agg(count(lit(1)).as("_graft_n"))
+        .where(col("_graft_n") > 1)
+        .select(col(k).cast("string")).limit(1).collect()
+        .headOption.foreach(r => throw new IllegalArgumentException(
+          s"$tag: the payload repeats PRIMARY KEY `$k` = " +
+            s"${r.getString(0)} — deduplicate it, or disable " +
+            "spark.graft.sql.enforcePrimaryKey"))
+      store.read(view).where(!coalesce(pred.cast("boolean"), lit(false)))
+        .select(col(k))
+        .join(chk.select(col(k)).distinct(), Seq(k), "left_semi")
+        .select(col(k).cast("string")).limit(1).collect()
+        .headOption.foreach(r => throw new IllegalArgumentException(
+          s"$tag: PRIMARY KEY `$k` = ${r.getString(0)} already exists " +
+            "outside the replaced region — MERGE INTO to upsert, or " +
+            "disable spark.graft.sql.enforcePrimaryKey"))
+      chk
+    }
+    val v = store.replaceWhere(view, pred, payload,
+      statsCols = (GraftTableRegistry.lookupKey(name).toSeq ++
+        GraftTableRegistry.lookupCluster(name)).distinct)
+    Seq(org.apache.spark.sql.Row(name, v, obs.get("n").asInstanceOf[Long]))
+  }
+}
+
+/** `COPY INTO <t> FROM '<path>' FILEFORMAT = PARQUET|CSV|JSON
+  * [PATTERN = '<glob>']` — IDEMPOTENT bulk file ingestion, the
+  * landing-zone statement a training-data pipeline loads shards with:
+  *
+  *  - `FROM` names a file or a directory (non-recursive listing, data
+  *    files only — `_`/`.`-prefixed sidecars skipped); `PATTERN`
+  *    globs file NAMES, defaulting to `*.<format>`;
+  *  - every loaded file records a fence
+  *    ([[graft.sources.SnapshotStore.fileFence]] — a path hash in the
+  *    manifest's txn set, atomic WITH the commit, no side ledger to
+  *    desync) — re-running the statement, or pointing it at a landing
+  *    dir that keeps growing, loads each file EXACTLY once; already-
+  *    loaded files cost one driver set lookup;
+  *  - parquet aligns BY NAME (missing table columns land NULL — shard
+  *    schemas may trail the table's evolution; extra file columns
+  *    refuse loudly); csv (`header` expected) and json read with the
+  *    table's schema directly; casts are ANSI-strict;
+  *  - CHECK constraints guard the load in-write; a DDL-declared
+  *    CLUSTER BY routes through the range-dir writer; the whole batch
+  *    is ONE append commit.
+  *
+  * Returns (table, version, files_loaded, rows_loaded) — a no-new-file
+  * run returns the current version with zeros and publishes nothing.
+  */
+case class GraftCopyIntoCommand(name: String, fromPath: String,
+                                format: String, pattern: Option[String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType)(),
+    AttributeReference("version", LongType)(),
+    AttributeReference("files_loaded", LongType)(),
+    AttributeReference("rows_loaded", LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    val tag = s"COPY INTO $name"
+    val (store, view) = GraftTableRegistry.required(tag, name)
+    val fmt = format.toLowerCase
+    require(Set("parquet", "csv", "json").contains(fmt),
+      s"$tag: FILEFORMAT must be PARQUET, CSV, or JSON — got `$format`")
+    val from = java.nio.file.Paths.get(fromPath)
+    require(java.nio.file.Files.exists(from), s"$tag: no such path `$fromPath`")
+    val files: Seq[String] =
+      if (java.nio.file.Files.isRegularFile(from)) Seq(from.toString)
+      else {
+        val glob = pattern.getOrElse(s"*.$fmt")
+        val m = java.nio.file.FileSystems.getDefault
+          .getPathMatcher("glob:" + glob)
+        val s0 = java.nio.file.Files.list(from)
+        try s0.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .filter { f =>
+            val n = f.getFileName.toString
+            !n.startsWith("_") && !n.startsWith(".") && m.matches(f.getFileName)
+          }
+          .map(_.toString).toSeq.sorted
+        finally s0.close()
+      }
+    val applied = store.appliedTxns(view)
+    val fresh = files.filterNot(f => applied.contains(store.fileFence(f)))
+    val cur = store.versions(view).lastOption.getOrElse(0L)
+    if (fresh.isEmpty)
+      return Seq(org.apache.spark.sql.Row(name, cur, 0L, 0L))
+    val target = store.read(view).schema
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val raw = fmt match {
+      case "parquet" => spark.read.parquet(fresh: _*)
+      case "csv" => spark.read.schema(target).option("header", "true")
+        .csv(fresh: _*)
+      case "json" => spark.read.schema(target).json(fresh: _*)
+    }
+    raw.columns.foreach { c =>
+      require(target.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"$tag: file column `$c` is not a table column " +
+          target.fieldNames.mkString("(", ", ", ")"))
+    }
+    val aligned = raw.select(target.map { f =>
+      if (raw.columns.exists(_.equalsIgnoreCase(f.name)))
+        col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val obs = org.apache.spark.sql.Observation()
+    val payload = GraftSqlParser.withCheckGuards(name,
+      aligned.observe(obs, count(lit(1)).as("n")))
+    val fences = fresh.map(store.fileFence).toSet
+    val cluster = GraftTableRegistry.lookupCluster(name)
+    val key = GraftTableRegistry.lookupKey(name).toSeq
+    val v =
+      if (cluster.nonEmpty)
+        store.commitClustered(view, payload, cluster, overwrite = false,
+          statsCols = key, txnsExtra = fences)
+      else store.commit(view, payload, overwrite = false,
+        statsCols = key, txnsExtra = fences)
+    Seq(org.apache.spark.sql.Row(name, v, fresh.size.toLong,
+      obs.get("n").asInstanceOf[Long]))
+  }
+}
+
 /** `UPDATE <table> SET c = expr[, …] [WHERE <pred>]` as a
   * RunnableCommand — expressed as the store's keyed MERGE: the source
   * is the current snapshot filtered to the predicate with the SET
@@ -1083,29 +1504,51 @@ case class GraftUpdateCommand(name: String, setSql: String, predicateSql: String
     // SIMULTANEOUS assignment (the SQL contract): every SET expression
     // evaluates against the OLD row in one projection — `SET a = b,
     // b = a` swaps, it does not copy (sequential withColumns would
-    // read the already-updated column)
-    val base = store.read(view).where(expr(predicateSql))
-    val byName = assignments.map { case (c, e) => c.toLowerCase -> e }.toMap
-    require(byName.size == assignments.size,
-      s"UPDATE $name: duplicate SET column")
-    // rows_updated rides the checkpoint's own materialization job (an
-    // Observation below the checkpoint) — one pass over the updated
-    // subset, no second count job; the localCheckpoint itself is what
-    // lets mergeInto reference the source multiple times without
-    // recomputing the SET projection
-    val obs = org.apache.spark.sql.Observation()
-    val updated = base.select(base.columns.toSeq.map { c =>
-      byName.get(c.toLowerCase)
-        .map(e => expr(e).cast(base.schema(c).dataType).as(c))
-        .getOrElse(org.apache.spark.sql.functions.col(c))
-    }: _*).observe(obs, org.apache.spark.sql.functions.count(
-      org.apache.spark.sql.functions.lit(1)).as("n")).localCheckpoint()
-    val n = obs.get("n").asInstanceOf[Long]
-    val v =
-      if (n == 0) store.versions(view).max
-      else store.mergeInto(view, updated, keyCol,
-        statsCols = Seq(keyCol))
-    Seq(org.apache.spark.sql.Row(name, v, n))
+    // read the already-updated column). A subquery predicate resolves
+    // through the full session SQL over the snapshot (expr() has no
+    // relation context); the checkpoint below materializes the result,
+    // so the temp view can drop right after.
+    val subTmp =
+      if (GraftSqlParser.hasSubquery(predicateSql))
+        Some("graft_dml_" +
+          java.util.UUID.randomUUID().toString.replace("-", ""))
+      else None
+    val base = subTmp match {
+      case Some(tmp) =>
+        store.read(view).createOrReplaceTempView(tmp)
+        // aliased back to the TABLE's name so correlated references
+        // keep resolving (same contract as DELETE's subquery route)
+        spark.sql(s"SELECT * FROM $tmp AS `${name.split('.').last}` " +
+          s"WHERE $predicateSql")
+      case None => store.read(view).where(expr(predicateSql))
+    }
+    try {
+      val byName = assignments.map { case (c, e) => c.toLowerCase -> e }.toMap
+      require(byName.size == assignments.size,
+        s"UPDATE $name: duplicate SET column")
+      // rows_updated rides the checkpoint's own materialization job (an
+      // Observation below the checkpoint) — one pass over the updated
+      // subset, no second count job; the localCheckpoint itself is what
+      // lets mergeInto reference the source multiple times without
+      // recomputing the SET projection
+      val obs = org.apache.spark.sql.Observation()
+      // CHECK constraints guard the post-SET rows in the checkpoint's
+      // own job — an UPDATE can violate an invariant as surely as an
+      // INSERT, and the refusal lands before mergeInto writes anything
+      val updated = GraftSqlParser.withCheckGuards(name,
+        base.select(base.columns.toSeq.map { c =>
+          byName.get(c.toLowerCase)
+            .map(e => expr(e).cast(base.schema(c).dataType).as(c))
+            .getOrElse(org.apache.spark.sql.functions.col(c))
+        }: _*)).observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")).localCheckpoint()
+      val n = obs.get("n").asInstanceOf[Long]
+      val v =
+        if (n == 0) store.versions(view).max
+        else store.mergeInto(view, updated, keyCol,
+          statsCols = Seq(keyCol))
+      Seq(org.apache.spark.sql.Row(name, v, n))
+    } finally subTmp.foreach(spark.catalog.dropTempView)
   }
 }
 
@@ -1163,8 +1606,16 @@ case class GraftMergeCommand(name: String, srcName: String,
           coalesce(col("_graft_matched"), lit(false)))
         .drop("_graft_matched")
     }
+    // CHECK guards skip tombstone rows — a deleted row's source values
+    // never land
+    val guarded = deleteCol.fold(
+      GraftSqlParser.withCheckGuards(name, scoped)) { d =>
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      GraftSqlParser.withCheckGuards(name, scoped,
+        exempt = coalesce(col(d).cast("boolean"), lit(false)))
+    }
     Seq(org.apache.spark.sql.Row(name,
-      store.mergeInto(view, scoped, keyCol, deleteCol = deleteCol,
+      store.mergeInto(view, guarded, keyCol, deleteCol = deleteCol,
         statsCols = Seq(keyCol))))
   }
 }
@@ -1256,7 +1707,8 @@ case class GraftMergeColumnsCommand(name: String, tAliasOpt: Option[String],
       when(matched, upd).otherwise(ins).as(c)
     }: _*)
     Seq(org.apache.spark.sql.Row(name,
-      store.mergeInto(view, projected, keyCol, statsCols = Seq(keyCol))))
+      store.mergeInto(view, GraftSqlParser.withCheckGuards(name, projected),
+        keyCol, statsCols = Seq(keyCol))))
   }
 }
 
@@ -1418,8 +1870,12 @@ case class GraftMergeWhenCommand(name: String, tAliasOpt: Option[String],
             lit(null).cast(dt)))
         .as(c)
     } :+ delFlag.as("_graft_del"): _*)
+    // CHECK guards skip rows the merge is DELETING — their carried old
+    // values never land, so they cannot violate anything
+    val guarded = GraftSqlParser.withCheckGuards(name, projected,
+      exempt = col("_graft_del"))
     Seq(org.apache.spark.sql.Row(name,
-      store.mergeInto(view, projected, keyCol,
+      store.mergeInto(view, guarded, keyCol,
         deleteCol = Some("_graft_del"), statsCols = Seq(keyCol))))
   }
 }
@@ -1485,14 +1941,8 @@ case class GraftCreateTableCommand(name: String,
     // root when no catalog root is set), so a restarted JVM resolves
     // the name from disk — CREATE TABLE is a durable statement, not a
     // session note
-    def persist(st: graft.sources.SnapshotStore, view: String): Unit = {
-      val catRoot = spark.conf.getOption("spark.graft.store.root")
-        .getOrElse(st.root)
-      GraftCatalog.upsert(catRoot, GraftCatalog.Binding(name,
-        java.nio.file.Paths.get(st.root).toAbsolutePath.normalize.toString,
-        view, GraftTableRegistry.lookupKey(name),
-        GraftTableRegistry.lookupCluster(name)))
-    }
+    def persist(st: graft.sources.SnapshotStore, view: String): Unit =
+      GraftTableRegistry.persistBinding(spark, name)
     GraftTableRegistry.lookup(name).foreach { case (st, view) =>
       if (!ifNotExists) throw new IllegalArgumentException(
         s"CREATE TABLE $name: already registered — DROP TABLE $name " +
@@ -1653,6 +2103,71 @@ case class GraftAlterAddColumnsCommand(name: String, columnsDdl: String)
   }
 }
 
+/** `ALTER TABLE <t> ADD CONSTRAINT <nm> CHECK (<expr>)`: records a
+  * CHECK constraint every subsequent SQL write statement enforces
+  * in-write ([[GraftSqlParser.withCheckGuards]]). Existing rows
+  * validate FIRST — one bounded probe (`limit(1)`) over the current
+  * snapshot; a violation refuses the ALTER naming the row, so a
+  * recorded constraint is always a TRUE invariant of the table, never
+  * an aspiration (Delta's ADD CONSTRAINT contract). The constraint
+  * persists in the durable catalog (base64-encoded beside the
+  * binding), survives a restart, and round-trips through SHOW CREATE
+  * TABLE as an ALTER row. Returns (table, constraint).
+  */
+case class GraftAddConstraintCommand(name: String, cName: String,
+                                     exprSql: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("constraint", org.apache.spark.sql.types.StringType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val tag = s"ALTER TABLE $name ADD CONSTRAINT $cName"
+    val (store, view) = GraftTableRegistry.required(tag, name)
+    val existing = GraftTableRegistry.lookupChecks(name)
+    require(!existing.exists(_._1.equalsIgnoreCase(cName)),
+      s"$tag: constraint `$cName` already exists — DROP CONSTRAINT first")
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, struct, to_json}
+    val cur = store.read(view)
+    val viol = cur
+      .where(coalesce(expr(exprSql).cast("boolean"), lit(true)) === false)
+      .select(to_json(struct(cur.columns.map(col): _*)))
+      .limit(1).collect()
+    viol.headOption.foreach(r => throw new IllegalArgumentException(
+      s"$tag: existing row ${r.getString(0)} violates CHECK ($exprSql) " +
+        "— a recorded constraint must hold over the whole table"))
+    GraftTableRegistry.registerChecks(name, existing :+ (cName -> exprSql))
+    GraftTableRegistry.persistBinding(spark, name)
+    Seq(org.apache.spark.sql.Row(name, cName))
+  }
+}
+
+/** `ALTER TABLE <t> DROP CONSTRAINT [IF EXISTS] <nm>` — unrecords the
+  * CHECK constraint (and re-persists the binding, so the drop survives
+  * a restart). Without IF EXISTS an unknown name refuses. Returns
+  * (table, constraint).
+  */
+case class GraftDropConstraintCommand(name: String, cName: String,
+                                      ifExists: Boolean)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("constraint", org.apache.spark.sql.types.StringType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    GraftTableRegistry.required(s"ALTER TABLE $name DROP CONSTRAINT", name)
+    val existing = GraftTableRegistry.lookupChecks(name)
+    if (!existing.exists(_._1.equalsIgnoreCase(cName)) && !ifExists)
+      throw new IllegalArgumentException(
+        s"ALTER TABLE $name DROP CONSTRAINT $cName: no such constraint " +
+          existing.map(_._1).mkString("(", ", ", ")"))
+    GraftTableRegistry.registerChecks(name,
+      existing.filterNot(_._1.equalsIgnoreCase(cName)))
+    GraftTableRegistry.persistBinding(spark, name)
+    Seq(org.apache.spark.sql.Row(name, cName))
+  }
+}
+
 /** `TRUNCATE TABLE <t>`: an EMPTY overwrite commit — contents go in
   * one metadata publish (no data IO beyond one zero-row schema file),
   * history and txn fences stay, every prior snapshot remains
@@ -1686,7 +2201,8 @@ case class GraftDescribeDetailCommand(name: String)
     AttributeReference("num_data_dirs", LongType)(),
     AttributeReference("num_deletion_vectors", LongType)(),
     AttributeReference("data_bytes", LongType)(),
-    AttributeReference("key_column", StringType)())
+    AttributeReference("key_column", StringType)(),
+    AttributeReference("num_rows", LongType)())
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("DESCRIBE DETAIL", name)
@@ -1695,13 +2211,67 @@ case class GraftDescribeDetailCommand(name: String)
     // not a crash (versions.max / readManifest would throw)
     store.versions(view).lastOption match {
       case None =>
-        Seq(org.apache.spark.sql.Row(name, 0L, 0L, 0L, 0L, key))
+        Seq(org.apache.spark.sql.Row(name, 0L, 0L, 0L, 0L, key, 0L))
       case Some(v) =>
         val dirs = store.manifestDirs(view, Some(v))
         val dels = store.manifestDels(view, v)
+        // num_rows is metadata-only (write-time recorded counts) — NULL
+        // when not exactly answerable (statless dirs, live vectors)
         Seq(org.apache.spark.sql.Row(name, v, dirs.size.toLong,
-          dels.size.toLong, dirs.map(store.dirBytes(view, _)).sum, key))
+          dels.size.toLong, dirs.map(store.dirBytes(view, _)).sum, key,
+          store.rowCountFast(view).map(Long.box).orNull))
     }
+  }
+}
+
+/** `SHOW CREATE TABLE <t>` — the RE-EXECUTABLE DDL for a registered
+  * graft table, one statement per row in execution order (today the
+  * CREATE; table-level statements that only ALTER can add — e.g. CHECK
+  * constraints — follow as further rows, so "run every row in order"
+  * stays the porting/DR recipe as the surface grows). The emitted
+  * CREATE spells `IF NOT EXISTS` deliberately: graft tables are
+  * external-style (DROP unbinds, data stays), so re-running the
+  * statement ADOPTS the on-disk view — the exact disaster-recovery /
+  * new-cluster flow — instead of refusing because data already exists.
+  * The schema comes from the CURRENT snapshot (the store's merged
+  * per-dir schema — authoritative over whatever DDL originally ran),
+  * key/clustering from the registry, and LOCATION is always emitted
+  * (the binding's absolute root) so the statement works under any
+  * `spark.graft.store.root`. A binding whose store view name differs
+  * from the table name (possible via the Scala registration API, never
+  * via SQL) is refused — no pure-SQL statement can reproduce it.
+  */
+case class GraftShowCreateTableCommand(name: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("stmt", org.apache.spark.sql.types.StringType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val (store, view) = GraftTableRegistry.required("SHOW CREATE TABLE", name)
+    require(view == name,
+      s"SHOW CREATE TABLE $name: the binding's store view is `$view` — " +
+        "a divergent view name has no SQL spelling; re-register via the " +
+        "Scala API on restore instead")
+    require(store.versions(view).nonEmpty,
+      s"SHOW CREATE TABLE $name: the view has no committed snapshot yet " +
+        "— there is no schema on disk to show")
+    val schema = store.read(view).schema
+    val key = GraftTableRegistry.lookupKey(name)
+    val cluster = GraftTableRegistry.lookupCluster(name)
+    // clause order matches [[CreateTableRe]]: PRIMARY KEY, CLUSTER BY,
+    // LOCATION — the emitted text must re-parse through the same regex
+    val create = s"CREATE TABLE IF NOT EXISTS $name (${schema.toDDL}) " +
+      "USING graft" +
+      key.fold("")(k => s" PRIMARY KEY $k") +
+      (if (cluster.nonEmpty) cluster.mkString(" CLUSTER BY (", ", ", ")")
+       else "") +
+      s" LOCATION '${store.root}'"
+    // CHECK constraints follow as ALTER rows — the CREATE grammar has
+    // no constraint clause, and the adoption path would skip one anyway
+    val alters = GraftTableRegistry.lookupChecks(name).map { case (nm, ex) =>
+      s"ALTER TABLE $name ADD CONSTRAINT $nm CHECK ($ex)"
+    }
+    (create +: alters).map(org.apache.spark.sql.Row(_))
   }
 }
 
@@ -1757,6 +2327,8 @@ object GraftTableRegistry {
   private val keys = scala.collection.concurrent.TrieMap.empty[String, String]
   private val clusters =
     scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+  private val checks =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
 
   def register(name: String, store: graft.sources.SnapshotStore,
                view: String): Unit = {
@@ -1766,6 +2338,7 @@ object GraftTableRegistry {
     // view (a wrong-keyed deletion vector excludes the wrong rows)
     keys.remove(name)
     clusters.remove(name)
+    checks.remove(name)
   }
 
   /** Registration with the view's row-identity KEY column — what the
@@ -1778,6 +2351,7 @@ object GraftTableRegistry {
     reg.update(name, (store, view))
     keys.update(name, keyCol)
     clusters.remove(name)
+    checks.remove(name)
   }
 
   /** Record the table's DDL-declared `CLUSTER BY` columns: subsequent
@@ -1788,10 +2362,31 @@ object GraftTableRegistry {
   def registerCluster(name: String, cols: Seq[String]): Unit =
     if (cols.isEmpty) clusters.remove(name) else clusters.update(name, cols)
   def lookupCluster(name: String): Seq[String] =
-    clusters.getOrElse(name, Nil)
+    clusters.get(name).getOrElse {
+      // same disk-fallback contract as lookupKey: a LIVE binding with
+      // no clustering stays unclustered; only a fully-absent name
+      // re-materializes from the durable catalog
+      if (reg.contains(name)) Nil
+      else loadFromDisk(name).map(_ => clusters.getOrElse(name, Nil))
+        .getOrElse(Nil)
+    }
+
+  /** Record the table's CHECK constraints (name → boolean expression
+    * SQL) — enforced by every SQL write statement (INSERT / INSERT
+    * OVERWRITE / REPLACE WHERE / UPDATE / MERGE) via an in-write
+    * `raise_error` guard; a row whose expression evaluates to FALSE
+    * aborts the write job before any publish, NULL passes (the SQL
+    * CHECK contract). Scala-API writes through the store bypass them —
+    * SQL-tier semantics, stated in the README.
+    */
+  def registerChecks(name: String, cs: Seq[(String, String)]): Unit =
+    if (cs.isEmpty) checks.remove(name) else checks.update(name, cs)
+  def lookupChecks(name: String): Seq[(String, String)] =
+    checks.getOrElse(name, Nil)
 
   def unregister(name: String): Unit = {
     reg.remove(name); keys.remove(name); clusters.remove(name)
+    checks.remove(name)
   }
 
   /** The session's catalog root — where durable bindings persist and
@@ -1821,6 +2416,7 @@ object GraftTableRegistry {
         case None => register(name, store, b.view)
       }
       registerCluster(name, b.cluster)
+      registerChecks(name, b.checks)
       (store, b.view)
     }
 
@@ -1845,11 +2441,28 @@ object GraftTableRegistry {
     reg.toSeq
   }
 
+  /** Re-persist the FULL current binding of `name` into the durable
+    * catalog (the session's catalog root, falling back to the table's
+    * own root — the two places CREATE persists to). CREATE TABLE and
+    * every binding-mutating ALTER (ADD/DROP CONSTRAINT) share this, so
+    * the durable catalog always carries the whole binding: root, view,
+    * key, clustering, constraints.
+    */
+  private[plans] def persistBinding(
+      spark: org.apache.spark.sql.SparkSession, name: String): Unit =
+    lookup(name).foreach { case (st, view) =>
+      val catRoot = spark.conf.getOption("spark.graft.store.root")
+        .getOrElse(st.root)
+      GraftCatalog.upsert(catRoot, GraftCatalog.Binding(name,
+        java.nio.file.Paths.get(st.root).toAbsolutePath.normalize.toString,
+        view, lookupKey(name), lookupCluster(name), lookupChecks(name)))
+    }
+
   /** Test hook: wipe the in-memory maps (simulating a JVM restart) —
     * durable catalog files are untouched.
     */
   private[graft] def clearInMemory(): Unit = {
-    reg.clear(); keys.clear(); clusters.clear()
+    reg.clear(); keys.clear(); clusters.clear(); checks.clear()
   }
 
   /** Lookup-or-fail with the registration hint — the shared error

@@ -2029,6 +2029,231 @@ object CurationQueries {
       viaLatest
     }),
 
+    // SHOW CREATE TABLE — the porting / disaster-recovery statement:
+    // its rows (the CREATE plus one ALTER … ADD CONSTRAINT per
+    // recorded constraint) replayed VERBATIM on a wiped session must
+    // rebuild the whole binding — schema, key, constraint — against
+    // the surviving data (adoption: DROP unbinds, data stays). Graded
+    // by doing exactly that, then proving keyed DML works and the
+    // replayed constraint still refuses (in-query requires). Oracle =
+    // the surviving composition declaratively.
+    "q286_sql_show_create" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q286_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t286"))
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "_catalog"))
+      graft.plans.GraftTableRegistry.unregister("t286")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q286_orders")
+      s.conf.set("spark.graft.store.root", root)
+      try {
+        s.sql("CREATE TABLE t286 (k BIGINT, cust BIGINT, p DOUBLE) " +
+          "USING graft PRIMARY KEY k")
+        s.sql("ALTER TABLE t286 ADD CONSTRAINT p_pos CHECK (p > 0)")
+        s.sql("INSERT INTO t286 SELECT k, cust, p FROM q286_orders WHERE k % 3 = 0")
+        val stmts = s.sql("SHOW CREATE TABLE t286").collect()
+          .map(_.getString(0)).toSeq
+        require(stmts.size == 2 &&
+          stmts.head.startsWith("CREATE TABLE IF NOT EXISTS t286 (") &&
+          stmts(1).startsWith("ALTER TABLE t286 ADD CONSTRAINT p_pos"),
+          s"re-executable DDL rows: $stmts")
+        s.sql("DROP TABLE t286")
+        graft.plans.GraftTableRegistry.clearInMemory() // the DR "restart"
+        stmts.foreach(s.sql(_))
+        // the key carried: keyed DML works on the replayed binding
+        s.sql("UPDATE t286 SET p = p + 1000 WHERE cust % 5 = 0")
+        // the constraint carried: a violating INSERT still refuses
+        require(scala.util.Try(s.sql(
+          "INSERT INTO t286 VALUES (999999999, 1, -5.0)").collect()).isFailure,
+          "the replayed constraint must enforce")
+        s.sql("SELECT k, cust, p FROM t286")
+      } finally s.conf.unset("spark.graft.store.root")
+    }),
+
+    // REPLACE WHERE — the atomic region swap ("reload one day's
+    // partition"): one commit = (rows NOT matching the predicate) ∪
+    // (payload), with partition-overwrite cost — the in-query requires
+    // pin that the dir whose stats PROVE the predicate misses carries
+    // into the new manifest BY NAME (zero IO at 100 TB: every
+    // unmatched partition) and that a payload row OUTSIDE the region
+    // refuses without publishing. Oracle replays the swap
+    // declaratively.
+    "q287_sql_replace_where" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q287_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t287"))
+      graft.plans.GraftTableRegistry.unregister("t287")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q287_orders")
+      s.sql(s"CREATE TABLE t287 USING graft PRIMARY KEY k LOCATION '$root' " +
+        "AS SELECT k, cust, p FROM q287_orders WHERE k < 300")
+      s.sql("INSERT INTO t287 SELECT k, cust, p FROM q287_orders WHERE k >= 600")
+      val (st, view) = graft.plans.GraftTableRegistry.lookup("t287").get
+      val highDir = st.manifestDirs(view).last // k >= 600 — provably unmatched
+      val r = s.sql("INSERT INTO t287 REPLACE WHERE k < 300 " +
+        "SELECT k, cust, p * 2 FROM q287_orders WHERE k < 300 AND k % 3 = 0")
+        .head()
+      require(r.getLong(1) == 3L, s"one atomic commit: $r")
+      require(st.manifestDirs(view).contains(highDir),
+        "the provably-unmatched dir must carry by name — partition-" +
+          "overwrite cost, not a table rewrite")
+      // a payload row outside the region refuses in the write job,
+      // before any publish
+      val stray = scala.util.Try(s.sql(
+        "INSERT INTO t287 REPLACE WHERE k < 300 VALUES (5000, 1, 1.0)")
+        .collect())
+      require(stray.isFailure && st.versions(view).max == 3L,
+        s"stray payload rows must refuse without publishing: $stray")
+      s.sql("SELECT k, cust, p FROM t287")
+    }),
+
+    // INSERT OVERWRITE + the CHECK-constraint lifecycle: a violating
+    // ADD refuses (existing rows are the proof), recorded constraints
+    // refuse violating INSERT/UPDATE in the write job itself (no
+    // publish — in-query requires), NULL passes (the SQL CHECK
+    // contract), and the invariant SURVIVES an INSERT OVERWRITE that
+    // rebuilds the table from its own content. Oracle replays the
+    // admitted composition declaratively.
+    "q288_sql_check_overwrite" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q288_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t288"))
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "_catalog"))
+      graft.plans.GraftTableRegistry.unregister("t288")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q288_orders")
+      s.conf.set("spark.graft.store.root", root)
+      try {
+        s.sql("CREATE TABLE t288 (k BIGINT, cust BIGINT, p DOUBLE) " +
+          "USING graft PRIMARY KEY k")
+        s.sql("INSERT INTO t288 SELECT k, cust, p FROM q288_orders WHERE k % 5 = 0")
+        // an ADD whose expression an existing row violates refuses —
+        // a recorded constraint is an invariant, never an aspiration
+        require(scala.util.Try(s.sql(
+          "ALTER TABLE t288 ADD CONSTRAINT p_big CHECK (p >= 100000)")
+          .collect()).isFailure, "a violated ADD CONSTRAINT must refuse")
+        s.sql("ALTER TABLE t288 ADD CONSTRAINT p_pos CHECK (p > 0)")
+        val (st, view) = graft.plans.GraftTableRegistry.lookup("t288").get
+        val vBefore = st.versions(view).max
+        require(scala.util.Try(s.sql(
+          "INSERT INTO t288 VALUES (999999991, 1, -1.0)").collect()).isFailure
+          && st.versions(view).max == vBefore,
+          "a violating INSERT must refuse without publishing")
+        require(scala.util.Try(s.sql(
+          "UPDATE t288 SET p = -p WHERE cust % 3 = 0").collect()).isFailure,
+          "a violating UPDATE must refuse")
+        s.sql("INSERT INTO t288 SELECT k, cust, p FROM q288_orders WHERE k % 5 = 1")
+        s.sql("UPDATE t288 SET p = p + 1000 WHERE cust % 9 = 0")
+        // the overwrite rebuilds the table from its own snapshot (the
+        // payload query reads the manifest-pinned current version
+        // while the commit writes the next — safe by construction)
+        s.sql("INSERT OVERWRITE t288 SELECT k, cust, p FROM t288 WHERE k % 2 = 0")
+        // the constraint survives the overwrite and still enforces
+        require(scala.util.Try(s.sql(
+          "INSERT INTO t288 VALUES (999999992, 1, -2.0)").collect()).isFailure,
+          "constraints must survive INSERT OVERWRITE")
+        s.sql("SELECT k, cust, p FROM t288")
+      } finally s.conf.unset("spark.graft.store.root")
+    }),
+
+    // SUBQUERY predicates in DML — the compliance-by-attribute shape:
+    // `DELETE FROM t WHERE cust IN (SELECT … GROUP BY … HAVING …)`
+    // resolves the subquery through the full session SQL and deletes
+    // by the matched KEY SET (SnapshotStore.deleteKeys — one
+    // deletion-vector commit, the list never touches the driver); a
+    // subquery UPDATE routes its predicate the same way. In-query
+    // requires pin that the delete was vector-only (data dirs carried
+    // by name). Oracle replays both statements declaratively.
+    "q289_sql_subquery_dml" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q289_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t289"))
+      graft.plans.GraftTableRegistry.unregister("t289")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q289_orders")
+      s.sql(s"CREATE TABLE t289 USING graft PRIMARY KEY k LOCATION '$root' " +
+        "AS SELECT k, cust, p FROM q289_orders WHERE k % 2 = 0")
+      val (st, view) = graft.plans.GraftTableRegistry.lookup("t289").get
+      val dataDirs = st.manifestDirs(view)
+      // delete every "hot" customer — the subquery is a grouped HAVING
+      // over the source feed, not a per-row predicate
+      s.sql("DELETE FROM t289 WHERE cust IN " +
+        "(SELECT cust FROM q289_orders GROUP BY cust HAVING count(*) >= 14)")
+      require(st.manifestDirs(view) == dataDirs,
+        "a subquery DELETE must be vector-only — data dirs carried by name")
+      // subquery UPDATE: bump exactly the keys the feed marks
+      s.sql("UPDATE t289 SET p = p + 1000 WHERE k IN " +
+        "(SELECT k FROM q289_orders WHERE k % 10 = 0)")
+      s.sql("SELECT k, cust, p FROM t289")
+    }),
+
+    // COPY INTO — idempotent landing-zone ingestion (the shard-loading
+    // statement a training-data pipeline runs on a schedule): each
+    // file's fence lands in the manifest txn set ATOMICALLY with its
+    // commit, so a re-run loads nothing (in-query require: zero files,
+    // zero publishes) and a GROWN landing dir loads only the new
+    // files. Oracle = both batches declaratively.
+    "q290_sql_copy_into" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q290_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t290"))
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "land"))
+      graft.plans.GraftTableRegistry.unregister("t290")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      val land = s"$root/land"
+      o.where(col("k") % 3 === 0).repartition(2).write.parquet(land)
+      s.sql(s"CREATE TABLE t290 (k BIGINT, cust BIGINT, p DOUBLE) " +
+        s"USING graft PRIMARY KEY k LOCATION '$root/t290'")
+      val r1 = s.sql(s"COPY INTO t290 FROM '$land' FILEFORMAT = PARQUET").head()
+      require(r1.getLong(2) == 2L && r1.getLong(3) > 0L,
+        s"first COPY must load both shard files: $r1")
+      val (st, view) = graft.plans.GraftTableRegistry.lookup("t290").get
+      val v1 = st.versions(view).max
+      val r2 = s.sql(s"COPY INTO t290 FROM '$land' FILEFORMAT = PARQUET").head()
+      require(r2.getLong(2) == 0L && st.versions(view).max == v1,
+        s"a re-run must load nothing and publish nothing: $r2")
+      // the landing dir grows — only the NEW files load
+      o.where(col("k") % 3 === 1).repartition(2).write.mode("append")
+        .parquet(land)
+      val r3 = s.sql(s"COPY INTO t290 FROM '$land' FILEFORMAT = PARQUET").head()
+      require(r3.getLong(2) == 2L,
+        s"the grown dir must load exactly the new files: $r3")
+      s.sql("SELECT k, cust, p FROM t290")
+    }),
+
+    // OPTIMIZE WHERE — partition-scoped maintenance: only the dirs the
+    // predicate may touch rewrite (two fragmented high-region commits
+    // compact into one; the deletion vector's rows materialize out of
+    // them), the provably-unmatched dir and the vector carry with zero
+    // IO. Content is identical before and after — which is exactly
+    // what the oracle grades; the requires pin the layout effects.
+    "q291_sql_optimize_where" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q291_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t291"))
+      graft.plans.GraftTableRegistry.unregister("t291")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q291_orders")
+      s.sql(s"CREATE TABLE t291 USING graft PRIMARY KEY k LOCATION '$root' " +
+        "AS SELECT k, cust, p FROM q291_orders WHERE k < 300")
+      s.sql("INSERT INTO t291 SELECT k, cust, p FROM q291_orders " +
+        "WHERE k >= 600 AND k % 2 = 0")
+      s.sql("INSERT INTO t291 SELECT k, cust, p FROM q291_orders " +
+        "WHERE k >= 600 AND k % 2 = 1")
+      s.sql("DELETE FROM t291 WHERE k % 40 = 0")
+      val (st, view) = graft.plans.GraftTableRegistry.lookup("t291").get
+      val before = st.manifestDirs(view)
+      val lowDir = before.head // k < 300 — provably unmatched
+      s.sql("OPTIMIZE t291 WHERE k >= 600")
+      val after = st.manifestDirs(view)
+      require(after.contains(lowDir) && after.size < before.size,
+        s"scoped optimize must carry the unmatched dir and compact the " +
+          s"touched ones: $before -> $after")
+      require(st.manifestDels(view, st.versions(view).max).nonEmpty,
+        "the vector must carry — its keys may live in the carried dir")
+      s.sql("SELECT k, cust, p FROM t291")
+    }),
+
     // RESTORE in PURE SQL — the bad-deploy rollback statement: v1 is
     // the good snapshot, v2 an erroneous overwrite, v3 a deleteWhere
     // on top of it; `RESTORE TABLE t TO VERSION AS OF 1` republishes
@@ -3689,6 +3914,60 @@ object CurationQueries {
          UNION ALL
          SELECT 'delete', o_orderkey, o_totalprice, NULL
          FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 20 = 0""",
+
+    // The DR-replayed composition: the k%3=0 slice with the cust%5
+    // bump — the refused post-replay insert left no trace.
+    "q286_sql_show_create" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+            CASE WHEN o_custkey % 5 = 0 THEN o_totalprice + 1000
+                 ELSE o_totalprice END AS p
+         FROM orders WHERE o_orderkey % 3 = 0""",
+
+    // The region swap replayed declaratively: the low region replaced
+    // by its doubled k%3=0 subset, the high region untouched; the
+    // refused stray left no trace.
+    "q287_sql_replace_where" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice * 2 AS p
+         FROM orders WHERE o_orderkey < 300 AND o_orderkey % 3 = 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders WHERE o_orderkey >= 600""",
+
+    // The admitted composition: both inserted slices, the cust%9 bump,
+    // halved by the self-rebuilding overwrite — every refused write
+    // left no trace.
+    "q288_sql_check_overwrite" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+            CASE WHEN o_custkey % 9 = 0 THEN o_totalprice + 1000
+                 ELSE o_totalprice END AS p
+         FROM orders
+         WHERE o_orderkey % 5 IN (0, 1) AND o_orderkey % 2 = 0""",
+
+    // Both subquery statements replayed declaratively: drop the hot
+    // customers, bump the flagged keys among the survivors.
+    "q289_sql_subquery_dml" ->
+      """WITH hot AS (SELECT o_custkey AS c FROM orders
+                      GROUP BY o_custkey HAVING count(*) >= 14)
+         SELECT o_orderkey AS k, o_custkey AS cust,
+            CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+                 ELSE o_totalprice END AS p
+         FROM orders
+         WHERE o_orderkey % 2 = 0
+           AND o_custkey NOT IN (SELECT c FROM hot)""",
+
+    // Both landed batches — the re-run and the already-loaded files
+    // left no duplicates.
+    "q290_sql_copy_into" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)""",
+
+    // Layout-invisible: the scoped optimize must not change content
+    // (the q239 stance, scoped) — both regions minus the deletes.
+    "q291_sql_optimize_where" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
+         FROM orders
+         WHERE (o_orderkey < 300 OR o_orderkey >= 600)
+           AND o_orderkey % 40 <> 0""",
 
     // Same composition as q272, born and closed entirely in SQL.
     "q273_sql_create_table" ->

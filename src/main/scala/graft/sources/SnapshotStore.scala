@@ -286,10 +286,16 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       val kinds = statsCols.map { c =>
         c -> df.schema(c).dataType.isInstanceOf[NumericType]
       }
+      // the dir's ROW COUNT rides the same observed write (one more
+      // aggregate in the job already running) — it is what makes
+      // [[rowCountFast]] / DESCRIBE DETAIL's num_rows O(files) metadata
+      // instead of a table scan. Recorded under the reserved key
+      // `__rows` (a user column literally named __rows would shadow it
+      // — the name is reserved, documented here).
       val aggs = kinds.zipWithIndex.flatMap { case ((c, numeric), i) =>
         val cc = if (numeric) col(c) else col(c).cast("string")
         Seq(min(cc).as(s"mn_$i"), max(cc).as(s"mx_$i"))
-      }
+      } :+ count(lit(1)).as("_graft_cnt")
       val obs = org.apache.spark.sql.Observation()
       df.observe(obs, aggs.head, aggs.tail: _*)
         .write.mode("overwrite").parquet(target)
@@ -298,7 +304,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
         case ((c, numeric), i) if r.get(s"mn_$i").exists(_ != null) =>
           val kind = if (numeric) "n" else "s"
           s"$c\t$kind\t${r(s"mn_$i")}\t${r(s"mx_$i")}"
-      }
+      } :+ s"__rows\tc\t${r("_graft_cnt")}\t${r("_graft_cnt")}"
       Files.writeString(
         dataRoot(view).resolve(dirName).resolve(StatsFile),
         lines.mkString("\n"))
@@ -357,7 +363,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
              expectedBase: Option[Long] = None,
              statsCols: Seq[String] = Nil,
              txn: Option[Long] = None,
-             bloomCols: Seq[String] = Nil): Long = {
+             bloomCols: Seq[String] = Nil,
+             txnsExtra: Set[Long] = Set.empty): Long = {
     val vs = versions(view)
     val base = if (vs.isEmpty) 0L else vs.max
     expectedBase.filter(_ != base).foreach { e =>
@@ -379,7 +386,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     // which subtracts re-inserted keys from the vector)
     val dels =
       if (overwrite || vs.isEmpty) Nil else manifestDels(view, base)
-    publish(view, next, dirs, prevTxns ++ txn, dels)
+    publish(view, next, dirs, prevTxns ++ txn ++ txnsExtra, dels)
     seedSchemaCache(view, dirs, df.schema,
       prev = if (overwrite || vs.isEmpty) None else Some(readManifest(view, base)))
     next
@@ -440,6 +447,30 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * its foreachBatch retry erased the tag and the retry double-
     * appended).
     */
+  /** The per-FILE idempotence fence COPY INTO records: a 64-bit
+    * FNV-1a hash of the file's absolute normalized path, carried in
+    * the manifest's txn set like any other fence — so "was this file
+    * already loaded?" is one driver set lookup, survives every commit
+    * kind (the txn-carry contract), and needs no side ledger that
+    * could desync from the commit it fenced. 64 bits ≈ collision-free
+    * to ~100M files per table (birthday ~3e-4 at 10^8); a collision
+    * SKIPS a file loudly countable by the statement's files_loaded
+    * return, never corrupts data. User txn ids are small integers by
+    * convention; path hashes scatter over the full 64-bit range, so
+    * the namespaces coexist.
+    */
+  def fileFence(path: String): Long = {
+    val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
+    var h = 0xcbf29ce484222325L // FNV-1a offset basis
+    var i = 0
+    while (i < p.length) {
+      h ^= p.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   def appliedTxns(view: String): Set[Long] = {
     val vs = versions(view)
     if (vs.isEmpty) Set.empty else manifestTxns(view, vs.max)
@@ -1098,6 +1129,169 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     }
   }
 
+  /** Equality-delete by an EXPLICIT key set (the Iceberg
+    * equality-delete idea, as a public pattern): `keys`' `keyCol`
+    * column becomes a deletion vector in one commit — zero data-file
+    * rewrite, no driver materialization of the list (it stays a
+    * DataFrame end to end). This is the primitive behind SQL
+    * `DELETE FROM t WHERE k IN (SELECT …)` — a predicate that cannot
+    * evaluate per-row against a dir scan — and the natural API for a
+    * compliance feed that ARRIVES as a key list. The list materializes
+    * once (localCheckpoint; it is usually a subquery result) so its
+    * observed count can size the vector write like deleteWhere's
+    * probed path. Keys absent from the table are harmless (the
+    * read-side anti-join never matches them); an EMPTY list publishes
+    * a fence-only version under a txn (exactly-once for empty batches)
+    * and is a no-op otherwise. Carried vectors fold/bound exactly as
+    * deleteWhere's ([[foldDels]], broadcast byte bound); a list wide
+    * enough to escalate is better expressed as deleteWhere (per-dir
+    * probed rewrite) or an overwrite.
+    */
+  def deleteKeys(view: String, keyCol: String, keys: DataFrame,
+                 txn: Option[Long] = None): Long = {
+    val vs = versions(view)
+    require(vs.nonEmpty, s"$view: nothing to delete from")
+    val base = vs.max
+    val prevDels = manifestDels(view, base)
+    prevDels.headOption.foreach { d =>
+      val existing = readDirs(Seq(d), view).columns.head
+      require(existing == keyCol,
+        s"$view: deletion vectors are keyed by `$existing`, got `$keyCol`")
+    }
+    val obs = org.apache.spark.sql.Observation()
+    val chk = keys.select(col(keyCol)).distinct()
+      .observe(obs, count(lit(1)).as("n")).localCheckpoint()
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n == 0L) return fenceOnly(view, base, txn)
+    val next = base + 1
+    val delDir = s"del$next-" + java.util.UUID.randomUUID().toString.take(8)
+    val nFiles = math.min(spark.sparkContext.defaultParallelism.toLong,
+      1L + n / (8L * 1024 * 1024)).toInt
+    chk.coalesce(nFiles).write.mode("overwrite")
+      .parquet(dataRoot(view).resolve(delDir).toString)
+    if (versions(view).max != base)
+      throw new SnapshotConflict(s"$view: base v$base superseded during delete")
+    publish(view, next, readManifest(view, base),
+      manifestTxns(view, base) ++ txn, foldDels(view, next, prevDels :+ delDir))
+    next
+  }
+
+  /** REPLACE WHERE — atomically swap the rows matching `pred` for the
+    * rows of `df` (Delta's `replaceWhere` / `INSERT INTO … REPLACE
+    * WHERE` contract): ONE commit whose snapshot is (old rows NOT
+    * matching pred) ∪ (new rows), with the partition-overwrite cost
+    * profile, not a full rewrite:
+    *
+    *  - dirs whose recorded stats PROVE the predicate cannot match
+    *    carry into the new manifest by name — zero IO (on a table
+    *    clustered/partitioned by the predicate column, that is almost
+    *    every dir);
+    *  - only the dirs the predicate MAY touch are read once (base
+    *    deletion vectors applied), filtered to the kept rows
+    *    (`NOT pred`, NULL-predicate rows kept — the row is not proven
+    *    replaced), and rewritten sized by the touched bytes;
+    *  - every NEW row must satisfy the predicate — rows outside the
+    *    replaced region would silently survive the next REPLACE of a
+    *    different region; the guard rides the write job itself
+    *    (`raise_error`, no extra pass) and aborts before any publish,
+    *    Delta's exact contract.
+    *
+    * `df` is aligned by name to the current snapshot schema (missing
+    * columns NULL, extra columns refused by the width check). Deletion
+    * vectors: when untouched dirs remain, the carried vector SUBTRACTS
+    * the payload's keys first (mergeInto's resurrect contract — a
+    * replaced-in row must be visible, not suppressed by a stale
+    * vector; the subtraction reads the just-written payload dir, so
+    * the payload lineage runs once); dropped with the last touched dir
+    * otherwise. A CLUSTER BY layout is not re-derived for the new dir
+    * — the next OPTIMIZE re-clusters, like every engine's
+    * partition-overwrite. Same OCC as every commit. Returns the
+    * committed version.
+    */
+  def replaceWhere(view: String, pred: Column, df: DataFrame,
+                   statsCols: Seq[String] = Nil,
+                   txn: Option[Long] = None): Long = {
+    val vs = versions(view)
+    require(vs.nonEmpty, s"$view: nothing to replace into")
+    val base = vs.max
+    val dirs = readManifest(view, base)
+    val prevDels = manifestDels(view, base)
+    val snapshotSchema = read(view, Some(base)).schema
+    val hit = pred.cast("boolean")
+    val bounds = predBounds(pred)
+    val touched = dirs.filter(dirMayMatch(view, _, bounds))
+    val untouched = dirs.filterNot(touched.toSet)
+    val next = base + 1
+    // the kept remainder of the touched dirs, rewritten once
+    val keptDir =
+      if (touched.isEmpty) None
+      else {
+        val keep = alignedTo(
+          applyDels(readDirs(touched, view), view, prevDels), snapshotSchema)
+          .where(!coalesce(hit, lit(false)))
+        val touchedBytes = touched.map(dirBytes(view, _)).sum
+        val nOut = math.max(1L, (touchedBytes + (128L << 20) - 1) / (128L << 20))
+        val sized =
+          if (nOut < spark.sparkContext.defaultParallelism) keep.coalesce(nOut.toInt)
+          else keep
+        val d = s"b$next-rw" + java.util.UUID.randomUUID().toString.take(8)
+        writeData(view, sized, d, statsCols)
+        Some(d)
+      }
+    // new rows, predicate-guarded in the write job itself
+    val guarded = alignedTo(df, snapshotSchema)
+      .where(when(coalesce(hit, lit(false)), lit(true))
+        .otherwise(raise_error(lit(
+          s"replaceWhere $view: a new row does not satisfy the REPLACE " +
+            "WHERE predicate — rows outside the replaced region must " +
+            "INSERT INTO instead")).cast("boolean")))
+    val dataDir = newDirName(next, txn)
+    writeData(view, guarded, dataDir, statsCols)
+    // carried vector = base vector minus the payload's keys (read from
+    // the just-written dir — one cheap scan of the new data, never a
+    // recompute of the payload lineage): a key the replace re-inserts
+    // must RESURRECT, exactly mergeInto's contract. Orthogonally-keyed
+    // vectors (key not a payload column — impossible via SQL, possible
+    // via the Scala API) carry verbatim. All-touched replaces drop the
+    // vectors with the dirs they indexed.
+    val newDels =
+      if (prevDels.isEmpty || untouched.isEmpty) Nil
+      else {
+        val delKeys = readDirs(prevDels, view)
+        val vKey = delKeys.columns.head
+        if (!snapshotSchema.fieldNames.contains(vKey)) prevDels
+        else {
+          val written = spark.read
+            .parquet(dataRoot(view).resolve(dataDir).toString)
+          val remaining = delKeys.distinct()
+            .join(written.select(col(vKey)).distinct(), Seq(vKey), "left_anti")
+          val delDir = s"del$next-" +
+            java.util.UUID.randomUUID().toString.take(8)
+          val dObs = org.apache.spark.sql.Observation()
+          val counted = remaining.observe(dObs, count(lit(1)).as("n"))
+          val sizedDel =
+            if (delBytes(view, prevDels) <= dvBroadcastMaxBytes)
+              counted.coalesce(1)
+            else counted
+          sizedDel.write.mode("overwrite")
+            .parquet(dataRoot(view).resolve(delDir).toString)
+          if (dObs.get("n").asInstanceOf[Long] > 0L) Seq(delDir)
+          else {
+            Scratch.deleteRecursively(dataRoot(view).resolve(delDir).toFile)
+            Nil
+          }
+        }
+      }
+    if (versions(view).max != base)
+      throw new SnapshotConflict(s"$view: base v$base superseded during replace")
+    val newDirs = (untouched ++ keptDir) :+ dataDir
+    publish(view, next, newDirs, manifestTxns(view, base) ++ txn, newDels)
+    val newKey = newDirs.map(d => dataRoot(view).resolve(d).toString)
+    schemaCache.update(newKey, snapshotSchema)
+    evictSchemaCache(view, newKey)
+    next
+  }
+
   /** Retention expiry — `DELETE WHERE c < cutoff` at PARTITION-DROP
     * cost: dirs whose recorded max for `c` is provably below the
     * cutoff leave the manifest wholesale (zero IO — the O(files)
@@ -1448,6 +1642,27 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * [[compactSmall]] partitions on (public so callers can derive
     * size-relative thresholds).
     */
+  /** Metadata-only row count: the sum of the per-dir counts recorded
+    * at write time (`__rows` in the stats sidecar — observed in the
+    * write job itself), O(dirs) driver file reads, ZERO Spark jobs.
+    * None when it cannot be answered exactly from metadata: a dir
+    * written without stats (or before counts were recorded), or live
+    * deletion vectors (a vector key can suppress several later-appended
+    * rows, so arithmetic over counts alone is wrong — read-side
+    * counting is the honest fallback). At 100 TB this answers
+    * `SELECT count(*)`-shaped operational questions in milliseconds,
+    * the role Delta's numRecords plays.
+    */
+  def rowCountFast(view: String, asOf: Option[Long] = None): Option[Long] = {
+    val vs = versions(view)
+    if (vs.isEmpty) return Some(0L)
+    val v = asOf.getOrElse(vs.max)
+    if (manifestDels(view, v).nonEmpty) return None
+    val counts = manifestDirs(view, Some(v))
+      .map(d => dirStats(view, d).get("__rows").map(_._2.toLong))
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
+
   def dirBytes(view: String, dirName: String): Long =
     listEntries(dirPath(view, dirName))
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -1530,6 +1745,65 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * queries. Same atomicity/OCC/null-routing contract as the 2-D
     * form.
     */
+  /** PARTITION-SCOPED maintenance — `OPTIMIZE t WHERE <pred>`: rewrite
+    * ONLY the dirs the predicate may touch (per-dir stats prune, the
+    * same walk every scoped operation uses), carrying every other dir
+    * by name with zero IO. On a 100 TB date-clustered table, "optimize
+    * yesterday's partition" costs one partition's IO instead of a
+    * table rewrite — maintenance at the cost of what changed, Delta's
+    * OPTIMIZE WHERE contract. The touched rows are read once (base
+    * deletion vectors applied — the rewritten dirs are born clean;
+    * stale vector entries for them carry harmlessly, matching nothing)
+    * and land either Hilbert/range-clustered (`clusterCols` — local
+    * min/max, so the new dirs' envelopes are tight regardless of the
+    * global layout) or as one size-targeted compacted dir. Content is
+    * IDENTICAL before and after, layout only. A predicate provably
+    * touching nothing publishes nothing and returns the base version.
+    */
+  def optimizeWhere(view: String, pred: Column, clusterCols: Seq[String],
+                    statsCols: Seq[String] = Nil,
+                    targetDirs: Int = 4): Long = {
+    val vs = versions(view)
+    require(vs.nonEmpty, s"$view: nothing to optimize")
+    val base = vs.max
+    val dirs = readManifest(view, base)
+    val prevDels = manifestDels(view, base)
+    val bounds = predBounds(pred)
+    val touched = dirs.filter(dirMayMatch(view, _, bounds))
+    if (touched.isEmpty) return base
+    val untouched = dirs.filterNot(touched.toSet)
+    val snapshotSchema = read(view, Some(base)).schema
+    val data = alignedTo(
+      applyDels(readDirs(touched, view), view, prevDels), snapshotSchema)
+    val next = base + 1
+    val newDirs =
+      if (clusterCols.nonEmpty) {
+        val code =
+          if (clusterCols.size == 1) col(clusterCols.head).cast("long")
+          else graft.operators.Layout.hilbertCodeN(clusterCols.map(col), 20)
+        writeClusteredDirs(view, data, code, targetDirs,
+          (statsCols ++ clusterCols).distinct, next, None)
+      } else {
+        val touchedBytes = touched.map(dirBytes(view, _)).sum
+        val nOut = math.max(1L, (touchedBytes + (128L << 20) - 1) / (128L << 20))
+        val sized =
+          if (nOut < spark.sparkContext.defaultParallelism) data.coalesce(nOut.toInt)
+          else data
+        val dn = newDirName(next, None)
+        writeData(view, sized, dn, statsCols)
+        Seq(dn)
+      }
+    if (versions(view).max != base)
+      throw new SnapshotConflict(s"$view: base v$base superseded during optimize")
+    publish(view, next, untouched ++ newDirs, manifestTxns(view, base),
+      if (untouched.isEmpty) Nil else prevDels)
+    val newKey = (untouched ++ newDirs)
+      .map(d => dataRoot(view).resolve(d).toString)
+    schemaCache.update(newKey, snapshotSchema)
+    evictSchemaCache(view, newKey)
+    next
+  }
+
   def optimizeClusteredN(view: String, clusterCols: Seq[String],
                          bits: Int = 20, targetDirs: Int = 8,
                          statsCols: Seq[String] = Nil): Long =
@@ -1617,7 +1891,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
                       overwrite: Boolean = false, bits: Int = 20,
                       targetDirs: Int = 4, statsCols: Seq[String] = Nil,
                       txn: Option[Long] = None,
-                      expectedBase: Option[Long] = None): Long = {
+                      expectedBase: Option[Long] = None,
+                      txnsExtra: Set[Long] = Set.empty): Long = {
     require(clusterCols.nonEmpty, s"$view: commitClustered needs cluster columns")
     val code =
       if (clusterCols.size == 1) col(clusterCols.head).cast("long")
@@ -1639,7 +1914,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       if (overwrite || vs.isEmpty) Nil else manifestDels(view, base)
     if (vs.nonEmpty && versions(view).max != base)
       throw new SnapshotConflict(s"$view: base v$base superseded during commit")
-    publish(view, next, dirs, prevTxns ++ txn, dels)
+    publish(view, next, dirs, prevTxns ++ txn ++ txnsExtra, dels)
     seedSchemaCache(view, dirs, df.schema,
       prev = if (overwrite || vs.isEmpty) None else Some(readManifest(view, base)))
     next

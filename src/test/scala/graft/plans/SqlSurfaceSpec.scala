@@ -1,0 +1,429 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** Round-15 second wave of the SQL tier: SHOW CREATE TABLE (the
+  * re-executable DDL), INSERT OVERWRITE, REPLACE WHERE, and CHECK
+  * constraints ride here as they land.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private var n = 0
+  private def freshRoot(): String = {
+    n += 1
+    graft.sources.Scratch.processScoped("sqlsurf_spec", "spec") + s"/case$n"
+  }
+
+  private def withRoot[T](root: String)(body: => T): T = {
+    spark.conf.set("spark.graft.store.root", root)
+    try body finally spark.conf.unset("spark.graft.store.root")
+  }
+
+  test("SHOW CREATE TABLE round-trips: drop, wipe, replay the emitted DDL, DML") {
+    val root = freshRoot()
+    withRoot(root) {
+      spark.sql("CREATE TABLE sct1 (k BIGINT, a BIGINT, b BIGINT, v STRING) " +
+        "USING graft PRIMARY KEY k CLUSTER BY (a, b)")
+      spark.sql("INSERT INTO sct1 VALUES (1, 2, 3, 'x'), (2, 5, 6, 'y')")
+      val stmts = spark.sql("SHOW CREATE TABLE sct1").collect()
+        .map(_.getString(0)).toSeq
+      assert(stmts.nonEmpty && stmts.head.startsWith(
+        "CREATE TABLE IF NOT EXISTS sct1 ("), stmts.mkString("\n"))
+      assert(stmts.head.contains("USING graft"), stmts.head)
+      assert(stmts.head.contains("PRIMARY KEY k"), stmts.head)
+      assert(stmts.head.contains("CLUSTER BY (a, b)"), stmts.head)
+      assert(stmts.head.contains("LOCATION '"), stmts.head)
+      spark.sql("DROP TABLE sct1")
+      GraftTableRegistry.clearInMemory()
+      // the emitted rows, run in order, rebuild the binding (adoption:
+      // the data survived the DROP — external-table semantics)
+      stmts.foreach(spark.sql(_))
+      assert(spark.sql("SELECT k, v FROM sct1").count() == 2L)
+      // the key carried: keyed DML works
+      spark.sql("UPDATE sct1 SET v = 'z' WHERE k = 2")
+      assert(spark.sql("SELECT v FROM sct1 WHERE k = 2").head().getString(0)
+        == "z")
+      // the declared clustering carried too
+      assert(GraftTableRegistry.lookupCluster("sct1") == Seq("a", "b"))
+      spark.sql("DROP TABLE sct1")
+    }
+  }
+
+  test("SHOW CREATE TABLE: keyless/clusterless table omits the clauses") {
+    val root = freshRoot()
+    withRoot(root) {
+      spark.sql("CREATE TABLE sct2 (k BIGINT) USING graft")
+      val s2 = spark.sql("SHOW CREATE TABLE sct2").head().getString(0)
+      assert(!s2.contains("PRIMARY KEY") && !s2.contains("CLUSTER BY"), s2)
+      spark.sql("DROP TABLE sct2")
+    }
+  }
+
+  test("SHOW CREATE TABLE refuses a never-committed view and a divergent view name") {
+    val root = freshRoot()
+    val st = new graft.sources.SnapshotStore(spark, root)
+    GraftTableRegistry.register("sct3", st, "sct3")
+    val bare = scala.util.Try(spark.sql("SHOW CREATE TABLE sct3").collect())
+    assert(bare.isFailure &&
+      bare.failed.get.getMessage.contains("no committed snapshot"),
+      bare.toString)
+    GraftTableRegistry.register("sct4", st, "other_view")
+    val div = scala.util.Try(spark.sql("SHOW CREATE TABLE sct4").collect())
+    assert(div.isFailure &&
+      div.failed.get.getMessage.contains("divergent view name"), div.toString)
+    GraftTableRegistry.unregister("sct3")
+    GraftTableRegistry.unregister("sct4")
+  }
+
+  test("INSERT OVERWRITE swaps contents in one commit; history stays travelable") {
+    val root = freshRoot()
+    withRoot(root) {
+      spark.sql("CREATE TABLE io1 (k BIGINT, v STRING) USING graft PRIMARY KEY k")
+      spark.sql("INSERT INTO io1 VALUES (1, 'a'), (2, 'b')")
+      val r = spark.sql(
+        "INSERT OVERWRITE io1 VALUES (10, 'x'), (11, 'y'), (12, 'z')").head()
+      assert(r.getLong(2) == 3L, s"rows_inserted: $r")
+      assert(spark.sql("SELECT * FROM io1").count() == 3L)
+      assert(spark.sql("SELECT * FROM io1 VERSION AS OF 2").count() == 2L,
+        "the overwritten snapshot stays time-travelable")
+      // the TABLE spelling works too, and PK enforcement applies to the
+      // payload itself
+      spark.conf.set("spark.graft.sql.enforcePrimaryKey", "true")
+      try {
+        val dup = scala.util.Try(spark.sql(
+          "INSERT OVERWRITE TABLE io1 VALUES (5, 'p'), (5, 'q')"))
+        assert(dup.isFailure &&
+          dup.failed.get.getMessage.contains("repeats PRIMARY KEY"), dup.toString)
+        // replacing rows that exist is NOT a conflict — they die with
+        // the overwrite
+        spark.sql("INSERT OVERWRITE TABLE io1 VALUES (10, 'new')")
+        assert(spark.sql("SELECT v FROM io1").head().getString(0) == "new")
+      } finally spark.conf.unset("spark.graft.sql.enforcePrimaryKey")
+      spark.sql("DROP TABLE io1")
+    }
+  }
+
+  test("REPLACE WHERE: atomic region swap, untouched dirs carried, stray rows refused") {
+    val root = freshRoot()
+    withRoot(root) {
+      spark.sql("CREATE TABLE rw1 (k BIGINT, v DOUBLE) USING graft PRIMARY KEY k")
+      spark.sql("INSERT INTO rw1 VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+      spark.sql("INSERT INTO rw1 VALUES (11, 11.0), (12, 12.0)")
+      val (st, view) = GraftTableRegistry.lookup("rw1").get
+      val before = st.manifestDirs(view)
+      // before(0) is CREATE's empty seed dir (statless — always
+      // conservatively touched); before(1) holds k in [1,3], whose
+      // stats PROVE the predicate misses
+      val lowDir = before(1)
+      val r = spark.sql("INSERT INTO rw1 REPLACE WHERE k >= 10 AND k <= 20 " +
+        "VALUES (15, 15.0)").head()
+      assert(r.getLong(2) == 1L, s"rows_inserted: $r")
+      val after = st.manifestDirs(view)
+      assert(after.contains(lowDir),
+        s"the provably-unmatched dir must carry by name: $before -> $after")
+      val got = spark.sql("SELECT k FROM rw1 ORDER BY k").collect().map(_.getLong(0))
+      assert(got.toSeq == Seq(1L, 2L, 3L, 15L), got.mkString(","))
+      // a payload row OUTSIDE the region refuses in the write job,
+      // before any publish
+      val vBefore = st.versions(view).max
+      val stray = scala.util.Try(spark.sql(
+        "INSERT INTO rw1 REPLACE WHERE k >= 10 AND k <= 20 VALUES (5, 5.0)")
+        .collect())
+      assert(stray.isFailure, "a stray row must refuse")
+      assert(st.versions(view).max == vBefore, "no publish on refusal")
+      assert(spark.sql("SELECT count(*) FROM rw1").head().getLong(0) == 4L)
+      // PK enforcement: conflicts with SURVIVING rows refuse; the
+      // replaced region itself never conflicts
+      spark.conf.set("spark.graft.sql.enforcePrimaryKey", "true")
+      try {
+        spark.sql("INSERT INTO rw1 REPLACE WHERE k >= 10 AND k <= 20 " +
+          "VALUES (15, 99.0)") // 15 is being replaced — fine
+        assert(spark.sql("SELECT v FROM rw1 WHERE k = 15").head().getDouble(0)
+          == 99.0)
+      } finally spark.conf.unset("spark.graft.sql.enforcePrimaryKey")
+      spark.sql("DROP TABLE rw1")
+    }
+  }
+
+  test("REPLACE WHERE resurrects payload keys a stale deletion vector suppressed") {
+    val root = freshRoot()
+    withRoot(root) {
+      spark.sql("CREATE TABLE rw2 (k BIGINT, v DOUBLE) USING graft PRIMARY KEY k")
+      spark.sql("INSERT INTO rw2 VALUES (1, 1.0), (2, 2.0)")
+      spark.sql("INSERT INTO rw2 VALUES (100, 100.0), (101, 101.0)")
+      spark.sql("DELETE FROM rw2 WHERE k = 100") // deletion vector {100}
+      val (st, view) = GraftTableRegistry.lookup("rw2").get
+      assert(st.manifestDels(view, st.versions(view).max).nonEmpty)
+      // the replace re-inserts key 100: the carried vector must
+      // SUBTRACT it — a stale vector silently suppressing a replaced-in
+      // row would corrupt the region swap
+      spark.sql("INSERT INTO rw2 REPLACE WHERE k >= 50 VALUES (100, 999.0)")
+      assert(spark.sql("SELECT v FROM rw2 WHERE k = 100").head().getDouble(0)
+        == 999.0, "the payload key must resurrect")
+      assert(spark.sql("SELECT count(*) FROM rw2").head().getLong(0) == 3L)
+      // the fully-subtracted vector dropped from the manifest
+      assert(st.manifestDels(view, st.versions(view).max).isEmpty)
+      spark.sql("DROP TABLE rw2")
+    }
+  }
+
+  test("splitReplaceWhere finds the boundary past subquery parens and literals") {
+    assert(GraftSqlParser.splitReplaceWhere(
+      "k IN (SELECT x FROM y) SELECT 1, 2") ==
+      Some(("k IN (SELECT x FROM y)", "SELECT 1, 2")))
+    assert(GraftSqlParser.splitReplaceWhere(
+      "v = 'SELECT not me' VALUES (1, 2)") ==
+      Some(("v = 'SELECT not me'", "VALUES (1, 2)")))
+    assert(GraftSqlParser.splitReplaceWhere("k > 5").isEmpty,
+      "no payload keyword: fall through")
+  }
+
+  test("CHECK constraints: add validates existing rows, writes enforce, drop lifts, durable") {
+    val root = freshRoot()
+    withRoot(root) {
+      spark.sql("CREATE TABLE cc1 (k BIGINT, p DOUBLE) USING graft PRIMARY KEY k")
+      spark.sql("INSERT INTO cc1 VALUES (1, 10.0), (2, 20.0)")
+      // an ADD whose expression an existing row violates refuses
+      val bad = scala.util.Try(spark.sql(
+        "ALTER TABLE cc1 ADD CONSTRAINT p_big CHECK (p >= 15)").collect())
+      assert(bad.isFailure &&
+        bad.failed.get.getMessage.contains("existing row"), bad.toString)
+      spark.sql("ALTER TABLE cc1 ADD CONSTRAINT p_pos CHECK (p > 0)")
+      // a violating INSERT refuses in the write job, before any publish
+      val (st, view) = GraftTableRegistry.lookup("cc1").get
+      val vBefore = st.versions(view).max
+      val ins = scala.util.Try(
+        spark.sql("INSERT INTO cc1 VALUES (3, -1.0)").collect())
+      assert(ins.isFailure, "violating INSERT must refuse")
+      assert(st.versions(view).max == vBefore, "no publish on refusal")
+      // NULL passes — the SQL CHECK contract
+      spark.sql("INSERT INTO cc1 VALUES (4, NULL)")
+      // a violating UPDATE refuses too
+      val upd = scala.util.Try(
+        spark.sql("UPDATE cc1 SET p = -5 WHERE k = 1").collect())
+      assert(upd.isFailure, "violating UPDATE must refuse")
+      assert(spark.sql("SELECT p FROM cc1 WHERE k = 1").head().getDouble(0)
+        == 10.0)
+      // DURABLE: a registry wipe (restart) re-materializes the
+      // constraint from the catalog and still enforces it
+      GraftTableRegistry.clearInMemory()
+      val ins2 = scala.util.Try(
+        spark.sql("INSERT INTO cc1 VALUES (5, -2.0)").collect())
+      assert(ins2.isFailure, "constraints must survive a restart")
+      // SHOW CREATE TABLE emits the constraint as an ALTER row
+      val stmts = spark.sql("SHOW CREATE TABLE cc1").collect()
+        .map(_.getString(0)).toSeq
+      assert(stmts.exists(_.startsWith(
+        "ALTER TABLE cc1 ADD CONSTRAINT p_pos CHECK (p > 0)")),
+        stmts.mkString("\n"))
+      // DROP CONSTRAINT lifts enforcement; unknown names refuse unless
+      // IF EXISTS
+      assert(scala.util.Try(spark.sql(
+        "ALTER TABLE cc1 DROP CONSTRAINT nope").collect()).isFailure)
+      spark.sql("ALTER TABLE cc1 DROP CONSTRAINT IF EXISTS nope")
+      spark.sql("ALTER TABLE cc1 DROP CONSTRAINT p_pos")
+      spark.sql("INSERT INTO cc1 VALUES (6, -3.0)")
+      assert(spark.sql("SELECT count(*) FROM cc1").head().getLong(0) == 4L)
+      spark.sql("DROP TABLE cc1")
+    }
+  }
+
+  test("CHECK constraints: MERGE enforces on landing rows, tombstones exempt") {
+    import spark.implicits._
+    val root = freshRoot()
+    withRoot(root) {
+      spark.sql("CREATE TABLE cc2 (k BIGINT, p DOUBLE) USING graft PRIMARY KEY k")
+      spark.sql("INSERT INTO cc2 VALUES (1, 10.0), (2, 20.0)")
+      spark.sql("ALTER TABLE cc2 ADD CONSTRAINT p_pos CHECK (p > 0)")
+      // a tombstone whose carried values violate must still DELETE —
+      // nothing of it lands
+      Seq((1L, -1.0, true)).toDF("k", "p", "del")
+        .createOrReplaceTempView("cc2_src")
+      spark.sql("""MERGE INTO cc2 USING cc2_src ON cc2.k = cc2_src.k
+        WHEN MATCHED AND del THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      assert(spark.sql("SELECT k FROM cc2").collect().map(_.getLong(0)).toSet
+        == Set(2L))
+      // a violating UPSERT refuses (column form)
+      Seq((2L, -9.0)).toDF("k", "np").createOrReplaceTempView("cc2_src2")
+      val m = scala.util.Try(spark.sql(
+        """MERGE INTO cc2 AS t USING cc2_src2 AS s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET p = s.np""").collect())
+      assert(m.isFailure, "violating merge-update must refuse")
+      assert(spark.sql("SELECT p FROM cc2 WHERE k = 2").head().getDouble(0)
+        == 20.0)
+      spark.sql("DROP TABLE cc2")
+    }
+  }
+
+  test("rowCountFast / DESCRIBE DETAIL num_rows: metadata-only counts, honest NULLs") {
+    val root = freshRoot()
+    withRoot(root) {
+      spark.sql("CREATE TABLE rc1 (k BIGINT, v STRING) USING graft PRIMARY KEY k")
+      spark.sql("INSERT INTO rc1 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      spark.sql("INSERT INTO rc1 VALUES (4, 'd')")
+      val (st, view) = GraftTableRegistry.lookup("rc1").get
+      assert(st.rowCountFast(view) == Some(4L))
+      // time travel answers from the pinned manifest's dirs
+      assert(st.rowCountFast(view, Some(2L)) == Some(3L))
+      val d = spark.sql("DESCRIBE DETAIL rc1").head()
+      assert(d.getLong(6) == 4L, d.toString)
+      // a live deletion vector makes the count non-derivable from
+      // metadata (a vector key can suppress later-appended rows too) —
+      // NULL, never a wrong number
+      spark.sql("DELETE FROM rc1 WHERE k = 2")
+      assert(st.rowCountFast(view).isEmpty)
+      assert(spark.sql("DESCRIBE DETAIL rc1").head().isNullAt(6))
+      // an overwrite discards the vectors: exact again
+      spark.sql("INSERT OVERWRITE rc1 VALUES (10, 'x'), (11, 'y')")
+      assert(st.rowCountFast(view) == Some(2L))
+      spark.sql("DROP TABLE rc1")
+    }
+  }
+
+  test("subquery predicates in DELETE/UPDATE route through deleteKeys / session SQL") {
+    import spark.implicits._
+    val root = freshRoot()
+    withRoot(root) {
+      spark.sql("CREATE TABLE sq1 (k BIGINT, g BIGINT, p DOUBLE) " +
+        "USING graft PRIMARY KEY k")
+      spark.sql("INSERT INTO sq1 VALUES (1, 7, 1.0), (2, 7, 2.0), " +
+        "(3, 8, 3.0), (4, 9, 4.0)")
+      Seq(7L, 9L).toDF("g").createOrReplaceTempView("sq1_bad")
+      val (st, view) = GraftTableRegistry.lookup("sq1").get
+      val dirs = st.manifestDirs(view)
+      spark.sql("DELETE FROM sq1 WHERE g IN (SELECT g FROM sq1_bad)")
+      assert(st.manifestDirs(view) == dirs,
+        "subquery DELETE must be a deletion-vector commit")
+      assert(spark.sql("SELECT k FROM sq1").collect().map(_.getLong(0)).toSet
+        == Set(3L))
+      // EXISTS works too (same routing), and the temp view is cleaned up
+      spark.sql("UPDATE sq1 SET p = p * 10 WHERE EXISTS " +
+        "(SELECT 1 FROM sq1_bad WHERE sq1_bad.g = sq1.g - 1)")
+      assert(spark.sql("SELECT p FROM sq1 WHERE k = 3").head().getDouble(0)
+        == 30.0)
+      assert(!spark.catalog.listTables().collect()
+        .exists(_.name.startsWith("graft_dml_")),
+        "DML temp views must not leak")
+      // a NON-subquery IN list still takes the plain expr path
+      spark.sql("INSERT INTO sq1 VALUES (10, 1, 5.0), (11, 1, 6.0)")
+      spark.sql("DELETE FROM sq1 WHERE k IN (10, 11)")
+      assert(spark.sql("SELECT count(*) FROM sq1").head().getLong(0) == 1L)
+      spark.sql("DROP TABLE sq1")
+    }
+  }
+
+  test("COPY INTO: idempotent per-file landing-zone ingestion") {
+    import spark.implicits._
+    val root = freshRoot()
+    val landing = root + "/landing"
+    withRoot(root) {
+      spark.sql("CREATE TABLE cp1 (k BIGINT, v STRING) USING graft PRIMARY KEY k")
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+        .coalesce(1).write.parquet(landing)
+      val r1 = spark.sql(
+        s"COPY INTO cp1 FROM '$landing' FILEFORMAT = PARQUET").head()
+      assert(r1.getLong(2) == 1L && r1.getLong(3) == 2L, r1.toString)
+      // re-running the exact statement loads NOTHING and publishes
+      // nothing — the per-file fences are in the manifest
+      val (st, view) = GraftTableRegistry.lookup("cp1").get
+      val v1 = st.versions(view).max
+      val r2 = spark.sql(
+        s"COPY INTO cp1 FROM '$landing' FILEFORMAT = PARQUET").head()
+      assert(r2.getLong(2) == 0L && r2.getLong(3) == 0L, r2.toString)
+      assert(st.versions(view).max == v1, "a no-new-file COPY publishes nothing")
+      // the landing dir grows: only the NEW file loads
+      Seq((3L, "c")).toDF("k", "v").coalesce(1).write.mode("append")
+        .parquet(landing)
+      val r3 = spark.sql(
+        s"COPY INTO cp1 FROM '$landing' FILEFORMAT = PARQUET").head()
+      assert(r3.getLong(2) == 1L && r3.getLong(3) == 1L, r3.toString)
+      assert(spark.sql("SELECT k FROM cp1").collect().map(_.getLong(0)).toSet
+        == Set(1L, 2L, 3L))
+      // by-name alignment: a shard MISSING a column lands NULL there;
+      // an extra column refuses
+      val landing2 = root + "/landing2"
+      Seq(Tuple1(9L)).toDF("k").coalesce(1).write.parquet(landing2)
+      spark.sql(s"COPY INTO cp1 FROM '$landing2' FILEFORMAT = PARQUET")
+      assert(spark.sql("SELECT v FROM cp1 WHERE k = 9").head().isNullAt(0))
+      val landing3 = root + "/landing3"
+      Seq((10L, "x", 1.0)).toDF("k", "v", "extra")
+        .coalesce(1).write.parquet(landing3)
+      val bad = scala.util.Try(spark.sql(
+        s"COPY INTO cp1 FROM '$landing3' FILEFORMAT = PARQUET").collect())
+      assert(bad.isFailure &&
+        bad.failed.get.getMessage.contains("not a table column"), bad.toString)
+      // CHECK constraints guard the load
+      spark.sql("ALTER TABLE cp1 ADD CONSTRAINT k_pos CHECK (k > 0)")
+      val landing4 = root + "/landing4"
+      Seq((-5L, "neg")).toDF("k", "v").coalesce(1).write.parquet(landing4)
+      assert(scala.util.Try(spark.sql(
+        s"COPY INTO cp1 FROM '$landing4' FILEFORMAT = PARQUET").collect())
+        .isFailure, "a constraint-violating load must refuse")
+      spark.sql("DROP TABLE cp1")
+    }
+  }
+
+  test("COPY INTO: csv with header and PATTERN globbing") {
+    val root = freshRoot()
+    withRoot(root) {
+      spark.sql("CREATE TABLE cp2 (k BIGINT, v STRING) USING graft")
+      val landing = java.nio.file.Paths.get(root, "csvland")
+      java.nio.file.Files.createDirectories(landing)
+      java.nio.file.Files.writeString(landing.resolve("batch1.csv"),
+        "k,v\n1,a\n2,b\n")
+      java.nio.file.Files.writeString(landing.resolve("skipme.txt"),
+        "k,v\n9,z\n")
+      val r = spark.sql(s"COPY INTO cp2 FROM '$landing' FILEFORMAT = CSV " +
+        "PATTERN = 'batch*.csv'").head()
+      assert(r.getLong(2) == 1L && r.getLong(3) == 2L, r.toString)
+      assert(spark.sql("SELECT count(*) FROM cp2").head().getLong(0) == 2L)
+      spark.sql("DROP TABLE cp2")
+    }
+  }
+
+  test("OPTIMIZE WHERE rewrites only the touched dirs; ALTER CLUSTER BY re-declares layout") {
+    val root = freshRoot()
+    withRoot(root) {
+      spark.sql("CREATE TABLE ow1 (k BIGINT, v DOUBLE) USING graft PRIMARY KEY k")
+      spark.sql("INSERT INTO ow1 VALUES (1, 1.0), (2, 2.0)")
+      spark.sql("INSERT INTO ow1 VALUES (100, 100.0), (101, 101.0)")
+      spark.sql("INSERT INTO ow1 VALUES (102, 102.0), (103, 103.0)")
+      val (st, view) = GraftTableRegistry.lookup("ow1").get
+      val before = st.manifestDirs(view)
+      val lowDir = before(1) // k in [1,2]
+      spark.sql("OPTIMIZE ow1 WHERE k >= 50")
+      val after = st.manifestDirs(view)
+      assert(after.contains(lowDir),
+        s"the provably-unmatched dir must carry: $before -> $after")
+      assert(after.size < before.size, "the touched dirs must compact")
+      assert(spark.sql("SELECT count(*) FROM ow1").head().getLong(0) == 6L,
+        "OPTIMIZE WHERE is layout-only")
+      // a predicate touching nothing publishes nothing
+      val v = st.versions(view).max
+      spark.sql("OPTIMIZE ow1 WHERE k >= 1000000")
+      assert(st.versions(view).max == v)
+      // ALTER CLUSTER BY re-declares the layout: recorded, durable,
+      // validated against the schema
+      spark.sql("ALTER TABLE ow1 CLUSTER BY (v, k)")
+      assert(GraftTableRegistry.lookupCluster("ow1") == Seq("v", "k"))
+      GraftTableRegistry.clearInMemory()
+      assert(GraftTableRegistry.lookupCluster("ow1") == Seq("v", "k"),
+        "the re-declared layout must survive a restart")
+      assert(scala.util.Try(spark.sql(
+        "ALTER TABLE ow1 CLUSTER BY (nope)").collect()).isFailure)
+      spark.sql("ALTER TABLE ow1 CLUSTER BY NONE")
+      assert(GraftTableRegistry.lookupCluster("ow1").isEmpty)
+      spark.sql("DROP TABLE ow1")
+    }
+  }
+
+  test("SHOW CREATE TABLE falls through for unregistered names") {
+    val e = scala.util.Try(
+      spark.sql("SHOW CREATE TABLE definitely_not_registered_xyz").collect())
+    assert(e.isFailure, "the stock parser should reject the unknown table")
+    assert(!e.failed.get.getMessage.contains("SHOW CREATE TABLE definitely"),
+      "the failure must come from the stock resolution path, not our command")
+  }
+}
