@@ -400,6 +400,12 @@ object GraftSqlParser {
     """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+(SELECT\s+.+?|VALUES\s+.+?)\s*;?\s*$""".r
+  // INSERT INTO <t> (c1, c2, …) SELECT …|VALUES … — the COLUMN-LIST
+  // form: the payload binds positionally to the NAMED columns, every
+  // other table column lands NULL; a keyed table must name its key
+  private val InsertColsRe =
+    ("""(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s*\(([^)]*)\)\s*""" +
+      """(SELECT\s+.+?|VALUES\s+.+?)\s*;?\s*$""").r
   // INSERT OVERWRITE [TABLE] <t> SELECT …|VALUES … — the full-content
   // swap as ONE overwrite commit (every prior snapshot stays
   // time-travelable); claimed only for registered names, so the stock
@@ -587,6 +593,45 @@ object GraftSqlParser {
       """USING\s+([\w.]+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+""" +
       """ON\s+([\w.]+)\s*=\s*([\w.]+)\s+""" +
       """(WHEN\s+.+?)\s*;?\s*$""").r
+
+  // head of a MERGE whose source is an INLINE SUBQUERY:
+  // `MERGE INTO t [AS a] USING (` — the paren's extent is found by the
+  // mask walk ([[hoistMergeSource]]), never the regex
+  private val MergeUsingParenRe =
+    ("""(?is)^(\s*MERGE\s+INTO\s+[\w.]+""" +
+      """(?:\s+(?:AS\s+)?(?!USING\b)\w+)?\s+USING\s*)\(""").r
+
+  /** The subquery-source MERGE rewrite: extract the balanced
+    * `USING (SELECT …)` body (quote/comment-mask walk — parens inside
+    * literals never count) and substitute the placeholder name
+    * `__graft_merge_src`, so every merge FORM parses unchanged; the
+    * commands receive the subquery SQL and materialize it once at run
+    * time. None when the statement has no paren source (or the body
+    * is not a SELECT — nothing else is legal there).
+    */
+  private[plans] def hoistMergeSource(sqlText: String): Option[(String, String)] =
+    MergeUsingParenRe.findFirstMatchIn(sqlText).flatMap { m =>
+      val open = m.end - 1
+      val mask = quotedMask(sqlText)
+      var depth = 0
+      var close = -1
+      var i = open
+      while (i < sqlText.length && close < 0) {
+        val c = sqlText.charAt(i)
+        if (!mask(i)) {
+          if (c == '(') depth += 1
+          else if (c == ')') { depth -= 1; if (depth == 0) close = i }
+        }
+        i += 1
+      }
+      if (close < 0) None
+      else {
+        val sub = sqlText.substring(open + 1, close).trim
+        if (!sub.take(6).equalsIgnoreCase("SELECT")) None
+        else Some((sqlText.take(open) + "__graft_merge_src " +
+          sqlText.drop(close + 1), sub))
+      }
+    }
 
   private val WhenHeadRe =
     """(?is)^WHEN\s+(NOT\s+)?MATCHED\s*(.*)$""".r
@@ -786,6 +831,11 @@ object GraftSqlParser {
     }).orElse(InsertOverwriteRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftInsertOverwriteCommand(m.group(1), m.group(2)): LogicalPlan
+    }).orElse(InsertColsRe.findFirstMatchIn(sqlText).collect {
+      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+        GraftInsertCommand(m.group(1), m.group(3),
+          columns = Some(m.group(2).split(",").toSeq
+            .map(_.trim).filter(_.nonEmpty))): LogicalPlan
     }).orElse(InsertRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftInsertCommand(m.group(1), m.group(2)): LogicalPlan
@@ -801,29 +851,41 @@ object GraftSqlParser {
         val (setSql, pred) = splitTopLevelWhere(m.group(2))
         GraftUpdateCommand(m.group(1), setSql,
           pred.getOrElse("true")): LogicalPlan
-    }).orElse(MergeRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftMergeCommand(m.group(1), m.group(2),
-          Seq(m.group(3), m.group(4)).map(c => c.split('.').last),
-          Option(m.group(5)).map(_.split('.').last)): LogicalPlan
-    }).orElse(MergeColsRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty &&
-          (m.group(7) != null || m.group(8) != null) =>
-        GraftMergeColumnsCommand(m.group(1), Option(m.group(2)),
-          m.group(3), Option(m.group(4)),
-          Seq(m.group(5), m.group(6)),
-          setSql = Option(m.group(7)),
-          insertCols = Option(m.group(8)).map(c =>
-            c.split(",").toSeq.map(_.trim).filter(_.nonEmpty)),
-          insertValsSql = Option(m.group(9))): LogicalPlan
-    }).orElse(MergeWhenRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        val tag = s"MERGE INTO ${m.group(1)}"
-        GraftMergeWhenCommand(m.group(1), Option(m.group(2)),
-          m.group(3), Option(m.group(4)),
-          Seq(m.group(5), m.group(6)),
-          splitWhenClauses(m.group(7)).map(parseWhenClause(tag, _))): LogicalPlan
-    }).orElse(CreateTableRe.findFirstMatchIn(sqlText).map { m =>
+    }).orElse {
+      // an inline `USING (SELECT …)` source hoists to a placeholder
+      // NAME first, so every merge form below parses unchanged; the
+      // commands receive the subquery SQL and materialize it at run
+      // time. Statements whose target is not registered fall through
+      // with the ORIGINAL text.
+      val (mText, mSrcSql) = hoistMergeSource(sqlText)
+        .map { case (t, s) => (t, Some(s)) }.getOrElse((sqlText, None))
+      MergeRe.findFirstMatchIn(mText).collect {
+        case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+          GraftMergeCommand(m.group(1), m.group(2),
+            Seq(m.group(3), m.group(4)).map(c => c.split('.').last),
+            Option(m.group(5)).map(_.split('.').last),
+            srcSql = mSrcSql): LogicalPlan
+      }.orElse(MergeColsRe.findFirstMatchIn(mText).collect {
+        case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty &&
+            (m.group(7) != null || m.group(8) != null) =>
+          GraftMergeColumnsCommand(m.group(1), Option(m.group(2)),
+            m.group(3), Option(m.group(4)),
+            Seq(m.group(5), m.group(6)),
+            setSql = Option(m.group(7)),
+            insertCols = Option(m.group(8)).map(c =>
+              c.split(",").toSeq.map(_.trim).filter(_.nonEmpty)),
+            insertValsSql = Option(m.group(9)),
+            srcSql = mSrcSql): LogicalPlan
+      }).orElse(MergeWhenRe.findFirstMatchIn(mText).collect {
+        case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+          val tag = s"MERGE INTO ${m.group(1)}"
+          GraftMergeWhenCommand(m.group(1), Option(m.group(2)),
+            m.group(3), Option(m.group(4)),
+            Seq(m.group(5), m.group(6)),
+            splitWhenClauses(m.group(7)).map(parseWhenClause(tag, _)),
+            srcSql = mSrcSql): LogicalPlan
+      })
+    }.orElse(CreateTableRe.findFirstMatchIn(sqlText).map { m =>
       GraftCreateTableCommand(m.group(2), Some(m.group(3)), None,
         Option(m.group(4)), Option(m.group(6)),
         ifNotExists = m.group(1) != null,
@@ -1206,7 +1268,8 @@ case class GraftDeleteCommand(name: String, predicateSql: String)
   * the offending key. The probes cost one narrow target scan — the
   * price every enforced-PK engine pays per insert.
   */
-case class GraftInsertCommand(name: String, querySql: String)
+case class GraftInsertCommand(name: String, querySql: String,
+                              columns: Option[Seq[String]] = None)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq(
     AttributeReference("table", org.apache.spark.sql.types.StringType)(),
@@ -1216,9 +1279,37 @@ case class GraftInsertCommand(name: String, querySql: String)
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("INSERT INTO", name)
     val target = store.read(view).schema
-    val (src, obs) = GraftSqlParser.alignInsertPayload(spark,
-      s"INSERT INTO $name", target, querySql, checksFor = Some(name))
     import org.apache.spark.sql.functions.{col, lit}
+    // the COLUMN-LIST form binds the payload to the NAMED subset (in
+    // list order); every other table column lands NULL. A keyed table
+    // must name its key — a NULL row identity breaks every keyed
+    // statement after the insert.
+    val sub = columns.fold(target) { cs =>
+      val fields = cs.map { c =>
+        target.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"INSERT INTO $name: `$c` is not a table column " +
+              target.fieldNames.mkString("(", ", ", ")")))
+      }
+      require(fields.map(_.name.toLowerCase).distinct.size == fields.size,
+        s"INSERT INTO $name: duplicate column in the insert list")
+      GraftTableRegistry.lookupKey(name).foreach { k =>
+        require(fields.exists(_.name.equalsIgnoreCase(k)),
+          s"INSERT INTO $name: the column list must include the " +
+            s"PRIMARY KEY `$k` — a NULL row identity breaks keyed DML")
+      }
+      org.apache.spark.sql.types.StructType(fields)
+    }
+    val (src0, obs) = GraftSqlParser.alignInsertPayload(spark,
+      s"INSERT INTO $name", sub, querySql, checksFor = None)
+    // expand to full table width (unnamed columns NULL), THEN apply
+    // the CHECK guards — a constraint over an unnamed column sees the
+    // NULL it will actually store
+    val expanded = columns.fold(src0)(_ => src0.select(target.map { f =>
+      if (sub.fieldNames.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*))
+    val src = GraftSqlParser.withCheckGuards(name, expanded)
     // opt-in PRIMARY KEY enforcement (see the class scaladoc): the
     // payload materializes once and BOTH probes run before any write.
     // The commit pins the version the existing-key probe read
@@ -1562,7 +1653,8 @@ case class GraftUpdateCommand(name: String, setSql: String, predicateSql: String
   * Returns (table, version).
   */
 case class GraftMergeCommand(name: String, srcName: String,
-                             onCols: Seq[String], deleteCol: Option[String])
+                             onCols: Seq[String], deleteCol: Option[String],
+                             srcSql: Option[String] = None)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq(
     AttributeReference("table", org.apache.spark.sql.types.StringType)(),
@@ -1580,14 +1672,22 @@ case class GraftMergeCommand(name: String, srcName: String,
     // upsert-all merge consumes (target columns + the tombstone flag),
     // so a wide source never checkpoints full-width; a registered
     // store view is a cheap manifest-pinned scan and stays lazy
-    val source = GraftTableRegistry.lookup(srcName)
-      .map { case (s2, v2) => s2.read(v2) }
-      .getOrElse {
-        val needed = store.read(view).columns.toSeq ++ deleteCol
-        spark.table(srcName)
-          .select(needed.map(org.apache.spark.sql.functions.col): _*)
-          .localCheckpoint()
-      }
+    val needed = store.read(view).columns.toSeq ++ deleteCol
+    val source = srcSql match {
+      // inline `USING (SELECT …)` source: runs through the full
+      // session SQL, projected to the consumed columns, materialized
+      // once for the probe + merge
+      case Some(q) => spark.sql(q)
+        .select(needed.map(org.apache.spark.sql.functions.col): _*)
+        .localCheckpoint()
+      case None => GraftTableRegistry.lookup(srcName)
+        .map { case (s2, v2) => s2.read(v2) }
+        .getOrElse {
+          spark.table(srcName)
+            .select(needed.map(org.apache.spark.sql.functions.col): _*)
+            .localCheckpoint()
+        }
+    }
     GraftMergeCommand.requireUniqueSourceKeys(s"MERGE INTO $name",
       source, keyCol)
     // SQL MERGE semantics for the delete clause: `WHEN MATCHED AND d
@@ -1639,7 +1739,8 @@ case class GraftMergeColumnsCommand(name: String, tAliasOpt: Option[String],
                                     onCols: Seq[String],
                                     setSql: Option[String],
                                     insertCols: Option[Seq[String]],
-                                    insertValsSql: Option[String])
+                                    insertValsSql: Option[String],
+                                    srcSql: Option[String] = None)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq(
     AttributeReference("table", org.apache.spark.sql.types.StringType)(),
@@ -1655,10 +1756,15 @@ case class GraftMergeColumnsCommand(name: String, tAliasOpt: Option[String],
         s"sides, got ${onCols.mkString(" = ")}")
     val target = store.read(view)
     val targetSchema = target.schema
-    // same once-materialized source contract as GraftMergeCommand
-    val source = GraftTableRegistry.lookup(srcName)
-      .map { case (s2, v2) => s2.read(v2) }
-      .getOrElse(spark.table(srcName).localCheckpoint())
+    // same once-materialized source contract as GraftMergeCommand; an
+    // inline subquery source must carry an alias — its expressions
+    // have no other way to reference it (Delta's rule too)
+    require(srcSql.isEmpty || sAliasOpt.nonEmpty,
+      s"$tag: a subquery source needs an alias — USING (SELECT …) AS s")
+    val source = srcSql.map(q => spark.sql(q).localCheckpoint())
+      .getOrElse(GraftTableRegistry.lookup(srcName)
+        .map { case (s2, v2) => s2.read(v2) }
+        .getOrElse(spark.table(srcName).localCheckpoint()))
     GraftMergeCommand.requireUniqueSourceKeys(tag, source, keyCol)
     val ta = tAliasOpt.getOrElse(name.split('.').last)
     val sa = sAliasOpt.getOrElse(srcName.split('.').last)
@@ -1742,7 +1848,8 @@ final case class MergeClause(matched: Boolean, cond: Option[String],
 case class GraftMergeWhenCommand(name: String, tAliasOpt: Option[String],
                                  srcName: String, sAliasOpt: Option[String],
                                  onCols: Seq[String],
-                                 clauses: Seq[MergeClause])
+                                 clauses: Seq[MergeClause],
+                                 srcSql: Option[String] = None)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq(
     AttributeReference("table", org.apache.spark.sql.types.StringType)(),
@@ -1762,10 +1869,15 @@ case class GraftMergeWhenCommand(name: String, tAliasOpt: Option[String],
     val tcols = targetSchema.map(_.name)
     // an expensive source QUERY/VIEW materializes once and feeds both
     // the cardinality probe and the merge; a registered store view is
-    // a cheap manifest-pinned scan and stays lazy
-    val source = GraftTableRegistry.lookup(srcName)
-      .map { case (s2, v2) => s2.read(v2) }
-      .getOrElse(spark.table(srcName).localCheckpoint())
+    // a cheap manifest-pinned scan and stays lazy. An inline subquery
+    // source must carry an alias — its expressions have no other way
+    // to reference it (Delta's rule too).
+    require(srcSql.isEmpty || sAliasOpt.nonEmpty,
+      s"$tag: a subquery source needs an alias — USING (SELECT …) AS s")
+    val source = srcSql.map(q => spark.sql(q).localCheckpoint())
+      .getOrElse(GraftTableRegistry.lookup(srcName)
+        .map { case (s2, v2) => s2.read(v2) }
+        .getOrElse(spark.table(srcName).localCheckpoint()))
     GraftMergeCommand.requireUniqueSourceKeys(tag, source, keyCol)
     val ta = tAliasOpt.getOrElse(name.split('.').last)
     val sa = sAliasOpt.getOrElse(srcName.split('.').last)

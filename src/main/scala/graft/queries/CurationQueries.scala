@@ -2254,6 +2254,32 @@ object CurationQueries {
       s.sql("SELECT k, cust, p FROM t291")
     }),
 
+    // COLUMN-LIST INSERT + inline-subquery MERGE — the two statement
+    // shapes real migrations write first: `INSERT INTO t (k, p)
+    // SELECT …` (unnamed columns NULL, the key mandatory) and
+    // `MERGE INTO t USING (SELECT …) AS s` (the source hoisted by the
+    // mask walk, materialized once, cardinality-probed). Oracle
+    // replays the composition declaratively.
+    "q292_sql_insert_cols_merge_sub" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q292_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t292"))
+      graft.plans.GraftTableRegistry.unregister("t292")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q292_orders")
+      s.sql(s"CREATE TABLE t292 (k BIGINT, cust BIGINT, p DOUBLE) " +
+        s"USING graft PRIMARY KEY k LOCATION '$root'")
+      // cust is deliberately unnamed — it must land NULL
+      s.sql("INSERT INTO t292 (k, p) " +
+        "SELECT k, p FROM q292_orders WHERE k % 3 = 0")
+      s.sql("""MERGE INTO t292 AS t USING
+        (SELECT k, cust, p * 2 AS np FROM q292_orders WHERE k % 2 = 0) AS s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET cust = s.cust, p = s.np
+        WHEN NOT MATCHED THEN INSERT (k, cust, p) VALUES (s.k, s.cust, s.np)""")
+      s.sql("SELECT k, cust, p FROM t292")
+    }),
+
     // RESTORE in PURE SQL — the bad-deploy rollback statement: v1 is
     // the good snapshot, v2 an erroneous overwrite, v3 a deleteWhere
     // on top of it; `RESTORE TABLE t TO VERSION AS OF 1` republishes
@@ -3968,6 +3994,16 @@ object CurationQueries {
          FROM orders
          WHERE (o_orderkey < 300 OR o_orderkey >= 600)
            AND o_orderkey % 40 <> 0""",
+
+    // The partial insert (NULL cust) surviving only where the merge
+    // missed; every k%2=0 row ends as the doubled upsert.
+    "q292_sql_insert_cols_merge_sub" ->
+      """SELECT o_orderkey AS k, CAST(NULL AS BIGINT) AS cust,
+            o_totalprice AS p
+         FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice * 2
+         FROM orders WHERE o_orderkey % 2 = 0""",
 
     // Same composition as q272, born and closed entirely in SQL.
     "q273_sql_create_table" ->

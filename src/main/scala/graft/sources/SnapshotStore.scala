@@ -351,6 +351,12 @@ class SnapshotStore(spark: SparkSession, val root: String) {
 
   /** Commit `df` as the next version. `overwrite = true` replaces the
     * table contents; `false` appends to the predecessor snapshot.
+    * Caller contract on APPENDS: an existing column must arrive with
+    * the table's type — an append writing e.g. DECIMAL where prior
+    * dirs hold DOUBLE diverges the on-disk parquet types, and a later
+    * forced-schema read would surface unscaled values (the SQL tier
+    * and mergeInto/replaceWhere align types for you; raw commit trusts
+    * its input, the schema-DEFINING primitive).
     * `statsCols` records per-dir min/max for [[readPruned]] /
     * [[mergeInto]] data skipping. Returns the committed version. Throws
     * [[SnapshotConflict]] if `expectedBase` is stale (another writer
@@ -1396,11 +1402,22 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * key-selection scan) before predicates or unions over the full
     * snapshot width.
     */
+  /** Align `df` to `schema` by NAME — and by TYPE: a present column
+    * whose dataType differs casts to the schema's (a merge source
+    * built from SQL literals carries e.g. DECIMAL(3,1) where the table
+    * holds DOUBLE; written uncast, the dir's parquet type diverges and
+    * the merged read surfaces the UNSCALED value — 40.0 read as 400.0,
+    * found by the inline-subquery MERGE spec). Missing columns land
+    * NULL. Identity casts are elided by the optimizer, so the aligned
+    * projection costs nothing when types already agree.
+    */
   private def alignedTo(df: DataFrame,
                         schema: org.apache.spark.sql.types.StructType): DataFrame =
     df.select(schema.map(f =>
-      if (df.columns.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)): _*)
+      if (df.columns.contains(f.name)) {
+        if (df.schema(f.name).dataType == f.dataType) col(f.name)
+        else col(f.name).cast(f.dataType).as(f.name)
+      } else lit(null).cast(f.dataType).as(f.name)): _*)
 
   /** Split `dirs` into (hit, miss) by whether SOME key in `keys` falls
     * inside the dir's recorded [min,max] for `keyCol` — the
@@ -1475,7 +1492,13 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     val dirs = readManifest(view, base)
     val targetSchema = read(view, Some(base)).schema
     val targetCols = targetSchema.map(_.name)
-    val upserts = source.where(!isDelete).select(targetCols.map(col): _*)
+    // name-select FIRST (a source missing a target column must fail
+    // loudly — silent NULLs are not the upsert contract), then align
+    // TYPES: a literal-typed SQL source (DECIMAL where the table holds
+    // DOUBLE) written uncast diverges the dir's parquet type and the
+    // merged read surfaces the unscaled value
+    val upserts = alignedTo(
+      source.where(!isDelete).select(targetCols.map(col): _*), targetSchema)
     // Schema evolution alignment: a touched dir may predate a column
     // that exists only in other dirs; project such columns as typed
     // NULLs (what the whole-table mergeSchema read would yield) before

@@ -419,6 +419,76 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("INSERT column list: named subset binds, unnamed columns NULL, key required") {
+    val root = freshRoot()
+    withRoot(root) {
+      spark.sql("CREATE TABLE il1 (k BIGINT, v STRING, p DOUBLE) " +
+        "USING graft PRIMARY KEY k")
+      spark.sql("INSERT INTO il1 (k, p) VALUES (1, 1.5)")
+      val r1 = spark.sql("SELECT v, p FROM il1 WHERE k = 1").head()
+      assert(r1.isNullAt(0) && r1.getDouble(1) == 1.5, r1.toString)
+      // list order wins, not table order
+      spark.sql("INSERT INTO il1 (p, k) VALUES (2.5, 2)")
+      assert(spark.sql("SELECT p FROM il1 WHERE k = 2").head().getDouble(0)
+        == 2.5)
+      // a keyed table must name its key
+      val noKey = scala.util.Try(spark.sql(
+        "INSERT INTO il1 (v, p) VALUES ('x', 1.0)").collect())
+      assert(noKey.isFailure &&
+        noKey.failed.get.getMessage.contains("PRIMARY KEY"), noKey.toString)
+      // unknown and duplicate names refuse
+      assert(scala.util.Try(spark.sql(
+        "INSERT INTO il1 (k, nope) VALUES (3, 1)").collect()).isFailure)
+      assert(scala.util.Try(spark.sql(
+        "INSERT INTO il1 (k, k) VALUES (3, 4)").collect()).isFailure)
+      // a CHECK over an unnamed column sees the NULL it will store
+      spark.sql("ALTER TABLE il1 ADD CONSTRAINT v_short CHECK (length(v) < 5)")
+      spark.sql("INSERT INTO il1 (k, p) VALUES (3, 0.5)") // NULL v passes
+      assert(scala.util.Try(spark.sql(
+        "INSERT INTO il1 (k, v) VALUES (4, 'toolong')").collect()).isFailure)
+      spark.sql("DROP TABLE il1")
+    }
+  }
+
+  test("MERGE USING (SELECT ...) AS s: inline subquery sources in every form") {
+    val root = freshRoot()
+    withRoot(root) {
+      spark.sql("CREATE TABLE ms1 (k BIGINT, p DOUBLE) USING graft PRIMARY KEY k")
+      spark.sql("INSERT INTO ms1 VALUES (1, 1.0), (2, 2.0)")
+      // general when-form with an inline source
+      spark.sql("""MERGE INTO ms1 AS t USING
+        (SELECT 1 AS k, 10.0 AS np UNION ALL SELECT 3, 30.0) AS s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET p = s.np
+        WHEN NOT MATCHED THEN INSERT (k, p) VALUES (s.k, s.np)""")
+      val m = spark.sql("SELECT k, p FROM ms1").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(m == Map(1L -> 10.0, 2L -> 2.0, 3L -> 30.0), m.toString)
+      // upsert-all form (no source-referencing expressions, alias optional)
+      spark.sql("MERGE INTO ms1 USING (SELECT CAST(4 AS BIGINT) AS k, " +
+        "40.0 AS p) AS s ON ms1.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      assert(spark.sql("SELECT p FROM ms1 WHERE k = 4").head().getDouble(0)
+        == 40.0)
+      // a subquery source without an alias refuses with a clear error
+      val noAlias = scala.util.Try(spark.sql(
+        """MERGE INTO ms1 USING (SELECT 1 AS k, 5.0 AS np) ON ms1.k = k
+           WHEN MATCHED THEN UPDATE SET p = np""").collect())
+      assert(noAlias.isFailure &&
+        noAlias.failed.get.getMessage.contains("needs an alias"),
+        noAlias.toString)
+      // the cardinality probe still guards a duplicate-key subquery
+      val dup = scala.util.Try(spark.sql(
+        """MERGE INTO ms1 AS t USING
+          (SELECT 1 AS k, 1.0 AS np UNION ALL SELECT 1, 2.0) AS s
+          ON t.k = s.k WHEN MATCHED THEN UPDATE SET p = s.np""").collect())
+      assert(dup.isFailure &&
+        dup.failed.get.getMessage.contains("at most one source row"),
+        dup.toString)
+      spark.sql("DROP TABLE ms1")
+    }
+  }
+
   test("SHOW CREATE TABLE falls through for unregistered names") {
     val e = scala.util.Try(
       spark.sql("SHOW CREATE TABLE definitely_not_registered_xyz").collect())
