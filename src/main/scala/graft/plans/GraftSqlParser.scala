@@ -460,13 +460,15 @@ object GraftSqlParser {
   // clause order is fixed: PRIMARY KEY, then CLUSTER BY, then LOCATION
   // (documented in the README's SQL table)
   private val CreateTableRe =
-    ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*""" +
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+""" +
+      """(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*""" +
       """\((.+?)\)\s*USING\s+graft""" +
       """(?:\s+PRIMARY\s+KEY\s+\(?\s*(\w+)\s*\)?)?""" +
       """(?:\s+CLUSTER\s+BY\s*\(([^)]*)\))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
   private val CtasRe =
-    ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+""" +
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+""" +
+      """(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+""" +
       """USING\s+graft""" +
       """(?:\s+PRIMARY\s+KEY\s+\(?\s*(\w+)\s*\)?)?""" +
       """(?:\s+CLUSTER\s+BY\s*\(([^)]*)\))?""" +
@@ -886,17 +888,19 @@ object GraftSqlParser {
             srcSql = mSrcSql): LogicalPlan
       })
     }.orElse(CreateTableRe.findFirstMatchIn(sqlText).map { m =>
-      GraftCreateTableCommand(m.group(2), Some(m.group(3)), None,
-        Option(m.group(4)), Option(m.group(6)),
-        ifNotExists = m.group(1) != null,
-        clusterCols = Option(m.group(5)).toSeq
-          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)): LogicalPlan
+      GraftCreateTableCommand(m.group(3), Some(m.group(4)), None,
+        Option(m.group(5)), Option(m.group(7)),
+        ifNotExists = m.group(2) != null,
+        clusterCols = Option(m.group(6)).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+        orReplace = m.group(1) != null): LogicalPlan
     }).orElse(CtasRe.findFirstMatchIn(sqlText).map { m =>
-      GraftCreateTableCommand(m.group(2), None, Some(m.group(6)),
-        Option(m.group(3)), Option(m.group(5)),
-        ifNotExists = m.group(1) != null,
-        clusterCols = Option(m.group(4)).toSeq
-          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)): LogicalPlan
+      GraftCreateTableCommand(m.group(3), None, Some(m.group(7)),
+        Option(m.group(4)), Option(m.group(6)),
+        ifNotExists = m.group(2) != null,
+        clusterCols = Option(m.group(5)).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+        orReplace = m.group(1) != null): LogicalPlan
     }).orElse(DropTableRe.findFirstMatchIn(sqlText).collect {
       case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
         GraftDropTableCommand(m.group(1)): LogicalPlan
@@ -2039,7 +2043,8 @@ case class GraftCreateTableCommand(name: String,
                                    keyCol: Option[String],
                                    location: Option[String],
                                    ifNotExists: Boolean,
-                                   clusterCols: Seq[String] = Nil)
+                                   clusterCols: Seq[String] = Nil,
+                                   orReplace: Boolean = false)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq(
     AttributeReference("table", org.apache.spark.sql.types.StringType)(),
@@ -2055,6 +2060,65 @@ case class GraftCreateTableCommand(name: String,
     // session note
     def persist(st: graft.sources.SnapshotStore, view: String): Unit =
       GraftTableRegistry.persistBinding(spark, name)
+    // CREATE OR REPLACE: define the table ANEW in one overwrite commit
+    // — schema/content/key/clustering from THIS statement, every prior
+    // snapshot still time-travelable until VACUUM (Delta's REPLACE
+    // lifecycle). CHECK constraints drop with the old definition
+    // (re-declare via ALTER — exactly what the SHOW CREATE TABLE
+    // recipe replays); the re-registration clears them and the
+    // persisted binding follows.
+    if (orReplace) {
+      require(!ifNotExists,
+        s"CREATE OR REPLACE TABLE $name: OR REPLACE and IF NOT EXISTS " +
+          "are mutually exclusive")
+      val store = GraftTableRegistry.lookup(name) match {
+        case Some((st, v)) =>
+          require(v == name,
+            s"CREATE OR REPLACE TABLE $name: the binding's store view " +
+              s"is `$v` — a divergent view name replaces via the Scala API")
+          location.foreach { l =>
+            require(norm(l) == norm(st.root),
+              s"CREATE OR REPLACE TABLE $name: LOCATION '$l' conflicts " +
+                s"with the registered root '${st.root}'")
+          }
+          st
+        case None =>
+          val root = location
+            .orElse(spark.conf.getOption("spark.graft.store.root"))
+            .getOrElse(throw new IllegalArgumentException(
+              s"CREATE OR REPLACE TABLE $name USING graft: no store root " +
+                "— add LOCATION '<path>' or set spark.graft.store.root"))
+          new graft.sources.SnapshotStore(spark, root)
+      }
+      val seed = querySql match {
+        case Some(q) => spark.sql(q)
+        case None => GraftSqlParser.emptySingleFileFrame(spark,
+          org.apache.spark.sql.types.StructType.fromDDL(schemaDdl.get))
+      }
+      keyCol.foreach { k =>
+        require(seed.columns.exists(_.equalsIgnoreCase(k)),
+          s"CREATE OR REPLACE TABLE $name: PRIMARY KEY `$k` is not a " +
+            "table column " + seed.columns.mkString("(", ", ", ")"))
+      }
+      clusterCols.foreach { c =>
+        require(seed.columns.exists(_.equalsIgnoreCase(c)),
+          s"CREATE OR REPLACE TABLE $name: CLUSTER BY `$c` is not a " +
+            "table column " + seed.columns.mkString("(", ", ", ")"))
+      }
+      val v =
+        if (clusterCols.nonEmpty && querySql.nonEmpty)
+          store.commitClustered(name, seed, clusterCols, overwrite = true,
+            statsCols = keyCol.toSeq)
+        else store.commit(name, seed, overwrite = true,
+          statsCols = (keyCol.toSeq ++ clusterCols).distinct)
+      keyCol match {
+        case Some(k) => GraftTableRegistry.register(name, store, name, k)
+        case None => GraftTableRegistry.register(name, store, name)
+      }
+      GraftTableRegistry.registerCluster(name, clusterCols)
+      persist(store, name)
+      return Seq(org.apache.spark.sql.Row(name, v))
+    }
     GraftTableRegistry.lookup(name).foreach { case (st, view) =>
       if (!ifNotExists) throw new IllegalArgumentException(
         s"CREATE TABLE $name: already registered — DROP TABLE $name " +

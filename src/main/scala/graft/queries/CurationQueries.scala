@@ -2280,6 +2280,31 @@ object CurationQueries {
       s.sql("SELECT k, cust, p FROM t292")
     }),
 
+    // CREATE OR REPLACE TABLE — redefine schema + content + key in ONE
+    // overwrite commit, every prior snapshot still time-travelable
+    // (in-query require reads the pre-replace version), keyed DML
+    // working on the new shape immediately. Oracle replays the
+    // replaced definition + the follow-up update declaratively.
+    "q293_sql_create_or_replace" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q293_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root, "t293"))
+      graft.plans.GraftTableRegistry.unregister("t293")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q293_orders")
+      s.sql(s"CREATE TABLE t293 USING graft PRIMARY KEY k LOCATION '$root' " +
+        "AS SELECT k, p FROM q293_orders WHERE k % 4 = 0")
+      val oldCount = s.sql("SELECT * FROM t293").count()
+      // redefine: new column set (cust joins, p tripled), new content
+      s.sql("CREATE OR REPLACE TABLE t293 USING graft PRIMARY KEY k " +
+        "AS SELECT k, cust, p * 3 AS p FROM q293_orders WHERE k % 5 = 0")
+      require(s.sql("SELECT * FROM t293 VERSION AS OF 1").count() == oldCount,
+        "the pre-replace snapshot must stay time-travelable")
+      // the key survived the redefinition: keyed DML on the new shape
+      s.sql("UPDATE t293 SET p = p + 1 WHERE cust % 6 = 0")
+      s.sql("SELECT k, cust, p FROM t293")
+    }),
+
     // RESTORE in PURE SQL — the bad-deploy rollback statement: v1 is
     // the good snapshot, v2 an erroneous overwrite, v3 a deleteWhere
     // on top of it; `RESTORE TABLE t TO VERSION AS OF 1` republishes
@@ -4004,6 +4029,13 @@ object CurationQueries {
          UNION ALL
          SELECT o_orderkey, o_custkey, o_totalprice * 2
          FROM orders WHERE o_orderkey % 2 = 0""",
+
+    // The replaced definition + the keyed follow-up, declaratively.
+    "q293_sql_create_or_replace" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+            CASE WHEN o_custkey % 6 = 0 THEN o_totalprice * 3 + 1
+                 ELSE o_totalprice * 3 END AS p
+         FROM orders WHERE o_orderkey % 5 = 0""",
 
     // Same composition as q272, born and closed entirely in SQL.
     "q273_sql_create_table" ->

@@ -489,6 +489,71 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("CREATE OR REPLACE TABLE: new definition, history preserved, constraints dropped") {
+    val root = freshRoot()
+    withRoot(root) {
+      spark.sql("CREATE TABLE cor1 (k BIGINT, v STRING) USING graft PRIMARY KEY k")
+      spark.sql("INSERT INTO cor1 VALUES (1, 'a'), (2, 'b')")
+      spark.sql("ALTER TABLE cor1 ADD CONSTRAINT v_ok CHECK (length(v) > 0)")
+      spark.sql("CREATE OR REPLACE TABLE cor1 USING graft PRIMARY KEY k " +
+        "AS SELECT CAST(10 AS BIGINT) AS k, CAST(7 AS BIGINT) AS n")
+      // the new definition: new schema, new content
+      val r = spark.sql("SELECT k, n FROM cor1").collect()
+      assert(r.length == 1 && r.head.getLong(0) == 10L, r.mkString(","))
+      // the OLD snapshot stays time-travelable
+      assert(spark.sql("SELECT * FROM cor1 VERSION AS OF 2").count() == 2L)
+      // constraints dropped with the old definition
+      assert(GraftTableRegistry.lookupChecks("cor1").isEmpty)
+      // the key re-registered: keyed DML works on the new shape
+      spark.sql("UPDATE cor1 SET n = 8 WHERE k = 10")
+      assert(spark.sql("SELECT n FROM cor1").head().getLong(0) == 8L)
+      // OR REPLACE + IF NOT EXISTS refuses
+      assert(scala.util.Try(spark.sql(
+        "CREATE OR REPLACE TABLE IF NOT EXISTS cor1 (k BIGINT) USING graft")
+        .collect()).isFailure)
+      // OR REPLACE on a fresh name is a plain CREATE
+      spark.sql("CREATE OR REPLACE TABLE cor2 (k BIGINT) USING graft")
+      spark.sql("INSERT INTO cor2 VALUES (5)")
+      assert(spark.sql("SELECT count(*) FROM cor2").head().getLong(0) == 1L)
+      spark.sql("DROP TABLE cor1")
+      spark.sql("DROP TABLE cor2")
+    }
+  }
+
+  test("racing replaceWhere writers under retryOnConflict stay consistent") {
+    import spark.implicits._
+    val root = freshRoot()
+    val st = new graft.sources.SnapshotStore(spark, root)
+    val seed = (0 until 4).flatMap(r => Seq((r * 1000L, r.toLong, -1L)))
+      .toDF("k", "region", "iter")
+    st.commit("t", seed, overwrite = true, statsCols = Seq("k"))
+    val iters = 5
+    val threads = (0 until 4).map { r =>
+      new Thread(() => {
+        for (it <- 0 until iters) {
+          st.retryOnConflict(attempts = 64) {
+            st.replaceWhere("t",
+              org.apache.spark.sql.functions.col("region") === r,
+              Seq((r * 1000L, r.toLong, it.toLong), (r * 1000L + it + 1, r.toLong, it.toLong))
+                .toDF("k", "region", "iter"),
+              statsCols = Seq("k"))
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // every replace published exactly once: 1 seed + 4*5 commits
+    assert(st.versions("t").max == 21L, st.versions("t").toString)
+    // each region holds exactly its LAST payload (2 rows, iter = 4)
+    val fin = st.read("t").collect()
+      .map(row => (row.getLong(1), row.getLong(2))).toSeq
+    assert(fin.length == 8, fin.toString)
+    assert(fin.forall(_._2 == (iters - 1).toLong), fin.toString)
+    (0 until 4).foreach { r =>
+      assert(fin.count(_._1 == r.toLong) == 2, s"region $r: $fin")
+    }
+  }
+
   test("SHOW CREATE TABLE falls through for unregistered names") {
     val e = scala.util.Try(
       spark.sql("SHOW CREATE TABLE definitely_not_registered_xyz").collect())
