@@ -986,6 +986,25 @@ object GraftSqlParser {
     (checksFor.fold(src)(withCheckGuards(_, src)), obs)
   }
 
+  /** The opt-in PRIMARY KEY intra-batch probe shared by the three
+    * INSERT forms: materialize the payload once (localCheckpoint) and
+    * refuse a repeated key BEFORE any write, naming it. Returns the
+    * checkpointed payload for the caller's further probes/commit.
+    */
+  private[plans] def checkpointUniqueKeys(tag: String,
+      src: org.apache.spark.sql.DataFrame, k: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val chk = src.localCheckpoint()
+    chk.groupBy(col(k)).agg(count(lit(1)).as("_graft_n"))
+      .where(col("_graft_n") > 1)
+      .select(col(k).cast("string")).limit(1).collect()
+      .headOption.foreach(r => throw new IllegalArgumentException(
+        s"$tag: the payload repeats PRIMARY KEY `$k` = ${r.getString(0)} " +
+          "— deduplicate it, or disable spark.graft.sql.enforcePrimaryKey"))
+    chk
+  }
+
   private[plans] def parseAsOf(sqlText: String,
                                delegate: ParserInterface): Option[LogicalPlan] =
     AsOfRe.findFirstMatchIn(sqlText).map { m =>
@@ -1326,15 +1345,8 @@ case class GraftInsertCommand(name: String, querySql: String,
     val probedBase = enforcedKey.map(_ =>
       store.versions(view).lastOption.getOrElse(0L))
     val payload = enforcedKey.fold(src) { k =>
-      import org.apache.spark.sql.functions.count
-      val chk = src.localCheckpoint()
-      chk.groupBy(col(k)).agg(count(lit(1)).as("_graft_n"))
-        .where(col("_graft_n") > 1)
-        .select(col(k).cast("string")).limit(1).collect()
-        .headOption.foreach(r => throw new IllegalArgumentException(
-          s"INSERT INTO $name: the payload repeats PRIMARY KEY " +
-            s"`$k` = ${r.getString(0)} — deduplicate it, or disable " +
-            "spark.graft.sql.enforcePrimaryKey"))
+      val chk = GraftSqlParser.checkpointUniqueKeys(s"INSERT INTO $name",
+        src, k)
       store.read(view).select(col(k))
         .join(chk.select(col(k)).distinct(), Seq(k), "left_semi")
         .select(col(k).cast("string")).limit(1).collect()
@@ -1387,17 +1399,8 @@ case class GraftInsertOverwriteCommand(name: String, querySql: String)
     val enforcedKey = GraftTableRegistry.lookupKey(name).filter(_ =>
       spark.conf.getOption("spark.graft.sql.enforcePrimaryKey")
         .exists(_.toBoolean))
-    val payload = enforcedKey.fold(src) { k =>
-      val chk = src.localCheckpoint()
-      chk.groupBy(col(k)).agg(count(lit(1)).as("_graft_n"))
-        .where(col("_graft_n") > 1)
-        .select(col(k).cast("string")).limit(1).collect()
-        .headOption.foreach(r => throw new IllegalArgumentException(
-          s"INSERT OVERWRITE $name: the payload repeats PRIMARY KEY " +
-            s"`$k` = ${r.getString(0)} — deduplicate it, or disable " +
-            "spark.graft.sql.enforcePrimaryKey"))
-      chk
-    }
+    val payload = enforcedKey.fold(src)(k =>
+      GraftSqlParser.checkpointUniqueKeys(s"INSERT OVERWRITE $name", src, k))
     val cluster = GraftTableRegistry.lookupCluster(name)
     val v =
       if (cluster.nonEmpty)
@@ -1442,14 +1445,7 @@ case class GraftReplaceWhereCommand(name: String, predicateSql: String,
       spark.conf.getOption("spark.graft.sql.enforcePrimaryKey")
         .exists(_.toBoolean))
     val payload = enforcedKey.fold(src) { k =>
-      val chk = src.localCheckpoint()
-      chk.groupBy(col(k)).agg(count(lit(1)).as("_graft_n"))
-        .where(col("_graft_n") > 1)
-        .select(col(k).cast("string")).limit(1).collect()
-        .headOption.foreach(r => throw new IllegalArgumentException(
-          s"$tag: the payload repeats PRIMARY KEY `$k` = " +
-            s"${r.getString(0)} — deduplicate it, or disable " +
-            "spark.graft.sql.enforcePrimaryKey"))
+      val chk = GraftSqlParser.checkpointUniqueKeys(tag, src, k)
       store.read(view).where(!coalesce(pred.cast("boolean"), lit(false)))
         .select(col(k))
         .join(chk.select(col(k)).distinct(), Seq(k), "left_semi")
@@ -1533,11 +1529,21 @@ case class GraftCopyIntoCommand(name: String, fromPath: String,
       return Seq(org.apache.spark.sql.Row(name, cur, 0L, 0L))
     val target = store.read(view).schema
     import org.apache.spark.sql.functions.{col, count, lit}
+    // every format surfaces the batch's FULL column set so the
+    // extra-column refusal below is deterministic across multi-file
+    // batches: parquet merges footers; csv/json bind by NAME (header /
+    // field names) and cast through the shared aligned path — a
+    // reordered CSV header binds correctly instead of silently
+    // swapping values, and enforceSchema=false makes a file whose
+    // header disagrees with the batch's refuse loudly. csv/json pay a
+    // naming/inference pass — parquet is the scale path.
     val raw = fmt match {
-      case "parquet" => spark.read.parquet(fresh: _*)
-      case "csv" => spark.read.schema(target).option("header", "true")
+      case "parquet" => spark.read.option("mergeSchema", "true")
+        .parquet(fresh: _*)
+      case "csv" => spark.read.option("header", "true")
+        .option("inferSchema", "false").option("enforceSchema", "false")
         .csv(fresh: _*)
-      case "json" => spark.read.schema(target).json(fresh: _*)
+      case "json" => spark.read.json(fresh: _*)
     }
     raw.columns.foreach { c =>
       require(target.fieldNames.exists(_.equalsIgnoreCase(c)),
@@ -2435,13 +2441,21 @@ case class GraftShowCreateTableCommand(name: String)
     val key = GraftTableRegistry.lookupKey(name)
     val cluster = GraftTableRegistry.lookupCluster(name)
     // clause order matches [[CreateTableRe]]: PRIMARY KEY, CLUSTER BY,
-    // LOCATION — the emitted text must re-parse through the same regex
+    // LOCATION — the emitted text must re-parse through the same regex.
+    // The root is emitted ABSOLUTE (a relative root would re-bind
+    // against the replayer's cwd — the DR flow runs anywhere) and a
+    // quote inside it has no re-parsable spelling, so it refuses.
+    val rootAbs = java.nio.file.Paths.get(store.root)
+      .toAbsolutePath.normalize.toString
+    require(!rootAbs.contains("'"),
+      s"SHOW CREATE TABLE $name: the root path contains a quote — " +
+        "no re-parsable LOCATION spelling exists")
     val create = s"CREATE TABLE IF NOT EXISTS $name (${schema.toDDL}) " +
       "USING graft" +
       key.fold("")(k => s" PRIMARY KEY $k") +
       (if (cluster.nonEmpty) cluster.mkString(" CLUSTER BY (", ", ", ")")
        else "") +
-      s" LOCATION '${store.root}'"
+      s" LOCATION '$rootAbs'"
     // CHECK constraints follow as ALTER rows — the CREATE grammar has
     // no constraint clause, and the adoption path would skip one anyway
     val alters = GraftTableRegistry.lookupChecks(name).map { case (nm, ex) =>

@@ -312,6 +312,17 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     writeStats(view, dirName, bloomCols)
   }
 
+  /** The shared write-sizing rule for copy-on-write rewrites: coalesce
+    * to ceil(bytes / 128 MB) output files when that is below the
+    * session parallelism (small rewrites → few files, no store
+    * fragmentation), keep full write parallelism otherwise.
+    */
+  private def sizedForBytes(df: DataFrame, bytes: Long): DataFrame = {
+    val nOut = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20))
+    if (nOut < spark.sparkContext.defaultParallelism) df.coalesce(nOut.toInt)
+    else df
+  }
+
   /** Atomic exclusive publish of manifest v`next` listing `dirs`.
     * hard-link creation is the exclusive-publish primitive: link(2)
     * fails with EEXIST if the target exists — unlike rename(2)
@@ -1071,11 +1082,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     val keep = alignedTo(
       applyDels(readDirs(touched, view), view, prevDels), snapshotSchema)
       .where(!coalesce(hit, lit(false)))
-    val touchedBytes = touched.map(dirBytes(view, _)).sum
-    val nOut = math.max(1L, (touchedBytes + (128L << 20) - 1) / (128L << 20))
-    val sized =
-      if (nOut < spark.sparkContext.defaultParallelism) keep.coalesce(nOut.toInt)
-      else keep
+    val sized = sizedForBytes(keep, touched.map(dirBytes(view, _)).sum)
     val next = base + 1
     val dataDir = newDirName(next, txn)
     writeData(view, sized, dataDir, Seq(keyCol))
@@ -1225,26 +1232,11 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     val snapshotSchema = read(view, Some(base)).schema
     val hit = pred.cast("boolean")
     val bounds = predBounds(pred)
-    val touched = dirs.filter(dirMayMatch(view, _, bounds))
-    val untouched = dirs.filterNot(touched.toSet)
+    val predTouched = dirs.filter(dirMayMatch(view, _, bounds))
     val next = base + 1
-    // the kept remainder of the touched dirs, rewritten once
-    val keptDir =
-      if (touched.isEmpty) None
-      else {
-        val keep = alignedTo(
-          applyDels(readDirs(touched, view), view, prevDels), snapshotSchema)
-          .where(!coalesce(hit, lit(false)))
-        val touchedBytes = touched.map(dirBytes(view, _)).sum
-        val nOut = math.max(1L, (touchedBytes + (128L << 20) - 1) / (128L << 20))
-        val sized =
-          if (nOut < spark.sparkContext.defaultParallelism) keep.coalesce(nOut.toInt)
-          else keep
-        val d = s"b$next-rw" + java.util.UUID.randomUUID().toString.take(8)
-        writeData(view, sized, d, statsCols)
-        Some(d)
-      }
-    // new rows, predicate-guarded in the write job itself
+    // the payload writes FIRST (predicate-guarded in the write job
+    // itself) — its keys decide which extra dirs the rewrite must
+    // cover before any vector subtraction is legal
     val guarded = alignedTo(df, snapshotSchema)
       .where(when(coalesce(hit, lit(false)), lit(true))
         .otherwise(raise_error(lit(
@@ -1253,24 +1245,65 @@ class SnapshotStore(spark: SparkSession, val root: String) {
             "INSERT INTO instead")).cast("boolean")))
     val dataDir = newDirName(next, txn)
     writeData(view, guarded, dataDir, statsCols)
-    // carried vector = base vector minus the payload's keys (read from
-    // the just-written dir — one cheap scan of the new data, never a
-    // recompute of the payload lineage): a key the replace re-inserts
-    // must RESURRECT, exactly mergeInto's contract. Orthogonally-keyed
-    // vectors (key not a payload column — impossible via SQL, possible
-    // via the Scala API) carry verbatim. All-touched replaces drop the
-    // vectors with the dirs they indexed.
-    val newDels =
-      if (prevDels.isEmpty || untouched.isEmpty) Nil
+    // RESURRECTION set = payload keys present in the carried vector
+    // (read from the just-written dir — never a payload recompute).
+    // Subtracting a key from the vector is only legal once EVERY
+    // physical old row with that key has been rewritten away — and the
+    // old row may live in a dir the PREDICATE provably misses (pred on
+    // a non-key column): a blind subtraction would resurrect the
+    // deleted old row alongside the payload, a silent duplicate key
+    // and an undone delete. So the key-stat probe ([[dirsHitByKeys]],
+    // mergeInto's discipline) widens the rewrite set to every
+    // untouched dir that may hold a resurrected key; only then is the
+    // subtraction sound.
+    val preUntouched = dirs.filterNot(predTouched.toSet)
+    val (resurrectDirs, resKeys) =
+      if (prevDels.isEmpty || preUntouched.isEmpty) (Seq.empty[String], None)
       else {
         val delKeys = readDirs(prevDels, view)
         val vKey = delKeys.columns.head
-        if (!snapshotSchema.fieldNames.contains(vKey)) prevDels
+        if (!snapshotSchema.fieldNames.contains(vKey))
+          (Seq.empty[String], None) // orthogonally-keyed: carry verbatim
         else {
           val written = spark.read
             .parquet(dataRoot(view).resolve(dataDir).toString)
+          val res = delKeys.distinct()
+            .join(written.select(col(vKey)).distinct(), Seq(vKey),
+              "left_semi").localCheckpoint()
+          if (res.isEmpty) (Seq.empty[String], None)
+          else (dirsHitByKeys(view, preUntouched, vKey, res)._1, Some(res))
+        }
+      }
+    val touched = predTouched ++ resurrectDirs
+    val untouched = dirs.filterNot(touched.toSet)
+    // the kept remainder of the touched dirs, rewritten once (base
+    // vectors applied — rewritten dirs are born clean; rows of the
+    // key-widened dirs never match the predicate by construction, so
+    // the NOT-pred filter keeps them all)
+    val keptDir =
+      if (touched.isEmpty) None
+      else {
+        val keep = alignedTo(
+          applyDels(readDirs(touched, view), view, prevDels), snapshotSchema)
+          .where(!coalesce(hit, lit(false)))
+        val sized = sizedForBytes(keep, touched.map(dirBytes(view, _)).sum)
+        val d = s"b$next-rw" + java.util.UUID.randomUUID().toString.take(8)
+        writeData(view, sized, d, statsCols)
+        Some(d)
+      }
+    // carried vector = base vector minus the RESURRECTED keys (all
+    // their physical copies were just rewritten away) — mergeInto's
+    // resurrect contract. All-touched replaces drop the vectors with
+    // the dirs they indexed; no resurrected keys carries verbatim.
+    val newDels =
+      if (prevDels.isEmpty || untouched.isEmpty) Nil
+      else resKeys match {
+        case None => prevDels
+        case Some(res) =>
+          val delKeys = readDirs(prevDels, view)
+          val vKey = delKeys.columns.head
           val remaining = delKeys.distinct()
-            .join(written.select(col(vKey)).distinct(), Seq(vKey), "left_anti")
+            .join(res, Seq(vKey), "left_anti")
           val delDir = s"del$next-" +
             java.util.UUID.randomUUID().toString.take(8)
           val dObs = org.apache.spark.sql.Observation()
@@ -1286,7 +1319,6 @@ class SnapshotStore(spark: SparkSession, val root: String) {
             Scratch.deleteRecursively(dataRoot(view).resolve(delDir).toFile)
             Nil
           }
-        }
       }
     if (versions(view).max != base)
       throw new SnapshotConflict(s"$view: base v$base superseded during replace")
@@ -1527,10 +1559,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       .flatMap(d => listEntries(d)
         .filter(_.getFileName.toString.endsWith(".parquet")))
       .map(Files.size).sum
-    val nOut = math.max(1L, (touchedBytes + (128L << 20) - 1) / (128L << 20))
     val sized =
-      if (touched.nonEmpty && nOut < spark.sparkContext.defaultParallelism)
-        rewritten.coalesce(nOut.toInt)
+      if (touched.nonEmpty) sizedForBytes(rewritten, touchedBytes)
       else rewritten
     val next = base + 1
     val dataDir = newDirName(next, txn)
@@ -1807,11 +1837,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
         writeClusteredDirs(view, data, code, targetDirs,
           (statsCols ++ clusterCols).distinct, next, None)
       } else {
-        val touchedBytes = touched.map(dirBytes(view, _)).sum
-        val nOut = math.max(1L, (touchedBytes + (128L << 20) - 1) / (128L << 20))
-        val sized =
-          if (nOut < spark.sparkContext.defaultParallelism) data.coalesce(nOut.toInt)
-          else data
+        val sized = sizedForBytes(data, touched.map(dirBytes(view, _)).sum)
         val dn = newDirName(next, None)
         writeData(view, sized, dn, statsCols)
         Seq(dn)

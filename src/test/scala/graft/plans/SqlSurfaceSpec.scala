@@ -167,6 +167,31 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("REPLACE WHERE never resurrects a deleted row living OUTSIDE the region") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    val st = new graft.sources.SnapshotStore(spark, root)
+    // dirA holds region 1 (incl. k=5), dirB region 2 — region stats
+    // make dirA provably outside a region-2 predicate
+    st.commit("t", Seq((5L, 1L, 50.0), (6L, 1L, 60.0)).toDF("k", "region", "v"),
+      overwrite = true, statsCols = Seq("k", "region"))
+    st.commit("t", Seq((100L, 2L, 1.0)).toDF("k", "region", "v"),
+      overwrite = false, statsCols = Seq("k", "region"))
+    st.deleteWhere("t", "k", col("k") === 5) // vector {5}; dirA carried
+    // the replace re-inserts key 5 INTO region 2: subtracting 5 from
+    // the vector is only legal once dirA's old physical (5, region 1)
+    // row is rewritten away — the key-stat probe must widen the
+    // rewrite to dirA even though the predicate provably misses it
+    st.replaceWhere("t", col("region") === 2,
+      Seq((5L, 2L, 99.0), (101L, 2L, 2.0)).toDF("k", "region", "v"),
+      statsCols = Seq("k", "region"))
+    val rows = st.read("t").where(col("k") === 5).collect()
+    assert(rows.length == 1, s"exactly ONE k=5 row must survive: ${rows.toSeq}")
+    assert(rows.head.getDouble(2) == 99.0, "and it is the payload's")
+    assert(st.read("t").count() == 3L) // {6, 5(new), 101}
+  }
+
   test("splitReplaceWhere finds the boundary past subquery parens and literals") {
     assert(GraftSqlParser.splitReplaceWhere(
       "k IN (SELECT x FROM y) SELECT 1, 2") ==
