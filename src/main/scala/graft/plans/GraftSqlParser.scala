@@ -55,6 +55,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       .orElse(GraftSqlParser.rewriteTimeTravel(sqlText))
       .orElse(GraftSqlParser.rewriteTimestampTravel(sqlText))
       .orElse(GraftSqlParser.rewriteChanges(sqlText))
+      .orElse(GraftSqlParser.rewriteSyncAsOf(sqlText))
 
   override def parsePlan(sqlText: String): LogicalPlan =
     // maintenance statements FIRST: `RESTORE t TO VERSION AS OF n`
@@ -90,6 +91,73 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlParser {
+
+  /** One (possibly dot-qualified) TABLE identifier as the statement
+    * regexes claim it: each segment a plain `\w+` run or a
+    * backtick-quoted body (Spark's quoting — a doubled backtick is a
+    * literal backtick), so `CREATE TABLE \`my-table\`` and every
+    * subsequent DML/maintenance statement route to graft instead of
+    * silently falling through to a stock-Spark resolution error.
+    * [[cleanIdent]] strips the quoting to the CANONICAL name the
+    * registry keys on (spelling preserved — names are case-sensitive
+    * as written, quoted or not, matching the registry's exact-match
+    * lookups); [[quoteIdent]] re-quotes for emitted DDL.
+    */
+  private val Id = """(?:\w+|`(?:[^`]|``)+`)(?:\.(?:\w+|`(?:[^`]|``)+`))*"""
+
+  /** Canonical form of a (possibly backtick-quoted) identifier: quoted
+    * segments unwrap (`` `` `` → a literal backtick), everything else
+    * — including the dots joining segments — passes through verbatim.
+    */
+  private[plans] def cleanIdent(raw: String): String = {
+    val s = raw.trim
+    if (!s.contains('`')) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '`') {
+        var j = i + 1
+        var open = true
+        while (j < s.length && open) {
+          if (s.charAt(j) == '`') {
+            if (j + 1 < s.length && s.charAt(j + 1) == '`') {
+              sb += '`'; j += 2
+            } else { j += 1; open = false }
+          } else { sb += s.charAt(j); j += 1 }
+        }
+        i = j
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The re-parsable spelling of a canonical name: plain `[\w.]+`
+    * names emit raw; anything else emits as ONE backtick-quoted
+    * identifier (dots included — [[cleanIdent]] maps both spellings to
+    * the same canonical key, so the round-trip is exact).
+    */
+  private[plans] def quoteIdent(name: String): String =
+    if (name.matches("""[\w.]+""")) name
+    else "`" + name.replace("`", "``") + "`"
+
+  /** The names a table may take: the canonical name doubles as the
+    * store VIEW (a directory name) and embeds in `$`-mangled
+    * time-travel identifiers, so path separators, quotes, backticks,
+    * `$`, and the two path dots are refused at CREATE/RENAME — loudly,
+    * not as a corrupt store later.
+    */
+  private[plans] def validateTableName(name: String): Unit = {
+    require(name.nonEmpty, "empty table name")
+    require(name != "." && name != "..",
+      s"table name `$name` is a path dot")
+    val bad = Seq('/', '\\', '`', '\'', '"', '$', '\n', '\r', '\t')
+    bad.filter(name.contains(_)).foreach(c =>
+      throw new IllegalArgumentException(
+        s"table name `$name` contains the reserved character " +
+          s"`${if (c == '\n') "\\n" else if (c == '\r') "\\r" else if (c == '\t') "\\t" else c}` " +
+          "— rename it (quoted names may hold any other character)"))
+  }
 
   // SELECT <list> FROM <tbl> ASOF [LEFT] JOIN <tbl>
   //   ON <col> = <col> AND <col> >=|<= <col>
@@ -161,7 +229,7 @@ object GraftSqlParser {
   // --/'/*' comments are left verbatim (enforced by [[quotedMask]],
   // the same quote walk [[splitTopLevel]] uses — not just claimed).
   private val VersionAsOfRe =
-    """(?is)([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+    ("""(?is)(""" + Id + """)\s+VERSION\s+AS\s+OF\s+(\d+)""").r
 
   /** Per-character mask of `s`: true where the character sits inside a
     * quoted region ('…', "…", `…`; SQL's doubled-quote escaping works
@@ -210,15 +278,35 @@ object GraftSqlParser {
     in
   }
 
-  /** Replace `re`'s matches in `sqlText` — but ONLY matches lying
-    * entirely outside quoted/comment regions. None when nothing
-    * rewritable matched.
+  /** Is a rewrite match GENUINE syntax rather than literal/comment
+    * content? Everything after its identifier group (group 1) must sit
+    * outside quotes/comments, and the identifier itself must be either
+    * fully unquoted or begin with the backtick that QUOTES it — a
+    * backtick-quoted table name is legitimately "inside quotes" by the
+    * mask, while an occurrence inside a string literal or a comment
+    * always has a masked tail and stays verbatim.
+    */
+  private def identMatchOk(s: String, mask: Array[Boolean],
+                           m: scala.util.matching.Regex.Match): Boolean = {
+    val tailClear = !(m.end(1) until m.end).exists(mask)
+    // with a clear tail, masked characters inside the identifier group
+    // can only come from ITS OWN backtick quoting: the identifier
+    // pattern matches no quote/comment delimiters, and the regex
+    // demands whitespace right after the group, so a '…'/"…" literal
+    // or comment enclosing the group would also mask the tail
+    val idClear = !(m.start until m.end(1)).exists(mask) ||
+      m.group(1).contains('`')
+    tailClear && idClear
+  }
+
+  /** Replace `re`'s matches in `sqlText` — but ONLY genuine-syntax
+    * matches ([[identMatchOk]]). None when nothing rewritable matched.
     */
   private def replaceOutsideQuotes(sqlText: String, re: scala.util.matching.Regex)(
       build: scala.util.matching.Regex.Match => String): Option[String] = {
     val mask = quotedMask(sqlText)
     val ms = re.findAllMatchIn(sqlText)
-      .filterNot(m => (m.start until m.end).exists(mask)).toSeq
+      .filter(m => identMatchOk(sqlText, mask, m)).toSeq
     if (ms.isEmpty) None
     else {
       val sb = new StringBuilder
@@ -233,7 +321,7 @@ object GraftSqlParser {
 
   private[plans] def rewriteTimeTravel(sqlText: String): Option[String] =
     replaceOutsideQuotes(sqlText, VersionAsOfRe)(m =>
-      "`" + m.group(1) + "$asof$" + m.group(2) + "`")
+      "`" + cleanIdent(m.group(1)) + "$asof$" + m.group(2) + "`")
 
   // <table> TIMESTAMP AS OF '<instant>' — wall-clock time travel:
   // resolved through the manifests' monotonic commit timestamps
@@ -246,7 +334,7 @@ object GraftSqlParser {
   // so only the match START is required to sit outside quotes/comments
   // (an occurrence inside a string or comment is left verbatim).
   private val TimestampAsOfRe =
-    """(?is)([\w.]+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']*)'""".r
+    ("""(?is)(""" + Id + """)\s+TIMESTAMP\s+AS\s+OF\s+'([^']*)'""").r
 
   /** Parse a TIMESTAMP AS OF literal to epoch millis (UTC): bare
     * digits = epoch millis; else `yyyy-MM-dd[ HH:mm:ss[.SSS]]` (a 'T'
@@ -287,8 +375,15 @@ object GraftSqlParser {
       re: scala.util.matching.Regex)(
       build: scala.util.matching.Regex.Match => Option[String]): Option[String] = {
     val mask = quotedMask(sqlText)
+    // a quoted table name legitimately starts "inside quotes" — then
+    // the first character AFTER the identifier group (the whitespace
+    // before the clause keyword) must be clear instead, which rejects
+    // occurrences inside string literals and comments
+    def startOk(m: scala.util.matching.Regex.Match): Boolean =
+      !mask(m.start) || (sqlText.charAt(m.start) == '`' &&
+        (m.end(1) >= sqlText.length || !mask(m.end(1))))
     val ms = re.findAllMatchIn(sqlText)
-      .filterNot(m => mask(m.start))
+      .filter(startOk)
       .flatMap(m => build(m).map(m -> _)).toSeq
     if (ms.isEmpty) None
     else {
@@ -308,8 +403,9 @@ object GraftSqlParser {
   // predates the registry gate and keeps its spec-pinned behavior)
   private[plans] def rewriteTimestampTravel(sqlText: String): Option[String] =
     replaceStartOutsideQuotes(sqlText, TimestampAsOfRe) { m =>
-      if (GraftTableRegistry.lookup(m.group(1)).isEmpty) None
-      else Some("`" + m.group(1) + "$asofts$" + parseTsLiteral(m.group(2)) + "`")
+      val name = cleanIdent(m.group(1))
+      if (GraftTableRegistry.lookup(name).isEmpty) None
+      else Some("`" + name + "$asofts$" + parseTsLiteral(m.group(2)) + "`")
     }
 
   // <table> CHANGES FROM <a> TO <b> — the change data feed as a SQL
@@ -326,7 +422,8 @@ object GraftSqlParser {
   // bound necessarily spans a quoted literal, so only the match START
   // must sit outside quotes/comments.
   private val ChangesRe =
-    ("""(?is)([\w.]+)\s+CHANGES\s+FROM\s+(\d+|TIMESTAMP\s*'[^']*')\s+TO\s+""" +
+    ("""(?is)(""" + Id +
+      """)\s+CHANGES\s+FROM\s+(\d+|TIMESTAMP\s*'[^']*')\s+TO\s+""" +
       """(\d+|LATEST\b|TIMESTAMP\s*'[^']*')""").r
 
   /** Encode one CHANGES bound into its identifier token: digits stay
@@ -342,7 +439,8 @@ object GraftSqlParser {
 
   private[plans] def rewriteChanges(sqlText: String): Option[String] =
     replaceStartOutsideQuotes(sqlText, ChangesRe)(m =>
-      Some("`" + m.group(1) + "$diff$" + encodeChangesBound(m.group(2)) +
+      Some("`" + cleanIdent(m.group(1)) + "$diff$" +
+        encodeChangesBound(m.group(2)) +
         "$" + encodeChangesBound(m.group(3)) + "`"))
 
   // DESCRIBE HISTORY <table> — the table-history statement (Delta's
@@ -350,11 +448,11 @@ object GraftSqlParser {
   // the `name$history` identifier, bound by [[ResolveGraftTimeTravel]]
   // to `store.history(view)`.
   private val DescribeHistoryRe =
-    """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
+    ("""(?is)^\s*DESCRIBE\s+HISTORY\s+(""" + Id + """)\s*;?\s*$""").r
 
   private[plans] def rewriteDescribeHistory(sqlText: String): Option[String] =
     DescribeHistoryRe.findFirstMatchIn(sqlText).map(m =>
-      "SELECT * FROM `" + m.group(1) + "$history`")
+      "SELECT * FROM `" + cleanIdent(m.group(1)) + "$history`")
 
   // OPTIMIZE <table> [CLUSTER BY (c1, …, cd)] and
   // VACUUM <table> [RETAIN <n> VERSIONS] — the table-maintenance
@@ -366,17 +464,92 @@ object GraftSqlParser {
   // the rewrite to the dirs the predicate may touch (stats-pruned),
   // Delta's partition-scoped maintenance
   private val OptimizeRe =
-    ("""(?is)^\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?""" +
-      """\s*(?:CLUSTER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
+    ("""(?is)^\s*OPTIMIZE\s+(""" + Id + """)(?:\s+(.+?))?\s*;?\s*$""").r
+
+  private val ClusterByLookahead = """(?is)^\s+BY\s*\(""".r
+  private val OptClusterColsRe =
+    """(?is)^CLUSTER\s+BY\s*\(([^)]*)\)\s*$""".r
+
+  /** Split an OPTIMIZE statement's tail into (WHERE predicate, CLUSTER
+    * BY columns) — the boundary found by the MASK WALK ([[topLevelKw]]),
+    * never a regex: a predicate holding the text `CLUSTER BY (x)`
+    * inside a string literal (or a parenthesized subquery) must not be
+    * truncated with the literal's content misread as cluster columns.
+    * None when the tail is not one of the statement's legal shapes
+    * (the statement then falls through to the delegate's error).
+    */
+  private[plans] def splitOptimizeTail(tail: String)
+      : Option[(Option[String], Seq[String])] = {
+    val t = tail.trim
+    if (t.isEmpty) return Some((None, Nil))
+    val clusterAt = topLevelKw(t, "CLUSTER", ClusterByLookahead).headOption
+    val (head, clusterTxt) = clusterAt match {
+      case Some(i) => (t.take(i).trim, Some(t.drop(i).trim))
+      case None => (t, None)
+    }
+    val cols = clusterTxt match {
+      case None => Some(Nil)
+      case Some(c) => OptClusterColsRe.findFirstMatchIn(c).map(
+        _.group(1).split(",").toSeq.map(s => cleanIdent(s.trim))
+          .filter(_.nonEmpty))
+    }
+    val where: Option[Option[String]] =
+      if (head.isEmpty) Some(None)
+      else if (head.length > 5 &&
+               head.substring(0, 5).equalsIgnoreCase("WHERE") &&
+               !Character.isLetterOrDigit(head.charAt(5)))
+        Some(Some(head.drop(5).trim))
+      else None
+    for (w <- where; cs <- cols) yield (w, cs)
+  }
+
+  // ALTER TABLE <t> RENAME TO <t2> — a pure catalog-binding move (the
+  // store view and every byte of data stay put — at 100 TB a rename
+  // must be metadata): the new name takes the whole binding (key,
+  // clustering, constraints), the old name unbinds everywhere it was
+  // persisted. Claimed only for registered names.
+  private val RenameRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + Id + """)\s+RENAME\s+TO\s+(""" +
+      Id + """)\s*;?\s*$""").r
+  // ALTER TABLE <t> DROP COLUMN[S] c1[, …] — METADATA-ONLY drops
+  // ([[graft.sources.SnapshotStore.dropColumn]]): a manifest republish
+  // records the column as dropped, the read-time projection hides it,
+  // time travel to a pre-drop version still sees it, and the physical
+  // bytes go at the next full rewrite (OPTIMIZE). The key, cluster
+  // columns, and CHECK-referenced columns refuse.
+  private val DropColumnRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + Id +
+      """)\s+DROP\s+COLUMNS?\s+(.+?)\s*;?\s*$""").r
+  // PUBLISH SYNCPOINT (t1, t2, …) — pin the named tables' CURRENT
+  // versions as ONE atomically-published syncpoint
+  // ([[graft.sources.SnapshotStore.publishSync]]): the SQL spelling of
+  // the lambda day-cycle's cross-view consistency point. All tables
+  // must live under one store root (syncpoints are store-level).
+  private val PublishSyncRe =
+    """(?is)^\s*PUBLISH\s+SYNCPOINT\s*\(([^)]*)\)\s*;?\s*$""".r
+  // <t> SYNC AS OF LATEST|<id> — read the table AS OF the version the
+  // (latest or named) syncpoint pinned: every table read through the
+  // same syncpoint belongs to the same published cycle, the
+  // splice-anomaly-free read, now reachable from pure SQL. A text
+  // rewrite like VERSION AS OF (composes with joins/CTEs/subqueries);
+  // claimed only for registered names.
+  private val SyncAsOfRe =
+    ("""(?is)(""" + Id + """)\s+SYNC\s+AS\s+OF\s+(LATEST\b|\d+)""").r
+
+  private[plans] def rewriteSyncAsOf(sqlText: String): Option[String] =
+    replaceOutsideQuotes(sqlText, SyncAsOfRe) { m =>
+      "`" + cleanIdent(m.group(1)) + "$sync$" + m.group(2).toLowerCase + "`"
+    }
+
   // ALTER TABLE <t> CLUSTER BY (a, b) | NONE — re-declare (or clear)
   // the table's layout: future INSERT/CTAS route through the new
   // curve, the next bare OPTIMIZE re-clusters along it (the liquid-
   // clustering lifecycle: layout is a table property, not a rewrite)
   private val AlterClusterRe =
-    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+CLUSTER\s+BY\s+""" +
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + Id + """)\s+CLUSTER\s+BY\s+""" +
       """(?:\(([^)]*)\)|(NONE))\s*;?\s*$""").r
   private val VacuumRe =
-    ("""(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
+    ("""(?is)^\s*VACUUM\s+(""" + Id + """)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
       """(\s+DRY\s+RUN)?\s*;?\s*$""").r
   // SHOW GRAFT TABLES — the registry listing (name, root, view, key,
   // version per binding); spelled with the provider token so the stock
@@ -387,38 +560,43 @@ object GraftSqlParser {
   // graft table (claimed only for registered names, so the stock
   // SHOW CREATE TABLE surface never loses a catalog table)
   private val ShowCreateRe =
-    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+    ("""(?is)^\s*SHOW\s+CREATE\s+TABLE\s+(""" + Id + """)\s*;?\s*$""").r
   private val RestoreRe =
-    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?(""" + Id +
+      """)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
   // the wall-clock rollback form: the instant resolves through the
   // manifests' commit timestamps at run time (same resolution as the
   // read-side TIMESTAMP AS OF)
   private val RestoreTsRe =
-    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF""" +
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?(""" + Id +
+      """)\s+TO\s+TIMESTAMP\s+AS\s+OF""" +
       """\s+'([^']*)'\s*;?\s*$""").r
   private val DeleteRe =
-    """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+    ("""(?is)^\s*DELETE\s+FROM\s+(""" + Id +
+      """)\s+WHERE\s+(.+?)\s*;?\s*$""").r
   private val InsertRe =
-    """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+(SELECT\s+.+?|VALUES\s+.+?)\s*;?\s*$""".r
+    ("""(?is)^\s*INSERT\s+INTO\s+(""" + Id +
+      """)\s+(SELECT\s+.+?|VALUES\s+.+?)\s*;?\s*$""").r
   // INSERT INTO <t> (c1, c2, …) SELECT …|VALUES … — the COLUMN-LIST
   // form: the payload binds positionally to the NAMED columns, every
   // other table column lands NULL; a keyed table must name its key
   private val InsertColsRe =
-    ("""(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s*\(([^)]*)\)\s*""" +
+    ("""(?is)^\s*INSERT\s+INTO\s+(""" + Id + """)\s*\(([^)]*)\)\s*""" +
       """(SELECT\s+.+?|VALUES\s+.+?)\s*;?\s*$""").r
   // INSERT OVERWRITE [TABLE] <t> SELECT …|VALUES … — the full-content
   // swap as ONE overwrite commit (every prior snapshot stays
   // time-travelable); claimed only for registered names, so the stock
   // INSERT OVERWRITE surface keeps catalog tables
   private val InsertOverwriteRe =
-    ("""(?is)^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s+""" +
+    ("""(?is)^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(""" + Id + """)\s+""" +
       """(SELECT\s+.+?|VALUES\s+.+?)\s*;?\s*$""").r
   // INSERT INTO <t> REPLACE WHERE <pred> SELECT …|VALUES … — Delta's
   // atomic region swap; the pred/payload boundary is found by the
   // mask walk ([[splitReplaceWhere]]), never the regex: a pred holding
   // a parenthesized subquery must not split at the inner SELECT
   private val ReplaceWhereRe =
-    """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+REPLACE\s+WHERE\s+(.+?)\s*;?\s*$""".r
+    ("""(?is)^\s*INSERT\s+INTO\s+(""" + Id +
+      """)\s+REPLACE\s+WHERE\s+(.+?)\s*;?\s*$""").r
 
   // COPY INTO <t> FROM '<path>' FILEFORMAT = PARQUET|CSV|JSON
   // [PATTERN = '<glob>'] — idempotent bulk file ingestion: each loaded
@@ -426,7 +604,7 @@ object GraftSqlParser {
   // statement (or pointing it at a landing dir that keeps growing)
   // loads every file EXACTLY once
   private val CopyIntoRe =
-    ("""(?is)^\s*COPY\s+INTO\s+([\w.]+)\s+FROM\s+'([^']+)'\s+""" +
+    ("""(?is)^\s*COPY\s+INTO\s+(""" + Id + """)\s+FROM\s+'([^']+)'\s+""" +
       """FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*$""").r
 
   private val SelectLookahead = """(?s)^\s""".r
@@ -446,7 +624,7 @@ object GraftSqlParser {
   // group(2) = everything after SET; the WHERE boundary is resolved by
   // [[splitTopLevelWhere]] (quote/paren-aware), never by the regex
   private val UpdateRe =
-    """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s*;?\s*$""".r
+    ("""(?is)^\s*UPDATE\s+(""" + Id + """)\s+SET\s+(.+?)\s*;?\s*$""").r
   // CREATE TABLE <name> (<schema DDL>) USING graft [PRIMARY KEY k]
   // [LOCATION '<root>'] — the pure-SQL table origin: instantiates the
   // store view (one empty v1 commit so the schema is durable on disk)
@@ -461,14 +639,14 @@ object GraftSqlParser {
   // (documented in the README's SQL table)
   private val CreateTableRe =
     ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+""" +
-      """(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*""" +
+      """(IF\s+NOT\s+EXISTS\s+)?(""" + Id + """)\s*""" +
       """\((.+?)\)\s*USING\s+graft""" +
       """(?:\s+PRIMARY\s+KEY\s+\(?\s*(\w+)\s*\)?)?""" +
       """(?:\s+CLUSTER\s+BY\s*\(([^)]*)\))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
   private val CtasRe =
     ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+""" +
-      """(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+""" +
+      """(IF\s+NOT\s+EXISTS\s+)?(""" + Id + """)\s+""" +
       """USING\s+graft""" +
       """(?:\s+PRIMARY\s+KEY\s+\(?\s*(\w+)\s*\)?)?""" +
       """(?:\s+CLUSTER\s+BY\s*\(([^)]*)\))?""" +
@@ -478,7 +656,8 @@ object GraftSqlParser {
   // names — a DROP of anything else reaches the stock parser); the
   // store data stays on disk, external-table semantics, GC via VACUUM
   private val DropTableRe =
-    """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+    ("""(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(""" + Id +
+      """)\s*;?\s*$""").r
   // ALTER TABLE <t> ADD COLUMN[S] (c1 T1, …) — schema evolution as the
   // store already defines it (per-dir schemas, merged at read): one
   // empty append dir carrying the widened schema makes the new columns
@@ -487,16 +666,19 @@ object GraftSqlParser {
   // — regex-optional parens would steal the closing paren of a
   // parameterized type (`ADD COLUMN d DECIMAL(10,2)`).
   private val AlterAddRe =
-    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS?\s*(.+?)\s*;?\s*$""".r
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + Id +
+      """)\s+ADD\s+COLUMNS?\s*(.+?)\s*;?\s*$""").r
   // ALTER TABLE <t> ADD CONSTRAINT <nm> CHECK (<expr>) — the greedy
   // body capture ends at the statement's LAST close paren, so nested
   // parens inside the expression survive; existing rows validate
   // before the constraint records (Delta's ADD CONSTRAINT contract)
   private val AlterAddConstraintRe =
-    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+""" +
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + Id +
+      """)\s+ADD\s+CONSTRAINT\s+(\w+)\s+""" +
       """CHECK\s*\((.+)\)\s*;?\s*$""").r
   private val AlterDropConstraintRe =
-    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+""" +
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + Id +
+      """)\s+DROP\s+CONSTRAINT\s+""" +
       """(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""").r
 
   /** Wrap `df` with the table's CHECK-constraint guards: each
@@ -544,18 +726,19 @@ object GraftSqlParser {
   // version history (and txn fences) stay, time travel still reads
   // every prior snapshot until VACUUM
   private val TruncateRe =
-    """(?is)^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+    ("""(?is)^\s*TRUNCATE\s+TABLE\s+(""" + Id + """)\s*;?\s*$""").r
   // DESCRIBE DETAIL <t> — the table-metadata statement (Delta's
   // spelling): one row of (version, dir/vector counts, bytes), all
   // O(files) driver metadata
   private val DescribeDetailRe =
-    """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*$""".r
+    ("""(?is)^\s*DESCRIBE\s+DETAIL\s+(""" + Id + """)\s*;?\s*$""").r
   // ANALYZE TABLE <t> COMPUTE STATISTICS FOR ALL COLUMNS | FOR COLUMNS
   // c1, … — Spark's own spelling, claimed only for registered store
   // views (catalog tables still reach the stock command); returns the
   // long-format exact profile (count/nulls/NDV/min/max per column)
   private val AnalyzeRe =
-    ("""(?is)^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS\s+""" +
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+(""" + Id +
+      """)\s+COMPUTE\s+STATISTICS\s+""" +
       """FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+(.+?))\s*;?\s*$""").r
   // the COLUMN-LEVEL merge shape real migrations write: WHEN MATCHED
   // THEN UPDATE SET c = expr[, …] and/or WHEN NOT MATCHED THEN INSERT
@@ -566,8 +749,9 @@ object GraftSqlParser {
   // Aliases are captured so expressions can qualify either side.
   // (?!\*) keeps the upsert-all form on its own dedicated path.
   private val MergeColsRe =
-    ("""(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+""" +
-      """USING\s+([\w.]+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+""" +
+    ("""(?is)^\s*MERGE\s+INTO\s+(""" + Id +
+      """)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+""" +
+      """USING\s+(""" + Id + """)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+""" +
       """ON\s+([\w.]+)\s*=\s*([\w.]+)\s+""" +
       """(?:WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?!\*)(.+?)\s*)??""" +
       """(?:WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]*)\)\s*""" +
@@ -576,8 +760,9 @@ object GraftSqlParser {
   // the form the store's keyed mergeInto implements; an optional
   // matched-DELETE clause maps to mergeInto's tombstone column
   private val MergeRe =
-    ("""(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+\w+|\s+(?!USING)\w+)?\s+""" +
-      """USING\s+([\w.]+)(?:\s+AS\s+\w+|\s+(?!ON)\w+)?\s+""" +
+    ("""(?is)^\s*MERGE\s+INTO\s+(""" + Id +
+      """)(?:\s+AS\s+\w+|\s+(?!USING)\w+)?\s+""" +
+      """USING\s+(""" + Id + """)(?:\s+AS\s+\w+|\s+(?!ON)\w+)?\s+""" +
       """ON\s+([\w.]+)\s*=\s*([\w.]+)\s+""" +
       """(?:WHEN\s+MATCHED\s+AND\s+([\w.]+)\s+THEN\s+DELETE\s+)?""" +
       """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
@@ -591,8 +776,9 @@ object GraftSqlParser {
   // tail is split by [[splitWhenClauses]] (quote/paren-aware — a WHEN
   // inside a condition's parens or a string literal never splits).
   private val MergeWhenRe =
-    ("""(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+""" +
-      """USING\s+([\w.]+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+""" +
+    ("""(?is)^\s*MERGE\s+INTO\s+(""" + Id +
+      """)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+""" +
+      """USING\s+(""" + Id + """)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+""" +
       """ON\s+([\w.]+)\s*=\s*([\w.]+)\s+""" +
       """(WHEN\s+.+?)\s*;?\s*$""").r
 
@@ -600,7 +786,7 @@ object GraftSqlParser {
   // `MERGE INTO t [AS a] USING (` — the paren's extent is found by the
   // mask walk ([[hoistMergeSource]]), never the regex
   private val MergeUsingParenRe =
-    ("""(?is)^(\s*MERGE\s+INTO\s+[\w.]+""" +
+    ("""(?is)^(\s*MERGE\s+INTO\s+(?:""" + Id + """)""" +
       """(?:\s+(?:AS\s+)?(?!USING\b)\w+)?\s+USING\s*)\(""").r
 
   /** The subquery-source MERGE rewrite: extract the balanced
@@ -793,65 +979,83 @@ object GraftSqlParser {
   // OPTIMIZE/VACUUM/DELETE/… against anything else (another
   // extension's tables, temp views, v2 catalogs) falls through to the
   // delegate chain verbatim
-  private[plans] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
-    OptimizeRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        val cols = Option(m.group(3)).toSeq
-          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-        GraftOptimizeCommand(m.group(1), cols,
-          whereSql = Option(m.group(2)).map(_.trim)): LogicalPlan
-    }.orElse(AlterClusterRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftAlterClusterCommand(m.group(1),
+  private[plans] def parseMaintenance(sqlText: String): Option[LogicalPlan] = {
+    // every captured table name normalizes through [[cleanIdent]]
+    // (backtick quoting stripped) — the canonical spelling is what the
+    // registry keys on, so quoted and unquoted spellings of one name
+    // address one table
+    def nm(m: scala.util.matching.Regex.Match, g: Int = 1): String =
+      cleanIdent(m.group(g))
+    def claimed(m: scala.util.matching.Regex.Match, g: Int = 1): Boolean =
+      GraftTableRegistry.lookup(nm(m, g)).nonEmpty
+    OptimizeRe.findFirstMatchIn(sqlText).flatMap { m =>
+      // the WHERE/CLUSTER BY boundary comes from the mask walk
+      // ([[splitOptimizeTail]]) — a predicate literal containing
+      // `CLUSTER BY (x)` must not be truncated; an unparseable tail
+      // falls through to the delegate's error
+      if (!claimed(m)) None
+      else splitOptimizeTail(Option(m.group(2)).getOrElse("")).map {
+        case (whereSql, cols) =>
+          GraftOptimizeCommand(nm(m), cols, whereSql = whereSql): LogicalPlan
+      }
+    }.orElse(RenameRe.findFirstMatchIn(sqlText).collect {
+      case m if claimed(m) =>
+        GraftRenameTableCommand(nm(m), nm(m, 2)): LogicalPlan
+    }).orElse(AlterClusterRe.findFirstMatchIn(sqlText).collect {
+      case m if claimed(m) =>
+        GraftAlterClusterCommand(nm(m),
           Option(m.group(2)).toSeq.flatMap(_.split(","))
-            .map(_.trim).filter(_.nonEmpty)): LogicalPlan
+            .map(c => cleanIdent(c.trim)).filter(_.nonEmpty)): LogicalPlan
     }).orElse(VacuumRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftVacuumCommand(m.group(1),
+      case m if claimed(m) =>
+        GraftVacuumCommand(nm(m),
           Option(m.group(2)).map(_.toInt).getOrElse(1),
           dryRun = m.group(3) != null): LogicalPlan
     }).orElse(ShowTablesRe.findFirstMatchIn(sqlText).map { _ =>
       GraftShowTablesCommand(): LogicalPlan
+    }).orElse(PublishSyncRe.findFirstMatchIn(sqlText).map { m =>
+      GraftPublishSyncCommand(m.group(1).split(",").toSeq
+        .map(c => cleanIdent(c.trim)).filter(_.nonEmpty)): LogicalPlan
     }).orElse(ShowCreateRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftShowCreateTableCommand(m.group(1)): LogicalPlan
+      case m if claimed(m) =>
+        GraftShowCreateTableCommand(nm(m)): LogicalPlan
     }).orElse(RestoreRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftRestoreCommand(m.group(1), m.group(2).toLong): LogicalPlan
+      case m if claimed(m) =>
+        GraftRestoreCommand(nm(m), m.group(2).toLong): LogicalPlan
     }).orElse(RestoreTsRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftRestoreCommand(m.group(1),
+      case m if claimed(m) =>
+        GraftRestoreCommand(nm(m),
           toTimestamp = Some(parseTsLiteral(m.group(2)))): LogicalPlan
     }).orElse(DeleteRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftDeleteCommand(m.group(1), m.group(2)): LogicalPlan
+      case m if claimed(m) =>
+        GraftDeleteCommand(nm(m), m.group(2)): LogicalPlan
     }).orElse(ReplaceWhereRe.findFirstMatchIn(sqlText).flatMap { m =>
-      if (GraftTableRegistry.lookup(m.group(1)).isEmpty) None
+      if (!claimed(m)) None
       else splitReplaceWhere(m.group(2)).map { case (pred, query) =>
-        GraftReplaceWhereCommand(m.group(1), pred, query): LogicalPlan
+        GraftReplaceWhereCommand(nm(m), pred, query): LogicalPlan
       }
     }).orElse(InsertOverwriteRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftInsertOverwriteCommand(m.group(1), m.group(2)): LogicalPlan
+      case m if claimed(m) =>
+        GraftInsertOverwriteCommand(nm(m), m.group(2)): LogicalPlan
     }).orElse(InsertColsRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftInsertCommand(m.group(1), m.group(3),
+      case m if claimed(m) =>
+        GraftInsertCommand(nm(m), m.group(3),
           columns = Some(m.group(2).split(",").toSeq
-            .map(_.trim).filter(_.nonEmpty))): LogicalPlan
+            .map(c => cleanIdent(c.trim)).filter(_.nonEmpty))): LogicalPlan
     }).orElse(InsertRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftInsertCommand(m.group(1), m.group(2)): LogicalPlan
+      case m if claimed(m) =>
+        GraftInsertCommand(nm(m), m.group(2)): LogicalPlan
     }).orElse(CopyIntoRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftCopyIntoCommand(m.group(1), m.group(2), m.group(3),
+      case m if claimed(m) =>
+        GraftCopyIntoCommand(nm(m), m.group(2), m.group(3),
           Option(m.group(4))): LogicalPlan
     }).orElse(UpdateRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
+      case m if claimed(m) =>
         // the SET/WHERE boundary is found by the mask walk, not the
         // regex: a WHERE inside a parenthesized subquery or a string
         // literal in the SET list must not split the statement
         val (setSql, pred) = splitTopLevelWhere(m.group(2))
-        GraftUpdateCommand(m.group(1), setSql,
+        GraftUpdateCommand(nm(m), setSql,
           pred.getOrElse("true")): LogicalPlan
     }).orElse {
       // an inline `USING (SELECT …)` source hoists to a placeholder
@@ -862,16 +1066,16 @@ object GraftSqlParser {
       val (mText, mSrcSql) = hoistMergeSource(sqlText)
         .map { case (t, s) => (t, Some(s)) }.getOrElse((sqlText, None))
       MergeRe.findFirstMatchIn(mText).collect {
-        case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-          GraftMergeCommand(m.group(1), m.group(2),
+        case m if claimed(m) =>
+          GraftMergeCommand(nm(m), nm(m, 2),
             Seq(m.group(3), m.group(4)).map(c => c.split('.').last),
             Option(m.group(5)).map(_.split('.').last),
             srcSql = mSrcSql): LogicalPlan
       }.orElse(MergeColsRe.findFirstMatchIn(mText).collect {
-        case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty &&
+        case m if claimed(m) &&
             (m.group(7) != null || m.group(8) != null) =>
-          GraftMergeColumnsCommand(m.group(1), Option(m.group(2)),
-            m.group(3), Option(m.group(4)),
+          GraftMergeColumnsCommand(nm(m), Option(m.group(2)),
+            nm(m, 3), Option(m.group(4)),
             Seq(m.group(5), m.group(6)),
             setSql = Option(m.group(7)),
             insertCols = Option(m.group(8)).map(c =>
@@ -879,55 +1083,62 @@ object GraftSqlParser {
             insertValsSql = Option(m.group(9)),
             srcSql = mSrcSql): LogicalPlan
       }).orElse(MergeWhenRe.findFirstMatchIn(mText).collect {
-        case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-          val tag = s"MERGE INTO ${m.group(1)}"
-          GraftMergeWhenCommand(m.group(1), Option(m.group(2)),
-            m.group(3), Option(m.group(4)),
+        case m if claimed(m) =>
+          val tag = s"MERGE INTO ${nm(m)}"
+          GraftMergeWhenCommand(nm(m), Option(m.group(2)),
+            nm(m, 3), Option(m.group(4)),
             Seq(m.group(5), m.group(6)),
             splitWhenClauses(m.group(7)).map(parseWhenClause(tag, _)),
             srcSql = mSrcSql): LogicalPlan
       })
     }.orElse(CreateTableRe.findFirstMatchIn(sqlText).map { m =>
-      GraftCreateTableCommand(m.group(3), Some(m.group(4)), None,
+      GraftCreateTableCommand(nm(m, 3), Some(m.group(4)), None,
         Option(m.group(5)), Option(m.group(7)),
         ifNotExists = m.group(2) != null,
         clusterCols = Option(m.group(6)).toSeq
-          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+          .flatMap(_.split(",")).map(c => cleanIdent(c.trim))
+          .filter(_.nonEmpty),
         orReplace = m.group(1) != null): LogicalPlan
     }).orElse(CtasRe.findFirstMatchIn(sqlText).map { m =>
-      GraftCreateTableCommand(m.group(3), None, Some(m.group(7)),
+      GraftCreateTableCommand(nm(m, 3), None, Some(m.group(7)),
         Option(m.group(4)), Option(m.group(6)),
         ifNotExists = m.group(2) != null,
         clusterCols = Option(m.group(5)).toSeq
-          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+          .flatMap(_.split(",")).map(c => cleanIdent(c.trim))
+          .filter(_.nonEmpty),
         orReplace = m.group(1) != null): LogicalPlan
     }).orElse(DropTableRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftDropTableCommand(m.group(1)): LogicalPlan
+      case m if claimed(m) =>
+        GraftDropTableCommand(nm(m)): LogicalPlan
     }).orElse(AlterAddConstraintRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftAddConstraintCommand(m.group(1), m.group(2),
+      case m if claimed(m) =>
+        GraftAddConstraintCommand(nm(m), m.group(2),
           m.group(3).trim): LogicalPlan
     }).orElse(AlterDropConstraintRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftDropConstraintCommand(m.group(1), m.group(3),
+      case m if claimed(m) =>
+        GraftDropConstraintCommand(nm(m), m.group(3),
           ifExists = m.group(2) != null): LogicalPlan
+    }).orElse(DropColumnRe.findFirstMatchIn(sqlText).collect {
+      case m if claimed(m) =>
+        GraftDropColumnCommand(nm(m), m.group(2).split(",").toSeq
+          .map(c => cleanIdent(c.trim)).filter(_.nonEmpty)): LogicalPlan
     }).orElse(AlterAddRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftAlterAddColumnsCommand(m.group(1),
+      case m if claimed(m) =>
+        GraftAlterAddColumnsCommand(nm(m),
           stripOuterParens(m.group(2))): LogicalPlan
     }).orElse(TruncateRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftTruncateCommand(m.group(1)): LogicalPlan
+      case m if claimed(m) =>
+        GraftTruncateCommand(nm(m)): LogicalPlan
     }).orElse(DescribeDetailRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftDescribeDetailCommand(m.group(1)): LogicalPlan
+      case m if claimed(m) =>
+        GraftDescribeDetailCommand(nm(m)): LogicalPlan
     }).orElse(AnalyzeRe.findFirstMatchIn(sqlText).collect {
-      case m if GraftTableRegistry.lookup(m.group(1)).nonEmpty =>
-        GraftAnalyzeCommand(m.group(1),
+      case m if claimed(m) =>
+        GraftAnalyzeCommand(nm(m),
           Option(m.group(3)).map(_.split(",").toSeq
             .map(_.trim).filter(_.nonEmpty))): LogicalPlan
     })
+  }
 
   /** A zero-row frame that still writes ONE real parquet file: the
     * repartition(1) is load-bearing — an empty-RDD frame has zero
@@ -1444,6 +1655,12 @@ case class GraftReplaceWhereCommand(name: String, predicateSql: String,
     val enforcedKey = GraftTableRegistry.lookupKey(name).filter(_ =>
       spark.conf.getOption("spark.graft.sql.enforcePrimaryKey")
         .exists(_.toBoolean))
+    // the commit pins the version the surviving-rows probe read
+    // (expectedBase): a concurrent insert landing between probe and
+    // publish surfaces as a SnapshotConflict instead of a duplicate
+    // key slipping past enforcement (the same pin INSERT INTO has)
+    val probedBase = enforcedKey.map(_ =>
+      store.versions(view).lastOption.getOrElse(0L))
     val payload = enforcedKey.fold(src) { k =>
       val chk = GraftSqlParser.checkpointUniqueKeys(tag, src, k)
       store.read(view).where(!coalesce(pred.cast("boolean"), lit(false)))
@@ -1458,7 +1675,8 @@ case class GraftReplaceWhereCommand(name: String, predicateSql: String,
     }
     val v = store.replaceWhere(view, pred, payload,
       statsCols = (GraftTableRegistry.lookupKey(name).toSeq ++
-        GraftTableRegistry.lookupCluster(name)).distinct)
+        GraftTableRegistry.lookupCluster(name)).distinct,
+      expectedBase = probedBase)
     Seq(org.apache.spark.sql.Row(name, v, obs.get("n").asInstanceOf[Long]))
   }
 }
@@ -1471,11 +1689,19 @@ case class GraftReplaceWhereCommand(name: String, predicateSql: String,
   *    files only — `_`/`.`-prefixed sidecars skipped); `PATTERN`
   *    globs file NAMES, defaulting to `*.<format>`;
   *  - every loaded file records a fence
-  *    ([[graft.sources.SnapshotStore.fileFence]] — a path hash in the
-  *    manifest's txn set, atomic WITH the commit, no side ledger to
-  *    desync) — re-running the statement, or pointing it at a landing
-  *    dir that keeps growing, loads each file EXACTLY once; already-
-  *    loaded files cost one driver set lookup;
+  *    ([[graft.sources.SnapshotStore.fileFence]] — a (path, size,
+  *    mtime) hash in the manifest's own `files` field, atomic WITH the
+  *    commit, no side ledger to desync, and disjoint from the user
+  *    txn-id space by construction) — re-running the statement, or
+  *    pointing it at a landing dir that keeps growing, loads each file
+  *    EXACTLY once; already-loaded files cost one driver set lookup
+  *    and are COUNTED in the returned files_skipped, so a skip is
+  *    always observable; a file overwritten in place with new content
+  *    re-loads (its identity hash changed);
+  *  - with `spark.graft.sql.enforcePrimaryKey=true` and a keyed table,
+  *    the batch probes itself and the existing keys BEFORE any write
+  *    (the same probes every INSERT form runs, commit pinned to the
+  *    probed version) — a shard repeating a key refuses loudly;
   *  - parquet aligns BY NAME (missing table columns land NULL — shard
   *    schemas may trail the table's evolution; extra file columns
   *    refuse loudly); csv (`header` expected) and json read with the
@@ -1484,8 +1710,9 @@ case class GraftReplaceWhereCommand(name: String, predicateSql: String,
   *    CLUSTER BY routes through the range-dir writer; the whole batch
   *    is ONE append commit.
   *
-  * Returns (table, version, files_loaded, rows_loaded) — a no-new-file
-  * run returns the current version with zeros and publishes nothing.
+  * Returns (table, version, files_loaded, rows_loaded, files_skipped)
+  * — a no-new-file run returns the current version with zero
+  * loaded/rows (everything in files_skipped) and publishes nothing.
   */
 case class GraftCopyIntoCommand(name: String, fromPath: String,
                                 format: String, pattern: Option[String])
@@ -1495,7 +1722,8 @@ case class GraftCopyIntoCommand(name: String, fromPath: String,
     AttributeReference("table", StringType)(),
     AttributeReference("version", LongType)(),
     AttributeReference("files_loaded", LongType)(),
-    AttributeReference("rows_loaded", LongType)())
+    AttributeReference("rows_loaded", LongType)(),
+    AttributeReference("files_skipped", LongType)())
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     import scala.jdk.CollectionConverters._
@@ -1522,11 +1750,12 @@ case class GraftCopyIntoCommand(name: String, fromPath: String,
           .map(_.toString).toSeq.sorted
         finally s0.close()
       }
-    val applied = store.appliedTxns(view)
+    val applied = store.appliedFileFences(view)
     val fresh = files.filterNot(f => applied.contains(store.fileFence(f)))
+    val skipped = (files.size - fresh.size).toLong
     val cur = store.versions(view).lastOption.getOrElse(0L)
     if (fresh.isEmpty)
-      return Seq(org.apache.spark.sql.Row(name, cur, 0L, 0L))
+      return Seq(org.apache.spark.sql.Row(name, cur, 0L, 0L, skipped))
     val target = store.read(view).schema
     import org.apache.spark.sql.functions.{col, count, lit}
     // every format surfaces the batch's FULL column set so the
@@ -1556,19 +1785,39 @@ case class GraftCopyIntoCommand(name: String, fromPath: String,
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
     val obs = org.apache.spark.sql.Observation()
-    val payload = GraftSqlParser.withCheckGuards(name,
+    val guarded = GraftSqlParser.withCheckGuards(name,
       aligned.observe(obs, count(lit(1)).as("n")))
+    // opt-in PRIMARY KEY enforcement — the same two probes every
+    // INSERT form runs (intra-batch dup + existing-key semi-probe),
+    // commit pinned to the probed version so a concurrent insert
+    // surfaces as a SnapshotConflict instead of slipping past
+    val enforcedKey = GraftTableRegistry.lookupKey(name).filter(_ =>
+      spark.conf.getOption("spark.graft.sql.enforcePrimaryKey")
+        .exists(_.toBoolean))
+    val probedBase = enforcedKey.map(_ =>
+      store.versions(view).lastOption.getOrElse(0L))
+    val payload = enforcedKey.fold(guarded) { k =>
+      val chk = GraftSqlParser.checkpointUniqueKeys(tag, guarded, k)
+      store.read(view).select(col(k))
+        .join(chk.select(col(k)).distinct(), Seq(k), "left_semi")
+        .select(col(k).cast("string")).limit(1).collect()
+        .headOption.foreach(r => throw new IllegalArgumentException(
+          s"$tag: PRIMARY KEY `$k` = ${r.getString(0)} already exists " +
+            "— MERGE INTO to upsert, or disable " +
+            "spark.graft.sql.enforcePrimaryKey"))
+      chk
+    }
     val fences = fresh.map(store.fileFence).toSet
     val cluster = GraftTableRegistry.lookupCluster(name)
     val key = GraftTableRegistry.lookupKey(name).toSeq
     val v =
       if (cluster.nonEmpty)
         store.commitClustered(view, payload, cluster, overwrite = false,
-          statsCols = key, txnsExtra = fences)
+          statsCols = key, filesExtra = fences, expectedBase = probedBase)
       else store.commit(view, payload, overwrite = false,
-        statsCols = key, txnsExtra = fences)
+        statsCols = key, filesExtra = fences, expectedBase = probedBase)
     Seq(org.apache.spark.sql.Row(name, v, fresh.size.toLong,
-      obs.get("n").asInstanceOf[Long]))
+      obs.get("n").asInstanceOf[Long], skipped))
   }
 }
 
@@ -1693,7 +1942,7 @@ case class GraftMergeCommand(name: String, srcName: String,
       case None => GraftTableRegistry.lookup(srcName)
         .map { case (s2, v2) => s2.read(v2) }
         .getOrElse {
-          spark.table(srcName)
+          spark.table(GraftSqlParser.quoteIdent(srcName))
             .select(needed.map(org.apache.spark.sql.functions.col): _*)
             .localCheckpoint()
         }
@@ -1774,7 +2023,7 @@ case class GraftMergeColumnsCommand(name: String, tAliasOpt: Option[String],
     val source = srcSql.map(q => spark.sql(q).localCheckpoint())
       .getOrElse(GraftTableRegistry.lookup(srcName)
         .map { case (s2, v2) => s2.read(v2) }
-        .getOrElse(spark.table(srcName).localCheckpoint()))
+        .getOrElse(spark.table(GraftSqlParser.quoteIdent(srcName)).localCheckpoint()))
     GraftMergeCommand.requireUniqueSourceKeys(tag, source, keyCol)
     val ta = tAliasOpt.getOrElse(name.split('.').last)
     val sa = sAliasOpt.getOrElse(srcName.split('.').last)
@@ -1887,7 +2136,7 @@ case class GraftMergeWhenCommand(name: String, tAliasOpt: Option[String],
     val source = srcSql.map(q => spark.sql(q).localCheckpoint())
       .getOrElse(GraftTableRegistry.lookup(srcName)
         .map { case (s2, v2) => s2.read(v2) }
-        .getOrElse(spark.table(srcName).localCheckpoint()))
+        .getOrElse(spark.table(GraftSqlParser.quoteIdent(srcName)).localCheckpoint()))
     GraftMergeCommand.requireUniqueSourceKeys(tag, source, keyCol)
     val ta = tAliasOpt.getOrElse(name.split('.').last)
     val sa = sAliasOpt.getOrElse(srcName.split('.').last)
@@ -2057,6 +2306,10 @@ case class GraftCreateTableCommand(name: String,
     AttributeReference("version", org.apache.spark.sql.types.LongType)())
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
+    // the canonical name doubles as the store view directory and
+    // embeds in the $-mangled time-travel identifiers — reserved
+    // characters refuse HERE, loudly, not as a corrupt store later
+    GraftSqlParser.validateTableName(name)
     def norm(p: String) =
       java.nio.file.Paths.get(p).toAbsolutePath.normalize
     // durable half of the registration: the binding persists as a
@@ -2274,9 +2527,18 @@ case class GraftAlterAddColumnsCommand(name: String, columnsDdl: String)
     val (store, view) = GraftTableRegistry.required("ALTER TABLE", name)
     val cur = store.read(view).schema
     val added = org.apache.spark.sql.types.StructType.fromDDL(columnsDdl)
+    val dropped = store.versions(view).lastOption
+      .map(store.manifestDrops(view, _)).getOrElse(Nil)
     added.foreach { f =>
       require(!cur.exists(_.name.equalsIgnoreCase(f.name)),
         s"ALTER TABLE $name: column `${f.name}` already exists")
+      // a metadata-only dropped column still exists PHYSICALLY in the
+      // old dirs — re-adding the name would resurrect its old values
+      // through the merged-schema read; a full rewrite clears the list
+      require(!dropped.exists(_.equalsIgnoreCase(f.name)),
+        s"ALTER TABLE $name: `${f.name}` was dropped metadata-only and " +
+          "its bytes remain — OPTIMIZE (full rewrite) before re-adding " +
+          "the name")
     }
     val widened = org.apache.spark.sql.types.StructType(cur ++ added)
     Seq(org.apache.spark.sql.Row(name, store.commit(view,
@@ -2347,6 +2609,138 @@ case class GraftDropConstraintCommand(name: String, cName: String,
       existing.filterNot(_._1.equalsIgnoreCase(cName)))
     GraftTableRegistry.persistBinding(spark, name)
     Seq(org.apache.spark.sql.Row(name, cName))
+  }
+}
+
+/** `ALTER TABLE <t> RENAME TO <t2>` — a pure CATALOG move: the store
+  * view directory and every byte of data stay put (at 100 TB a rename
+  * must be O(1) metadata, the Delta/Iceberg contract), the new name
+  * takes the ENTIRE binding (store, view, key, clustering, CHECK
+  * constraints) and persists durably, and the old name unbinds from
+  * the in-memory registry and from every catalog root CREATE persisted
+  * to. SHOW CREATE TABLE on the renamed table emits the original
+  * CREATE (under the view's name) followed by this RENAME — "run every
+  * row in order" stays the DR recipe. Returns (table, renamed_from).
+  */
+case class GraftRenameTableCommand(name: String, newName: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("renamed_from", org.apache.spark.sql.types.StringType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val tag = s"ALTER TABLE $name RENAME TO $newName"
+    val (store, view) = GraftTableRegistry.required(tag, name)
+    GraftSqlParser.validateTableName(newName)
+    require(newName != name, s"$tag: the names are identical")
+    require(GraftTableRegistry.lookup(newName).isEmpty,
+      s"$tag: `$newName` is already a registered graft table")
+    val key = GraftTableRegistry.lookupKey(name)
+    val cluster = GraftTableRegistry.lookupCluster(name)
+    val checks = GraftTableRegistry.lookupChecks(name)
+    key match {
+      case Some(k) => GraftTableRegistry.register(newName, store, view, k)
+      case None => GraftTableRegistry.register(newName, store, view)
+    }
+    GraftTableRegistry.registerCluster(newName, cluster)
+    GraftTableRegistry.registerChecks(newName, checks)
+    GraftTableRegistry.persistBinding(spark, newName)
+    // the old name unbinds everywhere CREATE persisted it — the same
+    // two roots DROP TABLE clears
+    GraftTableRegistry.unregister(name)
+    (spark.conf.getOption("spark.graft.store.root").toSeq :+ store.root)
+      .distinct.foreach(GraftCatalog.remove(_, name))
+    Seq(org.apache.spark.sql.Row(newName, name))
+  }
+}
+
+/** `ALTER TABLE <t> DROP COLUMN[S] c1[, …]` — METADATA-ONLY drops
+  * ([[graft.sources.SnapshotStore.dropColumn]]): each column records
+  * in the manifest's dropped list (one manifest republish per column,
+  * zero data IO) and the read-time projection hides it from this
+  * version on; time travel to a pre-drop version still surfaces it,
+  * and the physical bytes go at the next full rewrite (OPTIMIZE /
+  * compaction), which clears the list. Refuses the PRIMARY KEY, a
+  * declared CLUSTER BY column, and any column a recorded CHECK
+  * constraint references (the guard would silently stop evaluating).
+  * Returns (table, version).
+  */
+case class GraftDropColumnCommand(name: String, columns: Seq[String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("version", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val tag = s"ALTER TABLE $name DROP COLUMN"
+    val (store, view) = GraftTableRegistry.required(tag, name)
+    require(columns.nonEmpty, s"$tag: no columns named")
+    val key = GraftTableRegistry.lookupKey(name)
+    val cluster = GraftTableRegistry.lookupCluster(name)
+    val checks = GraftTableRegistry.lookupChecks(name)
+    columns.foreach { c =>
+      key.filter(_.equalsIgnoreCase(c)).foreach(k =>
+        throw new IllegalArgumentException(
+          s"$tag: `$c` is the PRIMARY KEY `$k` — keyed DML needs it"))
+      cluster.filter(_.equalsIgnoreCase(c)).foreach(_ =>
+        throw new IllegalArgumentException(
+          s"$tag: `$c` is a declared CLUSTER BY column — " +
+            s"ALTER TABLE $name CLUSTER BY first"))
+      checks.foreach { case (nm, ex) =>
+        import org.apache.spark.sql.functions.expr
+        val refs = org.apache.spark.sql.graftbridge.ColumnBridge
+          .expressionEager(expr(ex)).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                if a.nameParts.last.equalsIgnoreCase(c) => a
+          }
+        require(refs.isEmpty,
+          s"$tag: CHECK constraint `$nm` ($ex) references `$c` — " +
+            "DROP CONSTRAINT first")
+      }
+    }
+    val v = columns.map(store.dropColumn(view, _)).last
+    Seq(org.apache.spark.sql.Row(name, v))
+  }
+}
+
+/** `PUBLISH SYNCPOINT (t1, t2, …)` — pin the named registered tables'
+  * CURRENT versions as one atomically-published syncpoint
+  * ([[graft.sources.SnapshotStore.publishSync]] — the same link(2)
+  * exclusive-publish discipline as view manifests). Every table read
+  * through `SYNC AS OF` then belongs to the same published cycle —
+  * the lambda day-cycle's cross-view consistency point, reachable
+  * from pure SQL. All named tables must live under ONE store root
+  * (syncpoints are store-level). Returns one (syncpoint, table,
+  * version) row per pin.
+  */
+case class GraftPublishSyncCommand(names: Seq[String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("syncpoint", LongType)(),
+    AttributeReference("table", StringType)(),
+    AttributeReference("version", LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    require(names.nonEmpty, "PUBLISH SYNCPOINT: no tables named")
+    val bound = names.map(n =>
+      n -> GraftTableRegistry.required("PUBLISH SYNCPOINT", n))
+    def norm(p: String) =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    val roots = bound.map { case (_, (st, _)) => norm(st.root) }.distinct
+    require(roots.size == 1,
+      "PUBLISH SYNCPOINT: all tables must share one store root " +
+        s"(syncpoints are store-level), got ${roots.mkString(", ")}")
+    val store = bound.head._2._1
+    val pins = bound.map { case (n, (st, view)) =>
+      val vs = st.versions(view)
+      require(vs.nonEmpty, s"PUBLISH SYNCPOINT: `$n` has no committed snapshot")
+      view -> vs.max
+    }.toMap
+    val id = store.publishSync(pins)
+    bound.map { case (n, (_, view)) =>
+      org.apache.spark.sql.Row(id, n, pins(view))
+    }
   }
 }
 
@@ -2430,18 +2824,23 @@ case class GraftShowCreateTableCommand(name: String)
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("SHOW CREATE TABLE", name)
-    require(view == name,
-      s"SHOW CREATE TABLE $name: the binding's store view is `$view` — " +
-        "a divergent view name has no SQL spelling; re-register via the " +
-        "Scala API on restore instead")
     require(store.versions(view).nonEmpty,
       s"SHOW CREATE TABLE $name: the view has no committed snapshot yet " +
         "— there is no schema on disk to show")
+    // a binding whose view name DIFFERS from the table name (a rename,
+    // or the Scala registration API) replays as CREATE under the
+    // VIEW's name — adopting the on-disk data — followed by the RENAME
+    // that moves the binding; "run every row in order" stays the DR
+    // recipe. The view name itself must be SQL-spellable for that.
+    val renamed = view != name
+    if (renamed) GraftSqlParser.validateTableName(view)
+    val createName = if (renamed) view else name
     val schema = store.read(view).schema
     val key = GraftTableRegistry.lookupKey(name)
     val cluster = GraftTableRegistry.lookupCluster(name)
     // clause order matches [[CreateTableRe]]: PRIMARY KEY, CLUSTER BY,
-    // LOCATION — the emitted text must re-parse through the same regex.
+    // LOCATION — the emitted text must re-parse through the same regex
+    // (non-`[\w.]` names re-quote via [[GraftSqlParser.quoteIdent]]).
     // The root is emitted ABSOLUTE (a relative root would re-bind
     // against the replayer's cwd — the DR flow runs anywhere) and a
     // quote inside it has no re-parsable spelling, so it refuses.
@@ -2450,18 +2849,23 @@ case class GraftShowCreateTableCommand(name: String)
     require(!rootAbs.contains("'"),
       s"SHOW CREATE TABLE $name: the root path contains a quote — " +
         "no re-parsable LOCATION spelling exists")
-    val create = s"CREATE TABLE IF NOT EXISTS $name (${schema.toDDL}) " +
+    val q = GraftSqlParser.quoteIdent _
+    val create =
+      s"CREATE TABLE IF NOT EXISTS ${q(createName)} (${schema.toDDL}) " +
       "USING graft" +
       key.fold("")(k => s" PRIMARY KEY $k") +
       (if (cluster.nonEmpty) cluster.mkString(" CLUSTER BY (", ", ", ")")
        else "") +
       s" LOCATION '$rootAbs'"
+    val rename =
+      if (renamed) Seq(s"ALTER TABLE ${q(view)} RENAME TO ${q(name)}")
+      else Nil
     // CHECK constraints follow as ALTER rows — the CREATE grammar has
     // no constraint clause, and the adoption path would skip one anyway
     val alters = GraftTableRegistry.lookupChecks(name).map { case (nm, ex) =>
-      s"ALTER TABLE $name ADD CONSTRAINT $nm CHECK ($ex)"
+      s"ALTER TABLE ${q(name)} ADD CONSTRAINT $nm CHECK ($ex)"
     }
-    (create +: alters).map(org.apache.spark.sql.Row(_))
+    ((create +: rename) ++ alters).map(org.apache.spark.sql.Row(_))
   }
 }
 
@@ -2574,6 +2978,26 @@ object GraftTableRegistry {
   def lookupChecks(name: String): Seq[(String, String)] =
     checks.getOrElse(name, Nil)
 
+  /** The declared CLUSTER BY of whichever binding points at
+    * (root, view) — the REVERSE lookup the streaming table sink needs
+    * (it is constructed from root/view options, not a table name), so
+    * a stream into a `CREATE TABLE … CLUSTER BY` table keeps the
+    * declared skipping layout per micro-batch instead of silently
+    * degrading until the next OPTIMIZE. Consulted per batch against
+    * the IN-MEMORY bindings (O(tables) map scan — no disk IO in the
+    * micro-batch path); the sink folds the durable catalog in once at
+    * construction via [[bindings]].
+    */
+  def clusterForLocation(root: String, view: String): Seq[String] = {
+    def norm(p: String) =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    val r = norm(root)
+    reg.collectFirst {
+      case (n, (st, v)) if v == view && norm(st.root) == r =>
+        clusters.getOrElse(n, Nil)
+    }.getOrElse(Nil)
+  }
+
   def unregister(name: String): Unit = {
     reg.remove(name); keys.remove(name); clusters.remove(name)
     checks.remove(name)
@@ -2685,6 +3109,7 @@ object ResolveGraftTimeTravel extends Rule[LogicalPlan] {
   private val TsRef = """(.+)\$asofts\$(\d+)""".r
   private val HistRef = """(.+)\$history""".r
   private val DiffRef = """(.+)\$diff\$([^$]+)\$([^$]+)""".r
+  private val SyncRef = """(.+)\$sync\$(latest|\d+)""".r
 
   private def registered(tag: String, name: String) =
     GraftTableRegistry.required(tag, name)
@@ -2706,6 +3131,14 @@ object ResolveGraftTimeTravel extends Rule[LogicalPlan] {
           val (store, view) = registered("DESCRIBE HISTORY", name)
           org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(name,
             store.history(view).queryExecution.analyzed)
+        case Seq(SyncRef(name, tok)) =>
+          // the splice-anomaly-free read: the view AS OF the version
+          // the (latest or named) syncpoint pinned — readSync refuses
+          // when no syncpoint exists or none pins this view
+          val (store, view) = registered("SYNC AS OF", name)
+          val id = if (tok == "latest") None else Some(tok.toLong)
+          org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(name,
+            store.readSync(view, id).queryExecution.analyzed)
         case Seq(DiffRef(name, a, b)) =>
           val (store, view) = registered("CHANGES FROM", name)
           val key = GraftTableRegistry.requiredKey("CHANGES FROM", name)

@@ -2305,6 +2305,193 @@ object CurationQueries {
       s.sql("SELECT k, cust, p FROM t293")
     }),
 
+    // QUOTED identifiers end-to-end: a hyphenated backtick-quoted
+    // table name routes through CREATE / INSERT / UPDATE / DELETE /
+    // time travel exactly like a plain name (round 15 it silently fell
+    // through to a stock resolution error). The registry keys on the
+    // canonical unquoted spelling (in-query require); the oracle
+    // replays the DML declaratively.
+    "q294_sql_quoted_ident" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q294_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      graft.plans.GraftTableRegistry.unregister("q294-tbl")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q294_orders")
+      s.sql("CREATE TABLE `q294-tbl` (k BIGINT, cust BIGINT, p DOUBLE) " +
+        s"USING graft PRIMARY KEY k LOCATION '$root/q294-tbl'")
+      require(graft.plans.GraftTableRegistry.lookup("q294-tbl").nonEmpty,
+        "the registry must key on the canonical (unquoted) name")
+      s.sql("INSERT INTO `q294-tbl` SELECT k, cust, p FROM q294_orders " +
+        "WHERE k % 3 = 0")
+      s.sql("UPDATE `q294-tbl` SET p = p + 1000 WHERE cust % 5 = 0")
+      s.sql("DELETE FROM `q294-tbl` WHERE k % 30 = 0")
+      require(s.sql("SELECT * FROM `q294-tbl` VERSION AS OF 2").count() ==
+        s.sql("SELECT * FROM q294_orders WHERE k % 3 = 0").count(),
+        "time travel must work on the quoted spelling")
+      s.sql("SELECT k, cust, p FROM `q294-tbl`")
+    }),
+
+    // RENAME TO + DROP COLUMN — the two schema-migration statements:
+    // rename is a pure catalog-binding move (same store version after,
+    // in-query require), drop is metadata-only (the read projection
+    // hides the column NOW, time travel to the pre-drop version still
+    // carries it — both required in-query). Post-migration DML runs
+    // under the NEW name against the NARROWED schema; the oracle
+    // replays both inserts declaratively.
+    "q295_sql_rename_drop_column" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q295_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      graft.plans.GraftTableRegistry.unregister("t295_old")
+      graft.plans.GraftTableRegistry.unregister("t295")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"),
+        (col("o_custkey") % 3).as("junk"))
+        .createOrReplaceTempView("q295_orders")
+      s.sql(s"CREATE TABLE t295_old USING graft PRIMARY KEY k " +
+        s"LOCATION '$root' " +
+        "AS SELECT k, cust, p, junk FROM q295_orders WHERE k % 4 = 0")
+      val (st, view) = graft.plans.GraftTableRegistry.lookup("t295_old").get
+      val vBefore = st.versions(view).max
+      s.sql("ALTER TABLE t295_old RENAME TO t295")
+      require(st.versions(view).max == vBefore &&
+        graft.plans.GraftTableRegistry.lookup("t295_old").isEmpty,
+        "rename must be a zero-IO catalog move that unbinds the old name")
+      val preDrop = st.versions(view).max
+      s.sql("ALTER TABLE t295 DROP COLUMN junk")
+      require(!s.sql("SELECT * FROM t295").columns.contains("junk") &&
+        s.sql(s"SELECT * FROM t295 VERSION AS OF $preDrop")
+          .columns.contains("junk"),
+        "the drop must hide the column NOW and keep it time-travelable")
+      // post-migration life continues: keyed DML on the new shape
+      s.sql("INSERT INTO t295 SELECT k, cust, p FROM q295_orders " +
+        "WHERE k % 4 = 1")
+      s.sql("UPDATE t295 SET p = p + 1000 WHERE cust % 7 = 0")
+      require(!s.sql("SHOW CREATE TABLE t295").collect()
+        .exists(_.getString(0).contains("junk")),
+        "SHOW CREATE must reflect the post-drop schema")
+      s.sql("SELECT k, cust, p FROM t295")
+    }),
+
+    // The SQL syncpoint: PUBLISH SYNCPOINT pins both lambda views'
+    // versions atomically; `SYNC AS OF LATEST` reads the PUBLISHED
+    // cycle even while the next cycle is half-landed (the reference's
+    // splice-anomaly window — batchPipeline.py:169-180 vs
+    // twitterConsumerStream.py:110-127 write independently). Graded
+    // frame = the sync read of the batch view (the mid-cycle commit
+    // must be invisible — exactly what the oracle's cycle-1 slice
+    // checks); the sync JOIN of both views rides an in-query require.
+    "q296_sql_syncpoint" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q296_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      graft.plans.GraftTableRegistry.unregister("t296b")
+      graft.plans.GraftTableRegistry.unregister("t296s")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q296_orders")
+      s.conf.set("spark.graft.store.root", root)
+      try {
+        s.sql("CREATE TABLE t296b USING graft PRIMARY KEY k " +
+          "AS SELECT k, cust, p FROM q296_orders WHERE k % 4 = 0")
+        s.sql("CREATE TABLE t296s USING graft PRIMARY KEY k " +
+          "AS SELECT k, p * 2 AS live FROM q296_orders WHERE k % 8 = 0")
+        s.sql("PUBLISH SYNCPOINT (t296b, t296s)")
+        // cycle 2 half-lands: the batch view advances, the speed view
+        // does not — the torn window a plain reader would splice
+        s.sql("INSERT INTO t296b SELECT k, cust, p FROM q296_orders " +
+          "WHERE k % 4 = 2")
+        require(s.sql("SELECT * FROM t296b").count() >
+          s.sql("SELECT * FROM t296b SYNC AS OF LATEST").count(),
+          "the plain read sees the torn state; the sync read must not")
+        // the sync read composes: one splice-free join of both views
+        val joined = s.sql(
+          """SELECT b.k FROM t296b SYNC AS OF LATEST b
+             JOIN t296s SYNC AS OF LATEST s ON b.k = s.k""").count()
+        require(joined ==
+          s.sql("SELECT * FROM q296_orders WHERE k % 8 = 0").count(),
+          "the sync join must cover exactly the published cycle")
+        s.sql("SELECT k, cust, p FROM t296b SYNC AS OF LATEST")
+      } finally s.conf.unset("spark.graft.store.root")
+    }),
+
+    // The graft-table SINK honors a DDL-declared CLUSTER BY: a stream
+    // into a `CREATE TABLE … CLUSTER BY (a, b)` table lands every
+    // micro-batch through the Hilbert range-dir writer — the in-query
+    // requires pin >1 range dirs and a real 2-D box-prune skip (the
+    // r15 gap: streams silently degraded the declared layout until the
+    // next OPTIMIZE). Content is layout-invisible — exactly what the
+    // oracle grades.
+    "q297_stream_cluster_sink" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q297_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      graft.plans.GraftTableRegistry.unregister("t297")
+      val st = new graft.sources.SnapshotStore(s, root)
+      st.commit("src297", t(s, dir, "orders").select(
+        col("o_orderkey").as("k"), (col("o_custkey") % 16).as("a"),
+        (col("o_orderkey") % 16).as("b"), col("o_totalprice").as("p"))
+        .where(col("k") % 5 === 0), overwrite = true)
+      s.conf.set("spark.graft.store.root", root)
+      try {
+        s.sql("CREATE TABLE t297 (k BIGINT, a BIGINT, b BIGINT, p DOUBLE) " +
+          "USING graft PRIMARY KEY k CLUSTER BY (a, b)")
+        val q = s.readStream.format("graft-table")
+          .option("root", root).option("view", "src297")
+          .load().writeStream.format("graft-table")
+          .option("root", root).option("view", "t297")
+          .option("checkpointLocation", s"$root/_cp297")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+        val dirs = st.manifestDirs("t297")
+        require(dirs.size > 1,
+          s"the micro-batch must land Hilbert range dirs: $dirs")
+        val (_, skip) = st.pruneDirsBox("t297",
+          Seq(("a", "2", "3"), ("b", "2", "3")))
+        require(skip.nonEmpty,
+          "the stream-fed declared layout must box-prune")
+        s.sql("SELECT k, a, b, p FROM t297")
+      } finally s.conf.unset("spark.graft.store.root")
+    }),
+
+    // COPY INTO observability + the namespaced file fence: the re-run
+    // SKIP is counted (files_skipped — a silent skip is now
+    // observable), a user txn id equal to a file's fence hash no
+    // longer fences the file out (disjoint manifest fields, in-query
+    // require), and a file REWRITTEN in place re-loads (identity is
+    // path+size+mtime — the modified-file contract). The oracle
+    // replays the final content declaratively.
+    "q298_sql_copy_skip_fence" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q298_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      graft.plans.GraftTableRegistry.unregister("t298")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      val land = s"$root/land"
+      o.where(col("k") % 3 === 0).repartition(2).write.parquet(land)
+      s.sql("CREATE TABLE t298 (k BIGINT, cust BIGINT, p DOUBLE) " +
+        s"USING graft PRIMARY KEY k LOCATION '$root/t298'")
+      val (st, view) = graft.plans.GraftTableRegistry.lookup("t298").get
+      // adversarial txn-id collision: a user txn under a file's OWN
+      // fence hash must not make COPY INTO skip that file
+      val aFile = {
+        val l = java.nio.file.Files.list(java.nio.file.Paths.get(land))
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.map(_.toString)
+            .filter(_.endsWith(".parquet")).toSeq.sorted.head
+        } finally l.close()
+      }
+      st.appendOnce(view, o.where(col("k") % 3 === 1), // the k%3=1 batch
+        txnId = st.fileFence(aFile))
+      val r1 = s.sql(s"COPY INTO t298 FROM '$land' FILEFORMAT = PARQUET").head()
+      require(r1.getLong(2) == 2L && r1.getLong(4) == 0L,
+        s"the colliding user txn must not fence any file out: $r1")
+      val r2 = s.sql(s"COPY INTO t298 FROM '$land' FILEFORMAT = PARQUET").head()
+      require(r2.getLong(2) == 0L && r2.getLong(4) == 2L,
+        s"a re-run loads nothing and COUNTS the skips: $r2")
+      s.sql("SELECT k, cust, p FROM t298")
+    }),
+
     // RESTORE in PURE SQL — the bad-deploy rollback statement: v1 is
     // the good snapshot, v2 an erroneous overwrite, v3 a deleteWhere
     // on top of it; `RESTORE TABLE t TO VERSION AS OF 1` republishes
@@ -4036,6 +4223,42 @@ object CurationQueries {
             CASE WHEN o_custkey % 6 = 0 THEN o_totalprice * 3 + 1
                  ELSE o_totalprice * 3 END AS p
          FROM orders WHERE o_orderkey % 5 = 0""",
+
+    // The quoted-name DML lifecycle replayed declaratively: the k%3=0
+    // load, the cust%5 bump, the k%30 delete.
+    "q294_sql_quoted_ident" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+            CASE WHEN o_custkey % 5 = 0 THEN o_totalprice + 1000
+                 ELSE o_totalprice END AS p
+         FROM orders
+         WHERE o_orderkey % 3 = 0 AND o_orderkey % 30 <> 0""",
+
+    // Rename is content-invisible and the dropped column simply leaves
+    // the projection: both inserts' k/cust/p with the cust%7 bump.
+    "q295_sql_rename_drop_column" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+            CASE WHEN o_custkey % 7 = 0 THEN o_totalprice + 1000
+                 ELSE o_totalprice END AS p
+         FROM orders WHERE o_orderkey % 4 IN (0, 1)""",
+
+    // The sync read pins cycle 1 — the half-landed cycle 2 insert
+    // (k%4=2) must be invisible.
+    "q296_sql_syncpoint" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
+         FROM orders WHERE o_orderkey % 4 = 0""",
+
+    // Layout is content-invisible: the streamed clustered table holds
+    // exactly the source slice.
+    "q297_stream_cluster_sink" ->
+      """SELECT o_orderkey AS k, o_custkey % 16 AS a,
+            o_orderkey % 16 AS b, o_totalprice AS p
+         FROM orders WHERE o_orderkey % 5 = 0""",
+
+    // The fenced COPY loads each file exactly once beside the
+    // colliding-txn batch: both slices, no duplicates.
+    "q298_sql_copy_skip_fence" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)""",
 
     // Same composition as q272, born and closed entirely in SQL.
     "q273_sql_create_table" ->

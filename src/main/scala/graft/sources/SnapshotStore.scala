@@ -177,6 +177,25 @@ class SnapshotStore(spark: SparkSession, val root: String) {
   def manifestDels(view: String, v: Long): Seq[String] =
     manifestField(Files.readString(manifestPath(view, v)), "dels")
 
+  /** Per-file ingestion fences ([[fileFence]]) folded into snapshot
+    * `v` — their OWN manifest field, disjoint from the txn-id space by
+    * construction (a user txn id can never alias an already-loaded
+    * file into a silent skip, nor a path hash swallow a user's
+    * appendOnce). Absent in pre-field manifests ⇒ empty.
+    */
+  def manifestFiles(view: String, v: Long): Set[Long] =
+    manifestField(Files.readString(manifestPath(view, v)), "files")
+      .map(_.toLong).toSet
+
+  /** Columns DROPPED (metadata-only) as of snapshot `v` — recorded in
+    * the manifest and applied as a read-time projection, so the drop
+    * is zero data IO and time travel to a pre-drop version still
+    * surfaces the column. A full-rewrite commit (overwrite, OPTIMIZE)
+    * clears the list — the rewritten data physically lacks the column.
+    */
+  def manifestDrops(view: String, v: Long): Seq[String] =
+    manifestField(Files.readString(manifestPath(view, v)), "drops")
+
   /** The data-dir names snapshot `v` (default: latest) is made of —
     * public so tests can pin copy-on-write behavior (which dirs a merge
     * carried forward untouched).
@@ -330,9 +349,28 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * would let a racing commit overwrite the winner's manifest (found
     * by the hammered-appends spec). The manifest appears atomically
     * with its full content; first committer wins, the loser throws.
+    *
+    * `filesExtra` = NEW per-file ingestion fences ([[fileFence]]) this
+    * commit records; the predecessor's fences ALWAYS carry (the same
+    * carry-across-every-commit-kind contract txns have) — fences are a
+    * separate manifest field, so a user txn id can never collide with
+    * a path hash into a silent skip. `drops` = the snapshot's dropped
+    * columns: None carries the predecessor's list (append-shaped
+    * publishes), Some sets it explicitly (overwrite/rewrite publishes
+    * — the written data defines the physical schema, so a full rewrite
+    * clears the list).
     */
   private def publish(view: String, next: Long, dirs: Seq[String],
-                      txns: Set[Long], dels: Seq[String] = Nil): Unit = {
+                      txns: Set[Long], dels: Seq[String] = Nil,
+                      filesExtra: Set[Long] = Set.empty,
+                      drops: Option[Seq[String]] = None): Unit = {
+    // predecessor for the carried fields — the latest RETAINED version
+    // below `next` (vacuum may have dropped next-1)
+    val prevV = versions(view).filter(_ < next).lastOption
+    val files = prevV.map(manifestFiles(view, _)).getOrElse(Set.empty) ++
+      filesExtra
+    val dropped = drops.getOrElse(
+      prevV.map(manifestDrops(view, _)).getOrElse(Nil))
     Files.createDirectories(manifestDir(view))
     // commit timestamp, monotonic-guarded against the latest retained
     // predecessor: timestamps strictly ascend with versions, so
@@ -351,6 +389,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       dirs.map(d => "\"" + d + "\"").mkString("{\"dirs\":[", ",", "],") +
         dels.map(d => "\"" + d + "\"").mkString("\"dels\":[", ",", "],") +
         s""""ts":$ts,""" +
+        files.toSeq.sorted.mkString("\"files\":[", ",", "],") +
+        dropped.map(d => "\"" + d + "\"").mkString("\"drops\":[", ",", "],") +
         txns.toSeq.sorted.mkString("\"txns\":[", ",", "]}"))
     try
       Files.createLink(manifestPath(view, next), tmp)
@@ -381,7 +421,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
              statsCols: Seq[String] = Nil,
              txn: Option[Long] = None,
              bloomCols: Seq[String] = Nil,
-             txnsExtra: Set[Long] = Set.empty): Long = {
+             txnsExtra: Set[Long] = Set.empty,
+             filesExtra: Set[Long] = Set.empty): Long = {
     val vs = versions(view)
     val base = if (vs.isEmpty) 0L else vs.max
     expectedBase.filter(_ != base).foreach { e =>
@@ -403,7 +444,11 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     // which subtracts re-inserted keys from the vector)
     val dels =
       if (overwrite || vs.isEmpty) Nil else manifestDels(view, base)
-    publish(view, next, dirs, prevTxns ++ txn ++ txnsExtra, dels)
+    // an overwrite's written data defines the physical schema — the
+    // dropped-column projection clears with the content it shadowed
+    publish(view, next, dirs, prevTxns ++ txn ++ txnsExtra, dels,
+      filesExtra = filesExtra,
+      drops = if (overwrite || vs.isEmpty) Some(Nil) else None)
     seedSchemaCache(view, dirs, df.schema,
       prev = if (overwrite || vs.isEmpty) None else Some(readManifest(view, base)))
     next
@@ -465,19 +510,24 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * appended).
     */
   /** The per-FILE idempotence fence COPY INTO records: a 64-bit
-    * FNV-1a hash of the file's absolute normalized path, carried in
-    * the manifest's txn set like any other fence — so "was this file
-    * already loaded?" is one driver set lookup, survives every commit
-    * kind (the txn-carry contract), and needs no side ledger that
-    * could desync from the commit it fenced. 64 bits ≈ collision-free
-    * to ~100M files per table (birthday ~3e-4 at 10^8); a collision
-    * SKIPS a file loudly countable by the statement's files_loaded
-    * return, never corrupts data. User txn ids are small integers by
-    * convention; path hashes scatter over the full 64-bit range, so
-    * the namespaces coexist.
+    * FNV-1a hash of the file's (absolute normalized path, size, mtime)
+    * identity, carried in the manifest's OWN `files` field — so "was
+    * this file already loaded?" is one driver set lookup, survives
+    * every commit kind (the same carry contract txns have), needs no
+    * side ledger that could desync from the commit it fenced, and can
+    * NEVER collide with a user txn id (disjoint field — the silent
+    * skip/no-op an id collision would cause is structurally
+    * impossible). Folding size+mtime means a file OVERWRITTEN IN
+    * PLACE with new content re-loads as a new file (the COPY INTO
+    * modified-file contract); 64 bits ≈ collision-free to ~100M files
+    * per table (birthday ~3e-4 at 10^8), and a hash collision SKIPS a
+    * file loudly countable in the statement's files_skipped return —
+    * never corrupts data.
     */
   def fileFence(path: String): Long = {
-    val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
+    val np = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+    val p = np.toString + " " + Files.size(np) + " " +
+      Files.getLastModifiedTime(np).toMillis
     var h = 0xcbf29ce484222325L // FNV-1a offset basis
     var i = 0
     while (i < p.length) {
@@ -486,6 +536,14 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       i += 1
     }
     h
+  }
+
+  /** File fences already folded into the CURRENT snapshot — COPY
+    * INTO's skip set (the `files` manifest field's head state).
+    */
+  def appliedFileFences(view: String): Set[Long] = {
+    val vs = versions(view)
+    if (vs.isEmpty) Set.empty else manifestFiles(view, vs.max)
   }
 
   def appliedTxns(view: String): Set[Long] = {
@@ -581,8 +639,18 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     */
   def read(view: String, asOf: Option[Long] = None): DataFrame = {
     val v = resolvedVersion(view, asOf)
-    applyDels(readDirs(readManifest(view, v), view), view,
-      manifestDels(view, v))
+    applyDrops(applyDels(readDirs(readManifest(view, v), view), view,
+      manifestDels(view, v)), view, v)
+  }
+
+  /** The metadata-only DROP COLUMN projection: hide the snapshot's
+    * recorded dropped columns (a pure column prune — Catalyst pushes
+    * it into the scan, zero cost). Names not physically present are
+    * no-ops (a rewrite already removed them).
+    */
+  private def applyDrops(df: DataFrame, view: String, v: Long): DataFrame = {
+    val ds = manifestDrops(view, v)
+    if (ds.isEmpty) df else df.drop(ds: _*)
   }
 
   /** Rows ADDED between snapshot `fromV` (EXCLUSIVE; `<= 0` = from the
@@ -628,7 +696,9 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     if (added.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         read(view, Some(toV)).schema)
-    else applyDels(readDirs(added, view), view, manifestDels(view, toV))
+    else applyDrops(
+      applyDels(readDirs(added, view), view, manifestDels(view, toV)),
+      view, toV)
   }
 
   /** The manifest dirs of snapshot `asOf` split into (kept, skipped) for
@@ -658,8 +728,9 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     // all dirs pruned -> provably-empty result; lit(false) collapses the
     // scan to an empty LocalRelation with the right schema
     if (keep.isEmpty) return read(view, asOf).where(lit(false))
-    val df = applyDels(readDirs(keep, view), view,
-      manifestDels(view, resolvedVersion(view, asOf)))
+    val v = resolvedVersion(view, asOf)
+    val df = applyDrops(applyDels(readDirs(keep, view), view,
+      manifestDels(view, v)), view, v)
     val dt = df.schema(c).dataType
     df.where(col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt))
   }
@@ -689,8 +760,9 @@ class SnapshotStore(spark: SparkSession, val root: String) {
                     asOf: Option[Long] = None): DataFrame = {
     val (keep, _) = pruneDirsBox(view, preds, asOf)
     if (keep.isEmpty) return read(view, asOf).where(lit(false))
-    val base = applyDels(readDirs(keep, view), view,
-      manifestDels(view, resolvedVersion(view, asOf)))
+    val v = resolvedVersion(view, asOf)
+    val base = applyDrops(applyDels(readDirs(keep, view), view,
+      manifestDels(view, v)), view, v)
     preds.foldLeft(base) { case (df, (c, lo, hi)) =>
       val dt = df.schema(c).dataType
       df.where(col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt))
@@ -732,8 +804,9 @@ class SnapshotStore(spark: SparkSession, val root: String) {
                    asOf: Option[Long] = None): DataFrame = {
     val (keep, _) = pruneDirsEq(view, c, value, asOf)
     if (keep.isEmpty) return read(view, asOf).where(lit(false))
-    applyDels(readDirs(keep, view), view,
-      manifestDels(view, resolvedVersion(view, asOf)))
+    val v = resolvedVersion(view, asOf)
+    applyDrops(applyDels(readDirs(keep, view), view,
+      manifestDels(view, v)), view, v)
       .where(col(c) === lit(value))
   }
 
@@ -817,8 +890,9 @@ class SnapshotStore(spark: SparkSession, val root: String) {
   def readIndexedEq(view: String, c: String, value: Any): DataFrame = {
     val (keep, _) = indexedDirsEq(view, c, value)
     if (keep.isEmpty) return read(view).where(lit(false))
-    applyDels(readDirs(keep, view), view,
-      manifestDels(view, resolvedVersion(view, None)))
+    val v = resolvedVersion(view, None)
+    applyDrops(applyDels(readDirs(keep, view), view,
+      manifestDels(view, v)), view, v)
       .where(col(c) === lit(value))
   }
 
@@ -1223,10 +1297,18 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     */
   def replaceWhere(view: String, pred: Column, df: DataFrame,
                    statsCols: Seq[String] = Nil,
-                   txn: Option[Long] = None): Long = {
+                   txn: Option[Long] = None,
+                   expectedBase: Option[Long] = None): Long = {
     val vs = versions(view)
     require(vs.nonEmpty, s"$view: nothing to replace into")
     val base = vs.max
+    // OCC pin for callers whose pre-checks read a specific version
+    // (the SQL tier's PRIMARY KEY probe): a commit landing between the
+    // probe and this publish surfaces as a conflict, not a silently
+    // un-probed swap
+    expectedBase.filter(_ != base).foreach { e =>
+      throw new SnapshotConflict(s"$view: expected base v$e but table is at v$base")
+    }
     val dirs = readManifest(view, base)
     val prevDels = manifestDels(view, base)
     val snapshotSchema = read(view, Some(base)).schema
@@ -1716,6 +1798,42 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
 
+  /** METADATA-ONLY column drop: publish the same dirs/vectors/txns
+    * with `column` added to the manifest's dropped list — zero data
+    * IO, the read-time projection ([[applyDrops]]) hides it from every
+    * snapshot read from this version on, and time travel to any prior
+    * version still surfaces it (the drop is versioned state, like
+    * everything else). The physical bytes go at the next full rewrite
+    * (OPTIMIZE / compact / overwrite), which also CLEARS the list — so
+    * re-adding a same-named column is refused only until then (a
+    * metadata re-add would resurrect the old dirs' values through the
+    * merged-schema read). Refuses the deletion-vector key (the
+    * vectors' row identity must stay readable) and unknown columns.
+    */
+  def dropColumn(view: String, column: String): Long = {
+    val vs = versions(view)
+    require(vs.nonEmpty, s"$view: nothing to drop a column from")
+    val base = vs.max
+    val schema = read(view, Some(base)).schema
+    val exact = schema.fieldNames.find(_.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$view: no column `$column` among " +
+          schema.fieldNames.mkString("(", ", ", ")")))
+    require(schema.length > 1,
+      s"$view: cannot drop the only column `$exact`")
+    val dels = manifestDels(view, base)
+    dels.headOption.foreach { d =>
+      val vKey = readDirs(Seq(d), view).columns.head
+      require(!vKey.equalsIgnoreCase(exact),
+        s"$view: `$exact` keys the live deletion vectors — OPTIMIZE " +
+          "(materialize the vectors) before dropping it")
+    }
+    publish(view, base + 1, readManifest(view, base),
+      manifestTxns(view, base), dels,
+      drops = Some((manifestDrops(view, base) :+ exact).distinct))
+    base + 1
+  }
+
   def dirBytes(view: String, dirName: String): Long =
     listEntries(dirPath(view, dirName))
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -1917,7 +2035,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       statsCols, next, None)
     if (versions(view).max != base)
       throw new SnapshotConflict(s"$view: base v$base superseded during optimize")
-    publish(view, next, dirNames, manifestTxns(view, base))
+    // full rewrite from read(): dropped columns are physically gone
+    publish(view, next, dirNames, manifestTxns(view, base), drops = Some(Nil))
     seedSchemaCache(view, dirNames, cur.schema, prev = None)
     next
   }
@@ -1941,7 +2060,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
                       targetDirs: Int = 4, statsCols: Seq[String] = Nil,
                       txn: Option[Long] = None,
                       expectedBase: Option[Long] = None,
-                      txnsExtra: Set[Long] = Set.empty): Long = {
+                      txnsExtra: Set[Long] = Set.empty,
+                      filesExtra: Set[Long] = Set.empty): Long = {
     require(clusterCols.nonEmpty, s"$view: commitClustered needs cluster columns")
     val code =
       if (clusterCols.size == 1) col(clusterCols.head).cast("long")
@@ -1963,7 +2083,9 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       if (overwrite || vs.isEmpty) Nil else manifestDels(view, base)
     if (vs.nonEmpty && versions(view).max != base)
       throw new SnapshotConflict(s"$view: base v$base superseded during commit")
-    publish(view, next, dirs, prevTxns ++ txn ++ txnsExtra, dels)
+    publish(view, next, dirs, prevTxns ++ txn ++ txnsExtra, dels,
+      filesExtra = filesExtra,
+      drops = if (overwrite || vs.isEmpty) Some(Nil) else None)
     seedSchemaCache(view, dirs, df.schema,
       prev = if (overwrite || vs.isEmpty) None else Some(readManifest(view, base)))
     next
@@ -2000,7 +2122,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     val base = vs.max
     val next = base + 1
     publish(view, next, readManifest(view, v), manifestTxns(view, base),
-      manifestDels(view, v))
+      manifestDels(view, v), drops = Some(manifestDrops(view, v)))
     next
   }
 
@@ -2030,7 +2152,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       if (d.contains("/")) d else s"../../$src/data/$d"
     val srcV = resolvedVersion(src, asOf)
     publish(dst, 1L, readManifest(src, srcV).map(rel), Set.empty,
-      manifestDels(src, srcV).map(rel))
+      manifestDels(src, srcV).map(rel),
+      drops = Some(manifestDrops(src, srcV)))
     1L
   }
 
@@ -2113,7 +2236,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     val head = bvs.max
     publish(view, base + 1, readManifest(b, head).map(toMain),
       manifestTxns(view, base) ++ manifestTxns(b, head),
-      manifestDels(b, head).map(toMain))
+      manifestDels(b, head).map(toMain),
+      drops = Some(manifestDrops(b, head)))
     base + 1
   }
 
@@ -2151,7 +2275,9 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     publish(b, head + 1,
       readManifest(view, mainHead).map(rel) ++ local,
       manifestTxns(b, head) ++ manifestTxns(view, mainHead),
-      manifestDels(view, mainHead).map(rel))
+      manifestDels(view, mainHead).map(rel),
+      drops = Some((manifestDrops(view, mainHead) ++
+        manifestDrops(b, head)).distinct))
     head + 1
   }
 
@@ -2186,7 +2312,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     }
     val dirs = readManifest(srcView, v).map(copyDir)
     val dels = manifestDels(srcView, v).map(copyDir)
-    target.publish(dstView, 1L, dirs, Set.empty, dels)
+    target.publish(dstView, 1L, dirs, Set.empty, dels,
+      drops = Some(manifestDrops(srcView, v)))
     1L
   }
 

@@ -97,6 +97,11 @@ class GraftTableSourceProvider extends StreamSourceProvider
       "graft-table sink: 'deleteColumn' is a keyed-merge option — " +
         "Complete mode overwrites with the batch verbatim; drop the " +
         "option or use append/update with 'mergeKey'")
+    // fold the durable catalog into the in-memory registry ONCE, so a
+    // fresh-JVM stream into a CLUSTER BY table finds the declared
+    // layout without anyone re-running CREATE (addBatch then consults
+    // only the in-memory map per micro-batch)
+    graft.plans.GraftTableRegistry.bindings
     new GraftTableSink(store, view, outputMode, mergeKey, stats, ns,
       legacyTxnFence = parameters.get("legacyTxnFence").exists(_.toBoolean),
       deleteCol = delCol)
@@ -368,17 +373,34 @@ class GraftTableSink(store: SnapshotStore, view: String,
     // rejects batch writes — ForeachBatchSink does the same re-wrap)
     val df = StreamingBridge.asBatch(data)
     val txnId = fence(batchId)
+    // a DDL-declared CLUSTER BY on the bound table routes append /
+    // Complete batches through the Hilbert range-dir writer — the
+    // table's skipping layout is its DEFAULT, a stream must not
+    // silently degrade it until the next OPTIMIZE (per-commit
+    // envelopes are tight; cross-commit overlap is what the periodic
+    // OPTIMIZE re-tightens, same as batch INSERT). The keyed-merge
+    // path rewrites whole dirs and keeps its own stats discipline.
+    val cluster = graft.plans.GraftTableRegistry
+      .clusterForLocation(store.root, view)
     outputMode match {
       case m if m == OutputMode.Complete() =>
-        if (!store.appliedTxns(view).contains(txnId))
-          store.commit(view, df, overwrite = true,
+        if (!store.appliedTxns(view).contains(txnId)) {
+          if (cluster.nonEmpty)
+            store.commitClustered(view, df, cluster, overwrite = true,
+              statsCols = statsCols, txn = Some(txnId))
+          else store.commit(view, df, overwrite = true,
             statsCols = statsCols, txn = Some(txnId))
+        }
       case _ if mergeKey.isDefined =>
         // deleteColumn marks CDC tombstones: a flagged row DELETES its
         // key instead of upserting — the zero-user-code sink half of a
         // change-feed replication pipeline
         store.mergeIntoOnce(view, df, mergeKey.get, txnId = txnId,
           deleteCol = deleteCol, statsCols = statsCols)
+      case _ if cluster.nonEmpty =>
+        if (!store.appliedTxns(view).contains(txnId))
+          store.commitClustered(view, df, cluster, overwrite = false,
+            statsCols = statsCols, txn = Some(txnId))
       case _ =>
         store.appendOnce(view, df, txnId = txnId, statsCols = statsCols)
     }

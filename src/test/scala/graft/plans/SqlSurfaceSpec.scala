@@ -59,7 +59,8 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
-  test("SHOW CREATE TABLE refuses a never-committed view and a divergent view name") {
+  test("SHOW CREATE TABLE refuses a never-committed view; a divergent " +
+      "view name replays as CREATE-under-view + RENAME") {
     val root = freshRoot()
     val st = new graft.sources.SnapshotStore(spark, root)
     GraftTableRegistry.register("sct3", st, "sct3")
@@ -67,10 +68,17 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(bare.isFailure &&
       bare.failed.get.getMessage.contains("no committed snapshot"),
       bare.toString)
+    // a binding whose store view differs from the table name (rename,
+    // or the Scala registration API) emits the adoption CREATE under
+    // the VIEW's name followed by the RENAME that moves the binding
+    import spark.implicits._
+    st.commit("other_view", Seq((1L, "a")).toDF("k", "v"), overwrite = true)
     GraftTableRegistry.register("sct4", st, "other_view")
-    val div = scala.util.Try(spark.sql("SHOW CREATE TABLE sct4").collect())
-    assert(div.isFailure &&
-      div.failed.get.getMessage.contains("divergent view name"), div.toString)
+    val rows = spark.sql("SHOW CREATE TABLE sct4").collect().map(_.getString(0))
+    assert(rows.length == 2 &&
+      rows(0).startsWith("CREATE TABLE IF NOT EXISTS other_view") &&
+      rows(1) == "ALTER TABLE other_view RENAME TO sct4",
+      rows.mkString(" | "))
     GraftTableRegistry.unregister("sct3")
     GraftTableRegistry.unregister("sct4")
   }
