@@ -511,6 +511,29 @@ object GraftSqlParser {
   private val RenameRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(""" + Id + """)\s+RENAME\s+TO\s+(""" +
       Id + """)\s*;?\s*$""").r
+  // ALTER TABLE <t> RENAME COLUMN a TO b — METADATA-ONLY rename
+  // ([[graft.sources.SnapshotStore.renameColumn]]): a manifest
+  // republish records `a>b`, the read projection surfaces old-dir data
+  // under the new name, later writes land the new name physically, and
+  // the next full rewrite localizes + clears. The registry key /
+  // cluster declaration rebind when they named the old spelling;
+  // CHECK-referenced columns refuse (their SQL text is the user's).
+  private val RenameColRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + Id +
+      """)\s+RENAME\s+COLUMN\s+(""" + Id + """)\s+TO\s+(""" + Id +
+      """)\s*;?\s*$""").r
+  // DELETE FROM <t> (no WHERE) — remove ALL rows: one empty overwrite
+  // commit, zero data IO beyond the schema file, history stays
+  // time-travelable (the TRUNCATE lifecycle under DELETE's spelling —
+  // Delta's DELETE-without-predicate contract)
+  private val DeleteAllRe =
+    ("""(?is)^\s*DELETE\s+FROM\s+(""" + Id + """)\s*;?\s*$""").r
+  // DESCRIBE [TABLE] <t> — the schema listing for a registered graft
+  // table (Spark's (col_name, data_type, comment) shape); claimed only
+  // for registered names, and the single-identifier anchor keeps
+  // DESCRIBE HISTORY/DETAIL (two tokens) on their own paths
+  private val DescribeTableRe =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(""" + Id + """)\s*;?\s*$""").r
   // ALTER TABLE <t> DROP COLUMN[S] c1[, …] — METADATA-ONLY drops
   // ([[graft.sources.SnapshotStore.dropColumn]]): a manifest republish
   // records the column as dropped, the read-time projection hides it,
@@ -520,6 +543,21 @@ object GraftSqlParser {
   private val DropColumnRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(""" + Id +
       """)\s+DROP\s+COLUMNS?\s+(.+?)\s*;?\s*$""").r
+  // CREATE TABLE <t2> SHALLOW|DEEP CLONE <t1> [VERSION AS OF n]
+  // [LOCATION '<root>'] — Delta's CLONE spelling over the store's
+  // zero-copy [[graft.sources.SnapshotStore.cloneView]] (shallow: v1
+  // manifest of foreign refs, O(files) metadata, same store root) and
+  // [[graft.sources.SnapshotStore.deepClone]] (independent byte copy,
+  // LOCATION = the target root). The clone takes the source binding's
+  // key/clustering/constraints and registers durably. Claimed in
+  // parseMaintenance, which runs BEFORE the VERSION AS OF rewrite —
+  // the clause text stays intact here.
+  private val CloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(""" + Id +
+      """)\s+(SHALLOW|DEEP)\s+CLONE\s+(""" + Id +
+      """)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
+
   // PUBLISH SYNCPOINT (t1, t2, …) — pin the named tables' CURRENT
   // versions as ONE atomically-published syncpoint
   // ([[graft.sources.SnapshotStore.publishSync]]): the SQL spelling of
@@ -998,7 +1036,10 @@ object GraftSqlParser {
         case (whereSql, cols) =>
           GraftOptimizeCommand(nm(m), cols, whereSql = whereSql): LogicalPlan
       }
-    }.orElse(RenameRe.findFirstMatchIn(sqlText).collect {
+    }.orElse(RenameColRe.findFirstMatchIn(sqlText).collect {
+      case m if claimed(m) =>
+        GraftRenameColumnCommand(nm(m), nm(m, 2), nm(m, 3)): LogicalPlan
+    }).orElse(RenameRe.findFirstMatchIn(sqlText).collect {
       case m if claimed(m) =>
         GraftRenameTableCommand(nm(m), nm(m, 2)): LogicalPlan
     }).orElse(AlterClusterRe.findFirstMatchIn(sqlText).collect {
@@ -1029,6 +1070,11 @@ object GraftSqlParser {
     }).orElse(DeleteRe.findFirstMatchIn(sqlText).collect {
       case m if claimed(m) =>
         GraftDeleteCommand(nm(m), m.group(2)): LogicalPlan
+    }).orElse(DeleteAllRe.findFirstMatchIn(sqlText).collect {
+      // DELETE with no WHERE = remove all rows: the TRUNCATE commit
+      // (empty overwrite, history travelable) under DELETE's spelling
+      case m if claimed(m) =>
+        GraftTruncateCommand(nm(m)): LogicalPlan
     }).orElse(ReplaceWhereRe.findFirstMatchIn(sqlText).flatMap { m =>
       if (!claimed(m)) None
       else splitReplaceWhere(m.group(2)).map { case (pred, query) =>
@@ -1091,7 +1137,15 @@ object GraftSqlParser {
             splitWhenClauses(m.group(7)).map(parseWhenClause(tag, _)),
             srcSql = mSrcSql): LogicalPlan
       })
-    }.orElse(CreateTableRe.findFirstMatchIn(sqlText).map { m =>
+    }.orElse(CloneRe.findFirstMatchIn(sqlText).collect {
+      // claimed on the SOURCE being registered — a CLONE of anything
+      // else falls through to whatever the stock parser says
+      case m if claimed(m, 3) =>
+        GraftCloneTableCommand(nm(m), nm(m, 3),
+          deep = m.group(2).equalsIgnoreCase("DEEP"),
+          asOf = Option(m.group(4)).map(_.toLong),
+          location = Option(m.group(5))): LogicalPlan
+    }).orElse(CreateTableRe.findFirstMatchIn(sqlText).map { m =>
       GraftCreateTableCommand(nm(m, 3), Some(m.group(4)), None,
         Option(m.group(5)), Option(m.group(7)),
         ifNotExists = m.group(2) != null,
@@ -1132,6 +1186,15 @@ object GraftSqlParser {
     }).orElse(DescribeDetailRe.findFirstMatchIn(sqlText).collect {
       case m if claimed(m) =>
         GraftDescribeDetailCommand(nm(m)): LogicalPlan
+    }).orElse(DescribeTableRe.findFirstMatchIn(sqlText).collect {
+      // temp views / catalog tables keep the stock DESCRIBE (the same
+      // always-win rule plain SELECT resolution gives them); only a
+      // name NOTHING else owns describes through the graft binding
+      case m if claimed(m) &&
+          !org.apache.spark.sql.SparkSession.getActiveSession.exists(s =>
+            scala.util.Try(s.catalog.tableExists(m.group(1)))
+              .getOrElse(false)) =>
+        GraftDescribeTableCommand(nm(m)): LogicalPlan
     }).orElse(AnalyzeRe.findFirstMatchIn(sqlText).collect {
       case m if claimed(m) =>
         GraftAnalyzeCommand(nm(m),
@@ -2527,8 +2590,10 @@ case class GraftAlterAddColumnsCommand(name: String, columnsDdl: String)
     val (store, view) = GraftTableRegistry.required("ALTER TABLE", name)
     val cur = store.read(view).schema
     val added = org.apache.spark.sql.types.StructType.fromDDL(columnsDdl)
-    val dropped = store.versions(view).lastOption
-      .map(store.manifestDrops(view, _)).getOrElse(Nil)
+    val head = store.versions(view).lastOption
+    val dropped = head.map(store.manifestDrops(view, _)).getOrElse(Nil)
+    val renameSrcs = head.map(store.manifestRenames(view, _)).getOrElse(Nil)
+      .map(_._1)
     added.foreach { f =>
       require(!cur.exists(_.name.equalsIgnoreCase(f.name)),
         s"ALTER TABLE $name: column `${f.name}` already exists")
@@ -2539,6 +2604,13 @@ case class GraftAlterAddColumnsCommand(name: String, columnsDdl: String)
         s"ALTER TABLE $name: `${f.name}` was dropped metadata-only and " +
           "its bytes remain — OPTIMIZE (full rewrite) before re-adding " +
           "the name")
+      // same hazard for a rename SOURCE: old-name bytes remain, and the
+      // read projection would fold a re-added column into the renamed
+      // one (coalesce) — refuse until a rewrite localizes the rename
+      require(!renameSrcs.exists(_.equalsIgnoreCase(f.name)),
+        s"ALTER TABLE $name: `${f.name}` is a pending rename's old " +
+          "name and its bytes remain — OPTIMIZE (full rewrite) before " +
+          "reusing it")
     }
     val widened = org.apache.spark.sql.types.StructType(cur ++ added)
     Seq(org.apache.spark.sql.Row(name, store.commit(view,
@@ -2700,6 +2772,147 @@ case class GraftDropColumnCommand(name: String, columns: Seq[String])
     }
     val v = columns.map(store.dropColumn(view, _)).last
     Seq(org.apache.spark.sql.Row(name, v))
+  }
+}
+
+/** `CREATE TABLE <t2> SHALLOW|DEEP CLONE <t1> [VERSION AS OF n]
+  * [LOCATION '<root>']` — Delta's CLONE statement:
+  *
+  *  - SHALLOW (zero-copy): the clone's v1 manifest references the
+  *    source's data dirs by relative path — cloning a 100 TB table is
+  *    O(files) metadata ([[graft.sources.SnapshotStore.cloneView]]);
+  *    it lives in the SOURCE's store root (foreign refs are
+  *    root-relative), so LOCATION refuses if it disagrees;
+  *  - DEEP (independent): byte-copies the snapshot's dirs into the
+  *    target root (LOCATION, else the session store root, else the
+  *    source root) — vacuum/rewrites on either side can never touch
+  *    the other ([[graft.sources.SnapshotStore.deepClone]]).
+  *
+  * Either way the clone takes the source binding's PRIMARY KEY,
+  * CLUSTER BY, and CHECK constraints and registers durably — it is a
+  * fully DML-able table from the next statement on. Streaming txn
+  * fences are NOT carried (the clone is a new table — the Delta
+  * caveat). Returns (table, version).
+  */
+case class GraftCloneTableCommand(name: String, srcName: String,
+                                  deep: Boolean, asOf: Option[Long],
+                                  location: Option[String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("version", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val kind = if (deep) "DEEP" else "SHALLOW"
+    val tag = s"CREATE TABLE $name $kind CLONE $srcName"
+    GraftSqlParser.validateTableName(name)
+    val (srcStore, srcView) = GraftTableRegistry.required(tag, srcName)
+    require(GraftTableRegistry.lookup(name).isEmpty,
+      s"$tag: `$name` is already a registered graft table")
+    def norm(p: String) =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    val (store, v) =
+      if (deep) {
+        val root = location
+          .orElse(spark.conf.getOption("spark.graft.store.root"))
+          .getOrElse(srcStore.root)
+        val target =
+          if (norm(root) == norm(srcStore.root)) srcStore
+          else new graft.sources.SnapshotStore(spark, root)
+        (target, srcStore.deepClone(target, srcView, name, asOf))
+      } else {
+        // a shallow clone's foreign refs are relative WITHIN one store
+        // root — a different LOCATION cannot hold them
+        location.foreach(l => require(norm(l) == norm(srcStore.root),
+          s"$tag: a SHALLOW clone lives in the source's store root " +
+            s"'${srcStore.root}' — use DEEP CLONE to place it at '$l'"))
+        (srcStore, srcStore.cloneView(srcView, name, asOf))
+      }
+    // the clone takes the source binding whole (key, layout,
+    // constraints) and registers durably — DML-able immediately
+    GraftTableRegistry.lookupKey(srcName) match {
+      case Some(k) => GraftTableRegistry.register(name, store, name, k)
+      case None => GraftTableRegistry.register(name, store, name)
+    }
+    GraftTableRegistry.registerCluster(name,
+      GraftTableRegistry.lookupCluster(srcName))
+    GraftTableRegistry.registerChecks(name,
+      GraftTableRegistry.lookupChecks(srcName))
+    GraftTableRegistry.persistBinding(spark, name)
+    Seq(org.apache.spark.sql.Row(name, v))
+  }
+}
+
+/** `ALTER TABLE <t> RENAME COLUMN a TO b` — METADATA-ONLY
+  * ([[graft.sources.SnapshotStore.renameColumn]]): the manifest
+  * records `a>b`, the read projection surfaces old-dir data under the
+  * new name (coalescing once post-rename writes carry it physically),
+  * time travel keeps each version's own spelling, and the next full
+  * rewrite localizes + clears. When the renamed column IS the
+  * registered PRIMARY KEY or a declared CLUSTER BY column, the
+  * binding REBINDS to the new spelling and re-persists — keyed DML
+  * and layout routing continue seamlessly. A column a recorded CHECK
+  * constraint references refuses (its SQL text is the user's to
+  * migrate). Returns (table, version).
+  */
+case class GraftRenameColumnCommand(name: String, oldCol: String,
+                                    newCol: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("version", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val tag = s"ALTER TABLE $name RENAME COLUMN"
+    val (store, view) = GraftTableRegistry.required(tag, name)
+    GraftTableRegistry.lookupChecks(name).foreach { case (nm, ex) =>
+      import org.apache.spark.sql.functions.expr
+      val refs = org.apache.spark.sql.graftbridge.ColumnBridge
+        .expressionEager(expr(ex)).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.nameParts.last.equalsIgnoreCase(oldCol) => a
+        }
+      require(refs.isEmpty,
+        s"$tag: CHECK constraint `$nm` ($ex) references `$oldCol` — " +
+          "DROP CONSTRAINT, rename, re-ADD with the new name")
+    }
+    val v = store.renameColumn(view, oldCol, newCol)
+    GraftTableRegistry.rebindColumn(name, oldCol, newCol)
+    GraftTableRegistry.persistBinding(spark, name)
+    Seq(org.apache.spark.sql.Row(name, v))
+  }
+}
+
+/** `DESCRIBE [TABLE] <t>` for a registered graft table — the schema
+  * listing in Spark's (col_name, data_type, comment) shape, derived
+  * from the CURRENT snapshot's merged schema (renames/drops applied);
+  * the comment column carries `primary key` / `cluster by` markers so
+  * the binding's row identity and declared layout are visible where
+  * an operator looks first.
+  */
+case class GraftDescribeTableCommand(name: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  import org.apache.spark.sql.types.StringType
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", StringType)(),
+    AttributeReference("data_type", StringType)(),
+    AttributeReference("comment", StringType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val (store, view) = GraftTableRegistry.required("DESCRIBE TABLE", name)
+    require(store.versions(view).nonEmpty,
+      s"DESCRIBE TABLE $name: no committed snapshot yet")
+    val key = GraftTableRegistry.lookupKey(name)
+    val cluster = GraftTableRegistry.lookupCluster(name)
+      .map(_.toLowerCase).toSet
+    store.read(view).schema.map { f =>
+      val marks = Seq(
+        key.filter(_.equalsIgnoreCase(f.name)).map(_ => "primary key"),
+        Some("cluster by").filter(_ => cluster.contains(f.name.toLowerCase))
+      ).flatten
+      org.apache.spark.sql.Row(f.name, f.dataType.simpleString,
+        if (marks.isEmpty) null else marks.mkString(", "))
+    }
   }
 }
 
@@ -3001,6 +3214,19 @@ object GraftTableRegistry {
   def unregister(name: String): Unit = {
     reg.remove(name); keys.remove(name); clusters.remove(name)
     checks.remove(name)
+  }
+
+  /** Rebind column-name references in the table's metadata after a
+    * column rename: a key or declared cluster column spelled `oldCol`
+    * follows the rename, so keyed DML and layout routing continue
+    * addressing the same (now renamed) column.
+    */
+  private[plans] def rebindColumn(name: String, oldCol: String,
+                                  newCol: String): Unit = {
+    keys.get(name).filter(_.equalsIgnoreCase(oldCol))
+      .foreach(_ => keys.update(name, newCol))
+    clusters.get(name).foreach(cs => clusters.update(name,
+      cs.map(c => if (c.equalsIgnoreCase(oldCol)) newCol else c)))
   }
 
   /** The session's catalog root — where durable bindings persist and

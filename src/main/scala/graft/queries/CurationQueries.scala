@@ -2453,6 +2453,80 @@ object CurationQueries {
       } finally s.conf.unset("spark.graft.store.root")
     }),
 
+    // RENAME COLUMN — metadata-only, spanning BOTH column eras: the
+    // seed lands under the old name, the rename republished the same
+    // dirs (zero IO, in-query require), the post-rename insert lands
+    // the new name physically, and the read projection coalesces the
+    // two eras under the new name. The renamed column IS the PRIMARY
+    // KEY's sibling value column and a later UPDATE addresses it by
+    // its new spelling; time travel keeps the old spelling. Oracle
+    // replays both eras declaratively.
+    "q299_sql_rename_column" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q299_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      graft.plans.GraftTableRegistry.unregister("t299")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("price_usd"))
+        .createOrReplaceTempView("q299_orders")
+      s.conf.set("spark.graft.store.root", root)
+      try {
+        s.sql("CREATE TABLE t299 USING graft PRIMARY KEY k " +
+          "AS SELECT k, cust, price_usd FROM q299_orders WHERE k % 4 = 0")
+        val (st, view) = graft.plans.GraftTableRegistry.lookup("t299").get
+        val dirsBefore = st.manifestDirs(view)
+        val preRename = st.versions(view).max
+        s.sql("ALTER TABLE t299 RENAME COLUMN price_usd TO p")
+        require(st.manifestDirs(view) == dirsBefore,
+          "the rename must republish the same dirs — zero data IO")
+        require(s.sql(s"SELECT * FROM t299 VERSION AS OF $preRename")
+          .columns.contains("price_usd"),
+          "time travel must keep the pre-rename spelling")
+        // the new name is live for reads AND writes across both eras
+        s.sql("INSERT INTO t299 SELECT k, cust, price_usd AS p " +
+          "FROM q299_orders WHERE k % 4 = 2")
+        s.sql("UPDATE t299 SET p = p + 1000 WHERE cust % 9 = 0")
+        require(!s.sql("SELECT * FROM t299").columns.contains("price_usd"))
+        s.sql("SELECT k, cust, p FROM t299")
+      } finally s.conf.unset("spark.graft.store.root")
+    }),
+
+    // SQL CLONE — Delta's statement over the zero-copy shallow clone:
+    // the clone's v1 is pure foreign-ref metadata (in-query require:
+    // every manifest dir is a relative ref, no data dir exists under
+    // the clone), pinned AS OF the pre-update version, DML-able
+    // immediately (keyed UPDATE on the clone), and DIVERGENT from the
+    // source (the source's later update is invisible — require).
+    // Oracle replays the pinned snapshot + the clone-side bump.
+    "q300_sql_clone" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q300_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      graft.plans.GraftTableRegistry.unregister("t300")
+      graft.plans.GraftTableRegistry.unregister("t300c")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q300_orders")
+      s.conf.set("spark.graft.store.root", root)
+      try {
+        s.sql("CREATE TABLE t300 USING graft PRIMARY KEY k " +
+          "AS SELECT k, cust, p FROM q300_orders WHERE k % 4 = 0")
+        val (st, _) = graft.plans.GraftTableRegistry.lookup("t300").get
+        val pinned = st.versions("t300").max
+        // the source moves on AFTER the pin — the clone must not see it
+        s.sql("INSERT INTO t300 SELECT k, cust, p FROM q300_orders " +
+          "WHERE k % 4 = 1")
+        s.sql(s"CREATE TABLE t300c SHALLOW CLONE t300 VERSION AS OF $pinned")
+        require(st.manifestDirs("t300c").forall(_.startsWith("../../")),
+          "a shallow clone's v1 must be pure foreign-ref metadata")
+        // diverge BOTH sides; neither sees the other
+        s.sql("UPDATE t300c SET p = p + 1000 WHERE cust % 5 = 0")
+        s.sql("UPDATE t300 SET p = 0 WHERE k % 4 = 1")
+        require(s.sql("SELECT * FROM t300c").count() ==
+          s.sql("SELECT * FROM q300_orders WHERE k % 4 = 0").count(),
+          "the clone reads the pinned snapshot, not the moved-on source")
+        s.sql("SELECT k, cust, p FROM t300c")
+      } finally s.conf.unset("spark.graft.store.root")
+    }),
+
     // COPY INTO observability + the namespaced file fence: the re-run
     // SKIP is counted (files_skipped — a silent skip is now
     // observable), a user txn id equal to a file's fence hash no
@@ -4259,6 +4333,22 @@ object CurationQueries {
     "q298_sql_copy_skip_fence" ->
       """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
          FROM orders WHERE o_orderkey % 3 IN (0, 1)""",
+
+    // The pinned snapshot (k%4=0 only) with the clone-side bump; the
+    // source's post-pin insert and update are invisible to the clone.
+    "q300_sql_clone" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+            CASE WHEN o_custkey % 5 = 0 THEN o_totalprice + 1000
+                 ELSE o_totalprice END AS p
+         FROM orders WHERE o_orderkey % 4 = 0""",
+
+    // Rename is content-invisible across both column eras: the old-era
+    // and new-era rows surface under the new name, plus the keyed bump.
+    "q299_sql_rename_column" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+            CASE WHEN o_custkey % 9 = 0 THEN o_totalprice + 1000
+                 ELSE o_totalprice END AS p
+         FROM orders WHERE o_orderkey % 4 IN (0, 2)""",
 
     // Same composition as q272, born and closed entirely in SQL.
     "q273_sql_create_table" ->

@@ -125,11 +125,28 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       .filter(_.nonEmpty).toSeq
   }
 
+  // Published manifests are IMMUTABLE, so their text caches by
+  // (view, version) — a snapshot read parses dirs + dels + drops +
+  // renames (4 fields) and the maintenance loops re-consult several
+  // more times per commit; without the cache each parse re-reads the
+  // same small file. Bounded (manifests are tiny, but a long-running
+  // process over many views must not grow without limit); vacuum
+  // purges the view's deleted versions so a vacuumed manifest cannot
+  // be served from memory.
+  private val manifestCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+
+  private def manifestText(view: String, v: Long): String = {
+    if (manifestCache.size > 4096) manifestCache.clear()
+    manifestCache.getOrElseUpdate((view, v),
+      Files.readString(manifestPath(view, v)))
+  }
+
   private def readManifest(view: String, v: Long): Seq[String] =
-    manifestField(Files.readString(manifestPath(view, v)), "dirs")
+    manifestField(manifestText(view, v), "dirs")
 
   private def manifestTxns(view: String, v: Long): Set[Long] =
-    manifestField(Files.readString(manifestPath(view, v)), "txns")
+    manifestField(manifestText(view, v), "txns")
       .map(_.toLong).toSet
 
   private val TsField = """"ts"\s*:\s*(\d+)""".r
@@ -143,11 +160,10 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * predate the field fall back to file mtime (best effort, the same
     * fallback Delta documents for non-ICT tables).
     */
-  def commitTimestamp(view: String, v: Long): Long = {
-    val p = manifestPath(view, v)
-    TsField.findFirstMatchIn(Files.readString(p)).map(_.group(1).toLong)
-      .getOrElse(Files.getLastModifiedTime(p).toMillis)
-  }
+  def commitTimestamp(view: String, v: Long): Long =
+    TsField.findFirstMatchIn(manifestText(view, v)).map(_.group(1).toLong)
+      .getOrElse(
+        Files.getLastModifiedTime(manifestPath(view, v)).toMillis)
 
   /** Resolve a wall-clock instant to the snapshot a reader AT that
     * instant would have seen: the max retained version whose commit
@@ -175,7 +191,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * no-rewrite structure.
     */
   def manifestDels(view: String, v: Long): Seq[String] =
-    manifestField(Files.readString(manifestPath(view, v)), "dels")
+    manifestField(manifestText(view, v), "dels")
 
   /** Per-file ingestion fences ([[fileFence]]) folded into snapshot
     * `v` — their OWN manifest field, disjoint from the txn-id space by
@@ -184,7 +200,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * appendOnce). Absent in pre-field manifests ⇒ empty.
     */
   def manifestFiles(view: String, v: Long): Set[Long] =
-    manifestField(Files.readString(manifestPath(view, v)), "files")
+    manifestField(manifestText(view, v), "files")
       .map(_.toLong).toSet
 
   /** Columns DROPPED (metadata-only) as of snapshot `v` — recorded in
@@ -194,7 +210,21 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * clears the list — the rewritten data physically lacks the column.
     */
   def manifestDrops(view: String, v: Long): Seq[String] =
-    manifestField(Files.readString(manifestPath(view, v)), "drops")
+    manifestField(manifestText(view, v), "drops")
+
+  /** Column RENAMES (metadata-only) as of snapshot `v`, in application
+    * order, each encoded `old>new` — the read-time projection maps the
+    * physical old name onto the new one (coalescing when post-rename
+    * dirs already carry the new name physically), so the rename is
+    * zero data IO and versioned like a drop. A full rewrite clears the
+    * list (the rewritten data is born under the new names).
+    */
+  def manifestRenames(view: String, v: Long): Seq[(String, String)] =
+    manifestField(manifestText(view, v), "renames")
+      .map { s =>
+        val i = s.indexOf('>')
+        (s.take(i), s.drop(i + 1))
+      }
 
   /** The data-dir names snapshot `v` (default: latest) is made of —
     * public so tests can pin copy-on-write behavior (which dirs a merge
@@ -363,7 +393,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
   private def publish(view: String, next: Long, dirs: Seq[String],
                       txns: Set[Long], dels: Seq[String] = Nil,
                       filesExtra: Set[Long] = Set.empty,
-                      drops: Option[Seq[String]] = None): Unit = {
+                      drops: Option[Seq[String]] = None,
+                      renames: Option[Seq[(String, String)]] = None): Unit = {
     // predecessor for the carried fields — the latest RETAINED version
     // below `next` (vacuum may have dropped next-1)
     val prevV = versions(view).filter(_ < next).lastOption
@@ -371,6 +402,17 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       filesExtra
     val dropped = drops.getOrElse(
       prevV.map(manifestDrops(view, _)).getOrElse(Nil))
+    // renames share the drops lifecycle exactly: None carries, a full
+    // rewrite passes Some(Nil) — the Option arrives tied to `drops` at
+    // every call site, so the two lists stay in lockstep
+    val renamed = renames.getOrElse(
+      drops match {
+        // a site that SET drops to Nil is a full rewrite — renames
+        // clear with it; a site restoring/cloning specific state passes
+        // its own renames explicitly
+        case Some(Nil) => Nil
+        case _ => prevV.map(manifestRenames(view, _)).getOrElse(Nil)
+      })
     Files.createDirectories(manifestDir(view))
     // commit timestamp, monotonic-guarded against the latest retained
     // predecessor: timestamps strictly ascend with versions, so
@@ -385,15 +427,20 @@ class SnapshotStore(spark: SparkSession, val root: String) {
         .map(commitTimestamp(view, _)).getOrElse(0L)
     val ts = math.max(parentTs + 1, System.currentTimeMillis())
     val tmp = Files.createTempFile(manifestDir(view), s".v$next", ".tmp")
-    Files.writeString(tmp,
+    val text =
       dirs.map(d => "\"" + d + "\"").mkString("{\"dirs\":[", ",", "],") +
         dels.map(d => "\"" + d + "\"").mkString("\"dels\":[", ",", "],") +
         s""""ts":$ts,""" +
         files.toSeq.sorted.mkString("\"files\":[", ",", "],") +
         dropped.map(d => "\"" + d + "\"").mkString("\"drops\":[", ",", "],") +
-        txns.toSeq.sorted.mkString("\"txns\":[", ",", "]}"))
-    try
+        renamed.map { case (o, nn) => "\"" + o + ">" + nn + "\"" }
+          .mkString("\"renames\":[", ",", "],") +
+        txns.toSeq.sorted.mkString("\"txns\":[", ",", "]}")
+    Files.writeString(tmp, text)
+    try {
       Files.createLink(manifestPath(view, next), tmp)
+      manifestCache.update((view, next), text)
+    }
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       throw new SnapshotConflict(s"$view: version $next already committed")
     }
@@ -643,15 +690,38 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       manifestDels(view, v)), view, v)
   }
 
-  /** The metadata-only DROP COLUMN projection: hide the snapshot's
-    * recorded dropped columns (a pure column prune — Catalyst pushes
-    * it into the scan, zero cost). Names not physically present are
-    * no-ops (a rewrite already removed them).
+  /** The metadata-only RENAME/DROP COLUMN projection, applied in
+    * recorded order — renames first (drops are recorded against
+    * post-rename names), then the column prune; both are pure
+    * projections Catalyst pushes into the scan. For a rename whose
+    * dirs span the change, the physical schema holds BOTH names
+    * (pre-rename dirs the old, post-rename writes the new) and each
+    * row carries exactly one side — the projection coalesces them
+    * under the new name. Names not physically present are no-ops (a
+    * rewrite already localized them).
     */
   private def applyDrops(df: DataFrame, view: String, v: Long): DataFrame = {
+    val renamed = applyRenames(df, view, v)
     val ds = manifestDrops(view, v)
-    if (ds.isEmpty) df else df.drop(ds: _*)
+    if (ds.isEmpty) renamed else renamed.drop(ds: _*)
   }
+
+  /** The rename half of [[applyDrops]] alone — for the REWRITE paths
+    * (merge/delete/replace/optimize) that read raw dir SUBSETS and
+    * then align to the snapshot schema: `alignedTo` discards dropped
+    * columns anyway, but a renamed column's data lives under the OLD
+    * physical name and would align to NULL — a silent data loss the
+    * rename spec caught. Every raw-dir read that feeds a rewrite or a
+    * predicate runs through this first.
+    */
+  private def applyRenames(df: DataFrame, view: String, v: Long): DataFrame =
+    manifestRenames(view, v).foldLeft(df) { case (d, (old, nn)) =>
+      val cols = d.columns
+      if (!cols.contains(old)) d
+      else if (cols.contains(nn))
+        d.withColumn(nn, coalesce(col(nn), col(old))).drop(old)
+      else d.withColumnRenamed(old, nn)
+    }
 
   /** Rows ADDED between snapshot `fromV` (EXCLUSIVE; `<= 0` = from the
     * beginning, i.e. all of `toV`) and snapshot `toV` — the incremental
@@ -842,7 +912,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     val dirs = manifestDirs(view)
     val fresh = dirs.filterNot(d => covered.contains(dirBase(view, d)))
     if (fresh.isEmpty) return versions(iv).max
-    val rows = readDirs(fresh, view)
+    val rows = applyRenames(readDirs(fresh, view), view,
+        versions(view).max)
       .withColumn("_dir",
         expr("regexp_extract(input_file_name(), '([^/]+)/[^/]+$', 1)"))
       .select(col(c), col("_dir")).distinct()
@@ -1076,7 +1147,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       // anti-join would read as empty. Aligned to the snapshot schema
       // (a projection, still scan-local): the candidate SUBSET may
       // predate a schema-evolved column the predicate references.
-      val raw = alignedTo(readDirs(candidates, view),
+      val raw = alignedTo(
+          applyRenames(readDirs(candidates, view), view, base),
           read(view, Some(base)).schema)
         .withColumn("_graft_dir", element_at(split(input_file_name(), "/"), -2))
       val probe = applyDels(raw, view, prevDels)
@@ -1104,7 +1176,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     // the snapshot schema: the predicate may reference a schema-evolved
     // column those dirs predate.
     val keys = matchedDirs
-      .map(md => alignedTo(applyDels(readDirs(md, view), view, prevDels),
+      .map(md => alignedTo(applyRenames(
+        applyDels(readDirs(md, view), view, prevDels), view, base),
         read(view, Some(base)).schema))
       .getOrElse(read(view, Some(base)))
       .where(pred).select(col(keyCol)).distinct()
@@ -1153,8 +1226,9 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     // rewrite): the predicate may reference a schema-evolved column
     // the touched dirs predate, and the rewritten dir must carry the
     // full-width rows the whole-table read would produce
-    val keep = alignedTo(
-      applyDels(readDirs(touched, view), view, prevDels), snapshotSchema)
+    val keep = alignedTo(applyRenames(
+      applyDels(readDirs(touched, view), view, prevDels), view, base),
+      snapshotSchema)
       .where(!coalesce(hit, lit(false)))
     val sized = sizedForBytes(keep, touched.map(dirBytes(view, _)).sum)
     val next = base + 1
@@ -1365,8 +1439,9 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     val keptDir =
       if (touched.isEmpty) None
       else {
-        val keep = alignedTo(
-          applyDels(readDirs(touched, view), view, prevDels), snapshotSchema)
+        val keep = alignedTo(applyRenames(
+          applyDels(readDirs(touched, view), view, prevDels), view, base),
+          snapshotSchema)
           .where(!coalesce(hit, lit(false)))
         val sized = sizedForBytes(keep, touched.map(dirBytes(view, _)).sum)
         val d = s"b$next-rw" + java.util.UUID.randomUUID().toString.take(8)
@@ -1448,7 +1523,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       require(existing == keyCol,
         s"$view: deletion vectors are keyed by `$existing`, got `$keyCol`")
     }
-    val residual = readDirs(live, view).where(col(c) < lit(cutoff))
+    val residual = applyRenames(readDirs(live, view), view, base)
+      .where(col(c) < lit(cutoff))
       .select(col(keyCol)).distinct()
     val next = base + 1
     val delDir = s"del$next-" + java.util.UUID.randomUUID().toString.take(8)
@@ -1627,7 +1703,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     val baseDels = manifestDels(view, base)
     val rewritten =
       if (touched.isEmpty) upserts
-      else aligned(applyDels(readDirs(touched, view), view, baseDels))
+      else aligned(applyRenames(
+          applyDels(readDirs(touched, view), view, baseDels), view, base))
         .join(source.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         .unionByName(upserts)
     // Size the rewrite's file count from the touched dirs' bytes (the
@@ -1830,7 +1907,50 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     }
     publish(view, base + 1, readManifest(view, base),
       manifestTxns(view, base), dels,
-      drops = Some((manifestDrops(view, base) :+ exact).distinct))
+      drops = Some((manifestDrops(view, base) :+ exact).distinct),
+      renames = Some(manifestRenames(view, base)))
+    base + 1
+  }
+
+  /** METADATA-ONLY column rename: publish the same dirs with
+    * `old>new` appended to the manifest's rename list — zero data IO;
+    * the read-time projection ([[applyDrops]]) surfaces the physical
+    * old-name data under the new name from this version on, and time
+    * travel keeps each version's own spelling. Later writes land the
+    * NEW name physically; the projection coalesces the two eras until
+    * the next full rewrite localizes everything under the new name
+    * and clears the list. Refuses the deletion-vector key (vectors
+    * are keyed by physical column), an occupied target, and names
+    * carrying the encoding characters. Data-skipping note: pre-rename
+    * dirs keep their stats under the OLD name, so pruning on the new
+    * name reads them conservatively until a rewrite — correct, not
+    * yet tight.
+    */
+  def renameColumn(view: String, oldName: String, newName: String): Long = {
+    val vs = versions(view)
+    require(vs.nonEmpty, s"$view: nothing to rename a column in")
+    val base = vs.max
+    val schema = read(view, Some(base)).schema
+    val exact = schema.fieldNames.find(_.equalsIgnoreCase(oldName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$view: no column `$oldName` among " +
+          schema.fieldNames.mkString("(", ", ", ")")))
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"$view: column `$newName` already exists")
+    Seq(exact, newName).foreach(c =>
+      require(!c.contains('>') && !c.contains(',') && !c.contains('"'),
+        s"$view: column name `$c` holds a manifest-reserved character"))
+    val dels = manifestDels(view, base)
+    dels.headOption.foreach { d =>
+      val vKey = readDirs(Seq(d), view).columns.head
+      require(!vKey.equalsIgnoreCase(exact),
+        s"$view: `$exact` keys the live deletion vectors — OPTIMIZE " +
+          "(materialize the vectors) before renaming it")
+    }
+    publish(view, base + 1, readManifest(view, base),
+      manifestTxns(view, base), dels,
+      drops = Some(manifestDrops(view, base)),
+      renames = Some(manifestRenames(view, base) :+ (exact -> newName)))
     base + 1
   }
 
@@ -1944,8 +2064,9 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     if (touched.isEmpty) return base
     val untouched = dirs.filterNot(touched.toSet)
     val snapshotSchema = read(view, Some(base)).schema
-    val data = alignedTo(
-      applyDels(readDirs(touched, view), view, prevDels), snapshotSchema)
+    val data = alignedTo(applyRenames(
+      applyDels(readDirs(touched, view), view, prevDels), view, base),
+      snapshotSchema)
     val next = base + 1
     val newDirs =
       if (clusterCols.nonEmpty) {
@@ -2097,10 +2218,15 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * the table (dir list not a superset of the predecessor's).
     */
   def history(view: String): DataFrame = {
-    val rows = versions(view).map { v =>
+    val vs = versions(view)
+    val rows = vs.map { v =>
       val dirs = readManifest(view, v)
-      val prev = if (v == versions(view).min) Seq.empty
-        else readManifest(view, v - 1)
+      // predecessor = the latest RETAINED version below v — the
+      // retained set can be non-contiguous (vacuum horizon + syncpoint
+      // pins), so v-1 may be gone; diffing against the retained
+      // predecessor keeps the overwrite flag meaningful
+      val prev = vs.filter(_ < v).lastOption
+        .map(readManifest(view, _)).getOrElse(Seq.empty)
       (v, dirs.size.toLong, manifestTxns(view, v).size.toLong,
         !prev.forall(dirs.contains))
     }
@@ -2122,7 +2248,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     val base = vs.max
     val next = base + 1
     publish(view, next, readManifest(view, v), manifestTxns(view, base),
-      manifestDels(view, v), drops = Some(manifestDrops(view, v)))
+      manifestDels(view, v), drops = Some(manifestDrops(view, v)),
+      renames = Some(manifestRenames(view, v)))
     next
   }
 
@@ -2153,7 +2280,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     val srcV = resolvedVersion(src, asOf)
     publish(dst, 1L, readManifest(src, srcV).map(rel), Set.empty,
       manifestDels(src, srcV).map(rel),
-      drops = Some(manifestDrops(src, srcV)))
+      drops = Some(manifestDrops(src, srcV)),
+      renames = Some(manifestRenames(src, srcV)))
     1L
   }
 
@@ -2237,7 +2365,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     publish(view, base + 1, readManifest(b, head).map(toMain),
       manifestTxns(view, base) ++ manifestTxns(b, head),
       manifestDels(b, head).map(toMain),
-      drops = Some(manifestDrops(b, head)))
+      drops = Some(manifestDrops(b, head)),
+      renames = Some(manifestRenames(b, head)))
     base + 1
   }
 
@@ -2277,7 +2406,9 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       manifestTxns(b, head) ++ manifestTxns(view, mainHead),
       manifestDels(view, mainHead).map(rel),
       drops = Some((manifestDrops(view, mainHead) ++
-        manifestDrops(b, head)).distinct))
+        manifestDrops(b, head)).distinct),
+      renames = Some((manifestRenames(view, mainHead) ++
+        manifestRenames(b, head)).distinct))
     head + 1
   }
 
@@ -2313,7 +2444,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     val dirs = readManifest(srcView, v).map(copyDir)
     val dels = manifestDels(srcView, v).map(copyDir)
     target.publish(dstView, 1L, dirs, Set.empty, dels,
-      drops = Some(manifestDrops(srcView, v)))
+      drops = Some(manifestDrops(srcView, v)),
+      renames = Some(manifestRenames(srcView, v)))
     1L
   }
 
@@ -2361,7 +2493,10 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     val deadVersions = vs.dropRight(retainVersions).filterNot(pinned)
     if (!dryRun) {
       dead.foreach(p => Scratch.deleteRecursively(p.toFile))
-      deadVersions.foreach(v => Files.deleteIfExists(manifestPath(view, v)))
+      deadVersions.foreach { v =>
+        Files.deleteIfExists(manifestPath(view, v))
+        manifestCache.remove((view, v))
+      }
     }
     (dead.map(_.getFileName.toString), deadVersions)
   }

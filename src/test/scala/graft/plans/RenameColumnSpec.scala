@@ -1,0 +1,133 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** Round-16 second wave: `ALTER TABLE … RENAME COLUMN a TO b`
+  * (metadata-only, two physical column eras coalesced at read), the
+  * bare `DELETE FROM t` (remove-all under DELETE's spelling), and
+  * `DESCRIBE [TABLE] t` for registered graft names.
+  */
+class RenameColumnSpec extends SparkSpec {
+
+  private var n = 0
+  private def withRoot[T](body: String => T): T = {
+    n += 1
+    val root =
+      graft.sources.Scratch.processScoped("renamecol_spec", "spec") + s"/case$n"
+    spark.conf.set("spark.graft.store.root", root)
+    try body(root) finally spark.conf.unset("spark.graft.store.root")
+  }
+
+  test("RENAME COLUMN spans both eras: old dirs read under the new name, " +
+      "new writes land it physically, OPTIMIZE localizes") {
+    withRoot { _ =>
+      spark.sql("CREATE TABLE rc1 (k BIGINT, old_v DOUBLE) USING graft " +
+        "PRIMARY KEY k")
+      spark.sql("INSERT INTO rc1 VALUES (1, 1.5), (2, 2.5)")
+      val (st, view) = GraftTableRegistry.lookup("rc1").get
+      val dirsBefore = st.manifestDirs(view)
+      val preRename = st.versions(view).max
+      spark.sql("ALTER TABLE rc1 RENAME COLUMN old_v TO v")
+      assert(st.manifestDirs(view) == dirsBefore, "zero data IO")
+      // old-era rows surface under the NEW name
+      assert(spark.sql("SELECT v FROM rc1 WHERE k = 1").head()
+        .getDouble(0) == 1.5)
+      // time travel keeps each version's own spelling
+      assert(spark.sql(s"SELECT old_v FROM rc1 VERSION AS OF $preRename")
+        .count() == 2L)
+      // new-era writes land the new name; both eras coalesce
+      spark.sql("INSERT INTO rc1 VALUES (3, 3.5)")
+      spark.sql("UPDATE rc1 SET v = v + 10 WHERE k = 2")
+      assert(spark.sql("SELECT sum(v) FROM rc1").head().getDouble(0) ==
+        1.5 + 12.5 + 3.5)
+      // keyed DML kept working through the rename (k untouched), and a
+      // KEY rename rebinds the registry
+      spark.sql("ALTER TABLE rc1 RENAME COLUMN k TO id")
+      assert(GraftTableRegistry.lookupKey("rc1").contains("id"))
+      spark.sql("UPDATE rc1 SET v = 0.0 WHERE id = 3")
+      assert(spark.sql("SELECT v FROM rc1 WHERE id = 3").head()
+        .getDouble(0) == 0.0)
+      // the rebind persisted: a restarted JVM keys on the new spelling
+      GraftTableRegistry.clearInMemory()
+      assert(GraftTableRegistry.lookupKey("rc1").contains("id"))
+      // reusing the old name refuses until a rewrite localizes
+      val reuse = scala.util.Try(
+        spark.sql("ALTER TABLE rc1 ADD COLUMNS (old_v DOUBLE)").collect())
+      assert(reuse.isFailure &&
+        reuse.failed.get.getMessage.contains("pending rename"),
+        reuse.toString)
+      spark.sql("OPTIMIZE rc1")
+      val head = st.versions(view).max
+      assert(st.manifestRenames(view, head).isEmpty,
+        "the full rewrite localizes the rename and clears the list")
+      spark.sql("ALTER TABLE rc1 ADD COLUMNS (old_v DOUBLE)")
+      assert(spark.sql("SELECT old_v FROM rc1 WHERE id = 1").head().isNullAt(0))
+      spark.sql("DROP TABLE rc1")
+    }
+  }
+
+  test("RENAME COLUMN refusals and guards") {
+    withRoot { _ =>
+      spark.sql("CREATE TABLE rc2 (k BIGINT, a BIGINT, v STRING) " +
+        "USING graft PRIMARY KEY k CLUSTER BY (a)")
+      spark.sql("INSERT INTO rc2 VALUES (1, 2, 'x')")
+      spark.sql("ALTER TABLE rc2 ADD CONSTRAINT vnn CHECK (v IS NOT NULL)")
+      val checked = scala.util.Try(
+        spark.sql("ALTER TABLE rc2 RENAME COLUMN v TO w").collect())
+      assert(checked.isFailure &&
+        checked.failed.get.getMessage.contains("CHECK constraint"),
+        checked.toString)
+      val taken = scala.util.Try(
+        spark.sql("ALTER TABLE rc2 RENAME COLUMN a TO v").collect())
+      assert(taken.isFailure &&
+        taken.failed.get.getMessage.contains("already exists"),
+        taken.toString)
+      // a CLUSTER BY column rename rebinds the declared layout
+      spark.sql("ALTER TABLE rc2 RENAME COLUMN a TO a2")
+      assert(GraftTableRegistry.lookupCluster("rc2") == Seq("a2"))
+      spark.sql("INSERT INTO rc2 VALUES (9, 9, 'y')")
+      assert(spark.sql("SELECT count(*) FROM rc2 WHERE a2 = 9")
+        .head().getLong(0) == 1L)
+      spark.sql("DROP TABLE rc2")
+    }
+  }
+
+  test("bare DELETE FROM t removes all rows, history travelable") {
+    withRoot { _ =>
+      spark.sql("CREATE TABLE da1 (k BIGINT, v STRING) USING graft")
+      spark.sql("INSERT INTO da1 VALUES (1, 'a'), (2, 'b')")
+      val (st, view) = GraftTableRegistry.lookup("da1").get
+      val pre = st.versions(view).max
+      spark.sql("DELETE FROM da1")
+      assert(spark.sql("SELECT * FROM da1").count() == 0L)
+      assert(spark.sql(s"SELECT * FROM da1 VERSION AS OF $pre").count() == 2L)
+      // an unregistered bare DELETE still falls through to stock Spark
+      val e = intercept[Exception](
+        spark.sql("DELETE FROM no_such_da WHERE 1=1").collect())
+      assert(!e.getMessage.contains("graft"), e.getMessage)
+      spark.sql("DROP TABLE da1")
+    }
+  }
+
+  test("DESCRIBE TABLE lists the merged schema with key/layout markers") {
+    withRoot { _ =>
+      spark.sql("CREATE TABLE dt1 (k BIGINT, a BIGINT, v STRING) " +
+        "USING graft PRIMARY KEY k CLUSTER BY (a)")
+      val rows = spark.sql("DESCRIBE TABLE dt1").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      assert(rows == Seq(
+        ("k", "bigint", "primary key"),
+        ("a", "bigint", "cluster by"),
+        ("v", "string", null)), rows.toString)
+      // the short spelling works; renames/drops reflect immediately
+      spark.sql("ALTER TABLE dt1 RENAME COLUMN v TO w")
+      val cols = spark.sql("DESC dt1").collect().map(_.getString(0)).toSeq
+      assert(cols == Seq("k", "a", "w"), cols.toString)
+      // unregistered names still reach the stock DESCRIBE path
+      val e = intercept[Exception](
+        spark.sql("DESCRIBE TABLE no_such_dt").collect())
+      assert(!e.getMessage.contains("graft"), e.getMessage)
+      spark.sql("DROP TABLE dt1")
+    }
+  }
+}
