@@ -468,7 +468,7 @@ object GraftSqlParser {
 
   private val ClusterByLookahead = """(?is)^\s+BY\s*\(""".r
   private val OptClusterColsRe =
-    """(?is)^CLUSTER\s+BY\s*\(([^)]*)\)\s*$""".r
+    """(?is)^(?:CLUSTER|ZORDER)\s+BY\s*\(([^)]*)\)\s*$""".r
 
   /** Split an OPTIMIZE statement's tail into (WHERE predicate, CLUSTER
     * BY columns) — the boundary found by the MASK WALK ([[topLevelKw]]),
@@ -482,7 +482,10 @@ object GraftSqlParser {
       : Option[(Option[String], Seq[String])] = {
     val t = tail.trim
     if (t.isEmpty) return Some((None, Nil))
-    val clusterAt = topLevelKw(t, "CLUSTER", ClusterByLookahead).headOption
+    // ZORDER BY is accepted as a spelling alias for CLUSTER BY (the
+    // Delta habit) — both route to the same Hilbert layout writer
+    val clusterAt = (topLevelKw(t, "CLUSTER", ClusterByLookahead) ++
+      topLevelKw(t, "ZORDER", ClusterByLookahead)).sorted.headOption
     val (head, clusterTxt) = clusterAt match {
       case Some(i) => (t.take(i).trim, Some(t.drop(i).trim))
       case None => (t, None)

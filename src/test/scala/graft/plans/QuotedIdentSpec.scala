@@ -59,6 +59,11 @@ class QuotedIdentSpec extends SparkSpec {
     // quoted cluster columns normalize
     assert(GraftSqlParser.splitOptimizeTail("CLUSTER BY (`a-1`, b)") ==
       Some((None, Seq("a-1", "b"))))
+    // ZORDER BY is a spelling alias for CLUSTER BY (the Delta habit)
+    assert(GraftSqlParser.splitOptimizeTail("ZORDER BY (a, b)") ==
+      Some((None, Seq("a", "b"))))
+    assert(GraftSqlParser.splitOptimizeTail("WHERE k >= 6 ZORDER BY (a)") ==
+      Some((Some("k >= 6"), Seq("a"))))
     // junk tail → None (falls through to the delegate's error)
     assert(GraftSqlParser.splitOptimizeTail("FULL").isEmpty)
   }

@@ -92,6 +92,44 @@ class RenameColumnSpec extends SparkSpec {
     }
   }
 
+  test("CHANGES across a rename boundary: the feed reports the column " +
+      "move as drop+add per key (pinned semantics, like Delta sans " +
+      "column mapping)") {
+    withRoot { _ =>
+      spark.sql("CREATE TABLE rc3 (k BIGINT, a DOUBLE) USING graft " +
+        "PRIMARY KEY k")
+      spark.sql("INSERT INTO rc3 VALUES (1, 1.0)")
+      spark.sql("ALTER TABLE rc3 RENAME COLUMN a TO b")
+      val (st, view) = GraftTableRegistry.lookup("rc3").get
+      val head = st.versions(view).max
+      // each side of the diff reads with ITS OWN version's naming, so
+      // the rename surfaces as (a: 1.0 -> NULL, b: NULL -> 1.0) —
+      // value-identical, but the feed treats it as an update (no
+      // column-identity mapping; pin it so the contract is explicit)
+      val feed = spark.sql(
+        s"SELECT * FROM rc3 CHANGES FROM ${head - 1} TO $head").collect()
+      assert(feed.length == 1 &&
+        feed.head.getAs[String]("change_type") == "update", feed.toSeq)
+      assert(feed.head.getAs[Double]("a_pre") == 1.0 &&
+        feed.head.getAs[Double]("b_post") == 1.0, feed.toSeq)
+      spark.sql("DROP TABLE rc3")
+    }
+  }
+
+  test("OPTIMIZE accepts the ZORDER BY spelling end to end") {
+    withRoot { _ =>
+      spark.sql("CREATE TABLE zo1 (k BIGINT, a BIGINT, b BIGINT) USING graft")
+      spark.sql("INSERT INTO zo1 SELECT id, id % 8, id DIV 8 " +
+        "FROM range(0, 64)")
+      spark.sql("OPTIMIZE zo1 ZORDER BY (a, b)")
+      val (st, view) = GraftTableRegistry.lookup("zo1").get
+      val (_, skip) = st.pruneDirsBox("zo1",
+        Seq(("a", "1", "1"), ("b", "1", "1")))
+      assert(skip.nonEmpty, "the zordered layout must box-prune")
+      spark.sql("DROP TABLE zo1")
+    }
+  }
+
   test("bare DELETE FROM t removes all rows, history travelable") {
     withRoot { _ =>
       spark.sql("CREATE TABLE da1 (k BIGINT, v STRING) USING graft")

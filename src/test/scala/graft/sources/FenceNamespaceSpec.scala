@@ -133,6 +133,25 @@ class FenceNamespaceSpec extends SparkSpec {
     }
   }
 
+  test("history() survives a NON-CONTIGUOUS retained set (syncpoint pin " +
+      "below the vacuum horizon)") {
+    val root = freshRoot()
+    import spark.implicits._
+    val st = new SnapshotStore(spark, root)
+    (1 to 5).foreach { i =>
+      st.commit("hg", Seq((i.toLong, s"v$i")).toDF("k", "v"),
+        overwrite = i == 1)
+    }
+    // pin v2 via a live syncpoint, then vacuum to the newest 2 —
+    // retained versions become {2, 4, 5}: v3 (the predecessor of v4)
+    // is GONE, which used to crash history() on readManifest(v-1)
+    st.publishSync(Map("hg" -> 2L))
+    st.vacuum("hg", retainVersions = 2)
+    assert(st.versions("hg") == Seq(2L, 4L, 5L))
+    val h = st.history("hg").collect().map(_.getLong(0)).toSeq
+    assert(h == Seq(2L, 4L, 5L), h.toString)
+  }
+
   test("replaceWhere pins expectedBase: a commit landing between probe " +
       "and publish surfaces as SnapshotConflict, not a silent swap") {
     val root = freshRoot()
