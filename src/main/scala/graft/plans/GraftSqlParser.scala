@@ -561,6 +561,26 @@ object GraftSqlParser {
       """)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
 
+  // ALTER TABLE <t> CREATE|FAST FORWARD|REBASE|DROP BRANCH <b> — the
+  // WAP (write–audit–publish) lifecycle in SQL over the store's
+  // branch primitives. CREATE registers the branch as the DML-able
+  // table `` `t@b` `` (the quoted-identifier surface makes every
+  // statement work on it); FAST FORWARD publishes the audited branch
+  // head into main atomically; REBASE re-points an append-only branch
+  // onto main's current head after an OCC refusal; DROP unbinds.
+  private val CreateBranchRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + Id +
+      """)\s+CREATE\s+BRANCH\s+(\w+)\s*;?\s*$""").r
+  private val FastForwardRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + Id +
+      """)\s+FAST\s+FORWARD\s+BRANCH\s+(\w+)\s*;?\s*$""").r
+  private val RebaseBranchRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + Id +
+      """)\s+REBASE\s+BRANCH\s+(\w+)\s*;?\s*$""").r
+  private val DropBranchRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + Id +
+      """)\s+DROP\s+BRANCH\s+(\w+)\s*;?\s*$""").r
+
   // PUBLISH SYNCPOINT (t1, t2, …) — pin the named tables' CURRENT
   // versions as ONE atomically-published syncpoint
   // ([[graft.sources.SnapshotStore.publishSync]]): the SQL spelling of
@@ -577,10 +597,21 @@ object GraftSqlParser {
   private val SyncAsOfRe =
     ("""(?is)(""" + Id + """)\s+SYNC\s+AS\s+OF\s+(LATEST\b|\d+)""").r
 
-  private[plans] def rewriteSyncAsOf(sqlText: String): Option[String] =
-    replaceOutsideQuotes(sqlText, SyncAsOfRe) { m =>
-      "`" + cleanIdent(m.group(1)) + "$sync$" + m.group(2).toLowerCase + "`"
+  private[plans] def rewriteSyncAsOf(sqlText: String): Option[String] = {
+    // registry-gated like TIMESTAMP AS OF: an unregistered name's text
+    // stays verbatim (the delegate reports ITS error on the original
+    // statement, never on a mangled identifier)
+    val mask = quotedMask(sqlText)
+    val any = SyncAsOfRe.findAllMatchIn(sqlText).exists(m =>
+      identMatchOk(sqlText, mask, m) &&
+        GraftTableRegistry.lookup(cleanIdent(m.group(1))).nonEmpty)
+    if (!any) None
+    else replaceOutsideQuotes(sqlText, SyncAsOfRe) { m =>
+      val n = cleanIdent(m.group(1))
+      if (GraftTableRegistry.lookup(n).isEmpty) m.matched
+      else "`" + n + "$sync$" + m.group(2).toLowerCase + "`"
     }
+  }
 
   // ALTER TABLE <t> CLUSTER BY (a, b) | NONE — re-declare (or clear)
   // the table's layout: future INSERT/CTAS route through the new
@@ -1045,6 +1076,18 @@ object GraftSqlParser {
     }).orElse(RenameRe.findFirstMatchIn(sqlText).collect {
       case m if claimed(m) =>
         GraftRenameTableCommand(nm(m), nm(m, 2)): LogicalPlan
+    }).orElse(CreateBranchRe.findFirstMatchIn(sqlText).collect {
+      case m if claimed(m) =>
+        GraftBranchCommand(nm(m), m.group(2), "create"): LogicalPlan
+    }).orElse(FastForwardRe.findFirstMatchIn(sqlText).collect {
+      case m if claimed(m) =>
+        GraftBranchCommand(nm(m), m.group(2), "fastforward"): LogicalPlan
+    }).orElse(RebaseBranchRe.findFirstMatchIn(sqlText).collect {
+      case m if claimed(m) =>
+        GraftBranchCommand(nm(m), m.group(2), "rebase"): LogicalPlan
+    }).orElse(DropBranchRe.findFirstMatchIn(sqlText).collect {
+      case m if claimed(m) =>
+        GraftBranchCommand(nm(m), m.group(2), "drop"): LogicalPlan
     }).orElse(AlterClusterRe.findFirstMatchIn(sqlText).collect {
       case m if claimed(m) =>
         GraftAlterClusterCommand(nm(m),
@@ -1119,7 +1162,7 @@ object GraftSqlParser {
           GraftMergeCommand(nm(m), nm(m, 2),
             Seq(m.group(3), m.group(4)).map(c => c.split('.').last),
             Option(m.group(5)).map(_.split('.').last),
-            srcSql = mSrcSql): LogicalPlan
+            srcSql = mSrcSql, srcRaw = m.group(2)): LogicalPlan
       }.orElse(MergeColsRe.findFirstMatchIn(mText).collect {
         case m if claimed(m) &&
             (m.group(7) != null || m.group(8) != null) =>
@@ -1128,9 +1171,10 @@ object GraftSqlParser {
             Seq(m.group(5), m.group(6)),
             setSql = Option(m.group(7)),
             insertCols = Option(m.group(8)).map(c =>
-              c.split(",").toSeq.map(_.trim).filter(_.nonEmpty)),
+              c.split(",").toSeq.map(t => cleanIdent(t.trim))
+                .filter(_.nonEmpty)),
             insertValsSql = Option(m.group(9)),
-            srcSql = mSrcSql): LogicalPlan
+            srcSql = mSrcSql, srcRaw = m.group(3)): LogicalPlan
       }).orElse(MergeWhenRe.findFirstMatchIn(mText).collect {
         case m if claimed(m) =>
           val tag = s"MERGE INTO ${nm(m)}"
@@ -1138,7 +1182,7 @@ object GraftSqlParser {
             nm(m, 3), Option(m.group(4)),
             Seq(m.group(5), m.group(6)),
             splitWhenClauses(m.group(7)).map(parseWhenClause(tag, _)),
-            srcSql = mSrcSql): LogicalPlan
+            srcSql = mSrcSql, srcRaw = m.group(3)): LogicalPlan
       })
     }.orElse(CloneRe.findFirstMatchIn(sqlText).collect {
       // claimed on the SOURCE being registered — a CLONE of anything
@@ -1202,7 +1246,7 @@ object GraftSqlParser {
       case m if claimed(m) =>
         GraftAnalyzeCommand(nm(m),
           Option(m.group(3)).map(_.split(",").toSeq
-            .map(_.trim).filter(_.nonEmpty))): LogicalPlan
+            .map(c => cleanIdent(c.trim)).filter(_.nonEmpty))): LogicalPlan
     })
   }
 
@@ -1817,7 +1861,18 @@ case class GraftCopyIntoCommand(name: String, fromPath: String,
         finally s0.close()
       }
     val applied = store.appliedFileFences(view)
-    val fresh = files.filterNot(f => applied.contains(store.fileFence(f)))
+    // `spark.graft.sql.copyLegacyFences=true` is the one-shot upgrade
+    // switch for tables loaded BEFORE fences moved to their own
+    // manifest field: their path-only hashes live in the txn set, and
+    // without the switch a post-upgrade re-run would silently re-load
+    // every previously-loaded file. Off by default — the legacy check
+    // re-opens the (astronomically unlikely) txn-id collision the
+    // namespacing closed, so it is opt-in for the migration run only.
+    val legacy = spark.conf
+      .getOption("spark.graft.sql.copyLegacyFences").exists(_.toBoolean)
+    val appliedTx = if (legacy) store.appliedTxns(view) else Set.empty[Long]
+    val fresh = files.filterNot(f => applied.contains(store.fileFence(f)) ||
+      (legacy && appliedTx.contains(store.fileFenceLegacy(f))))
     val skipped = (files.size - fresh.size).toLong
     val cur = store.versions(view).lastOption.getOrElse(0L)
     if (fresh.isEmpty)
@@ -1979,7 +2034,8 @@ case class GraftUpdateCommand(name: String, setSql: String, predicateSql: String
   */
 case class GraftMergeCommand(name: String, srcName: String,
                              onCols: Seq[String], deleteCol: Option[String],
-                             srcSql: Option[String] = None)
+                             srcSql: Option[String] = None,
+                             srcRaw: String = "")
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq(
     AttributeReference("table", org.apache.spark.sql.types.StringType)(),
@@ -2008,7 +2064,12 @@ case class GraftMergeCommand(name: String, srcName: String,
       case None => GraftTableRegistry.lookup(srcName)
         .map { case (s2, v2) => s2.read(v2) }
         .getOrElse {
-          spark.table(GraftSqlParser.quoteIdent(srcName))
+          // a NON-graft source resolves by its ORIGINAL spelling — the
+          // canonical name collapses quoted multi-part structure
+          // (`my db`.src -> "my db.src"), which spark.table would
+          // misread as one identifier
+          spark.table(if (srcRaw.nonEmpty) srcRaw
+            else GraftSqlParser.quoteIdent(srcName))
             .select(needed.map(org.apache.spark.sql.functions.col): _*)
             .localCheckpoint()
         }
@@ -2065,7 +2126,8 @@ case class GraftMergeColumnsCommand(name: String, tAliasOpt: Option[String],
                                     setSql: Option[String],
                                     insertCols: Option[Seq[String]],
                                     insertValsSql: Option[String],
-                                    srcSql: Option[String] = None)
+                                    srcSql: Option[String] = None,
+                                    srcRaw: String = "")
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq(
     AttributeReference("table", org.apache.spark.sql.types.StringType)(),
@@ -2089,7 +2151,8 @@ case class GraftMergeColumnsCommand(name: String, tAliasOpt: Option[String],
     val source = srcSql.map(q => spark.sql(q).localCheckpoint())
       .getOrElse(GraftTableRegistry.lookup(srcName)
         .map { case (s2, v2) => s2.read(v2) }
-        .getOrElse(spark.table(GraftSqlParser.quoteIdent(srcName)).localCheckpoint()))
+        .getOrElse(spark.table(if (srcRaw.nonEmpty) srcRaw
+          else GraftSqlParser.quoteIdent(srcName)).localCheckpoint()))
     GraftMergeCommand.requireUniqueSourceKeys(tag, source, keyCol)
     val ta = tAliasOpt.getOrElse(name.split('.').last)
     val sa = sAliasOpt.getOrElse(srcName.split('.').last)
@@ -2174,7 +2237,8 @@ case class GraftMergeWhenCommand(name: String, tAliasOpt: Option[String],
                                  srcName: String, sAliasOpt: Option[String],
                                  onCols: Seq[String],
                                  clauses: Seq[MergeClause],
-                                 srcSql: Option[String] = None)
+                                 srcSql: Option[String] = None,
+                                 srcRaw: String = "")
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq(
     AttributeReference("table", org.apache.spark.sql.types.StringType)(),
@@ -2202,7 +2266,8 @@ case class GraftMergeWhenCommand(name: String, tAliasOpt: Option[String],
     val source = srcSql.map(q => spark.sql(q).localCheckpoint())
       .getOrElse(GraftTableRegistry.lookup(srcName)
         .map { case (s2, v2) => s2.read(v2) }
-        .getOrElse(spark.table(GraftSqlParser.quoteIdent(srcName)).localCheckpoint()))
+        .getOrElse(spark.table(if (srcRaw.nonEmpty) srcRaw
+          else GraftSqlParser.quoteIdent(srcName)).localCheckpoint()))
     GraftMergeCommand.requireUniqueSourceKeys(tag, source, keyCol)
     val ta = tAliasOpt.getOrElse(name.split('.').last)
     val sa = sAliasOpt.getOrElse(srcName.split('.').last)
@@ -2773,8 +2838,82 @@ case class GraftDropColumnCommand(name: String, columns: Seq[String])
             "DROP CONSTRAINT first")
       }
     }
-    val v = columns.map(store.dropColumn(view, _)).last
+    // ONE atomic manifest publish for the whole list — a bad name in
+    // a multi-column drop leaves nothing half-dropped
+    val v = store.dropColumns(view, columns)
     Seq(org.apache.spark.sql.Row(name, v))
+  }
+}
+
+/** The WAP branch lifecycle in SQL — one command, four actions over
+  * the store's branch primitives:
+  *
+  *  - `ALTER TABLE t CREATE BRANCH b`
+  *    ([[graft.sources.SnapshotStore.branchCreate]] — a zero-copy
+  *    clone of main's head): the branch registers as the table
+  *    `` `t@b` `` carrying main's key/clustering/constraints, so the
+  *    WHOLE statement surface (INSERT/UPDATE/MERGE/SELECT/CHANGES/
+  *    time travel) works on it, isolated from main;
+  *  - `ALTER TABLE t FAST FORWARD BRANCH b`
+  *    ([[graft.sources.SnapshotStore.fastForward]]): publish the
+  *    audited branch head into main ATOMICALLY — refuses with
+  *    SnapshotConflict when main advanced since the branch was cut
+  *    (the audit ran against a stale base);
+  *  - `ALTER TABLE t REBASE BRANCH b`
+  *    ([[graft.sources.SnapshotStore.rebaseBranch]]): the recovery
+  *    that refusal asks for — re-point an append-only branch onto
+  *    main's current head (O(files) metadata), then re-audit;
+  *  - `ALTER TABLE t DROP BRANCH b`: unbind `` `t@b` `` (the branch
+  *    view stays on disk as a retention root until main localizes —
+  *    external-table semantics, like DROP TABLE).
+  *
+  * Returns (table, branch, version) — the branch/main version the
+  * action produced (NULL for drop).
+  */
+case class GraftBranchCommand(name: String, branch: String, action: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType)(),
+    AttributeReference("branch", StringType)(),
+    AttributeReference("version", LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val tag = s"ALTER TABLE $name ${action.toUpperCase} BRANCH $branch"
+    val (store, view) = GraftTableRegistry.required(tag, name)
+    val bName = s"$name@$branch"
+    val bView = store.branchView(view, branch)
+    def registerBranch(): Unit = {
+      GraftTableRegistry.lookupKey(name) match {
+        case Some(k) => GraftTableRegistry.register(bName, store, bView, k)
+        case None => GraftTableRegistry.register(bName, store, bView)
+      }
+      GraftTableRegistry.registerCluster(bName,
+        GraftTableRegistry.lookupCluster(name))
+      GraftTableRegistry.registerChecks(bName,
+        GraftTableRegistry.lookupChecks(name))
+      GraftTableRegistry.persistBinding(spark, bName)
+    }
+    def unregisterBranch(): Unit = {
+      GraftTableRegistry.unregister(bName)
+      (spark.conf.getOption("spark.graft.store.root").toSeq :+ store.root)
+        .distinct.foreach(GraftCatalog.remove(_, bName))
+    }
+    action match {
+      case "create" =>
+        val v = store.branchCreate(view, branch)
+        registerBranch()
+        Seq(org.apache.spark.sql.Row(name, branch, v))
+      case "fastforward" =>
+        val v = store.fastForward(view, branch)
+        Seq(org.apache.spark.sql.Row(name, branch, v))
+      case "rebase" =>
+        Seq(org.apache.spark.sql.Row(name, branch,
+          store.rebaseBranch(view, branch)))
+      case "drop" =>
+        unregisterBranch()
+        Seq(org.apache.spark.sql.Row(name, branch, null))
+    }
   }
 }
 

@@ -2527,6 +2527,45 @@ object CurationQueries {
       } finally s.conf.unset("spark.graft.store.root")
     }),
 
+    // The WAP lifecycle in PURE SQL: cut a branch (zero-copy clone of
+    // main's head, registered as the DML-able `t301@audit`), land the
+    // day's writes + a keyed fix on the BRANCH, audit it while main is
+    // provably untouched (in-query require), then FAST FORWARD — one
+    // atomic publish moves main to the audited head. Oracle replays
+    // the branch composition declaratively against main's final state.
+    "q301_sql_wap" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q301_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      graft.plans.GraftTableRegistry.unregister("t301")
+      graft.plans.GraftTableRegistry.unregister("t301@audit")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q301_orders")
+      s.conf.set("spark.graft.store.root", root)
+      try {
+        s.sql("CREATE TABLE t301 USING graft PRIMARY KEY k " +
+          "AS SELECT k, cust, p FROM q301_orders WHERE k % 3 = 0")
+        s.sql("ALTER TABLE t301 CREATE BRANCH audit")
+        // the whole statement surface works on the branch, isolated
+        s.sql("INSERT INTO `t301@audit` SELECT k, cust, p " +
+          "FROM q301_orders WHERE k % 3 = 1")
+        s.sql("UPDATE `t301@audit` SET p = p + 1000 WHERE cust % 6 = 0")
+        val mainCount =
+          s.sql("SELECT * FROM q301_orders WHERE k % 3 = 0").count()
+        require(s.sql("SELECT * FROM t301").count() == mainCount,
+          "main must be untouched while the branch is audited")
+        // the audit: the branch must hold both slices, no NULL keys
+        require(s.sql("SELECT * FROM `t301@audit` WHERE k IS NULL")
+          .count() == 0L, "audit failed")
+        val ff = s.sql("ALTER TABLE t301 FAST FORWARD BRANCH audit").head()
+        require(ff.getLong(2) > 1L, s"fast forward must publish: $ff")
+        require(s.sql("SELECT * FROM t301").count() > mainCount,
+          "main must move to the audited head atomically")
+        s.sql("ALTER TABLE t301 DROP BRANCH audit")
+        s.sql("SELECT k, cust, p FROM t301")
+      } finally s.conf.unset("spark.graft.store.root")
+    }),
+
     // COPY INTO observability + the namespaced file fence: the re-run
     // SKIP is counted (files_skipped — a silent skip is now
     // observable), a user txn id equal to a file's fence hash no
@@ -4332,6 +4371,14 @@ object CurationQueries {
     // colliding-txn batch: both slices, no duplicates.
     "q298_sql_copy_skip_fence" ->
       """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)""",
+
+    // Main's final state = the audited branch composition: both
+    // slices, the cust%6 bump applied branch-wide before publish.
+    "q301_sql_wap" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+            CASE WHEN o_custkey % 6 = 0 THEN o_totalprice + 1000
+                 ELSE o_totalprice END AS p
          FROM orders WHERE o_orderkey % 3 IN (0, 1)""",
 
     // The pinned snapshot (k%4=0 only) with the clone-side bump; the

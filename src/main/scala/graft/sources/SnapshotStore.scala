@@ -565,8 +565,13 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * NEVER collide with a user txn id (disjoint field — the silent
     * skip/no-op an id collision would cause is structurally
     * impossible). Folding size+mtime means a file OVERWRITTEN IN
-    * PLACE with new content re-loads as a new file (the COPY INTO
-    * modified-file contract); 64 bits ≈ collision-free to ~100M files
+    * PLACE with new content re-loads as a new file whenever its size
+    * or mtime changed — an overwrite that preserves BOTH (same byte
+    * length within the filesystem's timestamp granularity, or
+    * mtime-preserving tools like rsync -t) is indistinguishable
+    * without hashing content, which would cost a full read per skip
+    * check (the same identity line Delta's COPY INTO draws); 64 bits
+    * ≈ collision-free to ~100M files
     * per table (birthday ~3e-4 at 10^8), and a hash collision SKIPS a
     * file loudly countable in the statement's files_skipped return —
     * never corrupts data.
@@ -591,6 +596,26 @@ class SnapshotStore(spark: SparkSession, val root: String) {
   def appliedFileFences(view: String): Set[Long] = {
     val vs = versions(view)
     if (vs.isEmpty) Set.empty else manifestFiles(view, vs.max)
+  }
+
+  /** The PRE-namespacing file fence (a path-only FNV-1a recorded in
+    * the shared txn set) — kept ONLY for the COPY INTO migration
+    * switch (`spark.graft.sql.copyLegacyFences`): a table loaded by
+    * the earlier release carries these in its txn history, and a
+    * post-upgrade re-run must still recognize them instead of
+    * silently re-loading every file (the same one-restart compat the
+    * sink's `legacyTxnFence` gives stream checkpoints).
+    */
+  def fileFenceLegacy(path: String): Long = {
+    val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < p.length) {
+      h ^= p.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
   }
 
   def appliedTxns(view: String): Set[Long] = {
@@ -1887,27 +1912,39 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * merged-schema read). Refuses the deletion-vector key (the
     * vectors' row identity must stay readable) and unknown columns.
     */
-  def dropColumn(view: String, column: String): Long = {
+  def dropColumn(view: String, column: String): Long =
+    dropColumns(view, Seq(column))
+
+  /** Multi-column [[dropColumn]] as ONE atomic manifest publish —
+    * every named column validates up front, so a bad name in the list
+    * leaves nothing half-dropped.
+    */
+  def dropColumns(view: String, columns: Seq[String]): Long = {
     val vs = versions(view)
     require(vs.nonEmpty, s"$view: nothing to drop a column from")
+    require(columns.nonEmpty, s"$view: no columns to drop")
     val base = vs.max
     val schema = read(view, Some(base)).schema
-    val exact = schema.fieldNames.find(_.equalsIgnoreCase(column)).getOrElse(
-      throw new IllegalArgumentException(
-        s"$view: no column `$column` among " +
-          schema.fieldNames.mkString("(", ", ", ")")))
-    require(schema.length > 1,
-      s"$view: cannot drop the only column `$exact`")
+    val exact = columns.map { c =>
+      schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$view: no column `$c` among " +
+            schema.fieldNames.mkString("(", ", ", ")")))
+    }.distinct
+    require(schema.length > exact.length,
+      s"$view: cannot drop every column " +
+        exact.mkString("(", ", ", ")"))
     val dels = manifestDels(view, base)
     dels.headOption.foreach { d =>
       val vKey = readDirs(Seq(d), view).columns.head
-      require(!vKey.equalsIgnoreCase(exact),
-        s"$view: `$exact` keys the live deletion vectors — OPTIMIZE " +
-          "(materialize the vectors) before dropping it")
+      exact.filter(vKey.equalsIgnoreCase).foreach(c =>
+        throw new IllegalArgumentException(
+          s"$view: `$c` keys the live deletion vectors — OPTIMIZE " +
+            "(materialize the vectors) before dropping it"))
     }
     publish(view, base + 1, readManifest(view, base),
       manifestTxns(view, base), dels,
-      drops = Some((manifestDrops(view, base) :+ exact).distinct),
+      drops = Some((manifestDrops(view, base) ++ exact).distinct),
       renames = Some(manifestRenames(view, base)))
     base + 1
   }
@@ -1937,6 +1974,16 @@ class SnapshotStore(spark: SparkSession, val root: String) {
           schema.fieldNames.mkString("(", ", ", ")")))
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
       s"$view: column `$newName` already exists")
+    // the target name must not collide with PHYSICAL residue either: a
+    // pending rename's OLD name or a metadata-dropped column still has
+    // bytes in old dirs — reusing it would bleed those values through
+    // the merge/coalesce projections (the same guard ADD COLUMN has)
+    val priorRenames = manifestRenames(view, base)
+    (priorRenames.map(_._1) ++ manifestDrops(view, base))
+      .filter(_.equalsIgnoreCase(newName)).foreach(c =>
+        throw new IllegalArgumentException(
+          s"$view: `$c` is a dropped/renamed-away column whose bytes " +
+            "remain — OPTIMIZE (full rewrite) before reusing the name"))
     Seq(exact, newName).foreach(c =>
       require(!c.contains('>') && !c.contains(',') && !c.contains('"'),
         s"$view: column name `$c` holds a manifest-reserved character"))

@@ -92,6 +92,71 @@ class RenameColumnSpec extends SparkSpec {
     }
   }
 
+  test("residue-name guards: RENAME cannot target a dropped or " +
+      "renamed-away name; multi-column DROP is atomic") {
+    withRoot { _ =>
+      spark.sql("CREATE TABLE rg1 (k BIGINT, a DOUBLE, c DOUBLE, " +
+        "d DOUBLE) USING graft PRIMARY KEY k")
+      spark.sql("INSERT INTO rg1 VALUES (1, 1.0, 2.0, 3.0)")
+      spark.sql("ALTER TABLE rg1 RENAME COLUMN a TO b")
+      // `a`'s bytes remain in the old dirs — renaming c ONTO a would
+      // bleed its values through the a>b coalesce (review finding)
+      val ontoSrc = scala.util.Try(
+        spark.sql("ALTER TABLE rg1 RENAME COLUMN c TO a").collect())
+      assert(ontoSrc.isFailure &&
+        ontoSrc.failed.get.getMessage.contains("bytes remain"),
+        ontoSrc.toString)
+      spark.sql("ALTER TABLE rg1 DROP COLUMN d")
+      val ontoDropped = scala.util.Try(
+        spark.sql("ALTER TABLE rg1 RENAME COLUMN c TO d").collect())
+      assert(ontoDropped.isFailure &&
+        ontoDropped.failed.get.getMessage.contains("bytes remain"),
+        ontoDropped.toString)
+      // multi-column DROP validates the WHOLE list before publishing —
+      // a bad name leaves nothing half-dropped
+      val (st, view) = GraftTableRegistry.lookup("rg1").get
+      val v = st.versions(view).max
+      val bad = scala.util.Try(
+        spark.sql("ALTER TABLE rg1 DROP COLUMNS c, bogus").collect())
+      assert(bad.isFailure && st.versions(view).max == v,
+        s"a failed multi-drop must publish nothing: $bad")
+      assert(spark.sql("SELECT * FROM rg1").columns.contains("c"))
+      spark.sql("DROP TABLE rg1")
+    }
+  }
+
+  test("a quoted NON-graft merge source keeps its ORIGINAL spelling for " +
+      "spark.table (srcRaw pass-through — canonicalization collapses " +
+      "quoted multi-part structure)") {
+    withRoot { root =>
+      spark.sql("CREATE TABLE mt1 (k BIGINT, v DOUBLE) USING graft " +
+        "PRIMARY KEY k")
+      val plan = GraftSqlParser.parseMaintenance(
+        "MERGE INTO mt1 USING `my db`.src ON mt1.k = src.k " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      plan match {
+        case Some(m: GraftMergeCommand) =>
+          // the canonical name keys any graft lookup; the raw spelling
+          // is what a non-graft spark.table resolution must receive —
+          // "my db.src" as one identifier would resolve wrongly
+          assert(m.srcName == "my db.src" && m.srcRaw == "`my db`.src",
+            m.toString)
+        case other => fail(s"expected GraftMergeCommand, got $other")
+      }
+      spark.sql("DROP TABLE mt1")
+    }
+  }
+
+  test("SYNC AS OF on an unregistered name leaves the statement " +
+      "verbatim (registry-gated rewrite)") {
+    val t = scala.util.Try(
+      spark.sql("SELECT * FROM not_a_graft_tbl SYNC AS OF LATEST").collect())
+    assert(t.isFailure &&
+      !t.failed.get.getMessage.contains("$sync$"),
+      s"the error must reference the ORIGINAL text, not a mangled id: $t")
+  }
+
   test("CHANGES across a rename boundary: the feed reports the column " +
       "move as drop+add per key (pinned semantics, like Delta sans " +
       "column mapping)") {

@@ -133,6 +133,46 @@ class FenceNamespaceSpec extends SparkSpec {
     }
   }
 
+  test("copyLegacyFences: the opt-in migration switch recognizes " +
+      "pre-namespacing path-only fences in the txn set") {
+    val root = freshRoot()
+    withRoot(root) {
+      import spark.implicits._
+      val land = root + "/land"
+      Seq((1L, 1.0)).toDF("k", "p").coalesce(1).write.parquet(land)
+      spark.sql("CREATE TABLE lf1 (k BIGINT, p DOUBLE) USING graft")
+      val (st, view) = graft.plans.GraftTableRegistry.lookup("lf1").get
+      // simulate a pre-upgrade load: content committed with the OLD
+      // path-only fence recorded as a txn id
+      val f = {
+        val l = java.nio.file.Files.list(java.nio.file.Paths.get(land))
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.map(_.toString)
+            .filter(_.endsWith(".parquet")).toSeq.head
+        } finally l.close()
+      }
+      st.commit(view, spark.read.parquet(land), overwrite = false,
+        txn = Some(st.fileFenceLegacy(f)))
+      // default: the legacy fence is invisible — the file re-loads
+      // (the documented upgrade hazard the switch exists for)
+      val r1 = spark.sql(
+        s"COPY INTO lf1 FROM '$land' FILEFORMAT = PARQUET").head()
+      require(r1.getLong(2) == 1L, s"$r1")
+      spark.sql("TRUNCATE TABLE lf1")
+      st.commit(view, spark.read.parquet(land), overwrite = false,
+        txn = Some(st.fileFenceLegacy(f)))
+      spark.conf.set("spark.graft.sql.copyLegacyFences", "true")
+      try {
+        val r2 = spark.sql(
+          s"COPY INTO lf1 FROM '$land' FILEFORMAT = PARQUET").head()
+        assert(r2.getLong(2) == 0L && r2.getLong(4) == 1L,
+          s"the switch must recognize the legacy fence: $r2")
+      } finally spark.conf.unset("spark.graft.sql.copyLegacyFences")
+      spark.sql("DROP TABLE lf1")
+    }
+  }
+
   test("history() survives a NON-CONTIGUOUS retained set (syncpoint pin " +
       "below the vacuum horizon)") {
     val root = freshRoot()
