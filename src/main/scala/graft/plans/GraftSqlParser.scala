@@ -580,6 +580,10 @@ object GraftSqlParser {
   private val DropBranchRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(""" + Id +
       """)\s+DROP\s+BRANCH\s+(\w+)\s*;?\s*$""").r
+  // SHOW BRANCHES <t> — the branch listing (branch name, head version)
+  private val ShowBranchesRe =
+    ("""(?is)^\s*SHOW\s+BRANCHES\s+(?:FROM\s+|IN\s+)?(""" + Id +
+      """)\s*;?\s*$""").r
 
   // PUBLISH SYNCPOINT (t1, t2, …) — pin the named tables' CURRENT
   // versions as ONE atomically-published syncpoint
@@ -1088,6 +1092,9 @@ object GraftSqlParser {
     }).orElse(DropBranchRe.findFirstMatchIn(sqlText).collect {
       case m if claimed(m) =>
         GraftBranchCommand(nm(m), m.group(2), "drop"): LogicalPlan
+    }).orElse(ShowBranchesRe.findFirstMatchIn(sqlText).collect {
+      case m if claimed(m) =>
+        GraftShowBranchesCommand(nm(m)): LogicalPlan
     }).orElse(AlterClusterRe.findFirstMatchIn(sqlText).collect {
       case m if claimed(m) =>
         GraftAlterClusterCommand(nm(m),
@@ -2913,6 +2920,29 @@ case class GraftBranchCommand(name: String, branch: String, action: String)
       case "drop" =>
         unregisterBranch()
         Seq(org.apache.spark.sql.Row(name, branch, null))
+    }
+  }
+}
+
+/** `SHOW BRANCHES [FROM|IN] <t>` — one (table, branch, version) row
+  * per live branch of the registered table (the on-disk `view@<b>`
+  * siblings, whether or not this session created them) — the listing
+  * an operator checks before a fast-forward. Driver metadata only.
+  */
+case class GraftShowBranchesCommand(name: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType)(),
+    AttributeReference("branch", StringType)(),
+    AttributeReference("version", LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val (store, view) = GraftTableRegistry.required("SHOW BRANCHES", name)
+    store.branches(view).map { b =>
+      val bv = store.branchView(view, b)
+      org.apache.spark.sql.Row(name, b,
+        store.versions(bv).lastOption.getOrElse(0L))
     }
   }
 }

@@ -2353,6 +2353,20 @@ class SnapshotStore(spark: SparkSession, val root: String) {
   def branchCreate(view: String, branch: String): Long =
     cloneView(view, branchView(view, branch))
 
+  /** The live branches of `view` — sibling views named `view@<b>`
+    * with at least one committed manifest (O(store entries) driver
+    * listing; the naming convention [[branchView]] owns).
+    */
+  def branches(view: String): Seq[String] = {
+    val rootDir = Paths.get(root)
+    val prefix = view + "@"
+    if (!Files.isDirectory(rootDir)) Nil
+    else listEntries(rootDir).map(_.getFileName.toString)
+      .filter(n => n.startsWith(prefix) &&
+        Files.isDirectory(manifestDir(n)))
+      .map(_.stripPrefix(prefix)).sorted
+  }
+
   /** Atomically publish branch `branch`'s head as `view`'s next
     * version — the P of WAP. Fails with [[SnapshotConflict]] if main
     * advanced since [[branchCreate]] (the branch's v1 pins exactly the

@@ -55,6 +55,10 @@ class WapSqlSpec extends SparkSpec {
       assert(spark.sql("SELECT count(*) FROM wp1").head().getLong(0) == 3L)
       assert(spark.sql("SELECT v FROM wp1 WHERE k = 2").head()
         .getDouble(0) == 20.0)
+      // the listing shows the live branch with its head version…
+      val br = spark.sql("SHOW BRANCHES wp1").collect()
+      assert(br.length == 1 && br.head.getString(1) == "audit" &&
+        br.head.getLong(2) >= 2L, br.toSeq.toString)
       spark.sql("ALTER TABLE wp1 DROP BRANCH audit")
       assert(GraftTableRegistry.lookup("wp1@audit").isEmpty)
       // main still reads (branch-local dirs live as foreign refs)
