@@ -525,6 +525,20 @@ object GraftSqlParser {
     ("""(?is)^\s*ALTER\s+TABLE\s+(""" + Id +
       """)\s+RENAME\s+COLUMN\s+(""" + Id + """)\s+TO\s+(""" + Id +
       """)\s*;?\s*$""").r
+  // ALTER TABLE <t> ALTER COLUMN <c> TYPE <wider> — METADATA-ONLY type
+  // widening ([[graft.sources.SnapshotStore.alterColumnType]]): a
+  // manifest republish records `c>type`, reads cast the old-era data
+  // to the declared type, later writes land the wide type physically
+  // (mixed eras plan one wide scan schema via the parquet reader's
+  // type promotion), time travel keeps each version's own type, and
+  // the next full rewrite localizes + clears. Widening-only —
+  // INT→BIGINT, INT→DOUBLE, FLOAT→DOUBLE, DECIMAL(p,s)→DECIMAL(p+,s);
+  // narrowing refuses loudly in the store.
+  private val AlterColTypeRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + Id +
+      """)\s+ALTER\s+COLUMN\s+(""" + Id +
+      """)\s+TYPE\s+([A-Za-z0-9_]+(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)""" +
+      """\s*;?\s*$""").r
   // DELETE FROM <t> (no WHERE) — remove ALL rows: one empty overwrite
   // commit, zero data IO beyond the schema file, history stays
   // time-travelable (the TRUNCATE lifecycle under DELETE's spelling —
@@ -1077,6 +1091,10 @@ object GraftSqlParser {
     }.orElse(RenameColRe.findFirstMatchIn(sqlText).collect {
       case m if claimed(m) =>
         GraftRenameColumnCommand(nm(m), nm(m, 2), nm(m, 3)): LogicalPlan
+    }).orElse(AlterColTypeRe.findFirstMatchIn(sqlText).collect {
+      case m if claimed(m) =>
+        GraftAlterColumnTypeCommand(nm(m), nm(m, 2),
+          m.group(3).trim): LogicalPlan
     }).orElse(RenameRe.findFirstMatchIn(sqlText).collect {
       case m if claimed(m) =>
         GraftRenameTableCommand(nm(m), nm(m, 2)): LogicalPlan
@@ -3051,6 +3069,27 @@ case class GraftRenameColumnCommand(name: String, oldCol: String,
     val v = store.renameColumn(view, oldCol, newCol)
     GraftTableRegistry.rebindColumn(name, oldCol, newCol)
     GraftTableRegistry.persistBinding(spark, name)
+    Seq(org.apache.spark.sql.Row(name, v))
+  }
+}
+
+/** `ALTER TABLE <t> ALTER COLUMN <c> TYPE <wider>` — METADATA-ONLY
+  * type widening ([[graft.sources.SnapshotStore.alterColumnType]]):
+  * zero data IO, versioned, read-time cast over the old era, the next
+  * full rewrite localizes. Widening-only; the store refuses narrowing
+  * and unsupported pairs loudly. Returns (table, version).
+  */
+case class GraftAlterColumnTypeCommand(name: String, colName: String,
+                                       typeDdl: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("version", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val (store, view) =
+      GraftTableRegistry.required(s"ALTER TABLE $name ALTER COLUMN", name)
+    val v = store.alterColumnType(view, colName, typeDdl)
     Seq(org.apache.spark.sql.Row(name, v))
   }
 }

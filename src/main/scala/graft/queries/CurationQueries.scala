@@ -2470,14 +2470,25 @@ object CurationQueries {
         .createOrReplaceTempView("q299_orders")
       s.conf.set("spark.graft.store.root", root)
       try {
+        // CLUSTER BY the soon-renamed column: the created dirs carry
+        // range stats under `price_usd`, so the rename's sidecar
+        // rebind is observable as UNCHANGED skip tightness
         s.sql("CREATE TABLE t299 USING graft PRIMARY KEY k " +
+          "CLUSTER BY (price_usd) " +
           "AS SELECT k, cust, price_usd FROM q299_orders WHERE k % 4 = 0")
         val (st, view) = graft.plans.GraftTableRegistry.lookup("t299").get
         val dirsBefore = st.manifestDirs(view)
         val preRename = st.versions(view).max
+        val (_, skipBefore) = st.pruneDirs(view, "price_usd", "0", "2000")
+        require(skipBefore.nonEmpty,
+          "setup: the price range prune must skip dirs pre-rename")
         s.sql("ALTER TABLE t299 RENAME COLUMN price_usd TO p")
         require(st.manifestDirs(view) == dirsBefore,
           "the rename must republish the same dirs — zero data IO")
+        val (_, skipAfter) = st.pruneDirs(view, "p", "0", "2000")
+        require(skipAfter.toSet == skipBefore.toSet,
+          "the sidecar rebind must keep data skipping TIGHT across the " +
+            s"rename: before=$skipBefore after=$skipAfter")
         require(s.sql(s"SELECT * FROM t299 VERSION AS OF $preRename")
           .columns.contains("price_usd"),
           "time travel must keep the pre-rename spelling")
@@ -2564,6 +2575,127 @@ object CurationQueries {
         s.sql("ALTER TABLE t301 DROP BRANCH audit")
         s.sql("SELECT k, cust, p FROM t301")
       } finally s.conf.unset("spark.graft.store.root")
+    }),
+
+    // ALTER COLUMN TYPE widening graded END-TO-END, completing the
+    // metadata-only schema-migration triad (add/rename/drop + WIDEN):
+    // an INT column widens to BIGINT with the SAME dirs republished
+    // (zero data IO — in-query require), a post-widen INSERT lands
+    // values beyond the int range physically BIGINT, keyed DML then
+    // spans BOTH physical eras through the one wide scan schema
+    // (parquet reader type promotion), and time travel keeps each
+    // version's own type (require: the pre-widen snapshot still reads
+    // INT). Oracle replays the arithmetic declaratively.
+    "q303_sql_widen_type" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q303_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      graft.plans.GraftTableRegistry.unregister("t303")
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q303_orders")
+      s.conf.set("spark.graft.store.root", root)
+      try {
+        s.sql("CREATE TABLE t303 (k BIGINT, cust BIGINT, qty INT) " +
+          "USING graft PRIMARY KEY k")
+        s.sql("INSERT INTO t303 SELECT k, cust, CAST(k % 1000 AS INT) " +
+          "FROM q303_orders WHERE k % 2 = 0")
+        val (st, view) = graft.plans.GraftTableRegistry.lookup("t303").get
+        val dirsBefore = st.manifestDirs(view)
+        val preWiden = st.versions(view).max
+        s.sql("ALTER TABLE t303 ALTER COLUMN qty TYPE BIGINT")
+        require(st.manifestDirs(view) == dirsBefore,
+          "the widen must republish the same dirs — zero data IO")
+        require(s.sql(s"SELECT * FROM t303 VERSION AS OF $preWiden")
+          .schema("qty").dataType ==
+            org.apache.spark.sql.types.IntegerType,
+          "time travel must keep the pre-widen INT type")
+        require(s.sql("SELECT * FROM t303").schema("qty").dataType ==
+          org.apache.spark.sql.types.LongType,
+          "the live schema must be BIGINT after the widen")
+        // new-era rows exceed the int range — physically BIGINT
+        s.sql("INSERT INTO t303 SELECT k, cust, k + 5000000000 " +
+          "FROM q303_orders WHERE k % 2 = 1")
+        // keyed DML across BOTH physical eras through one wide scan
+        s.sql("UPDATE t303 SET qty = qty + 6000000000 WHERE cust % 7 = 0")
+        s.sql("SELECT k, cust, qty FROM t303")
+      } finally s.conf.unset("spark.graft.store.root")
+    }),
+
+    // OCC logical conflict detection graded END-TO-END: a real
+    // streaming sink (AvailableNow, one exactly-once appendOnce per
+    // micro-batch, key stats recorded) lands TWO commits on the table
+    // while a batch MERGE is provably mid-flight — the merge's source
+    // is gated on a latch the stream's completion releases, so the
+    // interleaving is deterministic, never timing-dependent. The merge
+    // loses the version race and REBASES: interleaved commits are
+    // classified (blind appends, key-disjoint by the stats sidecars),
+    // and the already-written rewrite dir — named for v2 — publishes at
+    // v4 with zero re-run and NO retry wrapper anywhere. In-query
+    // requires pin the contiguous version chain, the rebased b2- dir
+    // at the head, and both streamed txn fences. At 100 TB this is the
+    // write-throughput ceiling item: a stream + batch DML sharing one
+    // table serialize through manifest-only rebases instead of
+    // re-running whole jobs on every lost race.
+    "q302_occ_rebase" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q302_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      val maxK = o.agg(max("k")).head().getLong(0)
+      val (k1, mid, k3) = (maxK / 4, maxK / 2, maxK * 3 / 4)
+      val st = new graft.sources.SnapshotStore(s, s"$root/store")
+      st.commit("t", o.where(col("k") < mid), overwrite = true,
+        statsCols = Seq("k"))
+      // stage the upper half as two parquet files -> two micro-batches
+      val inDir = new java.io.File(s"$root/in"); inDir.mkdirs()
+      Seq(("b0", col("k") >= mid && col("k") < k3),
+          ("b1", col("k") >= k3)).foreach { case (nm, pred) =>
+        val tmp = s"$root/tmp_$nm"
+        o.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(inDir, s"$nm.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        graft.sources.Scratch.deleteRecursively(new java.io.File(tmp))
+      }
+      OccRebaseGate.reset()
+      val streamer = new Thread(() => {
+        OccRebaseGate.gate.await(120, java.util.concurrent.TimeUnit.SECONDS)
+        val q = s.readStream.schema(st.read("t").schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .writeStream
+          .option("checkpointLocation", s"$root/_cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            st.appendOnce("t", b, txnId = id, statsCols = Seq("k")); ()
+          }.start()
+        try q.awaitTermination()
+        finally {
+          if (q.isActive) q.stop()
+          OccRebaseGate.released.countDown()
+        }
+      })
+      streamer.start()
+      val gated = udf { k: Long => OccRebaseGate.pass(k) }
+      // the batch MERGE, mid-flight while the stream lands: its first
+      // job (the skipping probe) opens the gate and parks until both
+      // micro-batches have committed, then the merge proceeds straight
+      // into the lost version race
+      st.mergeInto("t",
+        o.where(col("k") < k1)
+          .select(gated(col("k")).as("k"), col("cust"), lit(2.0).as("p"))
+          .coalesce(1),
+        "k", statsCols = Seq("k"))
+      streamer.join(180000)
+      require(st.versions("t") == Seq(1L, 2L, 3L, 4L),
+        s"seed + 2 stream batches + 1 rebased merge, no holes, no retries: ${st.versions("t")}")
+      require(st.manifestDirs("t")
+        .exists(d => d.startsWith("b2-") && !d.contains("tx")),
+        "the merge must have REBASED its v2-written dir to the head — not re-run")
+      require(st.appliedTxns("t") == Set(0L, 1L),
+        s"both streamed batch fences must survive the rebase: ${st.appliedTxns("t")}")
+      st.read("t")
     }),
 
     // COPY INTO observability + the namespaced file fence: the re-run
@@ -4373,6 +4505,25 @@ object CurationQueries {
       """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
          FROM orders WHERE o_orderkey % 3 IN (0, 1)""",
 
+    // Widen is content-exact across both eras: old-era ints surface
+    // as BIGINT, new-era rows carry the beyond-int values, the keyed
+    // bump applied era-blind.
+    "q303_sql_widen_type" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+            CAST(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 1000
+                      ELSE o_orderkey + 5000000000 END
+              + CASE WHEN o_custkey % 7 = 0 THEN 6000000000 ELSE 0 END
+              AS BIGINT) AS qty
+         FROM orders""",
+
+    // The rebased merge + both streamed appends, every key exactly
+    // once: lower quartile upserted to 2.0, everything else original.
+    "q302_occ_rebase" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust,
+            CASE WHEN o_orderkey < (SELECT MAX(o_orderkey) // 4 FROM orders)
+                 THEN 2.0 ELSE o_totalprice END AS p
+         FROM orders""",
+
     // Main's final state = the audited branch composition: both
     // slices, the cust%6 bump applied branch-wide before publish.
     "q301_sql_wap" ->
@@ -4736,4 +4887,25 @@ object CurationQueries {
           SELECT o_orderpriority, o_orderkey, o_totalprice, es_key
           FROM rk WHERE r <= 50"""
   )
+}
+
+/** Driver-coordinated latch pair for q302's DETERMINISTIC concurrent
+  * schedule: the merge source's gate UDF parks its first evaluation
+  * until the streaming sink has landed both micro-batches, forcing the
+  * exact interleaving the rebase classifier must absorb. Local-mode
+  * test orchestration (the UDF reaches the JVM-static holder), not an
+  * engine component.
+  */
+private[queries] object OccRebaseGate {
+  @volatile var gate: java.util.concurrent.CountDownLatch = _
+  @volatile var released: java.util.concurrent.CountDownLatch = _
+  def reset(): Unit = {
+    gate = new java.util.concurrent.CountDownLatch(1)
+    released = new java.util.concurrent.CountDownLatch(1)
+  }
+  def pass(k: Long): Long = {
+    gate.countDown()
+    released.await(150, java.util.concurrent.TimeUnit.SECONDS)
+    k
+  }
 }

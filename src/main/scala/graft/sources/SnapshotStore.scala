@@ -226,6 +226,20 @@ class SnapshotStore(spark: SparkSession, val root: String) {
         (s.take(i), s.drop(i + 1))
       }
 
+  /** Column TYPE WIDENINGS (metadata-only) as of snapshot `v`, each
+    * encoded `col>typeDDL` (a DDL comma — `decimal(12,2)` — rides as
+    * `;` to stay clear of the manifest's comma-split parse) — applied
+    * as a read-time cast, so the widen is zero data IO, versioned like
+    * a rename (time travel keeps each version's own type), and cleared
+    * by the next full rewrite (the rewritten data is born wide).
+    */
+  def manifestWidens(view: String, v: Long): Seq[(String, String)] =
+    manifestField(manifestText(view, v), "widens")
+      .map { s =>
+        val i = s.indexOf('>')
+        (s.take(i), s.drop(i + 1).replace(';', ','))
+      }
+
   /** The data-dir names snapshot `v` (default: latest) is made of —
     * public so tests can pin copy-on-write behavior (which dirs a merge
     * carried forward untouched).
@@ -394,7 +408,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
                       txns: Set[Long], dels: Seq[String] = Nil,
                       filesExtra: Set[Long] = Set.empty,
                       drops: Option[Seq[String]] = None,
-                      renames: Option[Seq[(String, String)]] = None): Unit = {
+                      renames: Option[Seq[(String, String)]] = None,
+                      widens: Option[Seq[(String, String)]] = None): Unit = {
     // predecessor for the carried fields — the latest RETAINED version
     // below `next` (vacuum may have dropped next-1)
     val prevV = versions(view).filter(_ < next).lastOption
@@ -412,6 +427,14 @@ class SnapshotStore(spark: SparkSession, val root: String) {
         // its own renames explicitly
         case Some(Nil) => Nil
         case _ => prevV.map(manifestRenames(view, _)).getOrElse(Nil)
+      })
+    // widens share the drops/renames lifecycle exactly: None carries,
+    // a full rewrite (drops = Some(Nil)) clears — rewritten data is
+    // born wide, the cast has nothing left to do
+    val widened = widens.getOrElse(
+      drops match {
+        case Some(Nil) => Nil
+        case _ => prevV.map(manifestWidens(view, _)).getOrElse(Nil)
       })
     Files.createDirectories(manifestDir(view))
     // commit timestamp, monotonic-guarded against the latest retained
@@ -435,6 +458,9 @@ class SnapshotStore(spark: SparkSession, val root: String) {
         dropped.map(d => "\"" + d + "\"").mkString("\"drops\":[", ",", "],") +
         renamed.map { case (o, nn) => "\"" + o + ">" + nn + "\"" }
           .mkString("\"renames\":[", ",", "],") +
+        widened.map { case (c, t) =>
+          "\"" + c + ">" + t.replace(',', ';') + "\"" }
+          .mkString("\"widens\":[", ",", "],") +
         txns.toSeq.sorted.mkString("\"txns\":[", ",", "]}")
     Files.writeString(tmp, text)
     try {
@@ -447,6 +473,61 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     finally Files.deleteIfExists(tmp)
   }
 
+  // -------------------------------------------- logical conflict detection
+
+  /** Shape of one interleaved commit (retained predecessor → `v`),
+    * classified from the two manifests alone — O(1) driver metadata,
+    * zero data IO. The input to [[mergeInto]]'s rebase decision:
+    * Delta's ConflictChecker AddFile/RemoveFile/metadata
+    * classification, reduced to this store's dir granularity.
+    */
+  private case class CommitDelta(added: Set[String], removed: Set[String],
+                                 delsChanged: Boolean, metaChanged: Boolean)
+
+  /** Deltas of every retained commit in `(from, to]`, each diffed
+    * against its retained predecessor. `from` must itself be retained
+    * (it was the caller's base snapshot moments ago).
+    */
+  private def interleavedDeltas(view: String, from: Long,
+                                to: Long): Seq[CommitDelta] = {
+    val vs = (from +: versions(view).filter(v => v > from && v <= to))
+      .distinct.sorted
+    vs.sliding(2).collect { case Seq(a, b) =>
+      val da = readManifest(view, a).toSet
+      val db = readManifest(view, b).toSet
+      CommitDelta(
+        added = db -- da, removed = da -- db,
+        delsChanged = manifestDels(view, a) != manifestDels(view, b),
+        metaChanged = manifestDrops(view, a) != manifestDrops(view, b) ||
+          manifestRenames(view, a) != manifestRenames(view, b))
+    }.toSeq
+  }
+
+  /** Guard a rebase against interleaved EXACTLY-ONCE state: if the new
+    * head has already applied any of this commit's txn ids or file
+    * fences (a speculative duplicate of the same batch/file landed
+    * first), a retry-from-head would SKIP — so the rebase must surface
+    * the conflict and let the idempotent wrapper re-check, never
+    * double-apply.
+    */
+  private def rebaseFenceGuard(view: String, head: Long, txns: Set[Long],
+                               files: Set[Long]): Unit = {
+    if (txns.nonEmpty && (manifestTxns(view, head) & txns).nonEmpty)
+      throw new SnapshotConflict(
+        s"$view: txn already applied by a concurrent commit at v$head")
+    if (files.nonEmpty && (manifestFiles(view, head) & files).nonEmpty)
+      throw new SnapshotConflict(
+        s"$view: file fence already applied by a concurrent commit at v$head")
+  }
+
+  /** Rebase attempts before giving up — a backstop against a writer
+    * that can never catch a hot head, not a tuning knob (each attempt
+    * is one manifest read + one link(2); 24 losses in a row means the
+    * table has a pathological writer storm and the caller's
+    * [[retryOnConflict]] backoff should pace it instead).
+    */
+  private val RebaseAttempts = 24
+
   /** Commit `df` as the next version. `overwrite = true` replaces the
     * table contents; `false` appends to the predecessor snapshot.
     * Caller contract on APPENDS: an existing column must arrive with
@@ -458,10 +539,14 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * `statsCols` records per-dir min/max for [[readPruned]] /
     * [[mergeInto]] data skipping. Returns the committed version. Throws
     * [[SnapshotConflict]] if `expectedBase` is stale (another writer
-    * advanced the table since this writer read it) or if the manifest
-    * publish loses the race for the same next version — either way the
-    * caller re-reads and retries, the standard optimistic-concurrency
-    * contract.
+    * advanced the table since this writer read it — pinned commits keep
+    * strict version semantics). An UNPINNED commit that loses the
+    * manifest race does NOT conflict: its data is head-independent, so
+    * it rebases — re-publishes the already-written dir at the new head
+    * (Delta's "blind appends never conflict"), throwing only when an
+    * interleaved commit already applied its txn/file fence (the
+    * exactly-once wrapper must re-check) or after [[RebaseAttempts]]
+    * straight losses.
     */
   def commit(view: String, df: DataFrame, overwrite: Boolean,
              expectedBase: Option[Long] = None,
@@ -475,30 +560,55 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     expectedBase.filter(_ != base).foreach { e =>
       throw new SnapshotConflict(s"$view: expected base v$e but table is at v$base")
     }
-    val next = base + 1
-    val dataDir = newDirName(next, txn)
+    val dataDir = newDirName(base + 1, txn)
     writeData(view, df, dataDir, statsCols, bloomCols)
-    val dirs =
-      if (overwrite || vs.isEmpty) Seq(dataDir)
-      else readManifest(view, base) :+ dataDir
-    // txn history is carried across ALL commit kinds — including
-    // overwrite — so an appendOnce retry racing a compaction/rewrite
-    // still recognizes its txn instead of double-appending
-    val prevTxns = if (vs.isEmpty) Set.empty[Long] else manifestTxns(view, base)
-    // deletion vectors: an OVERWRITE replaces content (deletes die with
-    // it); an APPEND carries them — appended rows matching a live
-    // deleted key stay suppressed at read (re-insert through mergeInto,
-    // which subtracts re-inserted keys from the vector)
-    val dels =
-      if (overwrite || vs.isEmpty) Nil else manifestDels(view, base)
-    // an overwrite's written data defines the physical schema — the
-    // dropped-column projection clears with the content it shadowed
-    publish(view, next, dirs, prevTxns ++ txn ++ txnsExtra, dels,
-      filesExtra = filesExtra,
-      drops = if (overwrite || vs.isEmpty) Some(Nil) else None)
-    seedSchemaCache(view, dirs, df.schema,
-      prev = if (overwrite || vs.isEmpty) None else Some(readManifest(view, base)))
-    next
+    val myTxns = txn.toSet ++ txnsExtra
+    // Logical conflict detection at publish: a blind append / unpinned
+    // overwrite is head-INDEPENDENT — its written data dir does not
+    // depend on the snapshot it lands after, so a full retry-from-head
+    // would write identical data and recompute only this manifest.
+    // Losing the version race therefore RE-PUBLISHES the already-written
+    // immutable dir at the new head (one manifest read + one link(2),
+    // zero data IO, zero re-run) instead of throwing — Delta's "blind
+    // appends never conflict" rule. A PINNED commit (expectedBase) keeps
+    // strict version semantics and still throws; an interleaved commit
+    // that already applied this txn/file fence surfaces as a conflict so
+    // the exactly-once wrapper re-checks instead of double-applying.
+    var curBase = base
+    var attempt = 0
+    while (true) {
+      // an overwrite's written data defines the physical schema — the
+      // dropped-column projection clears with the content it shadowed;
+      // txn history is carried across ALL commit kinds — including
+      // overwrite — so an appendOnce retry racing a compaction/rewrite
+      // still recognizes its txn instead of double-appending.
+      // deletion vectors: an OVERWRITE replaces content (deletes die
+      // with it); an APPEND carries them — appended rows matching a
+      // live deleted key stay suppressed at read (re-insert through
+      // mergeInto, which subtracts re-inserted keys from the vector)
+      val wipe = overwrite || curBase == 0L
+      val dirs =
+        if (wipe) Seq(dataDir) else readManifest(view, curBase) :+ dataDir
+      val prevTxns =
+        if (curBase == 0L) Set.empty[Long] else manifestTxns(view, curBase)
+      val dels = if (wipe) Nil else manifestDels(view, curBase)
+      try {
+        publish(view, curBase + 1, dirs, prevTxns ++ myTxns, dels,
+          filesExtra = filesExtra,
+          drops = if (wipe) Some(Nil) else None)
+        seedSchemaCache(view, dirs, df.schema,
+          prev = if (wipe) None else Some(readManifest(view, curBase)))
+        return curBase + 1
+      } catch {
+        case e: SnapshotConflict =>
+          attempt += 1
+          if (expectedBase.nonEmpty || attempt >= RebaseAttempts) throw e
+          val head = versions(view).max
+          rebaseFenceGuard(view, head, myTxns, filesExtra)
+          curBase = head
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Pre-populate the merged-schema cache for a JUST-committed dir list
@@ -578,7 +688,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     */
   def fileFence(path: String): Long = {
     val np = java.nio.file.Paths.get(path).toAbsolutePath.normalize
-    val p = np.toString + " " + Files.size(np) + " " +
+    val p = np.toString + "\u0000" + Files.size(np) + "\u0000" +
       Files.getLastModifiedTime(np).toMillis
     var h = 0xcbf29ce484222325L // FNV-1a offset basis
     var i = 0
@@ -656,10 +766,49 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     // (time-travel lists, foreign clone refs): a full re-derive is one
     // plan-time footer job, far cheaper than unbounded driver growth
     if (schemaCache.size > 512) schemaCache.clear()
-    val sch = schemaCache.getOrElseUpdate(paths,
-      spark.read.option("mergeSchema", "true").parquet(paths: _*).schema)
+    val sch = schemaCache.getOrElseUpdate(paths, inferMergedSchema(paths))
     spark.read.schema(sch).parquet(paths: _*)
   }
+
+  /** Merged scan schema for a dir list. The common case is Spark's own
+    * mergeSchema footer merge; when the dirs span a TYPE WIDENING (an
+    * old era wrote INT where the new era writes BIGINT — name-identical,
+    * type-conflicting fields that make the stock merge throw), fall
+    * back to a per-path footer read merged through the numeric widening
+    * lattice, and let the parquet reader's type promotion (Spark 4:
+    * INT32→INT64, INT32→DOUBLE, FLOAT→DOUBLE, DECIMAL precision growth)
+    * read every era under the one wide schema. The fallback costs one
+    * footer read per path, only on conflict, and the result caches.
+    */
+  private def inferMergedSchema(paths: Seq[String])
+      : org.apache.spark.sql.types.StructType =
+    try spark.read.option("mergeSchema", "true").parquet(paths: _*).schema
+    catch { case e: Throwable =>
+      import org.apache.spark.sql.types._
+      def wider(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+        case (x, y) if x == y => Some(x)
+        case (IntegerType, LongType) | (LongType, IntegerType) => Some(LongType)
+        case (IntegerType, DoubleType) | (DoubleType, IntegerType) => Some(DoubleType)
+        case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+        case (x: DecimalType, y: DecimalType) if x.scale == y.scale =>
+          Some(DecimalType(math.max(x.precision, y.precision), x.scale))
+        case _ => None
+      }
+      val per =
+        try paths.map(p => spark.read.parquet(p).schema)
+        catch { case _: Throwable => throw e }
+      per.reduce { (a, b) =>
+        val aByName = a.fields.map(f => f.name -> f).toMap
+        val merged = a.fields.map { f =>
+          b.fields.find(_.name == f.name) match {
+            case Some(g) if g.dataType != f.dataType =>
+              f.copy(dataType = wider(f.dataType, g.dataType).getOrElse(throw e))
+            case _ => f
+          }
+        } ++ b.fields.filterNot(f => aByName.contains(f.name))
+        StructType(merged)
+      }
+    }
 
   /** Deletion-vector key-file bytes of a snapshot — the driver-side
     * size signal the read and fold paths bound their plans on (listing
@@ -726,10 +875,24 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * rewrite already localized them).
     */
   private def applyDrops(df: DataFrame, view: String, v: Long): DataFrame = {
-    val renamed = applyRenames(df, view, v)
+    val widened = applyWidens(applyRenames(df, view, v), view, v)
     val ds = manifestDrops(view, v)
-    if (ds.isEmpty) renamed else renamed.drop(ds: _*)
+    if (ds.isEmpty) widened else widened.drop(ds: _*)
   }
+
+  /** The TYPE-WIDENING half of the read projection: cast each widened
+    * column to its declared type (recorded against post-rename names,
+    * so it runs after [[applyRenames]]). Dirs already wide (post-widen
+    * writes, or a scan schema the widening-aware merge already
+    * promoted) see an identity cast the optimizer elides; a column not
+    * present (time travel past a later drop) is skipped.
+    */
+  private def applyWidens(df: DataFrame, view: String, v: Long): DataFrame =
+    manifestWidens(view, v).foldLeft(df) { case (d, (c, t)) =>
+      if (!d.columns.contains(c)) d
+      else d.withColumn(c,
+        col(c).cast(org.apache.spark.sql.types.DataType.fromDDL(t)))
+    }
 
   /** The rename half of [[applyDrops]] alone — for the REWRITE paths
     * (merge/delete/replace/optimize) that read raw dir SUBSETS and
@@ -1683,8 +1846,13 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * every other dir is carried into the new manifest BY NAME, costing
     * zero IO. The rewrite is one left-anti join (drop shadowed/deleted
     * targets) + union of the upserts, written as a single new dir with
-    * fresh stats; the commit pins `expectedBase`, so a concurrent writer
-    * surfaces as [[SnapshotConflict]] instead of a lost update.
+    * fresh stats. A concurrent writer landing first is CLASSIFIED, not
+    * blindly thrown: provably-disjoint interleaved commits (blind
+    * appends / rewrites that touched none of this merge's read set,
+    * added nothing overlapping its key range, and changed no DV or
+    * schema metadata) rebase the merge onto the new head — manifest-only,
+    * nothing re-runs; genuine overlap throws [[SnapshotConflict]] so the
+    * caller retries from fresh state, never a lost update.
     *
     * @return the committed version
     */
@@ -1785,20 +1953,57 @@ class SnapshotStore(spark: SparkSession, val root: String) {
           }
         }
       }
-    // re-check the base AFTER the (slow) data write, right before the
-    // atomic publish — the publish itself still decides the race
-    if (versions(view).max != base)
-      throw new SnapshotConflict(s"$view: base v$base superseded during merge")
-    publish(view, next, untouched :+ dataDir, manifestTxns(view, base) ++ txn,
-      newDels)
-    // untouched dirs hold column subsets of targetSchema and the
-    // rewritten dir was aligned to it — the new version's merged schema
-    // IS targetSchema, known in the driver
-    val newKey = (untouched :+ dataDir)
-      .map(d => dataRoot(view).resolve(d).toString)
-    schemaCache.update(newKey, targetSchema)
-    evictSchemaCache(view, newKey)
-    next
+    // Logical conflict detection at publish (Delta ConflictChecker
+    // shape): losing the version race classifies the interleaved
+    // commits and RE-PUBLISHES the already-written rewrite at the new
+    // head when every one of them is provably disjoint from this merge —
+    // (a) removed none of the dirs this merge READ (`touched`: its read
+    // set — carried dirs were never opened), (b) changed no deletion
+    // vector and no schema metadata (this merge's rewrite and carried
+    // vector were computed against the base's), and (c) added only dirs
+    // whose recorded key stats cannot contain ANY source key (probed
+    // via the stats sidecars; a statless added dir counts as a hit —
+    // conservative). Interleaved blind appends and key-disjoint rewrites
+    // rebase in one manifest read + link(2), zero re-run; genuine
+    // overlap still throws and retryOnConflict re-runs from fresh state.
+    val touchedSet = touched.toSet
+    var curBase = base
+    var attempt = 0
+    while (true) {
+      // carry-from-head: head dirs minus this merge's read set — an
+      // interleaved rewrite of a CARRIED dir is honored automatically
+      // (its replacement dirs are in the head list, its stale original
+      // is not), and interleaved appends ride along untouched
+      val carried = readManifest(view, curBase).filterNot(touchedSet)
+      try {
+        publish(view, curBase + 1, carried :+ dataDir,
+          manifestTxns(view, curBase) ++ txn, newDels)
+        // untouched dirs hold column subsets of targetSchema and the
+        // rewritten dir was aligned to it — the new version's merged
+        // schema IS targetSchema, known in the driver
+        val newKey = (carried :+ dataDir)
+          .map(d => dataRoot(view).resolve(d).toString)
+        schemaCache.update(newKey, targetSchema)
+        evictSchemaCache(view, newKey)
+        return curBase + 1
+      } catch {
+        case e: SnapshotConflict =>
+          attempt += 1
+          if (attempt >= RebaseAttempts) throw e
+          val head = versions(view).max
+          txn.foreach(t => rebaseFenceGuard(view, head, Set(t), Set.empty))
+          val deltas = interleavedDeltas(view, curBase, head)
+          if (deltas.exists(d => d.metaChanged || d.delsChanged ||
+            (d.removed & touchedSet).nonEmpty)) throw e
+          val addedAll = deltas.flatMap(_.added).distinct
+          if (addedAll.nonEmpty) {
+            val (hit, _) = dirsHitByKeys(view, addedAll, keyCol, source)
+            if (hit.nonEmpty) throw e
+          }
+          curBase = head
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Idempotent [[mergeInto]] keyed by `txnId` — the exactly-once
@@ -1934,6 +2139,12 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     require(schema.length > exact.length,
       s"$view: cannot drop every column " +
         exact.mkString("(", ", ", ")"))
+    // same reserved-character guard renameColumn has: a name holding
+    // ',' or '"' would corrupt manifestField's split-on-comma parse of
+    // the drops list, silently changing which columns the read hides
+    exact.foreach(c =>
+      require(!c.contains(',') && !c.contains('"'),
+        s"$view: column name `$c` holds a manifest-reserved character"))
     val dels = manifestDels(view, base)
     dels.headOption.foreach { d =>
       val vKey = readDirs(Seq(d), view).columns.head
@@ -1945,7 +2156,10 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     publish(view, base + 1, readManifest(view, base),
       manifestTxns(view, base), dels,
       drops = Some((manifestDrops(view, base) ++ exact).distinct),
-      renames = Some(manifestRenames(view, base)))
+      renames = Some(manifestRenames(view, base)),
+      // a dropped column's widen cast has nothing to fire on
+      widens = Some(manifestWidens(view, base)
+        .filterNot(w => exact.contains(w._1))))
     base + 1
   }
 
@@ -1958,10 +2172,18 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * the next full rewrite localizes everything under the new name
     * and clears the list. Refuses the deletion-vector key (vectors
     * are keyed by physical column), an occupied target, and names
-    * carrying the encoding characters. Data-skipping note: pre-rename
-    * dirs keep their stats under the OLD name, so pruning on the new
-    * name reads them conservatively until a rewrite — correct, not
-    * yet tight.
+    * carrying the encoding characters. Data skipping stays TIGHT
+    * across the rename: the per-dir stats/bloom sidecars are rebound
+    * old→new in the same operation ([[rebindSidecar]] — O(dirs)
+    * driver-side metadata, zero data IO), so pruning on the new name
+    * keeps skipping pre-rename dirs instead of conservatively reading
+    * them until a rewrite. The rebind runs AFTER the manifest publish
+    * (crash-safe: a dir not yet rebound merely reads conservatively
+    * under the new name, never wrongly) and skips foreign-ref dirs
+    * (a shallow clone's sidecars belong to the source table). The one
+    * tightness trade: a TIME-TRAVEL read at a pre-rename version now
+    * prunes the old spelling conservatively — correctness unchanged
+    * (statless dirs are always read).
     */
   def renameColumn(view: String, oldName: String, newName: String): Long = {
     val vs = versions(view)
@@ -1997,8 +2219,112 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     publish(view, base + 1, readManifest(view, base),
       manifestTxns(view, base), dels,
       drops = Some(manifestDrops(view, base)),
-      renames = Some(manifestRenames(view, base) :+ (exact -> newName)))
+      renames = Some(manifestRenames(view, base) :+ (exact -> newName)),
+      // a widen recorded under the old spelling follows the rename —
+      // the read applies renames first, so the cast must target the
+      // post-rename name to keep firing
+      widens = Some(manifestWidens(view, base).map { case (c, t) =>
+        (if (c == exact) newName else c) -> t
+      }))
+    readManifest(view, base).filterNot(_.contains("/"))
+      .foreach(rebindSidecar(view, _, exact, newName))
     base + 1
+  }
+
+  /** METADATA-ONLY `ALTER COLUMN c TYPE <wider>`: publish the same dirs
+    * with `c>type` appended to the manifest's widen list — zero data
+    * IO. From this version on, reads cast the column to the declared
+    * type ([[applyWidens]]), later writes land the WIDE type physically
+    * (the SQL tier aligns inserts/merges to the read schema), and the
+    * mixed-era scan plans one wide schema through [[inferMergedSchema]]
+    * + the parquet reader's type promotion. Time travel keeps each
+    * version's own type; the next full rewrite localizes and clears.
+    * WIDENING-ONLY, refusing everything else loudly: INT→BIGINT,
+    * INT→DOUBLE, FLOAT→DOUBLE, DECIMAL(p,s)→DECIMAL(p+,s) — the
+    * promotions the parquet reader can serve without a rewrite
+    * (narrowing would silently truncate live data; long→double would
+    * lose integer precision past 2^53). Refuses the deletion-vector
+    * key (vectors carry the physical narrow type) like rename does.
+    */
+  def alterColumnType(view: String, column: String, newType: String): Long = {
+    import org.apache.spark.sql.types._
+    val vs = versions(view)
+    require(vs.nonEmpty, s"$view: nothing to widen a column in")
+    val base = vs.max
+    val schema = read(view, Some(base)).schema
+    val exact = schema.fieldNames.find(_.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$view: no column `$column` among " +
+          schema.fieldNames.mkString("(", ", ", ")")))
+    val target = DataType.fromDDL(newType)
+    val cur = schema(exact).dataType
+    val ok = (cur, target) match {
+      case (a, b) if a == b => false // no-op is a user error, not a publish
+      case (IntegerType, LongType) => true
+      case (IntegerType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
+      case _ => false
+    }
+    require(ok,
+      s"$view: ALTER COLUMN TYPE is widening-only — `$exact` is " +
+        s"${cur.sql}, and ${target.sql} is not a supported widening " +
+        "(INT→BIGINT, INT→DOUBLE, FLOAT→DOUBLE, DECIMAL(p,s)→DECIMAL(p+,s))")
+    require(!exact.contains('>') && !exact.contains(',') && !exact.contains('"'),
+      s"$view: column name `$exact` holds a manifest-reserved character")
+    val dels = manifestDels(view, base)
+    dels.headOption.foreach { d =>
+      val vKey = readDirs(Seq(d), view).columns.head
+      require(!vKey.equalsIgnoreCase(exact),
+        s"$view: `$exact` keys the live deletion vectors — OPTIMIZE " +
+          "(materialize the vectors) before widening it")
+    }
+    publish(view, base + 1, readManifest(view, base),
+      manifestTxns(view, base), dels,
+      drops = Some(manifestDrops(view, base)),
+      renames = Some(manifestRenames(view, base)),
+      // chained widens collapse to the latest declaration per column
+      widens = Some(manifestWidens(view, base).filterNot(_._1 == exact) :+
+        (exact -> target.catalogString)))
+    base + 1
+  }
+
+  /** Rebind one dir's data-skipping sidecars across a column rename:
+    * the `_stats.tsv` line and `_bloom_<col>.bin` file recorded under
+    * the OLD physical name move to the new one, so [[pruneDirs]] /
+    * [[pruneDirsBox]] / [[dirsHitByKeys]] on the new name stay tight
+    * over pre-rename dirs. Atomic per file (tmp + ATOMIC_MOVE — a
+    * concurrent reader sees the old or the new line set, never a torn
+    * file); a dir already carrying the new name (post-rename writes,
+    * or a retried rename) is left untouched. Safety of the stale old
+    * bindings this leaves behind for time travel — and of any later
+    * same-named ADD COLUMN — rests on NULL semantics: a pre-rebind/
+    * pre-rename dir physically lacks the queried column, its rows
+    * surface NULL, and NULL never satisfies a range/point predicate,
+    * so a skip decided by relocated stats can never hide a matching
+    * row.
+    */
+  private def rebindSidecar(view: String, dirName: String,
+                            oldName: String, newName: String): Unit = {
+    val dir = dirPath(view, dirName)
+    val sp = dir.resolve(StatsFile)
+    if (Files.exists(sp)) {
+      val lines = Files.readString(sp).split("\n").filter(_.nonEmpty).toSeq
+      def named(l: String, n: String) = l.takeWhile(_ != '\t') == n
+      if (lines.exists(named(_, oldName)) && !lines.exists(named(_, newName))) {
+        val out = lines.map(l =>
+          if (named(l, oldName)) newName + l.dropWhile(_ != '\t') else l)
+        val tmp = Files.createTempFile(dir, "._stats", ".tmp")
+        Files.writeString(tmp, out.mkString("\n"))
+        // POSIX rename(2): atomic and replaces the existing sidecar
+        Files.move(tmp, sp, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    val ob = dir.resolve(s"_bloom_$oldName.bin")
+    val nb = dir.resolve(s"_bloom_$newName.bin")
+    if (Files.exists(ob) && !Files.exists(nb))
+      Files.move(ob, nb, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   def dirBytes(view: String, dirName: String): Long =
@@ -2043,8 +2369,14 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     // vector carries forward for the big dirs it still applies to
     // (re-applying to the clean dir is a no-op — the rows are gone)
     val dels = manifestDels(view, base)
-    writeData(view, applyDels(readDirs(small, view), view, dels)
-      .coalesce(nFiles), dataDir, statsCols)
+    // applyRenames like every other rewrite path: a consolidated dir
+    // mixing pre/post-rename rows must be written under the POST-rename
+    // names with complete stats — left physical, old-era values would
+    // hide under the old name and the new-name stats would classify the
+    // dir as untouched (silently missed by keyed MERGE/DELETE/prunes)
+    writeData(view,
+      applyRenames(applyDels(readDirs(small, view), view, dels), view, base)
+        .coalesce(nFiles), dataDir, statsCols)
     if (versions(view).max != base)
       throw new SnapshotConflict(s"$view: base v$base superseded during compact")
     publish(view, next, big :+ dataDir, manifestTxns(view, base), dels)
@@ -2239,24 +2571,41 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     expectedBase.filter(_ != base).foreach { e =>
       throw new SnapshotConflict(s"$view: expected base v$e but table is at v$base")
     }
-    val next = base + 1
     val allStats = (statsCols ++ clusterCols).distinct
     val dirNames = writeClusteredDirs(view, df, code, targetDirs,
-      allStats, next, txn)
-    val dirs =
-      if (overwrite || vs.isEmpty) dirNames
-      else readManifest(view, base) ++ dirNames
-    val prevTxns = if (vs.isEmpty) Set.empty[Long] else manifestTxns(view, base)
-    val dels =
-      if (overwrite || vs.isEmpty) Nil else manifestDels(view, base)
-    if (vs.nonEmpty && versions(view).max != base)
-      throw new SnapshotConflict(s"$view: base v$base superseded during commit")
-    publish(view, next, dirs, prevTxns ++ txn ++ txnsExtra, dels,
-      filesExtra = filesExtra,
-      drops = if (overwrite || vs.isEmpty) Some(Nil) else None)
-    seedSchemaCache(view, dirs, df.schema,
-      prev = if (overwrite || vs.isEmpty) None else Some(readManifest(view, base)))
-    next
+      allStats, base + 1, txn)
+    val myTxns = txn.toSet ++ txnsExtra
+    // same logical-conflict rebase as [[commit]]: the clustered dirs are
+    // head-independent (blind append / unpinned overwrite), so losing
+    // the version race re-publishes them at the new head — a streaming
+    // clustered sink never loses a micro-batch to a concurrent batch
+    // DML, and never re-runs the range write either
+    var curBase = base
+    var attempt = 0
+    while (true) {
+      val wipe = overwrite || curBase == 0L
+      val dirs =
+        if (wipe) dirNames else readManifest(view, curBase) ++ dirNames
+      val prevTxns =
+        if (curBase == 0L) Set.empty[Long] else manifestTxns(view, curBase)
+      val dels = if (wipe) Nil else manifestDels(view, curBase)
+      try {
+        publish(view, curBase + 1, dirs, prevTxns ++ myTxns, dels,
+          filesExtra = filesExtra,
+          drops = if (wipe) Some(Nil) else None)
+        seedSchemaCache(view, dirs, df.schema,
+          prev = if (wipe) None else Some(readManifest(view, curBase)))
+        return curBase + 1
+      } catch {
+        case e: SnapshotConflict =>
+          attempt += 1
+          if (expectedBase.nonEmpty || attempt >= RebaseAttempts) throw e
+          val head = versions(view).max
+          rebaseFenceGuard(view, head, myTxns, filesExtra)
+          curBase = head
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** DESCRIBE HISTORY: one row per retained version — (version, n_dirs,
@@ -2296,7 +2645,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     val next = base + 1
     publish(view, next, readManifest(view, v), manifestTxns(view, base),
       manifestDels(view, v), drops = Some(manifestDrops(view, v)),
-      renames = Some(manifestRenames(view, v)))
+      renames = Some(manifestRenames(view, v)),
+      widens = Some(manifestWidens(view, v)))
     next
   }
 
@@ -2328,7 +2678,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     publish(dst, 1L, readManifest(src, srcV).map(rel), Set.empty,
       manifestDels(src, srcV).map(rel),
       drops = Some(manifestDrops(src, srcV)),
-      renames = Some(manifestRenames(src, srcV)))
+      renames = Some(manifestRenames(src, srcV)),
+      widens = Some(manifestWidens(src, srcV)))
     1L
   }
 
@@ -2427,7 +2778,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       manifestTxns(view, base) ++ manifestTxns(b, head),
       manifestDels(b, head).map(toMain),
       drops = Some(manifestDrops(b, head)),
-      renames = Some(manifestRenames(b, head)))
+      renames = Some(manifestRenames(b, head)),
+      widens = Some(manifestWidens(b, head)))
     base + 1
   }
 
@@ -2469,7 +2821,9 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       drops = Some((manifestDrops(view, mainHead) ++
         manifestDrops(b, head)).distinct),
       renames = Some((manifestRenames(view, mainHead) ++
-        manifestRenames(b, head)).distinct))
+        manifestRenames(b, head)).distinct),
+      widens = Some((manifestWidens(view, mainHead) ++
+        manifestWidens(b, head)).distinct))
     head + 1
   }
 
@@ -2506,7 +2860,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     val dels = manifestDels(srcView, v).map(copyDir)
     target.publish(dstView, 1L, dirs, Set.empty, dels,
       drops = Some(manifestDrops(srcView, v)),
-      renames = Some(manifestRenames(srcView, v)))
+      renames = Some(manifestRenames(srcView, v)),
+      widens = Some(manifestWidens(srcView, v)))
     1L
   }
 

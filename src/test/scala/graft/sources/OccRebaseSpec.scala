@@ -1,0 +1,254 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Logical conflict detection (auto-rebase) at the OCC publish:
+  * blind appends and unpinned overwrites never conflict — losing the
+  * version race re-publishes the already-written immutable dir at the
+  * new head (manifest-only, zero re-run); MERGE rebases over provably
+  * disjoint interleaved commits and throws only on genuine overlap
+  * (Delta ConflictChecker semantics at dir granularity).
+  */
+class OccRebaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  private def freshStore(): SnapshotStore = {
+    n += 1
+    val root = Scratch.processScoped("occ_rebase_spec", "spec") + s"/case$n"
+    new SnapshotStore(spark, root)
+  }
+
+  private def pooled[T](width: Int)(work: Seq[() => T]): Seq[T] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(width)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(
+        work.map(w => scala.concurrent.Future(w()))),
+      scala.concurrent.duration.Duration(180, "s"))
+    finally pool.shutdown()
+  }
+
+  test("hammered concurrent appendOnce: zero conflicts, every append lands exactly once") {
+    val st = freshStore()
+    st.commit("t", Seq((0, "seed")).toDF("k", "v"), overwrite = true)
+    // 4 writers x 4 appends, NO retry wrapper anywhere: the rebase path
+    // must absorb every lost version race. A single escaping
+    // SnapshotConflict fails the future and the test.
+    val results = pooled(4)((1 to 4).flatMap { w =>
+      (1 to 4).map { i => () =>
+        st.appendOnce("t", Seq((w * 100 + i, s"w$w-$i")).toDF("k", "v"),
+          txnId = (w * 100 + i).toLong)
+      }
+    })
+    assert(results.forall(_.nonEmpty), "every appendOnce must land first-try")
+    assert(st.versions("t") == (1L to 17L), st.versions("t").toString)
+    val ks = st.read("t").select("k").as[Int].collect()
+    assert(ks.length == 17)
+    assert(ks.toSet ==
+      Set(0) ++ (for (w <- 1 to 4; i <- 1 to 4) yield w * 100 + i))
+    // all 16 txn fences carried to the head manifest
+    assert(st.appliedTxns("t").size == 16)
+  }
+
+  test("hammered mergeIntoOnce on disjoint key ranges: zero conflicts, no lost update") {
+    val st = freshStore()
+    // 4 dirs with disjoint recorded key ranges — each writer's merge
+    // reads (and rewrites) exactly one of them
+    (0 until 4).foreach { w =>
+      st.commit("t",
+        (w * 100 until w * 100 + 100).map(k => (k.toLong, 1.0)).toDF("k", "p"),
+        overwrite = w == -1, statsCols = Seq("k"))
+    }
+    val results = pooled(4)((0 until 4).map { w => () =>
+      st.mergeIntoOnce("t",
+        (w * 100 until w * 100 + 50).map(k => (k.toLong, 2.0)).toDF("k", "p"),
+        "k", txnId = 1000L + w, statsCols = Seq("k"))
+    })
+    assert(results.forall(_.nonEmpty), "every merge must land first-try")
+    assert(st.versions("t").max == 8L, "4 seeds + 4 merges, no holes")
+    val rows = st.read("t").as[(Long, Double)].collect().toMap
+    assert(rows.size == 400, "no duplicate or lost keys")
+    (0 until 400).foreach { k =>
+      val want = if (k % 100 < 50) 2.0 else 1.0
+      assert(rows(k.toLong) == want, s"key $k")
+    }
+  }
+
+  test("hammered same-key merges: genuine overlap serializes, key stays unique") {
+    val st = freshStore()
+    st.commit("t", Seq((1L, 0.0)).toDF("k", "p"), overwrite = true,
+      statsCols = Seq("k"))
+    // every merge upserts THE SAME key: rebase must refuse (interleaved
+    // adds overlap the source key range), retryOnConflict serializes.
+    // A wrong rebase would carry two dirs both holding k=1.
+    pooled(4)((1 to 4).map { w => () =>
+      st.retryOnConflict(attempts = 30) {
+        st.mergeInto("t", Seq((1L, w.toDouble)).toDF("k", "p"), "k",
+          statsCols = Seq("k"))
+      }
+    })
+    val rows = st.read("t").as[(Long, Double)].collect()
+    assert(rows.length == 1, s"key must stay unique: ${rows.mkString(",")}")
+    assert((1 to 4).map(_.toDouble).contains(rows.head._2))
+    assert(st.versions("t").max == 5L, "all four merges landed")
+  }
+
+  test("hammered appendOnce with ONE txn id: exactly-once survives the rebase path") {
+    val st = freshStore()
+    st.commit("t", Seq((0, "seed")).toDF("k", "v"), overwrite = true)
+    val landed = pooled(4)((1 to 4).map { _ => () =>
+      st.retryOnConflict(attempts = 30) {
+        st.appendOnce("t", Seq((7, "dup")).toDF("k", "v"), txnId = 7L)
+      }
+    })
+    assert(landed.count(_.nonEmpty) == 1,
+      s"exactly one duplicate append may land: $landed")
+    assert(st.read("t").where(col("k") === 7).count() == 1L)
+  }
+
+  // Deterministic raced merge: a gate UDF inside the merge SOURCE
+  // releases a concurrent append after the merge has read its base,
+  // then lets the merge proceed to publish — forcing the exact
+  // interleaving the classifier must judge.
+  private def racedMerge(st: SnapshotStore, appendRows: => Unit): Unit = {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val appended = new java.util.concurrent.CountDownLatch(1)
+    OccRebaseSpec.gate = gate
+    OccRebaseSpec.appended = appended
+    val block = udf { k: Long =>
+      OccRebaseSpec.gate.countDown()
+      OccRebaseSpec.appended.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      k
+    }
+    val source = Seq(5L, 6L).toDF("k0")
+      .select(block(col("k0")).as("k"), lit(9.0).as("p"))
+    val appender = new Thread(() => {
+      gate.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      appendRows
+      appended.countDown()
+    })
+    appender.start()
+    try st.mergeInto("t", source, "k", statsCols = Seq("k"))
+    finally appender.join(60000)
+  }
+
+  test("raced merge vs disjoint append: rebases, nothing re-runs, nothing lost") {
+    val st = freshStore()
+    st.commit("t", (0L until 10L).map(k => (k, 1.0)).toDF("k", "p"),
+      overwrite = true, statsCols = Seq("k"))
+    racedMerge(st, st.commit("t",
+      Seq((100L, 1.0)).toDF("k", "p"), overwrite = false,
+      statsCols = Seq("k")))
+    // merge (upserting k=5,6) rebased over the k=100 append: both land
+    assert(st.versions("t").max == 3L)
+    val rows = st.read("t").as[(Long, Double)].collect().toMap
+    assert(rows.size == 11)
+    assert(rows(5L) == 9.0 && rows(6L) == 9.0 && rows(100L) == 1.0)
+    // the smoking gun of a rebase: the merge's dir was written for v2
+    // (named b2-...) but published at v3 — a re-run would have written
+    // a fresh b3- dir instead
+    assert(st.manifestDirs("t").exists(_.startsWith("b2-")),
+      st.manifestDirs("t").toString)
+  }
+
+  test("raced merge vs key-overlapping append: genuine conflict still throws") {
+    val st = freshStore()
+    st.commit("t", (0L until 10L).map(k => (k, 1.0)).toDF("k", "p"),
+      overwrite = true, statsCols = Seq("k"))
+    // the interleaved append lands k=6 — INSIDE the merge's source key
+    // range, so the merge's insert decision for k=6 is stale: must throw
+    intercept[RuntimeException] {
+      racedMerge(st, st.commit("t",
+        Seq((6L, 3.0)).toDF("k", "p"), overwrite = false,
+        statsCols = Seq("k")))
+    }
+    // the append won; the merge left only an orphan dir (vacuumable) —
+    // none of its payload (p=9.0) ever became visible
+    assert(st.versions("t").max == 2L)
+    assert(st.read("t").where(col("p") === 9.0).count() == 0L)
+    assert(st.read("t").where(col("k") === 6L).as[(Long, Double)]
+      .collect().toSet == Set((6L, 1.0), (6L, 3.0))) // blind append duplicates; the merge that would have reconciled them refused
+  }
+
+  test("raced merge vs statless append: conservative conflict (no stats, no proof)") {
+    val st = freshStore()
+    st.commit("t", (0L until 10L).map(k => (k, 1.0)).toDF("k", "p"),
+      overwrite = true, statsCols = Seq("k"))
+    intercept[RuntimeException] {
+      // disjoint in truth (k=100) but written WITHOUT stats — the
+      // classifier cannot prove disjointness and must refuse
+      racedMerge(st, st.commit("t",
+        Seq((100L, 1.0)).toDF("k", "p"), overwrite = false))
+    }
+  }
+
+  test("raced merge vs interleaved DELETE (DV change): conservative conflict") {
+    val st = freshStore()
+    st.commit("t", (0L until 10L).map(k => (k, 1.0)).toDF("k", "p"),
+      overwrite = true, statsCols = Seq("k"))
+    intercept[RuntimeException] {
+      racedMerge(st, st.deleteWhere("t", "k", col("k") === 0L))
+    }
+  }
+
+  test("concurrent clustered sink + batch append: both land, zero conflicts") {
+    val st = freshStore()
+    st.commit("t", Seq((0L, 0L, "seed")).toDF("a", "b", "v"),
+      overwrite = true, statsCols = Seq("a", "b"))
+    pooled(4)((1 to 4).map { w => () =>
+      if (w % 2 == 0)
+        st.commitClustered("t",
+          (0 until 50).map(i => ((w * 1000 + i).toLong, i.toLong, s"c$w"))
+            .toDF("a", "b", "v"),
+          clusterCols = Seq("a", "b"), txn = Some(w.toLong))
+      else
+        st.commit("t",
+          (0 until 50).map(i => ((w * 1000 + i).toLong, i.toLong, s"p$w"))
+            .toDF("a", "b", "v"),
+          overwrite = false, statsCols = Seq("a", "b"), txn = Some(w.toLong))
+    })
+    assert(st.versions("t").max == 5L)
+    assert(st.read("t").count() == 201L)
+    assert(st.appliedTxns("t") == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("unpinned overwrite rebases over a concurrent append (last write wins)") {
+    val st = freshStore()
+    st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
+    // deterministic: pre-advance the head between versions() and
+    // publish is not hookable for commit, so hammer instead — an
+    // overwrite racing appends must land WITHOUT a conflict and define
+    // the final content when it lands last
+    val results = pooled(3)(Seq(
+      () => { st.commit("t", Seq((2, "b")).toDF("k", "v"), overwrite = false); "a1" },
+      () => { st.commit("t", Seq((3, "c")).toDF("k", "v"), overwrite = false); "a2" },
+      () => { st.commit("t", Seq((9, "z")).toDF("k", "v"), overwrite = true); "ow" }))
+    assert(results.size == 3)
+    assert(st.versions("t").max == 4L)
+    // whichever order the race resolved, the snapshot at the
+    // overwrite's version is exactly the overwrite's content
+    val owV = st.versions("t").filter(_ > 1L).find(v =>
+      st.manifestDirs("t", Some(v)).size == 1).get
+    assert(st.read("t", Some(owV)).select("k").as[Int].collect().toSet ==
+      Set(9))
+  }
+
+  test("pinned commits keep strict semantics: expectedBase still throws") {
+    val st = freshStore()
+    st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
+    st.commit("t", Seq((2, "b")).toDF("k", "v"), overwrite = false)
+    intercept[RuntimeException] {
+      st.commit("t", Seq((3, "c")).toDF("k", "v"), overwrite = false,
+        expectedBase = Some(1L))
+    }
+  }
+}
+
+object OccRebaseSpec {
+  // latches the gate UDF reaches from executor threads (local JVM)
+  @volatile var gate: java.util.concurrent.CountDownLatch = _
+  @volatile var appended: java.util.concurrent.CountDownLatch = _
+}
