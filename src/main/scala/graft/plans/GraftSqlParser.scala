@@ -520,7 +520,7 @@ object GraftSqlParser {
   // under the new name, later writes land the new name physically, and
   // the next full rewrite localizes + clears. The registry key /
   // cluster declaration rebind when they named the old spelling;
-  // CHECK-referenced columns refuse (their SQL text is the user's).
+  // CHECK constraints rewrite mechanically (round-trip-proven).
   private val RenameColRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(""" + Id +
       """)\s+RENAME\s+COLUMN\s+(""" + Id + """)\s+TO\s+(""" + Id +
@@ -689,13 +689,17 @@ object GraftSqlParser {
       """)\s+REPLACE\s+WHERE\s+(.+?)\s*;?\s*$""").r
 
   // COPY INTO <t> FROM '<path>' FILEFORMAT = PARQUET|CSV|JSON
-  // [PATTERN = '<glob>'] — idempotent bulk file ingestion: each loaded
-  // file records a fence in the manifest txn set, so re-running the
-  // statement (or pointing it at a landing dir that keeps growing)
-  // loads every file EXACTLY once
+  // [PATTERN = '<glob>'] [FORCE] — idempotent bulk file ingestion: each
+  // loaded file records a fence in the manifest's own files field, so
+  // re-running the statement (or pointing it at a landing dir that
+  // keeps growing) loads every file EXACTLY once; FORCE reloads
+  // regardless of fences (Delta's spelling — the operator escape hatch
+  // for the path+size+mtime identity's blind spot: an in-place
+  // overwrite preserving both on a coarse-mtime filesystem)
   private val CopyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+(""" + Id + """)\s+FROM\s+'([^']+)'\s+""" +
-      """FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*$""").r
+      """FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?""" +
+      """(\s+FORCE)?\s*;?\s*$""").r
 
   private val SelectLookahead = """(?s)^\s""".r
   private val ValuesLookahead = """(?s)^\s*\(""".r
@@ -1165,7 +1169,7 @@ object GraftSqlParser {
     }).orElse(CopyIntoRe.findFirstMatchIn(sqlText).collect {
       case m if claimed(m) =>
         GraftCopyIntoCommand(nm(m), m.group(2), m.group(3),
-          Option(m.group(4))): LogicalPlan
+          Option(m.group(4)), force = m.group(5) != null): LogicalPlan
     }).orElse(UpdateRe.findFirstMatchIn(sqlText).collect {
       case m if claimed(m) =>
         // the SET/WHERE boundary is found by the mask walk, not the
@@ -1261,11 +1265,16 @@ object GraftSqlParser {
     }).orElse(DescribeTableRe.findFirstMatchIn(sqlText).collect {
       // temp views / catalog tables keep the stock DESCRIBE (the same
       // always-win rule plain SELECT resolution gives them); only a
-      // name NOTHING else owns describes through the graft binding
+      // name the catalog PROVABLY does not own describes through the
+      // graft binding — a thrown tableExists (transient catalog error)
+      // is "unknown", which falls through to the delegate instead of
+      // shadowing a possibly-existing catalog table. The raw matched
+      // text keeps the user's quoting (backticked names parse in the
+      // catalog's multipart parser).
       case m if claimed(m) &&
-          !org.apache.spark.sql.SparkSession.getActiveSession.exists(s =>
+          org.apache.spark.sql.SparkSession.getActiveSession.forall(s =>
             scala.util.Try(s.catalog.tableExists(m.group(1)))
-              .getOrElse(false)) =>
+              .toOption.contains(false)) =>
         GraftDescribeTableCommand(nm(m)): LogicalPlan
     }).orElse(AnalyzeRe.findFirstMatchIn(sqlText).collect {
       case m if claimed(m) =>
@@ -1817,8 +1826,15 @@ case class GraftReplaceWhereCommand(name: String, predicateSql: String,
 }
 
 /** `COPY INTO <t> FROM '<path>' FILEFORMAT = PARQUET|CSV|JSON
-  * [PATTERN = '<glob>']` — IDEMPOTENT bulk file ingestion, the
-  * landing-zone statement a training-data pipeline loads shards with:
+  * [PATTERN = '<glob>'] [FORCE]` — IDEMPOTENT bulk file ingestion, the
+  * landing-zone statement a training-data pipeline loads shards with.
+  * FORCE reloads every matched file regardless of fences (Delta's
+  * spelling — the operator escape hatch for in-place overwrites the
+  * path+size+mtime identity cannot see), still recording fences so
+  * later non-FORCE runs skip. Pre-namespacing tables (head manifest
+  * without a `files` field, txn fences present) auto-consult their
+  * legacy fences and MIGRATE them to the modern field in one run —
+  * no silent full re-load after an upgrade. The rest of the contract:
   *
   *  - `FROM` names a file or a directory (non-recursive listing, data
   *    files only — `_`/`.`-prefixed sidecars skipped); `PATTERN`
@@ -1850,7 +1866,8 @@ case class GraftReplaceWhereCommand(name: String, predicateSql: String,
   * loaded/rows (everything in files_skipped) and publishes nothing.
   */
 case class GraftCopyIntoCommand(name: String, fromPath: String,
-                                format: String, pattern: Option[String])
+                                format: String, pattern: Option[String],
+                                force: Boolean = false)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   import org.apache.spark.sql.types.{LongType, StringType}
   override def output: Seq[Attribute] = Seq(
@@ -1886,22 +1903,42 @@ case class GraftCopyIntoCommand(name: String, fromPath: String,
         finally s0.close()
       }
     val applied = store.appliedFileFences(view)
-    // `spark.graft.sql.copyLegacyFences=true` is the one-shot upgrade
-    // switch for tables loaded BEFORE fences moved to their own
-    // manifest field: their path-only hashes live in the txn set, and
-    // without the switch a post-upgrade re-run would silently re-load
-    // every previously-loaded file. Off by default — the legacy check
-    // re-opens the (astronomically unlikely) txn-id collision the
-    // namespacing closed, so it is opt-in for the migration run only.
+    // Legacy fences (pre-namespacing, path-only hashes in the txn set)
+    // are consulted when EITHER the one-shot upgrade switch
+    // `spark.graft.sql.copyLegacyFences=true` is set, OR the head
+    // manifest has no `files` field at all while carrying txns — the
+    // reliable every-post-upgrade-publish-writes-the-field signal that
+    // the table's last writer predates the namespacing, so a silent
+    // full re-load is the likelier corruption than the (astronomically
+    // unlikely) txn-id collision the namespacing closed. Files
+    // recognized through a legacy fence MIGRATE: their modern fences
+    // record in this statement's commit (a fence-only publish when
+    // nothing else loads), so the auto-consult window closes after one
+    // run instead of staying open forever.
     val legacy = spark.conf
-      .getOption("spark.graft.sql.copyLegacyFences").exists(_.toBoolean)
+      .getOption("spark.graft.sql.copyLegacyFences").exists(_.toBoolean) ||
+      (!store.hasFileFenceField(view) && store.appliedTxns(view).nonEmpty)
     val appliedTx = if (legacy) store.appliedTxns(view) else Set.empty[Long]
-    val fresh = files.filterNot(f => applied.contains(store.fileFence(f)) ||
-      (legacy && appliedTx.contains(store.fileFenceLegacy(f))))
+    val legacyHits =
+      if (!legacy) Nil
+      else files.filter(f => !applied.contains(store.fileFence(f)) &&
+        appliedTx.contains(store.fileFenceLegacy(f)))
+    // FORCE reloads regardless of fences — the escape hatch for an
+    // in-place overwrite invisible to the path+size+mtime identity;
+    // the reloaded files' fences still record, so later non-FORCE runs
+    // skip as usual
+    val fresh =
+      if (force) files
+      else files.filterNot(f => applied.contains(store.fileFence(f)) ||
+        appliedTx.contains(store.fileFenceLegacy(f)))
     val skipped = (files.size - fresh.size).toLong
-    val cur = store.versions(view).lastOption.getOrElse(0L)
-    if (fresh.isEmpty)
+    val migrated = legacyHits.map(store.fileFence).toSet
+    if (fresh.isEmpty) {
+      val cur =
+        if (migrated.nonEmpty) store.recordFileFences(view, migrated)
+        else store.versions(view).lastOption.getOrElse(0L)
       return Seq(org.apache.spark.sql.Row(name, cur, 0L, 0L, skipped))
+    }
     val target = store.read(view).schema
     import org.apache.spark.sql.functions.{col, count, lit}
     // every format surfaces the batch's FULL column set so the
@@ -1953,7 +1990,7 @@ case class GraftCopyIntoCommand(name: String, fromPath: String,
             "spark.graft.sql.enforcePrimaryKey"))
       chk
     }
-    val fences = fresh.map(store.fileFence).toSet
+    val fences = fresh.map(store.fileFence).toSet ++ migrated
     val cluster = GraftTableRegistry.lookupCluster(name)
     val key = GraftTableRegistry.lookupKey(name).toSeq
     val v =
@@ -3041,9 +3078,10 @@ case class GraftCloneTableCommand(name: String, srcName: String,
   * rewrite localizes + clears. When the renamed column IS the
   * registered PRIMARY KEY or a declared CLUSTER BY column, the
   * binding REBINDS to the new spelling and re-persists — keyed DML
-  * and layout routing continue seamlessly. A column a recorded CHECK
-  * constraint references refuses (its SQL text is the user's to
-  * migrate). Returns (table, version).
+  * and layout routing continue seamlessly. Recorded CHECK constraints
+  * FOLLOW the rename: their stored SQL rewrites mechanically with a
+  * proven round-trip, refusing (DROP/re-ADD) only expressions the
+  * rewriter can't prove. Returns (table, version).
   */
 case class GraftRenameColumnCommand(name: String, oldCol: String,
                                     newCol: String)
@@ -3055,19 +3093,50 @@ case class GraftRenameColumnCommand(name: String, oldCol: String,
       : Seq[org.apache.spark.sql.Row] = {
     val tag = s"ALTER TABLE $name RENAME COLUMN"
     val (store, view) = GraftTableRegistry.required(tag, name)
-    GraftTableRegistry.lookupChecks(name).foreach { case (nm, ex) =>
-      import org.apache.spark.sql.functions.expr
-      val refs = org.apache.spark.sql.graftbridge.ColumnBridge
-        .expressionEager(expr(ex)).collect {
-          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    // CHECK constraints FOLLOW the rename: the stored SQL text's
+    // attribute references rewrite mechanically (parse → transform the
+    // unresolved tree → regenerate SQL), PROVEN by a round-trip — the
+    // regenerated text must re-parse to exactly the transformed tree,
+    // or the command refuses before anything publishes (the old
+    // DROP/re-ADD escape hatch, kept for expressions the rewriter
+    // can't prove). Enforcement and SHOW CREATE pick up the new
+    // spelling through the same registry entry.
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.functions.expr
+    def tree(sql: String) = org.apache.spark.sql.graftbridge.ColumnBridge
+      .expressionEager(expr(sql))
+    val rewritten = GraftTableRegistry.lookupChecks(name).map {
+      case (nm, ex) =>
+        val t0 = tree(ex)
+        val refs = t0.collect {
+          case a: UnresolvedAttribute
               if a.nameParts.last.equalsIgnoreCase(oldCol) => a
         }
-      require(refs.isEmpty,
-        s"$tag: CHECK constraint `$nm` ($ex) references `$oldCol` — " +
-          "DROP CONSTRAINT, rename, re-ADD with the new name")
+        if (refs.isEmpty) (nm, ex)
+        else {
+          val migrated = scala.util.Try {
+            val t1 = t0.transform {
+              case a: UnresolvedAttribute
+                  if a.nameParts.last.equalsIgnoreCase(oldCol) =>
+                UnresolvedAttribute(a.nameParts.init :+ newCol)
+            }
+            val sql1 = t1.sql
+            require(tree(sql1) == t1, "round-trip mismatch")
+            sql1
+          }
+          migrated match {
+            case scala.util.Success(sql1) => (nm, sql1)
+            case scala.util.Failure(_) =>
+              throw new IllegalArgumentException(
+                s"$tag: CHECK constraint `$nm` ($ex) references `$oldCol` " +
+                  "and cannot be rewritten mechanically — DROP CONSTRAINT, " +
+                  "rename, re-ADD with the new name")
+          }
+        }
     }
     val v = store.renameColumn(view, oldCol, newCol)
     GraftTableRegistry.rebindColumn(name, oldCol, newCol)
+    GraftTableRegistry.registerChecks(name, rewritten)
     GraftTableRegistry.persistBinding(spark, name)
     Seq(org.apache.spark.sql.Row(name, v))
   }
@@ -3456,9 +3525,12 @@ object GraftTableRegistry {
     */
   private def loadFromDisk(name: String)
       : Option[(graft.sources.SnapshotStore, String)] =
+    catalogRoot.flatMap(loadFromDiskAt(_, name))
+
+  private def loadFromDiskAt(root: String, name: String)
+      : Option[(graft.sources.SnapshotStore, String)] =
     for {
       spark <- org.apache.spark.sql.SparkSession.getActiveSession
-      root <- catalogRoot
       b <- GraftCatalog.load(root).get(name)
     } yield {
       val store = new graft.sources.SnapshotStore(spark, b.root)
@@ -3470,6 +3542,18 @@ object GraftTableRegistry {
       registerChecks(name, b.checks)
       (store, b.view)
     }
+
+  /** Fold the durable catalog under an EXPLICIT root into the
+    * in-memory registry — the SINK-side fold: a streaming sink is
+    * configured by options (`root`/`view`), not a table name, and may
+    * run in a JVM whose session never set `spark.graft.store.root`;
+    * without this fold such a stream would miss a CLUSTER BY another
+    * JVM declared and silently land plain commits on a declared-layout
+    * table. Names already live in memory are never clobbered.
+    */
+  def foldCatalog(root: String): Unit =
+    GraftCatalog.load(root).keys.filterNot(reg.contains)
+      .foreach(loadFromDiskAt(root, _))
 
   def lookup(name: String): Option[(graft.sources.SnapshotStore, String)] =
     reg.get(name).orElse(loadFromDisk(name))

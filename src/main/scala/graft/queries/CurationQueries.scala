@@ -2698,6 +2698,82 @@ object CurationQueries {
       st.read("t")
     }),
 
+    // STREAMING WAP — continuous ingestion through write-audit-publish:
+    // a real streaming sink lands its micro-batches on a BRANCH
+    // (`t304@audit` — the branch IS a registered DML-able table, so
+    // the exactly-once `graft-table` sink addresses it like any view)
+    // while MAIN stays provably untouched (in-query require per
+    // drain); the audit passes, ONE atomic FAST FORWARD publishes the
+    // streamed work to main, and a checkpoint REPLAY after the publish
+    // appends nothing (the txn fences carried through the FF — require
+    // pins main's version). The 100 TB shape: a continuous pipe lands
+    // unaudited data all day, readers of main never see a row until
+    // the publish, and the publish is O(files) metadata.
+    "q304_stream_wap" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q304_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      graft.plans.GraftTableRegistry.unregister("t304")
+      graft.plans.GraftTableRegistry.unregister("t304@audit")
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      o.createOrReplaceTempView("q304_orders")
+      // stage two micro-batch files (k%3=1 and k%3=2)
+      val inDir = new java.io.File(s"$root/in"); inDir.mkdirs()
+      Seq(("b1", 1), ("b2", 2)).foreach { case (nm, m) =>
+        val tmp = s"$root/tmp_$nm"
+        o.where(col("k") % 3 === m).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(inDir, s"$nm.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        graft.sources.Scratch.deleteRecursively(new java.io.File(tmp))
+      }
+      s.conf.set("spark.graft.store.root", root)
+      try {
+        s.sql("CREATE TABLE t304 USING graft PRIMARY KEY k " +
+          "AS SELECT k, cust, p FROM q304_orders WHERE k % 3 = 0")
+        s.sql("ALTER TABLE t304 CREATE BRANCH audit")
+        val (st, bView) =
+          graft.plans.GraftTableRegistry.lookup("t304@audit").get
+        val (_, mView) = graft.plans.GraftTableRegistry.lookup("t304").get
+        val mainCount = s.sql("SELECT * FROM t304").count()
+        def drain(): Unit = {
+          val q = s.readStream.schema(st.read(mView).schema)
+            .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+            .writeStream.format("graft-table")
+            .option("root", st.root).option("view", bView)
+            .option("statsColumns", "k")
+            .option("checkpointLocation", s"$root/_cp")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally if (q.isActive) q.stop()
+        }
+        drain()
+        require(s.sql("SELECT * FROM t304").count() == mainCount,
+          "main must be untouched while the stream lands on the branch")
+        require(st.versions(bView).max >= 3L,
+          s"two micro-batches must have committed on the branch: " +
+            s"${st.versions(bView)}")
+        // the audit over the streamed branch
+        require(s.sql("SELECT * FROM `t304@audit` WHERE k IS NULL")
+          .count() == 0L, "audit failed")
+        // ONE atomic publish moves main to the audited head
+        s.sql("ALTER TABLE t304 FAST FORWARD BRANCH audit")
+        val mainV = st.versions(mView).max
+        require(s.sql("SELECT * FROM t304").count() > mainCount,
+          "the fast forward must publish the streamed work to main")
+        // checkpoint replay AFTER the publish: every batch is fenced
+        // (the txn history rode the FF), nothing lands anywhere
+        drain()
+        require(st.versions(mView).max == mainV,
+          "a checkpoint replay after FF must append nothing to main")
+        s.sql("ALTER TABLE t304 DROP BRANCH audit")
+        s.sql("SELECT k, cust, p FROM t304")
+      } finally s.conf.unset("spark.graft.store.root")
+    }),
+
     // COPY INTO observability + the namespaced file fence: the re-run
     // SKIP is counted (files_skipped — a silent skip is now
     // observable), a user txn id equal to a file's fence hash no
@@ -4504,6 +4580,12 @@ object CurationQueries {
     "q298_sql_copy_skip_fence" ->
       """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
          FROM orders WHERE o_orderkey % 3 IN (0, 1)""",
+
+    // Main's final state after the streamed WAP cycle = the seed plus
+    // both streamed micro-batches, i.e. every order exactly once.
+    "q304_stream_wap" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
+         FROM orders""",
 
     // Widen is content-exact across both eras: old-era ints surface
     // as BIGINT, new-era rows carry the beyond-int values, the keyed

@@ -137,7 +137,17 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     scala.collection.concurrent.TrieMap.empty[(String, Long), String]
 
   private def manifestText(view: String, v: Long): String = {
-    if (manifestCache.size > 4096) manifestCache.clear()
+    if (manifestCache.size > 4096) {
+      // evict superseded versions per view first (readers want heads;
+      // time-travel re-reads are one tiny file) — wholesale clear only
+      // in the degenerate many-views case, so a long-running process
+      // oscillating around the bound doesn't thrash the whole cache
+      manifestCache.keys.toSeq.groupBy(_._1).foreach { case (_, ks) =>
+        val keep = ks.map(_._2).sorted.takeRight(4).toSet
+        ks.filterNot(k => keep.contains(k._2)).foreach(manifestCache.remove)
+      }
+      if (manifestCache.size > 4096) manifestCache.clear()
+    }
     manifestCache.getOrElseUpdate((view, v),
       Files.readString(manifestPath(view, v)))
   }
@@ -482,7 +492,11 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * classification, reduced to this store's dir granularity.
     */
   private case class CommitDelta(added: Set[String], removed: Set[String],
-                                 delsChanged: Boolean, metaChanged: Boolean)
+                                 delsAdded: Set[String],
+                                 delsRemoved: Set[String],
+                                 metaChanged: Boolean) {
+    def delsChanged: Boolean = delsAdded.nonEmpty || delsRemoved.nonEmpty
+  }
 
   /** Deltas of every retained commit in `(from, to]`, each diffed
     * against its retained predecessor. `from` must itself be retained
@@ -495,11 +509,14 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     vs.sliding(2).collect { case Seq(a, b) =>
       val da = readManifest(view, a).toSet
       val db = readManifest(view, b).toSet
+      val dela = manifestDels(view, a).toSet
+      val delb = manifestDels(view, b).toSet
       CommitDelta(
         added = db -- da, removed = da -- db,
-        delsChanged = manifestDels(view, a) != manifestDels(view, b),
+        delsAdded = delb -- dela, delsRemoved = dela -- delb,
         metaChanged = manifestDrops(view, a) != manifestDrops(view, b) ||
-          manifestRenames(view, a) != manifestRenames(view, b))
+          manifestRenames(view, a) != manifestRenames(view, b) ||
+          manifestWidens(view, a) != manifestWidens(view, b))
     }.toSeq
   }
 
@@ -527,6 +544,39 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * [[retryOnConflict]] backoff should pace it instead).
     */
   private val RebaseAttempts = 24
+
+  /** Classify the interleaved commits for a DELETE-side rebase: all
+    * must be BLIND APPENDS (a delete computed at its base serializes
+    * BEFORE concurrent appends under write-serializable isolation —
+    * Delta's DELETE-vs-blind-INSERT rule), and when the delete
+    * publishes a KEY VECTOR the appended dirs must provably hold none
+    * of its keys (stats-sidecar probe; statless adds count as hits) —
+    * a key-based vector would otherwise suppress appended rows the
+    * delete never saw, the lost-insert corner Delta's positional DVs
+    * cannot hit. Throws the caller's conflict on any other shape.
+    */
+  private def deleteRebaseGuard(view: String, from: Long, to: Long,
+                                vectorKeys: Option[(String, DataFrame)],
+                                allowDelAdds: Boolean,
+                                e: SnapshotConflict): Unit = {
+    val deltas = interleavedDeltas(view, from, to)
+    // `allowDelAdds`: a DV-publishing delete carries the HEAD's vector
+    // list (+ its own), so interleaved vector ADDITIONS commute —
+    // suppressing an already-suppressed key is a no-op — and rebase;
+    // the rewrite-delete publishes its base's vector list, so any dels
+    // change there would be dropped (a lost delete) and must conflict.
+    // Vector REMOVALS (merge subtraction, folds) always conflict.
+    if (deltas.exists(d =>
+        d.removed.nonEmpty || d.metaChanged || d.delsRemoved.nonEmpty ||
+          (!allowDelAdds && d.delsAdded.nonEmpty))) throw e
+    val added = deltas.flatMap(_.added).distinct
+    vectorKeys.foreach { case (kc, kf) =>
+      if (added.nonEmpty) {
+        val (hit, _) = dirsHitByKeys(view, added, kc, kf)
+        if (hit.nonEmpty) throw e
+      }
+    }
+  }
 
   /** Commit `df` as the next version. `overwrite = true` replaces the
     * table contents; `false` appends to the predecessor snapshot.
@@ -706,6 +756,34 @@ class SnapshotStore(spark: SparkSession, val root: String) {
   def appliedFileFences(view: String): Set[Long] = {
     val vs = versions(view)
     if (vs.isEmpty) Set.empty else manifestFiles(view, vs.max)
+  }
+
+  /** Whether the CURRENT head manifest carries the `files` field AT
+    * ALL — every post-namespacing publish writes it (even empty), so
+    * an absent field is the reliable signal that the table's last
+    * writer predates the namespacing and its COPY INTO fences live
+    * only in the txn set (the COPY INTO legacy auto-consult trigger).
+    */
+  def hasFileFenceField(view: String): Boolean = {
+    val vs = versions(view)
+    vs.nonEmpty && manifestText(view, vs.max).contains("\"files\":")
+  }
+
+  /** Publish a FENCE-ONLY version: same dirs, same content, only new
+    * file fences folded into the `files` field — the COPY INTO
+    * legacy-MIGRATION commit (files recognized through their
+    * pre-namespacing txn fences upgrade to modern namespaced fences
+    * atomically, so the auto-consult window can close after one run
+    * instead of staying open forever).
+    */
+  def recordFileFences(view: String, fences: Set[Long]): Long = {
+    val vs = versions(view)
+    require(vs.nonEmpty, s"$view: no committed snapshot to fence")
+    val base = vs.max
+    publish(view, base + 1, readManifest(view, base),
+      manifestTxns(view, base), manifestDels(view, base),
+      filesExtra = fences)
+    base + 1
   }
 
   /** The PRE-namespacing file fence (a path-only FNV-1a recorded in
@@ -1254,11 +1332,28 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     txn match {
       case None => base
       case Some(t) =>
-        if (versions(view).max != base)
-          throw new SnapshotConflict(s"$view: base v$base superseded")
-        publish(view, base + 1, readManifest(view, base),
-          manifestTxns(view, base) + t, manifestDels(view, base))
-        base + 1
+        // a fence-only publish changes no content — losing the version
+        // race rebases over ANY interleaved shape (a retry-from-head
+        // would publish the same carried state + this txn), throwing
+        // only when the txn itself already landed (the wrapper must
+        // re-check, never double-apply)
+        var curBase = base
+        var attempt = 0
+        while (true) {
+          try {
+            publish(view, curBase + 1, readManifest(view, curBase),
+              manifestTxns(view, curBase) + t, manifestDels(view, curBase))
+            return curBase + 1
+          } catch {
+            case e: SnapshotConflict =>
+              attempt += 1
+              if (attempt >= RebaseAttempts) throw e
+              val head = versions(view).max
+              rebaseFenceGuard(view, head, Set(t), Set.empty)
+              curBase = head
+          }
+        }
+        throw new IllegalStateException("unreachable")
     }
 
   /** DELETE FROM `view` WHERE `pred` — with ZERO data-file rewrite:
@@ -1387,11 +1482,33 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       Scratch.deleteRecursively(dataRoot(view).resolve(delDir).toFile)
       return fenceOnly(view, base, txn)
     }
-    if (versions(view).max != base)
-      throw new SnapshotConflict(s"$view: base v$base superseded during delete")
-    publish(view, next, readManifest(view, base),
-      manifestTxns(view, base) ++ txn, foldDels(view, next, prevDels :+ delDir))
-    next
+    // DV-delete rebase: interleaved BLIND APPENDS whose dirs provably
+    // hold none of this vector's keys are safe to land after (the
+    // delete serializes before them; the vector cannot touch their
+    // rows) — the already-written key list republishes at the head.
+    // Any other shape, or a possible key overlap, throws.
+    var curBase = base
+    var attempt = 0
+    while (true) {
+      try {
+        publish(view, curBase + 1, readManifest(view, curBase),
+          manifestTxns(view, curBase) ++ txn,
+          foldDels(view, curBase + 1,
+            manifestDels(view, curBase) :+ delDir))
+        return curBase + 1
+      } catch {
+        case e: SnapshotConflict =>
+          attempt += 1
+          if (attempt >= RebaseAttempts) throw e
+          val head = versions(view).max
+          txn.foreach(t => rebaseFenceGuard(view, head, Set(t), Set.empty))
+          deleteRebaseGuard(view, curBase, head,
+            Some(keyCol -> readDirs(Seq(delDir), view)),
+            allowDelAdds = true, e)
+          curBase = head
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The copy-on-write half of [[deleteWhere]]'s DV-vs-rewrite policy:
@@ -1419,18 +1536,41 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       snapshotSchema)
       .where(!coalesce(hit, lit(false)))
     val sized = sizedForBytes(keep, touched.map(dirBytes(view, _)).sum)
-    val next = base + 1
-    val dataDir = newDirName(next, txn)
+    val dataDir = newDirName(base + 1, txn)
     writeData(view, sized, dataDir, Seq(keyCol))
-    if (versions(view).max != base)
-      throw new SnapshotConflict(s"$view: base v$base superseded during delete")
-    publish(view, next, untouched :+ dataDir, manifestTxns(view, base) ++ txn,
-      if (untouched.isEmpty) Nil else prevDels)
-    val newKey = (untouched :+ dataDir)
-      .map(d => dataRoot(view).resolve(d).toString)
-    schemaCache.update(newKey, snapshotSchema)
-    evictSchemaCache(view, newKey)
-    next
+    // rewrite-delete rebase: interleaved BLIND APPENDS ride into the
+    // carried set (the delete serializes before them — no vector is
+    // published, so their rows cannot be suppressed); anything that
+    // removed dirs or changed vectors/metadata throws
+    val touchedSet = touched.toSet
+    var curBase = base
+    var attempt = 0
+    while (true) {
+      val carried = readManifest(view, curBase).filterNot(touchedSet)
+      try {
+        publish(view, curBase + 1, carried :+ dataDir,
+          manifestTxns(view, curBase) ++ txn,
+          if (carried.isEmpty) Nil else prevDels)
+        // seed only when nothing interleaved (see mergeInto's note)
+        if (curBase == base) {
+          val newKey = (carried :+ dataDir)
+            .map(d => dataRoot(view).resolve(d).toString)
+          schemaCache.update(newKey, snapshotSchema)
+          evictSchemaCache(view, newKey)
+        }
+        return curBase + 1
+      } catch {
+        case e: SnapshotConflict =>
+          attempt += 1
+          if (attempt >= RebaseAttempts) throw e
+          val head = versions(view).max
+          txn.foreach(t => rebaseFenceGuard(view, head, Set(t), Set.empty))
+          deleteRebaseGuard(view, curBase, head, None,
+            allowDelAdds = false, e)
+          curBase = head
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Carried-vector lifecycle: when a delete would carry more than
@@ -1518,11 +1658,30 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       1L + n / (8L * 1024 * 1024)).toInt
     chk.coalesce(nFiles).write.mode("overwrite")
       .parquet(dataRoot(view).resolve(delDir).toString)
-    if (versions(view).max != base)
-      throw new SnapshotConflict(s"$view: base v$base superseded during delete")
-    publish(view, next, readManifest(view, base),
-      manifestTxns(view, base) ++ txn, foldDels(view, next, prevDels :+ delDir))
-    next
+    // same DV-delete rebase as deleteWhere: key-disjoint blind appends
+    // land before us without a retry, anything else throws
+    var curBase = base
+    var attempt = 0
+    while (true) {
+      try {
+        publish(view, curBase + 1, readManifest(view, curBase),
+          manifestTxns(view, curBase) ++ txn,
+          foldDels(view, curBase + 1,
+            manifestDels(view, curBase) :+ delDir))
+        return curBase + 1
+      } catch {
+        case e: SnapshotConflict =>
+          attempt += 1
+          if (attempt >= RebaseAttempts) throw e
+          val head = versions(view).max
+          txn.foreach(t => rebaseFenceGuard(view, head, Set(t), Set.empty))
+          deleteRebaseGuard(view, curBase, head,
+            Some(keyCol -> readDirs(Seq(delDir), view)),
+            allowDelAdds = true, e)
+          curBase = head
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** REPLACE WHERE — atomically swap the rows matching `pred` for the
@@ -1665,14 +1824,44 @@ class SnapshotStore(spark: SparkSession, val root: String) {
             Nil
           }
       }
-    if (versions(view).max != base)
-      throw new SnapshotConflict(s"$view: base v$base superseded during replace")
-    val newDirs = (untouched ++ keptDir) :+ dataDir
-    publish(view, next, newDirs, manifestTxns(view, base) ++ txn, newDels)
-    val newKey = newDirs.map(d => dataRoot(view).resolve(d).toString)
-    schemaCache.update(newKey, snapshotSchema)
-    evictSchemaCache(view, newKey)
-    next
+    // region-swap rebase (UNPINNED callers only — the SQL tier's PK
+    // probe pins expectedBase and keeps strict semantics): interleaved
+    // blind appends rebase when their dirs' stats PROVE they miss the
+    // replaced region (an in-region append would survive beside the
+    // payload, breaking the statement's region-equals-payload
+    // contract — Delta conflicts there too) — and, when a vector
+    // subtraction ran, miss the resurrected keys as well.
+    var curBase = base
+    var attempt = 0
+    while (true) {
+      val carried = readManifest(view, curBase).filterNot(touched.toSet)
+      try {
+        val newDirs = (carried ++ keptDir) :+ dataDir
+        publish(view, curBase + 1, newDirs,
+          manifestTxns(view, curBase) ++ txn, newDels)
+        if (curBase == base) {
+          val newKey = newDirs.map(d => dataRoot(view).resolve(d).toString)
+          schemaCache.update(newKey, snapshotSchema)
+          evictSchemaCache(view, newKey)
+        }
+        return curBase + 1
+      } catch {
+        case e: SnapshotConflict =>
+          attempt += 1
+          if (attempt >= RebaseAttempts || expectedBase.nonEmpty) throw e
+          val head = versions(view).max
+          txn.foreach(t => rebaseFenceGuard(view, head, Set(t), Set.empty))
+          deleteRebaseGuard(view, curBase, head,
+            resKeys.map(r => readDirs(prevDels, view).columns.head -> r),
+            allowDelAdds = false, e)
+          val addedDirs = interleavedDeltas(view, curBase, head)
+            .flatMap(_.added)
+          if (addedDirs.exists(dirMayMatch(view, _, predBounds(pred))))
+            throw e
+          curBase = head
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Retention expiry — `DELETE WHERE c < cutoff` at PARTITION-DROP
@@ -1980,11 +2169,16 @@ class SnapshotStore(spark: SparkSession, val root: String) {
           manifestTxns(view, curBase) ++ txn, newDels)
         // untouched dirs hold column subsets of targetSchema and the
         // rewritten dir was aligned to it — the new version's merged
-        // schema IS targetSchema, known in the driver
-        val newKey = (carried :+ dataDir)
-          .map(d => dataRoot(view).resolve(d).toString)
-        schemaCache.update(newKey, targetSchema)
-        evictSchemaCache(view, newKey)
+        // schema IS targetSchema, known in the driver. Seed only on
+        // the no-rebase path: an interleaved append may carry a
+        // schema-evolved column targetSchema predates, and a stale
+        // seed would hide it (the read path re-derives from footers).
+        if (curBase == base) {
+          val newKey = (carried :+ dataDir)
+            .map(d => dataRoot(view).resolve(d).toString)
+          schemaCache.update(newKey, targetSchema)
+          evictSchemaCache(view, newKey)
+        }
         return curBase + 1
       } catch {
         case e: SnapshotConflict =>
@@ -2377,10 +2571,33 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     writeData(view,
       applyRenames(applyDels(readDirs(small, view), view, dels), view, base)
         .coalesce(nFiles), dataDir, statsCols)
-    if (versions(view).max != base)
-      throw new SnapshotConflict(s"$view: base v$base superseded during compact")
-    publish(view, next, big :+ dataDir, manifestTxns(view, base), dels)
-    next
+    // maintenance rebase: a compaction racing a stream's blind appends
+    // re-publishes at the head with the appended dirs carried verbatim
+    // (they simply stay uncompacted until the next run — the valid
+    // compact-then-append serialization); anything that removed dirs
+    // or changed vectors/metadata throws. At scale this is THE hot
+    // pair: a maintenance loop must never cost a stream (or itself) a
+    // re-run.
+    val smallSet = small.toSet
+    var curBase = base
+    var attempt = 0
+    while (true) {
+      val carried = readManifest(view, curBase).filterNot(smallSet)
+      try {
+        publish(view, curBase + 1, carried :+ dataDir,
+          manifestTxns(view, curBase), dels)
+        return curBase + 1
+      } catch {
+        case e: SnapshotConflict =>
+          attempt += 1
+          if (attempt >= RebaseAttempts) throw e
+          val head = versions(view).max
+          deleteRebaseGuard(view, curBase, head, None,
+            allowDelAdds = false, e)
+          curBase = head
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** OPTIMIZE … CLUSTER BY (a, b): rewrite the current snapshot into
@@ -2460,15 +2677,41 @@ class SnapshotStore(spark: SparkSession, val root: String) {
         writeData(view, sized, dn, statsCols)
         Seq(dn)
       }
-    if (versions(view).max != base)
-      throw new SnapshotConflict(s"$view: base v$base superseded during optimize")
-    publish(view, next, untouched ++ newDirs, manifestTxns(view, base),
-      if (untouched.isEmpty) Nil else prevDels)
-    val newKey = (untouched ++ newDirs)
-      .map(d => dataRoot(view).resolve(d).toString)
-    schemaCache.update(newKey, snapshotSchema)
-    evictSchemaCache(view, newKey)
-    next
+    // scoped-optimize rebase: blind appends land verbatim in the
+    // carried set (content-identical to optimize-then-append — the
+    // appended dirs just wait for the next maintenance pass); with any
+    // append carried, the base vectors carry too (appended rows
+    // matching a vector key stay suppressed, the store's standard
+    // append-after-delete semantics). Removals/vector/metadata changes
+    // throw.
+    val touchedSet = touched.toSet
+    var curBase = base
+    var attempt = 0
+    while (true) {
+      val carried = readManifest(view, curBase).filterNot(touchedSet)
+      try {
+        publish(view, curBase + 1, carried ++ newDirs,
+          manifestTxns(view, curBase),
+          if (carried.isEmpty) Nil else prevDels)
+        // seed only when nothing interleaved (see mergeInto's note)
+        if (curBase == base) {
+          val newKey = (carried ++ newDirs)
+            .map(d => dataRoot(view).resolve(d).toString)
+          schemaCache.update(newKey, snapshotSchema)
+          evictSchemaCache(view, newKey)
+        }
+        return curBase + 1
+      } catch {
+        case e: SnapshotConflict =>
+          attempt += 1
+          if (attempt >= RebaseAttempts) throw e
+          val head = versions(view).max
+          deleteRebaseGuard(view, curBase, head, None,
+            allowDelAdds = false, e)
+          curBase = head
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def optimizeClusteredN(view: String, clusterCols: Seq[String],
@@ -2530,15 +2773,42 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     require(vs.nonEmpty, s"$view: nothing to optimize")
     val base = vs.max
     val cur = read(view, Some(base))
-    val next = base + 1
     val dirNames = writeClusteredDirs(view, cur, code, targetDirs,
-      statsCols, next, None)
-    if (versions(view).max != base)
-      throw new SnapshotConflict(s"$view: base v$base superseded during optimize")
-    // full rewrite from read(): dropped columns are physically gone
-    publish(view, next, dirNames, manifestTxns(view, base), drops = Some(Nil))
-    seedSchemaCache(view, dirNames, cur.schema, prev = None)
-    next
+      statsCols, base + 1, None)
+    // full-rewrite rebase: blind appends since the base carry VERBATIM
+    // beside the re-clustered dirs (optimize-then-append serialization
+    // — they wait for the next pass), but only on a metadata-clean base
+    // (no dels/drops/renames/widens): the full rewrite CLEARS those
+    // fields, and a carried appended dir that depended on any of them
+    // would change meaning. A dirty base keeps the strict conflict.
+    val baseClean = manifestDels(view, base).isEmpty &&
+      manifestDrops(view, base).isEmpty &&
+      manifestRenames(view, base).isEmpty &&
+      manifestWidens(view, base).isEmpty
+    val baseDirs = readManifest(view, base).toSet
+    var curBase = base
+    var attempt = 0
+    while (true) {
+      val carried = readManifest(view, curBase).filterNot(baseDirs)
+      try {
+        // full rewrite from read(): dropped columns are physically gone
+        publish(view, curBase + 1, dirNames ++ carried,
+          manifestTxns(view, curBase), drops = Some(Nil))
+        // seed only when nothing interleaved (see mergeInto's note)
+        if (curBase == base)
+          seedSchemaCache(view, dirNames, cur.schema, prev = None)
+        return curBase + 1
+      } catch {
+        case e: SnapshotConflict =>
+          attempt += 1
+          if (attempt >= RebaseAttempts || !baseClean) throw e
+          val head = versions(view).max
+          deleteRebaseGuard(view, curBase, head, None,
+            allowDelAdds = false, e)
+          curBase = head
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Commit `df` CLUSTERED — the ingest-time half of CLUSTER BY: the

@@ -100,8 +100,12 @@ class GraftTableSourceProvider extends StreamSourceProvider
     // fold the durable catalog into the in-memory registry ONCE, so a
     // fresh-JVM stream into a CLUSTER BY table finds the declared
     // layout without anyone re-running CREATE (addBatch then consults
-    // only the in-memory map per micro-batch)
+    // only the in-memory map per micro-batch). Folded from BOTH the
+    // session conf root (bindings) and the sink's OWN root option —
+    // an option-only-configured stream in a JVM with no session conf
+    // must still see a layout another JVM declared
     graft.plans.GraftTableRegistry.bindings
+    graft.plans.GraftTableRegistry.foldCatalog(param(parameters, "root"))
     new GraftTableSink(store, view, outputMode, mergeKey, stats, ns,
       legacyTxnFence = parameters.get("legacyTxnFence").exists(_.toBoolean),
       deleteCol = delCol)

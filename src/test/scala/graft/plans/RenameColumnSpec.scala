@@ -72,13 +72,16 @@ class RenameColumnSpec extends SparkSpec {
         "USING graft PRIMARY KEY k CLUSTER BY (a)")
       spark.sql("INSERT INTO rc2 VALUES (1, 2, 'x')")
       spark.sql("ALTER TABLE rc2 ADD CONSTRAINT vnn CHECK (v IS NOT NULL)")
-      val checked = scala.util.Try(
-        spark.sql("ALTER TABLE rc2 RENAME COLUMN v TO w").collect())
-      assert(checked.isFailure &&
-        checked.failed.get.getMessage.contains("CHECK constraint"),
-        checked.toString)
+      // round-17: a CHECK-referenced rename FOLLOWS instead of refusing
+      // — the stored expression rewrites mechanically and keeps
+      // enforcing under the new spelling
+      spark.sql("ALTER TABLE rc2 RENAME COLUMN v TO w")
+      assert(GraftTableRegistry.lookupChecks("rc2").head._2.contains("w"))
+      assert(scala.util.Try(spark.sql(
+        "INSERT INTO rc2 VALUES (5, 5, NULL)").collect()).isFailure,
+        "the migrated constraint must still enforce")
       val taken = scala.util.Try(
-        spark.sql("ALTER TABLE rc2 RENAME COLUMN a TO v").collect())
+        spark.sql("ALTER TABLE rc2 RENAME COLUMN a TO w").collect())
       assert(taken.isFailure &&
         taken.failed.get.getMessage.contains("already exists"),
         taken.toString)

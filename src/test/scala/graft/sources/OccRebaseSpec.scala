@@ -215,6 +215,108 @@ class OccRebaseSpec extends SparkSpec {
     assert(st.appliedTxns("t") == Set(1L, 2L, 3L, 4L))
   }
 
+  test("hammered DV deletes + key-disjoint appends: zero conflicts, all effects land") {
+    val st = freshStore()
+    st.commit("t", (0L until 400L).map(k => (k, 1.0)).toDF("k", "p"),
+      overwrite = true, statsCols = Seq("k"))
+    // 2 vector deletes + 2 appends, NO retry wrapper: DV-vs-DV commutes
+    // (vector additions), DV-vs-append rebases when the appended dirs'
+    // stats are disjoint from the vector keys, appends never conflict
+    val results = pooled(4)((0 until 4).map { w => () =>
+      if (w % 2 == 0)
+        st.deleteWhereOnce("t", "k",
+          col("k") >= w * 100L && col("k") < w * 100L + 10L,
+          txnId = 600L + w)
+      else
+        st.appendOnce("t", Seq((1000L + w, 2.0)).toDF("k", "p"),
+          txnId = 600L + w, statsCols = Seq("k"))
+    })
+    assert(results.forall(_.nonEmpty), "every op must land first-try")
+    assert(st.versions("t").max == 5L, st.versions("t").toString)
+    val ks = st.read("t").select("k").as[Long].collect().toSet
+    val deleted = ((0L until 10L) ++ (200L until 210L)).toSet
+    assert(ks == ((0L until 400L).toSet -- deleted) + 1001L + 1003L)
+  }
+
+  private def racedDelete(st: SnapshotStore, appendRows: => Unit): Unit = {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val appended = new java.util.concurrent.CountDownLatch(1)
+    OccRebaseSpec.gate = gate
+    OccRebaseSpec.appended = appended
+    val block = udf { k: Long =>
+      OccRebaseSpec.gate.countDown()
+      OccRebaseSpec.appended.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      k < 5L
+    }
+    val appender = new Thread(() => {
+      gate.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      appendRows
+      appended.countDown()
+    })
+    appender.start()
+    try st.deleteWhere("t", "k", block(col("k")))
+    finally appender.join(60000)
+  }
+
+  test("raced DV delete vs key-disjoint append: rebases, both effects land") {
+    val st = freshStore()
+    st.commit("t", (0L until 10L).map(k => (k, 1.0)).toDF("k", "p"),
+      overwrite = true, statsCols = Seq("k"))
+    racedDelete(st, st.commit("t", Seq((100L, 1.0)).toDF("k", "p"),
+      overwrite = false, statsCols = Seq("k")))
+    assert(st.versions("t").max == 3L)
+    val ks = st.read("t").select("k").as[Long].collect().toSet
+    assert(ks == (5L until 10L).toSet + 100L,
+      s"delete (k<5) and append (k=100) must both land: $ks")
+  }
+
+  test("raced DV delete vs append INSIDE the vector's key range: conflict (lost-insert guard)") {
+    val st = freshStore()
+    st.commit("t", (0L until 10L).map(k => (k, 1.0)).toDF("k", "p"),
+      overwrite = true, statsCols = Seq("k"))
+    // the concurrent append lands k=3 — a key the vector holds; a
+    // rebase would silently suppress the appended row, so it must throw
+    intercept[RuntimeException] {
+      racedDelete(st, st.commit("t", Seq((3L, 9.0)).toDF("k", "p"),
+        overwrite = false, statsCols = Seq("k")))
+    }
+    // the append won; the delete never applied
+    assert(st.versions("t").max == 2L)
+    assert(st.read("t").count() == 11L)
+  }
+
+  test("hammered OPTIMIZE/compactSmall vs appends: maintenance never costs anyone a retry") {
+    val st = freshStore()
+    (0 until 4).foreach { i =>
+      st.commit("t", (i * 50L until i * 50L + 50L).map(k => (k, 1.0))
+        .toDF("k", "p").repartition(2), overwrite = i == -1,
+        statsCols = Seq("k"))
+    }
+    // 2 appenders with NO retry wrapper (blind appends never conflict,
+    // and both maintenance shapes rebase over them — appended dirs
+    // carried verbatim, compact-then-append) + 1 compactor + 1 scoped
+    // optimizer; the two maintenance ops CAN genuinely conflict with
+    // EACH OTHER (both rewrite overlapping dirs), so only they wrap
+    val results = pooled(4)(Seq[() => Any](
+      () => st.appendOnce("t", Seq((900L, 2.0)).toDF("k", "p"),
+        txnId = 901L, statsCols = Seq("k")),
+      () => st.appendOnce("t", Seq((901L, 2.0)).toDF("k", "p"),
+        txnId = 902L, statsCols = Seq("k")),
+      () => st.retryOnConflict(attempts = 30)(
+        st.compactSmall("t", smallBytes = 1L << 30, statsCols = Seq("k"))),
+      () => st.retryOnConflict(attempts = 30)(
+        st.optimizeWhere("t", col("k") < 50L, clusterCols = Nil,
+          statsCols = Seq("k")))))
+    assert(results.size == 4)
+    assert(st.versions("t").max == 8L,
+      s"4 seeds + 2 appends + 2 maintenance ops, no holes, no retries: ${st.versions("t")}")
+    val ks = st.read("t").select("k").as[Long].collect().toSet
+    assert(ks == (0L until 200L).toSet + 900L + 901L,
+      "maintenance is content-neutral and no append was lost")
+    assert(st.appliedTxns("t").contains(901L) &&
+      st.appliedTxns("t").contains(902L))
+  }
+
   test("unpinned overwrite rebases over a concurrent append (last write wins)") {
     val st = freshStore()
     st.commit("t", Seq((1, "a")).toDF("k", "v"), overwrite = true)
