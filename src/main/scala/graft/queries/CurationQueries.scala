@@ -2774,6 +2774,73 @@ object CurationQueries {
       } finally s.conf.unset("spark.graft.store.root")
     }),
 
+    // MAINTENANCE-vs-STREAM OCC, graded: a live streaming sink lands
+    // SIX exactly-once micro-batches while OPTIMIZE WHERE and
+    // compactSmall run UNWRAPPED against the same table — any
+    // SnapshotConflict escaping either maintenance op fails the query,
+    // so the graded invariant is "maintenance never costs anyone a
+    // retry while a stream writes": the maintenance rebase carries
+    // interleaved appended dirs verbatim (compact-then-append
+    // serialization). The version chain is pinned EXACT (seed + 6
+    // batches + 2 maintenance publishes, no holes — a retry-loop
+    // implementation would burn versions), all six stream fences
+    // survive, and content is the declarative union.
+    "q305_occ_maintenance_stream" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q305_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      val maxK = o.agg(max("k")).head().getLong(0)
+      val mid = maxK / 2
+      val q1 = mid / 2
+      val st = new graft.sources.SnapshotStore(s, s"$root/store")
+      // two seed dirs split at q1: the scoped OPTIMIZE provably touches
+      // only the first (stats boundary), so compactSmall always has at
+      // least two dirs to consolidate — the version arithmetic below is
+      // deterministic under every interleaving
+      st.commit("t", o.where(col("k") < q1), overwrite = true,
+        statsCols = Seq("k"))
+      st.commit("t", o.where(col("k") >= q1 && col("k") < mid),
+        overwrite = false, statsCols = Seq("k"))
+      // stage six upper-half micro-batch files
+      val inDir = new java.io.File(s"$root/in"); inDir.mkdirs()
+      val span = math.max(1L, (maxK - mid) / 6 + 1)
+      (0 until 6).foreach { i =>
+        val lo = mid + i * span
+        val hi = math.min(maxK + 1, mid + (i + 1) * span)
+        val tmp = s"$root/tmp_$i"
+        o.where(col("k") >= lo && col("k") < hi).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(inDir, s"b$i.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        graft.sources.Scratch.deleteRecursively(new java.io.File(tmp))
+      }
+      val q = s.readStream.schema(st.read("t").schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+        .writeStream
+        .option("checkpointLocation", s"$root/_cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          st.appendOnce("t", b, txnId = id, statsCols = Seq("k")); ()
+        }.start()
+      // maintenance mid-stream, NO retry wrapper on either op: a
+      // single lost race that did not rebase would throw and fail the
+      // graded run
+      st.optimizeWhere("t", col("k") <= q1 - 1, clusterCols = Nil,
+        statsCols = Seq("k"))
+      st.compactSmall("t", smallBytes = 1L << 30, statsCols = Seq("k"))
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      require(st.versions("t").max == 10L,
+        s"2 seeds + 6 stream batches + 2 maintenance publishes, exact, " +
+          s"no holes, no retry-burned versions: ${st.versions("t")}")
+      require((0L until 6L).forall(st.appliedTxns("t").contains),
+        s"all six stream fences must survive maintenance: ${st.appliedTxns("t")}")
+      st.read("t")
+    }),
+
     // COPY INTO observability + the namespaced file fence: the re-run
     // SKIP is counted (files_skipped — a silent skip is now
     // observable), a user txn id equal to a file's fence hash no
@@ -4584,6 +4651,12 @@ object CurationQueries {
     // Main's final state after the streamed WAP cycle = the seed plus
     // both streamed micro-batches, i.e. every order exactly once.
     "q304_stream_wap" ->
+      """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
+         FROM orders""",
+
+    // Maintenance is content-neutral and no stream batch was lost:
+    // the final table is every order exactly once.
+    "q305_occ_maintenance_stream" ->
       """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
          FROM orders""",
 

@@ -863,15 +863,6 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     try spark.read.option("mergeSchema", "true").parquet(paths: _*).schema
     catch { case e: Throwable =>
       import org.apache.spark.sql.types._
-      def wider(a: DataType, b: DataType): Option[DataType] = (a, b) match {
-        case (x, y) if x == y => Some(x)
-        case (IntegerType, LongType) | (LongType, IntegerType) => Some(LongType)
-        case (IntegerType, DoubleType) | (DoubleType, IntegerType) => Some(DoubleType)
-        case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
-        case (x: DecimalType, y: DecimalType) if x.scale == y.scale =>
-          Some(DecimalType(math.max(x.precision, y.precision), x.scale))
-        case _ => None
-      }
       val per =
         try paths.map(p => spark.read.parquet(p).schema)
         catch { case _: Throwable => throw e }
@@ -880,13 +871,34 @@ class SnapshotStore(spark: SparkSession, val root: String) {
         val merged = a.fields.map { f =>
           b.fields.find(_.name == f.name) match {
             case Some(g) if g.dataType != f.dataType =>
-              f.copy(dataType = wider(f.dataType, g.dataType).getOrElse(throw e))
+              f.copy(dataType =
+                widerType(f.dataType, g.dataType).getOrElse(throw e))
             case _ => f
           }
         } ++ b.fields.filterNot(f => aByName.contains(f.name))
         StructType(merged)
       }
     }
+
+  /** The numeric widening lattice the store supports without a rewrite
+    * — exactly the promotions the Spark-4 parquet reader serves
+    * (INT32→INT64, INT32→DOUBLE, FLOAT→DOUBLE, DECIMAL precision
+    * growth at equal scale). None for anything else.
+    */
+  private def widerType(a: org.apache.spark.sql.types.DataType,
+                        b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (x, y) if x == y => Some(x)
+      case (IntegerType, LongType) | (LongType, IntegerType) => Some(LongType)
+      case (IntegerType, DoubleType) | (DoubleType, IntegerType) => Some(DoubleType)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+      case (x: DecimalType, y: DecimalType) if x.scale == y.scale =>
+        Some(DecimalType(math.max(x.precision, y.precision), x.scale))
+      case _ => None
+    }
+  }
 
   /** Deletion-vector key-file bytes of a snapshot — the driver-side
     * size signal the read and fold paths bound their plans on (listing
@@ -2235,11 +2247,22 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     // an update, and pack() never throws on a missing field.
     val payload = (pre.columns ++ post.columns).distinct
       .filterNot(keyCols.contains).toSeq
-    def dtypeOf(c: String) =
-      pre.schema.find(_.name == c).getOrElse(post.schema(c)).dataType
+    // a column present on BOTH sides at different types spans a TYPE
+    // WIDENING between the versions — pack both structs at the wider
+    // type so the change compare is well-typed (the cast is identity
+    // on the already-wide side; a widened-but-equal value is NOT an
+    // update, matching the metadata-only zero-data-change contract)
+    def dtypeOf(c: String) = {
+      val a = pre.schema.find(_.name == c).map(_.dataType)
+      val b = post.schema.find(_.name == c).map(_.dataType)
+      (a, b) match {
+        case (Some(x), Some(y)) if x != y => widerType(x, y).getOrElse(y)
+        case _ => a.orElse(b).get
+      }
+    }
     def pack(df: DataFrame, as: String) =
       df.select(keyCols.map(col) :+ struct(payload.map(c =>
-        if (df.columns.contains(c)) col(c)
+        if (df.columns.contains(c)) col(c).cast(dtypeOf(c)).as(c)
         else lit(null).cast(dtypeOf(c)).as(c)): _*).as(as): _*)
     pack(pre, "_pre")
       .join(pack(post, "_post"), keyCols, "full_outer")

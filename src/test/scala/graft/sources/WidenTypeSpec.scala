@@ -73,6 +73,22 @@ class WidenTypeSpec extends SparkSpec {
       == "123456790.75")
   }
 
+  test("filters on a widened column still push down to the parquet scan") {
+    val st = freshStore()
+    st.commit("t", (0 until 100).map(i => (i, i)).toDF("k", "v"),
+      overwrite = true)
+    st.alterColumnType("t", "v", "bigint")
+    // Catalyst unwraps the widening cast in the comparison
+    // (UnwrapCastInBinaryComparison), so the predicate reaches the
+    // scan against the NARROW physical column — the metadata-only
+    // widen costs nothing at scan time
+    val plan = st.read("t").where(col("v") > 50L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(v), GreaterThan(v,50)]"),
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(st.read("t").where(col("v") > 50L).count() == 49L)
+  }
+
   test("narrowing and unsupported pairs refuse loudly; no-op refuses") {
     val st = freshStore()
     st.commit("t", Seq((1L, 1.5, "s")).toDF("k", "x", "v"),
@@ -96,6 +112,18 @@ class WidenTypeSpec extends SparkSpec {
     assert(st.manifestWidens("t", v).isEmpty,
       "a full rewrite must clear the widen list — data is born wide")
     assert(st.read("t").schema("amount").dataType == LongType)
+  }
+
+  test("CDF across a widen boundary: packs at the wide type, a widen alone is not a change") {
+    val st = freshStore()
+    st.commit("t", Seq((1L, 10), (2L, 20)).toDF("k", "v"), overwrite = true)
+    st.alterColumnType("t", "v", "bigint")
+    st.commit("t", Seq((3L, 5000000000L)).toDF("k", "v"), overwrite = false)
+    st.mergeInto("t", Seq((2L, 21L)).toDF("k", "v"), "k")
+    val d = st.diff("t", 1L, st.versions("t").max, Seq("k"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(d == Map(3L -> "insert", 2L -> "update"),
+      s"k=1 is value-unchanged — the widen alone must not surface: $d")
   }
 
   test("restore and shallow clone carry the widen declaration") {
