@@ -459,12 +459,23 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       else versions(view).filter(_ < next).lastOption
         .map(commitTimestamp(view, _)).getOrElse(0L)
     val ts = math.max(parentTs + 1, System.currentTimeMillis())
+    // the `files` field is written from a table's FIRST manifest on —
+    // EXCEPT when a pre-upgrade predecessor lacks it and this commit
+    // folds no fences: writing an empty field there would destroy the
+    // reliable "last writer predates the fence namespacing" signal the
+    // COPY INTO legacy auto-consult keys on, one unrelated stream/DML
+    // commit before the first post-upgrade COPY INTO would silently
+    // re-load every previously loaded file
+    val writeFilesField = files.nonEmpty || prevV.isEmpty ||
+      prevV.exists(v => manifestText(view, v).contains("\"files\":"))
     val tmp = Files.createTempFile(manifestDir(view), s".v$next", ".tmp")
     val text =
       dirs.map(d => "\"" + d + "\"").mkString("{\"dirs\":[", ",", "],") +
         dels.map(d => "\"" + d + "\"").mkString("\"dels\":[", ",", "],") +
         s""""ts":$ts,""" +
-        files.toSeq.sorted.mkString("\"files\":[", ",", "],") +
+        (if (writeFilesField)
+          files.toSeq.sorted.mkString("\"files\":[", ",", "],")
+        else "") +
         dropped.map(d => "\"" + d + "\"").mkString("\"drops\":[", ",", "],") +
         renamed.map { case (o, nn) => "\"" + o + ">" + nn + "\"" }
           .mkString("\"renames\":[", ",", "],") +
@@ -555,11 +566,10 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     * delete never saw, the lost-insert corner Delta's positional DVs
     * cannot hit. Throws the caller's conflict on any other shape.
     */
-  private def deleteRebaseGuard(view: String, from: Long, to: Long,
+  private def deleteRebaseGuard(view: String, deltas: Seq[CommitDelta],
                                 vectorKeys: Option[(String, DataFrame)],
                                 allowDelAdds: Boolean,
                                 e: SnapshotConflict): Unit = {
-    val deltas = interleavedDeltas(view, from, to)
     // `allowDelAdds`: a DV-publishing delete carries the HEAD's vector
     // list (+ its own), so interleaved vector ADDITIONS commute —
     // suppressing an already-suppressed key is a no-op — and rebase;
@@ -571,6 +581,15 @@ class SnapshotStore(spark: SparkSession, val root: String) {
           (!allowDelAdds && d.delsAdded.nonEmpty))) throw e
     val added = deltas.flatMap(_.added).distinct
     vectorKeys.foreach { case (kc, kf) =>
+      // one vector KEY COLUMN per view: when this publish adds its own
+      // vector, an interleaved vector keyed by a DIFFERENT column must
+      // conflict — two racing FIRST-EVER deletes with different keys
+      // both pass the empty-prevDels key check, and a rebased union
+      // would anti-join only on the merged schema's first column,
+      // silently dropping the other vector's deletes
+      deltas.flatMap(_.delsAdded).distinct.foreach { d =>
+        if (readDirs(Seq(d), view).columns.head != kc) throw e
+      }
       if (added.nonEmpty) {
         val (hit, _) = dirsHitByKeys(view, added, kc, kf)
         if (hit.nonEmpty) throw e
@@ -779,11 +798,29 @@ class SnapshotStore(spark: SparkSession, val root: String) {
   def recordFileFences(view: String, fences: Set[Long]): Long = {
     val vs = versions(view)
     require(vs.nonEmpty, s"$view: no committed snapshot to fence")
-    val base = vs.max
-    publish(view, base + 1, readManifest(view, base),
-      manifestTxns(view, base), manifestDels(view, base),
-      filesExtra = fences)
-    base + 1
+    // fence-only publish: content-free, so it rebases over ANY
+    // interleaved shape like [[fenceOnly]] — a migration run on a busy
+    // table (its primary audience) must not error on a lost race;
+    // fences already applied by an interleaved commit surface as a
+    // conflict so the caller's skip logic re-checks
+    var curBase = vs.max
+    var attempt = 0
+    while (true) {
+      try {
+        publish(view, curBase + 1, readManifest(view, curBase),
+          manifestTxns(view, curBase), manifestDels(view, curBase),
+          filesExtra = fences)
+        return curBase + 1
+      } catch {
+        case e: SnapshotConflict =>
+          attempt += 1
+          if (attempt >= RebaseAttempts) throw e
+          val head = versions(view).max
+          rebaseFenceGuard(view, head, Set.empty, fences)
+          curBase = head
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The PRE-namespacing file fence (a path-only FNV-1a recorded in
@@ -1514,7 +1551,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
           if (attempt >= RebaseAttempts) throw e
           val head = versions(view).max
           txn.foreach(t => rebaseFenceGuard(view, head, Set(t), Set.empty))
-          deleteRebaseGuard(view, curBase, head,
+          deleteRebaseGuard(view, interleavedDeltas(view, curBase, head),
             Some(keyCol -> readDirs(Seq(delDir), view)),
             allowDelAdds = true, e)
           curBase = head
@@ -1577,7 +1614,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
           if (attempt >= RebaseAttempts) throw e
           val head = versions(view).max
           txn.foreach(t => rebaseFenceGuard(view, head, Set(t), Set.empty))
-          deleteRebaseGuard(view, curBase, head, None,
+          deleteRebaseGuard(view, interleavedDeltas(view, curBase, head), None,
             allowDelAdds = false, e)
           curBase = head
       }
@@ -1687,7 +1724,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
           if (attempt >= RebaseAttempts) throw e
           val head = versions(view).max
           txn.foreach(t => rebaseFenceGuard(view, head, Set(t), Set.empty))
-          deleteRebaseGuard(view, curBase, head,
+          deleteRebaseGuard(view, interleavedDeltas(view, curBase, head),
             Some(keyCol -> readDirs(Seq(delDir), view)),
             allowDelAdds = true, e)
           curBase = head
@@ -1863,12 +1900,11 @@ class SnapshotStore(spark: SparkSession, val root: String) {
           if (attempt >= RebaseAttempts || expectedBase.nonEmpty) throw e
           val head = versions(view).max
           txn.foreach(t => rebaseFenceGuard(view, head, Set(t), Set.empty))
-          deleteRebaseGuard(view, curBase, head,
+          val deltas = interleavedDeltas(view, curBase, head)
+          deleteRebaseGuard(view, deltas,
             resKeys.map(r => readDirs(prevDels, view).columns.head -> r),
             allowDelAdds = false, e)
-          val addedDirs = interleavedDeltas(view, curBase, head)
-            .flatMap(_.added)
-          if (addedDirs.exists(dirMayMatch(view, _, predBounds(pred))))
+          if (deltas.flatMap(_.added).exists(dirMayMatch(view, _, bounds)))
             throw e
           curBase = head
       }
@@ -1925,11 +1961,37 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     if (!hasResidual)
       Scratch.deleteRecursively(dataRoot(view).resolve(delDir).toFile)
     if (dead.isEmpty && !hasResidual) return fenceOnly(view, base, txn)
-    if (versions(view).max != base)
-      throw new SnapshotConflict(s"$view: base v$base superseded during expiry")
-    publish(view, next, live, manifestTxns(view, base) ++ txn,
-      foldDels(view, next, if (hasResidual) prevDels :+ delDir else prevDels))
-    next
+    // retention-expiry rebase: the retention loop and the live stream
+    // are THE canonical concurrent pair on a time-keyed table. Blind
+    // appends carry verbatim (expire-then-append — late rows survive
+    // until the next sweep) when the residual vector provably cannot
+    // touch them (stats probe on the appended dirs); interleaved DV
+    // additions commute (the rebase carries the head's vector list).
+    val deadSet = dead.toSet
+    var curBase = base
+    var attempt = 0
+    while (true) {
+      val carried = readManifest(view, curBase).filterNot(deadSet)
+      try {
+        publish(view, curBase + 1, carried, manifestTxns(view, curBase) ++ txn,
+          foldDels(view, curBase + 1,
+            if (hasResidual) manifestDels(view, curBase) :+ delDir
+            else manifestDels(view, curBase)))
+        return curBase + 1
+      } catch {
+        case e: SnapshotConflict =>
+          attempt += 1
+          if (attempt >= RebaseAttempts) throw e
+          val head = versions(view).max
+          txn.foreach(t => rebaseFenceGuard(view, head, Set(t), Set.empty))
+          deleteRebaseGuard(view, interleavedDeltas(view, curBase, head),
+            if (hasResidual) Some(keyCol -> readDirs(Seq(delDir), view))
+            else None,
+            allowDelAdds = true, e)
+          curBase = head
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Idempotent [[deleteWhere]] keyed by `txnId` — the exactly-once
@@ -2168,6 +2230,13 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     // rebase in one manifest read + link(2), zero re-run; genuine
     // overlap still throws and retryOnConflict re-runs from fresh state.
     val touchedSet = touched.toSet
+    // the disjointness probe's key frame, materialized ONCE on the
+    // first lost race (localCheckpoint): re-running an expensive or
+    // non-deterministic source lineage per rebase attempt would both
+    // cost a job per attempt and weaken the proof (the probed keys
+    // must be ONE fixed set across attempts)
+    lazy val probeKeys =
+      source.select(col(keyCol)).distinct().localCheckpoint()
     var curBase = base
     var attempt = 0
     while (true) {
@@ -2203,7 +2272,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
             (d.removed & touchedSet).nonEmpty)) throw e
           val addedAll = deltas.flatMap(_.added).distinct
           if (addedAll.nonEmpty) {
-            val (hit, _) = dirsHitByKeys(view, addedAll, keyCol, source)
+            val (hit, _) = dirsHitByKeys(view, addedAll, keyCol, probeKeys)
             if (hit.nonEmpty) throw e
           }
           curBase = head
@@ -2615,7 +2684,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
           attempt += 1
           if (attempt >= RebaseAttempts) throw e
           val head = versions(view).max
-          deleteRebaseGuard(view, curBase, head, None,
+          deleteRebaseGuard(view, interleavedDeltas(view, curBase, head), None,
             allowDelAdds = false, e)
           curBase = head
       }
@@ -2729,7 +2798,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
           attempt += 1
           if (attempt >= RebaseAttempts) throw e
           val head = versions(view).max
-          deleteRebaseGuard(view, curBase, head, None,
+          deleteRebaseGuard(view, interleavedDeltas(view, curBase, head), None,
             allowDelAdds = false, e)
           curBase = head
       }
@@ -2826,7 +2895,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
           attempt += 1
           if (attempt >= RebaseAttempts || !baseClean) throw e
           val head = versions(view).max
-          deleteRebaseGuard(view, curBase, head, None,
+          deleteRebaseGuard(view, interleavedDeltas(view, curBase, head), None,
             allowDelAdds = false, e)
           curBase = head
       }

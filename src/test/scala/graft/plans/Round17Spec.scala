@@ -116,6 +116,13 @@ class Round17Spec extends SparkSpec {
           s""""txns":[${st.fileFenceLegacy(f)}]}""")
       assert(!st.hasFileFenceField("lf2"), "setup: head must lack the field")
       GraftTableRegistry.register("lf2", st, "lf2")
+      // an UNRELATED post-upgrade commit (a stream's append) must NOT
+      // destroy the pre-upgrade signal: publish preserves the files
+      // field's absence when the predecessor lacked it and no fences
+      // fold in this commit
+      st.commit("lf2", Seq((2L, 2.0)).toDF("k", "p"), overwrite = false)
+      assert(!st.hasFileFenceField("lf2"),
+        "an interim non-COPY commit must preserve the legacy signal")
       // WITHOUT any switch: the auto-consult recognizes the legacy
       // fence (no silent re-load) and MIGRATES it via a fence-only
       // publish
@@ -130,8 +137,8 @@ class Round17Spec extends SparkSpec {
       val r2 = spark.sql(
         s"COPY INTO lf2 FROM '$land' FILEFORMAT = PARQUET").head()
       assert(r2.getLong(2) == 0L && r2.getLong(4) == 1L, s"$r2")
-      assert(spark.sql("SELECT count(*) FROM lf2").head().getLong(0) == 1L,
-        "the file must never have re-loaded")
+      assert(spark.sql("SELECT count(*) FROM lf2 WHERE k = 1")
+        .head().getLong(0) == 1L, "the file must never have re-loaded")
       GraftTableRegistry.unregister("lf2")
     }
   }

@@ -285,6 +285,44 @@ class OccRebaseSpec extends SparkSpec {
     assert(st.read("t").count() == 11L)
   }
 
+  test("raced FIRST-EVER DV deletes with DIFFERENT key columns: conflict (one vector key per view)") {
+    val st = freshStore()
+    st.commit("t", (0L until 10L).map(k => (k, k + 100.0)).toDF("k", "p"),
+      overwrite = true, statsCols = Seq("k"))
+    // both writers see an EMPTY vector set, so both pass the
+    // existing-key check; a rebased union would be a mixed-key vector
+    // set whose anti-join silently drops one side's deletes — the
+    // rebase guard must refuse the foreign-keyed addition
+    intercept[RuntimeException] {
+      racedDelete(st, st.deleteWhere("t", "p", col("p") >= 109.0))
+    }
+    // the p-keyed delete won; the k-keyed one refused — no mixed set
+    assert(st.manifestDels("t", st.versions("t").max).size == 1)
+    assert(st.read("t").count() == 9L)
+  }
+
+  test("retention expiry vs stream appends: expire-then-append, zero conflicts") {
+    val st = freshStore()
+    // dir1 provably dead below the cutoff, dir2 straddling (residual
+    // vector for its sub-cutoff keys)
+    st.commit("t", (0L until 50L).map(k => (k, k)).toDF("k", "d"),
+      overwrite = false, statsCols = Seq("k", "d"))
+    st.commit("t", (50L until 150L).map(k => (k, k)).toDF("k", "d"),
+      overwrite = false, statsCols = Seq("k", "d"))
+    val results = pooled(3)(Seq[() => Any](
+      () => st.appendOnce("t", Seq((1000L, 1000L)).toDF("k", "d"),
+        txnId = 1L, statsCols = Seq("k", "d")),
+      () => st.appendOnce("t", Seq((1001L, 1001L)).toDF("k", "d"),
+        txnId = 2L, statsCols = Seq("k", "d")),
+      () => st.expireBefore("t", "d", "100", "k")))
+    assert(results.size == 3)
+    assert(st.versions("t").max == 5L,
+      s"2 seeds + 2 appends + 1 expiry, no holes: ${st.versions("t")}")
+    val ks = st.read("t").select("k").as[Long].collect().toSet
+    assert(ks == (100L until 150L).toSet + 1000L + 1001L,
+      "the dead dir dropped, the residual suppressed, late appends survive")
+  }
+
   test("hammered OPTIMIZE/compactSmall vs appends: maintenance never costs anyone a retry") {
     val st = freshStore()
     (0 until 4).foreach { i =>
