@@ -44,12 +44,27 @@ object GraftCatalog {
     */
   final case class Binding(name: String, root: String, view: String,
                            key: Option[String], cluster: Seq[String],
-                           checks: Seq[(String, String)] = Nil)
+                           checks: Seq[(String, String)] = Nil,
+                           props: Map[String, String] = Map.empty)
 
   private def renderChecks(cs: Seq[(String, String)]): String =
     cs.map { case (n, e) =>
       n + ":" + java.util.Base64.getEncoder.encodeToString(
         e.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }.mkString(",")
+
+  /** Binding PROPERTIES (field 7) use the same `key:b64(value),…`
+    * encoding as the constraints field — keys are `[\w.]+` (no `:` or
+    * `,`), values arbitrary text. A 6-field line from a pre-props
+    * catalog parses with no props, so old catalogs keep loading. The
+    * materialized-view tier stores its definition here (`mv.sql`,
+    * `mv.source`, `mv.synced`, `mv.mode`); rendering sorts by key so
+    * the catalog file is deterministic for a given binding.
+    */
+  private def renderProps(ps: Map[String, String]): String =
+    ps.toSeq.sortBy(_._1).map { case (k, v) =>
+      k + ":" + java.util.Base64.getEncoder.encodeToString(
+        v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }.mkString(",")
 
   private def parseChecks(s: String): Seq[(String, String)] =
@@ -106,7 +121,8 @@ object GraftCatalog {
             f(0) -> Binding(f(0), f(1), f(2),
               Some(f(3)).filter(_.nonEmpty),
               f(4).split(",").toSeq.filter(_.nonEmpty),
-              if (f.length > 5) parseChecks(f(5)) else Nil)
+              if (f.length > 5) parseChecks(f(5)) else Nil,
+              if (f.length > 6) parseChecks(f(6)).toMap else Map.empty)
           }.toMap
         loadCache.update(catRoot, (stamp, m))
         m
@@ -116,7 +132,8 @@ object GraftCatalog {
   private def render(m: Map[String, Binding]): String =
     m.values.toSeq.sortBy(_.name).map { b =>
       Seq(b.name, b.root, b.view, b.key.getOrElse(""),
-        b.cluster.mkString(","), renderChecks(b.checks)).mkString("\t")
+        b.cluster.mkString(","), renderChecks(b.checks),
+        renderProps(b.props)).mkString("\t")
     }.mkString("\n")
 
   /** Read-modify-publish with the manifest OCC loop: link(2) fails on

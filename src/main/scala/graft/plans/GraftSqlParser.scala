@@ -103,7 +103,7 @@ object GraftSqlParser {
     * as written, quoted or not, matching the registry's exact-match
     * lookups); [[quoteIdent]] re-quotes for emitted DDL.
     */
-  private val Id = """(?:\w+|`(?:[^`]|``)+`)(?:\.(?:\w+|`(?:[^`]|``)+`))*"""
+  private[plans] val Id = """(?:\w+|`(?:[^`]|``)+`)(?:\.(?:\w+|`(?:[^`]|``)+`))*"""
 
   /** Canonical form of a (possibly backtick-quoted) identifier: quoted
     * segments unwrap (`` `` `` → a literal backtick), everything else
@@ -752,6 +752,22 @@ object GraftSqlParser {
   private val DropTableRe =
     ("""(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(""" + Id +
       """)\s*;?\s*$""").r
+  // CREATE MATERIALIZED VIEW <name> [LOCATION '<root>'] AS SELECT … —
+  // the declarative batch-view origin ([[MaterializedView]]): seeds v1
+  // from the defining query, persists the definition in the binding
+  // props, classifies the shape for CDF-driven incremental REFRESH.
+  // Always claimed: stock Spark has no MATERIALIZED VIEW statement, so
+  // nothing is stolen from the delegate.
+  private val CreateMvRe =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+(""" +
+      Id + """)""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s+AS\s+(SELECT\s+.+?)\s*;?\s*$""").r
+  private val RefreshMvRe =
+    ("""(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(""" + Id +
+      """)(\s+FULL)?\s*;?\s*$""").r
+  private val DropMvRe =
+    ("""(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(""" + Id +
+      """)\s*;?\s*$""").r
   // ALTER TABLE <t> ADD COLUMN[S] (c1 T1, …) — schema evolution as the
   // store already defines it (per-dir schemas, merged at read): one
   // empty append dir carrying the widened schema makes the new columns
@@ -932,8 +948,8 @@ object GraftSqlParser {
     * clause WHEN is followed by [NOT] MATCHED; a clause THEN by
     * UPDATE/DELETE/INSERT — a CASE's arms never are).
     */
-  private def topLevelKw(s: String, kw: String,
-                         lookahead: scala.util.matching.Regex): Seq[Int] = {
+  private[plans] def topLevelKw(s: String, kw: String,
+                                lookahead: scala.util.matching.Regex): Seq[Int] = {
     val mask = quotedMask(s)
     def ident(c: Char) = Character.isLetterOrDigit(c) || c == '_' || c == '$'
     val k = kw.length
@@ -1237,6 +1253,17 @@ object GraftSqlParser {
           .flatMap(_.split(",")).map(c => cleanIdent(c.trim))
           .filter(_.nonEmpty),
         orReplace = m.group(1) != null): LogicalPlan
+    }).orElse(CreateMvRe.findFirstMatchIn(sqlText).map { m =>
+      GraftCreateMaterializedViewCommand(nm(m, 2), Option(m.group(3)),
+        m.group(4), orReplace = m.group(1) != null): LogicalPlan
+    }).orElse(RefreshMvRe.findFirstMatchIn(sqlText).collect {
+      case m if claimed(m) =>
+        GraftRefreshMaterializedViewCommand(nm(m),
+          force = m.group(2) != null): LogicalPlan
+    }).orElse(DropMvRe.findFirstMatchIn(sqlText).collect {
+      // an MV is a registered graft table — DROP shares the table path
+      case m if claimed(m) =>
+        GraftDropTableCommand(nm(m)): LogicalPlan
     }).orElse(DropTableRe.findFirstMatchIn(sqlText).collect {
       case m if claimed(m) =>
         GraftDropTableCommand(nm(m)): LogicalPlan
@@ -2683,6 +2710,44 @@ case class GraftCreateTableCommand(name: String,
   * from one metastore leaves its entry in another: re-point the conf
   * at the original root to drop it there.
   */
+/** `CREATE MATERIALIZED VIEW <name> [LOCATION '<root>'] AS <select>` —
+  * see [[MaterializedView.create]]. Returns (view, mode, version):
+  * mode is the classified maintenance shape (`agg`/`spj`/`full`).
+  */
+case class GraftCreateMaterializedViewCommand(name: String,
+                                              location: Option[String],
+                                              definingSql: String,
+                                              orReplace: Boolean = false)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("view", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("mode", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("version", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] =
+    MaterializedView.create(spark, name, definingSql, location, orReplace)
+}
+
+/** `REFRESH MATERIALIZED VIEW <name> [FULL]` — see
+  * [[MaterializedView.refresh]]. Returns one observability row:
+  * (view, mode, src_from, src_to, changed, version); `changed` is the
+  * affected group/key count on the incremental paths, -1 on a full
+  * recompute, 0 on a no-op.
+  */
+case class GraftRefreshMaterializedViewCommand(name: String, force: Boolean)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("view", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("mode", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("src_from", org.apache.spark.sql.types.LongType)(),
+    AttributeReference("src_to", org.apache.spark.sql.types.LongType)(),
+    AttributeReference("changed", org.apache.spark.sql.types.LongType)(),
+    AttributeReference("version", org.apache.spark.sql.types.LongType)())
+  override def run(spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] =
+    MaterializedView.refresh(spark, name, force)
+}
+
 case class GraftDropTableCommand(name: String)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq(
@@ -3320,6 +3385,25 @@ case class GraftShowCreateTableCommand(name: String)
     require(store.versions(view).nonEmpty,
       s"SHOW CREATE TABLE $name: the view has no committed snapshot yet " +
         "— there is no schema on disk to show")
+    // a MATERIALIZED VIEW re-creates as one: the defining query IS the
+    // schema/content recipe, and replaying CREATE MATERIALIZED VIEW
+    // restores the refresh machinery a CREATE TABLE replay would lose
+    GraftTableRegistry.lookupProps(name).get(MaterializedView.SqlProp)
+      .foreach { defining =>
+        val rootAbs = java.nio.file.Paths.get(store.root)
+          .toAbsolutePath.normalize.toString
+        require(!rootAbs.contains("'"),
+          s"SHOW CREATE TABLE $name: the root path contains a quote — " +
+            "no re-parsable LOCATION spelling exists")
+        // the OR REPLACE form: a replay against the surviving on-disk
+        // view REDEFINES (recompute) instead of refusing — adopting
+        // old bytes under a possibly-different definition would poison
+        // every later incremental refresh
+        return Seq(org.apache.spark.sql.Row(
+          "CREATE OR REPLACE MATERIALIZED VIEW " +
+            s"${GraftSqlParser.quoteIdent(name)} " +
+            s"LOCATION '$rootAbs' AS $defining"))
+      }
     // a binding whose view name DIFFERS from the table name (a rename,
     // or the Scala registration API) replays as CREATE under the
     // VIEW's name — adopting the on-disk data — followed by the RENAME
@@ -3416,6 +3500,8 @@ object GraftTableRegistry {
     scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
   private val checks =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+  private val props =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
 
   def register(name: String, store: graft.sources.SnapshotStore,
                view: String): Unit = {
@@ -3426,6 +3512,7 @@ object GraftTableRegistry {
     keys.remove(name)
     clusters.remove(name)
     checks.remove(name)
+    props.remove(name)
   }
 
   /** Registration with the view's row-identity KEY column — what the
@@ -3439,7 +3526,19 @@ object GraftTableRegistry {
     keys.update(name, keyCol)
     clusters.remove(name)
     checks.remove(name)
+    props.remove(name)
   }
+
+  /** Record the table's free-form binding PROPERTIES — the durable
+    * key→value side-channel a statement tier can hang its own metadata
+    * on (the materialized-view definition lives here: `mv.sql`,
+    * `mv.source`, `mv.synced`, `mv.mode`). Persisted with the binding,
+    * restored by the lazy restart path like key/cluster/checks.
+    */
+  def registerProps(name: String, ps: Map[String, String]): Unit =
+    if (ps.isEmpty) props.remove(name) else props.update(name, ps)
+  def lookupProps(name: String): Map[String, String] =
+    props.getOrElse(name, Map.empty)
 
   /** Record the table's DDL-declared `CLUSTER BY` columns: subsequent
     * INSERT/CTAS commits route through the Hilbert range-dir writer so
@@ -3493,7 +3592,7 @@ object GraftTableRegistry {
 
   def unregister(name: String): Unit = {
     reg.remove(name); keys.remove(name); clusters.remove(name)
-    checks.remove(name)
+    checks.remove(name); props.remove(name)
   }
 
   /** Rebind column-name references in the table's metadata after a
@@ -3540,6 +3639,7 @@ object GraftTableRegistry {
       }
       registerCluster(name, b.cluster)
       registerChecks(name, b.checks)
+      registerProps(name, b.props)
       (store, b.view)
     }
 
@@ -3590,7 +3690,8 @@ object GraftTableRegistry {
         .getOrElse(st.root)
       GraftCatalog.upsert(catRoot, GraftCatalog.Binding(name,
         java.nio.file.Paths.get(st.root).toAbsolutePath.normalize.toString,
-        view, lookupKey(name), lookupCluster(name), lookupChecks(name)))
+        view, lookupKey(name), lookupCluster(name), lookupChecks(name),
+        lookupProps(name)))
     }
 
   /** Test hook: wipe the in-memory maps (simulating a JVM restart) —
@@ -3598,6 +3699,7 @@ object GraftTableRegistry {
     */
   private[graft] def clearInMemory(): Unit = {
     reg.clear(); keys.clear(); clusters.clear(); checks.clear()
+    props.clear()
   }
 
   /** Lookup-or-fail with the registration hint — the shared error

@@ -2841,6 +2841,164 @@ object CurationQueries {
       st.read("t")
     }),
 
+    // Declarative MATERIALIZED VIEW, the aggregate shape — the batch
+    // layer of the reference's lambda architecture as ONE SQL object:
+    // CREATE classifies the defining query (`agg`), REFRESH maintains
+    // it from the source's commit delta (affected-group recompute over
+    // SnapshotStore.affectedRows — added/removed dirs + new DV keys,
+    // never a full-snapshot diff), and a second REFRESH is a no-op.
+    // The mixed DML deliberately includes min() — the aggregate delta
+    // arithmetic cannot maintain under deletes, but group recompute
+    // can. In-query requires pin the incremental mode, the bounded
+    // affected-group count, the exact MV version chain (a recompute-
+    // per-refresh implementation would still pass content, but not
+    // the single-merge version arithmetic), and the no-op. The oracle
+    // replays the final aggregate declaratively.
+    "q306_sql_mv_incremental_agg" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q306_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      Seq("t306", "mv306").foreach(graft.plans.GraftTableRegistry.unregister)
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q306_orders")
+      s.conf.set("spark.graft.store.root", root)
+      try {
+        s.sql("CREATE TABLE t306 (k BIGINT, cust BIGINT, p DOUBLE) " +
+          "USING graft PRIMARY KEY k")
+        s.sql("INSERT INTO t306 SELECT k, cust, p FROM q306_orders " +
+          "WHERE k % 2 = 0")
+        val created = s.sql("CREATE MATERIALIZED VIEW mv306 AS " +
+          "SELECT cust % 100 AS cg, count(*) AS n, " +
+          "sum(CAST(floor(p * 100) AS BIGINT)) AS sc, min(p) AS mp " +
+          "FROM t306 GROUP BY cust % 100").head()
+        require(created.getString(1) == "agg",
+          s"the defining query must classify as incrementally " +
+            s"maintainable: $created")
+        // mixed source DML: inserts (new rows AND brand-new groups),
+        // keyed updates, and a delete that can take a group's min
+        s.sql("INSERT INTO t306 SELECT k, cust, p FROM q306_orders " +
+          "WHERE k % 2 = 1")
+        s.sql("UPDATE t306 SET p = p + 10 WHERE cust % 13 = 0")
+        s.sql("DELETE FROM t306 WHERE k % 9 = 0")
+        val r = s.sql("REFRESH MATERIALIZED VIEW mv306").head()
+        require(r.getString(1) == "incremental_agg",
+          s"three bounded DMLs must refresh incrementally: $r")
+        require(r.getLong(4) > 0 && r.getLong(4) <= 100,
+          s"affected groups are bounded by the group space: $r")
+        val (mvSt, mvView) = graft.plans.GraftTableRegistry.lookup("mv306").get
+        require(mvSt.versions(mvView) == Seq(1L, 2L),
+          "seed + ONE keyed merge — not a recompute chain: " +
+            mvSt.versions(mvView))
+        val r2 = s.sql("REFRESH MATERIALIZED VIEW mv306").head()
+        require(r2.getString(1) == "noop" && r2.getLong(5) == 2L,
+          s"an idle source must refresh as a no-op: $r2")
+        s.sql("SELECT cg, n, sc, mp FROM mv306")
+      } finally s.conf.unset("spark.graft.store.root")
+    }),
+
+    // MATERIALIZED VIEW, the select-project-filter shape: keyed row
+    // maintenance with tombstones. Updates move rows INTO and OUT OF
+    // the defining WHERE, a delete removes projected rows outright —
+    // the refresh merges recomputed rows and tombstones the vanished
+    // keys through the file-pruned keyed merge, exactly once. The
+    // oracle replays the update/delete sequence declaratively.
+    "q307_sql_mv_spj" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q307_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      Seq("t307", "mv307").foreach(graft.plans.GraftTableRegistry.unregister)
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q307_orders")
+      s.conf.set("spark.graft.store.root", root)
+      try {
+        s.sql("CREATE TABLE t307 (k BIGINT, cust BIGINT, p DOUBLE) " +
+          "USING graft PRIMARY KEY k")
+        s.sql("INSERT INTO t307 SELECT k, cust, p FROM q307_orders")
+        val created = s.sql("CREATE MATERIALIZED VIEW mv307 AS " +
+          "SELECT k, p * 2 AS p2 FROM t307 WHERE cust % 4 = 0").head()
+        require(created.getString(1) == "spj",
+          s"keyed select-project-filter must classify spj: $created")
+        // filter-crossing updates + a delete
+        s.sql("UPDATE t307 SET cust = cust + 1 WHERE k % 10 = 0")
+        s.sql("UPDATE t307 SET p = p + 5 WHERE cust % 4 = 0 AND k % 3 = 0")
+        s.sql("DELETE FROM t307 WHERE k % 17 = 0")
+        val r = s.sql("REFRESH MATERIALIZED VIEW mv307").head()
+        require(r.getString(1) == "incremental_spj" && r.getLong(4) > 0,
+          s"the keyed shape must refresh incrementally: $r")
+        val (mvSt, mvView) = graft.plans.GraftTableRegistry.lookup("mv307").get
+        require(mvSt.versions(mvView) == Seq(1L, 2L),
+          "seed + ONE keyed merge: " + mvSt.versions(mvView))
+        require(s.sql("REFRESH MATERIALIZED VIEW mv307").head()
+          .getString(1) == "noop", "idle source must no-op")
+        s.sql("SELECT k, p2 FROM mv307")
+      } finally s.conf.unset("spark.graft.store.root")
+    }),
+
+    // The lambda loop end-to-end in SQL: a REAL streaming sink lands
+    // exactly-once micro-batches on the fact table, and ONE
+    // REFRESH MATERIALIZED VIEW maintains the batch view incrementally
+    // from those commits — blind appends are pure added-dirs in
+    // affectedRows, so the refresh reads the two streamed dirs plus
+    // the dirty groups' recompute, never the seeded table. In-query
+    // requires pin both stream fences, the incremental mode, the
+    // bounded affected-group count, and the MV's exact version chain.
+    "q308_sql_mv_stream" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q308_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      Seq("t308", "mv308").foreach(graft.plans.GraftTableRegistry.unregister)
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+      o.createOrReplaceTempView("q308_orders")
+      val maxK = o.agg(max("k")).head().getLong(0)
+      val (mid, k3) = (maxK / 2, maxK * 3 / 4)
+      s.conf.set("spark.graft.store.root", root)
+      try {
+        s.sql("CREATE TABLE t308 (k BIGINT, cust BIGINT, p DOUBLE) " +
+          "USING graft PRIMARY KEY k")
+        s.sql(s"INSERT INTO t308 SELECT k, cust, p FROM q308_orders " +
+          s"WHERE k < $mid")
+        val created = s.sql("CREATE MATERIALIZED VIEW mv308 AS " +
+          "SELECT cust % 50 AS cg, count(*) AS n, " +
+          "sum(CAST(floor(p * 100) AS BIGINT)) AS sc " +
+          "FROM t308 GROUP BY cust % 50").head()
+        require(created.getString(1) == "agg", created.toString)
+        // stage the upper half as two files -> two micro-batches
+        val inDir = new java.io.File(s"$root/in"); inDir.mkdirs()
+        Seq(("b0", col("k") >= mid && col("k") < k3),
+            ("b1", col("k") >= k3)).foreach { case (nm, pred) =>
+          val tmp = s"$root/tmp_$nm"
+          o.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(inDir, s"$nm.parquet").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          graft.sources.Scratch.deleteRecursively(new java.io.File(tmp))
+        }
+        val (st, view) = graft.plans.GraftTableRegistry.lookup("t308").get
+        val q = s.readStream.schema(st.read(view).schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+          .writeStream
+          .option("checkpointLocation", s"$root/_cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            st.appendOnce(view, b, txnId = id, statsCols = Seq("k")); ()
+          }.start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+        require(st.appliedTxns(view) == Set(0L, 1L),
+          s"both stream fences must land: ${st.appliedTxns(view)}")
+        val r = s.sql("REFRESH MATERIALIZED VIEW mv308").head()
+        require(r.getString(1) == "incremental_agg",
+          s"streamed blind appends must refresh incrementally: $r")
+        require(r.getLong(4) > 0 && r.getLong(4) <= 50,
+          s"affected groups bounded by the group space: $r")
+        val (mvSt, mvView) = graft.plans.GraftTableRegistry.lookup("mv308").get
+        require(mvSt.versions(mvView) == Seq(1L, 2L),
+          "seed + ONE keyed merge: " + mvSt.versions(mvView))
+        s.sql("SELECT cg, n, sc FROM mv308")
+      } finally s.conf.unset("spark.graft.store.root")
+    }),
+
     // COPY INTO observability + the namespaced file fence: the re-run
     // SKIP is counted (files_skipped — a silent skip is now
     // observable), a user txn id equal to a file's fence hash no
@@ -4659,6 +4817,46 @@ object CurationQueries {
     "q305_occ_maintenance_stream" ->
       """SELECT o_orderkey AS k, o_custkey AS cust, o_totalprice AS p
          FROM orders""",
+
+    // Maintenance-invisible MV semantics: the incrementally-refreshed
+    // aggregate == the one-shot recompute over the final base state
+    // (all orders, the cust%13 bump applied, k%9 deleted).
+    "q306_sql_mv_incremental_agg" ->
+      """WITH base AS (
+           SELECT o_orderkey AS k, o_custkey AS cust,
+                  CASE WHEN o_custkey % 13 = 0 THEN o_totalprice + 10
+                       ELSE o_totalprice END AS p
+           FROM orders WHERE o_orderkey % 9 <> 0)
+         SELECT cust % 100 AS cg, count(*) AS n,
+                CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT) AS sc,
+                min(p) AS mp
+         FROM base GROUP BY cust % 100""",
+
+    // The streamed lambda loop is maintenance-invisible too: the MV
+    // over seed + both streamed batches == the one-shot aggregate over
+    // all orders.
+    "q308_sql_mv_stream" ->
+      """SELECT o_custkey % 50 AS cg, count(*) AS n,
+            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS sc
+         FROM orders GROUP BY o_custkey % 50""",
+
+    // The SPJ MV after filter-crossing updates and a delete: rows of
+    // the final base that pass the defining WHERE, projected.
+    "q307_sql_mv_spj" ->
+      """WITH u1 AS (
+           SELECT o_orderkey AS k,
+                  CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1
+                       ELSE o_custkey END AS cust,
+                  o_totalprice AS p
+           FROM orders),
+         u2 AS (
+           SELECT k, cust,
+                  CASE WHEN cust % 4 = 0 AND k % 3 = 0 THEN p + 5
+                       ELSE p END AS p
+           FROM u1)
+         SELECT k, p * 2 AS p2 FROM u2
+         WHERE k % 17 <> 0 AND cust % 4 = 0""",
 
     // Widen is content-exact across both eras: old-era ints surface
     // as BIGINT, new-era rows carry the beyond-int values, the keyed

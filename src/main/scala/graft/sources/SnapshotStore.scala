@@ -2345,6 +2345,81 @@ class SnapshotStore(spark: SparkSession, val root: String) {
         payload.map(c => col("_post").getField(c).as(s"${c}_post")): _*)
   }
 
+  /** A SUPERSET of the rows whose snapshot membership changed between
+    * two retained versions — the O(delta) input incremental
+    * view-maintenance needs, computed WITHOUT scanning either full
+    * snapshot (unlike [[diff]], which full-outer-joins the two):
+    *
+    *  - dirs REMOVED between the versions hold every rewritten or
+    *    rewrite-deleted row's pre-image (copy-on-write: a merge/delete
+    *    rewrites whole dirs, so unchanged co-resident rows ride along
+    *    — that over-report is the "superset" and is harmless to a
+    *    recompute-style consumer, which is idempotent per key/group);
+    *  - dirs ADDED hold every inserted/updated row's post-image (plus
+    *    the carried-along unchanged rows, same superset);
+    *  - deletion-vector entries added between the versions suppress
+    *    rows whose dir never moved — their pre-images are read from
+    *    only the `fromV` dirs whose recorded key range can hold a
+    *    vectored key ([[dirsHitByKeys]], the merge path's own probe).
+    *
+    * Total cost: O(changed dirs + vectored-key dirs) reads — at 100 TB
+    * a refresh after a bounded merge reads the handful of rewritten
+    * dirs, never the table. All subsets surface under the `toV`-era
+    * projection (renames/drops/widens applied), so the output schema
+    * is the [[read]] schema; a column born between the versions is
+    * NULL on pre-era rows, exactly as the merged read would surface it.
+    *
+    * None (caller should fall back to a full recompute) when `fromV`
+    * is no longer retained (vacuumed history — its dirs may be gone)
+    * or when the drops/renames/widens metadata CHANGED between the
+    * versions (the two eras' rows were addressed under different
+    * projections; a recompute from the head is the honest answer).
+    */
+  def affectedRows(view: String, fromV: Long, toV: Long)
+      : Option[DataFrame] = {
+    val vs = versions(view)
+    require(vs.contains(toV), s"$view: v$toV is not a retained version")
+    if (!vs.contains(fromV)) return None
+    if (manifestDrops(view, fromV) != manifestDrops(view, toV) ||
+        manifestRenames(view, fromV) != manifestRenames(view, toV) ||
+        manifestWidens(view, fromV) != manifestWidens(view, toV))
+      return None
+    val pre = readManifest(view, fromV)
+    val post = readManifest(view, toV)
+    val removed = pre.filterNot(post.toSet)
+    val added = post.filterNot(pre.toSet)
+    val newDels = manifestDels(view, toV)
+      .filterNot(manifestDels(view, fromV).toSet)
+    // era projection + FULL-schema padding: a changed-dir subset may
+    // physically lack a column other eras carry (schema evolution by
+    // empty-carrier append) — pad to the toV read schema so consumers
+    // can evaluate any live-column expression, exactly as the merged
+    // full read would surface it
+    val outSchema = read(view, Some(toV)).schema
+    def era(df: DataFrame) =
+      alignedTo(applyDrops(df, view, toV), outSchema)
+    // vector key files may be keyed by different columns across
+    // operations — probe per key column, never through one merged read
+    val delParts = newDels.groupBy(d => readDirs(Seq(d), view).columns.head)
+      .toSeq.sortBy(_._1).flatMap { case (keyCol, dels) =>
+        val keys = readDirs(dels, view).distinct()
+        val (hit, _) = dirsHitByKeys(view, pre, keyCol, keys)
+        if (hit.isEmpty) None
+        else {
+          val hinted =
+            if (delBytes(view, dels) <= dvBroadcastMaxBytes) broadcast(keys)
+            else keys
+          Some(era(readDirs(hit, view)).join(hinted, Seq(keyCol), "left_semi"))
+        }
+      }
+    val parts =
+      (if (removed.nonEmpty) Seq(era(readDirs(removed, view))) else Nil) ++
+        (if (added.nonEmpty) Seq(era(readDirs(added, view))) else Nil) ++
+        delParts
+    Some(parts.reduceOption(_.unionByName(_))
+      .getOrElse(read(view, Some(toV)).where(lit(false))))
+  }
+
   // ------------------------------------------------------- maintenance
 
   /** OPTIMIZE: rewrite the current snapshot into ~`targetFileBytes`

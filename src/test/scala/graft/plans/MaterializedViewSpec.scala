@@ -1,0 +1,312 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Round-17: declarative MATERIALIZED VIEWs — CREATE seeds and
+  * classifies, REFRESH maintains incrementally from the source's
+  * commit delta (affected-group recompute over
+  * [[graft.sources.SnapshotStore.affectedRows]]), and every refresh
+  * result must equal the from-scratch recompute of the defining query
+  * (the maintenance-invisibility contract, same as q154's Scala tier).
+  */
+class MaterializedViewSpec extends SparkSpec {
+
+  private var n = 0
+  private def freshRoot(): String = {
+    n += 1
+    graft.sources.Scratch.processScoped("mv_spec", "spec") + s"/case$n"
+  }
+
+  private def withRoot[T](root: String)(body: => T): T = {
+    spark.conf.set("spark.graft.store.root", root)
+    try body finally spark.conf.unset("spark.graft.store.root")
+  }
+
+  private def seedSrc(tbl: String): Unit = {
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, g STRING, h BIGINT, " +
+      s"p DOUBLE) USING graft PRIMARY KEY k")
+    spark.sql(s"INSERT INTO $tbl SELECT id, concat('g', id % 5), " +
+      "id % 3, CAST(id AS DOUBLE) FROM range(0, 200)")
+  }
+
+  private def sortedRows(sql: String): Seq[Row] =
+    spark.sql(sql).collect().toSeq.sortBy(_.toString)
+
+  /** The maintenance-invisibility assertion: MV content == defining
+    * query recomputed from scratch over the live source.
+    */
+  private def assertFresh(mv: String, defining: String): Unit = {
+    val got = sortedRows(s"SELECT * FROM $mv")
+    val want = sortedRows(defining)
+    assert(got == want, s"\nMV: $got\nfresh: $want")
+  }
+
+  test("agg MV (single group col): create classifies agg; " +
+      "insert/update/delete refresh incrementally and exactly") {
+    val root = freshRoot()
+    withRoot(root) {
+      seedSrc("mvs_src1")
+      val defining = "SELECT g, count(*) AS n, sum(p) AS sp, " +
+        "avg(p) AS ap, min(p) AS mp FROM mvs_src1 GROUP BY g"
+      val created =
+        spark.sql(s"CREATE MATERIALIZED VIEW mvs_daily AS $defining").head()
+      assert(created.getString(1) == "agg", created.toString)
+      assertFresh("mvs_daily", defining)
+
+      // INSERT into two groups, UPDATE rows across groups, DELETE the
+      // current min of one group (the delta-arithmetic killer: min
+      // under delete needs recompute, which this engine does by design)
+      spark.sql("INSERT INTO mvs_src1 VALUES (1000, 'g1', 0, 9999.0)")
+      spark.sql("UPDATE mvs_src1 SET g = 'g9', p = p + 0.5 WHERE k % 50 = 3")
+      spark.sql("DELETE FROM mvs_src1 WHERE p = 0.0")
+      val r = spark.sql("REFRESH MATERIALIZED VIEW mvs_daily").head()
+      assert(r.getString(1) == "incremental_agg", r.toString)
+      // bounded by the group space (the 200-row seed is ONE dir, so
+      // copy-on-write dirties every co-resident group — the O(delta)
+      // multi-dir evidence is the affectedRows test below)
+      assert(r.getLong(4) > 0 && r.getLong(4) <= 7, r.toString)
+      assertFresh("mvs_daily", defining)
+
+      // no-op refresh: nothing committed since
+      val r2 = spark.sql("REFRESH MATERIALIZED VIEW mvs_daily").head()
+      assert(r2.getString(1) == "noop" && r2.getLong(5) == r.getLong(5),
+        r2.toString)
+    }
+  }
+
+  test("agg MV: multi-column groups take the rebuild path and stay " +
+      "exact, including NULL group values") {
+    val root = freshRoot()
+    withRoot(root) {
+      seedSrc("mvs_src2")
+      // NULL group value in play
+      spark.sql("INSERT INTO mvs_src2 VALUES (2000, NULL, 1, 7.0)")
+      val defining = "SELECT g, h, count(*) AS n, max(p) AS xp " +
+        "FROM mvs_src2 GROUP BY g, h"
+      assert(spark.sql(
+        s"CREATE MATERIALIZED VIEW mvs_gh AS $defining")
+        .head().getString(1) == "agg")
+      spark.sql("INSERT INTO mvs_src2 VALUES (2001, NULL, 1, 8.0)")
+      spark.sql("DELETE FROM mvs_src2 WHERE k = 2000")
+      spark.sql("UPDATE mvs_src2 SET h = 2 WHERE k % 40 = 7")
+      val r = spark.sql("REFRESH MATERIALIZED VIEW mvs_gh").head()
+      assert(r.getString(1) == "incremental_agg", r.toString)
+      assertFresh("mvs_gh", defining)
+    }
+  }
+
+  test("agg MV: WHERE + HAVING maintain across filter-crossing updates " +
+      "and group disappearance") {
+    val root = freshRoot()
+    withRoot(root) {
+      seedSrc("mvs_src3")
+      val defining = "SELECT g, count(*) AS n FROM mvs_src3 " +
+        "WHERE p < 100 GROUP BY g HAVING count(*) > 3"
+      spark.sql(s"CREATE MATERIALIZED VIEW mvs_hav AS $defining")
+      // push most of g2's rows out of the WHERE window; g2's group
+      // must shrink below the HAVING bar and VANISH from the MV
+      spark.sql("UPDATE mvs_src3 SET p = p + 1000 " +
+        "WHERE g = 'g2' AND k > 10")
+      val r = spark.sql("REFRESH MATERIALIZED VIEW mvs_hav").head()
+      assert(r.getString(1) == "incremental_agg", r.toString)
+      assertFresh("mvs_hav", defining)
+      assert(!spark.sql("SELECT * FROM mvs_hav").collect()
+        .exists(_.getString(0) == "g2"))
+    }
+  }
+
+  test("spj MV: keyed row maintenance with tombstones for deletes and " +
+      "filtered-out updates") {
+    val root = freshRoot()
+    withRoot(root) {
+      seedSrc("mvs_src4")
+      val defining = "SELECT k, upper(g) AS gu, p * 2 AS p2 " +
+        "FROM mvs_src4 WHERE h = 1"
+      val created =
+        spark.sql(s"CREATE MATERIALIZED VIEW mvs_rows AS $defining").head()
+      assert(created.getString(1) == "spj", created.toString)
+      spark.sql("UPDATE mvs_src4 SET h = 0 WHERE k = 1")   // leaves filter
+      spark.sql("UPDATE mvs_src4 SET h = 1, p = -1 WHERE k = 3") // enters
+      spark.sql("DELETE FROM mvs_src4 WHERE k = 4")        // deleted
+      val r = spark.sql("REFRESH MATERIALIZED VIEW mvs_rows").head()
+      assert(r.getString(1) == "incremental_spj", r.toString)
+      assertFresh("mvs_rows", defining)
+    }
+  }
+
+  test("full fallback: a join-shaped MV classifies full and REFRESH " +
+      "recomputes; FULL keyword forces recompute on any shape") {
+    val root = freshRoot()
+    withRoot(root) {
+      seedSrc("mvs_src5a")
+      spark.sql("CREATE TABLE mvs_dim (g STRING, label STRING) " +
+        "USING graft PRIMARY KEY g")
+      spark.sql("INSERT INTO mvs_dim VALUES ('g1', 'one'), ('g2', 'two')")
+      val defining = "SELECT s.g, d.label, count(*) AS n " +
+        "FROM mvs_src5a s JOIN mvs_dim d ON s.g = d.g GROUP BY s.g, d.label"
+      val created =
+        spark.sql(s"CREATE MATERIALIZED VIEW mvs_joined AS $defining").head()
+      assert(created.getString(1) == "full", created.toString)
+      spark.sql("UPDATE mvs_dim SET label = 'TWO' WHERE g = 'g2'")
+      val r = spark.sql("REFRESH MATERIALIZED VIEW mvs_joined").head()
+      assert(r.getString(1) == "full" && r.getLong(4) == -1L, r.toString)
+      assertFresh("mvs_joined", defining)
+      // FULL on an incrementally-maintainable view still recomputes
+      spark.sql("CREATE MATERIALIZED VIEW mvs_forced AS " +
+        "SELECT g, count(*) AS n FROM mvs_src5a GROUP BY g")
+      val rf = spark.sql("REFRESH MATERIALIZED VIEW mvs_forced FULL").head()
+      assert(rf.getString(1) == "full_forced", rf.toString)
+    }
+  }
+
+  test("crash idempotence: re-applying an already-applied window " +
+      "converges (synced rolled back by hand, refresh re-runs)") {
+    val root = freshRoot()
+    withRoot(root) {
+      seedSrc("mvs_src6")
+      val defining =
+        "SELECT g, sum(p) AS sp FROM mvs_src6 GROUP BY g"
+      spark.sql(s"CREATE MATERIALIZED VIEW mvs_idem AS $defining")
+      spark.sql("UPDATE mvs_src6 SET p = p + 1 WHERE k % 7 = 0")
+      spark.sql("REFRESH MATERIALIZED VIEW mvs_idem")
+      val before = sortedRows("SELECT * FROM mvs_idem")
+      // simulate a refresh that committed but died before the synced
+      // bump: roll the pointer back one refresh and re-run
+      val ps = GraftTableRegistry.lookupProps("mvs_idem")
+      GraftTableRegistry.registerProps("mvs_idem",
+        ps + (MaterializedView.SyncedProp -> "1"))
+      val r = spark.sql("REFRESH MATERIALIZED VIEW mvs_idem").head()
+      assert(r.getString(1) == "incremental_agg", r.toString)
+      assert(sortedRows("SELECT * FROM mvs_idem") == before)
+      assertFresh("mvs_idem", defining)
+    }
+  }
+
+  test("restart: the MV definition survives the durable catalog — a " +
+      "fresh registry refreshes incrementally by name") {
+    val root = freshRoot()
+    withRoot(root) {
+      seedSrc("mvs_src7")
+      val defining =
+        "SELECT g, count(*) AS n FROM mvs_src7 GROUP BY g"
+      spark.sql(s"CREATE MATERIALIZED VIEW mvs_persist AS $defining")
+      spark.sql("INSERT INTO mvs_src7 VALUES (3000, 'g0', 0, 1.0)")
+      GraftTableRegistry.clearInMemory() // simulated JVM restart
+      val r = spark.sql("REFRESH MATERIALIZED VIEW mvs_persist").head()
+      assert(r.getString(1) == "incremental_agg", r.toString)
+      assertFresh("mvs_persist", defining)
+    }
+  }
+
+  test("DV-only source deletes (no dir rewrite) dirty their groups") {
+    val root = freshRoot()
+    withRoot(root) {
+      seedSrc("mvs_src8")
+      val defining =
+        "SELECT g, count(*) AS n, min(p) AS mp FROM mvs_src8 GROUP BY g"
+      spark.sql(s"CREATE MATERIALIZED VIEW mvs_dv AS $defining")
+      // keyed delete through the store API lands a deletion VECTOR —
+      // no data dir moves, the affectedRows DV leg must catch it
+      val (st, view) = GraftTableRegistry.lookup("mvs_src8").get
+      val dirsBefore = st.manifestDirs(view).toSet
+      import spark.implicits._
+      st.deleteKeys(view, "k", Seq(0L, 5L, 10L).toDF("k"))
+      assert(st.manifestDirs(view).toSet == dirsBefore,
+        "precondition: the delete must be vector-only for this test")
+      val r = spark.sql("REFRESH MATERIALIZED VIEW mvs_dv").head()
+      assert(r.getString(1) == "incremental_agg" && r.getLong(4) >= 1,
+        r.toString)
+      assertFresh("mvs_dv", defining)
+    }
+  }
+
+  test("mass churn falls back to a full recompute under the " +
+      "maxIncremental cap") {
+    val root = freshRoot()
+    withRoot(root) {
+      seedSrc("mvs_src9")
+      spark.sql("CREATE MATERIALIZED VIEW mvs_cap AS " +
+        "SELECT g, count(*) AS n FROM mvs_src9 GROUP BY g")
+      spark.sql("UPDATE mvs_src9 SET p = p + 1 WHERE k % 2 = 0")
+      spark.conf.set("spark.graft.mv.maxIncremental", "1")
+      try {
+        val r = spark.sql("REFRESH MATERIALIZED VIEW mvs_cap").head()
+        assert(r.getString(1) == "full", r.toString)
+      } finally spark.conf.unset("spark.graft.mv.maxIncremental")
+      assertFresh("mvs_cap",
+        "SELECT g, count(*) AS n FROM mvs_src9 GROUP BY g")
+    }
+  }
+
+  test("affectedRows is O(delta): a bounded merge surfaces far fewer " +
+      "rows than the table, and metadata eras refuse") {
+    val root = freshRoot()
+    withRoot(root) {
+      // TWO dirs with disjoint key ranges (stats on k recorded by the
+      // keyed inserts) — a one-key update must rewrite only one
+      spark.sql("CREATE TABLE mvs_src10 (k BIGINT, g STRING, h BIGINT, " +
+        "p DOUBLE) USING graft PRIMARY KEY k")
+      spark.sql("INSERT INTO mvs_src10 SELECT id, concat('g', id % 5), " +
+        "id % 3, CAST(id AS DOUBLE) FROM range(0, 100)")
+      spark.sql("INSERT INTO mvs_src10 SELECT id, concat('g', id % 5), " +
+        "id % 3, CAST(id AS DOUBLE) FROM range(100, 400)")
+      val (st, view) = GraftTableRegistry.lookup("mvs_src10").get
+      val v1 = st.versions(view).max
+      spark.sql("UPDATE mvs_src10 SET p = 0 WHERE k = 7")
+      val v2 = st.versions(view).max
+      val aff = st.affectedRows(view, v1, v2).get
+      val nAff = aff.count()
+      val total = st.read(view).count()
+      assert(nAff < total, s"affected $nAff of $total — not a delta")
+      assert(aff.where(org.apache.spark.sql.functions.col("k") === 7)
+        .count() >= 1, "the changed key's pre/post rows must surface")
+      // a rename between the versions changes the projection era —
+      // affectedRows refuses and the caller recomputes fully
+      spark.sql("ALTER TABLE mvs_src10 RENAME COLUMN p TO price")
+      val v3 = st.versions(view).max
+      assert(st.affectedRows(view, v1, v3).isEmpty)
+      // a same-era span (both endpoints after the rename) still serves
+      assert(st.affectedRows(view, v3, v3).nonEmpty)
+    }
+  }
+
+  test("SHOW CREATE TABLE on an MV emits the re-runnable " +
+      "CREATE MATERIALIZED VIEW recipe") {
+    val root = freshRoot()
+    withRoot(root) {
+      seedSrc("mvs_src12")
+      val defining = "SELECT g, count(*) AS n FROM mvs_src12 GROUP BY g"
+      spark.sql(s"CREATE MATERIALIZED VIEW mvs_show AS $defining")
+      val stmts = spark.sql("SHOW CREATE TABLE mvs_show").collect()
+        .map(_.getString(0))
+      assert(stmts.length == 1 &&
+        stmts.head.startsWith(
+          "CREATE OR REPLACE MATERIALIZED VIEW mvs_show") &&
+        stmts.head.endsWith(s"AS $defining"), stmts.mkString("\n"))
+      // the recipe round-trips: drop, replay, refresh still incremental
+      spark.sql("DROP MATERIALIZED VIEW mvs_show")
+      spark.sql(stmts.head)
+      spark.sql("INSERT INTO mvs_src12 VALUES (5000, 'g3', 0, 2.0)")
+      assert(spark.sql("REFRESH MATERIALIZED VIEW mvs_show").head()
+        .getString(1) == "incremental_agg")
+      assertFresh("mvs_show", defining)
+    }
+  }
+
+  test("DROP MATERIALIZED VIEW unbinds; REFRESH of a plain table " +
+      "refuses with the not-an-MV error") {
+    val root = freshRoot()
+    withRoot(root) {
+      seedSrc("mvs_src11")
+      spark.sql("CREATE MATERIALIZED VIEW mvs_gone AS " +
+        "SELECT g, count(*) AS n FROM mvs_src11 GROUP BY g")
+      spark.sql("DROP MATERIALIZED VIEW mvs_gone")
+      assert(GraftTableRegistry.lookup("mvs_gone").isEmpty)
+      val e = intercept[IllegalArgumentException] {
+        spark.sql("REFRESH MATERIALIZED VIEW mvs_src11").collect()
+      }
+      assert(e.getMessage.contains("not a materialized view"))
+    }
+  }
+}
