@@ -1598,6 +1598,9 @@ case class GraftRestoreCommand(name: String, toVersion: Long = -1L,
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("RESTORE", name)
+    // RESTORE would silently break the content == defining@synced
+    // invariant the incremental refresh depends on — same refusal
+    MaterializedView.requireWritable("RESTORE", name)
     val v = toTimestamp.map(store.versionAtTimestamp(view, _))
       .getOrElse(toVersion)
     Seq(org.apache.spark.sql.Row(name, v, store.restore(view, v)))
@@ -1629,6 +1632,7 @@ case class GraftDeleteCommand(name: String, predicateSql: String)
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("DELETE FROM", name)
+    MaterializedView.requireWritable("DELETE FROM", name)
     val keyCol = GraftTableRegistry.requiredKey("DELETE FROM", name)
     // a SUBQUERY predicate (`WHERE k IN (SELECT …)`) cannot evaluate
     // per-row against a dir scan — resolve it through the full session
@@ -1683,6 +1687,7 @@ case class GraftInsertCommand(name: String, querySql: String,
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("INSERT INTO", name)
+    MaterializedView.requireWritable("INSERT INTO", name)
     val target = store.read(view).schema
     import org.apache.spark.sql.functions.{col, lit}
     // the COLUMN-LIST form binds the payload to the NAMED subset (in
@@ -1774,6 +1779,7 @@ case class GraftInsertOverwriteCommand(name: String, querySql: String)
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("INSERT OVERWRITE", name)
+    MaterializedView.requireWritable("INSERT OVERWRITE", name)
     val target = store.read(view).schema
     val (src, obs) = GraftSqlParser.alignInsertPayload(spark,
       s"INSERT OVERWRITE $name", target, querySql, checksFor = Some(name))
@@ -1908,6 +1914,7 @@ case class GraftCopyIntoCommand(name: String, fromPath: String,
     import scala.jdk.CollectionConverters._
     val tag = s"COPY INTO $name"
     val (store, view) = GraftTableRegistry.required(tag, name)
+    MaterializedView.requireWritable(tag, name)
     val fmt = format.toLowerCase
     require(Set("parquet", "csv", "json").contains(fmt),
       s"$tag: FILEFORMAT must be PARQUET, CSV, or JSON — got `$format`")
@@ -2051,6 +2058,7 @@ case class GraftUpdateCommand(name: String, setSql: String, predicateSql: String
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("UPDATE", name)
+    MaterializedView.requireWritable("UPDATE", name)
     val keyCol = GraftTableRegistry.requiredKey("UPDATE", name)
     import org.apache.spark.sql.functions.expr
     val assignments = GraftSqlParser.splitTopLevel(setSql).map { a =>
@@ -2132,6 +2140,7 @@ case class GraftMergeCommand(name: String, srcName: String,
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("MERGE INTO", name)
+    MaterializedView.requireWritable("MERGE INTO", name)
     val keyCol = GraftTableRegistry.requiredKey("MERGE INTO", name)
     require(onCols.forall(_.equalsIgnoreCase(keyCol)),
       s"MERGE INTO $name: ON must equate the registered key `$keyCol` " +
@@ -2226,6 +2235,7 @@ case class GraftMergeColumnsCommand(name: String, tAliasOpt: Option[String],
     import org.apache.spark.sql.functions.{col, expr, lit, when}
     val tag = s"MERGE INTO $name"
     val (store, view) = GraftTableRegistry.required("MERGE INTO", name)
+    MaterializedView.requireWritable("MERGE INTO", name)
     val keyCol = GraftTableRegistry.requiredKey("MERGE INTO", name)
     require(onCols.map(_.split('.').last).forall(_.equalsIgnoreCase(keyCol)),
       s"$tag: ON must equate the registered key `$keyCol` on both " +
@@ -2337,6 +2347,7 @@ case class GraftMergeWhenCommand(name: String, tAliasOpt: Option[String],
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
     val tag = s"MERGE INTO $name"
     val (store, view) = GraftTableRegistry.required("MERGE INTO", name)
+    MaterializedView.requireWritable("MERGE INTO", name)
     val keyCol = GraftTableRegistry.requiredKey("MERGE INTO", name)
     require(onCols.map(_.split('.').last).forall(_.equalsIgnoreCase(keyCol)),
       s"$tag: ON must equate the registered key `$keyCol` on both " +
@@ -2550,6 +2561,11 @@ case class GraftCreateTableCommand(name: String,
       require(!ifNotExists,
         s"CREATE OR REPLACE TABLE $name: OR REPLACE and IF NOT EXISTS " +
           "are mutually exclusive")
+      // replacing a MATERIALIZED VIEW with a plain table silently drops
+      // its definition — require the explicit DROP first (or use
+      // CREATE OR REPLACE MATERIALIZED VIEW to redefine it)
+      MaterializedView.requireWritable(s"CREATE OR REPLACE TABLE $name",
+        name)
       val store = GraftTableRegistry.lookup(name) match {
         case Some((st, v)) =>
           require(v == name,
@@ -2783,6 +2799,9 @@ case class GraftAlterAddColumnsCommand(name: String, columnsDdl: String)
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("ALTER TABLE", name)
+    // an MV's schema is OWNED by its defining query — a direct schema
+    // change would be silently undone by the next recompute
+    MaterializedView.requireWritable("ALTER TABLE ADD COLUMNS", name)
     val cur = store.read(view).schema
     val added = org.apache.spark.sql.types.StructType.fromDDL(columnsDdl)
     val head = store.versions(view).lastOption
@@ -2905,12 +2924,17 @@ case class GraftRenameTableCommand(name: String, newName: String)
     val key = GraftTableRegistry.lookupKey(name)
     val cluster = GraftTableRegistry.lookupCluster(name)
     val checks = GraftTableRegistry.lookupChecks(name)
+    val props = GraftTableRegistry.lookupProps(name)
     key match {
       case Some(k) => GraftTableRegistry.register(newName, store, view, k)
       case None => GraftTableRegistry.register(newName, store, view)
     }
     GraftTableRegistry.registerCluster(newName, cluster)
     GraftTableRegistry.registerChecks(newName, checks)
+    // the binding props travel too — a renamed MATERIALIZED VIEW keeps
+    // its definition (and synced pointer) instead of silently becoming
+    // a plain, never-refreshing table
+    GraftTableRegistry.registerProps(newName, props)
     GraftTableRegistry.persistBinding(spark, newName)
     // the old name unbinds everywhere CREATE persisted it — the same
     // two roots DROP TABLE clears
@@ -2941,6 +2965,7 @@ case class GraftDropColumnCommand(name: String, columns: Seq[String])
       : Seq[org.apache.spark.sql.Row] = {
     val tag = s"ALTER TABLE $name DROP COLUMN"
     val (store, view) = GraftTableRegistry.required(tag, name)
+    MaterializedView.requireWritable(tag, name)
     require(columns.nonEmpty, s"$tag: no columns named")
     val key = GraftTableRegistry.lookupKey(name)
     val cluster = GraftTableRegistry.lookupCluster(name)
@@ -3158,6 +3183,7 @@ case class GraftRenameColumnCommand(name: String, oldCol: String,
       : Seq[org.apache.spark.sql.Row] = {
     val tag = s"ALTER TABLE $name RENAME COLUMN"
     val (store, view) = GraftTableRegistry.required(tag, name)
+    MaterializedView.requireWritable(tag, name)
     // CHECK constraints FOLLOW the rename: the stored SQL text's
     // attribute references rewrite mechanically (parse → transform the
     // unresolved tree → regenerate SQL), PROVEN by a round-trip — the
@@ -3223,6 +3249,7 @@ case class GraftAlterColumnTypeCommand(name: String, colName: String,
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) =
       GraftTableRegistry.required(s"ALTER TABLE $name ALTER COLUMN", name)
+    MaterializedView.requireWritable(s"ALTER TABLE $name ALTER COLUMN", name)
     val v = store.alterColumnType(view, colName, typeDdl)
     Seq(org.apache.spark.sql.Row(name, v))
   }
@@ -3315,6 +3342,7 @@ case class GraftTruncateCommand(name: String)
   override def run(spark: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     val (store, view) = GraftTableRegistry.required("TRUNCATE TABLE", name)
+    MaterializedView.requireWritable("TRUNCATE TABLE", name)
     Seq(org.apache.spark.sql.Row(name, store.commit(view,
       GraftSqlParser.emptySingleFileFrame(spark, store.read(view).schema),
       overwrite = true)))

@@ -62,6 +62,20 @@ object MaterializedView {
   private[plans] val SyncedProp = "mv.synced"
   private[plans] val ModeProp = "mv.mode"
 
+  /** DML statements against an MV refuse: a direct write would
+    * silently diverge the stored rows from the defining query, and the
+    * incremental refresh — which reconciles only AFFECTED groups/keys
+    * — would never repair the untouched ones. (The refresh engine
+    * itself writes through the store API, not the statement tier, so
+    * maintenance is unaffected; content-preserving maintenance —
+    * OPTIMIZE, VACUUM, ANALYZE — stays allowed.)
+    */
+  private[plans] def requireWritable(tag: String, name: String): Unit =
+    require(!GraftTableRegistry.lookupProps(name).contains(SqlProp),
+      s"$tag: `$name` is a MATERIALIZED VIEW — it is maintained by " +
+        "REFRESH MATERIALIZED VIEW and cannot be written directly; " +
+        s"DROP MATERIALIZED VIEW $name to detach it from its definition")
+
   /** One select item: its expression SQL and its output name (the
     * trailing alias, or the column name for a bare reference; None for
     * an unaliased computed item).
@@ -137,9 +151,13 @@ object MaterializedView {
     val end = t.length
     val fromEndsAt =
       (whereAt ++ groupAt ++ havingAt).sorted.headOption.getOrElse(end)
-    if (whereAt.exists(_ < fromAt.head) || groupAt.exists(_ < fromAt.head) ||
-        havingAt.exists(w => w < fromAt.head ||
-          groupAt.exists(_ > w) || whereAt.exists(_ > w)))
+    // clause ORDER must be FROM < WHERE < GROUP < HAVING — anything
+    // else is either malformed (let the full path surface the parse
+    // error) or a shape this decomposition would mis-slice
+    if (whereAt.exists(w => w < fromAt.head || groupAt.exists(_ < w) ||
+          havingAt.exists(_ < w)) ||
+        groupAt.exists(g => g < fromAt.head || havingAt.exists(_ < g)) ||
+        havingAt.exists(_ < fromAt.head))
       return FullShape
     val selectSql = t.substring("SELECT".length, fromAt.head).trim
     val fromSql = t.substring(fromAt.head + "FROM".length, fromEndsAt)

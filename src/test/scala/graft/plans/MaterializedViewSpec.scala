@@ -271,6 +271,32 @@ class MaterializedViewSpec extends SparkSpec {
     }
   }
 
+  test("MV over MV: the inner refresh's merge commits are the outer's " +
+      "delta — the chain maintains incrementally end-to-end") {
+    val root = freshRoot()
+    withRoot(root) {
+      seedSrc("mvs_src13")
+      // inner: per-g counts (single group col -> keyed-merge refresh,
+      // so its delta commits stay bounded); outer: buckets-by-size
+      val inner = "SELECT g, count(*) AS n FROM mvs_src13 GROUP BY g"
+      spark.sql(s"CREATE MATERIALIZED VIEW mvs_in AS $inner")
+      val outer = "SELECT n % 2 AS parity, count(*) AS buckets, " +
+        "sum(n) AS rows_total FROM mvs_in GROUP BY n % 2"
+      val created =
+        spark.sql(s"CREATE MATERIALIZED VIEW mvs_out AS $outer").head()
+      assert(created.getString(1) == "agg", created.toString)
+      spark.sql("INSERT INTO mvs_src13 VALUES (4000, 'g7', 9, 1.0)")
+      spark.sql("DELETE FROM mvs_src13 WHERE g = 'g0' AND h = 0")
+      val r1 = spark.sql("REFRESH MATERIALIZED VIEW mvs_in").head()
+      assert(r1.getString(1) == "incremental_agg", r1.toString)
+      val r2 = spark.sql("REFRESH MATERIALIZED VIEW mvs_out").head()
+      assert(r2.getString(1) == "incremental_agg", r2.toString)
+      assertFresh("mvs_out",
+        s"SELECT n % 2 AS parity, count(*) AS buckets, " +
+          s"sum(n) AS rows_total FROM ($inner) GROUP BY n % 2")
+    }
+  }
+
   test("SHOW CREATE TABLE on an MV emits the re-runnable " +
       "CREATE MATERIALIZED VIEW recipe") {
     val root = freshRoot()
@@ -291,6 +317,61 @@ class MaterializedViewSpec extends SparkSpec {
       assert(spark.sql("REFRESH MATERIALIZED VIEW mvs_show").head()
         .getString(1) == "incremental_agg")
       assertFresh("mvs_show", defining)
+    }
+  }
+
+  test("a vacuumed-away base version falls back to a full recompute " +
+      "instead of guessing a delta") {
+    val root = freshRoot()
+    withRoot(root) {
+      seedSrc("mvs_src15")
+      val defining = "SELECT g, count(*) AS n FROM mvs_src15 GROUP BY g"
+      spark.sql(s"CREATE MATERIALIZED VIEW mvs_vac AS $defining")
+      // churn the source, then vacuum history past the MV's synced base
+      spark.sql("UPDATE mvs_src15 SET p = p + 1 WHERE k % 3 = 0")
+      spark.sql("UPDATE mvs_src15 SET p = p + 1 WHERE k % 3 = 1")
+      val (st, view) = GraftTableRegistry.lookup("mvs_src15").get
+      st.vacuum(view, retainVersions = 1)
+      val r = spark.sql("REFRESH MATERIALIZED VIEW mvs_vac").head()
+      assert(r.getString(1) == "full", r.toString)
+      assertFresh("mvs_vac", defining)
+      // and the NEXT refresh is incremental again (synced re-pinned)
+      spark.sql("UPDATE mvs_src15 SET p = p + 1 WHERE k = 5")
+      assert(spark.sql("REFRESH MATERIALIZED VIEW mvs_vac").head()
+        .getString(1) == "incremental_agg")
+    }
+  }
+
+  test("an MV is not directly writable: DML and schema ALTERs refuse, " +
+      "RENAME TO carries the definition") {
+    val root = freshRoot()
+    withRoot(root) {
+      seedSrc("mvs_src14")
+      spark.sql("CREATE MATERIALIZED VIEW mvs_ro AS " +
+        "SELECT g, count(*) AS n FROM mvs_src14 GROUP BY g")
+      Seq(
+        "INSERT INTO mvs_ro VALUES ('gX', 1)",
+        "UPDATE mvs_ro SET n = 0 WHERE g = 'g1'",
+        "DELETE FROM mvs_ro WHERE g = 'g1'",
+        "TRUNCATE TABLE mvs_ro",
+        "ALTER TABLE mvs_ro ADD COLUMNS (x INT)",
+        "ALTER TABLE mvs_ro DROP COLUMN n",
+        "ALTER TABLE mvs_ro RENAME COLUMN n TO m",
+        "CREATE OR REPLACE TABLE mvs_ro USING graft AS SELECT 1 AS a"
+      ).foreach { stmt =>
+        val e = intercept[IllegalArgumentException] {
+          spark.sql(stmt).collect()
+        }
+        assert(e.getMessage.contains("MATERIALIZED VIEW"), s"$stmt -> $e")
+      }
+      // RENAME TO is the one mutation that composes: the definition
+      // (and synced pointer) must travel with the new name
+      spark.sql("ALTER TABLE mvs_ro RENAME TO mvs_ro2")
+      spark.sql("INSERT INTO mvs_src14 VALUES (6000, 'g1', 0, 3.0)")
+      assert(spark.sql("REFRESH MATERIALIZED VIEW mvs_ro2").head()
+        .getString(1) == "incremental_agg")
+      assertFresh("mvs_ro2",
+        "SELECT g, count(*) AS n FROM mvs_src14 GROUP BY g")
     }
   }
 
