@@ -391,7 +391,29 @@ object MaterializedView {
       return fullRecompute("full")
     val (srcStore, srcView) = srcState.get
     val toV = cur.get
-    val affOpt = srcStore.affectedRows(srcView, synced, toV)
+    // crash rescue for the NON-idempotent additive path: each additive
+    // commit fences itself with the source version it brings the MV to
+    // (txn = toV on the MV view — user txns can't land there, the MV
+    // is write-protected), so a refresh that died between the commit
+    // and the catalog bump resumes from the FENCED version instead of
+    // re-applying the same delta arithmetic
+    val fenced = mvStore.appliedTxns(mvView)
+    val effSynced = math.max(synced, fenced.foldLeft(-1L)(math.max))
+    if (effSynced >= toV) {
+      bumpSynced(toV)
+      return Seq(Row(name, "noop", effSynced, toV, 0L,
+        mvStore.versions(mvView).lastOption.getOrElse(0L)))
+    }
+    shape match {
+      case a: AggShape =>
+        additiveRefresh(spark, name, mvStore, mvView, srcStore, srcView,
+          a, effSynced, toV, bumpSynced) match {
+          case Some(rows) => return rows
+          case None => // not additive-maintainable — group recompute
+        }
+      case _ =>
+    }
+    val affOpt = srcStore.affectedRows(srcView, effSynced, toV)
     if (affOpt.isEmpty) return fullRecompute("full")
     val aff = affOpt.get
     val tmp = tmpName(name)
@@ -406,7 +428,7 @@ object MaterializedView {
         val nAff = affected.count()
         if (nAff == 0) { // metadata-only commits (fences, syncpoints)
           bumpSynced(toV)
-          return Seq(Row(name, "incremental_agg", synced, toV, 0L,
+          return Seq(Row(name, "incremental_agg", effSynced, toV, 0L,
             mvStore.versions(mvView).lastOption.getOrElse(0L)))
         }
         if (nAff > maxIncremental(spark))
@@ -417,7 +439,33 @@ object MaterializedView {
         // make the condition ambiguous)
         val probe = affected.select(groups.map { case (_, n) =>
           col(n).as(s"_mv_g_$n") }: _*)
-        val srcDf = srcStore.read(srcView, Some(toV))
+        // tighten the recompute scan BEFORE the semi-join: a semi-join
+        // alone pushes nothing into the parquet reader, so for
+        // bare-column group keys a min/max range predicate (collected
+        // from the bounded, already-checkpointed affected set — one
+        // tiny agg) rides down as a pushable filter; with a CLUSTER BY
+        // layout the group re-scan then prunes row groups instead of
+        // decoding the table. NULL group values keep an IS NULL arm
+        // (NULL never matches BETWEEN); expression-valued groups skip
+        // (nothing pushable). Purely a superset filter — the semi-join
+        // stays the exact restriction.
+        val bare = groups.filter(_._1.trim.matches("""\w+"""))
+        val rangePred = if (bare.isEmpty) lit(true) else {
+          val mm = affected.agg(
+            bare.flatMap { case (_, n) =>
+              Seq(min(col(n)).as(s"lo_$n"), max(col(n)).as(s"hi_$n")) }
+              .head,
+            bare.flatMap { case (_, n) =>
+              Seq(min(col(n)).as(s"lo_$n"), max(col(n)).as(s"hi_$n")) }
+              .tail: _*).head()
+          bare.zipWithIndex.map { case ((e, n), i) =>
+            val (lo, hi) = (mm.get(2 * i), mm.get(2 * i + 1))
+            if (lo == null) col(e).isNull
+            else col(e).isNull ||
+              col(e).between(lit(lo), lit(hi))
+          }.reduce(_ && _)
+        }
+        val srcDf = srcStore.read(srcView, Some(toV)).where(rangePred)
         val cond = groups.map { case (e, n) =>
           expr(e) <=> probe(s"_mv_g_$n") }.reduce(_ && _)
         val restricted = srcDf.join(broadcast(probe), cond, "left_semi")
@@ -460,7 +508,7 @@ object MaterializedView {
                 statsCols = groups.map(_._2))
             }
           bumpSynced(toV)
-          Seq(Row(name, "incremental_agg", synced, toV, nAff, v))
+          Seq(Row(name, "incremental_agg", effSynced, toV, nAff, v))
         } finally spark.catalog.dropTempView(tmp)
 
       case SpjShape(sel, src, alias, whereSql, key) =>
@@ -468,7 +516,7 @@ object MaterializedView {
         val nKeys = dirty.count()
         if (nKeys == 0) {
           bumpSynced(toV)
-          return Seq(Row(name, "incremental_spj", synced, toV, 0L,
+          return Seq(Row(name, "incremental_spj", effSynced, toV, 0L,
             mvStore.versions(mvView).lastOption.getOrElse(0L)))
         }
         if (nKeys > maxIncremental(spark)) return fullRecompute("full")
@@ -491,10 +539,258 @@ object MaterializedView {
           val v = mvStore.mergeInto(mvView, ups.unionByName(tomb), key,
             deleteCol = Some("_graft_mv_del"), statsCols = Seq(key))
           bumpSynced(toV)
-          Seq(Row(name, "incremental_spj", synced, toV, nKeys, v))
+          Seq(Row(name, "incremental_spj", effSynced, toV, nKeys, v))
         } finally spark.catalog.dropTempView(tmp)
 
       case FullShape => fullRecompute("full") // unreachable; guarded above
     }
+  }
+
+  // ---------------------------------------------------- additive path
+
+  private val CountStarRe = """(?is)^count\s*\(\s*(?:\*|1)\s*\)$""".r
+  private val CountRe = """(?is)^count\s*\((.+)\)$""".r
+  private val SumRe = """(?is)^sum\s*\((.+)\)$""".r
+  private val MinRe = """(?is)^min\s*\((.+)\)$""".r
+  private val MaxRe = """(?is)^max\s*\((.+)\)$""".r
+
+  /** The ADDITIVE fast path: when every aggregate is `count(*)` /
+    * `count(expr)` / `sum(expr)` / `min(expr)` / `max(expr)` (no
+    * HAVING), the refresh folds the source's EXACT signed row delta
+    * ([[graft.sources.SnapshotStore.signedDelta]]) straight into the
+    * stored aggregates — ZERO base-table reads, not even the affected
+    * groups' re-scan. Returns None (→ the group-recompute path) when
+    * the shape, the delta, or a type rules it out.
+    *
+    * `min`/`max` fold only over an INSERT-ONLY window (any −1 delta
+    * row demotes): a removal can take the extremum with it, and the
+    * stored value cannot answer what the next one is. That window IS
+    * the streaming lambda case — blind appends folding daily
+    * high/low/count/sum with zero base reads.
+    *
+    * Guard rails that keep it EXACT, not approximately right:
+    *  - `sum` columns must be integral or decimal in the MV schema —
+    *    float addition is not associative, so a delta-folded double
+    *    sum would drift from the recompute the oracle runs; float sums
+    *    stay on the recompute path;
+    *  - at least one `count(*)` must be projected — it is the group's
+    *    liveness: a group folding to n = 0 tombstones, and n < 0 fails
+    *    loudly (an impossible state, not a quiet corruption);
+    *  - SQL `sum` is NULL (not 0) over zero non-null contributions, and
+    *    plain arithmetic cannot tell "sum is now 0" from "the last
+    *    non-null contributor left" — groups whose folded sum hits
+    *    EXACTLY 0 (with n > 0) are re-computed from the restricted
+    *    base instead of trusting the fold (bounded: only those groups);
+    *  - the fold is NOT idempotent, so the commit carries txn = toV
+    *    (the source version it brings the MV to) — a replay of the
+    *    same window is fenced out by `mergeIntoOnce`/`appliedTxns`, and
+    *    a crash between the commit and the catalog bump resumes from
+    *    the fenced version (the `effSynced` rescue in [[refresh]]).
+    */
+  private def additiveRefresh(spark: SparkSession, name: String,
+      mvStore: graft.sources.SnapshotStore, mvView: String,
+      srcStore: graft.sources.SnapshotStore, srcView: String,
+      shape: AggShape, fromV: Long, toV: Long,
+      bumpSynced: Long => Unit): Option[Seq[Row]] = {
+    val AggShape(sel, src, alias, whereSql, groupSql, havingSql, groups) =
+      shape
+    if (havingSql.nonEmpty) return None
+    val groupNames = groups.map(_._2.toLowerCase).toSet
+    val aggItems = splitTopLevel(sel).map(parseItem)
+      .filterNot(_.name.exists(n => groupNames.contains(n.toLowerCase)))
+    if (aggItems.isEmpty || aggItems.exists(_.name.isEmpty)) return None
+    val mvSchema = mvStore.read(mvView).schema
+    def mvType(n: String) =
+      mvSchema.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
+    sealed trait Kind
+    case object NStar extends Kind
+    final case class NExpr(e: String) extends Kind
+    final case class SExpr(e: String) extends Kind
+    final case class MinE(e: String) extends Kind
+    final case class MaxE(e: String) extends Kind
+    // the regex capture is greedy, so `sum(a) + sum(b)` "matches" with
+    // a nonsense inner capture — demand balanced parens (counting raw
+    // chars: a paren inside a string literal over-demotes, which is
+    // safe); DISTINCT aggregation is NOT additive; and the capture must
+    // actually parse as one expression before it reaches an agg builder
+    def foldable(e: String): Boolean = {
+      var depth = 0
+      var ok = true
+      e.foreach { c =>
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth < 0) ok = false }
+      }
+      ok && depth == 0 &&
+        """(?is)^\s*distinct\b""".r.findFirstIn(e).isEmpty &&
+        scala.util.Try(expr(e)).isSuccess
+    }
+    val kinds: Seq[(String, Kind)] = aggItems.map { it =>
+      val n = it.name.get
+      it.exprSql.trim match {
+        case CountStarRe() => n -> NStar
+        case CountRe(e) if foldable(e) => n -> NExpr(e)
+        case SumRe(e) if foldable(e) =>
+          import org.apache.spark.sql.types._
+          mvType(n) match {
+            case Some(ByteType | ShortType | IntegerType | LongType) |
+                 Some(_: DecimalType) => n -> SExpr(e)
+            case _ => return None // float/unknown sums: recompute path
+          }
+        // min/max are exact for ANY orderable type (no reassociation),
+        // but only over an INSERT-ONLY window — gated below
+        case MinRe(e) if foldable(e) && mvType(n).nonEmpty => n -> MinE(e)
+        case MaxRe(e) if foldable(e) && mvType(n).nonEmpty => n -> MaxE(e)
+        case _ => return None
+      }
+    }
+    val nCol = kinds.collectFirst { case (n, NStar) => n }
+      .getOrElse(return None) // liveness column required
+    val d0 = srcStore.signedDelta(srcView, fromV, toV)
+      .getOrElse(return None)
+    // the defining WHERE commutes with the signed multiset — apply it
+    // to the delta rows themselves; resolution failures demote
+    val d = scala.util.Try(
+      whereSql.map(w => d0.where(expr(w))).getOrElse(d0))
+      .getOrElse(return None)
+    val sign = col("_graft_sign")
+    // min/max fold exactly ONLY over an insert-only window: a removal
+    // can take the extremum with it, and the stored value alone cannot
+    // say what the next one is. Any −1 row in the delta demotes to the
+    // group recompute (which re-derives extrema from the base).
+    if (kinds.exists(k =>
+          k._2.isInstanceOf[MinE] || k._2.isInstanceOf[MaxE]) &&
+        !d.where(sign === -1).isEmpty) return None
+    val deltaAggs = kinds.map {
+      case (n, NStar) => sum(sign).cast("long").as(s"_d_$n")
+      case (n, NExpr(e)) =>
+        sum(when(expr(e).isNotNull, sign).otherwise(lit(0)))
+          .cast("long").as(s"_d_$n")
+      case (n, SExpr(e)) => sum(expr(e) * sign).as(s"_d_$n")
+      case (n, MinE(e)) => min(expr(e)).as(s"_d_$n")
+      case (n, MaxE(e)) => max(expr(e)).as(s"_d_$n")
+    }
+    val deltaAgg = scala.util.Try(
+      d.groupBy(groups.map { case (e, n) => expr(e).as(s"_g_$n") }: _*)
+        .agg(deltaAggs.head, deltaAggs.tail: _*)
+        .localCheckpoint()).getOrElse(return None)
+    val nTouched = deltaAgg.count()
+    if (nTouched == 0) {
+      bumpSynced(toV)
+      return Some(Seq(Row(name, "incremental_add", fromV, toV, 0L,
+        mvStore.versions(mvView).lastOption.getOrElse(0L))))
+    }
+    if (nTouched > maxIncremental(spark)) return None
+    // fold: old MV rows for the touched groups (right-outer keeps
+    // brand-new groups), null-safe on every group column
+    val old = mvStore.read(mvView)
+    val joinCond = groups.map { case (_, n) =>
+      old(n) <=> deltaAgg(s"_g_$n") }.reduce(_ && _)
+    val joined = old.join(broadcast(deltaAgg), joinCond, "right_outer")
+    def folded(n: String, kind: Kind) = {
+      val o = old(n)
+      val dd = deltaAgg(s"_d_$n")
+      kind match {
+        case NStar | NExpr(_) =>
+          val nn = coalesce(o, lit(0L)) + coalesce(dd, lit(0L))
+          if (n == nCol)
+            when(nn < 0, raise_error(concat(lit(
+              s"REFRESH MATERIALIZED VIEW $name: group count folded " +
+                "below zero — the stored view has diverged from the " +
+                "source (was it written directly?); run REFRESH " +
+                "MATERIALIZED VIEW "), lit(name), lit(" FULL")))
+              .cast("long")).otherwise(nn)
+              .cast(mvType(n).get).as(n)
+          else nn.cast(mvType(n).get).as(n)
+        case SExpr(_) =>
+          when(o.isNull && dd.isNull, lit(null))
+            .otherwise(coalesce(o.cast(mvType(n).get), lit(0)) +
+              coalesce(dd.cast(mvType(n).get), lit(0)))
+            .cast(mvType(n).get).as(n)
+        // SQL min/max ignore NULLs: a NULL side yields the other (a
+        // new group takes the delta's; an all-NULL delta keeps the old)
+        case MinE(_) =>
+          when(o.isNull, dd).when(dd.isNull, o)
+            .otherwise(least(o, dd)).cast(mvType(n).get).as(n)
+        case MaxE(_) =>
+          when(o.isNull, dd).when(dd.isNull, o)
+            .otherwise(greatest(o, dd)).cast(mvType(n).get).as(n)
+      }
+    }
+    val gCols = groups.map { case (_, n) =>
+      coalesce(old(n), deltaAgg(s"_g_$n")).as(n) }
+    // coalesce picks the delta side for brand-new groups; for a
+    // NULL-valued group both sides are NULL, which is the value itself
+    val merged = joined.select(
+      mvSchema.map { f =>
+        groups.find(_._2.equalsIgnoreCase(f.name)) match {
+          case Some((_, n)) => gCols(groups.indexWhere(_._2 == n))
+          case None =>
+            val (kn, kk) = kinds.find(_._1.equalsIgnoreCase(f.name))
+              .getOrElse(return None) // a non-agg, non-group column?!
+            folded(kn, kk)
+        }
+      }: _*).localCheckpoint()
+    val nExpr = col(nCol)
+    val sumCols = kinds.collect { case (n, SExpr(_)) => n }
+    // null-safe: a NULL folded sum is the honest all-contributors-NULL
+    // value, NOT a hazard — plain === would make the predicate NULL and
+    // drop the group from clean AND tombs (losing its count update)
+    val hazard = sumCols.map(n => col(n) <=> lit(0)).reduceOption(_ || _)
+      .getOrElse(lit(false)) && nExpr > 0
+    val hazardGroups = merged.where(hazard)
+      .select(groups.map { case (_, n) => col(n) }: _*)
+    val nHaz = hazardGroups.count()
+    // groups whose folded sum landed EXACTLY on 0 re-verify against the
+    // restricted base: 0 is the one value arithmetic cannot distinguish
+    // from SQL's all-contributors-gone NULL
+    val rehab: Option[DataFrame] =
+      if (nHaz == 0) None
+      else scala.util.Try {
+        val probe = hazardGroups.select(groups.map { case (_, n) =>
+          col(n).as(s"_mv_g_$n") }: _*)
+        val srcDf = srcStore.read(srcView, Some(toV))
+        val cond = groups.map { case (e, n) =>
+          expr(e) <=> probe(s"_mv_g_$n") }.reduce(_ && _)
+        val tmp = tmpName(name) + "_hz"
+        srcDf.join(broadcast(probe), cond, "left_semi")
+          .createOrReplaceTempView(tmp)
+        try spark.sql(reassemble(sel, tmp, src, alias, whereSql,
+          Some(groupSql), havingSql))
+          .select(mvSchema.map(f => col(f.name)): _*).localCheckpoint()
+        finally spark.catalog.dropTempView(tmp)
+      }.toOption match {
+        case None => return None // rehab failed: recompute path instead
+        case some => some
+      }
+    val clean = merged.where(!hazard)
+    val ups = rehab.fold(clean)(r => clean.unionByName(r))
+      .where(nExpr > 0).withColumn("_graft_mv_del", lit(false))
+    val tombs = merged.where(nExpr === 0)
+      .select(mvSchema.map(f =>
+        if (groups.exists(_._2.equalsIgnoreCase(f.name))) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+      .withColumn("_graft_mv_del", lit(true))
+    val source = ups.unionByName(tombs)
+    val gname = groups.head._2
+    val singleKeyable = groups.size == 1 &&
+      deltaAgg.where(col(s"_g_$gname").isNull).isEmpty
+    val v =
+      if (singleKeyable)
+        mvStore.mergeIntoOnce(mvView, source, gname, txnId = toV,
+          deleteCol = Some("_graft_mv_del"), statsCols = Seq(gname))
+          .getOrElse(mvStore.versions(mvView).max) // raced replay: fenced
+      else {
+        // multi-column / NULL groups: keep ∪ folded in one overwrite,
+        // fenced by the same txn for the crash/replay rescue
+        val keepCond = groups.map { case (_, n) =>
+          old(n) <=> deltaAgg(s"_g_$n") }.reduce(_ && _)
+        val keep = old.join(broadcast(deltaAgg), keepCond, "left_anti")
+        mvStore.commit(mvView,
+          keep.unionByName(ups.drop("_graft_mv_del")),
+          overwrite = true, statsCols = groups.map(_._2),
+          txn = Some(toV))
+      }
+    bumpSynced(toV)
+    Some(Seq(Row(name, "incremental_add", fromV, toV, nTouched, v)))
   }
 }

@@ -2959,7 +2959,8 @@ object CurationQueries {
           s"WHERE k < $mid")
         val created = s.sql("CREATE MATERIALIZED VIEW mv308 AS " +
           "SELECT cust % 50 AS cg, count(*) AS n, " +
-          "sum(CAST(floor(p * 100) AS BIGINT)) AS sc " +
+          "sum(CAST(floor(p * 100) AS BIGINT)) AS sc, " +
+          "min(p) AS lo, max(p) AS hi " +
           "FROM t308 GROUP BY cust % 50").head()
         require(created.getString(1) == "agg", created.toString)
         // stage the upper half as two files -> two micro-batches
@@ -2988,14 +2989,71 @@ object CurationQueries {
         require(st.appliedTxns(view) == Set(0L, 1L),
           s"both stream fences must land: ${st.appliedTxns(view)}")
         val r = s.sql("REFRESH MATERIALIZED VIEW mv308").head()
-        require(r.getString(1) == "incremental_agg",
-          s"streamed blind appends must refresh incrementally: $r")
+        // count(*)+sum(BIGINT)+min/max is the ADDITIVE family over an
+        // insert-only window: the refresh folds the signed commit delta
+        // (incl. the per-group daily low/high) straight into the stored
+        // aggregates — zero base-table reads, not even a group re-scan
+        require(r.getString(1) == "incremental_add",
+          s"streamed blind appends must refresh additively: $r")
         require(r.getLong(4) > 0 && r.getLong(4) <= 50,
           s"affected groups bounded by the group space: $r")
         val (mvSt, mvView) = graft.plans.GraftTableRegistry.lookup("mv308").get
         require(mvSt.versions(mvView) == Seq(1L, 2L),
           "seed + ONE keyed merge: " + mvSt.versions(mvView))
-        s.sql("SELECT cg, n, sc FROM mv308")
+        s.sql("SELECT cg, n, sc, lo, hi FROM mv308")
+      } finally s.conf.unset("spark.graft.store.root")
+    }),
+
+    // MATERIALIZED VIEW vs time travel: a vector-only SQL DELETE folds
+    // into the additive MV (count/sum family — zero base re-scan),
+    // then RESTORE rolls the delete back: the vectors vanish while
+    // every data dir stays, and the refresh must fold the RESURRECTED
+    // rows back in (the signed delta's +1 resurrection leg) — not
+    // miss them, not degrade to a recompute. In-query requires pin the
+    // vector-only precondition on both sides, both additive modes, and
+    // the MV's exact three-fold version chain. The oracle is the seed
+    // aggregate (the restore makes the delete invisible).
+    "q309_sql_mv_restore" -> ((s, dir) => {
+      val root = graft.sources.Scratch.processScoped("q309_snap", dir)
+      graft.sources.Scratch.deleteRecursively(new java.io.File(root))
+      Seq("t309", "mv309").foreach(graft.plans.GraftTableRegistry.unregister)
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("p"))
+        .createOrReplaceTempView("q309_orders")
+      s.conf.set("spark.graft.store.root", root)
+      try {
+        s.sql("CREATE TABLE t309 (k BIGINT, cust BIGINT, p DOUBLE) " +
+          "USING graft PRIMARY KEY k")
+        s.sql("INSERT INTO t309 SELECT k, cust, p FROM q309_orders")
+        val created = s.sql("CREATE MATERIALIZED VIEW mv309 AS " +
+          "SELECT cust % 40 AS cg, count(*) AS n, " +
+          "sum(CAST(floor(p * 100) AS BIGINT)) AS sc " +
+          "FROM t309 GROUP BY cust % 40").head()
+        require(created.getString(1) == "agg", created.toString)
+        val (st, view) = graft.plans.GraftTableRegistry.lookup("t309").get
+        val dirsBefore = st.manifestDirs(view).toSet
+        val vSeed = st.versions(view).max
+        s.sql("DELETE FROM t309 WHERE k IN " +
+          "(SELECT k FROM t309 WHERE k % 7 = 3)")
+        require(st.manifestDirs(view).toSet == dirsBefore,
+          "precondition: the subquery delete must land as a deletion " +
+            "vector, no dir rewrite")
+        val r1 = s.sql("REFRESH MATERIALIZED VIEW mv309").head()
+        require(r1.getString(1) == "incremental_add",
+          s"a vector-only delete must fold additively: $r1")
+        s.sql(s"RESTORE TABLE t309 TO VERSION AS OF $vSeed")
+        require(st.manifestDirs(view).toSet == dirsBefore,
+          "the restore must keep every data dir (vectors-only rollback)")
+        val r2 = s.sql("REFRESH MATERIALIZED VIEW mv309").head()
+        require(r2.getString(1) == "incremental_add",
+          s"resurrected rows must fold additively, not recompute: $r2")
+        val (mvSt, mvView) = graft.plans.GraftTableRegistry.lookup("mv309").get
+        require(mvSt.versions(mvView) == Seq(1L, 2L, 3L),
+          "seed + delete fold + resurrection fold, one commit each: " +
+            mvSt.versions(mvView))
+        require(s.sql("REFRESH MATERIALIZED VIEW mv309").head()
+          .getString(1) == "noop", "idle after restore must no-op")
+        s.sql("SELECT cg, n, sc FROM mv309")
       } finally s.conf.unset("spark.graft.store.root")
     }),
 
@@ -4838,8 +4896,17 @@ object CurationQueries {
     "q308_sql_mv_stream" ->
       """SELECT o_custkey % 50 AS cg, count(*) AS n,
             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-              AS sc
+              AS sc,
+            min(o_totalprice) AS lo, max(o_totalprice) AS hi
          FROM orders GROUP BY o_custkey % 50""",
+
+    // The restore rolls the delete back, so the maintained MV equals
+    // the plain seed aggregate — resurrection is maintenance-invisible.
+    "q309_sql_mv_restore" ->
+      """SELECT o_custkey % 40 AS cg, count(*) AS n,
+            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              AS sc
+         FROM orders GROUP BY o_custkey % 40""",
 
     // The SPJ MV after filter-crossing updates and a delete: rows of
     // the final base that pass the defining WHERE, projected.

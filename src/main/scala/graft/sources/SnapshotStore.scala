@@ -2360,7 +2360,13 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     *  - deletion-vector entries added between the versions suppress
     *    rows whose dir never moved — their pre-images are read from
     *    only the `fromV` dirs whose recorded key range can hold a
-    *    vectored key ([[dirsHitByKeys]], the merge path's own probe).
+    *    vectored key ([[dirsHitByKeys]], the merge path's own probe);
+    *  - deletion vectors REMOVED between the versions (RESTORE rolling
+    *    a delete back; [[foldDels]] replacing vector files) RESURRECT
+    *    any key no `toV` vector still carries — those rows are read
+    *    from the stats-probed KEPT dirs; keys a replacement vector
+    *    re-carries (the fold case) net nothing and are anti-joined
+    *    away.
     *
     * Total cost: O(changed dirs + vectored-key dirs) reads — at 100 TB
     * a refresh after a bounded merge reads the handful of rewritten
@@ -2388,8 +2394,10 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     val post = readManifest(view, toV)
     val removed = pre.filterNot(post.toSet)
     val added = post.filterNot(pre.toSet)
-    val newDels = manifestDels(view, toV)
-      .filterNot(manifestDels(view, fromV).toSet)
+    val delsPre = manifestDels(view, fromV)
+    val delsPost = manifestDels(view, toV)
+    val newDels = delsPost.filterNot(delsPre.toSet)
+    val remDels = delsPre.filterNot(delsPost.toSet)
     // era projection + FULL-schema padding: a changed-dir subset may
     // physically lack a column other eras carry (schema evolution by
     // empty-carrier append) — pad to the toV read schema so consumers
@@ -2412,12 +2420,164 @@ class SnapshotStore(spark: SparkSession, val root: String) {
           Some(era(readDirs(hit, view)).join(hinted, Seq(keyCol), "left_semi"))
         }
       }
+    // vectors REMOVED in the window with their dirs KEPT (RESTORE rolls
+    // a delete back; foldDels replaces vector files on a later delete):
+    // keys suppressed at fromV but by NO toV vector of the same column
+    // are RESURRECTED — their rows are visible again and must surface
+    // here. Keys still suppressed (the fold case: the replacement
+    // vector re-carries them) net nothing and are anti-joined away.
+    val kept = pre.filter(post.toSet)
+    val resurrectParts = remDels
+      .groupBy(d => readDirs(Seq(d), view).columns.head)
+      .toSeq.sortBy(_._1).flatMap { case (keyCol, dels) =>
+        val postSame = delsPost.filter(d =>
+          readDirs(Seq(d), view).columns.head == keyCol)
+        val back0 = readDirs(dels, view).distinct()
+        val back =
+          if (postSame.isEmpty) back0
+          else back0.join(readDirs(postSame, view).distinct(),
+            Seq(keyCol), "left_anti")
+        val (hit, _) = dirsHitByKeys(view, kept, keyCol, back)
+        if (hit.isEmpty) None
+        else {
+          val hinted =
+            if (delBytes(view, dels ++ postSame) <= dvBroadcastMaxBytes)
+              broadcast(back)
+            else back
+          Some(era(readDirs(hit, view)).join(hinted, Seq(keyCol), "left_semi"))
+        }
+      }
     val parts =
       (if (removed.nonEmpty) Seq(era(readDirs(removed, view))) else Nil) ++
         (if (added.nonEmpty) Seq(era(readDirs(added, view))) else Nil) ++
-        delParts
+        delParts ++ resurrectParts
     Some(parts.reduceOption(_.unionByName(_))
       .getOrElse(read(view, Some(toV)).where(lit(false))))
+  }
+
+  /** The EXACT signed multiset delta between two retained versions:
+    * every row visible at `toV` but not `fromV` carries
+    * `_graft_sign = +1`, every row visible at `fromV` but not `toV`
+    * carries `-1` — `visible(toV) = visible(fromV) ⊎ delta` as
+    * multisets, which is precisely what additive-aggregate view
+    * maintenance folds (a rewritten-but-unchanged row appears on both
+    * sides and cancels). Unlike [[affectedRows]] (a superset), each
+    * leg applies its own version's deletion vectors so suppressed rows
+    * never contribute:
+    *
+    *  - removed dirs, minus `fromV`'s vectors → −1 (their visible
+    *    pre-images; co-rewritten unchanged rows re-appear at +1);
+    *  - added dirs, minus `toV`'s vectors → +1 (a row inserted and
+    *    vectored within the window nets zero);
+    *  - vector entries ADDED in the window whose keys survive in KEPT
+    *    dirs → −1, read from only the stats-probed kept dirs; keys
+    *    already suppressed at `fromV` are anti-joined away (a
+    *    re-suppression must not double-negate), and removed dirs are
+    *    excluded (their leg already negated);
+    *  - vector entries REMOVED in the window (RESTORE rolling a delete
+    *    back; [[foldDels]] replacing vector files) whose keys no `toV`
+    *    vector still carries → +1 from KEPT dirs (resurrection); keys
+    *    a replacement vector re-carries net nothing.
+    *
+    * Cost: O(changed dirs + vectored-key dirs), like [[affectedRows]].
+    * Same refusals (None): a vacuumed `fromV`, drops/renames/widens
+    * metadata that changed between the versions, or (exactness, not
+    * correctness) vector files keyed by more than one column across a
+    * window that removed vectors.
+    */
+  def signedDelta(view: String, fromV: Long, toV: Long)
+      : Option[DataFrame] = {
+    val vs = versions(view)
+    require(vs.contains(toV), s"$view: v$toV is not a retained version")
+    if (!vs.contains(fromV)) return None
+    if (manifestDrops(view, fromV) != manifestDrops(view, toV) ||
+        manifestRenames(view, fromV) != manifestRenames(view, toV) ||
+        manifestWidens(view, fromV) != manifestWidens(view, toV))
+      return None
+    val pre = readManifest(view, fromV)
+    val post = readManifest(view, toV)
+    val removed = pre.filterNot(post.toSet)
+    val added = post.filterNot(pre.toSet)
+    val kept = pre.filter(post.toSet)
+    val delsPre = manifestDels(view, fromV)
+    val delsPost = manifestDels(view, toV)
+    val newDels = delsPost.filterNot(delsPre.toSet)
+    val remDels = delsPre.filterNot(delsPost.toSet)
+    // vectors REMOVED in the window need a resurrection leg (below);
+    // its exactness leans on the store's one-key-column-per-table
+    // write invariant — if vector files keyed by DIFFERENT columns
+    // somehow coexist across the window, refuse rather than reason
+    // about cross-column suppression
+    if (remDels.nonEmpty &&
+        (delsPre ++ delsPost)
+          .map(d => readDirs(Seq(d), view).columns.head)
+          .distinct.size > 1) return None
+    val outSchema = read(view, Some(toV)).schema
+    def era(df: DataFrame, sign: Int) =
+      alignedTo(applyDrops(df, view, toV), outSchema)
+        .withColumn("_graft_sign", lit(sign))
+    val negRemoved =
+      if (removed.isEmpty) None
+      else Some(era(applyDels(readDirs(removed, view), view, delsPre), -1))
+    val posAdded =
+      if (added.isEmpty) None
+      else Some(era(applyDels(readDirs(added, view), view,
+        manifestDels(view, toV)), 1))
+    val negVectored = newDels
+      .groupBy(d => readDirs(Seq(d), view).columns.head)
+      .toSeq.sortBy(_._1).flatMap { case (keyCol, dels) =>
+        val preKeyed = delsPre.filter(d =>
+          readDirs(Seq(d), view).columns.head == keyCol)
+        val fresh0 = readDirs(dels, view).distinct()
+        // a key already suppressed at fromV cannot go invisible twice
+        val fresh =
+          if (preKeyed.isEmpty) fresh0
+          else fresh0.join(readDirs(preKeyed, view).distinct(),
+            Seq(keyCol), "left_anti")
+        val (hit, _) = dirsHitByKeys(view, kept, keyCol, fresh)
+        if (hit.isEmpty) None
+        else {
+          val hinted =
+            if (delBytes(view, dels ++ preKeyed) <= dvBroadcastMaxBytes)
+              broadcast(fresh)
+            else fresh
+          Some(era(readDirs(hit, view).join(hinted, Seq(keyCol),
+            "left_semi"), -1))
+        }
+      }
+    // vectors REMOVED in the window with their dirs KEPT (RESTORE rolls
+    // a delete back; foldDels replaces vector files): keys suppressed at
+    // fromV but by NO toV vector become visible again → +1 from kept
+    // dirs. Keys the replacement vector re-carries (the fold case) are
+    // anti-joined away — suppressed on both sides, no delta. Rows of
+    // resurrected keys in removed dirs contributed nothing at fromV
+    // (delsPre applied) and rows in added dirs already count +1.
+    val posResurrected = remDels
+      .groupBy(d => readDirs(Seq(d), view).columns.head)
+      .toSeq.sortBy(_._1).flatMap { case (keyCol, dels) =>
+        val postSame = delsPost.filter(d =>
+          readDirs(Seq(d), view).columns.head == keyCol)
+        val back0 = readDirs(dels, view).distinct()
+        val back =
+          if (postSame.isEmpty) back0
+          else back0.join(readDirs(postSame, view).distinct(),
+            Seq(keyCol), "left_anti")
+        val (hit, _) = dirsHitByKeys(view, kept, keyCol, back)
+        if (hit.isEmpty) None
+        else {
+          val hinted =
+            if (delBytes(view, dels ++ postSame) <= dvBroadcastMaxBytes)
+              broadcast(back)
+            else back
+          Some(era(readDirs(hit, view).join(hinted, Seq(keyCol),
+            "left_semi"), 1))
+        }
+      }
+    val parts = negRemoved.toSeq ++ posAdded.toSeq ++ negVectored ++
+      posResurrected
+    Some(parts.reduceOption(_.unionByName(_))
+      .getOrElse(read(view, Some(toV)).where(lit(false))
+        .withColumn("_graft_sign", lit(1))))
   }
 
   // ------------------------------------------------------- maintenance

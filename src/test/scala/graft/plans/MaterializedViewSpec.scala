@@ -194,7 +194,7 @@ class MaterializedViewSpec extends SparkSpec {
       spark.sql("INSERT INTO mvs_src7 VALUES (3000, 'g0', 0, 1.0)")
       GraftTableRegistry.clearInMemory() // simulated JVM restart
       val r = spark.sql("REFRESH MATERIALIZED VIEW mvs_persist").head()
-      assert(r.getString(1) == "incremental_agg", r.toString)
+      assert(r.getString(1) == "incremental_add", r.toString)
       assertFresh("mvs_persist", defining)
     }
   }
@@ -288,9 +288,11 @@ class MaterializedViewSpec extends SparkSpec {
       spark.sql("INSERT INTO mvs_src13 VALUES (4000, 'g7', 9, 1.0)")
       spark.sql("DELETE FROM mvs_src13 WHERE g = 'g0' AND h = 0")
       val r1 = spark.sql("REFRESH MATERIALIZED VIEW mvs_in").head()
-      assert(r1.getString(1) == "incremental_agg", r1.toString)
+      assert(r1.getString(1) == "incremental_add", r1.toString)
+      // the outer MV is count(*)+sum(BIGINT) — the additive family, so
+      // the inner's merge commits fold as a signed delta, zero re-scan
       val r2 = spark.sql("REFRESH MATERIALIZED VIEW mvs_out").head()
-      assert(r2.getString(1) == "incremental_agg", r2.toString)
+      assert(r2.getString(1) == "incremental_add", r2.toString)
       assertFresh("mvs_out",
         s"SELECT n % 2 AS parity, count(*) AS buckets, " +
           s"sum(n) AS rows_total FROM ($inner) GROUP BY n % 2")
@@ -315,7 +317,7 @@ class MaterializedViewSpec extends SparkSpec {
       spark.sql(stmts.head)
       spark.sql("INSERT INTO mvs_src12 VALUES (5000, 'g3', 0, 2.0)")
       assert(spark.sql("REFRESH MATERIALIZED VIEW mvs_show").head()
-        .getString(1) == "incremental_agg")
+        .getString(1) == "incremental_add")
       assertFresh("mvs_show", defining)
     }
   }
@@ -338,7 +340,7 @@ class MaterializedViewSpec extends SparkSpec {
       // and the NEXT refresh is incremental again (synced re-pinned)
       spark.sql("UPDATE mvs_src15 SET p = p + 1 WHERE k = 5")
       assert(spark.sql("REFRESH MATERIALIZED VIEW mvs_vac").head()
-        .getString(1) == "incremental_agg")
+        .getString(1) == "incremental_add")
     }
   }
 
@@ -369,9 +371,216 @@ class MaterializedViewSpec extends SparkSpec {
       spark.sql("ALTER TABLE mvs_ro RENAME TO mvs_ro2")
       spark.sql("INSERT INTO mvs_src14 VALUES (6000, 'g1', 0, 3.0)")
       assert(spark.sql("REFRESH MATERIALIZED VIEW mvs_ro2").head()
-        .getString(1) == "incremental_agg")
+        .getString(1) == "incremental_add")
       assertFresh("mvs_ro2",
         "SELECT g, count(*) AS n FROM mvs_src14 GROUP BY g")
+    }
+  }
+
+  private def seedAdd(tbl: String): Unit = {
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, g STRING, v BIGINT) " +
+      "USING graft PRIMARY KEY k")
+    spark.sql(s"INSERT INTO $tbl SELECT id, concat('g', id % 4), " +
+      "id * 10 FROM range(0, 100)")
+    // a dedicated group with a sum-to-zero pair AND a NULL-valued row:
+    // the two states plain arithmetic cannot distinguish
+    spark.sql(s"INSERT INTO $tbl VALUES (500, 'gz', 5), (501, 'gz', -5), " +
+      "(502, 'gz', NULL)")
+  }
+
+  test("additive agg MV: count(*)/count(col)/sum(BIGINT) fold the " +
+      "signed delta exactly through inserts, updates, and deletes") {
+    val root = freshRoot()
+    withRoot(root) {
+      seedAdd("mvs_add1")
+      val defining = "SELECT g, count(*) AS n, count(v) AS nv, " +
+        "sum(v) AS sv FROM mvs_add1 GROUP BY g"
+      assert(spark.sql(s"CREATE MATERIALIZED VIEW mvs_addmv AS $defining")
+        .head().getString(1) == "agg")
+      // mixed DML incl. a brand-new group and a fold-to-legit-zero:
+      // gz gains a v=0 row, so its folded sum lands EXACTLY on 0 with
+      // live non-null contributors — the rehab pass must KEEP the 0
+      spark.sql("INSERT INTO mvs_add1 VALUES (600, 'gnew', 7), " +
+        "(503, 'gz', 0)")
+      spark.sql("UPDATE mvs_add1 SET v = v + 1 WHERE k % 11 = 3")
+      spark.sql("DELETE FROM mvs_add1 WHERE k % 13 = 1")
+      val r = spark.sql("REFRESH MATERIALIZED VIEW mvs_addmv").head()
+      assert(r.getString(1) == "incremental_add", r.toString)
+      assertFresh("mvs_addmv", defining)
+      assert(sortedRows("SELECT sv FROM mvs_addmv WHERE g = 'gz'") ==
+        Seq(Row(0L)), "legit zero must survive the rehab pass")
+      // now kill gz's non-null contributors: only the NULL row remains,
+      // so SQL's sum is NULL — arithmetic alone would say 0
+      spark.sql("DELETE FROM mvs_add1 WHERE k IN (500, 501, 503)")
+      val r2 = spark.sql("REFRESH MATERIALIZED VIEW mvs_addmv").head()
+      assert(r2.getString(1) == "incremental_add", r2.toString)
+      assertFresh("mvs_addmv", defining)
+      assert(sortedRows("SELECT sv FROM mvs_addmv WHERE g = 'gz'") ==
+        Seq(Row(null)), "all-contributors-gone must fold to NULL, not 0")
+      // a NULL-sum group whose COUNT changes: the fold must land the
+      // new count while keeping the NULL (a non-null-safe hazard test
+      // would drop this group from the update entirely)
+      spark.sql("INSERT INTO mvs_add1 VALUES (504, 'gz', NULL)")
+      val rn = spark.sql("REFRESH MATERIALIZED VIEW mvs_addmv").head()
+      assert(rn.getString(1) == "incremental_add", rn.toString)
+      assert(sortedRows("SELECT n, sv FROM mvs_addmv WHERE g = 'gz'") ==
+        Seq(Row(2L, null)), "count must move, sum must stay NULL")
+      assertFresh("mvs_addmv", defining)
+      // group disappearance through the fold: n hits 0 → tombstone
+      spark.sql("DELETE FROM mvs_add1 WHERE g = 'gnew'")
+      val r3 = spark.sql("REFRESH MATERIALIZED VIEW mvs_addmv").head()
+      assert(r3.getString(1) == "incremental_add", r3.toString)
+      assert(spark.sql("SELECT * FROM mvs_addmv WHERE g = 'gnew'")
+        .collect().isEmpty, "a dead group must tombstone")
+      assertFresh("mvs_addmv", defining)
+      assert(spark.sql("REFRESH MATERIALIZED VIEW mvs_addmv").head()
+        .getString(1) == "noop")
+    }
+  }
+
+  test("additive crash rescue: the fold commit is txn-fenced, so a " +
+      "rolled-back synced pointer re-noops instead of double-folding") {
+    val root = freshRoot()
+    withRoot(root) {
+      seedAdd("mvs_add2")
+      val defining =
+        "SELECT g, count(*) AS n, sum(v) AS sv FROM mvs_add2 GROUP BY g"
+      spark.sql(s"CREATE MATERIALIZED VIEW mvs_fence AS $defining")
+      spark.sql("INSERT INTO mvs_add2 VALUES (700, 'g0', 3)")
+      val r = spark.sql("REFRESH MATERIALIZED VIEW mvs_fence").head()
+      assert(r.getString(1) == "incremental_add", r.toString)
+      val before = sortedRows("SELECT * FROM mvs_fence")
+      val (mvSt, mvView) = GraftTableRegistry.lookup("mvs_fence").get
+      val mvVersions = mvSt.versions(mvView)
+      // simulate a crash between the fold commit and the catalog bump
+      GraftTableRegistry.registerProps("mvs_fence",
+        GraftTableRegistry.lookupProps("mvs_fence") +
+          (MaterializedView.SyncedProp -> "1"))
+      val r2 = spark.sql("REFRESH MATERIALIZED VIEW mvs_fence").head()
+      assert(r2.getString(1) == "noop",
+        s"the fence must rescue the lost bump, not re-fold: $r2")
+      assert(mvSt.versions(mvView) == mvVersions, "no extra commit")
+      assert(sortedRows("SELECT * FROM mvs_fence") == before)
+      assertFresh("mvs_fence", defining)
+      // and the rescued pointer keeps refreshing incrementally
+      spark.sql("INSERT INTO mvs_add2 VALUES (701, 'g1', 4)")
+      assert(spark.sql("REFRESH MATERIALIZED VIEW mvs_fence").head()
+        .getString(1) == "incremental_add")
+      assertFresh("mvs_fence", defining)
+    }
+  }
+
+  test("non-additive spellings demote to the group recompute: " +
+      "count(DISTINCT), a sum-of-sums item, and a DOUBLE sum") {
+    val root = freshRoot()
+    withRoot(root) {
+      seedAdd("mvs_add3")
+      val cases = Seq(
+        "mvs_dd" -> ("SELECT g, count(*) AS n, count(DISTINCT v) AS dv " +
+          "FROM mvs_add3 GROUP BY g"),
+        // the greedy regex capture for this one is `k) + sum(v` —
+        // unbalanced, must demote instead of crashing the refresh
+        "mvs_ss" -> ("SELECT g, count(*) AS n, sum(k) + sum(v) AS sks " +
+          "FROM mvs_add3 GROUP BY g"),
+        "mvs_fd" -> ("SELECT g, count(*) AS n, " +
+          "sum(CAST(v AS DOUBLE)) AS sd FROM mvs_add3 GROUP BY g"))
+      cases.foreach { case (mv, defining) =>
+        assert(spark.sql(s"CREATE MATERIALIZED VIEW $mv AS $defining")
+          .head().getString(1) == "agg", mv)
+      }
+      spark.sql("UPDATE mvs_add3 SET v = v + 1 WHERE k % 7 = 2")
+      spark.sql("DELETE FROM mvs_add3 WHERE k % 19 = 4")
+      cases.foreach { case (mv, defining) =>
+        val r = spark.sql(s"REFRESH MATERIALIZED VIEW $mv").head()
+        assert(r.getString(1) == "incremental_agg",
+          s"$mv must take the recompute path: $r")
+        assertFresh(mv, defining)
+      }
+    }
+  }
+
+  test("min/max fold over an insert-only window (the streaming " +
+      "lambda case); any removal demotes them to the recompute") {
+    val root = freshRoot()
+    withRoot(root) {
+      seedAdd("mvs_add5")
+      val defining = "SELECT g, count(*) AS n, min(v) AS lo, " +
+        "max(v) AS hi, sum(v) AS sv FROM mvs_add5 GROUP BY g"
+      assert(spark.sql(s"CREATE MATERIALIZED VIEW mvs_hilo AS $defining")
+        .head().getString(1) == "agg")
+      // append-only: existing groups, a brand-new group, NULL values,
+      // and a new global max inside one group
+      spark.sql("INSERT INTO mvs_add5 VALUES (800, 'g0', 99999), " +
+        "(801, 'gfresh', 7), (802, 'g1', NULL), (803, 'g2', -50)")
+      val r = spark.sql("REFRESH MATERIALIZED VIEW mvs_hilo").head()
+      assert(r.getString(1) == "incremental_add", r.toString)
+      assertFresh("mvs_hilo", defining)
+      // a removal can take an extremum with it — min/max must demote
+      // to the group recompute and land the NEW extremum exactly
+      spark.sql("DELETE FROM mvs_add5 WHERE k = 800")
+      val r2 = spark.sql("REFRESH MATERIALIZED VIEW mvs_hilo").head()
+      assert(r2.getString(1) == "incremental_agg",
+        s"a delete window must not fold min/max: $r2")
+      assertFresh("mvs_hilo", defining)
+      // and a later pure-append window folds again
+      spark.sql("INSERT INTO mvs_add5 VALUES (804, 'g3', -1)")
+      assert(spark.sql("REFRESH MATERIALIZED VIEW mvs_hilo").head()
+        .getString(1) == "incremental_add")
+      assertFresh("mvs_hilo", defining)
+    }
+  }
+
+  test("source RESTORE resurrects vectored rows — both refresh paths " +
+      "stay exact through the resurrection legs") {
+    val root = freshRoot()
+    withRoot(root) {
+      seedAdd("mvs_add4")
+      val addDef =
+        "SELECT g, count(*) AS n, sum(v) AS sv FROM mvs_add4 GROUP BY g"
+      // avg is NOT in the additive family, so this MV pins the GROUP
+      // RECOMPUTE path (affectedRows) across the restore
+      val avgDef =
+        "SELECT g, count(*) AS n, avg(v) AS av FROM mvs_add4 GROUP BY g"
+      spark.sql(s"CREATE MATERIALIZED VIEW mvs_res_a AS $addDef")
+      spark.sql(s"CREATE MATERIALIZED VIEW mvs_res_m AS $avgDef")
+      val (st, view) = GraftTableRegistry.lookup("mvs_add4").get
+      import spark.implicits._
+      st.deleteKeys(view, "k", Seq(0L, 3L, 41L).toDF("k")) // DV-only
+      val vDel = st.versions(view).max
+      Seq("mvs_res_a" -> "incremental_add",
+          "mvs_res_m" -> "incremental_agg").foreach { case (mv, mode) =>
+        assert(spark.sql(s"REFRESH MATERIALIZED VIEW $mv").head()
+          .getString(1) == mode, mv)
+      }
+      assertFresh("mvs_res_a", addDef)
+      assertFresh("mvs_res_m", avgDef)
+      // roll the delete back: vectors vanish, dirs stay — the deleted
+      // rows RESURRECT and must re-enter their groups on both paths
+      st.restore(view, vDel - 1)
+      val ra = spark.sql("REFRESH MATERIALIZED VIEW mvs_res_a").head()
+      assert(ra.getString(1) == "incremental_add",
+        s"resurrection must stay on the additive fold: $ra")
+      val rm = spark.sql("REFRESH MATERIALIZED VIEW mvs_res_m").head()
+      assert(rm.getString(1) == "incremental_agg",
+        s"resurrection must stay incremental on the recompute path: $rm")
+      assertFresh("mvs_res_a", addDef)
+      assertFresh("mvs_res_m", avgDef)
+      // a vector FOLD (file replaced, keys re-carried) is NOT a
+      // resurrection: the additive path keeps folding exactly. The
+      // intermediate refresh pins the window so the fold's removed
+      // vector file is IN the delta (delsPre=[vec5], delsPost=[fold])
+      st.deleteKeys(view, "k", Seq(5L).toDF("k"))
+      assert(spark.sql("REFRESH MATERIALIZED VIEW mvs_res_a").head()
+        .getString(1) == "incremental_add")
+      spark.conf.set("spark.graft.dv.maxVectors", "1")
+      try st.deleteKeys(view, "k", Seq(7L).toDF("k"))
+      finally spark.conf.unset("spark.graft.dv.maxVectors")
+      val rf = spark.sql("REFRESH MATERIALIZED VIEW mvs_res_a").head()
+      assert(rf.getString(1) == "incremental_add", rf.toString)
+      val rfm = spark.sql("REFRESH MATERIALIZED VIEW mvs_res_m").head()
+      assert(rfm.getString(1) == "incremental_agg", rfm.toString)
+      assertFresh("mvs_res_a", addDef)
+      assertFresh("mvs_res_m", avgDef)
     }
   }
 
