@@ -248,8 +248,12 @@ object MaterializedView {
     spark.conf.getOption("spark.graft.mv.maxIncremental")
       .map(_.toLong).getOrElse(200000L)
 
+  // unique per invocation: two refreshes racing on one MV (or one MV's
+  // rehab inside another's refresh) must not clobber each other's
+  // session-scoped temp view between registration and read
   private def tmpName(name: String): String =
-    "graft_mv_tmp_" + name.replaceAll("\\W", "_")
+    "graft_mv_tmp_" + name.replaceAll("\\W", "_") + "_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
 
   // ------------------------------------------------------------ create
 
@@ -653,26 +657,30 @@ object MaterializedView {
       whereSql.map(w => d0.where(expr(w))).getOrElse(d0))
       .getOrElse(return None)
     val sign = col("_graft_sign")
+    val hasMinMax = kinds.exists(k =>
+      k._2.isInstanceOf[MinE] || k._2.isInstanceOf[MaxE])
     // min/max fold exactly ONLY over an insert-only window: a removal
     // can take the extremum with it, and the stored value alone cannot
-    // say what the next one is. Any −1 row in the delta demotes to the
-    // group recompute (which re-derives extrema from the base).
-    if (kinds.exists(k =>
-          k._2.isInstanceOf[MinE] || k._2.isInstanceOf[MaxE]) &&
-        !d.where(sign === -1).isEmpty) return None
+    // say what the next one is. The −1 detector rides IN the same
+    // delta aggregation (one scan, checked on the checkpointed result)
+    // and any removal demotes to the group recompute.
     val deltaAggs = kinds.map {
       case (n, NStar) => sum(sign).cast("long").as(s"_d_$n")
       case (n, NExpr(e)) =>
         sum(when(expr(e).isNotNull, sign).otherwise(lit(0)))
           .cast("long").as(s"_d_$n")
       case (n, SExpr(e)) => sum(expr(e) * sign).as(s"_d_$n")
-      case (n, MinE(e)) => min(expr(e)).as(s"_d_$n")
-      case (n, MaxE(e)) => max(expr(e)).as(s"_d_$n")
-    }
+      case (n, MinE(e)) => min(when(sign > 0, expr(e))).as(s"_d_$n")
+      case (n, MaxE(e)) => max(when(sign > 0, expr(e))).as(s"_d_$n")
+    } ++ (if (hasMinMax)
+      Seq(max(when(sign < 0, lit(1)).otherwise(lit(0))).as("_graft_neg"))
+    else Nil)
     val deltaAgg = scala.util.Try(
       d.groupBy(groups.map { case (e, n) => expr(e).as(s"_g_$n") }: _*)
         .agg(deltaAggs.head, deltaAggs.tail: _*)
         .localCheckpoint()).getOrElse(return None)
+    if (hasMinMax &&
+        !deltaAgg.where(col("_graft_neg") === 1).isEmpty) return None
     val nTouched = deltaAgg.count()
     if (nTouched == 0) {
       bumpSynced(toV)
