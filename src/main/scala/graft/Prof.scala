@@ -43,11 +43,18 @@ object Prof {
     @volatile var shufR = 0L
     @volatile var shufW = 0L
     @volatile var inB = 0L
+    val dumpStages = sys.env.contains("SPARK_GRAFT_PROF_STAGES")
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
         tasks += s.stageInfo.numTasks
+        if (dumpStages) {
+          val i = s.stageInfo
+          val rt = i.taskMetrics.executorRunTime / 1e3
+          if (rt > 0.2)
+            println(f"  [stage ${i.stageId}%4d] n=${i.numTasks}%3d run=$rt%8.2fs cpu=${i.taskMetrics.executorCpuTime / 1e9}%8.2fs ${i.name.take(90)}")
+        }
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
