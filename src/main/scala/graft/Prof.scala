@@ -44,8 +44,26 @@ object Prof {
     @volatile var shufW = 0L
     @volatile var inB = 0L
     val dumpStages = sys.env.contains("SPARK_GRAFT_PROF_STAGES")
+    // SPARK_GRAFT_PROF_JOBS: print every job's wall duration, task count
+    // and submitting callsite — the attribution view for driver-bound
+    // queries (many tiny jobs, wall >> taskTime/cores), where the fix is
+    // removing jobs, and the callsite says which code path submits them.
+    val dumpJobs = sys.env.contains("SPARK_GRAFT_PROF_JOBS")
+    val jobStart = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs += 1
+        if (dumpJobs) {
+          val cs = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+          val nt = j.stageInfos.map(_.numTasks).sum
+          jobStart.update(j.jobId, (j.time, f"t=$nt%-4d $cs"))
+        }
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        if (dumpJobs) jobStart.remove(j.jobId).foreach { case (t0, cs) =>
+          println(f"  [job ${j.jobId}%4d] ${(j.time - t0) / 1e3}%7.3fs  $cs")
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages += 1
         tasks += s.stageInfo.numTasks

@@ -679,9 +679,22 @@ object MaterializedView {
       d.groupBy(groups.map { case (e, n) => expr(e).as(s"_g_$n") }: _*)
         .agg(deltaAggs.head, deltaAggs.tail: _*)
         .localCheckpoint()).getOrElse(return None)
-    if (hasMinMax &&
-        !deltaAgg.where(col("_graft_neg") === 1).isEmpty) return None
-    val nTouched = deltaAgg.count()
+    // one probe job over the checkpointed delta for everything the
+    // branch logic needs — group count, the min/max removal detector,
+    // and the NULL-group test the merge-vs-overwrite choice reads —
+    // instead of the three separate actions (isEmpty + count + isEmpty)
+    // this path used to submit per refresh
+    val gname0 = groups.head._2
+    val probeAggs = Seq(count(lit(1)).as("_n"),
+      // coalesce: the aggs are NULL over an empty delta, and the row
+      // accessors below must read well-typed ints on that branch too
+      coalesce(if (hasMinMax) max(col("_graft_neg")) else lit(0),
+        lit(0)).as("_neg"),
+      coalesce(max(when(col(s"_g_$gname0").isNull, 1).otherwise(0)),
+        lit(0)).as("_gnull"))
+    val probeRow = deltaAgg.agg(probeAggs.head, probeAggs.tail: _*).head()
+    if (hasMinMax && probeRow.getInt(1) == 1) return None
+    val nTouched = probeRow.getLong(0)
     if (nTouched == 0) {
       bumpSynced(toV)
       return Some(Seq(Row(name, "incremental_add", fromV, toV, 0L,
@@ -780,8 +793,7 @@ object MaterializedView {
       .withColumn("_graft_mv_del", lit(true))
     val source = ups.unionByName(tombs)
     val gname = groups.head._2
-    val singleKeyable = groups.size == 1 &&
-      deltaAgg.where(col(s"_g_$gname").isNull).isEmpty
+    val singleKeyable = groups.size == 1 && probeRow.getInt(2) == 0
     val v =
       if (singleKeyable)
         mvStore.mergeIntoOnce(mvView, source, gname, txnId = toV,

@@ -271,7 +271,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
   private val StatsFile = "_stats.tsv"
 
   private def writeStats(view: String, dirName: String,
-                         bloomCols: Seq[String]): Unit = {
+                         bloomCols: Seq[String],
+                         knownRows: Option[Long] = None): Unit = {
     if (bloomCols.isEmpty) return
     val path = dataRoot(view).resolve(dirName)
     val written = spark.read.parquet(path.toString)
@@ -280,6 +281,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     // stats prune nothing — digest/key probes are exactly this shape).
     // One membership sketch per (dir, col), sized to the dir's rows at
     // 1% fpp; the probe costs zero data IO for a skipped dir.
+    // `knownRows`: the row count the stats write already OBSERVED —
+    // reusing it drops the sizing count() job every bloom commit paid.
     bloomCols.foreach { c =>
       import org.apache.spark.sql.types._
       written.schema(c).dataType match {
@@ -287,7 +290,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
         case dt => throw new IllegalArgumentException(
           s"bloom stats need an integral or string column; $c is $dt")
       }
-      val n = math.max(written.count(), 1L)
+      val n = math.max(knownRows.getOrElse(written.count()), 1L)
       val bf = written.stat.bloomFilter(c, n, 0.01)
       val out = Files.newOutputStream(path.resolve(s"_bloom_$c.bin"))
       try bf.writeTo(out) finally out.close()
@@ -354,6 +357,7 @@ class SnapshotStore(spark: SparkSession, val root: String) {
                         statsCols: Seq[String],
                         bloomCols: Seq[String] = Nil): Unit = {
     val target = dataRoot(view).resolve(dirName).toString
+    var observedRows: Option[Long] = None
     if (statsCols.isEmpty) df.write.mode("overwrite").parquet(target)
     else {
       val kinds = statsCols.map { c =>
@@ -378,11 +382,20 @@ class SnapshotStore(spark: SparkSession, val root: String) {
           val kind = if (numeric) "n" else "s"
           s"$c\t$kind\t${r(s"mn_$i")}\t${r(s"mx_$i")}"
       } :+ s"__rows\tc\t${r("_graft_cnt")}\t${r("_graft_cnt")}"
+      observedRows = Some(r("_graft_cnt").asInstanceOf[Long])
       Files.writeString(
         dataRoot(view).resolve(dirName).resolve(StatsFile),
         lines.mkString("\n"))
     }
-    writeStats(view, dirName, bloomCols)
+    // per-dir schema seed: the written frame's schema IS the dir's
+    // parquet schema (the same driver-known-schema contract
+    // [[seedSchemaCache]] already relies on for dir lists), and
+    // [[readDirs]] composes multi-dir lists from identical per-dir
+    // seeds — so later reads of ANY list over seeded dirs (old-version
+    // CDC reads, growing vector lists) plan with zero footer jobs
+    schemaCache.update(Seq(dataRoot(view).resolve(dirName).toString),
+      df.schema)
+    writeStats(view, dirName, bloomCols, observedRows)
   }
 
   /** The shared write-sizing rule for copy-on-write rewrites: coalesce
@@ -723,7 +736,13 @@ class SnapshotStore(spark: SparkSession, val root: String) {
   private def evictSchemaCache(view: String, keep: Seq[String]): Unit = {
     val prefix = dataRoot(view).toString + "/"
     schemaCache.keys.foreach { k =>
-      if (k != keep && k.headOption.exists(_.startsWith(prefix)))
+      // single-dir seeds are spared: they are O(live dirs) small, and
+      // they are what lets [[readDirs]] recompose superseded or
+      // time-travel dir LISTS (a CDC stream's from-version read, a
+      // delete loop's growing vector list) without a footer job; the
+      // global cap in [[readDirs]] still bounds the degenerate case
+      if (k != keep && k.lengthCompare(1) > 0 &&
+          k.headOption.exists(_.startsWith(prefix)))
         schemaCache.remove(k)
     }
   }
@@ -881,7 +900,21 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     // (time-travel lists, foreign clone refs): a full re-derive is one
     // plan-time footer job, far cheaper than unbounded driver growth
     if (schemaCache.size > 512) schemaCache.clear()
-    val sch = schemaCache.getOrElseUpdate(paths, inferMergedSchema(paths))
+    val sch = schemaCache.getOrElseUpdate(paths, {
+      // compose a multi-dir list from the per-dir seeds when every dir
+      // is cached with the SAME schema — the merge of identical schemas
+      // is itself, so this is exactly what the footer job would return.
+      // This is what keeps a maintenance loop's growing deletion-vector
+      // list (one new key file per delete → a new list every commit)
+      // and a CDC reader's superseded old-version lists at ZERO footer
+      // jobs: each dir was seeded once at write time. Any evolution
+      // across the list (schemas differ) falls through to the real
+      // footer merge.
+      val per = paths.map(p => schemaCache.get(Seq(p)))
+      if (paths.lengthCompare(1) > 0 && per.forall(_.isDefined) &&
+          per.flatten.distinct.lengthCompare(1) == 0) per.head.get
+      else inferMergedSchema(paths)
+    })
     spark.read.schema(sch).parquet(paths: _*)
   }
 
@@ -1507,12 +1540,18 @@ class SnapshotStore(spark: SparkSession, val root: String) {
     // the probe's cost buys back most of a second full pass. Aligned to
     // the snapshot schema: the predicate may reference a schema-evolved
     // column those dirs predate.
+    // no distinct: `keyCol` is the view's row-identity key (unique per
+    // snapshot — the documented contract this method and mergeInto
+    // share), so the selected keys are already distinct and the
+    // distinct's exchange was a pure per-delete shuffle+AQE-stage tax;
+    // the read side distinct()s the vector union anyway, so even a
+    // contract-violating caller only costs vector bytes, never rows
     val keys = matchedDirs
       .map(md => alignedTo(applyRenames(
         applyDels(readDirs(md, view), view, prevDels), view, base),
         read(view, Some(base)).schema))
       .getOrElse(read(view, Some(base)))
-      .where(pred).select(col(keyCol)).distinct()
+      .where(pred).select(col(keyCol))
     val next = base + 1
     val delDir = s"del$next-" + java.util.UUID.randomUUID().toString.take(8)
     // key count observed DURING the vector write (one job, no re-read)
@@ -1531,6 +1570,11 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       Scratch.deleteRecursively(dataRoot(view).resolve(delDir).toFile)
       return fenceOnly(view, base, txn)
     }
+    // per-dir seed (vectors bypass writeData): the growing vector list a
+    // delete loop re-reads every iteration recomposes from these seeds
+    // with zero footer jobs
+    schemaCache.update(Seq(dataRoot(view).resolve(delDir).toString),
+      keys.schema)
     // DV-delete rebase: interleaved BLIND APPENDS whose dirs provably
     // hold none of this vector's keys are safe to land after (the
     // delete serializes before them; the vector cannot touch their
@@ -1663,6 +1707,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
       val sized = if (foldBytes <= dvBroadcastMaxBytes) out.coalesce(1) else out
       sized.write.mode("overwrite")
         .parquet(dataRoot(view).resolve(dir).toString)
+      schemaCache.update(Seq(dataRoot(view).resolve(dir).toString),
+        out.schema)
       if (toFold.size == dels.size) Seq(dir) else Seq(bigDir, dir)
     }
   }
@@ -2209,6 +2255,8 @@ class SnapshotStore(spark: SparkSession, val root: String) {
             else counted
           sizedDel.write
             .mode("overwrite").parquet(dataRoot(view).resolve(delDir).toString)
+          schemaCache.update(Seq(dataRoot(view).resolve(delDir).toString),
+            remaining.schema)
           if (obs.get("n").asInstanceOf[Long] > 0L) Seq(delDir)
           else {
             Scratch.deleteRecursively(dataRoot(view).resolve(delDir).toFile)

@@ -62,21 +62,29 @@ class StoreHardeningSpec extends SparkSpec {
     assert(st.deleteWhere("t", "k", col("k") === 888) == st.versions("t").max)
   }
 
-  test("schemaCache stays O(live views) across a commit loop") {
+  test("schemaCache stays bounded across a commit loop (O(live dirs), one list)") {
     val (st, _) = freshStore()
     (1 to 30).foreach { i =>
       st.commit("t", Seq((i, s"v$i")).toDF("k", "v"), overwrite = false)
       st.read("t").count()
     }
     // the private cache is observable via its effect only — assert via
-    // reflection on the field (spec-only; the contract is the bound)
+    // reflection on the field (spec-only; the contract is the bound).
+    // Contract since r18: superseded dir-LIST keys still evict per
+    // commit (at most one list per view), and per-DIR seeds are kept —
+    // they are O(live data dirs), they are what lets readDirs recompose
+    // superseded/time-travel lists (CDC from-version reads, delete
+    // loops) without a footer job, and the global 512 cap in readDirs
+    // bounds the degenerate case. 30 appends ⇒ 30 dir seeds + 1 list.
     val f = st.getClass.getDeclaredFields
       .find(_.getName.contains("schemaCache")).get
     f.setAccessible(true)
     val cache = f.get(st).asInstanceOf[
       scala.collection.concurrent.TrieMap[Seq[String], Any]]
-    assert(cache.size <= 2,
+    assert(cache.size <= 31,
       s"cache grew to ${cache.size} entries over 30 commits of one view")
+    assert(cache.keys.count(_.lengthCompare(1) > 0) <= 1,
+      "superseded dir-list keys must still evict (one list per view)")
   }
 
   test("the delete probe prunes its input dirs by stats (narrow delete on a big table)") {
