@@ -35,6 +35,24 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Local-FS I/O for the file:// scheme (set before any FileSystem is
+  // cached, which a runtime conf.set can be too late for):
+  //  - FastLocalFileSystem (graft.sources) is LocalFileSystem with the
+  //    client-side checksum layer off — the default writes + re-reads a
+  //    .crc sidecar for every file, doubling small-file IO on every
+  //    store commit and verifying checksums on every read. It must be a
+  //    LocalFileSystem subclass (not RawLocalFileSystem) because
+  //    FileSystem.getLocal hard-casts (RocksDB state-store checkpoints
+  //    call it). Integrity-only, results identical; on a cluster the
+  //    data lives on HDFS/S3 whose own integrity machinery applies.
+  //  - File-output committer v2 renames task output directly into the
+  //    destination at task commit instead of a second sequential
+  //    driver-side rename pass at job commit (one rename per file saved
+  //    per write job; the engine's own atomicity comes from the
+  //    SnapshotStore manifest link(2) publish, not from job-commit
+  //    atomicity, so v2's weaker failure story costs nothing here).
+  "-Dspark.hadoop.fs.file.impl=graft.sources.FastLocalFileSystem",
+  "-Dspark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
 )
 // managed-table warehouse for bucketing tests (static conf — must be
 // set before the shared test SparkContext starts)

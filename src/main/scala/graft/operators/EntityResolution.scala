@@ -54,16 +54,12 @@ object EntityResolution {
     // limit gets without sorting.
     val w = Window.partitionBy(col("d_id"))
       .orderBy(col("dist"), col("c_id"))
-    // CPU-width guard on the DP stage: the O(len²) distance runs in the
-    // registry scan's own stage, and scan parallelism is sized by BYTES
-    // (maxPartitionBytes) — a registry small in bytes but expensive per
-    // row plans 1 task and serializes the whole DP on one core. When the
-    // scan is narrower than the session's parallelism, spread it first
-    // (a few KB shuffled, the DP then uses every core); a registry at
-    // real scale already scans wider than the core count and skips this.
-    val par = c.sparkSession.sparkContext.defaultParallelism
-    val cw = if (c.rdd.getNumPartitions < par) c.repartition(par) else c
-    cw.join(broadcast(d), Seq("_blk"))
+    // CPU-width guard on the DP stage (see [[Spread.cpuWide]]): the
+    // O(len²) distance runs in the registry scan's own stage, and scan
+    // parallelism is sized by BYTES — a registry small in bytes but
+    // expensive per row plans 1 task and serializes the whole DP on one
+    // core. A registry at real scale passes through untouched.
+    Spread.cpuWide(c).join(broadcast(d), Seq("_blk"))
       .where(abs(length(col("d_name")) - length(col("c_name_"))) <= maxDist)
       .withColumn("dist", levenshtein(col("d_name"), col("c_name_")))
       .where(col("dist") <= maxDist)

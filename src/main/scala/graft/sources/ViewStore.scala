@@ -23,13 +23,26 @@ class ViewStore(spark: SparkSession, root: String) {
 
   private def path(view: String) = s"$root/$view"
 
+  /** Cluster rows by the partition column before a partitionBy write —
+    * Iceberg's `write.distribution-mode=hash` (guide §6): without it
+    * every input partition opens a file in every key directory
+    * (input-width × key-count small files; a wide upstream compute
+    * stage multiplies the store's file count), with it each key
+    * directory gets its hash bucket's single file whatever the
+    * upstream width. The shuffle moves exactly the written bytes once.
+    */
+  private def clustered(df: DataFrame, keyCol: String): DataFrame =
+    df.repartition(col(keyCol))
+
   /** K3: full rewrite, partitioned by key. */
   def overwrite(view: String, df: DataFrame, keyCol: String): Unit =
-    df.write.mode(SaveMode.Overwrite).partitionBy(keyCol).parquet(path(view))
+    clustered(df, keyCol).write.mode(SaveMode.Overwrite)
+      .partitionBy(keyCol).parquet(path(view))
 
   /** K1: append-only master (no key identity). */
   def append(view: String, df: DataFrame, keyCol: String): Unit =
-    df.write.mode(SaveMode.Append).partitionBy(keyCol).parquet(path(view))
+    clustered(df, keyCol).write.mode(SaveMode.Append)
+      .partitionBy(keyCol).parquet(path(view))
 
   /** K2: upsert — replace only the key partitions present in `df`
     * (dynamic partition overwrite: no other partition is touched, so
@@ -37,7 +50,7 @@ class ViewStore(spark: SparkSession, root: String) {
     * idempotent).
     */
   def merge(view: String, df: DataFrame, keyCol: String): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    clustered(df, keyCol).write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(keyCol)
       .parquet(path(view))
